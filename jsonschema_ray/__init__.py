@@ -1,0 +1,20 @@
+"""jsonschema_ray — a Ray-Data-native schema + constraint validation engine.
+
+Built from scratch against the behavior of altshiftab/jsonschema (a Go JSON
+Schema draft-2020-12 validator library, surveyed in SURVEY.md): declarative
+rule sets compiled once on the driver to vectorized Arrow-compute predicates,
+evaluated inside ``Dataset.map_batches`` with zero-copy batches, plus the
+table-level checks a row-at-a-time validator cannot express (column stats,
+uniqueness, referential, drift) and large-scale training-data operators
+(dedup, similarity search, text analysis).
+"""
+
+from .rules.model import RuleSet, RuleSetError, parse_ruleset
+from .rules.rowwise import RowEvaluator, Violation
+from .rules.vector import BatchValidator
+from .formats import register_format
+
+__all__ = [
+    "RuleSet", "RuleSetError", "parse_ruleset",
+    "RowEvaluator", "Violation", "BatchValidator", "register_format",
+]

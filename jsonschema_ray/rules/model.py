@@ -1,0 +1,319 @@
+"""RuleSet IR: parse a JSON Schema-style rule document into a typed, sorted
+part tree, resolve ``$defs``/``$ref``/``$anchor`` links, and hash it for
+lineage.
+
+This is the analog of the reference's parse+resolve front-end
+(pkg/types/schema/schema.go:398-698 `UnmarshalJSON`/`buildTopFromJSON`/
+`addKeywordFromJSON`; pkg/draft202012/builder.go:125-405 `resolveSchema`),
+re-expressed as plain driver-side Python: the compiled tree is built ONCE on
+the driver, broadcast to workers inside actor constructors, and evaluated
+vectorized over Arrow batches (see vector.py).
+
+Design notes vs the reference:
+- Keyword argument type checking mirrors the closed ArgType enum
+  (pkg/types/arg_type/arg_type.go:6-19): ints accept integral floats
+  (ToInt, internal/validator/validator.go:27-40), floats accept ints.
+- Unknown keywords are kept but always valid (schema.go:521-531).
+- Boolean schemas ``true``/``false`` are first-class (schema.go:1175-1196).
+- ``$ref`` resolution links nodes at compile time (the analog of the
+  generated ``$$resolvedRef`` part, builder.go:286-405); evaluation guards
+  recursion with a depth cap like the reference's 1000-deep cap
+  (schema.go:1087-1104).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .ordering import sort_parts
+
+# ---------------------------------------------------------------------------
+# IR dataclasses
+
+
+@dataclass
+class SchemaNode:
+    """One schema object (or boolean schema). ``parts`` is the sorted keyword
+    list — the analog of Schema.Parts (schema.go:32-35)."""
+
+    parts: list["Part"] = field(default_factory=list)
+    bool_value: Optional[bool] = None  # true/false schema (schema.go:1175-1196)
+    location: str = ""  # keyword-location JSON pointer of this node
+
+    def get(self, keyword: str) -> Any:
+        for p in self.parts:
+            if p.keyword == keyword:
+                return p.value
+        return None
+
+    def has(self, keyword: str) -> bool:
+        return any(p.keyword == keyword for p in self.parts)
+
+
+@dataclass
+class Part:
+    """keyword + typed argument — the analog of Part{Keyword, PartValue}
+    (schema.go:886-890)."""
+
+    keyword: str
+    value: Any  # scalar | list | SchemaNode | list[SchemaNode] | dict[str, SchemaNode]
+
+
+class RuleSetError(ValueError):
+    """Schema compilation error (bad keyword argument, unresolvable $ref)."""
+
+
+# ---------------------------------------------------------------------------
+# Argument typing (mirror of addKeywordFromJSON, schema.go:514-698)
+
+_SCHEMA_ARGS = {
+    "not", "if", "then", "else", "items", "contains", "additionalProperties",
+    "propertyNames", "unevaluatedItems", "unevaluatedProperties",
+    "contentSchema",
+}
+_SCHEMAS_ARGS = {"allOf", "anyOf", "oneOf", "prefixItems"}
+_MAPSCHEMA_ARGS = {"properties", "patternProperties", "dependentSchemas",
+                   "$defs", "definitions"}
+_INT_ARGS = {"maxLength", "minLength", "maxItems", "minItems",
+             "maxProperties", "minProperties", "maxContains", "minContains"}
+_FLOAT_ARGS = {"multipleOf", "maximum", "minimum",
+               "exclusiveMaximum", "exclusiveMinimum"}
+_STRING_ARGS = {"$schema", "$id", "$anchor", "$dynamicAnchor", "$comment",
+                "title", "description", "format", "pattern",
+                "contentEncoding", "contentMediaType", "$ref", "$dynamicRef"}
+_BOOL_ARGS = {"uniqueItems", "deprecated", "readOnly", "writeOnly"}
+_STRINGS_ARGS = {"required"}
+_ANY_ARGS = {"enum", "const", "default", "examples", "$vocabulary"}
+
+_TYPE_NAMES = {"null", "boolean", "object", "array", "string", "number",
+               "integer", "binary"}  # "binary" is an engine extension for
+# Arrow binary columns (image bytes); the other seven mirror
+# internal/validator/validator.go:753-812.
+
+
+def _to_int(keyword: str, v: Any) -> int:
+    # ints accept integral floats (ToInt, validator.go:27-40)
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise RuleSetError(f"{keyword}: expected integer, got {v!r}")
+    if isinstance(v, float):
+        if v != int(v):
+            raise RuleSetError(f"{keyword}: expected integer, got {v!r}")
+        v = int(v)
+    if keyword in _INT_ARGS and v < 0:
+        # negative bounds are schema errors (validator.go:979, 994)
+        raise RuleSetError(f"{keyword}: negative argument {v}")
+    return v
+
+
+def _to_float(keyword: str, v: Any) -> float:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise RuleSetError(f"{keyword}: expected number, got {v!r}")
+    f = float(v)
+    if keyword == "multipleOf" and f <= 0:
+        raise RuleSetError("multipleOf: argument must be > 0")
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Parsing
+
+
+def parse_node(doc: Any, location: str = "") -> SchemaNode:
+    """JSON value → SchemaNode tree (buildFromJSON analog, schema.go:469-511)."""
+    if isinstance(doc, bool):
+        return SchemaNode(bool_value=doc, location=location)
+    if not isinstance(doc, dict):
+        raise RuleSetError(f"schema at {location or '/'} must be object or bool")
+    parts: list[tuple[str, Any]] = []
+    for kw, raw in doc.items():
+        loc = f"{location}/{_escape(kw)}"
+        if kw in _SCHEMA_ARGS:
+            val: Any = parse_node(raw, loc)
+        elif kw in _SCHEMAS_ARGS:
+            if not isinstance(raw, list):
+                raise RuleSetError(f"{kw}: expected array of schemas")
+            val = [parse_node(s, f"{loc}/{i}") for i, s in enumerate(raw)]
+        elif kw in _MAPSCHEMA_ARGS:
+            if not isinstance(raw, dict):
+                raise RuleSetError(f"{kw}: expected object of schemas")
+            val = {k: parse_node(s, f"{loc}/{_escape(k)}")
+                   for k, s in raw.items()}
+        elif kw == "dependencies":
+            # draft-7 compat: name → string-array | schema
+            # (PartMapArrayOrSchema, schema.go:983-990)
+            if not isinstance(raw, dict):
+                raise RuleSetError("dependencies: expected object")
+            val = {}
+            for k, s in raw.items():
+                if isinstance(s, list):
+                    if not all(isinstance(x, str) for x in s):
+                        raise RuleSetError("dependencies: array must be strings")
+                    val[k] = list(s)
+                else:
+                    val[k] = parse_node(s, f"{loc}/{_escape(k)}")
+        elif kw == "dependentRequired":
+            if not (isinstance(raw, dict)
+                    and all(isinstance(v, list)
+                            and all(isinstance(x, str) for x in v)
+                            for v in raw.values())):
+                raise RuleSetError("dependentRequired: expected map of string arrays")
+            val = {k: list(v) for k, v in raw.items()}
+        elif kw in _INT_ARGS:
+            val = _to_int(kw, raw)
+        elif kw in _FLOAT_ARGS:
+            val = _to_float(kw, raw)
+        elif kw in _STRING_ARGS:
+            if not isinstance(raw, str):
+                raise RuleSetError(f"{kw}: expected string")
+            if kw == "pattern":
+                try:
+                    re.compile(raw)
+                except re.error as e:
+                    raise RuleSetError(f"pattern: invalid regex {raw!r}: {e}")
+            val = raw
+        elif kw in _BOOL_ARGS:
+            if not isinstance(raw, bool):
+                raise RuleSetError(f"{kw}: expected boolean")
+            val = raw
+        elif kw in _STRINGS_ARGS:
+            if not (isinstance(raw, list)
+                    and all(isinstance(x, str) for x in raw)):
+                raise RuleSetError(f"{kw}: expected array of strings")
+            val = list(raw)
+        elif kw == "type":
+            # StringOrStrings (validator.go:753-768)
+            names = [raw] if isinstance(raw, str) else raw
+            if not (isinstance(names, list)
+                    and all(isinstance(x, str) for x in names)):
+                raise RuleSetError("type: expected string or array of strings")
+            bad = set(names) - _TYPE_NAMES
+            if bad:
+                raise RuleSetError(f"type: unknown type name(s) {sorted(bad)}")
+            val = list(names)
+        elif kw in _ANY_ARGS:
+            if kw == "enum" and not isinstance(raw, list):
+                raise RuleSetError("enum: expected array")
+            val = raw
+        else:
+            # unknown keyword: kept, always valid (schema.go:521-531)
+            val = raw
+        parts.append((kw, val))
+    node = SchemaNode(location=location)
+    node.parts = [Part(k, v) for k, v in sort_parts(parts)]
+    return node
+
+
+def _escape(token: str) -> str:
+    """RFC6901 JSON-pointer token escape (schema.go:1120-1144 analog)."""
+    return token.replace("~", "~0").replace("/", "~1")
+
+
+# ---------------------------------------------------------------------------
+# $ref resolution (static linking; builder.go:286-405 analog)
+
+
+@dataclass
+class RuleSet:
+    root: SchemaNode
+    doc: Any  # original JSON document (canonical source of truth)
+    refs: dict[int, SchemaNode] = field(default_factory=dict)  # id(node)->target
+
+    _hash: Optional[str] = None
+
+    @property
+    def ruleset_hash(self) -> str:
+        """sha256 of the canonical marshalled document — the lineage id used
+        in checkpoint records (SURVEY §3.4; MarshalJSON analog
+        schema.go:211-367)."""
+        if self._hash is None:
+            self._hash = hashlib.sha256(
+                canonical_json(self.doc).encode()).hexdigest()[:16]
+        return self._hash
+
+    def ref_target(self, node: SchemaNode) -> Optional[SchemaNode]:
+        return self.refs.get(id(node))
+
+
+def canonical_json(doc: Any) -> str:
+    return json.dumps(doc, sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False)
+
+
+def _iter_subnodes(node: SchemaNode):
+    for p in node.parts:
+        if isinstance(p.value, SchemaNode):
+            yield p.value
+        elif isinstance(p.value, list):
+            for v in p.value:
+                if isinstance(v, SchemaNode):
+                    yield v
+        elif isinstance(p.value, dict):
+            for v in p.value.values():
+                if isinstance(v, SchemaNode):
+                    yield v
+
+
+def parse_ruleset(doc: Any) -> RuleSet:
+    """Parse + resolve: the analog of jsonschema.New
+    (pkg/jsonschema/jsonschema.go:17-24)."""
+    if isinstance(doc, (str, bytes)):
+        doc = json.loads(doc)
+    root = parse_node(doc)
+    rs = RuleSet(root=root, doc=doc)
+    # pass 1: collect anchors + pointer index (resolveIDs analog,
+    # builder.go:227-283)
+    anchors: dict[str, SchemaNode] = {}
+    by_pointer: dict[str, SchemaNode] = {}
+
+    def walk(n: SchemaNode):
+        by_pointer[n.location] = n
+        a = n.get("$anchor") or n.get("$dynamicAnchor")
+        if a:
+            anchors[a] = n
+        for c in _iter_subnodes(n):
+            walk(c)
+
+    walk(root)
+    # pass 2: link refs (resolveRefs analog, builder.go:286-405). Only
+    # document-local refs are supported; remote refs need a driver-side
+    # loader (SetLoader analog, schema.go:1015-1052) — not needed for
+    # table rule sets.
+    def link(n: SchemaNode):
+        ref = n.get("$ref") or n.get("$dynamicRef")
+        if ref is not None:
+            if ref == "#":
+                rs.refs[id(n)] = root
+            elif ref.startswith("#/"):
+                ptr = _deref_pointer(ref[1:], by_pointer)
+                rs.refs[id(n)] = ptr
+            elif ref.startswith("#"):
+                tgt = anchors.get(ref[1:])
+                if tgt is None:
+                    raise RuleSetError(f"$ref: unknown anchor {ref!r}")
+                rs.refs[id(n)] = tgt
+            else:
+                raise RuleSetError(
+                    f"$ref: only document-local refs supported, got {ref!r}")
+        for c in _iter_subnodes(n):
+            link(c)
+
+    link(root)
+    return rs
+
+
+def _deref_pointer(ptr: str, by_pointer: dict[str, SchemaNode]) -> SchemaNode:
+    """Dereference a JSON-pointer fragment against parsed node locations
+    (jsonpointer.DerefSchema analog, pkg/jsonpointer/jsonpointer.go:22-147)."""
+    if ptr in by_pointer:
+        return by_pointer[ptr]
+    raise RuleSetError(f"$ref: cannot resolve pointer {ptr!r}")
+
+
+# Evaluation recursion cap — reference caps child states at depth 1000
+# (schema.go:1087-1104); our instances are flat-to-shallow Arrow rows, so a
+# smaller cap catches schema cycles sooner.
+MAX_DEPTH = 64

@@ -1,0 +1,953 @@
+"""Vectorized batch evaluator: a compiled RuleSet evaluated over a whole
+``pyarrow.Table`` batch at once.
+
+This is the Ray-Data-native re-expression of the reference's recursive
+per-instance walk (pkg/types/schema/schema.go:796-819): each leaf keyword
+becomes ONE pyarrow.compute / numpy kernel producing a per-row pass mask,
+and applicator keywords (allOf/anyOf/oneOf/not/if-then-else/…) become
+boolean algebra over those masks (SURVEY §2.3). Cross-keyword "notes"
+(contains counts, if-condition, evaluated members for unevaluated*) are
+per-row numpy arrays instead of the reference's per-instance Notes map
+(pkg/notes/notes.go:38-103).
+
+Instance model = one table row; a null cell is an ABSENT member (tabular
+analog of "property not present"): leaf assertions are vacuously true on
+absent members, ``required`` fails on them.
+
+Violations exactly mirror the row-wise oracle evaluator (rowwise.py) —
+property-based tests cross-check the two.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import messages as M
+from .model import MAX_DEPTH, RuleSet, SchemaNode
+from .rowwise import RowEvaluator, deep_equal, instance_float
+
+# ---------------------------------------------------------------------------
+# views
+
+
+def arrow_kind(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "number"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+            or pa.types.is_fixed_size_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        return "array"
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return "object"
+    if pa.types.is_null(t):
+        return "null"
+    return "other"
+
+
+def _combine(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        col = col.dictionary_decode()
+    return col
+
+
+def _valid_np(arr: pa.Array) -> np.ndarray:
+    if arr.null_count == 0:
+        return np.ones(len(arr), dtype=bool)
+    return pc.is_valid(arr).to_numpy(zero_copy_only=False)
+
+
+@dataclass
+class View:
+    """A vector of instance values — one slot per row of the current
+    context (batch rows at the root/column level; flattened list elements
+    inside array applicators)."""
+
+    n: int
+    kind: str                      # uniform arrow kind of the slots
+    arr: Optional[pa.Array]        # None for the root object view
+    table: Optional[pa.Table]      # set for the root view
+    present: np.ndarray            # slot has a value (non-null member)
+    rows: Optional[np.ndarray]     # slot -> batch row index (None=identity)
+    loc_prefix: str                # instance-location prefix
+    elem_pos: Optional[np.ndarray] = None  # per-slot element index (lists)
+    _numeric: Any = field(default=None, repr=False)
+    _np_cache: Any = field(default=None, repr=False)
+
+    def batch_rows(self, slots: np.ndarray) -> np.ndarray:
+        return slots if self.rows is None else self.rows[slots]
+
+    def locs(self, slots: np.ndarray) -> list[str]:
+        if self.elem_pos is None:
+            return [self.loc_prefix] * len(slots)
+        return [f"{self.loc_prefix}/{p}" for p in self.elem_pos[slots]]
+
+    def numeric(self) -> tuple[np.ndarray, np.ndarray]:
+        """(float64 values, applicable mask) — instanceFloat semantics
+        (validator.go:1275-1295): numerics always, numeric strings coerced,
+        booleans and everything else not applicable."""
+        if self._numeric is None:
+            if self.kind in ("integer", "number"):
+                vals = self.arr.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False)
+                app = self.present.copy()
+                vals = np.where(self.present, vals, 0.0)
+            elif self.kind == "string":
+                import pandas as pd
+                s = pd.to_numeric(self.arr.to_pandas(), errors="coerce")
+                vals = s.to_numpy(dtype=np.float64, na_value=np.nan)
+                app = self.present & ~np.isnan(vals)
+                vals = np.where(app, vals, 0.0)
+            else:
+                vals = np.zeros(self.n)
+                app = np.zeros(self.n, dtype=bool)
+            self._numeric = (vals, app)
+        return self._numeric
+
+    def strings_np(self):
+        if self._np_cache is None:
+            self._np_cache = self.arr.to_numpy(zero_copy_only=False)
+        return self._np_cache
+
+
+def root_view(table: pa.Table) -> View:
+    n = table.num_rows
+    return View(n=n, kind="object", arr=None, table=table,
+                present=np.ones(n, dtype=bool), rows=None, loc_prefix="")
+
+
+def column_view(table: pa.Table, name: str) -> View:
+    arr = _combine(table.column(name))
+    return View(n=len(arr), kind=arrow_kind(arr.type), arr=arr, table=None,
+                present=_valid_np(arr), rows=None,
+                loc_prefix=f"/{_esc(name)}")
+
+
+def _esc(token: str) -> str:
+    return token.replace("~", "~0").replace("/", "~1")
+
+
+# ---------------------------------------------------------------------------
+# violation blocks
+
+
+@dataclass
+class VBlock:
+    rows: np.ndarray            # batch row indices
+    keyword: str
+    keyword_location: str
+    instance_locations: list[str]
+    message: str
+    offending: list[str]
+
+
+def _gate_blocks(blocks: list[VBlock], keep: np.ndarray) -> list[VBlock]:
+    out = []
+    for b in blocks:
+        sel = keep[b.rows]
+        if sel.all():
+            out.append(b)
+            continue
+        if not sel.any():
+            continue
+        idx = np.nonzero(sel)[0]
+        out.append(VBlock(b.rows[idx], b.keyword, b.keyword_location,
+                          [b.instance_locations[i] for i in idx], b.message,
+                          [b.offending[i] for i in idx]))
+    return out
+
+
+# annotations: evaluated members / items, per-row (Notes analog)
+@dataclass
+class Ann:
+    keys: dict[str, np.ndarray] = field(default_factory=dict)  # name->rowmask
+    items: Optional[np.ndarray] = None  # flat-slot mask (array contexts)
+
+    def merge(self, other: "Ann", gate: Optional[np.ndarray],
+              flat_rows: Optional[np.ndarray] = None):
+        for k, m in other.keys.items():
+            g = m if gate is None else (m & gate)
+            if k in self.keys:
+                self.keys[k] = self.keys[k] | g
+            else:
+                self.keys[k] = g
+        if other.items is not None:
+            g = other.items
+            if gate is not None and flat_rows is not None:
+                g = g & gate[flat_rows]
+            self.items = g if self.items is None else (self.items | g)
+
+
+# ---------------------------------------------------------------------------
+# the evaluator
+
+
+class BatchValidator:
+    """Compiled-ruleset evaluator over Arrow batches.
+
+    Construct ONCE (driver or actor ``__init__``) — regexes and enum value
+    sets are compiled here, fixing the reference's per-call regex
+    compilation (validator.go:542, 1008). Then call per batch:
+
+    - ``mask(table)``        -> np.bool_ per-row validity
+    - ``violations(table)``  -> pyarrow.Table of violation rows
+      ``(*key_columns, keyword, keyword_location, instance_location,
+      offending_value, message)``
+    """
+
+    VIOLATION_FIELDS = ["keyword", "keyword_location", "instance_location",
+                        "offending_value", "message"]
+
+    def __init__(self, rs: RuleSet, key_columns: Optional[list[str]] = None,
+                 validate_format: bool = True):
+        self.rs = rs
+        self.key_columns = key_columns or []
+        self.validate_format = validate_format
+        self.row_eval = RowEvaluator(rs, validate_format=validate_format)
+        self._regex: dict[str, re.Pattern] = {}
+        from ..formats import VECTOR_REGEX, registry as format_registry
+        self.formats = format_registry
+        self.format_regex = VECTOR_REGEX
+
+    # -- public API ---------------------------------------------------
+
+    def evaluate(self, table: pa.Table) -> tuple[np.ndarray, pa.Table]:
+        sink: list[VBlock] = []
+        mask, _ = self._eval(self.rs.root, root_view(table), "", 0, sink)
+        return mask, self._blocks_to_table(table, sink)
+
+    def mask(self, table: pa.Table) -> np.ndarray:
+        sink: list[VBlock] = []
+        m, _ = self._eval(self.rs.root, root_view(table), "", 0, sink)
+        return m
+
+    def violations(self, table: pa.Table) -> pa.Table:
+        return self.evaluate(table)[1]
+
+    def _blocks_to_table(self, table: pa.Table,
+                         blocks: list[VBlock]) -> pa.Table:
+        cols: dict[str, Any] = {}
+        if blocks:
+            rows = np.concatenate([b.rows for b in blocks])
+        else:
+            rows = np.array([], dtype=np.int64)
+        for k in self.key_columns:
+            src = _combine(table.column(k))
+            cols[k] = src.take(pa.array(rows, type=pa.int64()))
+        kw, kl, il, off, msg = [], [], [], [], []
+        for b in blocks:
+            m = len(b.rows)
+            kw += [b.keyword] * m
+            kl += [b.keyword_location] * m
+            il += b.instance_locations
+            off += b.offending
+            msg += [b.message] * m
+        cols["keyword"] = pa.array(kw, type=pa.string())
+        cols["keyword_location"] = pa.array(kl, type=pa.string())
+        cols["instance_location"] = pa.array(il, type=pa.string())
+        cols["offending_value"] = pa.array(off, type=pa.string())
+        cols["message"] = pa.array(msg, type=pa.string())
+        return pa.table(cols)
+
+    # -- helpers ------------------------------------------------------
+
+    def _re(self, pattern: str) -> re.Pattern:
+        p = self._regex.get(pattern)
+        if p is None:
+            p = self._regex[pattern] = re.compile(pattern)
+        return p
+
+    def _offending(self, view: View, slots: np.ndarray) -> list[str]:
+        vals = view.arr.take(pa.array(slots, type=pa.int64())).to_pylist() \
+            if view.arr is not None else [None] * len(slots)
+        return [M.fmt_value(v) if view.arr is not None else "object"
+                for v in vals]
+
+    def _emit(self, sink: list[VBlock], view: View, fail: np.ndarray,
+              keyword: str, kw_loc: str, message: str,
+              offending: Optional[list[str]] = None,
+              inst_locs: Optional[list[str]] = None):
+        slots = np.nonzero(fail)[0]
+        if len(slots) == 0:
+            return
+        sink.append(VBlock(
+            rows=view.batch_rows(slots), keyword=keyword,
+            keyword_location=kw_loc,
+            instance_locations=inst_locs if inst_locs is not None
+            else view.locs(slots),
+            message=message,
+            offending=offending if offending is not None
+            else self._offending(view, slots)))
+
+    def _members(self, view: View) -> dict[str, Callable[[], View]]:
+        """Lazy member accessors for object views (root table columns or
+        struct fields)."""
+        out: dict[str, Callable[[], View]] = {}
+        if view.table is not None:
+            for name in view.table.column_names:
+                out[name] = (lambda nm=name: column_view(view.table, nm))
+        elif view.arr is not None and pa.types.is_struct(view.arr.type):
+            for f in view.arr.type:
+                def mk(nm=f.name):
+                    child = pc.struct_field(view.arr, nm)
+                    child = _combine(child)
+                    pres = _valid_np(child) & view.present
+                    return View(n=view.n, kind=arrow_kind(child.type),
+                                arr=child, table=None, present=pres,
+                                rows=view.rows,
+                                loc_prefix=f"{view.loc_prefix}/{_esc(nm)}",
+                                elem_pos=view.elem_pos)
+                out[f.name] = mk
+        return out
+
+    def _member_present(self, view: View, name: str) -> np.ndarray:
+        """Presence mask for member `name` (absent column -> all-absent)."""
+        if view.table is not None:
+            if name not in view.table.column_names:
+                return np.zeros(view.n, dtype=bool)
+            return column_view(view.table, name).present
+        if view.arr is not None and pa.types.is_struct(view.arr.type):
+            if view.arr.type.get_field_index(name) < 0:
+                return np.zeros(view.n, dtype=bool)
+            child = _combine(pc.struct_field(view.arr, name))
+            return _valid_np(child) & view.present
+        return np.zeros(view.n, dtype=bool)
+
+    def _elements_view(self, view: View) -> Optional[tuple]:
+        """Flatten a list-typed view: returns (elem_view, offsets,
+        flat_rows) or None if not a list. offsets has n+1 entries into the
+        flat domain; flat_rows maps flat slot -> parent slot."""
+        if view.kind != "array" or view.arr is None:
+            return None
+        arr = view.arr
+        if pa.types.is_fixed_size_list(arr.type):
+            k = arr.type.list_size
+            offsets = np.arange(view.n + 1, dtype=np.int64) * k
+            values = _combine(arr.values)
+        else:
+            # null slots have offset[i]==offset[i+1] after this fill
+            la = arr
+            offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            start = offs[:-1].copy()
+            end = offs[1:].copy()
+            absent = ~view.present
+            end[absent] = start[absent]
+            # rebuild compacted flat domain
+            lengths = end - start
+            offsets = np.zeros(view.n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            flat_idx = _ranges_concat(start, lengths)
+            values = _combine(la.values).take(
+                pa.array(flat_idx, type=pa.int64()))
+        lengths = offsets[1:] - offsets[:-1]
+        flat_parent = np.repeat(np.arange(view.n), lengths)
+        elem_pos = np.arange(offsets[-1]) - offsets[flat_parent]
+        parent_rows = view.batch_rows(flat_parent)
+        # element locations: parent loc prefix is constant for column views;
+        # for nested lists compose via parent's elem positions (rare).
+        if view.elem_pos is None:
+            prefix = view.loc_prefix
+            ev = View(n=int(offsets[-1]), kind=arrow_kind(values.type),
+                      arr=values, table=None, present=_valid_np(values),
+                      rows=parent_rows, loc_prefix=prefix, elem_pos=elem_pos)
+        else:  # nested list-of-list: build per-slot prefixes lazily
+            ev = View(n=int(offsets[-1]), kind=arrow_kind(values.type),
+                      arr=values, table=None, present=_valid_np(values),
+                      rows=parent_rows, loc_prefix=view.loc_prefix,
+                      elem_pos=elem_pos)
+        return ev, offsets, flat_parent
+
+    # -- main recursion ----------------------------------------------
+
+    def _eval(self, node: SchemaNode, view: View, kw_loc: str, depth: int,
+              sink: list[VBlock]) -> tuple[np.ndarray, Ann]:
+        if depth > MAX_DEPTH:
+            raise RecursionError(f"schema depth cap exceeded at {kw_loc}")
+        n = view.n
+        ann = Ann()
+        ones = np.ones(n, dtype=bool)
+        if node.bool_value is not None:
+            if node.bool_value:
+                return ones, ann
+            fail = view.present.copy()
+            self._emit(sink, view, fail, "$bool", kw_loc,
+                       M.message("$bool", None))
+            return ~fail, ann
+
+        mask = ones.copy()
+        notes: dict[str, Any] = {}
+        pres = view.present
+
+        for part in node.parts:
+            kw, arg = part.keyword, part.value
+            kloc = f"{kw_loc}/{kw}"
+            m = self._eval_keyword(node, kw, arg, view, kloc, depth, sink,
+                                   notes, ann)
+            if m is not None:
+                # vacuous pass on absent members for everything but required
+                if kw not in ("required", "dependentRequired"):
+                    m = m | ~pres
+                mask &= m
+        return mask, ann
+
+    def _eval_keyword(self, node, kw, arg, view: View, kloc, depth, sink,
+                      notes, ann) -> Optional[np.ndarray]:
+        """Returns the pass mask for one keyword, emitting violations into
+        sink. None means annotation-only/always-valid keyword."""
+        n, kind, pres = view.n, view.kind, view.present
+
+        # ---------------- leaf assertions ----------------
+        if kw == "type":
+            ok = self._type_mask(view, arg)
+            self._emit(sink, view, pres & ~ok, kw, kloc, M.message(kw, arg))
+            return ok
+        if kw == "enum":
+            ok = self._enum_mask(view, arg)
+            self._emit(sink, view, pres & ~ok, kw, kloc, M.message(kw, arg))
+            return ok
+        if kw == "const":
+            ok = self._enum_mask(view, [arg])
+            self._emit(sink, view, pres & ~ok, kw, kloc, M.message(kw, arg))
+            return ok
+        if kw in ("maximum", "minimum", "exclusiveMaximum",
+                  "exclusiveMinimum", "multipleOf"):
+            vals, app = view.numeric()
+            if kw == "maximum":
+                bad = vals > arg
+            elif kw == "minimum":
+                bad = vals < arg
+            elif kw == "exclusiveMaximum":
+                bad = vals >= arg
+            elif kw == "exclusiveMinimum":
+                bad = vals <= arg
+            else:  # multipleOf (validator.go:901-913)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    quo = vals / arg
+                bad = ~np.isfinite(quo) | (quo != np.trunc(quo))
+            bad &= app
+            self._emit(sink, view, bad, kw, kloc, M.message(kw, arg))
+            return ~bad
+        if kw in ("maxLength", "minLength"):
+            if kind != "string":
+                return None
+            ln = pc.utf8_length(view.arr).to_numpy(zero_copy_only=False)
+            ln = np.where(pres, ln, 0)
+            bad = (ln > arg) if kw == "maxLength" else (ln < arg)
+            bad &= pres
+            self._emit(sink, view, bad, kw, kloc, M.message(kw, arg))
+            return ~bad
+        if kw == "pattern":
+            if kind != "string":
+                return None
+            # RE2 semantics match Go's regexp (validator.go:1002-1020);
+            # match_substring_regex is unanchored like MatchString
+            ok = pc.match_substring_regex(view.arr, arg).to_numpy(
+                zero_copy_only=False).astype(bool)
+            ok = np.where(pres, ok, True)
+            self._emit(sink, view, pres & ~ok, kw, kloc, M.message(kw, arg))
+            return ok
+        if kw in ("maxItems", "minItems"):
+            if kind != "array":
+                return None
+            ln = pc.list_value_length(view.arr).to_numpy(zero_copy_only=False)
+            ln = np.where(pres, ln, 0)
+            bad = (ln > arg) if kw == "maxItems" else (ln < arg)
+            bad &= pres
+            self._emit(sink, view, bad, kw, kloc, M.message(kw, arg))
+            return ~bad
+        if kw == "uniqueItems":
+            if kind != "array" or not arg:
+                return None
+            ok = self._unique_items_mask(view)
+            self._emit(sink, view, pres & ~ok, kw, kloc, M.message(kw, arg))
+            return ok
+        if kw in ("maxProperties", "minProperties"):
+            if kind != "object":
+                return None
+            cnt = self._prop_counts(view)
+            bad = (cnt > arg) if kw == "maxProperties" else (cnt < arg)
+            bad &= pres
+            self._emit(sink, view, bad, kw, kloc, M.message(kw, arg),
+                       offending=[str(c) for c in cnt[np.nonzero(bad)[0]]])
+            return ~bad
+        if kw == "required":
+            if kind != "object":
+                return None
+            ok = np.ones(n, dtype=bool)
+            for name in arg:
+                p = self._member_present(view, name)
+                miss = pres & ~p
+                ok &= ~miss
+                self._emit(sink, view, miss, kw, kloc,
+                           M.required_message(name),
+                           offending=["null"] * int(miss.sum()))
+            return ok
+        if kw == "dependentRequired":
+            if kind != "object":
+                return None
+            ok = np.ones(n, dtype=bool)
+            for key, names in arg.items():
+                kp = self._member_present(view, key)
+                for nm in names:
+                    miss = pres & kp & ~self._member_present(view, nm)
+                    ok &= ~miss
+                    self._emit(sink, view, miss, kw, kloc,
+                               M.dependent_required_message(key, nm),
+                               offending=["null"] * int(miss.sum()))
+            return ok
+        if kw == "format":
+            if not self.validate_format or kind != "string":
+                return None
+            ok = self._format_mask(view, arg)
+            if ok is None:
+                return None  # unknown format: always valid
+            self._emit(sink, view, pres & ~ok, kw, kloc, M.message(kw, arg))
+            return ok
+
+        # ---------------- combinators ----------------
+        if kw in ("allOf", "anyOf", "oneOf"):
+            subs = []
+            for i, s in enumerate(arg):
+                tmp: list[VBlock] = []
+                sm, sa = self._eval(s, view, f"{kloc}/{i}", depth + 1, tmp)
+                subs.append((sm, sa, tmp))
+            if kw == "allOf":
+                ok = np.ones(n, dtype=bool)
+                for sm, _, _ in subs:
+                    ok &= sm
+                for sm, sa, tmp in subs:
+                    sink.extend(tmp)  # all child errors surface
+                    ann.merge(sa, gate=self._row_gate(view, ok))
+                return ok
+            stack = np.stack([sm for sm, _, _ in subs])
+            npass = stack.sum(axis=0)
+            if kw == "anyOf":
+                ok = npass > 0
+                # child violations suppressed; combinator's own violation
+                # where all subs fail (deterministic tabular variant of
+                # validator.go:89-121)
+                self._emit(sink, view, pres & ~ok, kw, kloc,
+                           M.message(kw, arg))
+            else:
+                ok = npass == 1
+                none = pres & (npass == 0)
+                multi = pres & (npass > 1)
+                self._emit(sink, view, none, "oneOf", kloc,
+                           M.MESSAGES["oneOf:none"](arg))
+                self._emit(sink, view, multi, "oneOf", kloc,
+                           M.MESSAGES["oneOf:multi"](arg))
+            for sm, sa, _ in subs:
+                ann.merge(sa, gate=self._row_gate(view, sm & ok))
+            return ok
+        if kw == "not":
+            tmp: list[VBlock] = []
+            sm, _ = self._eval(arg, view, kloc, depth + 1, tmp)
+            bad = pres & sm
+            self._emit(sink, view, bad, kw, kloc, M.message(kw, arg))
+            return ~bad
+        if kw == "if":
+            tmp = []
+            sm, sa = self._eval(arg, view, kloc, depth + 1, tmp)
+            notes["if"] = sm
+            ann.merge(sa, gate=self._row_gate(view, sm))
+            return None
+        if kw in ("then", "else"):
+            cond = notes.get("if")
+            if cond is None:
+                return None
+            gate = cond if kw == "then" else ~cond
+            tmp = []
+            sm, sa = self._eval(arg, view, kloc, depth + 1, tmp)
+            gate_rows = self._row_gate(view, gate)
+            sink.extend(_gate_blocks(tmp, gate_rows))
+            ann.merge(sa, gate=self._row_gate(view, gate & sm))
+            return sm | ~gate
+        if kw == "dependentSchemas" or (kw == "dependencies"
+                                        and isinstance(arg, dict)):
+            if kind != "object":
+                return None
+            ok = np.ones(n, dtype=bool)
+            for key, sub in arg.items():
+                kp = self._member_present(view, key)
+                if isinstance(sub, list):  # dependencies string-array form
+                    for nm in sub:
+                        miss = pres & kp & ~self._member_present(view, nm)
+                        ok &= ~miss
+                        self._emit(sink, view, miss, "dependencies", kloc,
+                                   M.dependent_required_message(key, nm),
+                                   offending=["null"] * int(miss.sum()))
+                    continue
+                tmp = []
+                sm, sa = self._eval(sub, view, f"{kloc}/{_esc(key)}",
+                                    depth + 1, tmp)
+                gate_rows = self._row_gate(view, kp)
+                sink.extend(_gate_blocks(tmp, gate_rows))
+                ann.merge(sa, gate=self._row_gate(view, kp & sm))
+                ok &= sm | ~kp
+            return ok
+
+        # ---------------- object applicators ----------------
+        if kw == "properties":
+            if kind != "object":
+                return None
+            members = self._members(view)
+            ok = np.ones(n, dtype=bool)
+            claimed = notes.setdefault("claimed_keys", set())
+            for name, sub in arg.items():
+                claimed.add(name)
+                if name not in members:
+                    continue
+                child = members[name]()
+                ann.keys[name] = child.present.copy() \
+                    if name not in ann.keys else (ann.keys[name]
+                                                  | child.present)
+                sm, _ = self._eval(sub, child, f"{kloc}/{_esc(name)}",
+                                   depth + 1, sink)
+                ok &= sm
+            return ok
+        if kw == "patternProperties":
+            if kind != "object":
+                return None
+            members = self._members(view)
+            ok = np.ones(n, dtype=bool)
+            claimed = notes.setdefault("claimed_keys", set())
+            for pat, sub in arg.items():
+                rex = self._re(pat)
+                for name in members:
+                    if not rex.search(name):
+                        continue
+                    claimed.add(name)
+                    child = members[name]()
+                    ann.keys[name] = child.present.copy() \
+                        if name not in ann.keys else (ann.keys[name]
+                                                      | child.present)
+                    sm, _ = self._eval(sub, child, f"{kloc}/{_esc(pat)}",
+                                       depth + 1, sink)
+                    ok &= sm
+            return ok
+        if kw == "additionalProperties":
+            if kind != "object":
+                return None
+            members = self._members(view)
+            claimed = notes.get("claimed_keys", set())
+            ok = np.ones(n, dtype=bool)
+            for name in members:
+                if name in claimed:
+                    continue
+                child = members[name]()
+                ann.keys[name] = child.present.copy() \
+                    if name not in ann.keys else (ann.keys[name]
+                                                  | child.present)
+                tmp: list[VBlock] = []
+                sm, _ = self._eval(arg, child, kloc, depth + 1, tmp)
+                bad = child.present & ~sm
+                # message rewrite (validator.go:589-629)
+                self._emit(sink, child, bad, "additionalProperties", kloc,
+                           M.unknown_property_message(name))
+                ok &= ~bad
+            return ok
+        if kw == "propertyNames":
+            if kind != "object":
+                return None
+            members = self._members(view)
+            ok = np.ones(n, dtype=bool)
+            for name in members:
+                name_ok, _, _ = self.row_eval._eval(arg, name, kloc, "", 0)
+                if not name_ok:
+                    p = self._member_present(view, name)
+                    self._emit(sink, view, p, "propertyNames", kloc,
+                               M.property_names_message(name),
+                               offending=[name] * int(p.sum()))
+                    ok &= ~p
+            return ok
+
+        # ---------------- array applicators ----------------
+        if kw in ("prefixItems", "items", "contains", "unevaluatedItems"):
+            if kind != "array":
+                return None
+            flat = notes.get("_flat")
+            if flat is None:
+                flat = notes["_flat"] = self._elements_view(view)
+            if flat is None:
+                return None
+            ev, offsets, flat_parent = flat
+            if kw == "prefixItems":
+                ok = np.ones(n, dtype=bool)
+                kcount = len(arg)
+                notes["prefix_len"] = kcount
+                covered = ev.elem_pos < kcount
+                self._ann_items(ann, covered)
+                for i, sub in enumerate(arg):
+                    sel = ev.elem_pos == i
+                    if not sel.any():
+                        break
+                    sub_view = _subset_view(ev, np.nonzero(sel)[0])
+                    tmp = []
+                    sm, _ = self._eval(sub, sub_view, f"{kloc}/{i}",
+                                       depth + 1, tmp)
+                    sink.extend(tmp)
+                    parent_slots = flat_parent[np.nonzero(sel)[0]]
+                    bad_parents = parent_slots[~sm]
+                    okk = np.ones(n, dtype=bool)
+                    okk[bad_parents] = False
+                    ok &= okk
+                return ok
+            if kw == "items":
+                start = notes.get("prefix_len", 0)
+                sel = ev.elem_pos >= start
+                self._ann_items(ann, sel)
+                idx = np.nonzero(sel)[0]
+                sub_view = _subset_view(ev, idx)
+                tmp = []
+                sm, _ = self._eval(arg, sub_view, kloc, depth + 1, tmp)
+                sink.extend(tmp)
+                ok = np.ones(n, dtype=bool)
+                bad_parents = flat_parent[idx[~sm]]
+                ok[bad_parents] = False
+                return ok
+            if kw == "contains":
+                tmp = []
+                sm, _ = self._eval(arg, ev, kloc, depth + 1, tmp)
+                counts = _segment_sum(sm & ev.present, offsets)
+                notes["contains_count"] = counts
+                self._ann_items(ann, sm & ev.present)
+                min_c = node.get("minContains")
+                if min_c == 0:  # always-true bypass (validator.go:386-402)
+                    return np.ones(n, dtype=bool)
+                bad = pres & (counts == 0)
+                self._emit(sink, view, bad, kw, kloc, M.message(kw, arg))
+                return ~bad
+            if kw == "unevaluatedItems":
+                seen = ann.items if ann.items is not None \
+                    else np.zeros(ev.n, dtype=bool)
+                sel = ~seen
+                self._ann_items(ann, sel)
+                idx = np.nonzero(sel)[0]
+                if len(idx) == 0:
+                    return None
+                sub_view = _subset_view(ev, idx)
+                tmp = []
+                sm, _ = self._eval(arg, sub_view, kloc, depth + 1, tmp)
+                bad_slots = idx[~sm]
+                ok = np.ones(n, dtype=bool)
+                ok[flat_parent[bad_slots]] = False
+                bad_view_slots = np.ones(len(bad_slots), dtype=bool)
+                self._emit(sink, _subset_view(ev, bad_slots),
+                           bad_view_slots, "unevaluatedItems", kloc,
+                           M.message("unevaluatedItems", arg))
+                return ok
+        if kw in ("maxContains", "minContains"):
+            counts = notes.get("contains_count")
+            if counts is None or kind != "array":
+                return None
+            bad = (counts > arg) if kw == "maxContains" else (counts < arg)
+            bad &= pres
+            self._emit(sink, view, bad, kw, kloc, M.message(kw, arg),
+                       offending=[str(c) for c in counts[np.nonzero(bad)[0]]])
+            return ~bad
+        if kw == "unevaluatedProperties":
+            if kind != "object":
+                return None
+            members = self._members(view)
+            ok = np.ones(n, dtype=bool)
+            for name in members:
+                child = members[name]()
+                seen = ann.keys.get(name)
+                unseen = child.present if seen is None \
+                    else (child.present & ~seen)
+                if not unseen.any():
+                    continue
+                tmp = []
+                sm, _ = self._eval(arg, child, kloc, depth + 1, tmp)
+                bad = unseen & ~sm
+                self._emit(sink, child, bad, "unevaluatedProperties", kloc,
+                           M.unevaluated_property_message(name))
+                ok &= ~bad
+                ann.keys[name] = child.present.copy() if seen is None \
+                    else (seen | child.present)
+            return ok
+        if kw in ("$ref", "$dynamicRef"):
+            tgt = self.rs.ref_target(node)
+            if tgt is None:
+                return None
+            tmp = []
+            sm, sa = self._eval(tgt, view, tgt.location, depth + 1, tmp)
+            sink.extend(tmp)
+            ann.merge(sa, gate=self._row_gate(view, sm))
+            return sm
+        # annotations / unknown keywords: always valid (schema.go:521-531)
+        return None
+
+    # -- keyword helpers ----------------------------------------------
+
+    def _row_gate(self, view: View, slot_mask: np.ndarray) -> np.ndarray:
+        """Convert a slot-level mask to a gate usable on the same view's
+        slots (identity — views share the slot domain within one node)."""
+        return slot_mask
+
+    def _ann_items(self, ann: Ann, flat_mask: np.ndarray):
+        ann.items = flat_mask.copy() if ann.items is None \
+            else (ann.items | flat_mask)
+
+    def _type_mask(self, view: View, names: list[str]) -> np.ndarray:
+        kind, pres, n = view.kind, view.present, view.n
+        ok = np.zeros(n, dtype=bool)
+        for name in names:
+            if name == kind:
+                return np.ones(n, dtype=bool)
+            if name == "number" and kind == "integer":
+                return np.ones(n, dtype=bool)
+            if name == "integer" and kind == "number":
+                vals, app = view.numeric()
+                if view.kind == "number":
+                    ok |= app & np.isfinite(vals) & (vals == np.trunc(vals))
+            if name == "null":
+                # absent slots are vacuous anyway; a true all-null column
+                # has kind 'null'
+                continue
+        return ok | ~pres
+
+    def _enum_mask(self, view: View, values: list[Any]) -> np.ndarray:
+        n, pres = view.n, view.present
+        if view.arr is None:  # root object view: deep-equal impossible
+            return np.zeros(n, dtype=bool)
+        kind = view.kind
+        simple = [v for v in values if not isinstance(v, (list, dict))]
+        if kind in ("integer", "number"):
+            cand = [float(v) for v in simple
+                    if isinstance(v, (int, float))
+                    and not isinstance(v, bool)]
+            if not cand:
+                return ~pres
+            vals, app = view.numeric()
+            ok = np.isin(vals, np.array(cand)) & app
+            return ok | ~pres
+        if kind in ("string", "boolean"):
+            cand = [v for v in simple
+                    if (isinstance(v, str) if kind == "string"
+                        else isinstance(v, bool))]
+            if not cand:
+                return ~pres
+            ok = pc.is_in(view.arr,
+                          value_set=pa.array(cand, type=view.arr.type)
+                          ).to_numpy(zero_copy_only=False).astype(bool)
+            return (ok & pres) | ~pres
+        # complex values (arrays/objects): per-row deep equality on the
+        # rare path
+        pyvals = view.arr.to_pylist()
+        ok = np.fromiter(
+            (any(deep_equal(x, v) for v in values) if x is not None else False
+             for x in pyvals), count=n, dtype=bool)
+        return ok | ~pres
+
+    def _unique_items_mask(self, view: View) -> np.ndarray:
+        """Per-row within-array uniqueness (validator.go:1067-1111):
+        lexsort flat values by (row, value); duplicates are adjacent."""
+        flat = self._elements_view(view)
+        if flat is None:
+            return np.ones(view.n, dtype=bool)
+        ev, offsets, flat_parent = flat
+        if ev.n == 0:
+            return np.ones(view.n, dtype=bool)
+        vals = ev.arr.to_numpy(zero_copy_only=False)
+        try:
+            order = np.lexsort((vals, flat_parent))
+        except TypeError:  # mixed/object fallback
+            import pandas as pd
+            nun = pd.Series(vals).groupby(flat_parent).nunique(dropna=False)
+            counts = offsets[1:] - offsets[:-1]
+            ok = np.ones(view.n, dtype=bool)
+            ok[nun.index.to_numpy()] = \
+                nun.to_numpy() == counts[nun.index.to_numpy()]
+            return ok
+        sv, sp = vals[order], flat_parent[order]
+        dup = np.zeros(ev.n, dtype=bool)
+        if ev.n > 1:
+            dup[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        bad_rows = np.unique(sp[dup])
+        ok = np.ones(view.n, dtype=bool)
+        ok[bad_rows] = False
+        return ok
+
+    def _prop_counts(self, view: View) -> np.ndarray:
+        if view.table is not None:
+            cnt = np.zeros(view.n, dtype=np.int64)
+            for name in view.table.column_names:
+                cnt += column_view(view.table, name).present
+            return cnt
+        if view.arr is not None and pa.types.is_struct(view.arr.type):
+            cnt = np.zeros(view.n, dtype=np.int64)
+            for f in view.arr.type:
+                child = _combine(pc.struct_field(view.arr, f.name))
+                cnt += _valid_np(child)
+            return cnt
+        if view.arr is not None and pa.types.is_map(view.arr.type):
+            ln = pc.list_value_length(view.arr).to_numpy(
+                zero_copy_only=False)
+            return np.where(view.present, ln, 0).astype(np.int64)
+        return np.zeros(view.n, dtype=np.int64)
+
+    def _format_mask(self, view: View, name: str) -> Optional[np.ndarray]:
+        rex = self.format_regex.get(name)
+        if rex is not None:
+            ok = pc.match_substring_regex(view.arr, rex).to_numpy(
+                zero_copy_only=False).astype(bool)
+            return np.where(view.present, ok, True)
+        fn = self.formats.get(name)
+        if fn is None:
+            return None
+        # unique-value trick: python fn over distinct values only
+        uniq = pc.unique(view.arr)
+        uok = pa.array([bool(fn(u)) if u is not None else True
+                        for u in uniq.to_pylist()], type=pa.bool_())
+        idx = pc.index_in(view.arr, value_set=uniq)
+        ok = pc.take(uok, idx).to_numpy(zero_copy_only=False)
+        ok = np.where(view.present, ok.astype(bool), True)
+        return ok
+
+
+# ---------------------------------------------------------------------------
+# numpy helpers
+
+
+def _ranges_concat(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenate [s, s+len) index ranges — vectorized."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64)
+    rows = np.nonzero(lengths > 0)[0]
+    reps = lengths[rows]
+    base = np.repeat(starts[rows], reps)
+    firsts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(firsts, reps)
+    return base + pos
+
+
+def _segment_sum(flat_bool: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    cum = np.zeros(len(flat_bool) + 1, dtype=np.int64)
+    np.cumsum(flat_bool, out=cum[1:])
+    return cum[offsets[1:]] - cum[offsets[:-1]]
+
+
+def _subset_view(ev: View, idx: np.ndarray) -> View:
+    return View(n=len(idx), kind=ev.kind,
+                arr=ev.arr.take(pa.array(idx, type=pa.int64())),
+                table=None, present=ev.present[idx],
+                rows=ev.batch_rows(idx), loc_prefix=ev.loc_prefix,
+                elem_pos=ev.elem_pos[idx] if ev.elem_pos is not None
+                else None)

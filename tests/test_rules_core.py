@@ -1,0 +1,339 @@
+"""RuleSet compiler + evaluator semantics, and the vector-vs-rowwise
+cross-check (the conformance-suite shape from SURVEY §5: (ruleset, table,
+expected verdicts + violation rows))."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jsonschema_ray import (BatchValidator, RowEvaluator, RuleSetError,
+                            parse_ruleset)
+
+
+def cross_check(ruleset: dict, table: pa.Table, key: str = None):
+    """Assert the vectorized engine matches the row-wise oracle exactly:
+    per-row verdicts AND the violation multiset (keyword, kw_loc, inst_loc,
+    message, offending)."""
+    rs = parse_ruleset(ruleset)
+    bv = BatchValidator(rs, key_columns=[key] if key else [])
+    mask, viol = bv.evaluate(table)
+    re_ = RowEvaluator(rs)
+    rows = table.to_pylist()
+    exp_mask = []
+    exp_viols = []
+    for i, row in enumerate(rows):
+        errs = re_.validate(row)
+        exp_mask.append(len(errs) == 0)
+        for v in errs:
+            exp_viols.append((v.instance_location, v.keyword,
+                              v.keyword_location, v.message, v.offending))
+    assert mask.tolist() == exp_mask, "verdict mismatch"
+    got = sorted(zip(viol["instance_location"].to_pylist(),
+                     viol["keyword"].to_pylist(),
+                     viol["keyword_location"].to_pylist(),
+                     viol["message"].to_pylist(),
+                     viol["offending_value"].to_pylist()))
+    assert got == sorted(exp_viols), "violation rows mismatch"
+    return mask, viol
+
+
+# ---------------------------------------------------------------------------
+# compiler
+
+
+def test_parse_typed_args():
+    with pytest.raises(RuleSetError):
+        parse_ruleset({"maxLength": -1})  # negative bound is a schema error
+    with pytest.raises(RuleSetError):
+        parse_ruleset({"multipleOf": 0})
+    with pytest.raises(RuleSetError):
+        parse_ruleset({"pattern": "("})
+    with pytest.raises(RuleSetError):
+        parse_ruleset({"type": "integerr"})
+    rs = parse_ruleset({"maxLength": 3.0})  # integral float accepted (ToInt)
+    assert rs.root.get("maxLength") == 3
+
+
+def test_keyword_ordering():
+    rs = parse_ruleset({"maxContains": 2, "contains": {"type": "integer"},
+                        "then": True, "if": True, "items": True,
+                        "prefixItems": [True],
+                        "unevaluatedProperties": False,
+                        "additionalProperties": False,
+                        "properties": {"a": True}})
+    kws = [p.keyword for p in rs.root.parts]
+    assert kws.index("contains") < kws.index("maxContains")
+    assert kws.index("if") < kws.index("then")
+    assert kws.index("prefixItems") < kws.index("items")
+    assert kws.index("properties") < kws.index("additionalProperties")
+    assert kws.index("unevaluatedProperties") == len(kws) - 1
+
+
+def test_unknown_keywords_kept_and_valid():
+    rs = parse_ruleset({"x-custom-thing": 42, "minimum": 0})
+    assert rs.root.has("x-custom-thing")
+    t = pa.table({"v": [1.0]})
+    # evaluated at column level via properties
+    rs2 = parse_ruleset({"properties": {"v": {"x-nope": 1, "minimum": 5}}})
+    mask = BatchValidator(rs2).mask(t)
+    assert mask.tolist() == [False]
+
+
+def test_ruleset_hash_stable():
+    a = parse_ruleset({"b": 1, "a": 2})
+    b = parse_ruleset({"a": 2, "b": 1})
+    assert a.ruleset_hash == b.ruleset_hash
+
+
+def test_ref_resolution():
+    rs = parse_ruleset({
+        "$defs": {"pos": {"type": "integer", "minimum": 1}},
+        "properties": {"n": {"$ref": "#/$defs/pos"}}})
+    t = pa.table({"n": [5, 0, None]})
+    mask, viol = BatchValidator(rs).evaluate(t)
+    assert mask.tolist() == [True, False, True]  # null = absent = vacuous
+    assert viol["keyword"].to_pylist() == ["minimum"]
+
+
+def test_ref_anchor():
+    rs = parse_ruleset({
+        "$defs": {"p": {"$anchor": "pos", "minimum": 1}},
+        "properties": {"n": {"$ref": "#pos"}}})
+    t = pa.table({"n": [2, -1]})
+    assert BatchValidator(rs).mask(t).tolist() == [True, False]
+
+
+# ---------------------------------------------------------------------------
+# leaf semantics (edge cases cited from the reference)
+
+
+def test_integer_accepts_integral_floats():
+    # validator.go:797-809: 1.0 is an integer
+    t = pa.table({"v": [1.0, 1.5, float("nan")]})
+    cross_check({"properties": {"v": {"type": "integer"}}}, t)
+    rs = parse_ruleset({"properties": {"v": {"type": "integer"}}})
+    assert BatchValidator(rs).mask(t).tolist() == [True, False, False]
+
+
+def test_numeric_string_coercion():
+    # instanceFloat (validator.go:1275-1295): numeric strings compared
+    t = pa.table({"v": ["10", "abc", "3.5", None]})
+    rs = {"properties": {"v": {"maximum": 5}}}
+    cross_check(rs, t)
+    assert BatchValidator(parse_ruleset(rs)).mask(t).tolist() == \
+        [False, True, True, True]
+
+
+def test_string_length_code_points():
+    # utf8.RuneCountInString (validator.go:977): é and € are 1 each
+    t = pa.table({"v": ["héllo", "aé€", "abcdef"]})
+    rs = {"properties": {"v": {"maxLength": 5}}}
+    cross_check(rs, t)
+    assert BatchValidator(parse_ruleset(rs)).mask(t).tolist() == \
+        [True, True, False]
+
+
+def test_multiple_of():
+    t = pa.table({"v": [9, 10, 0, None]})
+    cross_check({"properties": {"v": {"multipleOf": 3}}}, t)
+    t2 = pa.table({"v": [0.01, 0.03, 0.025]})
+    cross_check({"properties": {"v": {"multipleOf": 0.01}}}, t2)
+
+
+def test_enum_const_bool_vs_int():
+    t = pa.table({"v": [True, False]})
+    rs = {"properties": {"v": {"enum": [1, 0]}}}  # JSON true != 1
+    mask, _ = cross_check(rs, t)
+    assert mask.tolist() == [False, False]
+    rs2 = {"properties": {"v": {"const": True}}}
+    mask2, _ = cross_check(rs2, t)
+    assert mask2.tolist() == [True, False]
+
+
+def test_list_keywords():
+    t = pa.table({"v": pa.array([[1, 2, 3], [1, 1], [], None, [7]],
+                                type=pa.list_(pa.int64()))})
+    cross_check({"properties": {"v": {"maxItems": 2}}}, t)
+    cross_check({"properties": {"v": {"minItems": 1}}}, t)
+    cross_check({"properties": {"v": {"uniqueItems": True}}}, t)
+    rs = parse_ruleset({"properties": {"v": {"uniqueItems": True}}})
+    assert BatchValidator(rs).mask(t).tolist() == \
+        [True, False, True, True, True]
+
+
+def test_items_and_contains():
+    t = pa.table({"v": pa.array([[1, 2, 3], [10, 20], [], [5, -1]],
+                                type=pa.list_(pa.int64()))})
+    cross_check({"properties": {"v": {"items": {"minimum": 0}}}}, t)
+    cross_check({"properties": {"v": {"contains": {"minimum": 10}}}}, t)
+    cross_check({"properties": {"v": {"contains": {"minimum": 10},
+                                      "maxContains": 1}}}, t)
+    cross_check({"properties": {"v": {"contains": {"minimum": 0},
+                                      "minContains": 2}}}, t)
+    # minContains:0 bypass (validator.go:386-402)
+    rs = {"properties": {"v": {"contains": {"minimum": 100},
+                               "minContains": 0}}}
+    mask, _ = cross_check(rs, t)
+    assert mask.tolist() == [True, True, True, True]
+
+
+def test_prefix_items():
+    t = pa.table({"v": pa.array([["1", "a"], ["0"], ["x", "y", "z"], []],
+                                type=pa.list_(pa.string()))})
+    rs = {"properties": {"v": {
+        "prefixItems": [{"pattern": "^[0-9]+$"}, {"pattern": "^[a-z]+$"}],
+        "items": {"maxLength": 1}}}}
+    cross_check(rs, t)
+
+
+def test_required_and_dependent():
+    t = pa.table({"a": [1, None, 3], "b": [None, 2, 3]})
+    cross_check({"required": ["a", "b"]}, t)
+    cross_check({"dependentRequired": {"a": ["b"]}}, t)
+    cross_check({"required": ["missing_col"]}, t)
+    cross_check({"dependentSchemas": {"a": {"required": ["b"]}}}, t)
+    cross_check({"dependencies": {"a": ["b"]}}, t)
+    cross_check({"dependencies": {"a": {"required": ["b"]}}}, t)
+
+
+def test_combinators():
+    t = pa.table({"v": [5, 15, 25, None]})
+    cross_check({"properties": {"v": {"allOf": [{"minimum": 10},
+                                                {"maximum": 20}]}}}, t)
+    cross_check({"properties": {"v": {"anyOf": [{"maximum": 10},
+                                                {"minimum": 20}]}}}, t)
+    cross_check({"properties": {"v": {"oneOf": [{"maximum": 10},
+                                                {"maximum": 20}]}}}, t)
+    cross_check({"properties": {"v": {"not": {"minimum": 10}}}}, t)
+    cross_check({"properties": {"v": {"if": {"minimum": 10},
+                                      "then": {"maximum": 20},
+                                      "else": {"minimum": 0}}}}, t)
+
+
+def test_if_then_else_row_level():
+    t = pa.table({"fmt": ["png", "jpeg", "png"],
+                  "w": [100, 100, 9000]})
+    rs = {"if": {"properties": {"fmt": {"const": "png"}}},
+          "then": {"properties": {"w": {"maximum": 512}}},
+          "else": {"properties": {"w": {"maximum": 100}}}}
+    mask, _ = cross_check(rs, t)
+    assert mask.tolist() == [True, True, False]
+
+
+def test_additional_properties_closed():
+    t = pa.table({"a": [1], "b": ["x"], "c": [2.0]})
+    rs = {"properties": {"a": True, "b": True},
+          "additionalProperties": False}
+    mask, viol = cross_check(rs, t)
+    assert mask.tolist() == [False]
+    assert viol["message"].to_pylist() == ['unknown property "c"']
+
+
+def test_pattern_properties():
+    t = pa.table({"w_px": [10], "h_px": [700], "name": ["x"]})
+    rs = {"patternProperties": {"_px$": {"maximum": 512}},
+          "additionalProperties": {"type": "string"}}
+    cross_check(rs, t)
+
+
+def test_property_names():
+    t = pa.table({"ok_col": [1], "BAD": [2]})
+    rs = {"propertyNames": {"pattern": "^[a-z_]+$"}}
+    mask, viol = cross_check(rs, t)
+    assert mask.tolist() == [False]
+
+
+def test_unevaluated_properties():
+    t = pa.table({"a": [1, None], "b": ["x", "y"]})
+    rs = {"properties": {"a": True}, "unevaluatedProperties": False}
+    mask, viol = cross_check(rs, t)
+    assert mask.tolist() == [False, False]
+    # through a passing allOf branch the member counts as evaluated
+    rs2 = {"allOf": [{"properties": {"b": {"type": "string"}}}],
+           "properties": {"a": True},
+           "unevaluatedProperties": False}
+    mask2, _ = cross_check(rs2, t)
+    assert mask2.tolist() == [True, True]
+
+
+def test_unevaluated_items():
+    t = pa.table({"v": pa.array([[1, 2, 3], [1]], type=pa.list_(pa.int64()))})
+    rs = {"properties": {"v": {"prefixItems": [True],
+                               "unevaluatedItems": False}}}
+    mask, _ = cross_check(rs, t)
+    assert mask.tolist() == [False, True]
+
+
+def test_boolean_schemas():
+    t = pa.table({"a": [1, None]})
+    cross_check({"properties": {"a": False}}, t)
+    cross_check({"properties": {"a": True}}, t)
+    mask, viol = cross_check({"not": True}, t)
+    assert mask.tolist() == [False, False]
+
+
+def test_struct_columns():
+    t = pa.table({"meta": pa.array(
+        [{"w": 100, "fmt": "png"}, {"w": 900, "fmt": "gif"}, None],
+        type=pa.struct([("w", pa.int64()), ("fmt", pa.string())]))})
+    rs = {"properties": {"meta": {
+        "type": "object",
+        "properties": {"w": {"maximum": 512},
+                       "fmt": {"enum": ["png", "bmp"]}},
+        "required": ["w"]}}}
+    cross_check(rs, t)
+
+
+def test_depth_cap_on_cyclic_ref():
+    rs = parse_ruleset({"$defs": {"loop": {"$ref": "#/$defs/loop"}},
+                        "properties": {"a": {"$ref": "#/$defs/loop"}}})
+    t = pa.table({"a": [1]})
+    with pytest.raises(RecursionError):
+        BatchValidator(rs).mask(t)
+
+
+# ---------------------------------------------------------------------------
+# randomized cross-check
+
+
+def test_randomized_cross_check():
+    rng = np.random.default_rng(42)
+    n = 500
+    words = ["alpha", "beta", "GAMMA", "42", "x" * 300, "héllo wörld", ""]
+    t = pa.table({
+        "id": pa.array([f"img-{i:06d}" for i in range(n)]),
+        "w": pa.array(rng.integers(-10, 600, n), type=pa.int32()),
+        "h": pa.array(
+            np.where(rng.random(n) < 0.1, None,
+                     rng.integers(1, 600, n).astype(object))),
+        "fmt": pa.array(rng.choice(["png", "bmp", "ppm", "gif", "tiff"], n)),
+        "cap": pa.array([None if rng.random() < 0.05
+                         else str(rng.choice(words)) for _ in range(n)]),
+        "score": pa.array(
+            np.where(rng.random(n) < 0.1, np.nan, rng.random(n) * 10)),
+        "tags": pa.array([None if rng.random() < 0.1 else
+                          [str(rng.choice(words))
+                           for _ in range(rng.integers(0, 4))]
+                          for _ in range(n)], type=pa.list_(pa.string())),
+    })
+    rs = {
+        "type": "object",
+        "required": ["id", "w", "h"],
+        "properties": {
+            "id": {"pattern": "^img-", "minLength": 5},
+            "w": {"type": "integer", "minimum": 16, "maximum": 512},
+            "h": {"minimum": 16, "maximum": 512},
+            "fmt": {"enum": ["png", "bmp", "ppm"]},
+            "cap": {"type": "string", "maxLength": 64,
+                    "pattern": "^[\\x20-\\x7e]*$"},
+            "score": {"type": "number", "exclusiveMinimum": 0,
+                      "multipleOf": 0.5},
+            "tags": {"maxItems": 2, "uniqueItems": True,
+                     "items": {"minLength": 1}},
+        },
+        "if": {"properties": {"fmt": {"const": "png"}}},
+        "then": {"properties": {"w": {"multipleOf": 2}}},
+        "anyOf": [{"properties": {"w": {"minimum": 100}}},
+                  {"properties": {"h": {"minimum": 100}}}],
+    }
+    cross_check(rs, t, key="id")
