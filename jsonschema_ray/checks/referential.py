@@ -1,0 +1,99 @@
+"""Referential-integrity check as a BROADCAST hash semi/anti-join.
+
+The reference's nearest analog is the `$ref` static link + pluggable Loader
+fetch (pkg/types/schema/schema.go:1045-1052, pkg/draft202012/builder.go:
+327-405): a small reference universe resolved once, consulted everywhere.
+
+Scale design (SURVEY §2.6 "Join / lookup" row): the reference key table is
+assumed SMALL relative to the fact table (a key universe). It is read once,
+put in the object store (``ray.put``), and each map_batches task/actor reads
+the same shared copy — NO shuffle of the big side ever happens. For key
+universes too big for one object, swap the set for a Bloom filter (same
+stage shape); a shuffle join is deliberately not used here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+class _AntiJoinStage:
+    """Actor: resolves the broadcast key set ONCE in __init__, then filters
+    each batch to rows whose key is not in the set (pc.is_in — zero-copy)."""
+
+    def __init__(self, key: str, value_set_ref, keep: str = "missing"):
+        vs = ray.get(value_set_ref)
+        self.value_set = vs if isinstance(vs, pa.Array) else pa.array(vs)
+        self.key = key
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.key)
+        hit = pc.is_in(col, value_set=self.value_set)
+        valid = pc.is_valid(col)
+        if self.keep == "missing":  # anti-join: present key, no match
+            keep = pc.and_(valid, pc.invert(hit))
+        else:  # semi-join
+            keep = pc.and_(valid, hit)
+        return batch.filter(keep)
+
+
+def _broadcast_keys(ref_ds_or_array, key: Optional[str]):
+    if isinstance(ref_ds_or_array, (pa.Array, pa.ChunkedArray, list)):
+        arr = pa.array(ref_ds_or_array) \
+            if isinstance(ref_ds_or_array, list) else ref_ds_or_array
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return ray.put(pc.unique(arr))
+    # a Dataset: pull the (small) distinct key column to the driver once
+    tbl = ref_ds_or_array.select_columns([key]).to_arrow_refs()
+    parts = [pa.Table.from_batches(t.to_batches())
+             for t in ray.get(tbl)]
+    whole = pa.concat_tables([p for p in parts if p.num_rows])
+    return ray.put(pc.unique(whole.column(key).combine_chunks()))
+
+
+def broadcast_semi_join(ds, key: str, ref, ref_key: Optional[str] = None,
+                        anti: bool = False, columns: Optional[list] = None,
+                        batch_size: int = 131072, concurrency=None):
+    """Filter ``ds`` to rows whose ``key`` is (semi) / is not (anti) in the
+    reference key universe. ``ref`` may be a Dataset, pyarrow array or list."""
+    vs_ref = _broadcast_keys(ref, ref_key or key)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    from ..util import default_concurrency
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=batch_size,
+                  concurrency=concurrency or default_concurrency())
+    return ds.map_batches(
+        _AntiJoinStage,
+        fn_constructor_kwargs=dict(key=key, value_set_ref=vs_ref,
+                                   keep="missing" if anti else "present"),
+        **kwargs)
+
+
+def referential_violations(ds, key: str, ref, ref_key: Optional[str] = None,
+                           batch_size: int = 131072):
+    """Orphan rows rendered as violation rows (keyword ``x-referential``)."""
+    orphans = broadcast_semi_join(ds, key, ref, ref_key=ref_key, anti=True,
+                                  columns=[key], batch_size=batch_size)
+
+    def to_violations(b: pa.Table) -> pa.Table:
+        vals = pc.cast(b.column(key), pa.string())
+        n = b.num_rows
+        return pa.table({
+            key: b.column(key),
+            "keyword": pa.array(["x-referential"] * n),
+            "keyword_location": pa.array(["/x-referential"] * n),
+            "instance_location": pa.array([f"/{key}"] * n),
+            "offending_value": vals,
+            "message": pa.array(
+                [f"x-referential: {key} not in reference key set"] * n),
+        })
+
+    return orphans.map_batches(to_violations, batch_format="pyarrow")

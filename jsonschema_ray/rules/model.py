@@ -43,6 +43,11 @@ class SchemaNode:
     parts: list["Part"] = field(default_factory=list)
     bool_value: Optional[bool] = None  # true/false schema (schema.go:1175-1196)
     location: str = ""  # keyword-location JSON pointer of this node
+    # compile-time resolved $ref/$dynamicRef target — stored ON the node (not
+    # in a side table keyed by id()) so the compiled tree survives pickling
+    # into Ray actor constructors; the analog of the generated $$resolvedRef
+    # part (builder.go:286-405)
+    resolved_ref: Optional["SchemaNode"] = None
 
     def get(self, keyword: str) -> Any:
         for p in self.parts:
@@ -220,7 +225,6 @@ def _escape(token: str) -> str:
 class RuleSet:
     root: SchemaNode
     doc: Any  # original JSON document (canonical source of truth)
-    refs: dict[int, SchemaNode] = field(default_factory=dict)  # id(node)->target
 
     _hash: Optional[str] = None
 
@@ -235,7 +239,7 @@ class RuleSet:
         return self._hash
 
     def ref_target(self, node: SchemaNode) -> Optional[SchemaNode]:
-        return self.refs.get(id(node))
+        return node.resolved_ref
 
 
 def canonical_json(doc: Any) -> str:
@@ -286,15 +290,14 @@ def parse_ruleset(doc: Any) -> RuleSet:
         ref = n.get("$ref") or n.get("$dynamicRef")
         if ref is not None:
             if ref == "#":
-                rs.refs[id(n)] = root
+                n.resolved_ref = root
             elif ref.startswith("#/"):
-                ptr = _deref_pointer(ref[1:], by_pointer)
-                rs.refs[id(n)] = ptr
+                n.resolved_ref = _deref_pointer(ref[1:], by_pointer)
             elif ref.startswith("#"):
                 tgt = anchors.get(ref[1:])
                 if tgt is None:
                     raise RuleSetError(f"$ref: unknown anchor {ref!r}")
-                rs.refs[id(n)] = tgt
+                n.resolved_ref = tgt
             else:
                 raise RuleSetError(
                     f"$ref: only document-local refs supported, got {ref!r}")

@@ -1,0 +1,156 @@
+"""Per-column statistics as a two-stage partial/merge aggregation.
+
+The reference has only intra-row counting (maxContains validator.go:1114-1124,
+maxProperties validator.go:1140-1152); the table-level stats are mandated by
+the north rule: null-rate, min/max, distinct-count via HyperLogLog, quantiles
+via t-digest — accumulated per batch inside ``map_batches`` (NO shuffle of
+data rows), then merged over the tiny partials table (SURVEY §2.6
+"Aggregation" row: partial per-batch → merge per partition → global merge).
+
+At 100 TB scale this moves only O(#columns × #batches) sketch rows through
+the object store — the data itself never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches import HyperLogLog, TDigest, hash64_array
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("column", pa.string()),
+    ("count", pa.int64()),
+    ("null_count", pa.int64()),
+    ("min_num", pa.float64()),
+    ("max_num", pa.float64()),
+    ("sum_num", pa.float64()),
+    ("min_str", pa.string()),
+    ("max_str", pa.string()),
+    ("hll", pa.binary()),
+    ("tdigest", pa.binary()),
+])
+
+
+def _is_numericish(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t) or pa.types.is_floating(t) \
+        or pa.types.is_boolean(t)
+
+
+class ColumnStatsStage:
+    """map_batches actor: one partial-stats row per column per batch."""
+
+    def __init__(self, columns: Optional[list[str]] = None, hll_p: int = 14,
+                 tdigest_delta: float = 200.0):
+        self.columns = columns
+        self.hll_p = hll_p
+        self.delta = tdigest_delta
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = self.columns or batch.column_names
+        rows = {name: [] for name in _PARTIAL_SCHEMA.names}
+        for name in cols:
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = len(col)
+            nulls = col.null_count
+            hll = HyperLogLog(self.hll_p)
+            td = TDigest(self.delta)
+            min_num = max_num = sum_num = None
+            min_str = max_str = None
+            t = col.type
+            valid = col.drop_null() if nulls else col
+            if len(valid):
+                hll.add_hashes(hash64_array(valid))
+                if _is_numericish(t):
+                    v = valid.to_numpy(zero_copy_only=False).astype(
+                        np.float64, copy=False)
+                    finite = v[np.isfinite(v)]
+                    if len(finite):
+                        min_num = float(finite.min())
+                        max_num = float(finite.max())
+                        sum_num = float(finite.sum())
+                        td.add_values(finite)
+                elif pa.types.is_temporal(t):
+                    v = valid.cast(pa.int64()).to_numpy().astype(np.float64)
+                    min_num, max_num, sum_num = \
+                        float(v.min()), float(v.max()), float(v.sum())
+                    td.add_values(v)
+                elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                    mm = pc.min_max(valid)
+                    min_str = mm["min"].as_py()
+                    max_str = mm["max"].as_py()
+                    # length distribution feeds the t-digest
+                    td.add_values(pc.utf8_length(valid).to_numpy(
+                        zero_copy_only=False).astype(np.float64))
+            rows["column"].append(name)
+            rows["count"].append(n)
+            rows["null_count"].append(nulls)
+            rows["min_num"].append(min_num)
+            rows["max_num"].append(max_num)
+            rows["sum_num"].append(sum_num)
+            rows["min_str"].append(min_str)
+            rows["max_str"].append(max_str)
+            rows["hll"].append(hll.to_bytes())
+            rows["tdigest"].append(td.to_bytes())
+        return pa.table(rows, schema=_PARTIAL_SCHEMA)
+
+
+def merge_stat_partials(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge all partial rows of one column (used by groupby.map_groups and
+    by the driver-side global merge)."""
+    hll = HyperLogLog.from_bytes(g["hll"].iloc[0])
+    td = TDigest.from_bytes(g["tdigest"].iloc[0])
+    for b in g["hll"].iloc[1:]:
+        hll.merge(HyperLogLog.from_bytes(b))
+    for b in g["tdigest"].iloc[1:]:
+        td.merge(TDigest.from_bytes(b))
+    mn = g["min_num"].dropna()
+    mx = g["max_num"].dropna()
+    sm = g["sum_num"].dropna()
+    mns = g["min_str"].dropna()
+    mxs = g["max_str"].dropna()
+    count = int(g["count"].sum())
+    nulls = int(g["null_count"].sum())
+    nonnull = count - nulls
+    return pd.DataFrame([{
+        "column": g["column"].iloc[0],
+        "count": count,
+        "null_count": nulls,
+        "null_rate": (nulls / count) if count else 0.0,
+        "min_num": float(mn.min()) if len(mn) else None,
+        "max_num": float(mx.max()) if len(mx) else None,
+        "sum_num": float(sm.sum()) if len(sm) else None,
+        "mean_num": (float(sm.sum()) / nonnull)
+        if len(sm) and nonnull else None,
+        "min_str": mns.min() if len(mns) else None,
+        "max_str": mxs.max() if len(mxs) else None,
+        "ndv_approx": float(hll.estimate()),
+        "p25": td.quantile(0.25), "p50": td.quantile(0.5),
+        "p75": td.quantile(0.75), "p99": td.quantile(0.99),
+        "hll": hll.to_bytes(), "tdigest": td.to_bytes(),
+    }])
+
+
+def column_stats(ds, columns: Optional[list[str]] = None,
+                 batch_size: int = 65536, concurrency=None):
+    """Dataset → small Dataset of per-column stats (one row per column).
+
+    Partials are computed inside map_batches (stateless vectorized pass);
+    only the sketch rows go through the tiny groupby."""
+    from ..util import default_concurrency
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=batch_size,
+                  concurrency=concurrency or default_concurrency())
+    if columns is not None:
+        ds = ds.select_columns(columns)  # prune before compute
+    partials = ds.map_batches(
+        ColumnStatsStage, fn_constructor_kwargs=dict(columns=columns),
+        **kwargs)
+    return partials.groupby("column").map_groups(
+        merge_stat_partials, batch_format="pandas")

@@ -1,0 +1,175 @@
+"""Ray Data stages + table-level checks over real Datasets (session-scoped
+Ray fixture) and the driver testdata."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def ray_mod():
+    import ray
+    return ray
+
+
+def test_validator_stage_pipeline(ray_mod, sf_smoke):
+    import ray.data as rd
+    from jsonschema_ray.stages import validate_dataset, annotate_dataset
+    ds = rd.read_parquet(f"{sf_smoke}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity",
+                                  "l_returnflag"])
+    rs = {"required": ["l_orderkey"],
+          "properties": {"l_quantity": {"maximum": 30},
+                         "l_returnflag": {"enum": ["A", "N"]}}}
+    viol = validate_dataset(ds, rs, key_columns=["l_orderkey",
+                                                 "l_linenumber"])
+    out = viol.to_pandas()
+    # oracle: rows with quantity>30 plus rows with returnflag R
+    import duckdb
+    exp_qty, exp_flag = duckdb.sql(
+        f"""SELECT sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END),
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            FROM read_parquet('{sf_smoke}/lineitem.parquet')""").fetchone()
+    got = out.groupby("keyword").size()
+    assert got.get("maximum", 0) == exp_qty
+    assert got.get("enum", 0) == exp_flag
+    ann = annotate_dataset(ds, rs).to_pandas()
+    assert (~ann["_valid"]).sum() <= exp_qty + exp_flag
+    assert len(ann) == len(ds.take_all())
+
+
+def test_column_stats(ray_mod, sf_smoke):
+    import duckdb
+    import ray.data as rd
+    from jsonschema_ray.stages import column_stats
+    ds = rd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    stats = column_stats(ds, columns=["l_quantity", "l_extendedprice",
+                                      "l_returnflag"]).to_pandas()
+    stats = stats.set_index("column")
+    exp = duckdb.sql(
+        f"""SELECT count(*), min(l_quantity), max(l_quantity),
+                   count(DISTINCT l_quantity),
+                   min(l_returnflag), max(l_returnflag),
+                   median(l_extendedprice)
+            FROM read_parquet('{sf_smoke}/lineitem.parquet')""").fetchone()
+    n, qmin, qmax, qndv, fmin, fmax, emed = exp
+    assert stats.loc["l_quantity", "count"] == n
+    assert stats.loc["l_quantity", "min_num"] == qmin
+    assert stats.loc["l_quantity", "max_num"] == qmax
+    assert abs(stats.loc["l_quantity", "ndv_approx"] - qndv) / qndv < 0.05
+    assert stats.loc["l_returnflag", "min_str"] == fmin
+    assert stats.loc["l_returnflag", "max_str"] == fmax
+    assert abs(stats.loc["l_extendedprice", "p50"] - emed) / emed < 0.05
+    assert stats.loc["l_quantity", "null_count"] == 0
+
+
+def test_duplicate_keys(ray_mod, sf_smoke):
+    import duckdb
+    import ray.data as rd
+    from jsonschema_ray.checks import duplicate_keys, unique_violations
+    ds = rd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    dups = duplicate_keys(ds, "l_orderkey").to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT l_orderkey, count(*) c
+            FROM read_parquet('{sf_smoke}/lineitem.parquet')
+            GROUP BY 1 HAVING c > 1 ORDER BY 1""").df()
+    got = dups.sort_values("l_orderkey").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["l_orderkey"].to_numpy() == exp["l_orderkey"].to_numpy()).all()
+    assert (got["dup_count"].to_numpy() == exp["c"].to_numpy()).all()
+    v = unique_violations(ds, "l_orderkey").to_pandas()
+    assert len(v) == len(exp)
+    assert set(v["keyword"]) == {"x-unique"}
+
+
+def test_referential(ray_mod):
+    import ray.data as rd
+    from jsonschema_ray.checks import (broadcast_semi_join,
+                                       referential_violations)
+    facts = rd.from_arrow(pa.table({
+        "k": ["a", "b", "c", "zz", None], "v": [1, 2, 3, 4, 5]}))
+    ref = pa.array(["a", "b", "c", "d"])
+    orphans = broadcast_semi_join(facts, "k", ref, anti=True).to_pandas()
+    assert orphans["k"].tolist() == ["zz"]
+    kept = broadcast_semi_join(facts, "k", ref).to_pandas()
+    assert sorted(kept["k"]) == ["a", "b", "c"]
+    viols = referential_violations(facts, "k", ref).to_pandas()
+    assert viols["offending_value"].tolist() == ["zz"]
+    assert viols["keyword"].tolist() == ["x-referential"]
+
+
+def test_phash_near_duplicates(ray_mod):
+    import ray.data as rd
+    from jsonschema_ray.checks import phash_near_duplicates
+    from jsonschema_ray.checks.neardup import hamming64
+    rng = np.random.default_rng(3)
+    n = 2000
+    base = rng.integers(0, 2**63, n, dtype=np.int64)
+    ids = [f"img-{i:05d}" for i in range(n)]
+    # inject near-dup pairs: flip ≤3 bits of row i into row i+n
+    flip = np.zeros(50, dtype=np.int64)
+    for j in range(50):
+        bits = rng.choice(63, size=rng.integers(1, 4), replace=False)
+        flip[j] = np.bitwise_or.reduce(1 << bits)
+    near = base[:50] ^ flip
+    t = pa.table({"image_id": ids + [f"dup-{i:05d}" for i in range(50)],
+                  "phash": np.concatenate([base, near])})
+    pairs = phash_near_duplicates(
+        rd.from_arrow(t), max_distance=4).to_pandas()
+    # every injected pair must be found (recall 1 for d<=4 with 8 bands)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    expected = {(f"dup-{i:05d}", f"img-{i:05d}") for i in range(50)}
+    assert expected <= found
+    # and every reported pair is a true near-dup (precision via verify step)
+    ph = {r["image_id"]: r["phash"] for r in t.to_pylist()}
+    for a, b in found:
+        d = hamming64(np.array([ph[a]]), np.array([ph[b]]))[0]
+        assert d <= 4
+
+
+def test_drift():
+    from jsonschema_ray.checks import drift_report, ks_statistic, psi
+    from jsonschema_ray.sketches import TDigest
+    rng = np.random.default_rng(0)
+    a, b, c = TDigest(), TDigest(), TDigest()
+    a.add_values(rng.normal(0, 1, 100_000))
+    b.add_values(rng.normal(0, 1, 100_000))
+    c.add_values(rng.normal(0.8, 1.2, 100_000))
+    assert ks_statistic(a, b) < 0.02
+    assert ks_statistic(a, c) > 0.2
+    assert psi(a, b) < 0.02
+    assert psi(a, c) > 0.2
+    rows_a = [{"column": "x", "tdigest": a.to_bytes(), "null_rate": 0.0}]
+    rows_c = [{"column": "x", "tdigest": c.to_bytes(), "null_rate": 0.0}]
+    rep = drift_report(rows_a, rows_c)
+    assert rep[0]["drifted"] is True
+    rep2 = drift_report(rows_a, rows_a)
+    assert rep2[0]["drifted"] is False
+
+
+def test_sketch_roundtrip_and_merge_associativity():
+    from jsonschema_ray.sketches import HyperLogLog, TDigest, hash64_array
+    rng = np.random.default_rng(1)
+    parts = [rng.integers(0, 50_000, 30_000) for _ in range(4)]
+    # HLL: merge order must not matter
+    def hll_of(arrs):
+        h = HyperLogLog()
+        for a in arrs:
+            h.merge(HyperLogLog().add_hashes(hash64_array(a)))
+        return h.estimate()
+    e1 = hll_of(parts)
+    e2 = hll_of(parts[::-1])
+    assert e1 == e2
+    true = len(np.unique(np.concatenate(parts)))
+    assert abs(e1 - true) / true < 0.05
+    td = TDigest()
+    for a in parts:
+        p = TDigest()
+        p.add_values(a.astype(float))
+        td.merge(TDigest.from_bytes(p.to_bytes()))
+    allv = np.concatenate(parts)
+    assert abs(td.quantile(0.5) - np.quantile(allv, 0.5)) \
+        <= 0.01 * (allv.max() - allv.min()) + 1
