@@ -60,29 +60,42 @@ class _ExplodeBands:
         })
 
 
-def _bucket_pairs(id_col: str, phash_col: str, max_distance: int,
-                  max_bucket: int):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        k = len(g)
-        if k < 2:
+def _partition_pairs(id_col: str, phash_col: str, max_distance: int,
+                     max_bucket: int):
+    """Per coarse partition: group by (band_id, band_val) IN PANDAS (no
+    per-group Ray task), pairwise-verify buckets of size ≥ 2."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
             return _EMPTY_PAIRS.copy()
-        if k > max_bucket:
-            # hot bucket (skew guard): verify a capped prefix, flag the rest
-            g = g.iloc[:max_bucket]
-            k = max_bucket
-        ids = g[id_col].to_numpy()
-        ph = g[phash_col].to_numpy().astype(np.int64).view(np.uint64)
-        ai, bi = np.triu_indices(k, 1)
-        d = hamming64(ph[ai], ph[bi])
-        hit = d <= max_distance
-        if not hit.any():
+        ids_all = df[id_col].to_numpy()
+        ph_all = df[phash_col].to_numpy().astype(np.int64).view(np.uint64)
+        out_a, out_b, out_d = [], [], []
+        for _, idx in df.groupby(["band_id", "band_val"],
+                                 sort=False).indices.items():
+            k = len(idx)
+            if k < 2:
+                continue
+            if k > max_bucket:  # hot-bucket skew guard: cap O(k²)
+                idx = idx[:max_bucket]
+                k = max_bucket
+            ids, ph = ids_all[idx], ph_all[idx]
+            ai, bi = np.triu_indices(k, 1)
+            d = hamming64(ph[ai], ph[bi])
+            hit = d <= max_distance
+            if not hit.any():
+                continue
+            ia, ib = ids[ai[hit]], ids[bi[hit]]
+            swap = ia > ib  # canonical order for cross-band dedup
+            out_a.append(np.where(swap, ib, ia))
+            out_b.append(np.where(swap, ia, ib))
+            out_d.append(d[hit].astype(np.int32))
+        if not out_a:
             return _EMPTY_PAIRS.copy()
-        ia, ib = ids[ai[hit]], ids[bi[hit]]
-        swap = ia > ib  # canonical order for cross-band dedup
-        ia2 = np.where(swap, ib, ia)
-        ib2 = np.where(swap, ia, ib)
-        return pd.DataFrame({"id_a": ia2, "id_b": ib2,
-                             "distance": d[hit].astype(np.int32)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "distance": np.concatenate(out_d)}
+                            ).drop_duplicates(["id_a", "id_b"])
     return fn
 
 
@@ -93,20 +106,31 @@ _EMPTY_PAIRS = pd.DataFrame({"id_a": pd.Series([], dtype=object),
 
 def phash_near_duplicates(ds, id_col: str = "image_id",
                           phash_col: str = "phash", max_distance: int = 4,
-                          bands: int = 8, max_bucket: int = 4096,
+                          bands: int = 8, max_bucket: int = 1024,
+                          num_partitions: int = 64,
                           batch_size: int = 131072):
     """Dataset → Dataset of near-dup pairs ``(id_a, id_b, distance)`` with
-    id_a < id_b, exact for Hamming distance ≤ min(max_distance, bands-1)."""
+    id_a < id_b, exact for Hamming distance ≤ min(max_distance, bands-1).
+
+    Shuffle shape: ONE coarse hash-partition on the band key (bounded
+    ``num_partitions`` groups — see util.partitioned_group_apply for why a
+    fine-key map_groups is wrong at scale), then a tiny pair-dedup shuffle
+    over candidates only."""
     assert max_distance < bands, "bands must exceed max_distance for recall 1"
+    from ..util import partitioned_group_apply
     exploded = ds.select_columns([id_col, phash_col]).map_batches(
         _ExplodeBands,
         fn_constructor_kwargs=dict(id_col=id_col, phash_col=phash_col,
                                    bands=bands),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
         concurrency=default_concurrency())
-    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
-        _bucket_pairs(id_col, phash_col, max_distance, max_bucket),
-        batch_format="pandas")
-    # cross-band dedup: same pair can surface from up to `bands` buckets
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pairs = partitioned_group_apply(
+        exploded, ["band_id", "band_val"],
+        _partition_pairs(id_col, phash_col, max_distance, max_bucket),
+        num_partitions=num_partitions)
+    # cross-band dedup: the same pair can surface from several bands (and
+    # therefore several partitions)
+    return partitioned_group_apply(
+        pairs, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        num_partitions=max(8, num_partitions // 4))

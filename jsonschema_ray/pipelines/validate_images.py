@@ -1,0 +1,262 @@
+"""The flagship pipeline (north rule, end to end): validate an image+caption
+table — declarative rule set + decode-structural checks + per-column sketch
+stats in ONE streaming pass over the bytes, plus the three table-level
+checks (uniqueness shuffle, phash near-dup shuffle, referential broadcast)
+over narrow projections, with per-fragment checkpoint/lineage resume.
+
+Execution shape (SURVEY §3.4):
+  driver: compile rule set once → hash → plan waves of pending fragments
+  stage A (per wave, one pass over bytes): map_batches actor pool →
+          rule violations + decode violations (+ fragment column)
+  stage A': map_batches over NARROW columns → per-fragment stats partials
+  shuffle: uniqueness groupby(image_id-counts), phash band groupby —
+          both on projected columns; image bytes never shuffle
+  broadcast: ref_ids key set via ray.put
+  driver: merge sketches (incl. resumed fragments' persisted state),
+          drift vs baseline, assemble report; checkpoint records are the
+          per-wave commit point (violations written first)
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..checks import (drift_report, duplicate_keys, phash_near_duplicates,
+                      referential_violations)
+from ..rules.model import RuleSet, parse_ruleset
+from ..rules.vector import BatchValidator
+from ..stages.decode import DecodeCheckStage
+from ..stages.stats import ColumnStatsStage, merge_stat_partials
+from ..state import CheckpointStore, FragmentRecord
+from ..util import default_concurrency
+
+# The canonical rule set for the BASELINE input_hint schema (FIXTURES F3) —
+# drafted the way a jsonschema user would write it (keywords per
+# pkg/draft202012/keywords.go:423-481).
+IMAGE_RULESET = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "type": "object",
+    "required": ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+    "properties": {
+        "image_id": {"type": "string", "pattern": "^img-[0-9]{12}$"},
+        "bytes": {"type": "binary"},
+        "w": {"type": "integer", "minimum": 16, "maximum": 512},
+        "h": {"type": "integer", "minimum": 16, "maximum": 512},
+        "fmt": {"enum": ["png", "bmp", "ppm"]},
+        "caption": {"type": "string", "maxLength": 256,
+                    "pattern": "^[\\x20-\\x7e]*$"},
+        "phash": {"type": "integer"},
+    },
+}
+
+
+class ImageValidateStage:
+    """One pass over a batch: rule-set violations + decode-structural
+    violations, each stamped with the source fragment when the batch
+    carries a ``path`` column (read_parquet include_paths=True)."""
+
+    def __init__(self, ruleset, decode: bool = True,
+                 check_phash: bool = False, path_col: Optional[str] = None):
+        rs = ruleset if isinstance(ruleset, RuleSet) else \
+            parse_ruleset(ruleset)
+        self.path_col = path_col
+        keys = ["image_id"] + ([path_col] if path_col else [])
+        self.bv = BatchValidator(rs, key_columns=keys)
+        self.decoder = DecodeCheckStage(
+            phash_col="phash" if check_phash else None,
+            extra_cols=(path_col,) if path_col else ()) if decode else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rule_tbl = batch
+        if self.path_col and self.path_col in batch.column_names:
+            pass  # path column is inert for the rule set (unknown keyword
+            # tolerance analog: extra columns are ignored unless the rule
+            # set closes the schema)
+        viol = self.bv.violations(rule_tbl)
+        if self.decoder is not None:
+            dv = self.decoder(batch)
+            viol = pa.concat_tables([viol, dv.select(viol.column_names)])
+        return viol
+
+
+class _FragmentStatsStage:
+    """Stats partials per (fragment, column) — narrow columns only."""
+
+    def __init__(self, columns: list[str], path_col: str = "path"):
+        self.inner = ColumnStatsStage(columns=columns)
+        self.columns = columns
+        self.path_col = path_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        paths = batch.column(self.path_col)
+        uniq = pc.unique(paths).to_pylist()
+        outs = []
+        for p in uniq:
+            sub = batch.filter(pc.equal(paths, p))
+            t = self.inner(sub.select(self.columns))
+            outs.append(t.append_column(
+                "fragment_id",
+                pa.array([os.path.basename(p)] * t.num_rows)))
+        return pa.concat_tables(outs)
+
+
+def _stats_state_to_bytes(df: pd.DataFrame) -> bytes:
+    buf = io.BytesIO()
+    df.to_parquet(buf)  # pyarrow engine
+    return buf.getvalue()
+
+
+def _stats_state_from_bytes(b: bytes) -> pd.DataFrame:
+    return pd.read_parquet(io.BytesIO(b))
+
+
+def validate_images(ds, ruleset=None, decode: bool = True,
+                    check_phash: bool = False, batch_size: int = 1024):
+    """One-shot (no checkpoint): Dataset → Dataset of violation rows."""
+    rs = parse_ruleset(ruleset or IMAGE_RULESET)
+    return ds.map_batches(
+        ImageValidateStage,
+        fn_constructor_kwargs=dict(ruleset=rs, decode=decode,
+                                   check_phash=check_phash),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+        concurrency=default_concurrency())
+
+
+def validate_images_pipeline(
+        input_dir: str,
+        checkpoint_dir: str,
+        ruleset=None,
+        ref_ids=None,
+        baseline_stats: Optional[pd.DataFrame] = None,
+        wave_size: int = 64,
+        decode: bool = True,
+        check_phash: bool = False,
+        stats_columns: tuple = ("w", "h", "caption", "phash"),
+        batch_size: int = 1024,
+        neardup_max_distance: int = 4) -> dict:
+    """Checkpointed flagship run. Returns the global report dict.
+
+    Resume semantics: per-fragment rule+decode validation and stats are
+    skipped for fragments whose checkpoint record (same ruleset_hash)
+    exists — their violation output and sketch state persist from the prior
+    run. The cross-fragment checks (uniqueness, near-dup, referential) run
+    over the full input each time: they are global properties computed on
+    narrow projections (keys + phash only), so re-running them is cheap
+    relative to decode and keeps them exact under resume.
+    """
+    import ray.data as rd
+
+    rs = parse_ruleset(ruleset or IMAGE_RULESET)
+    store = CheckpointStore(checkpoint_dir)
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet fragments under {input_dir}")
+    by_fragment = {os.path.basename(f): f for f in files}
+    done = store.completed(rs.ruleset_hash)
+    pending = [f for f in files if os.path.basename(f) not in done]
+
+    per_keyword: dict[str, int] = {}
+    new_records: list[FragmentRecord] = []
+    wave_tags = []
+    for wi in range(0, len(pending), wave_size):
+        wave = pending[wi:wi + wave_size]
+        tag = f"wave-{int(time.time())}-{wi}"
+        wave_tags.append(tag)
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(wave, include_paths=True)
+        viol = ds.map_batches(
+            ImageValidateStage,
+            fn_constructor_kwargs=dict(ruleset=rs, decode=decode,
+                                       check_phash=check_phash,
+                                       path_col="path"),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=default_concurrency()).materialize()
+        # violations to disk BEFORE records (records = commit point)
+        viol.write_parquet(store.violations_path(tag))
+        vpdf = viol.select_columns(["path", "keyword"]).to_pandas()
+        vpdf["fragment_id"] = vpdf["path"].map(os.path.basename)
+        for k, c in vpdf.groupby("keyword").size().items():
+            per_keyword[k] = per_keyword.get(k, 0) + int(c)
+        # per-fragment stats partials over narrow columns (no bytes)
+        sp = ds.select_columns(list(stats_columns) + ["path"]).map_batches(
+            _FragmentStatsStage,
+            fn_constructor_kwargs=dict(columns=list(stats_columns)),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+            concurrency=default_concurrency()).to_pandas()
+        wall = time.perf_counter() - t0
+        nviol_by_frag = vpdf.groupby("fragment_id").size()
+        for f in wave:
+            frag = os.path.basename(f)
+            nrows = pq.read_metadata(f).num_rows
+            nv = int(nviol_by_frag.get(frag, 0))
+            frag_stats = sp[sp["fragment_id"] == frag]
+            merged = frag_stats.groupby("column", group_keys=False).apply(
+                merge_stat_partials)
+            new_records.append(FragmentRecord(
+                fragment_id=frag, ruleset_hash=rs.ruleset_hash,
+                n_rows=int(nrows), n_violations=nv, passed=nv == 0,
+                wall_s=wall / max(1, len(wave)),
+                sketch_state=_stats_state_to_bytes(
+                    merged.drop(columns=["fragment_id"], errors="ignore"))))
+        store.append_records(new_records[-len(wave):])
+
+    # ---- global view: resumed + new fragments -------------------------
+    records = store.load_records().to_pandas()
+    records = records[records["ruleset_hash"] == rs.ruleset_hash]
+    records = records.drop_duplicates("fragment_id", keep="last")
+    # global stats = merge of every fragment's persisted sketch state
+    frames = [_stats_state_from_bytes(b) for b in records["sketch_state"]
+              if b is not None and len(b)]
+    global_stats = None
+    if frames:
+        allp = pd.concat(frames, ignore_index=True)
+        global_stats = allp.groupby("column", group_keys=False).apply(
+            merge_stat_partials).reset_index(drop=True)
+
+    # cross-fragment checks on narrow projections over the FULL input
+    full = rd.read_parquet(files)
+    dup_ids = duplicate_keys(full, "image_id").to_pandas()
+    pairs = phash_near_duplicates(
+        full, max_distance=neardup_max_distance).to_pandas()
+    orphans = None
+    if ref_ids is not None:
+        orphans = referential_violations(full, "image_id",
+                                         ref_ids).to_pandas()
+    drift = None
+    if baseline_stats is not None and global_stats is not None:
+        drift = drift_report(baseline_stats, global_stats)
+
+    n_rows = int(records["n_rows"].sum())
+    n_violations = int(records["n_violations"].sum()) \
+        + len(dup_ids) + (len(orphans) if orphans is not None else 0)
+    return {
+        "ruleset_hash": rs.ruleset_hash,
+        "fragments_total": len(files),
+        "fragments_skipped": len(done & set(by_fragment)),
+        "fragments_validated": len(pending),
+        "n_rows": n_rows,
+        "n_violations": n_violations,
+        "per_keyword": per_keyword,
+        "table_pass": n_violations == 0,
+        "verdicts": records[["fragment_id", "n_rows", "n_violations",
+                             "passed"]].reset_index(drop=True),
+        "stats": global_stats.drop(columns=["hll", "tdigest"])
+        if global_stats is not None else None,
+        "stats_full": global_stats,
+        "duplicate_ids": dup_ids,
+        "neardup_pairs": pairs,
+        "orphans": orphans,
+        "drift": drift,
+    }

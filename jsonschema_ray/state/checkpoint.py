@@ -1,0 +1,103 @@
+"""Per-partition checkpoint / lineage records (north rule: "every partition
+writes a checkpoint record with lineage (input fragment, rule-set hash,
+sketch state) so a killed run resumes without re-validating completed
+partitions").
+
+The reference's only persistence is parse-memoization caches
+(internal/schemacache/schemacache.go:16-73); run-level lineage is new here.
+
+Layout under ``checkpoint_dir``:
+  records/wave-**.parquet   — one row per completed fragment (appended
+                              ATOMICALLY: temp file + rename, so a kill
+                              mid-write never yields a half-record)
+  violations/               — violation rows parquet, written per wave
+                              BEFORE the wave's records (records are the
+                              commit point; FIXTURES F4 / SURVEY §7.7)
+
+A fragment is "completed" only for the same ruleset_hash — editing the rule
+set invalidates prior work by construction.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import asdict, dataclass
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+@dataclass
+class FragmentRecord:
+    fragment_id: str         # input file basename — stable identity
+    ruleset_hash: str
+    n_rows: int
+    n_violations: int
+    passed: bool
+    wall_s: float
+    # serialized per-fragment sketch state: parquet-encoded stats partials
+    # (stages/stats.py merge rows) — merged across fragments on resume
+    sketch_state: Optional[bytes] = None
+
+
+_SCHEMA = pa.schema([
+    ("fragment_id", pa.string()),
+    ("ruleset_hash", pa.string()),
+    ("n_rows", pa.int64()),
+    ("n_violations", pa.int64()),
+    ("passed", pa.bool_()),
+    ("wall_s", pa.float64()),
+    ("sketch_state", pa.large_binary()),
+])
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.records_dir = os.path.join(root, "records")
+        self.violations_dir = os.path.join(root, "violations")
+        os.makedirs(self.records_dir, exist_ok=True)
+        os.makedirs(self.violations_dir, exist_ok=True)
+
+    # -- reading -------------------------------------------------------
+    def load_records(self) -> pa.Table:
+        files = [os.path.join(self.records_dir, f)
+                 for f in sorted(os.listdir(self.records_dir))
+                 if f.endswith(".parquet")]
+        if not files:
+            return _SCHEMA.empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files])
+
+    def completed(self, ruleset_hash: str) -> set:
+        t = self.load_records()
+        if t.num_rows == 0:
+            return set()
+        import pyarrow.compute as pc
+        sel = t.filter(pc.equal(t["ruleset_hash"], ruleset_hash))
+        return set(sel["fragment_id"].to_pylist())
+
+    # -- writing -------------------------------------------------------
+    def append_records(self, records: list[FragmentRecord]) -> str:
+        """Atomic append: write temp, fsync, rename (SURVEY §7 hard part
+        (f): 'write checkpoint record last, atomically')."""
+        rows = {name: [] for name in _SCHEMA.names}
+        for r in records:
+            d = asdict(r)
+            for name in _SCHEMA.names:
+                rows[name].append(d[name])
+        t = pa.table(rows, schema=_SCHEMA)
+        final = os.path.join(self.records_dir,
+                             f"wave-{uuid.uuid4().hex[:12]}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(t, tmp)
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
+        return final
+
+    def violations_path(self, wave_tag: str) -> str:
+        p = os.path.join(self.violations_dir, wave_tag)
+        os.makedirs(p, exist_ok=True)
+        return p

@@ -1,0 +1,177 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID (n-gram/stopword heuristic), SimHash
+fingerprinting. All vectorized (pyarrow.compute regex kernels / numpy) and
+designed as map_batches stages — no reference analog (the reference's
+string machinery is the format library, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches.hashing import hash64_array
+
+# tiny per-language stopword profiles (top function words) — enough for a
+# deterministic heuristic over the 5 testdata languages
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "was", "with", "as", "on", "at", "by", "this", "be", "are"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+           "den", "von", "mit", "auf", "für", "im", "dem", "sich", "des"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "que",
+           "pour", "dans", "qui", "sur", "pas", "au", "du", "ce", "il"},
+    "es": {"el", "la", "los", "las", "y", "de", "que", "en", "un", "una",
+           "es", "por", "con", "para", "no", "se", "del", "su", "al"},
+}
+
+
+def token_counts(arr: pa.Array) -> np.ndarray:
+    """Whitespace-token count per string: number of ``\\S+`` matches
+    (matches DuckDB ``length(regexp_extract_all(text, '\\S+'))``)."""
+    return pc.count_substring_regex(arr, r"\S+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
+def quality_features(arr: pa.Array, ndigits: int = 4) -> dict:
+    """Quality-scoring features per string, each reproducible in ANSI SQL:
+    n_chars (code points), n_tokens, alpha_ratio, space_ratio, digit_ratio,
+    upper_ratio — ratios rounded to ``ndigits``."""
+    n = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.float64)
+    safe_n = np.where(n > 0, n, 1.0)
+
+    def ratio(pattern):
+        c = pc.count_substring_regex(arr, pattern).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return np.round(c / safe_n, ndigits)
+
+    return {
+        "n_chars": n.astype(np.int64),
+        "n_tokens": token_counts(arr),
+        "alpha_ratio": ratio(r"[A-Za-z]"),
+        "space_ratio": ratio(r" "),
+        "digit_ratio": ratio(r"[0-9]"),
+        "upper_ratio": ratio(r"[A-Z]"),
+    }
+
+
+def langid_batch(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Heuristic language-ID: CJK codepoint share → 'zh'; else the language
+    whose stopword profile covers the largest share of tokens; 'und' when
+    nothing matches. Deterministic; returns (lang, score)."""
+    texts = arr.to_pylist()
+    langs = np.empty(len(texts), dtype=object)
+    scores = np.zeros(len(texts))
+    for i, t in enumerate(texts):
+        if not t:
+            langs[i] = "und"
+            continue
+        cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+        if cjk / max(1, len(t)) > 0.2:
+            langs[i], scores[i] = "zh", round(cjk / len(t), 4)
+            continue
+        toks = [w.strip(".,;:!?\"'()").lower() for w in t.split()]
+        toks = [w for w in toks if w]
+        if not toks:
+            langs[i] = "und"
+            continue
+        best, best_s = "und", 0.0
+        for lang, sw in _STOPWORDS.items():
+            s = sum(1 for w in toks if w in sw) / len(toks)
+            if s > best_s:
+                best, best_s = lang, s
+        langs[i], scores[i] = (best if best_s > 0.03 else "und"), \
+            round(best_s, 4)
+    return langs, scores
+
+
+def simhash64_batch(arr: pa.Array) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens (Charikar 2002): sum ±1 per bit
+    of each token hash, take sign vector. Vectorized via one flat token-hash
+    array + segment sums."""
+    texts = arr.to_pylist()
+    all_tokens, bounds = [], [0]
+    for t in texts:
+        toks = t.split() if t else []
+        all_tokens.extend(toks)
+        bounds.append(len(all_tokens))
+    out = np.zeros(len(texts), dtype=np.int64)
+    if not all_tokens:
+        return out
+    th = hash64_array(pa.array(all_tokens))
+    # bit matrix: (n_tokens, 64) of ±1 contributions, summed per doc
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32) * 2 - 1
+    cums = np.zeros((len(all_tokens) + 1, 64), dtype=np.int64)
+    np.cumsum(bits, axis=0, out=cums[1:])
+    b = np.asarray(bounds)
+    seg = cums[b[1:]] - cums[b[:-1]]  # (n_docs, 64) signed sums
+    sig = (seg > 0).astype(np.uint64)
+    val = np.zeros(len(texts), dtype=np.uint64)
+    for k in range(64):
+        val |= sig[:, k] << np.uint64(k)
+    return val.view(np.int64)
+
+
+def rolling_fingerprint(arr: pa.Array, window: int = 16,
+                        keep: int = 4) -> list[list[int]]:
+    """Winnowing-style document fingerprint: k-gram rolling hashes, keep the
+    ``keep`` smallest per doc (deterministic robust content signature)."""
+    out = []
+    for t in arr.to_pylist():
+        if not t or len(t) < window:
+            out.append([])
+            continue
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < window:
+            out.append([])
+            continue
+        base = np.uint64(1099511628211)
+        h = np.zeros(len(b) - window + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            acc = np.zeros(len(h), dtype=np.uint64)
+            for j in range(window):
+                acc = acc * base + b[j:j + len(h)].astype(np.uint64)
+        h = acc
+        k = min(keep, len(h))
+        out.append(sorted(int(x) for x in
+                          np.partition(h, k - 1)[:k].astype(np.int64)))
+    return out
+
+
+class TextFeaturesStage:
+    """map_batches actor: append text-analysis columns to each batch."""
+
+    def __init__(self, text_col: str = "text", langid: bool = True,
+                 simhash: bool = True, quality: bool = True):
+        self.text_col = text_col
+        self.langid, self.simhash, self.quality = langid, simhash, quality
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if self.quality:
+            for name, vals in quality_features(col).items():
+                batch = batch.append_column(name, pa.array(vals))
+        if self.langid:
+            langs, scores = langid_batch(col)
+            batch = batch.append_column("lang_pred",
+                                        pa.array(list(langs),
+                                                 type=pa.string()))
+            batch = batch.append_column("lang_score", pa.array(scores))
+        if self.simhash:
+            batch = batch.append_column("simhash",
+                                        pa.array(simhash64_batch(col)))
+        return batch
+
+
+def add_text_features(ds, text_col: str = "text", batch_size: int = 8192,
+                      concurrency=None, **cfg):
+    from ..util import default_concurrency
+    return ds.map_batches(
+        TextFeaturesStage,
+        fn_constructor_kwargs=dict(text_col=text_col, **cfg),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+        concurrency=concurrency or default_concurrency())

