@@ -1,44 +1,239 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship validation pipeline (synthetic image corpus →
+rule-set + decode-structural violations).
+``queries()`` — one entry per implemented operator family (SURVEY §2),
+each over the driver's parquet testdata at ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible queries;
+non-SQL ops (LSH dedup, ANN, language-ID, sketches, image decode) are
+rows-only checked by the driver.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in jsonschema_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: validate a deterministic synthetic image+caption corpus
+    (BASELINE input_hint schema) — vectorized rule set + decode checks."""
+    from jsonschema_ray.pipelines import validate_images
+    from jsonschema_ray.sources import generate_images
+    ds = generate_images(2000, seed=42)
+    return validate_images(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from jsonschema_ray.pipelines import relational as R
+    return {
+        # rule-set validation (vectorized keyword predicates, SURVEY §2.2-2.3)
+        "validate_lineitem": R.validate_lineitem,
+        "validate_orders": R.validate_orders,
+        "validate_documents": R.validate_documents,
+        "validate_events_conditional": R.validate_events_conditional,
+        # table-level checks (SURVEY §2.6)
+        "uniqueness_lineitem_orderkey": R.uniqueness_lineitem_orderkey,
+        "uniqueness_customer_custkey": R.uniqueness_customer_custkey,
+        "referential_lineitem_orders": R.referential_lineitem_orders,
+        "column_stats_lineitem": R.column_stats_lineitem,
+        # aggregation / join / sort / window
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "segment_order_stats": R.segment_order_stats,
+        "brand_quantity": R.brand_quantity,
+        "topk_orders": R.topk_orders,
+        "events_hourly": R.events_hourly,
+        "distinct_event_types": R.distinct_event_types,
+        "events_filter_project": R.events_filter_project,
+        "orders_running_total": R.orders_running_total,
+        # documents: dedup + text analysis
+        "dedup_exact_documents": R.dedup_exact_documents,
+        "token_count_documents": R.token_count_documents,
+        "quality_documents": R.quality_documents,
+        "lang_distribution": R.lang_distribution,
+        "langid_documents": R.langid_documents,           # rows-only
+        "simhash_documents": R.simhash_documents,         # rows-only
+        "minhash_neardup_documents": R.minhash_neardup_documents,  # rows-only
+        # embeddings
+        "ann_topk_embeddings": R.ann_topk_embeddings,     # rows-only
+        "ann_ivf_embeddings": R.ann_ivf_embeddings,       # rows-only
+        "embedding_neardup": R.embedding_neardup,         # rows-only
+        # sketches + flagship
+        "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
+        "validate_images_synth": R.validate_images_synth,  # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_lineitem": """
+SELECT l_orderkey, l_linenumber, 'minimum' AS keyword,
+       '/properties/l_quantity/minimum' AS keyword_location,
+       '/l_quantity' AS instance_location,
+       CAST(l_quantity AS VARCHAR) AS offending_value,
+       'minimum: value < 1.0' AS message
+FROM lineitem WHERE l_quantity < 1
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'maximum',
+       '/properties/l_quantity/maximum', '/l_quantity',
+       CAST(l_quantity AS VARCHAR), 'maximum: value > 30.0'
+FROM lineitem WHERE l_quantity > 30
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'enum',
+       '/properties/l_returnflag/enum', '/l_returnflag',
+       l_returnflag, 'enum: value not in enumeration'
+FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')
+""",
+        "validate_orders": """
+SELECT o_orderkey, 'maximum' AS keyword,
+       '/properties/o_totalprice/maximum' AS keyword_location,
+       '/o_totalprice' AS instance_location,
+       CAST(o_totalprice AS VARCHAR) AS offending_value,
+       'maximum: value > 300000.0' AS message
+FROM orders WHERE o_totalprice > 300000
+UNION ALL
+SELECT o_orderkey, 'enum', '/properties/o_orderstatus/enum',
+       '/o_orderstatus', o_orderstatus, 'enum: value not in enumeration'
+FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+UNION ALL
+SELECT o_orderkey, 'pattern', '/properties/o_orderpriority/pattern',
+       '/o_orderpriority', o_orderpriority,
+       'pattern: does not match "^[1-3]-"'
+FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+""",
+        "validate_documents": """
+SELECT doc_id, 'minimum' AS keyword,
+       '/properties/n_chars/minimum' AS keyword_location,
+       '/n_chars' AS instance_location,
+       CAST(n_chars AS VARCHAR) AS offending_value,
+       'minimum: value < 60.0' AS message
+FROM documents WHERE n_chars < 60
+UNION ALL
+SELECT doc_id, 'maximum', '/properties/n_chars/maximum', '/n_chars',
+       CAST(n_chars AS VARCHAR), 'maximum: value > 500.0'
+FROM documents WHERE n_chars > 500
+UNION ALL
+SELECT doc_id, 'enum', '/properties/lang/enum', '/lang', lang,
+       'enum: value not in enumeration'
+FROM documents WHERE lang NOT IN ('en', 'de', 'fr', 'es')
+UNION ALL
+SELECT doc_id, 'minLength', '/properties/text/minLength', '/text', text,
+       'minLength: length < 60'
+FROM documents WHERE length(text) < 60
+""",
+        "validate_events_conditional": """
+SELECT event_id, 'maximum' AS keyword,
+       '/then/properties/value/maximum' AS keyword_location,
+       '/value' AS instance_location,
+       CAST(value AS VARCHAR) AS offending_value,
+       'maximum: value > 50.0' AS message
+FROM events WHERE event_type = 'error' AND value > 50
+""",
+        "uniqueness_lineitem_orderkey": """
+SELECT l_orderkey, count(*) AS dup_count
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+""",
+        "uniqueness_customer_custkey": """
+SELECT c_custkey, count(*) AS dup_count
+FROM customer GROUP BY c_custkey HAVING count(*) > 1
+""",
+        "referential_lineitem_orders": """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+""",
+        "column_stats_lineitem": """
+SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+       count(*) - count(l_quantity) AS n_nulls,
+       CAST(min(l_quantity) AS DOUBLE) AS min_val,
+       CAST(max(l_quantity) AS DOUBLE) AS max_val FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       CAST(min(l_extendedprice) AS DOUBLE),
+       CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) - count(l_discount),
+       CAST(min(l_discount) AS DOUBLE),
+       CAST(max(l_discount) AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*), count(*) - count(l_tax),
+       CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE) FROM lineitem
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "segment_order_stats": """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS sum_totalprice,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "brand_quantity": """
+SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+        "topk_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+        "events_hourly": """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       round(sum(value), 2) AS sum_value,
+       count(*) AS n_events
+FROM events GROUP BY event_type, hour_bucket
+""",
+        "distinct_event_types": """
+SELECT DISTINCT event_type FROM events
+""",
+        "events_filter_project": """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase' AND value > 50
+""",
+        "orders_running_total": """
+SELECT o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey), 2) AS running_total
+FROM orders
+""",
+        "dedup_exact_documents": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+        "token_count_documents": """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+        "quality_documents": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(floor(10000.0 * length(regexp_extract_all(text, '[A-Za-z]'))
+             / greatest(length(text), 1)) AS BIGINT) AS alpha_bp,
+       CAST(floor(10000.0 * length(regexp_extract_all(text, ' '))
+             / greatest(length(text), 1)) AS BIGINT) AS space_bp,
+       CAST(floor(10000.0 * length(regexp_extract_all(text, '[0-9]'))
+             / greatest(length(text), 1)) AS BIGINT) AS digit_bp
+FROM documents
+""",
+        "lang_distribution": """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+""",
+    }

@@ -40,7 +40,13 @@ def duplicate_keys(ds, key, batch_size: int = 131072):
     from ray.data.aggregate import Sum
     counts = partials.groupby(keys).aggregate(
         Sum("partial_count", alias_name="dup_count"))
-    return counts.filter(expr="dup_count > 1")
+    # pyarrow-level filter keeps the (key, dup_count) schema even when the
+    # result is empty (Dataset.filter(expr=...) drops it, breaking sinks
+    # and the driver's schema compare)
+    import pyarrow.compute as _pc
+    return counts.map_batches(
+        lambda t: t.filter(_pc.greater(t["dup_count"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def unique_violations(ds, key, batch_size: int = 131072):

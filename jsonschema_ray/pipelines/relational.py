@@ -1,0 +1,473 @@
+"""Relational pipelines over the driver testdata (TESTDATA.md tables) —
+each function takes ``sf_dir`` and returns a Dataset / pandas result, with a
+matching ANSI-SQL oracle registered in ``__ray_entry__.oracle_sql()``.
+
+Each query exercises one operator family from SURVEY §2 through the REAL
+Ray Data engine paths: rule-set validation (vectorized predicates),
+uniqueness / referential checks, partial-aggregation groupbys, broadcast
+joins, sort/top-k, windowed event aggregation, text analysis, dedup, ANN.
+
+Column-name discipline: every computed column is named identically here and
+in the SQL oracle (the driver hashes values under sorted column names).
+Float aggregates at risk of order-dependent last-bit drift are rounded on
+BOTH sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.validate import validate_dataset
+from ..util import default_concurrency
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# generic partial-aggregation groupby (SURVEY §2.6 "Aggregation": combine
+# inside map_batches, then shuffle only the per-batch partials)
+
+
+class _PartialGroupAgg:
+    def __init__(self, keys: list[str], sum_cols: list[str]):
+        self.keys, self.sum_cols = keys, sum_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in self.sum_cols] + [([], "count_all")]
+        out = batch.group_by(self.keys).aggregate(aggs)
+        names = self.keys + [f"{c}_psum" for c in self.sum_cols] + ["_pcnt"]
+        return out.rename_columns(names)
+
+
+def grouped_agg(ds, keys: list[str], sums: dict[str, str],
+                count_alias: str = "n_rows"):
+    """groupby(keys) with Sum/Count, pre-aggregated per batch so the shuffle
+    moves one row per (key, batch). ``sums``: {source_col: output_name}."""
+    from ray.data.aggregate import Sum
+    sum_cols = list(sums)
+    partials = ds.select_columns(keys + sum_cols).map_batches(
+        _PartialGroupAgg,
+        fn_constructor_kwargs=dict(keys=keys, sum_cols=sum_cols),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=131072,
+        concurrency=default_concurrency())
+    aggs = [Sum(f"{c}_psum", alias_name=out) for c, out in sums.items()]
+    aggs.append(Sum("_pcnt", alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2):
+    for c in cols:
+        df[c] = df[c].round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# validation rule sets (leaf keywords + combinators over testdata)
+
+LINEITEM_RULESET = {
+    "properties": {
+        "l_quantity": {"minimum": 1, "maximum": 30},
+        "l_returnflag": {"enum": ["A", "N"]},
+    },
+}
+
+ORDERS_RULESET = {
+    "properties": {
+        "o_totalprice": {"maximum": 300000},
+        "o_orderstatus": {"enum": ["O", "F"]},
+        "o_orderpriority": {"pattern": "^[1-3]-"},
+    },
+}
+
+DOCUMENTS_RULESET = {
+    "properties": {
+        "n_chars": {"minimum": 60, "maximum": 500},
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "text": {"minLength": 60},
+    },
+}
+
+EVENTS_RULESET = {
+    "if": {"properties": {"event_type": {"const": "error"}}},
+    "then": {"properties": {"value": {"maximum": 50}}},
+}
+
+
+def validate_lineitem(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_returnflag"])
+    return validate_dataset(ds, LINEITEM_RULESET,
+                            key_columns=["l_orderkey", "l_linenumber"])
+
+
+def validate_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderstatus",
+                        "o_orderpriority"])
+    return validate_dataset(ds, ORDERS_RULESET, key_columns=["o_orderkey"])
+
+
+def validate_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "n_chars", "lang", "text"])
+    return validate_dataset(ds, DOCUMENTS_RULESET, key_columns=["doc_id"])
+
+
+def validate_events_conditional(sf_dir: str):
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    return validate_dataset(ds, EVENTS_RULESET, key_columns=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# uniqueness / referential
+
+
+def _pin_schema(ds, dtypes: dict[str, str]) -> pd.DataFrame:
+    """to_pandas that survives the all-empty case (Ray drops the schema of
+    a fully-empty Dataset, which would fail the driver's schema compare)."""
+    df = ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in dtypes.items()})
+    return df
+
+
+def uniqueness_lineitem_orderkey(sf_dir: str):
+    from ..checks import duplicate_keys
+    return duplicate_keys(_read(sf_dir, "lineitem", columns=["l_orderkey"]),
+                          "l_orderkey")
+
+
+def uniqueness_customer_custkey(sf_dir: str):
+    from ..checks import duplicate_keys
+    ds = duplicate_keys(_read(sf_dir, "customer", columns=["c_custkey"]),
+                        "c_custkey")
+    return _pin_schema(ds, {"c_custkey": "int64", "dup_count": "int64"})
+
+
+def referential_lineitem_orders(sf_dir: str):
+    from ..checks import broadcast_semi_join
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    ds = broadcast_semi_join(li, "l_orderkey", orders,
+                             ref_key="o_orderkey", anti=True)
+    return _pin_schema(ds, {"l_orderkey": "int64", "l_linenumber": "int32"})
+
+
+# ---------------------------------------------------------------------------
+# column stats (exact subset — the SQL-expressible face of stages/stats.py)
+
+
+def column_stats_lineitem(sf_dir: str):
+    from ..stages import column_stats
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    stats = column_stats(_read(sf_dir, "lineitem", columns=cols),
+                         columns=cols).to_pandas()
+    out = stats[["column", "count", "null_count", "min_num", "max_num"]] \
+        .rename(columns={"column": "col_name", "count": "n_rows",
+                         "null_count": "n_nulls", "min_num": "min_val",
+                         "max_num": "max_val"})
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# aggregation / join / sort / window
+
+
+def q1_pricing_summary(sf_dir: str):
+    rd = _rd()
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"),
+                       type=pa.timestamp("us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(ds, ["l_returnflag", "l_linestatus"],
+                      {"l_quantity": "sum_qty",
+                       "l_extendedprice": "sum_base_price",
+                       "disc_price": "sum_disc_price"},
+                      count_alias="count_order").to_pandas()
+    return _round_cols(out, ["sum_base_price", "sum_disc_price"]) \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def segment_order_stats(sf_dir: str):
+    """Broadcast hash join: orders ⨝ customer (small side broadcast via
+    ray.put), grouped by market segment."""
+    import ray
+    rd = _rd()
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class JoinSegment:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+            seg = pa.array([self.lookup.get(k) for k in keys],
+                           type=pa.string())
+            return b.append_column("c_mktsegment", seg)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(
+        JoinSegment, fn_constructor_args=(lookup_ref,),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency())
+    out = grouped_agg(joined, ["c_mktsegment"],
+                      {"o_totalprice": "sum_totalprice"},
+                      count_alias="n_orders").to_pandas()
+    return _round_cols(out, ["sum_totalprice"]) \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def brand_quantity(sf_dir: str):
+    """Broadcast join lineitem ⨝ part grouped by brand (sum of integral
+    doubles — exact in any order)."""
+    import ray
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    class JoinBrand:
+        def __init__(self, r):
+            self.lookup = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["l_partkey"].to_numpy(zero_copy_only=False)
+            brand = pa.array([self.lookup.get(k) for k in keys],
+                             type=pa.string())
+            return b.append_column("p_brand", brand)
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    joined = li.map_batches(JoinBrand, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=default_concurrency())
+    out = grouped_agg(joined, ["p_brand"], {"l_quantity": "sum_qty"},
+                      count_alias="n_items").to_pandas()
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+    return top
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event type (ray_guide streaming-shaped
+    pattern: epoch-bucketed groupby)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, type=pa.int64()))
+        return b.append_column("hour_bucket", hour).drop_columns(["ts"])
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(ds, ["event_type", "hour_bucket"],
+                      {"value": "sum_value"}, count_alias="n_events"
+                      ).to_pandas()
+    return _round_cols(out, ["sum_value"]) \
+        .sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
+
+
+def distinct_event_types(sf_dir: str):
+    vals = _read(sf_dir, "events", columns=["event_type"]) \
+        .unique("event_type")
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+def events_filter_project(sf_dir: str):
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b["event_type"], "purchase"),
+                                   pc.greater(b["value"], 50.0)))
+        .select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def orders_running_total(sf_dir: str):
+    """Per-customer running revenue ordered by date — groupby.map_groups
+    window (ray_guide 'custom grouped logic')."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        g["running_total"] = g["o_totalprice"].cumsum().round(2)
+        return g[["o_orderkey", "running_total"]]
+
+    return ds.groupby("o_custkey").map_groups(running,
+                                              batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+
+
+def dedup_exact_documents(sf_dir: str):
+    from ..dedup import exact_dedup_stats
+    return exact_dedup_stats(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]))
+
+
+def token_count_documents(sf_dir: str):
+    from ..text import token_counts
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(token_counts(
+                             b["text"].combine_chunks()))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_documents(sf_dir: str):
+    """Quality features with ratio columns as integer BASIS POINTS
+    (floor(10000·count/len)) — floor of an identical double division is
+    bit-reproducible in SQL, unlike round() (DuckDB rounds the decimal
+    repr half-away; numpy rounds the binary value — they disagree on ties
+    like 58/320 = 0.18125)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        col = b["text"].combine_chunks()
+        n = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        safe = np.maximum(n, 1.0)
+
+        def bp(pattern):
+            c = pc.count_substring_regex(col, pattern).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            return np.floor(10000.0 * c / safe).astype(np.int64)
+
+        from ..text import token_counts
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": pa.array(n.astype(np.int64)),
+            "n_tokens": pa.array(token_counts(col)),
+            "alpha_bp": pa.array(bp(r"[A-Za-z]")),
+            "space_bp": pa.array(bp(r" ")),
+            "digit_bp": pa.array(bp(r"[0-9]")),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_distribution(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    return grouped_agg(ds, ["lang"], {}, count_alias="n_docs").to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+
+
+def langid_documents(sf_dir: str):
+    """Heuristic language-ID vs the labeled ``lang`` column (no SQL oracle —
+    model-like scoring; the driver records a rows-only check)."""
+    from ..text import add_text_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = add_text_features(ds, quality=False, simhash=False)
+    return out.select_columns(["doc_id", "lang", "lang_pred", "lang_score"])
+
+
+def simhash_documents(sf_dir: str):
+    from ..text import add_text_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_text_features(ds, quality=False, langid=False) \
+        .select_columns(["doc_id", "simhash"])
+
+
+def minhash_neardup_documents(sf_dir: str):
+    from ..dedup import minhash_near_duplicates
+    return minhash_near_duplicates(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import duckdb
+    q = duckdb.sql(
+        f"""SELECT vec_id, embedding
+            FROM read_parquet('{sf_dir}/embeddings.parquet')
+            ORDER BY vec_id LIMIT {n}""").df()
+    return q["embedding"].tolist(), q["vec_id"].to_numpy()
+
+
+def ann_topk_embeddings(sf_dir: str):
+    from ..ann import brute_force_topk
+    vecs, ids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, vecs, query_ids=ids, k=10)
+    out["score"] = out["score"].round(6)
+    return out
+
+
+def ann_ivf_embeddings(sf_dir: str):
+    from ..ann import ivf_topk
+    vecs, ids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, vecs, query_ids=ids, k=10, ncells=16, nprobe=4)
+    out["score"] = out["score"].round(6)
+    return out
+
+
+def embedding_neardup(sf_dir: str):
+    from ..dedup import embedding_near_duplicates
+    return embedding_near_duplicates(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# approximate stats + flagship image pipeline (rows-only checks)
+
+
+def column_stats_approx_lineitem(sf_dir: str):
+    from ..stages import column_stats
+    cols = ["l_quantity", "l_extendedprice"]
+    stats = column_stats(_read(sf_dir, "lineitem", columns=cols),
+                         columns=cols).to_pandas()
+    out = stats[["column", "ndv_approx", "p25", "p50", "p75"]].copy()
+    out["ndv_approx"] = out["ndv_approx"].round(0)
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def validate_images_synth(sf_dir: str):
+    """Flagship over a deterministic synthetic image corpus sized to the
+    scale factor (BASELINE: synthesise the input-table shape at small scale;
+    no external data)."""
+    import os
+    from ..pipelines import validate_images
+    from ..sources import generate_images
+    n = {"sf0.001": 2000, "sf0.01": 10000, "sf0.1": 50000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 2000)
+    ds = generate_images(n, seed=42)
+    return validate_images(ds)
