@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline flagship pipeline (synthetic image corpus →
+rule-set + decode validation + uniqueness + near-dup + stats) over a corpus
+sized to $GRAFT_SF_DIR, plus the main relational pipelines over the sf
+tables, and prints ONE JSON line:
+
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
+
+--scaling: runs the flagship twice in FRESH processes at num_cpus=N and
+4N (default 4 and 16) on the same 10×-sized input (the sandbox stand-in for
+the north rule's N vs 4N node clusters) and prints throughputs, the scaling
+efficiency, and a pure-CPU hardware-ceiling control.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CORPUS_SIZES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+# the scaling run uses a 10× corpus: the N→4N criterion needs enough
+# parallel compute that the fixed orchestration cost (~2-3 s in local Ray)
+# is amortized — at 100k tiny images 8 CPUs already saturate the job
+SCALING_FACTOR = 10
+CORPUS_CACHE = "/tmp/jsonschema_ray_bench"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+def prepare_corpus(sf_dir: str, factor: int = 1) -> str:
+    """Generate (once, cached) the deterministic image corpus for this sf."""
+    tag = _sf_tag(sf_dir)
+    n = CORPUS_SIZES.get(tag, 2_000) * factor
+    out = os.path.join(CORPUS_CACHE, f"images-{tag}-{n}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from jsonschema_ray.sources import write_images_corpus
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        write_images_corpus(out, n, num_files=32, seed=42)
+        open(marker, "w").write(str(n))
+    return out
+
+
+def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
+              flagship_only: bool = False) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import ray.data as rd
+
+    from jsonschema_ray.checks import duplicate_keys, phash_near_duplicates
+    from jsonschema_ray.pipelines import relational as R
+    from jsonschema_ray.pipelines import validate_images
+    from jsonschema_ray.stages import column_stats
+
+    corpus = prepare_corpus(sf_dir, corpus_factor)
+    n_images = int(open(os.path.join(corpus, "_DONE")).read())
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    _ = rd.read_parquet(corpus).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return r
+
+    # ---- headline: flagship image validation end-to-end ----
+    def flagship():
+        ds = rd.read_parquet(corpus)
+        # full decode-structural check incl. phash recomputation (north
+        # star: "decoded-image structural checks"), which is also the
+        # realistic compute weight per image
+        n_viol = validate_images(ds, check_phash=True).count()
+        dups = duplicate_keys(ds, "image_id").count()
+        pairs = phash_near_duplicates(ds).count()
+        stats = column_stats(ds, columns=["w", "h", "caption", "phash"]) \
+            .to_pandas()
+        return n_viol, dups, pairs, len(stats)
+
+    result = timed("flagship_images", flagship)
+
+    if flagship_only:
+        headline = timings["flagship_images"]
+        out = {
+            "metric": "flagship image validation e2e wall sec",
+            "value": headline, "unit": "sec", "queries": timings,
+            "sf": _sf_tag(sf_dir), "num_cpus": num_cpus,
+            "n_images": n_images,
+            "images_per_sec": round(n_images / headline, 1),
+        }
+        ray.shutdown()
+        return out
+
+    # ---- relational pipelines over the sf tables ----
+    timed("q1_pricing_summary", lambda: R.q1_pricing_summary(sf_dir))
+    timed("validate_lineitem",
+          lambda: R.validate_lineitem(sf_dir).count())
+    timed("uniqueness_lineitem",
+          lambda: R.uniqueness_lineitem_orderkey(sf_dir).count())
+    timed("column_stats_lineitem", lambda: R.column_stats_lineitem(sf_dir))
+    timed("events_hourly", lambda: R.events_hourly(sf_dir))
+    timed("minhash_neardup_documents",
+          lambda: R.minhash_neardup_documents(sf_dir).count())
+    timed("ann_topk_embeddings", lambda: R.ann_topk_embeddings(sf_dir))
+    timed("dedup_exact_documents",
+          lambda: R.dedup_exact_documents(sf_dir).count())
+
+    headline = timings["flagship_images"]
+    out = {
+        "metric": "flagship image validation e2e (rules+decode+uniq+"
+                  "neardup+stats) wall sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": num_cpus,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / headline, 1),
+        "flagship_counts": {"violations": result[0], "dup_ids": result[1],
+                            "neardup_pairs": result[2]},
+    }
+    ray.shutdown()
+    return out
+
+
+def _burn(_):
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return x
+
+
+def _hardware_ceiling(lo: int, hi: int) -> float:
+    """Pure-CPU control: this box's best-case parallel efficiency lo→hi
+    processes (all-core turbo clock droop makes per-core throughput fall
+    as load rises — a single-box artifact that a real N→4N NODE cluster,
+    with constant per-node resources, does not have). Reported so the
+    pipeline's efficiency can be judged against the machine's ceiling."""
+    import multiprocessing as mp
+    import time as _t
+    burn = _burn
+
+    def units_per_sec(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = _t.perf_counter()
+            p.map(burn, range(procs * 2))
+            return procs * 2 / (_t.perf_counter() - t0)
+
+    u_lo, u_hi = units_per_sec(lo), units_per_sec(hi)
+    return (u_hi / u_lo) / (hi / lo)
+
+
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
+    import subprocess
+    prepare_corpus(sf_dir, SCALING_FACTOR)  # build cache outside the runs
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=sf_dir, GRAFT_SCALING_CHILD="1")
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=REPO).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    ceiling = _hardware_ceiling(lo, hi)
+    return {
+        "metric": "scaling efficiency {}→{} cpus (flagship)".format(lo, hi),
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "images_per_sec_lo": r_lo["images_per_sec"],
+        "images_per_sec_hi": r_hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling_efficiency": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(eff / ceiling, 3),
+        "sf": _sf_tag(sf_dir),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    elif os.environ.get("GRAFT_SCALING_CHILD"):
+        ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, ncpus,
+                                   corpus_factor=SCALING_FACTOR,
+                                   flagship_only=True)))
+    else:
+        ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, ncpus)))

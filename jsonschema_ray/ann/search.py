@@ -20,7 +20,6 @@ import pyarrow as pa
 
 import ray
 
-from ..util import default_concurrency
 
 
 def _as_matrix(vecs) -> np.ndarray:
@@ -30,31 +29,29 @@ def _as_matrix(vecs) -> np.ndarray:
     return m / n[:, None]
 
 
-class _BruteForceStage:
-    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
-        q = ray.get(queries_ref)
-        self.Q = q["matrix"]          # (nq, dim), unit rows
-        self.qids = q["ids"]
-        self.vec_col, self.id_col, self.k = vec_col, id_col, k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        V = _as_matrix(batch.column(self.vec_col).to_pylist())
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        sim = self.Q @ V.T                      # (nq, nb)
-        k = min(self.k, sim.shape[1])
-        # local top-k per query (argpartition, then exact sort of the k)
-        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
-        out_q, out_id, out_s = [], [], []
-        for qi in range(sim.shape[0]):
-            cols = part[qi]
-            out_q.append(np.full(k, self.qids[qi]))
-            out_id.append(ids[cols])
-            out_s.append(sim[qi, cols])
-        return pa.table({
-            "query_id": pa.array(np.concatenate(out_q)),
-            self.id_col: pa.array(np.concatenate(out_id)),
-            "score": pa.array(np.concatenate(out_s)),
-        })
+def _brute_force_batch(batch: pa.Table, *, queries_ref, vec_col: str,
+                       id_col: str, k: int) -> pa.Table:
+    from ..util import worker_cached
+    q = worker_cached(("annq", queries_ref.hex()),
+                      lambda: ray.get(queries_ref))
+    Q, qids = q["matrix"], q["ids"]          # (nq, dim), unit rows
+    V = _as_matrix(batch.column(vec_col).to_pylist())
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    sim = Q @ V.T                            # (nq, nb)
+    k = min(k, sim.shape[1])
+    # local top-k per query (argpartition, then exact merge later)
+    part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+    out_q, out_id, out_s = [], [], []
+    for qi in range(sim.shape[0]):
+        cols = part[qi]
+        out_q.append(np.full(k, qids[qi]))
+        out_id.append(ids[cols])
+        out_s.append(sim[qi, cols])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q)),
+        id_col: pa.array(np.concatenate(out_id)),
+        "score": pa.array(np.concatenate(out_s)),
+    })
 
 
 def _merge_topk(candidates: pd.DataFrame, id_col: str, k: int) -> \
@@ -79,13 +76,13 @@ def brute_force_topk(ds, queries, query_ids=None, vec_col: str = "embedding",
     Q = _as_matrix(queries)
     qids = np.asarray(query_ids if query_ids is not None
                       else np.arange(len(Q)))
+    import functools
     ref = ray.put({"matrix": Q, "ids": qids})
     cand = ds.select_columns([id_col, vec_col]).map_batches(
-        _BruteForceStage,
-        fn_constructor_kwargs=dict(queries_ref=ref, vec_col=vec_col,
-                                   id_col=id_col, k=k),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=default_concurrency()).to_pandas()
+        functools.partial(_brute_force_batch, queries_ref=ref,
+                          vec_col=vec_col, id_col=id_col, k=k),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size).to_pandas()
     return _merge_topk(cand, id_col, k)
 
 
@@ -109,39 +106,42 @@ def _kmeans(X: np.ndarray, ncells: int, iters: int = 10,
     return C
 
 
-class _IVFStage:
-    def __init__(self, state_ref, vec_col: str, id_col: str, k: int,
-                 nprobe: int):
-        st = ray.get(state_ref)
-        self.C, self.Q, self.qids = st["centroids"], st["matrix"], st["ids"]
-        self.probe = {qi: np.argsort(-(self.Q[qi] @ self.C.T))[:nprobe]
-                      for qi in range(len(self.Q))}
-        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+def _ivf_batch(batch: pa.Table, *, state_ref, vec_col: str, id_col: str,
+               k: int, nprobe: int) -> pa.Table:
+    from ..util import worker_cached
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        V = _as_matrix(batch.column(self.vec_col).to_pylist())
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        cell = np.argmax(V @ self.C.T, axis=1)
-        out_q, out_id, out_s = [], [], []
-        for qi in range(len(self.Q)):
-            sel = np.isin(cell, self.probe[qi])
-            if not sel.any():
-                continue
-            sims = self.Q[qi] @ V[sel].T
-            k = min(self.k, len(sims))
-            idx = np.argpartition(-sims, k - 1)[:k]
-            out_q.append(np.full(k, self.qids[qi]))
-            out_id.append(ids[sel][idx])
-            out_s.append(sims[idx])
-        if not out_q:
-            return pa.table({"query_id": pa.array([], type=pa.int64()),
-                             self.id_col: pa.array([], type=pa.int64()),
-                             "score": pa.array([], type=pa.float64())})
-        return pa.table({
-            "query_id": pa.array(np.concatenate(out_q)),
-            self.id_col: pa.array(np.concatenate(out_id)),
-            "score": pa.array(np.concatenate(out_s)),
-        })
+    def setup():
+        st = ray.get(state_ref)
+        C, Q, qids = st["centroids"], st["matrix"], st["ids"]
+        probe = {qi: np.argsort(-(Q[qi] @ C.T))[:nprobe]
+                 for qi in range(len(Q))}
+        return C, Q, qids, probe
+
+    C, Q, qids, probe = worker_cached(("ivf", state_ref.hex(), nprobe),
+                                      setup)
+    V = _as_matrix(batch.column(vec_col).to_pylist())
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    cell = np.argmax(V @ C.T, axis=1)
+    out_q, out_id, out_s = [], [], []
+    for qi in range(len(Q)):
+        sel = np.isin(cell, probe[qi])
+        if not sel.any():
+            continue
+        sims = Q[qi] @ V[sel].T
+        kk = min(k, len(sims))
+        idx = np.argpartition(-sims, kk - 1)[:kk]
+        out_q.append(np.full(kk, qids[qi]))
+        out_id.append(ids[sel][idx])
+        out_s.append(sims[idx])
+    if not out_q:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q)),
+        id_col: pa.array(np.concatenate(out_id)),
+        "score": pa.array(np.concatenate(out_s)),
+    })
 
 
 def ivf_topk(ds, queries, query_ids=None, vec_col: str = "embedding",
@@ -156,11 +156,11 @@ def ivf_topk(ds, queries, query_ids=None, vec_col: str = "embedding",
     Q = _as_matrix(queries)
     qids = np.asarray(query_ids if query_ids is not None
                       else np.arange(len(Q)))
+    import functools
     ref = ray.put({"centroids": C, "matrix": Q, "ids": qids})
     cand = ds.select_columns([id_col, vec_col]).map_batches(
-        _IVFStage,
-        fn_constructor_kwargs=dict(state_ref=ref, vec_col=vec_col,
-                                   id_col=id_col, k=k, nprobe=nprobe),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=default_concurrency()).to_pandas()
+        functools.partial(_ivf_batch, state_ref=ref, vec_col=vec_col,
+                          id_col=id_col, k=k, nprobe=nprobe),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size).to_pandas()
     return _merge_topk(cand, id_col, k)

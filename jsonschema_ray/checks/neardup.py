@@ -4,18 +4,31 @@ No reference analog (the reference is single-value); mandated by the north
 rule ("near-duplicate detection on phash … hash-partitioned groupby …
 skewed partitions salted and split before shuffle").
 
-Algorithm: Hamming-LSH banding. Split the 64-bit phash into B bands of 64/B
-bits; by pigeonhole any pair within Hamming distance d < B collides in at
-least one band. Pipeline (SURVEY §2.6):
+Algorithm: Hamming-LSH banding with ADAPTIVE second-level refinement (the
+all-pairs variant of multi-index Hamming search, Norouzi et al. CVPR 2012):
 
-1. project to (id, phash) — image bytes NEVER enter the shuffle
-2. map_batches: explode each row to B (band_id, band_val, id, phash) rows
-3. groupby(band_id, band_val) → per-bucket exact pairwise Hamming verify
-   (vectorized XOR+popcount); oversized buckets (hot keys, e.g. constant
-   phash) are CAPPED and reported instead of exploding O(k²)
-4. de-duplicate candidate pairs found in multiple bands (groupby first-wins)
+- level 1: split the 64 bits into B = d+1 bands (fewest bands that
+  guarantee recall by pigeonhole → widest band values); explode each row
+  to B (band_id, band_val, id, phash) rows and hash-partition ONCE on the
+  band key — the only large shuffle, B× the (narrow) input.
+- level 2 (inside each partition, vectorized): buckets bigger than
+  ``pair_threshold`` are re-split by sub-banding the remaining 64-width
+  bits into d+1 sub-bands (a ≤d-distance pair colliding in a band also
+  collides in some sub-band of that band's complement — pigeonhole again,
+  recall stays 1). The oversized subset explodes ×(d+1) LOCALLY — never
+  through the shuffle — and all pair generation runs through ONE
+  vectorized segment pass (util.segment_pairs).
 
-Default B=8 guarantees recall 1.0 for d ≤ 7.
+Without level 2, bucket sizes (and candidate pairs, quadratically) grow
+linearly with the corpus: measured 610M candidate pairs at 1M rows with
+single-level 12-bit bands. With it, candidates stay ~O(n) at any corpus
+size; genuinely identical-phash cliques (whose true pair count IS
+quadratic) are capped at ``max_bucket`` and truncated.
+
+Pipeline (SURVEY §2.6): project (id, phash) → explode ×B → ONE coarse
+hash-partition (util.partitioned_group_apply) → vectorized in-partition
+candidate generation + ONE batched XOR+popcount verify → tiny cross-band
+pair-dedup shuffle over candidates only. Image bytes never move.
 """
 
 from __future__ import annotations
@@ -23,8 +36,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-
-from ..util import default_concurrency
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
@@ -35,52 +46,120 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
 
 
-class _ExplodeBands:
-    def __init__(self, id_col: str, phash_col: str, bands: int):
-        self.id_col, self.phash_col, self.bands = id_col, phash_col, bands
-        self.width = 64 // bands
+def _explode_bands(batch: pa.Table, *, id_col: str, phash_col: str,
+                   bands: int) -> pa.Table:
+    width = 64 // bands
+    ph = batch.column(phash_col).combine_chunks()
+    ids = batch.column(id_col).combine_chunks()
+    h = ph.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    n = len(h)
+    mask = np.uint64((1 << width) - 1)
+    band_ids, band_vals = [], []
+    for b in range(bands):
+        band_ids.append(np.full(n, b, dtype=np.int8))
+        band_vals.append(
+            ((h >> np.uint64(b * width)) & mask).view(np.int64))
+    return pa.table({
+        "band_id": pa.array(np.concatenate(band_ids)),
+        "band_val": pa.array(np.concatenate(band_vals)),
+        id_col: pa.concat_arrays([ids] * bands),
+        phash_col: pa.concat_arrays([ph] * bands),
+    })
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ph = batch.column(self.phash_col).combine_chunks()
-        ids = batch.column(self.id_col).combine_chunks()
-        h = ph.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        n = len(h)
-        mask = np.uint64((1 << self.width) - 1)
-        band_ids, band_vals = [], []
-        for b in range(self.bands):
-            band_ids.append(np.full(n, b, dtype=np.int8))
-            band_vals.append(
-                ((h >> np.uint64(b * self.width)) & mask).view(np.int64))
-        rep_ids = pa.concat_arrays([ids] * self.bands)
-        return pa.table({
-            "band_id": pa.array(np.concatenate(band_ids)),
-            "band_val": pa.array(np.concatenate(band_vals)),
-            self.id_col: rep_ids,
-            self.phash_col: pa.concat_arrays([ph] * self.bands),
-        })
+
+def _remove_band_bits(ph: np.ndarray, band: np.ndarray,
+                      width: int) -> np.ndarray:
+    """Per-row removal of each row's band bits (band is an array)."""
+    lo_bits = band.astype(np.uint64) * np.uint64(width)
+    low = ph & ((np.uint64(1) << lo_bits) - np.uint64(1))
+    high = ph >> (lo_bits + np.uint64(width))
+    return low | (high << lo_bits)
+
+
+_EMPTY_PAIRS = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object),
+                             "distance": pd.Series([], dtype=np.int32)})
 
 
 def _partition_pairs(id_col: str, phash_col: str, max_distance: int,
-                     max_bucket: int):
-    """Per coarse partition: group by (band_id, band_val) IN PANDAS (no
-    per-group Ray task), pairwise-verify buckets of size ≥ 2."""
+                     max_bucket: int, bands: int,
+                     pair_threshold: int = 64):
+    """Vectorized per-partition candidate generation (see module doc)."""
+    width = 64 // bands
+    nsub = max_distance + 1
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
             return _EMPTY_PAIRS.copy()
-        ids_all = df[id_col].to_numpy()
-        ph_all = df[phash_col].to_numpy().astype(np.int64).view(np.uint64)
+        from ..sketches.hashing import _splitmix64
+        from ..util import ranges_concat, segment_pairs
+        bid = df["band_id"].to_numpy().astype(np.int64)
+        bval = df["band_val"].to_numpy()
+        ids = df[id_col].to_numpy()
+        ph = df[phash_col].to_numpy().astype(np.int64).view(np.uint64)
+
+        # bucket sizes via one lexsort
+        order = np.lexsort((bval, bid))
+        bid_s, bval_s = bid[order], bval[order]
+        n = len(order)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = (bid_s[1:] != bid_s[:-1]) | (bval_s[1:] != bval_s[:-1])
+        seg_id = np.cumsum(new_seg) - 1
+        starts_idx = np.nonzero(new_seg)[0]
+        sizes = np.append(starts_idx[1:], n) - starts_idx
+        row_size = sizes[seg_id]          # bucket size per sorted row
+
+        small_rows = order[row_size <= pair_threshold]
+        big_rows = order[row_size > pair_threshold]
+
+        pend_a, pend_b = [], []
+
+        def run_segment(sub_idx: np.ndarray, keys: list[np.ndarray]):
+            a, b, ordr = segment_pairs(keys, max_bucket)
+            if len(a):
+                sa, sb = sub_idx[ordr][a], sub_idx[ordr][b]
+                keep = sa != sb  # copies of one source row never pair
+                pend_a.append(sa[keep])
+                pend_b.append(sb[keep])
+
+        if len(small_rows) >= 2:
+            run_segment(small_rows, [bid[small_rows].astype(np.int64),
+                                     bval[small_rows]])
+        if len(big_rows) >= 2:
+            # second level: locally explode oversized-bucket rows ×nsub on
+            # sub-bands of each row's remaining bits — all vectorized
+            rem = _remove_band_bits(ph[big_rows],
+                                    bid[big_rows].astype(np.uint64), width)
+            rembits = 64 - width
+            w2 = rembits // nsub
+            with np.errstate(over="ignore"):
+                base = _splitmix64(bval[big_rows].view(np.uint64)
+                                   ^ _splitmix64(
+                                       bid[big_rows].astype(np.uint64)))
+                rep_idx = np.tile(big_rows, nsub)
+                keys2 = np.empty(len(big_rows) * nsub, dtype=np.uint64)
+                for j in range(nsub):
+                    take = rembits - j * w2 if j == nsub - 1 else w2
+                    sval = (rem >> np.uint64(j * w2)) & \
+                        ((np.uint64(1) << np.uint64(take)) - np.uint64(1))
+                    # sub-band index salt must be a full-width mix: a small
+                    # additive salt (sval + j) collides across sub-bands
+                    # whenever svals differ by small integers, self-pairing
+                    # rows with their own copies
+                    salt = np.uint64((j + 1) * 0x9E3779B97F4A7C15 &
+                                     0xFFFFFFFFFFFFFFFF)
+                    keys2[j * len(big_rows):(j + 1) * len(big_rows)] = \
+                        _splitmix64(base ^ _splitmix64(sval + salt))
+            run_segment(rep_idx, [keys2.view(np.int64)])
+
+        if not pend_a:
+            return _EMPTY_PAIRS.copy()
+        a_idx = np.concatenate(pend_a)
+        b_idx = np.concatenate(pend_b)
         out_a, out_b, out_d = [], [], []
-        for _, idx in df.groupby(["band_id", "band_val"],
-                                 sort=False).indices.items():
-            k = len(idx)
-            if k < 2:
-                continue
-            if k > max_bucket:  # hot-bucket skew guard: cap O(k²)
-                idx = idx[:max_bucket]
-                k = max_bucket
-            ids, ph = ids_all[idx], ph_all[idx]
-            ai, bi = np.triu_indices(k, 1)
+        for lo in range(0, len(a_idx), 8_000_000):  # bound verify memory
+            ai = a_idx[lo:lo + 8_000_000]
+            bi = b_idx[lo:lo + 8_000_000]
             d = hamming64(ph[ai], ph[bi])
             hit = d <= max_distance
             if not hit.any():
@@ -99,37 +178,30 @@ def _partition_pairs(id_col: str, phash_col: str, max_distance: int,
     return fn
 
 
-_EMPTY_PAIRS = pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                             "id_b": pd.Series([], dtype=object),
-                             "distance": pd.Series([], dtype=np.int32)})
-
-
 def phash_near_duplicates(ds, id_col: str = "image_id",
                           phash_col: str = "phash", max_distance: int = 4,
-                          bands: int = 8, max_bucket: int = 1024,
+                          bands: int = None, max_bucket: int = 1024,
                           num_partitions: int = 64,
                           batch_size: int = 131072):
     """Dataset → Dataset of near-dup pairs ``(id_a, id_b, distance)`` with
-    id_a < id_b, exact for Hamming distance ≤ min(max_distance, bands-1).
-
-    Shuffle shape: ONE coarse hash-partition on the band key (bounded
-    ``num_partitions`` groups — see util.partitioned_group_apply for why a
-    fine-key map_groups is wrong at scale), then a tiny pair-dedup shuffle
-    over candidates only."""
+    id_a < id_b; recall 1 for Hamming distance ≤ max_distance (module doc),
+    distances verified exactly."""
+    if bands is None:
+        bands = max_distance + 1
     assert max_distance < bands, "bands must exceed max_distance for recall 1"
+    import functools
+
     from ..util import partitioned_group_apply
     exploded = ds.select_columns([id_col, phash_col]).map_batches(
-        _ExplodeBands,
-        fn_constructor_kwargs=dict(id_col=id_col, phash_col=phash_col,
-                                   bands=bands),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=default_concurrency())
+        functools.partial(_explode_bands, id_col=id_col,
+                          phash_col=phash_col, bands=bands),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     pairs = partitioned_group_apply(
         exploded, ["band_id", "band_val"],
-        _partition_pairs(id_col, phash_col, max_distance, max_bucket),
+        _partition_pairs(id_col, phash_col, max_distance, max_bucket,
+                         bands),
         num_partitions=num_partitions)
-    # cross-band dedup: the same pair can surface from several bands (and
-    # therefore several partitions)
+    # the same pair can surface from several bands / partitions
     return partitioned_group_apply(
         pairs, ["id_a", "id_b"],
         lambda df: df.drop_duplicates(["id_a", "id_b"]),

@@ -22,25 +22,26 @@ import pyarrow.compute as pc
 import ray
 
 
-class _AntiJoinStage:
-    """Actor: resolves the broadcast key set ONCE in __init__, then filters
-    each batch to rows whose key is not in the set (pc.is_in — zero-copy)."""
+def _semi_join_batch(batch: pa.Table, *, key: str, value_set_ref,
+                     keep: str) -> pa.Table:
+    """Task body: the broadcast key set is fetched from the object store
+    ONCE per worker process (worker_cached on the ref), then each batch
+    filters with pc.is_in — zero-copy, no shuffle."""
+    from ..util import worker_cached
 
-    def __init__(self, key: str, value_set_ref, keep: str = "missing"):
+    def fetch():
         vs = ray.get(value_set_ref)
-        self.value_set = vs if isinstance(vs, pa.Array) else pa.array(vs)
-        self.key = key
-        self.keep = keep
+        return vs if isinstance(vs, pa.Array) else pa.array(vs)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(self.key)
-        hit = pc.is_in(col, value_set=self.value_set)
-        valid = pc.is_valid(col)
-        if self.keep == "missing":  # anti-join: present key, no match
-            keep = pc.and_(valid, pc.invert(hit))
-        else:  # semi-join
-            keep = pc.and_(valid, hit)
-        return batch.filter(keep)
+    value_set = worker_cached(("semijoin", value_set_ref.hex()), fetch)
+    col = batch.column(key)
+    hit = pc.is_in(col, value_set=value_set)
+    valid = pc.is_valid(col)
+    if keep == "missing":  # anti-join: present key, no match
+        mask = pc.and_(valid, pc.invert(hit))
+    else:  # semi-join
+        mask = pc.and_(valid, hit)
+    return batch.filter(mask)
 
 
 def _broadcast_keys(ref_ds_or_array, key: Optional[str]):
@@ -63,17 +64,17 @@ def broadcast_semi_join(ds, key: str, ref, ref_key: Optional[str] = None,
                         batch_size: int = 131072, concurrency=None):
     """Filter ``ds`` to rows whose ``key`` is (semi) / is not (anti) in the
     reference key universe. ``ref`` may be a Dataset, pyarrow array or list."""
+    import functools
     vs_ref = _broadcast_keys(ref, ref_key or key)
     if columns is not None:
         ds = ds.select_columns(columns)
-    from ..util import default_concurrency
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
-                  batch_size=batch_size,
-                  concurrency=concurrency or default_concurrency())
+                  batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return ds.map_batches(
-        _AntiJoinStage,
-        fn_constructor_kwargs=dict(key=key, value_set_ref=vs_ref,
-                                   keep="missing" if anti else "present"),
+        functools.partial(_semi_join_batch, key=key, value_set_ref=vs_ref,
+                          keep="missing" if anti else "present"),
         **kwargs)
 
 

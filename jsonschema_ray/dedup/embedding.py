@@ -10,31 +10,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import default_concurrency
 
 
-class _HyperplaneBucket:
-    def __init__(self, vec_col: str, id_col: str, planes: int, dim: int,
-                 seed: int):
-        rng = np.random.default_rng(seed)
-        self.H = rng.standard_normal((dim, planes))
-        self.vec_col, self.id_col = vec_col, id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(
-            np.float64)
-        signs = (vecs @ self.H) > 0
-        bucket = np.zeros(len(vecs), dtype=np.uint64)
-        for k in range(signs.shape[1]):
-            bucket |= signs[:, k].astype(np.uint64) << np.uint64(k)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        return pa.table({
-            "bucket": pa.array(bucket.view(np.int64)),
-            self.id_col: batch.column(self.id_col),
-            "unit": pa.array(list(unit.astype(np.float32))),
-        })
+def _hyperplane_bucket(batch: pa.Table, *, vec_col: str, id_col: str,
+                       planes: int, dim: int, seed: int) -> pa.Table:
+    from ..util import worker_cached
+    H = worker_cached(("hyperplanes", dim, planes, seed),
+                      lambda: np.random.default_rng(seed)
+                      .standard_normal((dim, planes)))
+    vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+    signs = (vecs @ H) > 0
+    bucket = np.zeros(len(vecs), dtype=np.uint64)
+    for k in range(signs.shape[1]):
+        bucket |= signs[:, k].astype(np.uint64) << np.uint64(k)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    return pa.table({
+        "bucket": pa.array(bucket.view(np.int64)),
+        id_col: batch.column(id_col),
+        "unit": pa.array(list(unit.astype(np.float32))),
+    })
 
 
 def embedding_near_duplicates(ds, vec_col: str = "embedding",
@@ -44,12 +40,11 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
                               batch_size: int = 8192):
     """→ Dataset of pairs ``(id_a, id_b, cosine)`` with cosine ≥ threshold
     that share an LSH bucket (approximate recall, exact precision)."""
+    import functools
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
-        _HyperplaneBucket,
-        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col,
-                                   planes=planes, dim=dim, seed=seed),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=default_concurrency())
+        functools.partial(_hyperplane_bucket, vec_col=vec_col,
+                          id_col=id_col, planes=planes, dim=dim, seed=seed),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                           "id_b": pd.Series([], dtype=np.int64),

@@ -13,28 +13,23 @@ import pandas as pd
 import pyarrow as pa
 
 from ..sketches.hashing import hash64_array
-from ..util import default_concurrency
 
 
-class _AddHash:
-    def __init__(self, col: str):
-        self.col = col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(self.col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        h = hash64_array(col).view(np.int64)
-        return batch.append_column("_content_hash", pa.array(h))
+def _add_hash(batch: pa.Table, *, col_name: str) -> pa.Table:
+    col = batch.column(col_name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = hash64_array(col).view(np.int64)
+    return batch.append_column("_content_hash", pa.array(h))
 
 
 def _with_hash(ds, text_col: str, columns=None, batch_size: int = 65536):
+    import functools
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds.map_batches(
-        _AddHash, fn_constructor_kwargs=dict(col=text_col),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=default_concurrency())
+        functools.partial(_add_hash, col_name=text_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",

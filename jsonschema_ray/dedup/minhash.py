@@ -15,7 +15,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ..sketches.hashing import _splitmix64, hash64_array
-from ..util import default_concurrency
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -26,11 +25,68 @@ def _char_shingles(text: str, k: int) -> list[str]:
     return [text[i:i + k] for i in range(len(text) - k + 1)]
 
 
+_FNV = np.uint64(1099511628211)
+
+
+def kgram_hashes_flat(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized k-byte-gram hashing for a whole batch: ONE polynomial
+    rolling hash over the concatenated utf-8 bytes (never materializes
+    shingle strings — hashing 2M five-char strings through siphash cost 7 s
+    per batch; this path is ~50×  cheaper). Texts shorter than k contribute
+    one whole-text gram. Returns (flat uint64 hashes, bounds[n+1])."""
+    from ..sketches.hashing import _splitmix64
+    enc = [(t or "").encode("utf-8") for t in texts]
+    n = len(enc)
+    lens = np.fromiter((len(b) for b in enc), count=n, dtype=np.int64)
+    counts = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    total_out = int(bounds[-1])
+    out = np.zeros(total_out, dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return out, bounds
+    allb = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    W = total - k + 1
+    if W > 0:
+        with np.errstate(over="ignore"):
+            acc = np.zeros(W, dtype=np.uint64)
+            for j in range(k):
+                acc *= _FNV
+                acc += allb[j:j + W]
+        # windows crossing a doc boundary start in the last k-1 positions
+        # of a doc: O(docs·k) bad indices instead of O(windows) bookkeeping
+        valid = np.ones(W, dtype=bool)
+        if k > 1:
+            bad = (offs[1:, None] - np.arange(1, k)[None, :]).ravel()
+            bad = bad[(bad >= 0) & (bad < W)]
+            valid[bad] = False
+        compact = _splitmix64(acc[valid])
+        if not ((lens > 0) & (lens < k)).any():
+            out = compact  # doc order is preserved; slots align exactly
+            return out, bounds
+        # general path: scatter long-doc windows around short-doc slots
+        long_docs = lens >= k
+        dest_parts = [np.arange(bounds[d], bounds[d + 1])
+                      for d in np.nonzero(long_docs)[0]]
+        if dest_parts:
+            out[np.concatenate(dest_parts)] = compact
+    # short docs (0 < len < k): one whole-text gram each (rare path)
+    for d in np.nonzero((lens > 0) & (lens < k))[0]:
+        b = allb[offs[d]:offs[d + 1]]
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for byte in b:
+                acc = acc * _FNV + byte
+        out[bounds[d]] = _splitmix64(np.array([acc]))[0]
+    return out, bounds
+
+
 def shingle_hashes(text: str, k: int) -> np.ndarray:
-    sh = _char_shingles(text, k)
-    if not sh:
-        return np.array([], dtype=np.uint64)
-    return np.unique(hash64_array(pa.array(sh)))
+    flat, _ = kgram_hashes_flat([text], k)
+    return np.unique(flat)
 
 
 def jaccard_shingles(a: str, b: str, k: int = 5) -> float:
@@ -70,13 +126,34 @@ class MinHashStage:
             perm = (prod & _MERSENNE) + (prod >> np.uint64(61))
         return perm.min(axis=1)
 
+    def _signatures(self, texts: list) -> np.ndarray:
+        """Batch-vectorized signatures: ONE flat hash pass over every
+        shingle of every doc (per-doc pa.array+siphash calls dominated the
+        profile at 2-3 ms/doc), then a chunked permute+segment-min."""
+        n = len(texts)
+        flat, bounds = kgram_hashes_flat(texts, self.k)
+        sigs = np.zeros((n, self.m), dtype=np.uint64)
+        if len(flat) == 0:
+            return sigs
+        fh = flat & _MERSENNE
+        starts = bounds[:-1]
+        nonempty = bounds[1:] > starts
+        safe_starts = np.minimum(starts, len(fh) - 1)
+        with np.errstate(over="ignore"):
+            # one flat permuted vector + segment-min per permutation: no
+            # (m × shingles) matrix materializes, reduceat does the doc min
+            for i in range(self.m):
+                v = self.a[i] * fh + self.b[i]
+                v = (v & _MERSENNE) + (v >> np.uint64(61))
+                mins = np.minimum.reduceat(v, safe_starts)
+                sigs[nonempty, i] = mins[nonempty]
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         ids = batch.column(self.id_col).to_pylist()
         n = len(texts)
-        sigs = np.empty((n, self.m), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t or "")
+        sigs = self._signatures(texts)
         r = self.rows_per_band
         band_rows = {"band_id": [], "band_hash": [], self.id_col: [],
                      "sig": []}
@@ -105,6 +182,16 @@ _EMPTY = pd.DataFrame({"id_a": pd.Series([], dtype=object),
                        "jaccard_est": pd.Series([], dtype=float)})
 
 
+def _minhash_batch(batch, *, text_col, id_col, num_hashes, k, bands):
+    from ..util import worker_cached
+    stage = worker_cached(("minhash", text_col, id_col, num_hashes, k, bands),
+                          lambda: MinHashStage(text_col=text_col,
+                                               id_col=id_col,
+                                               num_hashes=num_hashes, k=k,
+                                               bands=bands))
+    return stage(batch)
+
+
 def _partition_candidates(id_col: str, threshold: float, max_bucket: int):
     """Per coarse partition: pandas-group by (band_id, band_hash), verify
     buckets pairwise on the minhash signatures (vectorized)."""
@@ -112,21 +199,20 @@ def _partition_candidates(id_col: str, threshold: float, max_bucket: int):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
             return _EMPTY.copy()
-        ids_all = df[id_col].to_numpy()
-        sig_all = df["sig"].to_numpy()
+        from ..util import segment_pairs
+        bid = df["band_id"].to_numpy().astype(np.int64)
+        bhash = df["band_hash"].to_numpy()
+        a_idx, b_idx, order = segment_pairs([bid, bhash], max_bucket)
+        if len(a_idx) == 0:
+            return _EMPTY.copy()
+        ids = df[id_col].to_numpy()[order]
+        sig_bytes = df["sig"].to_numpy()[order]
+        sigs = np.frombuffer(b"".join(sig_bytes), dtype=np.uint64) \
+            .reshape(len(ids), -1)
         out = []
-        for _, idx in df.groupby(["band_id", "band_hash"],
-                                 sort=False).indices.items():
-            k = len(idx)
-            if k < 2:
-                continue
-            if k > max_bucket:  # skew guard
-                idx = idx[:max_bucket]
-                k = max_bucket
-            ids = ids_all[idx]
-            sigs = np.stack([np.frombuffer(sig_all[i], dtype=np.uint64)
-                             for i in idx])
-            ai, bi = np.triu_indices(k, 1)
+        for lo in range(0, len(a_idx), 1_000_000):
+            ai = a_idx[lo:lo + 1_000_000]
+            bi = b_idx[lo:lo + 1_000_000]
             est = (sigs[ai] == sigs[bi]).mean(axis=1)
             hit = est >= threshold
             if not hit.any():
@@ -153,12 +239,11 @@ def minhash_near_duplicates(ds, text_col: str = "text",
     with estimated shingle-Jaccard ≥ threshold (id_a < id_b). One coarse
     hash-partition shuffle on the band key; signatures travel once."""
     from ..util import partitioned_group_apply
+    import functools
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
-                                   num_hashes=num_hashes, k=k, bands=bands),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=default_concurrency())
+        functools.partial(_minhash_batch, text_col=text_col, id_col=id_col,
+                          num_hashes=num_hashes, k=k, bands=bands),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     pairs = partitioned_group_apply(
         exploded, ["band_id", "band_hash"],
         _partition_candidates(id_col, threshold, max_bucket),

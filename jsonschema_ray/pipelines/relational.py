@@ -21,7 +21,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.validate import validate_dataset
-from ..util import default_concurrency
 
 
 def _rd():
@@ -38,28 +37,41 @@ def _read(sf_dir: str, table: str, columns=None):
 # inside map_batches, then shuffle only the per-batch partials)
 
 
-class _PartialGroupAgg:
-    def __init__(self, keys: list[str], sum_cols: list[str]):
-        self.keys, self.sum_cols = keys, sum_cols
+def _partial_group_agg(batch: pa.Table, *, keys: tuple,
+                       sum_cols: tuple) -> pa.Table:
+    keys, sum_cols = list(keys), list(sum_cols)
+    aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
+    out = batch.group_by(keys).aggregate(aggs)
+    names = keys + [f"{c}_psum" for c in sum_cols] + ["_pcnt"]
+    return out.rename_columns(names)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        aggs = [(c, "sum") for c in self.sum_cols] + [([], "count_all")]
-        out = batch.group_by(self.keys).aggregate(aggs)
-        names = self.keys + [f"{c}_psum" for c in self.sum_cols] + ["_pcnt"]
-        return out.rename_columns(names)
+
+def _broadcast_lookup_batch(b: pa.Table, *, ref, key: str,
+                            out: str) -> pa.Table:
+    """Broadcast hash join: the small-side dict is fetched from the object
+    store once per worker process (ray.put on the driver, worker_cached
+    here) and mapped over the fact batch."""
+    import ray
+
+    from ..util import worker_cached
+    lookup = worker_cached(("lookup", ref.hex()), lambda: ray.get(ref))
+    keys = b[key].to_numpy(zero_copy_only=False)
+    vals = pa.array([lookup.get(k) for k in keys], type=pa.string())
+    return b.append_column(out, vals)
 
 
 def grouped_agg(ds, keys: list[str], sums: dict[str, str],
                 count_alias: str = "n_rows"):
     """groupby(keys) with Sum/Count, pre-aggregated per batch so the shuffle
     moves one row per (key, batch). ``sums``: {source_col: output_name}."""
+    import functools
+
     from ray.data.aggregate import Sum
     sum_cols = list(sums)
     partials = ds.select_columns(keys + sum_cols).map_batches(
-        _PartialGroupAgg,
-        fn_constructor_kwargs=dict(keys=keys, sum_cols=sum_cols),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=131072,
-        concurrency=default_concurrency())
+        functools.partial(_partial_group_agg, keys=tuple(keys),
+                          sum_cols=tuple(sum_cols)),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=131072)
     aggs = [Sum(f"{c}_psum", alias_name=out) for c, out in sums.items()]
     aggs.append(Sum("_pcnt", alias_name=count_alias))
     return partials.groupby(keys).aggregate(*aggs)
@@ -213,27 +225,17 @@ def q1_pricing_summary(sf_dir: str):
 def segment_order_stats(sf_dir: str):
     """Broadcast hash join: orders ⨝ customer (small side broadcast via
     ray.put), grouped by market segment."""
+    import functools
+
     import ray
-    rd = _rd()
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_mktsegment"]).to_pandas()
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
-
-    class JoinSegment:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b["o_custkey"].to_numpy(zero_copy_only=False)
-            seg = pa.array([self.lookup.get(k) for k in keys],
-                           type=pa.string())
-            return b.append_column("c_mktsegment", seg)
-
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = orders.map_batches(
-        JoinSegment, fn_constructor_args=(lookup_ref,),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=default_concurrency())
+        functools.partial(_broadcast_lookup_batch, ref=lookup_ref,
+                          key="o_custkey", out="c_mktsegment"),
+        batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_agg(joined, ["c_mktsegment"],
                       {"o_totalprice": "sum_totalprice"},
                       count_alias="n_orders").to_pandas()
@@ -244,24 +246,16 @@ def segment_order_stats(sf_dir: str):
 def brand_quantity(sf_dir: str):
     """Broadcast join lineitem ⨝ part grouped by brand (sum of integral
     doubles — exact in any order)."""
+    import functools
+
     import ray
     part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
     ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
-
-    class JoinBrand:
-        def __init__(self, r):
-            self.lookup = ray.get(r)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b["l_partkey"].to_numpy(zero_copy_only=False)
-            brand = pa.array([self.lookup.get(k) for k in keys],
-                             type=pa.string())
-            return b.append_column("p_brand", brand)
-
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
-    joined = li.map_batches(JoinBrand, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=default_concurrency())
+    joined = li.map_batches(
+        functools.partial(_broadcast_lookup_batch, ref=ref, key="l_partkey",
+                          out="p_brand"),
+        batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_agg(joined, ["p_brand"], {"l_quantity": "sum_qty"},
                       count_alias="n_items").to_pandas()
     return out.sort_values("p_brand").reset_index(drop=True)

@@ -38,7 +38,6 @@ from ..rules.vector import BatchValidator
 from ..stages.decode import DecodeCheckStage
 from ..stages.stats import ColumnStatsStage, merge_stat_partials
 from ..state import CheckpointStore, FragmentRecord
-from ..util import default_concurrency
 
 # The canonical rule set for the BASELINE input_hint schema (FIXTURES F3) —
 # drafted the way a jsonschema user would write it (keywords per
@@ -110,6 +109,13 @@ class _FragmentStatsStage:
         return pa.concat_tables(outs)
 
 
+def _fragment_stats_batch(batch, *, columns):
+    from ..util import worker_cached
+    stage = worker_cached(("fragstats", columns),
+                          lambda: _FragmentStatsStage(list(columns)))
+    return stage(batch)
+
+
 def _stats_state_to_bytes(df: pd.DataFrame) -> bytes:
     buf = io.BytesIO()
     df.to_parquet(buf)  # pyarrow engine
@@ -120,16 +126,35 @@ def _stats_state_from_bytes(b: bytes) -> pd.DataFrame:
     return pd.read_parquet(io.BytesIO(b))
 
 
+def _image_validate_batch(batch, *, doc_json, decode, check_phash,
+                          path_col):
+    import json
+
+    from ..util import worker_cached
+    stage = worker_cached(
+        ("imgvalidate", doc_json, decode, check_phash, path_col),
+        lambda: ImageValidateStage(json.loads(doc_json), decode=decode,
+                                   check_phash=check_phash,
+                                   path_col=path_col))
+    return stage(batch)
+
+
+def _image_stage_fn(rs, decode, check_phash, path_col=None):
+    import functools
+
+    from ..rules.model import canonical_json
+    return functools.partial(_image_validate_batch,
+                             doc_json=canonical_json(rs.doc), decode=decode,
+                             check_phash=check_phash, path_col=path_col)
+
+
 def validate_images(ds, ruleset=None, decode: bool = True,
-                    check_phash: bool = False, batch_size: int = 1024):
+                    check_phash: bool = False, batch_size: int = 4096):
     """One-shot (no checkpoint): Dataset → Dataset of violation rows."""
     rs = parse_ruleset(ruleset or IMAGE_RULESET)
     return ds.map_batches(
-        ImageValidateStage,
-        fn_constructor_kwargs=dict(ruleset=rs, decode=decode,
-                                   check_phash=check_phash),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=default_concurrency())
+        _image_stage_fn(rs, decode, check_phash),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
 
 def validate_images_pipeline(
@@ -142,7 +167,7 @@ def validate_images_pipeline(
         decode: bool = True,
         check_phash: bool = False,
         stats_columns: tuple = ("w", "h", "caption", "phash"),
-        batch_size: int = 1024,
+        batch_size: int = 4096,
         neardup_max_distance: int = 4) -> dict:
     """Checkpointed flagship run. Returns the global report dict.
 
@@ -175,13 +200,9 @@ def validate_images_pipeline(
         t0 = time.perf_counter()
         ds = rd.read_parquet(wave, include_paths=True)
         viol = ds.map_batches(
-            ImageValidateStage,
-            fn_constructor_kwargs=dict(ruleset=rs, decode=decode,
-                                       check_phash=check_phash,
-                                       path_col="path"),
+            _image_stage_fn(rs, decode, check_phash, path_col="path"),
             batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=batch_size,
-            concurrency=default_concurrency()).materialize()
+            batch_size=batch_size).materialize()
         # violations to disk BEFORE records (records = commit point)
         viol.write_parquet(store.violations_path(tag))
         vpdf = viol.select_columns(["path", "keyword"]).to_pandas()
@@ -189,12 +210,12 @@ def validate_images_pipeline(
         for k, c in vpdf.groupby("keyword").size().items():
             per_keyword[k] = per_keyword.get(k, 0) + int(c)
         # per-fragment stats partials over narrow columns (no bytes)
+        import functools
         sp = ds.select_columns(list(stats_columns) + ["path"]).map_batches(
-            _FragmentStatsStage,
-            fn_constructor_kwargs=dict(columns=list(stats_columns)),
+            functools.partial(_fragment_stats_batch,
+                              columns=tuple(stats_columns)),
             batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=65536,
-            concurrency=default_concurrency()).to_pandas()
+            batch_size=65536).to_pandas()
         wall = time.perf_counter() - t0
         nviol_by_frag = vpdf.groupby("fragment_id").size()
         for f in wave:

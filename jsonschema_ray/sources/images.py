@@ -132,21 +132,29 @@ class GenImagesBatch:
         return pa.table(cols, schema=IMAGES_ARROW_SCHEMA)
 
 
+def _gen_batch(batch, *, seed, inject, size_lo, size_hi):
+    from ..util import worker_cached
+    g = worker_cached(("genimages", seed, inject, size_lo, size_hi),
+                      lambda: GenImagesBatch(seed=seed, inject=inject,
+                                             size_lo=size_lo,
+                                             size_hi=size_hi))
+    return g(batch)
+
+
 def generate_images(n: int, seed: int = 42, blocks: int | None = None,
                     inject: bool = True, size_lo: int = 16,
                     size_hi: int = 64, batch_size: int = 2048):
     """→ streaming Dataset of n synthetic image rows."""
+    import functools
+
     import ray.data as rd
-    from ..util import default_concurrency
     kwargs = {}
     if blocks:
         kwargs["override_num_blocks"] = blocks
     return rd.range(n, **kwargs).map_batches(
-        GenImagesBatch,
-        fn_constructor_kwargs=dict(seed=seed, inject=inject, size_lo=size_lo,
-                                   size_hi=size_hi),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=default_concurrency())
+        functools.partial(_gen_batch, seed=seed, inject=inject,
+                          size_lo=size_lo, size_hi=size_hi),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def write_images_corpus(out_dir: str, n: int, num_files: int = 8,

@@ -107,11 +107,22 @@ class DecodeCheckStage:
         return pa.table(out, schema=pa.schema(fields))
 
 
+def _decode_batch(batch: pa.Table, *, cfg_items: tuple) -> pa.Table:
+    from ..util import worker_cached
+    stage = worker_cached(("decode", cfg_items),
+                          lambda: DecodeCheckStage(**dict(cfg_items)))
+    return stage(batch)
+
+
 def decode_violations(ds, batch_size: int = 1024, concurrency=None, **cfg):
-    """Dataset → Dataset of decode-check violation rows. Small batch_size by
-    default: batches carry the full binary payload."""
-    from ..util import default_concurrency
+    """Dataset → Dataset of decode-check violation rows, as stateless tasks
+    with per-worker cached codec config. Small batch_size by default:
+    batches carry the full binary payload."""
+    import functools
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return ds.map_batches(
-        DecodeCheckStage, fn_constructor_kwargs=cfg,
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=concurrency or default_concurrency())
+        functools.partial(_decode_batch,
+                          cfg_items=tuple(sorted(cfg.items()))), **kwargs)

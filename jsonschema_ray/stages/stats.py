@@ -137,20 +137,33 @@ def merge_stat_partials(g: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
+def _stats_batch(batch: pa.Table, *, columns, hll_p, delta) -> pa.Table:
+    from ..util import worker_cached
+    stage = worker_cached(("colstats", columns, hll_p, delta),
+                          lambda: ColumnStatsStage(
+                              columns=list(columns) if columns else None,
+                              hll_p=hll_p, tdigest_delta=delta))
+    return stage(batch)
+
+
 def column_stats(ds, columns: Optional[list[str]] = None,
-                 batch_size: int = 65536, concurrency=None):
+                 batch_size: int = 65536, concurrency=None,
+                 hll_p: int = 14, tdigest_delta: float = 200.0):
     """Dataset → small Dataset of per-column stats (one row per column).
 
-    Partials are computed inside map_batches (stateless vectorized pass);
+    Partials are computed inside map_batches (stateless vectorized tasks);
     only the sketch rows go through the tiny groupby."""
-    from ..util import default_concurrency
+    import functools
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
-                  batch_size=batch_size,
-                  concurrency=concurrency or default_concurrency())
+                  batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     if columns is not None:
         ds = ds.select_columns(columns)  # prune before compute
     partials = ds.map_batches(
-        ColumnStatsStage, fn_constructor_kwargs=dict(columns=columns),
+        functools.partial(_stats_batch,
+                          columns=tuple(columns) if columns else None,
+                          hll_p=hll_p, delta=tdigest_delta),
         **kwargs)
     return partials.groupby("column").map_groups(
         merge_stat_partials, batch_format="pandas")

@@ -63,38 +63,53 @@ class ValidatorStage:
         return batch.filter(pa.array(keep))
 
 
+def _validate_batch(batch: pa.Table, *, doc_json: str, key_columns: tuple,
+                    mode: str, validate_format: bool) -> pa.Table:
+    """Module-level task body: the compiled validator is cached per worker
+    PROCESS (util.worker_cached), so stateless Ray tasks get load-once
+    state without paying actor-pool cold starts per stage."""
+    from ..util import worker_cached
+    stage = worker_cached(
+        ("validator", doc_json, key_columns, mode, validate_format),
+        lambda: ValidatorStage(json.loads(doc_json),
+                               key_columns=list(key_columns), mode=mode,
+                               validate_format=validate_format))
+    return stage(batch)
+
+
+def _stage_fn(ruleset: RulesetLike, key_columns, mode, validate_format):
+    import functools
+
+    from ..rules.model import canonical_json
+    rs = _as_ruleset(ruleset)
+    return functools.partial(_validate_batch,
+                             doc_json=canonical_json(rs.doc),
+                             key_columns=tuple(key_columns or ()),
+                             mode=mode, validate_format=validate_format)
+
+
 def validate_dataset(ds, ruleset: RulesetLike, key_columns: list[str],
                      batch_size: int = 65536, concurrency=None,
                      validate_format: bool = True):
     """Dataset of rows → Dataset of violation rows (streaming; no
     materialization). ``ds.count() == 0`` ⇔ table passes."""
-    from ..util import default_concurrency
     kwargs: dict[str, Any] = dict(batch_format="pyarrow",
                                   zero_copy_batch=True,
-                                  batch_size=batch_size,
-                                  concurrency=concurrency
-                                  or default_concurrency())
-    rs = _as_ruleset(ruleset)
+                                  batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return ds.map_batches(
-        ValidatorStage,
-        fn_constructor_kwargs=dict(ruleset=rs, key_columns=key_columns,
-                                   mode="violations",
-                                   validate_format=validate_format),
+        _stage_fn(ruleset, key_columns, "violations", validate_format),
         **kwargs)
 
 
 def annotate_dataset(ds, ruleset: RulesetLike, batch_size: int = 65536,
                      concurrency=None, validate_format: bool = True):
     """Dataset → same Dataset + ``_valid`` boolean column."""
-    from ..util import default_concurrency
     kwargs: dict[str, Any] = dict(batch_format="pyarrow",
                                   zero_copy_batch=True,
-                                  batch_size=batch_size,
-                                  concurrency=concurrency
-                                  or default_concurrency())
+                                  batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return ds.map_batches(
-        ValidatorStage,
-        fn_constructor_kwargs=dict(ruleset=_as_ruleset(ruleset),
-                                   mode="annotate",
-                                   validate_format=validate_format),
-        **kwargs)
+        _stage_fn(ruleset, None, "annotate", validate_format), **kwargs)

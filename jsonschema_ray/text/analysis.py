@@ -167,11 +167,21 @@ class TextFeaturesStage:
         return batch
 
 
+def _text_features_batch(batch, *, text_col, cfg_items):
+    from ..util import worker_cached
+    stage = worker_cached(("textfeat", text_col, cfg_items),
+                          lambda: TextFeaturesStage(text_col=text_col,
+                                                    **dict(cfg_items)))
+    return stage(batch)
+
+
 def add_text_features(ds, text_col: str = "text", batch_size: int = 8192,
                       concurrency=None, **cfg):
-    from ..util import default_concurrency
+    import functools
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return ds.map_batches(
-        TextFeaturesStage,
-        fn_constructor_kwargs=dict(text_col=text_col, **cfg),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
-        concurrency=concurrency or default_concurrency())
+        functools.partial(_text_features_batch, text_col=text_col,
+                          cfg_items=tuple(sorted(cfg.items()))), **kwargs)

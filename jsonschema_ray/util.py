@@ -6,6 +6,31 @@ import os
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# per-worker-process state cache
+#
+# Light compiled state (a compiled rule set, regexes, minhash coefficients,
+# a broadcast lookup) is cached per WORKER PROCESS rather than held in actor
+# pools: Ray reuses warm worker processes across task stages, so the state
+# builds once per process per session — while an actor pool pays a fresh
+# cold-start (interpreter + imports + construct) for EVERY stage it appears
+# in, at every concurrency slot. Measured on the flagship: 32 actors ×
+# ~1 s startup ≈ 32 core-seconds of ramp for a job with ~50 core-seconds
+# of real work (and inverse scaling at high num_cpus). Actor pools remain
+# the right tool for heavy state (models, large indexes) — see the
+# reference's process-wide caches analog (fieldCache sync.Map,
+# internal/validator/fields.go:291-300).
+
+_WORKER_CACHE: dict = {}
+
+
+def worker_cached(key, factory):
+    """Build-once-per-worker-process memo."""
+    v = _WORKER_CACHE.get(key)
+    if v is None:
+        v = _WORKER_CACHE[key] = factory()
+    return v
+
 
 def add_partition_column(ds, keys: list[str], num_partitions: int,
                          col: str = "_part", batch_size: int = 131072):
@@ -33,6 +58,59 @@ def add_partition_column(ds, keys: list[str], num_partitions: int,
 
     return ds.map_batches(stamp, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size)
+
+
+def ranges_concat(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenate [s, s+len) index ranges — vectorized."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64)
+    rows = np.nonzero(lengths > 0)[0]
+    reps = lengths[rows]
+    base = np.repeat(starts[rows], reps)
+    firsts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(firsts, reps)
+    return base + pos
+
+
+def segment_pairs(sort_cols: list[np.ndarray], cap: int
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All intra-bucket index pairs (a < b in sort order), fully vectorized.
+
+    LSH verify stages have ~1 bucket per few rows; a per-bucket Python loop
+    costs ~100 µs/bucket (measured 16 s for 100k buckets) while this runs
+    in a handful of array ops. Buckets are truncated to ``cap`` rows (hot
+    bucket guard). Returns (a_idx, b_idx, order) where the indices address
+    the SORTED arrays and ``order`` maps sorted position → input row."""
+    order = np.lexsort(sort_cols[::-1])
+    n = len(order)
+    if n < 2:
+        return (np.array([], dtype=np.int64),) * 2 + (order,)
+    sorted_cols = [c[order] for c in sort_cols]
+    new_seg = np.ones(n, dtype=bool)
+    new_seg[1:] = False
+    for c in sorted_cols:
+        new_seg[1:] |= c[1:] != c[:-1]
+    starts_idx = np.nonzero(new_seg)[0]
+    seg_id = np.cumsum(new_seg) - 1
+    seg_start = starts_idx[seg_id]
+    pos = np.arange(n, dtype=np.int64) - seg_start
+    keep = pos < cap
+    if not keep.all():
+        order = order[keep]
+        sorted_cols = [c[keep] for c in sorted_cols]
+        n = len(order)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = False
+        for c in sorted_cols:
+            new_seg[1:] |= c[1:] != c[:-1]
+        starts_idx = np.nonzero(new_seg)[0]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = starts_idx[seg_id]
+        pos = np.arange(n, dtype=np.int64) - seg_start
+    b_idx = np.repeat(np.arange(n, dtype=np.int64), pos)
+    a_idx = ranges_concat(seg_start, pos)
+    return a_idx, b_idx, order
 
 
 def partitioned_group_apply(ds, keys: list[str], partition_fn,

@@ -128,6 +128,19 @@ def test_phash_near_duplicates(ray_mod):
     for a, b in found:
         d = hamming64(np.array([ph[a]]), np.array([ph[b]]))[0]
         assert d <= 4
+    # no self-pairs (regression: weak sub-band salts paired rows with their
+    # own level-2 copies) and EXACT agreement with brute force
+    assert (pairs["id_a"] != pairs["id_b"]).all()
+    all_ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64) \
+        .view(np.uint64)
+    all_ids = t["image_id"].to_pylist()
+    ai, bi = np.triu_indices(len(all_ph), 1)
+    d = hamming64(all_ph[ai], all_ph[bi])
+    hit = d <= 4
+    brute = {tuple(sorted((all_ids[x], all_ids[y])))
+             for x, y in zip(ai[hit], bi[hit])
+             if all_ids[x] != all_ids[y]}
+    assert found == brute
 
 
 def test_drift():
