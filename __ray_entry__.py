@@ -52,7 +52,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "distinct_event_types": R.distinct_event_types,
         "events_filter_project": R.events_filter_project,
+        "events_sessions": R.events_sessions,
         "orders_running_total": R.orders_running_total,
+        "drift_events_value": R.drift_events_value,   # rows-only
+        "fingerprint_documents": R.fingerprint_documents,  # rows-only
         # documents: dedup + text analysis
         "dedup_exact_documents": R.dedup_exact_documents,
         "token_count_documents": R.token_count_documents,
@@ -204,6 +207,17 @@ SELECT DISTINCT event_type FROM events
         "events_filter_project": """
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase' AND value > 50
+""",
+        "events_sessions": """
+SELECT user_id,
+       CAST(1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (SELECT user_id, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+GROUP BY user_id
 """,
         "orders_running_total": """
 SELECT o_orderkey,

@@ -9,12 +9,19 @@ uniqueness, referential, drift) and large-scale training-data operators
 (dedup, similarity search, text analysis).
 """
 
+from .formats import register_format
+from .rules.builder import RuleSetBuilder, infer_ruleset, infer_schema_doc
+from .rules.extensions import (apply_defaults, register_keyword,
+                               unregister_keyword)
+from .rules.meta import check_ruleset
 from .rules.model import RuleSet, RuleSetError, parse_ruleset
 from .rules.rowwise import RowEvaluator, Violation
 from .rules.vector import BatchValidator
-from .formats import register_format
 
 __all__ = [
     "RuleSet", "RuleSetError", "parse_ruleset",
-    "RowEvaluator", "Violation", "BatchValidator", "register_format",
+    "RowEvaluator", "Violation", "BatchValidator",
+    "register_format", "register_keyword", "unregister_keyword",
+    "apply_defaults", "check_ruleset",
+    "RuleSetBuilder", "infer_ruleset", "infer_schema_doc",
 ]

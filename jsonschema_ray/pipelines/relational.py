@@ -303,6 +303,78 @@ def events_filter_project(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity) per user — the
+    streaming-shaped pattern from ray_guide: partition by key, sort by ts
+    within the group, window logic in pandas."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64")  # microseconds
+        gaps = us.diff() > 1_800_000_000
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": np.int64(1 + gaps.sum()),
+                             "n_events": np.int64(len(g))})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def drift_events_value(sf_dir: str):
+    """KS + PSI drift between the first and second half of the event stream
+    (by time) over ``value`` — merged-t-digest drift (no SQL oracle)."""
+    import duckdb
+
+    from ..checks import ks_statistic, psi
+    from ..sketches import TDigest
+    mid = duckdb.sql(f"""SELECT median(epoch_us(ts)) FROM
+        read_parquet('{sf_dir}/events.parquet')""").fetchone()[0]
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def halves(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        first = pc.less_equal(us, pa.scalar(int(mid), type=pa.int64()))
+        a = TDigest()
+        a.add_values(b.filter(first)["value"].to_numpy(
+            zero_copy_only=False))
+        bd = TDigest()
+        bd.add_values(b.filter(pc.invert(first))["value"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"half": ["first", "second"],
+                         "tdigest": pa.array([a.to_bytes(), bd.to_bytes()],
+                                             type=pa.binary())})
+
+    parts = ds.map_batches(halves, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    merged = {}
+    for half, grp in parts.groupby("half"):
+        td = TDigest.from_bytes(grp["tdigest"].iloc[0])
+        for bts in grp["tdigest"].iloc[1:]:
+            td.merge(TDigest.from_bytes(bts))
+        merged[half] = td
+    return pd.DataFrame([{
+        "ks": round(ks_statistic(merged["first"], merged["second"]), 4),
+        "psi": round(psi(merged["first"], merged["second"]), 4),
+        "n_first": merged["first"].count,
+        "n_second": merged["second"].count,
+    }])
+
+
+def fingerprint_documents(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprints (4 smallest k-gram hashes
+    per doc) — deterministic content signatures (no SQL oracle)."""
+    from ..text.analysis import rolling_fingerprint
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        fps = rolling_fingerprint(b["text"].combine_chunks())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "fingerprint": pa.array(fps, type=pa.list_(pa.int64()))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def orders_running_total(sf_dir: str):
     """Per-customer running revenue ordered by date — groupby.map_groups
     window (ray_guide 'custom grouped logic')."""

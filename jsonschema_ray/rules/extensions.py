@@ -1,0 +1,70 @@
+"""Custom-keyword registry + engine options.
+
+The analogs of the reference's vocabulary extension surface:
+
+- ``register_keyword(name, row_fn, vector_fn=None)`` — custom `Keyword`
+  with its own Validate function (pkg/types/schema/schema.go:851-874,
+  RegisterVocabulary schema.go:1293-1330). ``row_fn(value, arg) -> bool``
+  is the per-value predicate; ``vector_fn(arr: pa.Array, arg) ->
+  np.bool_[n]`` is the optional vectorized form — without it the engine
+  applies ``row_fn`` over the batch's DISTINCT values (same memoization as
+  the format library). Registered keywords are skipped (always valid) for
+  null/absent members, like every reference leaf keyword.
+- ``apply_defaults(table, ruleset)`` — the ApplyDefaults option
+  (ValidateOpts, schema.go:717-748; consumption in properties,
+  internal/validator/validator.go:520-526): fill null members from the
+  ``default`` keyword of their property subschema, as a vectorized
+  fill_null pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .model import RuleSet, parse_ruleset
+
+# name -> (row_fn, vector_fn or None)
+_CUSTOM_KEYWORDS: dict[str, tuple] = {}
+
+
+def register_keyword(name: str, row_fn: Callable[[Any, Any], bool],
+                     vector_fn: Optional[Callable] = None) -> None:
+    if name.startswith("$"):
+        raise ValueError("custom keywords cannot start with '$'")
+    _CUSTOM_KEYWORDS[name] = (row_fn, vector_fn)
+
+
+def unregister_keyword(name: str) -> None:
+    _CUSTOM_KEYWORDS.pop(name, None)
+
+
+def lookup_keyword(name: str):
+    return _CUSTOM_KEYWORDS.get(name)
+
+
+def apply_defaults(table: pa.Table, ruleset) -> pa.Table:
+    """Fill null cells of each column whose property subschema carries a
+    ``default``. Missing columns with defaults are appended as constant
+    columns (the tabular analog of inserting the member)."""
+    rs = ruleset if isinstance(ruleset, RuleSet) else parse_ruleset(ruleset)
+    props = rs.root.get("properties") or {}
+    for name, sub in props.items():
+        if sub is None or getattr(sub, "bool_value", None) is not None:
+            continue
+        if not sub.has("default"):
+            continue
+        dflt = sub.get("default")
+        if name in table.column_names:
+            col = table.column(name)
+            if col.null_count:
+                idx = table.column_names.index(name)
+                filled = pc.fill_null(col, pa.scalar(dflt))
+                table = table.set_column(idx, name, filled)
+        else:
+            table = table.append_column(
+                name, pa.array([dflt] * table.num_rows))
+    return table

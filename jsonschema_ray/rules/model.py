@@ -261,13 +261,21 @@ def _iter_subnodes(node: SchemaNode):
                     yield v
 
 
-def parse_ruleset(doc: Any) -> RuleSet:
+def parse_ruleset(doc: Any, loader=None,
+                  _loader_cache: Optional[dict] = None) -> RuleSet:
     """Parse + resolve: the analog of jsonschema.New
-    (pkg/jsonschema/jsonschema.go:17-24)."""
+    (pkg/jsonschema/jsonschema.go:17-24).
+
+    ``loader(uri) -> document`` resolves NON-document-local ``$ref``s
+    (SetLoader analog, schema.go:1015-1052) — driver-side only, never on
+    workers; loaded documents are parse-memoized per URI (schemacache
+    analog, internal/schemacache/schemacache.go:16-73)."""
     if isinstance(doc, (str, bytes)):
         doc = json.loads(doc)
     root = parse_node(doc)
     rs = RuleSet(root=root, doc=doc)
+    if _loader_cache is None:
+        _loader_cache = {}
     # pass 1: collect anchors + pointer index (resolveIDs analog,
     # builder.go:227-283)
     anchors: dict[str, SchemaNode] = {}
@@ -298,9 +306,22 @@ def parse_ruleset(doc: Any) -> RuleSet:
                 if tgt is None:
                     raise RuleSetError(f"$ref: unknown anchor {ref!r}")
                 n.resolved_ref = tgt
+            elif loader is not None:
+                if ref not in _loader_cache:
+                    # placeholder first: remote-ref cycles resolve to the
+                    # same node instead of recursing forever
+                    placeholder = SchemaNode(location=f"<{ref}>")
+                    _loader_cache[ref] = placeholder
+                    loaded = parse_ruleset(loader(ref), loader=loader,
+                                           _loader_cache=_loader_cache).root
+                    placeholder.parts = loaded.parts
+                    placeholder.bool_value = loaded.bool_value
+                    placeholder.resolved_ref = loaded.resolved_ref
+                n.resolved_ref = _loader_cache[ref]
             else:
                 raise RuleSetError(
-                    f"$ref: only document-local refs supported, got {ref!r}")
+                    f"$ref: non-local ref {ref!r} needs a loader "
+                    "(parse_ruleset(doc, loader=fn))")
         for c in _iter_subnodes(n):
             link(c)
 

@@ -520,8 +520,15 @@ class RowEvaluator:
                                 f"{inst_loc}/{_esc(name)}",
                                 M.unevaluated_property_message(name),
                                 M.fmt_value(v)))
-            # else: annotations / unknown keywords — always valid
-            # (schema.go:521-531)
+            else:
+                from .extensions import lookup_keyword
+                custom = lookup_keyword(kw)
+                if custom is not None and inst is not None \
+                        and kind != "object":
+                    if not custom[0](inst, arg):
+                        fail(kw, M.message(kw, arg))
+                # else: annotations / unknown keywords — always valid
+                # (schema.go:521-531)
 
         return ok, errs, ann
 

@@ -790,6 +790,26 @@ class BatchValidator:
             sink.extend(tmp)
             ann.merge(sa, gate=self._row_gate(view, sm))
             return sm
+        # registered custom keywords (RegisterVocabulary analog,
+        # schema.go:1293-1330)
+        from .extensions import lookup_keyword
+        custom = lookup_keyword(kw)
+        if custom is not None and view.arr is not None:
+            row_fn, vector_fn = custom
+            if vector_fn is not None:
+                ok = np.asarray(vector_fn(view.arr, arg), dtype=bool)
+            else:  # unique-value memoized python fallback
+                uniq = pc.unique(view.arr)
+                uok = pa.array([bool(row_fn(u, arg)) if u is not None
+                                else True for u in uniq.to_pylist()],
+                               type=pa.bool_())
+                idx = pc.index_in(view.arr, value_set=uniq)
+                ok = pc.take(uok, idx).to_numpy(
+                    zero_copy_only=False).astype(bool)
+            ok = np.where(pres, ok, True)
+            self._emit(sink, view, pres & ~ok, kw, kloc,
+                       M.message(kw, arg))
+            return ok
         # annotations / unknown keywords: always valid (schema.go:521-531)
         return None
 

@@ -1,0 +1,130 @@
+"""Extension surface (SURVEY §2.7): builder, inference, custom keywords,
+defaults, ref loader, meta-validation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jsonschema_ray import (BatchValidator, RowEvaluator, RuleSetBuilder,
+                            RuleSetError, apply_defaults, check_ruleset,
+                            infer_ruleset, infer_schema_doc, parse_ruleset,
+                            register_keyword, unregister_keyword)
+
+
+def test_builder_fluent():
+    rs = (RuleSetBuilder()
+          .add_type("object")
+          .add_required(["w"])
+          .property("w", RuleSetBuilder().add_type("integer")
+                    .add_minimum(16).add_maximum(512))
+          .property("fmt", RuleSetBuilder().add_enum(["png", "bmp"]))
+          .build())
+    t = pa.table({"w": [100, 4, None], "fmt": ["png", "gif", "png"]})
+    mask = BatchValidator(rs).mask(t)
+    assert mask.tolist() == [True, False, False]
+
+
+def test_builder_type_checks_at_build():
+    b = RuleSetBuilder().add_max_length(-2)
+    with pytest.raises(RuleSetError):
+        b.build()
+
+
+def test_infer_ruleset_roundtrip():
+    schema = pa.schema([
+        pa.field("id", pa.string(), nullable=False),
+        pa.field("w", pa.int16()),
+        pa.field("score", pa.float64()),
+        pa.field("tags", pa.list_(pa.string())),
+        pa.field("meta", pa.struct([("k", pa.int8())])),
+    ])
+    doc = infer_schema_doc(schema)
+    assert doc["properties"]["w"] == {"type": "integer",
+                                      "minimum": -32768, "maximum": 32767}
+    assert doc["properties"]["tags"]["items"] == {"type": "string"}
+    assert doc["required"] == ["id"]
+    assert doc["additionalProperties"] is False
+    rs = infer_ruleset(schema)
+    # a conforming table passes
+    t = pa.table({"id": ["a"], "w": [5], "score": [1.5],
+                  "tags": [["x"]], "meta": [{"k": 3}]})
+    assert BatchValidator(rs).mask(t).tolist() == [True]
+    # out-of-range int16 value fails (sized-int bounds)
+    t2 = pa.table({"id": ["a"], "w": [99999], "score": [1.5],
+                   "tags": [["x"]], "meta": [{"k": 3}]})
+    assert BatchValidator(rs).mask(t2).tolist() == [False]
+
+
+def test_custom_keyword_row_and_vector():
+    register_keyword("x-even", lambda v, arg: (not arg) or int(v) % 2 == 0)
+    try:
+        rs = parse_ruleset({"properties": {"n": {"x-even": True}}})
+        t = pa.table({"n": [2, 3, None]})
+        assert BatchValidator(rs).mask(t).tolist() == [True, False, True]
+        re_ = RowEvaluator(rs)
+        assert len(re_.validate({"n": 2})) == 0
+        assert len(re_.validate({"n": 3})) == 1
+        # vectorized form
+        unregister_keyword("x-even")
+        register_keyword(
+            "x-even", lambda v, arg: int(v) % 2 == 0,
+            vector_fn=lambda arr, arg: (arr.to_numpy(zero_copy_only=False)
+                                        % 2 == 0))
+        t2 = pa.table({"n": [4, 5]})
+        assert BatchValidator(rs).mask(t2).tolist() == [True, False]
+    finally:
+        unregister_keyword("x-even")
+
+
+def test_apply_defaults():
+    rs = {"properties": {"fmt": {"default": "png"},
+                         "w": {"default": 64},
+                         "extra": {"default": 1}}}
+    t = pa.table({"fmt": ["bmp", None], "w": [10, None]})
+    out = apply_defaults(t, rs)
+    assert out["fmt"].to_pylist() == ["bmp", "png"]
+    assert out["w"].to_pylist() == [10, 64]
+    assert out["extra"].to_pylist() == [1, 1]
+
+
+def test_ref_loader():
+    remote = {"https://rules.example/pos.json": {"minimum": 1},
+              "https://rules.example/a.json":
+              {"$ref": "https://rules.example/a.json"}}  # self-cycle
+    calls = []
+
+    def loader(uri):
+        calls.append(uri)
+        return remote[uri]
+
+    rs = parse_ruleset(
+        {"properties": {"n": {"$ref": "https://rules.example/pos.json"}}},
+        loader=loader)
+    t = pa.table({"n": [3, 0]})
+    assert BatchValidator(rs).mask(t).tolist() == [True, False]
+    assert calls == ["https://rules.example/pos.json"]  # memoized
+    # a remote self-cycle parses (placeholder) and is caught at eval depth
+    rs2 = parse_ruleset({"properties": {"n": {
+        "$ref": "https://rules.example/a.json"}}}, loader=loader)
+    with pytest.raises(RecursionError):
+        BatchValidator(rs2).mask(t)
+    # without a loader, non-local refs are a compile error
+    with pytest.raises(RuleSetError):
+        parse_ruleset({"$ref": "https://rules.example/pos.json"})
+
+
+def test_meta_validation():
+    assert check_ruleset({"type": "integer", "minimum": 0}) == []
+    assert check_ruleset(True) == []
+    assert check_ruleset({"properties": {"w": {"minimum": 1}}}) == []
+    v = check_ruleset({"minimum": "not-a-number"})
+    assert any(x.instance_location == "/minimum" for x in v)
+    v2 = check_ruleset({"maxLength": -1})
+    assert any(x.keyword == "minimum" for x in v2)
+    v3 = check_ruleset({"properties": {"a": {"pattern": "("}}})
+    assert any(x.keyword == "format" for x in v3)
+    v4 = check_ruleset({"allOf": []})
+    assert any(x.keyword == "minItems" for x in v4)
+    # nested error locations point into the document
+    v5 = check_ruleset({"properties": {"a": {"type": "strnig"}}})
+    assert any("/properties/a/type" in x.instance_location for x in v5)
