@@ -243,20 +243,24 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
     return _DECODERS[fmt](bytes(data))
 
 
+_LUM = np.array([0.299, 0.587, 0.114])
+_BIT_W = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
 def average_hash(px: np.ndarray, grid: int = 8) -> int:
     """64-bit perceptual hash: grid×grid block-mean luminance thresholded at
-    its median-ish mean — deterministic from pixel content (FIXTURES F1
-    'perceptual-hash stand-in derived from pixel content')."""
-    lum = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    its global mean — deterministic from pixel content (FIXTURES F1
+    'perceptual-hash stand-in derived from pixel content'). Vectorized via
+    2-D reduceat (the per-cell python loop cost ~0.3 ms/image and dominated
+    the flagship's decode stage)."""
+    lum = px.astype(np.float64) @ _LUM
     h, w = lum.shape
     ys = (np.arange(grid + 1) * h) // grid
     xs = (np.arange(grid + 1) * w) // grid
-    cells = np.empty((grid, grid))
-    for i in range(grid):
-        for j in range(grid):
-            cells[i, j] = lum[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
-    bits = (cells > cells.mean()).flatten()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    row_sums = np.add.reduceat(lum, ys[:-1], axis=0)
+    cells = np.add.reduceat(row_sums, xs[:-1], axis=1)
+    counts = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    cells /= counts
+    bits = (cells > cells.mean()).ravel().astype(np.uint64)
+    val = int((bits * _BIT_W).sum())
     return val - (1 << 64) if val >= (1 << 63) else val  # signed int64

@@ -40,14 +40,33 @@ class DecodeCheckStage:
                  w_col: str = "w", h_col: str = "h", fmt_col: str = "fmt",
                  phash_col: Optional[str] = None,
                  decodable_formats: tuple = ("png", "bmp", "ppm"),
-                 extra_cols: tuple = ()):
+                 extra_cols: tuple = (), sample: float = 1.0):
         self.id_col, self.bytes_col = id_col, bytes_col
         self.w_col, self.h_col, self.fmt_col = w_col, h_col, fmt_col
         self.phash_col = phash_col
         self.decodable = set(decodable_formats)
         self.extra_cols = tuple(extra_cols)  # copied onto violation rows
+        # deterministic sampling for the expensive decode ("sample p% for
+        # expensive decode checks", SURVEY §2.6): keyed on the row id hash
+        # so the same rows are checked on every run/resume — no extra pass,
+        # no RNG state
+        self.sample = float(sample)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.sample < 1.0:
+            from ..sketches.hashing import hash64_array
+            h = hash64_array(batch.column(self.id_col).combine_chunks(),
+                             seed=77)
+            keep = h < np.uint64(int(self.sample * 2**64))
+            batch = batch.filter(pa.array(keep))
+            if batch.num_rows == 0:
+                empty = {f.name: [] for f in VIOLATION_SCHEMA}
+                for c in self.extra_cols:
+                    empty[c] = []
+                fields = list(VIOLATION_SCHEMA) + [
+                    pa.field(c, batch.schema.field(c).type)
+                    for c in self.extra_cols]
+                return pa.table(empty, schema=pa.schema(fields))
         ids = batch.column(self.id_col).to_pylist()
         blobs = batch.column(self.bytes_col).to_pylist()
         fmts = batch.column(self.fmt_col).to_pylist()
