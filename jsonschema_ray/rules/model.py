@@ -238,6 +238,11 @@ class RuleSet:
                 canonical_json(self.doc).encode()).hexdigest()[:16]
         return self._hash
 
+    def to_json(self) -> str:
+        """Canonical re-marshal of the PARSED tree (normalized argument
+        forms, sorted keys, bool schemas as true/false)."""
+        return canonical_json(marshal_node(self.root))
+
     def ref_target(self, node: SchemaNode) -> Optional[SchemaNode]:
         return node.resolved_ref
 
@@ -245,6 +250,29 @@ class RuleSet:
 def canonical_json(doc: Any) -> str:
     return json.dumps(doc, sort_keys=True, separators=(",", ":"),
                       ensure_ascii=False)
+
+
+def marshal_node(node: "SchemaNode") -> Any:
+    """Parsed tree → canonical JSON value (MarshalJSON analog,
+    schema.go:211-367): bool schemas emit ``true``/``false``, keyword maps
+    emit sorted keys, coerced arguments (ToInt'd floats) emit their
+    normalized form. ``parse → marshal → parse`` is idempotent."""
+    if node.bool_value is not None:
+        return node.bool_value
+    out: dict[str, Any] = {}
+    for p in node.parts:
+        v = p.value
+        if isinstance(v, SchemaNode):
+            out[p.keyword] = marshal_node(v)
+        elif isinstance(v, list) and v and isinstance(v[0], SchemaNode):
+            out[p.keyword] = [marshal_node(x) for x in v]
+        elif isinstance(v, dict):
+            out[p.keyword] = {k: (marshal_node(x)
+                                  if isinstance(x, SchemaNode) else x)
+                              for k, x in sorted(v.items())}
+        else:
+            out[p.keyword] = v
+    return out
 
 
 def _iter_subnodes(node: SchemaNode):

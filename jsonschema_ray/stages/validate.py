@@ -103,6 +103,14 @@ def validate_dataset(ds, ruleset: RulesetLike, key_columns: list[str],
         **kwargs)
 
 
+def sort_violations(ds, key_columns: list[str]):
+    """Deterministic violation ordering for exact-match comparison
+    (FIXTURES F4 / SURVEY §7 hard part (d)): sort by (keys, keyword,
+    instance_location). Violations are ~0.1% of rows, so the sort is over
+    a small dataset."""
+    return ds.sort(key_columns + ["keyword", "instance_location"])
+
+
 def annotate_dataset(ds, ruleset: RulesetLike, batch_size: int = 65536,
                      concurrency=None, validate_format: bool = True):
     """Dataset → same Dataset + ``_valid`` boolean column."""
