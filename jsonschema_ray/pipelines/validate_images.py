@@ -203,8 +203,11 @@ def validate_images_pipeline(
             _image_stage_fn(rs, decode, check_phash, path_col="path"),
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=batch_size).materialize()
-        # violations to disk BEFORE records (records = commit point)
-        viol.write_parquet(store.violations_path(tag))
+        # violations staged, renamed, THEN records appended (records =
+        # commit point; a kill between leaves a re-validatable wave whose
+        # committed violations never double-count)
+        viol.write_parquet(store.violations_tmp_path(tag))
+        store.commit_violations(tag)
         vpdf = viol.select_columns(["path", "keyword"]).to_pandas()
         vpdf["fragment_id"] = vpdf["path"].map(os.path.basename)
         for k, c in vpdf.groupby("keyword").size().items():

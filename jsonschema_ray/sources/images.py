@@ -160,11 +160,22 @@ def generate_images(n: int, seed: int = 42, blocks: int | None = None,
 def write_images_corpus(out_dir: str, n: int, num_files: int = 8,
                         seed: int = 42, **kw) -> list[str]:
     """Materialize a corpus as `num_files` parquet fragments (the
-    checkpoint/resume unit — SURVEY §4 'validation unit = input fragment')."""
+    checkpoint/resume unit — SURVEY §4 'validation unit = input fragment').
+
+    Written with preserve_order so fragment contents are deterministic
+    (the streaming sink otherwise numbers files by task ARRIVAL order)."""
     import os
+
+    from ray.data import DataContext
     ds = generate_images(n, seed=seed, blocks=num_files, **kw)
     os.makedirs(out_dir, exist_ok=True)
-    ds.write_parquet(out_dir)
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        ds.write_parquet(out_dir)
+    finally:
+        ctx.execution_options.preserve_order = prev
     import glob
     return sorted(glob.glob(f"{out_dir}/*.parquet"))
 

@@ -40,11 +40,18 @@ class DecodeCheckStage:
                  w_col: str = "w", h_col: str = "h", fmt_col: str = "fmt",
                  phash_col: Optional[str] = None,
                  decodable_formats: tuple = ("png", "bmp", "ppm"),
-                 extra_cols: tuple = (), sample: float = 1.0):
+                 extra_cols: tuple = (), sample: float = 1.0,
+                 undecodable: str = "violation"):
         self.id_col, self.bytes_col = id_col, bytes_col
         self.w_col, self.h_col, self.fmt_col = w_col, h_col, fmt_col
         self.phash_col = phash_col
         self.decodable = set(decodable_formats)
+        # policy for formats the sandbox codecs don't cover (jpeg/webp —
+        # SURVEY §2.5 stub note): "violation" flags them, "skip" passes
+        # them through (structural checks limited to the magic agreement)
+        if undecodable not in ("violation", "skip"):
+            raise ValueError(f"undecodable={undecodable!r}")
+        self.undecodable = undecodable
         self.extra_cols = tuple(extra_cols)  # copied onto violation rows
         # deterministic sampling for the expensive decode ("sample p% for
         # expensive decode checks", SURVEY §2.6): keyed on the row id hash
@@ -100,7 +107,7 @@ class DecodeCheckStage:
                         f"magic {magic})", str(claimed))
                 # still attempt decode by magic below
             if magic not in self.decodable:
-                if magic == claimed:
+                if magic == claimed and self.undecodable == "violation":
                     emit(i, f"x-decode: undecodable format {magic}",
                          str(magic))
                 continue

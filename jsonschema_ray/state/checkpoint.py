@@ -97,7 +97,28 @@ class CheckpointStore:
         os.rename(tmp, final)
         return final
 
-    def violations_path(self, wave_tag: str) -> str:
-        p = os.path.join(self.violations_dir, wave_tag)
+    def violations_tmp_path(self, wave_tag: str) -> str:
+        """Staging dir for a wave's violation parquet. Committed via
+        :meth:`commit_violations` (rename) BEFORE the wave's records are
+        appended — a kill mid-wave leaves only a ``.tmp`` dir, which
+        readers ignore, so re-validated fragments never double-count."""
+        p = os.path.join(self.violations_dir, wave_tag + ".tmp")
         os.makedirs(p, exist_ok=True)
         return p
+
+    def commit_violations(self, wave_tag: str) -> str:
+        tmp = os.path.join(self.violations_dir, wave_tag + ".tmp")
+        final = os.path.join(self.violations_dir, wave_tag)
+        os.rename(tmp, final)
+        return final
+
+    def violation_files(self) -> list[str]:
+        """Committed violation parquet files (``.tmp`` staging ignored)."""
+        out = []
+        for d in sorted(os.listdir(self.violations_dir)):
+            full = os.path.join(self.violations_dir, d)
+            if d.endswith(".tmp") or not os.path.isdir(full):
+                continue
+            out += [os.path.join(full, f) for f in sorted(os.listdir(full))
+                    if f.endswith(".parquet")]
+        return out

@@ -56,17 +56,26 @@ def test_corpus_row_invariants(corpus):
     out, files = corpus
     t = pq.read_table(files[0])
     gen = GenImagesBatch(seed=42)
-    # sample rows; skip injected-garbage ones
-    rows = t.slice(0, 50).to_pylist()
-    for idx, row in enumerate(rows):  # fragment 0 holds indices 0..N/4-1
+    # derive the global index from image_id (file order is arrival order,
+    # not block order); duplicate-id rows are ambiguous → skip them
+    from collections import Counter
+    id_counts = Counter(t["image_id"].to_pylist())
+    rows = t.slice(0, 60).to_pylist()
+    checked = 0
+    for row in rows:
+        if id_counts[row["image_id"]] > 1:
+            continue
+        idx = int(row["image_id"][4:])
         if idx % 5000 == 5:  # injected-garbage rows
             continue
+        checked += 1
         px = decode_image(row["bytes"])
         exp_id, exp_bytes, w, h, fmt, cap, ph = gen._make_row(idx)
         assert row["caption"] == cap
         assert bytes(row["bytes"]) == exp_bytes
         exp_px = decode_image(exp_bytes)
         assert (px == exp_px).all()  # exact — PSNR unbounded
+    assert checked >= 50
 
 
 def test_one_shot_validation_finds_injected_classes(corpus, tmp_path):
