@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": R.langid_documents,           # rows-only
         "simhash_documents": R.simhash_documents,         # rows-only
         "minhash_neardup_documents": R.minhash_neardup_documents,  # rows-only
+        "neardup_verified_documents": R.neardup_verified_documents,  # rows-only
+        "validate_lineitem_dates": R.validate_lineitem_dates,
         # embeddings
         "ann_topk_embeddings": R.ann_topk_embeddings,     # rows-only
         "ann_ivf_embeddings": R.ann_ivf_embeddings,       # rows-only
@@ -138,6 +140,14 @@ SELECT event_id, 'maximum' AS keyword,
        CAST(value AS VARCHAR) AS offending_value,
        'maximum: value > 50.0' AS message
 FROM events WHERE event_type = 'error' AND value > 50
+""",
+        "validate_lineitem_dates": """
+SELECT l_orderkey, l_linenumber, 'x-before' AS keyword,
+       '/properties/l_shipdate/x-before' AS keyword_location,
+       '/l_shipdate' AS instance_location,
+       CAST(l_shipdate AS VARCHAR) AS offending_value,
+       'x-before: violated' AS message
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-12-01'
 """,
         "uniqueness_lineitem_orderkey": """
 SELECT l_orderkey, count(*) AS dup_count

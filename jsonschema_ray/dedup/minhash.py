@@ -229,6 +229,38 @@ def _partition_candidates(id_col: str, threshold: float, max_bucket: int):
     return fn
 
 
+def verified_near_duplicates(ds, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             threshold: float = 0.7, k: int = 5,
+                             **minhash_kw):
+    """Candidate pairs from MinHash-LSH, then EXACT k-gram Jaccard verify
+    (the 'n-gram Jaccard' dedup variant): candidate ids are few, so their
+    texts are fetched via a broadcast-filtered pass and verified
+    driver-side. → pandas (id_a, id_b, jaccard) with exact jaccard ≥
+    threshold."""
+    import pyarrow.compute as pc
+
+    cand = minhash_near_duplicates(
+        ds, text_col=text_col, id_col=id_col,
+        threshold=max(0.0, threshold - 0.2),  # slack: est is noisy
+        k=k, **minhash_kw).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object),
+                             "jaccard": pd.Series([], dtype=float)})
+    wanted = pa.array(sorted(set(cand["id_a"]) | set(cand["id_b"])))
+    texts = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: b.filter(pc.is_in(b[id_col], value_set=wanted)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    lookup = dict(zip(texts[id_col], texts[text_col]))
+    jac = np.array([jaccard_shingles(lookup.get(a, ""), lookup.get(b, ""),
+                                     k=k)
+                    for a, b in zip(cand["id_a"], cand["id_b"])])
+    out = cand.loc[jac >= threshold, ["id_a", "id_b"]].copy()
+    out["jaccard"] = np.round(jac[jac >= threshold], 6)
+    return out.reset_index(drop=True)
+
+
 def minhash_near_duplicates(ds, text_col: str = "text",
                             id_col: str = "doc_id", threshold: float = 0.7,
                             num_hashes: int = 128, k: int = 5,

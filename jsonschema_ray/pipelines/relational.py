@@ -474,6 +474,32 @@ def minhash_neardup_documents(sf_dir: str):
         threshold=0.5)
 
 
+def neardup_verified_documents(sf_dir: str):
+    """MinHash-LSH candidates verified by exact k-gram Jaccard (rows-only:
+    the exact-set intersection over shingle hashes is not SQL-expressible
+    at reasonable cost)."""
+    from ..dedup import verified_near_duplicates
+    return verified_near_duplicates(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.5)
+
+
+LINEITEM_DATE_RULESET = {
+    "properties": {
+        "l_shipdate": {"x-before": "1998-12-01"},
+    },
+}
+
+
+def validate_lineitem_dates(sf_dir: str):
+    """Temporal engine-extension keywords (x-before) on a timestamp
+    column."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    return validate_dataset(ds, LINEITEM_DATE_RULESET,
+                            key_columns=["l_orderkey", "l_linenumber"])
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 

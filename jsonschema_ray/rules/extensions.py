@@ -46,6 +46,52 @@ def lookup_keyword(name: str):
     return _CUSTOM_KEYWORDS.get(name)
 
 
+def _parse_ts_us(arg: Any) -> int:
+    import pandas as pd
+    return int(pd.Timestamp(arg).value // 1000)
+
+
+def _ts_value_us(v: Any):
+    import datetime
+
+    import pandas as pd
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return int(pd.Timestamp(v).value // 1000)
+    return None
+
+
+def _x_before_row(v, arg):
+    us = _ts_value_us(v)
+    return us is None or us < _parse_ts_us(arg)
+
+
+def _x_after_row(v, arg):
+    us = _ts_value_us(v)
+    return us is None or us > _parse_ts_us(arg)
+
+
+def _ts_vector(op):
+    def fn(arr: pa.Array, arg):
+        if not pa.types.is_temporal(arr.type):
+            return np.ones(len(arr), dtype=bool)
+        us = pc.cast(arr, pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bound = _parse_ts_us(arg)
+        with np.errstate(invalid="ignore"):
+            return op(us, bound)
+    return fn
+
+
+# Built-in temporal comparison keywords — an ENGINE EXTENSION beyond the
+# reference (JSON has no timestamp type; Arrow tables do). Registered like
+# any user keyword so they flow through the same custom-keyword machinery:
+#   {"properties": {"l_shipdate": {"x-before": "1998-09-03"}}}
+register_keyword("x-before", _x_before_row,
+                 vector_fn=_ts_vector(np.less))
+register_keyword("x-after", _x_after_row,
+                 vector_fn=_ts_vector(np.greater))
+
+
 def apply_defaults(table: pa.Table, ruleset) -> pa.Table:
     """Fill null cells of each column whose property subschema carries a
     ``default``. Missing columns with defaults are appended as constant

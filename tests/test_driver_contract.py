@@ -65,7 +65,7 @@ def oracle_pairs():
     "brand_quantity", "topk_orders", "events_hourly",
     "distinct_event_types", "events_filter_project", "orders_running_total",
     "dedup_exact_documents", "token_count_documents", "quality_documents",
-    "lang_distribution", "events_sessions",
+    "lang_distribution", "events_sessions", "validate_lineitem_dates",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
@@ -89,6 +89,7 @@ def test_query_matches_oracle(name, duck):
     ("embedding_neardup", 0),
     ("column_stats_approx_lineitem", 2),
     ("drift_events_value", 1),
+    ("neardup_verified_documents", 0),
     ("fingerprint_documents", 500),
     ("validate_images_synth", 10),
 ])

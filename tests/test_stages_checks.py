@@ -143,6 +143,27 @@ def test_phash_near_duplicates(ray_mod):
     assert found == brute
 
 
+def test_phash_neardup_hot_key_skew(ray_mod):
+    """Pathological skew: thousands of IDENTICAL phashes (one giant
+    exact-dup clique). The two-level LSH can't split identical hashes, so
+    the max_bucket cap must bound the quadratic pair blowout and the run
+    must complete quickly rather than emit k²/2 pairs."""
+    import time
+
+    import ray.data as rd
+    from jsonschema_ray.checks import phash_near_duplicates
+    n = 20_000
+    t = pa.table({"image_id": [f"img-{i:05d}" for i in range(n)],
+                  "phash": np.zeros(n, dtype=np.int64)})
+    t0 = time.perf_counter()
+    pairs = phash_near_duplicates(rd.from_arrow(t), max_bucket=256)
+    cnt = pairs.count()
+    wall = time.perf_counter() - t0
+    # capped: at most ~bucket_cap²/2 per partition-band, far below k²/2
+    assert cnt <= 256 * 255 // 2 * 8
+    assert wall < 60, f"hot-key run took {wall:.0f}s"
+
+
 def test_drift():
     from jsonschema_ray.checks import drift_report, ks_statistic, psi
     from jsonschema_ray.sketches import TDigest
