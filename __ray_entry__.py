@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": R.segment_order_stats,
         "brand_quantity": R.brand_quantity,
         "topk_orders": R.topk_orders,
+        "region_customer_rollup": R.region_customer_rollup,
+        "union_keys": R.union_keys,
         "events_hourly": R.events_hourly,
         "distinct_event_types": R.distinct_event_types,
         "events_filter_project": R.events_filter_project,
@@ -199,6 +201,20 @@ GROUP BY c_mktsegment
 SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+""",
+        "region_customer_rollup": """
+SELECT r_name, round(sum(c_acctbal), 2) AS sum_acctbal,
+       count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "union_keys": """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier)
 """,
         "topk_orders": """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -261,6 +261,40 @@ def brand_quantity(sf_dir: str):
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
+def region_customer_rollup(sf_dir: str):
+    """Three-table broadcast join chain (customer ⨝ nation ⨝ region — both
+    dimension tables broadcast once) rolled up to region level."""
+    import ray
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   columns=["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name.get(v) for k, v in n2r.items()})
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    import functools
+    joined = cust.map_batches(
+        functools.partial(_broadcast_lookup_batch, ref=lookup_ref,
+                          key="c_nationkey", out="r_name"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(joined, ["r_name"], {"c_acctbal": "sum_acctbal"},
+                      count_alias="n_customers").to_pandas()
+    return _round_cols(out, ["sum_acctbal"]) \
+        .sort_values("r_name").reset_index(drop=True)
+
+
+def union_keys(sf_dir: str):
+    """Dataset.union + distinct: every key that appears as a customer OR a
+    supplier nation key."""
+    a = _read(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+        lambda b: b.rename_columns(["nationkey"]), batch_format="pyarrow")
+    b = _read(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow")
+    vals = sorted(a.union(b).unique("nationkey"))
+    return pd.DataFrame({"nationkey": pd.Series(vals, dtype="int32")})
+
+
 def topk_orders(sf_dir: str):
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_custkey", "o_totalprice"])

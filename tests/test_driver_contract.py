@@ -66,6 +66,7 @@ def oracle_pairs():
     "distinct_event_types", "events_filter_project", "orders_running_total",
     "dedup_exact_documents", "token_count_documents", "quality_documents",
     "lang_distribution", "events_sessions", "validate_lineitem_dates",
+    "region_customer_rollup", "union_keys",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
