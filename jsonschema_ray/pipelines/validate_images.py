@@ -157,6 +157,77 @@ def validate_images(ds, ruleset=None, decode: bool = True,
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
 
+def _union_pad(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    cols = []
+    for f in schema:
+        if f.name in t.column_names:
+            cols.append(t.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(t.num_rows, type=f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def _flagship_pass_batch(batch, *, doc_json, decode, check_phash,
+                         stats_columns):
+    """ONE pass over the bytes: rule+decode violations AND per-batch stats
+    partials, emitted as a discriminated-union table (record_type 'v'/'s').
+    This is the north star's stage-A shape — violations and sketch state
+    from the same scan, no second read of the wide column."""
+    import json
+
+    from ..stages.stats import ColumnStatsStage
+    from ..util import worker_cached
+    stage = worker_cached(
+        ("flagpass", doc_json, decode, check_phash, stats_columns),
+        lambda: (ImageValidateStage(json.loads(doc_json), decode=decode,
+                                    check_phash=check_phash),
+                 ColumnStatsStage(columns=list(stats_columns))))
+    validator, stats = stage
+    viol = validator(batch)
+    sp = stats(batch.select(list(stats_columns)))
+    fields = [pa.field("record_type", pa.string())]
+    for f in viol.schema:
+        fields.append(f)
+    for f in sp.schema:
+        fields.append(f)
+    schema = pa.schema(fields)
+    viol = viol.append_column("record_type",
+                              pa.array(["v"] * viol.num_rows))
+    sp = sp.append_column("record_type", pa.array(["s"] * sp.num_rows))
+    return pa.concat_tables([_union_pad(viol, schema),
+                             _union_pad(sp, schema)])
+
+
+def flagship_report(ds, ruleset=None, decode: bool = True,
+                    check_phash: bool = True,
+                    stats_columns: tuple = ("w", "h", "caption", "phash"),
+                    batch_size: int = 4096) -> dict:
+    """Single-pass violations + merged column stats over an image Dataset
+    (no checkpointing — the bench/one-shot face of the flagship)."""
+    import functools
+
+    from ..rules.model import canonical_json
+    from ..stages.stats import merge_stat_partials
+    rs = parse_ruleset(ruleset or IMAGE_RULESET)
+    union = ds.map_batches(
+        functools.partial(_flagship_pass_batch,
+                          doc_json=canonical_json(rs.doc), decode=decode,
+                          check_phash=check_phash,
+                          stats_columns=tuple(stats_columns)),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size).to_pandas()  # small: violations + partials
+    viol = union[union["record_type"] == "v"].drop(
+        columns=["record_type", "column", "count", "null_count", "min_num",
+                 "max_num", "sum_num", "min_str", "max_str", "hll",
+                 "tdigest"])
+    partials = union[union["record_type"] == "s"]
+    stats = partials.groupby("column", group_keys=False) \
+        .apply(merge_stat_partials).reset_index(drop=True)
+    return {"violations": viol.reset_index(drop=True),
+            "stats": stats.drop(columns=["hll", "tdigest"]),
+            "n_violations": len(viol)}
+
+
 def validate_images_pipeline(
         input_dir: str,
         checkpoint_dir: str,
