@@ -109,13 +109,6 @@ class _FragmentStatsStage:
         return pa.concat_tables(outs)
 
 
-def _fragment_stats_batch(batch, *, columns):
-    from ..util import worker_cached
-    stage = worker_cached(("fragstats", columns),
-                          lambda: _FragmentStatsStage(list(columns)))
-    return stage(batch)
-
-
 def _stats_state_to_bytes(df: pd.DataFrame) -> bytes:
     buf = io.BytesIO()
     df.to_parquet(buf)  # pyarrow engine
@@ -168,23 +161,37 @@ def _union_pad(t: pa.Table, schema: pa.Schema) -> pa.Table:
 
 
 def _flagship_pass_batch(batch, *, doc_json, decode, check_phash,
-                         stats_columns):
+                         stats_columns, path_col=None):
     """ONE pass over the bytes: rule+decode violations AND per-batch stats
     partials, emitted as a discriminated-union table (record_type 'v'/'s').
     This is the north star's stage-A shape — violations and sketch state
-    from the same scan, no second read of the wide column."""
+    from the same scan, no second read of the wide column. With
+    ``path_col`` set (checkpointed pipeline), violations carry the source
+    path and stats partials are keyed by fragment_id."""
     import json
 
     from ..stages.stats import ColumnStatsStage
     from ..util import worker_cached
-    stage = worker_cached(
-        ("flagpass", doc_json, decode, check_phash, stats_columns),
-        lambda: (ImageValidateStage(json.loads(doc_json), decode=decode,
-                                    check_phash=check_phash),
-                 ColumnStatsStage(columns=list(stats_columns))))
-    validator, stats = stage
+
+    def build():
+        validator = ImageValidateStage(json.loads(doc_json), decode=decode,
+                                       check_phash=check_phash,
+                                       path_col=path_col)
+        if path_col:
+            stats = _FragmentStatsStage(list(stats_columns),
+                                        path_col=path_col)
+        else:
+            stats = ColumnStatsStage(columns=list(stats_columns))
+        return validator, stats
+
+    validator, stats = worker_cached(
+        ("flagpass", doc_json, decode, check_phash, stats_columns,
+         path_col), build)
     viol = validator(batch)
-    sp = stats(batch.select(list(stats_columns)))
+    if path_col:
+        sp = stats(batch.select(list(stats_columns) + [path_col]))
+    else:
+        sp = stats(batch.select(list(stats_columns)))
     fields = [pa.field("record_type", pa.string())]
     for f in viol.schema:
         fields.append(f)
@@ -269,27 +276,37 @@ def validate_images_pipeline(
         tag = f"wave-{int(time.time())}-{wi}"
         wave_tags.append(tag)
         t0 = time.perf_counter()
+        import functools
+
+        from ..rules.model import canonical_json
         ds = rd.read_parquet(wave, include_paths=True)
-        viol = ds.map_batches(
-            _image_stage_fn(rs, decode, check_phash, path_col="path"),
+        # ONE pass over the bytes per wave: violations + fragment-keyed
+        # stats partials from the same scan
+        union = ds.map_batches(
+            functools.partial(_flagship_pass_batch,
+                              doc_json=canonical_json(rs.doc),
+                              decode=decode, check_phash=check_phash,
+                              stats_columns=tuple(stats_columns),
+                              path_col="path"),
             batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=batch_size).materialize()
+            batch_size=batch_size).materialize()  # small: viols + partials
+        viol_cols = ["image_id", "path", "keyword", "keyword_location",
+                     "instance_location", "offending_value", "message"]
+        viol = union.map_batches(
+            lambda t: t.filter(pc.equal(t["record_type"], "v"))
+            .select(viol_cols),
+            batch_format="pyarrow", zero_copy_batch=True)
         # violations staged, renamed, THEN records appended (records =
         # commit point; a kill between leaves a re-validatable wave whose
         # committed violations never double-count)
         viol.write_parquet(store.violations_tmp_path(tag))
         store.commit_violations(tag)
-        vpdf = viol.select_columns(["path", "keyword"]).to_pandas()
+        updf = union.to_pandas()
+        vpdf = updf[updf["record_type"] == "v"][["path", "keyword"]].copy()
         vpdf["fragment_id"] = vpdf["path"].map(os.path.basename)
         for k, c in vpdf.groupby("keyword").size().items():
             per_keyword[k] = per_keyword.get(k, 0) + int(c)
-        # per-fragment stats partials over narrow columns (no bytes)
-        import functools
-        sp = ds.select_columns(list(stats_columns) + ["path"]).map_batches(
-            functools.partial(_fragment_stats_batch,
-                              columns=tuple(stats_columns)),
-            batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=65536).to_pandas()
+        sp = updf[updf["record_type"] == "s"]
         wall = time.perf_counter() - t0
         nviol_by_frag = vpdf.groupby("fragment_id").size()
         for f in wave:
