@@ -6,9 +6,9 @@ over narrow projections, with per-fragment checkpoint/lineage resume.
 
 Execution shape (SURVEY §3.4):
   driver: compile rule set once → hash → plan waves of pending fragments
-  stage A (per wave, one pass over bytes): map_batches actor pool →
-          rule violations + decode violations (+ fragment column)
-  stage A': map_batches over NARROW columns → per-fragment stats partials
+  stage A (per wave, ONE pass over bytes): map_batches → rule violations +
+          decode violations + fragment-keyed stats partials, emitted as a
+          discriminated-union table from the same scan
   shuffle: uniqueness groupby(image_id-counts), phash band groupby —
           both on projected columns; image bytes never shuffle
   broadcast: ref_ids key set via ray.put

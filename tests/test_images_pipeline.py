@@ -95,6 +95,25 @@ def test_one_shot_validation_finds_injected_classes(corpus, tmp_path):
     assert by_kw.get("x-decode", 0) >= N // 5000 * 2
 
 
+def test_flagship_report_single_pass(corpus):
+    """Single-pass violations+stats must agree with the separate paths."""
+    import ray.data as rd
+    from jsonschema_ray.pipelines import flagship_report, validate_images
+    from jsonschema_ray.stages import column_stats
+    out, files = corpus
+    ds = rd.read_parquet(files)
+    rep = flagship_report(ds, check_phash=True)
+    sep_viol = validate_images(ds, check_phash=True).count()
+    assert rep["n_violations"] == sep_viol
+    sep_stats = column_stats(ds, columns=["w", "h", "caption", "phash"]) \
+        .to_pandas().set_index("column")
+    got = rep["stats"].set_index("column")
+    assert got.loc["w", "count"] == sep_stats.loc["w", "count"] == N
+    assert got.loc["w", "min_num"] == sep_stats.loc["w", "min_num"]
+    assert abs(got.loc["phash", "ndv_approx"]
+               - sep_stats.loc["phash", "ndv_approx"]) < 1e-6
+
+
 def test_checkpointed_pipeline_and_resume(corpus, tmp_path):
     from jsonschema_ray.pipelines import validate_images_pipeline
     from jsonschema_ray.sources import reference_ids_for
