@@ -1,0 +1,134 @@
+"""Dedup family + text analysis + ANN against planted ground truth (the
+driver testdata has no natural duplicates, so these synthesize their own)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_with_dups(n=400, seed=0):
+    rng = np.random.default_rng(seed)
+    words = ("data table row batch vector hash scan merge sort group key "
+             "stream window filter value column query join index").split()
+    texts, ids = [], []
+    for i in range(n):
+        t = " ".join(rng.choice(words, 40))
+        texts.append(t)
+        ids.append(i)
+    # exact dups: every 50th doc duplicates its predecessor
+    for i in range(50, n, 50):
+        texts[i] = texts[i - 1]
+    # near dups: every 50th+10 doc = predecessor with one word changed
+    for i in range(10, n, 50):
+        w = texts[i - 1].split()
+        w[5] = "changed"
+        texts[i] = " ".join(w)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_exact_dedup_with_planted_dups(ray_mod=None):
+    import ray.data as rd
+    from jsonschema_ray.dedup import exact_dedup, exact_dedup_stats
+    t = _docs_with_dups()
+    ds = rd.from_arrow(t)
+    stats = exact_dedup_stats(ds).to_pandas()
+    texts = t["text"].to_pylist()
+    n_distinct = len(set(texts))
+    assert len(stats) == n_distinct
+    dup_groups = stats[stats["n_copies"] > 1]
+    # planted: ids 49/50, 99/100, ... → min id wins
+    assert set(dup_groups["doc_id"]) == {i - 1 for i in range(50, 400, 50)}
+    assert (dup_groups["n_copies"] == 2).all()
+    kept = exact_dedup(ds).to_pandas()
+    assert len(kept) == n_distinct
+    assert kept["text"].is_unique
+
+
+def test_minhash_finds_planted_near_dups():
+    import ray.data as rd
+    from jsonschema_ray.dedup import (minhash_near_duplicates,
+                                      verified_near_duplicates,
+                                      jaccard_shingles)
+    t = _docs_with_dups()
+    ds = rd.from_arrow(t)
+    pairs = minhash_near_duplicates(ds, threshold=0.6).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    planted = {(i - 1, i) for i in range(10, 400, 50)} \
+        | {(i - 1, i) for i in range(50, 400, 50)}
+    assert planted <= found, planted - found
+    # verified variant: exact jaccard attached, all ≥ threshold
+    ver = verified_near_duplicates(ds, threshold=0.6)
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for _, r in ver.iterrows():
+        exact = jaccard_shingles(texts[r["id_a"]], texts[r["id_b"]])
+        assert abs(exact - r["jaccard"]) < 1e-6
+        assert r["jaccard"] >= 0.6
+
+
+def test_simhash_locality():
+    from jsonschema_ray.checks.neardup import hamming64
+    from jsonschema_ray.text import simhash64_batch
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    variant = base.replace("lazy", "busy")
+    other = "completely different content about database engines " * 6
+    h = simhash64_batch(pa.array([base, variant, other]))
+    d_near = hamming64(np.array([h[0]]), np.array([h[1]]))[0]
+    d_far = hamming64(np.array([h[0]]), np.array([h[2]]))[0]
+    assert d_near < d_far
+    assert d_near <= 12
+
+
+def test_embedding_neardup_planted():
+    import ray.data as rd
+    from jsonschema_ray.dedup import embedding_near_duplicates
+    rng = np.random.default_rng(5)
+    n, dim = 500, 64
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant near-identical pairs: rows i and i+250 for i in 0..9
+    for i in range(10):
+        V[i + 250] = V[i] + rng.standard_normal(dim).astype(np.float32) * .01
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array(list(V))})
+    pairs = embedding_near_duplicates(rd.from_arrow(t),
+                                      threshold=0.98).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    planted = {(i, i + 250) for i in range(10)}
+    # hyperplane LSH recall is probabilistic; near-identical vectors land
+    # in the same bucket with overwhelming probability
+    assert len(planted & found) >= 9
+    assert (pairs["cosine"] >= 0.98).all()
+
+
+def test_ivf_recall_vs_brute_force():
+    import ray.data as rd
+    from jsonschema_ray.ann import brute_force_topk, ivf_topk
+    rng = np.random.default_rng(9)
+    n, dim = 2000, 64
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array(list(V))})
+    ds = rd.from_arrow(t)
+    queries = [V[3], V[77]]
+    bf = brute_force_topk(ds, queries, query_ids=[3, 77], k=10)
+    ivf = ivf_topk(ds, queries, query_ids=[3, 77], k=10,
+                   ncells=32, nprobe=16)
+    for qid in (3, 77):
+        b = set(bf[bf["query_id"] == qid]["vec_id"])
+        v = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        assert len(b & v) >= 7, f"IVF recall too low for query {qid}"
+
+
+def test_rolling_fingerprint_stability():
+    from jsonschema_ray.text.analysis import rolling_fingerprint
+    a = "some document content that is long enough for fingerprints"
+    fp1 = rolling_fingerprint(pa.array([a, a + "!", "short"]))
+    fp2 = rolling_fingerprint(pa.array([a]))
+    assert fp1[0] == fp2[0]          # deterministic
+    assert len(fp1[0]) == 4
+    assert fp1[2] == []              # under window → empty
+    # appending one char preserves most minima
+    assert len(set(fp1[0]) & set(fp1[1])) >= 3
