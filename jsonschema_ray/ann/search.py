@@ -58,14 +58,14 @@ def _merge_topk(candidates: pd.DataFrame, id_col: str, k: int) -> \
         pd.DataFrame:
     """Global merge of per-batch candidates: exact top-k per query with a
     deterministic (score desc, id asc) tie-break."""
-    def top(g: pd.DataFrame) -> pd.DataFrame:
+    outs = []
+    for qid, g in candidates.groupby("query_id", sort=False):
         g = g.sort_values(["score", id_col],
                           ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-    return (candidates.groupby("query_id", group_keys=False)
-            .apply(top).reset_index(drop=True))
+        outs.append(g)
+    return pd.concat(outs, ignore_index=True)
 
 
 def brute_force_topk(ds, queries, query_ids=None, vec_col: str = "embedding",

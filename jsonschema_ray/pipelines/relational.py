@@ -339,19 +339,33 @@ def events_filter_project(sf_dir: str):
 
 def events_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity) per user — the
-    streaming-shaped pattern from ray_guide: partition by key, sort by ts
-    within the group, window logic in pandas."""
+    streaming-shaped pattern from ray_guide (partition by key, sort by ts
+    within the key), via ONE coarse hash-partition with the windowing
+    fully vectorized inside each partition (a per-user map_groups would
+    pay per-group task overhead at millions of users)."""
+    from ..util import partitioned_group_apply
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64")  # microseconds
-        gaps = us.diff() > 1_800_000_000
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": np.int64(1 + gaps.sum()),
-                             "n_events": np.int64(len(g))})
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        new_user = np.ones(len(df), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.zeros(len(df), dtype=bool)
+        gap[1:] = (us[1:] - us[:-1] > 1_800_000_000) & ~new_user[1:]
+        users, counts = np.unique(uid, return_counts=True)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # uid sorted ⇒ np.unique order == segment order
+        cum = np.concatenate(([0], np.cumsum(gap)))
+        ends = starts + counts
+        n_sessions = 1 + (cum[ends] - cum[starts])
+        return pd.DataFrame({"user_id": users,
+                             "n_sessions": n_sessions.astype(np.int64),
+                             "n_events": counts.astype(np.int64)})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return partitioned_group_apply(ds, ["user_id"], sessions,
+                                   num_partitions=32)
 
 
 def drift_events_value(sf_dir: str):
@@ -410,19 +424,22 @@ def fingerprint_documents(sf_dir: str):
 
 
 def orders_running_total(sf_dir: str):
-    """Per-customer running revenue ordered by date — groupby.map_groups
-    window (ray_guide 'custom grouped logic')."""
+    """Per-customer running revenue ordered by date — windowed cumsum,
+    vectorized per coarse partition (pandas groupby().cumsum over the
+    whole partition; no per-customer task)."""
+    from ..util import partitioned_group_apply
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_custkey", "o_orderdate",
                         "o_totalprice"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        g["running_total"] = g["o_totalprice"].cumsum().round(2)
-        return g[["o_orderkey", "running_total"]]
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        rt = df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].to_numpy(),
+                             "running_total": rt.round(2).to_numpy()})
 
-    return ds.groupby("o_custkey").map_groups(running,
-                                              batch_format="pandas")
+    return partitioned_group_apply(ds, ["o_custkey"], running,
+                                   num_partitions=32)
 
 
 # ---------------------------------------------------------------------------

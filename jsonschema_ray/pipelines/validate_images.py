@@ -228,8 +228,9 @@ def flagship_report(ds, ruleset=None, decode: bool = True,
                  "max_num", "sum_num", "min_str", "max_str", "hll",
                  "tdigest"])
     partials = union[union["record_type"] == "s"]
-    stats = partials.groupby("column", group_keys=False) \
-        .apply(merge_stat_partials).reset_index(drop=True)
+    stats = pd.concat([merge_stat_partials(g) for _, g in
+                       partials.groupby("column", sort=False)],
+                      ignore_index=True)
     return {"violations": viol.reset_index(drop=True),
             "stats": stats.drop(columns=["hll", "tdigest"]),
             "n_violations": len(viol)}
@@ -314,8 +315,10 @@ def validate_images_pipeline(
             nrows = pq.read_metadata(f).num_rows
             nv = int(nviol_by_frag.get(frag, 0))
             frag_stats = sp[sp["fragment_id"] == frag]
-            merged = frag_stats.groupby("column", group_keys=False).apply(
-                merge_stat_partials)
+            merged = pd.concat([merge_stat_partials(g) for _, g in
+                                frag_stats.groupby("column", sort=False)],
+                               ignore_index=True) if len(frag_stats) else \
+                pd.DataFrame()
             new_records.append(FragmentRecord(
                 fragment_id=frag, ruleset_hash=rs.ruleset_hash,
                 n_rows=int(nrows), n_violations=nv, passed=nv == 0,
@@ -334,8 +337,10 @@ def validate_images_pipeline(
     global_stats = None
     if frames:
         allp = pd.concat(frames, ignore_index=True)
-        global_stats = allp.groupby("column", group_keys=False).apply(
-            merge_stat_partials).reset_index(drop=True)
+        global_stats = pd.concat(
+            [merge_stat_partials(g) for _, g in
+             allp.groupby("column", sort=False)],
+            ignore_index=True)
 
     # cross-fragment checks on narrow projections over the FULL input
     full = rd.read_parquet(files)
