@@ -92,7 +92,7 @@ def _partition_pairs(id_col: str, phash_col: str, max_distance: int,
         if len(df) < 2:
             return _EMPTY_PAIRS.copy()
         from ..sketches.hashing import _splitmix64
-        from ..util import ranges_concat, segment_pairs
+        from ..util import segment_pairs
         bid = df["band_id"].to_numpy().astype(np.int64)
         bval = df["band_val"].to_numpy()
         ids = df[id_col].to_numpy()

@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..sketches.hashing import _splitmix64, hash64_array
+from ..sketches.hashing import _splitmix64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 

@@ -25,7 +25,6 @@ import os
 import time
 from typing import Optional
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -76,12 +75,10 @@ class ImageValidateStage:
             extra_cols=(path_col,) if path_col else ()) if decode else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rule_tbl = batch
-        if self.path_col and self.path_col in batch.column_names:
-            pass  # path column is inert for the rule set (unknown keyword
-            # tolerance analog: extra columns are ignored unless the rule
-            # set closes the schema)
-        viol = self.bv.violations(rule_tbl)
+        # an extra path column is inert for the rule set (unknown-keyword
+        # tolerance analog: columns are ignored unless the rule set closes
+        # the schema)
+        viol = self.bv.violations(batch)
         if self.decoder is not None:
             dv = self.decoder(batch)
             viol = pa.concat_tables([viol, dv.select(viol.column_names)])

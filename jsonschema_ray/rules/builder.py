@@ -16,7 +16,7 @@ The analogs of the reference's two non-JSON construction paths:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import pyarrow as pa
 

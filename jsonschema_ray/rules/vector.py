@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 from . import messages as M
 from .model import MAX_DEPTH, RuleSet, SchemaNode
-from .rowwise import RowEvaluator, deep_equal, instance_float
+from .rowwise import RowEvaluator, deep_equal
 
 # ---------------------------------------------------------------------------
 # views

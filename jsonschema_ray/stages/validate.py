@@ -15,7 +15,6 @@ from __future__ import annotations
 import json
 from typing import Any, Optional, Union
 
-import numpy as np
 import pyarrow as pa
 
 from ..rules.model import RuleSet, parse_ruleset
