@@ -48,6 +48,13 @@ class SchemaNode:
     # into Ray actor constructors; the analog of the generated $$resolvedRef
     # part (builder.go:286-405)
     resolved_ref: Optional["SchemaNode"] = None
+    # $dynamicAnchor table of the schema RESOURCE this node roots (set on
+    # document roots and loader placeholders). Evaluation threads these
+    # top-down first-wins, so $dynamicRef resolves to the OUTERMOST
+    # in-scope anchor (the reference's per-run VersionData map,
+    # pkg/draft202012/validate.go:84-182); the statically-resolved target
+    # is the fallback ($$detachedDynamicRef analog).
+    resource_anchors: Optional[dict] = None
 
     def get(self, keyword: str) -> Any:
         for p in self.parts:
@@ -318,6 +325,20 @@ def parse_ruleset(doc: Any, loader=None,
             walk(c)
 
     walk(root)
+    # the root resource's $dynamicAnchor table (resolveIDs analog for the
+    # record-anchor pseudo-parts, builder.go:180-211)
+    dyn_anchors: dict[str, SchemaNode] = {}
+
+    def collect_dynamic(n: SchemaNode):
+        a = n.get("$dynamicAnchor")
+        if a and a not in dyn_anchors:
+            dyn_anchors[a] = n
+        for c in _iter_subnodes(n):
+            collect_dynamic(c)
+
+    collect_dynamic(root)
+    if dyn_anchors:
+        root.resource_anchors = dyn_anchors
     # pass 2: link refs (resolveRefs analog, builder.go:286-405). Only
     # document-local refs are supported; remote refs need a driver-side
     # loader (SetLoader analog, schema.go:1015-1052) — not needed for
@@ -345,6 +366,7 @@ def parse_ruleset(doc: Any, loader=None,
                     placeholder.parts = loaded.parts
                     placeholder.bool_value = loaded.bool_value
                     placeholder.resolved_ref = loaded.resolved_ref
+                    placeholder.resource_anchors = loaded.resource_anchors
                 n.resolved_ref = _loader_cache[ref]
             else:
                 raise RuleSetError(

@@ -163,6 +163,9 @@ class RowEvaluator:
         return p
 
     def validate(self, instance: Any) -> list[Violation]:
+        # per-run dynamic-anchor scope (VersionData analog,
+        # pkg/draft202012/validate.go:122-158)
+        self._dyn: dict = {}
         ok, errs, _ann = self._eval(self.rs.root, instance, "", "", 0)
         return errs
 
@@ -174,6 +177,23 @@ class RowEvaluator:
         element indices} — the Notes analog (pkg/notes/notes.go:38-103)."""
         if depth > MAX_DEPTH:
             raise RecursionError(f"schema depth cap exceeded at {kw_loc}")
+        # entering a schema resource records its $dynamicAnchors first-wins
+        # (record/clear anchor parts analog, builder.go:180-211)
+        dyn = getattr(self, "_dyn", None)
+        inserted = []
+        if dyn is not None and node.resource_anchors:
+            for k, v in node.resource_anchors.items():
+                if k not in dyn:
+                    dyn[k] = v
+                    inserted.append(k)
+        try:
+            return self._eval_inner(node, inst, kw_loc, inst_loc, depth)
+        finally:
+            for k in inserted:
+                dyn.pop(k, None)
+
+    def _eval_inner(self, node: SchemaNode, inst: Any, kw_loc: str,
+                    inst_loc: str, depth: int):
         ann: dict = {"keys": set(), "items": set()}
         if node.bool_value is not None:
             if node.bool_value:
@@ -477,6 +497,13 @@ class RowEvaluator:
                     fail(kw, M.message(kw, arg), off=str(c))
             elif kw in ("$ref", "$dynamicRef"):
                 tgt = self.rs.ref_target(node)
+                if kw == "$dynamicRef" and isinstance(arg, str) \
+                        and arg.startswith("#") and not arg.startswith("#/"):
+                    # outermost in-scope $dynamicAnchor wins; statically
+                    # resolved target is the detached fallback
+                    # (validate.go:84-182)
+                    dyn = getattr(self, "_dyn", None) or {}
+                    tgt = dyn.get(arg[1:], tgt)
                 if tgt is not None:
                     s_ok, s_errs, a = self._eval(tgt, inst, tgt.location,
                                                  inst_loc, depth + 1)

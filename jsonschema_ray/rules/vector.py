@@ -228,11 +228,13 @@ class BatchValidator:
 
     def evaluate(self, table: pa.Table) -> tuple[np.ndarray, pa.Table]:
         sink: list[VBlock] = []
+        self._dyn = {}  # per-run dynamic-anchor scope (validate.go:122-158)
         mask, _ = self._eval(self.rs.root, root_view(table), "", 0, sink)
         return mask, self._blocks_to_table(table, sink)
 
     def mask(self, table: pa.Table) -> np.ndarray:
         sink: list[VBlock] = []
+        self._dyn = {}
         m, _ = self._eval(self.rs.root, root_view(table), "", 0, sink)
         return m
 
@@ -378,6 +380,24 @@ class BatchValidator:
               sink: list[VBlock]) -> tuple[np.ndarray, Ann]:
         if depth > MAX_DEPTH:
             raise RecursionError(f"schema depth cap exceeded at {kw_loc}")
+        # entering a schema resource records its $dynamicAnchors
+        # first-wins (builder.go:180-211 record/clear parts analog)
+        dyn = getattr(self, "_dyn", None)
+        if dyn is not None and node.resource_anchors:
+            inserted = []
+            for k, v in node.resource_anchors.items():
+                if k not in dyn:
+                    dyn[k] = v
+                    inserted.append(k)
+            try:
+                return self._eval_body(node, view, kw_loc, depth, sink)
+            finally:
+                for k in inserted:
+                    dyn.pop(k, None)
+        return self._eval_body(node, view, kw_loc, depth, sink)
+
+    def _eval_body(self, node: SchemaNode, view: View, kw_loc: str,
+                   depth: int, sink: list[VBlock]) -> tuple[np.ndarray, Ann]:
         n = view.n
         ann = Ann()
         ones = np.ones(n, dtype=bool)
@@ -783,6 +803,12 @@ class BatchValidator:
             return ok
         if kw in ("$ref", "$dynamicRef"):
             tgt = self.rs.ref_target(node)
+            if kw == "$dynamicRef" and isinstance(arg, str) \
+                    and arg.startswith("#") and not arg.startswith("#/"):
+                # outermost in-scope $dynamicAnchor wins; statically
+                # resolved target is the detached fallback
+                # (validate.go:84-182)
+                tgt = (getattr(self, "_dyn", None) or {}).get(arg[1:], tgt)
             if tgt is None:
                 return None
             tmp = []

@@ -128,3 +128,39 @@ def test_meta_validation():
     # nested error locations point into the document
     v5 = check_ruleset({"properties": {"a": {"type": "strnig"}}})
     assert any("/properties/a/type" in x.instance_location for x in v5)
+
+
+def test_dynamic_ref_outermost_anchor_wins():
+    """$dynamicRef resolves to the OUTERMOST in-scope $dynamicAnchor
+    (validate.go:84-182): a library loaded via $ref uses the REFERRING
+    document's anchor when one is in scope, its own otherwise."""
+    library = {
+        "$defs": {"default_T": {"$dynamicAnchor": "T", "type": "number"}},
+        "properties": {
+            "v": {"$dynamicRef": "#T"},
+        },
+    }
+
+    def loader(uri):
+        assert uri == "https://rules.example/lib.json"
+        return library
+
+    # root OVERRIDES T: numbers must be >= 100
+    root_with_anchor = {
+        "$defs": {"strictT": {"$dynamicAnchor": "T", "minimum": 100}},
+        "$ref": "https://rules.example/lib.json",
+    }
+    rs = parse_ruleset(root_with_anchor, loader=loader)
+    t = pa.table({"v": [150.0, 5.0]})
+    assert BatchValidator(rs).mask(t).tolist() == [True, False]
+    re_ = RowEvaluator(rs)
+    assert len(re_.validate({"v": 150.0})) == 0
+    assert len(re_.validate({"v": 5.0})) == 1
+
+    # root WITHOUT an anchor: the library's own T applies (type number)
+    root_plain = {"$ref": "https://rules.example/lib.json"}
+    rs2 = parse_ruleset(root_plain, loader=loader)
+    t2 = pa.table({"v": [5.0]})
+    assert BatchValidator(rs2).mask(t2).tolist() == [True]
+    t3 = pa.table({"v": ["not a number"]})
+    assert BatchValidator(rs2).mask(t3).tolist() == [False]
