@@ -24,18 +24,27 @@ import ray
 
 def _semi_join_batch(batch: pa.Table, *, key: str, value_set_ref,
                      keep: str) -> pa.Table:
-    """Task body: the broadcast key set is fetched from the object store
-    ONCE per worker process (worker_cached on the ref), then each batch
-    filters with pc.is_in — zero-copy, no shuffle."""
+    """Task body: the broadcast key set (exact Arrow array OR Bloom filter
+    for huge universes) is fetched from the object store ONCE per worker
+    process (worker_cached on the ref), then each batch filters with
+    pc.is_in / vectorized bloom membership — no shuffle."""
+    import numpy as np
+
+    from ..sketches.bloom import BloomFilter
     from ..util import worker_cached
 
     def fetch():
         vs = ray.get(value_set_ref)
+        if isinstance(vs, BloomFilter):
+            return vs
         return vs if isinstance(vs, pa.Array) else pa.array(vs)
 
     value_set = worker_cached(("semijoin", value_set_ref.hex()), fetch)
     col = batch.column(key)
-    hit = pc.is_in(col, value_set=value_set)
+    if isinstance(value_set, BloomFilter):
+        hit = pa.array(value_set.contains_column(col))
+    else:
+        hit = pc.is_in(col, value_set=value_set)
     valid = pc.is_valid(col)
     if keep == "missing":  # anti-join: present key, no match
         mask = pc.and_(valid, pc.invert(hit))
@@ -44,28 +53,46 @@ def _semi_join_batch(batch: pa.Table, *, key: str, value_set_ref,
     return batch.filter(mask)
 
 
-def _broadcast_keys(ref_ds_or_array, key: Optional[str]):
+def _broadcast_keys(ref_ds_or_array, key: Optional[str],
+                    bloom_fp: Optional[float] = None):
+    from ..sketches.bloom import BloomFilter
+    if isinstance(ref_ds_or_array, BloomFilter):
+        return ray.put(ref_ds_or_array)
     if isinstance(ref_ds_or_array, (pa.Array, pa.ChunkedArray, list)):
         arr = pa.array(ref_ds_or_array) \
             if isinstance(ref_ds_or_array, list) else ref_ds_or_array
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        return ray.put(pc.unique(arr))
-    # a Dataset: pull the (small) distinct key column to the driver once
-    tbl = ref_ds_or_array.select_columns([key]).to_arrow_refs()
-    parts = [pa.Table.from_batches(t.to_batches())
-             for t in ray.get(tbl)]
-    whole = pa.concat_tables([p for p in parts if p.num_rows])
-    return ray.put(pc.unique(whole.column(key).combine_chunks()))
+        uniq = pc.unique(arr)
+    else:
+        # a Dataset: pull the (small) distinct key column to the driver once
+        tbl = ref_ds_or_array.select_columns([key]).to_arrow_refs()
+        parts = [pa.Table.from_batches(t.to_batches())
+                 for t in ray.get(tbl)]
+        whole = pa.concat_tables([p for p in parts if p.num_rows])
+        uniq = pc.unique(whole.column(key).combine_chunks())
+    if bloom_fp is not None:
+        # huge key universes: ship m bits instead of the exact set; ONLY
+        # false positives (missed orphans at rate ≈ fp), never false
+        # "orphan" reports
+        bf = BloomFilter(len(uniq), fp=bloom_fp)
+        bf.add_column(uniq)
+        return ray.put(bf)
+    return ray.put(uniq)
 
 
 def broadcast_semi_join(ds, key: str, ref, ref_key: Optional[str] = None,
                         anti: bool = False, columns: Optional[list] = None,
-                        batch_size: int = 131072, concurrency=None):
+                        batch_size: int = 131072, concurrency=None,
+                        bloom_fp: Optional[float] = None):
     """Filter ``ds`` to rows whose ``key`` is (semi) / is not (anti) in the
-    reference key universe. ``ref`` may be a Dataset, pyarrow array or list."""
+    reference key universe. ``ref`` may be a Dataset, pyarrow array, list,
+    or a pre-built BloomFilter; ``bloom_fp`` switches the broadcast side to
+    a Bloom filter of that false-positive rate (for key universes too big
+    to ship exactly — semi-joins keep every true match, anti-joins may
+    miss orphans at rate ≈ fp)."""
     import functools
-    vs_ref = _broadcast_keys(ref, ref_key or key)
+    vs_ref = _broadcast_keys(ref, ref_key or key, bloom_fp=bloom_fp)
     if columns is not None:
         ds = ds.select_columns(columns)
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,

@@ -138,10 +138,36 @@ def _image_stage_fn(rs, decode, check_phash, path_col=None):
                              check_phash=check_phash, path_col=path_col)
 
 
+def adaptive_batch_size(ds=None, files=None, target_bytes: int = 64 << 20,
+                        lo: int = 64, hi: int = 8192,
+                        default: int = 4096) -> int:
+    """Row-count batch size for a WIDE-payload stage, derived from the
+    actual bytes/row so a batch stays ≈ ``target_bytes`` regardless of
+    image size (ray_guide 'Memory-aware': large binary payloads need small
+    batches — 4096 rows of 150 KB images would be a 600 MB batch)."""
+    try:
+        if not files and ds is not None:
+            # metadata-only for read datasets; deriving size from a lazy
+            # computed pipeline would EXECUTE it just to pick a batch size
+            files = ds.input_files()
+        if not files:
+            return default
+        md = pq.read_metadata(files[0])
+        nbytes = sum(md.row_group(i).total_byte_size
+                     for i in range(md.num_row_groups))
+        per_row = max(1, nbytes // max(1, md.num_rows))
+        return int(min(hi, max(lo, target_bytes // per_row)))
+    except Exception:
+        return default
+
+
 def validate_images(ds, ruleset=None, decode: bool = True,
-                    check_phash: bool = False, batch_size: int = 4096):
-    """One-shot (no checkpoint): Dataset → Dataset of violation rows."""
+                    check_phash: bool = False, batch_size: int = None):
+    """One-shot (no checkpoint): Dataset → Dataset of violation rows.
+    ``batch_size`` defaults to a payload-aware value (adaptive_batch_size)."""
     rs = parse_ruleset(ruleset or IMAGE_RULESET)
+    if batch_size is None:
+        batch_size = adaptive_batch_size(ds=ds)
     return ds.map_batches(
         _image_stage_fn(rs, decode, check_phash),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

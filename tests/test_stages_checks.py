@@ -207,3 +207,37 @@ def test_sketch_roundtrip_and_merge_associativity():
     allv = np.concatenate(parts)
     assert abs(td.quantile(0.5) - np.quantile(allv, 0.5)) \
         <= 0.01 * (allv.max() - allv.min()) + 1
+
+
+def test_bloom_filter_semantics():
+    from jsonschema_ray.sketches.bloom import BloomFilter
+    from jsonschema_ray.sketches.hashing import hash64_array
+    import pyarrow as pa
+    keys = pa.array([f"k-{i}" for i in range(50_000)])
+    bf = BloomFilter(50_000, fp=0.01)
+    bf.add_column(keys)
+    # zero false negatives
+    assert bf.contains_column(keys).all()
+    # false-positive rate near spec
+    others = pa.array([f"x-{i}" for i in range(50_000)])
+    fp = bf.contains_column(others).mean()
+    assert fp < 0.03, fp
+    # serialization roundtrip
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert bf2.contains_column(keys).all()
+
+
+def test_semi_join_with_bloom(ray_mod):
+    import ray.data as rd
+    from jsonschema_ray.checks import broadcast_semi_join
+    facts = rd.from_arrow(pa.table({
+        "k": [f"k-{i}" for i in range(1000)] + ["orphan-1", "orphan-2"],
+        "v": list(range(1002))}))
+    ref = pa.array([f"k-{i}" for i in range(1000)])
+    semi = broadcast_semi_join(facts, "k", ref, bloom_fp=0.001).to_pandas()
+    # semi-join through a bloom keeps EVERY true match
+    assert len(semi) >= 1000
+    anti = broadcast_semi_join(facts, "k", ref, anti=True,
+                               bloom_fp=0.001).to_pandas()
+    # anti-join may miss orphans (false positives) but never flags matches
+    assert set(anti["k"]) <= {"orphan-1", "orphan-2"}
