@@ -231,7 +231,7 @@ def _flagship_pass_batch(batch, *, doc_json, decode, check_phash,
 def flagship_report(ds, ruleset=None, decode: bool = True,
                     check_phash: bool = True,
                     stats_columns: tuple = ("w", "h", "caption", "phash"),
-                    batch_size: int = 4096) -> dict:
+                    batch_size: int = None) -> dict:
     """Single-pass violations + merged column stats over an image Dataset
     (no checkpointing — the bench/one-shot face of the flagship)."""
     import functools
@@ -239,6 +239,8 @@ def flagship_report(ds, ruleset=None, decode: bool = True,
     from ..rules.model import canonical_json
     from ..stages.stats import merge_stat_partials
     rs = parse_ruleset(ruleset or IMAGE_RULESET)
+    if batch_size is None:
+        batch_size = adaptive_batch_size(ds=ds)
     union = ds.map_batches(
         functools.partial(_flagship_pass_batch,
                           doc_json=canonical_json(rs.doc), decode=decode,
