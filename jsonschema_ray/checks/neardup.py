@@ -47,21 +47,29 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _explode_bands(batch: pa.Table, *, id_col: str, phash_col: str,
-                   bands: int) -> pa.Table:
+                   bands: int, num_partitions: int) -> pa.Table:
+    """Explode to (``_part``, band_id, id, phash) — band VALUES are
+    recomputed from the phash inside each partition instead of shuffled
+    (8 bytes/row saved on the only large exchange), and the partition
+    stamp is computed here directly from (band_id, band_val)."""
+    from ..sketches.hashing import _splitmix64
     width = 64 // bands
     ph = batch.column(phash_col).combine_chunks()
     ids = batch.column(id_col).combine_chunks()
     h = ph.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     n = len(h)
     mask = np.uint64((1 << width) - 1)
-    band_ids, band_vals = [], []
-    for b in range(bands):
-        band_ids.append(np.full(n, b, dtype=np.int8))
-        band_vals.append(
-            ((h >> np.uint64(b * width)) & mask).view(np.int64))
+    band_ids, parts = [], []
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            bval = (h >> np.uint64(b * width)) & mask
+            key = _splitmix64(bval ^ _splitmix64(
+                np.full(n, b, dtype=np.uint64)))
+            band_ids.append(np.full(n, b, dtype=np.int8))
+            parts.append((key % np.uint64(num_partitions)).astype(np.int32))
     return pa.table({
+        "_part": pa.array(np.concatenate(parts)),
         "band_id": pa.array(np.concatenate(band_ids)),
-        "band_val": pa.array(np.concatenate(band_vals)),
         id_col: pa.concat_arrays([ids] * bands),
         phash_col: pa.concat_arrays([ph] * bands),
     })
@@ -94,9 +102,12 @@ def _partition_pairs(id_col: str, phash_col: str, max_distance: int,
         from ..sketches.hashing import _splitmix64
         from ..util import segment_pairs
         bid = df["band_id"].to_numpy().astype(np.int64)
-        bval = df["band_val"].to_numpy()
         ids = df[id_col].to_numpy()
         ph = df[phash_col].to_numpy().astype(np.int64).view(np.uint64)
+        # band values recomputed from the phash (they never shuffled)
+        mask64 = np.uint64((1 << width) - 1)
+        bval = ((ph >> (bid.astype(np.uint64) * np.uint64(width)))
+                & mask64).view(np.int64)
 
         # bucket sizes via one lexsort
         order = np.lexsort((bval, bid))
@@ -194,13 +205,16 @@ def phash_near_duplicates(ds, id_col: str = "image_id",
     from ..util import partitioned_group_apply
     exploded = ds.select_columns([id_col, phash_col]).map_batches(
         functools.partial(_explode_bands, id_col=id_col,
-                          phash_col=phash_col, bands=bands),
+                          phash_col=phash_col, bands=bands,
+                          num_partitions=num_partitions),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
-    pairs = partitioned_group_apply(
-        exploded, ["band_id", "band_val"],
-        _partition_pairs(id_col, phash_col, max_distance, max_bucket,
-                         bands),
-        num_partitions=num_partitions)
+    # the explode already stamped ``_part`` (hash of band_id+band_val), so
+    # group directly — no second stamping pass, band values never shuffle
+    fn = _partition_pairs(id_col, phash_col, max_distance, max_bucket,
+                          bands)
+    pairs = exploded.groupby("_part").map_groups(
+        lambda pdf: fn(pdf.drop(columns=["_part"])),
+        batch_format="pandas")
     # the same pair can surface from several bands / partitions
     return partitioned_group_apply(
         pairs, ["id_a", "id_b"],

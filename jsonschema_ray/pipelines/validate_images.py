@@ -322,6 +322,10 @@ def validate_images_pipeline(
             lambda t: t.filter(pc.equal(t["record_type"], "v"))
             .select(viol_cols),
             batch_format="pyarrow", zero_copy_batch=True)
+        # deterministic output order for exact-match comparison
+        # (FIXTURES F4; SURVEY §7 hard part (d)) — violations are ~0.1% of
+        # rows, the sort is over a small dataset
+        viol = viol.sort(["image_id", "keyword", "instance_location"])
         # violations staged, renamed, THEN records appended (records =
         # commit point; a kill between leaves a re-validatable wave whose
         # committed violations never double-count)
