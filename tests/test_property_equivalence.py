@@ -1,0 +1,133 @@
+"""Property-based equivalence: for RANDOM rule documents over RANDOM tables,
+the vectorized batch engine and the row-wise oracle must produce identical
+per-row verdicts and identical violation multisets. This is the deep
+correctness net over the whole keyword surface (SURVEY §5's randomized
+oracle check, generalized)."""
+
+import hypothesis.strategies as st
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+
+from jsonschema_ray import BatchValidator, RowEvaluator, parse_ruleset
+
+COLS = ["a", "b", "s", "t", "arr"]
+
+# -- rule-document grammar ---------------------------------------------------
+
+num_leaf = st.fixed_dictionaries({}, optional={
+    "minimum": st.integers(-5, 5),
+    "maximum": st.integers(-5, 5),
+    "exclusiveMinimum": st.integers(-5, 5),
+    "exclusiveMaximum": st.integers(-5, 5),
+    "multipleOf": st.sampled_from([1, 2, 3, 0.5]),
+    "type": st.sampled_from(["integer", "number",
+                             ["integer", "string"]]),
+    "enum": st.lists(st.integers(-3, 3), min_size=1, max_size=4),
+    "const": st.integers(-3, 3),
+})
+
+str_leaf = st.fixed_dictionaries({}, optional={
+    "minLength": st.integers(0, 4),
+    "maxLength": st.integers(0, 6),
+    "pattern": st.sampled_from(["^a", "b$", "[xy]", "^$", "a.c"]),
+    "type": st.sampled_from(["string", ["string", "null"]]),
+    "enum": st.lists(st.sampled_from(["", "a", "ab", "xy", "héé"]),
+                     min_size=1, max_size=3),
+})
+
+arr_leaf = st.fixed_dictionaries({}, optional={
+    "minItems": st.integers(0, 3),
+    "maxItems": st.integers(0, 4),
+    "uniqueItems": st.booleans(),
+    "items": num_leaf,
+    "contains": st.fixed_dictionaries({"minimum": st.integers(-2, 2)}),
+    "minContains": st.integers(0, 3),
+    "maxContains": st.integers(0, 3),
+})
+
+
+def props_for(leaves):
+    return st.fixed_dictionaries({}, optional={
+        "a": leaves[0], "b": leaves[0], "s": leaves[1], "t": leaves[1],
+        "arr": leaves[2],
+    })
+
+
+base_node = st.fixed_dictionaries({}, optional={
+    "properties": props_for((num_leaf, str_leaf, arr_leaf)),
+    "required": st.lists(st.sampled_from(COLS), max_size=3, unique=True),
+    "dependentRequired": st.fixed_dictionaries({}, optional={
+        "a": st.lists(st.sampled_from(COLS), min_size=1, max_size=2,
+                      unique=True)}),
+    "minProperties": st.integers(0, 5),
+    "maxProperties": st.integers(0, 6),
+})
+
+ruleset_doc = st.fixed_dictionaries({}, optional={
+    "properties": props_for((num_leaf, str_leaf, arr_leaf)),
+    "required": st.lists(st.sampled_from(COLS), max_size=2, unique=True),
+    "allOf": st.lists(base_node, min_size=1, max_size=2),
+    "anyOf": st.lists(base_node, min_size=1, max_size=2),
+    "oneOf": st.lists(base_node, min_size=1, max_size=2),
+    "not": base_node,
+    "if": base_node,
+    "then": base_node,
+    "else": base_node,
+    "additionalProperties": st.sampled_from([True, False]),
+    "unevaluatedProperties": st.sampled_from([True, False]),
+})
+
+# -- table generator ---------------------------------------------------------
+
+opt_int = st.one_of(st.none(), st.integers(-6, 6))
+opt_float = st.one_of(st.none(), st.integers(-6, 6).map(float),
+                      st.sampled_from([0.5, 2.5, -1.5]))
+opt_str = st.one_of(st.none(),
+                    st.sampled_from(["", "a", "ab", "abc", "xy", "héé",
+                                     "3", "2.5", "bob"]))
+opt_arr = st.one_of(st.none(),
+                    st.lists(st.integers(-3, 3), max_size=4))
+
+table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
+    "a": st.lists(opt_int, min_size=n, max_size=n),
+    "b": st.lists(opt_float, min_size=n, max_size=n),
+    "s": st.lists(opt_str, min_size=n, max_size=n),
+    "t": st.lists(opt_str, min_size=n, max_size=n),
+    "arr": st.lists(opt_arr, min_size=n, max_size=n),
+}))
+
+
+def build_table(cols: dict) -> pa.Table:
+    return pa.table({
+        "a": pa.array(cols["a"], type=pa.int64()),
+        "b": pa.array(cols["b"], type=pa.float64()),
+        "s": pa.array(cols["s"], type=pa.string()),
+        "t": pa.array(cols["t"], type=pa.string()),
+        "arr": pa.array(cols["arr"], type=pa.list_(pa.int64())),
+    })
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much])
+@given(doc=ruleset_doc, cols=table_rows)
+def test_vector_matches_rowwise(doc, cols):
+    rs = parse_ruleset(doc)
+    t = build_table(cols)
+    bv = BatchValidator(rs)
+    mask, viol = bv.evaluate(t)
+    re_ = RowEvaluator(rs)
+    exp_mask, exp_viols = [], []
+    for row in t.to_pylist():
+        errs = re_.validate(row)
+        exp_mask.append(len(errs) == 0)
+        exp_viols += [(v.instance_location, v.keyword, v.keyword_location,
+                       v.message, v.offending) for v in errs]
+    assert mask.tolist() == exp_mask
+    got = sorted(zip(viol["instance_location"].to_pylist(),
+                     viol["keyword"].to_pylist(),
+                     viol["keyword_location"].to_pylist(),
+                     viol["message"].to_pylist(),
+                     viol["offending_value"].to_pylist()))
+    assert got == sorted(exp_viols)
