@@ -140,11 +140,17 @@ def _image_stage_fn(rs, decode, check_phash, path_col=None):
 
 def adaptive_batch_size(ds=None, files=None, target_bytes: int = 64 << 20,
                         lo: int = 64, hi: int = 8192,
-                        default: int = 4096) -> int:
-    """Row-count batch size for a WIDE-payload stage, derived from the
-    actual bytes/row so a batch stays ≈ ``target_bytes`` regardless of
-    image size (ray_guide 'Memory-aware': large binary payloads need small
-    batches — 4096 rows of 150 KB images would be a 600 MB batch)."""
+                        default: int = 4096,
+                        min_tasks_per_cpu: int = 2) -> int:
+    """Row-count batch size for a WIDE-payload stage, bounded two ways:
+
+    - from the actual bytes/row, so a batch stays ≈ ``target_bytes``
+      regardless of image size (ray_guide 'Memory-aware': 4096 rows of
+      150 KB images would be a 600 MB batch);
+    - from the corpus size vs cluster CPUs, so the stage still fans out to
+      ≥ ``min_tasks_per_cpu`` tasks per core (ds.stats() showed a 100k-row
+      corpus collapsing to 12 tasks on 32 CPUs at the byte-derived cap —
+      batch size must shrink on small inputs, not just on wide rows)."""
     try:
         if not files and ds is not None:
             # metadata-only for read datasets; deriving size from a lazy
@@ -156,7 +162,16 @@ def adaptive_batch_size(ds=None, files=None, target_bytes: int = 64 << 20,
         nbytes = sum(md.row_group(i).total_byte_size
                      for i in range(md.num_row_groups))
         per_row = max(1, nbytes // max(1, md.num_rows))
-        return int(min(hi, max(lo, target_bytes // per_row)))
+        total_rows = md.num_rows * len(files)  # same-sized fragments
+        try:
+            import ray
+            cpus = int(ray.cluster_resources().get("CPU", 0)) or \
+                (os.cpu_count() or 8)
+        except Exception:
+            cpus = os.cpu_count() or 8
+        parallel_cap = max(lo, total_rows // (min_tasks_per_cpu * cpus))
+        return int(min(hi, parallel_cap,
+                       max(lo, target_bytes // per_row)))
     except Exception:
         return default
 
