@@ -177,9 +177,12 @@ def _gate_blocks(blocks: list[VBlock], keep: np.ndarray) -> list[VBlock]:
 class Ann:
     keys: dict[str, np.ndarray] = field(default_factory=dict)  # name->rowmask
     items: Optional[np.ndarray] = None  # flat-slot mask (array contexts)
+    # flat slot -> view slot, carried WITH the items mask so row-level
+    # gates apply to element bitmaps (every node evaluating the same view
+    # flattens to the identical domain, so mappings are interchangeable)
+    items_rows: Optional[np.ndarray] = None
 
-    def merge(self, other: "Ann", gate: Optional[np.ndarray],
-              flat_rows: Optional[np.ndarray] = None):
+    def merge(self, other: "Ann", gate: Optional[np.ndarray]):
         for k, m in other.keys.items():
             g = m if gate is None else (m & gate)
             if k in self.keys:
@@ -188,9 +191,13 @@ class Ann:
                 self.keys[k] = g
         if other.items is not None:
             g = other.items
-            if gate is not None and flat_rows is not None:
-                g = g & gate[flat_rows]
+            if gate is not None and other.items_rows is not None:
+                # a combinator's notes only count where the branch passed
+                # FOR THAT ROW (allOf: where all passed — validator.go:62-86)
+                g = g & gate[other.items_rows]
             self.items = g if self.items is None else (self.items | g)
+            if self.items_rows is None:
+                self.items_rows = other.items_rows
 
 
 # ---------------------------------------------------------------------------
@@ -711,7 +718,7 @@ class BatchValidator:
                 kcount = len(arg)
                 notes["prefix_len"] = kcount
                 covered = ev.elem_pos < kcount
-                self._ann_items(ann, covered)
+                self._ann_items(ann, covered, flat_parent)
                 for i, sub in enumerate(arg):
                     sel = ev.elem_pos == i
                     if not sel.any():
@@ -730,7 +737,7 @@ class BatchValidator:
             if kw == "items":
                 start = notes.get("prefix_len", 0)
                 sel = ev.elem_pos >= start
-                self._ann_items(ann, sel)
+                self._ann_items(ann, sel, flat_parent)
                 idx = np.nonzero(sel)[0]
                 sub_view = _subset_view(ev, idx)
                 tmp = []
@@ -745,7 +752,7 @@ class BatchValidator:
                 sm, _ = self._eval(arg, ev, kloc, depth + 1, tmp)
                 counts = _segment_sum(sm & ev.present, offsets)
                 notes["contains_count"] = counts
-                self._ann_items(ann, sm & ev.present)
+                self._ann_items(ann, sm & ev.present, flat_parent)
                 min_c = node.get("minContains")
                 if min_c == 0:  # always-true bypass (validator.go:386-402)
                     return np.ones(n, dtype=bool)
@@ -756,7 +763,7 @@ class BatchValidator:
                 seen = ann.items if ann.items is not None \
                     else np.zeros(ev.n, dtype=bool)
                 sel = ~seen
-                self._ann_items(ann, sel)
+                self._ann_items(ann, sel, flat_parent)
                 idx = np.nonzero(sel)[0]
                 if len(idx) == 0:
                     return None
@@ -846,9 +853,12 @@ class BatchValidator:
         slots (identity — views share the slot domain within one node)."""
         return slot_mask
 
-    def _ann_items(self, ann: Ann, flat_mask: np.ndarray):
+    def _ann_items(self, ann: Ann, flat_mask: np.ndarray,
+                   flat_parent: Optional[np.ndarray] = None):
         ann.items = flat_mask.copy() if ann.items is None \
             else (ann.items | flat_mask)
+        if ann.items_rows is None and flat_parent is not None:
+            ann.items_rows = flat_parent
 
     def _type_mask(self, view: View, names: list[str]) -> np.ndarray:
         kind, pres, n = view.kind, view.present, view.n

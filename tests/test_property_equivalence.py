@@ -54,8 +54,17 @@ def props_for(leaves):
     })
 
 
+arr_combinator = st.fixed_dictionaries({}, optional={
+    "allOf": st.lists(arr_leaf, min_size=1, max_size=2),
+    "anyOf": st.lists(arr_leaf, min_size=1, max_size=2),
+    "items": num_leaf,
+    "prefixItems": st.lists(num_leaf, min_size=1, max_size=2),
+    "contains": st.fixed_dictionaries({"minimum": st.integers(-2, 2)}),
+    "unevaluatedItems": st.sampled_from([True, False]),
+})
+
 base_node = st.fixed_dictionaries({}, optional={
-    "properties": props_for((num_leaf, str_leaf, arr_leaf)),
+    "properties": props_for((num_leaf, str_leaf, arr_combinator)),
     "required": st.lists(st.sampled_from(COLS), max_size=3, unique=True),
     "dependentRequired": st.fixed_dictionaries({}, optional={
         "a": st.lists(st.sampled_from(COLS), min_size=1, max_size=2,
@@ -65,7 +74,7 @@ base_node = st.fixed_dictionaries({}, optional={
 })
 
 ruleset_doc = st.fixed_dictionaries({}, optional={
-    "properties": props_for((num_leaf, str_leaf, arr_leaf)),
+    "properties": props_for((num_leaf, str_leaf, arr_combinator)),
     "required": st.lists(st.sampled_from(COLS), max_size=2, unique=True),
     "allOf": st.lists(base_node, min_size=1, max_size=2),
     "anyOf": st.lists(base_node, min_size=1, max_size=2),
