@@ -11,7 +11,7 @@ from hypothesis import HealthCheck, given, settings
 
 from jsonschema_ray import BatchValidator, RowEvaluator, parse_ruleset
 
-COLS = ["a", "b", "s", "t", "arr"]
+COLS = ["a", "b", "s", "t", "arr", "m"]
 
 # -- rule-document grammar ---------------------------------------------------
 
@@ -47,10 +47,28 @@ arr_leaf = st.fixed_dictionaries({}, optional={
 })
 
 
+struct_leaf = st.fixed_dictionaries({}, optional={
+    "type": st.just("object"),
+    "properties": st.fixed_dictionaries({}, optional={
+        "p": st.fixed_dictionaries({}, optional={
+            "minimum": st.integers(-4, 4),
+            "type": st.just("integer")}),
+        "q": st.fixed_dictionaries({}, optional={
+            "minLength": st.integers(0, 3),
+            "pattern": st.sampled_from(["^a", "[xy]"])}),
+    }),
+    "required": st.lists(st.sampled_from(["p", "q"]), max_size=2,
+                         unique=True),
+    "minProperties": st.integers(0, 3),
+    "dependentRequired": st.fixed_dictionaries({}, optional={
+        "p": st.just(["q"])}),
+})
+
+
 def props_for(leaves):
     return st.fixed_dictionaries({}, optional={
         "a": leaves[0], "b": leaves[0], "s": leaves[1], "t": leaves[1],
-        "arr": leaves[2],
+        "arr": leaves[2], "m": struct_leaf,
     })
 
 
@@ -97,6 +115,10 @@ opt_str = st.one_of(st.none(),
                                      "3", "2.5", "bob"]))
 opt_arr = st.one_of(st.none(),
                     st.lists(st.integers(-3, 3), max_size=4))
+opt_struct = st.one_of(st.none(), st.fixed_dictionaries({
+    "p": st.one_of(st.none(), st.integers(-5, 5)),
+    "q": st.one_of(st.none(), st.sampled_from(["", "a", "ab", "xy"])),
+}))
 
 table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "a": st.lists(opt_int, min_size=n, max_size=n),
@@ -104,6 +126,7 @@ table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "s": st.lists(opt_str, min_size=n, max_size=n),
     "t": st.lists(opt_str, min_size=n, max_size=n),
     "arr": st.lists(opt_arr, min_size=n, max_size=n),
+    "m": st.lists(opt_struct, min_size=n, max_size=n),
 }))
 
 
@@ -114,6 +137,8 @@ def build_table(cols: dict) -> pa.Table:
         "s": pa.array(cols["s"], type=pa.string()),
         "t": pa.array(cols["t"], type=pa.string()),
         "arr": pa.array(cols["arr"], type=pa.list_(pa.int64())),
+        "m": pa.array(cols["m"], type=pa.struct([("p", pa.int64()),
+                                                  ("q", pa.string())])),
     })
 
 
