@@ -34,6 +34,8 @@ str_leaf = st.fixed_dictionaries({}, optional={
     "type": st.sampled_from(["string", ["string", "null"]]),
     "enum": st.lists(st.sampled_from(["", "a", "ab", "xy", "héé"]),
                      min_size=1, max_size=3),
+    "format": st.sampled_from(["date", "uuid", "ipv4", "regex",
+                               "no-such-format"]),
 })
 
 arr_leaf = st.fixed_dictionaries({}, optional={
@@ -112,7 +114,9 @@ opt_float = st.one_of(st.none(), st.integers(-6, 6).map(float),
                       st.sampled_from([0.5, 2.5, -1.5]))
 opt_str = st.one_of(st.none(),
                     st.sampled_from(["", "a", "ab", "abc", "xy", "héé",
-                                     "3", "2.5", "bob"]))
+                                     "3", "2.5", "bob", "2024-02-29",
+                                     "2023-02-29", "1.2.3.4", "(", "a|b",
+                                     "123e4567-e89b-12d3-a456-4266141740zz"]))
 opt_arr = st.one_of(st.none(),
                     st.lists(st.integers(-3, 3), max_size=4))
 opt_struct = st.one_of(st.none(), st.fixed_dictionaries({
