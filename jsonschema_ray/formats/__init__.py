@@ -39,7 +39,7 @@ def register_format(name: str, fn: Callable[[str], bool],
 # ---------------------------------------------------------------------------
 # date / time / date-time / duration (pkg/format/time.go)
 
-_DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+_DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})\Z")
 
 
 def is_date(s: str) -> bool:
@@ -57,7 +57,7 @@ def is_date(s: str) -> bool:
 
 
 _TIME_RE = re.compile(
-    r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?([zZ]|[+-]\d{2}:\d{2})$")
+    r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?([zZ]|[+-]\d{2}:\d{2})\Z")
 
 
 def is_time(s: str) -> bool:
@@ -101,7 +101,7 @@ def is_datetime(s: str) -> bool:
 # pkg/format/time.go:210-359): P[nW] | P[nY][nM][nD][T[nH][nM][nS]]
 _DUR_RE = re.compile(
     r"^P(?:\d+W|(?=\d|T\d)(?:\d+Y)?(?:\d+M)?(?:\d+D)?"
-    r"(?:T(?=\d)(?:\d+H)?(?:\d+M)?(?:\d+S)?)?)$")
+    r"(?:T(?=\d)(?:\d+H)?(?:\d+M)?(?:\d+S)?)?)\Z")
 
 
 def is_duration(s: str) -> bool:
@@ -113,7 +113,7 @@ def is_duration(s: str) -> bool:
 
 _EMAIL_LOCAL_RE = re.compile(
     r'^(?:[A-Za-z0-9!#$%&\'*+/=?^_`{|}~-]+(?:\.[A-Za-z0-9!#$%&\'*+/=?^_`{|}~-]+)*'
-    r'|"(?:[^"\\\r\n]|\\.)*")$')
+    r'|"(?:[^"\\\r\n]|\\.)*")\Z')
 
 
 def _hostname_ok(s: str, idn: bool) -> bool:
@@ -140,7 +140,7 @@ def _hostname_ok(s: str, idn: bool) -> bool:
                 return False
         if not label.isascii():
             return False
-        if not re.match(r"^[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?$", label):
+        if not re.match(r"^[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?\Z", label):
             return False
     return True
 
@@ -217,7 +217,7 @@ def _uri_ok(s: str, require_scheme: bool) -> bool:
     except ValueError:
         return False
     if require_scheme:
-        if not parts.scheme or not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*$",
+        if not parts.scheme or not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*\Z",
                                             parts.scheme):
             return False
     # no bare (unbracketed) IPv6 host (uri.go:91-123)
@@ -244,7 +244,10 @@ def is_uri_reference(s: str) -> bool:
 
 _UUID_PATTERN = (r"^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-"
                  r"[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$")
-_UUID_RE = re.compile(_UUID_PATTERN)
+# Python `$` also matches before a trailing '\n'; RE2 (the vector path)
+# treats `$` as end-of-text.  Compile the row-wise side with `\Z` so both
+# engines reject 'value\n' identically.
+_UUID_RE = re.compile(_UUID_PATTERN[:-1] + r"\Z")
 
 
 def is_uuid(s: str) -> bool:
@@ -252,14 +255,14 @@ def is_uuid(s: str) -> bool:
 
 
 _JP_PATTERN = r"^(?:/(?:[^~]|~[01])*)*$"
-_JP_RE = re.compile(_JP_PATTERN)
+_JP_RE = re.compile(_JP_PATTERN[:-1] + r"\Z")
 
 
 def is_json_pointer(s: str) -> bool:
     return bool(_JP_RE.match(s))
 
 
-_RJP_RE = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~]|~[01])*)*)$")
+_RJP_RE = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~]|~[01])*)*)\Z")
 
 
 def is_relative_json_pointer(s: str) -> bool:

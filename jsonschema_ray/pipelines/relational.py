@@ -50,14 +50,26 @@ def _broadcast_lookup_batch(b: pa.Table, *, ref, key: str,
                             out: str) -> pa.Table:
     """Broadcast hash join: the small-side dict is fetched from the object
     store once per worker process (ray.put on the driver, worker_cached
-    here) and mapped over the fact batch."""
+    here), converted ONCE to parallel Arrow key/value arrays, then each
+    batch is joined with vectorized index_in + take — no per-row Python
+    dict probe in the hot path. Unmatched keys map to null (take with a
+    null index), matching dict.get semantics."""
     import ray
 
     from ..util import worker_cached
-    lookup = worker_cached(("lookup", ref.hex()), lambda: ray.get(ref))
-    keys = b[key].to_numpy(zero_copy_only=False)
-    vals = pa.array([lookup.get(k) for k in keys], type=pa.string())
-    return b.append_column(out, vals)
+
+    def build():
+        d = ray.get(ref)
+        return (pa.array(list(d.keys())),
+                pa.array(list(d.values()), type=pa.string()))
+
+    ks, vs = worker_cached(("lookup_arrays", ref.hex()), build)
+    idx = pc.index_in(_combine_col(b[key]), value_set=ks)
+    return b.append_column(out, vs.take(idx))
+
+
+def _combine_col(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
 def grouped_agg(ds, keys: list[str], sums: dict[str, str],
@@ -370,13 +382,28 @@ def events_sessions(sf_dir: str):
 
 def drift_events_value(sf_dir: str):
     """KS + PSI drift between the first and second half of the event stream
-    (by time) over ``value`` — merged-t-digest drift (no SQL oracle)."""
-    import duckdb
+    (by time) over ``value`` — merged-t-digest drift (no SQL oracle).
 
+    The split point is the time median taken from a FIRST distributed
+    t-digest pass over ``ts`` (partials merged on the driver — a few KB),
+    not a driver-side scan: both passes stream narrow projections."""
     from ..checks import ks_statistic, psi
     from ..sketches import TDigest
-    mid = duckdb.sql(f"""SELECT median(epoch_us(ts)) FROM
-        read_parquet('{sf_dir}/events.parquet')""").fetchone()[0]
+
+    ts_ds = _read(sf_dir, "events", columns=["ts"])
+
+    def ts_partial(b: pa.Table) -> pa.Table:
+        td = TDigest()
+        td.add_values(pc.cast(b["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        return pa.table({"tdigest": pa.array([td.to_bytes()],
+                                             type=pa.binary())})
+
+    ts_td = TDigest()
+    for part in ts_ds.map_batches(ts_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()["tdigest"]:
+        ts_td.merge(TDigest.from_bytes(part))
+    mid = ts_td.quantile(0.5)
     ds = _read(sf_dir, "events", columns=["ts", "value"])
 
     def halves(b: pa.Table) -> pa.Table:

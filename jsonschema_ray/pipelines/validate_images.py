@@ -341,11 +341,11 @@ def validate_images_pipeline(
         # (FIXTURES F4; SURVEY §7 hard part (d)) — violations are ~0.1% of
         # rows, the sort is over a small dataset
         viol = viol.sort(["image_id", "keyword", "instance_location"])
-        # violations staged, renamed, THEN records appended (records =
-        # commit point; a kill between leaves a re-validatable wave whose
-        # committed violations never double-count)
+        # violations STAGED only; committed (renamed) after the wave's
+        # records append below — records are the sole commit point, so a
+        # kill in either window never double-counts or loses violations
+        # (state/checkpoint.py module docstring)
         viol.write_parquet(store.violations_tmp_path(tag))
-        store.commit_violations(tag)
         updf = union.to_pandas()
         vpdf = updf[updf["record_type"] == "v"][["path", "keyword"]].copy()
         vpdf["fragment_id"] = vpdf["path"].map(os.path.basename)
@@ -368,8 +368,10 @@ def validate_images_pipeline(
                 n_rows=int(nrows), n_violations=nv, passed=nv == 0,
                 wall_s=wall / max(1, len(wave)),
                 sketch_state=_stats_state_to_bytes(
-                    merged.drop(columns=["fragment_id"], errors="ignore"))))
+                    merged.drop(columns=["fragment_id"], errors="ignore")),
+                wave_tag=tag))
         store.append_records(new_records[-len(wave):])
+        store.commit_violations(tag)
 
     # ---- global view: resumed + new fragments -------------------------
     records = store.load_records().to_pandas()
@@ -386,8 +388,10 @@ def validate_images_pipeline(
              allp.groupby("column", sort=False)],
             ignore_index=True)
 
-    # cross-fragment checks on narrow projections over the FULL input
-    full = rd.read_parquet(files)
+    # cross-fragment checks over the FULL input: project AT THE READ so
+    # only (image_id, phash) row-groups leave storage — the bytes column
+    # must never be scanned a second time at 100 TB
+    full = rd.read_parquet(files, columns=["image_id", "phash"])
     dup_ids = duplicate_keys(full, "image_id").to_pandas()
     pairs = phash_near_duplicates(
         full, max_distance=neardup_max_distance).to_pandas()

@@ -86,6 +86,10 @@ class View:
     rows: Optional[np.ndarray]     # slot -> batch row index (None=identity)
     loc_prefix: str                # instance-location prefix
     elem_pos: Optional[np.ndarray] = None  # per-slot element index (lists)
+    # list-element views: a null slot is the JSON value `null` (fails
+    # type/enum/const like the row-wise oracle and the reference,
+    # validator.go:842-871), NOT an absent member
+    null_as_value: bool = False
     _numeric: Any = field(default=None, repr=False)
     _np_cache: Any = field(default=None, repr=False)
 
@@ -154,12 +158,19 @@ class VBlock:
     instance_locations: list[str]
     message: str
     offending: list[str]
+    # slot indices in the CURRENT node's view domain.  _emit stores the
+    # emitting view's slots; array applicators remap to the parent (array
+    # view) domain when lifting element-view blocks into their sink, so a
+    # gate (if/then, dependentSchemas) always indexes masks of its own
+    # slot domain — batch-row indices would be wrong (and out of bounds)
+    # inside flattened list contexts.
+    slots: Optional[np.ndarray] = None
 
 
 def _gate_blocks(blocks: list[VBlock], keep: np.ndarray) -> list[VBlock]:
     out = []
     for b in blocks:
-        sel = keep[b.rows]
+        sel = keep[b.slots if b.slots is not None else b.rows]
         if sel.all():
             out.append(b)
             continue
@@ -168,8 +179,18 @@ def _gate_blocks(blocks: list[VBlock], keep: np.ndarray) -> list[VBlock]:
         idx = np.nonzero(sel)[0]
         out.append(VBlock(b.rows[idx], b.keyword, b.keyword_location,
                           [b.instance_locations[i] for i in idx], b.message,
-                          [b.offending[i] for i in idx]))
+                          [b.offending[i] for i in idx],
+                          slots=None if b.slots is None else b.slots[idx]))
     return out
+
+
+def _remap_slots(blocks: list[VBlock], mapping: np.ndarray) -> list[VBlock]:
+    """Lift blocks from a child slot domain into the parent's: block slot i
+    becomes mapping[i] (mapping: child slot -> parent slot)."""
+    for b in blocks:
+        if b.slots is not None:
+            b.slots = mapping[b.slots]
+    return blocks
 
 
 # annotations: evaluated members / items, per-row (Notes analog)
@@ -301,7 +322,8 @@ class BatchValidator:
             else view.locs(slots),
             message=message,
             offending=offending if offending is not None
-            else self._offending(view, slots)))
+            else self._offending(view, slots),
+            slots=slots))
 
     def _members(self, view: View) -> dict[str, Callable[[], View]]:
         """Lazy member accessors for object views (root table columns or
@@ -373,12 +395,13 @@ class BatchValidator:
             prefix = view.loc_prefix
             ev = View(n=int(offsets[-1]), kind=arrow_kind(values.type),
                       arr=values, table=None, present=_valid_np(values),
-                      rows=parent_rows, loc_prefix=prefix, elem_pos=elem_pos)
+                      rows=parent_rows, loc_prefix=prefix, elem_pos=elem_pos,
+                      null_as_value=True)
         else:  # nested list-of-list: build per-slot prefixes lazily
             ev = View(n=int(offsets[-1]), kind=arrow_kind(values.type),
                       arr=values, table=None, present=_valid_np(values),
                       rows=parent_rows, loc_prefix=view.loc_prefix,
-                      elem_pos=elem_pos)
+                      elem_pos=elem_pos, null_as_value=True)
         return ev, offsets, flat_parent
 
     # -- main recursion ----------------------------------------------
@@ -411,7 +434,9 @@ class BatchValidator:
         if node.bool_value is not None:
             if node.bool_value:
                 return ones, ann
-            fail = view.present.copy()
+            # the false schema rejects EVERY instance, including a null
+            # list element (which IS a value, not an absent member)
+            fail = ones.copy() if view.null_as_value else view.present.copy()
             self._emit(sink, view, fail, "$bool", kw_loc,
                        M.message("$bool", None))
             return ~fail, ann
@@ -426,8 +451,12 @@ class BatchValidator:
             m = self._eval_keyword(node, kw, arg, view, kloc, depth, sink,
                                    notes, ann)
             if m is not None:
-                # vacuous pass on absent members for everything but required
-                if kw not in ("required", "dependentRequired"):
+                # vacuous pass on ABSENT members for everything but
+                # required; null list elements are JSON null values, so no
+                # vacuity — each keyword handles kind-null itself (numeric/
+                # string/array keywords pass it, type/enum/const fail it)
+                if not view.null_as_value and \
+                        kw not in ("required", "dependentRequired"):
                     m = m | ~pres
                 mask &= m
         return mask, ann
@@ -437,19 +466,23 @@ class BatchValidator:
         """Returns the pass mask for one keyword, emitting violations into
         sink. None means annotation-only/always-valid keyword."""
         n, kind, pres = view.n, view.kind, view.present
+        # `inst` = slots holding an instance the universal keywords (type/
+        # enum/const/combinators) apply to: null list elements count, an
+        # absent object member does not
+        inst = np.ones(n, dtype=bool) if view.null_as_value else pres
 
         # ---------------- leaf assertions ----------------
         if kw == "type":
             ok = self._type_mask(view, arg)
-            self._emit(sink, view, pres & ~ok, kw, kloc, M.message(kw, arg))
+            self._emit(sink, view, inst & ~ok, kw, kloc, M.message(kw, arg))
             return ok
         if kw == "enum":
             ok = self._enum_mask(view, arg)
-            self._emit(sink, view, pres & ~ok, kw, kloc, M.message(kw, arg))
+            self._emit(sink, view, inst & ~ok, kw, kloc, M.message(kw, arg))
             return ok
         if kw == "const":
             ok = self._enum_mask(view, [arg])
-            self._emit(sink, view, pres & ~ok, kw, kloc, M.message(kw, arg))
+            self._emit(sink, view, inst & ~ok, kw, kloc, M.message(kw, arg))
             return ok
         if kw in ("maximum", "minimum", "exclusiveMaximum",
                   "exclusiveMinimum", "multipleOf"):
@@ -568,12 +601,12 @@ class BatchValidator:
                 # child violations suppressed; combinator's own violation
                 # where all subs fail (deterministic tabular variant of
                 # validator.go:89-121)
-                self._emit(sink, view, pres & ~ok, kw, kloc,
+                self._emit(sink, view, inst & ~ok, kw, kloc,
                            M.message(kw, arg))
             else:
                 ok = npass == 1
-                none = pres & (npass == 0)
-                multi = pres & (npass > 1)
+                none = inst & (npass == 0)
+                multi = inst & (npass > 1)
                 self._emit(sink, view, none, "oneOf", kloc,
                            M.MESSAGES["oneOf:none"](arg))
                 self._emit(sink, view, multi, "oneOf", kloc,
@@ -584,7 +617,7 @@ class BatchValidator:
         if kw == "not":
             tmp: list[VBlock] = []
             sm, _ = self._eval(arg, view, kloc, depth + 1, tmp)
-            bad = pres & sm
+            bad = inst & sm
             self._emit(sink, view, bad, kw, kloc, M.message(kw, arg))
             return ~bad
         if kw == "if":
@@ -723,12 +756,13 @@ class BatchValidator:
                     sel = ev.elem_pos == i
                     if not sel.any():
                         break
-                    sub_view = _subset_view(ev, np.nonzero(sel)[0])
+                    sel_idx = np.nonzero(sel)[0]
+                    sub_view = _subset_view(ev, sel_idx)
                     tmp = []
                     sm, _ = self._eval(sub, sub_view, f"{kloc}/{i}",
                                        depth + 1, tmp)
-                    sink.extend(tmp)
-                    parent_slots = flat_parent[np.nonzero(sel)[0]]
+                    parent_slots = flat_parent[sel_idx]
+                    sink.extend(_remap_slots(tmp, parent_slots))
                     bad_parents = parent_slots[~sm]
                     okk = np.ones(n, dtype=bool)
                     okk[bad_parents] = False
@@ -742,7 +776,7 @@ class BatchValidator:
                 sub_view = _subset_view(ev, idx)
                 tmp = []
                 sm, _ = self._eval(arg, sub_view, kloc, depth + 1, tmp)
-                sink.extend(tmp)
+                sink.extend(_remap_slots(tmp, flat_parent[idx]))
                 ok = np.ones(n, dtype=bool)
                 bad_parents = flat_parent[idx[~sm]]
                 ok[bad_parents] = False
@@ -750,9 +784,11 @@ class BatchValidator:
             if kw == "contains":
                 tmp = []
                 sm, _ = self._eval(arg, ev, kloc, depth + 1, tmp)
-                counts = _segment_sum(sm & ev.present, offsets)
+                # sm is null-accurate (a null element passes subschemas it
+                # vacuously satisfies and counts as a match, like rowwise)
+                counts = _segment_sum(sm, offsets)
                 notes["contains_count"] = counts
-                self._ann_items(ann, sm & ev.present, flat_parent)
+                self._ann_items(ann, sm, flat_parent)
                 min_c = node.get("minContains")
                 if min_c == 0:  # always-true bypass (validator.go:386-402)
                     return np.ones(n, dtype=bool)
@@ -774,9 +810,11 @@ class BatchValidator:
                 ok = np.ones(n, dtype=bool)
                 ok[flat_parent[bad_slots]] = False
                 bad_view_slots = np.ones(len(bad_slots), dtype=bool)
-                self._emit(sink, _subset_view(ev, bad_slots),
+                tmp2: list[VBlock] = []
+                self._emit(tmp2, _subset_view(ev, bad_slots),
                            bad_view_slots, "unevaluatedItems", kloc,
                            M.message("unevaluatedItems", arg))
+                sink.extend(_remap_slots(tmp2, flat_parent[bad_slots]))
                 return ok
         if kw in ("maxContains", "minContains"):
             counts = notes.get("contains_count")
@@ -864,18 +902,20 @@ class BatchValidator:
         kind, pres, n = view.kind, view.present, view.n
         ok = np.zeros(n, dtype=bool)
         for name in names:
-            if name == kind:
-                return np.ones(n, dtype=bool)
-            if name == "number" and kind == "integer":
-                return np.ones(n, dtype=bool)
-            if name == "integer" and kind == "number":
+            if name == kind or (name == "number" and kind == "integer"):
+                ok |= pres
+            elif name == "integer" and kind == "number":
                 vals, app = view.numeric()
-                if view.kind == "number":
-                    ok |= app & np.isfinite(vals) & (vals == np.trunc(vals))
-            if name == "null":
-                # absent slots are vacuous anyway; a true all-null column
-                # has kind 'null'
-                continue
+                ok |= app & np.isfinite(vals) & (vals == np.trunc(vals))
+            elif name == "null":
+                # a null LIST ELEMENT is the JSON value null and matches;
+                # an absent member is vacuous via the |~pres below; a true
+                # all-null column has kind 'null' (matched above)
+                if view.null_as_value:
+                    ok |= ~pres
+        if view.null_as_value:
+            # null elements match only type 'null'; everything else fails
+            return ok
         return ok | ~pres
 
     def _enum_mask(self, view: View, values: list[Any]) -> np.ndarray:
@@ -883,33 +923,37 @@ class BatchValidator:
         if view.arr is None:  # root object view: deep-equal impossible
             return np.zeros(n, dtype=bool)
         kind = view.kind
+        # null list elements are the JSON value null: they match only if
+        # null is among the enum values (absent members stay vacuous)
+        null_ok = (~pres & any(v is None for v in values)) \
+            if view.null_as_value else ~pres
         simple = [v for v in values if not isinstance(v, (list, dict))]
         if kind in ("integer", "number"):
             cand = [float(v) for v in simple
                     if isinstance(v, (int, float))
                     and not isinstance(v, bool)]
             if not cand:
-                return ~pres
+                return null_ok
             vals, app = view.numeric()
             ok = np.isin(vals, np.array(cand)) & app
-            return ok | ~pres
+            return ok | null_ok
         if kind in ("string", "boolean"):
             cand = [v for v in simple
                     if (isinstance(v, str) if kind == "string"
                         else isinstance(v, bool))]
             if not cand:
-                return ~pres
+                return null_ok
             ok = pc.is_in(view.arr,
                           value_set=pa.array(cand, type=view.arr.type)
                           ).to_numpy(zero_copy_only=False).astype(bool)
-            return (ok & pres) | ~pres
+            return (ok & pres) | null_ok
         # complex values (arrays/objects): per-row deep equality on the
         # rare path
         pyvals = view.arr.to_pylist()
         ok = np.fromiter(
             (any(deep_equal(x, v) for v in values) if x is not None else False
              for x in pyvals), count=n, dtype=bool)
-        return ok | ~pres
+        return ok | null_ok
 
     def _unique_items_mask(self, view: View) -> np.ndarray:
         """Per-row within-array uniqueness (validator.go:1067-1111):
@@ -934,7 +978,12 @@ class BatchValidator:
         sv, sp = vals[order], flat_parent[order]
         dup = np.zeros(ev.n, dtype=bool)
         if ev.n > 1:
-            dup[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+            eq = sv[1:] == sv[:-1]
+            if sv.dtype.kind == "f":
+                # null elements surface as NaN here; two JSON nulls are
+                # EQUAL (rowwise deep_equal), unlike IEEE NaN
+                eq |= np.isnan(sv[1:]) & np.isnan(sv[:-1])
+            dup[1:] = (sp[1:] == sp[:-1]) & eq
         bad_rows = np.unique(sp[dup])
         ok = np.ones(view.n, dtype=bool)
         ok[bad_rows] = False
@@ -1006,4 +1055,4 @@ def _subset_view(ev: View, idx: np.ndarray) -> View:
                 table=None, present=ev.present[idx],
                 rows=ev.batch_rows(idx), loc_prefix=ev.loc_prefix,
                 elem_pos=ev.elem_pos[idx] if ev.elem_pos is not None
-                else None)
+                else None, null_as_value=ev.null_as_value)

@@ -10,9 +10,18 @@ Layout under ``checkpoint_dir``:
   records/wave-**.parquet   — one row per completed fragment (appended
                               ATOMICALLY: temp file + rename, so a kill
                               mid-write never yields a half-record)
-  violations/               — violation rows parquet, written per wave
-                              BEFORE the wave's records (records are the
-                              commit point; FIXTURES F4 / SURVEY §7.7)
+  violations/               — violation rows parquet, per wave
+
+Commit protocol (records are the SOLE commit point; FIXTURES F4 /
+SURVEY §7.7): a wave's violations are STAGED to ``<wave>.tmp`` first, the
+fragment records (tagged with the wave) are appended atomically, and only
+then is the staging dir renamed to ``<wave>``.  Kill windows:
+  - before append_records: staged violations + no records → the resume
+    re-validates those fragments under a NEW wave tag; the orphaned
+    ``.tmp`` dir is never read (no record references it) — no duplicates.
+  - between append_records and the rename: records exist, violations
+    still staged → :meth:`violation_files` recovers the ``.tmp`` dir
+    because a committed record references its wave tag — no loss.
 
 A fragment is "completed" only for the same ruleset_hash — editing the rule
 set invalidates prior work by construction.
@@ -40,6 +49,10 @@ class FragmentRecord:
     # serialized per-fragment sketch state: parquet-encoded stats partials
     # (stages/stats.py merge rows) — merged across fragments on resume
     sketch_state: Optional[bytes] = None
+    # violations staging dir this fragment's violations were written to;
+    # lets violation_files() recover waves killed between record append
+    # and violation commit
+    wave_tag: str = ""
 
 
 _SCHEMA = pa.schema([
@@ -50,6 +63,7 @@ _SCHEMA = pa.schema([
     ("passed", pa.bool_()),
     ("wall_s", pa.float64()),
     ("sketch_state", pa.large_binary()),
+    ("wave_tag", pa.string()),
 ])
 
 
@@ -68,7 +82,9 @@ class CheckpointStore:
                  if f.endswith(".parquet")]
         if not files:
             return _SCHEMA.empty_table()
-        return pa.concat_tables([pq.read_table(f) for f in files])
+        # promote: records written before the wave_tag column existed
+        return pa.concat_tables([pq.read_table(f) for f in files],
+                                promote_options="default")
 
     def completed(self, ruleset_hash: str) -> set:
         t = self.load_records()
@@ -99,9 +115,9 @@ class CheckpointStore:
 
     def violations_tmp_path(self, wave_tag: str) -> str:
         """Staging dir for a wave's violation parquet. Committed via
-        :meth:`commit_violations` (rename) BEFORE the wave's records are
-        appended — a kill mid-wave leaves only a ``.tmp`` dir, which
-        readers ignore, so re-validated fragments never double-count."""
+        :meth:`commit_violations` (rename) AFTER the wave's records are
+        appended — the records are the sole commit point (see module
+        docstring for the two kill windows)."""
         p = os.path.join(self.violations_dir, wave_tag + ".tmp")
         os.makedirs(p, exist_ok=True)
         return p
@@ -113,11 +129,21 @@ class CheckpointStore:
         return final
 
     def violation_files(self) -> list[str]:
-        """Committed violation parquet files (``.tmp`` staging ignored)."""
+        """Violation parquet files of every COMMITTED wave.  A ``.tmp``
+        staging dir is included only when a committed fragment record
+        references its wave tag (kill between append_records and
+        commit_violations); unreferenced staging dirs are in-flight or
+        orphaned and are ignored."""
+        recorded = set()
+        rec = self.load_records()
+        if rec.num_rows and "wave_tag" in rec.schema.names:
+            recorded = set(rec["wave_tag"].to_pylist()) - {"", None}
         out = []
         for d in sorted(os.listdir(self.violations_dir)):
             full = os.path.join(self.violations_dir, d)
-            if d.endswith(".tmp") or not os.path.isdir(full):
+            if not os.path.isdir(full):
+                continue
+            if d.endswith(".tmp") and d[:-4] not in recorded:
                 continue
             out += [os.path.join(full, f) for f in sorted(os.listdir(full))
                     if f.endswith(".parquet")]

@@ -74,11 +74,22 @@ def props_for(leaves):
     })
 
 
+# element-level conditional: exercises if/then gating INSIDE the flattened
+# element domain (ADVICE r1: gate masks must be slot-indexed, not row-indexed)
+elem_conditional = st.fixed_dictionaries({}, optional={
+    "if": num_leaf,
+    "then": num_leaf,
+    "else": num_leaf,
+    "not": num_leaf,
+    "anyOf": st.lists(num_leaf, min_size=1, max_size=2),
+})
+
 arr_combinator = st.fixed_dictionaries({}, optional={
     "allOf": st.lists(arr_leaf, min_size=1, max_size=2),
     "anyOf": st.lists(arr_leaf, min_size=1, max_size=2),
-    "items": num_leaf,
-    "prefixItems": st.lists(num_leaf, min_size=1, max_size=2),
+    "items": st.one_of(num_leaf, elem_conditional),
+    "prefixItems": st.lists(st.one_of(num_leaf, elem_conditional),
+                            min_size=1, max_size=2),
     "contains": st.fixed_dictionaries({"minimum": st.integers(-2, 2)}),
     "unevaluatedItems": st.sampled_from([True, False]),
 })
@@ -117,8 +128,11 @@ opt_str = st.one_of(st.none(),
                                      "3", "2.5", "bob", "2024-02-29",
                                      "2023-02-29", "1.2.3.4", "(", "a|b",
                                      "123e4567-e89b-12d3-a456-4266141740zz"]))
+# null ELEMENTS included: a null list element is the JSON value null
+# (fails type/enum/const), unlike a null list cell (absent member)
 opt_arr = st.one_of(st.none(),
-                    st.lists(st.integers(-3, 3), max_size=4))
+                    st.lists(st.one_of(st.none(), st.integers(-3, 3)),
+                             max_size=4))
 opt_struct = st.one_of(st.none(), st.fixed_dictionaries({
     "p": st.one_of(st.none(), st.integers(-5, 5)),
     "q": st.one_of(st.none(), st.sampled_from(["", "a", "ab", "xy"])),
