@@ -1,3 +1,3 @@
-from .search import brute_force_topk, ivf_topk
+from .search import IvfIndex, brute_force_topk, embedding_matrix, ivf_topk
 
-__all__ = ["brute_force_topk", "ivf_topk"]
+__all__ = ["IvfIndex", "brute_force_topk", "embedding_matrix", "ivf_topk"]

@@ -5,9 +5,12 @@
   per-batch local top-k then a tiny global top-k merge. The big side
   streams; only (query_id, vec_id, score) candidate rows leave each batch
   (k per query per batch).
-- ivf_topk: the scale path — a one-pass sampled k-means coarse quantizer
-  (trained driver-side on a sample), assign inside map_batches, probe only
-  the closest ``nprobe`` cells. Same output contract, approximate recall.
+- IvfIndex: the scale path — a coarse k-means quantizer trained on a
+  RANDOM sample, the corpus materialized ONCE as cell-partitioned parquet
+  (``cell=<c>/`` directories); a probe reads only the ``nprobe`` closest
+  cells' files, so probe I/O is ~nprobe/ncells of the corpus.
+- ivf_topk: index-free IVF over one full stream (saves dot products, not
+  I/O) — kept for one-shot queries where building the index doesn't pay.
 """
 
 from __future__ import annotations
@@ -19,12 +22,40 @@ import pyarrow as pa
 import ray
 
 
+def embedding_matrix(col) -> np.ndarray:
+    """Zero-copy-ish (n, dim) float64 matrix from a ``list<float>`` /
+    ``fixed_size_list<float>`` column: flatten → reshape, no per-row
+    Python objects. Null or ragged rows are a ValueError."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if col.null_count:
+        raise ValueError("embedding column has null rows")
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = pc.list_flatten(col)
+    else:
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        dim = int(lens[0]) if n else 0
+        if n and not (lens == dim).all():
+            raise ValueError("ragged embedding column")
+        flat = pc.list_flatten(col)
+    return flat.to_numpy(zero_copy_only=False) \
+        .reshape(n, dim).astype(np.float64, copy=False)
 
-def _as_matrix(vecs) -> np.ndarray:
-    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1)
     n[n == 0] = 1.0
     return m / n[:, None]
+
+
+def _as_matrix(vecs) -> np.ndarray:
+    if isinstance(vecs, (pa.Array, pa.ChunkedArray)):
+        return _unit_rows(embedding_matrix(vecs))
+    return _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                for v in vecs]))
 
 
 def _brute_force_batch(batch: pa.Table, *, queries_ref, vec_col: str,
@@ -33,7 +64,7 @@ def _brute_force_batch(batch: pa.Table, *, queries_ref, vec_col: str,
     q = worker_cached(("annq", queries_ref.hex()),
                       lambda: ray.get(queries_ref))
     Q, qids = q["matrix"], q["ids"]          # (nq, dim), unit rows
-    V = _as_matrix(batch.column(vec_col).to_pylist())
+    V = _as_matrix(batch.column(vec_col))
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     sim = Q @ V.T                            # (nq, nb)
     k = min(k, sim.shape[1])
@@ -117,7 +148,7 @@ def _ivf_batch(batch: pa.Table, *, state_ref, vec_col: str, id_col: str,
 
     C, Q, qids, probe = worker_cached(("ivf", state_ref.hex(), nprobe),
                                       setup)
-    V = _as_matrix(batch.column(vec_col).to_pylist())
+    V = _as_matrix(batch.column(vec_col))
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     cell = np.argmax(V @ C.T, axis=1)
     out_q, out_id, out_s = [], [], []
@@ -142,15 +173,28 @@ def _ivf_batch(batch: pa.Table, *, state_ref, vec_col: str, id_col: str,
     })
 
 
+def _train_centroids(ds, vec_col: str, ncells: int, train_sample: int,
+                     seed: int = 5) -> np.ndarray:
+    """Coarse quantizer from a UNIFORM random sample of the corpus (not
+    first-N — parquet row order is not exchangeable)."""
+    n = ds.count()
+    frac = min(1.0, train_sample / max(1, n))
+    vecs = ds.select_columns([vec_col])
+    if frac < 1.0:
+        vecs = vecs.random_sample(frac, seed=seed)
+    sample = vecs.to_pandas()
+    X = _as_matrix(sample[vec_col].to_numpy())
+    return _kmeans(X, ncells, seed=seed)
+
+
 def ivf_topk(ds, queries, query_ids=None, vec_col: str = "embedding",
              id_col: str = "vec_id", k: int = 10, ncells: int = 64,
              nprobe: int = 8, train_sample: int = 20000,
              batch_size: int = 65536) -> pd.DataFrame:
-    """Approximate cosine top-k via IVF coarse quantization. Trains the
-    quantizer on a driver-side sample (one small read), then streams."""
-    sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
-    X = _as_matrix(sample[vec_col].to_numpy())
-    C = _kmeans(X, ncells)
+    """Approximate cosine top-k via IVF coarse quantization over ONE full
+    stream (saves dot products, not I/O — see :class:`IvfIndex` for the
+    materialized index whose probes read only nprobe cells)."""
+    C = _train_centroids(ds, vec_col, ncells, train_sample)
     Q = _as_matrix(queries)
     qids = np.asarray(query_ids if query_ids is not None
                       else np.arange(len(Q)))
@@ -162,3 +206,122 @@ def ivf_topk(ds, queries, query_ids=None, vec_col: str = "embedding",
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size).to_pandas()
     return _merge_topk(cand, id_col, k)
+
+
+# ---------------------------------------------------------------------------
+# materialized IVF index: build once, probe by reading only nprobe cells
+
+
+def _probe_cells_batch(batch: pa.Table, *, queries_ref, vec_col: str,
+                       id_col: str, k: int) -> pa.Table:
+    """Brute-force within an already-probed cell partition: the batch's
+    ``cell`` column says which queries compare against it."""
+    from ..util import worker_cached
+    q = worker_cached(("ivfq", queries_ref.hex()),
+                      lambda: ray.get(queries_ref))
+    Q, qids, probe_sets = q["matrix"], q["ids"], q["probe_sets"]
+    import pyarrow.compute as pc
+    V = _as_matrix(batch.column(vec_col))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    # hive partition values surface as strings when reading explicit files
+    cell = pc.cast(batch.column("cell"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    out_q, out_id, out_s = [], [], []
+    for qi in range(len(Q)):
+        sel = np.isin(cell, probe_sets[qi])
+        if not sel.any():
+            continue
+        sims = Q[qi] @ V[sel].T
+        kk = min(k, len(sims))
+        idx = np.argpartition(-sims, kk - 1)[:kk]
+        out_q.append(np.full(kk, qids[qi]))
+        out_id.append(ids[sel][idx])
+        out_s.append(sims[idx])
+    if not out_q:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q)),
+        id_col: pa.array(np.concatenate(out_id)),
+        "score": pa.array(np.concatenate(out_s)),
+    })
+
+
+class IvfIndex:
+    """Materialized IVF index (the actual 100-TB scale path): the corpus is
+    written ONCE as parquet partitioned by coarse cell (``cell=<c>/``
+    directories, resumable layout), centroids saved alongside. A probe
+    ranks cells against each query and READS ONLY the union of the top
+    ``nprobe`` cells' files — I/O scales with nprobe/ncells, unlike the
+    streaming :func:`ivf_topk` which always scans everything."""
+
+    def __init__(self, index_dir: str, centroids: np.ndarray,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.index_dir = index_dir
+        self.centroids = centroids
+        self.vec_col, self.id_col = vec_col, id_col
+
+    @classmethod
+    def build(cls, ds, index_dir: str, vec_col: str = "embedding",
+              id_col: str = "vec_id", ncells: int = 64,
+              train_sample: int = 20000, seed: int = 5,
+              batch_size: int = 65536) -> "IvfIndex":
+        import functools
+        import os
+
+        import ray.data as rd  # noqa: F401  (documents the dependency)
+        C = _train_centroids(ds, vec_col, ncells, train_sample, seed=seed)
+        cref = ray.put(C)
+
+        def assign(b: pa.Table, *, cref=cref) -> pa.Table:
+            from ..util import worker_cached
+            C = worker_cached(("ivfC", cref.hex()), lambda: ray.get(cref))
+            V = _as_matrix(b.column(vec_col))
+            cell = np.argmax(V @ C.T, axis=1).astype(np.int32)
+            return b.append_column("cell", pa.array(cell))
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.select_columns([id_col, vec_col]).map_batches(
+            functools.partial(assign),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size).write_parquet(
+            index_dir, partition_cols=["cell"])
+        np.save(os.path.join(index_dir, "centroids.npy"), C)
+        return cls(index_dir, C, vec_col=vec_col, id_col=id_col)
+
+    @classmethod
+    def load(cls, index_dir: str, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> "IvfIndex":
+        import os
+        C = np.load(os.path.join(index_dir, "centroids.npy"))
+        return cls(index_dir, C, vec_col=vec_col, id_col=id_col)
+
+    def topk(self, queries, query_ids=None, k: int = 10, nprobe: int = 8,
+             batch_size: int = 65536) -> pd.DataFrame:
+        import functools
+        import glob
+        import os
+
+        import ray.data as rd
+        Q = _as_matrix(queries)
+        qids = np.asarray(query_ids if query_ids is not None
+                          else np.arange(len(Q)))
+        rank = np.argsort(-(Q @ self.centroids.T), axis=1)[:, :nprobe]
+        probe_sets = {qi: rank[qi] for qi in range(len(Q))}
+        needed = sorted(set(int(c) for cells in rank for c in cells))
+        files = [f for c in needed
+                 for f in sorted(glob.glob(os.path.join(
+                     self.index_dir, f"cell={c}", "*.parquet")))]
+        if not files:
+            return pd.DataFrame({"query_id": [], self.id_col: [],
+                                 "score": [], "rank": []})
+        ref = ray.put({"matrix": Q, "ids": qids, "probe_sets": probe_sets})
+        cells_ds = rd.read_parquet(files)  # ONLY the probed partitions
+        cand = cells_ds.map_batches(
+            functools.partial(_probe_cells_batch, queries_ref=ref,
+                              vec_col=self.vec_col, id_col=self.id_col,
+                              k=k),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size).to_pandas()
+        return _merge_topk(cand, self.id_col, k)

@@ -1,8 +1,11 @@
 """Embedding-cosine near-duplicate detection: random-hyperplane LSH
-(Charikar 2002 SimHash for angles) to bucket, exact cosine verify in-bucket.
+(Charikar 2002 SimHash for angles) to bucket, exact cosine verify
+in-bucket, OR-amplified across ``tables`` independent hyperplane sets
+(recall ≈ 1-(1-p^planes)^tables instead of a single table's p^planes).
 
 Same shuffle discipline as the other dedups: only (bucket, id, vector)
-rows move; buckets are capped against skew."""
+rows move; buckets are capped against skew; cross-table pair duplicates
+are removed by a final narrow dedup pass over the (small) pair set."""
 
 from __future__ import annotations
 
@@ -11,25 +14,34 @@ import pandas as pd
 import pyarrow as pa
 
 
-
 def _hyperplane_bucket(batch: pa.Table, *, vec_col: str, id_col: str,
-                       planes: int, dim: int, seed: int) -> pa.Table:
+                       planes: int, dim: int, seed: int,
+                       tables: int) -> pa.Table:
+    from ..ann.search import embedding_matrix
     from ..util import worker_cached
-    H = worker_cached(("hyperplanes", dim, planes, seed),
+    H = worker_cached(("hyperplanes", dim, planes, seed, tables),
                       lambda: np.random.default_rng(seed)
-                      .standard_normal((dim, planes)))
-    vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-    signs = (vecs @ H) > 0
-    bucket = np.zeros(len(vecs), dtype=np.uint64)
-    for k in range(signs.shape[1]):
-        bucket |= signs[:, k].astype(np.uint64) << np.uint64(k)
+                      .standard_normal((tables, dim, planes)))
+    vecs = embedding_matrix(batch.column(vec_col))  # flatten→reshape
+    n = len(vecs)
     norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0] = 1.0
     unit = vecs / norms[:, None]
+    buckets, ids_rep, units_rep = [], [], []
+    unit32 = unit.astype(np.float32)
+    for t in range(tables):
+        signs = (vecs @ H[t]) > 0
+        b = np.zeros(n, dtype=np.uint64)
+        for k in range(planes):
+            b |= signs[:, k].astype(np.uint64) << np.uint64(k)
+        # table id in the high bits: a bucket never spans tables
+        buckets.append((np.uint64(t) << np.uint64(56)) | b)
+    bucket = np.concatenate(buckets).view(np.int64)
+    idx = pa.array(np.tile(np.arange(n, dtype=np.int64), tables))
     return pa.table({
-        "bucket": pa.array(bucket.view(np.int64)),
-        id_col: batch.column(id_col),
-        "unit": pa.array(list(unit.astype(np.float32))),
+        "bucket": pa.array(bucket),
+        id_col: batch.column(id_col).take(idx),
+        "unit": pa.array(list(unit32)).take(idx),
     })
 
 
@@ -37,13 +49,15 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
                               id_col: str = "vec_id", dim: int = 64,
                               threshold: float = 0.95, planes: int = 12,
                               seed: int = 11, max_bucket: int = 4096,
-                              batch_size: int = 8192):
+                              batch_size: int = 8192, tables: int = 4):
     """→ Dataset of pairs ``(id_a, id_b, cosine)`` with cosine ≥ threshold
-    that share an LSH bucket (approximate recall, exact precision)."""
+    that share an LSH bucket in ANY of ``tables`` hyperplane tables
+    (OR-amplified recall, exact precision)."""
     import functools
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
         functools.partial(_hyperplane_bucket, vec_col=vec_col,
-                          id_col=id_col, planes=planes, dim=dim, seed=seed),
+                          id_col=id_col, planes=planes, dim=dim, seed=seed,
+                          tables=tables),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
@@ -80,5 +94,11 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
         return pd.concat(out)
 
     from ..util import partitioned_group_apply
-    return partitioned_group_apply(bucketed, ["bucket"], partition_pairs,
-                                   num_partitions=32)
+    pairs = partitioned_group_apply(bucketed, ["bucket"], partition_pairs,
+                                    num_partitions=32)
+    # cross-table duplicates of the same pair land in different buckets →
+    # one narrow dedup shuffle over the (small) pair set
+    return partitioned_group_apply(
+        pairs, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        num_partitions=8)

@@ -609,6 +609,27 @@ def ann_ivf_embeddings(sf_dir: str):
     return out
 
 
+def ann_ivf_index_embeddings(sf_dir: str):
+    """Materialized IVF: build the cell-partitioned index once (per sf_dir
+    content, cached under /tmp), probe reading only nprobe cells
+    (rows-only: approximate by construction)."""
+    import hashlib
+    import os
+
+    from ..ann import IvfIndex
+    vecs, ids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/jsonschema_ray_ivf/{tag}"
+    if os.path.exists(os.path.join(idx_dir, "centroids.npy")):
+        idx = IvfIndex.load(idx_dir)
+    else:
+        idx = IvfIndex.build(ds, idx_dir, ncells=16, train_sample=20000)
+    out = idx.topk(vecs, query_ids=ids, k=10, nprobe=4)
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def embedding_neardup(sf_dir: str):
     from ..dedup import embedding_near_duplicates
     return embedding_near_duplicates(

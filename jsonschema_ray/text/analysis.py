@@ -56,34 +56,64 @@ def quality_features(arr: pa.Array, ndigits: int = 4) -> dict:
     }
 
 
+def _segment_sum(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    cum = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(flat, out=cum[1:])
+    return cum[offsets[1:]] - cum[offsets[:-1]]
+
+
+_TOK_STRIP = r"^[.,;:!?\"'()]+|[.,;:!?\"'()]+$"
+
+
 def langid_batch(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Heuristic language-ID: CJK codepoint share → 'zh'; else the language
     whose stopword profile covers the largest share of tokens; 'und' when
-    nothing matches. Deterministic; returns (lang, score)."""
-    texts = arr.to_pylist()
-    langs = np.empty(len(texts), dtype=object)
-    scores = np.zeros(len(texts))
-    for i, t in enumerate(texts):
-        if not t:
-            langs[i] = "und"
-            continue
-        cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
-        if cjk / max(1, len(t)) > 0.2:
-            langs[i], scores[i] = "zh", round(cjk / len(t), 4)
-            continue
-        toks = [w.strip(".,;:!?\"'()").lower() for w in t.split()]
-        toks = [w for w in toks if w]
-        if not toks:
-            langs[i] = "und"
-            continue
-        best, best_s = "und", 0.0
-        for lang, sw in _STOPWORDS.items():
-            s = sum(1 for w in toks if w in sw) / len(toks)
-            if s > best_s:
-                best, best_s = lang, s
-        langs[i], scores[i] = (best if best_s > 0.03 else "und"), \
-            round(best_s, 4)
-    return langs, scores
+    nothing matches. Deterministic; returns (lang, score).
+
+    Fully vectorized: Arrow regex kernels do the CJK count, lowercasing,
+    whitespace split and punctuation strip; per-language membership is one
+    ``is_in`` over the flat token array + a segment sum per doc."""
+    n = len(arr)
+    arr = pc.fill_null(arr, "")
+    nchars = pc.utf8_length(arr).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cjk = pc.count_substring_regex(arr, "[一-鿿]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cjk_share = cjk / np.maximum(1, nchars)
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    flat = toks.values
+    if offs[0] != 0:  # sliced parent: values carry a leading offset
+        flat = flat.slice(offs[0])
+        offs = offs - offs[0]
+    flat = pc.replace_substring_regex(flat, _TOK_STRIP, "")
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    denom = _segment_sum(nonempty, offs)
+
+    names = list(_STOPWORDS)
+    scores_mat = np.zeros((len(names), n))
+    for li, lang in enumerate(names):
+        member = pc.is_in(flat, value_set=pa.array(
+            sorted(_STOPWORDS[lang]))).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        scores_mat[li] = _segment_sum(member, offs) / np.maximum(1, denom)
+    best_idx = scores_mat.argmax(axis=0)  # ties → first profile, like the
+    best_s = scores_mat[best_idx, np.arange(n)]  # old dict-order loop
+
+    langs = np.where(best_s > 0.03,
+                     np.asarray(names, dtype=object)[best_idx], "und")
+    scores = np.round(best_s, 4)
+    no_toks = (denom == 0) | (nchars == 0)
+    langs[no_toks] = "und"
+    scores[no_toks] = 0.0
+    is_cjk = cjk_share > 0.2
+    langs[is_cjk] = "zh"
+    scores[is_cjk] = np.round(cjk_share[is_cjk], 4)
+    return langs.astype(object), scores
 
 
 def simhash64_batch(arr: pa.Array) -> np.ndarray:
@@ -116,28 +146,35 @@ def simhash64_batch(arr: pa.Array) -> np.ndarray:
 
 def rolling_fingerprint(arr: pa.Array, window: int = 16,
                         keep: int = 4) -> list[list[int]]:
-    """Winnowing-style document fingerprint: k-gram rolling hashes, keep the
-    ``keep`` smallest per doc (deterministic robust content signature)."""
-    out = []
-    for t in arr.to_pylist():
-        if not t or len(t) < window:
-            out.append([])
-            continue
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < window:
-            out.append([])
-            continue
-        base = np.uint64(1099511628211)
-        h = np.zeros(len(b) - window + 1, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            acc = np.zeros(len(h), dtype=np.uint64)
-            for j in range(window):
-                acc = acc * base + b[j:j + len(h)].astype(np.uint64)
-        h = acc
-        k = min(keep, len(h))
-        out.append(sorted(int(x) for x in
-                          np.partition(h, k - 1)[:k].astype(np.int64)))
-    return out
+    """Winnowing-style document fingerprint: byte-window rolling hashes,
+    keep the ``keep`` smallest per doc (deterministic robust content
+    signature). ONE flat hash pass over the whole batch
+    (kgram_hashes_flat) + a segment-sorted top-k — no per-doc loop."""
+    from ..dedup.minhash import kgram_hashes_flat
+    texts = arr.to_pylist()
+    n = len(texts)
+    flat, bounds = kgram_hashes_flat(texts, window)
+    lengths = np.diff(bounds)
+    # docs under the window (in code points or bytes) fingerprint to [] —
+    # kgram's short-doc whole-text gram does not count
+    nchars = pc.utf8_length(pc.fill_null(arr, "")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nbytes = np.fromiter(((len(t.encode("utf-8")) if t else 0)
+                          for t in texts), count=n, dtype=np.int64)
+    ok_doc = (nchars >= window) & (nbytes >= window)
+    if len(flat) == 0:
+        return [[] for _ in range(n)]
+    seg_id = np.repeat(np.arange(n), lengths)
+    order = np.lexsort((flat.view(np.int64) ^ np.int64(-2**63), seg_id))
+    sorted_seg = seg_id[order]
+    starts = bounds[:-1]
+    pos = np.arange(len(order), dtype=np.int64) - starts[sorted_seg]
+    sel = (pos < keep) & ok_doc[sorted_seg]
+    vals = flat[order[sel]].astype(np.int64)
+    counts = np.minimum(lengths, keep) * ok_doc
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return [vals[offs[i]:offs[i + 1]].tolist() for i in range(n)]
 
 
 class TextFeaturesStage:

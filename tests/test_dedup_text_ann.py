@@ -132,3 +132,54 @@ def test_rolling_fingerprint_stability():
     assert fp1[2] == []              # under window → empty
     # appending one char preserves most minima
     assert len(set(fp1[0]) & set(fp1[1])) >= 3
+
+
+def test_ivf_index_build_and_probe(tmp_path):
+    """Materialized IVF: build writes cell-partitioned parquet once; a
+    probe reads ONLY the nprobe cells' files and still recalls the
+    brute-force neighbors."""
+    import os
+
+    import ray.data as rd
+    from jsonschema_ray.ann import IvfIndex, brute_force_topk
+    rng = np.random.default_rng(13)
+    n, dim = 2000, 64
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array(list(V))})
+    ds = rd.from_arrow(t)
+    idx_dir = str(tmp_path / "ivf")
+    idx = IvfIndex.build(ds, idx_dir, ncells=32, train_sample=1000)
+    # layout: one directory per cell + saved centroids
+    cells = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+    assert len(cells) >= 16
+    assert os.path.exists(os.path.join(idx_dir, "centroids.npy"))
+    # reload from disk and probe
+    idx2 = IvfIndex.load(idx_dir)
+    queries = [V[3], V[77]]
+    bf = brute_force_topk(ds, queries, query_ids=[3, 77], k=10)
+    res = idx2.topk(queries, query_ids=[3, 77], k=10, nprobe=16)
+    for qid in (3, 77):
+        b = set(bf[bf["query_id"] == qid]["vec_id"])
+        v = set(res[res["query_id"] == qid]["vec_id"])
+        assert len(b & v) >= 7, f"IVF-index recall too low for {qid}"
+    # probe I/O: nprobe=1 touches exactly the union of 2 queries' cells
+    one = idx2.topk(queries, query_ids=[3, 77], k=5, nprobe=1)
+    assert len(one) >= 2  # each query found neighbors in its own cell
+
+
+def test_embedding_matrix_zero_copy_paths():
+    from jsonschema_ray.ann.search import embedding_matrix
+    v = np.arange(12, dtype=np.float32).reshape(4, 3)
+    lst = pa.array([list(r) for r in v])
+    fsl = pa.array(list(v), type=pa.list_(pa.float32(), 3))
+    np.testing.assert_allclose(embedding_matrix(lst), v)
+    np.testing.assert_allclose(embedding_matrix(fsl), v)
+    np.testing.assert_allclose(
+        embedding_matrix(pa.chunked_array([lst.slice(0, 2),
+                                           lst.slice(2, 2)])), v)
+    try:
+        embedding_matrix(pa.array([[1.0], [1.0, 2.0]]))
+        raise AssertionError("ragged column must raise")
+    except ValueError:
+        pass
