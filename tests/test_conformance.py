@@ -54,3 +54,22 @@ def test_marshal_roundtrip_hash():
     assert m["properties"]["v"]["maxLength"] == 3  # ToInt normalization
     rs2 = parse_ruleset(m)
     assert parse_ruleset(marshal_node(rs2.root)).to_json() == rs2.to_json()
+
+
+SUITE_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                             "suite_port.json")
+SUITE_CASES = json.load(open(SUITE_FIXTURE))["cases"]
+
+
+@pytest.mark.parametrize("case", SUITE_CASES,
+                         ids=[c["name"] for c in SUITE_CASES])
+def test_suite_port_case(case):
+    """Table-ified draft2020-12 suite-style cases through BOTH engines
+    (see the fixture's description for provenance + skip list)."""
+    rs = parse_ruleset(case["ruleset"])
+    t = _table(case["table"])
+    vec = BatchValidator(rs).mask(t).tolist()
+    assert vec == case["valid"], f"vector engine: {vec}"
+    re_ = RowEvaluator(rs)
+    row = [len(re_.validate(r)) == 0 for r in t.to_pylist()]
+    assert row == case["valid"], f"row evaluator: {row}"
