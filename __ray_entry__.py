@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_documents": R.minhash_neardup_documents,  # rows-only
         "neardup_verified_documents": R.neardup_verified_documents,  # rows-only
         "validate_lineitem_dates": R.validate_lineitem_dates,
+        "validate_lineitem_dates_core": R.validate_lineitem_dates_core,
         # embeddings
         "ann_topk_embeddings": R.ann_topk_embeddings,     # rows-only
         "ann_ivf_embeddings": R.ann_ivf_embeddings,       # rows-only
@@ -150,6 +151,14 @@ SELECT l_orderkey, l_linenumber, 'x-before' AS keyword,
        '/l_shipdate' AS instance_location,
        CAST(l_shipdate AS VARCHAR) AS offending_value,
        'x-before: violated' AS message
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-12-01'
+""",
+        "validate_lineitem_dates_core": """
+SELECT l_orderkey, l_linenumber, 'exclusiveMaximum' AS keyword,
+       '/properties/l_shipdate/exclusiveMaximum' AS keyword_location,
+       '/l_shipdate' AS instance_location,
+       CAST(l_shipdate AS VARCHAR) AS offending_value,
+       'exclusiveMaximum: value >= 912470400000000.0' AS message
 FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-12-01'
 """,
         "uniqueness_lineitem_orderkey": """

@@ -47,15 +47,22 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _explode_bands(batch: pa.Table, *, id_col: str, phash_col: str,
-                   bands: int, num_partitions: int) -> pa.Table:
+                   bands: int, num_partitions: int,
+                   hash_ids: bool) -> pa.Table:
     """Explode to (``_part``, band_id, id, phash) — band VALUES are
     recomputed from the phash inside each partition instead of shuffled
     (8 bytes/row saved on the only large exchange), and the partition
-    stamp is computed here directly from (band_id, band_val)."""
-    from ..sketches.hashing import _splitmix64
+    stamp is computed here directly from (band_id, band_val).
+
+    ``hash_ids``: string/binary ids shuffle as int64 hash64(id) keys
+    (8 bytes/row instead of the variable-width string ×bands); pairs are
+    translated back to real ids after the pair dedup."""
+    from ..sketches.hashing import _splitmix64, hash64_array
     width = 64 // bands
     ph = batch.column(phash_col).combine_chunks()
     ids = batch.column(id_col).combine_chunks()
+    if hash_ids:
+        ids = pa.array(hash64_array(ids).view(np.int64))
     h = ph.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     n = len(h)
     mask = np.uint64((1 << width) - 1)
@@ -189,6 +196,73 @@ def _partition_pairs(id_col: str, phash_col: str, max_distance: int,
     return fn
 
 
+def _translate_pair_keys(ds, pairs, id_col: str,
+                         broadcast_cap: int = 1 << 30):
+    """Replace int64 id-hash keys in ``pairs`` (id_a, id_b, distance) with
+    the original ids: one broadcast-filtered scan of the id column builds
+    the (key → id) table for CANDIDATE keys only, then a vectorized gather
+    maps the pairs back (candidates-proportional, nothing big driverside).
+    id_a < id_b is re-established in ORIGINAL id order."""
+    import functools
+
+    import ray
+    import ray.data as rd
+
+    from ..sketches.hashing import hash64_array
+    from ..util import worker_cached
+
+    kdf = pairs.to_pandas()
+    id_type = ds.schema().base_schema.field(id_col).type
+    if kdf.empty:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=id_type),
+            "id_b": pa.array([], type=id_type),
+            "distance": pa.array([], type=pa.int32())}))
+    wanted = np.unique(np.concatenate([kdf["id_a"].to_numpy(),
+                                       kdf["id_b"].to_numpy()]))
+    wanted_ref = ray.put(wanted)
+
+    def keymap_batch(b: pa.Table) -> pa.Table:
+        w = worker_cached(("phash_wanted", wanted_ref.hex()),
+                          lambda: ray.get(wanted_ref))
+        keys = hash64_array(b.column(id_col)).view(np.int64)
+        pos = np.clip(np.searchsorted(w, keys), 0, len(w) - 1)
+        sel = (w[pos] == keys) if len(w) else np.zeros(len(keys), bool)
+        idx = pa.array(np.nonzero(sel)[0], type=pa.int64())
+        return pa.table({"key": pa.array(keys[np.nonzero(sel)[0]]),
+                         id_col: b.column(id_col).take(idx)})
+
+    keymap = ds.select_columns([id_col]).map_batches(
+        keymap_batch, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()  # candidates only
+    mdf = keymap.to_pandas()
+    order = np.argsort(mdf["key"].to_numpy())
+    mkeys = mdf["key"].to_numpy()[order]
+    mids = mdf[id_col].to_numpy()[order]
+    map_ref = ray.put((mkeys, mids))
+
+    def gather(b: pa.Table, *, map_ref=map_ref) -> pa.Table:
+        mk, mi = worker_cached(("phash_map", map_ref.hex()),
+                               lambda: ray.get(map_ref))
+        ka = b["id_a"].to_numpy(zero_copy_only=False)
+        kb = b["id_b"].to_numpy(zero_copy_only=False)
+        ia = mi[np.searchsorted(mk, ka)]
+        ib = mi[np.searchsorted(mk, kb)]
+        swap = ia > ib
+        return pa.table({
+            "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
+            "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
+            "distance": b["distance"]})
+
+    # (key, id) pairs are 8 bytes + id width per CANDIDATE — broadcast is
+    # the right shape far past 10M candidates; keep joins in reserve via
+    # dedup.minhash's pattern if a corpus ever exceeds the cap
+    assert keymap.size_bytes() <= broadcast_cap, \
+        "candidate key map exceeds broadcast cap — switch to Dataset.join"
+    return pairs.map_batches(functools.partial(gather),
+                             batch_format="pyarrow", zero_copy_batch=True)
+
+
 def phash_near_duplicates(ds, id_col: str = "image_id",
                           phash_col: str = "phash", max_distance: int = 4,
                           bands: int = None, max_bucket: int = 1024,
@@ -196,17 +270,23 @@ def phash_near_duplicates(ds, id_col: str = "image_id",
                           batch_size: int = 131072):
     """Dataset → Dataset of near-dup pairs ``(id_a, id_b, distance)`` with
     id_a < id_b; recall 1 for Hamming distance ≤ max_distance (module doc),
-    distances verified exactly."""
+    distances verified exactly. String/binary id columns shuffle as int64
+    id hashes (×bands rows of 8 bytes instead of the full string) and are
+    translated back after the pair dedup."""
     if bands is None:
         bands = max_distance + 1
     assert max_distance < bands, "bands must exceed max_distance for recall 1"
     import functools
 
     from ..util import partitioned_group_apply
+    id_type = ds.schema().base_schema.field(id_col).type
+    hash_ids = not (pa.types.is_integer(id_type)
+                    or pa.types.is_floating(id_type))
     exploded = ds.select_columns([id_col, phash_col]).map_batches(
         functools.partial(_explode_bands, id_col=id_col,
                           phash_col=phash_col, bands=bands,
-                          num_partitions=num_partitions),
+                          num_partitions=num_partitions,
+                          hash_ids=hash_ids),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     # the explode already stamped ``_part`` (hash of band_id+band_val), so
     # group directly — no second stamping pass, band values never shuffle
@@ -216,7 +296,10 @@ def phash_near_duplicates(ds, id_col: str = "image_id",
         lambda pdf: fn(pdf.drop(columns=["_part"])),
         batch_format="pandas")
     # the same pair can surface from several bands / partitions
-    return partitioned_group_apply(
+    pairs = partitioned_group_apply(
         pairs, ["id_a", "id_b"],
         lambda df: df.drop_duplicates(["id_a", "id_b"]),
         num_partitions=max(8, num_partitions // 4))
+    if hash_ids:
+        pairs = _translate_pair_keys(ds, pairs, id_col)
+    return pairs

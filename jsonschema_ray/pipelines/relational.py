@@ -578,6 +578,26 @@ def validate_lineitem_dates(sf_dir: str):
                             key_columns=["l_orderkey", "l_linenumber"])
 
 
+LINEITEM_DATE_CORE_RULESET = {
+    "properties": {
+        # the CORE composition a jsonschema user writes: format date-time
+        # + an RFC3339 bound through minimum/maximum (canonicalized to
+        # epoch micros at parse — rules/model.py::_temporal_to_micros)
+        "l_shipdate": {"format": "date-time",
+                       "exclusiveMaximum": "1998-12-01"},
+    },
+}
+
+
+def validate_lineitem_dates_core(sf_dir: str):
+    """Core temporal bounds (format + exclusiveMaximum RFC3339 string) on
+    a timestamp column — oracled."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    return validate_dataset(ds, LINEITEM_DATE_CORE_RULESET,
+                            key_columns=["l_orderkey", "l_linenumber"])
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 

@@ -122,12 +122,34 @@ def _to_int(keyword: str, v: Any) -> int:
 
 
 def _to_float(keyword: str, v: Any) -> float:
+    if isinstance(v, str) and keyword != "multipleOf":
+        # temporal bounds: minimum/maximum/exclusive* accept an RFC3339
+        # date or date-time string, canonicalized to epoch MICROSECONDS —
+        # the core-keyword composition a jsonschema user writes against a
+        # timestamp column ({"format": "date-time", "maximum": "1998-.."});
+        # timestamp/date columns evaluate numerically in the same unit
+        # (View.numeric / rowwise.instance_float)
+        return _temporal_to_micros(keyword, v)
     if isinstance(v, bool) or not isinstance(v, (int, float)):
         raise RuleSetError(f"{keyword}: expected number, got {v!r}")
     f = float(v)
     if keyword == "multipleOf" and f <= 0:
         raise RuleSetError("multipleOf: argument must be > 0")
     return f
+
+
+def _temporal_to_micros(keyword: str, v: str) -> float:
+    from datetime import date, datetime, timezone
+    try:
+        d = datetime.fromisoformat(v) if ("T" in v or ":" in v) \
+            else datetime.combine(date.fromisoformat(v), datetime.min.time())
+    except ValueError:
+        raise RuleSetError(
+            f"{keyword}: expected number or RFC3339 date/date-time, "
+            f"got {v!r}")
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=timezone.utc)
+    return d.timestamp() * 1e6
 
 
 # ---------------------------------------------------------------------------

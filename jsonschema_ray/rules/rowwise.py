@@ -53,6 +53,9 @@ def json_kind(v: Any) -> str:
         return "null"
     if isinstance(v, bool):
         return "boolean"
+    import datetime as _dt
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return "datetime"  # timestamp/date columns (vector.arrow_kind)
     if isinstance(v, int):
         return "integer"
     if isinstance(v, float):
@@ -89,6 +92,8 @@ def kind_matches(kind: str, name: str, v: Any) -> bool:
         return True
     if name == "number" and kind == "integer":
         return True
+    if name == "string" and kind == "datetime":
+        return True  # a JSON date-time instance is a string
     if name == "integer" and kind == "number":
         # integral floats are integers (validator.go:797-809)
         try:
@@ -105,6 +110,14 @@ def instance_float(v: Any) -> Optional[float]:
         return None
     if isinstance(v, (int, float)):
         return float(v)
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:  # naive timestamps are UTC (arrow convention)
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.timestamp() * 1e6  # epoch micros, like View.numeric
+    if isinstance(v, _dt.date):
+        d = _dt.datetime.combine(v, _dt.time(), tzinfo=_dt.timezone.utc)
+        return d.timestamp() * 1e6
     if isinstance(v, str):
         try:
             return float(v)
@@ -137,6 +150,20 @@ def deep_equal(a: Any, b: Any) -> bool:
 def _present_members(v: dict) -> dict:
     """null members are absent (tabular deviation; see module docstring)."""
     return {k: x for k, x in v.items() if x is not None}
+
+
+def map_cell_to_object(v: Any) -> Any:
+    """``pa.map_`` cells surface from ``to_pylist`` as ``[(key, value),
+    ...]`` TUPLE pairs; JSON-wise they are objects. Plain list columns
+    yield lists (never tuples), so tuple pairs unambiguously identify map
+    cells. An EMPTY map is indistinguishable from an empty array here —
+    callers comparing against the vector engine should avoid empty maps
+    under `type` assertions (documented limitation)."""
+    if isinstance(v, list) and v and all(
+            isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], str)
+            for e in v):
+        return dict(v)
+    return v
 
 
 class RowEvaluator:
@@ -194,6 +221,7 @@ class RowEvaluator:
 
     def _eval_inner(self, node: SchemaNode, inst: Any, kw_loc: str,
                     inst_loc: str, depth: int):
+        inst = map_cell_to_object(inst)  # pa.map_ cells ARE objects
         ann: dict = {"keys": set(), "items": set()}
         if node.bool_value is not None:
             if node.bool_value:

@@ -41,6 +41,10 @@ def arrow_kind(t: pa.DataType) -> str:
         return "integer"
     if pa.types.is_floating(t) or pa.types.is_decimal(t):
         return "number"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        # a JSON date-time instance is a string; numerically it is epoch
+        # MICROSECONDS for the temporal-bound composition (model._to_float)
+        return "datetime"
     if pa.types.is_boolean(t):
         return "boolean"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -90,6 +94,9 @@ class View:
     # type/enum/const like the row-wise oracle and the reference,
     # validator.go:842-871), NOT an absent member
     null_as_value: bool = False
+    # map-entry views: per-slot member NAME (instance locations), object
+    # dtype numpy array
+    elem_key: Optional[np.ndarray] = None
     _numeric: Any = field(default=None, repr=False)
     _np_cache: Any = field(default=None, repr=False)
 
@@ -97,6 +104,9 @@ class View:
         return slots if self.rows is None else self.rows[slots]
 
     def locs(self, slots: np.ndarray) -> list[str]:
+        if self.elem_key is not None:
+            return [f"{self.loc_prefix}/{_esc(k)}"
+                    for k in self.elem_key[slots]]
         if self.elem_pos is None:
             return [self.loc_prefix] * len(slots)
         return [f"{self.loc_prefix}/{p}" for p in self.elem_pos[slots]]
@@ -109,6 +119,12 @@ class View:
             if self.kind in ("integer", "number"):
                 vals = self.arr.to_numpy(zero_copy_only=False).astype(
                     np.float64, copy=False)
+                app = self.present.copy()
+                vals = np.where(self.present, vals, 0.0)
+            elif self.kind == "datetime":
+                vals = pc.cast(pc.cast(self.arr, pa.timestamp("us")),
+                               pa.int64()).to_numpy(
+                    zero_copy_only=False).astype(np.float64)
                 app = self.present.copy()
                 vals = np.where(self.present, vals, 0.0)
             elif self.kind == "string":
@@ -202,6 +218,11 @@ class Ann:
     # gates apply to element bitmaps (every node evaluating the same view
     # flattens to the identical domain, so mappings are interchangeable)
     items_rows: Optional[np.ndarray] = None
+    # map-typed object contexts: per-ENTRY evaluated mask over the view's
+    # flattened (key, value) entries + flat entry -> view slot mapping —
+    # the open-object analog of `keys` (names are unbounded per row)
+    map_entries: Optional[np.ndarray] = None
+    map_rows: Optional[np.ndarray] = None
 
     def merge(self, other: "Ann", gate: Optional[np.ndarray]):
         for k, m in other.keys.items():
@@ -219,6 +240,14 @@ class Ann:
             self.items = g if self.items is None else (self.items | g)
             if self.items_rows is None:
                 self.items_rows = other.items_rows
+        if other.map_entries is not None:
+            g = other.map_entries
+            if gate is not None and other.map_rows is not None:
+                g = g & gate[other.map_rows]
+            self.map_entries = g if self.map_entries is None \
+                else (self.map_entries | g)
+            if self.map_rows is None:
+                self.map_rows = other.map_rows
 
 
 # ---------------------------------------------------------------------------
@@ -346,8 +375,10 @@ class BatchValidator:
                 out[f.name] = mk
         return out
 
-    def _member_present(self, view: View, name: str) -> np.ndarray:
+    def _member_present(self, view: View, name: str,
+                        notes: Optional[dict] = None) -> np.ndarray:
         """Presence mask for member `name` (absent column -> all-absent)."""
+        notes = notes if notes is not None else {}
         if view.table is not None:
             if name not in view.table.column_names:
                 return np.zeros(view.n, dtype=bool)
@@ -357,7 +388,57 @@ class BatchValidator:
                 return np.zeros(view.n, dtype=bool)
             child = _combine(pc.struct_field(view.arr, name))
             return _valid_np(child) & view.present
+        if self._is_map(view):
+            # a map ENTRY is present even with a null value (explicit
+            # member, unlike a struct's null field)
+            keys, _, offsets, _ = self._map_entries(view, notes)
+            hit = (keys == name).astype(np.int64)
+            return _segment_sum(hit, offsets) > 0
         return np.zeros(view.n, dtype=bool)
+
+    def _is_map(self, view: View) -> bool:
+        return view.arr is not None and pa.types.is_map(view.arr.type)
+
+    def _map_entries(self, view: View, notes: dict) -> tuple:
+        """Flatten a map-typed object view into its (key, value) entries —
+        the fully-dynamic instance path (validator.go:539-629). Entries
+        with a NULL value are dropped: a null member is an ABSENT member
+        (the module's tabular convention, same as struct fields and the
+        row-wise oracle's _present_members). Returns (keys: np object
+        array, entry_view, offsets, flat_parent); cached in `notes` so
+        every keyword in the node shares one flatten."""
+        cached = notes.get("_map_flat")
+        if cached is not None:
+            return cached
+        arr = view.arr
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        start, end = offs[:-1].copy(), offs[1:].copy()
+        absent = ~view.present
+        end[absent] = start[absent]
+        lengths = end - start
+        flat_idx = _ranges_concat(start, lengths)
+        raw_parent = np.repeat(np.arange(view.n), lengths)
+        take0 = pa.array(flat_idx, type=pa.int64())
+        vals_all = _combine(arr.items).take(take0)
+        keep = _valid_np(vals_all)
+        kept = np.nonzero(keep)[0]
+        vals = vals_all.take(pa.array(kept, type=pa.int64()))
+        keys = _combine(arr.keys).take(
+            pa.array(flat_idx[kept], type=pa.int64()))
+        keys_np = keys.to_numpy(zero_copy_only=False)
+        flat_parent = raw_parent[kept]
+        kept_lengths = np.bincount(flat_parent, minlength=view.n) \
+            .astype(np.int64)
+        offsets = np.zeros(view.n + 1, dtype=np.int64)
+        np.cumsum(kept_lengths, out=offsets[1:])
+        ev = View(n=len(kept), kind=arrow_kind(vals.type),
+                  arr=vals, table=None,
+                  present=np.ones(len(kept), dtype=bool),
+                  rows=view.batch_rows(flat_parent),
+                  loc_prefix=view.loc_prefix, elem_key=keys_np)
+        out = (keys_np, ev, offsets, flat_parent)
+        notes["_map_flat"] = out
+        return out
 
     def _elements_view(self, view: View) -> Optional[tuple]:
         """Flatten a list-typed view: returns (elem_view, offsets,
@@ -539,7 +620,7 @@ class BatchValidator:
         if kw in ("maxProperties", "minProperties"):
             if kind != "object":
                 return None
-            cnt = self._prop_counts(view)
+            cnt = self._prop_counts(view, notes)
             bad = (cnt > arg) if kw == "maxProperties" else (cnt < arg)
             bad &= pres
             self._emit(sink, view, bad, kw, kloc, M.message(kw, arg),
@@ -550,7 +631,7 @@ class BatchValidator:
                 return None
             ok = np.ones(n, dtype=bool)
             for name in arg:
-                p = self._member_present(view, name)
+                p = self._member_present(view, name, notes)
                 miss = pres & ~p
                 ok &= ~miss
                 self._emit(sink, view, miss, kw, kloc,
@@ -562,9 +643,9 @@ class BatchValidator:
                 return None
             ok = np.ones(n, dtype=bool)
             for key, names in arg.items():
-                kp = self._member_present(view, key)
+                kp = self._member_present(view, key, notes)
                 for nm in names:
-                    miss = pres & kp & ~self._member_present(view, nm)
+                    miss = pres & kp & ~self._member_present(view, nm, notes)
                     ok &= ~miss
                     self._emit(sink, view, miss, kw, kloc,
                                M.dependent_required_message(key, nm),
@@ -643,10 +724,11 @@ class BatchValidator:
                 return None
             ok = np.ones(n, dtype=bool)
             for key, sub in arg.items():
-                kp = self._member_present(view, key)
+                kp = self._member_present(view, key, notes)
                 if isinstance(sub, list):  # dependencies string-array form
                     for nm in sub:
-                        miss = pres & kp & ~self._member_present(view, nm)
+                        miss = pres & kp & \
+                            ~self._member_present(view, nm, notes)
                         ok &= ~miss
                         self._emit(sink, view, miss, "dependencies", kloc,
                                    M.dependent_required_message(key, nm),
@@ -662,6 +744,11 @@ class BatchValidator:
             return ok
 
         # ---------------- object applicators ----------------
+        if kw in ("properties", "patternProperties", "additionalProperties",
+                  "propertyNames", "unevaluatedProperties") \
+                and self._is_map(view):
+            return self._eval_map_object_kw(kw, arg, view, kloc, depth,
+                                            sink, notes, ann)
         if kw == "properties":
             if kind != "object":
                 return None
@@ -884,6 +971,101 @@ class BatchValidator:
         # annotations / unknown keywords: always valid (schema.go:521-531)
         return None
 
+    # -- map-typed (open-object) applicators ---------------------------
+
+    def _eval_map_object_kw(self, kw, arg, view: View, kloc, depth, sink,
+                            notes, ann) -> Optional[np.ndarray]:
+        """properties / patternProperties / additionalProperties /
+        propertyNames / unevaluatedProperties over a ``pa.map_`` column —
+        the fully-dynamic instance path (validator.go:539-629, 713-750):
+        member names are per-row data, so claims are tracked as a flat
+        ENTRY mask instead of a name set."""
+        n = view.n
+        keys, ev, offsets, flat_parent = self._map_entries(view, notes)
+        ok = np.ones(n, dtype=bool)
+        claimed = notes.setdefault(
+            "map_claimed", np.zeros(ev.n, dtype=bool))
+
+        def eval_entries(sub, sel: np.ndarray, sub_kloc: str,
+                         message: Optional[Callable] = None,
+                         keyword: Optional[str] = None) -> None:
+            idx = np.nonzero(sel)[0]
+            if len(idx) == 0:
+                return
+            sub_view = _subset_view(ev, idx)
+            tmp: list[VBlock] = []
+            sm, _ = self._eval(sub, sub_view, sub_kloc, depth + 1, tmp)
+            if message is None:
+                sink.extend(_remap_slots(tmp, flat_parent[idx]))
+            else:  # rewritten per-entry message (additional/unevaluated)
+                bad_idx = np.nonzero(~sm)[0]
+                bad_keys = keys[idx[bad_idx]]
+                for name in np.unique(bad_keys) if len(bad_keys) else []:
+                    grp = bad_idx[bad_keys == name]
+                    tmp2: list[VBlock] = []
+                    self._emit(tmp2, _subset_view(sub_view, grp),
+                               np.ones(len(grp), dtype=bool), keyword,
+                               sub_kloc, message(str(name)))
+                    sink.extend(_remap_slots(tmp2, flat_parent[idx[grp]]))
+            ok[flat_parent[idx[~sm]]] = False
+
+        if kw == "properties":
+            for name, sub in arg.items():
+                sel = keys == name
+                claimed |= sel
+                self._ann_map(ann, sel, flat_parent)
+                eval_entries(sub, sel, f"{kloc}/{_esc(name)}")
+            return ok
+        if kw == "patternProperties":
+            for pat, sub in arg.items():
+                m = pc.match_substring_regex(
+                    pa.array(keys, type=pa.string()), pat).to_numpy(
+                    zero_copy_only=False).astype(bool)
+                claimed |= m
+                self._ann_map(ann, m, flat_parent)
+                eval_entries(sub, m, f"{kloc}/{_esc(pat)}")
+            return ok
+        if kw == "additionalProperties":
+            sel = ~claimed
+            self._ann_map(ann, sel, flat_parent)
+            eval_entries(arg, sel, kloc,
+                         message=M.unknown_property_message,
+                         keyword="additionalProperties")
+            return ok
+        if kw == "propertyNames":
+            uniq, inv = np.unique(keys, return_inverse=True) if ev.n \
+                else (np.array([], dtype=object), np.array([], dtype=int))
+            bad_names = np.array(
+                [not self.row_eval._eval(arg, str(u), kloc, "", 0)[0]
+                 for u in uniq], dtype=bool)
+            for name in uniq[bad_names] if ev.n else []:
+                bidx = np.nonzero(keys == name)[0]
+                parent_fail = np.zeros(n, dtype=bool)
+                parent_fail[flat_parent[bidx]] = True
+                # like the struct path: reported at the OBJECT location
+                self._emit(sink, view, parent_fail, "propertyNames",
+                           kloc, M.property_names_message(str(name)),
+                           offending=[str(name)] * int(parent_fail.sum()))
+                ok &= ~parent_fail
+            return ok
+        if kw == "unevaluatedProperties":
+            seen = ann.map_entries if ann.map_entries is not None \
+                else np.zeros(ev.n, dtype=bool)
+            sel = ~seen
+            self._ann_map(ann, sel, flat_parent)
+            eval_entries(arg, sel, kloc,
+                         message=M.unevaluated_property_message,
+                         keyword="unevaluatedProperties")
+            return ok
+        return None
+
+    def _ann_map(self, ann: Ann, flat_mask: np.ndarray,
+                 flat_parent: Optional[np.ndarray] = None):
+        ann.map_entries = flat_mask.copy() if ann.map_entries is None \
+            else (ann.map_entries | flat_mask)
+        if ann.map_rows is None and flat_parent is not None:
+            ann.map_rows = flat_parent
+
     # -- keyword helpers ----------------------------------------------
 
     def _row_gate(self, view: View, slot_mask: np.ndarray) -> np.ndarray:
@@ -902,7 +1084,8 @@ class BatchValidator:
         kind, pres, n = view.kind, view.present, view.n
         ok = np.zeros(n, dtype=bool)
         for name in names:
-            if name == kind or (name == "number" and kind == "integer"):
+            if name == kind or (name == "number" and kind == "integer") \
+                    or (name == "string" and kind == "datetime"):
                 ok |= pres
             elif name == "integer" and kind == "number":
                 vals, app = view.numeric()
@@ -989,7 +1172,9 @@ class BatchValidator:
         ok[bad_rows] = False
         return ok
 
-    def _prop_counts(self, view: View) -> np.ndarray:
+    def _prop_counts(self, view: View,
+                     notes: Optional[dict] = None) -> np.ndarray:
+        notes = notes if notes is not None else {}
         if view.table is not None:
             cnt = np.zeros(view.n, dtype=np.int64)
             for name in view.table.column_names:
@@ -1002,9 +1187,9 @@ class BatchValidator:
                 cnt += _valid_np(child)
             return cnt
         if view.arr is not None and pa.types.is_map(view.arr.type):
-            ln = pc.list_value_length(view.arr).to_numpy(
-                zero_copy_only=False)
-            return np.where(view.present, ln, 0).astype(np.int64)
+            # count non-null-valued entries (null member = absent)
+            _, _, offsets, _ = self._map_entries(view, notes)
+            return (offsets[1:] - offsets[:-1]).astype(np.int64)
         return np.zeros(view.n, dtype=np.int64)
 
     def _format_mask(self, view: View, name: str) -> Optional[np.ndarray]:
@@ -1055,4 +1240,6 @@ def _subset_view(ev: View, idx: np.ndarray) -> View:
                 table=None, present=ev.present[idx],
                 rows=ev.batch_rows(idx), loc_prefix=ev.loc_prefix,
                 elem_pos=ev.elem_pos[idx] if ev.elem_pos is not None
-                else None, null_as_value=ev.null_as_value)
+                else None, null_as_value=ev.null_as_value,
+                elem_key=ev.elem_key[idx] if ev.elem_key is not None
+                else None)

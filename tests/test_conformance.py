@@ -73,3 +73,107 @@ def test_suite_port_case(case):
     re_ = RowEvaluator(rs)
     row = [len(re_.validate(r)) == 0 for r in t.to_pylist()]
     assert row == case["valid"], f"row evaluator: {row}"
+
+
+# ---------------------------------------------------------------------------
+# map-typed (open-object) columns: the fully-dynamic instance path
+# (validator.go:539-629, 713-750) — member names are per-row DATA
+
+
+def _map_table(rows, value_type=pa.int64()):
+    return pa.table({"v": pa.array(
+        rows, type=pa.map_(pa.string(), value_type))})
+
+
+MAP_CASES = [
+    ("map properties by key",
+     {"properties": {"v": {"properties": {"p": {"minimum": 0}}}}},
+     [[("p", 1)], [("p", -1)], [("q", -5)], None],
+     [True, False, True, True]),
+    ("map required key",
+     {"properties": {"v": {"required": ["p"]}}},
+     [[("p", 1)], [("q", 2)], [("p", None)]],
+     [True, False, False]),  # null-valued entry = absent member
+    ("map patternProperties",
+     {"properties": {"v": {"patternProperties": {"^x": {"maximum": 0}}}}},
+     [[("xa", -1), ("y", 9)], [("xa", 1)], [("y", 1)]],
+     [True, False, True]),
+    ("map additionalProperties false",
+     {"properties": {"v": {"properties": {"p": True},
+                           "additionalProperties": False}}},
+     [[("p", 1)], [("p", 1), ("q", 2)], []],
+     [True, False, True]),
+    ("map additionalProperties schema",
+     {"properties": {"v": {"properties": {"p": True},
+                           "additionalProperties": {"minimum": 10}}}},
+     [[("p", 1), ("q", 11)], [("p", 1), ("q", 2)]],
+     [True, False]),
+    ("map patternProperties claims before additionalProperties",
+     {"properties": {"v": {"patternProperties": {"^x": True},
+                           "additionalProperties": False}}},
+     [[("xa", 1)], [("ya", 1)]],
+     [True, False]),
+    ("map propertyNames",
+     {"properties": {"v": {"propertyNames": {"maxLength": 1}}}},
+     [[("p", 1)], [("pq", 1)]],
+     [True, False]),
+    ("map unevaluatedProperties false",
+     {"properties": {"v": {"properties": {"p": True},
+                           "unevaluatedProperties": False}}},
+     [[("p", 1)], [("p", 1), ("q", 2)]],
+     [True, False]),
+    ("map unevaluatedProperties sees allOf claims",
+     {"properties": {"v": {"allOf": [{"properties": {"p": True}},
+                                     {"patternProperties": {"^q": True}}],
+                           "unevaluatedProperties": False}}},
+     [[("p", 1), ("qq", 2)], [("p", 1), ("zz", 2)]],
+     [True, False]),
+    ("map minProperties counts non-null entries",
+     {"properties": {"v": {"minProperties": 2}}},
+     [[("p", 1), ("q", 2)], [("p", 1), ("q", None)]],
+     [True, False]),
+    ("map maxProperties",
+     {"properties": {"v": {"maxProperties": 1}}},
+     [[("p", 1)], [("p", 1), ("q", 2)]],
+     [True, False]),
+    ("map dependentRequired",
+     {"properties": {"v": {"dependentRequired": {"p": ["q"]}}}},
+     [[("p", 1), ("q", 2)], [("p", 1)], [("q", 2)]],
+     [True, False, True]),
+    ("map dependentSchemas",
+     {"properties": {"v": {"dependentSchemas":
+                           {"p": {"properties": {"q": {"minimum": 5}}}}}}},
+     [[("p", 1), ("q", 9)], [("p", 1), ("q", 2)], [("q", 2)]],
+     [True, False, True]),
+    ("map value schemas see JSON values",
+     {"properties": {"v": {"additionalProperties": {"type": "integer"}}}},
+     [[("p", 3)], []],
+     [True, True]),
+    ("map type object",
+     {"properties": {"v": {"type": "object"}}},
+     [[("p", 1)]],
+     [True]),
+]
+
+
+@pytest.mark.parametrize("case", MAP_CASES, ids=[c[0] for c in MAP_CASES])
+def test_map_column_case(case):
+    name, ruleset, rows, valid = case
+    rs = parse_ruleset(ruleset)
+    t = _map_table(rows)
+    vec = BatchValidator(rs).mask(t).tolist()
+    assert vec == valid, f"vector engine: {vec}"
+    re_ = RowEvaluator(rs)
+    row = [len(re_.validate(r)) == 0 for r in t.to_pylist()]
+    assert row == valid, f"row evaluator: {row}"
+
+
+def test_map_violation_locations():
+    rs = parse_ruleset({"properties": {"v": {
+        "properties": {"p": {"minimum": 0}},
+        "additionalProperties": False}}})
+    t = _map_table([[("p", -1), ("zz", 2)]])
+    viol = BatchValidator(rs).violations(t).to_pylist()
+    locs = sorted((r["keyword"], r["instance_location"]) for r in viol)
+    assert locs == [("additionalProperties", "/v/zz"),
+                    ("minimum", "/v/p")]

@@ -11,7 +11,7 @@ from hypothesis import HealthCheck, given, settings
 
 from jsonschema_ray import BatchValidator, RowEvaluator, parse_ruleset
 
-COLS = ["a", "b", "s", "t", "arr", "m"]
+COLS = ["a", "b", "s", "t", "arr", "m", "mp"]
 
 # -- rule-document grammar ---------------------------------------------------
 
@@ -67,10 +67,30 @@ struct_leaf = st.fixed_dictionaries({}, optional={
 })
 
 
+# map-typed (open-object) column: dynamic member names per row
+map_leaf = st.fixed_dictionaries({}, optional={
+    "type": st.just("object"),
+    "properties": st.fixed_dictionaries({}, optional={
+        "k1": num_leaf, "k2": num_leaf}),
+    "patternProperties": st.fixed_dictionaries({}, optional={
+        "^k": num_leaf, "x$": num_leaf}),
+    "additionalProperties": st.one_of(st.booleans(), num_leaf),
+    "unevaluatedProperties": st.booleans(),
+    "propertyNames": st.fixed_dictionaries({}, optional={
+        "maxLength": st.integers(1, 3), "pattern": st.just("^[kx]")}),
+    "required": st.lists(st.sampled_from(["k1", "k2", "zz"]), max_size=2,
+                         unique=True),
+    "minProperties": st.integers(0, 3),
+    "maxProperties": st.integers(0, 4),
+    "dependentRequired": st.fixed_dictionaries({}, optional={
+        "k1": st.just(["k2"])}),
+})
+
+
 def props_for(leaves):
     return st.fixed_dictionaries({}, optional={
         "a": leaves[0], "b": leaves[0], "s": leaves[1], "t": leaves[1],
-        "arr": leaves[2], "m": struct_leaf,
+        "arr": leaves[2], "m": struct_leaf, "mp": map_leaf,
     })
 
 
@@ -137,6 +157,12 @@ opt_struct = st.one_of(st.none(), st.fixed_dictionaries({
     "p": st.one_of(st.none(), st.integers(-5, 5)),
     "q": st.one_of(st.none(), st.sampled_from(["", "a", "ab", "xy"])),
 }))
+# NON-EMPTY maps only: an empty map is indistinguishable from an empty
+# array in to_pylist (rowwise.map_cell_to_object documented limitation)
+opt_map = st.one_of(st.none(), st.dictionaries(
+    st.sampled_from(["k1", "k2", "kx", "zz"]),
+    st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=3
+).map(lambda d: list(d.items())))
 
 table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "a": st.lists(opt_int, min_size=n, max_size=n),
@@ -145,6 +171,7 @@ table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "t": st.lists(opt_str, min_size=n, max_size=n),
     "arr": st.lists(opt_arr, min_size=n, max_size=n),
     "m": st.lists(opt_struct, min_size=n, max_size=n),
+    "mp": st.lists(opt_map, min_size=n, max_size=n),
 }))
 
 
@@ -157,6 +184,8 @@ def build_table(cols: dict) -> pa.Table:
         "arr": pa.array(cols["arr"], type=pa.list_(pa.int64())),
         "m": pa.array(cols["m"], type=pa.struct([("p", pa.int64()),
                                                   ("q", pa.string())])),
+        "mp": pa.array(cols["mp"],
+                       type=pa.map_(pa.string(), pa.int64())),
     })
 
 
