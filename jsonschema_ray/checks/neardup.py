@@ -203,15 +203,15 @@ def _translate_pair_keys(ds, pairs, id_col: str,
     the (key → id) table for CANDIDATE keys only, then a vectorized gather
     maps the pairs back (candidates-proportional, nothing big driverside).
     id_a < id_b is re-established in ORIGINAL id order."""
-    import functools
-
     import ray
     import ray.data as rd
 
     from ..sketches.hashing import hash64_array
     from ..util import worker_cached
 
-    kdf = pairs.to_pandas()
+    # cross-band/partition dedup on the driver: the key pairs must come
+    # here anyway to derive the broadcast candidate set (16 B/pair)
+    kdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     id_type = ds.schema().base_schema.field(id_col).type
     if kdf.empty:
         return rd.from_arrow(pa.table({
@@ -235,32 +235,26 @@ def _translate_pair_keys(ds, pairs, id_col: str,
     keymap = ds.select_columns([id_col]).map_batches(
         keymap_batch, batch_format="pyarrow",
         zero_copy_batch=True).materialize()  # candidates only
+    # (key, id) pairs are 8 bytes + id width per CANDIDATE — keep joins in
+    # reserve via dedup.minhash's pattern if a corpus ever exceeds the cap
+    assert keymap.size_bytes() <= broadcast_cap, \
+        "candidate key map exceeds broadcast cap — switch to Dataset.join"
     mdf = keymap.to_pandas()
     order = np.argsort(mdf["key"].to_numpy())
     mkeys = mdf["key"].to_numpy()[order]
     mids = mdf[id_col].to_numpy()[order]
-    map_ref = ray.put((mkeys, mids))
-
-    def gather(b: pa.Table, *, map_ref=map_ref) -> pa.Table:
-        mk, mi = worker_cached(("phash_map", map_ref.hex()),
-                               lambda: ray.get(map_ref))
-        ka = b["id_a"].to_numpy(zero_copy_only=False)
-        kb = b["id_b"].to_numpy(zero_copy_only=False)
-        ia = mi[np.searchsorted(mk, ka)]
-        ib = mi[np.searchsorted(mk, kb)]
-        swap = ia > ib
-        return pa.table({
-            "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
-            "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
-            "distance": b["distance"]})
-
-    # (key, id) pairs are 8 bytes + id width per CANDIDATE — broadcast is
-    # the right shape far past 10M candidates; keep joins in reserve via
-    # dedup.minhash's pattern if a corpus ever exceeds the cap
-    assert keymap.size_bytes() <= broadcast_cap, \
-        "candidate key map exceeds broadcast cap — switch to Dataset.join"
-    return pairs.map_batches(functools.partial(gather),
-                             batch_format="pyarrow", zero_copy_batch=True)
+    # final gather right here — the pair set is driver-resident already,
+    # and a one-block map_batches stage costs a whole Ray execution
+    ka = kdf["id_a"].to_numpy()
+    kb = kdf["id_b"].to_numpy()
+    ia = mids[np.searchsorted(mkeys, ka)]
+    ib = mids[np.searchsorted(mkeys, kb)]
+    swap = ia > ib
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
+        "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
+        "distance": pa.array(kdf["distance"].to_numpy(),
+                             type=pa.int32())}))
 
 
 def phash_near_duplicates(ds, id_col: str = "image_id",
@@ -295,11 +289,12 @@ def phash_near_duplicates(ds, id_col: str = "image_id",
     pairs = exploded.groupby("_part").map_groups(
         lambda pdf: fn(pdf.drop(columns=["_part"])),
         batch_format="pandas")
+    if hash_ids:
+        # cross-band dedup happens driver-side inside the translation
+        # (the pair keys are pulled there for the broadcast anyway)
+        return _translate_pair_keys(ds, pairs, id_col)
     # the same pair can surface from several bands / partitions
-    pairs = partitioned_group_apply(
+    return partitioned_group_apply(
         pairs, ["id_a", "id_b"],
         lambda df: df.drop_duplicates(["id_a", "id_b"]),
         num_partitions=max(8, num_partitions // 4))
-    if hash_ids:
-        pairs = _translate_pair_keys(ds, pairs, id_col)
-    return pairs

@@ -259,31 +259,6 @@ def _candidate_sigs_batch(batch, *, text_col, id_col, num_hashes, k, bands,
     })
 
 
-def _pair_est_broadcast(b: pa.Table, *, sig_ref, threshold, num_hashes,
-                        id_type) -> pa.Table:
-    """Pairs batch → (id_a, id_b, jaccard_est) using the BROADCAST
-    candidate signature table (sorted keys, sig matrix, ids) — one object
-    store fetch per worker, vectorized gather + compare per batch."""
-    import ray
-
-    from ..util import worker_cached
-    skeys, smat, sids = worker_cached(
-        ("minhash_sigs", sig_ref.hex()), lambda: ray.get(sig_ref))
-    ka = b["key_a"].to_numpy(zero_copy_only=False)
-    kb = b["key_b"].to_numpy(zero_copy_only=False)
-    pa_idx = np.searchsorted(skeys, ka)
-    pb_idx = np.searchsorted(skeys, kb)
-    est = (smat[pa_idx] == smat[pb_idx]).mean(axis=1)
-    hit = est >= threshold
-    ia, ib = sids[pa_idx[hit]], sids[pb_idx[hit]]
-    swap = ia > ib
-    return pa.table({
-        "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
-        "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
-        "jaccard_est": pa.array(np.round(est[hit], 6), type=pa.float64()),
-    })
-
-
 def _pair_est_batch(b: pa.Table, *, id_col, threshold, num_hashes,
                     round_to=6) -> pa.Table:
     """Joined (pair × sig_a × sig_b) rows → (id_a, id_b, jaccard_est) with
@@ -348,9 +323,9 @@ def minhash_near_duplicates(ds, text_col: str = "text",
     candidate signatures are recomputed in a broadcast-filtered second
     pass.  The pair estimation then takes one of two paths on measured
     candidate volume:
-      - candidate sig table ≤ ``broadcast_sig_cap`` bytes: ray.put the
-        (sorted keys, sig matrix, ids) triple once and estimate inside
-        map_batches over the pairs — zero further shuffle;
+      - candidate sig table ≤ ``broadcast_sig_cap`` bytes: it is already
+        driver-resident, so the estimate is one chunked vectorized gather
+        right there — no further shuffle or execution;
       - larger: two distributed hash joins (Ray Data ``Dataset.join``)
         attach sig_a / sig_b to the pairs — nothing ever sits on the
         driver but the 16-byte candidate key pairs."""
@@ -368,7 +343,6 @@ def minhash_near_duplicates(ds, text_col: str = "text",
             "id_a": pa.array([], type=id_type),
             "id_b": pa.array([], type=id_type),
             "jaccard_est": pa.array([], type=pa.float64())}))
-    pairs = rd.from_arrow(pa.Table.from_pandas(kdf, preserve_index=False))
     wanted = np.unique(np.concatenate([kdf["key_a"].to_numpy(),
                                        kdf["key_b"].to_numpy()]))
     wanted_ref = ray.put(wanted)
@@ -380,21 +354,37 @@ def minhash_near_duplicates(ds, text_col: str = "text",
         batch_size=batch_size).materialize()  # candidates only
     n_sigs = sigtab.count()
     if n_sigs * num_hashes * 8 <= broadcast_sig_cap:
+        # small-candidate path: the sig table is ALREADY driver-resident
+        # for the broadcast, so estimate right here (chunked gathers — the
+        # unchunked 500 MB temporaries thrash cache 10×) instead of paying
+        # a whole extra Ray execution for one tiny block
         sdf = sigtab.to_pandas()
         order = np.argsort(sdf["key"].to_numpy())
         skeys = sdf["key"].to_numpy()[order]
         smat = np.frombuffer(b"".join(sdf["sig"].iloc[order]),
                              dtype=np.uint64).reshape(n_sigs, num_hashes)
         sids = sdf[id_col].to_numpy()[order]
-        sig_ref = ray.put((skeys, smat, sids))
-        return pairs.map_batches(
-            functools.partial(_pair_est_broadcast, sig_ref=sig_ref,
-                              threshold=threshold, num_hashes=num_hashes,
-                              id_type=id_type),
-            batch_format="pyarrow", zero_copy_batch=True)
+        ka = kdf["key_a"].to_numpy()
+        kb = kdf["key_b"].to_numpy()
+        parts = []
+        for lo in range(0, len(ka), 100_000):
+            ia = np.searchsorted(skeys, ka[lo:lo + 100_000])
+            ib = np.searchsorted(skeys, kb[lo:lo + 100_000])
+            parts.append((smat[ia] == smat[ib]).mean(axis=1))
+        est = np.concatenate(parts) if parts else np.zeros(0)
+        hit = est >= threshold
+        ia = sids[np.searchsorted(skeys, ka[hit])]
+        ib = sids[np.searchsorted(skeys, kb[hit])]
+        swap = ia > ib
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
+            "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
+            "jaccard_est": pa.array(np.round(est[hit], 6),
+                                    type=pa.float64())}))
     # join width scales with CANDIDATE volume, not corpus size: a few
     # aggregators suffice below ~10M pairs; callers at larger scale raise
     # num_partitions and this follows
+    pairs = rd.from_arrow(pa.Table.from_pandas(kdf, preserve_index=False))
     jp = max(2, num_partitions // 16)
     left = pairs.join(
         sigtab.rename_columns({"key": "key_a", id_col: "id_a",
