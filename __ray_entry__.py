@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": R.ann_topk_embeddings,     # rows-only
         "ann_ivf_embeddings": R.ann_ivf_embeddings,       # rows-only
         "ann_ivf_index_embeddings": R.ann_ivf_index_embeddings,  # rows-only
+        "image_features_synth": R.image_features_synth,   # rows-only
         "embedding_neardup": R.embedding_neardup,         # rows-only
         # sketches + flagship
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,

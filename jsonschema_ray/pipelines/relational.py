@@ -671,6 +671,31 @@ def column_stats_approx_lineitem(sf_dir: str):
     return out.sort_values("column").reset_index(drop=True)
 
 
+def image_features_synth(sf_dir: str):
+    """Multimodal transform stage over the synthetic image corpus:
+    decode + resize + per-image feature columns (rows-only: pixel-derived
+    values are not SQL-expressible)."""
+    import os
+
+    from ..sources import generate_images
+    from ..stages import extract_image_features
+    n = {"sf0.001": 500, "sf0.01": 1000, "sf0.1": 2000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 500)
+    ds = generate_images(n, seed=42)
+    out = extract_image_features(ds)
+    import pyarrow.compute as _pc
+
+    def rnd(b: pa.Table) -> pa.Table:
+        cols = {"image_id": b["image_id"]}
+        for c in b.column_names:
+            if c != "image_id":
+                cols[c] = _pc.round(b[c], 4)
+        return pa.table(cols)
+
+    return out.map_batches(rnd, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def validate_images_synth(sf_dir: str):
     """Flagship over a deterministic synthetic image corpus sized to the
     scale factor (BASELINE: synthesise the input-table shape at small scale;

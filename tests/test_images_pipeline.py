@@ -176,3 +176,58 @@ def test_drift_between_corpora(tmp_path):
     assert drift["w"]["drifted"] is True
     assert drift["phash"]["drifted"] is False or True  # phash is hash-like
     assert drift["w"]["ks"] > 0.3
+
+
+def test_multimodal_stages(ray_mod=None):
+    """Resize / feature-extract / frame-sample / audio stages: real image
+    paths bit-checked, fake-decoder stages checked for contract shape."""
+    import ray.data as rd
+
+    from jsonschema_ray.codecs.images import (average_hash, decode_image,
+                                              encode_image)
+    from jsonschema_ray.stages import (extract_audio_features,
+                                       extract_image_features,
+                                       resize_images, sample_video_frames)
+    from jsonschema_ray.stages.multimodal import resize_nearest
+    rng = np.random.default_rng(7)
+    px = [rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+          for _ in range(6)]
+    t = pa.table({
+        "image_id": [f"i{i}" for i in range(6)],
+        "fmt": ["png", "bmp", "ppm"] * 2,
+        "bytes": pa.array([encode_image(p, f) for p, f in
+                           zip(px, ["png", "bmp", "ppm"] * 2)],
+                          type=pa.large_binary()),
+    })
+    ds = rd.from_arrow(t)
+
+    out = resize_images(ds, 8, 8).to_pandas().sort_values("image_id")
+    assert out["resized_ok"].all()
+    # bit-exact: stage output == direct nearest-neighbor resize
+    got = decode_image(out.iloc[0]["resized_bytes"], "ppm")
+    np.testing.assert_array_equal(got, resize_nearest(px[0], 8, 8))
+
+    feats = extract_image_features(ds).to_pandas()
+    assert len(feats) == 6 and feats["brightness_mean"].notna().all()
+    assert ((feats["edge_density"] >= 0) & (feats["edge_density"] <= 1)).all()
+
+    vt = pa.table({"video_id": ["v0", "v1"],
+                   "bytes": pa.array([b"payload-0", b"payload-1"],
+                                     type=pa.large_binary())})
+    frames = sample_video_frames(rd.from_arrow(vt),
+                                 max_frames=3).to_pandas()
+    assert len(frames) == 6
+    assert set(frames["video_id"]) == {"v0", "v1"}
+    # deterministic fake decode: same payload → same phash
+    frames2 = sample_video_frames(rd.from_arrow(vt),
+                                  max_frames=3).to_pandas()
+    assert frames["frame_phash"].tolist() == frames2["frame_phash"].tolist()
+    f0 = decode_image(frames.iloc[0]["frame_bytes"], "ppm")
+    assert int(frames.iloc[0]["frame_phash"]) == np.int64(
+        np.uint64(average_hash(f0)).astype(np.int64))
+
+    at = pa.table({"audio_id": ["a0", "a1"],
+                   "bytes": pa.array([b"clip-0", b"clip-1"],
+                                     type=pa.large_binary())})
+    af = extract_audio_features(rd.from_arrow(at)).to_pandas()
+    assert len(af) == 2 and (af["rms"] > 0).all()
