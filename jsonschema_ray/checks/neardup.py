@@ -260,7 +260,7 @@ def _translate_pair_keys(ds, pairs, id_col: str,
 def phash_near_duplicates(ds, id_col: str = "image_id",
                           phash_col: str = "phash", max_distance: int = 4,
                           bands: int = None, max_bucket: int = 1024,
-                          num_partitions: int = 64,
+                          num_partitions: int = None,
                           batch_size: int = 131072):
     """Dataset → Dataset of near-dup pairs ``(id_a, id_b, distance)`` with
     id_a < id_b; recall 1 for Hamming distance ≤ max_distance (module doc),
@@ -272,7 +272,8 @@ def phash_near_duplicates(ds, id_col: str = "image_id",
     assert max_distance < bands, "bands must exceed max_distance for recall 1"
     import functools
 
-    from ..util import partitioned_group_apply
+    from ..util import auto_partitions, partitioned_group_apply
+    num_partitions = num_partitions or auto_partitions()
     id_type = ds.schema().base_schema.field(id_col).type
     hash_ids = not (pa.types.is_integer(id_type)
                     or pa.types.is_floating(id_type))

@@ -24,7 +24,7 @@ def _batch_key_counts(batch: pa.Table, *, keys: tuple) -> pa.Table:
 
 
 def duplicate_keys(ds, key, batch_size: int = 131072,
-                   num_partitions: int = 64, combine_first: bool = None):
+                   num_partitions: int = None, combine_first: bool = None):
     """Dataset → small Dataset of ``(*key, dup_count)`` for keys appearing
     more than once. ``dup_count`` is int64.
 

@@ -95,7 +95,7 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
 
     from ..util import partitioned_group_apply
     pairs = partitioned_group_apply(bucketed, ["bucket"], partition_pairs,
-                                    num_partitions=32)
+                                    num_partitions=None)
     # cross-table duplicates of the same pair land in different buckets →
     # one narrow dedup shuffle over the (small) pair set
     return partitioned_group_apply(

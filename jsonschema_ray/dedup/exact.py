@@ -45,7 +45,7 @@ def _hashed_ids(ds, text_col: str, id_col: str, batch_size: int = 65536):
 
 
 def exact_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
-                      num_partitions: int = 64):
+                      num_partitions: int = None):
     """→ Dataset of ``(doc_id, n_copies)``: min id + multiplicity per
     distinct text (equivalent SQL: SELECT min(id), count(*) GROUP BY
     text). Shuffle carries 16-byte hashes + ids only."""
@@ -64,7 +64,7 @@ def exact_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                num_partitions: int = 64):
+                num_partitions: int = None):
     """→ Dataset with one row per distinct ``text_col`` value — the row
     with the smallest ``id_col`` wins (deterministic). The text never
     shuffles: winner ids come from the narrow 128-bit-hash stats pass,

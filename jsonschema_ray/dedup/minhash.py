@@ -313,7 +313,7 @@ def minhash_near_duplicates(ds, text_col: str = "text",
                             id_col: str = "doc_id", threshold: float = 0.7,
                             num_hashes: int = 128, k: int = 5,
                             bands: int = 32, max_bucket: int = 4096,
-                            num_partitions: int = 64,
+                            num_partitions: int = None,
                             batch_size: int = 4096,
                             broadcast_sig_cap: int = 1 << 30):
     """→ Dataset of near-dup candidate pairs ``(id_a, id_b, jaccard_est)``
@@ -334,6 +334,8 @@ def minhash_near_duplicates(ds, text_col: str = "text",
     import ray
     import ray.data as rd
 
+    from ..util import auto_partitions
+    num_partitions = num_partitions or auto_partitions()
     source = ds.select_columns([id_col, text_col])
     kdf = _candidate_pairs(source, text_col, id_col, num_hashes, k, bands,
                            max_bucket, num_partitions, batch_size)

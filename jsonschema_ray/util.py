@@ -32,6 +32,20 @@ def worker_cached(key, factory):
     return v
 
 
+def auto_partitions(mult: int = 2, lo: int = 8, hi: int = 256) -> int:
+    """Coarse-partition count sized to the cluster: ~2× the CPUs, floored
+    so small clusters still get group parallelism and capped so per-group
+    task overhead stays bounded. A FIXED count (the old 64) wastes task
+    overhead at low parallelism and under-splits giant clusters."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 0)) \
+            if ray.is_initialized() else (os.cpu_count() or 8)
+    except Exception:  # pragma: no cover
+        cpus = os.cpu_count() or 8
+    return max(lo, min(hi, mult * cpus))
+
+
 def add_partition_column(ds, keys: list[str], num_partitions: int,
                          col: str = "_part", batch_size: int = 131072):
     """Append a coarse hash-partition column over the key columns.
@@ -114,14 +128,15 @@ def segment_pairs(sort_cols: list[np.ndarray], cap: int
 
 
 def partitioned_group_apply(ds, keys: list[str], partition_fn,
-                            num_partitions: int = 64,
+                            num_partitions: int = None,
                             batch_size: int = 131072):
     """Hash-partition on ``keys`` into ``num_partitions`` coarse groups and
     apply ``partition_fn(pandas.DataFrame) -> DataFrame`` once per
     partition. The fn sees every row of every key-group it owns (groups
     never split across partitions) and is responsible for its own
     within-partition groupby — typically vectorized."""
-    stamped = add_partition_column(ds, keys, num_partitions,
+    stamped = add_partition_column(ds, keys,
+                                   num_partitions or auto_partitions(),
                                    batch_size=batch_size)
     out = stamped.groupby("_part").map_groups(
         lambda df: partition_fn(df.drop(columns=["_part"])),

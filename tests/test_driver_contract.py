@@ -66,7 +66,7 @@ def oracle_pairs():
     "distinct_event_types", "events_filter_project", "orders_running_total",
     "dedup_exact_documents", "token_count_documents", "quality_documents",
     "lang_distribution", "events_sessions", "validate_lineitem_dates",
-    "region_customer_rollup", "union_keys",
+    "validate_lineitem_dates_core", "region_customer_rollup", "union_keys",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
@@ -93,6 +93,8 @@ def test_query_matches_oracle(name, duck):
     ("neardup_verified_documents", 0),
     ("fingerprint_documents", 500),
     ("validate_images_synth", 10),
+    ("ann_ivf_index_embeddings", 10),
+    ("image_features_synth", 100),
 ])
 def test_rows_only_queries(name, min_rows):
     q, _ = oracle_pairs()
