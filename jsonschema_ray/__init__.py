@@ -15,10 +15,12 @@ from .rules.extensions import (apply_defaults, register_keyword,
                                unregister_keyword)
 from .rules.meta import check_ruleset
 from .rules.model import RuleSet, RuleSetError, parse_ruleset
+from .rules.output import basic_output, basic_output_column, flag_output
 from .rules.rowwise import RowEvaluator, Violation
 from .rules.vector import BatchValidator
 
 __all__ = [
+    "basic_output", "basic_output_column", "flag_output",
     "RuleSet", "RuleSetError", "parse_ruleset",
     "RowEvaluator", "Violation", "BatchValidator",
     "register_format", "register_keyword", "unregister_keyword",

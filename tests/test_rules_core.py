@@ -337,3 +337,33 @@ def test_randomized_cross_check():
                   {"properties": {"h": {"minimum": 100}}}],
     }
     cross_check(rs, t, key="id")
+
+
+def test_output_formats_basic_and_flag():
+    """Spec output formats over the violations table
+    (pkg/errors/errors.go:15-22 field names)."""
+    import json
+
+    import pyarrow as pa
+
+    from jsonschema_ray import BatchValidator, parse_ruleset
+    from jsonschema_ray.rules.output import (basic_output,
+                                             basic_output_column,
+                                             flag_output)
+    rs = parse_ruleset({"properties": {"v": {"minimum": 0},
+                                       "s": {"pattern": "^a"}}})
+    t = pa.table({"id": [1, 2, 3], "v": [1, -5, -9], "s": ["ab", "xb", "a"]})
+    bv = BatchValidator(rs, key_columns=["id"])
+    viol = bv.violations(t)
+    out = basic_output_column(t, viol, ["id"])
+    docs = [json.loads(d) for d in out["validation_output"].to_pylist()]
+    assert docs[0] == {"valid": True}
+    assert docs[1]["valid"] is False and len(docs[1]["errors"]) == 2
+    err = docs[1]["errors"][0]
+    assert set(err) == {"keywordLocation", "instanceLocation", "error"}
+    assert docs[2]["valid"] is False and len(docs[2]["errors"]) == 1
+    assert flag_output(True) == {"valid": True}
+    assert basic_output([]) == {"valid": True}
+    b = basic_output([{"keyword_location": "", "instance_location": "/v",
+                       "message": "m"}])
+    assert b["errors"][0]["keywordLocation"] == "#"
