@@ -1018,9 +1018,18 @@ class BatchValidator:
             return ok
         if kw == "patternProperties":
             for pat, sub in arg.items():
-                m = pc.match_substring_regex(
-                    pa.array(keys, type=pa.string()), pat).to_numpy(
-                    zero_copy_only=False).astype(bool)
+                try:
+                    m = pc.match_substring_regex(
+                        pa.array(keys, type=pa.string()), pat).to_numpy(
+                        zero_copy_only=False).astype(bool)
+                except pa.lib.ArrowInvalid:
+                    # RE2 lacks lookaround etc. — match the UNIQUE key set
+                    # with Python re (same engine as the struct path)
+                    rex = self._re(pat)
+                    uniq, inv = np.unique(keys, return_inverse=True)
+                    um = np.array([bool(rex.search(str(u))) for u in uniq],
+                                  dtype=bool)
+                    m = um[inv] if len(keys) else np.zeros(0, dtype=bool)
                 claimed |= m
                 self._ann_map(ann, m, flat_parent)
                 eval_entries(sub, m, f"{kloc}/{_esc(pat)}")

@@ -22,12 +22,21 @@ import numpy as np
 # internal/validator/fields.go:291-300).
 
 _WORKER_CACHE: dict = {}
+_WORKER_CACHE_CAP = 64
 
 
 def worker_cached(key, factory):
-    """Build-once-per-worker-process memo."""
+    """Build-once-per-worker-process memo with FIFO eviction.
+
+    Broadcast objects (candidate key sets, sig tables, query matrices)
+    are keyed by their ObjectRef hex, which is unique per RUN — a
+    long-lived worker serving many runs would otherwise accumulate every
+    broadcast it ever saw. 64 entries comfortably hold one pipeline's
+    working set; evicted entries just rebuild/refetch."""
     v = _WORKER_CACHE.get(key)
     if v is None:
+        if len(_WORKER_CACHE) >= _WORKER_CACHE_CAP:
+            _WORKER_CACHE.pop(next(iter(_WORKER_CACHE)))
         v = _WORKER_CACHE[key] = factory()
     return v
 
