@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_embeddings": R.ann_ivf_embeddings,       # rows-only
         "ann_ivf_index_embeddings": R.ann_ivf_index_embeddings,  # rows-only
         "image_features_synth": R.image_features_synth,   # rows-only
+        "events_last_order": R.events_last_order,
+        "hopping_window_events": R.hopping_window_events,
+        "events_orders_90d": R.events_orders_90d,
         "embedding_neardup": R.embedding_neardup,         # rows-only
         # sketches + flagship
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
@@ -161,6 +164,35 @@ SELECT l_orderkey, l_linenumber, 'exclusiveMaximum' AS keyword,
        CAST(l_shipdate AS VARCHAR) AS offending_value,
        'exclusiveMaximum: value >= 912470400000000.0' AS message
 FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-12-01'
+""",
+        "events_orders_90d": """
+SELECT e.event_id,
+  (SELECT count(*) FROM orders o
+    WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      AND epoch_us(o.o_orderdate) > epoch_us(e.ts) - 7776000000000
+  ) AS n_orders_90d,
+  round(coalesce((SELECT sum(o.o_totalprice) FROM orders o
+    WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      AND epoch_us(o.o_orderdate) > epoch_us(e.ts) - 7776000000000), 0), 2
+  ) AS revenue_90d
+FROM events e
+""",
+        "hopping_window_events": """
+SELECT make_timestamp(s * 1800000000) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events,
+     LATERAL (SELECT unnest(generate_series(
+         CAST(floor((epoch_us(ts) - 3600000000) / 1800000000) AS BIGINT) + 1,
+         CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT))) AS s)
+GROUP BY 1
+""",
+        "events_last_order": """
+SELECT e.event_id,
+       (SELECT max(o.o_orderdate) FROM orders o
+         WHERE o.o_custkey = e.user_id
+           AND o.o_orderdate <= e.ts) AS last_orderdate
+FROM events e
 """,
         "uniqueness_lineitem_orderkey": """
 SELECT l_orderkey, count(*) AS dup_count

@@ -16,10 +16,12 @@ from .rules.extensions import (apply_defaults, register_keyword,
 from .rules.meta import check_ruleset
 from .rules.model import RuleSet, RuleSetError, parse_ruleset
 from .rules.output import basic_output, basic_output_column, flag_output
+from .joins import asof_join, range_agg_join
 from .rules.rowwise import RowEvaluator, Violation
 from .rules.vector import BatchValidator
 
 __all__ = [
+    "asof_join", "range_agg_join",
     "basic_output", "basic_output_column", "flag_output",
     "RuleSet", "RuleSetError", "parse_ruleset",
     "RowEvaluator", "Violation", "BatchValidator",

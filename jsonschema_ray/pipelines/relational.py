@@ -435,6 +435,90 @@ def drift_events_value(sf_dir: str):
     }])
 
 
+def hopping_window_events(sf_dir: str, window_us: int = 3_600_000_000,
+                          slide_us: int = 1_800_000_000):
+    """Hopping (sliding) window aggregate (ORACLED): count + sum(value)
+    per 1-hour window sliding every 30 minutes. Each event belongs to
+    window/slide windows; the explode happens INSIDE map_batches (×2
+    rows, narrow) followed by a per-batch partial aggregation, so the
+    shuffle moves one row per (window, batch) — the same combiner
+    discipline as grouped_agg."""
+    import functools
+
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    nwin = window_us // slide_us
+
+    def explode_partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        smax = np.floor_divide(us, slide_us)
+        parts = []
+        for j in range(int(nwin)):
+            s = smax - j
+            keep = s * slide_us > us - window_us  # window start in range
+            parts.append(pa.table({
+                "window_start": pa.array(s[keep] * slide_us),
+                "_v": pa.array(val[keep]),
+            }))
+        t = pa.concat_tables(parts)
+        agg = t.group_by(["window_start"]).aggregate(
+            [("_v", "sum"), ([], "count_all")])
+        return agg.rename_columns(["window_start", "_psum", "_pcnt"])
+
+    partials = ds.map_batches(explode_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+    out = partials.groupby("window_start").aggregate(
+        Sum("_psum", alias_name="sum_value"),
+        Sum("_pcnt", alias_name="n_events"))
+
+    df = out.to_pandas()
+    df["window_start"] = pd.to_datetime(df["window_start"], unit="us")
+    df = _round_cols(df, ["sum_value"])  # same rounding as the oracle
+    return df[["window_start", "n_events", "sum_value"]] \
+        .sort_values("window_start").reset_index(drop=True)
+
+
+def events_orders_90d(sf_dir: str):
+    """Range-aggregate join (ORACLED): per event, count + revenue of the
+    same customer's orders in the 90 days up to the event — the interval
+    join as two vectorized as-of lookups over per-group cumulative sums
+    (jsonschema_ray/joins.py::range_agg_join)."""
+    from ..joins import range_agg_join
+    ninety_us = 90 * 24 * 3600 * 1_000_000
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    j = range_agg_join(events, orders, by="user_id", on="ts",
+                       right_by="o_custkey", right_on="o_orderdate",
+                       lower=-ninety_us, upper=0,
+                       sum_cols=["o_totalprice"])
+    df = j.to_pandas()[["event_id", "n_in_range", "sum_o_totalprice"]]
+    df = df.rename(columns={"n_in_range": "n_orders_90d",
+                            "sum_o_totalprice": "revenue_90d"})
+    return _round_cols(df, ["revenue_90d"]) \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def events_last_order(sf_dir: str):
+    """As-of join (ORACLED): each event picks up the latest order date of
+    the same customer at-or-before the event time — the custom operator
+    Ray Data lacks, as one co-partition shuffle + vectorized merge
+    (jsonschema_ray/joins.py)."""
+    from ..joins import asof_join
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    j = asof_join(events, orders, by="user_id", on="ts",
+                  right_by="o_custkey", right_on="o_orderdate",
+                  value_cols=["o_orderdate"])
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "last_orderdate": b["o_orderdate"]})
+
+    return j.map_batches(out, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprint_documents(sf_dir: str):
     """Winnowing-style rolling-hash fingerprints (4 smallest k-gram hashes
     per doc) — deterministic content signatures (no SQL oracle)."""

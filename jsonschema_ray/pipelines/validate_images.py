@@ -141,7 +141,7 @@ def _image_stage_fn(rs, decode, check_phash, path_col=None):
 def adaptive_batch_size(ds=None, files=None, target_bytes: int = 64 << 20,
                         lo: int = 64, hi: int = 8192,
                         default: int = 4096,
-                        min_tasks_per_cpu: int = 2) -> int:
+                        min_tasks_per_cpu: int = 4) -> int:
     """Row-count batch size for a WIDE-payload stage, bounded two ways:
 
     - from the actual bytes/row, so a batch stays ≈ ``target_bytes``

@@ -67,6 +67,7 @@ def oracle_pairs():
     "dedup_exact_documents", "token_count_documents", "quality_documents",
     "lang_distribution", "events_sessions", "validate_lineitem_dates",
     "validate_lineitem_dates_core", "region_customer_rollup", "union_keys",
+    "events_last_order", "hopping_window_events", "events_orders_90d",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

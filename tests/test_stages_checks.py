@@ -241,3 +241,35 @@ def test_semi_join_with_bloom(ray_mod):
                                bloom_fp=0.001).to_pandas()
     # anti-join may miss orphans (false positives) but never flags matches
     assert set(anti["k"]) <= {"orphan-1", "orphan-2"}
+
+
+def test_asof_join_small_exact(ray_mod=None):
+    """As-of join vs a hand-computed expectation: inclusive + strict
+    modes, null keys, no-match rows, ties on the `on` value."""
+    import ray.data as rd
+
+    from jsonschema_ray.joins import asof_join
+    left = rd.from_arrow(pa.table({
+        "lid": [1, 2, 3, 4, 5],
+        "k": pa.array([10, 10, 20, 30, None], type=pa.int64()),
+        "t": pa.array([5, 2, 7, 1, 9], type=pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([10, 10, 20, 20, 99], type=pa.int64()),
+        "t": pa.array([2, 4, 7, 8, 1], type=pa.int64()),
+        "val": pa.array([100, 200, 300, 400, 500], type=pa.int64()),
+    }))
+    out = asof_join(left, right, by="k", on="t",
+                    value_cols=["val"]).to_pandas() \
+        .sort_values("lid").reset_index(drop=True)
+    # lid1: k=10,t=5 → right (10,4)=200; lid2: t=2 → (10,2)=100 inclusive
+    # lid3: k=20,t=7 → (20,7)=300 inclusive tie; lid4: k=30 → no match
+    # lid5: null key → no match
+    assert out["val"].tolist()[:3] == [200, 100, 300]
+    assert out["val"].isna().tolist() == [False, False, False, True, True]
+    strict = asof_join(left, right, by="k", on="t", value_cols=["val"],
+                       inclusive=False).to_pandas() \
+        .sort_values("lid").reset_index(drop=True)
+    # strict: lid2 t=2 has no right < 2 → null; lid3 t=7 → nothing < 7
+    assert strict["val"].tolist()[0] == 200
+    assert strict["val"].isna().tolist() == [False, True, True, True, True]
