@@ -57,3 +57,29 @@ def test_empty_store(tmp_path):
     assert store.load_records().num_rows == 0
     assert store.completed("x") == set()
     assert store.violation_files() == []
+
+
+def test_staged_wave_recovered_when_records_reference_it(tmp_path):
+    """Kill window between append_records and commit_violations: the
+    staged .tmp dir must be READ (its fragments are committed, the resume
+    skips them — losing the violations would under-count), while an
+    unreferenced .tmp dir stays invisible (its fragments get re-validated
+    under a new wave tag — reading it would double-count)."""
+    import pyarrow as pa
+    store = CheckpointStore(str(tmp_path))
+    # wave-a: violations staged AND records committed, rename never ran
+    tmp_a = store.violations_tmp_path("wave-a")
+    pq.write_table(pa.table({"keyword": ["minimum"]}),
+                   os.path.join(tmp_a, "part-0.parquet"))
+    store.append_records([FragmentRecord(
+        fragment_id="fa", ruleset_hash="h", n_rows=5, n_violations=1,
+        passed=False, wall_s=0.1, sketch_state=b"", wave_tag="wave-a")])
+    # wave-b: staged only (killed before records) — must stay invisible
+    tmp_b = store.violations_tmp_path("wave-b")
+    pq.write_table(pa.table({"keyword": ["maximum"]}),
+                   os.path.join(tmp_b, "part-0.parquet"))
+    files = store.violation_files()
+    kws = [pq.read_table(f)["keyword"].to_pylist() for f in files]
+    assert kws == [["minimum"]]
+    # the fragment reads as completed, so nothing re-validates it
+    assert store.completed("h") == {"fa"}

@@ -273,3 +273,39 @@ def test_asof_join_small_exact(ray_mod=None):
     # strict: lid2 t=2 has no right < 2 → null; lid3 t=7 → nothing < 7
     assert strict["val"].tolist()[0] == 200
     assert strict["val"].isna().tolist() == [False, True, True, True, True]
+
+
+def test_read_write_table_formats(tmp_path, ray_mod=None):
+    """Format-dispatched table I/O: parquet/csv/json round-trips feed the
+    SAME validation pipeline; lance gated with a clear error."""
+    import os
+
+    import ray.data as rd
+
+    from jsonschema_ray.sources import read_table, write_table
+    from jsonschema_ray.stages import validate_dataset
+    t = pa.table({"id": [1, 2, 3], "v": [5, -1, 7]})
+    base = str(tmp_path)
+    for fmt in ("parquet", "csv", "json"):
+        d = os.path.join(base, fmt)
+        write_table(rd.from_arrow(t), d, format=fmt)
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+        ds = read_table(files, format=fmt, columns=["id", "v"])
+        viol = validate_dataset(
+            ds, {"properties": {"v": {"minimum": 0}}},
+            key_columns=["id"]).to_pandas()
+        assert viol["id"].tolist() == [2], fmt
+    # extension inference
+    assert read_table(files[0].replace(".json", "") + ".json"
+                      if files[0].endswith(".json") else files[0],
+                      columns=["id"]).count() == 3
+    try:
+        read_table("/nope/table.lance")
+        raise AssertionError("lance must raise ImportError")
+    except ImportError as e:
+        assert "lance" in str(e)
+    try:
+        read_table("/nope/table.xyz")
+        raise AssertionError("unknown ext must raise")
+    except ValueError:
+        pass
