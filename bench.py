@@ -136,6 +136,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
     timed("ann_topk_embeddings", lambda: R.ann_topk_embeddings(sf_dir))
     timed("dedup_exact_documents",
           lambda: R.dedup_exact_documents(sf_dir).count())
+    timed("asof_events_last_order",
+          lambda: R.events_last_order(sf_dir).count())
+    timed("hopping_window_events",
+          lambda: R.hopping_window_events(sf_dir))
 
     headline = timings["flagship_images"]
     out = {
