@@ -182,6 +182,14 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise ImageDecodeError("PNG data length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     filters, rows = arr[:, 0], arr[:, 1:]
+    # uniform-filter fast paths (our own encoder emits all-None; many real
+    # encoders emit all-Up/all-Sub for flat images): the per-row loop
+    # collapses to one whole-image numpy op
+    if (filters == 0).all():
+        return rows.copy().reshape(h, w, 3)
+    if (filters == 2).all():  # Up: column-wise prefix sum mod 256
+        return (np.cumsum(rows, axis=0, dtype=np.int64) & 0xFF) \
+            .astype(np.uint8).reshape(h, w, 3)
     out = np.zeros((h, w * 3), dtype=np.uint8)
     prev = np.zeros(w * 3, dtype=np.uint8)
     bpp = 3
