@@ -11,7 +11,7 @@ from hypothesis import HealthCheck, given, settings
 
 from jsonschema_ray import BatchValidator, RowEvaluator, parse_ruleset
 
-COLS = ["a", "b", "s", "t", "arr", "m", "mp"]
+COLS = ["a", "b", "s", "t", "arr", "m", "mp", "dt"]
 
 # -- rule-document grammar ---------------------------------------------------
 
@@ -87,10 +87,22 @@ map_leaf = st.fixed_dictionaries({}, optional={
 })
 
 
+# timestamp column: type/string matching + RFC3339 temporal bounds
+# (epoch-micros canonicalization, kind 'datetime' in both engines)
+dt_leaf = st.fixed_dictionaries({}, optional={
+    "type": st.sampled_from(["string", ["string", "null"], "integer"]),
+    "minimum": st.sampled_from(["2024-01-05", "2024-01-10T12:00:00Z"]),
+    "maximum": st.sampled_from(["2024-01-20", "2024-01-15T06:30:00Z"]),
+    "exclusiveMinimum": st.just("2024-01-08"),
+    "exclusiveMaximum": st.just("2024-01-18T00:00:00Z"),
+    "format": st.sampled_from(["date-time", "date"]),
+})
+
+
 def props_for(leaves):
     return st.fixed_dictionaries({}, optional={
         "a": leaves[0], "b": leaves[0], "s": leaves[1], "t": leaves[1],
-        "arr": leaves[2], "m": struct_leaf, "mp": map_leaf,
+        "arr": leaves[2], "m": struct_leaf, "mp": map_leaf, "dt": dt_leaf,
     })
 
 
@@ -163,6 +175,10 @@ opt_map = st.one_of(st.none(), st.dictionaries(
     st.sampled_from(["k1", "k2", "kx", "zz"]),
     st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=3
 ).map(lambda d: list(d.items())))
+import datetime as _dt
+
+opt_ts = st.one_of(st.none(), st.integers(0, 30).map(
+    lambda d: _dt.datetime(2024, 1, 1) + _dt.timedelta(days=d, hours=d)))
 
 table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "a": st.lists(opt_int, min_size=n, max_size=n),
@@ -172,6 +188,7 @@ table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "arr": st.lists(opt_arr, min_size=n, max_size=n),
     "m": st.lists(opt_struct, min_size=n, max_size=n),
     "mp": st.lists(opt_map, min_size=n, max_size=n),
+    "dt": st.lists(opt_ts, min_size=n, max_size=n),
 }))
 
 
@@ -186,6 +203,7 @@ def build_table(cols: dict) -> pa.Table:
                                                   ("q", pa.string())])),
         "mp": pa.array(cols["mp"],
                        type=pa.map_(pa.string(), pa.int64())),
+        "dt": pa.array(cols["dt"], type=pa.timestamp("us")),
     })
 
 
