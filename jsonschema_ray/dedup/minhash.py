@@ -9,11 +9,12 @@ Scale shape (the only LARGE shuffle is the band explode):
     per (doc, band); signatures NEVER travel through the shuffle.  ``key``
     is a 64-bit hash of the doc id (collision odds ~n²/2⁶⁵ — negligible
     below ~10⁹ candidate docs).
-  - candidate pairs are deduped distributed, then only their signatures
-    (resp. texts, for exact verify) are re-computed in a broadcast-filtered
-    second pass over the corpus and joined to the pairs with Ray Data hash
-    joins — candidates-proportional work, nothing driver-side but the
-    8-byte candidate key set.
+  - only candidate signatures (resp. texts, for exact verify) are
+    re-computed in a broadcast-filtered second pass over the corpus and
+    paired with the candidates either by a driver-resident chunked gather
+    (small candidate sets — the table is already on the driver for the
+    broadcast) or two distributed Ray Data hash joins above a size cap —
+    candidates-proportional work throughout.
 """
 
 from __future__ import annotations
