@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": R.events_last_order,
         "hopping_window_events": R.hopping_window_events,
         "events_orders_90d": R.events_orders_90d,
+        "top3_orders_per_segment": R.top3_orders_per_segment,
+        "median_quantity_by_flag": R.median_quantity_by_flag,
         "embedding_neardup": R.embedding_neardup,         # rows-only
         # sketches + flagship
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
@@ -164,6 +166,20 @@ SELECT l_orderkey, l_linenumber, 'exclusiveMaximum' AS keyword,
        CAST(l_shipdate AS VARCHAR) AS offending_value,
        'exclusiveMaximum: value >= 912470400000000.0' AS message
 FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-12-01'
+""",
+        "top3_orders_per_segment": """
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey)
+           AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+WHERE rn <= 3 ORDER BY c_mktsegment, o_orderkey
+""",
+        "median_quantity_by_flag": """
+SELECT l_returnflag,
+       CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "events_orders_90d": """
 SELECT e.event_id,

@@ -479,6 +479,61 @@ def hopping_window_events(sf_dir: str, window_us: int = 3_600_000_000,
         .sort_values("window_start").reset_index(drop=True)
 
 
+def top3_orders_per_segment(sf_dir: str):
+    """Grouped top-k (ORACLED): the 3 highest-value orders per customer
+    market segment — broadcast the small dim, then ONE coarse partition
+    on the group key with a vectorized in-partition head(k) (the same
+    partitioned_group_apply shape as every other group-wise operator; no
+    global sort)."""
+    import ray
+
+    from ..util import partitioned_group_apply
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    import functools
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        functools.partial(_broadcast_lookup_batch, ref=ref, key="o_custkey",
+                          out="c_mktsegment"),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=131072)
+
+    def head3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        out = df.groupby("c_mktsegment", sort=False).head(3)
+        return out[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    df = partitioned_group_apply(orders, ["c_mktsegment"], head3) \
+        .to_pandas()
+    return df.sort_values(["c_mktsegment", "o_orderkey"]) \
+        .reset_index(drop=True)
+
+
+def median_quantity_by_flag(sf_dir: str):
+    """EXACT grouped median via histogram partials (ORACLED): l_quantity
+    is a low-cardinality discrete column, so per-batch (flag, quantity)
+    counts make an exact distributed histogram — the shuffle moves one
+    row per (flag, quantity, batch), never the data. The driver walks
+    ~100 histogram rows to the exact median (ties → lower-of-the-two
+    middle values convention matched in the SQL via quantile_disc)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    hist = grouped_agg(ds, ["l_returnflag", "l_quantity"], {},
+                       count_alias="n").to_pandas()
+    out = []
+    for flag, g in hist.groupby("l_returnflag"):
+        g = g.sort_values("l_quantity")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        # quantile_disc(0.5): smallest value with cum >= ceil(total/2)
+        target = (total + 1) // 2
+        med = g["l_quantity"].to_numpy()[np.searchsorted(cum, target)]
+        out.append({"l_returnflag": flag, "median_qty": float(med)})
+    return pd.DataFrame(out).sort_values("l_returnflag") \
+        .reset_index(drop=True)
+
+
 def events_orders_90d(sf_dir: str):
     """Range-aggregate join (ORACLED): per event, count + revenue of the
     same customer's orders in the 90 days up to the event — the interval

@@ -68,6 +68,7 @@ def oracle_pairs():
     "lang_distribution", "events_sessions", "validate_lineitem_dates",
     "validate_lineitem_dates_core", "region_customer_rollup", "union_keys",
     "events_last_order", "hopping_window_events", "events_orders_90d",
+    "top3_orders_per_segment", "median_quantity_by_flag",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
