@@ -309,3 +309,51 @@ def test_read_write_table_formats(tmp_path, ray_mod=None):
         raise AssertionError("unknown ext must raise")
     except ValueError:
         pass
+
+
+def test_asof_and_range_join_property(ray_mod=None):
+    """Randomized cross-check of asof_join / range_agg_join against a
+    brute-force pandas reference (many keys, duplicate times, unmatched
+    groups)."""
+    import ray.data as rd
+
+    from jsonschema_ray.joins import asof_join, range_agg_join
+    rng = np.random.default_rng(21)
+    for trial in range(3):
+        nl, nr = 120, 150
+        lt = pa.table({
+            "lid": pa.array(range(nl), type=pa.int64()),
+            "k": pa.array(rng.integers(0, 12, nl), type=pa.int64()),
+            "t": pa.array(rng.integers(0, 50, nl), type=pa.int64()),
+        })
+        rt = pa.table({
+            "k": pa.array(rng.integers(0, 15, nr), type=pa.int64()),
+            "t": pa.array(rng.integers(0, 50, nr), type=pa.int64()),
+            "val": pa.array(rng.integers(0, 1000, nr), type=pa.int64()),
+        })
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+
+        got = asof_join(rd.from_arrow(lt), rd.from_arrow(rt), by="k",
+                        on="t", value_cols=["t"]) \
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        # reference: max right t <= left t within k
+        exp = []
+        for _, row in ldf.iterrows():
+            cand = rdf[(rdf["k"] == row["k"]) & (rdf["t"] <= row["t"])]
+            exp.append(cand["t"].max() if len(cand) else None)
+        exp = pd.Series(exp, dtype="float64")
+        assert got["t_r"].astype("float64").equals(exp), f"asof trial {trial}"
+
+        rj = range_agg_join(rd.from_arrow(lt), rd.from_arrow(rt), by="k",
+                            on="t", lower=-10, upper=0,
+                            sum_cols=["val"]) \
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        exp_n, exp_s = [], []
+        for _, row in ldf.iterrows():
+            cand = rdf[(rdf["k"] == row["k"]) & (rdf["t"] <= row["t"])
+                       & (rdf["t"] > row["t"] - 10)]
+            exp_n.append(len(cand))
+            exp_s.append(float(cand["val"].sum()))
+        assert rj["n_in_range"].tolist() == exp_n, f"range n trial {trial}"
+        assert np.allclose(rj["sum_val"].to_numpy(),
+                           np.array(exp_s)), f"range sum trial {trial}"
