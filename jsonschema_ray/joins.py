@@ -232,6 +232,19 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
                 - lo["_cum_" + c].to_numpy()
         return out
 
-    return partitioned_group_apply(union, ["_by"], merge,
-                                   num_partitions=num_partitions,
-                                   batch_size=batch_size)
+    joined = partitioned_group_apply(union, ["_by"], merge,
+                                     num_partitions=num_partitions,
+                                     batch_size=batch_size)
+
+    # restore left column dtypes (pandas null-padding upcasts int64 →
+    # float64 inside the merge, same as asof_join)
+    out_fields = [lschema.field(nm) for nm in left_names] + \
+        [pa.field("n_in_range", pa.int64())] + \
+        [pa.field("sum_" + c, pa.float64()) for c in sum_cols]
+
+    def restore(b: pa.Table) -> pa.Table:
+        return pa.table({f.name: b[f.name].cast(f.type, safe=False)
+                         for f in out_fields})
+
+    return joined.map_batches(restore, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
