@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": R.hopping_window_events,
         "events_orders_90d": R.events_orders_90d,
         "top3_orders_per_segment": R.top3_orders_per_segment,
+        "quantity_stats_by_flag": R.quantity_stats_by_flag,
+        "distinct_parts_per_flag": R.distinct_parts_per_flag,
         "median_quantity_by_flag": R.median_quantity_by_flag,
         "embedding_neardup": R.embedding_neardup,         # rows-only
         # sketches + flagship
@@ -166,6 +168,16 @@ SELECT l_orderkey, l_linenumber, 'exclusiveMaximum' AS keyword,
        CAST(l_shipdate AS VARCHAR) AS offending_value,
        'exclusiveMaximum: value >= 912470400000000.0' AS message
 FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-12-01'
+""",
+        "quantity_stats_by_flag": """
+SELECT l_returnflag,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(stddev_pop(l_quantity), 4) AS std_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "distinct_parts_per_flag": """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "top3_orders_per_segment": """
 SELECT c_mktsegment, o_orderkey, o_totalprice FROM (

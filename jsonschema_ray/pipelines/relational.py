@@ -479,6 +479,66 @@ def hopping_window_events(sf_dir: str, window_us: int = 3_600_000_000,
         .sort_values("window_start").reset_index(drop=True)
 
 
+def quantity_stats_by_flag(sf_dir: str):
+    """Grouped mean + population stddev (ORACLED): per-batch
+    (n, sum, sum-of-squares) partials — the shuffle moves three numbers
+    per (group, batch); moments combine exactly."""
+    import functools
+
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "_q": pa.array(q),
+                      "_q2": pa.array(q * q)})
+        agg = t.group_by(["l_returnflag"]).aggregate(
+            [("_q", "sum"), ("_q2", "sum"), ([], "count_all")])
+        return agg.rename_columns(["l_returnflag", "_s", "_s2", "_n"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=131072) \
+        .groupby("l_returnflag").aggregate(
+            Sum("_s", alias_name="s"), Sum("_s2", alias_name="s2"),
+            Sum("_n", alias_name="n")).to_pandas()
+    mean = out["s"] / out["n"]
+    var = out["s2"] / out["n"] - mean * mean
+    df = pd.DataFrame({"l_returnflag": out["l_returnflag"],
+                       "avg_qty": mean.round(4),
+                       "std_qty": np.sqrt(np.maximum(var, 0)).round(4)})
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def distinct_parts_per_flag(sf_dir: str):
+    """EXACT grouped distinct-count (ORACLED): stage 1 reduces to the
+    distinct (group, key) pairs with a per-batch combiner + one groupby
+    (no row data moves twice), stage 2 counts pairs per group — the
+    distributed form of count(DISTINCT x) GROUP BY g."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag", "l_partkey"]).aggregate([])
+
+    from ray.data.aggregate import Count
+    pairs = ds.map_batches(batch_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072)
+    distinct = pairs.groupby(["l_returnflag", "l_partkey"]) \
+        .aggregate(Count())  # global distinct pairs (count discarded)
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "_one": pa.array(
+                             np.ones(b.num_rows, dtype=np.int64))})
+
+    out = distinct.map_batches(ones, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("_one", alias_name="n_parts")).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def top3_orders_per_segment(sf_dir: str):
     """Grouped top-k (ORACLED): the 3 highest-value orders per customer
     market segment — broadcast the small dim, then ONE coarse partition

@@ -69,6 +69,7 @@ def oracle_pairs():
     "validate_lineitem_dates_core", "region_customer_rollup", "union_keys",
     "events_last_order", "hopping_window_events", "events_orders_90d",
     "top3_orders_per_segment", "median_quantity_by_flag",
+    "quantity_stats_by_flag", "distinct_parts_per_flag",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
