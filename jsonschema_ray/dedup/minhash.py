@@ -28,12 +28,6 @@ from ..sketches.hashing import _splitmix64
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _char_shingles(text: str, k: int) -> list[str]:
-    if len(text) < k:
-        return [text] if text else []
-    return [text[i:i + k] for i in range(len(text) - k + 1)]
-
-
 _FNV = np.uint64(1099511628211)
 
 
@@ -124,17 +118,6 @@ class MinHashStage:
         self.a = rng.integers(1, (1 << 61) - 1, num_hashes,
                               dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, (1 << 61) - 1, num_hashes, dtype=np.uint64)
-
-    def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.k)
-        if len(sh) == 0:
-            return np.zeros(self.m, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            # (a*x + b) mod Mersenne61 over the (m, n) outer product
-            prod = (self.a[:, None] * (sh[None, :] & _MERSENNE) +
-                    self.b[:, None])
-            perm = (prod & _MERSENNE) + (prod >> np.uint64(61))
-        return perm.min(axis=1)
 
     def _signatures(self, texts: list) -> np.ndarray:
         """Batch-vectorized signatures: ONE flat hash pass over every
