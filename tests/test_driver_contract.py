@@ -156,3 +156,22 @@ def test_ann_brute_force_is_exact():
         got_ids = got[got["query_id"] == qid].sort_values("rank")[
             "vec_id"].tolist()
         assert got_ids == exp_ids, f"query {qid}"
+
+
+def test_every_query_is_oracled_or_known_rows_only():
+    """Completeness guard: each queries() entry must either carry a
+    DuckDB oracle or appear in the deliberate rows-only list (the driver
+    records a weaker check for those) — prevents silent oracle drift."""
+    q, o = oracle_pairs()
+    rows_only = {
+        "drift_events_value", "fingerprint_documents", "langid_documents",
+        "simhash_documents", "minhash_neardup_documents",
+        "neardup_verified_documents", "ann_topk_embeddings",
+        "ann_ivf_embeddings", "ann_ivf_index_embeddings",
+        "embedding_neardup", "column_stats_approx_lineitem",
+        "validate_images_synth", "image_features_synth",
+    }
+    missing = set(q) - set(o) - rows_only
+    assert not missing, f"queries without oracle or rows-only tag: {missing}"
+    stale = rows_only - set(q)
+    assert not stale, f"rows-only entries no longer registered: {stale}"
