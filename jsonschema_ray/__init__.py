@@ -20,7 +20,19 @@ from .joins import asof_join, range_agg_join
 from .rules.rowwise import RowEvaluator, Violation
 from .rules.vector import BatchValidator
 
+
+def validate_instance(schema, instance, validate_format: bool = True):
+    """One-shot per-instance validation — the reference's primary entry
+    point (jsonschema.New(...).Validate(instance), schema.go:711-748):
+    returns a list of Violations (empty = valid). For tables, use
+    BatchValidator / stages.validate_dataset; this is the row-oriented
+    compatibility face."""
+    rs = schema if isinstance(schema, RuleSet) else parse_ruleset(schema)
+    return RowEvaluator(rs, validate_format=validate_format) \
+        .validate(instance)
+
 __all__ = [
+    "validate_instance",
     "asof_join", "range_agg_join",
     "basic_output", "basic_output_column", "flag_output",
     "RuleSet", "RuleSetError", "parse_ruleset",

@@ -367,3 +367,15 @@ def test_output_formats_basic_and_flag():
     b = basic_output([{"keyword_location": "", "instance_location": "/v",
                        "message": "m"}])
     assert b["errors"][0]["keywordLocation"] == "#"
+
+
+def test_validate_instance_entry_point():
+    """Per-instance convenience API (the reference's Schema.Validate)."""
+    from jsonschema_ray import validate_instance
+    errs = validate_instance(
+        {"properties": {"a": {"minimum": 0}}, "required": ["b"]},
+        {"a": -2})
+    kws = sorted(e.keyword for e in errs)
+    assert kws == ["minimum", "required"]
+    assert validate_instance(True, {"anything": 1}) == []
+    assert len(validate_instance(False, {"x": 1})) == 1
