@@ -377,7 +377,7 @@ def events_sessions(sf_dir: str):
                              "n_events": counts.astype(np.int64)})
 
     return partitioned_group_apply(ds, ["user_id"], sessions,
-                                   num_partitions=32)
+                                   num_partitions=None)
 
 
 def drift_events_value(sf_dir: str):
@@ -665,7 +665,7 @@ def orders_running_total(sf_dir: str):
                              "running_total": rt.round(2).to_numpy()})
 
     return partitioned_group_apply(ds, ["o_custkey"], running,
-                                   num_partitions=32)
+                                   num_partitions=None)
 
 
 # ---------------------------------------------------------------------------

@@ -379,3 +379,32 @@ def test_validate_instance_entry_point():
     assert kws == ["minimum", "required"]
     assert validate_instance(True, {"anything": 1}) == []
     assert len(validate_instance(False, {"x": 1})) == 1
+
+
+def test_adversarial_rulesets_and_tables():
+    """Verify-skill probes pinned as tests: malformed rule sets name the
+    keyword; cyclic $ref hits the depth cap; degenerate tables behave."""
+    import pyarrow as pa
+
+    from jsonschema_ray import BatchValidator, RuleSetError, parse_ruleset
+    for doc, frag in [
+            ({"properties": {"v": {"minLength": -1}}}, "minLength"),
+            ({"properties": {"v": {"multipleOf": 0}}}, "multipleOf"),
+            ({"properties": {"v": {"type": "integerz"}}}, "type"),
+            ({"properties": {"v": {"minimum": "not-a-date"}}}, "minimum"),
+            ({"properties": {"v": {"pattern": "("}}}, "pattern")]:
+        with pytest.raises(RuleSetError, match=frag):
+            parse_ruleset(doc)
+    rs = parse_ruleset({"properties": {"v": {"$ref": "#/$defs/a"}},
+                        "$defs": {"a": {"$ref": "#/$defs/a"}}})
+    with pytest.raises(RecursionError):
+        BatchValidator(rs).mask(pa.table({"v": [1]}))
+    rs2 = parse_ruleset({"properties": {"v": {"minimum": 0}},
+                         "required": ["v"]})
+    bv = BatchValidator(rs2)
+    assert bv.mask(pa.table({"v": pa.array([], type=pa.int64())})) \
+        .tolist() == []
+    assert bv.mask(pa.table({"w": [1, 2]})).tolist() == [False, False]
+    assert bv.mask(pa.table({"v": pa.array([None],
+                                           type=pa.int64())})) \
+        .tolist() == [False]
