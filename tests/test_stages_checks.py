@@ -357,3 +357,30 @@ def test_asof_and_range_join_property(ray_mod=None):
         assert rj["n_in_range"].tolist() == exp_n, f"range n trial {trial}"
         assert np.allclose(rj["sum_val"].to_numpy(),
                            np.array(exp_s)), f"range sum trial {trial}"
+
+
+def test_phash_neardup_hashed_and_int_paths_agree(ray_mod=None):
+    """The string-id path (int64 id-hash shuffle + translation) must
+    produce exactly the pairs the integer-id path produces on the same
+    phashes."""
+    import ray.data as rd
+
+    from jsonschema_ray.checks import phash_near_duplicates
+    rng = np.random.default_rng(11)
+    n = 800
+    base = rng.integers(0, 2**63, n, dtype=np.int64)
+    flip = (np.int64(1) << rng.integers(0, 63, 40).astype(np.int64))
+    ph = np.concatenate([base, base[:40] ^ flip])
+    ids_int = np.arange(len(ph), dtype=np.int64)
+    t_int = pa.table({"image_id": ids_int, "phash": ph})
+    t_str = pa.table({"image_id": [f"id-{i:06d}" for i in ids_int],
+                      "phash": ph})
+    p_int = phash_near_duplicates(rd.from_arrow(t_int),
+                                  max_distance=4).to_pandas()
+    p_str = phash_near_duplicates(rd.from_arrow(t_str),
+                                  max_distance=4).to_pandas()
+    a = set((int(r.id_a), int(r.id_b), int(r.distance))
+            for r in p_int.itertuples())
+    b = set((int(r.id_a[3:]), int(r.id_b[3:]), int(r.distance))
+            for r in p_str.itertuples())
+    assert a == b and len(a) >= 40
