@@ -515,27 +515,27 @@ def distinct_parts_per_flag(sf_dir: str):
     distinct (group, key) pairs with a per-batch combiner + one groupby
     (no row data moves twice), stage 2 counts pairs per group — the
     distributed form of count(DISTINCT x) GROUP BY g."""
-    from ray.data.aggregate import Sum
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
 
     def batch_distinct(b: pa.Table) -> pa.Table:
         return b.group_by(["l_returnflag", "l_partkey"]).aggregate([])
 
-    from ray.data.aggregate import Count
+    from ..util import partitioned_group_apply
     pairs = ds.map_batches(batch_distinct, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=131072)
-    distinct = pairs.groupby(["l_returnflag", "l_partkey"]) \
-        .aggregate(Count())  # global distinct pairs (count discarded)
 
-    def ones(b: pa.Table) -> pa.Table:
-        return pa.table({"l_returnflag": b["l_returnflag"],
-                         "_one": pa.array(
-                             np.ones(b.num_rows, dtype=np.int64))})
+    # hash-partition on the PAIR so each distinct pair lives in exactly
+    # one partition; per-partition dedup + per-flag counts, tiny merge
+    def part_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["l_returnflag", "l_partkey"]) \
+            .groupby("l_returnflag").size()
+        return pd.DataFrame({"l_returnflag": g.index.to_numpy(),
+                             "_n": g.to_numpy().astype(np.int64)})
 
-    out = distinct.map_batches(ones, batch_format="pyarrow",
-                               zero_copy_batch=True) \
-        .groupby("l_returnflag") \
-        .aggregate(Sum("_one", alias_name="n_parts")).to_pandas()
+    partials = partitioned_group_apply(
+        pairs, ["l_returnflag", "l_partkey"], part_counts).to_pandas()
+    out = partials.groupby("l_returnflag", as_index=False)["_n"].sum() \
+        .rename(columns={"_n": "n_parts"})
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
