@@ -177,3 +177,57 @@ def test_map_violation_locations():
     locs = sorted((r["keyword"], r["instance_location"]) for r in viol)
     assert locs == [("additionalProperties", "/v/zz"),
                     ("minimum", "/v/p")]
+
+
+STRUCT_LIST_T = pa.list_(pa.struct([("p", pa.int64()), ("q", pa.string())]))
+MAP_LIST_T = pa.list_(pa.map_(pa.string(), pa.int64()))
+
+NESTED_CASES = [
+    ("items over struct elements: properties + required",
+     {"properties": {"v": {"items": {"properties": {"p": {"minimum": 0}},
+                                     "required": ["p"]}}}},
+     STRUCT_LIST_T,
+     [[{"p": 1, "q": "a"}, {"p": -1, "q": "b"}],
+      [{"p": 2, "q": None}], [{"p": None, "q": "x"}], []],
+     [False, True, False, True]),
+    ("if/then on struct elements gates per element",
+     {"properties": {"v": {"items": {
+         "if": {"properties": {"q": {"const": "err"}}},
+         "then": {"properties": {"p": {"maximum": 0}}}}}}},
+     STRUCT_LIST_T,
+     [[{"p": 5, "q": "err"}], [{"p": 5, "q": "ok"}],
+      [{"p": -1, "q": "err"}]],
+     [False, True, True]),
+    ("null struct element fails type object",
+     {"properties": {"v": {"items": {"type": "object"}}}},
+     STRUCT_LIST_T,
+     [[{"p": 1, "q": "a"}, None], [{"p": 1, "q": "a"}]],
+     [False, True]),
+    ("unevaluatedProperties on struct elements",
+     {"properties": {"v": {"items": {"properties": {"p": True},
+                                     "unevaluatedProperties": False}}}},
+     STRUCT_LIST_T,
+     [[{"p": 1, "q": None}], [{"p": 1, "q": "x"}]],
+     [True, False]),
+    ("items over MAP elements: required + additionalProperties",
+     {"properties": {"v": {"items": {
+         "required": ["k"], "additionalProperties": {"minimum": 0}}}}},
+     MAP_LIST_T,
+     [[[("k", 1)], [("k", 2), ("z", -1)]], [[("x", 1)]]],
+     [False, False]),
+]
+
+
+@pytest.mark.parametrize("case", NESTED_CASES,
+                         ids=[c[0] for c in NESTED_CASES])
+def test_nested_container_case(case):
+    """Containers inside containers: struct/map elements under `items`
+    carry full object-applicator semantics in both engines."""
+    name, ruleset, typ, rows, valid = case
+    rs = parse_ruleset(ruleset)
+    t = pa.table({"v": pa.array(rows, type=typ)})
+    vec = BatchValidator(rs).mask(t).tolist()
+    assert vec == valid, f"vector engine: {vec}"
+    re_ = RowEvaluator(rs)
+    row = [len(re_.validate(r)) == 0 for r in t.to_pylist()]
+    assert row == valid, f"row evaluator: {row}"
