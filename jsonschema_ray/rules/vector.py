@@ -97,6 +97,10 @@ class View:
     # map-entry views: per-slot member NAME (instance locations), object
     # dtype numpy array
     elem_key: Optional[np.ndarray] = None
+    # struct members REACHED THROUGH a list element: the field path that
+    # follows the element index in the instance location ("/arr/3/p", not
+    # "/arr/p/3")
+    field_suffix: Optional[str] = None
     _numeric: Any = field(default=None, repr=False)
     _np_cache: Any = field(default=None, repr=False)
 
@@ -105,11 +109,16 @@ class View:
 
     def locs(self, slots: np.ndarray) -> list[str]:
         if self.elem_key is not None:
+            if self.elem_pos is not None:  # map inside a list element
+                return [f"{self.loc_prefix}/{p}/{_esc(k)}"
+                        for p, k in zip(self.elem_pos[slots],
+                                        self.elem_key[slots])]
             return [f"{self.loc_prefix}/{_esc(k)}"
                     for k in self.elem_key[slots]]
         if self.elem_pos is None:
             return [self.loc_prefix] * len(slots)
-        return [f"{self.loc_prefix}/{p}" for p in self.elem_pos[slots]]
+        sfx = f"/{self.field_suffix}" if self.field_suffix else ""
+        return [f"{self.loc_prefix}/{p}{sfx}" for p in self.elem_pos[slots]]
 
     def numeric(self) -> tuple[np.ndarray, np.ndarray]:
         """(float64 values, applicable mask) — instanceFloat semantics
@@ -367,6 +376,17 @@ class BatchValidator:
                     child = pc.struct_field(view.arr, nm)
                     child = _combine(child)
                     pres = _valid_np(child) & view.present
+                    if view.elem_pos is not None:
+                        # struct element of a list: the field name goes
+                        # AFTER the element index ("/arr/3/p")
+                        sfx = (f"{view.field_suffix}/{_esc(nm)}"
+                               if view.field_suffix else _esc(nm))
+                        return View(n=view.n, kind=arrow_kind(child.type),
+                                    arr=child, table=None, present=pres,
+                                    rows=view.rows,
+                                    loc_prefix=view.loc_prefix,
+                                    elem_pos=view.elem_pos,
+                                    field_suffix=sfx)
                     return View(n=view.n, kind=arrow_kind(child.type),
                                 arr=child, table=None, present=pres,
                                 rows=view.rows,
@@ -435,7 +455,9 @@ class BatchValidator:
                   arr=vals, table=None,
                   present=np.ones(len(kept), dtype=bool),
                   rows=view.batch_rows(flat_parent),
-                  loc_prefix=view.loc_prefix, elem_key=keys_np)
+                  loc_prefix=view.loc_prefix, elem_key=keys_np,
+                  elem_pos=view.elem_pos[flat_parent]
+                  if view.elem_pos is not None else None)
         out = (keys_np, ev, offsets, flat_parent)
         notes["_map_flat"] = out
         return out
@@ -1251,4 +1273,4 @@ def _subset_view(ev: View, idx: np.ndarray) -> View:
                 elem_pos=ev.elem_pos[idx] if ev.elem_pos is not None
                 else None, null_as_value=ev.null_as_value,
                 elem_key=ev.elem_key[idx] if ev.elem_key is not None
-                else None)
+                else None, field_suffix=ev.field_suffix)

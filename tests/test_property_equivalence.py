@@ -11,7 +11,7 @@ from hypothesis import HealthCheck, given, settings
 
 from jsonschema_ray import BatchValidator, RowEvaluator, parse_ruleset
 
-COLS = ["a", "b", "s", "t", "arr", "m", "mp", "dt"]
+COLS = ["a", "b", "s", "t", "arr", "m", "mp", "dt", "ml"]
 
 # -- rule-document grammar ---------------------------------------------------
 
@@ -99,10 +99,32 @@ dt_leaf = st.fixed_dictionaries({}, optional={
 })
 
 
+# list-of-struct column: object applicators inside the element domain
+struct_list_leaf = st.fixed_dictionaries({}, optional={
+    "minItems": st.integers(0, 2),
+    "items": st.fixed_dictionaries({}, optional={
+        "type": st.just("object"),
+        "properties": st.fixed_dictionaries({}, optional={
+            "p": st.fixed_dictionaries({}, optional={
+                "minimum": st.integers(-3, 3),
+                "type": st.just("integer")})}),
+        "required": st.lists(st.sampled_from(["p", "q"]), max_size=2,
+                             unique=True),
+        "if": st.fixed_dictionaries({"properties": st.fixed_dictionaries(
+            {"q": st.fixed_dictionaries({"const": st.just("x")})})}),
+        "then": st.fixed_dictionaries({"properties": st.fixed_dictionaries(
+            {"p": st.fixed_dictionaries({"maximum": st.integers(-2, 2)})})}),
+        "unevaluatedProperties": st.booleans(),
+    }),
+    "contains": st.fixed_dictionaries({"required": st.just(["p"])}),
+})
+
+
 def props_for(leaves):
     return st.fixed_dictionaries({}, optional={
         "a": leaves[0], "b": leaves[0], "s": leaves[1], "t": leaves[1],
         "arr": leaves[2], "m": struct_leaf, "mp": map_leaf, "dt": dt_leaf,
+        "ml": struct_list_leaf,
     })
 
 
@@ -179,6 +201,11 @@ import datetime as _dt
 
 opt_ts = st.one_of(st.none(), st.integers(0, 30).map(
     lambda d: _dt.datetime(2024, 1, 1) + _dt.timedelta(days=d, hours=d)))
+opt_struct_list = st.one_of(st.none(), st.lists(st.one_of(
+    st.none(), st.fixed_dictionaries({
+        "p": st.one_of(st.none(), st.integers(-4, 4)),
+        "q": st.one_of(st.none(), st.sampled_from(["x", "y", ""]))})),
+    max_size=3))
 
 table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "a": st.lists(opt_int, min_size=n, max_size=n),
@@ -189,6 +216,7 @@ table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "m": st.lists(opt_struct, min_size=n, max_size=n),
     "mp": st.lists(opt_map, min_size=n, max_size=n),
     "dt": st.lists(opt_ts, min_size=n, max_size=n),
+    "ml": st.lists(opt_struct_list, min_size=n, max_size=n),
 }))
 
 
@@ -204,6 +232,8 @@ def build_table(cols: dict) -> pa.Table:
         "mp": pa.array(cols["mp"],
                        type=pa.map_(pa.string(), pa.int64())),
         "dt": pa.array(cols["dt"], type=pa.timestamp("us")),
+        "ml": pa.array(cols["ml"], type=pa.list_(pa.struct(
+            [("p", pa.int64()), ("q", pa.string())]))),
     })
 
 
