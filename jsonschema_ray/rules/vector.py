@@ -101,24 +101,42 @@ class View:
     # follows the element index in the instance location ("/arr/3/p", not
     # "/arr/p/3")
     field_suffix: Optional[str] = None
+    # nested containers (list-of-list elements, maps under elements): the
+    # per-slot location prefix ALREADY including the outer indices —
+    # materialized only on these rare paths; flat columns keep the
+    # constant loc_prefix
+    loc_prefix_arr: Optional[np.ndarray] = None
     _numeric: Any = field(default=None, repr=False)
     _np_cache: Any = field(default=None, repr=False)
 
     def batch_rows(self, slots: np.ndarray) -> np.ndarray:
         return slots if self.rows is None else self.rows[slots]
 
+    def _pre(self, slots: np.ndarray):
+        if self.loc_prefix_arr is not None:
+            return self.loc_prefix_arr[slots]
+        return None
+
     def locs(self, slots: np.ndarray) -> list[str]:
+        pres = self._pre(slots)
+
+        def pre(i):
+            return pres[i] if pres is not None else self.loc_prefix
+
         if self.elem_key is not None:
             if self.elem_pos is not None:  # map inside a list element
-                return [f"{self.loc_prefix}/{p}/{_esc(k)}"
-                        for p, k in zip(self.elem_pos[slots],
-                                        self.elem_key[slots])]
-            return [f"{self.loc_prefix}/{_esc(k)}"
-                    for k in self.elem_key[slots]]
+                return [f"{pre(i)}/{self.elem_pos[s]}/"
+                        f"{_esc(self.elem_key[s])}"
+                        for i, s in enumerate(slots)]
+            return [f"{pre(i)}/{_esc(self.elem_key[s])}"
+                    for i, s in enumerate(slots)]
         if self.elem_pos is None:
+            if pres is not None:
+                return list(pres)
             return [self.loc_prefix] * len(slots)
         sfx = f"/{self.field_suffix}" if self.field_suffix else ""
-        return [f"{self.loc_prefix}/{p}{sfx}" for p in self.elem_pos[slots]]
+        return [f"{pre(i)}/{self.elem_pos[s]}{sfx}"
+                for i, s in enumerate(slots)]
 
     def numeric(self) -> tuple[np.ndarray, np.ndarray]:
         """(float64 values, applicable mask) — instanceFloat semantics
@@ -385,12 +403,14 @@ class BatchValidator:
                                     arr=child, table=None, present=pres,
                                     rows=view.rows,
                                     loc_prefix=view.loc_prefix,
+                                    loc_prefix_arr=view.loc_prefix_arr,
                                     elem_pos=view.elem_pos,
                                     field_suffix=sfx)
                     return View(n=view.n, kind=arrow_kind(child.type),
                                 arr=child, table=None, present=pres,
                                 rows=view.rows,
                                 loc_prefix=f"{view.loc_prefix}/{_esc(nm)}",
+                                loc_prefix_arr=view.loc_prefix_arr,
                                 elem_pos=view.elem_pos)
                 out[f.name] = mk
         return out
@@ -451,13 +471,22 @@ class BatchValidator:
             .astype(np.int64)
         offsets = np.zeros(view.n + 1, dtype=np.int64)
         np.cumsum(kept_lengths, out=offsets[1:])
-        ev = View(n=len(kept), kind=arrow_kind(vals.type),
-                  arr=vals, table=None,
-                  present=np.ones(len(kept), dtype=bool),
-                  rows=view.batch_rows(flat_parent),
-                  loc_prefix=view.loc_prefix, elem_key=keys_np,
-                  elem_pos=view.elem_pos[flat_parent]
-                  if view.elem_pos is not None else None)
+        if view.elem_pos is None and view.loc_prefix_arr is None:
+            ev = View(n=len(kept), kind=arrow_kind(vals.type),
+                      arr=vals, table=None,
+                      present=np.ones(len(kept), dtype=bool),
+                      rows=view.batch_rows(flat_parent),
+                      loc_prefix=view.loc_prefix, elem_key=keys_np)
+        else:  # map nested under list elements: parent locs as prefixes
+            parent_locs = np.array(view.locs(np.arange(view.n)),
+                                   dtype=object)
+            ev = View(n=len(kept), kind=arrow_kind(vals.type),
+                      arr=vals, table=None,
+                      present=np.ones(len(kept), dtype=bool),
+                      rows=view.batch_rows(flat_parent),
+                      loc_prefix="",
+                      loc_prefix_arr=parent_locs[flat_parent],
+                      elem_key=keys_np)
         out = (keys_np, ev, offsets, flat_parent)
         notes["_map_flat"] = out
         return out
@@ -494,16 +523,19 @@ class BatchValidator:
         parent_rows = view.batch_rows(flat_parent)
         # element locations: parent loc prefix is constant for column views;
         # for nested lists compose via parent's elem positions (rare).
-        if view.elem_pos is None:
-            prefix = view.loc_prefix
-            ev = View(n=int(offsets[-1]), kind=arrow_kind(values.type),
-                      arr=values, table=None, present=_valid_np(values),
-                      rows=parent_rows, loc_prefix=prefix, elem_pos=elem_pos,
-                      null_as_value=True)
-        else:  # nested list-of-list: build per-slot prefixes lazily
+        if view.elem_pos is None and view.loc_prefix_arr is None:
             ev = View(n=int(offsets[-1]), kind=arrow_kind(values.type),
                       arr=values, table=None, present=_valid_np(values),
                       rows=parent_rows, loc_prefix=view.loc_prefix,
+                      elem_pos=elem_pos, null_as_value=True)
+        else:  # nested list-of-list: parent locations (incl. outer
+            # indices) become per-slot prefixes for the inner elements
+            parent_locs = np.array(view.locs(np.arange(view.n)),
+                                   dtype=object)
+            ev = View(n=int(offsets[-1]), kind=arrow_kind(values.type),
+                      arr=values, table=None, present=_valid_np(values),
+                      rows=parent_rows, loc_prefix="",
+                      loc_prefix_arr=parent_locs[flat_parent],
                       elem_pos=elem_pos, null_as_value=True)
         return ev, offsets, flat_parent
 
@@ -1273,4 +1305,6 @@ def _subset_view(ev: View, idx: np.ndarray) -> View:
                 elem_pos=ev.elem_pos[idx] if ev.elem_pos is not None
                 else None, null_as_value=ev.null_as_value,
                 elem_key=ev.elem_key[idx] if ev.elem_key is not None
-                else None, field_suffix=ev.field_suffix)
+                else None, field_suffix=ev.field_suffix,
+                loc_prefix_arr=ev.loc_prefix_arr[idx]
+                if ev.loc_prefix_arr is not None else None)

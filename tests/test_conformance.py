@@ -231,3 +231,48 @@ def test_nested_container_case(case):
     re_ = RowEvaluator(rs)
     row = [len(re_.validate(r)) == 0 for r in t.to_pylist()]
     assert row == valid, f"row evaluator: {row}"
+
+
+NESTED_LOC_CASES = [
+    ("list-of-list element locations",
+     {"properties": {"v": {"items": {"items": {"minimum": 0}}}}},
+     pa.list_(pa.list_(pa.int64())),
+     [[[1, -2], [3]], [[-4]]]),
+    ("struct field under list-of-list",
+     {"properties": {"v": {"items": {"items": {
+         "properties": {"p": {"minimum": 0}}}}}}},
+     pa.list_(pa.list_(pa.struct([("p", pa.int64())]))),
+     [[[{"p": 1}, {"p": -1}]], [[{"p": -7}], []]]),
+    ("map entry under list elements",
+     {"properties": {"v": {"items": {
+         "additionalProperties": {"minimum": 0}}}}},
+     pa.list_(pa.map_(pa.string(), pa.int64())),
+     [[[("a", 1)], [("b", -2)]]]),
+    ("three-level list element locations",
+     {"properties": {"v": {"items": {"items": {"items":
+                                               {"maximum": 5}}}}}},
+     pa.list_(pa.list_(pa.list_(pa.int64()))),
+     [[[[1, 9]], [[2]]]]),
+]
+
+
+@pytest.mark.parametrize("case", NESTED_LOC_CASES,
+                         ids=[c[0] for c in NESTED_LOC_CASES])
+def test_nested_instance_locations(case):
+    """Violation instance locations must compose outer→inner indices
+    exactly like the row-wise oracle, through any nesting of lists,
+    structs and maps."""
+    name, ruleset, typ, rows = case
+    rs = parse_ruleset(ruleset)
+    t = pa.table({"v": pa.array(rows, type=typ)})
+    m, viol = BatchValidator(rs).evaluate(t)
+    re_ = RowEvaluator(rs)
+    exp_mask, exp = [], []
+    for r in t.to_pylist():
+        errs = re_.validate(r)
+        exp_mask.append(len(errs) == 0)
+        exp += [(v.instance_location, v.keyword) for v in errs]
+    assert m.tolist() == exp_mask
+    got = sorted(zip(viol["instance_location"].to_pylist(),
+                     viol["keyword"].to_pylist()))
+    assert got == sorted(exp)
