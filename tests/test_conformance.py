@@ -276,3 +276,54 @@ def test_nested_instance_locations(case):
     got = sorted(zip(viol["instance_location"].to_pylist(),
                      viol["keyword"].to_pylist()))
     assert got == sorted(exp)
+
+
+NESTED_FULL_CASES = [
+    ("required on struct elements",
+     {"properties": {"v": {"items": {"required": ["p"]}}}},
+     pa.list_(pa.struct([("p", pa.int64()), ("q", pa.string())])),
+     [[{"p": None, "q": "a"}, {"p": 1, "q": None}]]),
+    ("additionalProperties rewrite on struct elements",
+     {"properties": {"v": {"items": {"properties": {"p": True},
+                                     "additionalProperties": False}}}},
+     pa.list_(pa.struct([("p", pa.int64()), ("q", pa.string())])),
+     [[{"p": 1, "q": "x"}]]),
+    ("unevaluatedItems inside nested list",
+     {"properties": {"v": {"items": {"prefixItems": [True],
+                                     "unevaluatedItems": False}}}},
+     pa.list_(pa.list_(pa.int64())),
+     [[[1, 2], [3]]]),
+    ("propertyNames on struct elements",
+     {"properties": {"v": {"items": {"propertyNames":
+                                     {"maxLength": 0}}}}},
+     pa.list_(pa.struct([("p", pa.int64()), ("q", pa.string())])),
+     [[{"p": 1, "q": None}]]),
+    ("contains inside nested list",
+     {"properties": {"v": {"items": {"contains": {"minimum": 5}}}}},
+     pa.list_(pa.list_(pa.int64())),
+     [[[1, 2], [6]]]),
+]
+
+
+@pytest.mark.parametrize("case", NESTED_FULL_CASES,
+                         ids=[c[0] for c in NESTED_FULL_CASES])
+def test_nested_full_violation_tuples(case):
+    """FULL violation tuples (locations, messages, offending values)
+    must match the oracle through nested containers."""
+    name, ruleset, typ, rows = case
+    rs = parse_ruleset(ruleset)
+    t = pa.table({"v": pa.array(rows, type=typ)})
+    m, viol = BatchValidator(rs).evaluate(t)
+    re_ = RowEvaluator(rs)
+    exp_mask, exp = [], []
+    for r in t.to_pylist():
+        errs = re_.validate(r)
+        exp_mask.append(len(errs) == 0)
+        exp += [x.as_tuple() for x in errs]
+    assert m.tolist() == exp_mask
+    got = sorted(zip(viol["instance_location"].to_pylist(),
+                     viol["keyword"].to_pylist(),
+                     viol["keyword_location"].to_pylist(),
+                     viol["message"].to_pylist(),
+                     viol["offending_value"].to_pylist()))
+    assert got == sorted(exp)
