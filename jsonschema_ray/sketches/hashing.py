@@ -30,6 +30,16 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+def _sip_key(seed: int) -> str:
+    """16-byte siphash key for ``pd.util.hash_pandas_object``. Seed 0 keeps
+    pandas' default key (back-compat with recorded hashes); any other seed
+    selects a GENUINELY INDEPENDENT keyed siphash — two texts that collide
+    under one key are unrelated under another, so multi-seed callers (e.g.
+    128-bit exact dedup) get a true ~2^64 pairwise birthday bound instead of
+    a post-mix of the same 64-bit value."""
+    return "%016x" % (_splitmix64(np.uint64(seed).reshape(1))[0] or 1)
+
+
 def hash64_array(arr, seed: int = 0) -> np.ndarray:
     """uint64 hash per element. Nulls hash to a fixed sentinel (callers
     typically mask them out via validity)."""
@@ -41,19 +51,23 @@ def hash64_array(arr, seed: int = 0) -> np.ndarray:
                 or pa.types.is_temporal(t) or pa.types.is_boolean(t):
             np_vals = arr.to_numpy(zero_copy_only=False)
             return _hash_numeric(np_vals, seed)
-        # strings / binary / everything else via pandas siphash
+        # strings / binary / everything else via pandas siphash; the seed
+        # picks the siphash KEY (independent function per seed), not a
+        # post-mix of the default-key hash.
         ser = arr.to_pandas()
-        h = pd.util.hash_pandas_object(ser, index=False).to_numpy()
         if seed:
-            h = _splitmix64(h + np.uint64(seed))
+            h = pd.util.hash_pandas_object(
+                ser, index=False, hash_key=_sip_key(seed)).to_numpy()
+        else:
+            h = pd.util.hash_pandas_object(ser, index=False).to_numpy()
         return h
     np_vals = np.asarray(arr)
     if np_vals.dtype.kind in "iufbM":
         return _hash_numeric(np_vals, seed)
-    h = pd.util.hash_pandas_object(pd.Series(np_vals), index=False).to_numpy()
     if seed:
-        h = _splitmix64(h + np.uint64(seed))
-    return h
+        return pd.util.hash_pandas_object(
+            pd.Series(np_vals), index=False, hash_key=_sip_key(seed)).to_numpy()
+    return pd.util.hash_pandas_object(pd.Series(np_vals), index=False).to_numpy()
 
 
 def _hash_numeric(vals: np.ndarray, seed: int) -> np.ndarray:
