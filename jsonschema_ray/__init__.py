@@ -10,7 +10,8 @@ uniqueness, referential, drift) and large-scale training-data operators
 """
 
 from .formats import register_format
-from .rules.builder import RuleSetBuilder, infer_ruleset, infer_schema_doc
+from .rules.builder import (RuleSetBuilder, infer_from_type, infer_ruleset,
+                            infer_ruleset_from_type, infer_schema_doc)
 from .rules.extensions import (apply_defaults, register_keyword,
                                unregister_keyword)
 from .rules.meta import check_ruleset
@@ -40,4 +41,5 @@ __all__ = [
     "register_format", "register_keyword", "unregister_keyword",
     "apply_defaults", "check_ruleset",
     "RuleSetBuilder", "infer_ruleset", "infer_schema_doc",
+    "infer_from_type", "infer_ruleset_from_type",
 ]

@@ -281,6 +281,12 @@ class IvfIndex:
             cell = np.argmax(V @ C.T, axis=1).astype(np.int32)
             return b.append_column("cell", pa.array(cell))
 
+        # a non-empty index_dir means a previous/crashed build left files
+        # behind; mixing them into the fresh partition layout would feed
+        # duplicate/stale rows to probes — wipe before writing
+        if os.path.isdir(index_dir) and os.listdir(index_dir):
+            import shutil
+            shutil.rmtree(index_dir)
         os.makedirs(index_dir, exist_ok=True)
         ds.select_columns([id_col, vec_col]).map_batches(
             functools.partial(assign),

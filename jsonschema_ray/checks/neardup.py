@@ -196,65 +196,120 @@ def _partition_pairs(id_col: str, phash_col: str, max_distance: int,
     return fn
 
 
+def _swap_translated_batch(b: pa.Table) -> pa.Table:
+    """(joined pairs × _orig_a × _orig_b) → canonical (id_a, id_b,
+    distance) in ORIGINAL id order."""
+    ia = b["_orig_a"].to_numpy(zero_copy_only=False)
+    ib = b["_orig_b"].to_numpy(zero_copy_only=False)
+    swap = ia > ib
+    id_type = b.schema.field("_orig_a").type
+    return pa.table({
+        "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
+        "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
+        "distance": pa.array(
+            b["distance"].to_numpy(zero_copy_only=False).astype(np.int32),
+            type=pa.int32())})
+
+
 def _translate_pair_keys(ds, pairs, id_col: str,
-                         broadcast_cap: int = 1 << 30):
+                         broadcast_cap: int = 1 << 30,
+                         driver_pairs_cap: int = 256 << 20):
     """Replace int64 id-hash keys in ``pairs`` (id_a, id_b, distance) with
     the original ids: one broadcast-filtered scan of the id column builds
     the (key → id) table for CANDIDATE keys only, then a vectorized gather
     maps the pairs back (candidates-proportional, nothing big driverside).
-    id_a < id_b is re-established in ORIGINAL id order."""
+    id_a < id_b is re-established in ORIGINAL id order.
+
+    Cap-gated like dedup.minhash: pairs dedup on the driver under
+    ``driver_pairs_cap`` else distributed; keymap gathered under
+    ``broadcast_cap`` else two distributed ``Dataset.join``s translate
+    the pairs without any driver residency."""
     import ray
     import ray.data as rd
 
+    from ..dedup.pairsops import collect_keys_if_small, distinct_pairs, \
+        pair_key_dataset
     from ..sketches.hashing import hash64_array
     from ..util import worker_cached
 
-    # cross-band/partition dedup on the driver: the key pairs must come
-    # here anyway to derive the broadcast candidate set (16 B/pair)
-    kdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     id_type = ds.schema().base_schema.field(id_col).type
-    if kdf.empty:
+    empty = pa.table({"id_a": pa.array([], type=id_type),
+                      "id_b": pa.array([], type=id_type),
+                      "distance": pa.array([], type=pa.int32())})
+    pairs = pairs.materialize()
+    kdf = pairs_ds = None
+    if pairs.size_bytes() <= driver_pairs_cap:
+        # cross-band/partition dedup on the driver: the key pairs feed
+        # the broadcast candidate set anyway (16 B/pair)
+        kdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+        if kdf.empty:
+            return rd.from_arrow(empty)
+        wanted = np.unique(np.concatenate([kdf["id_a"].to_numpy(),
+                                           kdf["id_b"].to_numpy()]))
+    else:
+        pairs_ds = distinct_pairs(pairs, ["id_a", "id_b"]).materialize()
+        keys_ds = pair_key_dataset(pairs_ds, ["id_a", "id_b"]
+                                   ).materialize()
+        wanted = collect_keys_if_small(keys_ds, broadcast_cap)
+
+    if wanted is not None:
+        wanted_ref = ray.put(wanted)
+
+        def keymap_batch(b: pa.Table) -> pa.Table:
+            w = worker_cached(("phash_wanted", wanted_ref.hex()),
+                              lambda: ray.get(wanted_ref))
+            keys = hash64_array(b.column(id_col)).view(np.int64)
+            pos = np.clip(np.searchsorted(w, keys), 0, len(w) - 1)
+            sel = (w[pos] == keys) if len(w) else np.zeros(len(keys), bool)
+            idx = pa.array(np.nonzero(sel)[0], type=pa.int64())
+            return pa.table({"key": pa.array(keys[np.nonzero(sel)[0]]),
+                             id_col: b.column(id_col).take(idx)})
+
+        keymap = ds.select_columns([id_col]).map_batches(
+            keymap_batch, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()  # candidates only
+    else:
+        def key_all(b: pa.Table) -> pa.Table:
+            keys = hash64_array(b.column(id_col)).view(np.int64)
+            return pa.table({"key": pa.array(keys),
+                             id_col: b.column(id_col)})
+
+        keyed = ds.select_columns([id_col]).map_batches(
+            key_all, batch_format="pyarrow", zero_copy_batch=True)
+        keymap = keyed.join(keys_ds, "inner", 8,
+                            on=("key",)).materialize()
+
+    if kdf is not None and keymap.size_bytes() <= broadcast_cap:
+        mdf = keymap.to_pandas()
+        order = np.argsort(mdf["key"].to_numpy())
+        mkeys = mdf["key"].to_numpy()[order]
+        mids = mdf[id_col].to_numpy()[order]
+        # final gather right here — the pair set is driver-resident
+        # already, and a one-block map_batches stage costs a whole Ray
+        # execution
+        ka = kdf["id_a"].to_numpy()
+        kb = kdf["id_b"].to_numpy()
+        ia = mids[np.searchsorted(mkeys, ka)]
+        ib = mids[np.searchsorted(mkeys, kb)]
+        swap = ia > ib
         return rd.from_arrow(pa.table({
-            "id_a": pa.array([], type=id_type),
-            "id_b": pa.array([], type=id_type),
-            "distance": pa.array([], type=pa.int32())}))
-    wanted = np.unique(np.concatenate([kdf["id_a"].to_numpy(),
-                                       kdf["id_b"].to_numpy()]))
-    wanted_ref = ray.put(wanted)
-
-    def keymap_batch(b: pa.Table) -> pa.Table:
-        w = worker_cached(("phash_wanted", wanted_ref.hex()),
-                          lambda: ray.get(wanted_ref))
-        keys = hash64_array(b.column(id_col)).view(np.int64)
-        pos = np.clip(np.searchsorted(w, keys), 0, len(w) - 1)
-        sel = (w[pos] == keys) if len(w) else np.zeros(len(keys), bool)
-        idx = pa.array(np.nonzero(sel)[0], type=pa.int64())
-        return pa.table({"key": pa.array(keys[np.nonzero(sel)[0]]),
-                         id_col: b.column(id_col).take(idx)})
-
-    keymap = ds.select_columns([id_col]).map_batches(
-        keymap_batch, batch_format="pyarrow",
-        zero_copy_batch=True).materialize()  # candidates only
-    # (key, id) pairs are 8 bytes + id width per CANDIDATE — keep joins in
-    # reserve via dedup.minhash's pattern if a corpus ever exceeds the cap
-    assert keymap.size_bytes() <= broadcast_cap, \
-        "candidate key map exceeds broadcast cap — switch to Dataset.join"
-    mdf = keymap.to_pandas()
-    order = np.argsort(mdf["key"].to_numpy())
-    mkeys = mdf["key"].to_numpy()[order]
-    mids = mdf[id_col].to_numpy()[order]
-    # final gather right here — the pair set is driver-resident already,
-    # and a one-block map_batches stage costs a whole Ray execution
-    ka = kdf["id_a"].to_numpy()
-    kb = kdf["id_b"].to_numpy()
-    ia = mids[np.searchsorted(mkeys, ka)]
-    ib = mids[np.searchsorted(mkeys, kb)]
-    swap = ia > ib
-    return rd.from_arrow(pa.table({
-        "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
-        "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
-        "distance": pa.array(kdf["distance"].to_numpy(),
-                             type=pa.int32())}))
+            "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
+            "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
+            "distance": pa.array(kdf["distance"].to_numpy(),
+                                 type=pa.int32())}))
+    if pairs_ds is None:
+        pairs_ds = rd.from_arrow(pa.Table.from_pandas(
+            kdf, preserve_index=False))
+    elif pairs_ds.count() == 0:
+        return rd.from_arrow(empty)
+    left = pairs_ds.join(
+        keymap.rename_columns({"key": "id_a", id_col: "_orig_a"}),
+        "inner", 8, on=("id_a",))
+    both = left.join(
+        keymap.rename_columns({"key": "id_b", id_col: "_orig_b"}),
+        "inner", 8, on=("id_b",))
+    return both.map_batches(_swap_translated_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def phash_near_duplicates(ds, id_col: str = "image_id",

@@ -1,11 +1,19 @@
 """Embedding-cosine near-duplicate detection: random-hyperplane LSH
-(Charikar 2002 SimHash for angles) to bucket, exact cosine verify
-in-bucket, OR-amplified across ``tables`` independent hyperplane sets
-(recall ≈ 1-(1-p^planes)^tables instead of a single table's p^planes).
+(Charikar 2002 SimHash for angles) to bucket, exact cosine verify over
+candidate pairs, OR-amplified across ``tables`` independent hyperplane
+sets (recall ≈ 1-(1-p^planes)^tables instead of a single table's
+p^planes).
 
-Same shuffle discipline as the other dedups: only (bucket, id, vector)
-rows move; buckets are capped against skew; cross-table pair duplicates
-are removed by a final narrow dedup pass over the (small) pair set."""
+Scale shape (same discipline as dedup.minhash):
+  - the ONLY corpus-sized shuffle moves (bucket:int64, key:int64) rows —
+    16 bytes per (row, table); the vectors NEVER travel with it.  ``key``
+    is the id itself for integer ids, else hash64(id).
+  - in-bucket candidate pairs (capped against skew) are deduped across
+    tables, then unit vectors for CANDIDATE keys only are recomputed in
+    a broadcast-filtered second pass over the corpus; the exact cosine
+    runs via a chunked driver gather (pairs driver-resident under a cap)
+    or two distributed hash joins above it — candidate-proportional
+    work throughout, every driver touch cap-gated."""
 
 from __future__ import annotations
 
@@ -14,21 +22,37 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _unit_rows(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, dim) float32 unit vectors from a list<float> column."""
+    from ..ann.search import embedding_matrix
+    vecs = embedding_matrix(batch.column(vec_col))
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    return (vecs / norms[:, None]).astype(np.float32)
+
+
+def _row_keys(batch: pa.Table, id_col: str, int_ids: bool) -> np.ndarray:
+    from ..sketches.hashing import hash64_array
+    ids = batch.column(id_col)
+    if int_ids:
+        return ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    return hash64_array(ids).view(np.int64)
+
+
 def _hyperplane_bucket(batch: pa.Table, *, vec_col: str, id_col: str,
-                       planes: int, dim: int, seed: int,
-                       tables: int) -> pa.Table:
+                       planes: int, dim: int, seed: int, tables: int,
+                       int_ids: bool) -> pa.Table:
+    """NARROW bucket rows: (bucket, key) only — 16 B × tables per input
+    row through the one large shuffle."""
     from ..ann.search import embedding_matrix
     from ..util import worker_cached
     H = worker_cached(("hyperplanes", dim, planes, seed, tables),
                       lambda: np.random.default_rng(seed)
                       .standard_normal((tables, dim, planes)))
-    vecs = embedding_matrix(batch.column(vec_col))  # flatten→reshape
+    vecs = embedding_matrix(batch.column(vec_col))
     n = len(vecs)
-    norms = np.linalg.norm(vecs, axis=1)
-    norms[norms == 0] = 1.0
-    unit = vecs / norms[:, None]
-    buckets, ids_rep, units_rep = [], [], []
-    unit32 = unit.astype(np.float32)
+    keys = _row_keys(batch, id_col, int_ids)
+    buckets = []
     for t in range(tables):
         signs = (vecs @ H[t]) > 0
         b = np.zeros(n, dtype=np.uint64)
@@ -36,12 +60,99 @@ def _hyperplane_bucket(batch: pa.Table, *, vec_col: str, id_col: str,
             b |= signs[:, k].astype(np.uint64) << np.uint64(k)
         # table id in the high bits: a bucket never spans tables
         buckets.append((np.uint64(t) << np.uint64(56)) | b)
-    bucket = np.concatenate(buckets).view(np.int64)
-    idx = pa.array(np.tile(np.arange(n, dtype=np.int64), tables))
     return pa.table({
-        "bucket": pa.array(bucket),
-        id_col: batch.column(id_col).take(idx),
-        "unit": pa.array(list(unit32)).take(idx),
+        "bucket": pa.array(np.concatenate(buckets).view(np.int64)),
+        "key": pa.array(np.tile(keys, tables)),
+    })
+
+
+_EMPTY_KP = pd.DataFrame({"key_a": pd.Series([], dtype=np.int64),
+                          "key_b": pd.Series([], dtype=np.int64)})
+
+
+def _bucket_pairs(max_bucket: int):
+    """Per coarse partition: every intra-bucket (capped) key pair —
+    vectorized via util.segment_pairs; no vectors, no cosine here."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return _EMPTY_KP.copy()
+        from ..util import segment_pairs
+        bucket = df["bucket"].to_numpy()
+        a_idx, b_idx, order = segment_pairs([bucket], max_bucket)
+        if len(a_idx) == 0:
+            return _EMPTY_KP.copy()
+        keys = df["key"].to_numpy()[order]
+        ka, kb = keys[a_idx], keys[b_idx]
+        same = ka == kb
+        lo, hi = np.minimum(ka, kb), np.maximum(ka, kb)
+        return pd.DataFrame({"key_a": lo[~same], "key_b": hi[~same]}) \
+            .drop_duplicates(["key_a", "key_b"])
+    return fn
+
+
+def _candidate_units_batch(b: pa.Table, *, vec_col, id_col, int_ids,
+                           wanted_ref) -> pa.Table:
+    """Second narrow pass: unit vectors ONLY for candidate keys
+    (membership via the sorted broadcast key array)."""
+    import ray
+
+    from ..util import worker_cached
+    wanted = worker_cached(("embdup_wanted", wanted_ref.hex()),
+                           lambda: ray.get(wanted_ref))
+    keys = _row_keys(b, id_col, int_ids)
+    if len(wanted) == 0 or len(keys) == 0:
+        sel = np.zeros(len(keys), dtype=bool)
+    else:
+        pos = np.clip(np.searchsorted(wanted, keys), 0, len(wanted) - 1)
+        sel = wanted[pos] == keys
+    idx = np.nonzero(sel)[0]
+    take = pa.array(idx, type=pa.int64())
+    unit = _unit_rows(b.take(take) if len(idx) < b.num_rows else b,
+                      vec_col) if len(idx) else \
+        np.zeros((0, 1), dtype=np.float32)
+    return pa.table({
+        "key": pa.array(keys[idx], type=pa.int64()),
+        id_col: b.column(id_col).take(take),
+        "vec": pa.array([u.tobytes() for u in unit], type=pa.binary()),
+    })
+
+
+def _keyed_units_batch(b: pa.Table, *, vec_col, id_col,
+                       int_ids) -> pa.Table:
+    """Join-fallback input: (key, id, unit bytes) for EVERY row — only
+    used when the candidate-key set exceeds the broadcast cap."""
+    unit = _unit_rows(b, vec_col)
+    return pa.table({
+        "key": pa.array(_row_keys(b, id_col, int_ids), type=pa.int64()),
+        id_col: b.column(id_col),
+        "vec": pa.array([u.tobytes() for u in unit], type=pa.binary()),
+    })
+
+
+def _pair_cos_batch(b: pa.Table, *, threshold: float) -> pa.Table:
+    """Joined (pair × vec_a × vec_b) rows → (id_a, id_b, cosine ≥ t)
+    with id_a < id_b by ORIGINAL id value."""
+    n = b.num_rows
+    ida = b["id_a"].to_numpy(zero_copy_only=False)
+    idb = b["id_b"].to_numpy(zero_copy_only=False)
+    if n == 0:
+        cos = np.zeros(0)
+        hit = np.zeros(0, dtype=bool)
+    else:
+        va = np.frombuffer(b"".join(b["vec_a"].to_pylist()),
+                           dtype=np.float32).reshape(n, -1).astype(np.float64)
+        vb = np.frombuffer(b"".join(b["vec_b"].to_pylist()),
+                           dtype=np.float32).reshape(n, -1).astype(np.float64)
+        cos = (va * vb).sum(axis=1)
+        hit = cos >= threshold
+    ia, ib = ida[hit], idb[hit]
+    swap = ia > ib
+    id_type = b.schema.field("id_a").type
+    return pa.table({
+        "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
+        "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
+        "cosine": pa.array(np.round(cos[hit], 6), type=pa.float64()),
     })
 
 
@@ -49,56 +160,118 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
                               id_col: str = "vec_id", dim: int = 64,
                               threshold: float = 0.95, planes: int = 12,
                               seed: int = 11, max_bucket: int = 4096,
-                              batch_size: int = 8192, tables: int = 4):
+                              batch_size: int = 8192, tables: int = 4,
+                              num_partitions: int = None,
+                              driver_pairs_cap: int = 256 << 20,
+                              broadcast_key_cap: int = 8 << 30,
+                              broadcast_vec_cap: int = 1 << 30):
     """→ Dataset of pairs ``(id_a, id_b, cosine)`` with cosine ≥ threshold
     that share an LSH bucket in ANY of ``tables`` hyperplane tables
-    (OR-amplified recall, exact precision)."""
+    (OR-amplified recall, exact precision). See module doc for the
+    cap-gated scale shape."""
     import functools
-    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+
+    import ray
+    import ray.data as rd
+
+    from ..util import auto_partitions, partitioned_group_apply
+    from .pairsops import collect_keys_if_small, distinct_pairs, \
+        pair_key_dataset
+    num_partitions = num_partitions or auto_partitions()
+    source = ds.select_columns([id_col, vec_col])
+    id_type = source.schema().base_schema.field(id_col).type
+    int_ids = pa.types.is_integer(id_type)
+    empty = pa.table({"id_a": pa.array([], type=id_type),
+                      "id_b": pa.array([], type=id_type),
+                      "cosine": pa.array([], type=pa.float64())})
+
+    bucketed = source.map_batches(
         functools.partial(_hyperplane_bucket, vec_col=vec_col,
                           id_col=id_col, planes=planes, dim=dim, seed=seed,
-                          tables=tables),
+                          tables=tables, int_ids=int_ids),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    raw = partitioned_group_apply(bucketed, ["bucket"],
+                                  _bucket_pairs(max_bucket),
+                                  num_partitions=num_partitions
+                                  ).materialize()
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "cosine": pd.Series([], dtype=float)})
+    kdf = pairs_ds = None
+    if raw.size_bytes() <= driver_pairs_cap:
+        kdf = raw.to_pandas().drop_duplicates(["key_a", "key_b"])
+        if kdf.empty:
+            return rd.from_arrow(empty)
+        wanted = np.unique(np.concatenate([kdf["key_a"].to_numpy(),
+                                           kdf["key_b"].to_numpy()]))
+    else:
+        pairs_ds = distinct_pairs(raw, ["key_a", "key_b"],
+                                  num_partitions).materialize()
+        keys_ds = pair_key_dataset(pairs_ds, ["key_a", "key_b"],
+                                   num_partitions=num_partitions
+                                   ).materialize()
+        wanted = collect_keys_if_small(keys_ds, broadcast_key_cap)
 
-    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return empty.copy()
-        ids_all = df[id_col].to_numpy()
-        unit_all = df["unit"].to_numpy()
-        out = []
-        for _, idx in df.groupby("bucket", sort=False).indices.items():
-            k = len(idx)
-            if k < 2:
-                continue
-            if k > max_bucket:  # skew guard
-                idx = idx[:max_bucket]
-                k = max_bucket
-            U = np.stack(unit_all[idx]).astype(np.float64)
-            ids = ids_all[idx]
-            ai, bi = np.triu_indices(k, 1)
-            cos = (U @ U.T)[ai, bi]
-            hit = cos >= threshold
-            if not hit.any():
-                continue
-            ia, ib = ids[ai[hit]], ids[bi[hit]]
-            swap = ia > ib
-            out.append(pd.DataFrame({"id_a": np.where(swap, ib, ia),
-                                     "id_b": np.where(swap, ia, ib),
-                                     "cosine": np.round(cos[hit], 6)}))
-        if not out:
-            return empty.copy()
-        return pd.concat(out)
+    jp = max(2, num_partitions // 16)
+    if wanted is not None:
+        wanted_ref = ray.put(wanted)
+        feats = source.map_batches(
+            functools.partial(_candidate_units_batch, vec_col=vec_col,
+                              id_col=id_col, int_ids=int_ids,
+                              wanted_ref=wanted_ref),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size).materialize()  # candidates only
+    else:
+        keyed = source.map_batches(
+            functools.partial(_keyed_units_batch, vec_col=vec_col,
+                              id_col=id_col, int_ids=int_ids),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size)
+        feats = keyed.join(keys_ds, "inner", jp,
+                           on=("key",)).materialize()
 
-    from ..util import partitioned_group_apply
-    pairs = partitioned_group_apply(bucketed, ["bucket"], partition_pairs,
-                                    num_partitions=None)
-    # cross-table duplicates of the same pair land in different buckets →
-    # one narrow dedup shuffle over the (small) pair set
-    return partitioned_group_apply(
-        pairs, ["id_a", "id_b"],
-        lambda df: df.drop_duplicates(["id_a", "id_b"]),
-        num_partitions=8)
+    if kdf is not None and feats.size_bytes() <= broadcast_vec_cap:
+        # pairs + features are both driver-resident → one chunked gather
+        fdf = feats.to_pandas()
+        order = np.argsort(fdf["key"].to_numpy())
+        fkeys = fdf["key"].to_numpy()[order]
+        fids = fdf[id_col].to_numpy()[order]
+        n_f = len(fkeys)
+        dim_f = (len(fdf["vec"].iloc[0]) // 4) if n_f else 1
+        fmat = np.frombuffer(b"".join(fdf["vec"].iloc[order]),
+                             dtype=np.float32).reshape(n_f, dim_f) \
+            .astype(np.float64)
+        ka = kdf["key_a"].to_numpy()
+        kb = kdf["key_b"].to_numpy()
+        parts = []
+        for lo in range(0, len(ka), 100_000):
+            ia = np.searchsorted(fkeys, ka[lo:lo + 100_000])
+            ib = np.searchsorted(fkeys, kb[lo:lo + 100_000])
+            parts.append((fmat[ia] * fmat[ib]).sum(axis=1))
+        cos = np.concatenate(parts) if parts else np.zeros(0)
+        hit = cos >= threshold
+        ia = fids[np.searchsorted(fkeys, ka[hit])]
+        ib = fids[np.searchsorted(fkeys, kb[hit])]
+        swap = ia > ib
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
+            "id_b": pa.array(np.where(swap, ia, ib), type=id_type),
+            "cosine": pa.array(np.round(cos[hit], 6),
+                               type=pa.float64())}))
+
+    if pairs_ds is not None:
+        pairs = pairs_ds
+        if pairs.count() == 0:
+            return rd.from_arrow(empty)
+    else:
+        pairs = rd.from_arrow(pa.Table.from_pandas(kdf,
+                                                   preserve_index=False))
+    left = pairs.join(
+        feats.rename_columns({"key": "key_a", id_col: "id_a",
+                              "vec": "vec_a"}),
+        "inner", jp, on=("key_a",))
+    both = left.join(
+        feats.rename_columns({"key": "key_b", id_col: "id_b",
+                              "vec": "vec_b"}),
+        "inner", jp, on=("key_b",))
+    return both.map_batches(
+        functools.partial(_pair_cos_batch, threshold=threshold),
+        batch_format="pyarrow", zero_copy_batch=True)

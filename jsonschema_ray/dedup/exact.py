@@ -3,14 +3,15 @@
 validator.go:1067-1111).
 
 Scale design: the ONLY shuffle moves (hash_hi:int64, hash_lo:int64,
-id) rows — a 128-bit content hash (two independently-seeded 64-bit
-hashes) as the group key, never the text.  At 128 bits a collision
-anywhere in a corpus needs ~2^64 distinct documents (birthday bound), so
-grouping by hash IS exact for any physical corpus; the VERDICT-r1 note
-about the text traveling as the in-partition group key is gone.
-``exact_dedup`` emits surviving full rows WITHOUT shuffling them: the
-winner ids come from the narrow stats pass, and a second broadcast-filter
-scan keeps winners — two streaming reads beat one 100-TB shuffle."""
+id) rows — a 128-bit content hash as the group key, never the text.
+The two 64-bit halves are computed under DIFFERENT siphash keys
+(sketches/hashing.py ``_sip_key``), so they are genuinely independent
+functions: a corpus-level collision needs ~2^64 distinct documents
+(128-bit birthday bound). For 64-bit numeric columns the hash is a
+splitmix64 bijection — zero collisions outright. ``exact_dedup`` emits
+surviving full rows WITHOUT shuffling them: the narrow pass finds the
+LOSER ids (usually tiny), and a second broadcast-filter scan drops
+them — two streaming reads beat one 100-TB shuffle."""
 
 from __future__ import annotations
 
@@ -64,26 +65,49 @@ def exact_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                num_partitions: int = None):
+                num_partitions: int = None,
+                broadcast_ids_cap: int = 1 << 30):
     """→ Dataset with one row per distinct ``text_col`` value — the row
     with the smallest ``id_col`` wins (deterministic). The text never
-    shuffles: winner ids come from the narrow 128-bit-hash stats pass,
-    then a second streaming scan broadcast-filters the original rows."""
+    shuffles: the narrow 128-bit-hash pass identifies the LOSER ids
+    (duplicate rows to drop — |rows| − |distinct texts|, tiny for the
+    mostly-unique corpora this targets, unlike the winner set which is
+    corpus-proportional), and a second streaming scan broadcast-filters
+    them out. If the loser set itself exceeds ``broadcast_ids_cap``
+    (pathologically duplicated corpus), falls back to a distributed
+    inner join of the corpus against the winner ids — one full shuffle,
+    degraded but correct."""
     import ray
 
-    from ..util import worker_cached
-    winners = exact_dedup_stats(ds, text_col=text_col, id_col=id_col,
-                                num_partitions=num_partitions)
-    ids = winners.to_pandas()[id_col].to_numpy()
-    keep_ref = ray.put(np.sort(ids))
+    from ..util import auto_partitions, partitioned_group_apply, \
+        worker_cached
+    hashed = _hashed_ids(ds, text_col, id_col)
 
-    def keep(b: pa.Table) -> pa.Table:
-        w = worker_cached(("dedup_keep", keep_ref.hex()),
-                          lambda: ray.get(keep_ref))
-        vals = b.column(id_col).to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(w, vals), 0, len(w) - 1)
-        sel = (w[pos] == vals) if len(w) else np.zeros(len(vals), bool)
-        return b.filter(pa.array(sel))
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        mins = df.groupby(["_h1", "_h2"], sort=False)[id_col] \
+            .transform("min")
+        return df.loc[df[id_col] != mins, [id_col]]
 
-    return ds.map_batches(keep, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    losers_ds = partitioned_group_apply(
+        hashed, ["_h1", "_h2"], losers,
+        num_partitions=num_partitions).materialize()
+    if losers_ds.size_bytes() <= broadcast_ids_cap:
+        drop = np.sort(losers_ds.to_pandas()[id_col].to_numpy())
+        drop_ref = ray.put(drop)
+
+        def keep(b: pa.Table) -> pa.Table:
+            w = worker_cached(("dedup_drop", drop_ref.hex()),
+                              lambda: ray.get(drop_ref))
+            vals = b.column(id_col).to_numpy(zero_copy_only=False)
+            if len(w) == 0:
+                return b
+            pos = np.clip(np.searchsorted(w, vals), 0, len(w) - 1)
+            return b.filter(pa.array(w[pos] != vals))
+
+        return ds.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    winner_ids = exact_dedup_stats(
+        ds, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions).select_columns([id_col])
+    jp = max(2, (num_partitions or auto_partitions()) // 4)
+    return ds.join(winner_ids, "inner", jp, on=(id_col,))

@@ -272,13 +272,11 @@ def _pair_est_batch(b: pa.Table, *, id_col, threshold, num_hashes,
 
 
 def _candidate_pairs(ds, text_col, id_col, num_hashes, k, bands, max_bucket,
-                     num_partitions, batch_size) -> pd.DataFrame:
+                     num_partitions, batch_size):
     """Band explode (narrow rows) → bucket pairs, partition-deduped.
-    Returns the DISTINCT (key_a, key_b) int64 pairs as pandas — 16 bytes
-    per candidate pair is the designed driver footprint (the same key set
-    is broadcast right back for the signature re-derivation), so the
-    cross-band dedup happens here instead of paying a second all-to-all
-    shuffle for it."""
+    Returns a MATERIALIZED Dataset of (key_a, key_b) int64 pairs that may
+    still contain cross-band duplicates — the caller picks driver-side or
+    distributed dedup by measured size."""
     import functools
 
     from ..util import partitioned_group_apply
@@ -290,7 +288,26 @@ def _candidate_pairs(ds, text_col, id_col, num_hashes, k, bands, max_bucket,
         exploded, ["band_id", "band_hash"],
         _partition_candidates(max_bucket),
         num_partitions=num_partitions)
-    return pairs.to_pandas().drop_duplicates(["key_a", "key_b"])
+    return pairs.materialize()
+
+
+def _key_batch(b: pa.Table, *, id_col) -> pa.Table:
+    """Append ``key`` = int64 hash64(id) (the pairing key) to a batch."""
+    from ..sketches.hashing import hash64_array
+    keys = hash64_array(b.column(id_col)).view(np.int64)
+    return b.append_column("key", pa.array(keys))
+
+
+def _sigs_from_keyed_batch(b: pa.Table, *, text_col, id_col, num_hashes,
+                           k, bands) -> pa.Table:
+    """Signatures for an already key-filtered (joined) candidate batch."""
+    stage = _cached_stage(text_col, id_col, num_hashes, k, bands)
+    sigs = stage._signatures(b.column(text_col).to_pylist())
+    return pa.table({
+        "key": b.column("key"),
+        id_col: b.column(id_col),
+        "sig": pa.array([s.tobytes() for s in sigs], type=pa.binary()),
+    })
 
 
 def minhash_near_duplicates(ds, text_col: str = "text",
@@ -299,47 +316,81 @@ def minhash_near_duplicates(ds, text_col: str = "text",
                             bands: int = 32, max_bucket: int = 4096,
                             num_partitions: int = None,
                             batch_size: int = 4096,
-                            broadcast_sig_cap: int = 1 << 30):
+                            broadcast_sig_cap: int = 1 << 30,
+                            driver_pairs_cap: int = 256 << 20,
+                            broadcast_key_cap: int = 8 << 30):
     """→ Dataset of near-dup candidate pairs ``(id_a, id_b, jaccard_est)``
     with estimated shingle-Jaccard ≥ threshold (id_a < id_b).
 
     Scale shape: the only corpus-sized shuffle carries 18-byte band rows;
     candidate signatures are recomputed in a broadcast-filtered second
-    pass.  The pair estimation then takes one of two paths on measured
-    candidate volume:
-      - candidate sig table ≤ ``broadcast_sig_cap`` bytes: it is already
-        driver-resident, so the estimate is one chunked vectorized gather
-        right there — no further shuffle or execution;
-      - larger: two distributed hash joins (Ray Data ``Dataset.join``)
-        attach sig_a / sig_b to the pairs — nothing ever sits on the
-        driver but the 16-byte candidate key pairs."""
+    pass. Every remaining step is cap-gated by MEASURED size — nothing
+    corpus- or candidate-proportional is unconditionally driver-resident:
+      - pair dedup: driver pandas under ``driver_pairs_cap`` (the pair set
+        feeds a broadcast anyway), else a distributed partitioned dedup;
+      - candidate-key set: per-node ``ray.put`` broadcast under
+        ``broadcast_key_cap`` (8 B/candidate, plasma-shared per node),
+        else membership via a distributed inner join;
+      - pair estimation: chunked driver gather while the sig table fits
+        ``broadcast_sig_cap`` AND the pairs are driver-resident, else two
+        distributed hash joins attach sig_a / sig_b to the pairs."""
     import functools
 
     import ray
     import ray.data as rd
 
     from ..util import auto_partitions
+    from .pairsops import collect_keys_if_small, distinct_pairs, \
+        pair_key_dataset
     num_partitions = num_partitions or auto_partitions()
     source = ds.select_columns([id_col, text_col])
-    kdf = _candidate_pairs(source, text_col, id_col, num_hashes, k, bands,
+    raw = _candidate_pairs(source, text_col, id_col, num_hashes, k, bands,
                            max_bucket, num_partitions, batch_size)
     id_type = source.schema().base_schema.field(id_col).type
-    if kdf.empty:
-        return rd.from_arrow(pa.table({
-            "id_a": pa.array([], type=id_type),
-            "id_b": pa.array([], type=id_type),
-            "jaccard_est": pa.array([], type=pa.float64())}))
-    wanted = np.unique(np.concatenate([kdf["key_a"].to_numpy(),
-                                       kdf["key_b"].to_numpy()]))
-    wanted_ref = ray.put(wanted)
-    sigtab = source.map_batches(
-        functools.partial(_candidate_sigs_batch, text_col=text_col,
-                          id_col=id_col, num_hashes=num_hashes, k=k,
-                          bands=bands, wanted_ref=wanted_ref),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size).materialize()  # candidates only
+    empty = pa.table({"id_a": pa.array([], type=id_type),
+                      "id_b": pa.array([], type=id_type),
+                      "jaccard_est": pa.array([], type=pa.float64())})
+    kdf = pairs_ds = None
+    if raw.size_bytes() <= driver_pairs_cap:
+        kdf = raw.to_pandas().drop_duplicates(["key_a", "key_b"])
+        if kdf.empty:
+            return rd.from_arrow(empty)
+        wanted = np.unique(np.concatenate([kdf["key_a"].to_numpy(),
+                                           kdf["key_b"].to_numpy()]))
+    else:
+        pairs_ds = distinct_pairs(raw, ["key_a", "key_b"],
+                                  num_partitions).materialize()
+        keys_ds = pair_key_dataset(pairs_ds, ["key_a", "key_b"],
+                                   num_partitions=num_partitions
+                                   ).materialize()
+        wanted = collect_keys_if_small(keys_ds, broadcast_key_cap)
+    jp = max(2, num_partitions // 16)
+    if wanted is not None:
+        wanted_ref = ray.put(wanted)
+        sigtab = source.map_batches(
+            functools.partial(_candidate_sigs_batch, text_col=text_col,
+                              id_col=id_col, num_hashes=num_hashes, k=k,
+                              bands=bands, wanted_ref=wanted_ref),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size).materialize()  # candidates only
+    else:
+        # last-resort membership: the candidate-key set itself exceeds the
+        # per-node broadcast budget, so candidates are selected by a
+        # distributed inner join (the corpus text crosses ONE shuffle —
+        # degraded but correct; the broadcast paths never pay this)
+        keyed = source.map_batches(
+            functools.partial(_key_batch, id_col=id_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size)
+        cand_rows = keyed.join(keys_ds, "inner", jp, on=("key",))
+        sigtab = cand_rows.map_batches(
+            functools.partial(_sigs_from_keyed_batch, text_col=text_col,
+                              id_col=id_col, num_hashes=num_hashes, k=k,
+                              bands=bands),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size).materialize()
     n_sigs = sigtab.count()
-    if n_sigs * num_hashes * 8 <= broadcast_sig_cap:
+    if kdf is not None and n_sigs * num_hashes * 8 <= broadcast_sig_cap:
         # small-candidate path: the sig table is ALREADY driver-resident
         # for the broadcast, so estimate right here (chunked gathers — the
         # unchunked 500 MB temporaries thrash cache 10×) instead of paying
@@ -370,8 +421,13 @@ def minhash_near_duplicates(ds, text_col: str = "text",
     # join width scales with CANDIDATE volume, not corpus size: a few
     # aggregators suffice below ~10M pairs; callers at larger scale raise
     # num_partitions and this follows
-    pairs = rd.from_arrow(pa.Table.from_pandas(kdf, preserve_index=False))
-    jp = max(2, num_partitions // 16)
+    if pairs_ds is not None:
+        pairs = pairs_ds  # distributed pairs feed the joins directly
+        if pairs.count() == 0:
+            return rd.from_arrow(empty)
+    else:
+        pairs = rd.from_arrow(pa.Table.from_pandas(kdf,
+                                                   preserve_index=False))
     left = pairs.join(
         sigtab.rename_columns({"key": "key_a", id_col: "id_a",
                                "sig": "sig_a"}),
@@ -437,41 +493,63 @@ def verified_near_duplicates(ds, text_col: str = "text",
                              id_col: str = "doc_id",
                              threshold: float = 0.7, k: int = 5,
                              broadcast_text_cap: int = 1 << 30,
+                             driver_pairs_cap: int = 256 << 20,
+                             broadcast_key_cap: int = 8 << 30,
                              **minhash_kw):
     """Candidate pairs from MinHash-LSH, then EXACT k-gram Jaccard verify
     (the 'n-gram Jaccard' dedup variant), fully DISTRIBUTED: candidate
-    texts are fetched in a broadcast-filtered pass, attached to the pairs
-    either via one broadcast gather (small candidate text table) or two
-    narrow hash joins (large), and the exact verify runs inside
+    texts are fetched in a broadcast-filtered pass (or a distributed join
+    when the candidate-id set exceeds ``broadcast_key_cap``), attached to
+    the pairs either via one broadcast gather (small candidate text table)
+    or two narrow hash joins (large), and the exact verify runs inside
     map_batches over candidate pairs.
-    → pandas (id_a, id_b, jaccard ≥ threshold)."""
+    → pandas (id_a, id_b, jaccard ≥ threshold) — the VERIFIED pair set is
+    the pipeline's final, filtered result and is returned driver-side by
+    contract; use the minhash/join internals directly for a Dataset."""
     import functools
 
     import pyarrow.compute as pc
     import ray
 
+    from .pairsops import pair_key_dataset
     source = ds.select_columns([id_col, text_col])
     cand = minhash_near_duplicates(
         ds, text_col=text_col, id_col=id_col,
         threshold=max(0.0, threshold - 0.2),  # slack: est is noisy
-        k=k, **minhash_kw).materialize()
+        k=k, driver_pairs_cap=driver_pairs_cap,
+        broadcast_key_cap=broadcast_key_cap, **minhash_kw).materialize()
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
                           "id_b": pd.Series([], dtype=object),
                           "jaccard": pd.Series([], dtype=float)})
     if cand.count() == 0:
         return empty
-    cdf = cand.select_columns(["id_a", "id_b"]).to_pandas()  # ids only
-    wanted = pa.array(sorted(set(cdf["id_a"]) | set(cdf["id_b"])))
-    wanted_ref = ray.put(wanted)
+    ids_only = cand.select_columns(["id_a", "id_b"]).materialize()
+    if ids_only.size_bytes() <= driver_pairs_cap:
+        cdf = ids_only.to_pandas()
+        wanted = pa.array(sorted(set(cdf["id_a"]) | set(cdf["id_b"])))
+    else:
+        ids_ds = pair_key_dataset(ids_only, ["id_a", "id_b"],
+                                  out_col=id_col).materialize()
+        if ids_ds.size_bytes() <= broadcast_key_cap:
+            vals = ids_ds.to_pandas()[id_col].to_numpy()
+            wanted = pa.array(np.sort(vals))
+        else:
+            wanted = None  # distributed-join membership below
 
-    def fetch_texts(b: pa.Table) -> pa.Table:
-        from ..util import worker_cached
-        w = worker_cached(("verify_wanted", wanted_ref.hex()),
-                          lambda: ray.get(wanted_ref))
-        return b.filter(pc.is_in(b[id_col], value_set=w))
+    if wanted is not None:
+        wanted_ref = ray.put(wanted)
 
-    texts = source.map_batches(fetch_texts, batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
+        def fetch_texts(b: pa.Table) -> pa.Table:
+            from ..util import worker_cached
+            w = worker_cached(("verify_wanted", wanted_ref.hex()),
+                              lambda: ray.get(wanted_ref))
+            return b.filter(pc.is_in(b[id_col], value_set=w))
+
+        texts = source.map_batches(fetch_texts, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    else:
+        texts = source.join(ids_ds, "inner", 8,
+                            on=(id_col,)).materialize()
     tdf = texts.to_pandas() if \
         texts.size_bytes() <= broadcast_text_cap else None
     if tdf is not None:

@@ -191,16 +191,28 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
                            zero_copy_batch=True, batch_size=batch_size)
     union = lt.union(rt)
 
+    def zeroed(rows: pd.DataFrame) -> pd.DataFrame:
+        o = rows[left_names].reset_index(drop=True)
+        o["n_in_range"] = np.zeros(len(o), dtype=np.int64)
+        for c in sum_cols:
+            o["sum_" + c] = np.zeros(len(o))
+        return o
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         is_r = df["_ord"].to_numpy() == 0
         rights = df[is_r].sort_values(["_by", "_on"], kind="mergesort")
         lefts = df[~is_r]
+        # left rows with null `on` can't anchor a range: emit zero counts
+        # (mirrors asof_join's null-left handling) instead of letting
+        # merge_asof raise on null merge keys
+        null_on = pd.isna(lefts["_on"]).to_numpy()
+        zero_rows = zeroed(lefts[null_on]) if null_on.any() else None
+        lefts = lefts[~null_on]
         out = lefts[left_names].reset_index(drop=True)
         if rights.empty or lefts.empty:
-            out["n_in_range"] = np.zeros(len(out), dtype=np.int64)
-            for c in sum_cols:
-                out["sum_" + c] = np.zeros(len(out))
-            return out
+            out = zeroed(lefts)
+            return pd.concat([out, zero_rows], ignore_index=True) \
+                if zero_rows is not None else out
         # per-group cumulative count / sums over the sorted rights
         g = rights.groupby("_by", sort=False)
         rights = rights.assign(_cum_n=g.cumcount() + 1)
@@ -230,7 +242,8 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
         for c in sum_cols:
             out["sum_" + c] = hi["_cum_" + c].to_numpy() \
                 - lo["_cum_" + c].to_numpy()
-        return out
+        return pd.concat([out, zero_rows], ignore_index=True) \
+            if zero_rows is not None else out
 
     joined = partitioned_group_apply(union, ["_by"], merge,
                                      num_partitions=num_partitions,

@@ -838,7 +838,12 @@ def ann_ivf_index_embeddings(sf_dir: str):
     from ..ann import IvfIndex
     vecs, ids = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # cache key covers CONTENT, not just the path: a regenerated corpus at
+    # the same path (new mtime/size) gets a fresh index
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
     idx_dir = f"/tmp/jsonschema_ray_ivf/{tag}"
     if os.path.exists(os.path.join(idx_dir, "centroids.npy")):
         idx = IvfIndex.load(idx_dir)

@@ -198,6 +198,22 @@ def _union_pad(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+def _viol_counts_batch(t: pa.Table) -> pa.Table:
+    """Union batch → per-(fragment, keyword) violation COUNTS: the driver
+    aggregates count partials (O(batches × keywords)), never the
+    violation rows themselves."""
+    v = t.filter(pc.equal(t["record_type"], "v"))
+    if v.num_rows == 0:
+        return pa.table({"fragment_id": pa.array([], type=pa.string()),
+                         "keyword": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    df = v.select(["path", "keyword"]).to_pandas()
+    df["fragment_id"] = df["path"].map(os.path.basename)
+    g = df.groupby(["fragment_id", "keyword"]).size().reset_index(name="n")
+    return pa.Table.from_pandas(g[["fragment_id", "keyword", "n"]],
+                                preserve_index=False)
+
+
 def _flagship_pass_batch(batch, *, doc_json, decode, check_phash,
                          stats_columns, path_col=None):
     """ONE pass over the bytes: rule+decode violations AND per-batch stats
@@ -346,14 +362,25 @@ def validate_images_pipeline(
         # kill in either window never double-counts or loses violations
         # (state/checkpoint.py module docstring)
         viol.write_parquet(store.violations_tmp_path(tag))
-        updf = union.to_pandas()
-        vpdf = updf[updf["record_type"] == "v"][["path", "keyword"]].copy()
-        vpdf["fragment_id"] = vpdf["path"].map(os.path.basename)
-        for k, c in vpdf.groupby("keyword").size().items():
-            per_keyword[k] = per_keyword.get(k, 0) + int(c)
-        sp = updf[updf["record_type"] == "s"]
+        # per-(fragment, keyword) counts are aggregated INSIDE map_batches
+        # (one partial row per batch × keyword), so the driver sees
+        # O(batches × keywords) rows even when 100% of the input violates —
+        # never the violation rows themselves (VERDICT-r2 item 6)
+        counts = union.map_batches(
+            _viol_counts_batch, batch_format="pyarrow",
+            zero_copy_batch=True).to_pandas()
+        if len(counts):
+            for k, c in counts.groupby("keyword")["n"].sum().items():
+                per_keyword[k] = per_keyword.get(k, 0) + int(c)
+            nviol_by_frag = counts.groupby("fragment_id")["n"].sum()
+        else:
+            nviol_by_frag = pd.Series(dtype="int64")
+        # stats partials are bounded by construction: one row per
+        # (batch, column) — small at any violation rate
+        sp = union.map_batches(
+            lambda t: t.filter(pc.equal(t["record_type"], "s")),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
         wall = time.perf_counter() - t0
-        nviol_by_frag = vpdf.groupby("fragment_id").size()
         for f in wave:
             frag = os.path.basename(f)
             nrows = pq.read_metadata(f).num_rows

@@ -1211,8 +1211,12 @@ class BatchValidator:
         if ev.n == 0:
             return np.ones(view.n, dtype=bool)
         vals = ev.arr.to_numpy(zero_copy_only=False)
+        valid = _valid_np(ev.arr)
         try:
-            order = np.lexsort((vals, flat_parent))
+            # nulls sort as their own group (validity is a sort channel):
+            # a genuine float NaN element must NOT pair with a null — two
+            # JSON nulls are EQUAL (rowwise deep_equal) while NaN != NaN
+            order = np.lexsort((vals, ~valid, flat_parent))
         except TypeError:  # mixed/object fallback
             import pandas as pd
             nun = pd.Series(vals).groupby(flat_parent).nunique(dropna=False)
@@ -1221,14 +1225,11 @@ class BatchValidator:
             ok[nun.index.to_numpy()] = \
                 nun.to_numpy() == counts[nun.index.to_numpy()]
             return ok
-        sv, sp = vals[order], flat_parent[order]
+        sv, sp, sval = vals[order], flat_parent[order], valid[order]
         dup = np.zeros(ev.n, dtype=bool)
         if ev.n > 1:
-            eq = sv[1:] == sv[:-1]
-            if sv.dtype.kind == "f":
-                # null elements surface as NaN here; two JSON nulls are
-                # EQUAL (rowwise deep_equal), unlike IEEE NaN
-                eq |= np.isnan(sv[1:]) & np.isnan(sv[:-1])
+            eq = (sv[1:] == sv[:-1]) & sval[1:] & sval[:-1]
+            eq |= ~sval[1:] & ~sval[:-1]  # null == null
             dup[1:] = (sp[1:] == sp[:-1]) & eq
         bad_rows = np.unique(sp[dup])
         ok = np.ones(view.n, dtype=bool)

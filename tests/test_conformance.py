@@ -327,3 +327,24 @@ def test_nested_full_violation_tuples(case):
                      viol["message"].to_pylist(),
                      viol["offending_value"].to_pylist()))
     assert got == sorted(exp)
+
+
+def test_unique_items_nan_vs_null_channel():
+    """Float NaN elements are NOT conflated with null elements
+    (ADVICE-r2): NaN != NaN (IEEE / deep_equal) while null == null
+    (JSON null) — both engines must agree on every combination."""
+    import numpy as np  # noqa: F401
+
+    from jsonschema_ray.rules.rowwise import RowEvaluator
+    rs = parse_ruleset({"properties": {"xs": {"uniqueItems": True}}})
+    nan = float("nan")
+    rows = [[nan, nan], [None, nan], [nan, None, nan],
+            [None, nan, None], [None, None], [1.0, 1.0], [1.0, 2.0],
+            [None, 1.0], [nan], []]
+    t = pa.table({"xs": pa.array(rows, type=pa.list_(pa.float64()))})
+    vec = BatchValidator(rs).mask(t).tolist()
+    row = [len(RowEvaluator(rs).validate(r)) == 0 for r in t.to_pylist()]
+    expected = [True, True, True, False, False, False, True, True,
+                True, True]
+    assert vec == expected
+    assert row == expected

@@ -1,0 +1,159 @@
+"""Forced-distributed-path equivalence for the dedup family (VERDICT-r2
+items 1-4): every cap-gated driver shortcut must produce IDENTICAL
+results when its cap is forced to 0 and the distributed path runs
+instead — pairs dedup, candidate-key broadcast, sig/vec attach, and the
+phash key translation all have join fallbacks that degrade, never die."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_table():
+    rng = np.random.default_rng(3)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel"]
+    base = [" ".join(rng.choice(words, 30)) for _ in range(40)]
+    texts, ids = [], []
+    for i, t in enumerate(base):
+        texts.append(t)
+        ids.append(2 * i)
+        if i % 3 == 0:
+            w = t.split()
+            w[5] = "zulu"
+            texts.append(" ".join(w))
+            ids.append(2 * i + 1)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": texts})
+
+
+def _sorted(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(driver_pairs_cap=0),
+    dict(driver_pairs_cap=0, broadcast_sig_cap=0),
+    dict(driver_pairs_cap=0, broadcast_sig_cap=0, broadcast_key_cap=0),
+])
+def test_minhash_forced_distributed_matches(ray_session, kw):
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import minhash_near_duplicates
+    ds = rd.from_arrow(_docs_table())
+    ref = _sorted(minhash_near_duplicates(ds, threshold=0.6).to_pandas())
+    assert len(ref) > 0
+    out = _sorted(minhash_near_duplicates(ds, threshold=0.6,
+                                          **kw).to_pandas())
+    pd.testing.assert_frame_equal(ref, out, check_dtype=False)
+
+
+def test_verified_forced_distributed_matches(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import verified_near_duplicates
+    ds = rd.from_arrow(_docs_table())
+    ref = _sorted(verified_near_duplicates(ds, threshold=0.6))
+    assert len(ref) > 0
+    out = _sorted(verified_near_duplicates(
+        ds, threshold=0.6, driver_pairs_cap=0, broadcast_key_cap=0,
+        broadcast_text_cap=0))
+    pd.testing.assert_frame_equal(ref, out, check_dtype=False)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(driver_pairs_cap=0),
+    dict(driver_pairs_cap=0, broadcast_vec_cap=0),
+    dict(driver_pairs_cap=0, broadcast_vec_cap=0, broadcast_key_cap=0),
+])
+def test_embedding_forced_distributed_matches(ray_session, kw):
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import embedding_near_duplicates
+    rng = np.random.default_rng(5)
+    n, dim = 400, 32
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    for i in range(8):
+        V[i + 200] = V[i] + rng.standard_normal(dim).astype(np.float32) * .01
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array(list(V))})
+    ds = rd.from_arrow(t)
+    ref = _sorted(embedding_near_duplicates(ds, dim=dim,
+                                            threshold=0.98).to_pandas())
+    assert len(ref) >= 8
+    out = _sorted(embedding_near_duplicates(ds, dim=dim, threshold=0.98,
+                                            **kw).to_pandas())
+    pd.testing.assert_frame_equal(ref, out, check_dtype=False)
+
+
+def test_embedding_string_ids(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import embedding_near_duplicates
+    rng = np.random.default_rng(5)
+    n, dim = 300, 16
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    for i in range(6):
+        V[i + 150] = V[i] + rng.standard_normal(dim).astype(np.float32) * .01
+    ids = [f"v{i:04d}" for i in range(n)]
+    t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(V))})
+    pairs = embedding_near_duplicates(rd.from_arrow(t), dim=dim,
+                                      threshold=0.98).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(f"v{i:04d}", f"v{i + 150:04d}") for i in range(6)} <= found
+
+
+def test_exact_dedup_join_fallback_matches(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import exact_dedup
+    texts = [f"doc {i % 30}" for i in range(100)]
+    t = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64)),
+                  "text": texts,
+                  "extra": pa.array(np.arange(100.0))})
+    ref = _sorted(exact_dedup(rd.from_arrow(t)).to_pandas())
+    assert sorted(ref["doc_id"]) == sorted(range(30))
+    out = _sorted(exact_dedup(rd.from_arrow(t),
+                              broadcast_ids_cap=0).to_pandas())
+    pd.testing.assert_frame_equal(ref, out, check_dtype=False)
+
+
+def test_phash_translate_join_fallback_matches(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import jsonschema_ray.checks.neardup as nd
+    from jsonschema_ray.checks import phash_near_duplicates
+    rng = np.random.default_rng(7)
+    n = 600
+    h = rng.integers(0, 1 << 63, n, dtype=np.int64)
+    for i in range(12):
+        h[i + 300] = h[i] ^ (1 << int(rng.integers(0, 64))) \
+            ^ (1 << int(rng.integers(0, 64)))
+    t = pa.table({"image_id": pa.array([f"img{i:04d}" for i in range(n)]),
+                  "phash": pa.array(h)})
+    ds = rd.from_arrow(t)
+    ref = _sorted(phash_near_duplicates(ds, max_distance=4).to_pandas())
+    assert len(ref) >= 12
+    orig = nd._translate_pair_keys
+    monkeypatch.setattr(
+        nd, "_translate_pair_keys",
+        lambda ds, pairs, id_col: orig(ds, pairs, id_col,
+                                       broadcast_cap=0, driver_pairs_cap=0))
+    out = _sorted(phash_near_duplicates(ds, max_distance=4).to_pandas())
+    pd.testing.assert_frame_equal(ref, out, check_dtype=False)
+
+
+def test_seeded_string_hashes_independent():
+    from jsonschema_ray.sketches.hashing import hash64_array
+    a = pa.array([f"s{i}" for i in range(64)])
+    h0 = hash64_array(a, 0)
+    h1 = hash64_array(a, 0x5851F42D4C957F2D)
+    # independence proxy: h1 is NOT a pointwise function of h0's low bits
+    # (the old bug made h1 = f(h0) exactly); determinism across calls
+    assert not np.array_equal(h0, h1)
+    assert np.array_equal(h1, hash64_array(a, 0x5851F42D4C957F2D))
+    # distinct seeds give distinct functions
+    h2 = hash64_array(a, 12345)
+    assert not np.array_equal(h1, h2)

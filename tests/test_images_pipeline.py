@@ -231,3 +231,24 @@ def test_multimodal_stages(ray_mod=None):
                                      type=pa.large_binary())})
     af = extract_audio_features(rd.from_arrow(at)).to_pandas()
     assert len(af) == 2 and (af["rms"] > 0).all()
+
+
+def test_full_violation_rate_counts_exact(corpus, tmp_path):
+    """Pathological rule set where EVERY row violates: per-keyword counts
+    must still be exact — they are aggregated as count partials inside
+    map_batches, so the driver never holds the violation rows
+    (VERDICT-r2 item 6)."""
+    from jsonschema_ray.pipelines import validate_images_pipeline
+    out, files = corpus
+    ck = str(tmp_path / "ck_allviol")
+    rules = {"properties": {"w": {"maximum": -1}}}
+    rep = validate_images_pipeline(out, ck, ruleset=rules, wave_size=2,
+                                   decode=False)
+    # every row violates the rule; table-level dup-id hits add on top
+    assert rep["per_keyword"] == {"maximum": rep["n_rows"]}
+    assert rep["n_violations"] == rep["n_rows"] + len(rep["duplicate_ids"])
+    # resume still clean after a 100%-violation run
+    rep2 = validate_images_pipeline(out, ck, ruleset=rules, wave_size=2,
+                                    decode=False)
+    assert rep2["fragments_validated"] == 0
+    assert rep2["n_violations"] == rep["n_violations"]

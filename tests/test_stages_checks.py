@@ -359,6 +359,30 @@ def test_asof_and_range_join_property(ray_mod=None):
                            np.array(exp_s)), f"range sum trial {trial}"
 
 
+def test_range_agg_join_null_left_on(ray_mod=None):
+    """Left rows with a null `on` value must emit zero counts/sums
+    (mirroring asof_join's null handling) instead of crashing merge_asof
+    with 'Merge keys contain null values' (ADVICE-r2)."""
+    import ray.data as rd
+
+    from jsonschema_ray.joins import range_agg_join
+    left = pa.table({"k": ["a", "a", "b", "b", "a"],
+                     "t": pa.array([10, None, 5, None, 30],
+                                   type=pa.int64())})
+    right = pa.table({"k": ["a", "a", "b"],
+                      "t": pa.array([8, 25, 4], type=pa.int64()),
+                      "v": pa.array([1.0, 2.0, 3.0])})
+    out = range_agg_join(rd.from_arrow(left), rd.from_arrow(right),
+                         by="k", on="t", lower=-10, upper=0,
+                         sum_cols=["v"]).to_pandas()
+    assert len(out) == 5
+    nulls = out[out["t"].isna()]
+    assert len(nulls) == 2
+    assert (nulls["n_in_range"] == 0).all() and (nulls["sum_v"] == 0).all()
+    row = out[(out["k"] == "a") & (out["t"] == 10)].iloc[0]
+    assert row["n_in_range"] == 1 and row["sum_v"] == 1.0
+
+
 def test_phash_neardup_hashed_and_int_paths_agree(ray_mod=None):
     """The string-id path (int64 id-hash shuffle + translation) must
     produce exactly the pairs the integer-id path produces on the same
