@@ -70,7 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_lineitem_dates": R.validate_lineitem_dates,
         "validate_lineitem_dates_core": R.validate_lineitem_dates_core,
         # embeddings
-        "ann_topk_embeddings": R.ann_topk_embeddings,     # rows-only
+        "ann_topk_embeddings": R.ann_topk_embeddings,     # oracled (exact)
+        "embedding_neardup_exact": R.embedding_neardup_exact,  # oracled
         "ann_ivf_embeddings": R.ann_ivf_embeddings,       # rows-only
         "ann_ivf_index_embeddings": R.ann_ivf_index_embeddings,  # rows-only
         "image_features_synth": R.image_features_synth,   # rows-only
@@ -192,6 +193,32 @@ WHERE rn <= 3 ORDER BY c_mktsegment, o_orderkey
 SELECT l_returnflag,
        CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "ann_topk_embeddings": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(s, 6) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "embedding_neardup_exact": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY id_a, id_b
 """,
         "events_orders_90d": """
 SELECT e.event_id,

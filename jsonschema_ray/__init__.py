@@ -16,7 +16,8 @@ from .rules.extensions import (apply_defaults, register_keyword,
                                unregister_keyword)
 from .rules.meta import check_ruleset
 from .rules.model import RuleSet, RuleSetError, parse_ruleset
-from .rules.output import basic_output, basic_output_column, flag_output
+from .rules.output import (basic_output, basic_output_column,
+                           detailed_output, flag_output, verbose_output)
 from .joins import asof_join, range_agg_join
 from .rules.rowwise import RowEvaluator, Violation
 from .rules.vector import BatchValidator
@@ -36,6 +37,7 @@ __all__ = [
     "validate_instance",
     "asof_join", "range_agg_join",
     "basic_output", "basic_output_column", "flag_output",
+    "detailed_output", "verbose_output",
     "RuleSet", "RuleSetError", "parse_ruleset",
     "RowEvaluator", "Violation", "BatchValidator",
     "register_format", "register_keyword", "unregister_keyword",

@@ -1,9 +1,9 @@
 from .exact import exact_dedup, exact_dedup_stats
 from .minhash import (MinHashStage, jaccard_shingles,
                       minhash_near_duplicates, verified_near_duplicates)
-from .embedding import embedding_near_duplicates
+from .embedding import embedding_near_duplicates, exact_cosine_pairs
 
 __all__ = ["exact_dedup", "exact_dedup_stats", "MinHashStage",
            "minhash_near_duplicates", "verified_near_duplicates",
            "jaccard_shingles",
-           "embedding_near_duplicates"]
+           "embedding_near_duplicates", "exact_cosine_pairs"]

@@ -179,7 +179,7 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
         pair_key_dataset
     num_partitions = num_partitions or auto_partitions()
     source = ds.select_columns([id_col, vec_col])
-    id_type = source.schema().base_schema.field(id_col).type
+    id_type = ds.schema().base_schema.field(id_col).type
     int_ids = pa.types.is_integer(id_type)
     empty = pa.table({"id_a": pa.array([], type=id_type),
                       "id_b": pa.array([], type=id_type),
@@ -242,9 +242,9 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
         ka = kdf["key_a"].to_numpy()
         kb = kdf["key_b"].to_numpy()
         parts = []
-        for lo in range(0, len(ka), 100_000):
-            ia = np.searchsorted(fkeys, ka[lo:lo + 100_000])
-            ib = np.searchsorted(fkeys, kb[lo:lo + 100_000])
+        for lo in range(0, len(ka), 16_384):  # LLC-sized chunks
+            ia = np.searchsorted(fkeys, ka[lo:lo + 16_384])
+            ib = np.searchsorted(fkeys, kb[lo:lo + 16_384])
             parts.append((fmat[ia] * fmat[ib]).sum(axis=1))
         cos = np.concatenate(parts) if parts else np.zeros(0)
         hit = cos >= threshold
@@ -275,3 +275,54 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
     return both.map_batches(
         functools.partial(_pair_cos_batch, threshold=threshold),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def exact_cosine_pairs(ds, vec_col: str = "embedding",
+                       id_col: str = "vec_id", threshold: float = 0.9,
+                       batch_size: int = 4096,
+                       broadcast_cap: int = 1 << 30):
+    """EXACT all-pairs cosine ≥ threshold → Dataset (id_a, id_b, cosine),
+    id_a < id_b — the small-corpus ground-truth verifier for
+    :func:`embedding_near_duplicates` (which is the scale path; all-pairs
+    is O(n²) by definition). The full unit matrix is broadcast once
+    (cap-gated), each batch computes its rows × corpus block of the
+    cosine matrix vectorized; only threshold survivors leave the task."""
+    import functools
+
+    import ray
+    import ray.data as rd
+
+    source = ds.select_columns([id_col, vec_col]).materialize()
+    if source.size_bytes() > broadcast_cap:
+        raise ValueError(
+            "exact_cosine_pairs is the all-pairs verifier; corpus exceeds "
+            f"broadcast cap ({source.size_bytes()} > {broadcast_cap} B) — "
+            "use embedding_near_duplicates (LSH) at scale")
+    id_type = ds.schema().base_schema.field(id_col).type
+    fdf = source.to_pandas()
+    from ..ann.search import _unit_rows
+    ids_all = fdf[id_col].to_numpy()
+    U_all = _unit_rows(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in fdf[vec_col]]))
+    ref = ray.put((ids_all, U_all))
+
+    def block(b: pa.Table) -> pa.Table:
+        from ..util import worker_cached
+        ids_a, U_a = worker_cached(("exactcos", ref.hex()),
+                                   lambda: ray.get(ref))
+        from ..ann.search import embedding_matrix, _unit_rows
+        Ub = _unit_rows(embedding_matrix(b.column(vec_col)))
+        idb = b.column(id_col).to_numpy(zero_copy_only=False)
+        cos = Ub @ U_a.T                       # (batch, corpus)
+        bi, ai = np.nonzero(cos >= threshold)
+        ia_v, ib_v = idb[bi], ids_a[ai]
+        keep = ia_v < ib_v                     # canonical + no self-pairs
+        return pa.table({
+            "id_a": pa.array(ia_v[keep], type=id_type),
+            "id_b": pa.array(ib_v[keep], type=id_type),
+            "cosine": pa.array(np.round(cos[bi, ai][keep], 6),
+                               type=pa.float64()),
+        })
+
+    return source.map_batches(block, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)

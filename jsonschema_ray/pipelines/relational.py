@@ -854,6 +854,17 @@ def ann_ivf_index_embeddings(sf_dir: str):
     return out
 
 
+def embedding_neardup_exact(sf_dir: str):
+    """Exact all-pairs cosine ≥ 0.4 — SQL-expressible ground truth for the
+    LSH near-dup family (oracled; the LSH query stays rows-only because
+    its recall is probabilistic by design)."""
+    from ..dedup import exact_cosine_pairs
+    out = exact_cosine_pairs(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.4).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def embedding_neardup(sf_dir: str):
     from ..dedup import embedding_near_duplicates
     return embedding_near_duplicates(

@@ -69,3 +69,112 @@ def basic_output_column(table: pa.Table, violations: pa.Table,
                      "message"]].to_dict("records")),
                 sort_keys=True)
     return table.append_column(out_col, pa.array(docs, type=pa.string()))
+
+
+def _loc_trie_insert(root: dict, segs: list[str], err: dict):
+    node = root
+    for s in segs:
+        node = node.setdefault("children", {}).setdefault(s, {})
+    node.setdefault("errors", []).append(err)
+
+
+def _trie_unit(node: dict, loc: str) -> dict:
+    """Trie node → spec output unit, applying the detailed-format
+    condensation rules (single-child branch units collapse into the
+    child; leaves keep their own error)."""
+    children = node.get("children", {})
+    own = node.get("errors", [])
+    child_units = [_trie_unit(c, f"{loc}/{s}")
+                   for s, c in sorted(children.items())]
+    if own and not child_units and len(own) == 1:
+        u = dict(own[0])
+        u["valid"] = False
+        return u
+    units = [dict(e, valid=False) for e in own] + child_units
+    if len(units) == 1 and not own:
+        return units[0]  # condensation: single-child branch collapses
+    insts = {u.get("instanceLocation", "") for u in units}
+    return {"valid": False, "keywordLocation": loc or "",
+            "instanceLocation": insts.pop() if len(insts) == 1 else "",
+            "errors": units}
+
+
+def detailed_output(violations: list[dict]) -> dict:
+    """Spec "detailed" format (2020-12 §12.4.3): errors arranged by their
+    keyword-location hierarchy with trivial branches condensed. Surplus
+    over the reference, which emits only "basic"
+    (pkg/errors/errors.go:15-22)."""
+    if not violations:
+        return {"valid": True}
+    root: dict = {}
+    for v in violations:
+        kl = v.get("keyword_location", "") or ""
+        segs = [s for s in kl.split("/") if s]
+        _loc_trie_insert(root, segs,
+                         _error_obj(kl, v.get("instance_location", ""),
+                                    v.get("message", "")))
+    return _trie_unit(root, "")
+
+
+def verbose_output(rs, violations: list[dict]) -> dict:
+    """Spec "verbose" format: the FULL schema hierarchy for one instance,
+    every keyword emitting a unit with its own validity (valid units
+    included, unlike basic/detailed). Validity of a node = no violation
+    whose keywordLocation sits at or under it."""
+    from .model import SchemaNode
+    bad_prefixes = sorted({v.get("keyword_location", "") or ""
+                           for v in violations})
+    by_loc: dict[str, list[dict]] = {}
+    for v in violations:
+        by_loc.setdefault(v.get("keyword_location", "") or "",
+                          []).append(v)
+
+    def invalid_under(loc: str) -> bool:
+        return any(p == loc or p.startswith(loc + "/")
+                   for p in bad_prefixes)
+
+    def inst_of(loc: str) -> str:
+        vs = by_loc.get(loc)
+        return vs[0].get("instance_location", "") if vs else ""
+
+    def node_unit(node: SchemaNode) -> dict:
+        loc = node.location
+        unit: dict = {"valid": not invalid_under(loc),
+                      "keywordLocation": loc or "",
+                      "instanceLocation": inst_of(loc)}
+        kids = []
+        for part in node.parts:
+            if part.keyword.startswith("$"):
+                continue
+            kl = f"{loc}/{part.keyword}"
+            subs = []
+            if isinstance(part.value, SchemaNode):
+                subs = [part.value]
+            elif isinstance(part.value, list):
+                subs = [x for x in part.value
+                        if isinstance(x, SchemaNode)]
+            elif isinstance(part.value, dict):
+                subs = [x for x in part.value.values()
+                        if isinstance(x, SchemaNode)]
+            if subs:
+                ku = {"valid": not invalid_under(kl),
+                      "keywordLocation": kl,
+                      "instanceLocation": inst_of(kl),
+                      "errors" if invalid_under(kl) else "annotations":
+                          [node_unit(s) for s in subs]}
+                kids.append(ku)
+            else:
+                errs = by_loc.get(kl, [])
+                ku = {"valid": not errs, "keywordLocation": kl,
+                      "instanceLocation": inst_of(kl)}
+                if errs:
+                    ku["errors"] = [
+                        _error_obj(kl, e.get("instance_location", ""),
+                                   e.get("message", "")) | {"valid": False}
+                        for e in errs]
+                kids.append(ku)
+        if kids:
+            unit["errors" if not unit["valid"] else "annotations"] = kids
+        return unit
+
+    return node_unit(rs.root)

@@ -183,3 +183,30 @@ def test_embedding_matrix_zero_copy_paths():
         raise AssertionError("ragged column must raise")
     except ValueError:
         pass
+
+
+def test_exact_cosine_pairs_matches_numpy(ray_mod=None):
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import exact_cosine_pairs
+    rng = np.random.default_rng(13)
+    n, dim = 200, 16
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array(list(V))})
+    got = exact_cosine_pairs(rd.from_arrow(t), threshold=0.5) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    U = V.astype(np.float64)
+    U /= np.linalg.norm(U, axis=1)[:, None]
+    cos = U @ U.T
+    ai, bi = np.nonzero(np.triu(cos >= 0.5, k=1))
+    assert len(got) == len(ai) > 0
+    assert got["id_a"].tolist() == ai.tolist()
+    assert got["id_b"].tolist() == bi.tolist()
+    assert np.allclose(got["cosine"], np.round(cos[ai, bi], 6))
+    # corpus above the broadcast cap must refuse, pointing at the LSH path
+    try:
+        exact_cosine_pairs(rd.from_arrow(t), broadcast_cap=0)
+        raise AssertionError("expected ValueError above cap")
+    except ValueError as e:
+        assert "LSH" in str(e) or "scale" in str(e)

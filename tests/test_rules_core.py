@@ -369,6 +369,50 @@ def test_output_formats_basic_and_flag():
     assert b["errors"][0]["keywordLocation"] == "#"
 
 
+def test_output_formats_detailed_and_verbose():
+    """Spec "detailed" (hierarchy + condensation) and "verbose" (full
+    schema tree with valid units) formats — surplus over the reference,
+    which emits only basic (pkg/errors/errors.go:15-22)."""
+    from jsonschema_ray.rules.model import parse_ruleset
+    from jsonschema_ray.rules.output import detailed_output, verbose_output
+
+    viol = [{"keyword_location": "/properties/a/minimum",
+             "instance_location": "/a", "message": "too small"},
+            {"keyword_location": "/properties/b/pattern",
+             "instance_location": "/b", "message": "no match"}]
+
+    # detailed: single error condenses to the leaf unit itself
+    one = detailed_output(viol[:1])
+    assert one["valid"] is False
+    assert one["keywordLocation"] == "/properties/a/minimum"
+    assert one["error"] == "too small"
+    # two errors under a shared branch: branch unit with both leaves
+    two = detailed_output(viol)
+    assert two["keywordLocation"] == "/properties"
+    kls = sorted(e["keywordLocation"] for e in two["errors"])
+    assert kls == ["/properties/a/minimum", "/properties/b/pattern"]
+    assert detailed_output([]) == {"valid": True}
+
+    rs = parse_ruleset({"type": "object",
+                        "properties": {"a": {"type": "integer",
+                                             "minimum": 3},
+                                       "b": {"pattern": "^x"}}})
+    v = verbose_output(rs, viol)
+    assert v["valid"] is False and "errors" in v
+    by_kl = {u["keywordLocation"]: u for u in v["errors"]}
+    assert by_kl["/type"]["valid"] is True          # valid units included
+    props = by_kl["/properties"]
+    assert props["valid"] is False
+    sub_a = {u["keywordLocation"]: u
+             for u in props["errors"]}["/properties/a"]
+    leaf = {u["keywordLocation"]: u
+            for u in sub_a["errors"]}["/properties/a/minimum"]
+    assert leaf["valid"] is False
+    assert leaf["errors"][0]["error"] == "too small"
+    ok = verbose_output(rs, [])
+    assert ok["valid"] is True and "annotations" in ok
+
+
 def test_validate_instance_entry_point():
     """Per-instance convenience API (the reference's Schema.Validate)."""
     from jsonschema_ray import validate_instance
