@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": R.simhash_documents,         # rows-only
         "minhash_neardup_documents": R.minhash_neardup_documents,  # rows-only
         "neardup_verified_documents": R.neardup_verified_documents,  # rows-only
+        "ngram_jaccard_documents": R.ngram_jaccard_documents,  # oracled
+        "simhash_neardup_documents": R.simhash_neardup_documents,  # rows-only
         "validate_lineitem_dates": R.validate_lineitem_dates,
         "validate_lineitem_dates_core": R.validate_lineitem_dates_core,
         # embeddings
@@ -209,6 +211,31 @@ ranked AS (
   FROM scored)
 SELECT query_id, vec_id, round(s, 6) AS score, rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "ngram_jaccard_documents": """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, CASE WHEN length(text) >= 5
+                              THEN length(text) - 3 ELSE 2 END)) AS i
+  FROM documents WHERE length(text) > 0),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN length(text) >= 5
+              THEN substr(text, CAST(i AS INT), 5)
+              ELSE text END AS gram
+  FROM pos),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+ORDER BY id_a, id_b
 """,
         "embedding_neardup_exact": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -2,8 +2,11 @@ from .exact import exact_dedup, exact_dedup_stats
 from .minhash import (MinHashStage, jaccard_shingles,
                       minhash_near_duplicates, verified_near_duplicates)
 from .embedding import embedding_near_duplicates, exact_cosine_pairs
+from .ngram import ngram_jaccard_pairs
+from .simhash import simhash_near_duplicates
 
 __all__ = ["exact_dedup", "exact_dedup_stats", "MinHashStage",
            "minhash_near_duplicates", "verified_near_duplicates",
            "jaccard_shingles",
-           "embedding_near_duplicates", "exact_cosine_pairs"]
+           "embedding_near_duplicates", "exact_cosine_pairs",
+           "ngram_jaccard_pairs", "simhash_near_duplicates"]

@@ -751,6 +751,27 @@ def minhash_neardup_documents(sf_dir: str):
         threshold=0.5)
 
 
+def ngram_jaccard_documents(sf_dir: str):
+    """Exact all-pairs k-gram Jaccard ≥ 0.5 — SQL-expressible ground truth
+    for the text near-dup family (the LSH queries stay rows-only because
+    their recall is probabilistic by design)."""
+    from ..dedup import ngram_jaccard_pairs
+    out = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.5).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_neardup_documents(sf_dir: str):
+    """SimHash fingerprint pairs within Hamming distance 3 (rows-only:
+    the fingerprint depends on the engine's 64-bit token hash)."""
+    from ..dedup import simhash_near_duplicates
+    out = simhash_near_duplicates(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_distance=3).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def neardup_verified_documents(sf_dir: str):
     """MinHash-LSH candidates verified by exact k-gram Jaccard (rows-only:
     the exact-set intersection over shingle hashes is not SQL-expressible

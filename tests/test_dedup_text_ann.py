@@ -210,3 +210,92 @@ def test_exact_cosine_pairs_matches_numpy(ray_mod=None):
         raise AssertionError("expected ValueError above cap")
     except ValueError as e:
         assert "LSH" in str(e) or "scale" in str(e)
+
+
+def test_ngram_jaccard_pairs_matches_brute_force():
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import jaccard_shingles, ngram_jaccard_pairs
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    got = ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.5) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_numpy()
+    exp = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            jj = jaccard_shingles(texts[i] or "", texts[j] or "", 5)
+            if jj >= 0.5:
+                exp.append((min(ids[i], ids[j]), max(ids[i], ids[j]),
+                            round(jj, 6)))
+    exp.sort()
+    assert len(got) == len(exp) > 0
+    assert got["id_a"].tolist() == [e[0] for e in exp]
+    assert got["id_b"].tolist() == [e[1] for e in exp]
+    assert np.allclose(got["jaccard"], [e[2] for e in exp])
+    # above the broadcast cap it must refuse, pointing at the LSH path
+    try:
+        ngram_jaccard_pairs(rd.from_arrow(t), broadcast_cap=0)
+        raise AssertionError("expected ValueError above cap")
+    except ValueError as e:
+        assert "LSH" in str(e)
+    # dense-matrix cap independently gated
+    try:
+        ngram_jaccard_pairs(rd.from_arrow(t), dense_cap_bytes=0)
+        raise AssertionError("expected ValueError above dense cap")
+    except ValueError as e:
+        assert "dense" in str(e)
+
+
+def test_ngram_jaccard_edge_docs():
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import ngram_jaccard_pairs
+    t = pa.table({"doc_id": [1, 2, 3, 4, 5, 6],
+                  "text": ["abcdefgh", "abcdefgh",  # identical
+                           "ab", "ab",              # short-doc whole-text gram
+                           "", None]})              # no grams -> no pairs
+    got = ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.5).to_pandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    assert pairs == {(1, 2), (3, 4)}
+    assert np.allclose(got.jaccard, 1.0)
+
+
+def test_simhash_neardup_matches_brute_force():
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import simhash_near_duplicates
+    from jsonschema_ray.text.analysis import simhash64_batch
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    sh = simhash64_batch(t.column("text").combine_chunks()).view(np.uint64)
+    ids = t.column("doc_id").to_numpy()
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(int(sh[i]) ^ int(sh[j])).count("1")
+            if d <= 3:
+                exp.add((min(ids[i], ids[j]), max(ids[i], ids[j]), d))
+    got = simhash_near_duplicates(rd.from_arrow(t), max_distance=3) \
+        .to_pandas()
+    assert set(zip(got.id_a, got.id_b, got.distance)) == exp
+    assert len(exp) > 0
+
+
+def test_simhash_neardup_string_ids():
+    """String id columns go through the hashed-key shuffle + translation."""
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import simhash_near_duplicates
+    t = pa.table({"doc_id": ["d1", "d2", "d3"],
+                  "text": ["the quick brown fox jumps over the lazy dog",
+                           "the quick brown fox jumps over the lazy cat",
+                           "completely different words entirely here now"]})
+    got = simhash_near_duplicates(rd.from_arrow(t), max_distance=16) \
+        .to_pandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    assert ("d1", "d2") in pairs
+    assert ("d1", "d3") not in pairs and ("d2", "d3") not in pairs
