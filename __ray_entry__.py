@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_documents": R.minhash_neardup_documents,  # rows-only
         "neardup_verified_documents": R.neardup_verified_documents,  # rows-only
         "ngram_jaccard_documents": R.ngram_jaccard_documents,  # oracled
+        "orders_customer_join": R.orders_customer_join,  # oracled
+        "lineitem_orders_priority_revenue": R.lineitem_orders_priority_revenue,  # oracled
         "simhash_neardup_documents": R.simhash_neardup_documents,  # rows-only
         "validate_lineitem_dates": R.validate_lineitem_dates,
         "validate_lineitem_dates_core": R.validate_lineitem_dates_core,
@@ -211,6 +213,18 @@ ranked AS (
   FROM scored)
 SELECT query_id, vec_id, round(s, 6) AS score, rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "orders_customer_join": """
+SELECT o_orderkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+""",
+        "lineitem_orders_priority_revenue": """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         "ngram_jaccard_documents": """
 WITH pos AS (

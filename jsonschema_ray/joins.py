@@ -261,3 +261,60 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
 
     return joined.map_batches(restore, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
+
+
+def equi_join(left, right, on, how: str = "inner", right_on=None,
+              broadcast_cap: int = 256 << 20, num_partitions: int = None,
+              right_suffix: str = "_r"):
+    """General equi-join with a size-chosen physical plan.
+
+    If the RIGHT side fits ``broadcast_cap`` it is materialized once,
+    ``ray.put`` once (per-node plasma residency), and every left batch
+    joins against it with an Arrow/Acero hash join inside ``map_batches``
+    — the left side streams, nothing shuffles. Above the cap (or for
+    ``right_outer``/``full_outer``, which need unmatched-right tracking a
+    replicated right cannot provide) both sides go through Ray Data's
+    partitioned shuffle join.
+
+    ``how``: inner | left_outer | semi | anti | right_outer | full_outer.
+    Null join keys never match (SQL semantics — Acero and the shuffle
+    join agree). Output column collisions take ``right_suffix``.
+    Row order is not defined (as for any distributed join).
+    """
+    import ray
+
+    from .util import auto_partitions, worker_cached
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    num_partitions = num_partitions or auto_partitions()
+
+    acero_type = {"inner": "inner", "left_outer": "left outer",
+                  "semi": "left semi", "anti": "left anti"}.get(how)
+    if acero_type is not None:
+        rt = right.materialize()
+        if rt.size_bytes() <= broadcast_cap:
+            tabs = ray.get(rt.to_arrow_refs())
+            rschema = rt.schema().base_schema
+            small_tab = pa.concat_tables(tabs) if tabs else pa.table(
+                {f.name: pa.array([], type=f.type) for f in rschema})
+            ref = ray.put(small_tab)
+
+            def joined(b: pa.Table) -> pa.Table:
+                small = worker_cached(("equi_join", ref.hex()),
+                                      lambda: ray.get(ref))
+                return b.join(small, keys=on, right_keys=right_on,
+                              join_type=acero_type,
+                              right_suffix=right_suffix)
+
+            return left.map_batches(joined, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        right = rt
+    ray_type = {"inner": "inner", "left_outer": "left_outer",
+                "right_outer": "right_outer",
+                "full_outer": "full_outer"}.get(how)
+    if ray_type is None:
+        raise ValueError(f"equi_join: shuffle path does not support "
+                         f"how={how!r} above the broadcast cap")
+    return left.join(right, ray_type, num_partitions, on=tuple(on),
+                     right_on=tuple(right_on), right_suffix=right_suffix)

@@ -751,6 +751,45 @@ def minhash_neardup_documents(sf_dir: str):
         threshold=0.5)
 
 
+def orders_customer_join(sf_dir: str):
+    """Broadcast equi-join (customer is the measured-small side): every
+    order enriched with its customer's segment via the Acero per-batch
+    hash-join path of joins.equi_join — left streams, nothing shuffles."""
+    from ..joins import equi_join
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = equi_join(orders, cust, on="o_custkey",
+                    right_on="c_custkey").to_pandas()
+    out = out[["o_orderkey", "o_totalprice", "c_mktsegment"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def lineitem_orders_priority_revenue(sf_dir: str):
+    """Large×large shuffle equi-join (broadcast deliberately disabled):
+    lineitem ⋈ orders on orderkey, then revenue per order priority via
+    the per-batch-combined grouped aggregate."""
+    from ..joins import equi_join
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    joined = equi_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       broadcast_cap=0)
+    out = grouped_agg(joined, ["o_orderpriority"],
+                      {"revenue": "revenue"},
+                      count_alias="n_items").to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def ngram_jaccard_documents(sf_dir: str):
     """Exact all-pairs k-gram Jaccard ≥ 0.5 — SQL-expressible ground truth
     for the text near-dup family (the LSH queries stay rows-only because

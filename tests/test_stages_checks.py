@@ -408,3 +408,43 @@ def test_phash_neardup_hashed_and_int_paths_agree(ray_mod=None):
     b = set((int(r.id_a[3:]), int(r.id_b[3:]), int(r.distance))
             for r in p_str.itertuples())
     assert a == b and len(a) >= 40
+
+
+def test_equi_join_broadcast_and_shuffle_paths():
+    """equi_join: Acero broadcast path vs Ray shuffle path agree with
+    pandas merge; null keys never match; semi/anti/left_outer semantics."""
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonschema_ray.joins import equi_join
+    L = pa.table({"k": [1, 2, 3, 4, None], "lv": ["a", "b", "c", "d", "e"]})
+    R = pa.table({"k": [2, 3, 3, None], "rv": [20, 30, 31, 99]})
+
+    def run(how, cap):
+        out = equi_join(rd.from_arrow(L), rd.from_arrow(R), "k",
+                        how=how, broadcast_cap=cap).to_pandas()
+        return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+    for cap in (1 << 30, 0):
+        got = run("inner", cap)
+        assert sorted(zip(got.k, got.rv)) == [(2, 20), (3, 30), (3, 31)]
+    lo = run("left_outer", 1 << 30)
+    assert len(lo) == 6  # every left row survives, incl. the null key
+    assert lo[lo.lv == "e"].rv.isna().all()
+    assert sorted(run("semi", 1 << 30).lv) == ["b", "c"]
+    assert sorted(run("anti", 1 << 30).lv) == ["a", "d", "e"]
+    assert len(run("full_outer", 0)) == 7  # 3 matches + 3 left + 1 right
+
+    # empty right side: typed results, no crash
+    er = rd.from_arrow(R.slice(0, 0))
+    assert equi_join(rd.from_arrow(L), er, "k",
+                     broadcast_cap=1 << 30).count() == 0
+    assert equi_join(rd.from_arrow(L), er, "k", how="anti",
+                     broadcast_cap=1 << 30).count() == 5
+    # shuffle path rejects semi/anti (needs the broadcast plan)
+    try:
+        equi_join(rd.from_arrow(L), rd.from_arrow(R), "k", how="semi",
+                  broadcast_cap=0)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "broadcast cap" in str(e)
