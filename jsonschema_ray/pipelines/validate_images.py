@@ -198,20 +198,27 @@ def _union_pad(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
-def _viol_counts_batch(t: pa.Table) -> pa.Table:
-    """Union batch → per-(fragment, keyword) violation COUNTS: the driver
-    aggregates count partials (O(batches × keywords)), never the
-    violation rows themselves."""
+def _wave_partials_batch(t: pa.Table) -> pa.Table:
+    """Union batch → stats partials (record_type "s", passed through) PLUS
+    per-(fragment, keyword) violation COUNT rows (record_type "c",
+    ``n`` column) in ONE pass. The driver pulls one execution's worth of
+    O(batches × (stat columns + keywords)) rows at ANY violation rate —
+    never the violation rows themselves (VERDICT-r2 item 6) — and the
+    wave costs no extra Ray execution over the r1 shape."""
+    schema = pa.schema(list(t.schema) + [pa.field("n", pa.int64())])
+    s = _union_pad(t.filter(pc.equal(t["record_type"], "s")), schema)
     v = t.filter(pc.equal(t["record_type"], "v"))
     if v.num_rows == 0:
-        return pa.table({"fragment_id": pa.array([], type=pa.string()),
-                         "keyword": pa.array([], type=pa.string()),
-                         "n": pa.array([], type=pa.int64())})
+        return s
     df = v.select(["path", "keyword"]).to_pandas()
     df["fragment_id"] = df["path"].map(os.path.basename)
     g = df.groupby(["fragment_id", "keyword"]).size().reset_index(name="n")
-    return pa.Table.from_pandas(g[["fragment_id", "keyword", "n"]],
-                                preserve_index=False)
+    c = _union_pad(pa.table({
+        "record_type": pa.array(["c"] * len(g), type=pa.string()),
+        "fragment_id": pa.array(g["fragment_id"], type=pa.string()),
+        "keyword": pa.array(g["keyword"], type=pa.string()),
+        "n": pa.array(g["n"], type=pa.int64())}), schema)
+    return pa.concat_tables([s, c])
 
 
 def _flagship_pass_batch(batch, *, doc_json, decode, check_phash,
@@ -362,24 +369,21 @@ def validate_images_pipeline(
         # kill in either window never double-counts or loses violations
         # (state/checkpoint.py module docstring)
         viol.write_parquet(store.violations_tmp_path(tag))
-        # per-(fragment, keyword) counts are aggregated INSIDE map_batches
-        # (one partial row per batch × keyword), so the driver sees
-        # O(batches × keywords) rows even when 100% of the input violates —
-        # never the violation rows themselves (VERDICT-r2 item 6)
-        counts = union.map_batches(
-            _viol_counts_batch, batch_format="pyarrow",
+        # ONE extra execution pulls stats partials + per-(fragment,
+        # keyword) count rows together — O(batches × (columns+keywords))
+        # driver rows even when 100% of the input violates; the violation
+        # rows themselves never land on the driver (VERDICT-r2 item 6)
+        parts = union.map_batches(
+            _wave_partials_batch, batch_format="pyarrow",
             zero_copy_batch=True).to_pandas()
-        if len(counts):
-            for k, c in counts.groupby("keyword")["n"].sum().items():
+        cnt = parts[parts["record_type"] == "c"]
+        if len(cnt):
+            for k, c in cnt.groupby("keyword")["n"].sum().items():
                 per_keyword[k] = per_keyword.get(k, 0) + int(c)
-            nviol_by_frag = counts.groupby("fragment_id")["n"].sum()
+            nviol_by_frag = cnt.groupby("fragment_id")["n"].sum()
         else:
             nviol_by_frag = pd.Series(dtype="int64")
-        # stats partials are bounded by construction: one row per
-        # (batch, column) — small at any violation rate
-        sp = union.map_batches(
-            lambda t: t.filter(pc.equal(t["record_type"], "s")),
-            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        sp = parts[parts["record_type"] == "s"]
         wall = time.perf_counter() - t0
         for f in wave:
             frag = os.path.basename(f)

@@ -165,7 +165,8 @@ def test_every_query_is_oracled_or_known_rows_only():
     q, o = oracle_pairs()
     rows_only = {
         "drift_events_value", "fingerprint_documents", "langid_documents",
-        "simhash_documents", "minhash_neardup_documents",
+        "simhash_documents", "simhash_neardup_documents",
+        "minhash_neardup_documents",
         "neardup_verified_documents", "ann_topk_embeddings",
         "ann_ivf_embeddings", "ann_ivf_index_embeddings",
         "embedding_neardup", "column_stats_approx_lineitem",
