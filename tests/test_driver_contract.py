@@ -70,6 +70,9 @@ def oracle_pairs():
     "events_last_order", "hopping_window_events", "events_orders_90d",
     "top3_orders_per_segment", "median_quantity_by_flag",
     "quantity_stats_by_flag", "distinct_parts_per_flag",
+    "ngram_jaccard_documents", "orders_customer_join",
+    "lineitem_orders_priority_revenue", "ann_topk_embeddings",
+    "embedding_neardup_exact",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
@@ -98,6 +101,7 @@ def test_query_matches_oracle(name, duck):
     ("validate_images_synth", 10),
     ("ann_ivf_index_embeddings", 10),
     ("image_features_synth", 100),
+    ("simhash_neardup_documents", 0),
 ])
 def test_rows_only_queries(name, min_rows):
     q, _ = oracle_pairs()
