@@ -88,6 +88,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_quantity_by_flag": R.median_quantity_by_flag,
         "embedding_neardup": R.embedding_neardup,         # rows-only
         # sketches + flagship
+        "term_frequency_documents": R.term_frequency_documents,  # oracled
+        "clean_documents": R.clean_documents,             # oracled
+        "chunk_documents": R.chunk_documents,             # oracled
+        "events_value_delta": R.events_value_delta,       # oracled
+        "quantity_percentiles": R.quantity_percentiles,   # oracled
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only
     }
@@ -414,5 +419,45 @@ FROM documents
 """,
         "lang_distribution": """
 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+""",
+        "term_frequency_documents": """
+SELECT term, n FROM (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term)
+ORDER BY n DESC, term LIMIT 50
+""",
+        "clean_documents": """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+           text, '\\b(a|an|the)\\b', '', 'g'), ' +', ' ', 'g')) AS clean_text
+FROM documents
+""",
+        "chunk_documents": """
+SELECT doc_id, chunk_id, substring(text, chunk_id * 150 + 1, 200) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(CASE WHEN length(text) > 200
+                     THEN ceil((length(text) - 200) / 150.0)
+                     ELSE 0 END AS BIGINT))) AS chunk_id
+  FROM documents)
+""",
+        "events_value_delta": """
+SELECT event_id,
+       value - lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS delta
+FROM events
+""",
+        "quantity_percentiles": """
+SELECT 'p25' AS pctl, quantile_disc(l_quantity, 0.25) AS value FROM lineitem
+UNION ALL
+SELECT 'p50', quantile_disc(l_quantity, 0.50) FROM lineitem
+UNION ALL
+SELECT 'p75', quantile_disc(l_quantity, 0.75) FROM lineitem
+UNION ALL
+SELECT 'p90', quantile_disc(l_quantity, 0.90) FROM lineitem
+UNION ALL
+SELECT 'p99', quantile_disc(l_quantity, 0.99) FROM lineitem
 """,
     }

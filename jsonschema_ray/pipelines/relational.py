@@ -982,3 +982,78 @@ def validate_images_synth(sf_dir: str):
         os.path.basename(sf_dir.rstrip("/")), 2000)
     ds = generate_images(n, seed=42)
     return validate_images(ds)
+
+
+# ---------------------------------------------------------------------------
+# text cleaning / chunking (LLM-pipeline stages, all SQL-oracled)
+
+
+def term_frequency_documents(sf_dir: str):
+    """Global top-50 whitespace-token counts: per-batch combiner partials
+    (one row per term per batch) → vocabulary-sized groupby → tiny sort."""
+    from ..text.transform import term_frequency
+    return term_frequency(_read(sf_dir, "documents", columns=["text"]),
+                          top_n=50)
+
+
+def clean_documents(sf_dir: str):
+    """Stopword removal + whitespace collapse — RE2 on both sides, so
+    DuckDB regexp_replace is an exact oracle."""
+    from ..text.transform import normalize_text
+    return normalize_text(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]),
+                          keep_cols=("doc_id",))
+
+
+def chunk_documents(sf_dir: str):
+    """Overlapping char-window chunking (window 200, stride 150) —
+    codepoint indexing matches SQL substring()."""
+    from ..text.transform import chunk_text
+    return chunk_text(_read(sf_dir, "documents",
+                            columns=["doc_id", "text"]),
+                      window=200, stride=150)
+
+
+def events_value_delta(sf_dir: str):
+    """Per-user lag window: value minus the previous value ordered by
+    (ts, event_id). Same partitioned-group shape as sessions/running
+    totals; the delta of identical doubles is deterministic, no rounding
+    needed."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        lagged = df.groupby("user_id", sort=False)["value"].shift(1)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "delta": (df["value"] - lagged).to_numpy()})
+
+    return partitioned_group_apply(ds, ["user_id"], deltas)
+
+
+def quantity_percentiles(sf_dir: str):
+    """Exact global discrete quantiles of l_quantity via a distributed
+    value histogram: per-batch value_counts partials → one small groupby
+    (≤ #distinct values rows) → driver-side cumulative index. Matches
+    DuckDB quantile_disc (0-based index ceil(q·n)−1, verified)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        vc = b.group_by(["l_quantity"]).aggregate([([], "count_all")])
+        return vc.rename_columns(["l_quantity", "n_part"])
+
+    from ray.data.aggregate import Sum
+    counts = ds.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("l_quantity").aggregate(Sum("n_part", alias_name="n")) \
+        .to_pandas().sort_values("l_quantity").reset_index(drop=True)
+    cum = counts["n"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        idx = max(int(np.ceil(q * n)) - 1, 0)
+        pos = int(np.searchsorted(cum, idx + 1))
+        rows.append({"pctl": f"p{int(q * 100)}",
+                     "value": float(counts["l_quantity"].iloc[pos])})
+    return pd.DataFrame(rows).sort_values("pctl").reset_index(drop=True)

@@ -1,5 +1,7 @@
 from .analysis import (TextFeaturesStage, add_text_features, langid_batch,
                        simhash64_batch, token_counts)
+from .transform import chunk_text, normalize_text, term_frequency
 
 __all__ = ["TextFeaturesStage", "add_text_features", "langid_batch",
-           "simhash64_batch", "token_counts"]
+           "simhash64_batch", "token_counts", "chunk_text",
+           "normalize_text", "term_frequency"]

@@ -1,0 +1,141 @@
+"""Text transformation stages for LLM-pipeline cleaning: term counting,
+normalization (stopword removal), and char-window chunking.
+
+All three are pure ``map_batches`` transforms built on pyarrow.compute
+string kernels (RE2 — the same regex engine DuckDB uses, so the SQL
+oracles match bit-for-bit). Per-batch partial aggregation keeps the only
+shuffle (term counting) down to one row per (term, batch).
+
+Reference parity note: the reference engine (altshiftab/jsonschema) has
+no text-cleaning surface; these stages are part of the
+large-scale-training-data extension mandated alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _combine(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+# ---------------------------------------------------------------------------
+# distributed term frequency (wordcount with per-batch combining)
+
+
+def _term_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
+    toks = pc.list_flatten(pc.split_pattern(_combine(batch[text_col]), " "))
+    toks = toks.filter(pc.not_equal(toks, ""))
+    out = pa.table({"term": toks}).group_by(["term"]).aggregate(
+        [([], "count_all")])
+    return out.rename_columns(["term", "n_part"])
+
+
+def term_frequency(ds, text_col: str = "text", top_n: int | None = None):
+    """Global whitespace-token counts. Each batch emits one partial row
+    per distinct term (the classic combiner), so the groupby shuffles
+    vocabulary-sized partials, never the token stream. ``top_n`` sorts by
+    (count desc, term asc) and truncates — the final table is
+    vocabulary-sized, so the sort is cheap."""
+    from ray.data.aggregate import Sum
+    import functools
+
+    partials = ds.select_columns([text_col]).map_batches(
+        functools.partial(_term_partials, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = partials.groupby("term").aggregate(Sum("n_part", alias_name="n"))
+    if top_n is None:
+        return counts
+    df = counts.to_pandas()
+    df = df.sort_values(["n", "term"], ascending=[False, True],
+                        kind="mergesort").head(top_n)
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# normalization: stopword removal + whitespace collapse
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "clean_text",
+                   stopwords: tuple = ("a", "an", "the"),
+                   keep_cols: tuple = ()):
+    r"""Remove whole-token stopwords and collapse runs of spaces.
+
+    Vectorized as two RE2 ``replace_substring_regex`` passes
+    (``\b(a|an|the)\b`` → '' then ``' +'`` → ' ') plus a trim; DuckDB's
+    ``regexp_replace(..., 'g')`` is the exact oracle because both engines
+    are RE2."""
+    pat = r"\b(" + "|".join(stopwords) + r")\b"
+    cols = list(keep_cols)
+
+    def fn(b: pa.Table) -> pa.Table:
+        col = _combine(b[text_col])
+        col = pc.replace_substring_regex(col, pattern=pat, replacement="")
+        col = pc.replace_substring_regex(col, pattern=" +", replacement=" ")
+        col = pc.utf8_trim_whitespace(col)
+        out = {c: b[c] for c in cols}
+        out[out_col] = col
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# char-window chunking with overlap
+
+
+def n_chunks_for(lengths: np.ndarray, window: int, stride: int) -> np.ndarray:
+    """1 chunk for len<=window (including empty), then one more per
+    stride: 1 + ceil((len-window)/stride)."""
+    extra = np.maximum(lengths - window, 0)
+    return 1 + np.ceil(extra / stride).astype(np.int64)
+
+
+def _chunk_batch(batch: pa.Table, *, id_col: str, text_col: str,
+                 window: int, stride: int) -> pa.Table:
+    col = _combine(batch[text_col])
+    ids = _combine(batch[id_col])
+    lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+    nch = n_chunks_for(lens, window, stride)
+    parts_id, parts_j, parts_c = [], [], []
+    # level-wise slicing: pass j selects the rows with > j chunks and takes
+    # ONE vectorized codepoint slice per level — no per-row Python work;
+    # the number of levels is bounded by (max_len/stride), not row count
+    j = 0
+    alive = np.arange(len(lens))
+    while True:
+        alive = alive[nch[alive] > j]
+        if len(alive) == 0:
+            break
+        idx = pa.array(alive)
+        sl = pc.utf8_slice_codeunits(col.take(idx), start=j * stride,
+                                     stop=j * stride + window)
+        parts_id.append(ids.take(idx))
+        parts_j.append(pa.array(np.full(len(alive), j, dtype=np.int64)))
+        parts_c.append(sl)
+        j += 1
+    if not parts_id:
+        return pa.table({id_col: pa.array([], type=ids.type),
+                         "chunk_id": pa.array([], type=pa.int64()),
+                         "chunk": pa.array([], type=pa.string())})
+    return pa.table({id_col: pa.concat_arrays(parts_id),
+                     "chunk_id": pa.concat_arrays(parts_j),
+                     "chunk": pa.concat_arrays(
+                         [c.cast(pa.string()) for c in parts_c])})
+
+
+def chunk_text(ds, id_col: str = "doc_id", text_col: str = "text",
+               window: int = 200, stride: int = 150):
+    """Explode each document into overlapping char-window chunks
+    (start = chunk_id*stride, length = window, codepoint indexing — the
+    semantics of SQL ``substring``). Streaming: each batch fans out
+    independently; no shuffle."""
+    import functools
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(_chunk_batch, id_col=id_col, text_col=text_col,
+                          window=window, stride=stride),
+        batch_format="pyarrow", zero_copy_batch=True)

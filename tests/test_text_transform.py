@@ -1,0 +1,76 @@
+"""Unit tests for text/transform.py (term frequency, normalization,
+chunking) — edge cases the sf-corpus oracle test can't reach: empty
+strings, unicode codepoints, exact chunk-count math."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jsonschema_ray.text.transform import (chunk_text, n_chunks_for,
+                                           normalize_text, term_frequency)
+
+
+def _ds(rows):
+    import ray.data
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_n_chunks_math():
+    lens = np.array([0, 1, 200, 201, 350, 351, 500])
+    # window 200 stride 150: <=200 → 1; 201..350 → 2; 351..500 → 3
+    assert n_chunks_for(lens, 200, 150).tolist() == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_chunk_text_exact(ray_session):
+    text = "abcdefghij" * 40  # 400 chars → 3 chunks (0,150,300)
+    ds = _ds([{"doc_id": 1, "text": text},
+              {"doc_id": 2, "text": ""},
+              {"doc_id": 3, "text": "short"}])
+    out = chunk_text(ds, window=200, stride=150).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    got = {(r.doc_id, r.chunk_id): r.chunk for r in out.itertuples()}
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)}
+    assert got[(1, 0)] == text[0:200]
+    assert got[(1, 1)] == text[150:350]
+    assert got[(1, 2)] == text[300:400]  # final partial window
+    assert got[(2, 0)] == ""
+    assert got[(3, 0)] == "short"
+
+
+def test_chunk_text_unicode_codepoints(ray_session):
+    # multi-byte codepoints: slicing must count characters, not bytes
+    text = "é" * 10 + "X" + "漢" * 10
+    ds = _ds([{"doc_id": 7, "text": text}])
+    out = chunk_text(ds, window=8, stride=6).to_pandas() \
+        .sort_values("chunk_id").reset_index(drop=True)
+    for r in out.itertuples():
+        assert r.chunk == text[r.chunk_id * 6:r.chunk_id * 6 + 8]
+    assert len(out) == 1 + int(np.ceil((len(text) - 8) / 6))
+
+
+def test_normalize_text(ray_session):
+    ds = _ds([{"doc_id": 1, "text": "the cat and a hat"},
+              {"doc_id": 2, "text": "a  the  an"},
+              {"doc_id": 3, "text": "theater announce"},  # no token match
+              {"doc_id": 4, "text": ""}])
+    out = normalize_text(ds, keep_cols=("doc_id",)).to_pandas() \
+        .set_index("doc_id")["clean_text"].to_dict()
+    assert out[1] == "cat and hat"
+    assert out[2] == ""
+    assert out[3] == "theater announce"  # \b keeps word-internal matches
+    assert out[4] == ""
+
+
+def test_term_frequency(ray_session):
+    ds = _ds([{"text": "x y x"}, {"text": "y  z"}, {"text": ""}])
+    out = term_frequency(ds)
+    df = out.to_pandas().set_index("term")["n"].to_dict()
+    assert df == {"x": 2, "y": 2, "z": 1}  # empty splits dropped
+
+
+def test_term_frequency_topn_tiebreak(ray_session):
+    ds = _ds([{"text": "b a c a b d"}])
+    df = term_frequency(ds, top_n=3)
+    # count desc, then term asc: a(2), b(2), then c/d(1) → c
+    assert df["term"].tolist() == ["a", "b", "c"]
+    assert df["n"].tolist() == [2, 2, 1]
