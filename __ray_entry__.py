@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_quantity_by_flag": R.median_quantity_by_flag,
         "embedding_neardup": R.embedding_neardup,         # rows-only
         # sketches + flagship
+        "bpe_token_count_documents": R.bpe_token_count_documents,  # oracled
         "term_frequency_documents": R.term_frequency_documents,  # oracled
         "clean_documents": R.clean_documents,             # oracled
         "chunk_documents": R.chunk_documents,             # oracled
@@ -419,6 +420,15 @@ FROM documents
 """,
         "lang_distribution": """
 SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+""",
+        "bpe_token_count_documents": """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+         AS n_tokens_ws,
+       CAST(length(regexp_extract_all(text,
+         '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+         )) AS BIGINT) AS n_tokens_bpe
+FROM documents
 """,
         "term_frequency_documents": """
 SELECT term, n FROM (

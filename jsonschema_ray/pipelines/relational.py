@@ -1057,3 +1057,19 @@ def quantity_percentiles(sf_dir: str):
         rows.append({"pctl": f"p{int(q * 100)}",
                      "value": float(counts["l_quantity"].iloc[pos])})
     return pd.DataFrame(rows).sort_values("pctl").reset_index(drop=True)
+
+
+def bpe_token_count_documents(sf_dir: str):
+    """Token counting with a BPE-ish regex (GPT-2-shaped, RE2-compatible)
+    alongside the whitespace count — the two standard budget estimators
+    for LLM training data."""
+    from ..text.analysis import bpe_token_counts, token_counts
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        col = b["text"].combine_chunks()
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens_ws": pa.array(token_counts(col)),
+                         "n_tokens_bpe": pa.array(bpe_token_counts(col))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

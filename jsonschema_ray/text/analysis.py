@@ -34,6 +34,21 @@ def token_counts(arr: pa.Array) -> np.ndarray:
         zero_copy_only=False).astype(np.int64)
 
 
+# BPE-ish tokenizer regex (GPT-2 family shape, RE2-compatible: the
+# original's \s+(?!\S) lookahead is dropped — RE2 has no lookarounds —
+# so trailing whitespace runs count as one token)
+BPE_TOKEN_PATTERN = (r"'(s|t|re|ve|m|ll|d)"
+                     r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def bpe_token_counts(arr: pa.Array) -> np.ndarray:
+    """Subword-ish token count per string: number of BPE_TOKEN_PATTERN
+    matches. Both this engine (pyarrow) and DuckDB run RE2, so
+    ``length(regexp_extract_all(text, pattern))`` is an exact oracle."""
+    return pc.count_substring_regex(arr, BPE_TOKEN_PATTERN).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
 def quality_features(arr: pa.Array, ndigits: int = 4) -> dict:
     """Quality-scoring features per string, each reproducible in ANSI SQL:
     n_chars (code points), n_tokens, alpha_ratio, space_ratio, digit_ratio,

@@ -72,7 +72,8 @@ def oracle_pairs():
     "quantity_stats_by_flag", "distinct_parts_per_flag",
     "ngram_jaccard_documents", "orders_customer_join",
     "lineitem_orders_priority_revenue", "ann_topk_embeddings",
-    "embedding_neardup_exact", "term_frequency_documents",
+    "embedding_neardup_exact", "bpe_token_count_documents",
+    "term_frequency_documents",
     "clean_documents", "chunk_documents", "events_value_delta",
     "quantity_percentiles",
 ])

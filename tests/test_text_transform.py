@@ -74,3 +74,17 @@ def test_term_frequency_topn_tiebreak(ray_session):
     # count desc, then term asc: a(2), b(2), then c/d(1) → c
     assert df["term"].tolist() == ["a", "b", "c"]
     assert df["n"].tolist() == [2, 2, 1]
+
+
+def test_bpe_token_counts_vs_duckdb():
+    import duckdb
+    from jsonschema_ray.text.analysis import BPE_TOKEN_PATTERN, \
+        bpe_token_counts
+    texts = ["I'll say it's fine, really.", "abc123 !?  ", "", "héllo wörld",
+             "don't,  can't...  42x  \t tab"]
+    got = bpe_token_counts(pa.array(texts)).tolist()
+    exp = [duckdb.sql(
+        "select length(regexp_extract_all(?, ?))",
+        params=[t, BPE_TOKEN_PATTERN]).fetchone()[0] for t in texts]
+    assert got == exp
+    assert got[2] == 0
