@@ -34,12 +34,21 @@ def _term_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
     return out.rename_columns(["term", "n_part"])
 
 
+def _local_topk(batch: pa.Table, *, k: int) -> pa.Table:
+    df = batch.to_pandas().sort_values(["n", "term"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(k)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def term_frequency(ds, text_col: str = "text", top_n: int | None = None):
     """Global whitespace-token counts. Each batch emits one partial row
     per distinct term (the classic combiner), so the groupby shuffles
-    vocabulary-sized partials, never the token stream. ``top_n`` sorts by
-    (count desc, term asc) and truncates — the final table is
-    vocabulary-sized, so the sort is cheap."""
+    vocabulary-sized partials, never the token stream. ``top_n`` computes
+    per-block local top-k over the grouped counts (each term's total
+    lives in exactly one block after the groupby) and merges the
+    O(blocks × k) survivors on the driver — the full vocabulary is never
+    driver-resident."""
     from ray.data.aggregate import Sum
     import functools
 
@@ -49,9 +58,11 @@ def term_frequency(ds, text_col: str = "text", top_n: int | None = None):
     counts = partials.groupby("term").aggregate(Sum("n_part", alias_name="n"))
     if top_n is None:
         return counts
-    df = counts.to_pandas()
-    df = df.sort_values(["n", "term"], ascending=[False, True],
-                        kind="mergesort").head(top_n)
+    survivors = counts.map_batches(
+        functools.partial(_local_topk, k=top_n),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    df = survivors.sort_values(["n", "term"], ascending=[False, True],
+                               kind="mergesort").head(top_n)
     return df.reset_index(drop=True)
 
 
