@@ -140,6 +140,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.events_last_order(sf_dir).count())
     timed("hopping_window_events",
           lambda: R.hopping_window_events(sf_dir))
+    timed("chunk_documents",
+          lambda: R.chunk_documents(sf_dir).count())
+    timed("term_frequency_documents",
+          lambda: len(R.term_frequency_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {
