@@ -68,14 +68,24 @@ def _brute_force_batch(batch: pa.Table, *, queries_ref, vec_col: str,
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     sim = Q @ V.T                            # (nq, nb)
     k = min(k, sim.shape[1])
-    # local top-k per query (argpartition, then exact merge later)
+    # local top-k per query: argpartition picks an ARBITRARY subset of
+    # rows tied at the k-th score, but the global contract tie-breaks by
+    # (score desc, id asc) — so rows strictly above the k-th score are
+    # kept as-is and the boundary ties are filled with the SMALLEST ids,
+    # making the batch-local survivors a superset of the global winners
     part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
     out_q, out_id, out_s = [], [], []
     for qi in range(sim.shape[0]):
-        cols = part[qi]
+        row = sim[qi]
+        skth = row[part[qi]].min()
+        above = np.nonzero(row > skth)[0]
+        ties = np.nonzero(row == skth)[0]
+        need = k - len(above)
+        sel_t = ties[np.argsort(ids[ties], kind="stable")[:need]]
+        cols = np.concatenate([above, sel_t])
         out_q.append(np.full(k, qids[qi]))
         out_id.append(ids[cols])
-        out_s.append(sim[qi, cols])
+        out_s.append(row[cols])
     return pa.table({
         "query_id": pa.array(np.concatenate(out_q)),
         id_col: pa.array(np.concatenate(out_id)),

@@ -300,9 +300,9 @@ def exact_cosine_pairs(ds, vec_col: str = "embedding",
             "use embedding_near_duplicates (LSH) at scale")
     id_type = ds.schema().base_schema.field(id_col).type
     fdf = source.to_pandas()
-    from ..ann.search import _unit_rows
+    from ..ann.search import _unit_rows as _unit_rows_mat
     ids_all = fdf[id_col].to_numpy()
-    U_all = _unit_rows(np.stack(
+    U_all = _unit_rows_mat(np.stack(
         [np.asarray(v, dtype=np.float64) for v in fdf[vec_col]]))
     ref = ray.put((ids_all, U_all))
 
@@ -310,8 +310,9 @@ def exact_cosine_pairs(ds, vec_col: str = "embedding",
         from ..util import worker_cached
         ids_a, U_a = worker_cached(("exactcos", ref.hex()),
                                    lambda: ray.get(ref))
-        from ..ann.search import embedding_matrix, _unit_rows
-        Ub = _unit_rows(embedding_matrix(b.column(vec_col)))
+        from ..ann.search import embedding_matrix, \
+            _unit_rows as _unit_rows_mat
+        Ub = _unit_rows_mat(embedding_matrix(b.column(vec_col)))
         idb = b.column(id_col).to_numpy(zero_copy_only=False)
         cos = Ub @ U_a.T                       # (batch, corpus)
         bi, ai = np.nonzero(cos >= threshold)

@@ -1040,7 +1040,10 @@ def quantity_percentiles(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
 
     def hist(b: pa.Table) -> pa.Table:
-        vc = b.group_by(["l_quantity"]).aggregate([([], "count_all")])
+        # drop nulls BEFORE counting: SQL quantile_disc ignores NULLs,
+        # while pa group_by would emit a null bin that shifts every index
+        vc = b.drop_null().group_by(["l_quantity"]).aggregate(
+            [([], "count_all")])
         return vc.rename_columns(["l_quantity", "n_part"])
 
     from ray.data.aggregate import Sum
@@ -1052,6 +1055,9 @@ def quantity_percentiles(sf_dir: str):
     n = int(cum[-1]) if len(cum) else 0
     rows = []
     for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        if n == 0:  # all-null / empty column: quantile_disc yields NULL
+            rows.append({"pctl": f"p{int(q * 100)}", "value": None})
+            continue
         idx = max(int(np.ceil(q * n)) - 1, 0)
         pos = int(np.searchsorted(cum, idx + 1))
         rows.append({"pctl": f"p{int(q * 100)}",

@@ -27,11 +27,12 @@ _STOPWORDS = {
 }
 
 
-def token_counts(arr: pa.Array) -> np.ndarray:
+def token_counts(arr: pa.Array) -> pa.Array:
     """Whitespace-token count per string: number of ``\\S+`` matches
-    (matches DuckDB ``length(regexp_extract_all(text, '\\S+'))``)."""
-    return pc.count_substring_regex(arr, r"\S+").to_numpy(
-        zero_copy_only=False).astype(np.int64)
+    (matches DuckDB ``length(regexp_extract_all(text, '\\S+'))``).
+    Null strings stay null (the SQL result is NULL) — returned as a
+    null-preserving Arrow int64 array, never a NaN-cast numpy array."""
+    return pc.count_substring_regex(arr, r"\S+").cast(pa.int64())
 
 
 # BPE-ish tokenizer regex (GPT-2 family shape, RE2-compatible: the
@@ -41,12 +42,12 @@ BPE_TOKEN_PATTERN = (r"'(s|t|re|ve|m|ll|d)"
                      r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
 
 
-def bpe_token_counts(arr: pa.Array) -> np.ndarray:
+def bpe_token_counts(arr: pa.Array) -> pa.Array:
     """Subword-ish token count per string: number of BPE_TOKEN_PATTERN
     matches. Both this engine (pyarrow) and DuckDB run RE2, so
-    ``length(regexp_extract_all(text, pattern))`` is an exact oracle."""
-    return pc.count_substring_regex(arr, BPE_TOKEN_PATTERN).to_numpy(
-        zero_copy_only=False).astype(np.int64)
+    ``length(regexp_extract_all(text, pattern))`` is an exact oracle;
+    null strings stay null on both sides."""
+    return pc.count_substring_regex(arr, BPE_TOKEN_PATTERN).cast(pa.int64())
 
 
 def quality_features(arr: pa.Array, ndigits: int = 4) -> dict:

@@ -76,10 +76,23 @@ def normalize_text(ds, text_col: str = "text", out_col: str = "clean_text",
     r"""Remove whole-token stopwords and collapse runs of spaces.
 
     Vectorized as two RE2 ``replace_substring_regex`` passes
-    (``\b(a|an|the)\b`` → '' then ``' +'`` → ' ') plus a trim; DuckDB's
-    ``regexp_replace(..., 'g')`` is the exact oracle because both engines
-    are RE2."""
-    pat = r"\b(" + "|".join(stopwords) + r")\b"
+    (``\ba\b|\ban\b|\bthe\b`` → '' then ``' +'`` → ' ') plus a trim;
+    DuckDB's ``regexp_replace(..., 'g')`` is the exact oracle because
+    both engines are RE2. Stopwords are regex-escaped; RE2 has no
+    lookarounds, so each alternative gets a ``\b`` anchor only on the
+    side whose edge char IS a word char (``\b`` next to a non-word edge
+    like ``c++`` would *require* an adjacent word char — the opposite of
+    a token boundary)."""
+    import re
+
+    def _alt(w: str) -> str:
+        word = "0123456789_abcdefghijklmnopqrstuvwxyz" \
+               "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        lead = r"\b" if w and w[0] in word else ""
+        trail = r"\b" if w and w[-1] in word else ""
+        return lead + re.escape(w) + trail
+
+    pat = "(" + "|".join(_alt(w) for w in stopwords) + ")"
     cols = list(keep_cols)
 
     def fn(b: pa.Table) -> pa.Table:
@@ -109,7 +122,12 @@ def _chunk_batch(batch: pa.Table, *, id_col: str, text_col: str,
                  window: int, stride: int) -> pa.Table:
     col = _combine(batch[text_col])
     ids = _combine(batch[id_col])
-    lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+    # null text → length NaN; treat as 0 so the row still emits ONE chunk
+    # (a null chunk, since slicing a null string yields null) — matching
+    # the SQL oracle, where substring(NULL,…) is NULL but the row exists
+    lens = np.nan_to_num(
+        pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(
+            np.float64), nan=0.0).astype(np.int64)
     nch = n_chunks_for(lens, window, stride)
     parts_id, parts_j, parts_c = [], [], []
     # level-wise slicing: pass j selects the rows with > j chunks and takes

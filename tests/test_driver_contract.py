@@ -174,7 +174,7 @@ def test_every_query_is_oracled_or_known_rows_only():
         "drift_events_value", "fingerprint_documents", "langid_documents",
         "simhash_documents", "simhash_neardup_documents",
         "minhash_neardup_documents",
-        "neardup_verified_documents", "ann_topk_embeddings",
+        "neardup_verified_documents",
         "ann_ivf_embeddings", "ann_ivf_index_embeddings",
         "embedding_neardup", "column_stats_approx_lineitem",
         "validate_images_synth", "image_features_synth",

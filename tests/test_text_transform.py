@@ -3,6 +3,7 @@ chunking) — edge cases the sf-corpus oracle test can't reach: empty
 strings, unicode codepoints, exact chunk-count math."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -88,3 +89,28 @@ def test_bpe_token_counts_vs_duckdb():
         params=[t, BPE_TOKEN_PATTERN]).fetchone()[0] for t in texts]
     assert got == exp
     assert got[2] == 0
+
+
+def test_chunk_text_null_text(ray_session):
+    ds = _ds([{"doc_id": 1, "text": None}, {"doc_id": 2, "text": "ab"}])
+    out = chunk_text(ds, window=200, stride=150).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # null text still emits ONE row with a null chunk (SQL substring(NULL))
+    assert len(out) == 2
+    assert out.loc[0, "chunk"] is None or pd.isna(out.loc[0, "chunk"])
+    assert out.loc[1, "chunk"] == "ab"
+
+
+def test_token_counts_null_preserving():
+    from jsonschema_ray.text.analysis import bpe_token_counts, token_counts
+    arr = pa.array(["a b", None, ""])
+    assert token_counts(arr).to_pylist() == [2, None, 0]
+    assert bpe_token_counts(arr).to_pylist() == [2, None, 0]
+
+
+def test_normalize_text_metachar_stopwords(ray_session):
+    ds = _ds([{"doc_id": 1, "text": "c++ and aXb a.b"}])
+    out = normalize_text(ds, stopwords=("c++", "a.b"),
+                         keep_cols=("doc_id",)).to_pandas()
+    # escaped: c++ removed as a token, a.b removed literally, aXb survives
+    assert out["clean_text"].iloc[0] == "and aXb"
