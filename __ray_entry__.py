@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": R.chunk_documents,             # oracled
         "events_value_delta": R.events_value_delta,       # oracled
         "quantity_percentiles": R.quantity_percentiles,   # oracled
+        "tfidf_documents": R.tfidf_documents,             # oracled
+        "pii_documents": R.pii_documents,                 # oracled
+        "repetition_documents": R.repetition_documents,   # oracled
+        "revenue_by_nation": R.revenue_by_nation,         # oracled
+        "customers_no_bigorder": R.customers_no_bigorder,  # oracled
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only
     }
@@ -469,5 +474,62 @@ UNION ALL
 SELECT 'p90', quantile_disc(l_quantity, 0.90) FROM lineitem
 UNION ALL
 SELECT 'p99', quantile_disc(l_quantity, 0.99) FROM lineitem
+""",
+        "tfidf_documents": """
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       CAST(floor(10000 * tf.tf * ln(CAST(n.c AS DOUBLE) / df.df))
+            AS BIGINT) AS tfidf_bp
+FROM tf JOIN df USING (term) CROSS JOIN n
+""",
+        "pii_documents": """
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text,
+    '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+    AS BIGINT) AS n_email,
+  CAST(length(regexp_extract_all(text,
+    '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phone,
+  CAST(length(regexp_extract_all(text,
+    '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4
+FROM documents
+""",
+        "repetition_documents": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS c
+       FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(floor(10000.0 * (1 - count(*) * 1.0 / sum(c)))
+                    AS BIGINT) AS dup_word_bp,
+               CAST(floor(10000.0 * max(c) / sum(c)) AS BIGINT)
+                 AS top_word_bp
+        FROM tc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(per.n_words, 0) AS n_words,
+       coalesce(per.dup_word_bp, 0) AS dup_word_bp,
+       coalesce(per.top_word_bp, 0) AS top_word_bp
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+        "revenue_by_nation": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+        "customers_no_bigorder": """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice >= 200000)
+ORDER BY c_custkey
 """,
     }

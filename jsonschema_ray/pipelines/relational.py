@@ -1079,3 +1079,88 @@ def bpe_token_count_documents(sf_dir: str):
                          "n_tokens_bpe": pa.array(bpe_token_counts(col))})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_documents(sf_dir: str):
+    """Distributed TF-IDF over whitespace tokens: per-batch (doc, term,
+    tf) partials, vocabulary-sized df via groupby, size-chosen equi-join
+    back onto the streaming tf table. Integer basis-point scores keep the
+    SQL oracle exact (libm log on both sides)."""
+    from ..text.transform import tfidf
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    return tfidf(ds, n_docs=n_docs)
+
+
+def pii_documents(sf_dir: str):
+    """PII-ish pattern screening counts (email / phone / IPv4) — RE2
+    non-overlapping match counts on both engines."""
+    from ..text.analysis import pii_counts
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        out = {"doc_id": b["doc_id"]}
+        out.update(pii_counts(b["text"].combine_chunks()))
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_documents(sf_dir: str):
+    """Gopher-style word-repetition quality signals (duplicate-word and
+    top-word fractions, integer basis points)."""
+    from ..text.analysis import repetition_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return repetition_features(b["doc_id"].combine_chunks(),
+                                   b["text"].combine_chunks())
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def revenue_by_nation(sf_dir: str):
+    """Three-way join composition: lineitem ⋈ orders (large×large
+    partitioned shuffle) ⋈ customer (broadcast) with the nation name
+    attached from a broadcast lookup, then the per-batch-combined grouped
+    aggregate. The classic TPC-H Q5 shape without the date filters."""
+    from ..joins import equi_join
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    oc = equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    oc = oc.select_columns(["o_orderkey", "c_nationkey"])
+    joined = equi_join(li, oc, on="l_orderkey", right_on="o_orderkey",
+                       broadcast_cap=0)
+    per_key = grouped_agg(joined, ["c_nationkey"], {"revenue": "revenue"},
+                          count_alias="n_items").to_pandas()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    out = per_key.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out["revenue"] = out["revenue"].round(2)
+    out = out[["n_name", "revenue", "n_items"]]
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def customers_no_bigorder(sf_dir: str):
+    """Distributed anti-join: customers that never placed an order over
+    200k (push the filter into the read, then a broadcast Acero
+    anti-join — the right side shrinks before it ships)."""
+    from ..joins import equi_join
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(
+        expr="o_totalprice >= 200000").select_columns(["o_custkey"])
+    out = equi_join(cust, big, on="c_custkey", right_on="o_custkey",
+                    how="anti").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -238,3 +238,70 @@ def add_text_features(ds, text_col: str = "text", batch_size: int = 8192,
     return ds.map_batches(
         functools.partial(_text_features_batch, text_col=text_col,
                           cfg_items=tuple(sorted(cfg.items()))), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# PII-ish pattern counting (RE2 both sides → SQL-oracled)
+
+# Non-overlapping match counts; RE2 syntax shared verbatim with DuckDB's
+# regexp_extract_all, so `length(regexp_extract_all(text, pat))` is an
+# exact oracle. These are screening signals for pipeline routing, not a
+# PII detector.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+)
+
+
+def pii_counts(arr: pa.Array) -> dict:
+    """Per-string non-overlapping match counts for each PII-ish pattern.
+    Null strings stay null (SQL NULL propagation)."""
+    return {f"n_{name}": pc.count_substring_regex(arr, pat).cast(pa.int64())
+            for name, pat in PII_PATTERNS}
+
+
+# ---------------------------------------------------------------------------
+# repetition-quality signals (Gopher-style duplicate-token fractions)
+
+
+def repetition_features(ids: pa.Array, arr: pa.Array,
+                        ndigits: int = 4) -> pa.Table:
+    """Per-document word-repetition signals over whitespace tokens:
+    ``n_words``, ``dup_word_bp = floor(10^d·(1 − distinct/words))`` and
+    ``top_word_bp = floor(10^d·max_count/words)`` — the duplicate-line /
+    top-n-gram fraction family of quality filters, at word granularity
+    (the synthetic corpus has no newlines). Zero-token docs (empty or
+    null text) report 0 for all three, keeping one output row per input
+    row like the SQL ``LEFT JOIN``-against-unnest oracle.
+
+    Vectorized: one split → flat (row, token) frame → two pandas groupbys
+    (value_counts per (row, token), then per-row sum/size/max); no Python
+    loop over rows or tokens.
+    """
+    import pandas as pd
+    toks = pc.split_pattern(arr, " ")
+    par = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    df = pd.DataFrame({"row": par.to_numpy(zero_copy_only=False)[
+                           keep.to_numpy(zero_copy_only=False)],
+                       "tok": flat.filter(keep).to_pandas()})
+    n = len(arr)
+    n_words = np.zeros(n, dtype=np.int64)
+    dup_bp = np.zeros(n, dtype=np.int64)
+    top_bp = np.zeros(n, dtype=np.int64)
+    if len(df):
+        vc = df.groupby(["row", "tok"], sort=False).size()
+        per = vc.groupby(level="row", sort=False).agg(["sum", "size", "max"])
+        rix = per.index.to_numpy()
+        tot = per["sum"].to_numpy(dtype=np.float64)
+        scale = float(10 ** ndigits)
+        n_words[rix] = per["sum"].to_numpy()
+        dup_bp[rix] = np.floor(
+            scale * (1.0 - per["size"].to_numpy() / tot)).astype(np.int64)
+        top_bp[rix] = np.floor(
+            scale * per["max"].to_numpy() / tot).astype(np.int64)
+    return pa.table({"doc_id": ids, "n_words": pa.array(n_words),
+                     "dup_word_bp": pa.array(dup_bp),
+                     "top_word_bp": pa.array(top_bp)})

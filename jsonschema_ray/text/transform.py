@@ -168,3 +168,57 @@ def chunk_text(ds, id_col: str = "doc_id", text_col: str = "text",
         functools.partial(_chunk_batch, id_col=id_col, text_col=text_col,
                           window=window, stride=stride),
         batch_format="pyarrow", zero_copy_batch=True)
+
+# ---------------------------------------------------------------------------
+# TF-IDF: per-(doc, term) weights with a distributed document-frequency join
+
+
+def _tf_partials(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
+    """(doc, term) → term frequency, exact per batch: a document lives in
+    exactly one row, so per-batch grouping is per-document grouping."""
+    toks = pc.split_pattern(_combine(batch[text_col]), " ")
+    par = pc.list_parent_indices(toks)
+    t = pa.table({id_col: _combine(batch[id_col]).take(par),
+                  "term": pc.list_flatten(toks)})
+    t = t.filter(pc.not_equal(t["term"], ""))
+    tf = t.group_by([id_col, "term"]).aggregate([([], "count_all")])
+    return tf.rename_columns([id_col, "term", "tf"])
+
+
+def tfidf(ds, n_docs: int, id_col: str = "doc_id", text_col: str = "text",
+          ndigits: int = 4):
+    """Per-(document, term) TF-IDF over whitespace tokens.
+
+    Plan: per-batch exact (doc, term, tf) partials (no shuffle — a doc is
+    one row), document frequency via ``groupby(term).count()`` over those
+    partials (each (doc, term) exists exactly once globally), then a
+    size-chosen equi-join of the streaming tf table against the
+    vocabulary-sized df table — broadcast under the cap, partitioned
+    shuffle join above it. The token stream itself never shuffles.
+
+    Score = ``floor(10^ndigits · tf · ln(n_docs / df))`` as an int64
+    ("basis points"), reproducible bit-for-bit in SQL (both engines use
+    libm ``log``); ``n_docs`` is passed in (parquet row-count metadata —
+    don't re-scan to count).
+    """
+    import functools
+
+    from ..joins import equi_join
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(_tf_partials, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Count
+    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+    joined = equi_join(tf, df, on="term")
+    scale = 10 ** ndigits
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.floor(scale * tfv * np.log(n_docs / dfv)).astype(np.int64)
+        return pa.table({id_col: b[id_col], "term": b["term"],
+                         "tf": b["tf"],
+                         "tfidf_bp": pa.array(w)})
+
+    return joined.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)

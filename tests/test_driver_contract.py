@@ -75,7 +75,8 @@ def oracle_pairs():
     "embedding_neardup_exact", "bpe_token_count_documents",
     "term_frequency_documents",
     "clean_documents", "chunk_documents", "events_value_delta",
-    "quantity_percentiles",
+    "quantity_percentiles", "tfidf_documents", "pii_documents",
+    "repetition_documents", "revenue_by_nation", "customers_no_bigorder",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

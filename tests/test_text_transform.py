@@ -114,3 +114,49 @@ def test_normalize_text_metachar_stopwords(ray_session):
                          keep_cols=("doc_id",)).to_pandas()
     # escaped: c++ removed as a token, a.b removed literally, aXb survives
     assert out["clean_text"].iloc[0] == "and aXb"
+
+
+def test_pii_counts_patterns():
+    from jsonschema_ray.text.analysis import pii_counts
+    arr = pa.array([
+        "mail me at jo.doe+x@ex-ample.org or admin@a.co thanks",
+        "call +1 (555) 123-4567 now",
+        "host 10.0.0.1 and 192.168.255.254 up",
+        None, "",
+    ])
+    out = {k: v.to_pylist() for k, v in pii_counts(arr).items()}
+    assert out["n_email"] == [2, 0, 0, None, 0]
+    assert out["n_phone"] == [0, 1, 0, None, 0]
+    assert out["n_ipv4"] == [0, 0, 2, None, 0]
+
+
+def test_repetition_features_edges():
+    from jsonschema_ray.text.analysis import repetition_features
+    ids = pa.array([1, 2, 3, 4], type=pa.int64())
+    arr = pa.array(["a a a a", "a b c d", "", None])
+    out = repetition_features(ids, arr).to_pandas().set_index("doc_id")
+    # all-same: dup = 1 - 1/4 = 0.75 -> 7500; top = 4/4 -> 10000
+    assert out.loc[1].tolist() == [4, 7500, 10000]
+    # all-distinct: dup 0, top 1/4 -> 2500
+    assert out.loc[2].tolist() == [4, 0, 2500]
+    assert out.loc[3].tolist() == [0, 0, 0]
+    assert out.loc[4].tolist() == [0, 0, 0]
+
+
+def test_tfidf_small(ray_session):
+    import math
+
+    from jsonschema_ray.text.transform import tfidf
+    ds = _ds([{"doc_id": 1, "text": "x x y"},
+              {"doc_id": 2, "text": "x z"},
+              {"doc_id": 3, "text": None}])
+    out = tfidf(ds, n_docs=3).to_pandas()
+    got = {(r.doc_id, r.term): (r.tf, r.tfidf_bp)
+           for r in out.itertuples()}
+    def bp(tf, df):
+        return math.floor(10000 * tf * math.log(3 / df))
+    assert got[(1, "x")] == (2, bp(2, 2))
+    assert got[(1, "y")] == (1, bp(1, 1))
+    assert got[(2, "z")] == (1, bp(1, 1))
+    assert (3, "x") not in dict(got)
+    assert len(out) == 4
