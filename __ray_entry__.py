@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": R.repetition_documents,   # oracled
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customers_no_bigorder": R.customers_no_bigorder,  # oracled
+        "quantity_quantiles_by_flag": R.quantity_quantiles_by_flag,  # oracled
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only
     }
@@ -531,5 +532,16 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice >= 200000)
 ORDER BY c_custkey
+""",
+        "quantity_quantiles_by_flag": """
+SELECT l_returnflag, 'p25' AS pctl,
+       quantile_disc(l_quantity, 0.25) AS value
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'p50', quantile_disc(l_quantity, 0.50)
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'p90', quantile_disc(l_quantity, 0.90)
+FROM lineitem GROUP BY l_returnflag
 """,
     }

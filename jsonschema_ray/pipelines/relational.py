@@ -1164,3 +1164,32 @@ def customers_no_bigorder(sf_dir: str):
     out = equi_join(cust, big, on="c_custkey", right_on="o_custkey",
                     how="anti").to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def grouped_quantiles(ds, key: str, col: str, qs: tuple):
+    """EXACT grouped quantiles (quantile_disc convention: smallest value
+    whose cumulative count reaches ``ceil(q·n)``) via the same
+    distributed histogram partials as the grouped median — the shuffle
+    moves one row per (key, value, batch), the driver walks the
+    per-group histograms (O(groups × distinct values))."""
+    hist = grouped_agg(ds, [key, col], {}, count_alias="n").to_pandas()
+    out = []
+    for k, g in hist.groupby(key):
+        g = g.sort_values(col)
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g[col].to_numpy()
+        for q in qs:
+            target = max(int(np.ceil(q * total)), 1)
+            out.append({key: k, "pctl": f"p{int(q * 100)}",
+                        "value": float(vals[np.searchsorted(cum, target)])})
+    return pd.DataFrame(out).sort_values([key, "pctl"]) \
+        .reset_index(drop=True)
+
+
+def quantity_quantiles_by_flag(sf_dir: str):
+    """Grouped p25/p50/p90 over the discrete quantity column — the
+    arbitrary-quantile generalization of median_quantity_by_flag."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return grouped_quantiles(ds, "l_returnflag", "l_quantity",
+                             (0.25, 0.5, 0.9))

@@ -77,6 +77,7 @@ def oracle_pairs():
     "clean_documents", "chunk_documents", "events_value_delta",
     "quantity_percentiles", "tfidf_documents", "pii_documents",
     "repetition_documents", "revenue_by_nation", "customers_no_bigorder",
+    "quantity_quantiles_by_flag",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
