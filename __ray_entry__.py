@@ -102,6 +102,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles_by_flag": R.quantity_quantiles_by_flag,  # oracled
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only
+        # round-3 batch 2: clustering + corpus-curation operators
+        "neardup_components_documents": R.neardup_components_documents,  # oracled
+        "dup_passages_documents": R.dup_passages_documents,  # oracled
+        "decontam_documents": R.decontam_documents,       # oracled
+        "entropy_documents": R.entropy_documents,         # oracled
+        "events_value_histogram": R.events_value_histogram,  # oracled
+        "events_value_zscore": R.events_value_zscore,     # oracled
     }
 
 
@@ -543,5 +550,81 @@ FROM lineitem GROUP BY l_returnflag
 UNION ALL
 SELECT l_returnflag, 'p90', quantile_disc(l_quantity, 0.90)
 FROM lineitem GROUP BY l_returnflag
+""",
+        "neardup_components_documents": """
+WITH RECURSIVE pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, CASE WHEN length(text) >= 5
+                              THEN length(text) - 3 ELSE 2 END)) AS i
+  FROM documents WHERE length(text) > 0),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN length(text) >= 5
+              THEN substr(text, CAST(i AS INT), 5)
+              ELSE text END AS gram
+  FROM pos),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS doc_id, min(v) AS component_id
+FROM reach GROUP BY u ORDER BY doc_id
+""",
+        "dup_passages_documents": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+  WHERE len(t) >= 8)
+SELECT gram, count(*) AS n_docs FROM grams
+GROUP BY gram HAVING count(*) >= 2 ORDER BY gram
+""",
+        "decontam_documents": """
+WITH probes AS (
+  SELECT DISTINCT substr(text, 1, 40) AS p FROM documents
+  WHERE doc_id BETWEEN 1 AND 5 AND text IS NOT NULL
+    AND length(text) > 0)
+SELECT d.doc_id, count(*) AS n_probes
+FROM documents d JOIN probes ON contains(d.text, probes.p)
+GROUP BY d.doc_id ORDER BY d.doc_id
+""",
+        "entropy_documents": """
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(e.ent, 0.0) END AS char_entropy
+FROM documents d LEFT JOIN (
+  SELECT doc_id, round(entropy(c), 4) AS ent
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0)
+  GROUP BY doc_id) e USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "events_value_histogram": """
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1 ORDER BY bin
+""",
+        "events_value_zscore": """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER w) /
+             stddev_pop(value) OVER w, 4) AS z
+FROM events WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_id
 """,
     }

@@ -4,9 +4,11 @@ from .minhash import (MinHashStage, jaccard_shingles,
 from .embedding import embedding_near_duplicates, exact_cosine_pairs
 from .ngram import ngram_jaccard_pairs
 from .simhash import simhash_near_duplicates
+from .components import connected_components, union_find_components
 
 __all__ = ["exact_dedup", "exact_dedup_stats", "MinHashStage",
            "minhash_near_duplicates", "verified_near_duplicates",
            "jaccard_shingles",
            "embedding_near_duplicates", "exact_cosine_pairs",
-           "ngram_jaccard_pairs", "simhash_near_duplicates"]
+           "ngram_jaccard_pairs", "simhash_near_duplicates",
+           "connected_components", "union_find_components"]

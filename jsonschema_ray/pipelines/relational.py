@@ -1193,3 +1193,144 @@ def quantity_quantiles_by_flag(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
     return grouped_quantiles(ds, "l_returnflag", "l_quantity",
                              (0.25, 0.5, 0.9))
+
+
+def neardup_components_documents(sf_dir: str):
+    """Near-dup CLUSTERING (ORACLED): exact k-gram Jaccard pairs
+    (threshold 0.5) → distributed connected components → one
+    (doc_id, component_id) row per doc appearing in any pair, where
+    component_id is the smallest doc id in its cluster. The oracle is a
+    recursive-CTE transitive closure over the same SQL-computed pair
+    set — pairs + clustering both checked end to end."""
+    from ..dedup import connected_components, ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.5)
+    out = connected_components(pairs).to_pandas()
+    out = out.rename(columns={"node": "doc_id",
+                              "component": "component_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dup_passages_documents(sf_dir: str):
+    """Repeated-passage detection (ORACLED): word 8-grams appearing in
+    ≥ 2 distinct documents, with the distinct-document count. The gram
+    STRING shuffles here so DuckDB can reproduce it; the 100-TB path is
+    ``duplicate_passages(hash_only=True)`` (8 B gram hashes)."""
+    from ..text import duplicate_passages
+    out = duplicate_passages(
+        _read(sf_dir, "documents", columns=["text"]),
+        n=8, min_docs=2).to_pandas()
+    return out.sort_values("gram").reset_index(drop=True)
+
+
+def decontam_documents(sf_dir: str):
+    """Benchmark decontamination (ORACLED): probe strings are the first
+    40 characters of docs 1-5 (a deterministic stand-in for a benchmark
+    suite); flags every document whose text contains any probe, with the
+    number of probes matched."""
+    from ..text import decontaminate
+    probe_src = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def first5(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["doc_id"], 1),
+                       pc.less_equal(b["doc_id"], 5))
+        return b.filter(keep)
+
+    pdf = probe_src.map_batches(first5, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    probes = [t[:40] for t in pdf["text"].tolist() if t]
+    out = decontaminate(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        probes).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def entropy_documents(sf_dir: str):
+    """Per-document char-level Shannon entropy in bits (ORACLED against
+    DuckDB's entropy() aggregate over unnested code points) — a
+    standard corpus quality signal (low entropy = boilerplate/repeats)."""
+    from ..text import char_entropy
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "char_entropy": char_entropy(b["text"])})
+
+    out = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_value_histogram(sf_dir: str, bin_width: float = 25.0):
+    """Fixed-width histogram of events.value (ORACLED): bin = floor
+    (value / width); count + sum per bin via the partial-agg groupby —
+    the distribution-profiling primitive behind drift/stats at scale."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def with_bin(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))   # oracle: value IS NOT NULL
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pa.array(np.floor(v / bin_width).astype(np.int64)),
+            "value": b["value"]})
+
+    out = grouped_agg(ds.map_batches(with_bin, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["bin"], {"value": "sum_value"},
+                      count_alias="n").to_pandas()
+    out = _round_cols(out, ["sum_value"])
+    return out[["bin", "n", "sum_value"]].sort_values("bin") \
+        .reset_index(drop=True)
+
+
+def events_value_zscore(sf_dir: str):
+    """Group-normalized z-scores (ORACLED): per-event-type mean/stddev
+    from one moment-partials pass (3 numbers per (group, batch) move),
+    broadcast back and applied per batch — the standard feature
+    normalization pattern where per-group stats must NOT trigger a
+    second full shuffle."""
+    import functools
+
+    import ray
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b["event_type"],
+                      "_v": pa.array(np.nan_to_num(v)),
+                      "_v2": pa.array(np.nan_to_num(v * v)),
+                      "_k": pa.array((~np.isnan(v)).astype(np.int64))})
+        agg = t.group_by(["event_type"]).aggregate(
+            [("_v", "sum"), ("_v2", "sum"), ("_k", "sum")])
+        return agg.rename_columns(["event_type", "_s", "_s2", "_n"])
+
+    stats = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072) \
+        .groupby("event_type").aggregate(
+            Sum("_s", alias_name="s"), Sum("_s2", alias_name="s2"),
+            Sum("_n", alias_name="n")).to_pandas()
+    mean = (stats["s"] / stats["n"]).to_numpy()
+    var = (stats["s2"] / stats["n"]).to_numpy() - mean * mean
+    std = np.sqrt(np.maximum(var, 0))
+    ref = ray.put((stats["event_type"].to_numpy(), mean, std))
+
+    def score(b: pa.Table, *, ref) -> pa.Table:
+        from ..util import worker_cached
+        keys, m, s = worker_cached(("zscore", ref.hex()),
+                                   lambda: ray.get(ref))
+        idx = pc.index_in(b["event_type"],
+                          value_set=pa.array(keys)).to_numpy(
+                              zero_copy_only=False).astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        z = (v - m[idx]) / s[idx]
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "z": pa.array(np.round(z, 4))})
+
+    out = ds.map_batches(functools.partial(score, ref=ref),
+                         batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -1,7 +1,9 @@
 from .analysis import (TextFeaturesStage, add_text_features, langid_batch,
                        simhash64_batch, token_counts)
+from .passages import char_entropy, decontaminate, duplicate_passages
 from .transform import chunk_text, normalize_text, term_frequency
 
 __all__ = ["TextFeaturesStage", "add_text_features", "langid_batch",
            "simhash64_batch", "token_counts", "chunk_text",
-           "normalize_text", "term_frequency"]
+           "normalize_text", "term_frequency", "char_entropy",
+           "decontaminate", "duplicate_passages"]

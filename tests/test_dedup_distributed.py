@@ -157,3 +157,73 @@ def test_seeded_string_hashes_independent():
     # distinct seeds give distinct functions
     h2 = hash64_array(a, 12345)
     assert not np.array_equal(h1, h2)
+
+
+# ---------------------------------------------------------------------------
+# connected components (round-3 clustering operator)
+
+
+def _cc_sorted(ds):
+    return ds.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def test_components_driver_matches_union_find(ray_session):
+    import ray.data
+
+    from jsonschema_ray.dedup import (connected_components,
+                                      union_find_components)
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 500, 300)
+    dst = rng.integers(0, 500, 300)
+    edges = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array(src, type=pa.int64()),
+         "id_b": pa.array(dst, type=pa.int64())}))
+    nodes, comp = union_find_components(src, dst)
+    got = _cc_sorted(connected_components(edges))
+    assert (got["node"].to_numpy() == nodes).all()
+    assert (got["component"].to_numpy() == comp).all()
+
+
+def test_components_distributed_matches_driver(ray_session):
+    import ray.data
+
+    from jsonschema_ray.dedup import connected_components
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 200, 150)
+    dst = rng.integers(0, 200, 150)
+    edges = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array(src, type=pa.int64()),
+         "id_b": pa.array(dst, type=pa.int64())}))
+    a = _cc_sorted(connected_components(edges))
+    b = _cc_sorted(connected_components(edges, driver_cap=0))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_components_chain_and_selfloop(ray_session):
+    """A long chain exercises multi-round label propagation; self-loops
+    and duplicate edges must be harmless."""
+    import ray.data
+
+    from jsonschema_ray.dedup import connected_components
+    # chain 10-11-...-25, one self loop, an isolated pair, dup edges
+    src = list(range(10, 25)) + [40, 50, 50]
+    dst = list(range(11, 26)) + [40, 51, 51]
+    edges = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array(src, type=pa.int64()),
+         "id_b": pa.array(dst, type=pa.int64())}))
+    got = _cc_sorted(connected_components(edges, driver_cap=0))
+    comp = dict(zip(got["node"], got["component"]))
+    assert all(comp[n] == 10 for n in range(10, 26))
+    assert comp[40] == 40 and comp[50] == 50 and comp[51] == 50
+
+
+def test_components_string_ids_driver_path(ray_session):
+    import ray.data
+
+    from jsonschema_ray.dedup import connected_components
+    edges = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array(["b", "c", "x"]),
+         "id_b": pa.array(["a", "b", "y"])}))
+    got = _cc_sorted(connected_components(edges))
+    comp = dict(zip(got["node"], got["component"]))
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

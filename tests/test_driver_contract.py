@@ -77,7 +77,9 @@ def oracle_pairs():
     "clean_documents", "chunk_documents", "events_value_delta",
     "quantity_percentiles", "tfidf_documents", "pii_documents",
     "repetition_documents", "revenue_by_nation", "customers_no_bigorder",
-    "quantity_quantiles_by_flag",
+    "quantity_quantiles_by_flag", "neardup_components_documents",
+    "dup_passages_documents", "decontam_documents", "entropy_documents",
+    "events_value_histogram", "events_value_zscore",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -160,3 +160,73 @@ def test_tfidf_small(ray_session):
     assert got[(2, "z")] == (1, bp(1, 1))
     assert (3, "x") not in dict(got)
     assert len(out) == 4
+
+
+# ---------------------------------------------------------------------------
+# passages module (round 3): dup passages, decontamination, char entropy
+
+
+def _passages_docs():
+    import pyarrow as pa
+    shared = "one two three four five six seven eight nine ten"
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [f"{shared} alpha beta", f"gamma {shared} delta",
+                 "short text only", None]})
+
+
+def test_duplicate_passages_string_and_hash_agree(ray_session):
+    import ray.data
+
+    from jsonschema_ray.text import duplicate_passages
+    ds = ray.data.from_arrow(_passages_docs())
+    s = duplicate_passages(ds, n=8, min_docs=2).to_pandas()
+    h = duplicate_passages(ds, n=8, min_docs=2, hash_only=True).to_pandas()
+    # same number of shared grams either way; every shared 8-gram comes
+    # from the 10-word shared span → 3 shared grams of the span
+    assert len(s) == len(h) == 3
+    assert (s["n_docs"] == 2).all() and (h["n_docs"] == 2).all()
+    assert all("one" in g or "two" in g or g.count(" ") == 7
+               for g in s["gram"])
+
+
+def test_duplicate_passages_short_and_null_docs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_ray.text import duplicate_passages
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()),
+         "text": ["tiny", None]}))
+    assert duplicate_passages(ds, n=8).to_pandas().empty
+
+
+def test_decontaminate_matches_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_ray.text import decontaminate
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+         "text": ["the quick brown fox", "quick brown shoes",
+                  None, "nothing here"]}))
+    out = decontaminate(ds, ["quick brown", "fox", ""]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_probes"].tolist() == [2, 1]   # empty probe dropped
+
+
+def test_char_entropy_edges():
+    import math
+
+    import pyarrow as pa
+
+    from jsonschema_ray.text import char_entropy
+    out = char_entropy(pa.array(["aabb", "aaaa", "", None, "ab", "日本語"]))
+    vals = out.to_pylist()
+    assert vals[0] == 1.0                      # two symbols, p=.5 each
+    assert vals[1] == 0.0                      # single symbol
+    assert vals[2] == 0.0                      # empty → 0
+    assert vals[3] is None                     # null → null
+    assert vals[4] == 1.0
+    assert math.isclose(vals[5], math.log2(3), abs_tol=1e-4)
