@@ -474,6 +474,43 @@ def _exact_jaccard_batch(b: pa.Table, *, k, threshold) -> pa.Table:
     })
 
 
+def _exact_jaccard_gather(b: pa.Table, tids, ttexts, *, k,
+                          threshold) -> pa.Table:
+    """Pairs table → exact verify against a (sorted ids, texts) candidate
+    text table. Each UNIQUE doc referenced by the batch is hashed exactly
+    once (one flat k-gram pass + lexsort dedup → per-doc sorted unique
+    gram slices); the per-pair work is then just an intersection of two
+    presorted arrays — docs appear in many pairs, so hashing per pair
+    side (the old path) redid ~pairs/docs × the text hashing."""
+    from .ngram import _distinct_doc_grams
+    ia = b["id_a"].to_numpy(zero_copy_only=False)
+    ib = b["id_b"].to_numpy(zero_copy_only=False)
+    uids = np.unique(np.concatenate([ia, ib]))
+    pos = np.searchsorted(tids, uids)
+    fs, offs = _distinct_doc_grams(list(ttexts[pos]), k)
+    a_idx = np.searchsorted(uids, ia)
+    b_idx = np.searchsorted(uids, ib)
+    n = len(ia)
+    jac = np.zeros(n)
+    for i in range(n):
+        a, bb = a_idx[i], b_idx[i]
+        ha = fs[offs[a]:offs[a + 1]]
+        hb = fs[offs[bb]:offs[bb + 1]]
+        if len(ha) == 0 and len(hb) == 0:
+            jac[i] = 1.0
+            continue
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        union = ha.size + hb.size - inter
+        jac[i] = inter / union if union else 0.0
+    hit = jac >= threshold
+    idx = pa.array(np.nonzero(hit)[0], type=pa.int64())
+    return pa.table({
+        "id_a": b["id_a"].take(idx),
+        "id_b": b["id_b"].take(idx),
+        "jaccard": pa.array(np.round(jac[hit], 6), type=pa.float64()),
+    })
+
+
 def _exact_jaccard_broadcast(b: pa.Table, *, text_ref, k, threshold,
                              id_col) -> pa.Table:
     """Pairs batch → exact verify using the BROADCAST candidate text table
@@ -483,14 +520,7 @@ def _exact_jaccard_broadcast(b: pa.Table, *, text_ref, k, threshold,
     from ..util import worker_cached
     tids, ttexts = worker_cached(
         ("verify_texts", text_ref.hex()), lambda: ray.get(text_ref))
-    ia = b["id_a"].to_numpy(zero_copy_only=False)
-    ib = b["id_b"].to_numpy(zero_copy_only=False)
-    ta = ttexts[np.searchsorted(tids, ia)]
-    tb = ttexts[np.searchsorted(tids, ib)]
-    joined = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
-                       "text_a": pa.array(ta, type=pa.string()),
-                       "text_b": pa.array(tb, type=pa.string())})
-    return _exact_jaccard_batch(joined, k=k, threshold=threshold)
+    return _exact_jaccard_gather(b, tids, ttexts, k=k, threshold=threshold)
 
 
 def verified_near_duplicates(ds, text_col: str = "text",
@@ -525,13 +555,20 @@ def verified_near_duplicates(ds, text_col: str = "text",
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
                           "id_b": pd.Series([], dtype=object),
                           "jaccard": pd.Series([], dtype=float)})
-    if cand.count() == 0:
-        return empty
-    ids_only = cand.select_columns(["id_a", "id_b"]).materialize()
-    if ids_only.size_bytes() <= driver_pairs_cap:
-        cdf = ids_only.to_pandas()
+    cdf = None
+    if cand.size_bytes() <= driver_pairs_cap:
+        # cand is materialized: to_pandas is a block fetch, not a new
+        # execution — and the pairs being driver-resident unlocks the
+        # local verify below (each tiny Ray stage costs ~0.5-1 s of
+        # fixed execution spin-up, see BASELINE.md)
+        cdf = cand.to_pandas()
+        if cdf.empty:
+            return empty
         wanted = pa.array(sorted(set(cdf["id_a"]) | set(cdf["id_b"])))
     else:
+        if cand.count() == 0:
+            return empty
+        ids_only = cand.select_columns(["id_a", "id_b"]).materialize()
         ids_ds = pair_key_dataset(ids_only, ["id_a", "id_b"],
                                   out_col=id_col).materialize()
         if ids_ds.size_bytes() <= broadcast_key_cap:
@@ -558,8 +595,19 @@ def verified_near_duplicates(ds, text_col: str = "text",
         texts.size_bytes() <= broadcast_text_cap else None
     if tdf is not None:
         order = np.argsort(tdf[id_col].to_numpy())
-        text_ref = ray.put((tdf[id_col].to_numpy()[order],
-                            tdf[text_col].to_numpy()[order]))
+        tids = tdf[id_col].to_numpy()[order]
+        ttexts = tdf[text_col].to_numpy()[order]
+        if cdf is not None:
+            # pairs AND candidate texts are driver-resident — verify
+            # locally (a few hundred numpy set intersections) instead of
+            # paying a Ray stage execution for it
+            out = _exact_jaccard_gather(
+                pa.Table.from_pandas(cdf[["id_a", "id_b"]]),
+                tids, ttexts, k=k, threshold=threshold).to_pandas()
+            if out.empty:
+                return empty
+            return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        text_ref = ray.put((tids, ttexts))
         ver = cand.map_batches(
             functools.partial(_exact_jaccard_broadcast, text_ref=text_ref,
                               k=k, threshold=threshold, id_col=id_col),
