@@ -63,7 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents": R.token_count_documents,
         "quality_documents": R.quality_documents,
         "lang_distribution": R.lang_distribution,
-        "langid_documents": R.langid_documents,           # rows-only
+        "langid_documents": R.langid_documents,           # oracled (r3)
         "simhash_documents": R.simhash_documents,         # rows-only
         "minhash_neardup_documents": R.minhash_neardup_documents,  # rows-only
         "neardup_verified_documents": R.neardup_verified_documents,  # rows-only
@@ -626,5 +626,47 @@ SELECT event_id, event_type,
              stddev_pop(value) OVER w, 4) AS z
 FROM events WINDOW w AS (PARTITION BY event_type)
 ORDER BY event_id
+""",
+        "langid_documents": """
+WITH base AS (
+  SELECT doc_id, lang, text, length(text) AS nchars,
+         length(regexp_extract_all(text, '[一-鿿]')) AS cjk
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         regexp_replace(tok, '^[.,;:!?"''()]+|[.,;:!?"''()]+$', '', 'g')
+           AS tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)),
+scores AS (
+  SELECT doc_id,
+         count(*) FILTER (tok <> '') AS denom,
+         count(*) FILTER (tok IN ('the','and','of','to','a','in','is',
+           'that','it','for','was','with','as','on','at','by','this',
+           'be','are')) AS h_en,
+         count(*) FILTER (tok IN ('der','die','das','und','ist','nicht',
+           'ein','eine','zu','den','von','mit','auf','für','im','dem',
+           'sich','des')) AS h_de,
+         count(*) FILTER (tok IN ('le','la','les','et','de','des','un',
+           'une','est','que','pour','dans','qui','sur','pas','au','du',
+           'ce','il')) AS h_fr,
+         count(*) FILTER (tok IN ('el','la','los','las','y','de','que',
+           'en','un','una','es','por','con','para','no','se','del','su',
+           'al')) AS h_es
+  FROM toks GROUP BY doc_id)
+SELECT b.doc_id, b.lang,
+  CASE
+    WHEN CAST(b.cjk AS DOUBLE) / greatest(b.nchars, 1) > 0.2 THEN 'zh'
+    WHEN coalesce(s.denom, 0) = 0 OR b.nchars = 0 THEN 'und'
+    WHEN greatest(s.h_en, s.h_de, s.h_fr, s.h_es)
+         / CAST(s.denom AS DOUBLE) <= 0.03 THEN 'und'
+    WHEN s.h_en >= s.h_de AND s.h_en >= s.h_fr AND s.h_en >= s.h_es
+      THEN 'en'
+    WHEN s.h_de >= s.h_fr AND s.h_de >= s.h_es THEN 'de'
+    WHEN s.h_fr >= s.h_es THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM base b LEFT JOIN scores s USING (doc_id) ORDER BY b.doc_id
 """,
     }

@@ -144,6 +144,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.chunk_documents(sf_dir).count())
     timed("term_frequency_documents",
           lambda: len(R.term_frequency_documents(sf_dir)))
+    timed("neardup_verified_documents",
+          lambda: len(R.neardup_verified_documents(sf_dir)))
+    timed("neardup_components_documents",
+          lambda: len(R.neardup_components_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

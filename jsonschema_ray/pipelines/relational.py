@@ -729,12 +729,15 @@ def lang_distribution(sf_dir: str):
 
 
 def langid_documents(sf_dir: str):
-    """Heuristic language-ID vs the labeled ``lang`` column (no SQL oracle —
-    model-like scoring; the driver records a rows-only check)."""
+    """Heuristic language-ID vs the labeled ``lang`` column (ORACLED: the
+    stopword-share argmax, CJK override and 'und' thresholds are plain
+    arithmetic DuckDB reproduces exactly; the float score column is kept
+    OUT of the oracled output — prediction thresholds compare unrounded
+    IEEE doubles bit-identically, rounded score columns would not)."""
     from ..text import add_text_features
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = add_text_features(ds, quality=False, simhash=False)
-    return out.select_columns(["doc_id", "lang", "lang_pred", "lang_score"])
+    return out.select_columns(["doc_id", "lang", "lang_pred"])
 
 
 def simhash_documents(sf_dir: str):

@@ -80,6 +80,7 @@ def oracle_pairs():
     "quantity_quantiles_by_flag", "neardup_components_documents",
     "dup_passages_documents", "decontam_documents", "entropy_documents",
     "events_value_histogram", "events_value_zscore",
+    "langid_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
@@ -95,7 +96,6 @@ def test_query_matches_oracle(name, duck):
 
 
 @pytest.mark.parametrize("name,min_rows", [
-    ("langid_documents", 500),
     ("simhash_documents", 500),
     ("minhash_neardup_documents", 0),
     ("ann_topk_embeddings", 50),
@@ -175,7 +175,7 @@ def test_every_query_is_oracled_or_known_rows_only():
     records a weaker check for those) — prevents silent oracle drift."""
     q, o = oracle_pairs()
     rows_only = {
-        "drift_events_value", "fingerprint_documents", "langid_documents",
+        "drift_events_value", "fingerprint_documents",
         "simhash_documents", "simhash_neardup_documents",
         "minhash_neardup_documents",
         "neardup_verified_documents",
