@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_documents": R.entropy_documents,         # oracled
         "events_value_histogram": R.events_value_histogram,  # oracled
         "events_value_zscore": R.events_value_zscore,     # oracled
+        "drift_exact_events": R.drift_exact_events,       # oracled
+        "dedup_neardup_keep_documents": R.dedup_neardup_keep_documents,  # oracled
     }
 
 
@@ -668,5 +670,56 @@ SELECT b.doc_id, b.lang,
     ELSE 'es'
   END AS lang_pred
 FROM base b LEFT JOIN scores s USING (doc_id) ORDER BY b.doc_id
+""",
+        "drift_exact_events": """
+WITH grp AS (SELECT value, user_id % 2 AS g FROM events),
+tot AS (SELECT g, count(*) AS t FROM grp GROUP BY g),
+counts AS (SELECT value, g, count(*) AS c FROM grp GROUP BY 1, 2),
+ecdf AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN c ELSE 0 END)
+              OVER (ORDER BY value) AS DOUBLE)
+           / (SELECT t FROM tot WHERE g = 0) AS f0,
+         CAST(sum(CASE WHEN g = 1 THEN c ELSE 0 END)
+              OVER (ORDER BY value) AS DOUBLE)
+           / (SELECT t FROM tot WHERE g = 1) AS f1
+  FROM counts)
+SELECT round(max(abs(f0 - f1)), 6) AS ks,
+       (SELECT t FROM tot WHERE g = 0) AS n_a,
+       (SELECT t FROM tot WHERE g = 1) AS n_b
+FROM ecdf
+""",
+        "dedup_neardup_keep_documents": """
+WITH RECURSIVE pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, CASE WHEN length(text) >= 5
+                              THEN length(text) - 3 ELSE 2 END)) AS i
+  FROM documents WHERE length(text) > 0),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN length(text) >= 5
+              THEN substr(text, CAST(i AS INT), 5)
+              ELSE text END AS gram
+  FROM pos),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+cc AS (SELECT u AS doc_id, min(v) AS comp FROM reach GROUP BY u)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> comp)
+ORDER BY d.doc_id
 """,
     }

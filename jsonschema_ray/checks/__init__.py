@@ -1,11 +1,11 @@
 from .uniqueness import duplicate_keys, unique_violations
 from .referential import referential_violations, broadcast_semi_join
 from .neardup import phash_near_duplicates
-from .drift import ks_statistic, psi, drift_report
+from .drift import ks_statistic, psi, drift_report, exact_ks
 
 __all__ = [
     "duplicate_keys", "unique_violations",
     "referential_violations", "broadcast_semi_join",
     "phash_near_duplicates",
-    "ks_statistic", "psi", "drift_report",
+    "ks_statistic", "psi", "drift_report", "exact_ks",
 ]

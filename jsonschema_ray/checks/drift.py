@@ -77,3 +77,50 @@ def drift_report(baseline_stats, current_stats,
                             or (np.isfinite(p) and p > psi_threshold)),
         })
     return out
+
+
+def exact_ks_from_counts(values: np.ndarray, counts_a: np.ndarray,
+                         counts_b: np.ndarray) -> float:
+    """Exact two-sample KS from per-distinct-value counts of each sample
+    (values need not be sorted). Pure driver math, O(distinct values)."""
+    order = np.argsort(values, kind="stable")
+    ca = counts_a[order].cumsum()
+    cb = counts_b[order].cumsum()
+    if ca[-1] == 0 or cb[-1] == 0:
+        return float("nan")
+    fa = ca / ca[-1]
+    fb = cb / cb[-1]
+    return float(np.max(np.abs(fa - fb)))
+
+
+def exact_ks(ds, value_col: str, group_fn, group_name: str = "_g"):
+    """EXACT two-sample Kolmogorov–Smirnov statistic over a Dataset split
+    into two samples by ``group_fn`` (a batch → int8-array callable; 0 =
+    sample A, 1 = sample B). The distributed pass reduces to per-
+    (value, group) counts with the partial-agg groupby — the shuffle
+    moves one row per (distinct value, group, batch) — and the driver
+    walks the merged histogram. Driver footprint is O(distinct values):
+    exact KS fundamentally needs the full ECDF support, so for unbounded-
+    cardinality columns use the t-digest ``ks_statistic`` instead (this
+    pair mirrors exact vs sketch column stats). → (ks, n_a, n_b)."""
+    import pyarrow as pa
+
+    from ..pipelines.relational import grouped_agg
+
+    def tag(b: pa.Table) -> pa.Table:
+        g = group_fn(b)
+        return pa.table({value_col: b[value_col],
+                         group_name: pa.array(np.asarray(g, np.int8))})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    hist = grouped_agg(tagged, [value_col, group_name], {},
+                       count_alias="_c").to_pandas()
+    piv = hist.pivot_table(index=value_col, columns=group_name,
+                           values="_c", fill_value=0, aggfunc="sum")
+    vals = piv.index.to_numpy()
+    ca = piv[0].to_numpy() if 0 in piv.columns else np.zeros(len(piv))
+    cb = piv[1].to_numpy() if 1 in piv.columns else np.zeros(len(piv))
+    return (exact_ks_from_counts(vals, ca.astype(np.int64),
+                                 cb.astype(np.int64)),
+            int(ca.sum()), int(cb.sum()))

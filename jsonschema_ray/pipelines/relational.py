@@ -1337,3 +1337,48 @@ def events_value_zscore(sf_dir: str):
                          batch_format="pyarrow", zero_copy_batch=True) \
         .to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def drift_exact_events(sf_dir: str):
+    """EXACT two-sample KS drift (ORACLED): events split by
+    ``user_id % 2``, KS = max ECDF gap over the merged per-value
+    histogram — the exact companion to the t-digest ``drift_events_value``
+    (same split rule a real pipeline would use for A/B cohorts). Both
+    sides compute counts/total double divisions, so the statistic is
+    bit-identical to the SQL window-ECDF form."""
+    from ..checks import exact_ks
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def grp(b: pa.Table) -> np.ndarray:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return (u % 2).astype(np.int8)
+
+    ks, n_a, n_b = exact_ks(ds, "value", grp)
+    return pd.DataFrame([{"ks": round(ks, 6), "n_a": n_a, "n_b": n_b}])
+
+
+def dedup_neardup_keep_documents(sf_dir: str):
+    """End-to-end near-dup dedup (ORACLED): exact-Jaccard pairs →
+    connected components → drop every non-representative → the surviving
+    doc_id keep-list, filtered with the broadcast drop-set pattern
+    (losers shuffle, winners never collect — same shape as exact_dedup)."""
+    import ray
+
+    from ..dedup import connected_components, ngram_jaccard_pairs
+    from ..util import worker_cached
+    source = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(source, threshold=0.5)
+    cc = connected_components(pairs).to_pandas()
+    drop = np.sort(cc.loc[cc["node"] != cc["component"],
+                          "node"].to_numpy())
+    ref = ray.put(pa.array(drop))
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = worker_cached(("neardup_keep", ref.hex()),
+                          lambda: ray.get(ref))
+        mask = pc.invert(pc.is_in(b["doc_id"], value_set=d))
+        return b.filter(mask).select(["doc_id"])
+
+    out = source.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -80,7 +80,8 @@ def oracle_pairs():
     "quantity_quantiles_by_flag", "neardup_components_documents",
     "dup_passages_documents", "decontam_documents", "entropy_documents",
     "events_value_histogram", "events_value_zscore",
-    "langid_documents",
+    "langid_documents", "drift_exact_events",
+    "dedup_neardup_keep_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

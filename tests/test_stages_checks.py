@@ -448,3 +448,34 @@ def test_equi_join_broadcast_and_shuffle_paths():
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "broadcast cap" in str(e)
+
+
+def test_exact_ks_matches_reference(ray_session):
+    """exact_ks must equal the definitional two-sample KS computed on the
+    raw samples; empty side → NaN."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_ray.checks import exact_ks
+    from jsonschema_ray.checks.drift import exact_ks_from_counts
+    rng = np.random.default_rng(5)
+    a = np.round(rng.normal(0, 1, 400), 2)
+    b = np.round(rng.normal(0.4, 1.2, 300), 2)
+    ds = ray.data.from_arrow(pa.table({
+        "value": np.concatenate([a, b]),
+        "grp": np.concatenate([np.zeros(400, np.int8),
+                               np.ones(300, np.int8)])}))
+    ks, n_a, n_b = exact_ks(
+        ds, "value", lambda t: t["grp"].to_numpy(zero_copy_only=False))
+    # definitional: ECDF gap at every sample point
+    xs = np.union1d(a, b)
+    fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    assert (n_a, n_b) == (400, 300)
+    assert abs(ks - np.max(np.abs(fa - fb))) < 1e-12
+    # empty side
+    import math
+    v = np.array([1.0, 2.0])
+    assert math.isnan(exact_ks_from_counts(
+        v, np.array([1, 1]), np.array([0, 0])))
