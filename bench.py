@@ -106,7 +106,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
             rd.read_parquet(corpus, columns=["image_id"]),
             "image_id").count()
         pairs = phash_near_duplicates(
-            rd.read_parquet(corpus, columns=["image_id", "phash"])).count()
+            rd.read_parquet(corpus, columns=["image_id", "phash"]),
+            rows_hint=n_images).count()
         return rep["n_violations"], dups, pairs, len(rep["stats"])
 
     result = timed("flagship_images", flagship, repeats=flagship_repeats)

@@ -316,19 +316,31 @@ def phash_near_duplicates(ds, id_col: str = "image_id",
                           phash_col: str = "phash", max_distance: int = 4,
                           bands: int = None, max_bucket: int = 1024,
                           num_partitions: int = None,
-                          batch_size: int = 131072):
+                          batch_size: int = 131072,
+                          rows_hint: int = None):
     """Dataset → Dataset of near-dup pairs ``(id_a, id_b, distance)`` with
     id_a < id_b; recall 1 for Hamming distance ≤ max_distance (module doc),
     distances verified exactly. String/binary id columns shuffle as int64
     id hashes (×bands rows of 8 bytes instead of the full string) and are
-    translated back after the pair dedup."""
+    translated back after the pair dedup.
+
+    ``rows_hint`` (optional, from callers that know the input row count):
+    caps the partition count so each hash partition targets ≥ ~16k band
+    rows — more partitions than the data warrants only buys shuffle-task
+    overhead (measured ~0.7 s of the stage's fixed cost at 100k rows /
+    64 parts). At scale the row-derived count exceeds the cluster-derived
+    one and ``auto_partitions()`` governs as before."""
     if bands is None:
         bands = max_distance + 1
     assert max_distance < bands, "bands must exceed max_distance for recall 1"
     import functools
 
     from ..util import auto_partitions, partitioned_group_apply
-    num_partitions = num_partitions or auto_partitions()
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+        if rows_hint:
+            num_partitions = min(num_partitions,
+                                 max(8, (rows_hint * bands) // 16384))
     id_type = ds.schema().base_schema.field(id_col).type
     hash_ids = not (pa.types.is_integer(id_type)
                     or pa.types.is_floating(id_type))

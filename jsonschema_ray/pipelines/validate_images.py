@@ -423,9 +423,11 @@ def validate_images_pipeline(
     # only (image_id, phash) row-groups leave storage — the bytes column
     # must never be scanned a second time at 100 TB
     full = rd.read_parquet(files, columns=["image_id", "phash"])
+    n_rows = full.count()   # parquet metadata only — no data scan
     dup_ids = duplicate_keys(full, "image_id").to_pandas()
     pairs = phash_near_duplicates(
-        full, max_distance=neardup_max_distance).to_pandas()
+        full, max_distance=neardup_max_distance,
+        rows_hint=n_rows).to_pandas()
     orphans = None
     if ref_ids is not None:
         orphans = referential_violations(full, "image_id",
