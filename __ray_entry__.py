@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": R.events_value_zscore,     # oracled
         "drift_exact_events": R.drift_exact_events,       # oracled
         "dedup_neardup_keep_documents": R.dedup_neardup_keep_documents,  # oracled
+        "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
+        "chi2_events": R.chi2_events,                     # oracled
     }
 
 
@@ -721,5 +723,30 @@ cc AS (SELECT u AS doc_id, min(v) AS comp FROM reach GROUP BY u)
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> comp)
 ORDER BY d.doc_id
+""",
+        "rollup_orders_segment_priority": """
+SELECT coalesce(c_mktsegment, '(all)') AS segment,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+ORDER BY segment, priority
+""",
+        "chi2_events": """
+WITH c AS (SELECT event_type, user_id % 2 AS g, count(*) AS o
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c),
+rt AS (SELECT event_type, sum(o) AS r FROM c GROUP BY 1),
+ct AS (SELECT g, sum(o) AS cl FROM c GROUP BY 1),
+cells AS (
+  SELECT x.event_type, x.g, coalesce(c.o, 0) AS o
+  FROM (SELECT rt.event_type, ct.g FROM rt CROSS JOIN ct) x
+  LEFT JOIN c USING (event_type, g))
+SELECT round(sum((o - r * cl / n) * (o - r * cl / n)
+                 / (r * cl / n)), 6) AS chi2,
+       ((SELECT count(*) FROM rt) - 1)
+         * ((SELECT count(*) FROM ct) - 1) AS dof
+FROM cells JOIN rt USING (event_type) JOIN ct USING (g) CROSS JOIN tot
 """,
     }

@@ -124,3 +124,37 @@ def exact_ks(ds, value_col: str, group_fn, group_name: str = "_g"):
     return (exact_ks_from_counts(vals, ca.astype(np.int64),
                                  cb.astype(np.int64)),
             int(ca.sum()), int(cb.sum()))
+
+
+def chi2_contingency(ds, cat_col: str, group_fn, group_name: str = "_g"):
+    """Pearson chi-square independence statistic between a categorical
+    column and a two-way cohort split (``group_fn`` as in exact_ks).
+    One grouped-count shuffle (per-batch combined); the contingency math
+    runs on the driver over O(categories) cells. → (chi2, dof)."""
+    import pyarrow as pa
+
+    from ..pipelines.relational import grouped_agg
+
+    def tag(b: pa.Table) -> pa.Table:
+        g = group_fn(b)
+        return pa.table({cat_col: b[cat_col],
+                         group_name: pa.array(np.asarray(g, np.int8))})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    hist = grouped_agg(tagged, [cat_col, group_name], {},
+                       count_alias="_c").to_pandas()
+    piv = hist.pivot_table(index=cat_col, columns=group_name, values="_c",
+                           fill_value=0, aggfunc="sum")
+    obs = piv.to_numpy(dtype=np.int64)
+    n = obs.sum()
+    rows = obs.sum(axis=1)
+    cols = obs.sum(axis=0)
+    chi2 = 0.0
+    for i in range(obs.shape[0]):
+        for j in range(obs.shape[1]):
+            e = rows[i] * cols[j] / float(n)
+            d = obs[i, j] - e
+            chi2 += d * d / e
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return float(chi2), int(dof)

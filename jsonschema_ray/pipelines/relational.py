@@ -1382,3 +1382,80 @@ def dedup_neardup_keep_documents(sf_dir: str):
     out = source.map_batches(keep, batch_format="pyarrow",
                              zero_copy_batch=True).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def grouped_rollup(ds, keys: list[str], sums: dict[str, str],
+                   count_alias: str = "n_rows", all_label: str = "(all)"):
+    """GROUP BY ROLLUP in ONE shuffle: the per-batch combiner aggregates
+    at the finest level, then locally re-aggregates the (already tiny)
+    partial upward level by level with ``all_label`` standing in for the
+    rolled-up key (string keys only) — the shuffle carries
+    (levels+1) × group-cardinality partial rows per batch, never
+    (levels+1) × data. SQL's ROLLUP NULL markers map to ``all_label``
+    (callers coalesce on the oracle side)."""
+    import functools
+
+    from ray.data.aggregate import Sum
+    sum_cols = list(sums)
+    psums = [f"{c}_psum" for c in sum_cols]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _partial_group_agg(b.select(keys + sum_cols),
+                               keys=tuple(keys), sum_cols=tuple(sum_cols))
+        outs = [t]
+        for lvl in range(len(keys) - 1, -1, -1):
+            k = keys[lvl]
+            i = t.schema.get_field_index(k)
+            t = t.set_column(i, k, pa.array([all_label] * len(t),
+                                            type=pa.string()))
+            t = t.group_by(keys).aggregate(
+                [(c, "sum") for c in psums] + [("_pcnt", "sum")])
+            t = t.rename_columns(keys + psums + ["_pcnt"])
+            outs.append(t)
+        return pa.concat_tables(outs)
+
+    partials = ds.select_columns(keys + sum_cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=131072)
+    aggs = [Sum(f"{c}_psum", alias_name=out) for c, out in sums.items()]
+    aggs.append(Sum("_pcnt", alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def rollup_orders_segment_priority(sf_dir: str):
+    """ROLLUP (segment, priority) over orders ⋈ customer (ORACLED against
+    GROUP BY ROLLUP with NULL→'(all)' coalesce): per-(segment, priority)
+    totals + per-segment subtotals + the grand total from one shuffle."""
+    from ..joins import equi_join
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority",
+                            "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    j = equi_join(orders, cust, on="o_custkey", right_on="c_custkey") \
+        .select_columns(["c_mktsegment", "o_orderpriority",
+                         "o_totalprice"])
+    out = grouped_rollup(j, ["c_mktsegment", "o_orderpriority"],
+                         {"o_totalprice": "sum_price"},
+                         count_alias="n_orders").to_pandas()
+    out = _round_cols(out, ["sum_price"])
+    out = out.rename(columns={"c_mktsegment": "segment",
+                              "o_orderpriority": "priority"})
+    return out[["segment", "priority", "n_orders", "sum_price"]] \
+        .sort_values(["segment", "priority"]).reset_index(drop=True)
+
+
+def chi2_events(sf_dir: str):
+    """Chi-square contingency drift (ORACLED): event_type × (user_id % 2)
+    cohort independence test from one grouped-count shuffle; the driver
+    walks the tiny contingency table."""
+    from ..checks import chi2_contingency
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "value"])
+
+    def grp(b: pa.Table) -> np.ndarray:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return (u % 2).astype(np.int8)
+
+    chi2, dof = chi2_contingency(ds, "event_type", grp)
+    return pd.DataFrame([{"chi2": round(chi2, 6), "dof": dof}])

@@ -81,7 +81,8 @@ def oracle_pairs():
     "dup_passages_documents", "decontam_documents", "entropy_documents",
     "events_value_histogram", "events_value_zscore",
     "langid_documents", "drift_exact_events",
-    "dedup_neardup_keep_documents",
+    "dedup_neardup_keep_documents", "rollup_orders_segment_priority",
+    "chi2_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
