@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_keep_documents": R.dedup_neardup_keep_documents,  # oracled
         "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
         "chi2_events": R.chi2_events,                     # oracled
+        "events_percent_rank": R.events_percent_rank,     # oracled
     }
 
 
@@ -748,5 +749,11 @@ SELECT round(sum((o - r * cl / n) * (o - r * cl / n)
        ((SELECT count(*) FROM rt) - 1)
          * ((SELECT count(*) FROM ct) - 1) AS dof
 FROM cells JOIN rt USING (event_type) JOIN ct USING (g) CROSS JOIN tot
+""",
+        "events_percent_rank": """
+SELECT event_id,
+       round(CAST(rank() OVER (ORDER BY value) - 1 AS DOUBLE)
+             / greatest(count(*) OVER () - 1, 1), 6) AS pct_rank
+FROM events ORDER BY event_id
 """,
     }

@@ -1459,3 +1459,50 @@ def chi2_events(sf_dir: str):
 
     chi2, dof = chi2_contingency(ds, "event_type", grp)
     return pd.DataFrame([{"chi2": round(chi2, 6), "dof": dof}])
+
+
+def percent_rank_by_value(ds, value_col: str, out_col: str = "pct_rank",
+                          keep_cols: list = None):
+    """Global ``percent_rank() OVER (ORDER BY value)`` WITHOUT a global
+    sort: one grouped-count pass builds the per-distinct-value histogram
+    (partial-agg shuffle, one row per (value, batch)), the driver turns
+    it into cumulative below-counts (O(distinct values)), broadcasts
+    them, and a second streaming pass gathers each row's rank —
+    rank-assignment never moves the data through a sort exchange. Ties
+    share the SQL rank() value: pct = rows_below / (n - 1)."""
+    import functools
+
+    import ray
+
+    from ..util import worker_cached
+    hist = grouped_agg(ds.select_columns([value_col]), [value_col], {},
+                       count_alias="_c").to_pandas()
+    hist = hist.sort_values(value_col)
+    counts = hist["_c"].to_numpy()
+    n = int(counts.sum())
+    below = np.concatenate(([0], counts.cumsum()[:-1]))
+    ref = ray.put((hist[value_col].to_numpy(), below, n))
+
+    def rank_batch(b: pa.Table, *, ref) -> pa.Table:
+        vals, blw, total = worker_cached(("pct_rank", ref.hex()),
+                                         lambda: ray.get(ref))
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, v)
+        pr = blw[idx] / max(total - 1, 1)
+        cols = {c: b[c] for c in (keep_cols or b.column_names)}
+        cols[out_col] = pa.array(np.round(pr, 6))
+        return pa.table(cols)
+
+    return ds.map_batches(functools.partial(rank_batch, ref=ref),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_percent_rank(sf_dir: str):
+    """Global percent-rank of events.value (ORACLED against
+    rank() OVER (ORDER BY value)) via the sort-free histogram-broadcast
+    path — rows_below/(n-1) is an int/int double division, bit-identical
+    both sides."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    out = percent_rank_by_value(ds, "value",
+                                keep_cols=["event_id"]).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -479,3 +479,58 @@ def test_exact_ks_matches_reference(ray_session):
     v = np.array([1.0, 2.0])
     assert math.isnan(exact_ks_from_counts(
         v, np.array([1, 1]), np.array([0, 0])))
+
+
+def test_grouped_rollup_levels(ray_session):
+    """grouped_rollup must equal the brute-force union of per-level
+    groupbys, including the grand total."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_ray.pipelines.relational import grouped_rollup
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.choice(["p", "q"], 500),
+        "v": rng.integers(0, 100, 500).astype("float64")})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    got = grouped_rollup(ds, ["a", "b"], {"v": "sv"},
+                         count_alias="n").to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+
+    lvl2 = df.groupby(["a", "b"], as_index=False).agg(
+        sv=("v", "sum"), n=("v", "size"))
+    lvl1 = df.groupby(["a"], as_index=False).agg(
+        sv=("v", "sum"), n=("v", "size"))
+    lvl1["b"] = "(all)"
+    lvl0 = pd.DataFrame([{"a": "(all)", "b": "(all)",
+                          "sv": df["v"].sum(), "n": len(df)}])
+    exp = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)[
+        ["a", "b", "sv", "n"]].sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    got["n"] = got["n"].astype("int64")
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "sv", "n"]], exp, check_like=True)
+
+
+def test_percent_rank_matches_definition(ray_session):
+    """Sort-free percent_rank must equal rank()-1 over n-1 with ties
+    sharing the min rank."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_ray.pipelines.relational import percent_rank_by_value
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 50, 300).astype("float64")   # guaranteed ties
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(300)), "value": pa.array(v)}))
+    got = percent_rank_by_value(ds, "value", keep_cols=["id"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    s = pd.Series(v)
+    exp = ((s.rank(method="min") - 1) / (len(s) - 1)).round(6)
+    assert np.allclose(got["pct_rank"].to_numpy(), exp.to_numpy())
