@@ -675,7 +675,8 @@ SELECT b.doc_id, b.lang,
 FROM base b LEFT JOIN scores s USING (doc_id) ORDER BY b.doc_id
 """,
         "drift_exact_events": """
-WITH grp AS (SELECT value, user_id % 2 AS g FROM events),
+WITH grp AS (SELECT value, user_id % 2 AS g FROM events
+             WHERE value IS NOT NULL),
 tot AS (SELECT g, count(*) AS t FROM grp GROUP BY g),
 counts AS (SELECT value, g, count(*) AS c FROM grp GROUP BY 1, 2),
 ecdf AS (
@@ -736,7 +737,7 @@ ORDER BY segment, priority
 """,
         "chi2_events": """
 WITH c AS (SELECT event_type, user_id % 2 AS g, count(*) AS o
-           FROM events GROUP BY 1, 2),
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
 tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c),
 rt AS (SELECT event_type, sum(o) AS r FROM c GROUP BY 1),
 ct AS (SELECT g, sum(o) AS cl FROM c GROUP BY 1),

@@ -82,7 +82,10 @@ def drift_report(baseline_stats, current_stats,
 def exact_ks_from_counts(values: np.ndarray, counts_a: np.ndarray,
                          counts_b: np.ndarray) -> float:
     """Exact two-sample KS from per-distinct-value counts of each sample
-    (values need not be sorted). Pure driver math, O(distinct values)."""
+    (values need not be sorted; empty input or an empty side → NaN).
+    Pure driver math, O(distinct values)."""
+    if len(values) == 0:
+        return float("nan")
     order = np.argsort(values, kind="stable")
     ca = counts_a[order].cumsum()
     cb = counts_b[order].cumsum()
@@ -93,31 +96,44 @@ def exact_ks_from_counts(values: np.ndarray, counts_a: np.ndarray,
     return float(np.max(np.abs(fa - fb)))
 
 
+def _grouped_counts_pivot(ds, col: str, group_fn, group_name: str):
+    """Shared distributed pass for the two-sample statistics: tag each
+    row with its cohort, grouped-count per (col value, cohort) with the
+    partial-agg combiner, pivot driver-side. Null ``col`` values are
+    DROPPED explicitly (matching the oracles' ``IS NOT NULL`` guards —
+    pandas pivot would silently drop NaN keys anyway, so make the
+    semantics deliberate and identical on both sides)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import grouped_agg
+
+    def tag(b: pa.Table) -> pa.Table:
+        g = group_fn(b)
+        t = pa.table({col: b[col],
+                      group_name: pa.array(np.asarray(g, np.int8))})
+        return t.filter(pc.is_valid(t[col]))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    hist = grouped_agg(tagged, [col, group_name], {},
+                       count_alias="_c").to_pandas()
+    return hist.pivot_table(index=col, columns=group_name, values="_c",
+                            fill_value=0, aggfunc="sum")
+
+
 def exact_ks(ds, value_col: str, group_fn, group_name: str = "_g"):
     """EXACT two-sample Kolmogorov–Smirnov statistic over a Dataset split
     into two samples by ``group_fn`` (a batch → int8-array callable; 0 =
     sample A, 1 = sample B). The distributed pass reduces to per-
     (value, group) counts with the partial-agg groupby — the shuffle
     moves one row per (distinct value, group, batch) — and the driver
-    walks the merged histogram. Driver footprint is O(distinct values):
-    exact KS fundamentally needs the full ECDF support, so for unbounded-
-    cardinality columns use the t-digest ``ks_statistic`` instead (this
-    pair mirrors exact vs sketch column stats). → (ks, n_a, n_b)."""
-    import pyarrow as pa
-
-    from ..pipelines.relational import grouped_agg
-
-    def tag(b: pa.Table) -> pa.Table:
-        g = group_fn(b)
-        return pa.table({value_col: b[value_col],
-                         group_name: pa.array(np.asarray(g, np.int8))})
-
-    tagged = ds.map_batches(tag, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    hist = grouped_agg(tagged, [value_col, group_name], {},
-                       count_alias="_c").to_pandas()
-    piv = hist.pivot_table(index=value_col, columns=group_name,
-                           values="_c", fill_value=0, aggfunc="sum")
+    walks the merged histogram. Null values are excluded (both samples).
+    Driver footprint is O(distinct values): exact KS fundamentally needs
+    the full ECDF support, so for unbounded-cardinality columns use the
+    t-digest ``ks_statistic`` instead (this pair mirrors exact vs sketch
+    column stats). → (ks, n_a, n_b)."""
+    piv = _grouped_counts_pivot(ds, value_col, group_fn, group_name)
     vals = piv.index.to_numpy()
     ca = piv[0].to_numpy() if 0 in piv.columns else np.zeros(len(piv))
     cb = piv[1].to_numpy() if 1 in piv.columns else np.zeros(len(piv))
@@ -128,25 +144,15 @@ def exact_ks(ds, value_col: str, group_fn, group_name: str = "_g"):
 
 def chi2_contingency(ds, cat_col: str, group_fn, group_name: str = "_g"):
     """Pearson chi-square independence statistic between a categorical
-    column and a two-way cohort split (``group_fn`` as in exact_ks).
-    One grouped-count shuffle (per-batch combined); the contingency math
-    runs on the driver over O(categories) cells. → (chi2, dof)."""
-    import pyarrow as pa
-
-    from ..pipelines.relational import grouped_agg
-
-    def tag(b: pa.Table) -> pa.Table:
-        g = group_fn(b)
-        return pa.table({cat_col: b[cat_col],
-                         group_name: pa.array(np.asarray(g, np.int8))})
-
-    tagged = ds.map_batches(tag, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    hist = grouped_agg(tagged, [cat_col, group_name], {},
-                       count_alias="_c").to_pandas()
-    piv = hist.pivot_table(index=cat_col, columns=group_name, values="_c",
-                           fill_value=0, aggfunc="sum")
+    column and a two-way cohort split (``group_fn`` as in exact_ks; null
+    categories excluded). One grouped-count shuffle (per-batch combined);
+    the contingency math runs on the driver over O(categories) cells.
+    → (chi2, dof); dof is 0 (and chi2 0.0) when the table is degenerate."""
+    piv = _grouped_counts_pivot(ds, cat_col, group_fn, group_name)
     obs = piv.to_numpy(dtype=np.int64)
+    dof = max(obs.shape[0] - 1, 0) * max(obs.shape[1] - 1, 0)
+    if obs.size == 0 or dof == 0:
+        return 0.0, int(dof)
     n = obs.sum()
     rows = obs.sum(axis=1)
     cols = obs.sum(axis=0)
@@ -156,5 +162,4 @@ def chi2_contingency(ds, cat_col: str, group_fn, group_name: str = "_g"):
             e = rows[i] * cols[j] / float(n)
             d = obs[i, j] - e
             chi2 += d * d / e
-    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
     return float(chi2), int(dof)

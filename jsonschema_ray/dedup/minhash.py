@@ -32,15 +32,19 @@ _FNV = np.uint64(1099511628211)
 
 
 def kgram_hashes_flat(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized k-byte-gram hashing for a whole batch: ONE polynomial
-    rolling hash over the concatenated utf-8 bytes (never materializes
-    shingle strings — hashing 2M five-char strings through siphash cost 7 s
-    per batch; this path is ~50×  cheaper). Texts shorter than k contribute
-    one whole-text gram. Returns (flat uint64 hashes, bounds[n+1])."""
+    """Vectorized k-CODE-POINT-gram hashing for a whole batch: ONE
+    polynomial rolling hash over the concatenated utf-32 units (never
+    materializes shingle strings — hashing 2M five-char strings through
+    siphash cost 7 s per batch; this path is ~50× cheaper). Code-point
+    units (not utf-8 bytes) so gram boundaries match SQL ``substr``
+    semantics for non-ASCII text; for pure-ASCII input the unit VALUES
+    equal the old utf-8 bytes, so hashes are bit-identical to the former
+    byte-gram form. Texts shorter than k contribute one whole-text gram.
+    Returns (flat uint64 hashes, bounds[n+1])."""
     from ..sketches.hashing import _splitmix64
-    enc = [(t or "").encode("utf-8") for t in texts]
+    enc = [(t or "") for t in texts]
     n = len(enc)
-    lens = np.fromiter((len(b) for b in enc), count=n, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in enc), count=n, dtype=np.int64)
     counts = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
     bounds = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=bounds[1:])
@@ -49,7 +53,8 @@ def kgram_hashes_flat(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
     total = int(lens.sum())
     if total == 0:
         return out, bounds
-    allb = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    allb = np.frombuffer("".join(enc).encode("utf-32-le"),
+                         dtype=np.uint32).astype(np.uint64)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     W = total - k + 1

@@ -1406,8 +1406,11 @@ def grouped_rollup(ds, keys: list[str], sums: dict[str, str],
         for lvl in range(len(keys) - 1, -1, -1):
             k = keys[lvl]
             i = t.schema.get_field_index(k)
-            t = t.set_column(i, k, pa.array([all_label] * len(t),
-                                            type=pa.string()))
+            # cast to the SOURCE key type (large_string/dictionary blocks
+            # would make concat_tables raise on a plain-string literal)
+            lit = pa.array([all_label] * len(t), type=pa.string()) \
+                .cast(t.schema.field(k).type)
+            t = t.set_column(i, k, lit)
             t = t.group_by(keys).aggregate(
                 [(c, "sum") for c in psums] + [("_pcnt", "sum")])
             t = t.rename_columns(keys + psums + ["_pcnt"])
@@ -1475,6 +1478,9 @@ def percent_rank_by_value(ds, value_col: str, out_col: str = "pct_rank",
     import ray
 
     from ..util import worker_cached
+    ds = ds.materialize()   # one source execution feeds BOTH passes — a
+    # lazy input would re-execute (and a nondeterministic one could show
+    # the rank pass values absent from the histogram)
     hist = grouped_agg(ds.select_columns([value_col]), [value_col], {},
                        count_alias="_c").to_pandas()
     hist = hist.sort_values(value_col)
@@ -1488,6 +1494,11 @@ def percent_rank_by_value(ds, value_col: str, out_col: str = "pct_rank",
                                          lambda: ray.get(ref))
         v = b[value_col].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(vals, v)
+        if len(vals) == 0 or (idx >= len(vals)).any() \
+                or (vals[np.minimum(idx, len(vals) - 1)] != v).any():
+            raise ValueError(
+                "percent_rank_by_value: rank-pass value missing from the "
+                "histogram — the input Dataset is not deterministic")
         pr = blw[idx] / max(total - 1, 1)
         cols = {c: b[c] for c in (keep_cols or b.column_names)}
         cols[out_col] = pa.array(np.round(pr, 6))

@@ -49,13 +49,10 @@ def _gram_partials(b: pa.Table, *, text_col: str, n: int,
                    hash_only: bool) -> pa.Table:
     texts = b.column(text_col).to_pylist()
     grams: list = []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
+    for t in texts:
         if t is None:
             continue
-        g = _doc_word_ngrams(t, n)
-        counts[i] = len(g)
-        grams.extend(g)
+        grams.extend(_doc_word_ngrams(t, n))
     if hash_only:
         from ..sketches.hashing import hash64_array
         col = hash64_array(pa.array(grams, type=pa.string()), seed=0)

@@ -227,3 +227,38 @@ def test_components_string_ids_driver_path(ray_session):
     got = _cc_sorted(connected_components(edges))
     comp = dict(zip(got["node"], got["component"]))
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_kgram_hashes_are_codepoint_based():
+    """Gram boundaries must follow CODE POINTS (SQL substr semantics),
+    not utf-8 bytes; ASCII hash values stay identical to the byte form."""
+    from jsonschema_ray.dedup.minhash import jaccard_shingles, \
+        kgram_hashes_flat
+    # 'für die' : 7 code points → 3 distinct 5-grams; byte-grams would
+    # have seen 8 bytes → 4 grams and different windows
+    flat, bounds = kgram_hashes_flat(["für die"], 5)
+    assert bounds[1] - bounds[0] == 3
+    # identical non-ASCII texts → jaccard 1; shifted by one → < 1
+    assert jaccard_shingles("héllo wörld", "héllo wörld", 5) == 1.0
+    assert jaccard_shingles("héllo wörld", "xhéllo wörld", 5) < 1.0
+    # ASCII: short doc contributes the whole text as one gram
+    flat2, b2 = kgram_hashes_flat(["abc"], 5)
+    assert b2[1] - b2[0] == 1
+
+
+def test_exact_ks_null_values_excluded(ray_session):
+    """Null sample values are dropped on the Ray side exactly as the
+    oracle's IS NOT NULL guard drops them."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_ray.checks import exact_ks
+    ds = ray.data.from_arrow(pa.table({
+        "value": pa.array([1.0, 2.0, None, 3.0, None, 2.0]),
+        "grp": pa.array([0, 0, 0, 1, 1, 1], type=pa.int8())}))
+    ks, n_a, n_b = exact_ks(
+        ds, "value", lambda t: t["grp"].to_numpy(zero_copy_only=False))
+    assert (n_a, n_b) == (2, 2)
+    assert not math.isnan(ks)
