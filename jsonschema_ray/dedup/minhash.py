@@ -323,7 +323,8 @@ def minhash_near_duplicates(ds, text_col: str = "text",
                             batch_size: int = 4096,
                             broadcast_sig_cap: int = 1 << 30,
                             driver_pairs_cap: int = 256 << 20,
-                            broadcast_key_cap: int = 8 << 30):
+                            broadcast_key_cap: int = 8 << 30,
+                            rows_hint: int = None):
     """→ Dataset of near-dup candidate pairs ``(id_a, id_b, jaccard_est)``
     with estimated shingle-Jaccard ≥ threshold (id_a < id_b).
 
@@ -347,7 +348,14 @@ def minhash_near_duplicates(ds, text_col: str = "text",
     from ..util import auto_partitions
     from .pairsops import collect_keys_if_small, distinct_pairs, \
         pair_key_dataset
-    num_partitions = num_partitions or auto_partitions()
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+        if rows_hint:
+            # cap at what the band-row volume warrants (~16k rows/part) —
+            # same rule as checks/neardup.py rows_hint; at scale the
+            # row-derived count exceeds the cluster-derived one
+            num_partitions = min(num_partitions,
+                                 max(8, (rows_hint * bands) // 16384))
     source = ds.select_columns([id_col, text_col])
     raw = _candidate_pairs(source, text_col, id_col, num_hashes, k, bands,
                            max_bucket, num_partitions, batch_size)

@@ -749,9 +749,9 @@ def simhash_documents(sf_dir: str):
 
 def minhash_neardup_documents(sf_dir: str):
     from ..dedup import minhash_near_duplicates
-    return minhash_near_duplicates(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        threshold=0.5)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_near_duplicates(ds, threshold=0.5,
+                                   rows_hint=ds.count())
 
 
 def orders_customer_join(sf_dir: str):
@@ -819,9 +819,9 @@ def neardup_verified_documents(sf_dir: str):
     the exact-set intersection over shingle hashes is not SQL-expressible
     at reasonable cost)."""
     from ..dedup import verified_near_duplicates
-    return verified_near_duplicates(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        threshold=0.5)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return verified_near_duplicates(ds, threshold=0.5,
+                                    rows_hint=ds.count())
 
 
 LINEITEM_DATE_RULESET = {
