@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
         "chi2_events": R.chi2_events,                     # oracled
         "events_percent_rank": R.events_percent_rank,     # oracled
+        "split_documents": R.split_documents,             # oracled
+        "quality_filter_documents": R.quality_filter_documents,  # oracled
     }
 
 
@@ -756,5 +758,26 @@ SELECT event_id,
        round(CAST(rank() OVER (ORDER BY value) - 1 AS DOUBLE)
              / greatest(count(*) OVER () - 1, 1), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "split_documents": """
+SELECT CASE WHEN doc_id % 100 < 10 THEN 'val'
+            WHEN doc_id % 100 < 20 THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY split
+""",
+        "quality_filter_documents": """
+WITH q AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         CAST(floor(10000.0 * length(regexp_extract_all(text, '[A-Za-z]'))
+                    / greatest(length(text), 1)) AS BIGINT) AS alpha_bp,
+         CAST(floor(10000.0 * length(regexp_extract_all(text, ' '))
+                    / greatest(length(text), 1)) AS BIGINT) AS space_bp
+  FROM documents)
+SELECT doc_id FROM q
+WHERE n_chars BETWEEN 100 AND 10000 AND n_tokens >= 10
+  AND alpha_bp >= 4000 AND space_bp <= 4000
+ORDER BY doc_id
 """,
     }

@@ -1517,3 +1517,61 @@ def events_percent_rank(sf_dir: str):
     out = percent_rank_by_value(ds, "value",
                                 keep_cols=["event_id"]).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def assign_split(ds, id_col: str, val_pct: int = 10, test_pct: int = 10,
+                 out_col: str = "split"):
+    """Deterministic train/val/test assignment for integer ids (ORACLED:
+    bucket = id % 100; val = first ``val_pct`` buckets, test = next
+    ``test_pct``). Stateless per batch — no shuffle, no driver state —
+    so the split is stable across runs, resumes and cluster sizes. For
+    string ids hash to int64 first (sketches.hashing.hash64_array) — the
+    modulo-on-hash variant is not SQL-reproducible, hence int ids here."""
+    import functools
+
+    def fn(b: pa.Table, *, id_col, val_pct, test_pct,
+           out_col) -> pa.Table:
+        i = b[id_col].to_numpy(zero_copy_only=False)
+        bucket = i % 100
+        s = np.where(bucket < val_pct, "val",
+                     np.where(bucket < val_pct + test_pct, "test",
+                              "train"))
+        return b.append_column(out_col, pa.array(s, type=pa.string()))
+
+    return ds.map_batches(
+        functools.partial(fn, id_col=id_col, val_pct=val_pct,
+                          test_pct=test_pct, out_col=out_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_documents(sf_dir: str):
+    """Train/val/test split counts per split (the assignment itself is
+    per-row; aggregating keeps the compared result small and pins both
+    the assignment rule and the fractions)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    tagged = assign_split(ds, "doc_id")
+    out = grouped_agg(tagged, ["split"], {}, count_alias="n_docs") \
+        .to_pandas()
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def quality_filter_documents(sf_dir: str):
+    """Gopher-style quality keep-list (ORACLED): documents passing ALL
+    thresholds — length in [100, 10000] chars, ≥ 10 tokens, alpha ratio
+    ≥ 40% (basis points, floor semantics shared with quality_documents),
+    space ratio ≤ 40%. The filter composes the oracled quality signals
+    into the actual curation decision a 100-TB pipeline ships."""
+    q = quality_documents(sf_dir)
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.and_(pc.greater_equal(b["n_chars"], 100),
+                    pc.less_equal(b["n_chars"], 10000)),
+            pc.greater_equal(b["n_tokens"], 10)),
+            pc.and_(pc.greater_equal(b["alpha_bp"], 4000),
+                    pc.less_equal(b["space_bp"], 4000)))
+        return b.filter(pc.fill_null(m, False)).select(["doc_id"])
+
+    out = q.map_batches(keep, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

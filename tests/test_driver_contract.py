@@ -82,7 +82,8 @@ def oracle_pairs():
     "events_value_histogram", "events_value_zscore",
     "langid_documents", "drift_exact_events",
     "dedup_neardup_keep_documents", "rollup_orders_segment_priority",
-    "chi2_events", "events_percent_rank",
+    "chi2_events", "events_percent_rank", "split_documents",
+    "quality_filter_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
