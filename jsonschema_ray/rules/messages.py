@@ -34,10 +34,26 @@ def fmt_value(v: Any) -> str:
     if isinstance(v, (bytes, bytearray)):
         return f"bytes[{len(v)}]"
     if isinstance(v, (list, tuple)):
-        return json.dumps(list(v), ensure_ascii=False, default=str)
+        return json.dumps(_jsonable(list(v)), ensure_ascii=False,
+                          default=str)
     if isinstance(v, dict):
-        return json.dumps(v, sort_keys=True, ensure_ascii=False, default=str)
+        return json.dumps(_jsonable(v), sort_keys=True, ensure_ascii=False,
+                          default=str)
     return str(v)
+
+
+def _jsonable(v: Any) -> Any:
+    """Recursively turn ``pa.map_`` pair-lists (``[(str, val), ...]``)
+    into dicts so nested map values render as JSON objects, not arrays
+    of pairs (matches the row-wise engine's converted instances)."""
+    if isinstance(v, (list, tuple)):
+        if v and all(isinstance(e, tuple) and len(e) == 2
+                     and isinstance(e[0], str) for e in v):
+            return {k: _jsonable(x) for k, x in v}
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
 
 
 MESSAGES = {

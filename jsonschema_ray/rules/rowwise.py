@@ -156,14 +156,42 @@ def map_cell_to_object(v: Any) -> Any:
     """``pa.map_`` cells surface from ``to_pylist`` as ``[(key, value),
     ...]`` TUPLE pairs; JSON-wise they are objects. Plain list columns
     yield lists (never tuples), so tuple pairs unambiguously identify map
-    cells. An EMPTY map is indistinguishable from an empty array here —
-    callers comparing against the vector engine should avoid empty maps
-    under `type` assertions (documented limitation)."""
+    cells. An EMPTY map is indistinguishable from an empty array in this
+    schema-LESS view — use :func:`rows_from_table` (schema-driven) when
+    the Arrow table is available; it converts empty maps to ``{}``."""
     if isinstance(v, list) and v and all(
             isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], str)
             for e in v):
         return dict(v)
     return v
+
+
+def _value_from_typed(v: Any, typ) -> Any:
+    """to_pylist value + its Arrow type → JSON-like instance value: map
+    cells become dicts (EMPTY maps included — the type disambiguates
+    what ``to_pylist`` alone cannot), recursively through lists/structs."""
+    import pyarrow as _pa
+    if v is None:
+        return None
+    if _pa.types.is_map(typ):
+        return {k: _value_from_typed(x, typ.item_type) for k, x in v}
+    if _pa.types.is_list(typ) or _pa.types.is_large_list(typ):
+        return [_value_from_typed(x, typ.value_type) for x in v]
+    if _pa.types.is_struct(typ):
+        return {f.name: _value_from_typed(v.get(f.name), f.type)
+                for f in typ}
+    return v
+
+
+def rows_from_table(tab) -> list:
+    """Arrow table → JSON-like instance dicts with SCHEMA-DRIVEN map
+    conversion (resolves the empty-map/empty-array to_pylist ambiguity;
+    see map_cell_to_object)."""
+    types = [tab.schema.field(c).type for c in tab.column_names]
+    cols = [tab.column(c).to_pylist() for c in tab.column_names]
+    return [{name: _value_from_typed(col[i], typ)
+             for name, col, typ in zip(tab.column_names, cols, types)}
+            for i in range(tab.num_rows)]
 
 
 class RowEvaluator:

@@ -359,10 +359,15 @@ class BatchValidator:
         return p
 
     def _offending(self, view: View, slots: np.ndarray) -> list[str]:
-        vals = view.arr.take(pa.array(slots, type=pa.int64())).to_pylist() \
-            if view.arr is not None else [None] * len(slots)
-        return [M.fmt_value(v) if view.arr is not None else "object"
-                for v in vals]
+        if view.arr is None:
+            return ["object"] * len(slots)
+        vals = view.arr.take(pa.array(slots, type=pa.int64())).to_pylist()
+        if pa.types.is_map(view.arr.type):
+            # map cells ARE objects — dict() them so an EMPTY map renders
+            # '{}' (the raw to_pylist pair-list would render '[]'),
+            # matching the row-wise engine
+            vals = [None if v is None else dict(v) for v in vals]
+        return [M.fmt_value(v) for v in vals]
 
     def _emit(self, sink: list[VBlock], view: View, fail: np.ndarray,
               keyword: str, kw_loc: str, message: str,

@@ -348,3 +348,35 @@ def test_unique_items_nan_vs_null_channel():
                 True, True]
     assert vec == expected
     assert row == expected
+
+
+def test_empty_map_renders_as_object(ray_session):
+    """Empty pa.map_ cells are JSON objects: both engines must agree on
+    semantics AND offending-value rendering ('{}', not '[]'), and
+    schema-driven row conversion must distinguish them from empty lists."""
+    import pyarrow as pa
+
+    from jsonschema_ray.rules.model import parse_ruleset
+    from jsonschema_ray.rules.rowwise import RowEvaluator, rows_from_table
+    from jsonschema_ray.rules.vector import BatchValidator
+    t = pa.table({"mp": pa.array([[("k1", 1)], [], None],
+                                 type=pa.map_(pa.string(), pa.int64()))})
+    rows = rows_from_table(t)
+    assert rows[0]["mp"] == {"k1": 1}
+    assert rows[1]["mp"] == {}          # NOT [] — the type disambiguates
+    assert rows[2]["mp"] is None
+
+    rs = parse_ruleset({"additionalProperties": False})
+    _, viol = BatchValidator(rs).evaluate(t)
+    got = viol["offending_value"].to_pylist()
+    re_ = RowEvaluator(rs)
+    exp = [v.offending for r in rows for v in re_.validate(r)]
+    assert got == exp == ['{"k1": 1}', "{}"]
+
+    # empty map passes type: object and fails minProperties: 1 — and an
+    # empty LIST cell still fails type: object
+    rs2 = parse_ruleset({"properties": {"mp": {"type": "object",
+                                               "minProperties": 1}}})
+    _, viol2 = BatchValidator(rs2).evaluate(t)
+    kws = sorted(viol2["keyword"].to_pylist())
+    assert kws == ["minProperties"]

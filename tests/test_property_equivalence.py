@@ -191,11 +191,12 @@ opt_struct = st.one_of(st.none(), st.fixed_dictionaries({
     "p": st.one_of(st.none(), st.integers(-5, 5)),
     "q": st.one_of(st.none(), st.sampled_from(["", "a", "ab", "xy"])),
 }))
-# NON-EMPTY maps only: an empty map is indistinguishable from an empty
-# array in to_pylist (rowwise.map_cell_to_object documented limitation)
+# EMPTY maps included: rows_from_table converts them schema-driven, so
+# the old empty-map/empty-array to_pylist ambiguity no longer constrains
+# the grammar
 opt_map = st.one_of(st.none(), st.dictionaries(
     st.sampled_from(["k1", "k2", "kx", "zz"]),
-    st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=3
+    st.one_of(st.none(), st.integers(-5, 5)), min_size=0, max_size=3
 ).map(lambda d: list(d.items())))
 import datetime as _dt
 
@@ -248,7 +249,8 @@ def test_vector_matches_rowwise(doc, cols):
     mask, viol = bv.evaluate(t)
     re_ = RowEvaluator(rs)
     exp_mask, exp_viols = [], []
-    for row in t.to_pylist():
+    from jsonschema_ray.rules.rowwise import rows_from_table
+    for row in rows_from_table(t):
         errs = re_.validate(row)
         exp_mask.append(len(errs) == 0)
         exp_viols += [(v.instance_location, v.keyword, v.keyword_location,
