@@ -362,11 +362,13 @@ class BatchValidator:
         if view.arr is None:
             return ["object"] * len(slots)
         vals = view.arr.take(pa.array(slots, type=pa.int64())).to_pylist()
-        if pa.types.is_map(view.arr.type):
-            # map cells ARE objects — dict() them so an EMPTY map renders
-            # '{}' (the raw to_pylist pair-list would render '[]'),
-            # matching the row-wise engine
-            vals = [None if v is None else dict(v) for v in vals]
+        typ = view.arr.type
+        if pa.types.is_nested(typ):
+            # type-driven conversion so map cells — at ANY nesting depth,
+            # EMPTY ones included — render as JSON objects, matching the
+            # row-wise engine's converted instances
+            from .rowwise import _value_from_typed
+            vals = [_value_from_typed(v, typ) for v in vals]
         return [M.fmt_value(v) for v in vals]
 
     def _emit(self, sink: list[VBlock], view: View, fail: np.ndarray,

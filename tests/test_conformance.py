@@ -380,3 +380,23 @@ def test_empty_map_renders_as_object(ray_session):
     _, viol2 = BatchValidator(rs2).evaluate(t)
     kws = sorted(viol2["keyword"].to_pylist())
     assert kws == ["minProperties"]
+
+
+def test_nested_empty_map_rendering(ray_session):
+    """List-of-map cells render map elements as objects at any depth —
+    including empty maps ('[{}]', not '[[]]')."""
+    import pyarrow as pa
+
+    from jsonschema_ray.rules.model import parse_ruleset
+    from jsonschema_ray.rules.rowwise import RowEvaluator, rows_from_table
+    from jsonschema_ray.rules.vector import BatchValidator
+    t = pa.table({"lm": pa.array([[[]], [[("a", 1)], []]],
+                                 type=pa.list_(pa.map_(pa.string(),
+                                                       pa.int64())))})
+    rs = parse_ruleset({"additionalProperties": False})
+    _, viol = BatchValidator(rs).evaluate(t)
+    got = viol["offending_value"].to_pylist()
+    re_ = RowEvaluator(rs)
+    exp = [v.offending for r in rows_from_table(t)
+           for v in re_.validate(r)]
+    assert got == exp == ['[{}]', '[{"a": 1}, {}]']

@@ -202,6 +202,13 @@ import datetime as _dt
 
 opt_ts = st.one_of(st.none(), st.integers(0, 30).map(
     lambda d: _dt.datetime(2024, 1, 1) + _dt.timedelta(days=d, hours=d)))
+# list-of-map: map elements under items exercise the flattened-entry
+# machinery inside array contexts (probed manually first, then netted)
+opt_map_list = st.one_of(st.none(), st.lists(st.one_of(
+    st.none(), st.dictionaries(
+        st.sampled_from(["a", "b", "zz"]),
+        st.one_of(st.none(), st.integers(-4, 4)), max_size=2
+    ).map(lambda d: list(d.items()))), max_size=3))
 opt_struct_list = st.one_of(st.none(), st.lists(st.one_of(
     st.none(), st.fixed_dictionaries({
         "p": st.one_of(st.none(), st.integers(-4, 4)),
@@ -218,6 +225,7 @@ table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "mp": st.lists(opt_map, min_size=n, max_size=n),
     "dt": st.lists(opt_ts, min_size=n, max_size=n),
     "ml": st.lists(opt_struct_list, min_size=n, max_size=n),
+    "lm": st.lists(opt_map_list, min_size=n, max_size=n),
 }))
 
 
@@ -235,6 +243,8 @@ def build_table(cols: dict) -> pa.Table:
         "dt": pa.array(cols["dt"], type=pa.timestamp("us")),
         "ml": pa.array(cols["ml"], type=pa.list_(pa.struct(
             [("p", pa.int64()), ("q", pa.string())]))),
+        "lm": pa.array(cols["lm"],
+                       type=pa.list_(pa.map_(pa.string(), pa.int64()))),
     })
 
 
