@@ -400,3 +400,55 @@ def test_nested_empty_map_rendering(ray_session):
     exp = [v.offending for r in rows_from_table(t)
            for v in re_.validate(r)]
     assert got == exp == ['[{}]', '[{"a": 1}, {}]']
+
+
+@pytest.mark.parametrize("doc,exp", [
+    ({"properties": {"mv": {"additionalProperties":
+                            {"type": "array", "minItems": 1}}}},
+     [("/mv/b", "additionalProperties", "[]")]),
+    ({"properties": {"mv": {"patternProperties": {"^a": {"maxItems": 1}}}}},
+     [("/mv/a", "maxItems", "[1, 2]")]),
+])
+def test_map_with_list_values(ray_session, doc, exp):
+    """Map columns whose VALUES are lists: entry-value subschemas apply
+    per entry; null entry values are absent members."""
+    import pyarrow as pa
+
+    from jsonschema_ray.rules.model import parse_ruleset
+    from jsonschema_ray.rules.rowwise import RowEvaluator, rows_from_table
+    from jsonschema_ray.rules.vector import BatchValidator
+    t = pa.table({"mv": pa.array(
+        [[("a", [1, 2]), ("b", [])], [("c", None)], []],
+        type=pa.map_(pa.string(), pa.list_(pa.int64())))})
+    rs = parse_ruleset(doc)
+    _, viol = BatchValidator(rs).evaluate(t)
+    got = sorted(zip(viol["instance_location"].to_pylist(),
+                     viol["keyword"].to_pylist(),
+                     viol["offending_value"].to_pylist()))
+    re_ = RowEvaluator(rs)
+    exp_row = sorted((v.instance_location, v.keyword, v.offending)
+                     for r in rows_from_table(t) for v in re_.validate(r))
+    assert got == exp_row == exp
+
+
+def test_struct_containing_map_field(ray_session):
+    """A map nested as a struct FIELD: properties→properties chains into
+    the map's object semantics (empty map counts 0 properties)."""
+    import pyarrow as pa
+
+    from jsonschema_ray.rules.model import parse_ruleset
+    from jsonschema_ray.rules.rowwise import RowEvaluator, rows_from_table
+    from jsonschema_ray.rules.vector import BatchValidator
+    t = pa.table({"sm": pa.array(
+        [{"inner": [("k", 5)]}, {"inner": []}, {"inner": None}, None],
+        type=pa.struct([("inner", pa.map_(pa.string(), pa.int64()))]))})
+    rs = parse_ruleset({"properties": {"sm": {"properties": {
+        "inner": {"minProperties": 1}}}}})
+    _, viol = BatchValidator(rs).evaluate(t)
+    got = sorted(zip(viol["instance_location"].to_pylist(),
+                     viol["keyword"].to_pylist(),
+                     viol["offending_value"].to_pylist()))
+    re_ = RowEvaluator(rs)
+    exp = sorted((v.instance_location, v.keyword, v.offending)
+                 for r in rows_from_table(t) for v in re_.validate(r))
+    assert got == exp == [("/sm/inner", "minProperties", "0")]
