@@ -54,8 +54,51 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
 def _as_matrix(vecs) -> np.ndarray:
     if isinstance(vecs, (pa.Array, pa.ChunkedArray)):
         return _unit_rows(embedding_matrix(vecs))
+    if len(vecs) == 0:  # np.stack([]) raises; empty query/vector sets are legal
+        return np.zeros((0, 0), dtype=np.float64)
     return _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
                                 for v in vecs]))
+
+
+def _local_topk(row: np.ndarray, ids: np.ndarray, k: int):
+    """Deterministic batch-local top-k of one query's score row: rows
+    strictly above the k-th score kept as-is, boundary ties filled with
+    the SMALLEST ids — so the local survivors are a superset of the
+    global (score desc, id asc) winners regardless of batch/block
+    boundaries. Returns (ids, scores) of ≤ k rows."""
+    kk = min(k, len(row))
+    if kk <= 0:
+        return ids[:0], row[:0]
+    part = np.argpartition(-row, kk - 1)[:kk]
+    skth = row[part].min()
+    above = np.nonzero(row > skth)[0]
+    ties = np.nonzero(row == skth)[0]
+    need = kk - len(above)
+    sel_t = ties[np.argsort(ids[ties], kind="stable")[:need]]
+    cols = np.concatenate([above, sel_t])
+    return ids[cols], row[cols]
+
+
+def _qid_type(qids: np.ndarray) -> pa.DataType:
+    return pa.array(qids[:1]).type if len(qids) else pa.int64()
+
+
+def _result_table(out_q: list, out_id: list, out_s: list, *,
+                  id_type: pa.DataType, qids: np.ndarray,
+                  id_col: str) -> pa.Table:
+    """Candidate rows with SCHEMA-STABLE types: the id column always uses
+    the batch's real id type and query_id the queries' type, so empty and
+    non-empty blocks unify (string/large_string ids included)."""
+    qt = _qid_type(qids)
+    if not out_q:
+        return pa.table({"query_id": pa.array([], type=qt),
+                         id_col: pa.array([], type=id_type),
+                         "score": pa.array([], type=pa.float64())})
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), type=qt),
+        id_col: pa.array(np.concatenate(out_id), type=id_type),
+        "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+    })
 
 
 def _brute_force_batch(batch: pa.Table, *, queries_ref, vec_col: str,
@@ -64,39 +107,29 @@ def _brute_force_batch(batch: pa.Table, *, queries_ref, vec_col: str,
     q = worker_cached(("annq", queries_ref.hex()),
                       lambda: ray.get(queries_ref))
     Q, qids = q["matrix"], q["ids"]          # (nq, dim), unit rows
-    V = _as_matrix(batch.column(vec_col))
+    id_type = batch.schema.field(id_col).type
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    sim = Q @ V.T                            # (nq, nb)
-    k = min(k, sim.shape[1])
-    # local top-k per query: argpartition picks an ARBITRARY subset of
-    # rows tied at the k-th score, but the global contract tie-breaks by
-    # (score desc, id asc) — so rows strictly above the k-th score are
-    # kept as-is and the boundary ties are filled with the SMALLEST ids,
-    # making the batch-local survivors a superset of the global winners
-    part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
     out_q, out_id, out_s = [], [], []
-    for qi in range(sim.shape[0]):
-        row = sim[qi]
-        skth = row[part[qi]].min()
-        above = np.nonzero(row > skth)[0]
-        ties = np.nonzero(row == skth)[0]
-        need = k - len(above)
-        sel_t = ties[np.argsort(ids[ties], kind="stable")[:need]]
-        cols = np.concatenate([above, sel_t])
-        out_q.append(np.full(k, qids[qi]))
-        out_id.append(ids[cols])
-        out_s.append(row[cols])
-    return pa.table({
-        "query_id": pa.array(np.concatenate(out_q)),
-        id_col: pa.array(np.concatenate(out_id)),
-        "score": pa.array(np.concatenate(out_s)),
-    })
+    if batch.num_rows and len(Q):            # empty batch/queries → empty block
+        V = _as_matrix(batch.column(vec_col))
+        sim = Q @ V.T                        # (nq, nb)
+        for qi in range(sim.shape[0]):
+            sel_id, sel_s = _local_topk(sim[qi], ids, k)
+            out_q.append(np.full(len(sel_id), qids[qi]))
+            out_id.append(sel_id)
+            out_s.append(sel_s)
+    return _result_table(out_q, out_id, out_s, id_type=id_type,
+                         qids=qids, id_col=id_col)
 
 
 def _merge_topk(candidates: pd.DataFrame, id_col: str, k: int) -> \
         pd.DataFrame:
     """Global merge of per-batch candidates: exact top-k per query with a
     deterministic (score desc, id asc) tie-break."""
+    if "query_id" not in candidates.columns:
+        # an empty Dataset can surface as a column-less frame
+        return pd.DataFrame({"query_id": [], id_col: [], "score": [],
+                             "rank": pd.Series([], dtype=np.int64)})
     outs = []
     for qid, g in candidates.groupby("query_id", sort=False):
         g = g.sort_values(["score", id_col],
@@ -104,6 +137,10 @@ def _merge_topk(candidates: pd.DataFrame, id_col: str, k: int) -> \
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         outs.append(g)
+    if not outs:  # empty corpus / nothing probed: dtype-stable empty frame
+        empty = candidates.head(0).copy()
+        empty["rank"] = pd.Series([], dtype=np.int64)
+        return empty
     return pd.concat(outs, ignore_index=True)
 
 
@@ -158,29 +195,22 @@ def _ivf_batch(batch: pa.Table, *, state_ref, vec_col: str, id_col: str,
 
     C, Q, qids, probe = worker_cached(("ivf", state_ref.hex(), nprobe),
                                       setup)
-    V = _as_matrix(batch.column(vec_col))
+    id_type = batch.schema.field(id_col).type
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    cell = np.argmax(V @ C.T, axis=1)
     out_q, out_id, out_s = [], [], []
-    for qi in range(len(Q)):
-        sel = np.isin(cell, probe[qi])
-        if not sel.any():
-            continue
-        sims = Q[qi] @ V[sel].T
-        kk = min(k, len(sims))
-        idx = np.argpartition(-sims, kk - 1)[:kk]
-        out_q.append(np.full(kk, qids[qi]))
-        out_id.append(ids[sel][idx])
-        out_s.append(sims[idx])
-    if not out_q:
-        return pa.table({"query_id": pa.array([], type=pa.int64()),
-                         id_col: pa.array([], type=pa.int64()),
-                         "score": pa.array([], type=pa.float64())})
-    return pa.table({
-        "query_id": pa.array(np.concatenate(out_q)),
-        id_col: pa.array(np.concatenate(out_id)),
-        "score": pa.array(np.concatenate(out_s)),
-    })
+    if batch.num_rows and len(Q):
+        V = _as_matrix(batch.column(vec_col))
+        cell = np.argmax(V @ C.T, axis=1)
+        for qi in range(len(Q)):
+            sel = np.isin(cell, probe[qi])
+            if not sel.any():
+                continue
+            sel_id, sel_s = _local_topk(Q[qi] @ V[sel].T, ids[sel], k)
+            out_q.append(np.full(len(sel_id), qids[qi]))
+            out_id.append(sel_id)
+            out_s.append(sel_s)
+    return _result_table(out_q, out_id, out_s, id_type=id_type,
+                         qids=qids, id_col=id_col)
 
 
 def _train_centroids(ds, vec_col: str, ncells: int, train_sample: int,
@@ -193,6 +223,8 @@ def _train_centroids(ds, vec_col: str, ncells: int, train_sample: int,
     if frac < 1.0:
         vecs = vecs.random_sample(frac, seed=seed)
     sample = vecs.to_pandas()
+    if not len(sample):
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     X = _as_matrix(sample[vec_col].to_numpy())
     return _kmeans(X, ncells, seed=seed)
 
@@ -231,31 +263,24 @@ def _probe_cells_batch(batch: pa.Table, *, queries_ref, vec_col: str,
                       lambda: ray.get(queries_ref))
     Q, qids, probe_sets = q["matrix"], q["ids"], q["probe_sets"]
     import pyarrow.compute as pc
-    V = _as_matrix(batch.column(vec_col))
+    id_type = batch.schema.field(id_col).type
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    # hive partition values surface as strings when reading explicit files
-    cell = pc.cast(batch.column("cell"), pa.int64()).to_numpy(
-        zero_copy_only=False)
     out_q, out_id, out_s = [], [], []
-    for qi in range(len(Q)):
-        sel = np.isin(cell, probe_sets[qi])
-        if not sel.any():
-            continue
-        sims = Q[qi] @ V[sel].T
-        kk = min(k, len(sims))
-        idx = np.argpartition(-sims, kk - 1)[:kk]
-        out_q.append(np.full(kk, qids[qi]))
-        out_id.append(ids[sel][idx])
-        out_s.append(sims[idx])
-    if not out_q:
-        return pa.table({"query_id": pa.array([], type=pa.int64()),
-                         id_col: pa.array([], type=pa.int64()),
-                         "score": pa.array([], type=pa.float64())})
-    return pa.table({
-        "query_id": pa.array(np.concatenate(out_q)),
-        id_col: pa.array(np.concatenate(out_id)),
-        "score": pa.array(np.concatenate(out_s)),
-    })
+    if batch.num_rows and len(Q):
+        V = _as_matrix(batch.column(vec_col))
+        # hive partition values surface as strings when reading explicit files
+        cell = pc.cast(batch.column("cell"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        for qi in range(len(Q)):
+            sel = np.isin(cell, probe_sets[qi])
+            if not sel.any():
+                continue
+            sel_id, sel_s = _local_topk(Q[qi] @ V[sel].T, ids[sel], k)
+            out_q.append(np.full(len(sel_id), qids[qi]))
+            out_id.append(sel_id)
+            out_s.append(sel_s)
+    return _result_table(out_q, out_id, out_s, id_type=id_type,
+                         qids=qids, id_col=id_col)
 
 
 class IvfIndex:
@@ -293,8 +318,18 @@ class IvfIndex:
 
         # a non-empty index_dir means a previous/crashed build left files
         # behind; mixing them into the fresh partition layout would feed
-        # duplicate/stale rows to probes — wipe before writing
+        # duplicate/stale rows to probes — wipe before writing, but ONLY
+        # if the contents actually look like a prior index (a mistyped
+        # path at an arbitrary data directory must not be destroyed)
         if os.path.isdir(index_dir) and os.listdir(index_dir):
+            entries = os.listdir(index_dir)
+            looks_like_index = "centroids.npy" in entries or \
+                any(e.startswith("cell=") for e in entries)
+            if not looks_like_index:
+                raise ValueError(
+                    f"index_dir {index_dir!r} is non-empty and does not "
+                    "look like a previous IVF index (no centroids.npy / "
+                    "cell=* entries) — refusing to delete it")
             import shutil
             shutil.rmtree(index_dir)
         os.makedirs(index_dir, exist_ok=True)

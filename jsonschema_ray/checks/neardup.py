@@ -57,8 +57,18 @@ def _explode_bands(batch: pa.Table, *, id_col: str, phash_col: str,
     ``hash_ids``: string/binary ids shuffle as int64 hash64(id) keys
     (8 bytes/row instead of the variable-width string ×bands); pairs are
     translated back to real ids after the pair dedup."""
+    import pyarrow.compute as pc
+
     from ..sketches.hashing import _splitmix64, hash64_array
     width = 64 // bands
+    # null phash/id rows are EXCLUDED (a null hash is near nothing) —
+    # the float-NaN path of to_numpy would otherwise cast every null to
+    # the same garbage int64 (platform-dependent!) and report all null
+    # rows as mutual distance-0 duplicates
+    keep = pc.and_(pc.is_valid(batch.column(phash_col)),
+                   pc.is_valid(batch.column(id_col)))
+    if not pc.all(keep).as_py():
+        batch = batch.filter(keep)
     ph = batch.column(phash_col).combine_chunks()
     ids = batch.column(id_col).combine_chunks()
     if hash_ids:

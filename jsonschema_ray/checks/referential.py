@@ -67,10 +67,17 @@ def _broadcast_keys(ref_ds_or_array, key: Optional[str],
     else:
         # a Dataset: pull the (small) distinct key column to the driver once
         tbl = ref_ds_or_array.select_columns([key]).to_arrow_refs()
-        parts = [pa.Table.from_batches(t.to_batches())
+        parts = [pa.Table.from_batches(t.to_batches(), schema=t.schema)
                  for t in ray.get(tbl)]
-        whole = pa.concat_tables([p for p in parts if p.num_rows])
-        uniq = pc.unique(whole.column(key).combine_chunks())
+        nonempty = [p for p in parts if p.num_rows]
+        if nonempty:
+            whole = pa.concat_tables(nonempty)
+            uniq = pc.unique(whole.column(key).combine_chunks())
+        else:
+            # a legitimately EMPTY reference universe (every fact row is
+            # an orphan) must not crash pa.concat_tables([])
+            key_type = ref_ds_or_array.schema().base_schema.field(key).type
+            uniq = pa.array([], type=key_type)
     if bloom_fp is not None:
         # huge key universes: ship m bits instead of the exact set; ONLY
         # false positives (missed orphans at rate ≈ fp), never false

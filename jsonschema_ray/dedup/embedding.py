@@ -23,12 +23,12 @@ import pyarrow as pa
 
 
 def _unit_rows(batch: pa.Table, vec_col: str) -> np.ndarray:
-    """(n, dim) float32 unit vectors from a list<float> column."""
-    from ..ann.search import embedding_matrix
-    vecs = embedding_matrix(batch.column(vec_col))
-    norms = np.linalg.norm(vecs, axis=1)
-    norms[norms == 0] = 1.0
-    return (vecs / norms[:, None]).astype(np.float32)
+    """(n, dim) float32 unit vectors from a list<float> column — the
+    zero-norm guard lives ONCE in ann.search._unit_rows (shared with the
+    exact verify path so bucketing and verification can't diverge)."""
+    from ..ann.search import _unit_rows as unit_rows_mat, embedding_matrix
+    return unit_rows_mat(embedding_matrix(batch.column(vec_col))) \
+        .astype(np.float32)
 
 
 def _row_keys(batch: pa.Table, id_col: str, int_ids: bool) -> np.ndarray:
@@ -40,16 +40,19 @@ def _row_keys(batch: pa.Table, id_col: str, int_ids: bool) -> np.ndarray:
 
 
 def _hyperplane_bucket(batch: pa.Table, *, vec_col: str, id_col: str,
-                       planes: int, dim: int, seed: int, tables: int,
+                       planes: int, seed: int, tables: int,
                        int_ids: bool) -> pa.Table:
     """NARROW bucket rows: (bucket, key) only — 16 B × tables per input
-    row through the one large shuffle."""
+    row through the one large shuffle. The embedding width is observed
+    from the batch itself (and keys the cached hyperplane tensor), so
+    any corpus width works without a caller-supplied ``dim``."""
     from ..ann.search import embedding_matrix
     from ..util import worker_cached
+    vecs = embedding_matrix(batch.column(vec_col))
+    dim = vecs.shape[1]
     H = worker_cached(("hyperplanes", dim, planes, seed, tables),
                       lambda: np.random.default_rng(seed)
                       .standard_normal((tables, dim, planes)))
-    vecs = embedding_matrix(batch.column(vec_col))
     n = len(vecs)
     keys = _row_keys(batch, id_col, int_ids)
     buckets = []
@@ -157,7 +160,7 @@ def _pair_cos_batch(b: pa.Table, *, threshold: float) -> pa.Table:
 
 
 def embedding_near_duplicates(ds, vec_col: str = "embedding",
-                              id_col: str = "vec_id", dim: int = 64,
+                              id_col: str = "vec_id",
                               threshold: float = 0.95, planes: int = 12,
                               seed: int = 11, max_bucket: int = 4096,
                               batch_size: int = 8192, tables: int = 4,
@@ -187,7 +190,7 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
 
     bucketed = source.map_batches(
         functools.partial(_hyperplane_bucket, vec_col=vec_col,
-                          id_col=id_col, planes=planes, dim=dim, seed=seed,
+                          id_col=id_col, planes=planes, seed=seed,
                           tables=tables, int_ids=int_ids),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     raw = partitioned_group_apply(bucketed, ["bucket"],

@@ -10,8 +10,9 @@ loudly above the cap instead of degrading.
 
 Semantics match :func:`jaccard_shingles` (dedup/minhash.py): distinct
 64-bit hashes of k code-point grams, docs shorter than k contribute their
-whole text as a single gram, empty/null docs have no grams and join no
-pairs. Mirrors the reference's set-equality treatment of uniqueItems-style
+whole text as a single gram, and two docs with EMPTY gram sets score 1.0
+(they pair), exactly as jaccard_shingles and the minhash verify path
+define it. Mirrors the reference's set-equality treatment of uniqueItems-style
 comparisons only in spirit — this operator has no reference analog (it is
 part of the LLM-pipeline surplus surface).
 
@@ -96,8 +97,10 @@ def _batch_pairs(b: pa.Table, *, text_col, id_col, k, threshold,
     inter = Mb @ Mc                                   # (batch, corpus)
     sz_b = np.diff(boffs).astype(np.float64)
     union = sz_b[:, None] + sizes_all[None, :].astype(np.float64) - inter
+    # union == 0 ⟺ both gram sets empty: jaccard_shingles (and the minhash
+    # verify path) define that as 1.0, so the oracle must agree
     with np.errstate(divide="ignore", invalid="ignore"):
-        jac = np.where(union > 0, inter / union, 0.0)
+        jac = np.where(union > 0, inter / union, 1.0)
     bi, ci = np.nonzero(jac >= threshold)
     idb = b.column(id_col).to_numpy(zero_copy_only=False)
     ia_v, ib_v = idb[bi], ids_all[ci]

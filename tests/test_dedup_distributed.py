@@ -80,10 +80,10 @@ def test_embedding_forced_distributed_matches(ray_session, kw):
     t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
                   "embedding": pa.array(list(V))})
     ds = rd.from_arrow(t)
-    ref = _sorted(embedding_near_duplicates(ds, dim=dim,
+    ref = _sorted(embedding_near_duplicates(ds,
                                             threshold=0.98).to_pandas())
     assert len(ref) >= 8
-    out = _sorted(embedding_near_duplicates(ds, dim=dim, threshold=0.98,
+    out = _sorted(embedding_near_duplicates(ds, threshold=0.98,
                                             **kw).to_pandas())
     pd.testing.assert_frame_equal(ref, out, check_dtype=False)
 
@@ -99,7 +99,7 @@ def test_embedding_string_ids(ray_session):
         V[i + 150] = V[i] + rng.standard_normal(dim).astype(np.float32) * .01
     ids = [f"v{i:04d}" for i in range(n)]
     t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(V))})
-    pairs = embedding_near_duplicates(rd.from_arrow(t), dim=dim,
+    pairs = embedding_near_duplicates(rd.from_arrow(t),
                                       threshold=0.98).to_pandas()
     found = set(zip(pairs["id_a"], pairs["id_b"]))
     assert {(f"v{i:04d}", f"v{i + 150:04d}") for i in range(6)} <= found

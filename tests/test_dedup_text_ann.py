@@ -256,10 +256,12 @@ def test_ngram_jaccard_edge_docs():
     t = pa.table({"doc_id": [1, 2, 3, 4, 5, 6],
                   "text": ["abcdefgh", "abcdefgh",  # identical
                            "ab", "ab",              # short-doc whole-text gram
-                           "", None]})              # no grams -> no pairs
+                           "", None]})  # empty gram sets pair at 1.0
     got = ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.5).to_pandas()
     pairs = set(zip(got.id_a, got.id_b))
-    assert pairs == {(1, 2), (3, 4)}
+    # (5, 6): two empty gram sets score jaccard 1.0, exactly like
+    # jaccard_shingles and the minhash verify path
+    assert pairs == {(1, 2), (3, 4), (5, 6)}
     assert np.allclose(got.jaccard, 1.0)
 
 

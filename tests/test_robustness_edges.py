@@ -1,0 +1,216 @@
+"""Edge-condition hardening from the round-3 dedup/ann/checks review:
+null keys, duplicated ids, empty inputs, string id schemas, tie
+determinism, and destructive-path guards."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(table):
+    import ray.data as rd
+    return rd.from_arrow(table)
+
+
+# ---------------------------------------------------------------------------
+# neardup: null phash / null id rows must not become mutual duplicates
+
+
+def test_phash_neardup_null_rows_excluded(ray_session):
+    from jsonschema_ray.checks.neardup import phash_near_duplicates
+    n = 40
+    rng = np.random.default_rng(3)
+    ph = rng.integers(0, 2**63, size=n, dtype=np.int64)
+    ph_list = ph.tolist()
+    # 6 null phashes + 1 null id: none of these may pair with anything
+    validity = [i % 7 != 3 for i in range(n)]
+    phash = pa.array([p if v else None
+                      for p, v in zip(ph_list, validity)], type=pa.int64())
+    ids = pa.array([None if i == 5 else i for i in range(n)],
+                   type=pa.int64())
+    # plant one true near-dup pair among fully-valid rows (11%7, 22%7 != 3)
+    ph_list[11] = ph_list[22] = 12345
+    phash = pa.array([p if v else None
+                      for p, v in zip(ph_list, validity)], type=pa.int64())
+    t = pa.table({"image_id": ids, "phash": phash})
+    out = phash_near_duplicates(_ds(t), max_distance=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (11, 22) in pairs
+    null_ids = {i for i in range(n) if i % 7 == 3} | {5}
+    for a, b in pairs:
+        assert a not in null_ids and b not in null_ids
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup: duplicated ids — no data loss, full-row dups deduped
+
+
+def _dedup_frame(out):
+    return out.to_pandas().sort_values(["doc_id", "text"]) \
+        .reset_index(drop=True)
+
+
+def test_exact_dedup_loser_id_naming_other_text(ray_session):
+    from jsonschema_ray.dedup import exact_dedup
+    # id 1 loses for text 'a' (winner id 0) but ALSO names text 'b':
+    # that row must survive
+    t = pa.table({"doc_id": pa.array([1, 0, 1], type=pa.int64()),
+                  "text": ["a", "a", "b"]})
+    out = _dedup_frame(exact_dedup(_ds(t)))
+    assert list(zip(out["doc_id"], out["text"])) == [(0, "a"), (1, "b")]
+
+
+def test_exact_dedup_identical_full_rows(ray_session):
+    from jsonschema_ray.dedup import exact_dedup
+    t = pa.table({"doc_id": pa.array([1, 1, 2, 1, 1], type=pa.int64()),
+                  "text": ["a", "a", "c", "a", "b"]})
+    out = _dedup_frame(exact_dedup(_ds(t)))
+    # one 'a' (id 1), the 'b' (id 1), the 'c' (id 2)
+    assert list(zip(out["doc_id"], out["text"])) == \
+        [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_exact_dedup_dup_ids_fallback_matches(ray_session):
+    from jsonschema_ray.dedup import exact_dedup
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 20, size=120).astype(np.int64)
+    texts = [f"t{v}" for v in rng.integers(0, 25, size=120)]
+    t = pa.table({"doc_id": pa.array(ids), "text": texts})
+    a = _dedup_frame(exact_dedup(_ds(t)))
+    b = _dedup_frame(exact_dedup(_ds(t), broadcast_ids_cap=0))
+    # both paths: one row per distinct text, min id
+    exp = pd.DataFrame({"doc_id": ids, "text": texts}) \
+        .groupby("text", as_index=False)["doc_id"].min() \
+        .sort_values(["doc_id", "text"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["doc_id", "text"]], exp[["doc_id", "text"]], check_dtype=False)
+    pd.testing.assert_frame_equal(
+        b[["doc_id", "text"]], exp[["doc_id", "text"]], check_dtype=False)
+
+
+def test_exact_dedup_string_ids_with_dups(ray_session):
+    from jsonschema_ray.dedup import exact_dedup
+    t = pa.table({"doc_id": ["x", "w", "x", "x"],
+                  "text": ["a", "a", "b", "b"]})
+    out = exact_dedup(_ds(t), id_col="doc_id").to_pandas() \
+        .sort_values(["doc_id", "text"]).reset_index(drop=True)
+    assert list(zip(out["doc_id"], out["text"])) == [("w", "a"), ("x", "b")]
+
+
+# ---------------------------------------------------------------------------
+# ngram jaccard: empty-vs-empty convention matches jaccard_shingles
+
+
+def test_ngram_jaccard_empty_docs_pair_at_one(ray_session):
+    from jsonschema_ray.dedup import jaccard_shingles, ngram_jaccard_pairs
+    assert jaccard_shingles("", "", k=5) == 1.0
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": ["", "", "some real document text here"]})
+    out = ngram_jaccard_pairs(_ds(t), threshold=0.5).to_pandas()
+    pairs = {(a, b): j for a, b, j in
+             zip(out["id_a"], out["id_b"], out["jaccard"])}
+    assert pairs == {(0, 1): 1.0}
+
+
+# ---------------------------------------------------------------------------
+# ANN: string ids / empty corpora / deterministic ties / build guard
+
+
+def test_ivf_topk_string_ids_sparse_probes(ray_session):
+    from jsonschema_ray.ann import ivf_topk
+    rng = np.random.default_rng(5)
+    n, dim = 300, 16
+    V = rng.standard_normal((n, dim))
+    ids = [f"v{i:04d}" for i in range(n)]
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(V.astype(np.float32)))})
+    # small batches force batches whose cells no query probes → empty
+    # blocks must carry the STRING id schema, not int64
+    out = ivf_topk(_ds(t), [V[0]], query_ids=["q0"], k=5, ncells=32,
+                   nprobe=2, batch_size=16)
+    assert len(out) == 5
+    assert out["vec_id"].iloc[0] == "v0000"
+    assert out["query_id"].iloc[0] == "q0"
+
+
+def test_brute_force_topk_empty_corpus(ray_session):
+    from jsonschema_ray.ann import brute_force_topk
+    t = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                  "embedding": pa.array([], type=pa.list_(pa.float32()))})
+    out = brute_force_topk(_ds(t), [np.ones(8)], k=3)
+    assert len(out) == 0
+    assert set(out.columns) == {"query_id", "vec_id", "score", "rank"}
+
+
+def test_ivf_tie_break_batch_invariant(ray_session):
+    from jsonschema_ray.ann import ivf_topk
+    rng = np.random.default_rng(11)
+    dim = 8
+    base = rng.standard_normal((40, dim))
+    V = np.concatenate([base, base])              # every vector duplicated
+    ids = np.arange(len(V), dtype=np.int64)
+    rng.shuffle(ids)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(V.astype(np.float64)))})
+    q = [base[0]]
+    kw = dict(ncells=4, nprobe=4, k=6, train_sample=80)
+    a = ivf_topk(_ds(t), q, **kw, batch_size=7)
+    b = ivf_topk(_ds(t), q, **kw, batch_size=64)
+    pd.testing.assert_frame_equal(a.round(9), b.round(9))
+
+
+def test_ivf_build_refuses_foreign_dir(ray_session, tmp_path):
+    from jsonschema_ray.ann import IvfIndex
+    rng = np.random.default_rng(2)
+    t = pa.table({"vec_id": pa.array(np.arange(50, dtype=np.int64)),
+                  "embedding": pa.array(
+                      list(rng.standard_normal((50, 8)).astype(np.float32)))})
+    target = tmp_path / "precious_data"
+    target.mkdir()
+    (target / "important.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to delete"):
+        IvfIndex.build(_ds(t), str(target), ncells=4)
+    assert (target / "important.txt").read_text() == "do not delete"
+    # a genuine stale index IS wiped and rebuilt
+    idx_dir = tmp_path / "idx"
+    idx = IvfIndex.build(_ds(t), str(idx_dir), ncells=4)
+    stale = set((idx_dir).iterdir())
+    idx2 = IvfIndex.build(_ds(t), str(idx_dir), ncells=4)
+    out = idx2.topk([rng.standard_normal(8)], k=3, nprobe=4)
+    assert len(out) == 3
+    assert stale  # the first build really wrote files
+
+
+# ---------------------------------------------------------------------------
+# referential: empty reference universe
+
+
+def test_referential_empty_reference(ray_session):
+    from jsonschema_ray.checks.referential import broadcast_semi_join
+    facts = pa.table({"fk": pa.array([1, 2, None], type=pa.int64())})
+    empty_ref = pa.table({"pk": pa.array([], type=pa.int64())})
+    orphans = broadcast_semi_join(_ds(facts), "fk", _ds(empty_ref),
+                                  ref_key="pk", anti=True).to_pandas()
+    assert sorted(orphans["fk"]) == [1, 2]       # null keys never report
+    matches = broadcast_semi_join(_ds(facts), "fk", _ds(empty_ref),
+                                  ref_key="pk").to_pandas()
+    assert len(matches) == 0
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: width derived from the data
+
+
+def test_embedding_neardup_any_width(ray_session):
+    from jsonschema_ray.dedup import embedding_near_duplicates
+    rng = np.random.default_rng(5)
+    n, dim = 200, 24                              # NOT the old default 64
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    for i in range(5):
+        V[i + 100] = V[i] + rng.standard_normal(dim).astype(np.float32) * .01
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(V))})
+    pairs = embedding_near_duplicates(_ds(t), threshold=0.98).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(i, i + 100) for i in range(5)} <= found
