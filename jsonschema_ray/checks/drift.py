@@ -153,9 +153,11 @@ def chi2_contingency(ds, cat_col: str, group_fn, group_name: str = "_g"):
     dof = max(obs.shape[0] - 1, 0) * max(obs.shape[1] - 1, 0)
     if obs.size == 0 or dof == 0:
         return 0.0, int(dof)
-    n = obs.sum()
-    rows = obs.sum(axis=1)
-    cols = obs.sum(axis=0)
+    # float64 marginals: int64 rows[i]*cols[j] wraps negative once the
+    # product exceeds 2^63 (billions-of-rows marginals at target scale)
+    n = float(obs.sum(dtype=np.float64))
+    rows = obs.sum(axis=1, dtype=np.float64)
+    cols = obs.sum(axis=0, dtype=np.float64)
     chi2 = 0.0
     for i in range(obs.shape[0]):
         for j in range(obs.shape[1]):

@@ -41,6 +41,18 @@ def duplicate_keys(ds, key, batch_size: int = 131072,
 
     from ..util import partitioned_group_apply
     keys = [key] if isinstance(key, str) else list(key)
+    # stable output dtypes across partitions: a partition whose key group
+    # contains nulls surfaces an int64 key as float64 in pandas — pin
+    # integer/bool keys to pandas nullable dtypes in EVERY partition
+    base = ds.schema().base_schema
+    out_dtypes = {}
+    if isinstance(base, pa.Schema):
+        for k in keys:
+            t = base.field(k).type
+            if pa.types.is_integer(t):
+                out_dtypes[k] = "Int64"
+            elif pa.types.is_boolean(t):
+                out_dtypes[k] = "boolean"
     projected = ds.select_columns(keys)  # wide columns never shuffle
     if combine_first:
         shuffled = projected.map_batches(
@@ -53,16 +65,20 @@ def duplicate_keys(ds, key, batch_size: int = 131072,
         count_col = None
 
     def dups(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: duplicated NULL keys are exactly the corruption a
+        # uniqueness check exists to catch (SQL GROUP BY groups nulls too)
         if count_col:
-            c = df.groupby(keys, sort=False)[count_col].sum()
+            c = df.groupby(keys, sort=False, dropna=False)[count_col].sum()
         else:
-            c = df.groupby(keys, sort=False).size()
+            c = df.groupby(keys, sort=False, dropna=False).size()
         c = c[c > 1]
         if len(keys) == 1:
             out = pd.DataFrame({keys[0]: c.index.to_numpy()})
         else:
             out = pd.DataFrame(list(c.index), columns=keys)
         out["dup_count"] = c.to_numpy().astype("int64")
+        for k, dt in out_dtypes.items():
+            out[k] = out[k].astype(dt)
         return out
 
     return partitioned_group_apply(shuffled, keys, dups,

@@ -28,16 +28,56 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _sortable(col: pa.ChunkedArray, name: str):
-    t = col.type
-    if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
-    if pa.types.is_integer(t):
-        return pc.cast(col, pa.int64())
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset, tolerating pandas-block upstreams
+    (``from_pandas`` / ``map_groups(batch_format='pandas')`` emit a
+    PandasBlockSchema without ``.field``)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for nm, dt in zip(base.names, base.types):
+        if isinstance(dt, pa.DataType):
+            fields.append(pa.field(nm, dt))
+        else:
+            try:
+                fields.append(pa.field(nm, pa.from_numpy_dtype(dt)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append(pa.field(nm, pa.string()))  # object dtype
+    return pa.schema(fields)
+
+
+def _sortable_kind(t: pa.DataType, name: str) -> str:
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) \
+            or pa.types.is_integer(t):
+        return "int"
     if pa.types.is_floating(t):
-        return pc.cast(col, pa.float64())
+        return "float"
     raise TypeError(f"asof_join: unsupported `on` column type {t} "
                     f"({name}); need numeric or temporal")
+
+
+def _resolve_on_type(lt: pa.DataType, rt: pa.DataType, lname: str,
+                     rname: str) -> pa.DataType:
+    """ONE reconciled ``_on`` type for both sides — divergent per-side
+    types (int64 left, float64 right) would otherwise produce union
+    blocks whose schemas disagree, with version-dependent coercion."""
+    kinds = {_sortable_kind(lt, lname), _sortable_kind(rt, rname)}
+    return pa.float64() if "float" in kinds else pa.int64()
+
+
+def _sortable(col: pa.ChunkedArray, name: str, target: pa.DataType):
+    t = col.type
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+    elif pa.types.is_integer(t):
+        col = pc.cast(col, pa.int64())
+    elif pa.types.is_floating(t):
+        col = pc.cast(col, pa.float64())
+    else:
+        raise TypeError(f"asof_join: unsupported `on` column type {t} "
+                        f"({name}); need numeric or temporal")
+    return pc.cast(col, target)
 
 
 def asof_join(left, right, by: str, on: str, right_by: str = None,
@@ -51,12 +91,14 @@ def asof_join(left, right, by: str, on: str, right_by: str = None,
     right_on = right_on or on
     value_cols = list(value_cols or [])
 
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
     left_names = list(lschema.names)
     out_val = {c: (c if c not in left_names else c + "_r")
                for c in value_cols}
     vtypes = {c: rschema.field(c).type for c in value_cols}
+    on_type = _resolve_on_type(lschema.field(on).type,
+                               rschema.field(right_on).type, on, right_on)
 
     # the union schema both sides emit: left payload + _by/_on/_ord + the
     # right value columns (typed nulls on the left side)
@@ -66,7 +108,7 @@ def asof_join(left, right, by: str, on: str, right_by: str = None,
         n = b.num_rows
         cols = {nm: b[nm] for nm in left_names}
         cols["_by"] = b[by]
-        cols["_on"] = _sortable(b[on], on)
+        cols["_on"] = _sortable(b[on], on, on_type)
         cols["_ord"] = pa.array(np.full(n, 1, dtype=np.int8))
         for c in value_cols:
             cols[out_val[c]] = pa.nulls(n, type=vtypes[c])
@@ -81,7 +123,7 @@ def asof_join(left, right, by: str, on: str, right_by: str = None,
         for nm in left_names:
             cols[nm] = pa.nulls(n, type=lschema.field(nm).type)
         cols["_by"] = pc.cast(b[right_by], lschema.field(by).type)
-        cols["_on"] = _sortable(b[right_on], right_on)
+        cols["_on"] = _sortable(b[right_on], right_on, on_type)
         cols["_ord"] = pa.array(np.full(n, right_first, dtype=np.int8))
         for c in value_cols:
             cols[out_val[c]] = b[c]
@@ -157,14 +199,16 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
     right_on = right_on or on
     sum_cols = list(sum_cols or [])
 
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
     left_names = list(lschema.names)
+    on_type = _resolve_on_type(lschema.field(on).type,
+                               rschema.field(right_on).type, on, right_on)
 
     def prep_left(b: pa.Table) -> pa.Table:
         cols = {nm: b[nm] for nm in left_names}
         cols["_by"] = b[by]
-        cols["_on"] = _sortable(b[on], on)
+        cols["_on"] = _sortable(b[on], on, on_type)
         cols["_ord"] = pa.array(np.full(b.num_rows, 1, dtype=np.int8))
         for c in sum_cols:
             cols["_s_" + c] = pa.nulls(b.num_rows,
@@ -179,7 +223,7 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
         for nm in left_names:
             cols[nm] = pa.nulls(n, type=lschema.field(nm).type)
         cols["_by"] = pc.cast(b[right_by], lschema.field(by).type)
-        cols["_on"] = _sortable(b[right_on], right_on)
+        cols["_on"] = _sortable(b[right_on], right_on, on_type)
         cols["_ord"] = pa.array(np.zeros(n, dtype=np.int8))
         for c in sum_cols:
             cols["_s_" + c] = b[c]
@@ -214,6 +258,11 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
             return pd.concat([out, zero_rows], ignore_index=True) \
                 if zero_rows is not None else out
         # per-group cumulative count / sums over the sorted rights
+        # null sum values count as 0 (SQL SUM ignores nulls); pandas
+        # cumsum would leave NaN at null positions and any range bound
+        # landing exactly there would see fillna(0) wipe the prefix sum
+        for c in sum_cols:
+            rights["_s_" + c] = rights["_s_" + c].fillna(0.0)
         g = rights.groupby("_by", sort=False)
         rights = rights.assign(_cum_n=g.cumcount() + 1)
         for c in sum_cols:

@@ -152,8 +152,11 @@ def sample_video_frames(ds, every_n: int = 10, max_frames: int = 3,
                 fidx.append(j * every_n)
                 fbytes.append(encode_image(px, frame_fmt))
                 fhash.append(average_hash(px))
+        # id column pinned to the INPUT id type: pa.array([]) would infer
+        # null for an empty batch (and re-infer string for large_string
+        # ids), producing blocks whose schemas disagree
         return pa.table({
-            id_col: pa.array(ids),
+            id_col: pa.array(ids, type=b.schema.field(id_col).type),
             "frame_index": pa.array(fidx, type=pa.int32()),
             "frame_bytes": pa.array(fbytes, type=pa.large_binary()),
             "frame_phash": pa.array(np.array(fhash, dtype=np.uint64)

@@ -29,6 +29,9 @@ _PARTIAL_SCHEMA = pa.schema([
     ("min_num", pa.float64()),
     ("max_num", pa.float64()),
     ("sum_num", pa.float64()),
+    ("n_num", pa.int64()),
+    ("min_int", pa.int64()),
+    ("max_int", pa.int64()),
     ("min_str", pa.string()),
     ("max_str", pa.string()),
     ("hll", pa.binary()),
@@ -63,11 +66,19 @@ class ColumnStatsStage:
             td = TDigest(self.delta)
             min_num = max_num = sum_num = None
             min_str = max_str = None
+            n_num = 0
+            min_int = max_int = None
             t = col.type
             valid = col.drop_null() if nulls else col
             if len(valid):
                 hll.add_hashes(hash64_array(valid))
                 if _is_numericish(t):
+                    if pa.types.is_integer(t):
+                        # exact int64 min/max: the float64 pipeline rounds
+                        # values ≥ 2^53 (snowflake ids, ns timestamps)
+                        iv = valid.to_numpy(zero_copy_only=False)
+                        min_int = int(iv.min())
+                        max_int = int(iv.max())
                     v = valid.to_numpy(zero_copy_only=False).astype(
                         np.float64, copy=False)
                     finite = v[np.isfinite(v)]
@@ -75,11 +86,21 @@ class ColumnStatsStage:
                         min_num = float(finite.min())
                         max_num = float(finite.max())
                         sum_num = float(finite.sum())
+                        n_num = len(finite)
                         td.add_values(finite)
                 elif pa.types.is_temporal(t):
-                    v = valid.cast(pa.int64()).to_numpy().astype(np.float64)
+                    # date32/time32 are int32-backed: Arrow has no direct
+                    # cast to int64, go through int32 first
+                    if t.bit_width == 32:
+                        as_int = valid.cast(pa.int32()).cast(pa.int64())
+                    else:
+                        as_int = valid.cast(pa.int64())
+                    iv = as_int.to_numpy()
+                    min_int, max_int = int(iv.min()), int(iv.max())
+                    v = iv.astype(np.float64)
                     min_num, max_num, sum_num = \
                         float(v.min()), float(v.max()), float(v.sum())
+                    n_num = len(v)
                     td.add_values(v)
                 elif pa.types.is_string(t) or pa.types.is_large_string(t):
                     mm = pc.min_max(valid)
@@ -94,6 +115,9 @@ class ColumnStatsStage:
             rows["min_num"].append(min_num)
             rows["max_num"].append(max_num)
             rows["sum_num"].append(sum_num)
+            rows["n_num"].append(n_num)
+            rows["min_int"].append(min_int)
+            rows["max_int"].append(max_int)
             rows["min_str"].append(min_str)
             rows["max_str"].append(max_str)
             rows["hll"].append(hll.to_bytes())
@@ -113,11 +137,17 @@ def merge_stat_partials(g: pd.DataFrame) -> pd.DataFrame:
     mn = g["min_num"].dropna()
     mx = g["max_num"].dropna()
     sm = g["sum_num"].dropna()
+    mni = g["min_int"].dropna()
+    mxi = g["max_int"].dropna()
     mns = g["min_str"].dropna()
     mxs = g["max_str"].dropna()
     count = int(g["count"].sum())
     nulls = int(g["null_count"].sum())
-    nonnull = count - nulls
+    # mean over the values that actually fed the sum (finite only) — a
+    # NaN/±inf row is excluded from sum_num, so dividing by the plain
+    # non-null count would bias the mean
+    n_num = int(g["n_num"].sum()) if "n_num" in g.columns else \
+        count - nulls
     return pd.DataFrame([{
         "column": g["column"].iloc[0],
         "count": count,
@@ -126,8 +156,10 @@ def merge_stat_partials(g: pd.DataFrame) -> pd.DataFrame:
         "min_num": float(mn.min()) if len(mn) else None,
         "max_num": float(mx.max()) if len(mx) else None,
         "sum_num": float(sm.sum()) if len(sm) else None,
-        "mean_num": (float(sm.sum()) / nonnull)
-        if len(sm) and nonnull else None,
+        "mean_num": (float(sm.sum()) / n_num)
+        if len(sm) and n_num else None,
+        "min_int": int(mni.min()) if len(mni) else None,
+        "max_int": int(mxi.max()) if len(mxi) else None,
         "min_str": mns.min() if len(mns) else None,
         "max_str": mxs.max() if len(mxs) else None,
         "ndv_approx": float(hll.estimate()),

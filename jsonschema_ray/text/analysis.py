@@ -53,17 +53,22 @@ def bpe_token_counts(arr: pa.Array) -> pa.Array:
 def quality_features(arr: pa.Array, ndigits: int = 4) -> dict:
     """Quality-scoring features per string, each reproducible in ANSI SQL:
     n_chars (code points), n_tokens, alpha_ratio, space_ratio, digit_ratio,
-    upper_ratio — ratios rounded to ``ndigits``."""
+    upper_ratio — ratios rounded to ``ndigits``. Null strings stay NULL in
+    every feature (the float-NaN→int64 cast of a null length is undefined
+    and platform-dependent — never let it near the output)."""
     n = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.float64)
     safe_n = np.where(n > 0, n, 1.0)
+    nullmask = np.isnan(n)
 
     def ratio(pattern):
         c = pc.count_substring_regex(arr, pattern).to_numpy(
             zero_copy_only=False).astype(np.float64)
-        return np.round(c / safe_n, ndigits)
+        with np.errstate(invalid="ignore"):
+            r = np.round(c / safe_n, ndigits)
+        return pa.array(np.where(nullmask, 0.0, r), mask=nullmask)
 
     return {
-        "n_chars": n.astype(np.int64),
+        "n_chars": pc.utf8_length(arr).cast(pa.int64()),
         "n_tokens": token_counts(arr),
         "alpha_ratio": ratio(r"[A-Za-z]"),
         "space_ratio": ratio(r" "),
@@ -207,7 +212,9 @@ class TextFeaturesStage:
             col = col.combine_chunks()
         if self.quality:
             for name, vals in quality_features(col).items():
-                batch = batch.append_column(name, pa.array(vals))
+                if not isinstance(vals, (pa.Array, pa.ChunkedArray)):
+                    vals = pa.array(vals)
+                batch = batch.append_column(name, vals)
         if self.langid:
             langs, scores = langid_batch(col)
             batch = batch.append_column("lang_pred",

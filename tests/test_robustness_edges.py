@@ -214,3 +214,107 @@ def test_embedding_neardup_any_width(ray_session):
     pairs = embedding_near_duplicates(_ds(t), threshold=0.98).to_pandas()
     found = set(zip(pairs["id_a"], pairs["id_b"]))
     assert {(i, i + 100) for i in range(5)} <= found
+
+
+# ---------------------------------------------------------------------------
+# second review wave: joins / stats / text / drift / uniqueness / multimodal
+
+
+def test_range_agg_join_null_sum_values(ray_session):
+    from jsonschema_ray.joins import range_agg_join
+    left = pa.table({"k": ["a"], "t": pa.array([2.5], type=pa.float64())})
+    right = pa.table({"k": ["a", "a", "a"],
+                      "t": pa.array([1.0, 2.0, 3.0], type=pa.float64()),
+                      "v": pa.array([1.0, None, 4.0], type=pa.float64())})
+    out = range_agg_join(_ds(left), _ds(right), by="k", on="t",
+                         lower=-100, upper=0, sum_cols=["v"]).to_pandas()
+    # bound lands exactly on the null-valued t=2 row: sum must be 1.0
+    # (nulls count as 0 in SUM), not a NaN-wiped 0.0
+    assert out["n_in_range"].iloc[0] == 2
+    assert out["sum_v"].iloc[0] == 1.0
+
+
+def test_asof_join_mixed_on_types(ray_session):
+    from jsonschema_ray.joins import asof_join
+    left = pa.table({"k": ["a", "a"],
+                     "t": pa.array([10, 20], type=pa.int64())})
+    right = pa.table({"k": ["a", "a"],
+                      "ts": pa.array([9.5, 19.5], type=pa.float64()),
+                      "val": pa.array([1, 2], type=pa.int64())})
+    out = asof_join(_ds(left), _ds(right), by="k", on="t", right_on="ts",
+                    value_cols=["val"]).to_pandas().sort_values("t")
+    assert out["val"].tolist() == [1, 2]
+
+
+def test_asof_join_pandas_block_inputs(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.joins import asof_join
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": ["a", "a"], "t": np.array([5, 15], dtype=np.int64)}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": ["a"], "t": np.array([4], dtype=np.int64),
+         "val": np.array([7.0])}))
+    out = asof_join(left, right, by="k", on="t",
+                    value_cols=["val"]).to_pandas().sort_values("t")
+    assert out["val"].tolist() == [7.0, 7.0]
+
+
+def test_column_stats_date32_and_nan_mean(ray_session):
+    import datetime
+
+    from jsonschema_ray.stages import column_stats
+    t = pa.table({
+        "d": pa.array([datetime.date(2020, 1, 1), datetime.date(2021, 1, 1),
+                       None], type=pa.date32()),
+        "x": pa.array([1.0, np.nan, 3.0], type=pa.float64()),
+        "i": pa.array([2**53 + 1, 2**53 + 3, None], type=pa.int64()),
+    })
+    out = column_stats(_ds(t)).to_pandas().set_index("column")
+    assert out.loc["d", "null_count"] == 1          # date32 no longer crashes
+    assert out.loc["d", "min_int"] == (datetime.date(2020, 1, 1)
+                                       - datetime.date(1970, 1, 1)).days
+    # mean over the two FINITE values, not the three non-null ones
+    assert out.loc["x", "mean_num"] == 2.0
+    # int64 min/max exact beyond 2^53 (float64 path rounds both to 2^53)
+    assert out.loc["i", "min_int"] == 2**53 + 1
+    assert out.loc["i", "max_int"] == 2**53 + 3
+
+
+def test_quality_features_null_text():
+    from jsonschema_ray.text.analysis import TextFeaturesStage
+    b = pa.table({"text": pa.array(["hello world", None, ""])})
+    out = TextFeaturesStage(langid=False, simhash=False)(b)
+    nch = out.column("n_chars").to_pylist()
+    assert nch == [11, None, 0]                      # never INT64_MIN garbage
+    assert out.column("alpha_ratio").to_pylist()[1] is None
+
+
+def test_chi2_large_marginals_no_overflow():
+    from jsonschema_ray.checks.drift import chi2_contingency
+    from unittest import mock
+    obs = pd.DataFrame({0: [4_000_000_000, 3_000_000_000],
+                        1: [3_000_000_000, 4_000_000_000]})
+    with mock.patch("jsonschema_ray.checks.drift._grouped_counts_pivot",
+                    return_value=obs):
+        chi2, dof = chi2_contingency(None, "c", lambda b: None)
+    assert dof == 1 and chi2 > 0                     # not negative garbage
+
+
+def test_duplicate_keys_null_keys_reported(ray_session):
+    from jsonschema_ray.checks.uniqueness import duplicate_keys
+    t = pa.table({"k": pa.array([None, None, 1, 1, 2], type=pa.int64())})
+    out = duplicate_keys(_ds(t), "k").to_pandas()
+    counts = {(None if pd.isna(k) else int(k)): int(c)
+              for k, c in zip(out["k"], out["dup_count"])}
+    assert counts == {None: 2, 1: 2}
+
+
+def test_sample_video_frames_schema_stable(ray_session):
+    from jsonschema_ray.stages.multimodal import sample_video_frames
+    t = pa.table({"video_id": pa.array(["v1", "v2"], type=pa.large_string()),
+                  "bytes": pa.array([b"abc", b"def"], type=pa.large_binary())})
+    out = sample_video_frames(_ds(t), max_frames=2, batch_size=1)
+    assert len(out.to_pandas()) == 4
+    assert str(out.schema().base_schema.field("video_id").type) == \
+        "large_string"
