@@ -25,6 +25,14 @@ class ImageDecodeError(ValueError):
 # PPM (P6, maxval 255)
 
 
+_MAX_PIXELS = 1 << 28  # 268M px: reject absurd header dims before allocating
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ImageDecodeError(f"unreasonable image dimensions {w}x{h}")
+
+
 def _encode_ppm(px: np.ndarray) -> bytes:
     h, w, _ = px.shape
     return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
@@ -47,11 +55,15 @@ def _decode_ppm(data: bytes) -> np.ndarray:
             idx += 1
         if start == idx:
             raise ImageDecodeError("truncated ppm header")
-        fields.append(int(data[start:idx]))
+        try:
+            fields.append(int(data[start:idx]))
+        except ValueError:
+            raise ImageDecodeError("malformed ppm header field")
     idx += 1  # single whitespace after maxval
     w, h, maxval = fields
     if maxval != 255:
         raise ImageDecodeError("ppm maxval must be 255")
+    _check_dims(w, h)
     need = w * h * 3
     body = data[idx:idx + need]
     if len(body) < need:
@@ -92,6 +104,7 @@ def _decode_bmp(data: bytes) -> np.ndarray:
         raise ImageDecodeError("unsupported BMP variant")
     flip = h > 0
     h = abs(h)
+    _check_dims(w, h)
     row = w * 3
     stride = row + ((-row) % 4)
     need = offset + stride * h
@@ -166,6 +179,7 @@ def _decode_png(data: bytes) -> np.ndarray:
             interlace = payload[12]
             if bitdepth != 8 or color != 2 or interlace != 0:
                 raise ImageDecodeError("unsupported PNG variant")
+            _check_dims(w, h)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -262,6 +276,13 @@ def average_hash(px: np.ndarray, grid: int = 8) -> int:
     2-D reduceat (the per-cell python loop cost ~0.3 ms/image and dominated
     the flagship's decode stage)."""
     lum = px.astype(np.float64) @ _LUM
+    # images smaller than the grid: integer-upscale so every grid cell is
+    # non-empty (reduceat over zero-width cells divides by zero and
+    # collapses the hash to garbage); unchanged for images >= grid
+    if lum.shape[0] < grid:
+        lum = np.repeat(lum, -(-grid // lum.shape[0]), axis=0)
+    if lum.shape[1] < grid:
+        lum = np.repeat(lum, -(-grid // lum.shape[1]), axis=1)
     h, w = lum.shape
     ys = (np.arange(grid + 1) * h) // grid
     xs = (np.arange(grid + 1) * w) // grid

@@ -490,11 +490,15 @@ def quantity_stats_by_flag(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        # SQL AVG/STDDEV_POP ignore NULLs: a null→NaN value must neither
+        # poison the sums nor count in _n (same guard as the zscore query)
+        ok = ~np.isnan(q)
         t = pa.table({"l_returnflag": b["l_returnflag"],
-                      "_q": pa.array(q),
-                      "_q2": pa.array(q * q)})
+                      "_q": pa.array(np.where(ok, q, 0.0)),
+                      "_q2": pa.array(np.where(ok, q * q, 0.0)),
+                      "_c": pa.array(ok.astype(np.int64))})
         agg = t.group_by(["l_returnflag"]).aggregate(
-            [("_q", "sum"), ("_q2", "sum"), ([], "count_all")])
+            [("_q", "sum"), ("_q2", "sum"), ("_c", "sum")])
         return agg.rename_columns(["l_returnflag", "_s", "_s2", "_n"])
 
     out = ds.map_batches(partial, batch_format="pyarrow",
@@ -581,6 +585,7 @@ def median_quantity_by_flag(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
     hist = grouped_agg(ds, ["l_returnflag", "l_quantity"], {},
                        count_alias="n").to_pandas()
+    hist = hist.dropna(subset=["l_quantity"])  # median ignores NULLs
     out = []
     for flag, g in hist.groupby("l_returnflag"):
         g = g.sort_values("l_quantity")
@@ -1176,6 +1181,7 @@ def grouped_quantiles(ds, key: str, col: str, qs: tuple):
     moves one row per (key, value, batch), the driver walks the
     per-group histograms (O(groups × distinct values))."""
     hist = grouped_agg(ds, [key, col], {}, count_alias="n").to_pandas()
+    hist = hist.dropna(subset=[col])  # quantile_disc ignores NULL values
     out = []
     for k, g in hist.groupby(key):
         g = g.sort_values(col)
@@ -1483,15 +1489,21 @@ def percent_rank_by_value(ds, value_col: str, out_col: str = "pct_rank",
     # the rank pass values absent from the histogram)
     hist = grouped_agg(ds.select_columns([value_col]), [value_col], {},
                        count_alias="_c").to_pandas()
-    hist = hist.sort_values(value_col)
+    # null values carry no rank: drop the NaN histogram bin (it would
+    # also defeat the vals[idx] != v determinism check, NaN != NaN) and
+    # filter null rows out of the rank pass below
+    hist = hist.dropna(subset=[value_col]).sort_values(value_col)
     counts = hist["_c"].to_numpy()
     n = int(counts.sum())
     below = np.concatenate(([0], counts.cumsum()[:-1]))
     ref = ray.put((hist[value_col].to_numpy(), below, n))
 
     def rank_batch(b: pa.Table, *, ref) -> pa.Table:
+        import pyarrow.compute as pc
         vals, blw, total = worker_cached(("pct_rank", ref.hex()),
                                          lambda: ray.get(ref))
+        if b[value_col].null_count:
+            b = b.filter(pc.is_valid(b[value_col]))
         v = b[value_col].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(vals, v)
         if len(vals) == 0 or (idx >= len(vals)).any() \

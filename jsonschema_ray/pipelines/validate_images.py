@@ -23,6 +23,7 @@ import glob
 import io
 import os
 import time
+import uuid
 from typing import Optional
 
 import pandas as pd
@@ -286,10 +287,9 @@ def flagship_report(ds, ruleset=None, decode: bool = True,
                           stats_columns=tuple(stats_columns)),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size).to_pandas()  # small: violations + partials
+    from ..stages.stats import _PARTIAL_SCHEMA
     viol = union[union["record_type"] == "v"].drop(
-        columns=["record_type", "column", "count", "null_count", "min_num",
-                 "max_num", "sum_num", "min_str", "max_str", "hll",
-                 "tdigest"])
+        columns=["record_type", *_PARTIAL_SCHEMA.names], errors="ignore")
     partials = union[union["record_type"] == "s"]
     stats = pd.concat([merge_stat_partials(g) for _, g in
                        partials.groupby("column", sort=False)],
@@ -332,12 +332,14 @@ def validate_images_pipeline(
     done = store.completed(rs.ruleset_hash)
     pending = [f for f in files if os.path.basename(f) not in done]
 
-    per_keyword: dict[str, int] = {}
     new_records: list[FragmentRecord] = []
     wave_tags = []
+    run_id = uuid.uuid4().hex[:8]
     for wi in range(0, len(pending), wave_size):
         wave = pending[wi:wi + wave_size]
-        tag = f"wave-{int(time.time())}-{wi}"
+        # run-unique tag: a same-second restart after a kill must not
+        # reuse an orphaned staging dir's tag (double-committed files)
+        tag = f"wave-{int(time.time())}-{run_id}-{wi}"
         wave_tags.append(tag)
         t0 = time.perf_counter()
         import functools
@@ -378,8 +380,6 @@ def validate_images_pipeline(
             zero_copy_batch=True).to_pandas()
         cnt = parts[parts["record_type"] == "c"]
         if len(cnt):
-            for k, c in cnt.groupby("keyword")["n"].sum().items():
-                per_keyword[k] = per_keyword.get(k, 0) + int(c)
             nviol_by_frag = cnt.groupby("fragment_id")["n"].sum()
         else:
             nviol_by_frag = pd.Series(dtype="int64")
@@ -405,6 +405,17 @@ def validate_images_pipeline(
         store.commit_violations(tag)
 
     # ---- global view: resumed + new fragments -------------------------
+    # per-keyword counts from the COMMITTED violation state (this hash's
+    # waves only) so the report agrees with the records sum after any
+    # resume — a this-run-only accumulator would undercount
+    per_keyword: dict[str, int] = {}
+    vfiles = store.violation_files(rs.ruleset_hash)
+    if vfiles:
+        kdf = rd.read_parquet(vfiles, columns=["keyword"]) \
+            .groupby("keyword").count().to_pandas()
+        ccol = [c for c in kdf.columns if c != "keyword"][0]
+        per_keyword = {k: int(c) for k, c in zip(kdf["keyword"],
+                                                 kdf[ccol])}
     records = store.load_records().to_pandas()
     records = records[records["ruleset_hash"] == rs.ruleset_hash]
     records = records.drop_duplicates("fragment_id", keep="last")

@@ -47,6 +47,22 @@ def hash64_array(arr, seed: int = 0) -> np.ndarray:
         arr = arr.combine_chunks()
     if isinstance(arr, pa.Array):
         t = arr.type
+        if (pa.types.is_integer(t) or pa.types.is_boolean(t)) \
+                and arr.null_count:
+            # CRITICAL: to_numpy of a null-bearing int column yields
+            # float64 (+NaN) — the same VALUE would then hash differently
+            # depending on whether its batch happens to contain a null
+            # (and ints > 2^53 would collide). Keep the integer path by
+            # filling nulls, then stamp null slots with the same sentinel
+            # the float-NaN path produces.
+            import pyarrow.compute as pc
+            fill = False if pa.types.is_boolean(t) else 0
+            h = _hash_numeric(
+                pc.fill_null(arr, fill).to_numpy(zero_copy_only=False),
+                seed)
+            nullmask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            h[nullmask] = _null_sentinel(seed)
+            return h
         if pa.types.is_integer(t) or pa.types.is_floating(t) \
                 or pa.types.is_temporal(t) or pa.types.is_boolean(t):
             np_vals = arr.to_numpy(zero_copy_only=False)
@@ -68,6 +84,14 @@ def hash64_array(arr, seed: int = 0) -> np.ndarray:
         return pd.util.hash_pandas_object(
             pd.Series(np_vals), index=False, hash_key=_sip_key(seed)).to_numpy()
     return pd.util.hash_pandas_object(pd.Series(np_vals), index=False).to_numpy()
+
+
+def _null_sentinel(seed: int) -> np.uint64:
+    """Hash a null element maps to: the canonical-NaN float64 bit pattern
+    through splitmix64 — identical to what a null produced historically
+    via the float-NaN conversion path, for every integer/float dtype."""
+    return _splitmix64(np.array([np.nan]).view(np.uint64)
+                       + np.uint64(seed))[0]
 
 
 def _hash_numeric(vals: np.ndarray, seed: int) -> np.ndarray:

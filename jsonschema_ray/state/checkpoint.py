@@ -67,6 +67,22 @@ _SCHEMA = pa.schema([
 ])
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a completed rename survives power loss — the
+    file-level fsync alone does not order the two renames of the commit
+    protocol on crash-consistency filesystems."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 class CheckpointStore:
     def __init__(self, root: str):
         self.root = root
@@ -111,6 +127,11 @@ class CheckpointStore:
         with open(tmp, "rb") as f:
             os.fsync(f.fileno())
         os.rename(tmp, final)
+        # the record rename must be DURABLE before the caller commits the
+        # wave's violations dir — otherwise power loss could persist the
+        # violations rename while losing the record, and the resume would
+        # re-validate fragments whose old violations are still committed
+        _fsync_dir(self.records_dir)
         return final
 
     def violations_tmp_path(self, wave_tag: str) -> str:
@@ -119,6 +140,12 @@ class CheckpointStore:
         appended — the records are the sole commit point (see module
         docstring for the two kill windows)."""
         p = os.path.join(self.violations_dir, wave_tag + ".tmp")
+        if os.path.isdir(p) and os.listdir(p):
+            # a leftover staging dir with the same tag is uncommitted
+            # garbage from a killed run — mixing its files in would
+            # double-count every violation of the wave
+            import shutil
+            shutil.rmtree(p)
         os.makedirs(p, exist_ok=True)
         return p
 
@@ -126,24 +153,36 @@ class CheckpointStore:
         tmp = os.path.join(self.violations_dir, wave_tag + ".tmp")
         final = os.path.join(self.violations_dir, wave_tag)
         os.rename(tmp, final)
+        _fsync_dir(self.violations_dir)
         return final
 
-    def violation_files(self) -> list[str]:
+    def violation_files(self, ruleset_hash: str = None) -> list[str]:
         """Violation parquet files of every COMMITTED wave.  A ``.tmp``
         staging dir is included only when a committed fragment record
         references its wave tag (kill between append_records and
         commit_violations); unreferenced staging dirs are in-flight or
-        orphaned and are ignored."""
-        recorded = set()
+        orphaned and are ignored. With ``ruleset_hash``, only waves whose
+        records carry that hash are returned (a checkpoint dir reused
+        across rule-set edits holds waves of several hashes)."""
+        import pyarrow.compute as pc
         rec = self.load_records()
+        recorded = set()
+        allowed = None
         if rec.num_rows and "wave_tag" in rec.schema.names:
             recorded = set(rec["wave_tag"].to_pylist()) - {"", None}
+            if ruleset_hash is not None:
+                sel = rec.filter(pc.equal(rec["ruleset_hash"],
+                                          ruleset_hash))
+                allowed = set(sel["wave_tag"].to_pylist()) - {"", None}
         out = []
         for d in sorted(os.listdir(self.violations_dir)):
             full = os.path.join(self.violations_dir, d)
             if not os.path.isdir(full):
                 continue
-            if d.endswith(".tmp") and d[:-4] not in recorded:
+            tag = d[:-4] if d.endswith(".tmp") else d
+            if d.endswith(".tmp") and tag not in recorded:
+                continue
+            if allowed is not None and tag not in allowed:
                 continue
             out += [os.path.join(full, f) for f in sorted(os.listdir(full))
                     if f.endswith(".parquet")]

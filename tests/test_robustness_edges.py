@@ -318,3 +318,93 @@ def test_sample_video_frames_schema_stable(ray_session):
     assert len(out.to_pandas()) == 4
     assert str(out.schema().base_schema.field("video_id").type) == \
         "large_string"
+
+
+# ---------------------------------------------------------------------------
+# third review wave: hashing / codecs / checkpoint / quantiles / pct-rank
+
+
+def test_hash64_int_column_batch_invariant():
+    from jsonschema_ray.sketches.hashing import hash64_array
+    with_null = pa.array([1, 2, None, 2**53 + 7], type=pa.int64())
+    without = pa.array([1, 2, 2**53 + 7], type=pa.int64())
+    hw = hash64_array(with_null)
+    ho = hash64_array(without)
+    # same VALUE hashes identically whether or not its batch has a null
+    assert hw[0] == ho[0] and hw[1] == ho[1] and hw[3] == ho[2]
+    # distinct large ints don't collide through a float detour
+    big = pa.array([2**53 + 1, 2**53 + 2, None], type=pa.int64())
+    hb = hash64_array(big)
+    assert hb[0] != hb[1]
+    # null sentinel equals the legacy float-NaN hash (cross-type stable)
+    hf = hash64_array(pa.array([None], type=pa.float64()))
+    assert hw[2] == hf[0]
+
+
+def test_codec_malformed_dims_raise_decode_error():
+    from jsonschema_ray.codecs.images import ImageDecodeError, decode_image
+    import struct
+    # BMP with negative width
+    header = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, -3, 5, 1, 24, 0, 16,
+                       2835, 2835, 0, 0)
+    with pytest.raises(ImageDecodeError):
+        decode_image(header + info + b"\x00" * 16)
+    # PPM with negative height and non-numeric field
+    with pytest.raises(ImageDecodeError):
+        decode_image(b"P6\n3 -5\n255\n" + b"\x00" * 64)
+    with pytest.raises(ImageDecodeError):
+        decode_image(b"P6\nx3 5\n255\n" + b"\x00" * 64)
+    # absurd dimensions rejected before allocation
+    with pytest.raises(ImageDecodeError):
+        decode_image(b"P6\n100000 100000\n255\nxx")
+
+
+def test_average_hash_tiny_image():
+    from jsonschema_ray.codecs.images import average_hash
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # no divide-by-zero
+        h = average_hash(px)
+    assert h != 0
+    # upscaling is hash-preserving for the same content at >= grid size
+    big = np.repeat(np.repeat(px, 2, 0), 2, 1)
+    assert average_hash(big) == h
+
+
+def test_checkpoint_stale_staging_dir_not_double_counted(tmp_path):
+    from jsonschema_ray.state import CheckpointStore, FragmentRecord
+    store = CheckpointStore(str(tmp_path))
+    tag = "wave-1-x-0"
+    p = store.violations_tmp_path(tag)
+    # orphan from a killed run: a parquet file already staged
+    pq_path = p + "/old.parquet"
+    pa.parquet.write_table(pa.table({"keyword": ["type"]}), pq_path)
+    # a restart with the SAME tag re-stages: the orphan must be wiped
+    p2 = store.violations_tmp_path(tag)
+    assert not os.path.exists(pq_path)
+    pa.parquet.write_table(pa.table({"keyword": ["enum"]}), p2 + "/new.parquet")
+    store.append_records([FragmentRecord("f.parquet", "h1", 10, 1, False,
+                                         0.1, b"", tag)])
+    store.commit_violations(tag)
+    files = store.violation_files("h1")
+    assert len(files) == 1 and files[0].endswith("new.parquet")
+    # hash filtering: another hash's waves are excluded
+    assert store.violation_files("other") == []
+
+
+def test_percent_rank_null_values(ray_session):
+    from jsonschema_ray.pipelines.relational import percent_rank_by_value
+    t = pa.table({"event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "value": pa.array([10.0, None, 5.0, 10.0])})
+    out = percent_rank_by_value(_ds(t), "value",
+                                keep_cols=["event_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # null-value row carries no rank (dropped), others rank over n=3
+    assert out["event_id"].tolist() == [1, 3, 4]
+    assert out["pct_rank"].tolist() == [0.5, 0.0, 0.5]
+
+
+import os  # noqa: E402  (used by the checkpoint test)
