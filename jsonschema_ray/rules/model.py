@@ -48,6 +48,10 @@ class SchemaNode:
     # into Ray actor constructors; the analog of the generated $$resolvedRef
     # part (builder.go:286-405)
     resolved_ref: Optional["SchemaNode"] = None
+    # separately-resolved $dynamicRef target for the (legal) case of a
+    # node carrying BOTH $ref and $dynamicRef — one slot would silently
+    # drop one of the two links
+    resolved_dyn: Optional["SchemaNode"] = None
     # $dynamicAnchor table of the schema RESOURCE this node roots (set on
     # document roots and loader placeholders). Evaluation threads these
     # top-down first-wins, so $dynamicRef resolves to the OUTERMOST
@@ -156,6 +160,26 @@ def _temporal_to_micros(keyword: str, v: str) -> float:
 # Parsing
 
 
+def _check_regex(kw: str, pattern: str) -> None:
+    """Schema-time regex validation: the pattern must compile under BOTH
+    Python re (row-wise mirror, ASCII classes) and RE2 (the vectorized
+    engine and the reference's Go regexp, validator.go:1002-1020) — Go
+    would reject an RE2-invalid pattern at schema build, so accepting it
+    here would only defer the failure into a worker task."""
+    try:
+        re.compile(pattern, re.ASCII)
+    except re.error as e:
+        raise RuleSetError(f"{kw}: invalid regex {pattern!r}: {e}")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    try:
+        pc.match_substring_regex(pa.array([""]), pattern)
+    except pa.ArrowInvalid as e:
+        raise RuleSetError(
+            f"{kw}: regex {pattern!r} is not valid RE2 (the reference "
+            f"engine is Go/RE2): {e}")
+
+
 def parse_node(doc: Any, location: str = "") -> SchemaNode:
     """JSON value → SchemaNode tree (buildFromJSON analog, schema.go:469-511)."""
     if isinstance(doc, bool):
@@ -174,6 +198,9 @@ def parse_node(doc: Any, location: str = "") -> SchemaNode:
         elif kw in _MAPSCHEMA_ARGS:
             if not isinstance(raw, dict):
                 raise RuleSetError(f"{kw}: expected object of schemas")
+            if kw == "patternProperties":
+                for k in raw:
+                    _check_regex("patternProperties", k)
             val = {k: parse_node(s, f"{loc}/{_escape(k)}")
                    for k, s in raw.items()}
         elif kw == "dependencies":
@@ -204,10 +231,7 @@ def parse_node(doc: Any, location: str = "") -> SchemaNode:
             if not isinstance(raw, str):
                 raise RuleSetError(f"{kw}: expected string")
             if kw == "pattern":
-                try:
-                    re.compile(raw)
-                except re.error as e:
-                    raise RuleSetError(f"pattern: invalid regex {raw!r}: {e}")
+                _check_regex("pattern", raw)
             val = raw
         elif kw in _BOOL_ARGS:
             if not isinstance(raw, bool):
@@ -272,7 +296,10 @@ class RuleSet:
         forms, sorted keys, bool schemas as true/false)."""
         return canonical_json(marshal_node(self.root))
 
-    def ref_target(self, node: SchemaNode) -> Optional[SchemaNode]:
+    def ref_target(self, node: SchemaNode,
+                   keyword: str = "$ref") -> Optional[SchemaNode]:
+        if keyword == "$dynamicRef" and node.resolved_dyn is not None:
+            return node.resolved_dyn
         return node.resolved_ref
 
 
@@ -334,66 +361,88 @@ def parse_ruleset(doc: Any, loader=None,
     if _loader_cache is None:
         _loader_cache = {}
     # pass 1: collect anchors + pointer index (resolveIDs analog,
-    # builder.go:227-283)
-    anchors: dict[str, SchemaNode] = {}
+    # builder.go:227-283), RESOURCE-SCOPED: a non-root node bearing $id
+    # roots an embedded schema resource (2020-12 §8.2), and its anchors
+    # belong to THAT resource — lumping the whole document into one
+    # namespace made $dynamicRef resolve to the first anchor in document
+    # order instead of the per-resource dynamic-scope rules.
+    anchors: dict[str, SchemaNode] = {}      # document-global fallback
     by_pointer: dict[str, SchemaNode] = {}
+    res_static: dict[str, dict] = {}         # resource loc → $anchor map
+    res_dynamic: dict[str, dict] = {}        # resource loc → $dynamicAnchor
+    node_res: dict[str, str] = {}            # node loc → owning resource loc
 
-    def walk(n: SchemaNode):
+    def walk(n: SchemaNode, res: str):
         by_pointer[n.location] = n
+        if n is not root and n.get("$id") is not None:
+            res = n.location
+        node_res[n.location] = res
         a = n.get("$anchor") or n.get("$dynamicAnchor")
         if a:
             anchors[a] = n
+            res_static.setdefault(res, {}).setdefault(a, n)
+        d = n.get("$dynamicAnchor")
+        if d:
+            res_dynamic.setdefault(res, {}).setdefault(d, n)
         for c in _iter_subnodes(n):
-            walk(c)
+            walk(c, res)
 
-    walk(root)
-    # the root resource's $dynamicAnchor table (resolveIDs analog for the
-    # record-anchor pseudo-parts, builder.go:180-211)
-    dyn_anchors: dict[str, SchemaNode] = {}
-
-    def collect_dynamic(n: SchemaNode):
-        a = n.get("$dynamicAnchor")
-        if a and a not in dyn_anchors:
-            dyn_anchors[a] = n
-        for c in _iter_subnodes(n):
-            collect_dynamic(c)
-
-    collect_dynamic(root)
-    if dyn_anchors:
-        root.resource_anchors = dyn_anchors
+    walk(root, root.location)
+    # each resource root carries its OWN $dynamicAnchor table; evaluation
+    # pushes it on entry (first-wins), so the outermost in-scope anchor
+    # wins exactly per the dynamic-scope rules
+    for res, dmap in res_dynamic.items():
+        by_pointer[res].resource_anchors = dmap
     # pass 2: link refs (resolveRefs analog, builder.go:286-405). Only
     # document-local refs are supported; remote refs need a driver-side
     # loader (SetLoader analog, schema.go:1015-1052) — not needed for
     # table rule sets.
+    def resolve_one(ref: str, n: SchemaNode) -> SchemaNode:
+        if ref == "#":
+            return root
+        if ref.startswith("#/"):
+            return _deref_pointer(ref[1:], by_pointer)
+        if ref.startswith("#"):
+            name = ref[1:]
+            # anchors resolve within the referencing node's OWN resource
+            # first; the document-global table remains as a lenient
+            # cross-resource fallback (legacy rulesets)
+            res = node_res.get(n.location)
+            tgt = res_static.get(res, {}).get(name) if res is not None \
+                else None
+            if tgt is None:
+                tgt = anchors.get(name)
+            if tgt is None:
+                raise RuleSetError(f"$ref: unknown anchor {ref!r}")
+            return tgt
+        if loader is not None:
+            if ref not in _loader_cache:
+                # placeholder first: remote-ref cycles resolve to the
+                # same node instead of recursing forever
+                placeholder = SchemaNode(location=f"<{ref}>")
+                _loader_cache[ref] = placeholder
+                loaded = parse_ruleset(loader(ref), loader=loader,
+                                       _loader_cache=_loader_cache).root
+                placeholder.parts = loaded.parts
+                placeholder.bool_value = loaded.bool_value
+                placeholder.resolved_ref = loaded.resolved_ref
+                placeholder.resolved_dyn = loaded.resolved_dyn
+                placeholder.resource_anchors = loaded.resource_anchors
+            return _loader_cache[ref]
+        raise RuleSetError(
+            f"$ref: non-local ref {ref!r} needs a loader "
+            "(parse_ruleset(doc, loader=fn))")
+
     def link(n: SchemaNode):
-        ref = n.get("$ref") or n.get("$dynamicRef")
+        ref = n.get("$ref")
+        dyn = n.get("$dynamicRef")
         if ref is not None:
-            if ref == "#":
-                n.resolved_ref = root
-            elif ref.startswith("#/"):
-                n.resolved_ref = _deref_pointer(ref[1:], by_pointer)
-            elif ref.startswith("#"):
-                tgt = anchors.get(ref[1:])
-                if tgt is None:
-                    raise RuleSetError(f"$ref: unknown anchor {ref!r}")
-                n.resolved_ref = tgt
-            elif loader is not None:
-                if ref not in _loader_cache:
-                    # placeholder first: remote-ref cycles resolve to the
-                    # same node instead of recursing forever
-                    placeholder = SchemaNode(location=f"<{ref}>")
-                    _loader_cache[ref] = placeholder
-                    loaded = parse_ruleset(loader(ref), loader=loader,
-                                           _loader_cache=_loader_cache).root
-                    placeholder.parts = loaded.parts
-                    placeholder.bool_value = loaded.bool_value
-                    placeholder.resolved_ref = loaded.resolved_ref
-                    placeholder.resource_anchors = loaded.resource_anchors
-                n.resolved_ref = _loader_cache[ref]
-            else:
-                raise RuleSetError(
-                    f"$ref: non-local ref {ref!r} needs a loader "
-                    "(parse_ruleset(doc, loader=fn))")
+            n.resolved_ref = resolve_one(ref, n)
+        if dyn is not None:
+            tgt = resolve_one(dyn, n)
+            n.resolved_dyn = tgt
+            if ref is None:
+                n.resolved_ref = tgt  # legacy single-slot consumers
         for c in _iter_subnodes(n):
             link(c)
 

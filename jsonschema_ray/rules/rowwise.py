@@ -62,6 +62,9 @@ def json_kind(v: Any) -> str:
         return "number"
     if isinstance(v, str):
         return "string"
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return "number"  # decimal128 columns (vector arrow_kind parity)
     if isinstance(v, (bytes, bytearray)):
         return "binary"
     if isinstance(v, (list, tuple)):
@@ -119,10 +122,19 @@ def instance_float(v: Any) -> Optional[float]:
         d = _dt.datetime.combine(v, _dt.time(), tzinfo=_dt.timezone.utc)
         return d.timestamp() * 1e6
     if isinstance(v, str):
+        # mirror the vector engine's pd.to_numeric gate: underscore
+        # separators and textual NaN are NOT numeric strings
+        if "_" in v:
+            return None
         try:
-            return float(v)
+            f = float(v)
         except ValueError:
             return None
+        import math
+        return None if math.isnan(f) else f
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     try:
         import numpy as np
         if isinstance(v, (np.integer, np.floating)):
@@ -214,7 +226,8 @@ class RowEvaluator:
         # TODO (validator.go:542, 1008)
         p = self._regex_cache.get(pattern)
         if p is None:
-            p = self._regex_cache[pattern] = re.compile(pattern)
+            # ASCII classes to mirror the reference's Go/RE2 semantics
+            p = self._regex_cache[pattern] = re.compile(pattern, re.ASCII)
         return p
 
     def validate(self, instance: Any) -> list[Violation]:
@@ -552,7 +565,7 @@ class RowEvaluator:
                 if kind == "array" and c is not None and c < arg:
                     fail(kw, M.message(kw, arg), off=str(c))
             elif kw in ("$ref", "$dynamicRef"):
-                tgt = self.rs.ref_target(node)
+                tgt = self.rs.ref_target(node, kw)
                 if kw == "$dynamicRef" and isinstance(arg, str) \
                         and arg.startswith("#") and not arg.startswith("#/"):
                     # outermost in-scope $dynamicAnchor wins; statically

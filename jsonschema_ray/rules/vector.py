@@ -353,9 +353,11 @@ class BatchValidator:
     # -- helpers ------------------------------------------------------
 
     def _re(self, pattern: str) -> re.Pattern:
+        # re.ASCII: \\d/\\w/\\s match ASCII only, like Go's RE2 (the
+        # reference semantics) and the vectorized RE2 paths of this engine
         p = self._regex.get(pattern)
         if p is None:
-            p = self._regex[pattern] = re.compile(pattern)
+            p = self._regex[pattern] = re.compile(pattern, re.ASCII)
         return p
 
     def _offending(self, view: View, slots: np.ndarray) -> list[str]:
@@ -506,9 +508,18 @@ class BatchValidator:
             return None
         arr = view.arr
         if pa.types.is_fixed_size_list(arr.type):
+            # null rows contribute ZERO elements (same compaction as the
+            # variable-length branch) — the raw child buffer has k
+            # phantom slots per null row that would leak violations
             k = arr.type.list_size
-            offsets = np.arange(view.n + 1, dtype=np.int64) * k
-            values = _combine(arr.values)
+            start = np.arange(view.n, dtype=np.int64) * k
+            lengths = np.full(view.n, k, dtype=np.int64)
+            lengths[~view.present] = 0
+            offsets = np.zeros(view.n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            flat_idx = _ranges_concat(start, lengths)
+            values = _combine(arr.values).take(
+                pa.array(flat_idx, type=pa.int64()))
         else:
             # null slots have offset[i]==offset[i+1] after this fill
             la = arr
@@ -995,7 +1006,7 @@ class BatchValidator:
                     else (seen | child.present)
             return ok
         if kw in ("$ref", "$dynamicRef"):
-            tgt = self.rs.ref_target(node)
+            tgt = self.rs.ref_target(node, kw)
             if kw == "$dynamicRef" and isinstance(arg, str) \
                     and arg.startswith("#") and not arg.startswith("#/"):
                 # outermost in-scope $dynamicAnchor wins; statically
@@ -1013,10 +1024,20 @@ class BatchValidator:
         # schema.go:1293-1330)
         from .extensions import lookup_keyword
         custom = lookup_keyword(kw)
-        if custom is not None and view.arr is not None:
+        if custom is not None and view.arr is not None \
+                and kind != "object":  # rowwise skips objects too
             row_fn, vector_fn = custom
             if vector_fn is not None:
                 ok = np.asarray(vector_fn(view.arr, arg), dtype=bool)
+            elif pa.types.is_nested(view.arr.type):
+                # pc.unique has no nested kernels: plain per-row loop over
+                # converted instances (matches the rowwise call contract)
+                from .rowwise import _value_from_typed
+                t = view.arr.type
+                ok = np.array(
+                    [True if v is None
+                     else bool(row_fn(_value_from_typed(v, t), arg))
+                     for v in view.arr.to_pylist()], dtype=bool)
             else:  # unique-value memoized python fallback
                 uniq = pc.unique(view.arr)
                 uok = pa.array([bool(row_fn(u, arg)) if u is not None
@@ -1224,13 +1245,24 @@ class BatchValidator:
             # a genuine float NaN element must NOT pair with a null — two
             # JSON nulls are EQUAL (rowwise deep_equal) while NaN != NaN
             order = np.lexsort((vals, ~valid, flat_parent))
-        except TypeError:  # mixed/object fallback
-            import pandas as pd
-            nun = pd.Series(vals).groupby(flat_parent).nunique(dropna=False)
-            counts = offsets[1:] - offsets[:-1]
+        except TypeError:
+            # nested/unhashable elements (list<struct>, list<list>):
+            # pairwise deep_equal per row, the rowwise oracle's semantics
+            from .rowwise import _value_from_typed, deep_equal
+            t = ev.arr.type
+            conv = [_value_from_typed(v, t) for v in ev.arr.to_pylist()]
             ok = np.ones(view.n, dtype=bool)
-            ok[nun.index.to_numpy()] = \
-                nun.to_numpy() == counts[nun.index.to_numpy()]
+            for r in range(view.n):
+                items = conv[offsets[r]:offsets[r + 1]]
+                done = False
+                for i in range(len(items)):
+                    for j in range(i + 1, len(items)):
+                        if deep_equal(items[i], items[j]):
+                            ok[r] = False
+                            done = True
+                            break
+                    if done:
+                        break
             return ok
         sv, sp, sval = vals[order], flat_parent[order], valid[order]
         dup = np.zeros(ev.n, dtype=bool)

@@ -1,0 +1,125 @@
+"""Engine-core edge cases from the round-3 rules review: RE2 policy,
+fixed-size-list nulls, nested uniqueItems, decimal columns, dual refs,
+resource-scoped dynamic anchors, custom-keyword nested columns."""
+
+import decimal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from jsonschema_ray.rules.model import RuleSetError, parse_ruleset
+from jsonschema_ray.rules.rowwise import RowEvaluator, rows_from_table
+from jsonschema_ray.rules.vector import BatchValidator
+
+
+def _both(doc, table):
+    """(vector mask, rowwise mask) for one-rule tables."""
+    rs = parse_ruleset(doc)
+    bv = BatchValidator(rs)
+    vmask = bv.mask(table)
+    rv = RowEvaluator(rs)
+    rmask = np.array([not rv.validate(r) for r in rows_from_table(table)])
+    return vmask, rmask
+
+
+def test_re2_invalid_pattern_rejected_at_parse():
+    with pytest.raises(RuleSetError, match="RE2"):
+        parse_ruleset({"properties": {"v": {"pattern": "(?=a)a"}}})
+    with pytest.raises(RuleSetError, match="RE2"):
+        parse_ruleset({"properties": {"v": {
+            "patternProperties": {"a(?<=a)": {}}}}})
+
+
+def test_pattern_ascii_classes_agree():
+    # \d is ASCII in RE2 (vector + reference Go); rowwise now uses
+    # re.ASCII so Arabic-Indic digits fail BOTH engines
+    t = pa.table({"v": ["123", "١٢٣", "x"]})
+    doc = {"properties": {"v": {"pattern": "^\\d+$"}}}
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [True, False, False]
+
+
+def test_fixed_size_list_null_row_no_phantom_elements():
+    arr = pa.array([[1, 2], None, [3, 4]],
+                   type=pa.list_(pa.int64(), 2))
+    t = pa.table({"v": arr})
+    doc = {"properties": {"v": {"items": {"type": "integer"}}}}
+    rs = parse_ruleset(doc)
+    bv = BatchValidator(rs)
+    assert bv.mask(t).tolist() == [True, True, True]
+    viol = bv.violations(t)
+    assert viol.num_rows == 0                      # no rows for the null
+
+
+def test_unique_items_list_of_struct():
+    arr = pa.array([[{"a": 1}, {"a": 1}], [{"a": 1}, {"a": 2}]],
+                   type=pa.list_(pa.struct([("a", pa.int64())])))
+    t = pa.table({"v": arr})
+    doc = {"properties": {"v": {"uniqueItems": True}}}
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [False, True]
+
+
+def test_unique_items_list_of_list():
+    arr = pa.array([[[1], [1]], [[1], [2]]],
+                   type=pa.list_(pa.list_(pa.int64())))
+    t = pa.table({"v": arr})
+    doc = {"properties": {"v": {"uniqueItems": True}}}
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [False, True]
+
+
+def test_decimal_column_number_semantics():
+    arr = pa.array([decimal.Decimal("1.5"), decimal.Decimal("99.5")],
+                   type=pa.decimal128(5, 1))
+    t = pa.table({"v": arr})
+    vm, rm = _both({"properties": {"v": {"type": "number"}}}, t)
+    assert vm.tolist() == rm.tolist() == [True, True]
+    vm, rm = _both({"properties": {"v": {"maximum": 10}}}, t)
+    assert vm.tolist() == rm.tolist() == [True, False]
+
+
+def test_numeric_string_coercion_agrees():
+    t = pa.table({"v": ["nan", "1_000", "12"]})
+    vm, rm = _both({"properties": {"v": {"maximum": 500}}}, t)
+    # 'nan' and '1_000' are NOT numeric strings in either engine now
+    assert vm.tolist() == rm.tolist() == [True, True, True]
+    vm, rm = _both({"properties": {"v": {"maximum": 5}}}, t)
+    assert vm.tolist() == rm.tolist() == [True, True, False]
+
+
+def test_ref_and_dynamic_ref_both_enforced():
+    doc = {"$defs": {"a": {"type": "integer"},
+                     "b": {"maximum": 5}},
+           "properties": {"v": {"$ref": "#/$defs/a",
+                                "$dynamicRef": "#/$defs/b"}}}
+    t = pa.table({"v": pa.array([3, 99], type=pa.int64())})
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [True, False]
+
+
+def test_dynamic_anchor_resource_scoped():
+    # resA's anchor T must NOT shadow resB's own T: inside resB the
+    # dynamic scope contains only resB's anchor (string), so "hello" valid
+    doc = {"$defs": {
+        "A": {"$id": "resA", "$dynamicAnchor": "T", "type": "integer"},
+        "B": {"$id": "resB",
+              "$defs": {"anchor": {"$dynamicAnchor": "T",
+                                   "type": "string"}},
+              "$dynamicRef": "#T"}},
+        "properties": {"v": {"$ref": "#/$defs/B"}}}
+    t = pa.table({"v": ["hello"]})
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [True]
+
+
+def test_custom_keyword_on_list_column():
+    from jsonschema_ray.rules.extensions import register_keyword
+    register_keyword("x-nonempty-r3", lambda v, a: bool(v))
+    t = pa.table({"v": pa.array([[1, 2], [], None],
+                                type=pa.list_(pa.int64()))})
+    doc = {"properties": {"v": {"x-nonempty-r3": True}}}
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [True, False, True]
