@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": R.events_percent_rank,     # oracled
         "split_documents": R.split_documents,             # oracled
         "quality_filter_documents": R.quality_filter_documents,  # oracled
+        "pack_documents": R.pack_documents,               # oracled
+        "stratified_sample_documents": R.stratified_sample_documents,  # oracled
+        "props_field_by_type": R.props_field_by_type,     # oracled
     }
 
 
@@ -779,5 +782,32 @@ SELECT doc_id FROM q
 WHERE n_chars BETWEEN 100 AND 10000 AND n_tokens >= 10
   AND alpha_bp >= 4000 AND space_bp <= 4000
 ORDER BY doc_id
+""",
+        "pack_documents": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(floor(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 2048.0) AS BIGINT) AS pack_id
+FROM t ORDER BY doc_id
+""",
+        "stratified_sample_documents": """
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 100 < CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50
+                               WHEN 'fr' THEN 75 ELSE 100 END
+ORDER BY doc_id
+""",
+        "props_field_by_type": """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                     AS BIGINT)) AS BIGINT) AS sum_k,
+       count(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)) AS n_with_k
+FROM events
+GROUP BY event_type ORDER BY event_type
 """,
     }

@@ -1587,3 +1587,82 @@ def quality_filter_documents(sf_dir: str):
     out = q.map_batches(keep, batch_format="pyarrow",
                         zero_copy_batch=True).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pack_documents(sf_dir: str):
+    """Training-sequence packing (ORACLED): every document assigned to a
+    fixed-2048-token pack by GLOBAL token prefix sum in doc_id order
+    (cumsum-division convention — exactly a SQL window function, see
+    text/packing.py for the bucketed two-phase distributed shape)."""
+    from ..text import pack_sequences, token_counts
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": token_counts(
+                             b["text"].combine_chunks())})
+
+    counted = ds.map_batches(tok, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = pack_sequences(counted, window=2048).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+STRATA_BP = {"en": 2500, "de": 5000, "fr": 7500}  # per-lang keep rate (bp)
+
+
+def stratified_sample(ds, group_col: str, rates_bp: dict, id_col: str,
+                      default_bp: int = 10000):
+    """Deterministic per-group downsampling: keep a row iff
+    ``id % 100 < rates_bp[group] // 100`` (1% rate granularity) — the
+    mixture-rebalancing step of a training-data pipeline (e.g. cap
+    dominant languages). Stateless per batch: no shuffle, no randomness,
+    stable under resume/partitioning (same convention as assign_split).
+    For id-correlated corpora use a hashed id upstream."""
+    def fn(b: pa.Table) -> pa.Table:
+        bp = pd.Series(b[group_col].to_pylist()).map(rates_bp) \
+            .fillna(default_bp).to_numpy(dtype=np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array((ids % 100) < bp // 100))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample_documents(sf_dir: str):
+    """Per-language stratified keep-list (ORACLED): en capped at 25%,
+    de 50%, fr 75%, everything else kept."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = stratified_sample(ds, "lang", STRATA_BP, "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def props_field_by_type(sf_dir: str):
+    """Semi-structured field extraction (ORACLED): pull the integer ``k``
+    out of the JSON ``props`` string with ONE vectorized RE2
+    ``extract_regex`` (no per-row json.loads), then a per-batch combined
+    grouped sum/count by event_type — both engines (Arrow, DuckDB) run
+    the same RE2 pattern, so extraction is bit-identical."""
+    import pyarrow.compute as pc
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # schema-stable empty combiner block
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "_s": pa.array([], type=pa.int64()),
+                             "_c": pa.array([], type=pa.int64())})
+        ex = pc.extract_regex(b["props"], r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        agg = t.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ("k", "count")])
+        return agg.rename_columns(["event_type", "_s", "_c"])
+
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(fn, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("event_type").aggregate(
+            Sum("_s", alias_name="sum_k"),
+            Sum("_c", alias_name="n_with_k")).to_pandas()
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["n_with_k"] = out["n_with_k"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -1,9 +1,10 @@
 from .analysis import (TextFeaturesStage, add_text_features, langid_batch,
                        simhash64_batch, token_counts)
+from .packing import pack_sequences
 from .passages import char_entropy, decontaminate, duplicate_passages
 from .transform import chunk_text, normalize_text, term_frequency
 
-__all__ = ["TextFeaturesStage", "add_text_features", "langid_batch",
+__all__ = ["pack_sequences", "TextFeaturesStage", "add_text_features", "langid_batch",
            "simhash64_batch", "token_counts", "chunk_text",
            "normalize_text", "term_frequency", "char_entropy",
            "decontaminate", "duplicate_passages"]

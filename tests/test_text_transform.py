@@ -230,3 +230,65 @@ def test_char_entropy_edges():
     assert vals[3] is None                     # null → null
     assert vals[4] == 1.0
     assert math.isclose(vals[5], math.log2(3), abs_tol=1e-4)
+
+
+def test_pack_sequences_matches_window_cumsum(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.text import pack_sequences
+    rng = np.random.default_rng(3)
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)                       # arrival order ≠ id order
+    toks = rng.integers(0, 400, size=n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(toks)})
+    out = pack_sequences(rd.from_arrow(t), window=1000,
+                         bucket_size=137).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # oracle: exclusive cumsum in id order // window
+    df = pd.DataFrame({"doc_id": ids, "n_tokens": toks}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    before = np.concatenate(([0], df["n_tokens"].cumsum().to_numpy()[:-1]))
+    exp = (before // 1000).astype(np.int64)
+    assert out["pack_id"].tolist() == exp.tolist()
+    # bucket size must not change the assignment
+    out2 = pack_sequences(rd.from_arrow(t), window=1000,
+                          bucket_size=4096).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2["pack_id"].tolist() == exp.tolist()
+
+
+def test_pack_sequences_null_tokens(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.text import pack_sequences
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "n_tokens": pa.array([600, None, 600], type=pa.int64())})
+    out = pack_sequences(rd.from_arrow(t), window=1000).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # null packs as 0 tokens but keeps its null count
+    assert out["pack_id"].tolist() == [0, 0, 0]
+    assert pd.isna(out["n_tokens"].iloc[1])
+
+
+def test_stratified_sample_rates(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.relational import stratified_sample
+    n = 10000
+    langs = np.array(["en", "de", "xx"])[np.arange(n) % 3]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array(langs)})
+    out = stratified_sample(rd.from_arrow(t), "lang",
+                            {"en": 2500, "de": 5000}, "doc_id").to_pandas()
+    got = out.groupby("lang").size()
+    base = pd.Series(langs).value_counts()
+    assert abs(got["en"] / base["en"] - 0.25) < 0.02
+    assert abs(got["de"] / base["de"] - 0.50) < 0.02
+    assert got["xx"] == base["xx"]          # default: keep all
