@@ -149,6 +149,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.neardup_verified_documents(sf_dir)))
     timed("neardup_components_documents",
           lambda: len(R.neardup_components_documents(sf_dir)))
+    timed("pack_documents", lambda: len(R.pack_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {
