@@ -11,7 +11,7 @@ from hypothesis import HealthCheck, given, settings
 
 from jsonschema_ray import BatchValidator, RowEvaluator, parse_ruleset
 
-COLS = ["a", "b", "s", "t", "arr", "m", "mp", "dt", "ml"]
+COLS = ["a", "b", "s", "t", "arr", "m", "mp", "dt", "ml", "fs", "dc"]
 
 # -- rule-document grammar ---------------------------------------------------
 
@@ -124,7 +124,7 @@ def props_for(leaves):
     return st.fixed_dictionaries({}, optional={
         "a": leaves[0], "b": leaves[0], "s": leaves[1], "t": leaves[1],
         "arr": leaves[2], "m": struct_leaf, "mp": map_leaf, "dt": dt_leaf,
-        "ml": struct_list_leaf,
+        "ml": struct_list_leaf, "fs": leaves[2], "dc": leaves[0],
     })
 
 
@@ -209,6 +209,13 @@ opt_map_list = st.one_of(st.none(), st.lists(st.one_of(
         st.sampled_from(["a", "b", "zz"]),
         st.one_of(st.none(), st.integers(-4, 4)), max_size=2
     ).map(lambda d: list(d.items()))), max_size=3))
+# fixed-size lists: exactly-k element cells (or null cells/elements) —
+# exercises the FSL null-row compaction in _elements_view
+opt_fsl = st.one_of(st.none(), st.lists(
+    st.one_of(st.none(), st.integers(-3, 3)), min_size=2, max_size=2))
+import decimal as _dec
+opt_dec = st.one_of(st.none(), st.integers(-600, 600).map(
+    lambda c: _dec.Decimal(c).scaleb(-2)))
 opt_struct_list = st.one_of(st.none(), st.lists(st.one_of(
     st.none(), st.fixed_dictionaries({
         "p": st.one_of(st.none(), st.integers(-4, 4)),
@@ -226,6 +233,8 @@ table_rows = st.integers(1, 8).flatmap(lambda n: st.fixed_dictionaries({
     "dt": st.lists(opt_ts, min_size=n, max_size=n),
     "ml": st.lists(opt_struct_list, min_size=n, max_size=n),
     "lm": st.lists(opt_map_list, min_size=n, max_size=n),
+    "fs": st.lists(opt_fsl, min_size=n, max_size=n),
+    "dc": st.lists(opt_dec, min_size=n, max_size=n),
 }))
 
 
@@ -245,6 +254,8 @@ def build_table(cols: dict) -> pa.Table:
             [("p", pa.int64()), ("q", pa.string())]))),
         "lm": pa.array(cols["lm"],
                        type=pa.list_(pa.map_(pa.string(), pa.int64()))),
+        "fs": pa.array(cols["fs"], type=pa.list_(pa.int64(), 2)),
+        "dc": pa.array(cols["dc"], type=pa.decimal128(7, 2)),
     })
 
 
