@@ -66,6 +66,11 @@ def _local_topk(row: np.ndarray, ids: np.ndarray, k: int):
     the SMALLEST ids — so the local survivors are a superset of the
     global (score desc, id asc) winners regardless of batch/block
     boundaries. Returns (ids, scores) of ≤ k rows."""
+    finite = ~np.isnan(row)
+    if not finite.all():
+        # a NaN score inside the k-window would make every comparison
+        # below false and silently discard the whole batch's candidates
+        row, ids = row[finite], ids[finite]
     kk = min(k, len(row))
     if kk <= 0:
         return ids[:0], row[:0]

@@ -34,11 +34,36 @@ def _add_hash128(batch: pa.Table, *, col_name: str) -> pa.Table:
 
 def _hashed_ids(ds, text_col: str, id_col: str, batch_size: int = 65536):
     """(hash_hi, hash_lo, id) — the narrow shuffle input."""
-    import functools
 
     def fn(b: pa.Table) -> pa.Table:
         b = _add_hash128(b, col_name=text_col)
         return b.select(["_h1", "_h2", id_col])
+
+    return ds.select_columns([text_col, id_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
+
+
+def _hashed_ids_flagged(ds, text_col: str, id_col: str,
+                        batch_size: int = 65536):
+    """(hash_hi, hash_lo, id_filled, _nid) — like :func:`_hashed_ids`
+    but null ids are FILLED (0 / "") and flagged in ``_nid`` so the
+    pandas partition roundtrip never converts the id column to float64
+    (which would silently round ids > 2^53 and make NaN lose every
+    min-id comparison)."""
+    import pyarrow.compute as pc
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = _add_hash128(b, col_name=text_col)
+        ids = b.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        nid = pc.is_null(ids)
+        if ids.null_count:
+            fill = 0 if pa.types.is_integer(ids.type)                 or pa.types.is_floating(ids.type) else ""
+            ids = pc.fill_null(ids, fill)
+        return pa.table({"_h1": b.column("_h1"), "_h2": b.column("_h2"),
+                         id_col: ids, "_nid": nid})
 
     return ds.select_columns([text_col, id_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True,
@@ -54,10 +79,11 @@ def exact_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     hashed = _hashed_ids(ds, text_col, id_col)
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
+        # size (not count): SQL count(*) counts rows with null ids too
         agg = df.groupby(["_h1", "_h2"], sort=False)[id_col] \
-            .agg(["min", "count"])
+            .agg(["min", "size"])
         return pd.DataFrame({id_col: agg["min"].to_numpy(),
-                             "n_copies": agg["count"].to_numpy()
+                             "n_copies": agg["size"].to_numpy()
                              .astype(np.int64)})
 
     return partitioned_group_apply(hashed, ["_h1", "_h2"], stats,
@@ -65,35 +91,58 @@ def exact_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def _triple_match(b: pa.Table, *, text_col: str, id_col: str,
-                  did: np.ndarray, dh1: np.ndarray,
-                  dh2: np.ndarray) -> np.ndarray:
-    """Row mask: batch rows whose (id, hash128(text)) triple is in the
-    sorted-by-id broadcast triple set. Hashes are computed ONLY for rows
-    whose id hits the set (candidate-proportional — the common unique-id
-    corpus pays zero rehashing)."""
-    vals = b.column(id_col).to_numpy(zero_copy_only=False)
+                  did: np.ndarray, dh1: np.ndarray, dh2: np.ndarray,
+                  nh1: np.ndarray = None, nh2: np.ndarray = None
+                  ) -> np.ndarray:
+    """Row mask: non-null-id rows whose (id, hash128(text)) triple is in
+    the sorted-by-id broadcast triple set, plus NULL-id rows whose hash
+    pair is in the (nh1, nh2) null-entry set (null ids cannot be matched
+    by value). Hashes are computed ONLY for rows whose id hits the set
+    (candidate-proportional — the common unique-id corpus pays zero
+    rehashing)."""
+    import pyarrow.compute as pc
     out = np.zeros(b.num_rows, dtype=bool)
-    if len(did) == 0 or b.num_rows == 0:
+    if b.num_rows == 0:
         return out
-    lo = np.searchsorted(did, vals, side="left")
-    hi = np.searchsorted(did, vals, side="right")
-    cand = hi > lo
-    if not cand.any():
+    ids_arr = b.column(id_col)
+    if isinstance(ids_arr, pa.ChunkedArray):
+        ids_arr = ids_arr.combine_chunks()
+    valid = pc.is_valid(ids_arr).to_numpy(zero_copy_only=False)
+    vals = ids_arr.to_numpy(zero_copy_only=False)
+    cidx = np.zeros(0, dtype=np.int64)
+    if len(did) and valid.any():
+        vidx = np.nonzero(valid)[0]
+        vv = vals[vidx]
+        lo = np.searchsorted(did, vv, side="left")
+        hi = np.searchsorted(did, vv, side="right")
+        cand = hi > lo
+        cidx = vidx[cand]
+        clo, chi = lo[cand], hi[cand]
+    nidx = np.nonzero(~valid)[0] if nh1 is not None and len(nh1) \
+        else np.zeros(0, dtype=np.int64)
+    if len(cidx) == 0 and len(nidx) == 0:
         return out
-    cidx = np.nonzero(cand)[0]
-    sub = _add_hash128(b.take(pa.array(cidx, type=pa.int64())),
+    allidx = np.concatenate([cidx, nidx])
+    sub = _add_hash128(b.take(pa.array(allidx, type=pa.int64())),
                        col_name=text_col)
     h1 = sub.column("_h1").to_numpy()
     h2 = sub.column("_h2").to_numpy()
-    clo, chi = lo[cidx], hi[cidx]
-    match = np.zeros(len(cidx), dtype=bool)
-    single = (chi - clo) == 1
-    match[single] = (dh1[clo[single]] == h1[single]) & \
-        (dh2[clo[single]] == h2[single])
-    for i in np.nonzero(~single)[0]:  # rare: ids duplicated in the set
-        match[i] = bool(((dh1[clo[i]:chi[i]] == h1[i])
-                         & (dh2[clo[i]:chi[i]] == h2[i])).any())
-    out[cidx[match]] = True
+    nc = len(cidx)
+    if nc:
+        match = np.zeros(nc, dtype=bool)
+        single = (chi - clo) == 1
+        match[single] = (dh1[clo[single]] == h1[:nc][single]) & \
+            (dh2[clo[single]] == h2[:nc][single])
+        for i in np.nonzero(~single)[0]:  # rare: ids duplicated in set
+            match[i] = bool(((dh1[clo[i]:chi[i]] == h1[i])
+                             & (dh2[clo[i]:chi[i]] == h2[i])).any())
+        out[cidx[match]] = True
+    for j, row in enumerate(nidx):  # null-id rows are rare: plain loop
+        p1, p2 = h1[nc + j], h2[nc + j]
+        lo = np.searchsorted(nh1, p1, side="left")
+        hi = np.searchsorted(nh1, p1, side="right")
+        if hi > lo and (nh2[lo:hi] == p2).any():
+            out[row] = True
     return out
 
 
@@ -125,23 +174,42 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray.data as rd
 
     from ..util import partitioned_group_apply, worker_cached
-    hashed = _hashed_ids(ds, text_col, id_col)
+    hashed = _hashed_ids_flagged(ds, text_col, id_col)
 
     def losers(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["_h1", "_h2"], sort=False)[id_col]
+        # null-id rows (flagged _nid, id filled) never win against a
+        # non-null id; a text present ONLY under null ids keeps exactly
+        # one copy via the flagged re-add (copies are indistinguishable)
+        nn = df.loc[~df["_nid"]]
+        g = nn.groupby(["_h1", "_h2"], sort=False)[id_col]
         mins = g.transform("min")
-        is_min = df[id_col] == mins
-        out = df.loc[~is_min, [id_col, "_h1", "_h2"]]
-        out = out.assign(_dw=np.zeros(len(out), dtype=bool))
-        md = df.loc[is_min]
+        is_min = nn[id_col] == mins
+        out = nn.loc[~is_min, [id_col, "_h1", "_h2"]]
+        out = out.assign(_dw=np.zeros(len(out), dtype=bool),
+                         _nid=np.zeros(len(out), dtype=bool))
+        md = nn.loc[is_min]
         sizes = md.groupby(["_h1", "_h2"], sort=False)[id_col] \
             .transform("size")
         dw = md.loc[sizes > 1, [id_col, "_h1", "_h2"]].drop_duplicates()
+        parts = [out]
         if len(dw):
-            out = pd.concat(
-                [out, dw.assign(_dw=np.ones(len(dw), dtype=bool))],
-                ignore_index=True)
-        return out
+            parts.append(dw.assign(_dw=np.ones(len(dw), dtype=bool),
+                                   _nid=np.zeros(len(dw), dtype=bool)))
+        na = df.loc[df["_nid"], [id_col, "_h1", "_h2"]]
+        if len(na):
+            napairs = na.drop_duplicates(["_h1", "_h2"])
+            nnpairs = nn[["_h1", "_h2"]].drop_duplicates()
+            merged = napairs.merge(nnpairs, on=["_h1", "_h2"],
+                                   how="left", indicator=True)
+            # text also has a non-null-id row → every null copy loses;
+            # text exists only under null ids → drop all + re-add one
+            lose = merged["_merge"] == "both"
+            parts.append(merged.loc[lose, [id_col, "_h1", "_h2"]]
+                         .assign(_dw=False, _nid=True))
+            parts.append(merged.loc[~lose, [id_col, "_h1", "_h2"]]
+                         .assign(_dw=True, _nid=True))
+        return pd.concat(parts, ignore_index=True) if len(parts) > 1 \
+            else out
 
     losers_ds = partitioned_group_apply(
         hashed, ["_h1", "_h2"], losers,
@@ -165,16 +233,25 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     ldf = losers_ds.to_pandas()
     if ldf.empty:
         return ds
-    order = np.argsort(ldf[id_col].to_numpy(), kind="stable")
-    state = (ldf[id_col].to_numpy()[order],
-             ldf["_h1"].to_numpy()[order], ldf["_h2"].to_numpy()[order])
-    drop_ref = ray.put(state)
+
+    def split_state(frame: pd.DataFrame):
+        """(sorted id-triples, sorted null-entry hash pairs)."""
+        t = frame.loc[~frame["_nid"]]
+        order = np.argsort(t[id_col].to_numpy(), kind="stable")
+        nulls = frame.loc[frame["_nid"]]
+        norder = np.argsort(nulls["_h1"].to_numpy(), kind="stable")
+        return (t[id_col].to_numpy()[order],
+                t["_h1"].to_numpy()[order], t["_h2"].to_numpy()[order],
+                nulls["_h1"].to_numpy()[norder],
+                nulls["_h2"].to_numpy()[norder])
+
+    drop_ref = ray.put(split_state(ldf))
 
     def keep(b: pa.Table) -> pa.Table:
-        did, dh1, dh2 = worker_cached(("dedup_drop", drop_ref.hex()),
-                                      lambda: ray.get(drop_ref))
+        did, dh1, dh2, nh1, nh2 = worker_cached(
+            ("dedup_drop", drop_ref.hex()), lambda: ray.get(drop_ref))
         hit = _triple_match(b, text_col=text_col, id_col=id_col,
-                            did=did, dh1=dh1, dh2=dh2)
+                            did=did, dh1=dh1, dh2=dh2, nh1=nh1, nh2=nh2)
         if not hit.any():
             return b
         return b.filter(pa.array(~hit))
@@ -185,18 +262,16 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     if dw.empty:
         return main
 
-    # identical full rows: every copy was dropped above; gather the tiny
-    # flagged subset in one extra scan and re-add exactly one copy each
-    dworder = np.argsort(dw[id_col].to_numpy(), kind="stable")
-    dwstate = (dw[id_col].to_numpy()[dworder],
-               dw["_h1"].to_numpy()[dworder], dw["_h2"].to_numpy()[dworder])
-    dw_ref = ray.put(dwstate)
+    # indistinguishable copies (identical full rows, or null-id-only
+    # texts): every copy was dropped above; gather the tiny flagged
+    # subset in one extra scan and re-add exactly one copy each
+    dw_ref = ray.put(split_state(dw))
 
     def grab(b: pa.Table) -> pa.Table:
-        gid, gh1, gh2 = worker_cached(("dedup_dw", dw_ref.hex()),
-                                      lambda: ray.get(dw_ref))
+        gid, gh1, gh2, gn1, gn2 = worker_cached(
+            ("dedup_dw", dw_ref.hex()), lambda: ray.get(dw_ref))
         hit = _triple_match(b, text_col=text_col, id_col=id_col,
-                            did=gid, dh1=gh1, dh2=gh2)
+                            did=gid, dh1=gh1, dh2=gh2, nh1=gn1, nh2=gn2)
         sub = b.filter(pa.array(hit))
         return _add_hash128(sub, col_name=text_col)
 
@@ -212,8 +287,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
          for t in ray.get(copies.to_arrow_refs())])
     cdf = tbl.select([id_col, "_h1", "_h2"]).to_pandas()
     first_idx = np.sort(
-        cdf.groupby([id_col, "_h1", "_h2"], sort=False).head(1)
-        .index.to_numpy())
+        cdf.groupby([id_col, "_h1", "_h2"], sort=False,
+                    dropna=False).head(1).index.to_numpy())
     one_each = tbl.take(pa.array(first_idx, type=pa.int64())) \
         .drop_columns(["_h1", "_h2"])
     return main.union(rd.from_arrow(one_each))

@@ -401,6 +401,7 @@ def validate_images_pipeline(
                 sketch_state=_stats_state_to_bytes(
                     merged.drop(columns=["fragment_id"], errors="ignore")),
                 wave_tag=tag))
+        store.sync_staged(tag)  # staged data durable BEFORE the commit
         store.append_records(new_records[-len(wave):])
         store.commit_violations(tag)
 

@@ -87,11 +87,17 @@ def hash64_array(arr, seed: int = 0) -> np.ndarray:
 
 
 def _null_sentinel(seed: int) -> np.uint64:
-    """Hash a null element maps to: the canonical-NaN float64 bit pattern
-    through splitmix64 — identical to what a null produced historically
-    via the float-NaN conversion path, for every integer/float dtype."""
-    return _splitmix64(np.array([np.nan]).view(np.uint64)
-                       + np.uint64(seed))[0]
+    """Hash of a null integer/boolean element. Pigeonhole makes ONE
+    colliding int64 preimage unavoidable (2^64+1 values into 2^64
+    buckets); double-mixing a fixed tag makes that preimage a
+    pseudorandom value instead of the quiet-NaN bit pattern
+    0x7FF8000000000000, which plausibly occurs in data reinterpreted
+    from floats. (Float columns inherently hash null == NaN — that is
+    the float path's own convention, unchanged.)"""
+    with np.errstate(over="ignore"):
+        tag = _splitmix64(np.array([0x6E756C6C5F6B6579],  # "null_key"
+                                   dtype=np.uint64))
+        return _splitmix64(tag + np.uint64(seed))[0]
 
 
 def _hash_numeric(vals: np.ndarray, seed: int) -> np.ndarray:

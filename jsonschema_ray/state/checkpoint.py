@@ -149,6 +149,28 @@ class CheckpointStore:
         os.makedirs(p, exist_ok=True)
         return p
 
+    def sync_staged(self, wave_tag: str) -> None:
+        """fsync every staged violation file of a wave. MUST run before
+        the wave's records append: the records are the commit point, so
+        the data they implicitly commit has to be durable first —
+        otherwise power loss can leave a committed wave pointing at
+        truncated parquet."""
+        p = os.path.join(self.violations_dir, wave_tag + ".tmp")
+        if not os.path.isdir(p):
+            return
+        for f in os.listdir(p):
+            try:
+                fd = os.open(os.path.join(p, f), os.O_RDONLY)
+            except OSError:
+                continue
+            try:
+                os.fsync(fd)
+            except OSError:
+                pass
+            finally:
+                os.close(fd)
+        _fsync_dir(p)
+
     def commit_violations(self, wave_tag: str) -> str:
         tmp = os.path.join(self.violations_dir, wave_tag + ".tmp")
         final = os.path.join(self.violations_dir, wave_tag)
@@ -174,6 +196,11 @@ class CheckpointStore:
                 sel = rec.filter(pc.equal(rec["ruleset_hash"],
                                           ruleset_hash))
                 allowed = set(sel["wave_tag"].to_pylist()) - {"", None}
+        elif ruleset_hash is not None:
+            # records predate wave tags: no dir can be attributed to the
+            # requested hash — return nothing rather than every hash's
+            # waves (the cross-hash mix this filter exists to prevent)
+            allowed = set()
         out = []
         for d in sorted(os.listdir(self.violations_dir)):
             full = os.path.join(self.violations_dir, d)

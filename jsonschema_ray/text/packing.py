@@ -33,15 +33,27 @@ def pack_sequences(ds, id_col: str = "doc_id", tokens_col: str = "n_tokens",
                    num_partitions: int = None):
     """(id, n_tokens) Dataset → (id, n_tokens, pack_id) Dataset.
 
-    ``id_col`` must be integer-typed (the bucket stamp is ``id //
-    bucket_size``). Null token counts pack as 0 tokens (SQL SUM-OVER
-    ignores NULLs) but keep their null ``n_tokens`` in the output."""
+    ``id_col`` and ``tokens_col`` must be integer-typed (the bucket
+    stamp is ``id // bucket_size``; float token counts would truncate
+    differently in the bucket-total and per-row passes). Null token
+    counts pack as 0 tokens (SQL SUM-OVER ignores NULLs) but keep their
+    null ``n_tokens`` in the output. Duplicate ids are ordered by
+    (id, n_tokens) so the assignment stays deterministic — note SQL
+    window frames over duplicate ORDER BY keys are themselves
+    tie-ambiguous, so oracles should use unique ids."""
     import functools
 
     import ray
     from ray.data.aggregate import Sum
 
     from ..util import partitioned_group_apply, worker_cached
+
+    id_t = ds.schema().base_schema.field(id_col).type
+    tok_t = ds.schema().base_schema.field(tokens_col).type
+    if not (pa.types.is_integer(id_t) and pa.types.is_integer(tok_t)):
+        raise TypeError(
+            f"pack_sequences needs integer id/token columns, got "
+            f"{id_col}: {id_t}, {tokens_col}: {tok_t}")
 
     def bucketize(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -64,7 +76,9 @@ def pack_sequences(ds, id_col: str = "doc_id", tokens_col: str = "n_tokens",
                                     lambda: ray.get(oref))
         outs = []
         for bkt, g in df.groupby("_bkt", sort=False):
-            g = g.sort_values(id_col, kind="mergesort")
+            # secondary tokens key pins duplicate-id tie order (arrival
+            # order varies run to run in a distributed read)
+            g = g.sort_values([id_col, tokens_col], kind="mergesort")
             c = g[tokens_col].fillna(0).to_numpy(dtype=np.int64)
             base = boffs[np.searchsorted(bkts, int(bkt))]
             before = base + np.concatenate(([0], np.cumsum(c)[:-1]))

@@ -336,9 +336,13 @@ def test_hash64_int_column_batch_invariant():
     big = pa.array([2**53 + 1, 2**53 + 2, None], type=pa.int64())
     hb = hash64_array(big)
     assert hb[0] != hb[1]
-    # null sentinel equals the legacy float-NaN hash (cross-type stable)
-    hf = hash64_array(pa.array([None], type=pa.float64()))
-    assert hw[2] == hf[0]
+    # the null sentinel must NOT collide with the quiet-NaN bit pattern
+    # as an int64 value (a plausible value in float-reinterpreted data) —
+    # its unavoidable pigeonhole preimage is pseudorandom instead
+    hq = hash64_array(pa.array([0x7FF8000000000000, None],
+                               type=pa.int64()))
+    assert hq[0] != hq[1]
+    assert hw[2] == hb[2] == hq[1]          # sentinel stable across batches
 
 
 def test_codec_malformed_dims_raise_decode_error():
@@ -408,3 +412,69 @@ def test_percent_rank_null_values(ray_session):
 
 
 import os  # noqa: E402  (used by the checkpoint test)
+
+
+# ---------------------------------------------------------------------------
+# fourth review wave: the session's own rewrites
+
+
+def test_exact_dedup_null_ids_not_lost(ray_session):
+    from jsonschema_ray.dedup import exact_dedup
+    t = pa.table({"doc_id": pa.array([None, 1, 2, None, None],
+                                     type=pa.int64()),
+                  "text": ["A", "B", "B", "C", "C"]})
+    out = exact_dedup(_ds(t)).to_pandas().sort_values(
+        "text").reset_index(drop=True)
+    # A and C exist only under null ids: exactly one copy each survives;
+    # B keeps its min id
+    assert out["text"].tolist() == ["A", "B", "C"]
+    assert out["doc_id"].tolist()[1] == 1
+    assert pd.isna(out["doc_id"].iloc[0]) and pd.isna(out["doc_id"].iloc[2])
+    # null-id copies of a text that ALSO has a real id all lose
+    t2 = pa.table({"doc_id": pa.array([None, 7, None], type=pa.int64()),
+                   "text": ["B", "B", "B"]})
+    out2 = exact_dedup(_ds(t2)).to_pandas()
+    assert out2["doc_id"].tolist() == [7]
+    # fallback path agrees on row counts
+    out3 = exact_dedup(_ds(t), broadcast_ids_cap=0).to_pandas()
+    assert sorted(out3["text"]) == ["A", "B", "C"]
+
+
+def test_pack_sequences_rejects_float_tokens(ray_session):
+    from jsonschema_ray.text import pack_sequences
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "n_tokens": pa.array([0.5, 1.5], type=pa.float64())})
+    with pytest.raises(TypeError, match="integer"):
+        pack_sequences(_ds(t))
+
+
+def test_local_topk_nan_scores():
+    from jsonschema_ray.ann.search import _local_topk
+    ids = np.array([10, 20, 30], dtype=np.int64)
+    row = np.array([np.nan, 0.5, 0.2])
+    got_ids, got_s = _local_topk(row, ids, 2)
+    assert got_ids.tolist() == [20, 30]      # NaN discarded, rest kept
+    assert got_s.tolist() == [0.5, 0.2]
+
+
+def test_violation_files_legacy_records_strict(tmp_path):
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.state import CheckpointStore
+    store = CheckpointStore(str(tmp_path))
+    # legacy record file WITHOUT the wave_tag column
+    legacy = pa.table({"fragment_id": ["f"], "ruleset_hash": ["h1"],
+                       "n_rows": pa.array([1], type=pa.int64()),
+                       "n_violations": pa.array([1], type=pa.int64()),
+                       "passed": [False], "wall_s": [0.1],
+                       "sketch_state": pa.array([b""],
+                                                type=pa.large_binary())})
+    pq.write_table(legacy, str(tmp_path / "records" / "wave-x.parquet"))
+    d = tmp_path / "violations" / "oldwave"
+    d.mkdir(parents=True)
+    pq.write_table(pa.table({"keyword": ["type"]}),
+                   str(d / "p.parquet"))
+    # unfiltered: committed dir visible; hash-filtered: unattributable →
+    # excluded (never mix another hash's waves into a report)
+    assert len(store.violation_files()) == 1
+    assert store.violation_files("h1") == []
