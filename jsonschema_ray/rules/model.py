@@ -371,10 +371,14 @@ def parse_ruleset(doc: Any, loader=None,
     res_static: dict[str, dict] = {}         # resource loc → $anchor map
     res_dynamic: dict[str, dict] = {}        # resource loc → $dynamicAnchor
     node_res: dict[str, str] = {}            # node loc → owning resource loc
+    id_map: dict[str, SchemaNode] = {}       # $id URI → embedded resource
 
     def walk(n: SchemaNode, res: str):
         by_pointer[n.location] = n
-        if n is not root and n.get("$id") is not None:
+        nid = n.get("$id")
+        if nid is not None:
+            id_map.setdefault(nid, n)
+        if n is not root and nid is not None:
             res = n.location
         node_res[n.location] = res
         a = n.get("$anchor") or n.get("$dynamicAnchor")
@@ -414,6 +418,24 @@ def parse_ruleset(doc: Any, loader=None,
                 tgt = anchors.get(name)
             if tgt is None:
                 raise RuleSetError(f"$ref: unknown anchor {ref!r}")
+            return tgt
+        # document-local embedded resource by its $id URI ("tree",
+        # "tree#frag") — 2020-12 §8.2.3 base-URI resolution restricted
+        # to same-document resources; anything else needs the loader
+        base, _, frag = ref.partition("#")
+        if base in id_map:
+            tgt_root = id_map[base]
+            if not frag:
+                return tgt_root
+            if frag.startswith("/"):
+                return _deref_pointer(tgt_root.location + frag,
+                                      by_pointer)
+            tgt = res_static.get(tgt_root.location, {}).get(frag)
+            if tgt is None and tgt_root is root:
+                tgt = res_static.get(root.location, {}).get(frag)
+            if tgt is None:
+                raise RuleSetError(
+                    f"$ref: unknown anchor {frag!r} in resource {base!r}")
             return tgt
         if loader is not None:
             if ref not in _loader_cache:

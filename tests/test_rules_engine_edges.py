@@ -123,3 +123,42 @@ def test_custom_keyword_on_list_column():
     doc = {"properties": {"v": {"x-nonempty-r3": True}}}
     vm, rm = _both(doc, t)
     assert vm.tolist() == rm.tolist() == [True, False, True]
+
+
+def test_strict_tree_dynamic_ref_spec_example():
+    """The 2020-12 spec's canonical $dynamicRef example: strict-tree
+    extends tree by $ref'ing it while its OWN $dynamicAnchor 'node'
+    overrides the extension point, so unevaluatedProperties: false
+    applies at every depth — a 'daat' typo node must fail, and the same
+    document WITHOUT the strict wrapper must pass."""
+    tree = {"$id": "tree",
+            "$dynamicAnchor": "node",
+            "type": "object",
+            "properties": {
+                "data": {"type": "integer"},
+                "children": {"type": "array",
+                             "items": {"$dynamicRef": "#node"}}}}
+    strict = {"$id": "strict-tree",
+              "$dynamicAnchor": "node",
+              "$ref": "tree",
+              "unevaluatedProperties": False}
+    # single-document composition (no loader): embed both resources
+    doc = {"$defs": {"tree": tree, "strict": strict},
+           "properties": {"t": {"$ref": "#/$defs/strict"}}}
+
+    child_t = pa.struct([("data", pa.int64()), ("daat", pa.int64())])
+    t_type = pa.struct([("data", pa.int64()),
+                        ("children", pa.list_(child_t))])
+    rows = [
+        {"data": 1, "children": [{"data": 2, "daat": None}]},   # ok
+        {"data": 1, "children": [{"data": None, "daat": 2}]},   # typo node
+    ]
+    table = pa.table({"t": pa.array(rows, type=t_type)})
+    vm, rm = _both(doc, table)
+    assert vm.tolist() == rm.tolist() == [True, False]
+
+    # plain tree (no strict wrapper): the typo node is tolerated
+    doc2 = {"$defs": {"tree": tree},
+            "properties": {"t": {"$ref": "#/$defs/tree"}}}
+    vm2, rm2 = _both(doc2, table)
+    assert vm2.tolist() == rm2.tolist() == [True, True]
