@@ -162,3 +162,20 @@ def test_strict_tree_dynamic_ref_spec_example():
             "properties": {"t": {"$ref": "#/$defs/tree"}}}
     vm2, rm2 = _both(doc2, table)
     assert vm2.tolist() == rm2.tolist() == [True, True]
+
+
+def test_embedded_resource_id_fragments():
+    doc = {"$defs": {
+        "res": {"$id": "res1",
+                "$defs": {"pos": {"$anchor": "pos", "minimum": 0}},
+                "properties": {"data": {"type": "integer"}}}},
+        "properties": {
+            "v": {"$ref": "res1#pos"},          # anchor inside resource
+            "w": {"$ref": "res1#/properties/data"}}}  # pointer inside
+    t = pa.table({"v": pa.array([1, -1], type=pa.int64()),
+                  "w": pa.array([1, 1], type=pa.int64())})
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [True, False]
+    with pytest.raises(RuleSetError, match="unknown anchor"):
+        parse_ruleset({"$defs": {"r": {"$id": "r2"}},
+                       "properties": {"v": {"$ref": "r2#nope"}}})
