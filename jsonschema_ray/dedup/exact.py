@@ -8,10 +8,12 @@ The two 64-bit halves are computed under DIFFERENT siphash keys
 (sketches/hashing.py ``_sip_key``), so they are genuinely independent
 functions: a corpus-level collision needs ~2^64 distinct documents
 (128-bit birthday bound). For 64-bit numeric columns the hash is a
-splitmix64 bijection — zero collisions outright. ``exact_dedup`` emits
-surviving full rows WITHOUT shuffling them: the narrow pass finds the
-LOSER ids (usually tiny), and a second broadcast-filter scan drops
-them — two streaming reads beat one 100-TB shuffle."""
+splitmix64 bijection — zero collisions among VALUES (a null element maps
+to one fixed pseudorandom sentinel, see sketches/hashing._null_sentinel).
+``exact_dedup`` emits surviving full rows WITHOUT shuffling them: the
+narrow pass finds the LOSER (id, hash) triples plus a null-id channel
+(usually tiny), and a second broadcast-filter scan drops them — two
+streaming reads beat one 100-TB shuffle."""
 
 from __future__ import annotations
 
@@ -60,7 +62,14 @@ def _hashed_ids_flagged(ds, text_col: str, id_col: str,
             ids = ids.combine_chunks()
         nid = pc.is_null(ids)
         if ids.null_count:
-            fill = 0 if pa.types.is_integer(ids.type)                 or pa.types.is_floating(ids.type) else ""
+            if pa.types.is_string(ids.type) \
+                    or pa.types.is_large_string(ids.type):
+                fill = ""
+            elif pa.types.is_binary(ids.type) \
+                    or pa.types.is_large_binary(ids.type):
+                fill = b""
+            else:
+                fill = 0
             ids = pc.fill_null(ids, fill)
         return pa.table({"_h1": b.column("_h1"), "_h2": b.column("_h2"),
                          id_col: ids, "_nid": nid})

@@ -41,8 +41,6 @@ def pack_sequences(ds, id_col: str = "doc_id", tokens_col: str = "n_tokens",
     (id, n_tokens) so the assignment stays deterministic — note SQL
     window frames over duplicate ORDER BY keys are themselves
     tie-ambiguous, so oracles should use unique ids."""
-    import functools
-
     import ray
     from ray.data.aggregate import Sum
 
