@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": R.pack_documents,               # oracled
         "stratified_sample_documents": R.stratified_sample_documents,  # oracled
         "props_field_by_type": R.props_field_by_type,     # oracled
+        "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
+        "dedup_events_window": R.dedup_events_window,     # oracled
     }
 
 
@@ -809,5 +811,24 @@ SELECT event_type,
        count(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)) AS n_with_k
 FROM events
 GROUP BY event_type ORDER BY event_type
+""",
+        "incremental_dedup_documents": """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) c FROM documents)
+SELECT doc_id FROM documents d, n
+WHERE doc_id >= CAST(floor(n.c * 0.6) AS BIGINT)
+  AND NOT EXISTS (SELECT 1 FROM documents s, n
+                  WHERE s.doc_id < CAST(floor(n.c * 0.8) AS BIGINT)
+                    AND s.text = d.text)
+ORDER BY doc_id
+""",
+        "dedup_events_window": """
+SELECT event_id FROM (
+  SELECT event_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id) AS d
+  FROM events)
+WHERE d IS NULL OR d > 600000000
+ORDER BY event_id
 """,
     }

@@ -1666,3 +1666,102 @@ def props_field_by_type(sf_dir: str):
     out["sum_k"] = out["sum_k"].astype("int64")
     out["n_with_k"] = out["n_with_k"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def incremental_dedup(new_ds, seen_ds, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      bloom_fp: float = None):
+    """Incremental-ingestion dedup: drop NEW rows whose ``text_col``
+    content already exists in the SEEN corpus. The seen side ships as a
+    broadcast 128-bit content-hash set (16 B per distinct seen doc —
+    the text never moves; ``bloom_fp`` swaps it for a Bloom filter at
+    extreme seen-corpus sizes, admitting ≈fp false drops); the new side
+    streams through one hash + filter pass. The standard shape for
+    "new crawl shard arrives, drop what the training set already has"."""
+    import ray
+
+    from ..dedup.exact import _add_hash128
+    from ..util import worker_cached
+
+    def hashes(b: pa.Table) -> pa.Table:
+        h = _add_hash128(b, col_name=text_col)
+        return h.select(["_h1", "_h2"])
+
+    seen = seen_ds.select_columns([text_col]).map_batches(
+        hashes, batch_format="pyarrow", zero_copy_batch=True) \
+        .to_pandas()
+    pairs = np.unique(np.stack([seen["_h1"].to_numpy(),
+                                seen["_h2"].to_numpy()], axis=1), axis=0)
+    if bloom_fp is not None:
+        from ..sketches.bloom import BloomFilter
+        bf = BloomFilter(max(1, len(pairs)), fp=bloom_fp)
+        # the 128-bit pair is already uniform: fold to one 64-bit key
+        bf.add_hashes(pairs[:, 0].view(np.uint64)
+                      ^ pairs[:, 1].view(np.uint64))
+        ref = ray.put(bf)
+    else:
+        ref = ray.put((np.ascontiguousarray(pairs[:, 0]),
+                       np.ascontiguousarray(pairs[:, 1])))
+
+    def keep(b: pa.Table) -> pa.Table:
+        state = worker_cached(("incdedup", ref.hex()),
+                              lambda: ray.get(ref))
+        h = _add_hash128(b, col_name=text_col)
+        h1 = h.column("_h1").to_numpy()
+        h2 = h.column("_h2").to_numpy()
+        if bloom_fp is not None:
+            hit = state.contains_hashes(h1.view(np.uint64)
+                                        ^ h2.view(np.uint64))
+        else:
+            s1, s2 = state
+            lo = np.searchsorted(s1, h1, side="left")
+            hi = np.searchsorted(s1, h1, side="right")
+            hit = np.zeros(len(h1), dtype=bool)
+            single = (hi - lo) == 1
+            hit[single] = s2[lo[single]] == h2[single]
+            for i in np.nonzero((hi - lo) > 1)[0]:
+                hit[i] = bool((s2[lo[i]:hi[i]] == h2[i]).any())
+        return b.filter(pa.array(~hit))
+
+    return new_ds.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def incremental_dedup_documents(sf_dir: str):
+    """Incremental dedup (ORACLED): the seen corpus is the first 80% of
+    doc ids, the arriving shard the last 40% — the overlapping 20%
+    really gets dropped (its texts are already present), the tail 20%
+    survives."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()
+    c60, c80 = int(n * 0.6), int(n * 0.8)
+    seen = docs.filter(expr=f"doc_id < {c80}")
+    new = docs.filter(expr=f"doc_id >= {c60}")
+    out = incremental_dedup(new, seen).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_events_window(sf_dir: str, window_s: int = 600):
+    """Time-window event dedup (ORACLED): drop an event when the SAME
+    (user_id, event_type) fired within the previous ``window_s`` seconds
+    — the bot/double-fire cleaning step of an event pipeline. ONE coarse
+    hash-partition on user_id (same machinery as sessionization), the
+    LAG comparison fully vectorized inside each partition."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    win_us = window_s * 1_000_000
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        drop = np.zeros(len(df), dtype=bool)
+        drop[1:] = same[1:] & (us[1:] - us[:-1] <= win_us)
+        return df.loc[~drop, ["event_id"]]
+
+    out = partitioned_group_apply(ds, ["user_id"], dedup).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

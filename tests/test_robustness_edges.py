@@ -478,3 +478,22 @@ def test_violation_files_legacy_records_strict(tmp_path):
     # excluded (never mix another hash's waves into a report)
     assert len(store.violation_files()) == 1
     assert store.violation_files("h1") == []
+
+
+# ---------------------------------------------------------------------------
+# incremental ingestion dedup
+
+
+def test_incremental_dedup_exact_and_bloom(ray_session):
+    from jsonschema_ray.pipelines.relational import incremental_dedup
+    seen = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                     "text": ["alpha", "beta"]})
+    new = pa.table({"doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+                    "text": ["alpha", "gamma", "beta", "delta"]})
+    out = incremental_dedup(_ds(new), _ds(seen)).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 13]
+    # Bloom variant: never keeps a true duplicate (false DROPS only)
+    outb = incremental_dedup(_ds(new), _ds(seen),
+                             bloom_fp=0.01).to_pandas()
+    kept = set(outb["doc_id"])
+    assert kept <= {11, 13}
