@@ -1670,26 +1670,80 @@ def props_field_by_type(sf_dir: str):
 
 def incremental_dedup(new_ds, seen_ds, text_col: str = "text",
                       id_col: str = "doc_id",
-                      bloom_fp: float = None):
+                      bloom_fp: float = None,
+                      broadcast_cap: int = 1 << 30,
+                      num_partitions: int = None):
     """Incremental-ingestion dedup: drop NEW rows whose ``text_col``
     content already exists in the SEEN corpus. The seen side ships as a
     broadcast 128-bit content-hash set (16 B per distinct seen doc —
     the text never moves; ``bloom_fp`` swaps it for a Bloom filter at
     extreme seen-corpus sizes, admitting ≈fp false drops); the new side
     streams through one hash + filter pass. The standard shape for
-    "new crawl shard arrives, drop what the training set already has"."""
+    "new crawl shard arrives, drop what the training set already has".
+
+    Above ``broadcast_cap`` (exact mode only) the broadcast degrades to
+    ONE hash-pair co-partition of the new rows against the seen pairs —
+    a full shuffle of the new shard, but the (usually much larger) seen
+    corpus still moves only 16 B/doc."""
+    import functools
+
     import ray
 
     from ..dedup.exact import _add_hash128
-    from ..util import worker_cached
+    from ..util import partitioned_group_apply, worker_cached
 
     def hashes(b: pa.Table) -> pa.Table:
         h = _add_hash128(b, col_name=text_col)
         return h.select(["_h1", "_h2"])
 
-    seen = seen_ds.select_columns([text_col]).map_batches(
+    seen_h = seen_ds.select_columns([text_col]).map_batches(
         hashes, batch_format="pyarrow", zero_copy_batch=True) \
-        .to_pandas()
+        .materialize()
+    if bloom_fp is None and seen_h.size_bytes() > broadcast_cap:
+        new_schema = new_ds.schema().base_schema
+        new_names = list(new_schema.names)
+
+        def mark_seen(b: pa.Table) -> pa.Table:
+            cols = {nm: pa.nulls(b.num_rows, type=new_schema.field(nm).type)
+                    for nm in new_names}
+            cols["_h1"], cols["_h2"] = b["_h1"], b["_h2"]
+            cols["_seen"] = pa.array(np.ones(b.num_rows, dtype=bool))
+            return pa.table(cols)
+
+        def mark_new(b: pa.Table) -> pa.Table:
+            h = _add_hash128(b, col_name=text_col)
+            cols = {nm: h[nm] for nm in new_names}
+            cols["_h1"], cols["_h2"] = h["_h1"], h["_h2"]
+            cols["_seen"] = pa.array(np.zeros(b.num_rows, dtype=bool))
+            return pa.table(cols)
+
+        union = seen_h.map_batches(
+            mark_seen, batch_format="pyarrow", zero_copy_batch=True) \
+            .union(new_ds.map_batches(
+                mark_new, batch_format="pyarrow", zero_copy_batch=True))
+
+        def anti(df: pd.DataFrame) -> pd.DataFrame:
+            seen_pairs = df.loc[df["_seen"], ["_h1", "_h2"]] \
+                .drop_duplicates()
+            out = df.loc[~df["_seen"]]
+            if len(seen_pairs):
+                m = out.merge(seen_pairs, on=["_h1", "_h2"], how="left",
+                              indicator=True)
+                out = m.loc[m["_merge"] == "left_only"]
+            return out[new_names]
+
+        joined = partitioned_group_apply(union, ["_h1", "_h2"], anti,
+                                         num_partitions=num_partitions)
+
+        def restore(b: pa.Table) -> pa.Table:
+            return pa.table({nm: b[nm].cast(new_schema.field(nm).type,
+                                            safe=False)
+                             for nm in new_names})
+
+        return joined.map_batches(restore, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    seen = seen_h.to_pandas()
     pairs = np.unique(np.stack([seen["_h1"].to_numpy(),
                                 seen["_h2"].to_numpy()], axis=1), axis=0)
     if bloom_fp is not None:

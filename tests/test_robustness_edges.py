@@ -497,3 +497,15 @@ def test_incremental_dedup_exact_and_bloom(ray_session):
                              bloom_fp=0.01).to_pandas()
     kept = set(outb["doc_id"])
     assert kept <= {11, 13}
+
+
+def test_incremental_dedup_distributed_fallback(ray_session):
+    from jsonschema_ray.pipelines.relational import incremental_dedup
+    seen = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                     "text": ["alpha", "beta"]})
+    new = pa.table({"doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+                    "text": ["alpha", "gamma", "beta", "delta"]})
+    out = incremental_dedup(_ds(new), _ds(seen),
+                            broadcast_cap=0).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 13]
+    assert list(out.columns) == ["doc_id", "text"]
