@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_by_type": R.props_field_by_type,     # oracled
         "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
         "dedup_events_window": R.dedup_events_window,     # oracled
+        "curate_documents": R.curate_documents,           # oracled e2e
     }
 
 
@@ -830,5 +831,34 @@ SELECT event_id FROM (
   FROM events)
 WHERE d IS NULL OR d > 600000000
 ORDER BY event_id
+""",
+        "curate_documents": """
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL
+    AND length(text) BETWEEN 100 AND 10000
+    AND length(regexp_extract_all(text, '\\S+')) >= 10
+    AND floor(10000.0 * length(regexp_extract_all(text, '[A-Za-z]'))
+              / greatest(length(text), 1)) >= 4000
+    AND floor(10000.0 * length(regexp_extract_all(text, ' '))
+              / greatest(length(text), 1)) <= 4000),
+w AS (SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+      FROM q GROUP BY text),
+s AS (SELECT doc_id, n_tokens,
+             CASE WHEN doc_id % 100 < 10 THEN 'val'
+                  WHEN doc_id % 100 < 20 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM w),
+p AS (SELECT doc_id,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / 2048.0) AS BIGINT) AS pack_id
+      FROM s WHERE split = 'train')
+SELECT s.doc_id, s.n_tokens, s.split, p.pack_id
+FROM s LEFT JOIN p USING (doc_id) ORDER BY s.doc_id
 """,
     }

@@ -707,21 +707,25 @@ def quality_documents(sf_dir: str):
         col = b["text"].combine_chunks()
         n = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        safe = np.maximum(n, 1.0)
+        nullmask = np.isnan(n)      # null text → null features (SQL NULL),
+        safe = np.maximum(np.where(nullmask, 1.0, n), 1.0)  # never UB casts
 
         def bp(pattern):
             c = pc.count_substring_regex(col, pattern).to_numpy(
                 zero_copy_only=False).astype(np.float64)
-            return np.floor(10000.0 * c / safe).astype(np.int64)
+            v = np.floor(10000.0 * np.where(nullmask, 0.0, c) / safe) \
+                .astype(np.int64)
+            return pa.array(v, mask=nullmask)
 
         from ..text import token_counts
         return pa.table({
             "doc_id": b["doc_id"],
-            "n_chars": pa.array(n.astype(np.int64)),
+            "n_chars": pa.array(np.where(nullmask, 0, n).astype(np.int64),
+                                mask=nullmask),
             "n_tokens": pa.array(token_counts(col)),
-            "alpha_bp": pa.array(bp(r"[A-Za-z]")),
-            "space_bp": pa.array(bp(r" ")),
-            "digit_bp": pa.array(bp(r"[0-9]")),
+            "alpha_bp": bp(r"[A-Za-z]"),
+            "space_bp": bp(r" "),
+            "digit_bp": bp(r"[0-9]"),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -1819,3 +1823,54 @@ def dedup_events_window(sf_dir: str, window_s: int = 600):
 
     out = partitioned_group_apply(ds, ["user_id"], dedup).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def curate_documents(sf_dir: str, window: int = 2048):
+    """END-TO-END curation pipeline (ORACLED as one SQL CTE chain):
+    quality filter → exact dedup (min-id winner among the quality
+    survivors, text never shuffles) → deterministic train/val/test
+    split → the TRAIN docs packed into fixed-``window``-token sequences
+    by global prefix sum. Output: one row per curated doc —
+    (doc_id, n_tokens, split, pack_id), pack_id null off-train. This is
+    the composition a real training-data run ships; every stage is the
+    operator already oracled in isolation."""
+    from ..dedup import exact_dedup
+    from ..text import pack_sequences, token_counts
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def qfilter(b: pa.Table) -> pa.Table:
+        col = b["text"].combine_chunks()
+        n = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nullmask = np.isnan(n)
+        safe = np.maximum(np.where(nullmask, 1.0, n), 1.0)
+        toks = token_counts(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+
+        def bp(pattern):
+            c = pc.count_substring_regex(col, pattern).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            return np.floor(10000.0 * np.where(nullmask, 0.0, c) / safe)
+
+        keep = (~nullmask & (n >= 100) & (n <= 10000)
+                & (toks >= 10)
+                & (bp(r"[A-Za-z]") >= 4000) & (bp(r" ") <= 4000))
+        out = b.append_column(
+            "n_tokens", pa.array(np.where(nullmask, 0, toks)
+                                 .astype(np.int64)))
+        return out.filter(pa.array(keep))
+
+    filtered = ds.map_batches(qfilter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    winners = exact_dedup(filtered, text_col="text", id_col="doc_id") \
+        .drop_columns(["text"])
+    tagged = assign_split(winners, "doc_id")
+    full = tagged.to_pandas()
+    train = tagged.filter(expr="split == 'train'") \
+        .select_columns(["doc_id", "n_tokens"])
+    packed = pack_sequences(train, window=window).to_pandas()
+    out = full.merge(packed[["doc_id", "pack_id"]], on="doc_id",
+                     how="left")
+    out["pack_id"] = out["pack_id"].astype("Int64")
+    return out[["doc_id", "n_tokens", "split", "pack_id"]] \
+        .sort_values("doc_id").reset_index(drop=True)
