@@ -150,6 +150,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
     timed("neardup_components_documents",
           lambda: len(R.neardup_components_documents(sf_dir)))
     timed("pack_documents", lambda: len(R.pack_documents(sf_dir)))
+    timed("curate_documents", lambda: len(R.curate_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {
