@@ -807,9 +807,10 @@ ORDER BY doc_id
 """,
         "props_field_by_type": """
 SELECT event_type,
-       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
-                     AS BIGINT)) AS BIGINT) AS sum_k,
-       count(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)) AS n_with_k
+       CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1),
+                            '') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), ''))
+         AS n_with_k
 FROM events
 GROUP BY event_type ORDER BY event_type
 """,

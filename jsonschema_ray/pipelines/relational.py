@@ -1571,6 +1571,37 @@ def split_documents(sf_dir: str):
     return out.sort_values("split").reset_index(drop=True)
 
 
+QUALITY_THRESHOLDS = dict(min_chars=100, max_chars=10000, min_tokens=10,
+                          min_alpha_bp=4000, max_space_bp=4000)
+
+
+def quality_keep_mask(col: pa.Array) -> tuple:
+    """(keep mask, n_tokens int64 array) for a text column under the
+    Gopher-style QUALITY_THRESHOLDS — the ONE definition both the
+    standalone quality filter and the e2e curation pipeline apply, so
+    the two can never drift apart."""
+    from ..text import token_counts
+    th = QUALITY_THRESHOLDS
+    n = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    nullmask = np.isnan(n)
+    safe = np.maximum(np.where(nullmask, 1.0, n), 1.0)
+    toks = token_counts(col).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+
+    def bp(pattern):
+        c = pc.count_substring_regex(col, pattern).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return np.floor(10000.0 * np.where(nullmask, 0.0, c) / safe)
+
+    keep = (~nullmask & (n >= th["min_chars"]) & (n <= th["max_chars"])
+            & (toks >= th["min_tokens"])
+            & (bp(r"[A-Za-z]") >= th["min_alpha_bp"])
+            & (bp(r" ") <= th["max_space_bp"]))
+    ntok = np.where(nullmask, 0, toks).astype(np.int64)
+    return keep, ntok
+
+
 def quality_filter_documents(sf_dir: str):
     """Gopher-style quality keep-list (ORACLED): documents passing ALL
     thresholds — length in [100, 10000] chars, ≥ 10 tokens, alpha ratio
@@ -1579,13 +1610,14 @@ def quality_filter_documents(sf_dir: str):
     into the actual curation decision a 100-TB pipeline ships."""
     q = quality_documents(sf_dir)
 
+    th = QUALITY_THRESHOLDS
     def keep(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.and_(
-            pc.and_(pc.greater_equal(b["n_chars"], 100),
-                    pc.less_equal(b["n_chars"], 10000)),
-            pc.greater_equal(b["n_tokens"], 10)),
-            pc.and_(pc.greater_equal(b["alpha_bp"], 4000),
-                    pc.less_equal(b["space_bp"], 4000)))
+            pc.and_(pc.greater_equal(b["n_chars"], th["min_chars"]),
+                    pc.less_equal(b["n_chars"], th["max_chars"])),
+            pc.greater_equal(b["n_tokens"], th["min_tokens"])),
+            pc.and_(pc.greater_equal(b["alpha_bp"], th["min_alpha_bp"]),
+                    pc.less_equal(b["space_bp"], th["max_space_bp"])))
         return b.filter(pc.fill_null(m, False)).select(["doc_id"])
 
     out = q.map_batches(keep, batch_format="pyarrow",
@@ -1623,9 +1655,17 @@ def stratified_sample(ds, group_col: str, rates_bp: dict, id_col: str,
     dominant languages). Stateless per batch: no shuffle, no randomness,
     stable under resume/partitioning (same convention as assign_split).
     For id-correlated corpora use a hashed id upstream."""
+    keys = pa.array(list(rates_bp.keys()))
+    vals = np.fromiter(rates_bp.values(), dtype=np.int64,
+                       count=len(rates_bp))
+
     def fn(b: pa.Table) -> pa.Table:
-        bp = pd.Series(b[group_col].to_pylist()).map(rates_bp) \
-            .fillna(default_bp).to_numpy(dtype=np.int64)
+        # vectorized dict lookup: index_in + take (no per-row Python)
+        idx = pc.index_in(b[group_col], value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        miss = np.isnan(idx)
+        bp = np.where(miss, default_bp,
+                      vals[np.nan_to_num(idx).astype(np.int64)])
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return b.filter(pa.array((ids % 100) < bp // 100))
 
@@ -1667,8 +1707,10 @@ def props_field_by_type(sf_dir: str):
         .groupby("event_type").aggregate(
             Sum("_s", alias_name="sum_k"),
             Sum("_c", alias_name="n_with_k")).to_pandas()
-    out["sum_k"] = out["sum_k"].astype("int64")
-    out["n_with_k"] = out["n_with_k"].astype("int64")
+    # a group where no row had an extractable k: SQL SUM of all NULLs is
+    # NULL — keep it nullable instead of crashing the int cast
+    out["sum_k"] = out["sum_k"].astype("Int64")
+    out["n_with_k"] = out["n_with_k"].fillna(0).astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -1697,6 +1739,14 @@ def incremental_dedup(new_ds, seen_ds, text_col: str = "text",
     from ..util import partitioned_group_apply, worker_cached
 
     def hashes(b: pa.Table) -> pa.Table:
+        # null text is excluded on BOTH sides: SQL '=' never matches NULL,
+        # so null-text new rows are always kept
+        t = b.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if t.null_count:
+            import pyarrow.compute as pc
+            b = b.filter(pc.is_valid(t))
         h = _add_hash128(b, col_name=text_col)
         return h.select(["_h1", "_h2"])
 
@@ -1739,13 +1789,22 @@ def incremental_dedup(new_ds, seen_ds, text_col: str = "text",
         joined = partitioned_group_apply(union, ["_h1", "_h2"], anti,
                                          num_partitions=num_partitions)
 
+        empty_typed = pa.table({nm: pa.array(
+            [], type=new_schema.field(nm).type) for nm in new_names})
+
         def restore(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or set(new_names) - set(b.column_names):
+                return empty_typed  # schema-stable empty block
             return pa.table({nm: b[nm].cast(new_schema.field(nm).type,
                                             safe=False)
                              for nm in new_names})
 
-        return joined.map_batches(restore, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+        import ray.data as rd
+        restored = joined.map_batches(restore, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        # typed seed: an all-duplicates shard otherwise surfaces as a
+        # column-less dataset (downstream column access crashes)
+        return rd.from_arrow(empty_typed).union(restored)
 
     seen = seen_h.to_pandas()
     pairs = np.unique(np.stack([seen["_h1"].to_numpy(),
@@ -1762,11 +1821,14 @@ def incremental_dedup(new_ds, seen_ds, text_col: str = "text",
                        np.ascontiguousarray(pairs[:, 1])))
 
     def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         state = worker_cached(("incdedup", ref.hex()),
                               lambda: ray.get(ref))
         h = _add_hash128(b, col_name=text_col)
         h1 = h.column("_h1").to_numpy()
         h2 = h.column("_h2").to_numpy()
+        tvalid = pc.is_valid(b.column(text_col)).to_numpy(
+            zero_copy_only=False)
         if bloom_fp is not None:
             hit = state.contains_hashes(h1.view(np.uint64)
                                         ^ h2.view(np.uint64))
@@ -1779,6 +1841,7 @@ def incremental_dedup(new_ds, seen_ds, text_col: str = "text",
             hit[single] = s2[lo[single]] == h2[single]
             for i in np.nonzero((hi - lo) > 1)[0]:
                 hit[i] = bool((s2[lo[i]:hi[i]] == h2[i]).any())
+        hit &= tvalid                       # null text never matches
         return b.filter(pa.array(~hit))
 
     return new_ds.map_batches(keep, batch_format="pyarrow",
@@ -1796,6 +1859,8 @@ def incremental_dedup_documents(sf_dir: str):
     seen = docs.filter(expr=f"doc_id < {c80}")
     new = docs.filter(expr=f"doc_id >= {c60}")
     out = incremental_dedup(new, seen).to_pandas()
+    if "doc_id" not in out.columns:     # Ray: empty to_pandas loses cols
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1812,13 +1877,16 @@ def dedup_events_window(sf_dir: str, window_s: int = 600):
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
-        us = df["ts"].astype("int64").to_numpy()
+        ok = df["ts"].notna().to_numpy()   # null ts: LAG diff is NULL →
+        us = df["ts"].astype("int64").to_numpy()  # kept on both sides
         uid = df["user_id"].to_numpy()
         et = df["event_type"].to_numpy()
         same = np.zeros(len(df), dtype=bool)
         same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
         drop = np.zeros(len(df), dtype=bool)
-        drop[1:] = same[1:] & (us[1:] - us[:-1] <= win_us)
+        with np.errstate(over="ignore"):
+            drop[1:] = same[1:] & ok[1:] & ok[:-1] \
+                & (us[1:] - us[:-1] <= win_us)
         return df.loc[~drop, ["event_id"]]
 
     out = partitioned_group_apply(ds, ["user_id"], dedup).to_pandas()
@@ -1840,35 +1908,22 @@ def curate_documents(sf_dir: str, window: int = 2048):
 
     def qfilter(b: pa.Table) -> pa.Table:
         col = b["text"].combine_chunks()
-        n = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        nullmask = np.isnan(n)
-        safe = np.maximum(np.where(nullmask, 1.0, n), 1.0)
-        toks = token_counts(col).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-
-        def bp(pattern):
-            c = pc.count_substring_regex(col, pattern).to_numpy(
-                zero_copy_only=False).astype(np.float64)
-            return np.floor(10000.0 * np.where(nullmask, 0.0, c) / safe)
-
-        keep = (~nullmask & (n >= 100) & (n <= 10000)
-                & (toks >= 10)
-                & (bp(r"[A-Za-z]") >= 4000) & (bp(r" ") <= 4000))
-        out = b.append_column(
-            "n_tokens", pa.array(np.where(nullmask, 0, toks)
-                                 .astype(np.int64)))
+        keep, ntok = quality_keep_mask(col)
+        out = b.append_column("n_tokens", pa.array(ntok))
         return out.filter(pa.array(keep))
 
     filtered = ds.map_batches(qfilter, batch_format="pyarrow",
                               zero_copy_batch=True)
     winners = exact_dedup(filtered, text_col="text", id_col="doc_id") \
         .drop_columns(["text"])
-    tagged = assign_split(winners, "doc_id")
+    tagged = assign_split(winners, "doc_id").materialize()  # two readers
     full = tagged.to_pandas()
     train = tagged.filter(expr="split == 'train'") \
         .select_columns(["doc_id", "n_tokens"])
     packed = pack_sequences(train, window=window).to_pandas()
+    if "doc_id" not in packed.columns:  # Ray: empty to_pandas loses cols
+        packed = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                               "pack_id": pd.Series([], dtype="int64")})
     out = full.merge(packed[["doc_id", "pack_id"]], on="doc_id",
                      how="left")
     out["pack_id"] = out["pack_id"].astype("Int64")

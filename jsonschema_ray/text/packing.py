@@ -61,6 +61,14 @@ def pack_sequences(ds, id_col: str = "doc_id", tokens_col: str = "n_tokens",
     keyed = ds.select_columns([id_col, tokens_col]).map_batches(
         bucketize, batch_format="pyarrow", zero_copy_batch=True) \
         .materialize()  # feeds the totals pass AND the bucket shuffle
+    if keyed.count() == 0:
+        # empty shard: typed empty result (a zero-row map_batches block is
+        # schema-less and would crash the groupby)
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=id_t),
+            tokens_col: pa.array([], type=tok_t),
+            "pack_id": pa.array([], type=pa.int64())}))
 
     tot = keyed.groupby("_bkt").aggregate(
         Sum(tokens_col, alias_name="_t")).to_pandas().sort_values("_bkt")

@@ -509,3 +509,70 @@ def test_incremental_dedup_distributed_fallback(ray_session):
                             broadcast_cap=0).to_pandas()
     assert sorted(out["doc_id"]) == [11, 13]
     assert list(out.columns) == ["doc_id", "text"]
+
+
+# ---------------------------------------------------------------------------
+# wave 6: fresh-operator edges (empty shards, null ts/text, k-less groups)
+
+
+def test_pack_sequences_empty_input(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.text import pack_sequences
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "n_tokens": pa.array([], type=pa.int64())})
+    out = pack_sequences(rd.from_arrow(t))
+    assert [f.name for f in out.schema().base_schema] == \
+        ["doc_id", "n_tokens", "pack_id"]
+    assert out.count() == 0
+
+
+def test_incremental_dedup_null_text_and_all_dup(ray_session):
+    from jsonschema_ray.pipelines.relational import incremental_dedup
+    seen = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                     "text": ["aa", None]})
+    new = pa.table({"doc_id": pa.array([10, 11, 12], type=pa.int64()),
+                    "text": [None, "cc", "aa"]})
+    # SQL '=' never matches NULL: the null-text new row is always kept
+    out = incremental_dedup(_ds(new), _ds(seen)).to_pandas()
+    assert sorted(out["doc_id"]) == [10, 11]
+    # all-duplicate shard via the distributed fallback keeps its schema
+    new2 = pa.table({"doc_id": pa.array([20], type=pa.int64()),
+                     "text": ["aa"]})
+    ds2 = incremental_dedup(_ds(new2), _ds(seen), broadcast_cap=0)
+    assert [f.name for f in ds2.schema().base_schema] == ["doc_id", "text"]
+    assert ds2.count() == 0
+
+
+def test_dedup_events_window_null_ts(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.relational import dedup_events_window
+    df = pd.DataFrame({
+        "event_id": [1, 4, 5, 6, 7],
+        "user_id": [2, 2, 2, 2, 3],
+        "event_type": ["c"] * 5,
+        "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 05:00",
+                              None, None, "2024-01-01 01:00"]),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = dedup_events_window(str(tmp_path))
+    # null-ts rows carry no LAG diff: all kept (matches the SQL oracle)
+    assert got["event_id"].tolist() == [1, 4, 5, 6, 7]
+
+
+def test_props_field_kless_group(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.relational import props_field_by_type
+    df = pd.DataFrame({"event_id": [1, 2],
+                       "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+                       "user_id": [1, 2], "event_type": ["z", "y"],
+                       "value": [1.0, 2.0],
+                       "props": ['{"x": 9}', '{"k": 5}']})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = props_field_by_type(str(tmp_path)).set_index("event_type")
+    assert out.loc["y", "sum_k"] == 5 and out.loc["y", "n_with_k"] == 1
+    assert pd.isna(out.loc["z", "sum_k"]) and out.loc["z", "n_with_k"] == 0
