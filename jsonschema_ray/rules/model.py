@@ -160,16 +160,64 @@ def _temporal_to_micros(keyword: str, v: str) -> float:
 # Parsing
 
 
+_CLASS_TOP = {"d": "[0-9]", "D": "[^0-9]",
+              "w": "[0-9A-Za-z_]", "W": "[^0-9A-Za-z_]",
+              "s": "[ \\t\\n\\r\\f\\v]",
+              "S": "[^ \\t\\n\\r\\f\\v]"}
+_CLASS_IN = {"d": "0-9", "w": "0-9A-Za-z_", "s": " \\t\\n\\r\\f\\v"}
+
+
+def compile_re2ish(pattern: str) -> re.Pattern:
+    """Python-re compile approximating RE2/Go semantics (the reference
+    engine and the vectorized paths): perl classes \\d/\\w/\\s are
+    TRANSLATED to their ASCII character classes (RE2 default) while the
+    pattern itself compiles WITHOUT re.ASCII, so ``(?i)`` keeps RE2's
+    Unicode case folding. Patterns the translator cannot rewrite
+    (negated shorthand inside a class) fall back to a plain re.ASCII
+    compile — narrower classes, ASCII-only folding."""
+    try:
+        out = []
+        i, n, in_class = 0, len(pattern), False
+        while i < n:
+            c = pattern[i]
+            if c == "\\" and i + 1 < n:
+                nxt = pattern[i + 1]
+                if nxt in "dDwWsS":
+                    if in_class:
+                        if nxt.isupper():
+                            raise ValueError("negated class in class")
+                        out.append(_CLASS_IN[nxt])
+                    else:
+                        out.append(_CLASS_TOP[nxt])
+                else:
+                    out.append(pattern[i:i + 2])
+                i += 2
+                continue
+            if c == "[" and not in_class:
+                in_class = True
+            elif c == "]" and in_class:
+                in_class = False
+            out.append(c)
+            i += 1
+        return re.compile("".join(out))
+    except (ValueError, re.error):
+        return re.compile(pattern, re.ASCII)
+
+
 def _check_regex(kw: str, pattern: str) -> None:
     """Schema-time regex validation: the pattern must compile under BOTH
-    Python re (row-wise mirror, ASCII classes) and RE2 (the vectorized
-    engine and the reference's Go regexp, validator.go:1002-1020) — Go
-    would reject an RE2-invalid pattern at schema build, so accepting it
-    here would only defer the failure into a worker task."""
+    regex dialects the engine runs — RE2 (the vectorized paths and the
+    reference's Go regexp, validator.go:1002-1020; Go rejects an
+    RE2-invalid pattern at schema build) AND Python re (the row-wise
+    oracle mirror). RE2-only constructs Python lacks (\\p{L},
+    mid-pattern inline flags) are therefore rejected here too — a
+    documented narrowing of the accepted pattern language."""
     try:
-        re.compile(pattern, re.ASCII)
+        compile_re2ish(pattern)
     except re.error as e:
-        raise RuleSetError(f"{kw}: invalid regex {pattern!r}: {e}")
+        raise RuleSetError(
+            f"{kw}: regex {pattern!r} not compilable by the row-wise "
+            f"mirror (Python re): {e}")
     import pyarrow as pa
     import pyarrow.compute as pc
     try:
@@ -381,11 +429,12 @@ def parse_ruleset(doc: Any, loader=None,
         if n is not root and nid is not None:
             res = n.location
         node_res[n.location] = res
-        a = n.get("$anchor") or n.get("$dynamicAnchor")
-        if a:
+        d = n.get("$dynamicAnchor")
+        # $dynamicAnchor ALSO creates a plain anchor (2020-12 §8.2.2) —
+        # a node may carry both keywords and both names must resolve
+        for a in {n.get("$anchor"), d} - {None}:
             anchors[a] = n
             res_static.setdefault(res, {}).setdefault(a, n)
-        d = n.get("$dynamicAnchor")
         if d:
             res_dynamic.setdefault(res, {}).setdefault(d, n)
         for c in _iter_subnodes(n):
@@ -402,9 +451,21 @@ def parse_ruleset(doc: Any, loader=None,
     # loader (SetLoader analog, schema.go:1015-1052) — not needed for
     # table rule sets.
     def resolve_one(ref: str, n: SchemaNode) -> SchemaNode:
+        # fragment-only refs resolve against the ENCLOSING resource's
+        # base URI (2020-12 §8.2.3): '#' inside an embedded $id resource
+        # is THAT resource's root, and '#/...' pointers are
+        # resource-relative (document-root fallback kept for legacy
+        # rulesets that wrote absolute pointers inside resources)
+        res_loc = node_res.get(n.location, root.location)
+        res_root = by_pointer.get(res_loc, root)
         if ref == "#":
-            return root
+            return res_root
         if ref.startswith("#/"):
+            if res_root is not root:
+                try:
+                    return _deref_pointer(res_loc + ref[1:], by_pointer)
+                except RuleSetError:
+                    pass  # legacy absolute pointer
             return _deref_pointer(ref[1:], by_pointer)
         if ref.startswith("#"):
             name = ref[1:]
@@ -431,8 +492,9 @@ def parse_ruleset(doc: Any, loader=None,
                 return _deref_pointer(tgt_root.location + frag,
                                       by_pointer)
             tgt = res_static.get(tgt_root.location, {}).get(frag)
-            if tgt is None and tgt_root is root:
-                tgt = res_static.get(root.location, {}).get(frag)
+            if tgt is None:
+                # lenient legacy fallback, same as the bare '#name' form
+                tgt = anchors.get(frag)
             if tgt is None:
                 raise RuleSetError(
                     f"$ref: unknown anchor {frag!r} in resource {base!r}")

@@ -226,8 +226,9 @@ class RowEvaluator:
         # TODO (validator.go:542, 1008)
         p = self._regex_cache.get(pattern)
         if p is None:
-            # ASCII classes to mirror the reference's Go/RE2 semantics
-            p = self._regex_cache[pattern] = re.compile(pattern, re.ASCII)
+            # RE2-ish compile: ASCII perl classes, Unicode (?i) folding
+            from .model import compile_re2ish
+            p = self._regex_cache[pattern] = compile_re2ish(pattern)
         return p
 
     def validate(self, instance: Any) -> list[Violation]:
@@ -567,12 +568,15 @@ class RowEvaluator:
             elif kw in ("$ref", "$dynamicRef"):
                 tgt = self.rs.ref_target(node, kw)
                 if kw == "$dynamicRef" and isinstance(arg, str) \
-                        and arg.startswith("#") and not arg.startswith("#/"):
-                    # outermost in-scope $dynamicAnchor wins; statically
-                    # resolved target is the detached fallback
-                    # (validate.go:84-182)
-                    dyn = getattr(self, "_dyn", None) or {}
-                    tgt = dyn.get(arg[1:], tgt)
+                        and "#" in arg:
+                    frag = arg.split("#", 1)[1]
+                    # any anchor-fragment form, bookending-gated (see
+                    # vector.py — the two engines must share the rule)
+                    if frag and not frag.startswith("/") \
+                            and tgt is not None \
+                            and tgt.get("$dynamicAnchor") == frag:
+                        dyn = getattr(self, "_dyn", None) or {}
+                        tgt = dyn.get(frag, tgt)
                 if tgt is not None:
                     s_ok, s_errs, a = self._eval(tgt, inst, tgt.location,
                                                  inst_loc, depth + 1)

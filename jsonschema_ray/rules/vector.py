@@ -353,11 +353,11 @@ class BatchValidator:
     # -- helpers ------------------------------------------------------
 
     def _re(self, pattern: str) -> re.Pattern:
-        # re.ASCII: \\d/\\w/\\s match ASCII only, like Go's RE2 (the
-        # reference semantics) and the vectorized RE2 paths of this engine
+        # RE2-ish Python compile: ASCII perl classes, Unicode (?i) folding
         p = self._regex.get(pattern)
         if p is None:
-            p = self._regex[pattern] = re.compile(pattern, re.ASCII)
+            from .model import compile_re2ish
+            p = self._regex[pattern] = compile_re2ish(pattern)
         return p
 
     def _offending(self, view: View, slots: np.ndarray) -> list[str]:
@@ -1007,12 +1007,17 @@ class BatchValidator:
             return ok
         if kw in ("$ref", "$dynamicRef"):
             tgt = self.rs.ref_target(node, kw)
-            if kw == "$dynamicRef" and isinstance(arg, str) \
-                    and arg.startswith("#") and not arg.startswith("#/"):
-                # outermost in-scope $dynamicAnchor wins; statically
-                # resolved target is the detached fallback
-                # (validate.go:84-182)
-                tgt = (getattr(self, "_dyn", None) or {}).get(arg[1:], tgt)
+            if kw == "$dynamicRef" and isinstance(arg, str) and "#" in arg:
+                frag = arg.split("#", 1)[1]
+                # dynamic-scope lookup applies to ANY anchor-fragment form
+                # ("#x" or "res#x"), and ONLY when the statically-resolved
+                # target itself declares $dynamicAnchor == frag — the
+                # bookending rule (2020-12 §8.2.3.2); otherwise behave as
+                # plain $ref
+                if frag and not frag.startswith("/") and tgt is not None \
+                        and tgt.get("$dynamicAnchor") == frag:
+                    tgt = (getattr(self, "_dyn", None) or {}).get(frag,
+                                                                  tgt)
             if tgt is None:
                 return None
             tmp = []
@@ -1100,18 +1105,11 @@ class BatchValidator:
             return ok
         if kw == "patternProperties":
             for pat, sub in arg.items():
-                try:
-                    m = pc.match_substring_regex(
-                        pa.array(keys, type=pa.string()), pat).to_numpy(
-                        zero_copy_only=False).astype(bool)
-                except pa.lib.ArrowInvalid:
-                    # RE2 lacks lookaround etc. — match the UNIQUE key set
-                    # with Python re (same engine as the struct path)
-                    rex = self._re(pat)
-                    uniq, inv = np.unique(keys, return_inverse=True)
-                    um = np.array([bool(rex.search(str(u))) for u in uniq],
-                                  dtype=bool)
-                    m = um[inv] if len(keys) else np.zeros(0, dtype=bool)
+                # parse_node already rejects RE2-invalid patterns
+                # (model._check_regex), so the RE2 kernel cannot raise
+                m = pc.match_substring_regex(
+                    pa.array(keys, type=pa.string()), pat).to_numpy(
+                    zero_copy_only=False).astype(bool)
                 claimed |= m
                 self._ann_map(ann, m, flat_parent)
                 eval_entries(sub, m, f"{kloc}/{_esc(pat)}")

@@ -179,3 +179,59 @@ def test_embedded_resource_id_fragments():
     with pytest.raises(RuleSetError, match="unknown anchor"):
         parse_ruleset({"$defs": {"r": {"$id": "r2"}},
                        "properties": {"v": {"$ref": "r2#nope"}}})
+
+
+def test_fragment_refs_resource_relative():
+    # '#' inside an embedded resource is THAT resource's root
+    doc = {"$defs": {"inner": {"$id": "inner", "type": "integer",
+                               "$defs": {"leaf": {"$ref": "#"}}}},
+           "properties": {"v": {"$ref": "inner#/$defs/leaf"}}}
+    t = pa.table({"v": ["not-an-int", None]})
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [False, True]
+    # resource-relative pointer target that only exists inside the resource
+    doc2 = {"$defs": {"inner": {
+        "$id": "in2", "$defs": {"only": {"minimum": 5}},
+        "properties": {"x": {"$ref": "#/$defs/only"}}}},
+        "properties": {"v": {"$ref": "in2"}}}
+    t2 = pa.table({"v": pa.array([{"x": 9}, {"x": 1}],
+                                 type=pa.struct([("x", pa.int64())]))})
+    vm2, rm2 = _both(doc2, t2)
+    assert vm2.tolist() == rm2.tolist() == [True, False]
+
+
+def test_dynamic_ref_bookending_plain_anchor():
+    # static target is a PLAIN $anchor: $dynamicRef behaves as $ref, the
+    # outer same-named $dynamicAnchor must NOT hijack it (§8.2.3.2)
+    doc = {"$dynamicAnchor": "items_anchor", "type": "object",
+           "$defs": {"inner": {
+               "$id": "inner",
+               "$defs": {"a": {"$anchor": "items_anchor",
+                               "type": "integer"}},
+               "properties": {"x": {"$dynamicRef": "#items_anchor"}}}},
+           "properties": {"v": {"$ref": "inner"}}}
+    t = pa.table({"v": pa.array([{"x": 5}, {"x": None}],
+                                type=pa.struct([("x", pa.int64())]))})
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [True, True]
+
+
+def test_anchor_and_dynamic_anchor_same_node():
+    doc = {"$defs": {"n": {"$anchor": "stat", "$dynamicAnchor": "dyn",
+                           "type": "integer"}},
+           "properties": {"v": {"$ref": "#dyn"},
+                          "w": {"$ref": "#stat"}}}
+    t = pa.table({"v": pa.array([1, None], type=pa.int64()),
+                  "w": ["x", None]})
+    vm, rm = _both(doc, t)
+    assert vm.tolist() == rm.tolist() == [False, True]
+
+
+def test_pattern_unicode_case_fold_parity():
+    # RE2 (?i) folds Unicode; the Python mirror must agree while keeping
+    # \d ASCII — the two halves of the RE2-ish compile
+    t = pa.table({"v": ["É", "e", "١٢٣", "123"]})
+    vm, rm = _both({"properties": {"v": {"pattern": "(?i)^é$"}}}, t)
+    assert vm.tolist() == rm.tolist() == [True, False, False, False]
+    vm, rm = _both({"properties": {"v": {"pattern": "^\\d+$"}}}, t)
+    assert vm.tolist() == rm.tolist() == [False, False, False, True]
