@@ -41,9 +41,7 @@ class RuleSetBuilder:
 
     # -- generic escape hatch (AddSchemaParts analog, builder.go:171-181)
     def add(self, keyword: str, value: Any) -> "RuleSetBuilder":
-        if isinstance(value, RuleSetBuilder):
-            value = value._doc
-        self._doc[keyword] = value
+        self._doc[keyword] = _unwrap_builders(value)
         return self
 
     def property(self, name: str, sub) -> "RuleSetBuilder":
@@ -60,6 +58,19 @@ class RuleSetBuilder:
     def build_doc(self) -> dict:
         import copy
         return copy.deepcopy(self._doc)
+
+
+def _unwrap_builders(v: Any) -> Any:
+    """Builders nest naturally inside schema-array/schema-map keywords
+    (allOf/anyOf/prefixItems/$defs/properties…) — unwrap them at ANY
+    depth so fluent composition always yields a parseable document."""
+    if isinstance(v, RuleSetBuilder):
+        return _unwrap_builders(v._doc)
+    if isinstance(v, list):
+        return [_unwrap_builders(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _unwrap_builders(x) for k, x in v.items()}
+    return v
 
 
 def _snake(kw: str) -> str:
@@ -159,14 +170,26 @@ def _add_null_type(doc: dict) -> dict:
     ``type`` to also permit null; schemas without a type assertion
     already accept null."""
     t = doc.get("type")
-    if t is None:
-        return doc
-    ts = [t] if isinstance(t, str) else list(t)
-    if "null" in ts:
-        return doc
-    out = dict(doc)
-    out["type"] = ["null"] + ts
-    return out
+    if t is not None:
+        ts = [t] if isinstance(t, str) else list(t)
+        if "null" in ts:
+            return doc
+        out = dict(doc)
+        out["type"] = ["null"] + ts
+        return out
+    # enum/const assert values directly — null must join the value set
+    # (an Optional[Literal]/Optional[Enum] field permits None)
+    if "enum" in doc:
+        if None in doc["enum"]:
+            return doc
+        out = dict(doc)
+        out["enum"] = list(doc["enum"]) + [None]
+        return out
+    if "const" in doc:
+        out = dict(doc)
+        out["enum"] = [out.pop("const"), None]
+        return out
+    return doc
 
 
 def _field_json(f) -> tuple[str, bool, bool]:
@@ -208,7 +231,26 @@ def _apply_field_tag(doc: dict, tag: str) -> dict:
             raise RuleSetError(
                 f"unrecognized jsonschema tag {keyword!r}")
     if enums:
-        doc["enum"] = enums
+        # tag values arrive as strings; coerce to the field's inferred
+        # type or the enum is unsatisfiable (number vs "1" never equal)
+        t = doc.get("type")
+        base = t if isinstance(t, str) else (t[-1] if t else None)
+
+        def co(v):
+            try:
+                if base == "integer":
+                    return int(v)
+                if base == "number":
+                    return float(v)
+                if base == "boolean":
+                    return v == "true"
+            except ValueError:
+                raise RuleSetError(
+                    f"jsonschema tag enum value {v!r} does not parse "
+                    f"as {base}")
+            return v
+
+        doc["enum"] = [co(v) for v in enums]
     return doc
 
 
@@ -249,14 +291,17 @@ def _infer_py(typ, seen: frozenset, types: dict, ignore: bool):
         if len(non_null) == 1:
             inner = _infer_py(non_null[0], seen, types, ignore)
             if inner is None:
-                return {"type": "null"} if nullable else None
+                # the non-null arm is UNCHECKED (ignore_invalid): the
+                # permissive answer is no assertion at all — a null-only
+                # schema would reject every actual value of the type
+                return None
             return _add_null_type(inner) if nullable else inner
         subs = [s for s in (_infer_py(a, seen, types, ignore)
                             for a in non_null) if s is not None]
-        doc = {"anyOf": subs} if subs else {}
-        if nullable:
-            doc = {"anyOf": subs + [{"type": "null"}]}
-        return doc
+        if not subs:
+            return None  # every member skipped: skip the whole union
+        return {"anyOf": subs + [{"type": "null"}]} if nullable \
+            else {"anyOf": subs}
 
     if origin is typing.Literal:
         return {"enum": list(args)}

@@ -72,7 +72,11 @@ def _x_after_row(v, arg):
 
 def _ts_vector(op):
     def fn(arr: pa.Array, arg):
-        if not pa.types.is_temporal(arr.type):
+        # timestamp/date only: is_temporal also admits duration/time,
+        # which Arrow cannot cast to timestamp — the row engine treats
+        # those as not-applicable, so must the vector path
+        if not (pa.types.is_timestamp(arr.type)
+                or pa.types.is_date(arr.type)):
             return np.ones(len(arr), dtype=bool)
         us = pc.cast(arr, pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
@@ -111,6 +115,10 @@ def apply_defaults(table: pa.Table, ruleset) -> pa.Table:
                 filled = pc.fill_null(col, pa.scalar(dflt))
                 table = table.set_column(idx, name, filled)
         else:
+            # type pinned from the default VALUE: pa.array([]) on an
+            # empty shard would infer null and disagree with every
+            # non-empty batch of the same stream
+            dtype = pa.array([dflt]).type
             table = table.append_column(
-                name, pa.array([dflt] * table.num_rows))
+                name, pa.array([dflt] * table.num_rows, type=dtype))
     return table

@@ -22,6 +22,7 @@ from .model import parse_ruleset
 from .rowwise import RowEvaluator, Violation
 
 _NONNEG_INT = {"type": "integer", "minimum": 0}
+_TEMPORAL_STR = {"type": "string", "pattern": r"^\d{4}-\d{2}-\d{2}"}
 # a subschema position is "boolean or schema object": the root meta node's
 # own `anyOf [boolean, object]` handles the kind, so a bare recursive $ref
 # suffices — and (unlike an anyOf wrapper, which suppresses child errors)
@@ -47,12 +48,16 @@ META_RULESET_DOC: dict[str, Any] = {
              "items": {"enum": ["null", "boolean", "object", "array",
                                 "string", "number", "integer", "binary"]},
              "minItems": 1}]},
-        "enum": {"type": "array", "minItems": 1},
+        "enum": {"type": "array"},  # parse accepts empty enums
         "multipleOf": {"type": "number", "exclusiveMinimum": 0},
-        "maximum": {"type": "number"},
-        "minimum": {"type": "number"},
-        "exclusiveMaximum": {"type": "number"},
-        "exclusiveMinimum": {"type": "number"},
+        # number OR an RFC3339-shaped string: the engine composes
+        # temporal bounds as date / date-time strings (model._to_float) —
+        # meta must not flag what parse_ruleset accepts, but still
+        # catches plainly non-numeric strings
+        "maximum": {"anyOf": [{"type": "number"}, _TEMPORAL_STR]},
+        "minimum": {"anyOf": [{"type": "number"}, _TEMPORAL_STR]},
+        "exclusiveMaximum": {"anyOf": [{"type": "number"}, _TEMPORAL_STR]},
+        "exclusiveMinimum": {"anyOf": [{"type": "number"}, _TEMPORAL_STR]},
         "maxLength": _NONNEG_INT,
         "minLength": _NONNEG_INT,
         "pattern": {"type": "string", "format": "regex"},
@@ -89,7 +94,8 @@ META_RULESET_DOC: dict[str, Any] = {
         "dependentSchemas": _SCHEMA_MAP,
         "$defs": _SCHEMA_MAP,
         "$ref": {"type": "string"},
-        "$anchor": {"type": "string", "pattern": "^[A-Za-z][-A-Za-z0-9._]*$"},
+        "$anchor": {"type": "string",
+                    "pattern": "^[A-Za-z_][-A-Za-z0-9._]*$"},
         "$schema": {"type": "string", "format": "uri"},
         "$id": {"type": "string"},
         "$comment": {"type": "string"},
@@ -115,5 +121,9 @@ def meta_ruleset():
 
 
 def check_ruleset(doc: Any) -> list[Violation]:
-    """Meta-validate a rule document (empty list = structurally valid)."""
-    return RowEvaluator(meta_ruleset()).validate(doc)
+    """Meta-validate a rule document (empty list = structurally valid).
+    Each document nesting level costs ~2-3 evaluation-depth units
+    (properties → $ref → anyOf), so the diagnostic API runs with a much
+    larger depth cap than instance validation — deep-but-valid documents
+    must get violations (or a clean bill), not a RecursionError."""
+    return RowEvaluator(meta_ruleset(), max_depth=10000).validate(doc)

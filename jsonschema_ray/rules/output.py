@@ -144,7 +144,18 @@ def verbose_output(rs, violations: list[dict]) -> dict:
                       "instanceLocation": inst_of(loc)}
         kids = []
         for part in node.parts:
-            if part.keyword.startswith("$"):
+            if part.keyword in ("$ref", "$dynamicRef"):
+                # violations reached THROUGH a ref carry the target's
+                # location; surface the ref as a leaf whose validity
+                # reflects the target subtree (no recursion — refs cycle)
+                tgt = rs.ref_target(node, part.keyword)
+                kl = f"{loc}/{part.keyword}"
+                bad = tgt is not None and invalid_under(tgt.location)
+                kids.append({"valid": not bad, "keywordLocation": kl,
+                             "instanceLocation":
+                                 inst_of(tgt.location) if tgt else ""})
+                continue
+            if part.keyword.startswith("$") and part.keyword != "$defs":
                 continue
             kl = f"{loc}/{part.keyword}"
             subs = []

@@ -214,9 +214,11 @@ class RowEvaluator:
     ValidateOpts{ValidateFormat: true} by default (schema.go:717-748).
     """
 
-    def __init__(self, rs: RuleSet, validate_format: bool = True):
+    def __init__(self, rs: RuleSet, validate_format: bool = True,
+                 max_depth: int = None):
         self.rs = rs
         self.validate_format = validate_format
+        self._max_depth = max_depth
         self._regex_cache: dict[str, re.Pattern] = {}
         from ..formats import registry as format_registry
         self.formats = format_registry
@@ -244,7 +246,7 @@ class RowEvaluator:
         """Returns (ok, violations, annotations). annotations:
         {'keys': set of evaluated member names, 'items': set of evaluated
         element indices} — the Notes analog (pkg/notes/notes.go:38-103)."""
-        if depth > MAX_DEPTH:
+        if depth > (self._max_depth or MAX_DEPTH):
             raise RecursionError(f"schema depth cap exceeded at {kw_loc}")
         # entering a schema resource records its $dynamicAnchors first-wins
         # (record/clear anchor parts analog, builder.go:180-211)

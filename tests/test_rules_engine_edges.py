@@ -235,3 +235,111 @@ def test_pattern_unicode_case_fold_parity():
     assert vm.tolist() == rm.tolist() == [True, False, False, False]
     vm, rm = _both({"properties": {"v": {"pattern": "^\\d+$"}}}, t)
     assert vm.tolist() == rm.tolist() == [False, False, False, True]
+
+
+# ---------------------------------------------------------------------------
+# wave 8: rules periphery (builder / extensions / meta / output)
+
+
+def test_x_before_duration_column_not_applicable():
+    import ray  # noqa: F401
+    t = pa.table({"t": pa.array([1, 2], type=pa.duration("s"))})
+    doc = {"properties": {"t": {"x-before": "1998-09-03"}}}
+    rs = parse_ruleset(doc)
+    from jsonschema_ray.rules.vector import BatchValidator
+    assert BatchValidator(rs).mask(t).tolist() == [True, True]  # no crash
+
+
+def test_infer_optional_literal_and_enum():
+    import enum
+    import typing
+
+    from jsonschema_ray.rules.builder import infer_from_type
+    from jsonschema_ray.rules.rowwise import RowEvaluator
+
+    doc = infer_from_type(typing.List[typing.Optional[
+        typing.Literal["a", "b"]]])
+    re_ = RowEvaluator(parse_ruleset(doc))
+    assert not re_.validate([None, "a"])       # null element permitted
+    assert re_.validate(["z"])                 # still enum-checked
+
+    class C(enum.Enum):
+        X = "x"
+    d2 = infer_from_type(typing.Optional[C])
+    assert not RowEvaluator(parse_ruleset(d2)).validate(None)
+
+
+def test_infer_ignore_invalid_optional():
+    import typing
+
+    from jsonschema_ray.rules.builder import infer_from_type
+
+    class Weird:
+        pass
+    d = infer_from_type(typing.Optional[Weird], ignore_invalid=True)
+    # permissive: NO assertion (a null-only schema would reject values)
+    assert d in (None, {})
+
+
+def test_builder_nested_builders_unwrap():
+    from jsonschema_ray.rules.builder import RuleSetBuilder
+    rs = RuleSetBuilder().add_all_of(
+        [RuleSetBuilder().add_minimum(1)]).build()
+    from jsonschema_ray.rules.rowwise import RowEvaluator
+    assert RowEvaluator(rs).validate(0)
+    assert not RowEvaluator(rs).validate(2)
+    rs2 = RuleSetBuilder().add(
+        "properties", {"a": RuleSetBuilder().add_maximum(3)}).build()
+    assert RowEvaluator(rs2).validate({"a": 9})
+
+
+def test_field_tag_enum_coerced_to_field_type():
+    import dataclasses
+
+    from jsonschema_ray.rules.builder import infer_from_type
+    from jsonschema_ray.rules.rowwise import RowEvaluator
+
+    @dataclasses.dataclass
+    class D:
+        c: float = dataclasses.field(
+            default=1.0, metadata={"jsonschema": "enum=1,enum=2"})
+    doc = infer_from_type(D)
+    re_ = RowEvaluator(parse_ruleset(doc))
+    assert not re_.validate({"c": 1.0})
+    assert re_.validate({"c": 3.0})
+
+
+def test_check_ruleset_parse_superset_invariant():
+    from jsonschema_ray.rules.meta import check_ruleset
+    # everything parse_ruleset accepts must be meta-clean
+    for doc in [{"properties": {"d": {"maximum": "1998-12-31"}}},
+                {"enum": []},
+                {"$defs": {"n": {"$anchor": "_x", "type": "integer"}},
+                 "$ref": "#_x"}]:
+        parse_ruleset(doc)
+        assert check_ruleset(doc) == [], doc
+    # deep-but-valid documents diagnose instead of RecursionError
+    deep: dict = {"type": "integer"}
+    for _ in range(60):
+        deep = {"type": "object", "properties": {"a": deep}}
+    assert check_ruleset(deep) == []
+
+
+def test_verbose_output_ref_reached_violations():
+    from jsonschema_ray.rules.output import verbose_output
+    from jsonschema_ray.rules.rowwise import RowEvaluator
+    rs = parse_ruleset({"$defs": {"s": {"type": "integer"}},
+                        "$ref": "#/$defs/s"})
+    viols = [{"keyword_location": v.keyword_location,
+              "instance_location": v.instance_location,
+              "message": v.message}
+             for v in RowEvaluator(rs).validate("x")]
+    out = verbose_output(rs, viols)
+    assert out["valid"] is False and out["errors"]  # §12.4: carry errors
+
+
+def test_apply_defaults_empty_batch_typed():
+    from jsonschema_ray.rules.extensions import apply_defaults
+    empty = pa.table({"a": pa.array([], type=pa.int64())})
+    out = apply_defaults(empty, {"properties": {"b": {"default": 7}}})
+    assert str(out.schema.field("b").type) == "int64"  # not null
