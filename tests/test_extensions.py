@@ -344,3 +344,67 @@ def test_infer_cycle_override_and_invalid():
     t = pa.table({"name": ["ok", None], "qty": [1, 2]})
     mask = BatchValidator(rs).mask(t)
     assert mask.tolist() == [True, False]  # null name fails required
+
+
+# ---------------------------------------------------------------------------
+# property net: random typing constructs → infer → parse → validate
+
+
+def test_inference_property_net():
+    """Randomized Python-type inference round-trip: every generated type
+    infers to a document that parses, and values actually OF that type
+    validate clean (soundness — completeness is checked only for nulls
+    in non-Optional positions)."""
+    import random
+    import typing
+
+    from jsonschema_ray.rules.builder import infer_from_type
+    from jsonschema_ray.rules.model import parse_ruleset
+    from jsonschema_ray.rules.rowwise import RowEvaluator
+
+    rng = random.Random(7)
+
+    def gen_type(depth=0):
+        opts = ["int", "float", "str", "bool", "none", "literal"]
+        if depth < 2:
+            opts += ["list", "opt", "union", "dict"]
+        k = rng.choice(opts)
+        if k == "int":
+            return int, lambda: rng.randint(-5, 5)
+        if k == "float":
+            return float, lambda: rng.choice([0.5, -1.5, 2.0])
+        if k == "str":
+            return str, lambda: rng.choice(["", "a", "xy"])
+        if k == "bool":
+            return bool, lambda: rng.choice([True, False])
+        if k == "none":
+            return type(None), lambda: None
+        if k == "literal":
+            vals = tuple(rng.sample(["a", "b", "c"], 2))
+            return typing.Literal[vals], lambda: rng.choice(vals)
+        if k == "list":
+            t, g = gen_type(depth + 1)
+            return typing.List[t], lambda: [g() for _ in range(
+                rng.randint(0, 3))]
+        if k == "opt":
+            t, g = gen_type(depth + 1)
+            return typing.Optional[t], lambda: (
+                None if rng.random() < 0.3 else g())
+        if k == "union":
+            (t1, g1), (t2, g2) = gen_type(depth + 1), gen_type(depth + 1)
+            return typing.Union[t1, t2], lambda: rng.choice([g1, g2])()
+        if k == "dict":
+            t, g = gen_type(depth + 1)
+            return typing.Dict[str, t], lambda: {
+                rng.choice(["k1", "k2"]): g()
+                for _ in range(rng.randint(0, 2))}
+
+    for trial in range(200):
+        typ, gen = gen_type()
+        doc = infer_from_type(typ)
+        rs = parse_ruleset(doc if doc is not None else {})
+        re_ = RowEvaluator(rs)
+        for _ in range(5):
+            v = gen()
+            errs = re_.validate(v)
+            assert not errs, (typ, doc, v, [str(e) for e in errs])
