@@ -46,7 +46,7 @@ class RuleSetBuilder:
 
     def property(self, name: str, sub) -> "RuleSetBuilder":
         props = self._doc.setdefault("properties", {})
-        props[name] = sub._doc if isinstance(sub, RuleSetBuilder) else sub
+        props[name] = _unwrap_builders(sub)
         return self
 
     def build(self) -> RuleSet:
@@ -243,6 +243,10 @@ def _apply_field_tag(doc: dict, tag: str) -> dict:
                 if base == "number":
                     return float(v)
                 if base == "boolean":
+                    if v not in ("true", "false"):
+                        raise RuleSetError(
+                            f"jsonschema tag enum value {v!r} is not a "
+                            "boolean (true/false)")
                     return v == "true"
             except ValueError:
                 raise RuleSetError(

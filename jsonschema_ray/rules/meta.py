@@ -22,7 +22,8 @@ from .model import parse_ruleset
 from .rowwise import RowEvaluator, Violation
 
 _NONNEG_INT = {"type": "integer", "minimum": 0}
-_TEMPORAL_STR = {"type": "string", "pattern": r"^\d{4}-\d{2}-\d{2}"}
+_TEMPORAL_STR = {"type": "string",
+                 "pattern": r"^(\d{4}-\d{2}-\d{2}|\d{8})"}
 # a subschema position is "boolean or schema object": the root meta node's
 # own `anyOf [boolean, object]` handles the kind, so a bare recursive $ref
 # suffices — and (unlike an anyOf wrapper, which suppresses child errors)
@@ -123,7 +124,15 @@ def meta_ruleset():
 def check_ruleset(doc: Any) -> list[Violation]:
     """Meta-validate a rule document (empty list = structurally valid).
     Each document nesting level costs ~2-3 evaluation-depth units
-    (properties → $ref → anyOf), so the diagnostic API runs with a much
-    larger depth cap than instance validation — deep-but-valid documents
-    must get violations (or a clean bill), not a RecursionError."""
-    return RowEvaluator(meta_ruleset(), max_depth=10000).validate(doc)
+    (properties → $ref → anyOf) and several Python frames, so the
+    diagnostic API runs with a raised depth cap AND a temporarily raised
+    interpreter recursion limit — deep-but-valid documents must get
+    violations (or a clean bill), not a RecursionError. Documents nested
+    beyond ~3000 levels still hit the engine's own cap."""
+    import sys
+    old = sys.getrecursionlimit()
+    try:
+        sys.setrecursionlimit(max(old, 200_000))
+        return RowEvaluator(meta_ruleset(), max_depth=10000).validate(doc)
+    finally:
+        sys.setrecursionlimit(old)

@@ -160,11 +160,12 @@ def _temporal_to_micros(keyword: str, v: str) -> float:
 # Parsing
 
 
+# RE2's \\s is [\\t\\n\\f\\r ] — NO vertical tab, unlike Python's
 _CLASS_TOP = {"d": "[0-9]", "D": "[^0-9]",
               "w": "[0-9A-Za-z_]", "W": "[^0-9A-Za-z_]",
-              "s": "[ \\t\\n\\r\\f\\v]",
-              "S": "[^ \\t\\n\\r\\f\\v]"}
-_CLASS_IN = {"d": "0-9", "w": "0-9A-Za-z_", "s": " \\t\\n\\r\\f\\v"}
+              "s": "[ \\t\\n\\f\\r]",
+              "S": "[^ \\t\\n\\f\\r]"}
+_CLASS_IN = {"d": "0-9", "w": "0-9A-Za-z_", "s": " \\t\\n\\f\\r"}
 
 
 def compile_re2ish(pattern: str) -> re.Pattern:
@@ -177,7 +178,9 @@ def compile_re2ish(pattern: str) -> re.Pattern:
     compile — narrower classes, ASCII-only folding."""
     try:
         out = []
-        i, n, in_class = 0, len(pattern), False
+        i, n = 0, len(pattern)
+        in_class = False
+        class_start = -1  # index just past '[' (and optional '^')
         while i < n:
             c = pattern[i]
             if c == "\\" and i + 1 < n:
@@ -195,7 +198,12 @@ def compile_re2ish(pattern: str) -> re.Pattern:
                 continue
             if c == "[" and not in_class:
                 in_class = True
-            elif c == "]" and in_class:
+                class_start = i + 1
+                if i + 1 < n and pattern[i + 1] == "^":
+                    class_start = i + 2
+            elif c == "]" and in_class and i != class_start:
+                # ']' as the FIRST class member ('[]]', '[^]]') is a
+                # literal in both RE2 and Python — only later ones close
                 in_class = False
             out.append(c)
             i += 1
@@ -461,21 +469,21 @@ def parse_ruleset(doc: Any, loader=None,
         if ref == "#":
             return res_root
         if ref.startswith("#/"):
+            # STRICT resource-relative (no silent document-root rebind —
+            # a typo'd pointer must error, not bind to the wrong schema)
             if res_root is not root:
-                try:
-                    return _deref_pointer(res_loc + ref[1:], by_pointer)
-                except RuleSetError:
-                    pass  # legacy absolute pointer
+                return _deref_pointer(res_loc + ref[1:], by_pointer)
             return _deref_pointer(ref[1:], by_pointer)
         if ref.startswith("#"):
             name = ref[1:]
             # anchors resolve within the referencing node's OWN resource
             # first; the document-global table remains as a lenient
             # cross-resource fallback (legacy rulesets)
-            res = node_res.get(n.location)
-            tgt = res_static.get(res, {}).get(name) if res is not None \
-                else None
-            if tgt is None:
+            tgt = res_static.get(res_loc, {}).get(name)
+            if tgt is None and res_root is root:
+                # flat legacy documents: anchors anywhere resolve from
+                # the ROOT resource only (inside an embedded resource a
+                # missing anchor is an authoring error, not a fallback)
                 tgt = anchors.get(name)
             if tgt is None:
                 raise RuleSetError(f"$ref: unknown anchor {ref!r}")
@@ -492,9 +500,6 @@ def parse_ruleset(doc: Any, loader=None,
                 return _deref_pointer(tgt_root.location + frag,
                                       by_pointer)
             tgt = res_static.get(tgt_root.location, {}).get(frag)
-            if tgt is None:
-                # lenient legacy fallback, same as the bare '#name' form
-                tgt = anchors.get(frag)
             if tgt is None:
                 raise RuleSetError(
                     f"$ref: unknown anchor {frag!r} in resource {base!r}")

@@ -145,15 +145,30 @@ def verbose_output(rs, violations: list[dict]) -> dict:
         kids = []
         for part in node.parts:
             if part.keyword in ("$ref", "$dynamicRef"):
-                # violations reached THROUGH a ref carry the target's
-                # location; surface the ref as a leaf whose validity
-                # reflects the target subtree (no recursion — refs cycle)
+                # violations reached THROUGH a ref carry the TARGET's
+                # location (this engine's violation model has no dynamic
+                # evaluation path), so a ref leaf reports the target
+                # SUBTREE's validity — shared targets referenced from
+                # several places therefore all show the failure. Invalid
+                # units always carry their errors (§12.4).
                 tgt = rs.ref_target(node, part.keyword)
                 kl = f"{loc}/{part.keyword}"
-                bad = tgt is not None and invalid_under(tgt.location)
-                kids.append({"valid": not bad, "keywordLocation": kl,
-                             "instanceLocation":
-                                 inst_of(tgt.location) if tgt else ""})
+                tloc = tgt.location if tgt is not None else None
+                sub_errs = [] if tloc is None else \
+                    [e for p, vs in by_loc.items()
+                     if p == tloc or p.startswith(tloc + "/")
+                     for e in vs]
+                ku = {"valid": not sub_errs, "keywordLocation": kl,
+                      "instanceLocation":
+                          sub_errs[0].get("instance_location", "")
+                          if sub_errs else ""}
+                if sub_errs:
+                    ku["errors"] = [
+                        _error_obj(e.get("keyword_location", ""),
+                                   e.get("instance_location", ""),
+                                   e.get("message", "")) | {"valid": False}
+                        for e in sub_errs]
+                kids.append(ku)
                 continue
             if part.keyword.startswith("$") and part.keyword != "$defs":
                 continue

@@ -343,3 +343,85 @@ def test_apply_defaults_empty_batch_typed():
     empty = pa.table({"a": pa.array([], type=pa.int64())})
     out = apply_defaults(empty, {"properties": {"b": {"default": 7}}})
     assert str(out.schema.field("b").type) == "int64"  # not null
+
+
+# ---------------------------------------------------------------------------
+# wave 9: re-review of waves 7-8's own fixes
+
+
+def test_re2ish_class_edge_forms():
+    # ']' as first class member is literal in both dialects
+    t = pa.table({"v": ["a", "5", "]"]})
+    vm, rm = _both({"properties": {"v": {"pattern": "^[^]\\d]$"}}}, t)
+    assert vm.tolist() == rm.tolist() == [True, False, False]
+    # RE2's \s has no vertical tab
+    t2 = pa.table({"v": ["\x0b", " "]})
+    vm, rm = _both({"properties": {"v": {"pattern": "^\\s$"}}}, t2)
+    assert vm.tolist() == rm.tolist() == [False, True]
+    # literal backslash-then-d stays literal
+    t3 = pa.table({"v": ["\\d", "7"]})
+    vm, rm = _both({"properties": {"v": {"pattern": "^\\\\d$"}}}, t3)
+    assert vm.tolist() == rm.tolist() == [True, False]
+
+
+def test_strict_resource_relative_pointer_errors():
+    # a pointer typo inside an embedded resource must ERROR, not bind
+    # to a same-named document-root schema
+    with pytest.raises(RuleSetError, match="cannot resolve"):
+        parse_ruleset({"$defs": {
+            "res": {"$id": "r1",
+                    "properties": {"q": {"$ref": "#/$defs/t"}}},
+            "t": {"type": "integer"}},
+            "properties": {"v": {"$ref": "r1"}}})
+    # ...and a missing anchor inside a resource errors too
+    with pytest.raises(RuleSetError, match="unknown anchor"):
+        parse_ruleset({"$defs": {
+            "res": {"$id": "r2",
+                    "properties": {"q": {"$ref": "#nope"}}},
+            "other": {"$anchor": "nope"}},
+            "properties": {"v": {"$ref": "r2"}}})
+
+
+def test_check_ruleset_300_levels():
+    from jsonschema_ray.rules.meta import check_ruleset
+    deep: dict = {"type": "integer"}
+    for _ in range(300):
+        deep = {"type": "object", "properties": {"a": deep}}
+    assert check_ruleset(deep) == []
+    assert check_ruleset({"maximum": "19980903"}) == []  # compact ISO
+
+
+def test_builder_property_unwraps_and_copies():
+    from jsonschema_ray.rules.builder import RuleSetBuilder
+    from jsonschema_ray.rules.rowwise import RowEvaluator
+    sub = RuleSetBuilder().add_minimum(1)
+    parent = RuleSetBuilder().property("w", sub)
+    sub.add("minimum", 99)           # late mutation must NOT leak
+    rs = parent.build()
+    assert not RowEvaluator(rs).validate({"w": 2})
+    rs2 = RuleSetBuilder().property(
+        "x", {"anyOf": [RuleSetBuilder().add_type("string")]}).build()
+    assert RowEvaluator(rs2).validate({"x": 1})
+
+
+def test_verbose_ref_leaf_per_target_errors():
+    from jsonschema_ray.rules.output import verbose_output
+    from jsonschema_ray.rules.rowwise import RowEvaluator
+    rs = parse_ruleset({"properties": {"a": {"$ref": "#/$defs/s"},
+                                       "b": {"$ref": "#/$defs/s"}},
+                        "$defs": {"s": {"type": "string"}}})
+    viols = [{"keyword_location": v.keyword_location,
+              "instance_location": v.instance_location,
+              "message": v.message}
+             for v in RowEvaluator(rs).validate({"a": 1, "b": "ok"})]
+    out = verbose_output(rs, viols)
+
+    def find(unit, kl):
+        if unit.get("keywordLocation") == kl:
+            return unit
+        for u in unit.get("errors", []) + unit.get("annotations", []):
+            r = find(u, kl)
+            if r:
+                return r
+    ref_a = find(out, "/properties/a/$ref")
+    assert ref_a and not ref_a["valid"] and ref_a["errors"]  # §12.4
