@@ -425,3 +425,49 @@ def test_verbose_ref_leaf_per_target_errors():
                 return r
     ref_a = find(out, "/properties/a/$ref")
     assert ref_a and not ref_a["valid"] and ref_a["errors"]  # §12.4
+
+
+def test_parquet_roundtrip_nested_validation(ray_session, tmp_path):
+    """Nested columns written by write_parquet and read back through Ray
+    must validate identically to the in-memory table (the real ingestion
+    path: parquet encodes maps/lists/structs differently than the
+    in-memory builder)."""
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "tags": pa.array([["a", "b"], [], None],
+                         type=pa.list_(pa.string())),
+        "meta": pa.array([{"k": 1}, {}, None],
+                         type=pa.map_(pa.string(), pa.int64())),
+        "spec": pa.array([{"p": 1, "q": "x"}, {"p": None, "q": "y"}, None],
+                         type=pa.struct([("p", pa.int64()),
+                                         ("q", pa.string())])),
+        # no null FSL rows: parquet cannot write them ("non-zero length
+        # null components"); null-FSL engine behavior is pinned elsewhere
+        "fs": pa.array([[1, 2], [3, 4], [5, 20]],
+                       type=pa.list_(pa.int64(), 2)),
+    })
+    doc = {"properties": {
+        "tags": {"items": {"minLength": 1}, "maxItems": 3},
+        "meta": {"maxProperties": 2,
+                 "patternProperties": {"^k$": {"minimum": 0}}},
+        "spec": {"required": ["p"], "properties": {"p": {"minimum": 0}}},
+        "fs": {"items": {"maximum": 10}},
+    }}
+    from jsonschema_ray.stages.validate import validate_dataset
+    mem = validate_dataset(rd.from_arrow(t), doc,
+                           key_columns=["doc_id"]).to_pandas()
+    # parquet has no fixed_size_list physical type: pq.write_table stores
+    # it as plain list — the engine must validate both shapes identically
+    import pyarrow.parquet as pq
+    (tmp_path / "pq").mkdir()
+    pq.write_table(t, str(tmp_path / "pq" / "part.parquet"))
+    disk = validate_dataset(rd.read_parquet(str(tmp_path / "pq")), doc,
+                            key_columns=["doc_id"]).to_pandas()
+    cols = ["doc_id", "keyword", "instance_location", "message"]
+    a = mem[cols].sort_values(cols).reset_index(drop=True)
+    b = disk[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # spec.p null -> required violation present both ways
+    assert (a["keyword"] == "required").sum() == 1
