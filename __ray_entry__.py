@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
         "dedup_events_window": R.dedup_events_window,     # oracled
         "curate_documents": R.curate_documents,           # oracled e2e
+        "incremental_minhash_documents":
+            R.incremental_minhash_documents,              # rows-only (LSH)
     }
 
 

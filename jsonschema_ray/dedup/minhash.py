@@ -641,3 +641,189 @@ def verified_near_duplicates(ds, text_col: str = "text",
     if out.empty:
         return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: persist signatures once, dedup each arriving shard
+# against them without touching the seen corpus's text again
+
+
+def write_minhash_signatures(ds, out_dir: str, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             num_hashes: int = 128, k: int = 5,
+                             bands: int = 32):
+    """Persist each doc's minhash signature as parquet ``(id, sig:
+    list<int64>[m])`` — the INDEX later shards near-dup against
+    (8·m bytes/doc; the text itself is never stored). Bands are
+    re-derived from the signature at query time, so one stored index
+    serves any banding scheme with the same (num_hashes, k, seed)."""
+    import functools
+
+    def fn(b: pa.Table, *, text_col, id_col, num_hashes, k,
+           bands) -> pa.Table:
+        st = _cached_stage(text_col, id_col, num_hashes, k, bands)
+        sigs = st._signatures(b.column(text_col).to_pylist())
+        return pa.table({
+            id_col: b.column(id_col),
+            "sig": pa.array(list(sigs.view(np.int64)),
+                            type=pa.list_(pa.int64())),
+        })
+
+    ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(fn, text_col=text_col, id_col=id_col,
+                          num_hashes=num_hashes, k=k, bands=bands),
+        batch_format="pyarrow", zero_copy_batch=True).write_parquet(out_dir)
+
+
+def _band_sig_batch(b: pa.Table, *, id_col, num_hashes, k, bands,
+                    side: int) -> pa.Table:
+    """(id, sig) rows → narrow (band_id, band_hash, key, _side) band rows
+    (sides: 0 = seen index, 1 = new shard)."""
+    from ..sketches.hashing import hash64_array
+    st = _cached_stage("_", id_col, num_hashes, k, bands)
+    n = b.num_rows
+    sigs = np.stack([np.asarray(s, dtype=np.int64) for s in
+                     b.column("sig").to_pylist()]).view(np.uint64) \
+        if n else np.zeros((0, num_hashes), dtype=np.uint64)
+    keys = hash64_array(b.column(id_col)).view(np.int64)
+    return pa.table({
+        "band_id": pa.array(np.repeat(
+            np.arange(bands, dtype=np.int16), n)),
+        "band_hash": pa.array(st.band_hashes(sigs)),
+        "key": pa.array(np.tile(keys, bands)),
+        "_side": pa.array(np.full(bands * n, side, dtype=np.int8)),
+    })
+
+
+def incremental_minhash_neardup(new_ds, sig_dir: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                threshold: float = 0.7,
+                                num_hashes: int = 128, k: int = 5,
+                                bands: int = 32, max_bucket: int = 1024,
+                                num_partitions: int = None,
+                                gather_cap: int = 1 << 30):
+    """Near-dup pairs between an ARRIVING shard and a persisted signature
+    index (:func:`write_minhash_signatures`) → Dataset
+    ``(new_id, seen_id, est_jaccard)`` with est ≥ threshold.
+
+    Scale shape: the seen corpus contributes only its stored signatures
+    (text never re-read); both sides band to narrow 11 B rows through
+    ONE hash partition; candidate pairs are CROSS-SIDE only (new × seen
+    inside a bucket, capped); signatures for candidate keys are gathered
+    candidate-proportionally via the broadcast-filter pattern and the
+    estimate is the per-pair fraction of agreeing signature components
+    (the standard unbiased MinHash Jaccard estimator) — rows-only by
+    nature (LSH recall + estimator are probabilistic)."""
+    import functools
+
+    import ray
+    import ray.data as rd
+
+    from ..util import auto_partitions, partitioned_group_apply, \
+        worker_cached
+    num_partitions = num_partitions or auto_partitions()
+
+    seen_sigs = rd.read_parquet(sig_dir)
+    seen_bands = seen_sigs.map_batches(
+        functools.partial(_band_sig_batch, id_col=id_col,
+                          num_hashes=num_hashes, k=k, bands=bands, side=0),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def new_band_batch(b: pa.Table) -> pa.Table:
+        st = _cached_stage(text_col, id_col, num_hashes, k, bands)
+        t = st(b)
+        return t.append_column(
+            "_side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    new_bands = new_ds.select_columns([id_col, text_col]).map_batches(
+        new_band_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_n, out_s = [], []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            sides = g["_side"].to_numpy()
+            nk = g["key"].to_numpy()[sides == 1]
+            sk = g["key"].to_numpy()[sides == 0]
+            if len(nk) == 0 or len(sk) == 0:
+                continue
+            if len(nk) * len(sk) > max_bucket:
+                nk = nk[:max(1, max_bucket // max(1, len(sk)))]
+            out_n.append(np.repeat(nk, len(sk)))
+            out_s.append(np.tile(sk, len(nk)))
+        if not out_n:
+            return pd.DataFrame({"nkey": pd.Series([], dtype=np.int64),
+                                 "skey": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"nkey": np.concatenate(out_n),
+                             "skey": np.concatenate(out_s)}) \
+            .drop_duplicates()
+
+    pairs = partitioned_group_apply(
+        seen_bands.union(new_bands), ["band_id", "band_hash"],
+        bucket_pairs, num_partitions=num_partitions).materialize()
+    pdf = pairs.to_pandas().drop_duplicates(["nkey", "skey"]) \
+        if pairs.size_bytes() <= gather_cap else None
+    if pdf is None:
+        raise ValueError(
+            "incremental_minhash_neardup: candidate pairs exceed "
+            f"gather_cap ({pairs.size_bytes()} B) — raise the cap or "
+            "tighten banding/max_bucket")
+    empty = pa.table({"new_id": pa.array([], type=pa.large_string()),
+                      "seen_id": pa.array([], type=pa.large_string()),
+                      "est_jaccard": pa.array([], type=pa.float64())})
+    if pdf.empty:
+        return rd.from_arrow(empty).to_pandas()
+
+    # candidate-proportional signature + id gathers on both sides
+    def gather(ds_side, wanted, sig_source, text_side):
+        wref = ray.put(np.sort(wanted))
+
+        def fn(b: pa.Table) -> pa.Table:
+            from ..sketches.hashing import hash64_array
+            w = worker_cached(("incmh", wref.hex()),
+                              lambda: ray.get(wref))
+            keys = hash64_array(b.column(id_col)).view(np.int64)
+            pos = np.clip(np.searchsorted(w, keys), 0, len(w) - 1)
+            sel = (w[pos] == keys) if len(w) else \
+                np.zeros(len(keys), dtype=bool)
+            idx = pa.array(np.nonzero(sel)[0], type=pa.int64())
+            sub = b.take(idx)
+            if text_side:
+                st = _cached_stage(text_col, id_col, num_hashes, k,
+                                   bands)
+                sigs = st._signatures(
+                    sub.column(text_col).to_pylist()).view(np.int64)
+                sig_col = pa.array(list(sigs), type=pa.list_(pa.int64()))
+            else:
+                sig_col = sub.column("sig")
+            return pa.table({"key": pa.array(keys[np.nonzero(sel)[0]]),
+                             id_col: sub.column(id_col),
+                             "sig": sig_col})
+
+        return ds_side.map_batches(fn, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+
+    nmap = gather(new_ds.select_columns([id_col, text_col]),
+                  np.unique(pdf["nkey"].to_numpy()), None, True)
+    smap = gather(seen_sigs, np.unique(pdf["skey"].to_numpy()),
+                  None, False)
+
+    def sigmat(frame):
+        order = np.argsort(frame["key"].to_numpy())
+        keys = frame["key"].to_numpy()[order]
+        ids = frame[id_col].to_numpy()[order]
+        mat = np.stack([np.asarray(s, dtype=np.int64)
+                        for s in frame["sig"].iloc[order]]) \
+            if len(frame) else np.zeros((0, num_hashes), dtype=np.int64)
+        return keys, ids, mat
+
+    nkeys, nids, nmat = sigmat(nmap)
+    skeys, sids, smat = sigmat(smap)
+    ni = np.searchsorted(nkeys, pdf["nkey"].to_numpy())
+    si = np.searchsorted(skeys, pdf["skey"].to_numpy())
+    est = (nmat[ni] == smat[si]).mean(axis=1)
+    hit = est >= threshold
+    return pd.DataFrame({"new_id": nids[ni[hit]],
+                         "seen_id": sids[si[hit]],
+                         "est_jaccard": np.round(est[hit], 4)}) \
+        .sort_values(["new_id", "seen_id"]).reset_index(drop=True)

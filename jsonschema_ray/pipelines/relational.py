@@ -1929,3 +1929,33 @@ def curate_documents(sf_dir: str, window: int = 2048):
     out["pack_id"] = out["pack_id"].astype("Int64")
     return out[["doc_id", "n_tokens", "split", "pack_id"]] \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def incremental_minhash_documents(sf_dir: str):
+    """Incremental NEAR-dup (rows-only: LSH recall + minhash estimator
+    are probabilistic): the first 80% of docs' minhash signatures are
+    persisted once (content-keyed /tmp cache, the stored-index pattern
+    of ann_ivf_index) and the last 40% arrive as a shard — pairs where
+    an arriving doc's estimated jaccard against a seen doc ≥ 0.5."""
+    import hashlib
+    import os
+
+    from ..dedup import incremental_minhash_neardup, \
+        write_minhash_signatures
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()
+    c60, c80 = int(n * 0.6), int(n * 0.8)
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{c80}".encode()
+    ).hexdigest()[:12]
+    sig_dir = f"/tmp/jsonschema_ray_mhsig/{tag}"
+    if not os.path.exists(os.path.join(sig_dir, "_DONE")):
+        import shutil
+        shutil.rmtree(sig_dir, ignore_errors=True)
+        write_minhash_signatures(
+            docs.filter(expr=f"doc_id < {c80}"), sig_dir)
+        open(os.path.join(sig_dir, "_DONE"), "w").write("ok")
+    return incremental_minhash_neardup(
+        docs.filter(expr=f"doc_id >= {c60}"), sig_dir, threshold=0.5)

@@ -262,3 +262,30 @@ def test_exact_ks_null_values_excluded(ray_session):
         ds, "value", lambda t: t["grp"].to_numpy(zero_copy_only=False))
     assert (n_a, n_b) == (2, 2)
     assert not math.isnan(ks)
+
+
+def test_incremental_minhash_neardup(ray_session, tmp_path):
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import (incremental_minhash_neardup,
+                                      write_minhash_signatures)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    seen_texts = [base, base.replace("green", "blue"),
+                  "completely different document about databases and "
+                  "distributed systems running at large scale"]
+    seen = pa.table({"doc_id": ["s0", "s1", "s2"], "text": seen_texts})
+    sig_dir = str(tmp_path / "sigs")
+    write_minhash_signatures(rd.from_arrow(seen), sig_dir)
+
+    new = pa.table({
+        "doc_id": ["n0", "n1"],
+        "text": [base + "!",                       # near-dup of s0/s1
+                 "an entirely unrelated poem about the sea and the sky "
+                 "written in a very different style with other words"]})
+    out = incremental_minhash_neardup(rd.from_arrow(new), sig_dir,
+                                      threshold=0.5)
+    got = set(zip(out["new_id"], out["seen_id"]))
+    assert ("n0", "s0") in got
+    assert all(n != "n1" for n, _ in got)          # unrelated doc clean
+    assert (out["est_jaccard"] >= 0.5).all()

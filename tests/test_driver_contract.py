@@ -185,6 +185,7 @@ def test_every_query_is_oracled_or_known_rows_only():
         "ann_ivf_embeddings", "ann_ivf_index_embeddings",
         "embedding_neardup", "column_stats_approx_lineitem",
         "validate_images_synth", "image_features_synth",
+        "incremental_minhash_documents",
     }
     missing = set(q) - set(o) - rows_only
     assert not missing, f"queries without oracle or rows-only tag: {missing}"
