@@ -648,16 +648,69 @@ def verified_near_duplicates(ds, text_col: str = "text",
 # against them without touching the seen corpus's text again
 
 
+def _band_hashes_of(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, m) uint64 signatures → (bands·n,) int64 band hashes,
+    band-major (splitmix chain per band segment — no permutation
+    coefficients needed, so no MinHashStage instance either)."""
+    n, m = sigs.shape
+    r = m // bands
+    out = np.empty(bands * n, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            seg = sigs[:, b * r:(b + 1) * r]
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(r):
+                acc = _splitmix64(acc ^ seg[:, j])
+            out[b * n:(b + 1) * n] = acc.view(np.int64)
+    return out
+
+
+def _sig_matrix(col, num_hashes: int) -> np.ndarray:
+    """list<int64> signature column → (n, m) uint64 matrix zero-copy-ish
+    (flat values reshape — no per-row Python lists on the corpus scan)."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, num_hashes), dtype=np.uint64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if not (lens == num_hashes).all():
+        raise ValueError(
+            f"signature width {set(lens.tolist())} != num_hashes "
+            f"{num_hashes} — index written with different settings?")
+    return pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+        .reshape(n, num_hashes).view(np.uint64)
+
+
 def write_minhash_signatures(ds, out_dir: str, text_col: str = "text",
                              id_col: str = "doc_id",
                              num_hashes: int = 128, k: int = 5,
                              bands: int = 32):
     """Persist each doc's minhash signature as parquet ``(id, sig:
     list<int64>[m])`` — the INDEX later shards near-dup against
-    (8·m bytes/doc; the text itself is never stored). Bands are
-    re-derived from the signature at query time, so one stored index
-    serves any banding scheme with the same (num_hashes, k, seed)."""
+    (8·m bytes/doc; the text itself is never stored). The minhash
+    settings are recorded in ``_META.json`` and VALIDATED at query time
+    (a silent settings mismatch would return empty/garbage estimates).
+    Bands are re-derived from the signature at query time. An existing
+    index directory is REPLACED (a second write would otherwise append
+    duplicate rows); a non-index directory is refused."""
     import functools
+    import json as _json
+    import os
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        entries = os.listdir(out_dir)
+        if "_META.json" not in entries:
+            raise ValueError(
+                f"out_dir {out_dir!r} is non-empty and not a signature "
+                "index (no _META.json) — refusing to overwrite")
+        import shutil
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_META.json"), "w") as f:
+        _json.dump({"num_hashes": num_hashes, "k": k, "id_col": id_col},
+                   f)
 
     def fn(b: pa.Table, *, text_col, id_col, num_hashes, k,
            bands) -> pa.Table:
@@ -669,27 +722,26 @@ def write_minhash_signatures(ds, out_dir: str, text_col: str = "text",
                             type=pa.list_(pa.int64())),
         })
 
-    ds.select_columns([id_col, text_col]).map_batches(
+    sigs_ds = ds.select_columns([id_col, text_col]).map_batches(
         functools.partial(fn, text_col=text_col, id_col=id_col,
                           num_hashes=num_hashes, k=k, bands=bands),
-        batch_format="pyarrow", zero_copy_batch=True).write_parquet(out_dir)
+        batch_format="pyarrow", zero_copy_batch=True)
+    if sigs_ds.count():  # write_parquet on an empty ds writes nothing
+        sigs_ds.write_parquet(out_dir)
 
 
-def _band_sig_batch(b: pa.Table, *, id_col, num_hashes, k, bands,
+def _band_sig_batch(b: pa.Table, *, id_col, num_hashes, bands,
                     side: int) -> pa.Table:
     """(id, sig) rows → narrow (band_id, band_hash, key, _side) band rows
     (sides: 0 = seen index, 1 = new shard)."""
     from ..sketches.hashing import hash64_array
-    st = _cached_stage("_", id_col, num_hashes, k, bands)
     n = b.num_rows
-    sigs = np.stack([np.asarray(s, dtype=np.int64) for s in
-                     b.column("sig").to_pylist()]).view(np.uint64) \
-        if n else np.zeros((0, num_hashes), dtype=np.uint64)
+    sigs = _sig_matrix(b.column("sig"), num_hashes)
     keys = hash64_array(b.column(id_col)).view(np.int64)
     return pa.table({
         "band_id": pa.array(np.repeat(
             np.arange(bands, dtype=np.int16), n)),
-        "band_hash": pa.array(st.band_hashes(sigs)),
+        "band_hash": pa.array(_band_hashes_of(sigs, bands)),
         "key": pa.array(np.tile(keys, bands)),
         "_side": pa.array(np.full(bands * n, side, dtype=np.int8)),
     })
@@ -699,23 +751,27 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
                                 text_col: str = "text",
                                 id_col: str = "doc_id",
                                 threshold: float = 0.7,
-                                num_hashes: int = 128, k: int = 5,
                                 bands: int = 32, max_bucket: int = 1024,
                                 num_partitions: int = None,
-                                gather_cap: int = 1 << 30):
+                                gather_cap: int = 1 << 30) -> pd.DataFrame:
     """Near-dup pairs between an ARRIVING shard and a persisted signature
-    index (:func:`write_minhash_signatures`) → Dataset
-    ``(new_id, seen_id, est_jaccard)`` with est ≥ threshold.
+    index (:func:`write_minhash_signatures`) → pandas DataFrame
+    ``(new_id, seen_id, est_jaccard)`` with est ≥ threshold. The index's
+    recorded (num_hashes, k) settings are used for the new side — a
+    mismatch is impossible by construction.
 
     Scale shape: the seen corpus contributes only its stored signatures
     (text never re-read); both sides band to narrow 11 B rows through
     ONE hash partition; candidate pairs are CROSS-SIDE only (new × seen
-    inside a bucket, capped); signatures for candidate keys are gathered
-    candidate-proportionally via the broadcast-filter pattern and the
-    estimate is the per-pair fraction of agreeing signature components
-    (the standard unbiased MinHash Jaccard estimator) — rows-only by
-    nature (LSH recall + estimator are probabilistic)."""
+    inside a bucket, capped per bucket with a band-salted selection so
+    different bands drop different docs); signatures for candidate keys
+    are gathered candidate-proportionally and the estimate is the
+    fraction of agreeing components (the standard MinHash estimator) —
+    rows-only by nature (LSH recall + estimator are probabilistic)."""
     import functools
+    import glob as _glob
+    import json as _json
+    import os
 
     import ray
     import ray.data as rd
@@ -723,11 +779,24 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
     from ..util import auto_partitions, partitioned_group_apply, \
         worker_cached
     num_partitions = num_partitions or auto_partitions()
+    with open(os.path.join(sig_dir, "_META.json")) as f:
+        meta = _json.load(f)
+    num_hashes, k = int(meta["num_hashes"]), int(meta["k"])
 
-    seen_sigs = rd.read_parquet(sig_dir)
+    id_type = new_ds.schema().base_schema.field(id_col).type
+    empty = pa.table({"new_id": pa.array([], type=id_type),
+                      "seen_id": pa.array([], type=id_type),
+                      "est_jaccard": pa.array([], type=pa.float64())}) \
+        .to_pandas()
+    sig_files = sorted(_glob.glob(os.path.join(sig_dir, "*.parquet")))
+    if not sig_files:
+        return empty  # legitimately empty index: nothing can match
+
+    seen_sigs = rd.read_parquet(sig_files)
     seen_bands = seen_sigs.map_batches(
-        functools.partial(_band_sig_batch, id_col=id_col,
-                          num_hashes=num_hashes, k=k, bands=bands, side=0),
+        functools.partial(_band_sig_batch, id_col=meta.get("id_col",
+                                                           id_col),
+                          num_hashes=num_hashes, bands=bands, side=0),
         batch_format="pyarrow", zero_copy_batch=True)
 
     def new_band_batch(b: pa.Table) -> pa.Table:
@@ -741,14 +810,25 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_n, out_s = [], []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+        for (_, bh), g in df.groupby(["band_id", "band_hash"],
+                                     sort=False):
             sides = g["_side"].to_numpy()
-            nk = g["key"].to_numpy()[sides == 1]
-            sk = g["key"].to_numpy()[sides == 0]
+            nk = np.unique(g["key"].to_numpy()[sides == 1])
+            sk = np.unique(g["key"].to_numpy()[sides == 0])
             if len(nk) == 0 or len(sk) == 0:
                 continue
-            if len(nk) * len(sk) > max_bucket:
-                nk = nk[:max(1, max_bucket // max(1, len(sk)))]
+            # cap BOTH sides, selecting by a band-salted mix so each
+            # band drops DIFFERENT docs (a fixed first-N prefix would
+            # lose the same docs in every band — unrecoverable)
+            salt = np.uint64(bh)
+            with np.errstate(over="ignore"):
+                if len(sk) > max_bucket:
+                    sk = sk[np.argsort(_splitmix64(
+                        sk.view(np.uint64) ^ salt))][:max_bucket]
+                cap_n = max(1, max_bucket // len(sk))
+                if len(nk) > cap_n:
+                    nk = nk[np.argsort(_splitmix64(
+                        nk.view(np.uint64) ^ salt))][:cap_n]
             out_n.append(np.repeat(nk, len(sk)))
             out_s.append(np.tile(sk, len(nk)))
         if not out_n:
@@ -761,34 +841,25 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
     pairs = partitioned_group_apply(
         seen_bands.union(new_bands), ["band_id", "band_hash"],
         bucket_pairs, num_partitions=num_partitions).materialize()
-    pdf = pairs.to_pandas().drop_duplicates(["nkey", "skey"]) \
-        if pairs.size_bytes() <= gather_cap else None
-    if pdf is None:
+    if pairs.size_bytes() > gather_cap:
         raise ValueError(
             "incremental_minhash_neardup: candidate pairs exceed "
             f"gather_cap ({pairs.size_bytes()} B) — raise the cap or "
             "tighten banding/max_bucket")
-    empty = pa.table({"new_id": pa.array([], type=pa.large_string()),
-                      "seen_id": pa.array([], type=pa.large_string()),
-                      "est_jaccard": pa.array([], type=pa.float64())})
-    if pdf.empty:
-        return rd.from_arrow(empty).to_pandas()
+    pdf = pairs.to_pandas()
+    if "nkey" not in pdf.columns or pdf.empty:
+        return empty
+    pdf = pdf.drop_duplicates(["nkey", "skey"])
 
     # candidate-proportional signature + id gathers on both sides
-    def gather(ds_side, wanted, sig_source, text_side):
-        wref = ray.put(np.sort(wanted))
+    def gather(ds_side, wanted, from_text: bool) -> pd.DataFrame:
+        wref = ray.put(wanted)
 
         def fn(b: pa.Table) -> pa.Table:
-            from ..sketches.hashing import hash64_array
-            w = worker_cached(("incmh", wref.hex()),
-                              lambda: ray.get(wref))
-            keys = hash64_array(b.column(id_col)).view(np.int64)
-            pos = np.clip(np.searchsorted(w, keys), 0, len(w) - 1)
-            sel = (w[pos] == keys) if len(w) else \
-                np.zeros(len(keys), dtype=bool)
-            idx = pa.array(np.nonzero(sel)[0], type=pa.int64())
-            sub = b.take(idx)
-            if text_side:
+            keys, sel = _wanted_keys_mask(b.column(id_col), wref)
+            idx = np.nonzero(sel)[0]
+            sub = b.take(pa.array(idx, type=pa.int64()))
+            if from_text:
                 st = _cached_stage(text_col, id_col, num_hashes, k,
                                    bands)
                 sigs = st._signatures(
@@ -796,7 +867,7 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
                 sig_col = pa.array(list(sigs), type=pa.list_(pa.int64()))
             else:
                 sig_col = sub.column("sig")
-            return pa.table({"key": pa.array(keys[np.nonzero(sel)[0]]),
+            return pa.table({"key": pa.array(keys[idx]),
                              id_col: sub.column(id_col),
                              "sig": sig_col})
 
@@ -804,26 +875,52 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
                                    zero_copy_batch=True).to_pandas()
 
     nmap = gather(new_ds.select_columns([id_col, text_col]),
-                  np.unique(pdf["nkey"].to_numpy()), None, True)
-    smap = gather(seen_sigs, np.unique(pdf["skey"].to_numpy()),
-                  None, False)
+                  np.unique(pdf["nkey"].to_numpy()), True)
+    smap = gather(seen_sigs, np.unique(pdf["skey"].to_numpy()), False)
 
-    def sigmat(frame):
-        order = np.argsort(frame["key"].to_numpy())
+    def expand(frame: pd.DataFrame, pair_keys: np.ndarray):
+        """pair index → ALL gathered rows per key (duplicate ids share a
+        key; estimating against only the first row would silently miss
+        a true duplicate hiding behind an unrelated same-id row)."""
+        order = np.argsort(frame["key"].to_numpy(), kind="stable")
         keys = frame["key"].to_numpy()[order]
-        ids = frame[id_col].to_numpy()[order]
-        mat = np.stack([np.asarray(s, dtype=np.int64)
-                        for s in frame["sig"].iloc[order]]) \
-            if len(frame) else np.zeros((0, num_hashes), dtype=np.int64)
-        return keys, ids, mat
+        lo = np.searchsorted(keys, pair_keys, side="left")
+        hi = np.searchsorted(keys, pair_keys, side="right")
+        return order, lo, hi
 
-    nkeys, nids, nmat = sigmat(nmap)
-    skeys, sids, smat = sigmat(smap)
-    ni = np.searchsorted(nkeys, pdf["nkey"].to_numpy())
-    si = np.searchsorted(skeys, pdf["skey"].to_numpy())
-    est = (nmat[ni] == smat[si]).mean(axis=1)
-    hit = est >= threshold
-    return pd.DataFrame({"new_id": nids[ni[hit]],
-                         "seen_id": sids[si[hit]],
-                         "est_jaccard": np.round(est[hit], 4)}) \
+    nmat = np.stack([np.asarray(s, dtype=np.int64)
+                     for s in nmap["sig"]]).view(np.uint64) \
+        if len(nmap) else np.zeros((0, num_hashes), dtype=np.uint64)
+    smat = np.stack([np.asarray(s, dtype=np.int64)
+                     for s in smap["sig"]]).view(np.uint64) \
+        if len(smap) else np.zeros((0, num_hashes), dtype=np.uint64)
+    nids = nmap[id_col].to_numpy()
+    sids = smap[id_col].to_numpy()
+    no, nlo, nhi = expand(nmap, pdf["nkey"].to_numpy())
+    so, slo, shi = expand(smap, pdf["skey"].to_numpy())
+    if (nhi - nlo == 1).all() and (shi - slo == 1).all():
+        # common case (unique ids): one vectorized estimate pass
+        ni, si = no[nlo], so[slo]
+        est = (nmat[ni] == smat[si]).mean(axis=1)
+        hit = est >= threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"new_id": nids[ni[hit]],
+                             "seen_id": sids[si[hit]],
+                             "est_jaccard": np.round(est[hit], 6)}) \
+            .sort_values(["new_id", "seen_id"]).reset_index(drop=True)
+    out_n, out_s, out_e = [], [], []
+    for p in range(len(pdf)):
+        for i in no[nlo[p]:nhi[p]]:
+            for j in so[slo[p]:shi[p]]:
+                est = float((nmat[i] == smat[j]).mean())
+                if est >= threshold:
+                    out_n.append(nids[i])
+                    out_s.append(sids[j])
+                    out_e.append(round(est, 6))
+    if not out_n:
+        return empty
+    return pd.DataFrame({"new_id": out_n, "seen_id": out_s,
+                         "est_jaccard": out_e}) \
+        .drop_duplicates(["new_id", "seen_id"]) \
         .sort_values(["new_id", "seen_id"]).reset_index(drop=True)

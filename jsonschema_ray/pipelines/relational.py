@@ -1947,8 +1947,10 @@ def incremental_minhash_documents(sf_dir: str):
     c60, c80 = int(n * 0.6), int(n * 0.8)
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     st = os.stat(src)
+    # cache key covers the minhash SETTINGS too: a stale index built
+    # with different (num_hashes, k) would silently never collide
     tag = hashlib.sha1(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|{c80}".encode()
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{c80}|mh128k5".encode()
     ).hexdigest()[:12]
     sig_dir = f"/tmp/jsonschema_ray_mhsig/{tag}"
     if not os.path.exists(os.path.join(sig_dir, "_DONE")):
@@ -1957,5 +1959,7 @@ def incremental_minhash_documents(sf_dir: str):
         write_minhash_signatures(
             docs.filter(expr=f"doc_id < {c80}"), sig_dir)
         open(os.path.join(sig_dir, "_DONE"), "w").write("ok")
+        # (_META.json + index files written atomically enough for the
+        # per-run /tmp cache; the _DONE marker gates reuse)
     return incremental_minhash_neardup(
         docs.filter(expr=f"doc_id >= {c60}"), sig_dir, threshold=0.5)

@@ -289,3 +289,54 @@ def test_incremental_minhash_neardup(ray_session, tmp_path):
     assert ("n0", "s0") in got
     assert all(n != "n1" for n, _ in got)          # unrelated doc clean
     assert (out["est_jaccard"] >= 0.5).all()
+
+
+def test_incremental_minhash_edge_cases(ray_session, tmp_path):
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import (incremental_minhash_neardup,
+                                      write_minhash_signatures)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    seen = pa.table({"doc_id": ["s0"], "text": [base]})
+    sig_dir = str(tmp_path / "sigs")
+    write_minhash_signatures(rd.from_arrow(seen), sig_dir, num_hashes=64)
+    # settings mismatch is impossible: the query reads them from _META
+    new = pa.table({"doc_id": ["n0"], "text": [base]})
+    out = incremental_minhash_neardup(rd.from_arrow(new), sig_dir,
+                                      threshold=0.9)
+    assert out.values.tolist() == [["n0", "s0", 1.0]]
+    # empty result keeps its schema
+    far = pa.table({"doc_id": ["nX"], "text": ["zzz completely other"]})
+    out2 = incremental_minhash_neardup(rd.from_arrow(far), sig_dir,
+                                       threshold=0.9)
+    assert list(out2.columns) == ["new_id", "seen_id", "est_jaccard"]
+    assert len(out2) == 0
+    # duplicate new ids: the true duplicate behind a same-id decoy is found
+    dup = pa.table({"doc_id": ["n1", "n1"],
+                    "text": ["an unrelated decoy text entirely", base]})
+    out3 = incremental_minhash_neardup(rd.from_arrow(dup), sig_dir,
+                                       threshold=0.9)
+    assert ("n1", "s0") in set(zip(out3["new_id"], out3["seen_id"]))
+    # rewriting the index replaces, never appends
+    write_minhash_signatures(rd.from_arrow(seen), sig_dir, num_hashes=64)
+    import glob
+    import pyarrow.parquet as pq
+    n_rows = sum(pq.read_metadata(f).num_rows
+                 for f in glob.glob(sig_dir + "/*.parquet"))
+    assert n_rows == 1
+    # a non-index dir is refused
+    other = tmp_path / "data"
+    other.mkdir()
+    (other / "x.txt").write_text("keep me")
+    with pytest.raises(ValueError, match="refusing"):
+        write_minhash_signatures(rd.from_arrow(seen), str(other))
+    # empty index: typed empty result, no crash
+    empty_dir = str(tmp_path / "emptysigs")
+    write_minhash_signatures(
+        rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.string()),
+                                "text": pa.array([], type=pa.string())})),
+        empty_dir)
+    out4 = incremental_minhash_neardup(rd.from_arrow(new), empty_dir)
+    assert len(out4) == 0 and list(out4.columns) == \
+        ["new_id", "seen_id", "est_jaccard"]
