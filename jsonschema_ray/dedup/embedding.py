@@ -330,3 +330,251 @@ def exact_cosine_pairs(ds, vec_col: str = "embedding",
 
     return source.map_batches(block, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# incremental embedding near-dup: persist unit vectors once, dedup each
+# arriving shard against them (the embedding face of the minhash index)
+
+
+def write_embedding_index(ds, out_dir: str, vec_col: str = "embedding",
+                          id_col: str = "vec_id"):
+    """Persist unit vectors as parquet ``(id, unit: list<float>)`` — the
+    index arriving shards near-dup against. Settings (dim) are recorded
+    in ``_META.json`` and validated at query time; an existing index is
+    replaced, a non-index directory refused (same contract as
+    write_minhash_signatures)."""
+    import json as _json
+    import os
+
+    from ..ann.search import embedding_matrix
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if "_META.json" not in os.listdir(out_dir):
+            raise ValueError(
+                f"out_dir {out_dir!r} is non-empty and not an embedding "
+                "index (no _META.json) — refusing to overwrite")
+        import shutil
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    sch = ds.schema().base_schema
+    vt = sch.field(vec_col).type
+    dim = vt.list_size if pa.types.is_fixed_size_list(vt) else None
+
+    def fn(b: pa.Table) -> pa.Table:
+        u = _unit_rows(b, vec_col)
+        return pa.table({
+            id_col: b.column(id_col),
+            "unit": pa.array(list(u), type=pa.list_(pa.float32())),
+        })
+
+    out = ds.select_columns([id_col, vec_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+    n = out.count()
+    if dim is None and n:
+        dim = len(out.take(1)[0]["unit"])
+    with open(os.path.join(out_dir, "_META.json"), "w") as f:
+        _json.dump({"dim": dim, "id_col": id_col}, f)
+    if n:
+        out.write_parquet(out_dir)
+
+
+def incremental_embedding_neardup(new_ds, index_dir: str,
+                                  vec_col: str = "embedding",
+                                  id_col: str = "vec_id",
+                                  threshold: float = 0.95,
+                                  planes: int = 12, seed: int = 11,
+                                  tables: int = 4, max_bucket: int = 4096,
+                                  batch_size: int = 8192,
+                                  num_partitions: int = None,
+                                  gather_cap: int = 1 << 30
+                                  ) -> pd.DataFrame:
+    """Cosine near-dup pairs between an ARRIVING shard and a persisted
+    unit-vector index (:func:`write_embedding_index`) → pandas DataFrame
+    ``(new_id, seen_id, cosine)`` with cosine ≥ threshold, exact over
+    LSH candidates (hyperplane buckets, OR-amplified over ``tables``).
+
+    Scale shape mirrors incremental_minhash_neardup: both sides bucket
+    to narrow (bucket, key, side) rows through ONE hash partition —
+    vectors never ride the shuffle — candidates are cross-side only
+    (capped per bucket, salt-selected), and unit vectors for candidate
+    keys are gathered candidate-proportionally for the exact cosine."""
+    import functools
+    import glob as _glob
+    import json as _json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ..ann.search import embedding_matrix
+    from ..sketches.hashing import _splitmix64
+    from ..util import auto_partitions, partitioned_group_apply, \
+        worker_cached
+    from .minhash import _wanted_keys_mask
+    num_partitions = num_partitions or auto_partitions()
+    with open(os.path.join(index_dir, "_META.json")) as f:
+        meta = _json.load(f)
+    dim = meta.get("dim")
+    seen_id_col = meta.get("id_col", id_col)
+
+    id_type = new_ds.schema().base_schema.field(id_col).type
+    empty = pa.table({"new_id": pa.array([], type=id_type),
+                      "seen_id": pa.array([], type=id_type),
+                      "cosine": pa.array([], type=pa.float64())}) \
+        .to_pandas()
+    files = sorted(_glob.glob(os.path.join(index_dir, "*.parquet")))
+    if not files:
+        return empty
+
+    def buckets_of(units: np.ndarray, keys: np.ndarray) -> pa.Table:
+        H = worker_cached(("inc_hyp", units.shape[1], planes, seed,
+                           tables),
+                          lambda: np.random.default_rng(seed)
+                          .standard_normal((tables, units.shape[1],
+                                            planes)))
+        n = len(units)
+        bs = []
+        for t in range(tables):
+            signs = (units @ H[t]) > 0
+            b = np.zeros(n, dtype=np.uint64)
+            for p in range(planes):
+                b |= signs[:, p].astype(np.uint64) << np.uint64(p)
+            bs.append((np.uint64(t) << np.uint64(56)) | b)
+        return np.concatenate(bs).view(np.int64)
+
+    def seen_bucket_batch(b: pa.Table) -> pa.Table:
+        from ..sketches.hashing import hash64_array
+        units = embedding_matrix(b.column("unit"))
+        if dim is not None and units.shape[1] != dim and len(units):
+            raise ValueError(f"index dim {units.shape[1]} != meta {dim}")
+        keys = hash64_array(b.column(seen_id_col)).view(np.int64)
+        bk = buckets_of(units, keys)
+        return pa.table({"bucket": pa.array(bk),
+                         "key": pa.array(np.tile(keys, tables)),
+                         "_side": pa.array(np.zeros(len(bk),
+                                                    dtype=np.int8))})
+
+    def new_bucket_batch(b: pa.Table) -> pa.Table:
+        from ..sketches.hashing import hash64_array
+        units = _unit_rows(b, vec_col).astype(np.float64)
+        if dim is not None and len(units) and units.shape[1] != dim:
+            raise ValueError(
+                f"new shard dim {units.shape[1]} != index dim {dim}")
+        keys = hash64_array(b.column(id_col)).view(np.int64)
+        bk = buckets_of(units, keys)
+        return pa.table({"bucket": pa.array(bk),
+                         "key": pa.array(np.tile(keys, tables)),
+                         "_side": pa.array(np.ones(len(bk),
+                                                   dtype=np.int8))})
+
+    seen = rd.read_parquet(files)
+    union = seen.map_batches(seen_bucket_batch, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=batch_size) \
+        .union(new_ds.select_columns([id_col, vec_col]).map_batches(
+            new_bucket_batch, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=batch_size))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_n, out_s = [], []
+        for bh, g in df.groupby("bucket", sort=False):
+            sides = g["_side"].to_numpy()
+            nk = np.unique(g["key"].to_numpy()[sides == 1])
+            sk = np.unique(g["key"].to_numpy()[sides == 0])
+            if len(nk) == 0 or len(sk) == 0:
+                continue
+            salt = np.uint64(bh)
+            with np.errstate(over="ignore"):
+                if len(sk) > max_bucket:
+                    sk = sk[np.argsort(_splitmix64(
+                        sk.view(np.uint64) ^ salt))][:max_bucket]
+                cap_n = max(1, max_bucket // len(sk))
+                if len(nk) > cap_n:
+                    nk = nk[np.argsort(_splitmix64(
+                        nk.view(np.uint64) ^ salt))][:cap_n]
+            out_n.append(np.repeat(nk, len(sk)))
+            out_s.append(np.tile(sk, len(nk)))
+        if not out_n:
+            return pd.DataFrame({"nkey": pd.Series([], dtype=np.int64),
+                                 "skey": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"nkey": np.concatenate(out_n),
+                             "skey": np.concatenate(out_s)}) \
+            .drop_duplicates()
+
+    pairs = partitioned_group_apply(union, ["bucket"], bucket_pairs,
+                                    num_partitions=num_partitions
+                                    ).materialize()
+    if pairs.size_bytes() > gather_cap:
+        raise ValueError(
+            "incremental_embedding_neardup: candidate pairs exceed "
+            f"gather_cap ({pairs.size_bytes()} B)")
+    pdf = pairs.to_pandas()
+    if "nkey" not in pdf.columns or pdf.empty:
+        return empty
+    pdf = pdf.drop_duplicates(["nkey", "skey"])
+
+    def gather(ds_side, wanted, col, the_id_col, from_raw: bool):
+        wref = ray.put(wanted)
+
+        def fn(b: pa.Table) -> pa.Table:
+            keys, sel = _wanted_keys_mask(b.column(the_id_col), wref)
+            idx = np.nonzero(sel)[0]
+            sub = b.take(pa.array(idx, type=pa.int64()))
+            u = (_unit_rows(sub, col) if from_raw
+                 else embedding_matrix(sub.column(col)).astype(
+                     np.float32))
+            return pa.table({"key": pa.array(keys[idx]),
+                             the_id_col: sub.column(the_id_col),
+                             "unit": pa.array(list(u),
+                                              type=pa.list_(
+                                                  pa.float32()))})
+
+        return ds_side.map_batches(fn, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+
+    nmap = gather(new_ds.select_columns([id_col, vec_col]),
+                  np.unique(pdf["nkey"].to_numpy()), vec_col, id_col,
+                  True)
+    smap = gather(seen, np.unique(pdf["skey"].to_numpy()), "unit",
+                  seen_id_col, False)
+
+    def matrix(frame):
+        order = np.argsort(frame["key"].to_numpy(), kind="stable")
+        keys = frame["key"].to_numpy()[order]
+        ids = frame[id_col if frame is nmap else seen_id_col] \
+            .to_numpy()[order]
+        m = np.stack([np.asarray(u, dtype=np.float64)
+                      for u in frame["unit"].iloc[order]]) \
+            if len(frame) else np.zeros((0, dim or 1))
+        return keys, ids, m
+
+    nkeys, nids, nmat = matrix(nmap)
+    skeys, sids, smat = matrix(smap)
+    nlo = np.searchsorted(nkeys, pdf["nkey"].to_numpy(), side="left")
+    nhi = np.searchsorted(nkeys, pdf["nkey"].to_numpy(), side="right")
+    slo = np.searchsorted(skeys, pdf["skey"].to_numpy(), side="left")
+    shi = np.searchsorted(skeys, pdf["skey"].to_numpy(), side="right")
+    if (nhi - nlo == 1).all() and (shi - slo == 1).all():
+        cos = (nmat[nlo] * smat[slo]).sum(axis=1)
+        hit = cos >= threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"new_id": nids[nlo[hit]],
+                             "seen_id": sids[slo[hit]],
+                             "cosine": np.round(cos[hit], 6)}) \
+            .sort_values(["new_id", "seen_id"]).reset_index(drop=True)
+    out_n, out_s, out_c = [], [], []
+    for p in range(len(pdf)):
+        for i in range(nlo[p], nhi[p]):
+            for j in range(slo[p], shi[p]):
+                c = float((nmat[i] * smat[j]).sum())
+                if c >= threshold:
+                    out_n.append(nids[i])
+                    out_s.append(sids[j])
+                    out_c.append(round(c, 6))
+    if not out_n:
+        return empty
+    return pd.DataFrame({"new_id": out_n, "seen_id": out_s,
+                         "cosine": out_c}) \
+        .drop_duplicates(["new_id", "seen_id"]) \
+        .sort_values(["new_id", "seen_id"]).reset_index(drop=True)

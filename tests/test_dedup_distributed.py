@@ -340,3 +340,48 @@ def test_incremental_minhash_edge_cases(ray_session, tmp_path):
     out4 = incremental_minhash_neardup(rd.from_arrow(new), empty_dir)
     assert len(out4) == 0 and list(out4.columns) == \
         ["new_id", "seen_id", "est_jaccard"]
+
+
+def test_incremental_embedding_neardup(ray_session, tmp_path):
+    import ray.data as rd
+
+    from jsonschema_ray.dedup import (incremental_embedding_neardup,
+                                      write_embedding_index)
+    rng = np.random.default_rng(5)
+    dim = 24
+    seen_v = rng.standard_normal((40, dim)).astype(np.float32)
+    seen = pa.table({"vec_id": pa.array([f"s{i}" for i in range(40)]),
+                     "embedding": pa.array(list(seen_v))})
+    idx_dir = str(tmp_path / "embidx")
+    write_embedding_index(rd.from_arrow(seen), idx_dir)
+
+    new_v = np.stack([
+        seen_v[3] + rng.standard_normal(dim).astype(np.float32) * 0.01,
+        rng.standard_normal(dim).astype(np.float32)])
+    new = pa.table({"vec_id": pa.array(["n0", "n1"]),
+                    "embedding": pa.array(list(new_v))})
+    out = incremental_embedding_neardup(rd.from_arrow(new), idx_dir,
+                                        threshold=0.98)
+    got = set(zip(out["new_id"], out["seen_id"]))
+    assert ("n0", "s3") in got
+    assert all(n != "n1" for n, _ in got)
+    # empty result keeps the schema
+    far = pa.table({"vec_id": pa.array(["nX"]),
+                    "embedding": pa.array(
+                        [rng.standard_normal(dim).astype(np.float32)])})
+    out2 = incremental_embedding_neardup(rd.from_arrow(far), idx_dir,
+                                         threshold=0.999)
+    assert list(out2.columns) == ["new_id", "seen_id", "cosine"]
+    # dim mismatch is refused loudly
+    bad = pa.table({"vec_id": pa.array(["b0"]),
+                    "embedding": pa.array(
+                        [rng.standard_normal(8).astype(np.float32)])})
+    with pytest.raises(Exception):
+        incremental_embedding_neardup(rd.from_arrow(bad), idx_dir)
+    # rewrite replaces; non-index dir refused
+    write_embedding_index(rd.from_arrow(seen), idx_dir)
+    other = tmp_path / "keep"
+    other.mkdir()
+    (other / "f.txt").write_text("x")
+    with pytest.raises(ValueError, match="refusing"):
+        write_embedding_index(rd.from_arrow(seen), str(other))
