@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": R.curate_documents,           # oracled e2e
         "incremental_minhash_documents":
             R.incremental_minhash_documents,              # rows-only (LSH)
+        "incremental_embedding_documents":
+            R.incremental_embedding_documents,            # rows-only (LSH)
     }
 
 

@@ -345,7 +345,10 @@ def equi_join(left, right, on, how: str = "inner", right_on=None,
         if rt.size_bytes() <= broadcast_cap:
             tabs = ray.get(rt.to_arrow_refs())
             rschema = rt.schema().base_schema
-            small_tab = pa.concat_tables(tabs) if tabs else pa.table(
+            # permissive promotion: Ray blocks of one dataset can differ
+            # in string vs large_string per block
+            small_tab = pa.concat_tables(
+                tabs, promote_options="permissive") if tabs else pa.table(
                 {f.name: pa.array([], type=f.type) for f in rschema})
             ref = ray.put(small_tab)
 

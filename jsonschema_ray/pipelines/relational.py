@@ -1963,3 +1963,32 @@ def incremental_minhash_documents(sf_dir: str):
         # per-run /tmp cache; the _DONE marker gates reuse)
     return incremental_minhash_neardup(
         docs.filter(expr=f"doc_id >= {c60}"), sig_dir, threshold=0.5)
+
+
+def incremental_embedding_documents(sf_dir: str):
+    """Incremental embedding near-dup (rows-only: hyperplane LSH recall
+    is probabilistic): the first 80% of vectors' unit-vector index is
+    persisted once (content-keyed /tmp cache) and the last 40% arrive
+    as a shard — pairs with exact cosine ≥ 0.99 that share a bucket."""
+    import hashlib
+    import os
+
+    from ..dedup import incremental_embedding_neardup, \
+        write_embedding_index
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = emb.count()
+    c60, c80 = int(n * 0.6), int(n * 0.8)
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{c80}|emb".encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/jsonschema_ray_embidx/{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "_DONE")):
+        import shutil
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        write_embedding_index(
+            emb.filter(expr=f"vec_id < {c80}"), idx_dir)
+        open(os.path.join(idx_dir, "_DONE"), "w").write("ok")
+    return incremental_embedding_neardup(
+        emb.filter(expr=f"vec_id >= {c60}"), idx_dir, threshold=0.99)

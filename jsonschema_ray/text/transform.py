@@ -178,8 +178,11 @@ def _tf_partials(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
     exactly one row, so per-batch grouping is per-document grouping."""
     toks = pc.split_pattern(_combine(batch[text_col]), " ")
     par = pc.list_parent_indices(toks)
+    # pin the term type: Ray block ops sometimes promote string →
+    # large_string per block, and mixed block schemas break the
+    # broadcast-join concat downstream
     t = pa.table({id_col: _combine(batch[id_col]).take(par),
-                  "term": pc.list_flatten(toks)})
+                  "term": pc.cast(pc.list_flatten(toks), pa.string())})
     t = t.filter(pc.not_equal(t["term"], ""))
     tf = t.group_by([id_col, "term"]).aggregate([([], "count_all")])
     return tf.rename_columns([id_col, "term", "tf"])
