@@ -20,11 +20,13 @@ dedup/). Two physical plans, cap-gated like dedup/minhash.py:
   moves one row per (node, batch)), and stops when a node-keyed
   old-vs-new join counts zero changed labels — exact for any orderable
   id type (labels only ever decrease, so this is a true fixpoint test,
-  and the join is against the label table, not the corpus). Rounds needed =
-  graph diameter; duplicate clusters are near-cliques (diameter ≤ a few
-  hops), which is the documented partitioning assumption. ``max_rounds``
-  guards pathological chains; a chain of length L needs ~L rounds — use
-  alternating star contraction if that ever becomes a real workload.
+  and the join is against the label table, not the corpus). Each round
+  ALSO pointer-doubles (every node adopts its label's label — the
+  shortcutting step of alternating star contraction), so rounds needed
+  = O(log diameter): near-clique duplicate clusters converge in 2-3
+  rounds and adversarial chain-shaped graphs (template spam) in
+  ~log2(length), never O(length). ``max_rounds`` is an unreachable
+  backstop (diameter ~2**max_rounds).
 
 The label table is O(nodes-that-appear-in-pairs) — a small fraction of
 the corpus for real dedup workloads — and only (node, label) pairs
@@ -140,11 +142,23 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
         msgs = equi_join(both_dirs, labels, on="node") \
             .select_columns(["peer", "component"]) \
             .rename_columns({"peer": "node"})
-        new_labels = _grouped_min(labels.union(msgs),
+        # pointer doubling (shortcutting / alternating star contraction):
+        # each node also adopts its LABEL's label — label(x) ≤ x is an
+        # invariant of the grouped min, so label(label(x)) is in the same
+        # component and ≤ label(x); distance-to-representative halves per
+        # round, making chain-shaped graphs (template spam) converge in
+        # O(log diameter) rounds instead of O(diameter)
+        hops = equi_join(
+            labels,
+            labels.rename_columns({"node": "component",
+                                   "component": "component2"}),
+            on="component") \
+            .select_columns(["node", "component2"]) \
+            .rename_columns({"component2": "component"})
+        new_labels = _grouped_min(labels.union(msgs).union(hops),
                                   "node", "component").materialize()
         if _n_changed(new_labels, labels) == 0:
             return new_labels
         labels = new_labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds — "
-        "component diameter exceeds the documented near-clique assumption")
+    raise RuntimeError(  # unreachable below diameter ~2**max_rounds
+        f"connected_components did not converge in {max_rounds} rounds")

@@ -343,40 +343,151 @@ def write_embedding_index(ds, out_dir: str, vec_col: str = "embedding",
     index arriving shards near-dup against. Settings (dim) are recorded
     in ``_META.json`` and validated at query time; an existing index is
     replaced, a non-index directory refused (same contract as
-    write_minhash_signatures)."""
+    write_minhash_signatures).
+
+    Crash-safety + cost contract (mirrors write_minhash_signatures):
+    the corpus unit-vector pass executes exactly ONCE (``write_parquet``
+    is the only execution; row count and — when the input schema doesn't
+    already carry it — ``dim`` come from the written files), and
+    ``_META.json`` is written LAST as the commit marker, so a torn build
+    fails loudly at query time instead of silently missing duplicates."""
+    import glob as _glob
     import json as _json
     import os
 
-    from ..ann.search import embedding_matrix
-
     if os.path.isdir(out_dir) and os.listdir(out_dir):
-        if "_META.json" not in os.listdir(out_dir):
+        entries = os.listdir(out_dir)
+        if "_META.json" not in entries and "_STAGING" not in entries:
             raise ValueError(
                 f"out_dir {out_dir!r} is non-empty and not an embedding "
                 "index (no _META.json) — refusing to overwrite")
         import shutil
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    sch = ds.schema().base_schema
-    vt = sch.field(vec_col).type
-    dim = vt.list_size if pa.types.is_fixed_size_list(vt) else None
+    open(os.path.join(out_dir, "_STAGING"), "w").close()
+    # dim is read back from the written files below — probing the INPUT
+    # schema here would sample-execute a lazy input pipeline (a second
+    # partial execution of exactly the pass this function must pay once)
+    dim = None
 
     def fn(b: pa.Table) -> pa.Table:
-        u = _unit_rows(b, vec_col)
+        u = _unit_rows(b, vec_col)  # (n, d) float32
+        # flat-values list construction — no per-row Python lists on the
+        # corpus-sized write; plain list<float> (not fixed-size) so empty
+        # blocks with unknown dim share the schema
+        offs = pa.array(np.arange(len(u) + 1, dtype=np.int32)
+                        * (u.shape[1] if u.size else 0))
+        flat = pa.array(u.ravel(), type=pa.float32())
         return pa.table({
             id_col: b.column(id_col),
-            "unit": pa.array(list(u), type=pa.list_(pa.float32())),
+            "unit": pa.ListArray.from_arrays(offs, flat),
         })
 
     out = ds.select_columns([id_col, vec_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True)
-    n = out.count()
-    if dim is None and n:
-        dim = len(out.take(1)[0]["unit"])
+    out.write_parquet(out_dir)  # the ONLY corpus execution
+    import pyarrow.parquet as _pq
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+    n = sum(_pq.read_metadata(f).num_rows for f in files)
+    if n == 0:
+        for f in files:
+            os.remove(f)
+    elif dim is None:
+        for f in files:  # dim from the first written row (one page read)
+            pf = _pq.ParquetFile(f)
+            for rb in pf.iter_batches(batch_size=1, columns=["unit"]):
+                if rb.num_rows:
+                    dim = len(rb.column("unit")[0])
+                    break
+            if dim is not None:
+                break
     with open(os.path.join(out_dir, "_META.json"), "w") as f:
-        _json.dump({"dim": dim, "id_col": id_col}, f)
-    if n:
-        out.write_parquet(out_dir)
+        _json.dump({"dim": dim, "id_col": id_col, "rows": n}, f)
+    os.remove(os.path.join(out_dir, "_STAGING"))
+
+
+def _inc_new_units_batch(b: pa.Table, *, vec_col, id_col) -> pa.Table:
+    """Join-fallback input, new side: (nkey, new_id, unit bytes) for
+    every arriving row — the hash join against the pair set filters."""
+    from ..sketches.hashing import hash64_array
+    u = _unit_rows(b, vec_col)
+    return pa.table({
+        "nkey": pa.array(hash64_array(b.column(id_col)).view(np.int64)),
+        "new_id": b.column(id_col),
+        "unit_n": pa.array([r.tobytes() for r in u], type=pa.binary()),
+    })
+
+
+def _inc_seen_units_batch(b: pa.Table, *, seen_id_col) -> pa.Table:
+    """Join-fallback input, seen side: (skey, seen_id, unit bytes) from
+    the STORED unit vectors."""
+    from ..ann.search import embedding_matrix
+    from ..sketches.hashing import hash64_array
+    u = embedding_matrix(b.column("unit")).astype(np.float32)
+    return pa.table({
+        "skey": pa.array(hash64_array(b.column(seen_id_col))
+                         .view(np.int64)),
+        "seen_id": b.column(seen_id_col),
+        "unit_s": pa.array([r.tobytes() for r in u], type=pa.binary()),
+    })
+
+
+def _inc_pair_cos_batch(b: pa.Table, *, threshold) -> pa.Table:
+    """Joined (pair × unit_n × unit_s) rows → thresholded
+    (new_id, seen_id, cosine) — cross-side, so no canonical swap."""
+    n = b.num_rows
+    if n == 0:
+        cos = np.zeros(0)
+        hit = np.zeros(0, dtype=bool)
+    else:
+        va = np.frombuffer(b"".join(b["unit_n"].to_pylist()),
+                           dtype=np.float32).reshape(n, -1) \
+            .astype(np.float64)
+        vb = np.frombuffer(b"".join(b["unit_s"].to_pylist()),
+                           dtype=np.float32).reshape(n, -1) \
+            .astype(np.float64)
+        cos = (va * vb).sum(axis=1)
+        hit = cos >= threshold
+    idx = pa.array(np.nonzero(hit)[0], type=pa.int64())
+    return pa.table({
+        "new_id": b["new_id"].take(idx),
+        "seen_id": b["seen_id"].take(idx),
+        "cosine": pa.array(np.round(cos[hit], 6), type=pa.float64()),
+    })
+
+
+def _incremental_embedding_joined(pairs, new_src, seen, *, vec_col,
+                                  id_col, seen_id_col, threshold,
+                                  num_partitions, empty) -> pd.DataFrame:
+    """Distributed degrade path for :func:`incremental_embedding_neardup`
+    (candidate pairs exceeded ``gather_cap``): partitioned pair dedup +
+    two hash joins attaching the unit vectors, exact cosine per joined
+    row — only the THRESHOLDED result is ever collected."""
+    import functools
+
+    from .pairsops import distinct_pairs
+    if pairs.count() == 0:  # a zero-group shuffle loses the join schema
+        return empty
+    pairs = distinct_pairs(pairs, ["nkey", "skey"], num_partitions)
+    jp = max(2, num_partitions // 16)
+    nunit = new_src.map_batches(
+        functools.partial(_inc_new_units_batch, vec_col=vec_col,
+                          id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sunit = seen.map_batches(
+        functools.partial(_inc_seen_units_batch,
+                          seen_id_col=seen_id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    left = pairs.join(nunit, "inner", jp, on=("nkey",))
+    both = left.join(sunit, "inner", jp, on=("skey",))
+    cos = both.map_batches(
+        functools.partial(_inc_pair_cos_batch, threshold=threshold),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = cos.to_pandas()
+    if out.empty or "new_id" not in out.columns:
+        return empty
+    return out.drop_duplicates(["new_id", "seen_id"]) \
+        .sort_values(["new_id", "seen_id"]).reset_index(drop=True)
 
 
 def incremental_embedding_neardup(new_ds, index_dir: str,
@@ -398,7 +509,10 @@ def incremental_embedding_neardup(new_ds, index_dir: str,
     to narrow (bucket, key, side) rows through ONE hash partition —
     vectors never ride the shuffle — candidates are cross-side only
     (capped per bucket, salt-selected), and unit vectors for candidate
-    keys are gathered candidate-proportionally for the exact cosine."""
+    keys are gathered candidate-proportionally for the exact cosine.
+    Above ``gather_cap`` the plan degrades (never dies) to a fully
+    distributed pair-dedup + two hash joins
+    (:func:`_incremental_embedding_joined`)."""
     import functools
     import glob as _glob
     import json as _json
@@ -425,6 +539,10 @@ def incremental_embedding_neardup(new_ds, index_dir: str,
         .to_pandas()
     files = sorted(_glob.glob(os.path.join(index_dir, "*.parquet")))
     if not files:
+        if meta.get("rows"):
+            raise FileNotFoundError(
+                f"embedding index {index_dir!r} records {meta['rows']} "
+                "rows but has no parquet files — torn or tampered index")
         return empty
 
     def buckets_of(units: np.ndarray, keys: np.ndarray) -> pa.Table:
@@ -505,14 +623,20 @@ def incremental_embedding_neardup(new_ds, index_dir: str,
                                     num_partitions=num_partitions
                                     ).materialize()
     if pairs.size_bytes() > gather_cap:
-        raise ValueError(
-            "incremental_embedding_neardup: candidate pairs exceed "
-            f"gather_cap ({pairs.size_bytes()} B)")
+        # degrade, never die (pairsops.py contract): distributed
+        # pair-dedup + two hash joins; only the result is collected
+        return _incremental_embedding_joined(
+            pairs, new_ds.select_columns([id_col, vec_col]), seen,
+            vec_col=vec_col, id_col=id_col, seen_id_col=seen_id_col,
+            threshold=threshold, num_partitions=num_partitions,
+            empty=empty)
     pdf = pairs.to_pandas()
     if "nkey" not in pdf.columns or pdf.empty:
         return empty
     pdf = pdf.drop_duplicates(["nkey", "skey"])
 
+    # candidate-proportional unit-vector gathers, uniform
+    # (key, id, unit-bytes) output regardless of side/id name
     def gather(ds_side, wanted, col, the_id_col, from_raw: bool):
         wref = ray.put(wanted)
 
@@ -524,10 +648,10 @@ def incremental_embedding_neardup(new_ds, index_dir: str,
                  else embedding_matrix(sub.column(col)).astype(
                      np.float32))
             return pa.table({"key": pa.array(keys[idx]),
-                             the_id_col: sub.column(the_id_col),
-                             "unit": pa.array(list(u),
-                                              type=pa.list_(
-                                                  pa.float32()))})
+                             "id": sub.column(the_id_col),
+                             "unit": pa.array(
+                                 [r.tobytes() for r in u],
+                                 type=pa.binary())})
 
         return ds_side.map_batches(fn, batch_format="pyarrow",
                                    zero_copy_batch=True).to_pandas()
@@ -538,43 +662,47 @@ def incremental_embedding_neardup(new_ds, index_dir: str,
     smap = gather(seen, np.unique(pdf["skey"].to_numpy()), "unit",
                   seen_id_col, False)
 
-    def matrix(frame):
+    def sorted_side(frame: pd.DataFrame):
         order = np.argsort(frame["key"].to_numpy(), kind="stable")
         keys = frame["key"].to_numpy()[order]
-        ids = frame[id_col if frame is nmap else seen_id_col] \
-            .to_numpy()[order]
-        m = np.stack([np.asarray(u, dtype=np.float64)
-                      for u in frame["unit"].iloc[order]]) \
+        ids = frame["id"].to_numpy()[order]
+        m = np.frombuffer(b"".join(frame["unit"].iloc[order]),
+                          dtype=np.float32) \
+            .reshape(len(frame), -1).astype(np.float64) \
             if len(frame) else np.zeros((0, dim or 1))
         return keys, ids, m
 
-    nkeys, nids, nmat = matrix(nmap)
-    skeys, sids, smat = matrix(smap)
-    nlo = np.searchsorted(nkeys, pdf["nkey"].to_numpy(), side="left")
-    nhi = np.searchsorted(nkeys, pdf["nkey"].to_numpy(), side="right")
-    slo = np.searchsorted(skeys, pdf["skey"].to_numpy(), side="left")
-    shi = np.searchsorted(skeys, pdf["skey"].to_numpy(), side="right")
-    if (nhi - nlo == 1).all() and (shi - slo == 1).all():
-        cos = (nmat[nlo] * smat[slo]).sum(axis=1)
-        hit = cos >= threshold
-        if not hit.any():
-            return empty
-        return pd.DataFrame({"new_id": nids[nlo[hit]],
-                             "seen_id": sids[slo[hit]],
-                             "cosine": np.round(cos[hit], 6)}) \
-            .sort_values(["new_id", "seen_id"]).reset_index(drop=True)
-    out_n, out_s, out_c = [], [], []
-    for p in range(len(pdf)):
-        for i in range(nlo[p], nhi[p]):
-            for j in range(slo[p], shi[p]):
-                c = float((nmat[i] * smat[j]).sum())
-                if c >= threshold:
-                    out_n.append(nids[i])
-                    out_s.append(sids[j])
-                    out_c.append(round(c, 6))
-    if not out_n:
+    nkeys, nids, nmat = sorted_side(nmap)
+    skeys, sids, smat = sorted_side(smap)
+    pn = pdf["nkey"].to_numpy()
+    ps = pdf["skey"].to_numpy()
+    nlo = np.searchsorted(nkeys, pn, side="left")
+    nhi = np.searchsorted(nkeys, pn, side="right")
+    slo = np.searchsorted(skeys, ps, side="left")
+    shi = np.searchsorted(skeys, ps, side="right")
+    # vectorized n-major expansion of every (new row × seen row)
+    # combination per pair — duplicate ids share a key (see the
+    # minhash counterpart for the rationale; no per-pair Python loop)
+    tot = (nhi - nlo) * (shi - slo)
+    total = int(tot.sum())
+    if total == 0:
         return empty
-    return pd.DataFrame({"new_id": out_n, "seen_id": out_s,
-                         "cosine": out_c}) \
+    prep = np.repeat(np.arange(len(pdf), dtype=np.int64), tot)
+    firsts = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    slot = np.arange(total, dtype=np.int64) - np.repeat(firsts, tot)
+    scnt_p = (shi - slo)[prep]
+    ni = nlo[prep] + slot // scnt_p
+    si = slo[prep] + slot % scnt_p
+    parts = []
+    for lo in range(0, total, 16_384):  # LLC-sized gather chunks
+        parts.append((nmat[ni[lo:lo + 16_384]] *
+                      smat[si[lo:lo + 16_384]]).sum(axis=1))
+    cos = np.concatenate(parts)
+    hit = cos >= threshold
+    if not hit.any():
+        return empty
+    return pd.DataFrame({"new_id": nids[ni[hit]],
+                         "seen_id": sids[si[hit]],
+                         "cosine": np.round(cos[hit], 6)}) \
         .drop_duplicates(["new_id", "seen_id"]) \
         .sort_values(["new_id", "seen_id"]).reset_index(drop=True)

@@ -688,46 +688,64 @@ def write_minhash_signatures(ds, out_dir: str, text_col: str = "text",
                              num_hashes: int = 128, k: int = 5,
                              bands: int = 32):
     """Persist each doc's minhash signature as parquet ``(id, sig:
-    list<int64>[m])`` — the INDEX later shards near-dup against
-    (8·m bytes/doc; the text itself is never stored). The minhash
-    settings are recorded in ``_META.json`` and VALIDATED at query time
-    (a silent settings mismatch would return empty/garbage estimates).
-    Bands are re-derived from the signature at query time. An existing
-    index directory is REPLACED (a second write would otherwise append
-    duplicate rows); a non-index directory is refused."""
+    fixed_size_list<int64>[m])`` — the INDEX later shards near-dup
+    against (8·m bytes/doc; the text itself is never stored). The
+    minhash settings are recorded in ``_META.json`` and VALIDATED at
+    query time (a silent settings mismatch would return empty/garbage
+    estimates). Bands are re-derived from the signature at query time.
+    An existing index directory is REPLACED (a second write would
+    otherwise append duplicate rows); a non-index directory is refused.
+
+    Crash-safety + cost contract: the corpus signature pass executes
+    exactly ONCE (``write_parquet`` is the only execution; the row count
+    comes from the written footers), and ``_META.json`` is written LAST
+    as the commit marker — a crash mid-write leaves a ``_STAGING``
+    directory that query time refuses loudly (no ``_META.json``)
+    instead of silently missing duplicates."""
     import functools
+    import glob as _glob
     import json as _json
     import os
 
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         entries = os.listdir(out_dir)
-        if "_META.json" not in entries:
+        if "_META.json" not in entries and "_STAGING" not in entries:
             raise ValueError(
                 f"out_dir {out_dir!r} is non-empty and not a signature "
                 "index (no _META.json) — refusing to overwrite")
         import shutil
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "_META.json"), "w") as f:
-        _json.dump({"num_hashes": num_hashes, "k": k, "id_col": id_col},
-                   f)
+    # torn-build marker: lets a rewrite recognise the dir as replaceable
+    open(os.path.join(out_dir, "_STAGING"), "w").close()
 
     def fn(b: pa.Table, *, text_col, id_col, num_hashes, k,
            bands) -> pa.Table:
         st = _cached_stage(text_col, id_col, num_hashes, k, bands)
         sigs = st._signatures(b.column(text_col).to_pylist())
+        # flat-values construction (the reverse of _sig_matrix's reshape)
+        # — no per-row Python lists on the corpus-sized write
+        flat = pa.array(sigs.view(np.int64).ravel(), type=pa.int64())
         return pa.table({
             id_col: b.column(id_col),
-            "sig": pa.array(list(sigs.view(np.int64)),
-                            type=pa.list_(pa.int64())),
+            "sig": pa.FixedSizeListArray.from_arrays(flat, num_hashes),
         })
 
     sigs_ds = ds.select_columns([id_col, text_col]).map_batches(
         functools.partial(fn, text_col=text_col, id_col=id_col,
                           num_hashes=num_hashes, k=k, bands=bands),
         batch_format="pyarrow", zero_copy_batch=True)
-    if sigs_ds.count():  # write_parquet on an empty ds writes nothing
-        sigs_ds.write_parquet(out_dir)
+    sigs_ds.write_parquet(out_dir)  # the ONLY corpus execution
+    import pyarrow.parquet as _pq
+    files = _glob.glob(os.path.join(out_dir, "*.parquet"))
+    n = sum(_pq.read_metadata(f).num_rows for f in files)
+    if n == 0:  # empty corpus: drop 0-row files so query sees no index
+        for f in files:
+            os.remove(f)
+    with open(os.path.join(out_dir, "_META.json"), "w") as f:
+        _json.dump({"num_hashes": num_hashes, "k": k, "id_col": id_col,
+                    "rows": n}, f)
+    os.remove(os.path.join(out_dir, "_STAGING"))
 
 
 def _band_sig_batch(b: pa.Table, *, id_col, num_hashes, bands,
@@ -745,6 +763,99 @@ def _band_sig_batch(b: pa.Table, *, id_col, num_hashes, bands,
         "key": pa.array(np.tile(keys, bands)),
         "_side": pa.array(np.full(bands * n, side, dtype=np.int8)),
     })
+
+
+def _inc_new_sigs_batch(b: pa.Table, *, text_col, id_col, num_hashes, k,
+                        bands) -> pa.Table:
+    """Join-fallback input, new side: (nkey, new_id, sig bytes) for
+    every arriving row — the hash join against the pair set does the
+    candidate filtering."""
+    from ..sketches.hashing import hash64_array
+    st = _cached_stage(text_col, id_col, num_hashes, k, bands)
+    sigs = st._signatures(b.column(text_col).to_pylist())
+    return pa.table({
+        "nkey": pa.array(hash64_array(b.column(id_col)).view(np.int64)),
+        "new_id": b.column(id_col),
+        "sig_n": pa.array([s.tobytes() for s in sigs], type=pa.binary()),
+    })
+
+
+def _inc_seen_sigs_batch(b: pa.Table, *, seen_id_col,
+                         num_hashes) -> pa.Table:
+    """Join-fallback input, seen side: (skey, seen_id, sig bytes) from
+    the STORED signatures (text never re-read)."""
+    from ..sketches.hashing import hash64_array
+    sigs = _sig_matrix(b.column("sig"), num_hashes)
+    return pa.table({
+        "skey": pa.array(hash64_array(b.column(seen_id_col))
+                         .view(np.int64)),
+        "seen_id": b.column(seen_id_col),
+        "sig_s": pa.array([s.tobytes() for s in sigs], type=pa.binary()),
+    })
+
+
+def _inc_pair_est_batch(b: pa.Table, *, threshold,
+                        num_hashes) -> pa.Table:
+    """Joined (pair × sig_n × sig_s) rows → thresholded
+    (new_id, seen_id, est_jaccard) — cross-side, so no canonical swap."""
+    n = b.num_rows
+    if n == 0:
+        est = np.zeros(0)
+        hit = np.zeros(0, dtype=bool)
+    else:
+        sa = np.frombuffer(b"".join(b["sig_n"].to_pylist()),
+                           dtype=np.uint64).reshape(n, num_hashes)
+        sb = np.frombuffer(b"".join(b["sig_s"].to_pylist()),
+                           dtype=np.uint64).reshape(n, num_hashes)
+        est = (sa == sb).mean(axis=1)
+        hit = est >= threshold
+    idx = pa.array(np.nonzero(hit)[0], type=pa.int64())
+    return pa.table({
+        "new_id": b["new_id"].take(idx),
+        "seen_id": b["seen_id"].take(idx),
+        "est_jaccard": pa.array(np.round(est[hit], 6),
+                                type=pa.float64()),
+    })
+
+
+def _incremental_minhash_joined(pairs, new_src, seen_sigs, *, text_col,
+                                id_col, seen_id_col, num_hashes, k,
+                                bands, threshold, num_partitions,
+                                empty) -> pd.DataFrame:
+    """Distributed degrade path for :func:`incremental_minhash_neardup`
+    (candidate pairs exceeded ``gather_cap``): dedup the pair set with
+    one partitioned shuffle, attach both sides' signatures with two
+    hash joins (the cross-side variant of minhash_near_duplicates'
+    join fallback, minhash.py pair-join pattern), estimate per joined
+    row. Nothing candidate- or corpus-proportional lands on the driver
+    — only the THRESHOLDED result is collected (the output contract)."""
+    import functools
+
+    from .pairsops import distinct_pairs
+    if pairs.count() == 0:  # a zero-group shuffle loses the join schema
+        return empty
+    pairs = distinct_pairs(pairs, ["nkey", "skey"], num_partitions)
+    jp = max(2, num_partitions // 16)
+    nsig = new_src.map_batches(
+        functools.partial(_inc_new_sigs_batch, text_col=text_col,
+                          id_col=id_col, num_hashes=num_hashes, k=k,
+                          bands=bands),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ssig = seen_sigs.map_batches(
+        functools.partial(_inc_seen_sigs_batch, seen_id_col=seen_id_col,
+                          num_hashes=num_hashes),
+        batch_format="pyarrow", zero_copy_batch=True)
+    left = pairs.join(nsig, "inner", jp, on=("nkey",))
+    both = left.join(ssig, "inner", jp, on=("skey",))
+    est = both.map_batches(
+        functools.partial(_inc_pair_est_batch, threshold=threshold,
+                          num_hashes=num_hashes),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = est.to_pandas()
+    if out.empty or "new_id" not in out.columns:
+        return empty
+    return out.drop_duplicates(["new_id", "seen_id"]) \
+        .sort_values(["new_id", "seen_id"]).reset_index(drop=True)
 
 
 def incremental_minhash_neardup(new_ds, sig_dir: str,
@@ -767,7 +878,12 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
     different bands drop different docs); signatures for candidate keys
     are gathered candidate-proportionally and the estimate is the
     fraction of agreeing components (the standard MinHash estimator) —
-    rows-only by nature (LSH recall + estimator are probabilistic)."""
+    rows-only by nature (LSH recall + estimator are probabilistic).
+
+    Degrade, never die: above ``gather_cap`` the driver gather is
+    replaced by a fully distributed plan (partitioned pair dedup + two
+    hash joins attaching the signatures, :func:`_incremental_minhash_joined`)
+    — only the thresholded result is ever collected."""
     import functools
     import glob as _glob
     import json as _json
@@ -782,6 +898,9 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
     with open(os.path.join(sig_dir, "_META.json")) as f:
         meta = _json.load(f)
     num_hashes, k = int(meta["num_hashes"]), int(meta["k"])
+    # the index's RECORDED id column names the stored rows everywhere
+    # (banding, gather, joins) — a caller-side name only names the shard
+    seen_id_col = meta.get("id_col", id_col)
 
     id_type = new_ds.schema().base_schema.field(id_col).type
     empty = pa.table({"new_id": pa.array([], type=id_type),
@@ -790,12 +909,15 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
         .to_pandas()
     sig_files = sorted(_glob.glob(os.path.join(sig_dir, "*.parquet")))
     if not sig_files:
+        if meta.get("rows"):
+            raise FileNotFoundError(
+                f"signature index {sig_dir!r} records {meta['rows']} "
+                "rows but has no parquet files — torn or tampered index")
         return empty  # legitimately empty index: nothing can match
 
     seen_sigs = rd.read_parquet(sig_files)
     seen_bands = seen_sigs.map_batches(
-        functools.partial(_band_sig_batch, id_col=meta.get("id_col",
-                                                           id_col),
+        functools.partial(_band_sig_batch, id_col=seen_id_col,
                           num_hashes=num_hashes, bands=bands, side=0),
         batch_format="pyarrow", zero_copy_batch=True)
 
@@ -842,85 +964,89 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
         seen_bands.union(new_bands), ["band_id", "band_hash"],
         bucket_pairs, num_partitions=num_partitions).materialize()
     if pairs.size_bytes() > gather_cap:
-        raise ValueError(
-            "incremental_minhash_neardup: candidate pairs exceed "
-            f"gather_cap ({pairs.size_bytes()} B) — raise the cap or "
-            "tighten banding/max_bucket")
+        # degrade, never die (pairsops.py contract): distributed
+        # pair-dedup + two hash joins; only the result is collected
+        return _incremental_minhash_joined(
+            pairs, new_ds.select_columns([id_col, text_col]), seen_sigs,
+            text_col=text_col, id_col=id_col, seen_id_col=seen_id_col,
+            num_hashes=num_hashes, k=k, bands=bands, threshold=threshold,
+            num_partitions=num_partitions, empty=empty)
     pdf = pairs.to_pandas()
     if "nkey" not in pdf.columns or pdf.empty:
         return empty
     pdf = pdf.drop_duplicates(["nkey", "skey"])
 
     # candidate-proportional signature + id gathers on both sides
-    def gather(ds_side, wanted, from_text: bool) -> pd.DataFrame:
+    # (uniform (key, id, sig-bytes) output regardless of side/id name)
+    def gather(ds_side, wanted, the_id_col, from_text: bool
+               ) -> pd.DataFrame:
         wref = ray.put(wanted)
 
         def fn(b: pa.Table) -> pa.Table:
-            keys, sel = _wanted_keys_mask(b.column(id_col), wref)
+            keys, sel = _wanted_keys_mask(b.column(the_id_col), wref)
             idx = np.nonzero(sel)[0]
             sub = b.take(pa.array(idx, type=pa.int64()))
             if from_text:
                 st = _cached_stage(text_col, id_col, num_hashes, k,
                                    bands)
-                sigs = st._signatures(
-                    sub.column(text_col).to_pylist()).view(np.int64)
-                sig_col = pa.array(list(sigs), type=pa.list_(pa.int64()))
+                sigs = st._signatures(sub.column(text_col).to_pylist())
             else:
-                sig_col = sub.column("sig")
+                sigs = _sig_matrix(sub.column("sig"), num_hashes)
             return pa.table({"key": pa.array(keys[idx]),
-                             id_col: sub.column(id_col),
-                             "sig": sig_col})
+                             "id": sub.column(the_id_col),
+                             "sig": pa.array([s.tobytes() for s in sigs],
+                                             type=pa.binary())})
 
         return ds_side.map_batches(fn, batch_format="pyarrow",
                                    zero_copy_batch=True).to_pandas()
 
     nmap = gather(new_ds.select_columns([id_col, text_col]),
-                  np.unique(pdf["nkey"].to_numpy()), True)
-    smap = gather(seen_sigs, np.unique(pdf["skey"].to_numpy()), False)
+                  np.unique(pdf["nkey"].to_numpy()), id_col, True)
+    smap = gather(seen_sigs, np.unique(pdf["skey"].to_numpy()),
+                  seen_id_col, False)
 
-    def expand(frame: pd.DataFrame, pair_keys: np.ndarray):
-        """pair index → ALL gathered rows per key (duplicate ids share a
-        key; estimating against only the first row would silently miss
-        a true duplicate hiding behind an unrelated same-id row)."""
+    def sorted_side(frame: pd.DataFrame):
         order = np.argsort(frame["key"].to_numpy(), kind="stable")
         keys = frame["key"].to_numpy()[order]
-        lo = np.searchsorted(keys, pair_keys, side="left")
-        hi = np.searchsorted(keys, pair_keys, side="right")
-        return order, lo, hi
+        ids = frame["id"].to_numpy()[order]
+        mat = np.frombuffer(b"".join(frame["sig"].iloc[order]),
+                            dtype=np.uint64) \
+            .reshape(len(frame), num_hashes) if len(frame) else \
+            np.zeros((0, num_hashes), dtype=np.uint64)
+        return keys, ids, mat
 
-    nmat = np.stack([np.asarray(s, dtype=np.int64)
-                     for s in nmap["sig"]]).view(np.uint64) \
-        if len(nmap) else np.zeros((0, num_hashes), dtype=np.uint64)
-    smat = np.stack([np.asarray(s, dtype=np.int64)
-                     for s in smap["sig"]]).view(np.uint64) \
-        if len(smap) else np.zeros((0, num_hashes), dtype=np.uint64)
-    nids = nmap[id_col].to_numpy()
-    sids = smap[id_col].to_numpy()
-    no, nlo, nhi = expand(nmap, pdf["nkey"].to_numpy())
-    so, slo, shi = expand(smap, pdf["skey"].to_numpy())
-    if (nhi - nlo == 1).all() and (shi - slo == 1).all():
-        # common case (unique ids): one vectorized estimate pass
-        ni, si = no[nlo], so[slo]
-        est = (nmat[ni] == smat[si]).mean(axis=1)
-        hit = est >= threshold
-        if not hit.any():
-            return empty
-        return pd.DataFrame({"new_id": nids[ni[hit]],
-                             "seen_id": sids[si[hit]],
-                             "est_jaccard": np.round(est[hit], 6)}) \
-            .sort_values(["new_id", "seen_id"]).reset_index(drop=True)
-    out_n, out_s, out_e = [], [], []
-    for p in range(len(pdf)):
-        for i in no[nlo[p]:nhi[p]]:
-            for j in so[slo[p]:shi[p]]:
-                est = float((nmat[i] == smat[j]).mean())
-                if est >= threshold:
-                    out_n.append(nids[i])
-                    out_s.append(sids[j])
-                    out_e.append(round(est, 6))
-    if not out_n:
+    nkeys, nids, nmat = sorted_side(nmap)
+    skeys, sids, smat = sorted_side(smap)
+    pn = pdf["nkey"].to_numpy()
+    ps = pdf["skey"].to_numpy()
+    nlo = np.searchsorted(nkeys, pn, side="left")
+    nhi = np.searchsorted(nkeys, pn, side="right")
+    slo = np.searchsorted(skeys, ps, side="left")
+    shi = np.searchsorted(skeys, ps, side="right")
+    # each pair expands to ALL (new row × seen row) combinations —
+    # duplicate ids share a key, and estimating against only the first
+    # row would miss a true duplicate hiding behind a same-id decoy.
+    # Fully vectorized n-major expansion (no per-pair Python loop).
+    tot = (nhi - nlo) * (shi - slo)
+    total = int(tot.sum())
+    if total == 0:
         return empty
-    return pd.DataFrame({"new_id": out_n, "seen_id": out_s,
-                         "est_jaccard": out_e}) \
+    prep = np.repeat(np.arange(len(pdf), dtype=np.int64), tot)
+    firsts = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    slot = np.arange(total, dtype=np.int64) - np.repeat(firsts, tot)
+    scnt_p = (shi - slo)[prep]
+    ni = nlo[prep] + slot // scnt_p
+    si = slo[prep] + slot % scnt_p
+    parts = []
+    for lo in range(0, total, 16_384):  # LLC-sized gather chunks
+        parts.append((nmat[ni[lo:lo + 16_384]] ==
+                      smat[si[lo:lo + 16_384]]).mean(axis=1))
+    est = np.concatenate(parts)
+    hit = est >= threshold
+    if not hit.any():
+        return empty
+    return pd.DataFrame({"new_id": nids[ni[hit]],
+                         "seen_id": sids[si[hit]],
+                         "est_jaccard": np.round(est[hit], 6)}) \
         .drop_duplicates(["new_id", "seen_id"]) \
         .sort_values(["new_id", "seen_id"]).reset_index(drop=True)

@@ -217,6 +217,25 @@ def test_components_chain_and_selfloop(ray_session):
     assert comp[40] == 40 and comp[50] == 50 and comp[51] == 50
 
 
+def test_components_path_graph_log_rounds(ray_session):
+    """A 10k-node path graph (the adversarial chain shape) must converge
+    through the distributed plan: pointer doubling makes rounds ~log2(n)
+    instead of n (round-4 star-contraction fix; the old propagation-only
+    loop RAISED after max_rounds=64 here)."""
+    import ray.data
+
+    from jsonschema_ray.dedup import connected_components
+    n = 10_000
+    src = np.arange(0, n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    edges = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array(src), "id_b": pa.array(dst)}))
+    got = _cc_sorted(connected_components(edges, driver_cap=0,
+                                          max_rounds=24))
+    assert len(got) == n
+    assert (got["component"].to_numpy() == 0).all()
+
+
 def test_components_string_ids_driver_path(ray_session):
     import ray.data
 
