@@ -32,64 +32,17 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING: the driver's correctness harness covers the FIRST 50
+    # registered queries. The first block therefore holds the queries
+    # with the least prior driver evidence — the round-3 additions the
+    # r3 harness never reached (29 oracled + 4 rows-only) and this
+    # round's new oracled queries — followed by a representative slice
+    # of every long-green family; the tail is the remainder of the
+    # long-green set (all 40 of which passed rows+schema+hash in
+    # CORRECTNESS_r01..r03).
     from jsonschema_ray.pipelines import relational as R
     return {
-        # rule-set validation (vectorized keyword predicates, SURVEY §2.2-2.3)
-        "validate_lineitem": R.validate_lineitem,
-        "validate_orders": R.validate_orders,
-        "validate_documents": R.validate_documents,
-        "validate_events_conditional": R.validate_events_conditional,
-        # table-level checks (SURVEY §2.6)
-        "uniqueness_lineitem_orderkey": R.uniqueness_lineitem_orderkey,
-        "uniqueness_customer_custkey": R.uniqueness_customer_custkey,
-        "referential_lineitem_orders": R.referential_lineitem_orders,
-        "column_stats_lineitem": R.column_stats_lineitem,
-        # aggregation / join / sort / window
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "segment_order_stats": R.segment_order_stats,
-        "brand_quantity": R.brand_quantity,
-        "topk_orders": R.topk_orders,
-        "region_customer_rollup": R.region_customer_rollup,
-        "union_keys": R.union_keys,
-        "events_hourly": R.events_hourly,
-        "distinct_event_types": R.distinct_event_types,
-        "events_filter_project": R.events_filter_project,
-        "events_sessions": R.events_sessions,
-        "orders_running_total": R.orders_running_total,
-        "drift_events_value": R.drift_events_value,   # rows-only
-        "fingerprint_documents": R.fingerprint_documents,  # rows-only
-        # documents: dedup + text analysis
-        "dedup_exact_documents": R.dedup_exact_documents,
-        "token_count_documents": R.token_count_documents,
-        "quality_documents": R.quality_documents,
-        "lang_distribution": R.lang_distribution,
-        "langid_documents": R.langid_documents,           # oracled (r3)
-        "simhash_documents": R.simhash_documents,         # rows-only
-        "minhash_neardup_documents": R.minhash_neardup_documents,  # rows-only
-        "neardup_verified_documents": R.neardup_verified_documents,  # rows-only
-        "ngram_jaccard_documents": R.ngram_jaccard_documents,  # oracled
-        "orders_customer_join": R.orders_customer_join,  # oracled
-        "lineitem_orders_priority_revenue": R.lineitem_orders_priority_revenue,  # oracled
-        "simhash_neardup_documents": R.simhash_neardup_documents,  # rows-only
-        "validate_lineitem_dates": R.validate_lineitem_dates,
-        "validate_lineitem_dates_core": R.validate_lineitem_dates_core,
-        # embeddings
-        "ann_topk_embeddings": R.ann_topk_embeddings,     # oracled (exact)
-        "embedding_neardup_exact": R.embedding_neardup_exact,  # oracled
-        "ann_ivf_embeddings": R.ann_ivf_embeddings,       # rows-only
-        "ann_ivf_index_embeddings": R.ann_ivf_index_embeddings,  # rows-only
-        "image_features_synth": R.image_features_synth,   # rows-only
-        "events_last_order": R.events_last_order,
-        "hopping_window_events": R.hopping_window_events,
-        "events_orders_90d": R.events_orders_90d,
-        "top3_orders_per_segment": R.top3_orders_per_segment,
-        "quantity_stats_by_flag": R.quantity_stats_by_flag,
-        "distinct_parts_per_flag": R.distinct_parts_per_flag,
-        "median_quantity_by_flag": R.median_quantity_by_flag,
-        "embedding_neardup": R.embedding_neardup,         # rows-only
-        # sketches + flagship
-        "bpe_token_count_documents": R.bpe_token_count_documents,  # oracled
-        "term_frequency_documents": R.term_frequency_documents,  # oracled
+        # --- driver-lens block 1: round-3 additions, never driver-checked
         "clean_documents": R.clean_documents,             # oracled
         "chunk_documents": R.chunk_documents,             # oracled
         "events_value_delta": R.events_value_delta,       # oracled
@@ -100,9 +53,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customers_no_bigorder": R.customers_no_bigorder,  # oracled
         "quantity_quantiles_by_flag": R.quantity_quantiles_by_flag,  # oracled
-        "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
-        "validate_images_synth": R.validate_images_synth,  # rows-only
-        # round-3 batch 2: clustering + corpus-curation operators
         "neardup_components_documents": R.neardup_components_documents,  # oracled
         "dup_passages_documents": R.dup_passages_documents,  # oracled
         "decontam_documents": R.decontam_documents,       # oracled
@@ -122,10 +72,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
         "dedup_events_window": R.dedup_events_window,     # oracled
         "curate_documents": R.curate_documents,           # oracled e2e
+        # --- driver-lens block 2: NEW this round (oracled)
+        "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
+        "ann_ivf_fullprobe_embeddings":
+            R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
+        # --- driver-lens block 3: rows-only queries never driver-checked
+        "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
+        "validate_images_synth": R.validate_images_synth,  # rows-only
         "incremental_minhash_documents":
             R.incremental_minhash_documents,              # rows-only (LSH)
         "incremental_embedding_documents":
             R.incremental_embedding_documents,            # rows-only (LSH)
+        # --- driver-lens block 4: representative long-green queries
+        # (rule-set validation, SURVEY §2.2-2.3)
+        "validate_lineitem": R.validate_lineitem,
+        "validate_orders": R.validate_orders,
+        "validate_documents": R.validate_documents,
+        "validate_events_conditional": R.validate_events_conditional,
+        # (table-level checks, SURVEY §2.6)
+        "uniqueness_lineitem_orderkey": R.uniqueness_lineitem_orderkey,
+        "referential_lineitem_orders": R.referential_lineitem_orders,
+        "column_stats_lineitem": R.column_stats_lineitem,
+        # (aggregation / join / window / asof)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "events_hourly": R.events_hourly,
+        "events_sessions": R.events_sessions,
+        "orders_customer_join": R.orders_customer_join,  # oracled
+        "events_last_order": R.events_last_order,
+        "hopping_window_events": R.hopping_window_events,
+        # (embeddings + dedup)
+        "ann_topk_embeddings": R.ann_topk_embeddings,     # oracled (exact)
+        "dedup_exact_documents": R.dedup_exact_documents,
+        # ------- entries below are outside the driver's first-50 window
+        "uniqueness_customer_custkey": R.uniqueness_customer_custkey,
+        "segment_order_stats": R.segment_order_stats,
+        "brand_quantity": R.brand_quantity,
+        "topk_orders": R.topk_orders,
+        "region_customer_rollup": R.region_customer_rollup,
+        "union_keys": R.union_keys,
+        "distinct_event_types": R.distinct_event_types,
+        "events_filter_project": R.events_filter_project,
+        "orders_running_total": R.orders_running_total,
+        "drift_events_value": R.drift_events_value,   # rows-only
+        "fingerprint_documents": R.fingerprint_documents,  # rows-only
+        "token_count_documents": R.token_count_documents,
+        "quality_documents": R.quality_documents,
+        "lang_distribution": R.lang_distribution,
+        "langid_documents": R.langid_documents,           # oracled (r3)
+        "simhash_documents": R.simhash_documents,         # rows-only
+        "minhash_neardup_documents": R.minhash_neardup_documents,  # rows-only
+        "neardup_verified_documents": R.neardup_verified_documents,  # rows-only
+        "ngram_jaccard_documents": R.ngram_jaccard_documents,  # oracled
+        "lineitem_orders_priority_revenue": R.lineitem_orders_priority_revenue,  # oracled
+        "simhash_neardup_documents": R.simhash_neardup_documents,  # rows-only
+        "validate_lineitem_dates": R.validate_lineitem_dates,
+        "validate_lineitem_dates_core": R.validate_lineitem_dates_core,
+        "embedding_neardup_exact": R.embedding_neardup_exact,  # oracled
+        "ann_ivf_embeddings": R.ann_ivf_embeddings,       # rows-only
+        "ann_ivf_index_embeddings": R.ann_ivf_index_embeddings,  # rows-only
+        "image_features_synth": R.image_features_synth,   # rows-only
+        "events_orders_90d": R.events_orders_90d,
+        "top3_orders_per_segment": R.top3_orders_per_segment,
+        "quantity_stats_by_flag": R.quantity_stats_by_flag,
+        "distinct_parts_per_flag": R.distinct_parts_per_flag,
+        "median_quantity_by_flag": R.median_quantity_by_flag,
+        "embedding_neardup": R.embedding_neardup,         # rows-only
+        "bpe_token_count_documents": R.bpe_token_count_documents,  # oracled
+        "term_frequency_documents": R.term_frequency_documents,  # oracled
     }
 
 
@@ -234,6 +247,37 @@ SELECT l_returnflag,
        CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
+        # IVF probing every cell must equal exact brute force — the same
+        # ground-truth SQL as ann_topk pins the IVF machinery exactly
+        "ann_ivf_fullprobe_embeddings": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(s, 6) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+        "unigram_logprob_documents": """
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term),
+c AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(floor(10000 * sum(tf.tf * ln(c.c / tot.t)) / sum(tf.tf))
+            AS BIGINT) AS logprob_bp
+FROM tf JOIN c USING (term) CROSS JOIN tot
+GROUP BY tf.doc_id ORDER BY tf.doc_id""",
         "ann_topk_embeddings": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
            FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -900,6 +900,21 @@ def ann_ivf_embeddings(sf_dir: str):
     return out
 
 
+def ann_ivf_fullprobe_embeddings(sf_dir: str):
+    """IVF top-k probing EVERY cell (nprobe = ncells): cell partitioning
+    must lose NOTHING relative to exact brute force, so this query is
+    ORACLED against the same SQL ground truth as ann_topk — it pins the
+    whole IVF machinery (assignment, per-cell scoring, deterministic
+    (score desc, id) merge) exactly; the nprobe<ncells variants stay
+    rows-only (approximate by construction)."""
+    from ..ann import ivf_topk
+    vecs, ids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, vecs, query_ids=ids, k=10, ncells=16, nprobe=16)
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def ann_ivf_index_embeddings(sf_dir: str):
     """Materialized IVF: build the cell-partitioned index once (per sf_dir
     content, cached under /tmp), probe reading only nprobe cells
@@ -1006,6 +1021,15 @@ def term_frequency_documents(sf_dir: str):
     from ..text.transform import term_frequency
     return term_frequency(_read(sf_dir, "documents", columns=["text"]),
                           top_n=50)
+
+
+def unigram_logprob_documents(sf_dir: str):
+    """Per-doc mean unigram log-probability under the corpus's own LM
+    (CCNet-style quality score) — oracled: whitespace tokens and libm
+    ln on both sides, floor basis points like tfidf."""
+    from ..text.transform import unigram_logprob
+    return unigram_logprob(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]))
 
 
 def clean_documents(sf_dir: str):

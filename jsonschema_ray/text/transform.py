@@ -225,3 +225,76 @@ def tfidf(ds, n_docs: int, id_col: str = "doc_id", text_col: str = "text",
 
     return joined.map_batches(score, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                    ndigits: int = 4):
+    """Per-document mean unigram log-probability under the corpus's OWN
+    unigram LM (the CCNet-style quality score): p(term) =
+    count(term)/total over the whole corpus, score =
+    ``floor(10^ndigits · Σ tf·ln p / Σ tf)`` as int64 basis points
+    (SQL-reproducible — both engines use libm ``log``). Docs with zero
+    tokens have no defined mean and drop out, matching the SQL oracle.
+
+    Plan (token stream never shuffles): per-batch exact (doc, term, tf)
+    partials (a doc is one row, so partials are globally exact), corpus
+    term counts via groupby(term).sum over those partials
+    (vocabulary-sized, MATERIALIZED once so the total-token scalar is a
+    metadata sum, not a third token pass), a size-chosen equi-join of
+    the tf stream against the counts (broadcast under the cap), then a
+    per-(doc, batch) combiner before the doc-sized grouped sum. Like
+    tfidf above, the tf map itself runs twice (once feeding the counts,
+    once feeding the join) — the cheap stateless pass, never a shuffle.
+    """
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from ..joins import equi_join
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(_tf_partials, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = tf.groupby("term").aggregate(Sum("tf", alias_name="c")) \
+        .materialize()
+    total = float(counts.sum("c") or 0.0)
+    if total == 0.0:
+        import ray.data as rd
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=id_type),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "logprob_bp": pa.array([], type=pa.int64())}))
+    joined = equi_join(tf, counts, on="term")
+
+    def doc_partials(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cv = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({id_col: _combine(b[id_col]),
+                      "w": pa.array(tfv * np.log(cv / total)),
+                      "n": _combine(b["tf"])})
+        g = t.group_by([id_col]).aggregate([("w", "sum"), ("n", "sum")])
+        # select by NAME: pyarrow group_by key/aggregate column order
+        # differs across versions
+        return g.select([id_col, "w_sum", "n_sum"])
+
+    parts = joined.map_batches(doc_partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = parts.groupby(id_col).aggregate(
+        Sum("w_sum", alias_name="w"), Sum("n_sum", alias_name="n"))
+    scale = 10 ** ndigits
+
+    def finish(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: _combine(b[id_col]),
+            "n_tokens": pa.array(n.astype(np.int64)),
+            "logprob_bp": pa.array(
+                np.floor(scale * w / n.astype(np.float64))
+                .astype(np.int64)),
+        })
+
+    # stays a streaming Dataset: the per-doc result is corpus-sized at
+    # 10^12 docs — never driver-resident here (callers collect if small)
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

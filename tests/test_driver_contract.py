@@ -84,6 +84,7 @@ def oracle_pairs():
     "dedup_neardup_keep_documents", "rollup_orders_segment_priority",
     "chi2_events", "events_percent_rank", "split_documents",
     "quality_filter_documents",
+    "unigram_logprob_documents", "ann_ivf_fullprobe_embeddings",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
