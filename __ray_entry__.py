@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
+        "customer_order_counts": R.customer_order_counts,  # oracled
+        "hot_users_events": R.hot_users_events,          # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only
@@ -247,6 +249,17 @@ SELECT l_returnflag,
        CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
+        "customer_order_counts": """
+SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+        "hot_users_events": """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM events)
+SELECT user_id, n, CAST(floor(10000 * n / tot) AS BIGINT) AS share_bp
+FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT 10""",
         # IVF probing every cell must equal exact brute force — the same
         # ground-truth SQL as ann_topk pins the IVF machinery exactly
         "ann_ivf_fullprobe_embeddings": """

@@ -1023,6 +1023,83 @@ def term_frequency_documents(sf_dir: str):
                           top_n=50)
 
 
+def customer_order_counts(sf_dir: str):
+    """Per-customer count of URGENT orders INCLUDING zero-count
+    customers (~13% of customers have none at sf0.01, so the outer
+    branch is genuinely exercised) — the oracled LEFT OUTER equi-join
+    (equi_join picks broadcast vs shuffle by measured size). Combiner
+    partials make the joined right side customer-sized; the orders
+    stream itself never shuffles and the priority filter is applied
+    at the scan."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["o_custkey"]).group_by(["o_custkey"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["c_custkey", "n_part"])
+
+    counts = orders.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("c_custkey") \
+        .aggregate(Sum("n_part", alias_name="n_orders"))
+    from ..joins import equi_join
+    j = equi_join(cust, counts, on="c_custkey", how="left_outer")
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "n_orders": pc.cast(pc.fill_null(b["n_orders"], 0),
+                                pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def hot_users_events(sf_dir: str):
+    """Hot-key detector (skew diagnostics): top-10 user_ids by event
+    count with traffic share in basis points — the report a shuffle
+    planner consults before salting a hot key. Per-batch combiner
+    partials → user-sized groupby → per-block local top-k →
+    O(blocks·k) driver merge; the event stream never shuffles and the
+    full user set is never driver-resident."""
+    import functools
+
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    total = float(ds.count())  # parquet metadata, not a scan
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["user_id"]).group_by(["user_id"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n_part"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Sum("n_part", alias_name="n"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n", "user_id"], ascending=[False, True],
+            kind="mergesort").head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    surv = counts.map_batches(local_topk, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    top = surv.sort_values(["n", "user_id"], ascending=[False, True],
+                           kind="mergesort").head(10) \
+        .reset_index(drop=True)
+    top["share_bp"] = np.floor(
+        10000 * top["n"].to_numpy(dtype=np.float64) / total) \
+        .astype(np.int64)
+    top["n"] = top["n"].astype("int64")
+    return top[["user_id", "n", "share_bp"]]
+
+
 def unigram_logprob_documents(sf_dir: str):
     """Per-doc mean unigram log-probability under the corpus's own LM
     (CCNet-style quality score) — oracled: whitespace tokens and libm

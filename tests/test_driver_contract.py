@@ -85,6 +85,7 @@ def oracle_pairs():
     "chi2_events", "events_percent_rank", "split_documents",
     "quality_filter_documents",
     "unigram_logprob_documents", "ann_ivf_fullprobe_embeddings",
+    "customer_order_counts", "hot_users_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
