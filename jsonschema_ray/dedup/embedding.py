@@ -375,6 +375,13 @@ def write_embedding_index(ds, out_dir: str, vec_col: str = "embedding",
         # flat-values list construction — no per-row Python lists on the
         # corpus-sized write; plain list<float> (not fixed-size) so empty
         # blocks with unknown dim share the schema
+        if u.size >= (1 << 31):  # int32 list offsets would wrap; a
+            # LargeList block would break schema unification with the
+            # int32 blocks, so refuse loudly (unreachable with Ray's
+            # default ~128 MB block sizing — needs one 8 GB+ block)
+            raise ValueError(
+                f"single block carries {u.size} floats ≥ 2^31 — "
+                "lower the block/batch size for write_embedding_index")
         offs = pa.array(np.arange(len(u) + 1, dtype=np.int32)
                         * (u.shape[1] if u.size else 0))
         flat = pa.array(u.ravel(), type=pa.float32())
@@ -392,7 +399,7 @@ def write_embedding_index(ds, out_dir: str, vec_col: str = "embedding",
     if n == 0:
         for f in files:
             os.remove(f)
-    elif dim is None:
+    else:
         for f in files:  # dim from the first written row (one page read)
             pf = _pq.ParquetFile(f)
             for rb in pf.iter_batches(batch_size=1, columns=["unit"]):
@@ -460,16 +467,12 @@ def _incremental_embedding_joined(pairs, new_src, seen, *, vec_col,
                                   id_col, seen_id_col, threshold,
                                   num_partitions, empty) -> pd.DataFrame:
     """Distributed degrade path for :func:`incremental_embedding_neardup`
-    (candidate pairs exceeded ``gather_cap``): partitioned pair dedup +
-    two hash joins attaching the unit vectors, exact cosine per joined
-    row — only the THRESHOLDED result is ever collected."""
+    (candidate pairs exceeded ``gather_cap``): the shared
+    pairsops.cross_pairs_joined skeleton (partitioned pair dedup + two
+    hash joins + thresholded collect) with unit-vector payloads."""
     import functools
 
-    from .pairsops import distinct_pairs
-    if pairs.count() == 0:  # a zero-group shuffle loses the join schema
-        return empty
-    pairs = distinct_pairs(pairs, ["nkey", "skey"], num_partitions)
-    jp = max(2, num_partitions // 16)
+    from .pairsops import cross_pairs_joined
     nunit = new_src.map_batches(
         functools.partial(_inc_new_units_batch, vec_col=vec_col,
                           id_col=id_col),
@@ -478,16 +481,10 @@ def _incremental_embedding_joined(pairs, new_src, seen, *, vec_col,
         functools.partial(_inc_seen_units_batch,
                           seen_id_col=seen_id_col),
         batch_format="pyarrow", zero_copy_batch=True)
-    left = pairs.join(nunit, "inner", jp, on=("nkey",))
-    both = left.join(sunit, "inner", jp, on=("skey",))
-    cos = both.map_batches(
+    return cross_pairs_joined(
+        pairs, nunit, sunit,
         functools.partial(_inc_pair_cos_batch, threshold=threshold),
-        batch_format="pyarrow", zero_copy_batch=True)
-    out = cos.to_pandas()
-    if out.empty or "new_id" not in out.columns:
-        return empty
-    return out.drop_duplicates(["new_id", "seen_id"]) \
-        .sort_values(["new_id", "seen_id"]).reset_index(drop=True)
+        num_partitions, empty)
 
 
 def incremental_embedding_neardup(new_ds, index_dir: str,
@@ -680,21 +677,12 @@ def incremental_embedding_neardup(new_ds, index_dir: str,
     nhi = np.searchsorted(nkeys, pn, side="right")
     slo = np.searchsorted(skeys, ps, side="left")
     shi = np.searchsorted(skeys, ps, side="right")
-    # vectorized n-major expansion of every (new row × seen row)
-    # combination per pair — duplicate ids share a key (see the
-    # minhash counterpart for the rationale; no per-pair Python loop)
-    tot = (nhi - nlo) * (shi - slo)
-    total = int(tot.sum())
-    if total == 0:
+    from .pairsops import expand_pair_ranges
+    ni, si = expand_pair_ranges(nlo, nhi, slo, shi)
+    if len(ni) == 0:
         return empty
-    prep = np.repeat(np.arange(len(pdf), dtype=np.int64), tot)
-    firsts = np.concatenate(([0], np.cumsum(tot)[:-1]))
-    slot = np.arange(total, dtype=np.int64) - np.repeat(firsts, tot)
-    scnt_p = (shi - slo)[prep]
-    ni = nlo[prep] + slot // scnt_p
-    si = slo[prep] + slot % scnt_p
     parts = []
-    for lo in range(0, total, 16_384):  # LLC-sized gather chunks
+    for lo in range(0, len(ni), 16_384):  # LLC-sized gather chunks
         parts.append((nmat[ni[lo:lo + 16_384]] *
                       smat[si[lo:lo + 16_384]]).sum(axis=1))
     cos = np.concatenate(parts)

@@ -823,19 +823,12 @@ def _incremental_minhash_joined(pairs, new_src, seen_sigs, *, text_col,
                                 bands, threshold, num_partitions,
                                 empty) -> pd.DataFrame:
     """Distributed degrade path for :func:`incremental_minhash_neardup`
-    (candidate pairs exceeded ``gather_cap``): dedup the pair set with
-    one partitioned shuffle, attach both sides' signatures with two
-    hash joins (the cross-side variant of minhash_near_duplicates'
-    join fallback, minhash.py pair-join pattern), estimate per joined
-    row. Nothing candidate- or corpus-proportional lands on the driver
-    — only the THRESHOLDED result is collected (the output contract)."""
+    (candidate pairs exceeded ``gather_cap``): the shared
+    pairsops.cross_pairs_joined skeleton (partitioned pair dedup + two
+    hash joins + thresholded collect) with minhash signature payloads."""
     import functools
 
-    from .pairsops import distinct_pairs
-    if pairs.count() == 0:  # a zero-group shuffle loses the join schema
-        return empty
-    pairs = distinct_pairs(pairs, ["nkey", "skey"], num_partitions)
-    jp = max(2, num_partitions // 16)
+    from .pairsops import cross_pairs_joined
     nsig = new_src.map_batches(
         functools.partial(_inc_new_sigs_batch, text_col=text_col,
                           id_col=id_col, num_hashes=num_hashes, k=k,
@@ -845,17 +838,11 @@ def _incremental_minhash_joined(pairs, new_src, seen_sigs, *, text_col,
         functools.partial(_inc_seen_sigs_batch, seen_id_col=seen_id_col,
                           num_hashes=num_hashes),
         batch_format="pyarrow", zero_copy_batch=True)
-    left = pairs.join(nsig, "inner", jp, on=("nkey",))
-    both = left.join(ssig, "inner", jp, on=("skey",))
-    est = both.map_batches(
+    return cross_pairs_joined(
+        pairs, nsig, ssig,
         functools.partial(_inc_pair_est_batch, threshold=threshold,
                           num_hashes=num_hashes),
-        batch_format="pyarrow", zero_copy_batch=True)
-    out = est.to_pandas()
-    if out.empty or "new_id" not in out.columns:
-        return empty
-    return out.drop_duplicates(["new_id", "seen_id"]) \
-        .sort_values(["new_id", "seen_id"]).reset_index(drop=True)
+        num_partitions, empty)
 
 
 def incremental_minhash_neardup(new_ds, sig_dir: str,
@@ -894,6 +881,7 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
 
     from ..util import auto_partitions, partitioned_group_apply, \
         worker_cached
+    from .pairsops import expand_pair_ranges as pairsops_expand
     num_partitions = num_partitions or auto_partitions()
     with open(os.path.join(sig_dir, "_META.json")) as f:
         meta = _json.load(f)
@@ -1023,22 +1011,11 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
     nhi = np.searchsorted(nkeys, pn, side="right")
     slo = np.searchsorted(skeys, ps, side="left")
     shi = np.searchsorted(skeys, ps, side="right")
-    # each pair expands to ALL (new row × seen row) combinations —
-    # duplicate ids share a key, and estimating against only the first
-    # row would miss a true duplicate hiding behind a same-id decoy.
-    # Fully vectorized n-major expansion (no per-pair Python loop).
-    tot = (nhi - nlo) * (shi - slo)
-    total = int(tot.sum())
-    if total == 0:
+    ni, si = pairsops_expand(nlo, nhi, slo, shi)
+    if len(ni) == 0:
         return empty
-    prep = np.repeat(np.arange(len(pdf), dtype=np.int64), tot)
-    firsts = np.concatenate(([0], np.cumsum(tot)[:-1]))
-    slot = np.arange(total, dtype=np.int64) - np.repeat(firsts, tot)
-    scnt_p = (shi - slo)[prep]
-    ni = nlo[prep] + slot // scnt_p
-    si = slo[prep] + slot % scnt_p
     parts = []
-    for lo in range(0, total, 16_384):  # LLC-sized gather chunks
+    for lo in range(0, len(ni), 16_384):  # LLC-sized gather chunks
         parts.append((nmat[ni[lo:lo + 16_384]] ==
                       smat[si[lo:lo + 16_384]]).mean(axis=1))
     est = np.concatenate(parts)

@@ -1067,8 +1067,6 @@ def hot_users_events(sf_dir: str):
     partials → user-sized groupby → per-block local top-k →
     O(blocks·k) driver merge; the event stream never shuffles and the
     full user set is never driver-resident."""
-    import functools
-
     from ray.data.aggregate import Sum
     ds = _read(sf_dir, "events", columns=["user_id"])
     total = float(ds.count())  # parquet metadata, not a scan
@@ -1090,6 +1088,12 @@ def hot_users_events(sf_dir: str):
 
     surv = counts.map_batches(local_topk, batch_format="pyarrow",
                               zero_copy_batch=True).to_pandas()
+    if surv.empty or "n" not in surv.columns:
+        # empty events table: a zero-group shuffle can surface as a
+        # column-less frame — return the typed empty top-10
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "share_bp": pd.Series([], dtype="int64")})
     top = surv.sort_values(["n", "user_id"], ascending=[False, True],
                            kind="mergesort").head(10) \
         .reset_index(drop=True)

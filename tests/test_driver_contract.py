@@ -121,6 +121,29 @@ def test_rows_only_queries(name, min_rows):
     assert len(got) >= min_rows, f"{name}: only {len(got)} rows"
 
 
+def test_hot_users_empty_events(tmp_path):
+    """Zero-row events table: the hot-key detector returns the typed
+    empty top-10 instead of KeyError on a column-less frame (round-4
+    review pin)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.relational import hot_users_events
+    pq.write_table(pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "user_id": pa.array([], type=pa.int64()),
+        "event_type": pa.array([], type=pa.string()),
+        "value": pa.array([], type=pa.float64()),
+        "props": pa.array([], type=pa.string())}),
+        os.path.join(tmp_path, "events.parquet"))
+    out = hot_users_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["user_id", "n", "share_bp"]
+
+
 def test_entry_smoke():
     import __ray_entry__ as E
     res = to_pandas(E.entry())
