@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
         "customer_order_counts": R.customer_order_counts,  # oracled
         "hot_users_events": R.hot_users_events,          # oracled
+        "label_centroids_embeddings":
+            R.label_centroids_embeddings,                # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only
@@ -249,6 +251,16 @@ SELECT l_returnflag,
        CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS median_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
+        "label_centroids_embeddings": """
+WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                  unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(floor(10000 * sum(CAST(v AS DOUBLE)) / count(*)) AS BIGINT)
+         AS mean_bp,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY label, dim ORDER BY label, dim""",
         "customer_order_counts": """
 SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
 FROM customer c LEFT JOIN orders o

@@ -900,6 +900,59 @@ def ann_ivf_embeddings(sf_dir: str):
     return out
 
 
+def label_centroids_embeddings(sf_dir: str):
+    """Per-label embedding centroid (the class-prototype statistic an
+    IVF trainer or embedding-drift monitor consumes): mean of every
+    dimension per label, in basis points. Per-batch partial sums via a
+    sorted reduceat (one pass over the batch matrix) — the vectors
+    themselves never shuffle; only (labels × dim) partial rows do."""
+    from ray.data.aggregate import Sum
+
+    from ..ann.search import embedding_matrix
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        M = embedding_matrix(b.column("embedding"))  # (n, d) float64
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        k, d = len(ulab), (M.shape[1] if len(M) else 0)
+        if k == 0 or d == 0:
+            return pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "sum_part": pa.array([], type=pa.float64()),
+                "n_part": pa.array([], type=pa.int64())})
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(k))
+        sums = np.add.reduceat(M[order], starts, axis=0)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    k)),
+            "sum_part": pa.array(sums.ravel()),
+            "n_part": pa.array(np.repeat(cnt, d)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("sum_part", alias_name="s"),
+                   Sum("n_part", alias_name="n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "label": b["label"], "dim": b["dim"],
+            "mean_bp": pa.array(np.floor(10000 * s / n)
+                                .astype(np.int64)),
+            "n": pa.array(n.astype(np.int64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def ann_ivf_fullprobe_embeddings(sf_dir: str):
     """IVF top-k probing EVERY cell (nprobe = ncells): cell partitioning
     must lose NOTHING relative to exact brute force, so this query is

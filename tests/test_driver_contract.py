@@ -86,6 +86,7 @@ def oracle_pairs():
     "quality_filter_documents",
     "unigram_logprob_documents", "ann_ivf_fullprobe_embeddings",
     "customer_order_counts", "hot_users_events",
+    "label_centroids_embeddings",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
