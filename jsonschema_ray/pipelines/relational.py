@@ -359,6 +359,9 @@ def events_sessions(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        # a NaT ts cannot be sessionized — and NaT.astype(int64) wraps
+        # to -2^63, fabricating a session break via int overflow
+        df = df[df["ts"].notna()]
         df = df.sort_values(["user_id", "ts", "event_id"])
         us = df["ts"].astype("int64").to_numpy()
         uid = df["user_id"].to_numpy()
@@ -443,13 +446,16 @@ def hopping_window_events(sf_dir: str, window_us: int = 3_600_000_000,
     rows, narrow) followed by a per-batch partial aggregation, so the
     shuffle moves one row per (window, batch) — the same combiner
     discipline as grouped_agg."""
-    import functools
-
     from ray.data.aggregate import Sum
     ds = _read(sf_dir, "events", columns=["ts", "value"])
-    nwin = window_us // slide_us
+    # CEIL, not floor: with slide ∤ window a floor drops the oldest
+    # window each event belongs to (the `keep` filter culls overshoot)
+    nwin = -(-window_us // slide_us)
 
     def explode_partial(b: pa.Table) -> pa.Table:
+        if b["ts"].null_count:  # a null ts belongs to no window, and a
+            # null-bearing int64 to_numpy would promote the key to float
+            b = b.filter(pc.is_valid(b["ts"]))
         us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         val = b["value"].to_numpy(zero_copy_only=False)
         smax = np.floor_divide(us, slide_us)
@@ -459,7 +465,10 @@ def hopping_window_events(sf_dir: str, window_us: int = 3_600_000_000,
             keep = s * slide_us > us - window_us  # window start in range
             parts.append(pa.table({
                 "window_start": pa.array(s[keep] * slide_us),
-                "_v": pa.array(val[keep]),
+                # from_pandas=True: NaN (null value) → arrow null, so the
+                # sum ignores it (SQL SUM) while count_all still counts
+                # the event row (SQL COUNT(*))
+                "_v": pa.array(val[keep], from_pandas=True),
             }))
         t = pa.concat_tables(parts)
         agg = t.group_by(["window_start"]).aggregate(
@@ -483,8 +492,6 @@ def quantity_stats_by_flag(sf_dir: str):
     """Grouped mean + population stddev (ORACLED): per-batch
     (n, sum, sum-of-squares) partials — the shuffle moves three numbers
     per (group, batch); moments combine exactly."""
-    import functools
-
     from ray.data.aggregate import Sum
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
 
@@ -968,27 +975,44 @@ def ann_ivf_fullprobe_embeddings(sf_dir: str):
     return out
 
 
-def ann_ivf_index_embeddings(sf_dir: str):
-    """Materialized IVF: build the cell-partitioned index once (per sf_dir
-    content, cached under /tmp), probe reading only nprobe cells
-    (rows-only: approximate by construction)."""
+def _content_cached_dir(src_path: str, settings: str, base: str,
+                        build_fn) -> str:
+    """Shared /tmp cache for persisted indexes, keyed by CONTENT
+    (path|size|mtime_ns) AND the build settings — a regenerated corpus
+    at the same path, or a settings change, gets a fresh build (the r4
+    review found one copy omitting settings from its tag, silently
+    reusing a stale index after a parameter change). ``build_fn(dir)``
+    runs once; the ``_DONE`` marker gates reuse so a torn build
+    rebuilds rather than being trusted."""
     import hashlib
+    import os
+    import shutil
+    st = os.stat(src_path)
+    tag = hashlib.sha1(
+        f"{src_path}|{st.st_size}|{st.st_mtime_ns}|{settings}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(base, tag)
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        shutil.rmtree(d, ignore_errors=True)
+        build_fn(d)
+        open(os.path.join(d, "_DONE"), "w").write("ok")
+    return d
+
+
+def ann_ivf_index_embeddings(sf_dir: str):
+    """Materialized IVF: build the cell-partitioned index once (per
+    sf_dir CONTENT + build settings, cached under /tmp), probe reading
+    only nprobe cells (rows-only: approximate by construction)."""
     import os
 
     from ..ann import IvfIndex
     vecs, ids = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # cache key covers CONTENT, not just the path: a regenerated corpus at
-    # the same path (new mtime/size) gets a fresh index
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(src)
-    tag = hashlib.sha1(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
-    idx_dir = f"/tmp/jsonschema_ray_ivf/{tag}"
-    if os.path.exists(os.path.join(idx_dir, "centroids.npy")):
-        idx = IvfIndex.load(idx_dir)
-    else:
-        idx = IvfIndex.build(ds, idx_dir, ncells=16, train_sample=20000)
+    idx_dir = _content_cached_dir(
+        os.path.join(os.path.abspath(sf_dir), "embeddings.parquet"),
+        "ivf16t20000", "/tmp/jsonschema_ray_ivf",
+        lambda d: IvfIndex.build(ds, d, ncells=16, train_sample=20000))
+    idx = IvfIndex.load(idx_dir)
     out = idx.topk(vecs, query_ids=ids, k=10, nprobe=4)
     out["score"] = out["score"].round(6)
     return out
@@ -1621,8 +1645,7 @@ def chi2_events(sf_dir: str):
     cohort independence test from one grouped-count shuffle; the driver
     walks the tiny contingency table."""
     from ..checks import chi2_contingency
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
-                                          "value"])
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def grp(b: pa.Table) -> np.ndarray:
         u = b["user_id"].to_numpy(zero_copy_only=False)
@@ -1667,6 +1690,13 @@ def percent_rank_by_value(ds, value_col: str, out_col: str = "pct_rank",
         if b[value_col].null_count:
             b = b.filter(pc.is_valid(b[value_col]))
         v = b[value_col].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            # every row was null (nulls carry no rank) or the block is
+            # empty — nothing to rank, and the histogram check below
+            # would raise spuriously on len(vals) == 0
+            cols = {c: b[c] for c in (keep_cols or b.column_names)}
+            cols[out_col] = pa.array([], type=pa.float64())
+            return pa.table(cols)
         idx = np.searchsorted(vals, v)
         if len(vals) == 0 or (idx >= len(vals)).any() \
                 or (vals[np.minimum(idx, len(vals) - 1)] != v).any():
@@ -1693,6 +1723,14 @@ def events_percent_rank(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _sql_mod(i: np.ndarray, m: int) -> np.ndarray:
+    """SQL-truncation modulo (sign follows the DIVIDEND): numpy's
+    floor-mod disagrees for negative ids (-5 % 100 = 95 vs SQL's -5),
+    which would silently desynchronize split/sample assignment from the
+    oracle on corpora with negative integer ids."""
+    return np.where(i >= 0, i % m, -((-i) % m))
+
+
 def assign_split(ds, id_col: str, val_pct: int = 10, test_pct: int = 10,
                  out_col: str = "split"):
     """Deterministic train/val/test assignment for integer ids (ORACLED:
@@ -1706,7 +1744,7 @@ def assign_split(ds, id_col: str, val_pct: int = 10, test_pct: int = 10,
     def fn(b: pa.Table, *, id_col, val_pct, test_pct,
            out_col) -> pa.Table:
         i = b[id_col].to_numpy(zero_copy_only=False)
-        bucket = i % 100
+        bucket = _sql_mod(i, 100)
         s = np.where(bucket < val_pct, "val",
                      np.where(bucket < val_pct + test_pct, "test",
                               "train"))
@@ -1735,9 +1773,11 @@ QUALITY_THRESHOLDS = dict(min_chars=100, max_chars=10000, min_tokens=10,
 
 def quality_keep_mask(col: pa.Array) -> tuple:
     """(keep mask, n_tokens int64 array) for a text column under the
-    Gopher-style QUALITY_THRESHOLDS — the ONE definition both the
-    standalone quality filter and the e2e curation pipeline apply, so
-    the two can never drift apart."""
+    Gopher-style QUALITY_THRESHOLDS — the definition the e2e curation
+    pipeline applies. quality_filter_documents deliberately re-derives
+    the same decision from quality_documents' OUTPUT columns instead:
+    both queries are independently oracled, so any drift between the
+    two shows up as a driver oracle mismatch, not silence."""
     from ..text import token_counts
     th = QUALITY_THRESHOLDS
     n = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
@@ -1825,7 +1865,7 @@ def stratified_sample(ds, group_col: str, rates_bp: dict, id_col: str,
         bp = np.where(miss, default_bp,
                       vals[np.nan_to_num(idx).astype(np.int64)])
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.filter(pa.array((ids % 100) < bp // 100))
+        return b.filter(pa.array(_sql_mod(ids, 100) < bp // 100))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -2095,7 +2135,6 @@ def incremental_minhash_documents(sf_dir: str):
     persisted once (content-keyed /tmp cache, the stored-index pattern
     of ann_ivf_index) and the last 40% arrive as a shard — pairs where
     an arriving doc's estimated jaccard against a seen doc ≥ 0.5."""
-    import hashlib
     import os
 
     from ..dedup import incremental_minhash_neardup, \
@@ -2103,22 +2142,13 @@ def incremental_minhash_documents(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n = docs.count()
     c60, c80 = int(n * 0.6), int(n * 0.8)
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    st = os.stat(src)
-    # cache key covers the minhash SETTINGS too: a stale index built
-    # with different (num_hashes, k) would silently never collide
-    tag = hashlib.sha1(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|{c80}|mh128k5".encode()
-    ).hexdigest()[:12]
-    sig_dir = f"/tmp/jsonschema_ray_mhsig/{tag}"
-    if not os.path.exists(os.path.join(sig_dir, "_DONE")):
-        import shutil
-        shutil.rmtree(sig_dir, ignore_errors=True)
-        write_minhash_signatures(
-            docs.filter(expr=f"doc_id < {c80}"), sig_dir)
-        open(os.path.join(sig_dir, "_DONE"), "w").write("ok")
-        # (_META.json + index files written atomically enough for the
-        # per-run /tmp cache; the _DONE marker gates reuse)
+    # settings in the cache key: a stale index built with different
+    # (num_hashes, k) or corpus cut would silently never collide
+    sig_dir = _content_cached_dir(
+        os.path.join(os.path.abspath(sf_dir), "documents.parquet"),
+        f"{c80}|mh128k5", "/tmp/jsonschema_ray_mhsig",
+        lambda d: write_minhash_signatures(
+            docs.filter(expr=f"doc_id < {c80}"), d))
     return incremental_minhash_neardup(
         docs.filter(expr=f"doc_id >= {c60}"), sig_dir, threshold=0.5)
 
@@ -2128,7 +2158,6 @@ def incremental_embedding_documents(sf_dir: str):
     is probabilistic): the first 80% of vectors' unit-vector index is
     persisted once (content-keyed /tmp cache) and the last 40% arrive
     as a shard — pairs with exact cosine ≥ 0.99 that share a bucket."""
-    import hashlib
     import os
 
     from ..dedup import incremental_embedding_neardup, \
@@ -2136,17 +2165,10 @@ def incremental_embedding_documents(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     n = emb.count()
     c60, c80 = int(n * 0.6), int(n * 0.8)
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(src)
-    tag = hashlib.sha1(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|{c80}|emb".encode()
-    ).hexdigest()[:12]
-    idx_dir = f"/tmp/jsonschema_ray_embidx/{tag}"
-    if not os.path.exists(os.path.join(idx_dir, "_DONE")):
-        import shutil
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        write_embedding_index(
-            emb.filter(expr=f"vec_id < {c80}"), idx_dir)
-        open(os.path.join(idx_dir, "_DONE"), "w").write("ok")
+    idx_dir = _content_cached_dir(
+        os.path.join(os.path.abspath(sf_dir), "embeddings.parquet"),
+        f"{c80}|emb", "/tmp/jsonschema_ray_embidx",
+        lambda d: write_embedding_index(
+            emb.filter(expr=f"vec_id < {c80}"), d))
     return incremental_embedding_neardup(
         emb.filter(expr=f"vec_id >= {c60}"), idx_dir, threshold=0.99)
