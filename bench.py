@@ -151,6 +151,12 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.neardup_components_documents(sf_dir)))
     timed("pack_documents", lambda: len(R.pack_documents(sf_dir)))
     timed("curate_documents", lambda: len(R.curate_documents(sf_dir)))
+    timed("unigram_logprob_documents",
+          lambda: R.unigram_logprob_documents(sf_dir).count())
+    timed("label_centroids_embeddings",
+          lambda: R.label_centroids_embeddings(sf_dir).count())
+    timed("customer_order_counts",
+          lambda: R.customer_order_counts(sf_dir).count())
 
     headline = timings["flagship_images"]
     out = {

@@ -47,6 +47,67 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
+_RESERVED_COLS = ("_by", "_on", "_ord", "_part")
+_EXACT_INT_BOUND = 1 << 53
+
+
+def _check_names(left_names, out_names, ctx: str):
+    """The co-partitioned joins stage internal columns (_by/_on/_ord,
+    plus partitioned_group_apply's _part) and write output value
+    columns next to the left payload — a user column with one of those
+    names would be silently overwritten or dropped. Refuse loudly."""
+    clash = set(_RESERVED_COLS) & set(left_names)
+    if clash:
+        raise ValueError(f"{ctx}: left columns {sorted(clash)} collide "
+                         "with internal join columns — rename them")
+    out_clash = set(out_names) & set(left_names)
+    if out_clash:
+        raise ValueError(f"{ctx}: output columns {sorted(out_clash)} "
+                         "collide with existing left columns — rename "
+                         "the left columns or pick other value_cols")
+
+
+def _guard_exact_ints(b: pa.Table, cols, ctx: str):
+    """Integer columns ride the per-partition merge through pandas,
+    where null padding upcasts them to float64 — a value past ±2^53
+    would come back silently ROUNDED after the restore cast. Refuse
+    loudly instead (one vectorized min_max per integer column per
+    batch); callers with snowflake-scale ids cast to string or
+    decimal128 before the join."""
+    for c in cols:
+        col = b[c]
+        if not pa.types.is_integer(col.type) or b.num_rows == 0:
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if (hi is not None and hi > _EXACT_INT_BOUND) or \
+                (lo is not None and lo < -_EXACT_INT_BOUND):
+            raise ValueError(
+                f"{ctx}: integer column {c!r} holds values beyond "
+                "±2^53; the pandas merge would silently round them — "
+                "cast the column to string or decimal128 first")
+
+
+def _restore_fn(out_fields, ctx: str):
+    """Cast the merged (pandas-typed) blocks back to the declared Arrow
+    types, turning an impossible cast (e.g. an object column that was
+    not actually strings) into a named error instead of a bare
+    ArrowNotImplementedError from deep inside the plan."""
+    def restore(b: pa.Table) -> pa.Table:
+        cols = {}
+        for f in out_fields:
+            try:
+                cols[f.name] = b[f.name].cast(f.type, safe=False)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                raise TypeError(
+                    f"{ctx}: column {f.name!r} could not be restored to "
+                    f"its declared type {f.type} — pandas-block object "
+                    "columns must hold strings (cast other object "
+                    "payloads upstream)") from e
+        return pa.table(cols)
+    return restore
+
+
 def _sortable_kind(t: pa.DataType, name: str) -> str:
     if pa.types.is_timestamp(t) or pa.types.is_date(t) \
             or pa.types.is_integer(t):
@@ -96,6 +157,8 @@ def asof_join(left, right, by: str, on: str, right_by: str = None,
     left_names = list(lschema.names)
     out_val = {c: (c if c not in left_names else c + "_r")
                for c in value_cols}
+    _check_names(left_names,
+                 [v for k, v in out_val.items() if v != k], "asof_join")
     vtypes = {c: rschema.field(c).type for c in value_cols}
     on_type = _resolve_on_type(lschema.field(on).type,
                                rschema.field(right_on).type, on, right_on)
@@ -105,6 +168,7 @@ def asof_join(left, right, by: str, on: str, right_by: str = None,
     right_first = 0 if inclusive else 2  # sort order at equal `on`
 
     def prep_left(b: pa.Table) -> pa.Table:
+        _guard_exact_ints(b, left_names + [by], "asof_join")
         n = b.num_rows
         cols = {nm: b[nm] for nm in left_names}
         cols["_by"] = b[by]
@@ -118,6 +182,7 @@ def asof_join(left, right, by: str, on: str, right_by: str = None,
         # drop right rows with null key/time: they can never match
         keep = pc.and_(pc.is_valid(b[right_by]), pc.is_valid(b[right_on]))
         b = b.filter(keep)
+        _guard_exact_ints(b, value_cols + [right_by], "asof_join")
         n = b.num_rows
         cols = {}
         for nm in left_names:
@@ -166,16 +231,13 @@ def asof_join(left, right, by: str, on: str, right_by: str = None,
                                      num_partitions=num_partitions,
                                      batch_size=batch_size)
 
-    # pandas null-padding upcasts int64 left columns to float64 inside the
-    # merge; restore the declared Arrow types (values are exact integers)
+    # pandas null-padding upcasts int64 left columns to float64 inside
+    # the merge; restore the declared Arrow types (exact by the ±2^53
+    # guard in the preps)
     out_fields = [lschema.field(nm) for nm in left_names] + \
         [pa.field(out_val[c], vtypes[c]) for c in value_cols]
-
-    def restore(b: pa.Table) -> pa.Table:
-        return pa.table({f.name: b[f.name].cast(f.type, safe=False)
-                         for f in out_fields})
-
-    return joined.map_batches(restore, batch_format="pyarrow",
+    return joined.map_batches(_restore_fn(out_fields, "asof_join"),
+                              batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
 
 
@@ -202,10 +264,14 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
     left_names = list(lschema.names)
+    _check_names(left_names,
+                 ["n_in_range"] + ["sum_" + c for c in sum_cols]
+                 + ["_s_" + c for c in sum_cols], "range_agg_join")
     on_type = _resolve_on_type(lschema.field(on).type,
                                rschema.field(right_on).type, on, right_on)
 
     def prep_left(b: pa.Table) -> pa.Table:
+        _guard_exact_ints(b, left_names + [by], "range_agg_join")
         cols = {nm: b[nm] for nm in left_names}
         cols["_by"] = b[by]
         cols["_on"] = _sortable(b[on], on, on_type)
@@ -218,6 +284,7 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
     def prep_right(b: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(b[right_by]), pc.is_valid(b[right_on]))
         b = b.filter(keep)
+        _guard_exact_ints(b, sum_cols + [right_by], "range_agg_join")
         n = b.num_rows
         cols = {}
         for nm in left_names:
@@ -299,16 +366,13 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
                                      batch_size=batch_size)
 
     # restore left column dtypes (pandas null-padding upcasts int64 →
-    # float64 inside the merge, same as asof_join)
+    # float64 inside the merge, same as asof_join; exact by the ±2^53
+    # guard in the preps)
     out_fields = [lschema.field(nm) for nm in left_names] + \
         [pa.field("n_in_range", pa.int64())] + \
         [pa.field("sum_" + c, pa.float64()) for c in sum_cols]
-
-    def restore(b: pa.Table) -> pa.Table:
-        return pa.table({f.name: b[f.name].cast(f.type, safe=False)
-                         for f in out_fields})
-
-    return joined.map_batches(restore, batch_format="pyarrow",
+    return joined.map_batches(_restore_fn(out_fields, "range_agg_join"),
+                              batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
 
 
@@ -355,6 +419,20 @@ def equi_join(left, right, on, how: str = "inner", right_on=None,
             def joined(b: pa.Table) -> pa.Table:
                 small = worker_cached(("equi_join", ref.hex()),
                                       lambda: ray.get(ref))
+                # Acero refuses string vs large_string key pairs, and
+                # Ray block ops can promote a LEFT block's string key
+                # per block (same class as the tfidf crash, f2138f0 —
+                # fixed here at the join itself, not per call site)
+                for lk, rk in zip(on, right_on):
+                    lt_ = b.schema.field(lk).type
+                    rt_ = small.schema.field(rk).type
+                    if lt_ != rt_ and all(
+                            pa.types.is_string(x)
+                            or pa.types.is_large_string(x)
+                            for x in (lt_, rt_)):
+                        b = b.set_column(
+                            b.schema.get_field_index(lk), lk,
+                            pc.cast(b[lk], rt_))
                 return b.join(small, keys=on, right_keys=right_on,
                               join_type=acero_type,
                               right_suffix=right_suffix)

@@ -47,6 +47,17 @@ def hash64_array(arr, seed: int = 0) -> np.ndarray:
         arr = arr.combine_chunks()
     if isinstance(arr, pa.Array):
         t = arr.type
+        if pa.types.is_temporal(t) and not pa.types.is_timestamp(t) \
+                and not pa.types.is_date(t):
+            # time32/time64/duration: to_numpy yields OBJECT arrays of
+            # datetime.time (which the numeric path can't hash) — take
+            # the exact integer representation via Arrow instead; nulls
+            # fall through to the null-bearing int branch below
+            import pyarrow.compute as pc
+            if pa.types.is_time32(t):
+                arr = pc.cast(arr, pa.int32())
+            arr = pc.cast(arr, pa.int64())
+            t = arr.type
         if (pa.types.is_integer(t) or pa.types.is_boolean(t)) \
                 and arr.null_count:
             # CRITICAL: to_numpy of a null-bearing int column yields

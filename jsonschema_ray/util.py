@@ -41,18 +41,26 @@ def worker_cached(key, factory):
     return v
 
 
+def _cluster_cpus(default: int = 8) -> int:
+    """Cluster CPU count (Ray resources when initialized, else the local
+    box) — the ONE detection both auto_partitions and
+    default_concurrency size themselves from."""
+    try:
+        import ray
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 0)) or \
+                (os.cpu_count() or default)
+        return os.cpu_count() or default
+    except Exception:  # pragma: no cover
+        return os.cpu_count() or default
+
+
 def auto_partitions(mult: int = 2, lo: int = 8, hi: int = 256) -> int:
     """Coarse-partition count sized to the cluster: ~2× the CPUs, floored
     so small clusters still get group parallelism and capped so per-group
     task overhead stays bounded. A FIXED count (the old 64) wastes task
     overhead at low parallelism and under-splits giant clusters."""
-    try:
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", 0)) \
-            if ray.is_initialized() else (os.cpu_count() or 8)
-    except Exception:  # pragma: no cover
-        cpus = os.cpu_count() or 8
-    return max(lo, min(hi, mult * cpus))
+    return max(lo, min(hi, mult * _cluster_cpus(8)))
 
 
 def add_partition_column(ds, keys: list[str], num_partitions: int,
@@ -109,28 +117,25 @@ def segment_pairs(sort_cols: list[np.ndarray], cap: int
     n = len(order)
     if n < 2:
         return (np.array([], dtype=np.int64),) * 2 + (order,)
+
+    def boundaries(cols, m):
+        """(seg_start, pos) for pre-sorted columns — position of each
+        row's segment start and its offset within the segment."""
+        new_seg = np.ones(m, dtype=bool)
+        new_seg[1:] = False
+        for c in cols:
+            new_seg[1:] |= c[1:] != c[:-1]
+        seg_start = np.nonzero(new_seg)[0][np.cumsum(new_seg) - 1]
+        return seg_start, np.arange(m, dtype=np.int64) - seg_start
+
     sorted_cols = [c[order] for c in sort_cols]
-    new_seg = np.ones(n, dtype=bool)
-    new_seg[1:] = False
-    for c in sorted_cols:
-        new_seg[1:] |= c[1:] != c[:-1]
-    starts_idx = np.nonzero(new_seg)[0]
-    seg_id = np.cumsum(new_seg) - 1
-    seg_start = starts_idx[seg_id]
-    pos = np.arange(n, dtype=np.int64) - seg_start
+    seg_start, pos = boundaries(sorted_cols, n)
     keep = pos < cap
     if not keep.all():
         order = order[keep]
         sorted_cols = [c[keep] for c in sorted_cols]
         n = len(order)
-        new_seg = np.ones(n, dtype=bool)
-        new_seg[1:] = False
-        for c in sorted_cols:
-            new_seg[1:] |= c[1:] != c[:-1]
-        starts_idx = np.nonzero(new_seg)[0]
-        seg_id = np.cumsum(new_seg) - 1
-        seg_start = starts_idx[seg_id]
-        pos = np.arange(n, dtype=np.int64) - seg_start
+        seg_start, pos = boundaries(sorted_cols, n)
     b_idx = np.repeat(np.arange(n, dtype=np.int64), pos)
     a_idx = ranges_concat(seg_start, pos)
     return a_idx, b_idx, order
@@ -160,13 +165,4 @@ def default_concurrency(cap: int = 32) -> tuple[int, int]:
     autoscaling (1, N) pool lets the streaming executor balance this stage
     against the read/write stages instead of starving them (ray_guide:
     'a pool that reserves every CPU starves the read and write stages')."""
-    try:
-        import ray
-        if ray.is_initialized():
-            cpus = int(ray.cluster_resources().get("CPU", 0)) or \
-                (os.cpu_count() or 4)
-        else:
-            cpus = os.cpu_count() or 4
-    except Exception:  # pragma: no cover
-        cpus = os.cpu_count() or 4
-    return (1, max(2, min(cap, cpus)))
+    return (1, max(2, min(cap, _cluster_cpus(4))))

@@ -1,0 +1,105 @@
+"""Round-4 review pins for joins.py + hashing.py: string/large_string
+broadcast-join keys, the ±2^53 exact-integer guard, reserved-name
+collisions, and time-of-day column hashing."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_equi_join_broadcast_large_string_key():
+    """Acero refuses string vs large_string key pairs; the broadcast
+    join now casts the left key per batch (the tfidf-crash class,
+    fixed at the join itself)."""
+    import ray.data as rd
+
+    from jsonschema_ray.joins import equi_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c"], type=pa.string()),
+        "x": pa.array([1, 2, 3], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "c"], type=pa.large_string()),
+        "y": pa.array([10, 30], type=pa.int64())}))
+    out = equi_join(left, right, on="k").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["x"].tolist() == [1, 3]
+    assert out["y"].tolist() == [10, 30]
+    # and the reverse orientation (left large_string, right string)
+    out2 = equi_join(right, left, on="k").to_pandas()
+    assert len(out2) == 2
+
+
+def test_asof_join_refuses_unsafe_int64():
+    """Integer payloads past ±2^53 would be silently rounded by the
+    pandas merge; the join now refuses loudly instead."""
+    import ray.data as rd
+
+    from jsonschema_ray.joins import asof_join
+    big = (1 << 53) + 1
+    left = rd.from_arrow(pa.table({
+        "g": pa.array([1], type=pa.int64()),
+        "t": pa.array([100], type=pa.int64()),
+        "payload": pa.array([big], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "g": pa.array([1], type=pa.int64()),
+        "t": pa.array([50], type=pa.int64()),
+        "v": pa.array([7], type=pa.int64())}))
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join(left, right, by="g", on="t",
+                  value_cols=["v"]).to_pandas()
+    # safe values still join exactly
+    left_ok = rd.from_arrow(pa.table({
+        "g": pa.array([1], type=pa.int64()),
+        "t": pa.array([100], type=pa.int64()),
+        "payload": pa.array([123], type=pa.int64())}))
+    out = asof_join(left_ok, right, by="g", on="t",
+                    value_cols=["v"]).to_pandas()
+    assert out["v"].tolist() == [7] and out["payload"].tolist() == [123]
+
+
+def test_asof_join_refuses_reserved_names():
+    import ray.data as rd
+
+    from jsonschema_ray.joins import asof_join
+    left = rd.from_arrow(pa.table({
+        "g": pa.array([1], type=pa.int64()),
+        "t": pa.array([1], type=pa.int64()),
+        "_part": pa.array([1], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "g": pa.array([1], type=pa.int64()),
+        "t": pa.array([1], type=pa.int64()),
+        "v": pa.array([1], type=pa.int64())}))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, by="g", on="t", value_cols=["v"])
+    # value-column rename colliding with an existing left column
+    left2 = rd.from_arrow(pa.table({
+        "g": pa.array([1], type=pa.int64()),
+        "t": pa.array([1], type=pa.int64()),
+        "v": pa.array([2], type=pa.int64()),
+        "v_r": pa.array([3], type=pa.int64())}))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right, by="g", on="t", value_cols=["v"])
+
+
+def test_hash64_time_and_duration_columns():
+    """time32/time64/duration columns hash (they used to crash on the
+    object-array to_numpy path), deterministically, nulls to the
+    sentinel."""
+    from jsonschema_ray.sketches.hashing import hash64_array
+    t32 = pa.array([datetime.time(1, 2, 3), None,
+                    datetime.time(23, 59, 59)], type=pa.time32("s"))
+    t64 = pa.array([datetime.time(1, 2, 3, 5)], type=pa.time64("us"))
+    dur = pa.array([datetime.timedelta(seconds=5)],
+                   type=pa.duration("us"))
+    h1, h2 = hash64_array(t32), hash64_array(t32)
+    assert (h1 == h2).all() and len(np.unique(h1)) == 3
+    assert hash64_array(t64).shape == (1,)
+    assert hash64_array(dur).shape == (1,)
+    # equal logical values hash equally across units? (not required —
+    # but the same column must be batch-split invariant)
+    hb = hash64_array(pa.concat_arrays([t32, t32]))
+    assert (hb[:3] == hb[3:]).all()
