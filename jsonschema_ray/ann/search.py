@@ -316,6 +316,10 @@ class IvfIndex:
 
         def assign(b: pa.Table, *, cref=cref) -> pa.Table:
             from ..util import worker_cached
+            if b.num_rows == 0:  # a zero-row list column infers dim 0 —
+                # the (0,0) @ (dim,ncells) matmul would crash the build
+                return b.append_column(
+                    "cell", pa.array([], type=pa.int32()))
             C = worker_cached(("ivfC", cref.hex()), lambda: ray.get(cref))
             V = _as_matrix(b.column(vec_col))
             cell = np.argmax(V @ C.T, axis=1).astype(np.int32)
@@ -329,6 +333,7 @@ class IvfIndex:
         if os.path.isdir(index_dir) and os.listdir(index_dir):
             entries = os.listdir(index_dir)
             looks_like_index = "centroids.npy" in entries or \
+                "_META.json" in entries or \
                 any(e.startswith("cell=") for e in entries)
             if not looks_like_index:
                 raise ValueError(
@@ -344,14 +349,39 @@ class IvfIndex:
             batch_size=batch_size).write_parquet(
             index_dir, partition_cols=["cell"])
         np.save(os.path.join(index_dir, "centroids.npy"), C)
+        import json as _json
+        with open(os.path.join(index_dir, "_META.json"), "w") as f:
+            _json.dump({"vec_col": vec_col, "id_col": id_col,
+                        "ncells": int(C.shape[0]),
+                        "dim": int(C.shape[1])}, f)
         return cls(index_dir, C, vec_col=vec_col, id_col=id_col)
 
     @classmethod
     def load(cls, index_dir: str, vec_col: str = "embedding",
              id_col: str = "vec_id") -> "IvfIndex":
+        import json as _json
         import os
         C = np.load(os.path.join(index_dir, "centroids.npy"))
+        meta_path = os.path.join(index_dir, "_META.json")
+        if os.path.exists(meta_path):  # legacy indexes lack _META —
+            # when present, the RECORDED columns win (a caller-side
+            # mismatch would otherwise KeyError deep inside the probe,
+            # or silently probe the wrong column)
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            vec_col = meta.get("vec_col", vec_col)
+            id_col = meta.get("id_col", id_col)
         return cls(index_dir, C, vec_col=vec_col, id_col=id_col)
+
+    def _empty_topk(self) -> pd.DataFrame:
+        """Typed empty result (rank int64 / score float64) — the same
+        shape every non-empty path produces, so schemas stay
+        data-independent."""
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            self.id_col: pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+            "rank": pd.Series([], dtype=np.int64)})
 
     def topk(self, queries, query_ids=None, k: int = 10, nprobe: int = 8,
              batch_size: int = 65536) -> pd.DataFrame:
@@ -361,6 +391,9 @@ class IvfIndex:
 
         import ray.data as rd
         Q = _as_matrix(queries)
+        if len(Q) == 0:  # (0,0) @ centroids.T is shape-incompatible —
+            # return the typed empty frame like the sibling APIs
+            return self._empty_topk()
         qids = np.asarray(query_ids if query_ids is not None
                           else np.arange(len(Q)))
         rank = np.argsort(-(Q @ self.centroids.T), axis=1)[:, :nprobe]
@@ -370,8 +403,7 @@ class IvfIndex:
                  for f in sorted(glob.glob(os.path.join(
                      self.index_dir, f"cell={c}", "*.parquet")))]
         if not files:
-            return pd.DataFrame({"query_id": [], self.id_col: [],
-                                 "score": [], "rank": []})
+            return self._empty_topk()
         ref = ray.put({"matrix": Q, "ids": qids, "probe_sets": probe_sets})
         cells_ds = rd.read_parquet(files)  # ONLY the probed partitions
         cand = cells_ds.map_batches(

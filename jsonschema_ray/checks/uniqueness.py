@@ -37,22 +37,10 @@ def duplicate_keys(ds, key, batch_size: int = 131072,
     wasted extra pass and defaults off."""
     import functools
 
-    import pandas as pd
+    import pyarrow.compute as pc
 
-    from ..util import partitioned_group_apply
+    from ..util import add_partition_column, auto_partitions
     keys = [key] if isinstance(key, str) else list(key)
-    # stable output dtypes across partitions: a partition whose key group
-    # contains nulls surfaces an int64 key as float64 in pandas — pin
-    # integer/bool keys to pandas nullable dtypes in EVERY partition
-    base = ds.schema().base_schema
-    out_dtypes = {}
-    if isinstance(base, pa.Schema):
-        for k in keys:
-            t = base.field(k).type
-            if pa.types.is_integer(t):
-                out_dtypes[k] = "Int64"
-            elif pa.types.is_boolean(t):
-                out_dtypes[k] = "boolean"
     projected = ds.select_columns(keys)  # wide columns never shuffle
     if combine_first:
         shuffled = projected.map_batches(
@@ -64,25 +52,31 @@ def duplicate_keys(ds, key, batch_size: int = 131072,
         shuffled = projected
         count_col = None
 
-    def dups(df: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: duplicated NULL keys are exactly the corruption a
-        # uniqueness check exists to catch (SQL GROUP BY groups nulls too)
+    # the per-partition count stays in ARROW (not pandas): a pandas
+    # frame whose int64 key column contains any null converts the whole
+    # column to float64, silently ROUNDING keys past 2^53 — fabricated
+    # duplicates and corrupted key values for snowflake-scale ids.
+    # Arrow group_by preserves int64-with-null exactly, and groups null
+    # keys together (SQL GROUP BY semantics — duplicated NULL keys are
+    # exactly the corruption a uniqueness check exists to catch).
+    def dups(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
         if count_col:
-            c = df.groupby(keys, sort=False, dropna=False)[count_col].sum()
+            agg = t.group_by(keys).aggregate([(count_col, "sum")])
+            cname = count_col + "_sum"
         else:
-            c = df.groupby(keys, sort=False, dropna=False).size()
-        c = c[c > 1]
-        if len(keys) == 1:
-            out = pd.DataFrame({keys[0]: c.index.to_numpy()})
-        else:
-            out = pd.DataFrame(list(c.index), columns=keys)
-        out["dup_count"] = c.to_numpy().astype("int64")
-        for k, dt in out_dtypes.items():
-            out[k] = out[k].astype(dt)
-        return out
+            agg = t.group_by(keys).aggregate([([], "count_all")])
+            cname = "count_all"
+        agg = agg.select(keys + [cname])  # by NAME: key/agg column
+        # order differs across pyarrow versions
+        out = agg.filter(pc.greater(agg.column(cname), 1))
+        return out.rename_columns(keys + ["dup_count"])
 
-    return partitioned_group_apply(shuffled, keys, dups,
-                                   num_partitions=num_partitions)
+    stamped = add_partition_column(
+        shuffled, keys, num_partitions or auto_partitions(),
+        batch_size=batch_size)
+    return stamped.groupby("_part").map_groups(
+        dups, batch_format="pyarrow")
 
 
 def unique_violations(ds, key, batch_size: int = 131072):

@@ -151,17 +151,21 @@ def simhash64_batch(arr: pa.Array) -> np.ndarray:
     if not all_tokens:
         return out
     th = hash64_array(pa.array(all_tokens))
-    # bit matrix: (n_tokens, 64) of ±1 contributions, summed per doc
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int32) * 2 - 1
-    cums = np.zeros((len(all_tokens) + 1, 64), dtype=np.int64)
-    np.cumsum(bits, axis=0, out=cums[1:])
+    # one 1-D segment-sum pass per bit: the old (n_tokens, 64) ±1 bit
+    # matrix + (n_tokens+1, 64) int64 cumsum peaked at ~1.3 KB/token
+    # (8+ GiB per default 8192-doc batch → worker OOM); this keeps one
+    # 4 B/token temporary per pass with identical signatures
     b = np.asarray(bounds)
-    seg = cums[b[1:]] - cums[b[:-1]]  # (n_docs, 64) signed sums
-    sig = (seg > 0).astype(np.uint64)
+    nonempty = b[1:] > b[:-1]
+    safe_starts = np.minimum(b[:-1], len(th) - 1)
     val = np.zeros(len(texts), dtype=np.uint64)
     for k in range(64):
-        val |= sig[:, k] << np.uint64(k)
+        contrib = ((th >> np.uint64(k)) & np.uint64(1)) \
+            .astype(np.int32) * 2 - 1
+        sums = np.add.reduceat(contrib, safe_starts)
+        pos = (sums > 0) & nonempty  # empty docs masked (reduceat
+        # yields a stray single element for duplicate start indices)
+        val |= pos.astype(np.uint64) << np.uint64(k)
     return val.view(np.int64)
 
 

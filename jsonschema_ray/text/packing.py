@@ -90,11 +90,14 @@ def pack_sequences(ds, id_col: str = "doc_id", tokens_col: str = "n_tokens",
             before = base + np.concatenate(([0], np.cumsum(c)[:-1]))
             outs.append(pd.DataFrame({
                 id_col: g[id_col].to_numpy(),
-                tokens_col: g[tokens_col].to_numpy(),
+                # nullable Int64: a partition with any null token count
+                # otherwise converts the whole column to float64, making
+                # the OUTPUT schema data-dependent (int64 vs double)
+                tokens_col: g[tokens_col].astype("Int64"),
                 "pack_id": (before // window).astype(np.int64)}))
         if not outs:
             return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
-                                 tokens_col: pd.Series([], dtype=np.int64),
+                                 tokens_col: pd.Series([], dtype="Int64"),
                                  "pack_id": pd.Series([], dtype=np.int64)})
         return pd.concat(outs, ignore_index=True)
 
