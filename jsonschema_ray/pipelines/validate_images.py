@@ -109,12 +109,33 @@ class _FragmentStatsStage:
 
 def _stats_state_to_bytes(df: pd.DataFrame) -> bytes:
     buf = io.BytesIO()
-    df.to_parquet(buf)  # pyarrow engine
+    df.to_parquet(buf)  # pyarrow engine; nullable ints stay int64
     return buf.getvalue()
 
 
 def _stats_state_from_bytes(b: bytes) -> pd.DataFrame:
-    return pd.read_parquet(io.BytesIO(b))
+    # through Arrow + stats_frame: a plain read_parquet would surface
+    # the null-bearing min_int/max_int int64 columns as float64,
+    # rounding exact min/max past 2^53 at every resume re-merge
+    import pyarrow.parquet as _pq
+
+    from ..stages.stats import stats_frame
+    return stats_frame(_pq.read_table(io.BytesIO(b)))
+
+
+def _collect_arrow(ds) -> pa.Table:
+    """Materialize a SMALL Dataset to one Arrow table (permissive
+    promotion over per-block string/large_string drift) — to_pandas
+    would convert null-bearing int64 columns to float64, which corrupts
+    the exact min_int/max_int stats this module carries."""
+    import ray
+    tabs = ray.get(ds.to_arrow_refs())
+    nonempty = [t for t in tabs if t.num_rows]
+    if nonempty:
+        return pa.concat_tables(nonempty, promote_options="permissive")
+    if tabs:
+        return tabs[0]
+    raise ValueError("empty dataset: nothing to collect")
 
 
 def _image_validate_batch(batch, *, doc_json, decode, check_phash,
@@ -280,17 +301,21 @@ def flagship_report(ds, ruleset=None, decode: bool = True,
     rs = parse_ruleset(ruleset or IMAGE_RULESET)
     if batch_size is None:
         batch_size = adaptive_batch_size(ds=ds)
-    union = ds.map_batches(
+    union = _collect_arrow(ds.map_batches(
         functools.partial(_flagship_pass_batch,
                           doc_json=canonical_json(rs.doc), decode=decode,
                           check_phash=check_phash,
                           stats_columns=tuple(stats_columns)),
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size).to_pandas()  # small: violations + partials
-    from ..stages.stats import _PARTIAL_SCHEMA
-    viol = union[union["record_type"] == "v"].drop(
-        columns=["record_type", *_PARTIAL_SCHEMA.names], errors="ignore")
-    partials = union[union["record_type"] == "s"]
+        batch_size=batch_size))  # small: violations + partials
+    from ..stages.stats import _PARTIAL_SCHEMA, stats_frame
+    viol = union.filter(pc.equal(union["record_type"], "v")).to_pandas() \
+        .drop(columns=["record_type", *_PARTIAL_SCHEMA.names],
+              errors="ignore")
+    # stats_frame (nullable Int64): exact min_int/max_int survive the
+    # mixed-column frame (full-range phash values live past 2^53)
+    partials = stats_frame(
+        union.filter(pc.equal(union["record_type"], "s")))
     stats = pd.concat([merge_stat_partials(g) for _, g in
                        partials.groupby("column", sort=False)],
                       ignore_index=True)
@@ -309,7 +334,7 @@ def validate_images_pipeline(
         decode: bool = True,
         check_phash: bool = False,
         stats_columns: tuple = ("w", "h", "caption", "phash"),
-        batch_size: int = 4096,
+        batch_size: int = None,
         neardup_max_distance: int = 4) -> dict:
     """Checkpointed flagship run. Returns the global report dict.
 
@@ -320,11 +345,24 @@ def validate_images_pipeline(
     over the full input each time: they are global properties computed on
     narrow projections (keys + phash only), so re-running them is cheap
     relative to decode and keeps them exact under resume.
+
+    ``batch_size=None`` sizes each wave's decode batches from the wave's
+    own file metadata (adaptive_batch_size) — a fixed row count would
+    blow worker heaps on wide images, exactly what that helper exists
+    to prevent.
+
+    Verdict semantics: ``table_pass``/``n_violations`` cover per-row
+    rule+decode violations plus the two EXACT cross-fragment checks
+    (duplicate ids, referential orphans). phash near-dup pairs are
+    reported in ``neardup_pairs`` but are deliberately ADVISORY — a
+    perceptual-similarity candidate list with threshold-tunable
+    semantics, not a row-level defect — so they never flip the verdict.
     """
     import ray.data as rd
 
     rs = parse_ruleset(ruleset or IMAGE_RULESET)
     store = CheckpointStore(checkpoint_dir)
+    store.gc_staging()  # reclaim staging dirs of runs killed pre-commit
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet fragments under {input_dir}")
@@ -333,18 +371,17 @@ def validate_images_pipeline(
     pending = [f for f in files if os.path.basename(f) not in done]
 
     new_records: list[FragmentRecord] = []
-    wave_tags = []
     run_id = uuid.uuid4().hex[:8]
     for wi in range(0, len(pending), wave_size):
         wave = pending[wi:wi + wave_size]
         # run-unique tag: a same-second restart after a kill must not
         # reuse an orphaned staging dir's tag (double-committed files)
         tag = f"wave-{int(time.time())}-{run_id}-{wi}"
-        wave_tags.append(tag)
         t0 = time.perf_counter()
         import functools
 
         from ..rules.model import canonical_json
+        wave_bs = batch_size or adaptive_batch_size(files=wave)
         ds = rd.read_parquet(wave, include_paths=True)
         # ONE pass over the bytes per wave: violations + fragment-keyed
         # stats partials from the same scan
@@ -355,7 +392,7 @@ def validate_images_pipeline(
                               stats_columns=tuple(stats_columns),
                               path_col="path"),
             batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=batch_size).materialize()  # small: viols + partials
+            batch_size=wave_bs).materialize()  # small: viols + partials
         viol_cols = ["image_id", "path", "keyword", "keyword_location",
                      "instance_location", "offending_value", "message"]
         viol = union.map_batches(
@@ -375,9 +412,10 @@ def validate_images_pipeline(
         # keyword) count rows together — O(batches × (columns+keywords))
         # driver rows even when 100% of the input violates; the violation
         # rows themselves never land on the driver (VERDICT-r2 item 6)
-        parts = union.map_batches(
+        from ..stages.stats import stats_frame
+        parts = stats_frame(_collect_arrow(union.map_batches(
             _wave_partials_batch, batch_format="pyarrow",
-            zero_copy_batch=True).to_pandas()
+            zero_copy_batch=True)))  # Int64-exact min_int/max_int
         cnt = parts[parts["record_type"] == "c"]
         if len(cnt):
             nviol_by_frag = cnt.groupby("fragment_id")["n"].sum()

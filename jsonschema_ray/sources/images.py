@@ -182,7 +182,12 @@ def write_images_corpus(out_dir: str, n: int, num_files: int = 8,
 
 def reference_ids_for(n: int) -> pa.Array:
     """The ref_ids universe (FIXTURES F2): every generated id except the
-    deterministic orphan class (idx % 10000 == 19) and the duplicate-id
-    aliases."""
+    deterministic orphan class (idx % 10000 == 19). The duplicate-id
+    alias slots (idx % 2000 == 3, whose INJECTED rows carry
+    img-(idx-1)) stay IN the universe deliberately: with inject=False
+    those rows keep their own id, and a universe that excluded them
+    would fabricate orphans in a clean corpus. Under injection they are
+    merely unreferenced members — harmless for the data→ref direction
+    the referential check runs."""
     ids = [f"img-{i:012d}" for i in range(n) if i % 10000 != 19]
     return pa.array(ids)

@@ -159,8 +159,10 @@ def sample_video_frames(ds, every_n: int = 10, max_frames: int = 3,
             id_col: pa.array(ids, type=b.schema.field(id_col).type),
             "frame_index": pa.array(fidx, type=pa.int32()),
             "frame_bytes": pa.array(fbytes, type=pa.large_binary()),
-            "frame_phash": pa.array(np.array(fhash, dtype=np.uint64)
-                                    .view(np.int64)),
+            # average_hash returns SIGNED int64 (bit 63 set ~half the
+            # time); a uint64 detour errors on negative ints under
+            # numpy >= 2 and was a no-op identity round-trip anyway
+            "frame_phash": pa.array(np.array(fhash, dtype=np.int64)),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,

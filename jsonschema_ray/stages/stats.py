@@ -125,9 +125,48 @@ class ColumnStatsStage:
         return pa.table(rows, schema=_PARTIAL_SCHEMA)
 
 
+_MERGED_SCHEMA = pa.schema([
+    ("column", pa.string()), ("count", pa.int64()),
+    ("null_count", pa.int64()), ("null_rate", pa.float64()),
+    ("min_num", pa.float64()), ("max_num", pa.float64()),
+    ("sum_num", pa.float64()), ("mean_num", pa.float64()),
+    ("n_num", pa.int64()),
+    ("min_int", pa.int64()), ("max_int", pa.int64()),
+    ("min_str", pa.string()), ("max_str", pa.string()),
+    ("ndv_approx", pa.float64()),
+    ("p25", pa.float64()), ("p50", pa.float64()),
+    ("p75", pa.float64()), ("p99", pa.float64()),
+    ("hll", pa.binary()), ("tdigest", pa.binary()),
+])
+
+
+def stats_frame(t: pa.Table) -> pd.DataFrame:
+    """Arrow stats rows → pandas with int64 columns as NULLABLE Int64.
+    The plain to_pandas converts null-bearing int64 columns (min_int is
+    null on every non-integer row) to float64, silently ROUNDING exact
+    min/max past 2^53 — defeating exactly the guarantee min_int/max_int
+    exist for (full-range phash values, snowflake ids)."""
+    return t.to_pandas(types_mapper={pa.int64(): pd.Int64Dtype()}.get)
+
+
+def merge_stat_partials_table(t: pa.Table) -> pa.Table:
+    """Arrow-native face of :func:`merge_stat_partials` with a PINNED
+    output schema (single-group frames would otherwise infer
+    data-dependent types for all-null columns)."""
+    out = pd.concat([merge_stat_partials(g) for _, g in
+                     stats_frame(t).groupby("column", sort=False)],
+                    ignore_index=True)
+    return pa.Table.from_pandas(out, schema=_MERGED_SCHEMA,
+                                preserve_index=False)
+
+
 def merge_stat_partials(g: pd.DataFrame) -> pd.DataFrame:
     """Merge all partial rows of one column (used by groupby.map_groups and
-    by the driver-side global merge)."""
+    by the driver-side global merge).
+
+    Exactness contract: ``g`` must carry min_int/max_int as INTEGER
+    dtypes (nullable Int64 from :func:`stats_frame`, or plain int64) —
+    a float64 frame has already lost bits past 2^53."""
     hll = HyperLogLog.from_bytes(g["hll"].iloc[0])
     td = TDigest.from_bytes(g["tdigest"].iloc[0])
     for b in g["hll"].iloc[1:]:
@@ -158,6 +197,11 @@ def merge_stat_partials(g: pd.DataFrame) -> pd.DataFrame:
         "sum_num": float(sm.sum()) if len(sm) else None,
         "mean_num": (float(sm.sum()) / n_num)
         if len(sm) and n_num else None,
+        # n_num RIDES the merged row: a re-merge of merged rows (the
+        # flagship's persisted per-fragment sketch_state) would
+        # otherwise fall back to count - nulls, re-biasing the mean
+        # NaN/inf rows were excluded from
+        "n_num": n_num,
         "min_int": int(mni.min()) if len(mni) else None,
         "max_int": int(mxi.max()) if len(mxi) else None,
         "min_str": mns.min() if len(mns) else None,
@@ -184,7 +228,13 @@ def column_stats(ds, columns: Optional[list[str]] = None,
     """Dataset → small Dataset of per-column stats (one row per column).
 
     Partials are computed inside map_batches (stateless vectorized tasks);
-    only the sketch rows go through the tiny groupby."""
+    only the sketch rows go through the tiny groupby.
+
+    Consuming min_int/max_int: the Arrow result is exact int64; a plain
+    ``.to_pandas()`` over MIXED rows (integer + string columns) converts
+    the null-bearing int64 columns to float64 and rounds values past
+    2^53 — collect to Arrow and use :func:`stats_frame` when those
+    columns matter."""
     import functools
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
                   batch_size=batch_size)
@@ -197,5 +247,8 @@ def column_stats(ds, columns: Optional[list[str]] = None,
                           columns=tuple(columns) if columns else None,
                           hll_p=hll_p, delta=tdigest_delta),
         **kwargs)
+    # pyarrow group blocks: the pandas conversion happens INSIDE
+    # merge_stat_partials_table via stats_frame (nullable Int64), so
+    # exact int64 min/max survive null-bearing mixed-column frames
     return partials.groupby("column").map_groups(
-        merge_stat_partials, batch_format="pandas")
+        merge_stat_partials_table, batch_format="pyarrow")

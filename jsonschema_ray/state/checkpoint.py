@@ -178,6 +178,28 @@ class CheckpointStore:
         _fsync_dir(self.violations_dir)
         return final
 
+    def gc_staging(self) -> int:
+        """Delete ORPHANED violation staging dirs: a ``<tag>.tmp`` whose
+        tag no committed record references was written by a run killed
+        before its records append. Tags are run-unique, so nothing ever
+        reads or reclaims such a dir — without GC a flaky cluster
+        accumulates a dead wave's full violation set per kill. Call at
+        run START (single-writer assumption, same as the commit
+        protocol) — never concurrently with an active wave."""
+        import shutil
+        rec = self.load_records()
+        recorded = set()
+        if rec.num_rows and "wave_tag" in rec.schema.names:
+            recorded = set(rec["wave_tag"].to_pylist()) - {"", None}
+        n = 0
+        for d in os.listdir(self.violations_dir):
+            full = os.path.join(self.violations_dir, d)
+            if d.endswith(".tmp") and os.path.isdir(full) \
+                    and d[:-4] not in recorded:
+                shutil.rmtree(full, ignore_errors=True)
+                n += 1
+        return n
+
     def violation_files(self, ruleset_hash: str = None) -> list[str]:
         """Violation parquet files of every COMMITTED wave.  A ``.tmp``
         staging dir is included only when a committed fragment record
