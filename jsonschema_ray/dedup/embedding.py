@@ -32,10 +32,29 @@ def _unit_rows(batch: pa.Table, vec_col: str) -> np.ndarray:
 
 
 def _row_keys(batch: pa.Table, id_col: str, int_ids: bool) -> np.ndarray:
-    from ..sketches.hashing import hash64_array
+    """int64 shuffle key per row. Integer ids are their own key — taken
+    via Arrow casts so a null in the batch never detours the column
+    through float64 (which silently rounds ALL ids past 2^53 in that
+    batch, colliding/mismatching keys ACROSS passes — the bucket pass
+    and the candidate-units pass batch differently, so a rounded-here/
+    exact-there id loses its pairs). Null ids key to the same fixed
+    sentinel hash64_array gives them on the string path (two null-id
+    rows therefore pair with each other — the documented convention)."""
+    import pyarrow.compute as pc
+
+    from ..sketches.hashing import _null_sentinel, hash64_array
     ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
     if int_ids:
-        return ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.null_count:
+            mask = pc.is_null(ids).to_numpy(zero_copy_only=False)
+            vals = pc.fill_null(ids.cast(pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            vals[mask] = np.int64(_null_sentinel(0).astype(np.int64))
+            return vals
+        return ids.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
     return hash64_array(ids).view(np.int64)
 
 
@@ -233,8 +252,9 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
 
     if kdf is not None and feats.size_bytes() <= broadcast_vec_cap:
         # pairs + features are both driver-resident → one chunked gather
+        from .pairsops import expand_pair_ranges
         fdf = feats.to_pandas()
-        order = np.argsort(fdf["key"].to_numpy())
+        order = np.argsort(fdf["key"].to_numpy(), kind="stable")
         fkeys = fdf["key"].to_numpy()[order]
         fids = fdf[id_col].to_numpy()[order]
         n_f = len(fkeys)
@@ -244,15 +264,23 @@ def embedding_near_duplicates(ds, vec_col: str = "embedding",
             .astype(np.float64)
         ka = kdf["key_a"].to_numpy()
         kb = kdf["key_b"].to_numpy()
+        # expand each key pair over ALL rows per key: a duplicate id
+        # shares one key across several vector rows, and scoring only the
+        # first row would let a same-id decoy vector suppress a true
+        # duplicate the join path (same input, larger cap) reports
+        alo = np.searchsorted(fkeys, ka, side="left")
+        ahi = np.searchsorted(fkeys, ka, side="right")
+        blo = np.searchsorted(fkeys, kb, side="left")
+        bhi = np.searchsorted(fkeys, kb, side="right")
+        ra, rb = expand_pair_ranges(alo, ahi, blo, bhi)
         parts = []
-        for lo in range(0, len(ka), 16_384):  # LLC-sized chunks
-            ia = np.searchsorted(fkeys, ka[lo:lo + 16_384])
-            ib = np.searchsorted(fkeys, kb[lo:lo + 16_384])
-            parts.append((fmat[ia] * fmat[ib]).sum(axis=1))
+        for lo in range(0, len(ra), 16_384):  # LLC-sized chunks
+            parts.append((fmat[ra[lo:lo + 16_384]] *
+                          fmat[rb[lo:lo + 16_384]]).sum(axis=1))
         cos = np.concatenate(parts) if parts else np.zeros(0)
         hit = cos >= threshold
-        ia = fids[np.searchsorted(fkeys, ka[hit])]
-        ib = fids[np.searchsorted(fkeys, kb[hit])]
+        ia = fids[ra[hit]]
+        ib = fids[rb[hit]]
         swap = ia > ib
         return rd.from_arrow(pa.table({
             "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
@@ -598,7 +626,11 @@ def incremental_embedding_neardup(new_ds, index_dir: str,
             sk = np.unique(g["key"].to_numpy()[sides == 0])
             if len(nk) == 0 or len(sk) == 0:
                 continue
-            salt = np.uint64(bh)
+            # mask first: bh is a Python int groupby key; although table
+            # ids in the high bits keep it positive for tables < 128,
+            # np.uint64 of a negative Python int raises under numpy >= 2
+            # — same guard as the minhash twin
+            salt = np.uint64(int(bh) & 0xFFFFFFFFFFFFFFFF)
             with np.errstate(over="ignore"):
                 if len(sk) > max_bucket:
                     sk = sk[np.argsort(_splitmix64(

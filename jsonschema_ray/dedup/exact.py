@@ -79,24 +79,50 @@ def _hashed_ids_flagged(ds, text_col: str, id_col: str,
         batch_size=batch_size)
 
 
+def _hash_group_firsts(tbl: pa.Table, id_col: str
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Per (_h1,_h2) group of an Arrow partition: (row index of the
+    min-``id_col`` row — nulls lose; all-null groups yield their first
+    null row — and the group size). Pure Arrow + numpy so null-bearing
+    int64 id columns never ride a pandas roundtrip (which converts them
+    to float64, silently rounding ids past 2^53 — the corruption class
+    _hashed_ids_flagged exists to prevent)."""
+    import pyarrow.compute as pc
+    order = pc.sort_indices(
+        tbl, sort_keys=[("_h1", "ascending"), ("_h2", "ascending"),
+                        (id_col, "ascending")],
+        null_placement="at_end").to_numpy()
+    h1 = tbl.column("_h1").to_numpy(zero_copy_only=False)[order]
+    h2 = tbl.column("_h2").to_numpy(zero_copy_only=False)[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+    starts = np.nonzero(first)[0]
+    counts = np.diff(np.append(starts, len(order))).astype(np.int64)
+    return order[starts], counts
+
+
 def exact_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_partitions: int = None):
-    """→ Dataset of ``(doc_id, n_copies)``: min id + multiplicity per
-    distinct text (equivalent SQL: SELECT min(id), count(*) GROUP BY
-    text). Shuffle carries 16-byte hashes + ids only."""
+    """→ Dataset of ``(doc_id, n_copies)``: min non-null id + multiplicity
+    per distinct text (equivalent SQL: SELECT min(id), count(*) GROUP BY
+    text — min skips nulls; an all-null-id group emits a null id).
+    Shuffle carries 16-byte hashes + ids only; the per-partition groupby
+    runs in ARROW so null-bearing int64 ids keep their exact values."""
     from ..util import partitioned_group_apply
     hashed = _hashed_ids(ds, text_col, id_col)
+    id_type = ds.schema().base_schema.field(id_col).type
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        # size (not count): SQL count(*) counts rows with null ids too
-        agg = df.groupby(["_h1", "_h2"], sort=False)[id_col] \
-            .agg(["min", "size"])
-        return pd.DataFrame({id_col: agg["min"].to_numpy(),
-                             "n_copies": agg["size"].to_numpy()
-                             .astype(np.int64)})
+    def stats(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "n_copies": pa.array([], type=pa.int64())})
+        firsts, counts = _hash_group_firsts(tbl, id_col)
+        ids = tbl.column(id_col).take(pa.array(firsts, type=pa.int64()))
+        return pa.table({id_col: ids, "n_copies": pa.array(counts)})
 
     return partitioned_group_apply(hashed, ["_h1", "_h2"], stats,
-                                   num_partitions=num_partitions)
+                                   num_partitions=num_partitions,
+                                   batch_format="pyarrow")
 
 
 def _triple_match(b: pa.Table, *, text_col: str, id_col: str,
@@ -231,13 +257,20 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             functools.partial(_add_hash128, col_name=text_col),
             batch_format="pyarrow", zero_copy_batch=True)
 
-        def firstwin(df: pd.DataFrame) -> pd.DataFrame:
-            first = df.sort_values(id_col, kind="stable") \
-                .groupby(["_h1", "_h2"], sort=False).head(1)
-            return first.drop(columns=["_h1", "_h2"])
+        def firstwin(tbl: pa.Table) -> pa.Table:
+            # ARROW in-partition first-wins: the full rows (arbitrary
+            # user payload columns) must not ride a pandas roundtrip —
+            # one null in any int64 column would flip it to float64 and
+            # silently round values past 2^53
+            if tbl.num_rows == 0:
+                return tbl.drop_columns(["_h1", "_h2"])
+            firsts, _ = _hash_group_firsts(tbl, id_col)
+            take = pa.array(np.sort(firsts), type=pa.int64())
+            return tbl.take(take).drop_columns(["_h1", "_h2"])
 
         return partitioned_group_apply(rehashed, ["_h1", "_h2"], firstwin,
-                                       num_partitions=num_partitions)
+                                       num_partitions=num_partitions,
+                                       batch_format="pyarrow")
 
     ldf = losers_ds.to_pandas()
     if ldf.empty:

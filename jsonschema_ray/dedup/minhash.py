@@ -410,25 +410,34 @@ def minhash_near_duplicates(ds, text_col: str = "text",
         # for the broadcast, so estimate right here (chunked gathers — the
         # unchunked 500 MB temporaries thrash cache 10×) instead of paying
         # a whole extra Ray execution for one tiny block
+        from .pairsops import expand_pair_ranges
         sdf = sigtab.to_pandas()
-        order = np.argsort(sdf["key"].to_numpy())
+        order = np.argsort(sdf["key"].to_numpy(), kind="stable")
         skeys = sdf["key"].to_numpy()[order]
         smat = np.frombuffer(b"".join(sdf["sig"].iloc[order]),
                              dtype=np.uint64).reshape(n_sigs, num_hashes)
         sids = sdf[id_col].to_numpy()[order]
         ka = kdf["key_a"].to_numpy()
         kb = kdf["key_b"].to_numpy()
+        # expand each key pair over ALL rows per key: a duplicate id
+        # shares one key across several signature rows, and scoring only
+        # the first row would let a same-id decoy text suppress a true
+        # near-duplicate the join path (same input, larger cap) reports
+        alo = np.searchsorted(skeys, ka, side="left")
+        ahi = np.searchsorted(skeys, ka, side="right")
+        blo = np.searchsorted(skeys, kb, side="left")
+        bhi = np.searchsorted(skeys, kb, side="right")
+        ra, rb = expand_pair_ranges(alo, ahi, blo, bhi)
         parts = []
         # 16k-pair chunks: the gathered (chunk, m) temporaries fit
         # the LLC — measured 11x faster than 100k chunks
-        for lo in range(0, len(ka), 16_384):
-            ia = np.searchsorted(skeys, ka[lo:lo + 16_384])
-            ib = np.searchsorted(skeys, kb[lo:lo + 16_384])
-            parts.append((smat[ia] == smat[ib]).mean(axis=1))
+        for lo in range(0, len(ra), 16_384):
+            parts.append((smat[ra[lo:lo + 16_384]] ==
+                          smat[rb[lo:lo + 16_384]]).mean(axis=1))
         est = np.concatenate(parts) if parts else np.zeros(0)
         hit = est >= threshold
-        ia = sids[np.searchsorted(skeys, ka[hit])]
-        ib = sids[np.searchsorted(skeys, kb[hit])]
+        ia = sids[ra[hit]]
+        ib = sids[rb[hit]]
         swap = ia > ib
         return rd.from_arrow(pa.table({
             "id_a": pa.array(np.where(swap, ib, ia), type=id_type),
@@ -496,14 +505,26 @@ def _exact_jaccard_gather(b: pa.Table, tids, ttexts, *, k,
     presorted arrays — docs appear in many pairs, so hashing per pair
     side (the old path) redid ~pairs/docs × the text hashing."""
     from .ngram import _distinct_doc_grams
+    from .pairsops import expand_pair_ranges
     ia = b["id_a"].to_numpy(zero_copy_only=False)
     ib = b["id_b"].to_numpy(zero_copy_only=False)
-    uids = np.unique(np.concatenate([ia, ib]))
-    pos = np.searchsorted(tids, uids)
-    fs, offs = _distinct_doc_grams(list(ttexts[pos]), k)
-    a_idx = np.searchsorted(uids, ia)
-    b_idx = np.searchsorted(uids, ib)
-    n = len(ia)
+    # expand each pair over ALL candidate-table rows per id: a duplicate
+    # id maps to several texts, and verifying only the first row would
+    # run the exact Jaccard against a same-id decoy text and drop a true
+    # pair (the join verify path sees every text combination — match it)
+    alo = np.searchsorted(tids, ia, side="left")
+    ahi = np.searchsorted(tids, ia, side="right")
+    blo = np.searchsorted(tids, ib, side="left")
+    bhi = np.searchsorted(tids, ib, side="right")
+    counts = (ahi - alo) * (bhi - blo)
+    prep = np.repeat(np.arange(len(ia), dtype=np.int64), counts)
+    ra, rb = expand_pair_ranges(alo, ahi, blo, bhi)
+    used = np.unique(np.concatenate([ra, rb])) if len(ra) else \
+        np.zeros(0, dtype=np.int64)
+    fs, offs = _distinct_doc_grams(list(ttexts[used]), k)
+    a_idx = np.searchsorted(used, ra)
+    b_idx = np.searchsorted(used, rb)
+    n = len(ra)
     jac = np.zeros(n)
     for i in range(n):
         a, bb = a_idx[i], b_idx[i]
@@ -516,7 +537,7 @@ def _exact_jaccard_gather(b: pa.Table, tids, ttexts, *, k,
         union = ha.size + hb.size - inter
         jac[i] = inter / union if union else 0.0
     hit = jac >= threshold
-    idx = pa.array(np.nonzero(hit)[0], type=pa.int64())
+    idx = pa.array(prep[hit], type=pa.int64())
     return pa.table({
         "id_a": b["id_a"].take(idx),
         "id_b": b["id_b"].take(idx),
@@ -929,8 +950,11 @@ def incremental_minhash_neardup(new_ds, sig_dir: str,
                 continue
             # cap BOTH sides, selecting by a band-salted mix so each
             # band drops DIFFERENT docs (a fixed first-N prefix would
-            # lose the same docs in every band — unrecoverable)
-            salt = np.uint64(bh)
+            # lose the same docs in every band — unrecoverable); mask to
+            # 64 bits first: bh is a PYTHON int groupby key of the int64
+            # band_hash, negative about half the time, and np.uint64 of
+            # a negative Python int raises under numpy >= 2
+            salt = np.uint64(int(bh) & 0xFFFFFFFFFFFFFFFF)
             with np.errstate(over="ignore"):
                 if len(sk) > max_bucket:
                     sk = sk[np.argsort(_splitmix64(

@@ -143,18 +143,29 @@ def segment_pairs(sort_cols: list[np.ndarray], cap: int
 
 def partitioned_group_apply(ds, keys: list[str], partition_fn,
                             num_partitions: int = None,
-                            batch_size: int = 131072):
+                            batch_size: int = 131072,
+                            batch_format: str = "pandas"):
     """Hash-partition on ``keys`` into ``num_partitions`` coarse groups and
     apply ``partition_fn(pandas.DataFrame) -> DataFrame`` once per
     partition. The fn sees every row of every key-group it owns (groups
     never split across partitions) and is responsible for its own
-    within-partition groupby — typically vectorized."""
+    within-partition groupby — typically vectorized.
+
+    ``batch_format="pyarrow"`` hands the fn a ``pa.Table`` instead — the
+    REQUIRED choice when the partition rows carry null-bearing int64
+    payload columns (a pandas roundtrip converts those to float64,
+    silently rounding values past 2^53)."""
     stamped = add_partition_column(ds, keys,
                                    num_partitions or auto_partitions(),
                                    batch_size=batch_size)
-    out = stamped.groupby("_part").map_groups(
-        lambda df: partition_fn(df.drop(columns=["_part"])),
-        batch_format="pandas")
+    if batch_format == "pyarrow":
+        out = stamped.groupby("_part").map_groups(
+            lambda t: partition_fn(t.drop_columns(["_part"])),
+            batch_format="pyarrow")
+    else:
+        out = stamped.groupby("_part").map_groups(
+            lambda df: partition_fn(df.drop(columns=["_part"])),
+            batch_format="pandas")
     return out
 
 
