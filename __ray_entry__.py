@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_keep_documents": R.dedup_neardup_keep_documents,  # oracled
         "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
         "chi2_events": R.chi2_events,                     # oracled
+        "psi_events": R.psi_events,                       # oracled
         "events_percent_rank": R.events_percent_rank,     # oracled
         "split_documents": R.split_documents,             # oracled
         "quality_filter_documents": R.quality_filter_documents,  # oracled
@@ -831,6 +832,23 @@ SELECT round(sum((o - r * cl / n) * (o - r * cl / n)
        ((SELECT count(*) FROM rt) - 1)
          * ((SELECT count(*) FROM ct) - 1) AS dof
 FROM cells JOIN rt USING (event_type) JOIN ct USING (g) CROSS JOIN tot
+""",
+        "psi_events": """
+WITH grp AS (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                    user_id % 2 AS g
+             FROM events WHERE value IS NOT NULL),
+tot AS (SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS t0,
+               CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS t1
+        FROM grp),
+c AS (SELECT bin,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c1
+      FROM grp GROUP BY bin)
+SELECT bin, CAST(c0 AS BIGINT) AS n_a, CAST(c1 AS BIGINT) AS n_b,
+       round((greatest(c0 / t0, 1e-6) - greatest(c1 / t1, 1e-6))
+             * ln(greatest(c0 / t0, 1e-6) / greatest(c1 / t1, 1e-6)),
+             6) AS psi_term
+FROM c CROSS JOIN tot ORDER BY bin
 """,
         "events_percent_rank": """
 SELECT event_id,

@@ -165,3 +165,63 @@ def chi2_contingency(ds, cat_col: str, group_fn, group_name: str = "_g"):
             d = obs[i, j] - e
             chi2 += d * d / e
     return float(chi2), int(dof)
+
+
+def psi_exact(ds, value_col: str, group_fn, bin_width: float,
+              group_name: str = "_g", eps: float = 1e-6):
+    """EXACT Population Stability Index over FIXED-WIDTH bins between two
+    cohorts (``group_fn`` as in :func:`exact_ks`) — the oracled companion
+    to the t-digest :func:`psi` exactly as :func:`exact_ks` pairs with
+    ``ks_statistic`` (north rule: "caption/pixel distribution drift uses
+    KS and PSI tests"). bin = floor(value / bin_width) (the
+    events_value_histogram convention); per-cohort proportions are
+    clamped at ``eps`` before the log so bins one side never saw
+    contribute a large-but-finite term (the standard PSI smoothing).
+
+    One grouped-count shuffle (per-batch combined partials — the shuffle
+    moves one row per (bin, cohort, batch)); the driver walks O(bins)
+    cells. Null values are excluded from both cohorts.
+
+    → (per-bin DataFrame ``(bin, n_a, n_b, psi_term)`` sorted by bin,
+    total PSI). Both sides of the driver contract compute count/total
+    double divisions and a libm log, so per-bin terms are bit-identical
+    to the SQL conditional-aggregation form."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import grouped_agg
+
+    def tag(b: pa.Table) -> pa.Table:
+        g = np.asarray(group_fn(b), np.int8)
+        valid = pc.is_valid(b[value_col]).to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False)[valid]
+        return pa.table({
+            "bin": pa.array(np.floor(v / bin_width).astype(np.int64)),
+            group_name: pa.array(g[valid])})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    hist = grouped_agg(tagged, ["bin", group_name], {},
+                       count_alias="_c").to_pandas()
+    empty = pd.DataFrame({"bin": pd.Series([], dtype=np.int64),
+                          "n_a": pd.Series([], dtype=np.int64),
+                          "n_b": pd.Series([], dtype=np.int64),
+                          "psi_term": pd.Series([], dtype=float)})
+    if hist.empty:
+        return empty, float("nan")
+    piv = hist.pivot_table(index="bin", columns=group_name, values="_c",
+                           fill_value=0, aggfunc="sum")
+    zeros = np.zeros(len(piv), dtype=np.int64)
+    c0 = piv[0].to_numpy().astype(np.int64) if 0 in piv.columns else zeros
+    c1 = piv[1].to_numpy().astype(np.int64) if 1 in piv.columns else zeros
+    t0, t1 = int(c0.sum()), int(c1.sum())
+    if t0 == 0 or t1 == 0:
+        return empty, float("nan")
+    p_a = np.maximum(c0 / t0, eps)
+    p_b = np.maximum(c1 / t1, eps)
+    term = (p_a - p_b) * np.log(p_a / p_b)
+    out = pd.DataFrame({"bin": piv.index.to_numpy().astype(np.int64),
+                        "n_a": c0, "n_b": c1, "psi_term": term}) \
+        .sort_values("bin").reset_index(drop=True)
+    return out, float(term.sum())

@@ -1549,6 +1549,25 @@ def drift_exact_events(sf_dir: str):
     return pd.DataFrame([{"ks": round(ks, 6), "n_a": n_a, "n_b": n_b}])
 
 
+def psi_events(sf_dir: str, bin_width: float = 25.0):
+    """EXACT fixed-bin PSI drift (ORACLED): events split into A/B cohorts
+    by ``user_id % 2``, per-bin stability terms over floor(value/25)
+    bins — the exact companion to the t-digest PSI in drift_events_value,
+    same pairing as drift_exact_events vs the t-digest KS. Per-bin
+    output (counts + term) instead of one total so the float comparison
+    never depends on summation order."""
+    from ..checks import psi_exact
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def grp(b: pa.Table) -> np.ndarray:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return (u % 2).astype(np.int8)
+
+    out, _total = psi_exact(ds, "value", grp, bin_width)
+    out["psi_term"] = np.round(out["psi_term"].to_numpy(), 6)
+    return out
+
+
 def dedup_neardup_keep_documents(sf_dir: str):
     """End-to-end near-dup dedup (ORACLED): exact-Jaccard pairs →
     connected components → drop every non-representative → the surviving

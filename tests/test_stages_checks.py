@@ -534,3 +534,52 @@ def test_percent_rank_matches_definition(ray_session):
     s = pd.Series(v)
     exp = ((s.rank(method="min") - 1) / (len(s) - 1)).round(6)
     assert np.allclose(got["pct_rank"].to_numpy(), exp.to_numpy())
+
+
+def test_psi_exact_matches_definition(ray_session):
+    """psi_exact must equal the definitional fixed-bin PSI computed
+    directly on the rows: per-cohort bin proportions (eps-clamped) and
+    (p_a - p_b)·ln(p_a/p_b) per bin; nulls excluded; a bin one cohort
+    never saw gets the clamped term, and an empty cohort → NaN total."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.checks import psi_exact
+    rng = np.random.default_rng(5)
+    uid = np.arange(400, dtype=np.int64)
+    val = np.where(uid % 2 == 0, rng.normal(50, 20, 400),
+                   rng.normal(65, 25, 400))
+    vals = val.tolist()
+    vals[7] = None  # null excluded from cohort 1 (uid 7)
+    t = pa.table({"user_id": uid, "value": pa.array(vals)})
+
+    def grp(b):
+        return (b["user_id"].to_numpy(zero_copy_only=False) % 2) \
+            .astype(np.int8)
+
+    out, total = psi_exact(rd.from_arrow(t), "value", grp, 25.0)
+    # reference computation straight from the definition
+    keep = np.array([v is not None for v in vals])
+    bins = np.floor(val[keep] / 25.0).astype(np.int64)
+    g = (uid[keep] % 2).astype(np.int8)
+    ub = np.unique(bins)
+    c0 = np.array([(bins[g == 0] == b).sum() for b in ub])
+    c1 = np.array([(bins[g == 1] == b).sum() for b in ub])
+    p0 = np.maximum(c0 / c0.sum(), 1e-6)
+    p1 = np.maximum(c1 / c1.sum(), 1e-6)
+    ref = (p0 - p1) * np.log(p0 / p1)
+    assert (out["bin"].to_numpy() == ub).all()
+    assert (out["n_a"].to_numpy() == c0).all()
+    assert (out["n_b"].to_numpy() == c1).all()
+    np.testing.assert_array_equal(out["psi_term"].to_numpy(), ref)
+    assert total == ref.sum()
+    assert out["n_b"].sum() == (g == 1).sum()  # the null really dropped
+
+    # one cohort empty → NaN total, empty per-bin frame
+    t2 = pa.table({"user_id": np.zeros(5, dtype=np.int64) * 2,
+                   "value": np.arange(5).astype(float)})
+    out2, tot2 = psi_exact(rd.from_arrow(t2), "value", grp, 25.0)
+    assert out2.empty and math.isnan(tot2)
