@@ -30,6 +30,13 @@ class BloomFilter:
         m = (m + 63) // 64 * 64
         self.m = m
         self.k = max(1, round(m / max(1, capacity) * math.log(2)))
+        if self.k > 255:
+            # to_bytes encodes k in one byte; fail HERE where the absurd
+            # fp (< ~1e-77) is introduced, not at serialization time
+            # mid-pipeline after the filter was built and populated
+            raise ValueError(
+                f"fp={fp:g} needs k={self.k} hash functions; the "
+                "serialized form caps k at 255 — use a larger fp")
         self.bits = np.zeros(m // 8, dtype=np.uint8)
 
     def _positions(self, h: np.ndarray) -> np.ndarray:

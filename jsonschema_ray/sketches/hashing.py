@@ -40,24 +40,72 @@ def _sip_key(seed: int) -> str:
     return "%016x" % (_splitmix64(np.uint64(seed).reshape(1))[0] or 1)
 
 
+_PER_SEC = {"s": 1, "ms": 10 ** 3, "us": 10 ** 6, "ns": 10 ** 9}
+# fixed tags for numpy timedelta units with no exact seconds ratio
+# (calendar months/years) — their raw counts hash with a unit domain tag
+_CAL_UNIT_TAG = {"M": np.uint64(0x6D6F6E7468736361),
+                 "Y": np.uint64(0x79656172735F7467)}
+
+
+def _decompose_ticks(iv: np.ndarray, per_sec: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """int64 tick counts at ``per_sec`` ticks/second → (whole seconds,
+    subsecond nanoseconds) — the UNIT-INDEPENDENT canonical form, exact
+    for every representable value (converting everything to one unit
+    would truncate ns→us or overflow us→ns). NaT/INT64_MIN stays
+    (INT64_MIN, 0) in every unit."""
+    nat = iv == np.iinfo(np.int64).min
+    with np.errstate(over="ignore"):
+        sec = iv // per_sec                      # floor: negative-exact
+        rem = (iv - sec * per_sec) * (1_000_000_000 // per_sec)
+    if nat.any():
+        sec = sec.copy()
+        rem = rem.copy()
+        sec[nat] = np.iinfo(np.int64).min
+        rem[nat] = 0
+    return sec, rem
+
+
+def _hash_sec_ns(sec: np.ndarray, rem_ns: np.ndarray,
+                 seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        bits = _splitmix64(sec.astype(np.int64).view(np.uint64)
+                           ^ np.uint64(0x74656D706F72616C))  # "temporal"
+        bits ^= rem_ns.astype(np.int64).view(np.uint64)
+        return _splitmix64(bits + np.uint64(seed))
+
+
 def hash64_array(arr, seed: int = 0) -> np.ndarray:
     """uint64 hash per element. Nulls hash to a fixed sentinel (callers
-    typically mask them out via validity)."""
+    typically mask them out via validity). Temporal values hash their
+    canonical (seconds, subsecond-ns) decomposition, so the same instant
+    (or span) hashes identically across s/ms/us/ns columns WITHOUT
+    truncating sub-microsecond precision — ns-resolution timestamps one
+    tick apart are distinct keys (truncation collapsed 1000 ns-ticks
+    onto each us, fabricating dedup duplicates and 1000x-undercounting
+    HLL ndv on ns data)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if isinstance(arr, pa.Array):
         t = arr.type
-        if pa.types.is_temporal(t) and not pa.types.is_timestamp(t) \
-                and not pa.types.is_date(t):
-            # time32/time64/duration: to_numpy yields OBJECT arrays of
-            # datetime.time (which the numeric path can't hash) — take
-            # the exact integer representation via Arrow instead; nulls
-            # fall through to the null-bearing int branch below
+        if pa.types.is_temporal(t) and not pa.types.is_date(t):
+            # timestamp/time32/time64/duration: exact integer ticks via
+            # Arrow casts (to_numpy yields object arrays for time types
+            # and would truncate units), then the canonical sec/ns split
             import pyarrow.compute as pc
+            per_sec = _PER_SEC[t.unit]
             if pa.types.is_time32(t):
                 arr = pc.cast(arr, pa.int32())
-            arr = pc.cast(arr, pa.int64())
-            t = arr.type
+            iv_a = pc.cast(arr, pa.int64())
+            nullmask = None
+            if iv_a.null_count:
+                nullmask = pc.is_null(iv_a).to_numpy(zero_copy_only=False)
+                iv_a = pc.fill_null(iv_a, 0)
+            iv = iv_a.to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _hash_sec_ns(*_decompose_ticks(iv, per_sec), seed)
+            if nullmask is not None:
+                h[nullmask] = _null_sentinel(seed)
+            return h
         if (pa.types.is_integer(t) or pa.types.is_boolean(t)) \
                 and arr.null_count:
             # CRITICAL: to_numpy of a null-bearing int column yields
@@ -89,7 +137,10 @@ def hash64_array(arr, seed: int = 0) -> np.ndarray:
             h = pd.util.hash_pandas_object(ser, index=False).to_numpy()
         return h
     np_vals = np.asarray(arr)
-    if np_vals.dtype.kind in "iufbM":
+    if np_vals.dtype.kind in "iufbMm":
+        # 'm' included: timedelta64 previously fell through to the
+        # OBJECT siphash path, so the same durations hashed differently
+        # as numpy vs Arrow batches — breaking cross-stage determinism
         return _hash_numeric(np_vals, seed)
     if seed:
         return pd.util.hash_pandas_object(
@@ -118,8 +169,28 @@ def _hash_numeric(vals: np.ndarray, seed: int) -> np.ndarray:
         v[v == 0.0] = 0.0
         v[np.isnan(v)] = np.nan
         bits = v.view(np.uint64)
-    elif vals.dtype.kind == "M":
-        bits = vals.astype("datetime64[us]").view(np.int64).astype(np.uint64)
+    elif vals.dtype.kind in "Mm":
+        # canonical (sec, subsecond-ns) split — identical hashes for the
+        # same instant/span across units, matching the Arrow temporal
+        # path exactly, NO ns truncation (see hash64_array docstring)
+        unit = np.datetime_data(vals.dtype)[0]
+        per_sec = _PER_SEC.get(unit)
+        if per_sec is not None:
+            return _hash_sec_ns(
+                *_decompose_ticks(vals.view(np.int64), per_sec), seed)
+        if vals.dtype.kind == "m" and unit in _CAL_UNIT_TAG:
+            # calendar months/years have no fixed seconds ratio: hash
+            # the raw count under a unit domain tag (deterministic, but
+            # deliberately NOT equal across calendar units)
+            with np.errstate(over="ignore"):
+                bits = vals.view(np.int64).astype(np.uint64) \
+                    ^ _CAL_UNIT_TAG[unit]
+            return _splitmix64(bits + np.uint64(seed))
+        # coarser-than-second fixed units (W/D/h/m): exact in seconds
+        to = ("datetime64[s]" if vals.dtype.kind == "M"
+              else "timedelta64[s]")
+        iv = vals.astype(to).view(np.int64)
+        return _hash_sec_ns(*_decompose_ticks(iv, 1), seed)
     elif vals.dtype.kind == "b":
         bits = vals.astype(np.uint64)
     else:

@@ -1,6 +1,13 @@
-"""HyperLogLog distinct-count sketch (Flajolet et al. 2007, with the bias
-corrections from Heule et al., "HyperLogLog in Practice", EDBT 2013 — the
-linear-counting small-range correction).
+"""HyperLogLog distinct-count sketch (Flajolet et al. 2007): raw HLL
+estimator with the classic linear-counting small-range correction
+(switch below 2.5m when empty registers remain). Heule et al.'s
+(EDBT 2013) empirical bias-table correction is deliberately NOT
+implemented (the per-p tables aren't reproducible offline): in the
+transition band just above the 2.5m cutoff (~40k-65k distinct at p=14)
+the estimate carries a systematic +1-2.5% bias on top of the
+0.81% standard error; outside that band the usual 1.04/sqrt(m)
+accuracy holds. ndv_approx consumers should treat that band as
+approximate-plus-bias, or raise p.
 
 Mergeable (register-wise max) and serializable (raw register bytes) so it
 crosses Ray actor/task boundaries as a tiny binary payload: each batch folds

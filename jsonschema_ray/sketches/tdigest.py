@@ -1,6 +1,13 @@
-"""Merging t-digest quantile sketch (Dunning & Ertl, "Computing extremely
-accurate quantiles using t-digests", 2019 — the merging variant with the
-k1 scale function).
+"""Merging t-digest quantile sketch, AFTER Dunning & Ertl ("Computing
+extremely accurate quantiles using t-digests", 2019; k1 scale function).
+
+Deviation from the paper, deliberate: compression bins centroids by the
+FLOOR of their midpoint k-value (one vectorized pass) instead of the
+paper's sequential greedy boundary walk. Consequence: a merged
+centroid's k-span can reach ~2 k-units instead of the paper's ≤ 1, i.e.
+the worst-case rank-error BOUND is up to 2× the paper's; measured rank
+error stays ~1e-4 at delta=200 on uniform/lognormal/256-way-merged
+inputs. The trade buys a loop-free compress on the per-batch hot path.
 
 Mergeable and serializable: per-batch partials are built vectorized from
 numpy arrays, merged per partition, and globally on the driver; drift checks
@@ -64,8 +71,12 @@ class TDigest:
         neww = np.zeros(len(uniq))
         np.add.at(neww, inv, w)
         newm = np.zeros(len(uniq))
-        np.add.at(newm, inv, m * w)
-        newm /= neww
+        # accumulate m·(w/bucket_weight), NOT sum(m·w)/W: for means near
+        # float64 max the raw weighted sum overflows to inf from finite
+        # input (100k copies of 1.5e308 → inf centroids poisoning every
+        # later merge/quantile/drift check); each normalized term is
+        # ≤ |m| so the convex combination stays finite
+        np.add.at(newm, inv, m * (w / neww[inv]))
         self.means, self.weights = newm, neww
 
     # -- serialization -------------------------------------------------

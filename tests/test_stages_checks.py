@@ -583,3 +583,80 @@ def test_psi_exact_matches_definition(ray_session):
                    "value": np.arange(5).astype(float)})
     out2, tot2 = psi_exact(rd.from_arrow(t2), "value", grp, 25.0)
     assert out2.empty and math.isnan(tot2)
+
+
+def test_temporal_hash_no_ns_truncation_and_unit_canonical():
+    """Sketch-wave regressions: (a) ns-resolution timestamps one tick
+    apart must hash DISTINCT (us-truncation collapsed 1000 ticks onto
+    each microsecond — fabricated dedup duplicates, 1000x HLL ndv
+    undercount); (b) the same instant/span hashes identically across
+    s/ms/us/ns and across numpy vs Arrow containers; (c) NaT is
+    unit-invariant; (d) Arrow nulls take the int-null sentinel."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jsonschema_ray.sketches import HyperLogLog
+    from jsonschema_ray.sketches.hashing import _null_sentinel, \
+        hash64_array
+
+    base = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
+    ts = pa.array(base + np.arange(100_000), type=pa.timestamp("ns"))
+    assert len(np.unique(hash64_array(ts))) == 100_000
+    hll = HyperLogLog(14)
+    hll.add_column(ts)
+    assert abs(hll.estimate() - 100_000) / 100_000 < 0.03
+
+    hs = {hash64_array(pa.array([1_700_000_000 * 10 ** e],
+                                type=pa.timestamp(u)))[0]
+          for e, u in [(0, "s"), (3, "ms"), (6, "us"), (9, "ns")]}
+    assert len(hs) == 1  # one instant, four units, one hash
+
+    nts = np.array([1000, 2000, -1], dtype="datetime64[us]")
+    assert (hash64_array(nts) == hash64_array(pa.array(nts))).all()
+    ntd = np.array([1000, 2000], dtype="timedelta64[us]")
+    assert (hash64_array(ntd) == hash64_array(pa.array(ntd))).all()
+    assert hash64_array(pa.array([5_000_000], type=pa.duration("us")))[0] \
+        == hash64_array(pa.array([5], type=pa.duration("s")))[0]
+    assert hash64_array(np.array(["NaT"], dtype="datetime64[us]"))[0] \
+        == hash64_array(np.array(["NaT"], dtype="datetime64[ns]"))[0]
+    tn = pa.array([1_700_000_000, None], type=pa.timestamp("s"))
+    assert hash64_array(tn)[1] == _null_sentinel(0)
+    assert hash64_array(pa.array([3600], type=pa.time32("s")))[0] \
+        == hash64_array(pa.array([3600 * 10 ** 6], type=pa.time64("us")))[0]
+
+
+def test_tdigest_finite_means_near_float64_max():
+    """Compression accumulates m*(w/bucket_weight): the raw weighted sum
+    overflowed to inf centroids from finite input near float64 max,
+    poisoning every later merge/quantile/drift check."""
+    import numpy as np
+
+    from jsonschema_ray.sketches import TDigest
+    td = TDigest()
+    td.add_values(np.full(100_000, 1.5e308))
+    assert abs(td.quantile(0.5) - 1.5e308) / 1.5e308 < 1e-10
+    td2 = TDigest()
+    td2.add_values(np.random.default_rng(1).normal(0, 1, 50_000))
+    td2.add_values(np.full(40, 1.7e308))
+    assert np.isfinite(td2.quantile(0.999))
+    td3 = TDigest.from_bytes(td.to_bytes())
+    td3.merge(td2)
+    td3._compress()
+    assert np.isfinite(td3.means).all()
+    # accuracy regression guard on ordinary data
+    rng = np.random.default_rng(7)
+    v = rng.lognormal(0, 1, 200_000)
+    td4 = TDigest()
+    for lo in range(0, len(v), 10_000):
+        td4.add_values(v[lo:lo + 10_000])
+    for q in (0.01, 0.5, 0.99):
+        assert abs((v <= td4.quantile(q)).mean() - q) < 2e-3
+
+
+def test_bloom_rejects_unserializable_k_at_init():
+    import pytest as _pytest
+
+    from jsonschema_ray.sketches.bloom import BloomFilter
+    with _pytest.raises(ValueError, match="k"):
+        BloomFilter(10, fp=1e-78)
+    BloomFilter(10_000, fp=0.01).to_bytes()  # normal params unaffected
