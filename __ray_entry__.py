@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
         "chi2_events": R.chi2_events,                     # oracled
         "psi_events": R.psi_events,                       # oracled
+        "kmeans_embeddings": R.kmeans_embeddings,         # rows-only
         "events_percent_rank": R.events_percent_rank,     # oracled
         "split_documents": R.split_documents,             # oracled
         "quality_filter_documents": R.quality_filter_documents,  # oracled

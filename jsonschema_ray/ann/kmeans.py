@@ -1,0 +1,166 @@
+"""Distributed full-corpus spherical k-means (Lloyd's iterations over
+unit vectors, cosine assignment) — the scale path when the sample-based
+coarse quantizer (`ann.search._train_centroids`) isn't enough: semantic-
+dedup clustering, full-corpus IVF training, embedding-space cartography.
+
+Scale shape: each Lloyd iteration is ONE streaming pass over the corpus.
+A batch assigns its vectors to the nearest centroid (one (n,dim)@(dim,k)
+matmul against the broadcast centroid matrix) and emits per-cluster
+partial sums via a sorted reduceat — (≤k × dim) partial rows per batch,
+the vectors themselves never shuffle. Partials merge through ONE small
+``groupby(cluster, dim).sum`` per iteration; the driver touches exactly
+k×dim floats. Empty clusters keep their previous centroid (standard
+Lloyd's degeneracy handling). Assignment ties break to the lowest
+cluster index (np.argmax), deterministically.
+
+No reference analog (the reference is a JSON Schema validator); the
+algorithm is public knowledge (Lloyd 1982; spherical variant Dhillon &
+Modha 2001)."""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+
+def _iter_partials(b: pa.Table, *, vec_col: str, cref) -> pa.Table:
+    """One batch's contribution to one Lloyd iteration: per-cluster
+    vector sums, member counts, and cosine-objective partial sums."""
+    import ray
+
+    from ..util import worker_cached
+    from .search import _unit_rows, embedding_matrix
+    C = worker_cached(("kmeans_c", cref.hex()), lambda: ray.get(cref))
+    empty = pa.table({
+        "cluster": pa.array([], type=pa.int64()),
+        "dim": pa.array([], type=pa.int64()),
+        "sum_part": pa.array([], type=pa.float64()),
+        "n_part": pa.array([], type=pa.int64()),
+        "cos_part": pa.array([], type=pa.float64())})
+    if b.num_rows == 0:
+        return empty
+    V = _unit_rows(embedding_matrix(b.column(vec_col)))
+    if V.shape[1] != C.shape[1]:
+        raise ValueError(
+            f"kmeans: corpus dim {V.shape[1]} != centroid dim "
+            f"{C.shape[1]}")
+    scores = V @ C.T                       # cosine: both sides unit
+    assign = np.argmax(scores, axis=1)
+    best = scores[np.arange(len(V)), assign]
+    uc, inv = np.unique(assign, return_inverse=True)
+    k, d = len(uc), V.shape[1]
+    order = np.argsort(inv, kind="stable")
+    starts = np.searchsorted(inv[order], np.arange(k))
+    sums = np.add.reduceat(V[order], starts, axis=0)
+    cos_sums = np.add.reduceat(best[order], starts)
+    cnt = np.bincount(inv, minlength=k).astype(np.int64)
+    return pa.table({
+        "cluster": pa.array(np.repeat(uc.astype(np.int64), d)),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+        "sum_part": pa.array(sums.ravel()),
+        "n_part": pa.array(np.repeat(cnt, d)),
+        # objective replicated per dim row would overcount: carry it on
+        # the dim-0 row only
+        "cos_part": pa.array(
+            (np.repeat(cos_sums, d)
+             * np.tile(np.arange(d) == 0, k)).astype(np.float64)),
+    })
+
+
+def _spherical_kmeanspp_init(X: np.ndarray, k: int, seed: int,
+                             local_iters: int = 5) -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007, cosine-distance
+    weights) + a few local Lloyd rounds on the UNIT-normalized sample —
+    a dot-product init on raw vectors (the IVF quantizer's choice) can
+    drop two seeds into one blob and leave a cluster permanently empty
+    under hard argmax assignment."""
+    from .search import _unit_rows
+    U = _unit_rows(np.asarray(X, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    k = min(k, len(U))
+    C = np.empty((k, U.shape[1]))
+    C[0] = U[rng.integers(len(U))]
+    d2 = np.maximum(1.0 - U @ C[0], 0.0)
+    for i in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:
+            C[i:] = U[rng.integers(len(U), size=k - i)]
+            break
+        C[i] = U[rng.choice(len(U), p=d2 / tot)]
+        d2 = np.minimum(d2, np.maximum(1.0 - U @ C[i], 0.0))
+    for _ in range(local_iters):
+        a = np.argmax(U @ C.T, axis=1)
+        for c in range(k):
+            m = U[a == c]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def distributed_kmeans(ds, vec_col: str = "embedding", k: int = 16,
+                       iters: int = 10, seed: int = 5,
+                       train_sample: int = 16384):
+    """Full-corpus spherical k-means.
+
+    Init: spherical k-means++ on a seeded uniform sample (one sampled
+    pass) — a good start the full-corpus iterations then make exact.
+    → ``(centroids (k,dim) float64 unit rows, counts (k,) int64,
+    mean_cos float)`` where counts/mean_cos describe the LAST
+    assignment pass.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .search import embedding_matrix
+    source = ds.select_columns([vec_col])
+    n = source.count()
+    if n == 0:
+        raise ValueError("distributed_kmeans: empty corpus")
+    frac = min(1.0, train_sample / max(1, n))
+    sample_ds = source if frac >= 1.0 \
+        else source.random_sample(frac, seed=seed)
+    sample = sample_ds.to_pandas()
+    if not len(sample):          # random_sample can miss on tiny inputs
+        sample = source.limit(min(n, train_sample)).to_pandas()
+    X = embedding_matrix(pa.array(list(sample[vec_col])))
+    C = _spherical_kmeanspp_init(X, k, seed)
+    counts = np.zeros(len(C), dtype=np.int64)
+    mean_cos = float("nan")
+    for _ in range(max(1, iters)):
+        cref = ray.put(C)
+        merged = source.map_batches(
+            functools.partial(_iter_partials, vec_col=vec_col, cref=cref),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby(["cluster", "dim"]) \
+            .aggregate(Sum("sum_part", alias_name="s"),
+                       Sum("n_part", alias_name="n"),
+                       Sum("cos_part", alias_name="cos")) \
+            .to_pandas()                     # exactly k×dim rows
+        if merged.empty:
+            raise ValueError("distributed_kmeans: empty corpus")
+        d = C.shape[1]
+        cl = merged["cluster"].to_numpy().astype(np.int64)
+        dim = merged["dim"].to_numpy().astype(np.int64)
+        sums = np.zeros((len(C), d))
+        sums[cl, dim] = merged["s"].to_numpy()
+        counts = np.zeros(len(C), dtype=np.int64)
+        counts[cl[dim == 0]] = \
+            merged.loc[dim == 0, "n"].to_numpy().astype(np.int64)
+        total = counts.sum()
+        mean_cos = float(merged.loc[dim == 0, "cos"].sum() / total) \
+            if total else float("nan")
+        newC = C.copy()                      # empty cluster: keep old
+        nz = counts > 0
+        means = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(means, axis=1)
+        pos = norms > 0
+        upd = means.copy()
+        upd[pos] = means[pos] / norms[pos, None]
+        newC[nz] = np.where(pos[:, None], upd, newC[nz])
+        C = newC
+    return C, counts, mean_cos

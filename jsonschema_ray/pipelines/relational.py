@@ -960,6 +960,29 @@ def label_centroids_embeddings(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed full-corpus spherical k-means (rows-only: iterative
+    float algorithm, no SQL form): each Lloyd iteration is one streaming
+    pass emitting (≤k × dim) reduceat partials, merged by one small
+    groupby — vectors never shuffle. Returns per-cluster sizes plus the
+    first centroid component in basis points (deterministic given the
+    seeded init; pinned against a single-node Lloyd reference in
+    pytest)."""
+    from ..ann import distributed_kmeans
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    C, counts, mean_cos = distributed_kmeans(ds, vec_col="embedding",
+                                             k=8, iters=4, seed=11)
+    order = np.lexsort((np.arange(len(counts)), -counts))
+    return pd.DataFrame({
+        "rank": np.arange(len(order), dtype=np.int64),
+        "n_members": counts[order].astype(np.int64),
+        "c0_bp": np.floor(10000 * C[order, 0]).astype(np.int64),
+        "mean_cos_bp": np.full(len(order),
+                               np.floor(10000 * mean_cos),
+                               dtype=np.int64),
+    })
+
+
 def ann_ivf_fullprobe_embeddings(sf_dir: str):
     """IVF top-k probing EVERY cell (nprobe = ncells): cell partitioning
     must lose NOTHING relative to exact brute force, so this query is

@@ -301,3 +301,54 @@ def test_simhash_neardup_string_ids():
     pairs = set(zip(got.id_a, got.id_b))
     assert ("d1", "d2") in pairs
     assert ("d1", "d3") not in pairs and ("d2", "d3") not in pairs
+
+
+def test_distributed_kmeans_matches_single_node_lloyd(ray_session):
+    """Full-corpus spherical k-means: recovers well-separated blobs,
+    matches a single-node Lloyd reference run from the same init, and is
+    invariant to repartitioning (per-batch reduceat partials merge to
+    the same sums)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.ann import distributed_kmeans
+    from jsonschema_ray.ann.kmeans import _spherical_kmeanspp_init
+    from jsonschema_ray.ann.search import _unit_rows
+
+    rng = np.random.default_rng(2)
+    centers = np.eye(8)[:3] * 10
+    X = np.concatenate([c + rng.normal(0, 0.1, (200, 8))
+                        for c in centers])
+    t = pa.table({"embedding": [list(r) for r in X]})
+    ds = rd.from_arrow(t)
+    C, counts, mc = distributed_kmeans(ds, k=3, iters=6, seed=5)
+    assert sorted(counts) == [200, 200, 200]
+    assert mc > 0.999
+    U = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    assert ((U @ C.T).max(axis=1) > 0.999).all()
+
+    # single-node Lloyd from the same init (train_sample covers the
+    # whole corpus, so the sample init is the full-data init)
+    Cr = _spherical_kmeanspp_init(X, 3, seed=5)
+    V = _unit_rows(X.copy())
+    for _ in range(6):
+        a = np.argmax(V @ Cr.T, axis=1)
+        for c in range(3):
+            m = V[a == c]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    Cr[c] = v / n
+    assert np.abs(C - Cr).max() < 1e-9
+
+    C2, counts2, _ = distributed_kmeans(ds.repartition(7), k=3,
+                                        iters=6, seed=5)
+    assert np.abs(np.sort(C.ravel()) - np.sort(C2.ravel())).max() < 1e-9
+    assert sorted(counts2.tolist()) == sorted(counts.tolist())
+
+    # k > n degrades to n centroids; empty corpus raises
+    C3, cnt3, _ = distributed_kmeans(rd.from_arrow(t.slice(0, 2)),
+                                     k=5, iters=2, seed=1)
+    assert C3.shape[0] == 2 and cnt3.tolist() == [1, 1]
