@@ -46,6 +46,14 @@ def _iter_partials(b: pa.Table, *, vec_col: str, cref) -> pa.Table:
         raise ValueError(
             f"kmeans: corpus dim {V.shape[1]} != centroid dim "
             f"{C.shape[1]}")
+    finite = np.isfinite(V).all(axis=1)
+    if not finite.all():
+        # NaN/inf rows would argmax to cluster 0 and poison its centroid
+        # sum permanently — exclude them, the TDigest.add_values
+        # convention for non-finite input
+        V = V[finite]
+        if not len(V):
+            return empty
     scores = V @ C.T                       # cosine: both sides unit
     assign = np.argmax(scores, axis=1)
     best = scores[np.arange(len(V)), assign]
@@ -128,6 +136,10 @@ def distributed_kmeans(ds, vec_col: str = "embedding", k: int = 16,
     if not len(sample):          # random_sample can miss on tiny inputs
         sample = source.limit(min(n, train_sample)).to_pandas()
     X = embedding_matrix(pa.array(list(sample[vec_col])))
+    X = X[np.isfinite(X).all(axis=1)]       # NaN weights crash kmeans++
+    if not len(X):
+        raise ValueError(
+            "distributed_kmeans: no finite vectors in the init sample")
     C = _spherical_kmeanspp_init(X, k, seed)
     counts = np.zeros(len(C), dtype=np.int64)
     mean_cos = float("nan")

@@ -352,3 +352,24 @@ def test_distributed_kmeans_matches_single_node_lloyd(ray_session):
     C3, cnt3, _ = distributed_kmeans(rd.from_arrow(t.slice(0, 2)),
                                      k=5, iters=2, seed=1)
     assert C3.shape[0] == 2 and cnt3.tolist() == [1, 1]
+
+
+def test_distributed_kmeans_excludes_nonfinite_vectors(ray_session):
+    """A NaN embedding row must not poison any centroid (it would argmax
+    to cluster 0 and sum NaN into its mean forever)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.ann import distributed_kmeans
+    rng = np.random.default_rng(4)
+    centers = np.eye(4)[:2] * 10
+    X = np.concatenate([c + rng.normal(0, 0.1, (50, 4)) for c in centers])
+    rows = [list(r) for r in X]
+    rows.append([float("nan")] * 4)
+    rows.append([float("inf"), 0.0, 0.0, 0.0])
+    ds = rd.from_arrow(pa.table({"embedding": rows}))
+    C, counts, mc = distributed_kmeans(ds, k=2, iters=4, seed=5)
+    assert np.isfinite(C).all()
+    assert sorted(counts.tolist()) == [50, 50]  # bad rows excluded
+    assert mc > 0.99
