@@ -157,6 +157,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.label_centroids_embeddings(sf_dir).count())
     timed("customer_order_counts",
           lambda: R.customer_order_counts(sf_dir).count())
+    timed("psi_events", lambda: len(R.psi_events(sf_dir)))
+    timed("kmeans_embeddings", lambda: len(R.kmeans_embeddings(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {
