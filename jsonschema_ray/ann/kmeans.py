@@ -25,13 +25,32 @@ import numpy as np
 import pyarrow as pa
 
 
+def _finite_unit_rows(m: np.ndarray) -> np.ndarray:
+    """Unit-normalize rows, EXCLUDING direction-free ones: rows with
+    NaN/inf components, rows whose norm overflows float64 (finite but
+    huge components), and exact-zero rows (zero-pad vectors from failed
+    encoders are common in real corpora). All three would otherwise
+    argmax to cluster 0 with a score of 0/NaN — skewing its count and
+    the objective — and a zero row drawn as a kmeans++ seed becomes a
+    permanently dead all-zero centroid (the empty-cluster rule keeps
+    it forever). A NaN/inf component makes the norm NaN/inf, so one
+    norm-finiteness test covers every case."""
+    with np.errstate(over="ignore", invalid="ignore"):
+        # overflow/NaN here IS the exclusion signal, not an error
+        norm = np.linalg.norm(m, axis=1)
+    ok = np.isfinite(norm) & (norm > 0)
+    if not ok.all():
+        m, norm = m[ok], norm[ok]
+    return m / norm[:, None]
+
+
 def _iter_partials(b: pa.Table, *, vec_col: str, cref) -> pa.Table:
     """One batch's contribution to one Lloyd iteration: per-cluster
     vector sums, member counts, and cosine-objective partial sums."""
     import ray
 
     from ..util import worker_cached
-    from .search import _unit_rows, embedding_matrix
+    from .search import embedding_matrix
     C = worker_cached(("kmeans_c", cref.hex()), lambda: ray.get(cref))
     empty = pa.table({
         "cluster": pa.array([], type=pa.int64()),
@@ -41,19 +60,23 @@ def _iter_partials(b: pa.Table, *, vec_col: str, cref) -> pa.Table:
         "cos_part": pa.array([], type=pa.float64())})
     if b.num_rows == 0:
         return empty
-    V = _unit_rows(embedding_matrix(b.column(vec_col)))
+    col = b.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        # null rows join the NaN/zero exclusion below (same
+        # no-direction convention) instead of aborting the run k
+        # iterations deep via embedding_matrix's ValueError
+        col = col.drop_null()
+    if not len(col):
+        return empty
+    V = _finite_unit_rows(embedding_matrix(col))
+    if not len(V):
+        return empty
     if V.shape[1] != C.shape[1]:
         raise ValueError(
             f"kmeans: corpus dim {V.shape[1]} != centroid dim "
             f"{C.shape[1]}")
-    finite = np.isfinite(V).all(axis=1)
-    if not finite.all():
-        # NaN/inf rows would argmax to cluster 0 and poison its centroid
-        # sum permanently — exclude them, the TDigest.add_values
-        # convention for non-finite input
-        V = V[finite]
-        if not len(V):
-            return empty
     scores = V @ C.T                       # cosine: both sides unit
     assign = np.argmax(scores, axis=1)
     best = scores[np.arange(len(V)), assign]
@@ -77,15 +100,16 @@ def _iter_partials(b: pa.Table, *, vec_col: str, cref) -> pa.Table:
     })
 
 
-def _spherical_kmeanspp_init(X: np.ndarray, k: int, seed: int,
+def _spherical_kmeanspp_init(U: np.ndarray, k: int, seed: int,
                              local_iters: int = 5) -> np.ndarray:
     """k-means++ seeding (Arthur & Vassilvitskii 2007, cosine-distance
     weights) + a few local Lloyd rounds on the UNIT-normalized sample —
     a dot-product init on raw vectors (the IVF quantizer's choice) can
     drop two seeds into one blob and leave a cluster permanently empty
-    under hard argmax assignment."""
-    from .search import _unit_rows
-    U = _unit_rows(np.asarray(X, dtype=np.float64))
+    under hard argmax assignment. ``U`` must already be unit rows with
+    direction-free rows excluded (``_finite_unit_rows``): a zero row
+    here keeps d2 weight 1.0 against every chosen seed forever and
+    would likely be drawn as a seed on zero-padded corpora."""
     rng = np.random.default_rng(seed)
     k = min(k, len(U))
     C = np.empty((k, U.shape[1]))
@@ -110,9 +134,20 @@ def _spherical_kmeanspp_init(X: np.ndarray, k: int, seed: int,
     return C
 
 
+def _gather_vec(ds, vec_col: str) -> pa.Array:
+    """Small dataset → one Arrow list column, nulls dropped — no
+    per-row Python list round-trip (flat values stay packed)."""
+    tbls = list(ds.iter_batches(batch_format="pyarrow", batch_size=8192))
+    if not tbls:
+        return pa.array([], type=pa.list_(pa.float64()))
+    col = pa.concat_tables(tbls, promote_options="permissive") \
+        .column(vec_col).combine_chunks()
+    return col.drop_null() if col.null_count else col
+
+
 def distributed_kmeans(ds, vec_col: str = "embedding", k: int = 16,
                        iters: int = 10, seed: int = 5,
-                       train_sample: int = 16384):
+                       train_sample: int = 16384, cache: bool = True):
     """Full-corpus spherical k-means.
 
     Init: spherical k-means++ on a seeded uniform sample (one sampled
@@ -120,27 +155,40 @@ def distributed_kmeans(ds, vec_col: str = "embedding", k: int = 16,
     → ``(centroids (k,dim) float64 unit rows, counts (k,) int64,
     mean_cos float)`` where counts/mean_cos describe the LAST
     assignment pass.
+
+    ``cache=True`` (default) materializes the projected vector column
+    into the object store ONCE, so the count, the init sample and every
+    Lloyd iteration read from plasma (spilling to disk under pressure)
+    instead of re-executing the upstream read/decode pipeline per pass
+    — an iters=10 run would otherwise scan the corpus 12 times. Pass
+    ``cache=False`` to keep pure streaming when the projected vectors
+    exceed cluster storage and re-reading the source is the cheaper
+    trade.
     """
     import ray
     from ray.data.aggregate import Sum
 
     from .search import embedding_matrix
+    if k < 1:
+        raise ValueError(f"distributed_kmeans: k must be >= 1, got {k}")
     source = ds.select_columns([vec_col])
+    if cache:
+        source = source.materialize()
     n = source.count()
     if n == 0:
         raise ValueError("distributed_kmeans: empty corpus")
     frac = min(1.0, train_sample / max(1, n))
     sample_ds = source if frac >= 1.0 \
         else source.random_sample(frac, seed=seed)
-    sample = sample_ds.to_pandas()
-    if not len(sample):          # random_sample can miss on tiny inputs
-        sample = source.limit(min(n, train_sample)).to_pandas()
-    X = embedding_matrix(pa.array(list(sample[vec_col])))
-    X = X[np.isfinite(X).all(axis=1)]       # NaN weights crash kmeans++
-    if not len(X):
+    col = _gather_vec(sample_ds, vec_col)
+    if not len(col):             # random_sample can miss on tiny inputs
+        col = _gather_vec(source.limit(min(n, train_sample)), vec_col)
+    U = _finite_unit_rows(embedding_matrix(col)) if len(col) \
+        else np.zeros((0, 0))
+    if not len(U):
         raise ValueError(
             "distributed_kmeans: no finite vectors in the init sample")
-    C = _spherical_kmeanspp_init(X, k, seed)
+    C = _spherical_kmeanspp_init(U, k, seed)
     counts = np.zeros(len(C), dtype=np.int64)
     mean_cos = float("nan")
     for _ in range(max(1, iters)):

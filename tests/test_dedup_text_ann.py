@@ -329,8 +329,10 @@ def test_distributed_kmeans_matches_single_node_lloyd(ray_session):
     assert ((U @ C.T).max(axis=1) > 0.999).all()
 
     # single-node Lloyd from the same init (train_sample covers the
-    # whole corpus, so the sample init is the full-data init)
-    Cr = _spherical_kmeanspp_init(X, 3, seed=5)
+    # whole corpus, so the sample init is the full-data init; init now
+    # takes pre-normalized rows)
+    from jsonschema_ray.ann.kmeans import _finite_unit_rows
+    Cr = _spherical_kmeanspp_init(_finite_unit_rows(X), 3, seed=5)
     V = _unit_rows(X.copy())
     for _ in range(6):
         a = np.argmax(V @ Cr.T, axis=1)
@@ -368,8 +370,30 @@ def test_distributed_kmeans_excludes_nonfinite_vectors(ray_session):
     rows = [list(r) for r in X]
     rows.append([float("nan")] * 4)
     rows.append([float("inf"), 0.0, 0.0, 0.0])
+    rows.append([0.0] * 4)            # zero-pad row: no direction
+    rows.append([1e300] * 4)          # finite components, norm overflows
+    rows.append(None)                 # null row: skipped, not a crash
     ds = rd.from_arrow(pa.table({"embedding": rows}))
     C, counts, mc = distributed_kmeans(ds, k=2, iters=4, seed=5)
     assert np.isfinite(C).all()
     assert sorted(counts.tolist()) == [50, 50]  # bad rows excluded
     assert mc > 0.99
+    # direction-free rows must not be seedable either: a corpus that is
+    # mostly zero-pads still recovers the two real blobs
+    pad = [[0.0] * 4] * 500
+    ds2 = rd.from_arrow(pa.table({"embedding": [list(r) for r in X] + pad}))
+    C2, counts2, _ = distributed_kmeans(ds2, k=2, iters=4, seed=5)
+    assert (np.linalg.norm(C2, axis=1) > 0.99).all()
+    assert sorted(counts2.tolist()) == [50, 50]
+    # cache=False (pure streaming, re-scan per pass) is bit-identical
+    C3, counts3, mc3 = distributed_kmeans(ds, k=2, iters=4, seed=5,
+                                          cache=False)
+    assert np.array_equal(C3, C) and counts3.tolist() == counts.tolist()
+
+    import pytest
+    with pytest.raises(ValueError, match="k must be"):
+        distributed_kmeans(ds, k=0, iters=1)
+    with pytest.raises(ValueError, match="no finite vectors"):
+        distributed_kmeans(
+            rd.from_arrow(pa.table({"embedding": [[0.0] * 4, None]})),
+            k=1, iters=1)

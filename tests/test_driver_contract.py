@@ -213,6 +213,7 @@ def test_every_query_is_oracled_or_known_rows_only():
         "validate_images_synth", "image_features_synth",
         "incremental_minhash_documents",
         "incremental_embedding_documents",
+        "kmeans_embeddings",
     }
     missing = set(q) - set(o) - rows_only
     assert not missing, f"queries without oracle or rows-only tag: {missing}"
