@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_users_events": R.hot_users_events,          # oracled
         "label_centroids_embeddings":
             R.label_centroids_embeddings,                # oracled
+        "bigram_counts_documents": R.bigram_counts_documents,  # oracled
+        "nation_balance_outer": R.nation_balance_outer,  # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only
@@ -268,6 +270,30 @@ SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
 FROM customer c LEFT JOIN orders o
   ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+        "bigram_counts_documents": """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+b AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM t)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+FROM b WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
+GROUP BY w1, w2
+ORDER BY n DESC, w1, w2 LIMIT 50""",
+        "nation_balance_outer": """
+WITH c AS (SELECT c_nationkey AS nation_key, count(*) AS n_cust
+           FROM customer WHERE c_acctbal > 9700 GROUP BY 1),
+     s AS (SELECT s_nationkey AS nation_key, count(*) AS n_supp
+           FROM supplier WHERE s_acctbal > 7000 GROUP BY 1)
+SELECT CAST(COALESCE(c.nation_key, s.nation_key) AS BIGINT) AS nation_key,
+       CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nation_key = s.nation_key
+ORDER BY nation_key""",
         "hot_users_events": """
 WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
            FROM events GROUP BY user_id),

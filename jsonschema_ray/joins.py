@@ -376,9 +376,14 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
                               zero_copy_batch=True, batch_size=batch_size)
 
 
+def _typed_empty(schema: pa.Schema) -> pa.Table:
+    return pa.table({f.name: pa.array([], type=f.type) for f in schema})
+
+
 def equi_join(left, right, on, how: str = "inner", right_on=None,
               broadcast_cap: int = 256 << 20, num_partitions: int = None,
-              right_suffix: str = "_r"):
+              right_suffix: str = "_r", left_schema: pa.Schema = None,
+              right_schema: pa.Schema = None):
     """General equi-join with a size-chosen physical plan.
 
     If the RIGHT side fits ``broadcast_cap`` it is materialized once,
@@ -393,19 +398,49 @@ def equi_join(left, right, on, how: str = "inner", right_on=None,
     Null join keys never match (SQL semantics — Acero and the shuffle
     join agree). Output column collisions take ``right_suffix``.
     Row order is not defined (as for any distributed join).
+
+    ``left_schema``/``right_schema``: optional ``pa.Schema`` hints for a
+    side that can legitimately produce ZERO rows (a filtered aggregate,
+    an empty shard). Ray Data drops the schema of an all-empty pipeline
+    and its shuffle join then dies on column-less partitions (KeyError
+    deep in Acero); a hinted side is materialized — cheap for the
+    aggregate-shaped inputs this serves, NOT meant for corpus-sized
+    streams — and swapped for a typed empty block when that happens.
+    Without a hint an all-empty schema-less right still degrades
+    EXACTLY for semi (empty, left-typed) and anti (all left rows: the
+    outputs carry left columns only), and raises a descriptive error
+    for the join types whose output schema would be unconstructible.
     """
     import ray
+    import ray.data as rd
 
     from .util import auto_partitions, worker_cached
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
     num_partitions = num_partitions or auto_partitions()
+    if left_schema is not None:
+        left = left.materialize()
+        if left.schema() is None:
+            left = rd.from_arrow(_typed_empty(left_schema))
+    if right_schema is not None:
+        right = right.materialize()
+        if right.schema() is None:
+            right = rd.from_arrow(_typed_empty(right_schema))
 
     acero_type = {"inner": "inner", "left_outer": "left outer",
                   "semi": "left semi", "anti": "left anti"}.get(how)
     if acero_type is not None:
         rt = right.materialize()
+        if rt.schema() is None:     # all-empty right, schema dropped
+            if how == "anti":
+                return left         # nothing can match: all left survives
+            if how == "semi":
+                return left.limit(0)
+            raise ValueError(
+                f"equi_join: the right side is empty and Ray dropped "
+                f"its schema, so the {how} output schema is "
+                f"unconstructible — pass right_schema=")
         if rt.size_bytes() <= broadcast_cap:
             tabs = ray.get(rt.to_arrow_refs())
             rschema = rt.schema().base_schema
@@ -446,5 +481,75 @@ def equi_join(left, right, on, how: str = "inner", right_on=None,
     if ray_type is None:
         raise ValueError(f"equi_join: shuffle path does not support "
                          f"how={how!r} above the broadcast cap")
-    return left.join(right, ray_type, num_partitions, on=tuple(on),
-                     right_on=tuple(right_on), right_suffix=right_suffix)
+    # Ray's hash-shuffle join dies on a zero-row input side — even a
+    # TYPED empty block (the partition aggregator builds the missing
+    # side column-less and Acero KeyErrors on the join key). Both sides
+    # are materialized here so the emptiness probe is a free metadata
+    # count and the join consumes each side's single execution; the
+    # price is object-store residency (spillable), not recompute.
+    lm, rm = left.materialize(), right.materialize()
+    if lm.count() == 0 or rm.count() == 0:
+        ls = left_schema if left_schema is not None else (
+            lm.schema().base_schema if lm.schema() is not None else None)
+        rs = right_schema if right_schema is not None else (
+            rm.schema().base_schema if rm.schema() is not None else None)
+        if ls is None or rs is None:
+            raise ValueError(
+                "equi_join: an empty side's schema is unknown (Ray "
+                "drops the schema of an all-empty pipeline) — pass "
+                "left_schema=/right_schema= so the output is "
+                "constructible")
+        return _empty_side_join(lm, rm, ls, rs, on, right_on, how,
+                                right_suffix, lm.count() == 0,
+                                rm.count() == 0)
+    return lm.join(rm, ray_type, num_partitions, on=tuple(on),
+                   right_on=tuple(right_on), right_suffix=right_suffix)
+
+
+def _empty_side_join(lds, rds, lschema: pa.Schema, rschema: pa.Schema,
+                     on, right_on, how: str, right_suffix: str,
+                     l_empty: bool, r_empty: bool):
+    """Exact equi-join semantics when at least one side has zero rows,
+    built without Dataset.join (which crashes on empty inputs). Output
+    follows Ray's convention: left columns, then right non-key columns
+    (collisions suffixed); key values coalesce into the left key name."""
+    import ray.data as rd
+    lnames = {f.name for f in lschema}
+    rpay = [f for f in rschema if f.name not in set(right_on)]
+
+    def oname(n: str) -> str:
+        return n + right_suffix if n in lnames else n
+
+    out_schema = pa.schema(
+        list(lschema) + [pa.field(oname(f.name), f.type) for f in rpay])
+    if (l_empty and r_empty) \
+            or (r_empty and how in ("inner", "right_outer")) \
+            or (l_empty and how in ("inner", "left_outer")):
+        return rd.from_arrow(_typed_empty(out_schema))
+    if r_empty:        # left_outer/full_outer: left rows, null right payload
+        def add_right_nulls(b: pa.Table) -> pa.Table:
+            for f in rpay:
+                b = b.append_column(oname(f.name),
+                                    pa.nulls(b.num_rows, type=f.type))
+            return b
+
+        return lds.map_batches(add_right_nulls, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    # l_empty, right_outer/full_outer: right rows, key values under the
+    # left key names, null left payload
+    keymap = dict(zip(on, right_on))
+
+    def add_left_nulls(b: pa.Table) -> pa.Table:
+        cols = {}
+        for f in lschema:
+            if f.name in keymap:
+                cols[f.name] = b.column(keymap[f.name])
+            else:
+                cols[f.name] = pa.nulls(b.num_rows, type=f.type)
+        for f in rpay:
+            cols[oname(f.name)] = b.column(f.name)
+        return pa.table(cols)
+
+    return rds.map_batches(add_left_nulls, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -1213,6 +1213,71 @@ def unigram_logprob_documents(sf_dir: str):
                                  columns=["doc_id", "text"]))
 
 
+def bigram_counts_documents(sf_dir: str):
+    """Top-50 adjacent token pairs with counts (collocation statistics,
+    the tokenizer-merge / phrase-mining input) — oracled: whitespace
+    split and lead()-then-filter pairing on both sides, total-order
+    tiebreak (n desc, w1, w2) so the tied band at the cut is
+    deterministic."""
+    from ..text.transform import bigram_counts
+    return bigram_counts(_read(sf_dir, "documents", columns=["text"]),
+                         top_n=50)
+
+
+def nation_balance_outer(sf_dir: str):
+    """Per-nation counts of high-balance customers (>9700) and suppliers
+    (>7000), FULL OUTER joined on nation — the oracled exercise of Ray
+    Data's partitioned shuffle join (full_outer never broadcasts:
+    unmatched-RIGHT tracking needs partitioned state, joins.py:388). At
+    sf0.01 one nation has rich suppliers but no rich customers and eight
+    the reverse, so both null branches are real. Combiner partials make
+    both join sides nation-sized; the customer/supplier streams never
+    shuffle. Unmatched sides surface as count 0 (a grouped count is
+    never 0 for a matched key, so 0 uniquely marks the outer branch)."""
+    from ray.data.aggregate import Sum
+
+    from ..joins import equi_join
+
+    def side(table: str, key: str, bal: str, alias: str, thresh: int):
+        ds = _read(sf_dir, table, columns=[key, bal]) \
+            .filter(expr=f"{bal} > {thresh}")
+
+        def partial(b: pa.Table) -> pa.Table:
+            g = b.select([key]).group_by([key]) \
+                .aggregate([([], "count_all")])
+            return g.rename_columns(["nation_key", "n_part"])
+
+        return ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .groupby("nation_key") \
+            .aggregate(Sum("n_part", alias_name=alias))
+
+    cust = side("customer", "c_nationkey", "c_acctbal", "n_cust", 9700)
+    supp = side("supplier", "s_nationkey", "s_acctbal", "n_supp", 7000)
+    # schema hints: at small SFs a side can pass the balance filter
+    # NOWHERE (sf0.001 has 10 suppliers) — Ray drops an empty
+    # pipeline's schema and the shuffle join dies without them; the
+    # nationkey columns are int32 in the testdata parquet, counts are
+    # grouped int64 sums
+    key_t = pa.int32()
+    j = equi_join(
+        cust, supp, on="nation_key", how="full_outer",
+        left_schema=pa.schema([("nation_key", key_t),
+                               ("n_cust", pa.int64())]),
+        right_schema=pa.schema([("nation_key", key_t),
+                                ("n_supp", pa.int64())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "nation_key": pc.cast(b["nation_key"], pa.int64()),
+            "n_cust": pc.cast(pc.fill_null(b["n_cust"], 0), pa.int64()),
+            "n_supp": pc.cast(pc.fill_null(b["n_supp"], 0), pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def clean_documents(sf_dir: str):
     """Stopword removal + whitespace collapse — RE2 on both sides, so
     DuckDB regexp_replace is an exact oracle."""

@@ -298,3 +298,82 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
     # 10^12 docs — never driver-resident here (callers collect if small)
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# bigram (collocation) counts
+
+
+def _bigram_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
+    """One partial row per distinct ADJACENT token pair in the batch.
+
+    Pairing is fully vectorized: token lists flatten once; a boolean
+    mask drops each document's LAST token (no successor), and the pair
+    (w1, w2) = (flat[i], flat[i+1]) materializes via two takes. Empty
+    tokens (doubled spaces) are excluded AFTER pairing so they don't
+    create false adjacencies across themselves, matching the SQL
+    oracle's lead()-then-filter order."""
+    col = _combine(batch[text_col])
+    if col.null_count:
+        col = col.drop_null()          # a null text contributes no pairs
+    toks = pc.split_pattern(col, " ")
+    flat = pc.list_flatten(toks)
+    n = len(flat)
+    empty = pa.table({"w1": pa.array([], type=pa.string()),
+                      "w2": pa.array([], type=pa.string()),
+                      "n_part": pa.array([], type=pa.int64())})
+    if n < 2:
+        return empty
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ends = np.cumsum(lens)
+    keep = np.ones(n, dtype=bool)
+    # each doc's last token starts no pair; ends==0 (leading empty docs)
+    # must not index -1 and clear the global last element
+    keep[ends[ends > 0] - 1] = False
+    idx = np.nonzero(keep)[0]
+    if not len(idx):
+        return empty
+    w1 = flat.take(pa.array(idx, type=pa.int64()))
+    w2 = flat.take(pa.array(idx + 1, type=pa.int64()))
+    m = pc.and_(pc.not_equal(w1, ""), pc.not_equal(w2, ""))
+    t = pa.table({"w1": w1.filter(m), "w2": w2.filter(m)})
+    if not t.num_rows:
+        return empty
+    g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+    return g.rename_columns(["w1", "w2", "n_part"])
+
+
+def _bigram_local_topk(batch: pa.Table, *, k: int) -> pa.Table:
+    df = batch.to_pandas().sort_values(
+        ["n", "w1", "w2"], ascending=[False, True, True],
+        kind="mergesort").head(k)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def bigram_counts(ds, text_col: str = "text", top_n: int | None = None):
+    """Global adjacent-pair (bigram/collocation) counts — the phrase
+    statistic a tokenizer-merge or collocation filter consumes. Same
+    combiner shape as ``term_frequency``: each batch emits one partial
+    row per distinct pair, so the groupby shuffles pair-vocabulary-sized
+    partials, never the token stream. ``top_n`` merges per-block local
+    top-k survivors on the driver (ties broken by (n desc, w1, w2) —
+    a total order, so the cut is deterministic)."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.select_columns([text_col]).map_batches(
+        functools.partial(_bigram_partials, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = partials.groupby(["w1", "w2"]) \
+        .aggregate(Sum("n_part", alias_name="n"))
+    if top_n is None:
+        return counts
+    survivors = counts.map_batches(
+        functools.partial(_bigram_local_topk, k=top_n),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    df = survivors.sort_values(["n", "w1", "w2"],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(top_n)
+    return df.reset_index(drop=True)

@@ -103,3 +103,95 @@ def test_hash64_time_and_duration_columns():
     # but the same column must be batch-split invariant)
     hb = hash64_array(pa.concat_arrays([t32, t32]))
     assert (hb[:3] == hb[3:]).all()
+
+
+def test_equi_join_empty_sides_degrade(ray_session):
+    """Ray's hash-shuffle join dies on ANY zero-row input side (even a
+    typed empty block: the partition aggregator rebuilds the missing
+    side column-less and Acero KeyErrors on the join key). equi_join
+    must construct the exact degenerate result instead."""
+    import pytest
+    import ray.data as rd
+
+    from jsonschema_ray.joins import equi_join
+
+    def mk(rows, key_t=pa.int32()):
+        return rd.from_arrow(pa.table({
+            "nk": pa.array([r[0] for r in rows], type=key_t),
+            "v": pa.array([r[1] for r in rows], type=pa.int64())}))
+
+    def mkr(rows, name="w", key="nk"):
+        return rd.from_arrow(pa.table({
+            key: pa.array([r[0] for r in rows], type=pa.int32()),
+            name: pa.array([r[1] for r in rows], type=pa.int64())}))
+
+    left = mk([(1, 10), (2, 20)])
+    empty_r = mkr([])
+    empty_l = mk([])
+
+    # full_outer, empty right → left rows + null right payload
+    j = equi_join(left, empty_r, on="nk", how="full_outer").to_pandas()
+    assert sorted(j.columns) == ["nk", "v", "w"]
+    assert len(j) == 2 and j["w"].isna().all()
+    # full_outer, empty left → right rows under the left key name
+    j = equi_join(empty_l, mkr([(3, 30)]), on="nk",
+                  how="full_outer").to_pandas()
+    assert len(j) == 1 and j.iloc[0]["nk"] == 3 and j["v"].isna().all() \
+        and j.iloc[0]["w"] == 30
+    # right_outer mirrors; inner with any empty side → typed empty
+    j = equi_join(empty_l, mkr([(3, 30)]), on="nk",
+                  how="right_outer").to_pandas()
+    assert len(j) == 1 and j.iloc[0]["w"] == 30
+    # empty results keep the combined schema on the DATASET (Ray's
+    # to_pandas of an empty dataset drops columns — a Ray quirk, not
+    # ours)
+    j = equi_join(left, empty_r, on="nk", how="right_outer")
+    assert sorted(j.schema().names) == ["nk", "v", "w"]
+    assert j.count() == 0
+    # both empty → typed empty with the combined schema
+    j = equi_join(empty_l, empty_r, on="nk", how="full_outer")
+    assert j.count() == 0 and sorted(j.schema().names) == ["nk", "v", "w"]
+
+    # right payload name colliding with a left column takes the suffix
+    j = equi_join(left, mkr([], name="v"), on="nk", how="full_outer")
+    assert sorted(j.schema().names) == ["nk", "v", "v_r"]
+
+    # a SCHEMA-LESS empty side (Ray drops the schema of an all-empty
+    # pipeline): semi/anti stay exact (left-typed outputs); the others
+    # need a hint and say so
+    from ray.data.aggregate import Sum
+
+    def _agg_empty():
+        # a groupby-aggregate over a fully-filtered input is how real
+        # pipelines lose their schema (a plain filter keeps it)
+        def part(b: pa.Table) -> pa.Table:
+            g = b.select(["nk"]).group_by(["nk"]) \
+                .aggregate([([], "count_all")])
+            return g.rename_columns(["nk", "w"])
+
+        return mkr([(1, 1)]).filter(expr="w > 99") \
+            .map_batches(part, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("nk").aggregate(Sum("w", alias_name="w"))
+
+    schemaless = _agg_empty()
+    assert schemaless.materialize().schema() is None
+    got = equi_join(left, schemaless, on="nk", how="anti").to_pandas()
+    assert len(got) == 2 and sorted(got.columns) == ["nk", "v"]
+    got = equi_join(left, schemaless, on="nk", how="semi").to_pandas()
+    assert len(got) == 0
+    with pytest.raises(ValueError, match="right_schema"):
+        equi_join(left, schemaless, on="nk", how="left_outer").to_pandas()
+    with pytest.raises(ValueError, match="schema"):
+        equi_join(left, schemaless, on="nk", how="full_outer").to_pandas()
+    # with the hint, the schema-less empty right joins exactly
+    hint = pa.schema([("nk", pa.int32()), ("w", pa.int64())])
+    j = equi_join(left, schemaless, on="nk", how="full_outer",
+                  right_schema=hint).to_pandas()
+    assert len(j) == 2 and j["w"].isna().all() \
+        and sorted(j.columns) == ["nk", "v", "w"]
+
+    # non-empty shuffle path unchanged (sanity: coalesced key)
+    j = equi_join(mk([(1, 10), (2, 20)]), mkr([(2, 5), (4, 7)]),
+                  on="nk", how="full_outer").to_pandas()
+    assert len(j) == 3 and set(j["nk"]) == {1, 2, 4}

@@ -292,3 +292,45 @@ def test_stratified_sample_rates(ray_session):
     assert abs(got["en"] / base["en"] - 0.25) < 0.02
     assert abs(got["de"] / base["de"] - 0.50) < 0.02
     assert got["xx"] == base["xx"]          # default: keep all
+
+
+def test_bigram_counts_matches_bruteforce(ray_session):
+    """Vectorized adjacent-pair extraction vs a per-doc Python count:
+    doc boundaries never pair, leading/empty docs don't clobber the
+    mask (ends-1 underflow), doubled spaces drop pairs touching the
+    empty token, null texts contribute nothing."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from jsonschema_ray.text.transform import bigram_counts
+    texts = ["", "a b a b", "single", "x  y", "b a", None,
+             "a b", "  ", "edge case edge case edge"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts,
+                                                  type=pa.string())}))
+    got = bigram_counts(ds, top_n=100)
+    ref = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        toks = t.split(" ")
+        for w1, w2 in zip(toks, toks[1:]):
+            if w1 and w2:
+                ref[(w1, w2)] += 1
+    want = sorted(((w1, w2, n) for (w1, w2), n in ref.items()))
+    have = sorted(got[["w1", "w2", "n"]].itertuples(index=False,
+                                                    name=None))
+    assert have == want
+    # top_n cut is a total order: ask for fewer than exist
+    top2 = bigram_counts(ds, top_n=2)
+    full = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert list(top2[["w1", "w2"]].itertuples(index=False, name=None)) \
+        == [k for k, _ in full]
+    # repartition invariance (partials combine across blocks)
+    got7 = bigram_counts(ds.repartition(7), top_n=100)
+    assert sorted(got7[["w1", "w2", "n"]].itertuples(
+        index=False, name=None)) == want
+    # streaming form (top_n=None) returns a Dataset of the same counts
+    full_ds = bigram_counts(ds).to_pandas()
+    assert sorted(full_ds[["w1", "w2", "n"]].itertuples(
+        index=False, name=None)) == want
