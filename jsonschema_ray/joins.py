@@ -377,7 +377,10 @@ def range_agg_join(left, right, by: str, on: str, right_by: str = None,
 
 
 def _typed_empty(schema: pa.Schema) -> pa.Table:
-    return pa.table({f.name: pa.array([], type=f.type) for f in schema})
+    # from_arrays, not a dict: a legitimate duplicate output name (left
+    # 'v_r' colliding with right 'v'+suffix) must survive
+    return pa.Table.from_arrays(
+        [pa.array([], type=f.type) for f in schema], schema=schema)
 
 
 def equi_join(left, right, on, how: str = "inner", right_on=None,
@@ -410,6 +413,11 @@ def equi_join(left, right, on, how: str = "inner", right_on=None,
     EXACTLY for semi (empty, left-typed) and anti (all left rows: the
     outputs carry left columns only), and raises a descriptive error
     for the join types whose output schema would be unconstructible.
+    Emptiness is only probed where it is FREE (hinted or
+    already-materialized sides) — an unhinted streaming side that
+    turns out empty still dies inside Ray's shuffle join with a
+    cryptic Acero KeyError, so hint any side that can legitimately
+    produce zero rows.
     """
     import ray
     import ray.data as rd
@@ -483,27 +491,45 @@ def equi_join(left, right, on, how: str = "inner", right_on=None,
                          f"how={how!r} above the broadcast cap")
     # Ray's hash-shuffle join dies on a zero-row input side — even a
     # TYPED empty block (the partition aggregator builds the missing
-    # side column-less and Acero KeyErrors on the join key). Both sides
-    # are materialized here so the emptiness probe is a free metadata
-    # count and the join consumes each side's single execution; the
-    # price is object-store residency (spillable), not recompute.
-    lm, rm = left.materialize(), right.materialize()
-    if lm.count() == 0 or rm.count() == 0:
+    # side column-less and Acero KeyErrors on the join key). Emptiness
+    # is probed ONLY on sides that are already materialized (a schema
+    # hint, or the acero branch's size probe falling through) — the
+    # count is free metadata there. Unhinted streaming sides stay
+    # streaming: materializing a corpus-scale side just to probe would
+    # pin it in the object store and serialize upstream compute with
+    # the shuffle. A side that can legitimately be empty is exactly
+    # what the hints are for.
+    l_empty = _free_count(left) == 0
+    r_empty = _free_count(right) == 0
+    if l_empty or r_empty:
         ls = left_schema if left_schema is not None else (
-            lm.schema().base_schema if lm.schema() is not None else None)
+            left.schema().base_schema
+            if left.schema() is not None else None)
         rs = right_schema if right_schema is not None else (
-            rm.schema().base_schema if rm.schema() is not None else None)
+            right.schema().base_schema
+            if right.schema() is not None else None)
         if ls is None or rs is None:
             raise ValueError(
                 "equi_join: an empty side's schema is unknown (Ray "
                 "drops the schema of an all-empty pipeline) — pass "
                 "left_schema=/right_schema= so the output is "
                 "constructible")
-        return _empty_side_join(lm, rm, ls, rs, on, right_on, how,
-                                right_suffix, lm.count() == 0,
-                                rm.count() == 0)
-    return lm.join(rm, ray_type, num_partitions, on=tuple(on),
-                   right_on=tuple(right_on), right_suffix=right_suffix)
+        return _empty_side_join(left, right, ls, rs, on, right_on, how,
+                                right_suffix, l_empty, r_empty)
+    return left.join(right, ray_type, num_partitions, on=tuple(on),
+                     right_on=tuple(right_on), right_suffix=right_suffix)
+
+
+def _free_count(ds):
+    """Row count when Ray already knows it from metadata (in-memory
+    sources, parquet reads, materialized datasets) — None for lazy
+    pipelines, which we will NOT execute just to probe. Hinted sides
+    are materialized by the caller, so their count is always known."""
+    try:
+        return ds._meta_count()
+    except AttributeError:      # private API moved: fall back to
+        from ray.data.dataset import MaterializedDataset
+        return ds.count() if isinstance(ds, MaterializedDataset) else None
 
 
 def _empty_side_join(lds, rds, lschema: pa.Schema, rschema: pa.Schema,
@@ -522,6 +548,15 @@ def _empty_side_join(lds, rds, lschema: pa.Schema, rschema: pa.Schema,
 
     out_schema = pa.schema(
         list(lschema) + [pa.field(oname(f.name), f.type) for f in rpay])
+    names = out_schema.names
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # Ray cannot serialize an Arrow table with duplicate column
+        # names (its serializer indexes by name) — refuse loudly like
+        # asof_join does, instead of crashing downstream
+        raise ValueError(
+            f"equi_join: output column names collide even after "
+            f"right_suffix={right_suffix!r}: {sorted(dupes)}")
     if (l_empty and r_empty) \
             or (r_empty and how in ("inner", "right_outer")) \
             or (l_empty and how in ("inner", "left_outer")):
@@ -541,10 +576,13 @@ def _empty_side_join(lds, rds, lschema: pa.Schema, rschema: pa.Schema,
     keymap = dict(zip(on, right_on))
 
     def add_left_nulls(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         cols = {}
         for f in lschema:
             if f.name in keymap:
-                cols[f.name] = b.column(keymap[f.name])
+                # honor the LEFT key type (the non-empty path's output
+                # type) so schema doesn't depend on which side was empty
+                cols[f.name] = pc.cast(b.column(keymap[f.name]), f.type)
             else:
                 cols[f.name] = pa.nulls(b.num_rows, type=f.type)
         for f in rpay:

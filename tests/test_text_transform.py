@@ -334,3 +334,20 @@ def test_bigram_counts_matches_bruteforce(ray_session):
     full_ds = bigram_counts(ds).to_pandas()
     assert sorted(full_ds[["w1", "w2", "n"]].itertuples(
         index=False, name=None)) == want
+
+
+def test_topk_empty_vocabulary(ray_session):
+    """A corpus yielding ZERO terms/bigrams returns a typed empty frame
+    (Ray drops the schema of an all-empty pipeline; the survivors
+    collect is column-less and used to KeyError in sort_values)."""
+    import ray.data as rd
+
+    from jsonschema_ray.text.transform import bigram_counts, term_frequency
+    no_pairs = rd.from_arrow(pa.table({
+        "text": pa.array(["single", "", None, " "], type=pa.string())}))
+    got = bigram_counts(no_pairs, top_n=10)
+    assert len(got) == 0 and sorted(got.columns) == ["n", "w1", "w2"]
+    no_terms = rd.from_arrow(pa.table({
+        "text": pa.array(["", None, "  "], type=pa.string())}))
+    got = term_frequency(no_terms, top_n=10)
+    assert len(got) == 0 and sorted(got.columns) == ["n", "term"]
