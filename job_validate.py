@@ -49,15 +49,29 @@ def main(argv=None) -> int:
                     help="skip the decode-structural stage")
     ap.add_argument("--check-phash", action="store_true",
                     help="recompute + verify the stored phash per row")
+    ap.add_argument("--baseline-stats", default=None,
+                    help="parquet of a previous run's full stats table"
+                         " (written by --save-stats) — enables the"
+                         " KS/PSI drift report against it")
+    ap.add_argument("--save-stats", default=None,
+                    help="write this run's full stats table (incl."
+                         " binary sketch state) as parquet, usable as"
+                         " the next run's --baseline-stats")
     args = ap.parse_args(argv)
 
     import ray
     if not ray.is_initialized():
-        # inside `ray job submit` this attaches to the submitting
-        # cluster; standalone it falls back to a local session
         import os
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 ignore_reinit_error=True)
+        addr = os.environ.get("RAY_ADDRESS")
+        if addr:
+            # inside `ray job submit` (or with RAY_ADDRESS set) this
+            # attaches to the submitting cluster
+            ray.init(address=addr, ignore_reinit_error=True)
+        else:
+            try:           # a running local cluster, if there is one
+                ray.init(address="auto", ignore_reinit_error=True)
+            except ConnectionError:
+                ray.init(ignore_reinit_error=True)  # standalone session
 
     ruleset = None
     if args.ruleset:
@@ -68,25 +82,60 @@ def main(argv=None) -> int:
         import pyarrow.parquet as pq
         ref_ids = pq.read_table(args.ref_ids).column(0)
 
+    baseline = None
+    if args.baseline_stats:
+        import pandas as pd
+        baseline = pd.read_parquet(args.baseline_stats)
+
     from jsonschema_ray.pipelines.validate_images import \
         validate_images_pipeline
     report = validate_images_pipeline(
         args.input, args.checkpoint_dir, ruleset=ruleset, ref_ids=ref_ids,
-        wave_size=args.wave_size, decode=not args.no_decode,
-        check_phash=args.check_phash)
+        baseline_stats=baseline, wave_size=args.wave_size,
+        decode=not args.no_decode, check_phash=args.check_phash)
+
+    if args.save_stats and report.get("stats_full") is not None:
+        report["stats_full"].to_parquet(args.save_stats, index=False)
 
     def jsonable(v):
+        import math
+
+        import numpy as np
         import pandas as pd
         if isinstance(v, pd.DataFrame):
             drop = [c for c in v.columns
                     if v[c].map(lambda x: isinstance(x, bytes)).any()]
-            return v.drop(columns=drop).to_dict("records")
+            v = v.drop(columns=drop).to_dict("records")
+        if isinstance(v, dict):
+            return {k: jsonable(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [jsonable(x) for x in v]
+        # the report line must be RFC-8259 JSON: bare NaN/inf tokens
+        # (string-column percentile stats) and pandas NA (nullable-Int64
+        # min/max) both serialize as null, not as "NaN"/"<NA>" strings
+        if v is None or (isinstance(v, float) and not math.isfinite(v)):
+            return None
+        try:
+            import pandas as pd
+            if v is pd.NA or (not isinstance(v, (str, bytes))
+                              and pd.isna(v)):
+                return None
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            f = float(v)
+            return f if math.isfinite(f) else None
+        if isinstance(v, (np.bool_,)):
+            return bool(v)
         return v
 
     # stats_full carries binary sketch state (persisted in the
-    # checkpoint records) — the job log gets the readable summary
+    # checkpoint records and exportable via --save-stats) — the job log
+    # gets the readable summary
     print(json.dumps({k: jsonable(v) for k, v in report.items()
-                      if k != "stats_full"}, default=str))
+                      if k != "stats_full"}, allow_nan=False, default=str))
     ray.shutdown()
     return 0 if report.get("table_pass", False) else 1
 

@@ -42,10 +42,13 @@ def psi(baseline: TDigest, current: TDigest, buckets: int = 10,
     def props(td: TDigest) -> np.ndarray:
         c = td.cdf(edges)
         p = np.diff(np.concatenate(([0.0], c, [1.0])))
+        # clamp-only, NO renormalization — the standard PSI smoothing,
+        # and the SAME convention as psi_exact so the sketch and exact
+        # variants are threshold-comparable (a renormalized clamp
+        # systematically diverges once one side has many empty buckets)
         return np.clip(p, eps, None)
 
     p, q = props(baseline), props(current)
-    p, q = p / p.sum(), q / q.sum()
     return float(np.sum((q - p) * np.log(q / p)))
 
 
@@ -96,13 +99,19 @@ def exact_ks_from_counts(values: np.ndarray, counts_a: np.ndarray,
     return float(np.max(np.abs(fa - fb)))
 
 
-def _grouped_counts_pivot(ds, col: str, group_fn, group_name: str):
+def _grouped_counts_pivot(ds, col: str, group_fn, group_name: str,
+                          value_fn=None):
     """Shared distributed pass for the two-sample statistics: tag each
     row with its cohort, grouped-count per (col value, cohort) with the
     partial-agg combiner, pivot driver-side. Null ``col`` values are
-    DROPPED explicitly (matching the oracles' ``IS NOT NULL`` guards —
-    pandas pivot would silently drop NaN keys anyway, so make the
-    semantics deliberate and identical on both sides)."""
+    DROPPED explicitly (matching the oracles' ``IS NOT NULL`` guards),
+    and so are non-finite floats: NaN has no order position in an ECDF
+    and pandas' pivot would silently drop NaN keys anyway — excluding
+    them deliberately keeps the distributed counts and the returned
+    totals consistent (an oracle over NaN-bearing float data needs an
+    ``isfinite()`` guard to match). ``value_fn(batch) -> pa.Array``
+    overrides the tagged value (e.g. binning); rows it nulls are
+    dropped like any other null."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -110,9 +119,13 @@ def _grouped_counts_pivot(ds, col: str, group_fn, group_name: str):
 
     def tag(b: pa.Table) -> pa.Table:
         g = group_fn(b)
-        t = pa.table({col: b[col],
+        vals = value_fn(b) if value_fn is not None else b[col]
+        t = pa.table({col: vals,
                       group_name: pa.array(np.asarray(g, np.int8))})
-        return t.filter(pc.is_valid(t[col]))
+        t = t.filter(pc.is_valid(t[col]))
+        if pa.types.is_floating(t.schema.field(col).type):
+            t = t.filter(pc.is_finite(t[col]))
+        return t
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -158,13 +171,8 @@ def chi2_contingency(ds, cat_col: str, group_fn, group_name: str = "_g"):
     n = float(obs.sum(dtype=np.float64))
     rows = obs.sum(axis=1, dtype=np.float64)
     cols = obs.sum(axis=0, dtype=np.float64)
-    chi2 = 0.0
-    for i in range(obs.shape[0]):
-        for j in range(obs.shape[1]):
-            e = rows[i] * cols[j] / float(n)
-            d = obs[i, j] - e
-            chi2 += d * d / e
-    return float(chi2), int(dof)
+    e = np.outer(rows, cols) / n
+    return float(((obs - e) ** 2 / e).sum()), int(dof)
 
 
 def psi_exact(ds, value_col: str, group_fn, bin_width: float,
@@ -185,33 +193,42 @@ def psi_exact(ds, value_col: str, group_fn, bin_width: float,
     → (per-bin DataFrame ``(bin, n_a, n_b, psi_term)`` sorted by bin,
     total PSI). Both sides of the driver contract compute count/total
     double divisions and a libm log, so per-bin terms are bit-identical
-    to the SQL conditional-aggregation form."""
+    to the SQL conditional-aggregation form. Null and NON-FINITE values
+    are excluded from both cohorts (NaN/inf have no bin; the previous
+    int64 cast of NaN was undefined and fabricated an INT64_MIN bin);
+    a finite value whose bin index would overflow int64 is refused
+    loudly — silently dropping it would skew the totals."""
     import pandas as pd
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    from ..pipelines.relational import grouped_agg
+    if not (np.isfinite(bin_width) and bin_width > 0):
+        raise ValueError(
+            f"psi_exact: bin_width must be a finite positive float, "
+            f"got {bin_width!r}")
 
-    def tag(b: pa.Table) -> pa.Table:
-        g = np.asarray(group_fn(b), np.int8)
-        valid = pc.is_valid(b[value_col]).to_numpy(zero_copy_only=False)
-        v = b[value_col].to_numpy(zero_copy_only=False)[valid]
-        return pa.table({
-            "bin": pa.array(np.floor(v / bin_width).astype(np.int64)),
-            group_name: pa.array(g[valid])})
+    def bin_fn(b: pa.Table) -> pa.Array:
+        col = b[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64,
+                                                      copy=False)
+        ok = np.isfinite(v)          # nulls surface as NaN here too
+        q = np.zeros(len(v))
+        q[ok] = np.floor(v[ok] / bin_width)
+        if (np.abs(q[ok]) >= 2.0 ** 62).any():
+            raise ValueError(
+                "psi_exact: value / bin_width exceeds the int64 bin "
+                "range — choose a wider bin_width")
+        return pa.array(q.astype(np.int64), mask=~ok)
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    hist = grouped_agg(tagged, ["bin", group_name], {},
-                       count_alias="_c").to_pandas()
+    piv = _grouped_counts_pivot(ds, "bin", group_fn, group_name,
+                                value_fn=bin_fn)
     empty = pd.DataFrame({"bin": pd.Series([], dtype=np.int64),
                           "n_a": pd.Series([], dtype=np.int64),
                           "n_b": pd.Series([], dtype=np.int64),
                           "psi_term": pd.Series([], dtype=float)})
-    if hist.empty:
+    if not len(piv):
         return empty, float("nan")
-    piv = hist.pivot_table(index="bin", columns=group_name, values="_c",
-                           fill_value=0, aggfunc="sum")
     zeros = np.zeros(len(piv), dtype=np.int64)
     c0 = piv[0].to_numpy().astype(np.int64) if 0 in piv.columns else zeros
     c1 = piv[1].to_numpy().astype(np.int64) if 1 in piv.columns else zeros

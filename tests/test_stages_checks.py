@@ -660,3 +660,80 @@ def test_bloom_rejects_unserializable_k_at_init():
     with _pytest.raises(ValueError, match="k"):
         BloomFilter(10, fp=1e-78)
     BloomFilter(10_000, fp=0.01).to_bytes()  # normal params unaffected
+
+
+def test_psi_exact_nonfinite_and_bad_binwidth(ray_session):
+    """NaN/inf values (valid Arrow floats) must be EXCLUDED, not cast to
+    an INT64_MIN bin that pollutes both cohort totals; bin_width must be
+    a finite positive float; a finite value whose bin overflows int64 is
+    refused loudly instead of silently dropped."""
+    import pytest
+    import ray.data as rd
+
+    from jsonschema_ray.checks import psi_exact
+
+    t = pa.table({
+        "value": pa.array([10.0, 40.0, float("nan"), float("inf"),
+                           float("-inf"), None, 20.0, 30.0]),
+        "g": pa.array([0, 0, 0, 1, 0, 1, 1, 1], type=pa.int8())})
+
+    def grp(b):
+        return b["g"].to_numpy(zero_copy_only=False)
+
+    out, total = psi_exact(rd.from_arrow(t), "value", grp, 25.0)
+    # only the 4 finite values count: cohort A {10,40}, cohort B {20,30}
+    assert out["n_a"].sum() == 2 and out["n_b"].sum() == 2
+    assert set(out["bin"]) == {0, 1} and np.isfinite(total)
+
+    for bad in (0.0, -1.0, float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="bin_width"):
+            psi_exact(rd.from_arrow(t), "value", grp, bad)
+    with pytest.raises(Exception, match="int64 bin range"):
+        psi_exact(rd.from_arrow(pa.table({
+            "value": pa.array([1e300]),
+            "g": pa.array([0], type=pa.int8())})), "value", grp, 1e-6)
+
+
+def test_exact_ks_excludes_nonfinite(ray_session):
+    """NaN has no ECDF position: exact_ks drops non-finite floats from
+    both the statistic and the returned cohort sizes (previously the
+    pivot dropped them from the ECDF while nothing documented it)."""
+    import ray.data as rd
+
+    from jsonschema_ray.checks import exact_ks
+
+    t = pa.table({
+        "value": pa.array([1.0, 2.0, float("nan"), 3.0, None, 4.0]),
+        "g": pa.array([0, 0, 0, 1, 1, 1], type=pa.int8())})
+
+    def grp(b):
+        return b["g"].to_numpy(zero_copy_only=False)
+
+    ks, n_a, n_b = exact_ks(rd.from_arrow(t), "value", grp)
+    assert (n_a, n_b) == (2, 2)
+    assert ks == 1.0  # {1,2} vs {3,4}: disjoint supports
+
+
+def test_psi_sketch_exact_convention_alignment():
+    """psi() (sketch) and psi_exact share the clamp-only smoothing: on a
+    large sample with well-populated deciles the sketch PSI lands near
+    the definitional value (no renormalization skew)."""
+    from jsonschema_ray.checks import psi
+    from jsonschema_ray.sketches import TDigest
+
+    rng = np.random.default_rng(7)
+    a, b = rng.normal(0, 1, 200_000), rng.normal(0.4, 1, 200_000)
+    ta, tb = TDigest(), TDigest()
+    ta.add_values(a)
+    tb.add_values(b)
+    got = psi(ta, tb)
+    # definitional PSI on the same deciles (exact sample quantiles)
+    edges = np.quantile(a, np.linspace(0, 1, 11)[1:-1])
+    pa_ = np.clip(np.diff(np.concatenate(
+        ([0], np.searchsorted(np.sort(a), edges) / len(a), [1]))),
+        1e-6, None)
+    pb_ = np.clip(np.diff(np.concatenate(
+        ([0], np.searchsorted(np.sort(b), edges) / len(b), [1]))),
+        1e-6, None)
+    want = float(np.sum((pb_ - pa_) * np.log(pb_ / pa_)))
+    assert abs(got - want) < 0.01 and want > 0.1
