@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts_documents": R.bigram_counts_documents,  # oracled
         "nation_balance_outer": R.nation_balance_outer,  # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
+        "export_shards_documents": R.export_shards_documents,  # rows-only
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only
         "incremental_minhash_documents":

@@ -1278,6 +1278,37 @@ def nation_balance_outer(sf_dir: str):
                          zero_copy_batch=True)
 
 
+def export_shards_documents(sf_dir: str):
+    """Sharded training-data export: write documents into 16
+    deterministic key-hash shards (the resumable output layout —
+    shard = siphash64(doc_id) % 16 is a pure function of the key, so
+    re-runs and different cluster shapes lay the same rows in the same
+    shard directories) and return the committed manifest as per-shard
+    row counts, cross-checked against a read-back count of one shard.
+    Rows-only: the shard assignment is siphash-based (no SQL form)."""
+    import os
+
+    import pandas as pd
+
+    from ..sources.tables import read_sharded, write_sharded
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = os.path.join("/tmp", "jsonschema_ray_cache", "shards_" +
+                       os.path.basename(os.path.dirname(src)))
+    m = write_sharded(_read(sf_dir, "documents"), out, "doc_id",
+                      num_shards=16)
+    shards = sorted(int(k) for k in m["shard_rows"])
+    probe = shards[0]
+    got = read_sharded(out, shards=[probe]).count()
+    if got != m["shard_rows"][str(probe)]:
+        raise RuntimeError(
+            f"shard {probe}: manifest says "
+            f"{m['shard_rows'][str(probe)]} rows, read back {got}")
+    return pd.DataFrame({
+        "shard": pd.Series(shards, dtype="int64"),
+        "n_rows": pd.Series([m["shard_rows"][str(s)] for s in shards],
+                            dtype="int64")})
+
+
 def clean_documents(sf_dir: str):
     """Stopword removal + whitespace collapse — RE2 on both sides, so
     DuckDB regexp_replace is an exact oracle."""

@@ -404,3 +404,60 @@ def test_incremental_embedding_neardup(ray_session, tmp_path):
     (other / "f.txt").write_text("x")
     with pytest.raises(ValueError, match="refusing"):
         write_embedding_index(rd.from_arrow(seen), str(other))
+
+
+def test_write_sharded_deterministic_and_committed(ray_session):
+    """Key-sharded export: shard assignment is a pure function of the
+    key (stable across repartitioning), the manifest is the LAST write
+    (torn export refused at read time), a foreign non-empty dir is
+    refused, and null keys land in one deterministic shard."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+    import ray.data as rd
+
+    from jsonschema_ray.sources.tables import read_sharded, write_sharded
+
+    base = "/tmp/test_write_sharded"
+    shutil.rmtree(base, ignore_errors=True)
+    t = pa.table({"doc_id": pa.array(list(range(500)) + [None],
+                                     type=pa.int64()),
+                  "text": [f"d{i}" for i in range(501)]})
+    m = write_sharded(rd.from_arrow(t), base, "doc_id", num_shards=8)
+    assert m["rows"] == 501
+    m2 = write_sharded(rd.from_arrow(t).repartition(7), base, "doc_id",
+                       num_shards=8)
+    assert m2["shard_rows"] == m["shard_rows"]
+
+    full = read_sharded(base).to_pandas()
+    assert len(full) == 501
+    # per-shard read returns exactly the manifest's count, and the same
+    # doc ids every run (purity of the hash)
+    s0 = sorted(int(k) for k in m["shard_rows"])[0]
+    p1 = sorted(read_sharded(base, shards=[s0]).to_pandas()
+                .doc_id.dropna().tolist())
+    write_sharded(rd.from_arrow(t), base, "doc_id", num_shards=8)
+    p2 = sorted(read_sharded(base, shards=[s0]).to_pandas()
+                .doc_id.dropna().tolist())
+    assert p1 == p2 and len(p1) > 0
+
+    with pytest.raises(ValueError, match="not in the manifest"):
+        read_sharded(base, shards=[99])
+
+    # torn export: no manifest → loud refusal
+    os.remove(os.path.join(base, "_MANIFEST.json"))
+    with pytest.raises(FileNotFoundError, match="_MANIFEST"):
+        read_sharded(base)
+    # ...but the writer recognises the torn dir as replaceable only via
+    # _STAGING; a manifest-less, staging-less dir is foreign
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        write_sharded(rd.from_arrow(t), base, "doc_id", num_shards=8)
+    open(os.path.join(base, "_STAGING"), "w").close()
+    m3 = write_sharded(rd.from_arrow(t), base, "doc_id", num_shards=8)
+    assert m3["shard_rows"] == m["shard_rows"]
+
+    with pytest.raises(ValueError, match="num_shards"):
+        write_sharded(rd.from_arrow(t), base + "_x", "doc_id",
+                      num_shards=0)

@@ -214,6 +214,7 @@ def test_every_query_is_oracled_or_known_rows_only():
         "incremental_minhash_documents",
         "incremental_embedding_documents",
         "kmeans_embeddings",
+        "export_shards_documents",
     }
     missing = set(q) - set(o) - rows_only
     assert not missing, f"queries without oracle or rows-only tag: {missing}"
