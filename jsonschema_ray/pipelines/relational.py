@@ -1297,6 +1297,9 @@ def export_shards_documents(sf_dir: str):
     m = write_sharded(_read(sf_dir, "documents"), out, "doc_id",
                       num_shards=16)
     shards = sorted(int(k) for k in m["shard_rows"])
+    if not shards:      # empty corpus: a committed, row-less export
+        return pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                             "n_rows": pd.Series([], dtype="int64")})
     probe = shards[0]
     got = read_sharded(out, shards=[probe]).count()
     if got != m["shard_rows"][str(probe)]:

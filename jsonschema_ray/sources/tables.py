@@ -86,16 +86,22 @@ def write_sharded(ds, out_dir: str, key_col: str, num_shards: int = 64,
     so every run lays the same rows in the same ``shard=N/`` directory
     and a consumer can skip shards it already ingested. The manifest
     (``_MANIFEST.json``: per-shard row counts from the written parquet
-    footers, key column, shard count) is written LAST as the commit
-    marker — a torn export has no manifest and readers refuse it
-    loudly. A non-empty ``out_dir`` that is not a sharded export (no
-    manifest, no staging marker) is refused rather than clobbered; an
-    existing export or torn export is replaced.
+    footers, key column, shard count, serialized row schema) is written
+    LAST as the commit marker — a torn export has no manifest and
+    readers refuse it loudly.
+
+    The write is STAGED: everything lands in a sibling ``.staging``
+    directory and only a fully committed build swaps into ``out_dir``,
+    so a doomed run (typo'd key column, crash mid-write) never destroys
+    an existing good export. A non-empty ``out_dir`` that is not a
+    sharded export is refused rather than clobbered. ``shard`` is a
+    reserved output column name and refused on the input.
 
     Scale shape: ONE pass over the corpus (the hash-mod tag is a
     per-batch map; Ray's partitioned write groups rows into shard
     directories without a driver gather). Returns the manifest dict.
     """
+    import base64
     import glob
     import json
     import os
@@ -110,17 +116,31 @@ def write_sharded(ds, out_dir: str, key_col: str, num_shards: int = 64,
     if num_shards < 1:
         raise ValueError(f"write_sharded: num_shards must be >= 1, "
                          f"got {num_shards}")
-    if os.path.isdir(out_dir) and os.listdir(out_dir):
-        entries = os.listdir(out_dir)
-        if "_MANIFEST.json" not in entries and "_STAGING" not in entries:
-            raise ValueError(
-                f"out_dir {out_dir!r} is non-empty and not a sharded "
-                "export (no _MANIFEST.json) — refusing to overwrite")
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
-    open(os.path.join(out_dir, "_STAGING"), "w").close()
+    # validate BEFORE touching any directory, whenever Ray already
+    # knows the schema (in-memory / read sources; a lazy pipeline's
+    # schema would cost an execution — its tag() check still fails
+    # before the staged swap, so the committed export survives)
+    known = ds.schema(fetch_if_missing=False)
+    if known is not None:
+        names = known.names
+        if key_col not in names:
+            raise ValueError(f"write_sharded: key column {key_col!r} "
+                             f"not in the dataset (columns: {names})")
+        if "shard" in names:
+            raise ValueError("write_sharded: 'shard' is the reserved "
+                             "partition column — rename the input's")
+    if os.path.isdir(out_dir) and os.listdir(out_dir)             and "_MANIFEST.json" not in os.listdir(out_dir):
+        raise ValueError(
+            f"out_dir {out_dir!r} is non-empty and not a sharded "
+            "export (no _MANIFEST.json) — refusing to overwrite")
+    stage = out_dir.rstrip("/") + ".staging"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
 
     def tag(b: pa.Table) -> pa.Table:
+        if "shard" in b.column_names:
+            raise ValueError("write_sharded: 'shard' is the reserved "
+                             "partition column — rename the input's")
         col = b.column(key_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -129,19 +149,32 @@ def write_sharded(ds, out_dir: str, key_col: str, num_shards: int = 64,
         return b.append_column("shard", pa.array(shard))
 
     ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
-        .write_parquet(out_dir, partition_cols=["shard"], **write_kwargs)
+        .write_parquet(stage, partition_cols=["shard"], **write_kwargs)
 
     counts = {}
-    for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")):
-        s = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
-        counts[s] = counts.get(s, 0) + pq.read_metadata(f).num_rows
+    schema = None
+    for f in glob.glob(os.path.join(stage, "shard=*", "*.parquet")):
+        s_ = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+        counts[s_] = counts.get(s_, 0) + pq.read_metadata(f).num_rows
+        if schema is None:
+            schema = pq.read_schema(f)   # hive write drops 'shard'
     manifest = {"key_col": key_col, "num_shards": num_shards,
                 "rows": int(sum(counts.values())),
-                "shard_rows": {str(s): int(n)
-                               for s, n in sorted(counts.items())}}
-    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+                "shard_rows": {str(s_): int(n)
+                               for s_, n in sorted(counts.items())},
+                "schema_b64": base64.b64encode(
+                    schema.serialize().to_pybytes()).decode()
+                if schema is not None else None}
+    with open(os.path.join(stage, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f)
-    os.remove(os.path.join(out_dir, "_STAGING"))
+    # commit: swap the staged build in (the old export is gone only
+    # after the new one is fully built)
+    old = out_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        os.rename(out_dir, old)
+    os.rename(stage, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return manifest
 
 
@@ -149,10 +182,19 @@ def read_sharded(out_dir: str, shards: list[int] | None = None,
                  columns: list[str] = None, **read_kwargs):
     """Read back a :func:`write_sharded` export — all shards, or only
     the named ones (the resume path: a consumer reads the shards its
-    own ledger lacks). Refuses a torn export (no committed manifest)."""
+    own ledger lacks). Schema-preserving: the read passes
+    ``partitioning=None`` so the hive path component is NOT re-inferred
+    as a string column (shard membership is the directory; the manifest
+    has per-shard counts). A shard id in ``[0, num_shards)`` that holds
+    no rows reads as zero rows, typed from the manifest's stored
+    schema; out-of-range ids are refused. Refuses a torn export (no
+    committed manifest)."""
+    import base64
+    import glob
     import json
     import os
 
+    import pyarrow as pa
     import ray.data as rd
 
     mpath = os.path.join(out_dir, "_MANIFEST.json")
@@ -162,23 +204,28 @@ def read_sharded(out_dir: str, shards: list[int] | None = None,
             "sharded export (torn write, or wrong directory)")
     with open(mpath) as f:
         manifest = json.load(f)
-    import glob
     if shards is None:
         wanted = sorted(int(k) for k in manifest["shard_rows"])
     else:
-        missing = [s for s in shards
-                   if str(s) not in manifest["shard_rows"]]
-        if missing:
-            raise ValueError(f"shards {missing} not in the manifest "
-                             f"(export has {manifest['num_shards']} "
-                             "shards; empty shards hold no rows)")
-        wanted = list(shards)
-    # expand to files: Ray's read_parquet does not expand directories
-    # inside a path LIST
+        bad = [s for s in shards
+               if not 0 <= int(s) < manifest["num_shards"]]
+        if bad:
+            raise ValueError(
+                f"shards {bad} out of range for a "
+                f"{manifest['num_shards']}-shard export")
+        wanted = list(shards)   # absent ids are legitimately empty
     paths = [f for s in wanted
              for f in sorted(glob.glob(
                  os.path.join(out_dir, f"shard={s}", "*.parquet")))]
     if not paths:
-        import pyarrow as pa
+        if manifest.get("schema_b64"):
+            schema = pa.ipc.read_schema(pa.BufferReader(
+                base64.b64decode(manifest["schema_b64"])))
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            return rd.from_arrow(pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in schema],
+                schema=schema))
         return rd.from_arrow(pa.table({}))
-    return rd.read_parquet(paths, columns=columns, **read_kwargs)
+    return rd.read_parquet(paths, columns=columns, partitioning=None,
+                           **read_kwargs)

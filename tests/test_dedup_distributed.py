@@ -406,12 +406,14 @@ def test_incremental_embedding_neardup(ray_session, tmp_path):
         write_embedding_index(rd.from_arrow(seen), str(other))
 
 
-def test_write_sharded_deterministic_and_committed(ray_session):
+def test_write_sharded_deterministic_and_committed(ray_session, tmp_path):
     """Key-sharded export: shard assignment is a pure function of the
     key (stable across repartitioning), the manifest is the LAST write
-    (torn export refused at read time), a foreign non-empty dir is
-    refused, and null keys land in one deterministic shard."""
-    import json
+    inside a STAGED build that swaps in only when complete (a doomed
+    run never destroys the committed export), the read is
+    schema-preserving (no hive-inferred string 'shard' column), empty
+    in-range shards read as typed zero rows, and foreign dirs are
+    refused."""
     import os
     import shutil
 
@@ -420,8 +422,7 @@ def test_write_sharded_deterministic_and_committed(ray_session):
 
     from jsonschema_ray.sources.tables import read_sharded, write_sharded
 
-    base = "/tmp/test_write_sharded"
-    shutil.rmtree(base, ignore_errors=True)
+    base = str(tmp_path / "export")
     t = pa.table({"doc_id": pa.array(list(range(500)) + [None],
                                      type=pa.int64()),
                   "text": [f"d{i}" for i in range(501)]})
@@ -431,10 +432,18 @@ def test_write_sharded_deterministic_and_committed(ray_session):
                        num_shards=8)
     assert m2["shard_rows"] == m["shard_rows"]
 
-    full = read_sharded(base).to_pandas()
-    assert len(full) == 501
-    # per-shard read returns exactly the manifest's count, and the same
-    # doc ids every run (purity of the hash)
+    # schema-preserving round trip: original columns only, and the
+    # read-back re-exports cleanly (no duplicate 'shard' crash)
+    full = read_sharded(base)
+    assert sorted(full.schema().names) == ["doc_id", "text"]
+    df = full.to_pandas()
+    assert len(df) == 501
+    m3 = write_sharded(read_sharded(base), str(tmp_path / "re"),
+                       "doc_id", num_shards=8)
+    assert m3["shard_rows"] == m["shard_rows"]
+
+    # per-shard read returns exactly the manifest count, same ids every
+    # run (purity); an in-range EMPTY shard reads as typed zero rows
     s0 = sorted(int(k) for k in m["shard_rows"])[0]
     p1 = sorted(read_sharded(base, shards=[s0]).to_pandas()
                 .doc_id.dropna().tolist())
@@ -442,22 +451,34 @@ def test_write_sharded_deterministic_and_committed(ray_session):
     p2 = sorted(read_sharded(base, shards=[s0]).to_pandas()
                 .doc_id.dropna().tolist())
     assert p1 == p2 and len(p1) > 0
-
-    with pytest.raises(ValueError, match="not in the manifest"):
+    few = write_sharded(rd.from_arrow(t.slice(0, 1)),
+                        str(tmp_path / "few"), "doc_id", num_shards=64)
+    empty_ids = [s for s in range(64)
+                 if str(s) not in few["shard_rows"]][:2]
+    got = read_sharded(str(tmp_path / "few"), shards=empty_ids)
+    assert got.count() == 0
+    assert sorted(got.schema().names) == ["doc_id", "text"]
+    with pytest.raises(ValueError, match="out of range"):
         read_sharded(base, shards=[99])
 
-    # torn export: no manifest → loud refusal
-    os.remove(os.path.join(base, "_MANIFEST.json"))
+    # doomed writes never touch the committed export: typo'd key
+    # column refused up front; reserved 'shard' input refused
+    with pytest.raises(ValueError, match="key column"):
+        write_sharded(rd.from_arrow(t), base, "doc_idd", num_shards=8)
+    with pytest.raises(ValueError, match="reserved"):
+        write_sharded(rd.from_arrow(t.append_column(
+            "shard", pa.array([0] * 501, type=pa.int64()))),
+            base, "doc_id", num_shards=8)
+    assert read_sharded(base).count() == 501   # export intact
+
+    # torn/foreign dirs: no manifest → reader AND writer refuse
+    shutil.move(os.path.join(base, "_MANIFEST.json"),
+                str(tmp_path / "m.json"))
     with pytest.raises(FileNotFoundError, match="_MANIFEST"):
         read_sharded(base)
-    # ...but the writer recognises the torn dir as replaceable only via
-    # _STAGING; a manifest-less, staging-less dir is foreign
     with pytest.raises(ValueError, match="refusing to overwrite"):
         write_sharded(rd.from_arrow(t), base, "doc_id", num_shards=8)
-    open(os.path.join(base, "_STAGING"), "w").close()
-    m3 = write_sharded(rd.from_arrow(t), base, "doc_id", num_shards=8)
-    assert m3["shard_rows"] == m["shard_rows"]
 
     with pytest.raises(ValueError, match="num_shards"):
-        write_sharded(rd.from_arrow(t), base + "_x", "doc_id",
+        write_sharded(rd.from_arrow(t), str(tmp_path / "x"), "doc_id",
                       num_shards=0)
