@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
         "chi2_events": R.chi2_events,                     # oracled
         "psi_events": R.psi_events,                       # oracled
+        "rolling_mean_events": R.rolling_mean_events,     # oracled
         "kmeans_embeddings": R.kmeans_embeddings,         # rows-only
         "events_percent_rank": R.events_percent_rank,     # oracled
         "split_documents": R.split_documents,             # oracled
@@ -271,6 +272,15 @@ SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
 FROM customer c LEFT JOIN orders o
   ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+        "rolling_mean_events": """
+SELECT event_id,
+       CAST(count(value) OVER w AS BIGINT) AS n,
+       CAST(floor(10000 * (sum(value) OVER w)
+                  / (count(value) OVER w)) AS BIGINT) AS mean_bp
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY event_id""",
         "bigram_counts_documents": """
 WITH t AS (
   SELECT doc_id,

@@ -1278,6 +1278,56 @@ def nation_balance_outer(sf_dir: str):
                          zero_copy_batch=True)
 
 
+def rolling_mean_events(sf_dir: str, frame: int = 3):
+    """Per-user ROWS-frame windowed aggregate (ORACLED): mean of
+    ``value`` over the current + ``frame`` preceding events of the same
+    user ordered by (ts, event_id) — the smoothing/feature window shape
+    the repo's other window ops (hopping, session, lag, rank) don't
+    cover. ONE coarse user-hash partition (sessionization machinery);
+    inside each partition the frame sums are vectorized SHIFTED adds in
+    exactly the SQL frame order (((v[i-3]+v[i-2])+v[i-1])+v[i], nulls
+    contributing +0.0, which is bitwise inert), so the floor-bp per-row
+    outputs match DuckDB's running-sum window accumulation bit for bit.
+    Null values are excluded from both sum and count (SQL AVG frame
+    semantics); an all-null frame emits a null mean."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            na_position="last")
+        uid = df["user_id"].to_numpy()
+        v = df["value"].to_numpy(dtype=np.float64)   # nulls → NaN
+        have = ~np.isnan(v)
+        c0 = np.where(have, v, 0.0)
+        s = np.zeros(len(df))
+        n = np.zeros(len(df), dtype=np.int64)
+        # accumulate oldest-first so each element's add sequence equals
+        # the SQL frame order
+        for k in range(frame, 0, -1):
+            ck = np.zeros(len(df))
+            nk = np.zeros(len(df), dtype=np.int64)
+            if len(df) > k:
+                in_frame = uid[k:] == uid[:-k]
+                ck[k:] = np.where(in_frame, c0[:-k], 0.0)
+                nk[k:] = in_frame & have[:-k]
+            s = s + ck
+            n = n + nk
+        s = s + c0
+        n = n + have
+        with np.errstate(invalid="ignore", divide="ignore"):
+            bp = np.floor(10000.0 * s / n)
+        out = pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                            "n": n})
+        out["mean_bp"] = pd.arrays.IntegerArray(
+            np.where(n > 0, bp, 0).astype(np.int64), mask=(n == 0))
+        return out
+
+    res = partitioned_group_apply(ds, ["user_id"], roll).to_pandas()
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
 def export_shards_documents(sf_dir: str):
     """Sharded training-data export: write documents into 16
     deterministic key-hash shards (the resumable output layout —

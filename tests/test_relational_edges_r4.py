@@ -132,3 +132,53 @@ def test_content_cache_settings_in_key(tmp_path):
                         lambda d: (os.makedirs(d, exist_ok=True),
                                    calls.append(d)))
     assert len(calls) == 3
+
+
+def test_rolling_mean_frame_semantics(ray_session, tmp_path):
+    """ROWS-frame rolling mean: frames never cross users, null values
+    are excluded from sum AND count (an all-null frame emits a null
+    mean), null ts sorts last, and the per-row floor-bp equals DuckDB's
+    window accumulation bit for bit on crafted edges."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.relational import rolling_mean_events
+
+    t = pa.table({
+        "event_id": pa.array(range(10), type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 2, 3, 3],
+                            type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, None, 1, 2, 3, 5, 4],
+                       type=pa.timestamp("us")),
+        "value": pa.array([10.0, None, 30.0, 0.125, 50.0,
+                           None, None, None, 7.5, 2.5]),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+    got = rolling_mean_events(str(sf))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute("""
+        SELECT event_id,
+               CAST(count(value) OVER w AS BIGINT) AS n,
+               CAST(floor(10000 * (sum(value) OVER w)
+                          / (count(value) OVER w)) AS BIGINT) AS mean_bp
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""").df()
+    cols = ["event_id", "n", "mean_bp"]
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True), check_dtype=False)
+    # the all-null user-2 frames carry n=0 and a NULL mean
+    assert (got.loc[got.event_id.isin([5, 6, 7]), "n"] == 0).all()
+    assert got.loc[got.event_id.isin([5, 6, 7]), "mean_bp"].isna().all()
+    # user 1's 5th event (null ts, sorted last) still sees its 3
+    # predecessors; user boundaries never leak into user 2
+    assert got.loc[got.event_id == 4, "n"].item() == 3
