@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.label_centroids_embeddings,                # oracled
         "bigram_counts_documents": R.bigram_counts_documents,  # oracled
         "nation_balance_outer": R.nation_balance_outer,  # oracled
+        "embedding_covariance": R.embedding_covariance,  # oracled
+        "pca_embeddings": R.pca_embeddings,  # rows-only (eigensolver)
         # --- driver-lens block 3: rows-only queries never driver-checked
         "export_shards_documents": R.export_shards_documents,  # rows-only
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
@@ -305,6 +307,20 @@ SELECT CAST(COALESCE(c.nation_key, s.nation_key) AS BIGINT) AS nation_key,
        CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
 FROM c FULL OUTER JOIN s ON c.nation_key = s.nation_key
 ORDER BY nation_key""",
+        # pins the distributed Σx/Σxxᵀ moment pass behind PCA/whitening;
+        # the eigensolver on top is pca_embeddings (rows-only)
+        "embedding_covariance": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+x AS (SELECT vec_id, unnest(v) AS val,
+             generate_subscripts(v, 1) AS dim
+      FROM e)
+SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
+       round(covar_samp(a.val, b.val), 6) AS cov,
+       CAST(count(*) AS BIGINT) AS n
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+ORDER BY dim_i, dim_j""",
         "hot_users_events": """
 WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
            FROM events GROUP BY user_id),

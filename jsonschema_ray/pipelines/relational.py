@@ -960,6 +960,46 @@ def label_centroids_embeddings(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def embedding_covariance(sf_dir: str):
+    """Upper-triangle sample covariance matrix of the embedding column —
+    the exact moment pass PCA/whitening runs (ONE streaming corpus scan
+    emitting O(dim²) partials per batch; vectors never shuffle; the
+    merge is a dim(dim+1)/2-row groupby). ORACLED against DuckDB
+    covar_samp over the unnested column, which pins the distributed
+    Σx/Σxxᵀ machinery exactly; the eigendecomposition on top of it is
+    pca_embeddings (rows-only: no SQL eigensolver)."""
+    from ..ann.pca import covariance
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    cov, mean, n = covariance(ds)
+    iu = np.triu_indices(cov.shape[0])
+    return pd.DataFrame({
+        "dim_i": (iu[0] + 1).astype(np.int64),
+        "dim_j": (iu[1] + 1).astype(np.int64),
+        "cov": np.round(cov[iu], 6),
+        "n": np.full(len(iu[0]), n, dtype=np.int64)})
+
+
+def pca_embeddings(sf_dir: str):
+    """Top-8 principal components of the embedding corpus (rows-only:
+    eigendecomposition has no SQL form — the covariance input is pinned
+    by the ORACLED embedding_covariance, the eigensolver + sign rule +
+    projection stage by pytest vs single-node numpy). Per component:
+    explained-variance share in basis points and the
+    largest-|coefficient| axis (deterministic under the sign rule)."""
+    from ..ann import distributed_pca
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    # full spectrum so explained_bp is the share of TOTAL variance
+    comps, ev, mean, n = distributed_pca(ds)
+    total = float(np.sum(ev)) if np.sum(ev) > 0 else 1.0
+    k = min(8, len(ev))
+    comps, ev = comps[:k], ev[:k]
+    return pd.DataFrame({
+        "component": np.arange(1, k + 1, dtype=np.int64),
+        "explained_bp": np.floor(10000 * ev / total).astype(np.int64),
+        "top_axis": (np.abs(comps).argmax(axis=1) + 1).astype(np.int64),
+        "n": np.full(k, n, dtype=np.int64)})
+
+
 def kmeans_embeddings(sf_dir: str):
     """Distributed full-corpus spherical k-means (rows-only: iterative
     float algorithm, no SQL form): each Lloyd iteration is one streaming

@@ -397,3 +397,63 @@ def test_distributed_kmeans_excludes_nonfinite_vectors(ray_session):
         distributed_kmeans(
             rd.from_arrow(pa.table({"embedding": [[0.0] * 4, None]})),
             k=1, iters=1)
+
+
+def test_distributed_pca_matches_numpy(ray_session):
+    """One-pass moment partials + driver eigh == single-node numpy PCA
+    on the gathered matrix; repartition-invariant; sign deterministic;
+    null/NaN/inf rows excluded; projection stage round-trips."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.ann import distributed_pca, pca_project
+
+    rng = np.random.default_rng(9)
+    # anisotropic Gaussian: dominant axis along (1,1,0,0)/sqrt2
+    base = rng.normal(0, 1, (3000, 4)) * np.array([5.0, 0.5, 0.2, 0.05])
+    rot = np.array([[1, 1, 0, 0], [1, -1, 0, 0],
+                    [0, 0, 1, 1], [0, 0, 1, -1]]) / np.sqrt(2)
+    X = base @ rot.T + np.array([1.0, -2.0, 0.5, 0.0])
+    rows = [list(r) for r in X] + [None, [float("nan")] * 4,
+                                   [float("inf"), 0, 0, 0]]
+    ds = rd.from_arrow(pa.table({"embedding": rows}))
+    comps, ev, mean, n = distributed_pca(ds, n_components=2)
+    assert n == 3000
+    # reference: numpy PCA on the clean matrix
+    Xc = X - X.mean(axis=0)
+    w, v = np.linalg.eigh(Xc.T @ Xc / (len(X) - 1))
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    assert np.abs(ev - w[:2]).max() < 1e-8 * w[0]
+    for i in range(2):
+        assert abs(abs(comps[i] @ v[:, i]) - 1.0) < 1e-9
+    assert np.abs(mean - X.mean(axis=0)).max() < 1e-9
+    # dominant axis is the rotated first coordinate
+    assert abs(abs(comps[0] @ rot[:, 0]) - 1.0) < 0.05
+    # sign rule: largest-|coeff| entry positive
+    assert comps[0][np.abs(comps[0]).argmax()] > 0
+    # repartition invariance (partials merge to the same moments)
+    comps2, ev2, mean2, n2 = distributed_pca(ds.repartition(7),
+                                             n_components=2)
+    assert np.abs(comps2 - comps).max() < 1e-9
+    assert np.abs(ev2 - ev).max() < 1e-8 * max(ev[0], 1.0)
+
+    # projection: k-dim list column, nulls for bad rows, values equal
+    # the direct matmul. Consume as ARROW — Ray's to_pandas TensorArray
+    # auto-cast dies on null-bearing list columns.
+    proj = pa.concat_tables(
+        pca_project(ds, comps, mean).select_columns(["pca"])
+        .iter_batches(batch_format="pyarrow")).column("pca")
+    proj = proj.combine_chunks()
+    assert proj.null_count == 3            # null / NaN / inf rows
+    valid = np.asarray(proj.is_valid())
+    assert not valid[-3:].any()
+    got = np.asarray(proj.drop_null().flatten()).reshape(-1, 2)
+    want = (X - mean) @ comps.T
+    assert np.abs(got - want).max() < 1e-9
+
+    import pytest
+    with pytest.raises(ValueError, match="empty corpus|>= 2"):
+        distributed_pca(rd.from_arrow(
+            pa.table({"embedding": [[1.0, 2.0]]})))

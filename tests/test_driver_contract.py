@@ -86,7 +86,7 @@ def oracle_pairs():
     "quality_filter_documents",
     "unigram_logprob_documents", "ann_ivf_fullprobe_embeddings",
     "customer_order_counts", "hot_users_events",
-    "label_centroids_embeddings",
+    "label_centroids_embeddings", "embedding_covariance",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
@@ -115,6 +115,7 @@ def test_query_matches_oracle(name, duck):
     ("ann_ivf_index_embeddings", 10),
     ("image_features_synth", 100),
     ("simhash_neardup_documents", 0),
+    ("pca_embeddings", 8),
 ])
 def test_rows_only_queries(name, min_rows):
     q, _ = oracle_pairs()
