@@ -45,12 +45,16 @@ def _moment_partials(b: pa.Table, *, vec_col: str) -> pa.Table:
     iu = np.triu_indices(d)
     xtx = (X.T @ X)[iu]                  # upper triangle, row-major
     sums = X.sum(axis=0)
-    # cell layout: [0, len(iu)) = xtx cells, then d sum cells, then n
+    # cell layout: [0, len(iu)) = xtx cells, then d sum cells, then n;
+    # cell -d is a dimension MARKER — batches from a mixed-dim corpus
+    # would otherwise merge incompatible layouts into a silently wrong
+    # covariance (within-batch raggedness already raises in
+    # embedding_matrix; this guards the cross-batch case)
     cells = np.concatenate([
         np.arange(len(xtx), dtype=np.int64),
         np.arange(len(xtx), len(xtx) + d, dtype=np.int64),
-        np.array([len(xtx) + d], dtype=np.int64)])
-    vals = np.concatenate([xtx, sums, [float(len(X))]])
+        np.array([len(xtx) + d, -d], dtype=np.int64)])
+    vals = np.concatenate([xtx, sums, [float(len(X)), 0.0]])
     return pa.table({"cell": pa.array(cells), "v": pa.array(vals)})
 
 
@@ -67,19 +71,26 @@ def covariance(ds, vec_col: str = "embedding"):
         .groupby("cell").aggregate(Sum("v", alias_name="s")) \
         .to_pandas()
     if merged.empty:
-        raise ValueError("distributed_pca: empty corpus")
+        raise ValueError("covariance: empty corpus")
     cells = merged["cell"].to_numpy().astype(np.int64)
+    dims = -cells[cells < 0]
+    if len(dims) > 1:
+        raise ValueError(
+            f"covariance: mixed embedding dimensions across batches: "
+            f"{sorted(int(x) for x in dims)}")
+    keep = cells >= 0
+    cells, svals = cells[keep], merged["s"].to_numpy()[keep]
     vals = np.zeros(int(cells.max()) + 1)
-    vals[cells] = merged["s"].to_numpy()
+    vals[cells] = svals
     n = vals[-1]
     if n < 2:
         raise ValueError(
-            f"distributed_pca: needs >= 2 finite vectors, got {int(n)}")
+            f"covariance: needs >= 2 finite vectors, got {int(n)}")
     # solve d from the cell count: t + d + 1 where t = d(d+1)/2
     total = len(vals)
     d = int((-3 + np.sqrt(9 + 8 * (total - 1))) // 2)
     t = d * (d + 1) // 2
-    assert t + d + 1 == total, (d, total)
+    assert t + d + 1 == total and d == int(dims[0]), (d, total, dims)
     iu = np.triu_indices(d)
     xtx = np.zeros((d, d))
     xtx[iu] = vals[:t]
@@ -132,7 +143,7 @@ def project(ds, components: np.ndarray, mean: np.ndarray,
             col = col.combine_chunks()
         if b.num_rows == 0:
             return b.append_column(out_col, pa.array(
-                [], type=pa.list_(pa.float64())))
+                [], type=pa.list_(pa.float64(), C.shape[0])))
         valid = np.asarray(col.is_valid())
         X = np.zeros((b.num_rows, len(mu)))
         if valid.any():

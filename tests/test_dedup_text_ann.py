@@ -457,3 +457,9 @@ def test_distributed_pca_matches_numpy(ray_session):
     with pytest.raises(ValueError, match="empty corpus|>= 2"):
         distributed_pca(rd.from_arrow(
             pa.table({"embedding": [[1.0, 2.0]]})))
+    # mixed-dim corpus across batches: LOUD error, never a silently
+    # merged corrupt covariance (the dim-marker cell)
+    d4 = rd.from_arrow(pa.table({"embedding": [[1.0] * 4] * 3}))
+    d8 = rd.from_arrow(pa.table({"embedding": [[1.0] * 8] * 3}))
+    with pytest.raises(ValueError, match="mixed embedding dim"):
+        distributed_pca(d4.union(d8))
