@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_outer": R.nation_balance_outer,  # oracled
         "embedding_covariance": R.embedding_covariance,  # oracled
         "pca_embeddings": R.pca_embeddings,  # rows-only (eigensolver)
+        "lineitem_correlation": R.lineitem_correlation,  # oracled
+        "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
         "export_shards_documents": R.export_shards_documents,  # rows-only
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
@@ -321,6 +323,48 @@ SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
 FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY a.dim, b.dim
 ORDER BY dim_i, dim_j""",
+        # same moment machinery over packed scalar columns; corr() in
+        # SQL is pairwise-null, the engine listwise — equal on these
+        # null-free columns
+        "lineitem_correlation": """
+SELECT 'l_quantity' AS col_i, col_j, round(c, 6) AS corr,
+       CAST(n AS BIGINT) AS n FROM (
+  SELECT 'l_quantity' AS col_j, corr(l_quantity, l_quantity) AS c,
+         count(*) AS n FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', corr(l_quantity, l_extendedprice),
+         count(*) FROM lineitem
+  UNION ALL SELECT 'l_discount', corr(l_quantity, l_discount),
+         count(*) FROM lineitem
+  UNION ALL SELECT 'l_tax', corr(l_quantity, l_tax),
+         count(*) FROM lineitem)
+UNION ALL
+SELECT 'l_extendedprice', col_j, round(c, 6), CAST(n AS BIGINT) FROM (
+  SELECT 'l_extendedprice' AS col_j,
+         corr(l_extendedprice, l_extendedprice) AS c, count(*) AS n
+  FROM lineitem
+  UNION ALL SELECT 'l_discount', corr(l_extendedprice, l_discount),
+         count(*) FROM lineitem
+  UNION ALL SELECT 'l_tax', corr(l_extendedprice, l_tax),
+         count(*) FROM lineitem)
+UNION ALL
+SELECT 'l_discount', col_j, round(c, 6), CAST(n AS BIGINT) FROM (
+  SELECT 'l_discount' AS col_j, corr(l_discount, l_discount) AS c,
+         count(*) AS n FROM lineitem
+  UNION ALL SELECT 'l_tax', corr(l_discount, l_tax),
+         count(*) FROM lineitem)
+UNION ALL
+SELECT 'l_tax', 'l_tax', round(corr(l_tax, l_tax), 6),
+       CAST(count(*) AS BIGINT) FROM lineitem""",
+        # Tukey fences from exact discrete quartiles — the bound
+        # arithmetic is the same two IEEE doubles on both sides
+        "outlier_events_iqr": """
+WITH b AS (SELECT quantile_disc(value, 0.25) AS q1,
+                  quantile_disc(value, 0.75) AS q3 FROM events)
+SELECT e.event_id, e.value
+FROM events e, b
+WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+   OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+ORDER BY e.event_id""",
         "hot_users_events": """
 WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
            FROM events GROUP BY user_id),

@@ -1444,31 +1444,105 @@ def quantity_percentiles(sf_dir: str):
     (≤ #distinct values rows) → driver-side cumulative index. Matches
     DuckDB quantile_disc (0-based index ceil(q·n)−1, verified)."""
     ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    vals = _distinct_quantiles(ds, "l_quantity", qs)
+    rows = [{"pctl": f"p{int(q * 100)}", "value": v}
+            for q, v in zip(qs, vals)]
+    return pd.DataFrame(rows).sort_values("pctl").reset_index(drop=True)
+
+
+def _distinct_quantiles(ds, col: str, qs):
+    """Exact discrete quantiles of a numeric column via the distributed
+    value histogram (per-batch value_counts partials → ≤#distinct-row
+    groupby → driver cumulative index). Matches SQL quantile_disc
+    (0-based index ceil(q·n)−1). For continuous 100-TB columns whose
+    distinct count approaches the row count, the approximate scale path
+    is the t-digest machinery (stages/stats, drift) — this exact
+    variant exists for auditable bounds on columns with bounded
+    distinct cardinality."""
+    from ray.data.aggregate import Sum
 
     def hist(b: pa.Table) -> pa.Table:
-        # drop nulls BEFORE counting: SQL quantile_disc ignores NULLs,
-        # while pa group_by would emit a null bin that shifts every index
-        vc = b.drop_null().group_by(["l_quantity"]).aggregate(
+        vc = b.select([col]).drop_null().group_by([col]).aggregate(
             [([], "count_all")])
-        return vc.rename_columns(["l_quantity", "n_part"])
+        return vc.rename_columns([col, "n_part"])
 
-    from ray.data.aggregate import Sum
     counts = ds.map_batches(hist, batch_format="pyarrow",
                             zero_copy_batch=True) \
-        .groupby("l_quantity").aggregate(Sum("n_part", alias_name="n")) \
-        .to_pandas().sort_values("l_quantity").reset_index(drop=True)
+        .groupby(col).aggregate(Sum("n_part", alias_name="n")) \
+        .to_pandas().sort_values(col).reset_index(drop=True)
     cum = counts["n"].cumsum().to_numpy()
     n = int(cum[-1]) if len(cum) else 0
-    rows = []
-    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
-        if n == 0:  # all-null / empty column: quantile_disc yields NULL
-            rows.append({"pctl": f"p{int(q * 100)}", "value": None})
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append(None)
             continue
         idx = max(int(np.ceil(q * n)) - 1, 0)
         pos = int(np.searchsorted(cum, idx + 1))
-        rows.append({"pctl": f"p{int(q * 100)}",
-                     "value": float(counts["l_quantity"].iloc[pos])})
-    return pd.DataFrame(rows).sort_values("pctl").reset_index(drop=True)
+        out.append(float(counts[col].iloc[pos]))
+    return out
+
+
+def outlier_events_iqr(sf_dir: str):
+    """Tukey-fence outlier detection on events.value: rows outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] with the quartiles computed EXACTLY by
+    the distributed value histogram (quantile_disc semantics), then one
+    broadcast-bounds filter pass — the standard numeric-column anomaly
+    screen a data-quality pipeline runs next to drift/stats. The bounds
+    arithmetic is the same two IEEE doubles on both sides, so the
+    filter predicate is bit-identical to SQL."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    q1, q3 = _distinct_quantiles(ds, "value", (0.25, 0.75))
+    if q1 is None:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    import pyarrow.compute as pc
+
+    def flt(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        keep = pc.or_(pc.less(v, lo), pc.greater(v, hi))
+        return b.filter(pc.fill_null(keep, False))
+
+    out = ds.map_batches(flt, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return out.sort_values(["event_id"]).reset_index(drop=True)
+
+
+def lineitem_correlation(sf_dir: str):
+    """Pearson correlation matrix of the lineitem numeric columns —
+    cross-column dependence screening for data quality. The scalar
+    columns are packed into a fixed-size vector per batch and run
+    through the SAME one-pass O(p²)-partials moment machinery as PCA
+    (ann/pca.covariance); corr_ij = cov_ij/√(cov_ii·cov_jj) on the
+    driver's p×p matrix. Listwise null deletion (rows with any null
+    dropped by the moment pass) — equal to SQL's pairwise corr() on
+    null-free columns, which these are; documented divergence
+    otherwise."""
+    from ..ann.pca import covariance
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def pack(b: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            b.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        flat = pa.array(X.ravel(), type=pa.float64())
+        return pa.table({"v": pa.FixedSizeListArray.from_arrays(
+            flat, len(cols))})
+
+    cov, mean, n = covariance(
+        ds.map_batches(pack, batch_format="pyarrow",
+                       zero_copy_batch=True), vec_col="v")
+    sd = np.sqrt(np.diag(cov))
+    iu = np.triu_indices(len(cols))
+    corr = cov / np.outer(sd, sd)
+    return pd.DataFrame({
+        "col_i": [cols[i] for i in iu[0]],
+        "col_j": [cols[j] for j in iu[1]],
+        "corr": np.round(corr[iu], 6),
+        "n": np.full(len(iu[0]), n, dtype=np.int64)})
 
 
 def bpe_token_count_documents(sf_dir: str):

@@ -87,6 +87,7 @@ def oracle_pairs():
     "unigram_logprob_documents", "ann_ivf_fullprobe_embeddings",
     "customer_order_counts", "hot_users_events",
     "label_centroids_embeddings", "embedding_covariance",
+    "lineitem_correlation", "outlier_events_iqr",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
@@ -216,6 +217,7 @@ def test_every_query_is_oracled_or_known_rows_only():
         "incremental_embedding_documents",
         "kmeans_embeddings",
         "export_shards_documents",
+        "pca_embeddings",
     }
     missing = set(q) - set(o) - rows_only
     assert not missing, f"queries without oracle or rows-only tag: {missing}"
