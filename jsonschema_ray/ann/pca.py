@@ -58,11 +58,16 @@ def _moment_partials(b: pa.Table, *, vec_col: str) -> pa.Table:
     return pa.table({"cell": pa.array(cells), "v": pa.array(vals)})
 
 
-def covariance(ds, vec_col: str = "embedding"):
+def covariance(ds, vec_col: str = "embedding", strict: bool = True):
     """Streaming sample covariance of the embedding column →
     ``(cov (dim, dim), mean (dim,), n)`` — unbiased (n-1) denominator,
     null / non-finite rows excluded, one corpus pass (the per-batch
-    partial is O(dim²) regardless of batch rows)."""
+    partial is O(dim²) regardless of batch rows).
+
+    ``strict=False`` degrades instead of dying on a corpus with fewer
+    than 2 usable vectors: returns ``(None, None, n)`` — SQL's
+    covar_samp/corr answer NULL there, and callers mirroring an oracle
+    need the same shape, not a ValueError."""
     from ray.data.aggregate import Sum
 
     merged = ds.select_columns([vec_col]).map_batches(
@@ -71,6 +76,8 @@ def covariance(ds, vec_col: str = "embedding"):
         .groupby("cell").aggregate(Sum("v", alias_name="s")) \
         .to_pandas()
     if merged.empty:
+        if not strict:
+            return None, None, 0
         raise ValueError("covariance: empty corpus")
     cells = merged["cell"].to_numpy().astype(np.int64)
     dims = -cells[cells < 0]
@@ -84,6 +91,8 @@ def covariance(ds, vec_col: str = "embedding"):
     vals[cells] = svals
     n = vals[-1]
     if n < 2:
+        if not strict:
+            return None, None, int(n)
         raise ValueError(
             f"covariance: needs >= 2 finite vectors, got {int(n)}")
     # solve d from the cell count: t + d + 1 where t = d(d+1)/2

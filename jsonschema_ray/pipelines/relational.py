@@ -1463,8 +1463,12 @@ def _distinct_quantiles(ds, col: str, qs):
     from ray.data.aggregate import Sum
 
     def hist(b: pa.Table) -> pa.Table:
-        vc = b.select([col]).drop_null().group_by([col]).aggregate(
-            [([], "count_all")])
+        t = b.select([col]).drop_null()
+        if t.num_rows and pa.types.is_floating(t.column(col).type):
+            # NaN is neither a quantile input nor a groupable key here
+            # (repo psi/drift convention; SQL total order differs)
+            t = t.filter(pc.invert(pc.is_nan(t.column(col))))
+        vc = t.group_by([col]).aggregate([([], "count_all")])
         return vc.rename_columns([col, "n_part"])
 
     counts = ds.map_batches(hist, batch_format="pyarrow",
@@ -1490,10 +1494,17 @@ def outlier_events_iqr(sf_dir: str):
     the distributed value histogram (quantile_disc semantics), then one
     broadcast-bounds filter pass — the standard numeric-column anomaly
     screen a data-quality pipeline runs next to drift/stats. The bounds
-    arithmetic is the same two IEEE doubles on both sides, so the
-    filter predicate is bit-identical to SQL."""
+    arithmetic is the same two IEEE doubles on both sides, so on finite
+    data the filter predicate is bit-identical to SQL. NaN rows are
+    EXCLUDED from both the quartiles and the output (the repo's
+    psi/drift convention; DuckDB's total order instead ranks NaN above
+    every finite value) — NaN screening belongs to the validation
+    rules, not the fence."""
+    # the quartile pass reads ONLY the value column (half the bytes of
+    # the two-column filter pass)
+    q1, q3 = _distinct_quantiles(
+        _read(sf_dir, "events", columns=["value"]), "value", (0.25, 0.75))
     ds = _read(sf_dir, "events", columns=["event_id", "value"])
-    q1, q3 = _distinct_quantiles(ds, "value", (0.25, 0.75))
     if q1 is None:
         return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                              "value": pd.Series([], dtype="float64")})
@@ -1534,14 +1545,19 @@ def lineitem_correlation(sf_dir: str):
 
     cov, mean, n = covariance(
         ds.map_batches(pack, batch_format="pyarrow",
-                       zero_copy_batch=True), vec_col="v")
-    sd = np.sqrt(np.diag(cov))
+                       zero_copy_batch=True), vec_col="v", strict=False)
     iu = np.triu_indices(len(cols))
-    corr = cov / np.outer(sd, sd)
+    if cov is None:
+        # empty / 1-row corpus: SQL corr answers NULL with n rows, not
+        # an error — mirror the oracle's 10-row shape
+        vals = np.full(len(iu[0]), np.nan)
+    else:
+        sd = np.sqrt(np.diag(cov))
+        vals = np.round((cov / np.outer(sd, sd))[iu], 6)
     return pd.DataFrame({
         "col_i": [cols[i] for i in iu[0]],
         "col_j": [cols[j] for j in iu[1]],
-        "corr": np.round(corr[iu], 6),
+        "corr": vals,
         "n": np.full(len(iu[0]), n, dtype=np.int64)})
 
 

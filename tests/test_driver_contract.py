@@ -223,3 +223,48 @@ def test_every_query_is_oracled_or_known_rows_only():
     assert not missing, f"queries without oracle or rows-only tag: {missing}"
     stale = rows_only - set(q)
     assert not stale, f"rows-only entries no longer registered: {stale}"
+
+
+def test_lineitem_correlation_empty_and_single_row(tmp_path):
+    """Zero-row / one-row lineitem: corr degrades to the oracle's
+    10-row NULL-corr shape instead of a ValueError (SQL corr answers
+    NULL there) — review pin."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.relational import lineitem_correlation
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    for rows in ([], [[1.0, 2.0, 0.1, 0.05]]):
+        tb = pa.table({c: pa.array([r[i] for r in rows],
+                                   type=pa.float64())
+                       for i, c in enumerate(cols)})
+        pq.write_table(tb, os.path.join(tmp_path, "lineitem.parquet"))
+        out = lineitem_correlation(str(tmp_path))
+        assert len(out) == 10
+        assert out["corr"].isna().all()
+        assert (out["n"] == len(rows)).all()
+
+
+def test_outlier_iqr_nan_rows_excluded(tmp_path):
+    """NaN values are excluded from both the quartiles and the outlier
+    output (psi/drift convention — documented divergence from DuckDB's
+    NaN-greatest total order) — review pin."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.relational import outlier_events_iqr
+    vals = [1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 100.0, float("nan")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(vals)), type=pa.int64()),
+        "value": pa.array(vals, type=pa.float64())}),
+        os.path.join(tmp_path, "events.parquet"))
+    out = outlier_events_iqr(str(tmp_path))
+    # quartiles over the 7 finite values: q1=2, q3=3, fences [0.5, 4.5]
+    # -> only 100.0 is an outlier; the NaN row never appears
+    assert out["event_id"].tolist() == [6]
+    assert out["value"].tolist() == [100.0]
