@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_outer": R.nation_balance_outer,  # oracled
         "embedding_covariance": R.embedding_covariance,  # oracled
         "pca_embeddings": R.pca_embeddings,  # rows-only (eigensolver)
+        "embedding_outliers_mahalanobis":
+            R.embedding_outliers_mahalanobis,  # rows-only (matrix inverse)
         "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked

@@ -132,6 +132,55 @@ def distributed_pca(ds, vec_col: str = "embedding",
     return comps, np.maximum(w[:k], 0.0), mean, int(n)
 
 
+def mahalanobis_scores(ds, cov: np.ndarray, mean: np.ndarray,
+                       vec_col: str = "embedding",
+                       out_col: str = "maha2",
+                       ridge: float = 1e-6):
+    """Append the squared Mahalanobis distance of each vector to the
+    broadcast ``(cov, mean)`` — the covariance-aware outlier score a
+    distribution-drift / anomaly screen runs over an embedding column.
+    The precision matrix is inverted ONCE on the driver (dim×dim, with
+    a ``ridge``·trace/dim Tikhonov floor so a rank-deficient corpus
+    cannot produce infinities) and shipped via ray.put; each batch pays
+    one matmul. Null / non-finite rows get a null score."""
+    import ray
+
+    from ..util import worker_cached
+    d = cov.shape[0]
+    reg = cov + np.eye(d) * (ridge * max(np.trace(cov) / d, 1e-300))
+    prec = np.linalg.inv(reg)
+    pref = ray.put((np.ascontiguousarray(prec),
+                    np.ascontiguousarray(mean)))
+
+    def fn(b: pa.Table) -> pa.Table:
+        from .search import embedding_matrix
+        P, mu = worker_cached(("maha_p", pref.hex()),
+                              lambda: ray.get(pref))
+        if b.num_rows == 0:
+            return b.append_column(out_col,
+                                   pa.array([], type=pa.float64()))
+        col = b.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = np.asarray(col.is_valid())
+        X = np.zeros((b.num_rows, len(mu)))
+        if valid.any():
+            Xv = embedding_matrix(col.drop_null())
+            fin = np.isfinite(Xv).all(axis=1)
+            rows = np.flatnonzero(valid)
+            valid2 = valid.copy()
+            valid2[rows[~fin]] = False
+            X[valid2] = Xv[fin]
+            valid = valid2
+        C = X - mu
+        d2 = np.einsum("ij,jk,ik->i", C, P, C)
+        return b.append_column(out_col, pa.array(
+            d2, type=pa.float64(), mask=~valid))
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def project(ds, components: np.ndarray, mean: np.ndarray,
             vec_col: str = "embedding", out_col: str = "pca"):
     """Append the k-dim projection of ``vec_col`` onto broadcast

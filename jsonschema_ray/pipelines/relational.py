@@ -1000,6 +1000,38 @@ def pca_embeddings(sf_dir: str):
         "n": np.full(k, n, dtype=np.int64)})
 
 
+def embedding_outliers_mahalanobis(sf_dir: str):
+    """Top-20 embedding outliers by squared Mahalanobis distance to the
+    corpus distribution (rows-only: the precision-matrix inverse has no
+    SQL form; pytest pins the scores to a single-node numpy reference).
+    Covariance via the one-pass moment machinery, scores via a
+    broadcast quadratic form per batch, and the top-k is a per-batch
+    PARTIAL top-20 (score desc, vec_id asc) merged on the driver —
+    ≤20·nbatches tiny rows move, never the corpus."""
+    from ..ann import covariance, mahalanobis_scores
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cov, mean, n = covariance(ds)
+    scored = mahalanobis_scores(ds, cov, mean)
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = b.select(["vec_id", "maha2"]).to_pandas()
+        df = df.dropna(subset=["maha2"])
+        df = df.sort_values(["maha2", "vec_id"],
+                            ascending=[False, True]).head(20)
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy(), type=pa.int64()),
+            "maha2": pa.array(df["maha2"].to_numpy(), type=pa.float64())})
+
+    cand = scored.map_batches(partial_topk, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    top = cand.sort_values(["maha2", "vec_id"],
+                           ascending=[False, True]).head(20) \
+        .reset_index(drop=True)
+    top["maha2"] = top["maha2"].round(6)
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top
+
+
 def kmeans_embeddings(sf_dir: str):
     """Distributed full-corpus spherical k-means (rows-only: iterative
     float algorithm, no SQL form): each Lloyd iteration is one streaming

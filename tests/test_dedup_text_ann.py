@@ -463,3 +463,45 @@ def test_distributed_pca_matches_numpy(ray_session):
     d8 = rd.from_arrow(pa.table({"embedding": [[1.0] * 8] * 3}))
     with pytest.raises(ValueError, match="mixed embedding dim"):
         distributed_pca(d4.union(d8))
+
+
+def test_mahalanobis_scores_match_numpy(ray_session):
+    """Broadcast quadratic form == single-node numpy on the gathered
+    matrix; null/NaN rows get null scores; a planted far-out point
+    dominates the top-k; rank-deficient covariance stays finite via
+    the ridge floor."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.ann import covariance, mahalanobis_scores
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(0, 1, (500, 6))
+    X[7] = 40.0                       # planted outlier
+    rows = [list(r) for r in X] + [None, [float("nan")] * 6]
+    ds = rd.from_arrow(pa.table({"embedding": rows}))
+    cov, mean, n = covariance(ds)
+    assert n == 500
+    got = pa.concat_tables(
+        mahalanobis_scores(ds, cov, mean).select_columns(["maha2"])
+        .iter_batches(batch_format="pyarrow")).column("maha2")
+    got = got.combine_chunks()
+    assert got.null_count == 2 and len(got) == 502
+    d = cov.shape[0]
+    reg = cov + np.eye(d) * (1e-6 * np.trace(cov) / d)
+    P = np.linalg.inv(reg)
+    C = X - mean
+    want = np.einsum("ij,jk,ik->i", C, P, C)
+    vals = np.asarray(got.drop_null())
+    assert np.abs(vals - want).max() < 1e-9 * max(want.max(), 1.0)
+    assert int(np.argmax(vals)) == 7
+
+    # rank-deficient: all mass on one axis — still finite everywhere
+    Y = np.zeros((50, 4)); Y[:, 0] = rng.normal(0, 1, 50)
+    dsy = rd.from_arrow(pa.table({"embedding": [list(r) for r in Y]}))
+    cy, my, _ = covariance(dsy)
+    sy = pa.concat_tables(
+        mahalanobis_scores(dsy, cy, my).select_columns(["maha2"])
+        .iter_batches(batch_format="pyarrow")).column("maha2")
+    assert np.isfinite(np.asarray(sy.combine_chunks())).all()
