@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.embedding_outliers_mahalanobis,  # rows-only (matrix inverse)
         "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
+        "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
         "export_shards_documents": R.export_shards_documents,  # rows-only
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
@@ -357,6 +358,15 @@ SELECT 'l_discount', col_j, round(c, 6), CAST(n AS BIGINT) FROM (
 UNION ALL
 SELECT 'l_tax', 'l_tax', round(corr(l_tax, l_tax), 6),
        CAST(count(*) AS BIGINT) FROM lineitem""",
+        # grouped bivariate moments: n counts the pairwise-complete
+        # rows corr actually used (count of value+hour, null-skipping)
+        "value_hour_corr_by_type": """
+SELECT event_type,
+       round(corr(value, CAST(extract(hour FROM ts) AS DOUBLE)), 6)
+         AS corr,
+       CAST(count(value + CAST(extract(hour FROM ts) AS DOUBLE))
+            AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
         # Tukey fences from exact discrete quartiles — the bound
         # arithmetic is the same two IEEE doubles on both sides
         "outlier_events_iqr": """

@@ -1000,6 +1000,70 @@ def pca_embeddings(sf_dir: str):
         "n": np.full(k, n, dtype=np.int64)})
 
 
+def value_hour_corr_by_type(sf_dir: str):
+    """Per-group bivariate Pearson correlation — corr(value, hour(ts))
+    for every event_type, the grouped moment shape (n,Σx,Σy,Σx²,Σy²,Σxy
+    per group) none of the global-moment ops cover: per batch ONE
+    sorted reduceat over a stacked 5-column moment matrix emits
+    6·ngroups partial cells; the groupby merges ngroups rows; the
+    driver evaluates the corr formula per group. Pairs with a null
+    value or null ts are excluded (SQL corr semantics); zero-variance
+    or n<2 groups answer NULL exactly as SQL does. ORACLED vs DuckDB
+    corr(value, extract(hour FROM ts)) per group."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        # pairwise-complete rows only (corr skips a pair if EITHER side
+        # is null); stat 0 counts exactly those pairs — the n column
+        # reports what the corr consumed, matching the oracle's
+        # null-skipping count(value + hour)
+        gt = b.column("event_type").to_numpy(zero_copy_only=False)
+        ok = (np.asarray(b.column("value").is_valid())
+              & np.asarray(b.column("ts").is_valid()))
+        x = b.column("value").to_numpy(zero_copy_only=False)
+        hr = pc.hour(b.column("ts")).to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(gt, return_inverse=True)
+        k = len(ug)
+        if k == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "stat": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.float64())})
+        xv = np.where(ok, x, 0.0).astype(np.float64)
+        yv = np.where(ok, hr, 0).astype(np.float64)
+        M = np.column_stack([ok.astype(np.float64), xv, yv,
+                             xv * xv, yv * yv, xv * yv])
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(k))
+        sums = np.add.reduceat(M[order], starts, axis=0)
+        return pa.table({
+            "event_type": pa.array(np.repeat(ug, 6)),
+            "stat": pa.array(np.tile(np.arange(6, dtype=np.int64), k)),
+            "v": pa.array(sums.ravel())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["event_type", "stat"]) \
+        .aggregate(Sum("v", alias_name="s")).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "corr": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    piv = agg.pivot(index="event_type", columns="stat",
+                    values="s").sort_index()
+    n, sx, sy, sxx, syy, sxy = (piv[i].to_numpy() for i in range(6))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        corr = (sxy - sx * sy / n) / np.sqrt(vx * vy)
+    corr = np.where((n >= 2) & (vx > 0) & (vy > 0), corr, np.nan)
+    return pd.DataFrame({
+        "event_type": piv.index.to_numpy(),
+        "corr": np.round(corr, 6),
+        "n": n.astype(np.int64)}).reset_index(drop=True)
+
+
 def embedding_outliers_mahalanobis(sf_dir: str):
     """Top-20 embedding outliers by squared Mahalanobis distance to the
     corpus distribution (rows-only: the precision-matrix inverse has no

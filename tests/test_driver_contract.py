@@ -88,6 +88,7 @@ def oracle_pairs():
     "customer_order_counts", "hot_users_events",
     "label_centroids_embeddings", "embedding_covariance",
     "lineitem_correlation", "outlier_events_iqr",
+    "value_hour_corr_by_type",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
@@ -270,3 +271,45 @@ def test_outlier_iqr_nan_rows_excluded(tmp_path):
     # -> only 100.0 is an outlier; the NaN row never appears
     assert out["event_id"].tolist() == [6]
     assert out["value"].tolist() == [100.0]
+
+
+def test_value_hour_corr_null_and_degenerate_groups(tmp_path):
+    """Crafted events: null value rows, null ts rows, a single-pair
+    group, and a zero-variance group — engine matches DuckDB corr's
+    pairwise-complete null handling and NULL answers exactly (the
+    driver testdata is null-free so the contract test can't cover
+    this)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from jsonschema_ray.pipelines.relational import value_hour_corr_by_type
+    ts = pa.array([1_700_000_000_000_000 + i * 3_600_000_000
+                   for i in range(8)] + [None, 1_700_050_000_000_000],
+                  type=pa.timestamp("us"))
+    tb = pa.table({
+        "event_id": pa.array(range(10), type=pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1] * 10, type=pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b", "b", "c", "c", "c",
+                                "a", "d"]),
+        "value": pa.array([1.0, 2.5, None, 3.0, 3.0, 1.0, 4.0, 9.5,
+                           7.0, 2.0], type=pa.float64()),
+        "props": pa.array(["{}"] * 10)})
+    pq.write_table(tb, os.path.join(tmp_path, "events.parquet"))
+    got = value_hour_corr_by_type(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    exp = con.execute(E.oracle_sql()["value_hour_corr_by_type"]).df()
+    assert canon(got) == canon(exp), (got, exp)
+    # shape sanity: group a drops its null-value row AND its null-ts
+    # row (n=2), group b is zero-variance in value (NULL corr), group
+    # d has a single pair (n=1 → NULL corr, SQL n<2 semantics)
+    byt = got.set_index("event_type")
+    assert byt.loc["a", "n"] == 2
+    assert byt.loc["b", "n"] == 2 and pd.isna(byt.loc["b", "corr"])
+    assert byt.loc["d", "n"] == 1 and pd.isna(byt.loc["d", "corr"])
