@@ -1003,63 +1003,61 @@ def pca_embeddings(sf_dir: str):
 def value_hour_corr_by_type(sf_dir: str):
     """Per-group bivariate Pearson correlation — corr(value, hour(ts))
     for every event_type, the grouped moment shape (n,Σx,Σy,Σx²,Σy²,Σxy
-    per group) none of the global-moment ops cover: per batch ONE
-    sorted reduceat over a stacked 5-column moment matrix emits
-    6·ngroups partial cells; the groupby merges ngroups rows; the
+    per group) none of the global-moment ops cover: one map computes
+    the six moment columns per row, grouped_agg pre-aggregates them
+    per batch (Arrow group_by — null group keys flow through like
+    SQL's NULL group) so ONE row per (group, batch) shuffles, and the
     driver evaluates the corr formula per group. Pairs with a null
-    value or null ts are excluded (SQL corr semantics); zero-variance
-    or n<2 groups answer NULL exactly as SQL does. ORACLED vs DuckDB
-    corr(value, extract(hour FROM ts)) per group."""
-    from ray.data.aggregate import Sum
+    value or null ts are excluded (SQL corr semantics); non-finite
+    values too (psi/drift convention — DuckDB raises on NaN here);
+    zero-variance or n<2 groups answer NULL exactly as SQL does.
+    ORACLED vs DuckDB corr(value, extract(hour FROM ts)) per group."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        # pairwise-complete rows only (corr skips a pair if EITHER side
-        # is null); stat 0 counts exactly those pairs — the n column
-        # reports what the corr consumed, matching the oracle's
-        # null-skipping count(value + hour)
-        gt = b.column("event_type").to_numpy(zero_copy_only=False)
+    def mom(b: pa.Table) -> pa.Table:
+        # pairwise-complete FINITE rows only: corr skips a pair if
+        # either side is null, and a non-null NaN/inf would otherwise
+        # poison the partials PARTITION-DEPENDENTLY (Ray's Sum drops
+        # NaN cells per block — review pin); the exclusion is the
+        # repo's psi/drift convention, documented divergence from
+        # DuckDB which raises on NaN input here
+        x = b.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        hr = pc.hour(b.column("ts")).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
         ok = (np.asarray(b.column("value").is_valid())
               & np.asarray(b.column("ts").is_valid()))
-        x = b.column("value").to_numpy(zero_copy_only=False)
-        hr = pc.hour(b.column("ts")).to_numpy(zero_copy_only=False)
-        ug, inv = np.unique(gt, return_inverse=True)
-        k = len(ug)
-        if k == 0:
-            return pa.table({
-                "event_type": pa.array([], type=pa.string()),
-                "stat": pa.array([], type=pa.int64()),
-                "v": pa.array([], type=pa.float64())})
-        xv = np.where(ok, x, 0.0).astype(np.float64)
-        yv = np.where(ok, hr, 0).astype(np.float64)
-        M = np.column_stack([ok.astype(np.float64), xv, yv,
-                             xv * xv, yv * yv, xv * yv])
-        order = np.argsort(inv, kind="stable")
-        starts = np.searchsorted(inv[order], np.arange(k))
-        sums = np.add.reduceat(M[order], starts, axis=0)
+        ok &= np.isfinite(np.where(ok, x, 0.0))
+        xv = np.where(ok, x, 0.0)
+        yv = np.where(ok, hr, 0.0)
         return pa.table({
-            "event_type": pa.array(np.repeat(ug, 6)),
-            "stat": pa.array(np.tile(np.arange(6, dtype=np.int64), k)),
-            "v": pa.array(sums.ravel())})
+            "event_type": b.column("event_type"),
+            "pok": pa.array(ok.astype(np.float64)),
+            "px": pa.array(xv), "py": pa.array(yv),
+            "pxx": pa.array(xv * xv), "pyy": pa.array(yv * yv),
+            "pxy": pa.array(xv * yv)})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True) \
-        .groupby(["event_type", "stat"]) \
-        .aggregate(Sum("v", alias_name="s")).to_pandas()
+    agg = grouped_agg(
+        ds.map_batches(mom, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"],
+        {"pok": "pn", "px": "sx", "py": "sy",
+         "pxx": "sxx", "pyy": "syy", "pxy": "sxy"}).to_pandas()
     if agg.empty:
         return pd.DataFrame({"event_type": pd.Series([], dtype=object),
                              "corr": pd.Series([], dtype="float64"),
                              "n": pd.Series([], dtype="int64")})
-    piv = agg.pivot(index="event_type", columns="stat",
-                    values="s").sort_index()
-    n, sx, sy, sxx, syy, sxy = (piv[i].to_numpy() for i in range(6))
+    agg = agg.sort_values("event_type").reset_index(drop=True)
+    n = agg["pn"].to_numpy()
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxx, syy, sxy = (agg[c].to_numpy() for c in ("sxx", "syy", "sxy"))
     with np.errstate(invalid="ignore", divide="ignore"):
         vx = sxx - sx * sx / n
         vy = syy - sy * sy / n
         corr = (sxy - sx * sy / n) / np.sqrt(vx * vy)
     corr = np.where((n >= 2) & (vx > 0) & (vy > 0), corr, np.nan)
     return pd.DataFrame({
-        "event_type": piv.index.to_numpy(),
+        "event_type": agg["event_type"].to_numpy(),
         "corr": np.round(corr, 6),
         "n": n.astype(np.int64)}).reset_index(drop=True)
 

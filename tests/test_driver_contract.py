@@ -313,3 +313,51 @@ def test_value_hour_corr_null_and_degenerate_groups(tmp_path):
     assert byt.loc["a", "n"] == 2
     assert byt.loc["b", "n"] == 2 and pd.isna(byt.loc["b", "corr"])
     assert byt.loc["d", "n"] == 1 and pd.isna(byt.loc["d", "corr"])
+
+
+def test_value_hour_corr_nan_partition_invariant(tmp_path):
+    """A non-null NaN value must be EXCLUDED (finite-pairs convention),
+    never allowed to poison per-batch partials partition-dependently
+    (review pin: pre-fix, 1/3/6 blocks gave three different answers);
+    a null event_type flows through as SQL's NULL group."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.relational import value_hour_corr_by_type
+    nrow = 12
+    tb = pa.table({
+        "event_id": pa.array(range(nrow), type=pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i * 7_200_000_000
+                        for i in range(nrow)], type=pa.timestamp("us")),
+        "user_id": pa.array([1] * nrow, type=pa.int64()),
+        "event_type": pa.array(["a"] * 6 + ["b"] * 5 + [None]),
+        "value": pa.array([1.0, float("nan"), 3.0, 4.0, 2.0, 5.0,
+                           1.0, 2.0, float("inf"), 4.0, 5.0, 9.0],
+                          type=pa.float64()),
+        "props": pa.array(["{}"] * nrow)})
+    pq.write_table(tb, os.path.join(tmp_path, "events.parquet"))
+    base = value_hour_corr_by_type(str(tmp_path))
+    byt = base.set_index("event_type", drop=False)
+    assert byt.loc["a", "n"] == 5 and np.isfinite(byt.loc["a", "corr"])
+    assert byt.loc["b", "n"] == 4          # inf row excluded
+    assert base["event_type"].isna().sum() == 1  # SQL NULL group kept
+    # partition invariance: same answer at any block count
+    import jsonschema_ray.pipelines.relational as R
+    orig = R._read
+    for parts in (3, 6):
+        R._read = lambda sf, t, columns=None, _p=parts: orig(
+            sf, t, columns=columns).repartition(_p)
+        try:
+            got = value_hour_corr_by_type(str(tmp_path))
+        finally:
+            R._read = orig
+        a = base.fillna({"corr": -999}).sort_values("event_type",
+                                                    na_position="last")
+        g = got.fillna({"corr": -999}).sort_values("event_type",
+                                                   na_position="last")
+        assert np.allclose(a["corr"].to_numpy(), g["corr"].to_numpy())
+        assert (a["n"].to_numpy() == g["n"].to_numpy()).all()
