@@ -159,6 +159,16 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.customer_order_counts(sf_dir).count())
     timed("psi_events", lambda: len(R.psi_events(sf_dir)))
     timed("kmeans_embeddings", lambda: len(R.kmeans_embeddings(sf_dir)))
+    timed("embedding_covariance",
+          lambda: len(R.embedding_covariance(sf_dir)))
+    timed("lineitem_correlation",
+          lambda: len(R.lineitem_correlation(sf_dir)))
+    timed("outlier_events_iqr",
+          lambda: len(R.outlier_events_iqr(sf_dir)))
+    timed("value_hour_corr_by_type",
+          lambda: len(R.value_hour_corr_by_type(sf_dir)))
+    timed("mahalanobis_outliers",
+          lambda: len(R.embedding_outliers_mahalanobis(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {
