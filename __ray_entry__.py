@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards_documents": R.export_shards_documents,  # rows-only
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only
+        "image_quality_synth": R.image_quality_synth,  # rows-only (pixels)
         "incremental_minhash_documents":
             R.incremental_minhash_documents,              # rows-only (LSH)
         "incremental_embedding_documents":

@@ -1232,6 +1232,32 @@ def image_features_synth(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def image_quality_synth(sf_dir: str):
+    """Perceptual-quality screen over the synthetic image corpus —
+    blur (Laplacian variance), RMS contrast, constant-border fraction
+    (letterbox/pillarbox detection) per image (rows-only: pixel math;
+    crafted flat / checkerboard / letterboxed images pin the exact
+    values in pytest)."""
+    import os
+
+    from ..sources import generate_images
+    from ..stages import score_image_quality
+    n = {"sf0.001": 500, "sf0.01": 1000, "sf0.1": 2000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 500)
+    ds = generate_images(n, seed=42)
+    out = score_image_quality(ds)
+
+    def rnd(b: pa.Table) -> pa.Table:
+        cols = {"image_id": b["image_id"]}
+        for c in b.column_names:
+            if c != "image_id":
+                cols[c] = pc.round(b[c], 4)
+        return pa.table(cols)
+
+    return out.map_batches(rnd, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def validate_images_synth(sf_dir: str):
     """Flagship over a deterministic synthetic image corpus sized to the
     scale factor (BASELINE: synthesise the input-table shape at small scale;

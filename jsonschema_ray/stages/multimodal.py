@@ -54,6 +54,73 @@ def image_features(px: np.ndarray) -> dict:
     }
 
 
+def image_quality(px: np.ndarray) -> dict:
+    """Perceptual-quality signals an image-corpus curation pass filters
+    on: blur (variance of the interior 3×3 Laplacian — flat/defocused
+    images score ~0), RMS contrast of the gray plane, and the
+    constant-border area fraction (letterbox/pillarbox detection: the
+    run of edge rows/columns whose pixels are all identical)."""
+    f = px.astype(np.float64)
+    gray = f.mean(axis=2) if f.ndim == 3 else f
+    h, w = gray.shape
+    if h >= 3 and w >= 3:
+        lap = (gray[:-2, 1:-1] + gray[2:, 1:-1] + gray[1:-1, :-2]
+               + gray[1:-1, 2:] - 4.0 * gray[1:-1, 1:-1])
+        blur_var = float(lap.var())
+    else:
+        blur_var = 0.0
+    rms = float(gray.std())
+
+    def _leading_const(const: np.ndarray) -> int:
+        nc = np.flatnonzero(~const)
+        return int(nc[0]) if len(nc) else len(const)
+
+    # a row/column is "constant" when every pixel (all channels) in it
+    # is identical
+    axes_row = (1, 2) if f.ndim == 3 else (1,)
+    axes_col = (0, 2) if f.ndim == 3 else (0,)
+    row_const = f.max(axis=axes_row) == f.min(axis=axes_row)
+    col_const = f.max(axis=axes_col) == f.min(axis=axes_col)
+    top = _leading_const(row_const)
+    bot = _leading_const(row_const[::-1]) if top < h else 0
+    left = _leading_const(col_const)
+    right = _leading_const(col_const[::-1]) if left < w else 0
+    inner = max(h - top - bot, 0) * max(w - left - right, 0)
+    return {
+        "blur_var": blur_var,
+        "rms_contrast": rms,
+        "border_frac": float(1.0 - inner / (h * w)) if h * w else 1.0,
+    }
+
+
+def score_image_quality(ds, bytes_col: str = "bytes",
+                        fmt_col: str = "fmt",
+                        id_col: str = "image_id",
+                        batch_size: int = 256):
+    """Decode + perceptual-quality columns (blur/contrast/border) — the
+    filter signals before training-set admission. Undecodable rows get
+    null scores (transform policy: validation stages report them)."""
+    names = ["blur_var", "rms_contrast", "border_frac"]
+
+    def fn(b: pa.Table) -> pa.Table:
+        data = b.column(bytes_col).to_pylist()
+        fmts = b.column(fmt_col).to_pylist() \
+            if fmt_col in b.column_names else [None] * len(data)
+        rows = []
+        for d, f in zip(data, fmts):
+            try:
+                rows.append(image_quality(decode_image(d, f)))
+            except Exception:
+                rows.append({k: None for k in names})
+        cols = {id_col: b.column(id_col)}
+        for k in names:
+            cols[k] = pa.array([r[k] for r in rows], type=pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+
+
 def resize_images(ds, out_h: int, out_w: int, bytes_col: str = "bytes",
                   fmt_col: str = "fmt", id_col: str = "image_id",
                   out_fmt: str = "ppm", batch_size: int = 256,

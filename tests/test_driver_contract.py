@@ -119,6 +119,7 @@ def test_query_matches_oracle(name, duck):
     ("simhash_neardup_documents", 0),
     ("pca_embeddings", 8),
     ("embedding_outliers_mahalanobis", 20),
+    ("image_quality_synth", 100),
 ])
 def test_rows_only_queries(name, min_rows):
     q, _ = oracle_pairs()
@@ -221,6 +222,7 @@ def test_every_query_is_oracled_or_known_rows_only():
         "export_shards_documents",
         "pca_embeddings",
         "embedding_outliers_mahalanobis",
+        "image_quality_synth",
     }
     missing = set(q) - set(o) - rows_only
     assert not missing, f"queries without oracle or rows-only tag: {missing}"

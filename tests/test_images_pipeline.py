@@ -252,3 +252,53 @@ def test_full_violation_rate_counts_exact(corpus, tmp_path):
                                     decode=False)
     assert rep2["fragments_validated"] == 0
     assert rep2["n_violations"] == rep["n_violations"]
+
+
+def test_image_quality_signals(ray_mod=None):
+    """Blur / contrast / border detection pinned on crafted images
+    through the REAL codecs: a flat image scores zero everywhere and
+    full border; a checkerboard has high Laplacian variance and no
+    constant border; a letterboxed image reports exactly the bar area;
+    a corrupt row gets null scores."""
+    import ray.data as rd
+
+    from jsonschema_ray.codecs.images import encode_image
+    from jsonschema_ray.stages import score_image_quality
+    from jsonschema_ray.stages.multimodal import image_quality
+
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    checker = np.zeros((16, 16, 3), dtype=np.uint8)
+    checker[(np.arange(16)[:, None] + np.arange(16)[None, :]) % 2 == 0] = 255
+    letter = np.full((20, 16, 3), 0, dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    letter[4:16] = rng.integers(1, 255, (12, 16, 3), dtype=np.uint8)
+
+    q_flat = image_quality(flat)
+    assert q_flat["blur_var"] == 0.0 and q_flat["rms_contrast"] == 0.0
+    assert q_flat["border_frac"] == 1.0
+    q_chk = image_quality(checker)
+    assert q_chk["blur_var"] > 1000 and q_chk["border_frac"] == 0.0
+    q_let = image_quality(letter)
+    # bars: rows 0-3 and 16-19 constant → 8 of 20 rows; the interior is
+    # random so no pillar columns
+    assert abs(q_let["border_frac"] - 8 * 16 / (20 * 16)) < 1e-12
+    # blur ordering matches intuition: checker >> letterboxed > flat
+    assert q_chk["blur_var"] > q_let["blur_var"] > q_flat["blur_var"]
+
+    t = pa.table({
+        "image_id": ["flat", "checker", "letter", "bad"],
+        "fmt": ["png", "bmp", "ppm", "png"],
+        "bytes": pa.array([encode_image(flat, "png"),
+                           encode_image(checker, "bmp"),
+                           encode_image(letter, "ppm"),
+                           b"not an image"], type=pa.large_binary()),
+    })
+    out = score_image_quality(rd.from_arrow(t)).to_pandas() \
+        .set_index("image_id")
+    # stage == direct computation (decode round-trip is lossless)
+    for name, px in (("flat", flat), ("checker", checker),
+                     ("letter", letter)):
+        ref = image_quality(px)
+        for k, v in ref.items():
+            assert abs(out.loc[name, k] - v) < 1e-12, (name, k)
+    assert out.loc["bad"].isna().all()
