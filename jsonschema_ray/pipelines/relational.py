@@ -1207,29 +1207,39 @@ def column_stats_approx_lineitem(sf_dir: str):
     return out.sort_values("column").reset_index(drop=True)
 
 
+def _feature_synth_images(sf_dir: str):
+    """The feature-stage synthetic corpus, sized to the scale factor
+    (smaller than the flagship's — these stages decode per image)."""
+    import os
+
+    from ..sources import generate_images
+    n = {"sf0.001": 500, "sf0.01": 1000, "sf0.1": 2000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 500)
+    return generate_images(n, seed=42)
+
+
+def _round_floats(ds, key_col: str, nd: int = 4):
+    """Round every non-key column to ``nd`` decimals (driver-contract
+    float hygiene for pixel-derived values)."""
+    def rnd(b: pa.Table) -> pa.Table:
+        cols = {key_col: b[key_col]}
+        for c in b.column_names:
+            if c != key_col:
+                cols[c] = pc.round(b[c], nd)
+        return pa.table(cols)
+
+    return ds.map_batches(rnd, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def image_features_synth(sf_dir: str):
     """Multimodal transform stage over the synthetic image corpus:
     decode + resize + per-image feature columns (rows-only: pixel-derived
     values are not SQL-expressible)."""
-    import os
-
-    from ..sources import generate_images
     from ..stages import extract_image_features
-    n = {"sf0.001": 500, "sf0.01": 1000, "sf0.1": 2000}.get(
-        os.path.basename(sf_dir.rstrip("/")), 500)
-    ds = generate_images(n, seed=42)
-    out = extract_image_features(ds)
-    import pyarrow.compute as _pc
-
-    def rnd(b: pa.Table) -> pa.Table:
-        cols = {"image_id": b["image_id"]}
-        for c in b.column_names:
-            if c != "image_id":
-                cols[c] = _pc.round(b[c], 4)
-        return pa.table(cols)
-
-    return out.map_batches(rnd, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return _round_floats(
+        extract_image_features(_feature_synth_images(sf_dir)),
+        "image_id")
 
 
 def image_quality_synth(sf_dir: str):
@@ -1238,24 +1248,9 @@ def image_quality_synth(sf_dir: str):
     (letterbox/pillarbox detection) per image (rows-only: pixel math;
     crafted flat / checkerboard / letterboxed images pin the exact
     values in pytest)."""
-    import os
-
-    from ..sources import generate_images
     from ..stages import score_image_quality
-    n = {"sf0.001": 500, "sf0.01": 1000, "sf0.1": 2000}.get(
-        os.path.basename(sf_dir.rstrip("/")), 500)
-    ds = generate_images(n, seed=42)
-    out = score_image_quality(ds)
-
-    def rnd(b: pa.Table) -> pa.Table:
-        cols = {"image_id": b["image_id"]}
-        for c in b.column_names:
-            if c != "image_id":
-                cols[c] = pc.round(b[c], 4)
-        return pa.table(cols)
-
-    return out.map_batches(rnd, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return _round_floats(
+        score_image_quality(_feature_synth_images(sf_dir)), "image_id")
 
 
 def validate_images_synth(sf_dir: str):

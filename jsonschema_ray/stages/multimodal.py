@@ -68,19 +68,22 @@ def image_quality(px: np.ndarray) -> dict:
                + gray[1:-1, 2:] - 4.0 * gray[1:-1, 1:-1])
         blur_var = float(lap.var())
     else:
-        blur_var = 0.0
+        # no interior Laplacian exists — "unmeasurable" must stay
+        # distinguishable from "defocused" (null-score policy)
+        blur_var = None
     rms = float(gray.std())
 
     def _leading_const(const: np.ndarray) -> int:
         nc = np.flatnonzero(~const)
         return int(nc[0]) if len(nc) else len(const)
 
-    # a row/column is "constant" when every pixel (all channels) in it
-    # is identical
-    axes_row = (1, 2) if f.ndim == 3 else (1,)
-    axes_col = (0, 2) if f.ndim == 3 else (0,)
-    row_const = f.max(axis=axes_row) == f.min(axis=axes_row)
-    col_const = f.max(axis=axes_col) == f.min(axis=axes_col)
+    # a row/column is "constant" when every PIXEL in it equals the
+    # first pixel — compared per channel, so a solid COLORED bar
+    # (channels differing within the pixel) still counts (review pin)
+    axes_row = tuple(range(1, f.ndim))
+    axes_col = (0, 2)[:f.ndim - 1]
+    row_const = (f == f[:, :1]).all(axis=axes_row)
+    col_const = (f == f[:1, :]).all(axis=axes_col)
     top = _leading_const(row_const)
     bot = _leading_const(row_const[::-1]) if top < h else 0
     left = _leading_const(col_const)
@@ -93,14 +96,13 @@ def image_quality(px: np.ndarray) -> dict:
     }
 
 
-def score_image_quality(ds, bytes_col: str = "bytes",
-                        fmt_col: str = "fmt",
-                        id_col: str = "image_id",
-                        batch_size: int = 256):
-    """Decode + perceptual-quality columns (blur/contrast/border) — the
-    filter signals before training-set admission. Undecodable rows get
-    null scores (transform policy: validation stages report them)."""
-    names = ["blur_var", "rms_contrast", "border_frac"]
+def _per_image_scores(ds, scorer, names: list[str],
+                      bytes_col: str, fmt_col: str, id_col: str,
+                      batch_size: int):
+    """Shared decode-and-score skeleton for the per-image feature
+    stages: decode each row, apply ``scorer(px) -> dict``, emit one
+    float64 column per name; undecodable rows get null scores
+    (transform policy: validation stages report them)."""
 
     def fn(b: pa.Table) -> pa.Table:
         data = b.column(bytes_col).to_pylist()
@@ -109,7 +111,7 @@ def score_image_quality(ds, bytes_col: str = "bytes",
         rows = []
         for d, f in zip(data, fmts):
             try:
-                rows.append(image_quality(decode_image(d, f)))
+                rows.append(scorer(decode_image(d, f)))
             except Exception:
                 rows.append({k: None for k in names})
         cols = {id_col: b.column(id_col)}
@@ -119,6 +121,17 @@ def score_image_quality(ds, bytes_col: str = "bytes",
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def score_image_quality(ds, bytes_col: str = "bytes",
+                        fmt_col: str = "fmt",
+                        id_col: str = "image_id",
+                        batch_size: int = 256):
+    """Decode + perceptual-quality columns (blur/contrast/border) — the
+    filter signals before training-set admission."""
+    return _per_image_scores(
+        ds, image_quality, ["blur_var", "rms_contrast", "border_frac"],
+        bytes_col, fmt_col, id_col, batch_size)
 
 
 def resize_images(ds, out_h: int, out_w: int, bytes_col: str = "bytes",
@@ -162,26 +175,11 @@ def extract_image_features(ds, bytes_col: str = "bytes",
                            id_col: str = "image_id",
                            batch_size: int = 256):
     """Decode + per-image feature columns (brightness/channel/edge)."""
-    names = ["brightness_mean", "brightness_std", "r_mean", "g_mean",
-             "b_mean", "edge_density"]
-
-    def fn(b: pa.Table) -> pa.Table:
-        data = b.column(bytes_col).to_pylist()
-        fmts = b.column(fmt_col).to_pylist() \
-            if fmt_col in b.column_names else [None] * len(data)
-        rows = []
-        for d, f in zip(data, fmts):
-            try:
-                rows.append(image_features(decode_image(d, f)))
-            except Exception:
-                rows.append({k: None for k in names})
-        cols = {id_col: b.column(id_col)}
-        for k in names:
-            cols[k] = pa.array([r[k] for r in rows], type=pa.float64())
-        return pa.table(cols)
-
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
-                          batch_size=batch_size)
+    return _per_image_scores(
+        ds, image_features,
+        ["brightness_mean", "brightness_std", "r_mean", "g_mean",
+         "b_mean", "edge_density"],
+        bytes_col, fmt_col, id_col, batch_size)
 
 
 # ---------------------------------------------------------------------------

@@ -254,7 +254,7 @@ def test_full_violation_rate_counts_exact(corpus, tmp_path):
     assert rep2["n_violations"] == rep["n_violations"]
 
 
-def test_image_quality_signals(ray_mod=None):
+def test_image_quality_signals():
     """Blur / contrast / border detection pinned on crafted images
     through the REAL codecs: a flat image scores zero everywhere and
     full border; a checkerboard has high Laplacian variance and no
@@ -302,3 +302,24 @@ def test_image_quality_signals(ray_mod=None):
         for k, v in ref.items():
             assert abs(out.loc[name, k] - v) < 1e-12, (name, k)
     assert out.loc["bad"].isna().all()
+
+
+def test_image_quality_colored_border_and_tiny():
+    """Review pins: a solid COLORED letterbox bar (channels differ
+    within the pixel) counts as border — per-channel constancy, not
+    max==min over channels jointly; sub-3px images report blur None
+    (unmeasurable ≠ defocused)."""
+    from jsonschema_ray.stages.multimodal import image_quality
+
+    rng = np.random.default_rng(11)
+    img = np.empty((20, 16, 3), dtype=np.uint8)
+    img[:] = (0, 0, 255)                       # solid blue bars
+    img[4:16] = rng.integers(1, 255, (12, 16, 3), dtype=np.uint8)
+    q = image_quality(img)
+    assert abs(q["border_frac"] - 8 * 16 / (20 * 16)) < 1e-12
+
+    tiny = np.zeros((2, 2, 3), dtype=np.uint8)
+    tiny[0, 0] = 255; tiny[1, 1] = 255         # sharp 2x2 checker
+    qt = image_quality(tiny)
+    assert qt["blur_var"] is None
+    assert qt["rms_contrast"] > 0
