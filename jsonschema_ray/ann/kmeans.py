@@ -145,9 +145,35 @@ def _gather_vec(ds, vec_col: str) -> pa.Array:
     return col.drop_null() if col.null_count else col
 
 
+def _local_lloyd(V: np.ndarray, C: np.ndarray, iters: int):
+    """The SAME Lloyd update the distributed loop applies, on a
+    resident unit-row matrix: cosine argmax assignment (ties to the
+    lowest index), per-cluster mean re-normalized, empty clusters keep
+    their centroid. Float sums accumulate in a different order than
+    the per-batch reduceat + groupby merge, so results agree to
+    float tolerance, not bit-for-bit."""
+    counts = np.zeros(len(C), dtype=np.int64)
+    mean_cos = float("nan")
+    for _ in range(max(1, iters)):
+        scores = V @ C.T
+        a = np.argmax(scores, axis=1)
+        counts = np.bincount(a, minlength=len(C))
+        mean_cos = float(scores[np.arange(len(V)), a].mean()) \
+            if len(V) else float("nan")
+        newC = C.copy()
+        for c in np.flatnonzero(counts):
+            v = V[a == c].mean(axis=0)
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                newC[c] = v / nrm
+        C = newC
+    return C, counts.astype(np.int64), mean_cos
+
+
 def distributed_kmeans(ds, vec_col: str = "embedding", k: int = 16,
                        iters: int = 10, seed: int = 5,
-                       train_sample: int = 16384, cache: bool = True):
+                       train_sample: int = 16384, cache: bool = True,
+                       gather_cap_bytes: int = 64 << 20):
     """Full-corpus spherical k-means.
 
     Init: spherical k-means++ on a seeded uniform sample (one sampled
@@ -189,6 +215,23 @@ def distributed_kmeans(ds, vec_col: str = "embedding", k: int = 16,
         raise ValueError(
             "distributed_kmeans: no finite vectors in the init sample")
     C = _spherical_kmeanspp_init(U, k, seed)
+    # small-corpus fast path (cap-gated by MEASURED size, the repo's
+    # driver-gather convention): iters sequential distributed rounds
+    # cost ~1s of fixed scheduling each, which dwarfs the math when the
+    # whole matrix fits comfortably on the driver — gather ONCE and run
+    # the identical Lloyd update locally. Above the cap: the streaming
+    # loop below, unchanged.
+    dim = U.shape[1]
+    if n * dim * 8 <= gather_cap_bytes:
+        V = _finite_unit_rows(embedding_matrix(_gather_vec(source,
+                                                           vec_col)))
+        if not len(V):
+            raise ValueError(
+                "distributed_kmeans: no finite vectors in the corpus")
+        if V.shape[1] != dim:
+            raise ValueError(
+                f"kmeans: corpus dim {V.shape[1]} != init dim {dim}")
+        return _local_lloyd(V, C, iters)
     counts = np.zeros(len(C), dtype=np.int64)
     mean_cos = float("nan")
     for _ in range(max(1, iters)):

@@ -327,6 +327,14 @@ def test_distributed_kmeans_matches_single_node_lloyd(ray_session):
     assert mc > 0.999
     U = centers / np.linalg.norm(centers, axis=1, keepdims=True)
     assert ((U @ C.T).max(axis=1) > 0.999).all()
+    # the cap-gated local fast path (taken above) must agree with the
+    # FORCED distributed loop — same init, same update rule, float-sum
+    # order is the only difference
+    Cd, countsd, mcd = distributed_kmeans(ds, k=3, iters=6, seed=5,
+                                          gather_cap_bytes=0)
+    assert np.abs(Cd - C).max() < 1e-9
+    assert countsd.tolist() == counts.tolist()
+    assert abs(mcd - mc) < 1e-9
 
     # single-node Lloyd from the same init (train_sample covers the
     # whole corpus, so the sample init is the full-data init; init now
@@ -345,8 +353,11 @@ def test_distributed_kmeans_matches_single_node_lloyd(ray_session):
                     Cr[c] = v / n
     assert np.abs(C - Cr).max() < 1e-9
 
+    # repartition invariance of the DISTRIBUTED loop (per-batch reduceat
+    # partials merge to the same sums) — force it past the fast path
     C2, counts2, _ = distributed_kmeans(ds.repartition(7), k=3,
-                                        iters=6, seed=5)
+                                        iters=6, seed=5,
+                                        gather_cap_bytes=0)
     assert np.abs(np.sort(C.ravel()) - np.sort(C2.ravel())).max() < 1e-9
     assert sorted(counts2.tolist()) == sorted(counts.tolist())
 
@@ -374,10 +385,19 @@ def test_distributed_kmeans_excludes_nonfinite_vectors(ray_session):
     rows.append([1e300] * 4)          # finite components, norm overflows
     rows.append(None)                 # null row: skipped, not a crash
     ds = rd.from_arrow(pa.table({"embedding": rows}))
-    C, counts, mc = distributed_kmeans(ds, k=2, iters=4, seed=5)
-    assert np.isfinite(C).all()
-    assert sorted(counts.tolist()) == [50, 50]  # bad rows excluded
-    assert mc > 0.99
+    # exclusion semantics on BOTH physical plans: the local fast path
+    # and the forced distributed loop (the logic lives in different
+    # functions)
+    by_plan = {}
+    for cap in (64 << 20, 0):
+        C, counts, mc = distributed_kmeans(ds, k=2, iters=4, seed=5,
+                                           gather_cap_bytes=cap)
+        assert np.isfinite(C).all()
+        assert sorted(counts.tolist()) == [50, 50]  # bad rows excluded
+        assert mc > 0.99
+        by_plan[cap] = (C, counts)
+    C, counts = by_plan[64 << 20]     # local-plan result for the
+    # bit-identity comparison below (plans differ in float-sum order)
     # direction-free rows must not be seedable either: a corpus that is
     # mostly zero-pads still recovers the two real blobs
     pad = [[0.0] * 4] * 500
