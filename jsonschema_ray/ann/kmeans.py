@@ -3,7 +3,9 @@ unit vectors, cosine assignment) — the scale path when the sample-based
 coarse quantizer (`ann.search._train_centroids`) isn't enough: semantic-
 dedup clustering, full-corpus IVF training, embedding-space cartography.
 
-Scale shape: each Lloyd iteration is ONE streaming pass over the corpus.
+Scale shape: above the driver-gather cap, each Lloyd iteration is ONE
+streaming pass over the corpus (below it, the measured-size-gated fast
+path gathers once and iterates locally with the identical update rule).
 A batch assigns its vectors to the nearest centroid (one (n,dim)@(dim,k)
 matmul against the broadcast centroid matrix) and emits per-cluster
 partial sums via a sorted reduceat — (≤k × dim) partial rows per batch,
@@ -123,15 +125,25 @@ def _spherical_kmeanspp_init(U: np.ndarray, k: int, seed: int,
         C[i] = U[rng.choice(len(U), p=d2 / tot)]
         d2 = np.minimum(d2, np.maximum(1.0 - U @ C[i], 0.0))
     for _ in range(local_iters):
-        a = np.argmax(U @ C.T, axis=1)
-        for c in range(k):
-            m = U[a == c]
-            if len(m):
-                v = m.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    C[c] = v / n
+        C, _, _ = _lloyd_step(U, C)
     return C
+
+
+def _lloyd_step(V: np.ndarray, C: np.ndarray):
+    """ONE local Lloyd update — the single source of the update rule
+    (cosine argmax assignment with ties to the lowest index,
+    per-cluster mean re-normalized, empty/zero-norm clusters keep their
+    centroid) shared by the k-means++ refinement and the small-corpus
+    fast path. → ``(newC, assign, scores)``."""
+    scores = V @ C.T
+    a = np.argmax(scores, axis=1)
+    newC = C.copy()
+    for c in np.unique(a):
+        v = V[a == c].mean(axis=0)
+        nrm = np.linalg.norm(v)
+        if nrm > 0:
+            newC[c] = v / nrm
+    return newC, a, scores
 
 
 def _gather_vec(ds, vec_col: str) -> pa.Array:
@@ -146,28 +158,17 @@ def _gather_vec(ds, vec_col: str) -> pa.Array:
 
 
 def _local_lloyd(V: np.ndarray, C: np.ndarray, iters: int):
-    """The SAME Lloyd update the distributed loop applies, on a
-    resident unit-row matrix: cosine argmax assignment (ties to the
-    lowest index), per-cluster mean re-normalized, empty clusters keep
-    their centroid. Float sums accumulate in a different order than
-    the per-batch reduceat + groupby merge, so results agree to
-    float tolerance, not bit-for-bit."""
-    counts = np.zeros(len(C), dtype=np.int64)
-    mean_cos = float("nan")
+    """The SAME Lloyd update the distributed loop applies (via
+    ``_lloyd_step``), on a resident non-empty unit-row matrix. Float
+    sums accumulate in a different order than the per-batch reduceat +
+    groupby merge, so results agree to float tolerance, not
+    bit-for-bit. counts/mean_cos describe the LAST assignment pass,
+    matching the distributed contract."""
     for _ in range(max(1, iters)):
-        scores = V @ C.T
-        a = np.argmax(scores, axis=1)
-        counts = np.bincount(a, minlength=len(C))
-        mean_cos = float(scores[np.arange(len(V)), a].mean()) \
-            if len(V) else float("nan")
-        newC = C.copy()
-        for c in np.flatnonzero(counts):
-            v = V[a == c].mean(axis=0)
-            nrm = np.linalg.norm(v)
-            if nrm > 0:
-                newC[c] = v / nrm
-        C = newC
-    return C, counts.astype(np.int64), mean_cos
+        C, a, scores = _lloyd_step(V, C)
+    counts = np.bincount(a, minlength=len(C)).astype(np.int64)
+    mean_cos = float(scores[np.arange(len(V)), a].mean())
+    return C, counts, mean_cos
 
 
 def distributed_kmeans(ds, vec_col: str = "embedding", k: int = 16,
@@ -190,6 +191,14 @@ def distributed_kmeans(ds, vec_col: str = "embedding", k: int = 16,
     ``cache=False`` to keep pure streaming when the projected vectors
     exceed cluster storage and re-reading the source is the cheaper
     trade.
+
+    ``gather_cap_bytes`` gates the small-corpus fast path: when the
+    MEASURED matrix size (n·dim·8) fits the cap, the corpus is gathered
+    once and the identical Lloyd update runs locally — iters sequential
+    distributed rounds cost ~1 s of fixed scheduling each, dwarfing the
+    math at that scale. Results agree with the streaming loop to float
+    tolerance (sum order differs). Pass ``0`` to force the distributed
+    plan.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -215,22 +224,14 @@ def distributed_kmeans(ds, vec_col: str = "embedding", k: int = 16,
         raise ValueError(
             "distributed_kmeans: no finite vectors in the init sample")
     C = _spherical_kmeanspp_init(U, k, seed)
-    # small-corpus fast path (cap-gated by MEASURED size, the repo's
-    # driver-gather convention): iters sequential distributed rounds
-    # cost ~1s of fixed scheduling each, which dwarfs the math when the
-    # whole matrix fits comfortably on the driver — gather ONCE and run
-    # the identical Lloyd update locally. Above the cap: the streaming
-    # loop below, unchanged.
-    dim = U.shape[1]
-    if n * dim * 8 <= gather_cap_bytes:
-        V = _finite_unit_rows(embedding_matrix(_gather_vec(source,
-                                                           vec_col)))
-        if not len(V):
-            raise ValueError(
-                "distributed_kmeans: no finite vectors in the corpus")
-        if V.shape[1] != dim:
-            raise ValueError(
-                f"kmeans: corpus dim {V.shape[1]} != init dim {dim}")
+    # small-corpus fast path (see docstring). When the init sample
+    # already covered the whole corpus (frac >= 1.0), U IS the full
+    # unit matrix — don't gather and normalize it a second time. A
+    # ragged corpus raises inside embedding_matrix on either path.
+    d0 = U.shape[1]
+    if n * d0 * 8 <= gather_cap_bytes:
+        V = U if frac >= 1.0 else _finite_unit_rows(
+            embedding_matrix(_gather_vec(source, vec_col)))
         return _local_lloyd(V, C, iters)
     counts = np.zeros(len(C), dtype=np.int64)
     mean_cos = float("nan")

@@ -361,10 +361,12 @@ def test_distributed_kmeans_matches_single_node_lloyd(ray_session):
     assert np.abs(np.sort(C.ravel()) - np.sort(C2.ravel())).max() < 1e-9
     assert sorted(counts2.tolist()) == sorted(counts.tolist())
 
-    # k > n degrades to n centroids; empty corpus raises
-    C3, cnt3, _ = distributed_kmeans(rd.from_arrow(t.slice(0, 2)),
-                                     k=5, iters=2, seed=1)
-    assert C3.shape[0] == 2 and cnt3.tolist() == [1, 1]
+    # k > n degrades to n centroids — on BOTH physical plans
+    for cap in (64 << 20, 0):
+        C3, cnt3, _ = distributed_kmeans(rd.from_arrow(t.slice(0, 2)),
+                                         k=5, iters=2, seed=1,
+                                         gather_cap_bytes=cap)
+        assert C3.shape[0] == 2 and cnt3.tolist() == [1, 1]
 
 
 def test_distributed_kmeans_excludes_nonfinite_vectors(ray_session):
@@ -402,9 +404,12 @@ def test_distributed_kmeans_excludes_nonfinite_vectors(ray_session):
     # mostly zero-pads still recovers the two real blobs
     pad = [[0.0] * 4] * 500
     ds2 = rd.from_arrow(pa.table({"embedding": [list(r) for r in X] + pad}))
-    C2, counts2, _ = distributed_kmeans(ds2, k=2, iters=4, seed=5)
-    assert (np.linalg.norm(C2, axis=1) > 0.99).all()
-    assert sorted(counts2.tolist()) == [50, 50]
+    for cap in (64 << 20, 0):   # incl. the distributed plan's
+        # all-excluded-batch `empty` partial path
+        C2, counts2, _ = distributed_kmeans(ds2, k=2, iters=4, seed=5,
+                                            gather_cap_bytes=cap)
+        assert (np.linalg.norm(C2, axis=1) > 0.99).all()
+        assert sorted(counts2.tolist()) == [50, 50]
     # cache=False (pure streaming, re-scan per pass) is bit-identical
     C3, counts3, mc3 = distributed_kmeans(ds, k=2, iters=4, seed=5,
                                           cache=False)
