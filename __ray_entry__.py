@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": R.pca_embeddings,  # rows-only (eigensolver)
         "embedding_outliers_mahalanobis":
             R.embedding_outliers_mahalanobis,  # rows-only (matrix inverse)
+        "ann_pca_topk_embeddings":
+            R.ann_pca_topk_embeddings,  # rows-only (eigenbasis)
         "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled

@@ -1062,6 +1062,28 @@ def value_hour_corr_by_type(sf_dir: str):
         "n": n.astype(np.int64)}).reset_index(drop=True)
 
 
+def ann_pca_topk_embeddings(sf_dir: str):
+    """Compress-then-search ANN: project the 64-dim embeddings onto the
+    top-16 principal axes (one-pass covariance → driver eigh →
+    broadcast matmul per batch), then exact cosine top-10 IN THE
+    REDUCED SPACE for the same 5 queries as ann_topk — the
+    dimension-reduction scale path a 100 TB embedding search runs
+    before (or instead of) full-dim scoring: the scored matrix is 4×
+    smaller and the basis ships once. Rows-only (the projection basis
+    comes from the engine's eigensolver — no SQL form); pytest pins
+    near-perfect recall vs full-dim exact top-k on planted low-rank
+    data, where compression is lossless by construction."""
+    from ..ann import brute_force_topk, distributed_pca, pca_project
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    comps, ev, mean, n = distributed_pca(ds, n_components=16)
+    proj = pca_project(ds, comps, mean)
+    vecs, ids = _query_vectors(sf_dir)
+    qp = (np.asarray(vecs, dtype=np.float64) - mean) @ comps.T
+    out = brute_force_topk(proj, qp, query_ids=ids, vec_col="pca", k=10)
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def embedding_outliers_mahalanobis(sf_dir: str):
     """Top-20 embedding outliers by squared Mahalanobis distance to the
     corpus distribution (rows-only: the precision-matrix inverse has no

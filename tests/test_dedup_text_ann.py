@@ -530,3 +530,38 @@ def test_mahalanobis_scores_match_numpy(ray_session):
         mahalanobis_scores(dsy, cy, my).select_columns(["maha2"])
         .iter_batches(batch_format="pyarrow")).column("maha2")
     assert np.isfinite(np.asarray(sy.combine_chunks())).all()
+
+
+def test_pca_topk_recall_on_lowrank_data(ray_session):
+    """Compress-then-search: on planted rank-4 data the top-4 PCA
+    projection preserves cosine geometry, so reduced-space exact top-k
+    must recall (almost) everything full-dim top-k finds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.ann import (brute_force_topk, distributed_pca,
+                                    pca_project)
+
+    rng = np.random.default_rng(41)
+    n, dim, rank = 800, 32, 4
+    B = rng.normal(0, 1, (rank, dim))
+    X = rng.normal(0, 1, (n, rank)) @ B        # exactly rank-4
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array([list(r) for r in X])})
+    ds = rd.from_arrow(t)
+    comps, ev, mean, _ = distributed_pca(ds, n_components=rank)
+    # rank-4 data: components 5+ would carry ~zero variance
+    assert ev[rank - 1] > 1e-6
+    proj = pca_project(ds, comps, mean)
+    Q = X[:3]
+    qp = (Q - mean) @ comps.T
+    full = brute_force_topk(ds, Q, query_ids=[0, 1, 2], k=10)
+    red = brute_force_topk(proj, qp, query_ids=[0, 1, 2],
+                           vec_col="pca", k=10)
+    for qid in (0, 1, 2):
+        a = set(full[full["query_id"] == qid]["vec_id"])
+        b = set(red[red["query_id"] == qid]["vec_id"])
+        # centering shifts cosine geometry slightly; the planted rank
+        # keeps the overlap near-total
+        assert len(a & b) >= 8, (qid, a, b)

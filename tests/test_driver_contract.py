@@ -120,6 +120,7 @@ def test_query_matches_oracle(name, duck):
     ("pca_embeddings", 8),
     ("embedding_outliers_mahalanobis", 20),
     ("image_quality_synth", 100),
+    ("ann_pca_topk_embeddings", 50),
 ])
 def test_rows_only_queries(name, min_rows):
     q, _ = oracle_pairs()
@@ -223,6 +224,7 @@ def test_every_query_is_oracled_or_known_rows_only():
         "pca_embeddings",
         "embedding_outliers_mahalanobis",
         "image_quality_synth",
+        "ann_pca_topk_embeddings",
     }
     missing = set(q) - set(o) - rows_only
     assert not missing, f"queries without oracle or rows-only tag: {missing}"
