@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
+        "funnel_events": R.funnel_events,                # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
         "export_shards_documents": R.export_shards_documents,  # rows-only
         "image_quality_synth": R.image_quality_synth,  # rows-only (pixels)
@@ -371,6 +372,28 @@ SELECT event_type,
        CAST(count(value + CAST(extract(hour FROM ts) AS DOUBLE))
             AS BIGINT) AS n
 FROM events GROUP BY event_type ORDER BY event_type""",
+        # first-touch funnel: strict ts ordering, NULL-t1 users enter
+        # stage 1 but can never convert (NULL comparisons are false)
+        "funnel_events": """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id),
+n AS (SELECT 1 AS stage_idx, 'view' AS stage,
+             (SELECT count(*) FROM v) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(floor(10000.0 * n_users /
+                  NULLIF((SELECT count(*) FROM v), 0)) AS BIGINT)
+         AS conv_bp
+FROM n ORDER BY stage_idx""",
         # Tukey fences from exact discrete quartiles — the bound
         # arithmetic is the same two IEEE doubles on both sides
         "outlier_events_iqr": """

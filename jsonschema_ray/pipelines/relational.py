@@ -1505,6 +1505,56 @@ def rolling_mean_events(sf_dir: str, frame: int = 3):
     return res.sort_values("event_id").reset_index(drop=True)
 
 
+def funnel_events(sf_dir: str):
+    """First-touch conversion funnel view → click → purchase per user
+    (the sequential-behavior statistic none of the window ops cover):
+    t1 = the user's first view, t2 = first click strictly AFTER t1,
+    t3 = first purchase strictly after t2. ONE coarse user-hash
+    partition (users never split), a vectorized three-stage groupby-min
+    chain inside each partition, and 3 tiny count rows per partition
+    merged on the driver. Rows with null ts never satisfy the strict
+    ordering on either engine (NULL/NaT comparisons are false), and a
+    user whose views all carry null ts still enters stage 1 (SQL GROUP
+    BY keeps the group; its t1 is NULL so no click can follow).
+    ORACLED vs a 3-CTE min-join chain; conv_bp = floor(1e4·n/stage-1 n)
+    with NULL on an empty funnel head."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # merge, not DataFrame.join(on=..., how="inner"): join can hand
+        # back a frame whose INDEX is the key while the column remains,
+        # making the next groupby("user_id") ambiguous
+        v = df.loc[df["event_type"].eq("view")] \
+            .groupby("user_id")["ts"].min()
+        c = df.loc[df["event_type"].eq("click"), ["user_id", "ts"]] \
+            .merge(v.rename("t1").reset_index(), on="user_id")
+        c = c.loc[c["ts"] > c["t1"]].groupby("user_id")["ts"].min()
+        p = df.loc[df["event_type"].eq("purchase"), ["user_id", "ts"]] \
+            .merge(c.rename("t2").reset_index(), on="user_id")
+        p = p.loc[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame({
+            "stage_idx": np.array([1, 2, 3], dtype=np.int64),
+            "n_part": np.array([len(v), len(c), len(p)],
+                               dtype=np.int64)})
+
+    parts = partitioned_group_apply(ds, ["user_id"], fn).to_pandas()
+    n = parts.groupby("stage_idx")["n_part"].sum() \
+        .reindex([1, 2, 3], fill_value=0)
+    nv = int(n.loc[1])
+    conv = np.floor(10000.0 * n.to_numpy() / nv).astype(np.int64) \
+        if nv else None
+    out = pd.DataFrame({
+        "stage_idx": np.array([1, 2, 3], dtype=np.int64),
+        "stage": ["view", "click", "purchase"],
+        "n_users": n.to_numpy().astype(np.int64)})
+    # float NaN, not pandas NA: the oracle's NULL BIGINT arrives as
+    # float NaN through .df(), and the driver's canon must agree
+    out["conv_bp"] = conv if conv is not None else np.full(3, np.nan)
+    return out
+
+
 def export_shards_documents(sf_dir: str):
     """Sharded training-data export: write documents into 16
     deterministic key-hash shards (the resumable output layout —

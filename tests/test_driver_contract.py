@@ -88,7 +88,7 @@ def oracle_pairs():
     "customer_order_counts", "hot_users_events",
     "label_centroids_embeddings", "embedding_covariance",
     "lineitem_correlation", "outlier_events_iqr",
-    "value_hour_corr_by_type",
+    "value_hour_corr_by_type", "funnel_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
@@ -365,3 +365,64 @@ def test_value_hour_corr_nan_partition_invariant(tmp_path):
                                                    na_position="last")
         assert np.allclose(a["corr"].to_numpy(), g["corr"].to_numpy())
         assert (a["n"].to_numpy() == g["n"].to_numpy()).all()
+
+
+def test_funnel_dropoff_and_ordering(tmp_path):
+    """Crafted funnel with REAL drop-off (the driver testdata converts
+    every user at every stage): a click BEFORE the first view doesn't
+    count, a purchase before the qualifying click doesn't count, a user
+    whose views are all null-ts enters stage 1 but can never convert,
+    and the canon matches DuckDB exactly; an events table with no views
+    answers NULL conv_bp on both engines."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from jsonschema_ray.pipelines.relational import funnel_events
+
+    def T(h):
+        return 1_700_000_000_000_000 + h * 3_600_000_000
+
+    rows = [
+        # u1: full funnel in order
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # u2: click BEFORE view → stuck at stage 1
+        (2, T(5), "view"), (2, T(4), "click"),
+        # u3: purchase before its qualifying click → stage 2 only
+        (3, T(1), "view"), (3, T(3), "click"), (3, T(2), "purchase"),
+        # u4: views only
+        (4, T(7), "view"),
+        # u5: null-ts view only → enters stage 1, can't convert
+        (5, None, "view"), (5, T(9), "click"), (5, T(10), "purchase"),
+        # u6: no view at all → not in the funnel
+        (6, T(1), "click"), (6, T(2), "purchase"),
+    ]
+    tb = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows))})
+    pq.write_table(tb, os.path.join(tmp_path, "events.parquet"))
+    got = funnel_events(str(tmp_path))
+    assert got["n_users"].tolist() == [5, 2, 1]
+    assert got["conv_bp"].tolist() == [10000, 4000, 2000]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    exp = con.execute(E.oracle_sql()["funnel_events"]).df()
+    assert canon(got) == canon(exp)
+
+    # empty funnel head: no view rows anywhere
+    pq.write_table(tb.filter(
+        pa.compute.not_equal(tb["event_type"], "view")),
+        os.path.join(tmp_path, "events.parquet"))
+    got2 = funnel_events(str(tmp_path))
+    exp2 = con.execute(E.oracle_sql()["funnel_events"]).df()
+    assert got2["n_users"].tolist() == [0, 0, 0]
+    assert got2["conv_bp"].isna().all()
+    assert canon(got2) == canon(exp2)
