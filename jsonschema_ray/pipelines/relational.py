@@ -1076,7 +1076,12 @@ def ann_pca_topk_embeddings(sf_dir: str):
     from ..ann import brute_force_topk, distributed_pca, pca_project
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     comps, ev, mean, n = distributed_pca(ds, n_components=16)
-    proj = pca_project(ds, comps, mean)
+    # pca_project nulls non-finite/null rows by design; drop them
+    # before scoring (brute force requires dense vectors) — the same
+    # dirty rows the full-dim path excludes inside its scorer
+    proj = pca_project(ds, comps, mean).map_batches(
+        lambda b: b.filter(b.column("pca").is_valid()),
+        batch_format="pyarrow", zero_copy_batch=True)
     vecs, ids = _query_vectors(sf_dir)
     qp = (np.asarray(vecs, dtype=np.float64) - mean) @ comps.T
     out = brute_force_topk(proj, qp, query_ids=ids, vec_col="pca", k=10)
@@ -1526,12 +1531,21 @@ def funnel_events(sf_dir: str):
         # merge, not DataFrame.join(on=..., how="inner"): join can hand
         # back a frame whose INDEX is the key while the column remains,
         # making the next groupby("user_id") ambiguous
+        # dropna=False: SQL GROUP BY keeps the NULL-user group in stage
+        # 1 (all null keys hash to one partition, so it counts once).
+        # The join sides EXCLUDE null users explicitly: SQL JOIN on
+        # NULL never matches, but pandas merge treats NaN == NaN as a
+        # match — without the filter the NULL group would convert here
+        # and not in the oracle
+        uid_ok = df["user_id"].notna()
         v = df.loc[df["event_type"].eq("view")] \
-            .groupby("user_id")["ts"].min()
-        c = df.loc[df["event_type"].eq("click"), ["user_id", "ts"]] \
+            .groupby("user_id", dropna=False)["ts"].min()
+        c = df.loc[df["event_type"].eq("click") & uid_ok,
+                   ["user_id", "ts"]] \
             .merge(v.rename("t1").reset_index(), on="user_id")
         c = c.loc[c["ts"] > c["t1"]].groupby("user_id")["ts"].min()
-        p = df.loc[df["event_type"].eq("purchase"), ["user_id", "ts"]] \
+        p = df.loc[df["event_type"].eq("purchase") & uid_ok,
+                   ["user_id", "ts"]] \
             .merge(c.rename("t2").reset_index(), on="user_id")
         p = p.loc[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
         return pd.DataFrame({
@@ -1540,6 +1554,11 @@ def funnel_events(sf_dir: str):
                                dtype=np.int64)})
 
     parts = partitioned_group_apply(ds, ["user_id"], fn).to_pandas()
+    if parts.empty:
+        # zero-row events: Ray hands back a column-less frame; the
+        # oracle still answers 3 stage rows with n_users 0
+        parts = pd.DataFrame({"stage_idx": pd.Series([], dtype="int64"),
+                              "n_part": pd.Series([], dtype="int64")})
     n = parts.groupby("stage_idx")["n_part"].sum() \
         .reindex([1, 2, 3], fill_value=0)
     nv = int(n.loc[1])

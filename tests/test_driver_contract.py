@@ -426,3 +426,74 @@ def test_funnel_dropoff_and_ordering(tmp_path):
     assert got2["n_users"].tolist() == [0, 0, 0]
     assert got2["conv_bp"].isna().all()
     assert canon(got2) == canon(exp2)
+
+
+def test_funnel_null_user_and_empty_table(tmp_path):
+    """A NULL user_id forms SQL's NULL group: it enters stage 1 (GROUP
+    BY keeps it) but never converts (JOIN on NULL never matches) —
+    pandas dropna=False + unmatched-NaN merges reproduce both; and a
+    fully EMPTY events table answers the oracle's 3 zero rows instead
+    of KeyError on a column-less frame (review pins)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from jsonschema_ray.pipelines.relational import funnel_events
+
+    def T(h):
+        return 1_700_000_000_000_000 + h * 3_600_000_000
+
+    rows = [(1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+            (None, T(1), "view"), (None, T(2), "click")]
+    tb = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows))})
+    pq.write_table(tb, os.path.join(tmp_path, "events.parquet"))
+    got = funnel_events(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    exp = con.execute(E.oracle_sql()["funnel_events"]).df()
+    assert got["n_users"].tolist() == [2, 1, 1]   # NULL group in stage 1
+    assert canon(got) == canon(exp)
+
+    pq.write_table(tb.slice(0, 0), os.path.join(tmp_path,
+                                                "events.parquet"))
+    got2 = funnel_events(str(tmp_path))
+    exp2 = con.execute(E.oracle_sql()["funnel_events"]).df()
+    assert got2["n_users"].tolist() == [0, 0, 0]
+    assert canon(got2) == canon(exp2)
+
+
+def test_pca_ann_survives_dirty_rows(tmp_path):
+    """A corpus row with a non-finite component gets a null projection
+    and is dropped before reduced-space scoring instead of killing the
+    job (review pin — the full-dim path already survives such rows)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_ray.pipelines.relational import ann_pca_topk_embeddings
+
+    rng = np.random.default_rng(7)
+    n, dim = 60, 24
+    X = rng.normal(0, 1, (n, dim))
+    X[17, 3] = float("inf")
+    tb = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in X],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * n, type=pa.int32())})
+    pq.write_table(tb, os.path.join(tmp_path, "embeddings.parquet"))
+    out = ann_pca_topk_embeddings(str(tmp_path))
+    assert len(out) == 50
+    assert 17 not in set(out["vec_id"])   # dirty row never scored
