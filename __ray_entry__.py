@@ -96,12 +96,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
         "funnel_events": R.funnel_events,                # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
-        "export_shards_documents": R.export_shards_documents,  # rows-only
         "image_quality_synth": R.image_quality_synth,  # rows-only (pixels)
         "incremental_minhash_documents":
             R.incremental_minhash_documents,              # rows-only (LSH)
         "incremental_embedding_documents":
             R.incremental_embedding_documents,            # rows-only (LSH)
+        # (export_shards' staged-commit layout is pinned by its own
+        # pytest manifest cross-checks; cheapest to hold past the
+        # boundary)
+        "export_shards_documents": R.export_shards_documents,  # rows-only
         # (these two carry r1-r3 driver rows-only evidence already)
         "column_stats_approx_lineitem": R.column_stats_approx_lineitem,
         "validate_images_synth": R.validate_images_synth,  # rows-only

@@ -169,6 +169,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.value_hour_corr_by_type(sf_dir)))
     timed("mahalanobis_outliers",
           lambda: len(R.embedding_outliers_mahalanobis(sf_dir)))
+    timed("funnel_events", lambda: len(R.funnel_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {
