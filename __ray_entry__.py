@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
         "funnel_events": R.funnel_events,                # oracled
+        "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
         "image_quality_synth": R.image_quality_synth,  # rows-only (pixels)
         "incremental_minhash_documents":
@@ -397,6 +398,19 @@ SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
                   NULLIF((SELECT count(*) FROM v), 0)) AS BIGINT)
          AS conv_bp
 FROM n ORDER BY stage_idx""",
+        # weekly cohorts: Monday-start date_trunc('week') on both
+        # sides; a NULL user never survives the self-join
+        "retention_cohorts_events": """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cw,
+             CAST(date_diff('week', f.cw,
+                            date_trunc('week', e.ts)) AS BIGINT) AS off
+      FROM events e JOIN f USING (user_id)
+      WHERE e.ts IS NOT NULL)
+SELECT CAST(cw AS TIMESTAMP) AS cohort_week, off AS offset_weeks,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cw, off ORDER BY cohort_week, offset_weeks""",
         # Tukey fences from exact discrete quartiles — the bound
         # arithmetic is the same two IEEE doubles on both sides
         "outlier_events_iqr": """

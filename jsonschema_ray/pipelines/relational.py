@@ -1574,6 +1574,54 @@ def funnel_events(sf_dir: str):
     return out
 
 
+def retention_cohorts_events(sf_dir: str):
+    """Weekly retention-cohort matrix (the engagement statistic next to
+    the funnel): cohort = the Monday-start week of a user's FIRST
+    event; for each (cohort_week, offset_weeks) count the distinct
+    users active in that week. ONE coarse user-hash partition — users
+    never split, so per-partition distinct-user counts are additive
+    and only (cohorts × offsets) tiny partial rows reach the driver.
+    Null ts rows are invisible on both engines (WHERE ts IS NOT NULL);
+    a null user_id never survives the SQL self-join, so it is excluded
+    up front. Week truncation is Monday-start to match DuckDB
+    date_trunc('week'). ORACLED."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["ts"].notna() & df["user_id"].notna()]
+        if df.empty:
+            return pd.DataFrame({
+                "cw": pd.Series([], dtype="int64"),
+                "off": pd.Series([], dtype="int64"),
+                "n_part": pd.Series([], dtype="int64")})
+        day = (df["ts"].astype("int64") // 86_400_000_000).to_numpy()
+        week = day - (day + 3) % 7          # Monday-start (ISO) weeks
+        u = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "week": week})
+        cw = u.groupby("user_id")["week"].transform("min")
+        u["cw"] = cw
+        u["off"] = (u["week"] - cw) // 7
+        cells = u.drop_duplicates(["user_id", "cw", "off"]) \
+            .groupby(["cw", "off"]).size()
+        out = cells.reset_index(name="n_part")
+        return out.astype({"cw": "int64", "off": "int64",
+                           "n_part": "int64"})
+
+    parts = partitioned_group_apply(ds, ["user_id"], fn).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "cohort_week": pd.Series([], dtype="datetime64[us]"),
+            "offset_weeks": pd.Series([], dtype="int64"),
+            "n_users": pd.Series([], dtype="int64")})
+    agg = parts.groupby(["cw", "off"])["n_part"].sum().reset_index()
+    agg = agg.sort_values(["cw", "off"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "cohort_week": pd.to_datetime(agg["cw"], unit="D"),
+        "offset_weeks": agg["off"].astype(np.int64),
+        "n_users": agg["n_part"].astype(np.int64)})
+
+
 def export_shards_documents(sf_dir: str):
     """Sharded training-data export: write documents into 16
     deterministic key-hash shards (the resumable output layout —

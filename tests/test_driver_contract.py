@@ -89,6 +89,7 @@ def oracle_pairs():
     "label_centroids_embeddings", "embedding_covariance",
     "lineitem_correlation", "outlier_events_iqr",
     "value_hour_corr_by_type", "funnel_events",
+    "retention_cohorts_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
@@ -497,3 +498,60 @@ def test_pca_ann_survives_dirty_rows(tmp_path):
     out = ann_pca_topk_embeddings(str(tmp_path))
     assert len(out) == 50
     assert 17 not in set(out["vec_id"])   # dirty row never scored
+
+
+def test_retention_cohorts_crafted(tmp_path):
+    """Multi-cohort drop-off with week-boundary edges (the driver
+    testdata is one cohort, everyone retained): users first seen in
+    different weeks, a Sunday→Monday boundary pair (same calendar
+    proximity, different ISO weeks), gaps (offset 2 without offset 1),
+    a null-ts row (invisible), and a null user (never in the matrix) —
+    canon equality vs DuckDB."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from jsonschema_ray.pipelines.relational import retention_cohorts_events
+
+    def TS(s):
+        return int(pd.Timestamp(s).value // 1000)
+
+    rows = [
+        (1, TS("2024-01-01 10:00")),   # Monday: cohort W0
+        (1, TS("2024-01-07 23:00")),   # Sunday same ISO week → off 0
+        (1, TS("2024-01-08 00:30")),   # next Monday → off 1
+        (1, TS("2024-01-22 12:00")),   # off 3 (gap at 2)
+        (2, TS("2024-01-10 09:00")),   # cohort W1 (mid-week first seen)
+        (2, TS("2024-01-17 09:00")),   # off 1
+        (3, TS("2024-01-01 00:00")),   # cohort W0, never returns
+        (4, None),                     # null ts: invisible
+        (None, TS("2024-01-02 08:00")),  # null user: never in matrix
+    ]
+    tb = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["view"] * len(rows)),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows))})
+    pq.write_table(tb, os.path.join(tmp_path, "events.parquet"))
+    got = retention_cohorts_events(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    exp = con.execute(E.oracle_sql()["retention_cohorts_events"]).df()
+    assert canon(got) == canon(exp), (got, exp)
+    # shape: W0 has users {1,3} at off 0, {1} at 1 and 3; W1 (user 2)
+    # at off 0 and 1
+    key = got.set_index([got["cohort_week"].dt.strftime("%Y-%m-%d"),
+                         "offset_weeks"])["n_users"]
+    assert key.loc[("2024-01-01", 0)] == 2
+    assert key.loc[("2024-01-01", 1)] == 1
+    assert key.loc[("2024-01-01", 3)] == 1
+    assert key.loc[("2024-01-08", 0)] == 1
+    assert key.loc[("2024-01-08", 1)] == 1
+    assert len(got) == 5
