@@ -97,11 +97,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": R.funnel_events,                # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
-        "image_quality_synth": R.image_quality_synth,  # rows-only (pixels)
         "incremental_minhash_documents":
             R.incremental_minhash_documents,              # rows-only (LSH)
         "incremental_embedding_documents":
             R.incremental_embedding_documents,            # rows-only (LSH)
+        # (pinned by its own crafted-pixel pytest; holds past the
+        # boundary so both incrementals stay inside the window)
+        "image_quality_synth": R.image_quality_synth,  # rows-only (pixels)
         # (export_shards' staged-commit layout is pinned by its own
         # pytest manifest cross-checks; cheapest to hold past the
         # boundary)

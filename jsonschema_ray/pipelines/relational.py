@@ -1527,33 +1527,46 @@ def funnel_events(sf_dir: str):
     ds = _read(sf_dir, "events",
                columns=["user_id", "ts", "event_type"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pa.Table:
+        # Arrow in, pandas only AFTER null users are split off: Ray's
+        # pandas conversion of null-bearing int64 user_id coerces to
+        # float64 (ids past 2^53 merge — the partitioned_group_apply
+        # docstring trap). SQL's NULL-user group enters stage 1 (GROUP
+        # BY keeps it; all null keys hash to one partition so it
+        # counts once) but can never convert (JOIN on NULL never
+        # matches) — so it contributes a constant +1 to stage 1 when
+        # any null-user view exists, and nothing downstream.
+        uid = t.column("user_id").combine_chunks()
+        et = t.column("event_type").combine_chunks()
+        null_view = bool(pc.any(pc.and_(
+            pc.invert(uid.is_valid()),
+            pc.equal(et, "view"))).as_py() or False)
+        t2 = t.filter(uid.is_valid())
+        df = pd.DataFrame({
+            "user_id": t2.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "ts": t2.column("ts").to_numpy(zero_copy_only=False),
+            "event_type": t2.column("event_type").to_numpy(
+                zero_copy_only=False)})
         # merge, not DataFrame.join(on=..., how="inner"): join can hand
         # back a frame whose INDEX is the key while the column remains,
         # making the next groupby("user_id") ambiguous
-        # dropna=False: SQL GROUP BY keeps the NULL-user group in stage
-        # 1 (all null keys hash to one partition, so it counts once).
-        # The join sides EXCLUDE null users explicitly: SQL JOIN on
-        # NULL never matches, but pandas merge treats NaN == NaN as a
-        # match — without the filter the NULL group would convert here
-        # and not in the oracle
-        uid_ok = df["user_id"].notna()
-        v = df.loc[df["event_type"].eq("view")] \
-            .groupby("user_id", dropna=False)["ts"].min()
-        c = df.loc[df["event_type"].eq("click") & uid_ok,
-                   ["user_id", "ts"]] \
+        v = df.loc[df["event_type"] == "view"] \
+            .groupby("user_id")["ts"].min()
+        c = df.loc[df["event_type"] == "click", ["user_id", "ts"]] \
             .merge(v.rename("t1").reset_index(), on="user_id")
         c = c.loc[c["ts"] > c["t1"]].groupby("user_id")["ts"].min()
-        p = df.loc[df["event_type"].eq("purchase") & uid_ok,
-                   ["user_id", "ts"]] \
+        p = df.loc[df["event_type"] == "purchase", ["user_id", "ts"]] \
             .merge(c.rename("t2").reset_index(), on="user_id")
         p = p.loc[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
-        return pd.DataFrame({
-            "stage_idx": np.array([1, 2, 3], dtype=np.int64),
-            "n_part": np.array([len(v), len(c), len(p)],
-                               dtype=np.int64)})
+        return pa.table({
+            "stage_idx": pa.array([1, 2, 3], type=pa.int64()),
+            "n_part": pa.array(
+                [len(v) + int(null_view), len(c), len(p)],
+                type=pa.int64())})
 
-    parts = partitioned_group_apply(ds, ["user_id"], fn).to_pandas()
+    parts = partitioned_group_apply(ds, ["user_id"], fn,
+                                    batch_format="pyarrow").to_pandas()
     if parts.empty:
         # zero-row events: Ray hands back a column-less frame; the
         # oracle still answers 3 stage rows with n_users 0
@@ -1588,27 +1601,40 @@ def retention_cohorts_events(sf_dir: str):
     from ..util import partitioned_group_apply
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.loc[df["ts"].notna() & df["user_id"].notna()]
-        if df.empty:
-            return pd.DataFrame({
-                "cw": pd.Series([], dtype="int64"),
-                "off": pd.Series([], dtype="int64"),
-                "n_part": pd.Series([], dtype="int64")})
-        day = (df["ts"].astype("int64") // 86_400_000_000).to_numpy()
+    def fn(t: pa.Table) -> pa.Table:
+        # Arrow in, pandas only AFTER nulls are filtered: Ray's pandas
+        # conversion of a null-bearing int64 user_id coerces to
+        # float64, merging distinct ids past 2^53 (the
+        # partitioned_group_apply docstring trap) — and distinctness
+        # is this query's core output
+        keep = pc.and_(t.column("ts").combine_chunks().is_valid(),
+                       t.column("user_id").combine_chunks().is_valid())
+        t = t.filter(keep)
+        empty = pa.table({"cw": pa.array([], type=pa.int64()),
+                          "off": pa.array([], type=pa.int64()),
+                          "n_part": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        day = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000
         week = day - (day + 3) % 7          # Monday-start (ISO) weeks
-        u = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
-                          "week": week})
+        u = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "week": week})
         cw = u.groupby("user_id")["week"].transform("min")
         u["cw"] = cw
         u["off"] = (u["week"] - cw) // 7
-        cells = u.drop_duplicates(["user_id", "cw", "off"]) \
+        # cw is functionally dependent on user_id: (user, off) suffices
+        cells = u.drop_duplicates(["user_id", "off"]) \
             .groupby(["cw", "off"]).size()
         out = cells.reset_index(name="n_part")
-        return out.astype({"cw": "int64", "off": "int64",
-                           "n_part": "int64"})
+        return pa.Table.from_pandas(
+            out.astype({"cw": "int64", "off": "int64",
+                        "n_part": "int64"}), preserve_index=False)
 
-    parts = partitioned_group_apply(ds, ["user_id"], fn).to_pandas()
+    parts = partitioned_group_apply(ds, ["user_id"], fn,
+                                    batch_format="pyarrow").to_pandas()
     if parts.empty:
         return pd.DataFrame({
             "cohort_week": pd.Series([], dtype="datetime64[us]"),
@@ -1616,8 +1642,12 @@ def retention_cohorts_events(sf_dir: str):
             "n_users": pd.Series([], dtype="int64")})
     agg = parts.groupby(["cw", "off"])["n_part"].sum().reset_index()
     agg = agg.sort_values(["cw", "off"]).reset_index(drop=True)
+    # epoch-day ints → datetime64[us] directly: unit='D' ns conversion
+    # overflows past 2262 (inside the timestamp[us] input domain), and
+    # the empty path above already declares [us]
+    micros = agg["cw"].to_numpy(dtype=np.int64) * 86_400_000_000
     return pd.DataFrame({
-        "cohort_week": pd.to_datetime(agg["cw"], unit="D"),
+        "cohort_week": pd.Series(micros.astype("datetime64[us]")),
         "offset_weeks": agg["off"].astype(np.int64),
         "n_users": agg["n_part"].astype(np.int64)})
 
