@@ -2777,3 +2777,324 @@ def incremental_embedding_documents(sf_dir: str):
             emb.filter(expr=f"vec_id < {c80}"), d))
     return incremental_embedding_neardup(
         emb.filter(expr=f"vec_id >= {c60}"), idx_dir, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# multi-way join pipelines (TPC-H Q3/Q5 shapes) + sketch-verified heavy
+# hitters + RANGE-frame burst window
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (ORACLED): top-10 orders by unshipped revenue for
+    one market segment — segment-filtered customers broadcast-SEMI-join
+    into date-filtered orders, the lineitem stream (date filter + revenue
+    projection applied per batch before anything joins) meets the
+    qualified orders through the size-chosen join plan, per-order revenue
+    via the combiner groupby, and the top-10 is a per-block partial
+    top-k merged on the driver — the per-order group set never gathers.
+    Revenue sums hold ≤7 addends per order, so the 2-dp rounding is
+    sum-order-proof on both engines."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    cut = dt.datetime(1998, 6, 1)
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cut))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    qorders = equi_join(orders, cust, on="o_custkey",
+                        right_on="c_custkey", how="semi") \
+        .select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cut)))
+        r = pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": r})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]).map_batches(
+        rev, batch_format="pyarrow", zero_copy_batch=True)
+    q3_empty = pd.DataFrame({
+        "l_orderkey": pd.Series([], dtype="int64"),
+        "revenue": pd.Series([], dtype="float64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_orderpriority": pd.Series([], dtype="object")})
+    try:
+        joined = equi_join(li, qorders, on="l_orderkey",
+                           right_on="o_orderkey") \
+            .select_columns(["l_orderkey", "revenue", "o_orderdate",
+                             "o_orderpriority"])
+    except ValueError as ex:
+        # no qualifying orders at all: Ray drops the schema of the
+        # all-empty semi-join output and equi_join refuses inner on a
+        # schema-less right — the whole result is the typed empty
+        # top-10 (a right_schema hint would instead MATERIALIZE the
+        # corpus-sized qualified-orders stream on every healthy run)
+        if "right side is empty" in str(ex):
+            return q3_empty
+        raise
+    per_order = grouped_agg(joined,
+                            ["l_orderkey", "o_orderdate",
+                             "o_orderpriority"],
+                            {"revenue": "revenue"}, count_alias="_n")
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["revenue"] = df["revenue"].round(2)
+        df = df.sort_values(["revenue", "l_orderkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    surv = per_order.map_batches(local_topk, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    if surv.empty or "revenue" not in surv.columns:
+        # all-empty pipeline: Ray drops the schema — typed empty top-10
+        return q3_empty
+    top = surv.sort_values(["revenue", "l_orderkey"],
+                           ascending=[False, True],
+                           kind="mergesort").head(10) \
+        .reset_index(drop=True)
+    return top[["l_orderkey", "revenue", "o_orderdate",
+                "o_orderpriority"]]
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5 shape (ORACLED): per-nation revenue where the customer
+    and the supplier share the nation, restricted to one region — the
+    six-table join with a CROSS-side equality predicate
+    (c_nationkey = s_nationkey) that no chained key join expresses.
+    region⋈nation prune driver-side (≤ dozens of rows), customers AND
+    suppliers are filtered to the region's nation keys per batch BEFORE
+    anything joins (the classic pushed-down plan), lineitem streams
+    through orderkey then suppkey joins with only
+    (orderkey, c_nationkey | suppkey, revenue) riding them, the cross
+    predicate filters per batch, and only per-nation partials shuffle."""
+    from ..joins import equi_join
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nat = nat[nat["r_name"] == region]
+    in_region = sorted(int(k) for k in nat["n_nationkey"])
+
+    def prune(col):
+        def fn(b: pa.Table) -> pa.Table:
+            vs = pa.array(in_region, type=b.schema.field(col).type)
+            return b.filter(pc.is_in(b[col], value_set=vs))
+        return fn
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        prune("c_nationkey"), batch_format="pyarrow",
+        zero_copy_batch=True)
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).map_batches(
+        prune("s_nationkey"), batch_format="pyarrow",
+        zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "revenue": r})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]).map_batches(
+        rev, batch_format="pyarrow", zero_copy_batch=True)
+    q5_empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                             "revenue": pd.Series([], dtype="float64")})
+    try:
+        oc = equi_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey") \
+            .select_columns(["o_orderkey", "c_nationkey"])
+        lioc = equi_join(li, oc, on="l_orderkey",
+                         right_on="o_orderkey") \
+            .select_columns(["l_suppkey", "c_nationkey", "revenue"])
+        los = equi_join(lioc, supp, on="l_suppkey",
+                        right_on="s_suppkey").map_batches(
+            lambda b: b.filter(pc.equal(b["c_nationkey"],
+                                        b["s_nationkey"])),
+            batch_format="pyarrow", zero_copy_batch=True)
+    except ValueError as ex:
+        # no in-region customers/suppliers (or an empty dimension): Ray
+        # drops the all-empty side's schema and equi_join refuses inner
+        # — the whole result is the typed empty report (see the q3 note
+        # on why a right_schema hint is wrong for healthy-run scale)
+        if "right side is empty" in str(ex):
+            return q5_empty
+        raise
+    per_nat = grouped_agg(los, ["s_nationkey"], {"revenue": "revenue"},
+                          count_alias="_n").to_pandas()
+    if per_nat.empty or "s_nationkey" not in per_nat.columns:
+        return q5_empty
+    out = per_nat.merge(nat[["n_nationkey", "n_name"]],
+                        left_on="s_nationkey", right_on="n_nationkey")
+    out["revenue"] = out["revenue"].round(2)
+    return out[["n_name", "revenue"]] \
+        .sort_values(["revenue", "n_name"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+def _range_frame_counts(ts: np.ndarray, seg_starts: np.ndarray,
+                        horizon: int, force_loop: bool = False
+                        ) -> np.ndarray:
+    """Per-row count of same-segment rows with value in
+    ``[ts_i - horizon, ts_i]``, for ``ts`` int64 sorted ascending WITHIN
+    each segment (segments contiguous, starting at ``seg_starts``).
+    Vectorized via a band-shifted key — each segment's values are offset
+    into a disjoint int64 band wider than the global span + horizon, so
+    the array becomes GLOBALLY sorted and two searchsorted calls answer
+    every segment's range queries at once without cross-segment bleed
+    (the nearest foreign key is > horizon away by construction). Falls
+    back to a per-segment loop when the banding would overflow int64."""
+    n = ts.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    nseg = seg_starts.shape[0]
+    span = int(ts.max()) - int(ts.min()) + int(horizon) + 1
+    if not force_loop and (nseg + 1) * span < (1 << 62):
+        seg = np.zeros(n, dtype=np.int64)
+        seg[seg_starts[1:]] = 1
+        seg = np.cumsum(seg)
+        key = (ts - ts.min()) + seg * span
+        lo = np.searchsorted(key, key - horizon, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        return (hi - lo).astype(np.int64)
+    out = np.empty(n, dtype=np.int64)
+    ends = np.append(seg_starts[1:], n)
+    for s, e in zip(seg_starts, ends):
+        w = ts[s:e]
+        out[s:e] = (np.searchsorted(w, w, side="right")
+                    - np.searchsorted(w, w - horizon, side="left"))
+    return out
+
+
+def burst_rate_events(sf_dir: str, window_min: int = 60):
+    """Per-user peak request rate (ORACLED): the maximum number of a
+    user's events inside any sliding ``window_min``-minute RANGE window
+    ``[t - w, t]`` anchored at an event — the rate-limit / bot-screen
+    statistic, and the RANGE-frame window shape rolling_mean's ROWS
+    frame doesn't cover (peers at equal ts all count, per SQL RANGE
+    CURRENT ROW semantics). Null users and null timestamps are excluded
+    up front on BOTH engines (the contract pins the well-defined
+    subset). ONE coarse user-hash partition; inside each partition two
+    vectorized searchsorted calls over a band-shifted key answer every
+    user's frame counts at once (``_range_frame_counts``), then
+    ``maximum.reduceat`` takes the per-user max — only (user, max) rows
+    leave the partitions."""
+    from ..util import partitioned_group_apply
+    horizon = window_min * 60_000_000  # interval in microsecond ticks
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        lambda b: b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                                   pc.is_valid(b["ts"]))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "max_burst": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        cnt = _range_frame_counts(ts, starts, horizon)
+        return pd.DataFrame({
+            "user_id": uid[starts].astype(np.int64),
+            "max_burst": np.maximum.reduceat(cnt, starts)
+            .astype(np.int64)})
+
+    out = partitioned_group_apply(ds, ["user_id"], fn).to_pandas()
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "max_burst": pd.Series([], dtype="int64")})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def heavy_hitters_cms_events(sf_dir: str, threshold: int = 80):
+    """Heavy-hitter users by count-min sketch + exact verify (ORACLED):
+    exactly SQL's ``GROUP BY user_id HAVING count(*) >= T`` without
+    ever shuffling or gathering the full per-user count table. Pass 1
+    streams one fixed-size (4×8192 uint64) CMS partial per batch,
+    merged on the driver (the sketch is LINEAR — a tree reduce at
+    cluster scale). Pass 2 re-streams the column against the broadcast
+    merged sketch and keeps each batch's DISTINCT ids whose estimate
+    reaches T: CMS only ever OVER-counts, so every true heavy hitter
+    survives — no false negatives. Pass 3 trims the over-counted light
+    ids with an exact candidate-only count (broadcast is_in prune →
+    combiner partials → candidate-sized groupby). Null users are
+    excluded up front on both engines."""
+    import ray
+
+    from ..sketches import CountMinSketch
+    from ..util import worker_cached
+    W, D = 8192, 4
+    ds = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b["user_id"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64")})
+
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        s = CountMinSketch(W, D).add_column(
+            b["user_id"].combine_chunks())
+        return pa.table({"sk": pa.array([s.to_bytes()],
+                                        type=pa.binary())})
+
+    merged = CountMinSketch(W, D)
+    for t in ds.map_batches(sketch_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for bs in t["sk"].to_pylist():
+            merged.merge(CountMinSketch.from_bytes(bs, W, D))
+    ref = ray.put(merged.to_bytes())
+
+    def candidates(b: pa.Table) -> pa.Table:
+        sk = worker_cached(
+            ("cms", ref.hex()),
+            lambda: CountMinSketch.from_bytes(ray.get(ref), W, D))
+        ids = pc.unique(b["user_id"].combine_chunks())
+        keep = ids.filter(pa.array(
+            sk.estimate(ids) >= np.uint64(threshold)))
+        return pa.table({"user_id": keep})
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if cand.empty or "user_id" not in cand.columns:
+        return empty
+    cand_ids = np.unique(cand["user_id"].to_numpy())
+    cref = ray.put(cand_ids)
+
+    def prune(b: pa.Table) -> pa.Table:
+        cids = worker_cached(("cms_cand", cref.hex()),
+                             lambda: ray.get(cref))
+        vs = pa.array(cids, type=b.schema.field("user_id").type)
+        return b.filter(pc.is_in(b["user_id"], value_set=vs))
+
+    counts = grouped_agg(
+        ds.map_batches(prune, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], {}, count_alias="n").to_pandas()
+    if counts.empty or "n" not in counts.columns:
+        return empty
+    out = counts[counts["n"] >= threshold].copy()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

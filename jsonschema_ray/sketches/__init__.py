@@ -1,5 +1,6 @@
+from .cms import CountMinSketch
+from .hashing import hash64_array
 from .hll import HyperLogLog
 from .tdigest import TDigest
-from .hashing import hash64_array
 
-__all__ = ["HyperLogLog", "TDigest", "hash64_array"]
+__all__ = ["CountMinSketch", "HyperLogLog", "TDigest", "hash64_array"]

@@ -90,6 +90,8 @@ def oracle_pairs():
     "lineitem_correlation", "outlier_events_iqr",
     "value_hour_corr_by_type", "funnel_events",
     "retention_cohorts_events",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "burst_rate_events", "heavy_hitters_cms_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
