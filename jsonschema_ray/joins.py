@@ -484,8 +484,8 @@ def equi_join(left, right, on, how: str = "inner", right_on=None,
                                     zero_copy_batch=True)
         right = rt
     ray_type = {"inner": "inner", "left_outer": "left_outer",
-                "right_outer": "right_outer",
-                "full_outer": "full_outer"}.get(how)
+                "right_outer": "right_outer", "full_outer": "full_outer",
+                "semi": "left_semi", "anti": "left_anti"}.get(how)
     if ray_type is None:
         raise ValueError(f"equi_join: shuffle path does not support "
                          f"how={how!r} above the broadcast cap")
@@ -540,6 +540,14 @@ def _empty_side_join(lds, rds, lschema: pa.Schema, rschema: pa.Schema,
     follows Ray's convention: left columns, then right non-key columns
     (collisions suffixed); key values coalesce into the left key name."""
     import ray.data as rd
+    if how in ("semi", "anti"):
+        # output carries LEFT columns only — no payload merge, no
+        # suffix/dupe concerns
+        if l_empty:
+            return rd.from_arrow(_typed_empty(lschema))
+        # r_empty: nothing can match — semi keeps none, anti keeps all
+        return lds if how == "anti" else rd.from_arrow(
+            _typed_empty(lschema))
     lnames = {f.name for f in lschema}
     rpay = [f for f in rschema if f.name not in set(right_on)]
 

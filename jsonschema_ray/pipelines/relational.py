@@ -3028,25 +3028,40 @@ def burst_rate_events(sf_dir: str, window_min: int = 60):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-def heavy_hitters_cms_events(sf_dir: str, threshold: int = 80):
+def heavy_hitters_cms_events(sf_dir: str, threshold: int = 80,
+                             gather_cap_bytes: int = 64 << 20):
     """Heavy-hitter users by count-min sketch + exact verify (ORACLED):
-    exactly SQL's ``GROUP BY user_id HAVING count(*) >= T`` without
-    ever shuffling or gathering the full per-user count table. Pass 1
-    streams one fixed-size (4×8192 uint64) CMS partial per batch,
-    merged on the driver (the sketch is LINEAR — a tree reduce at
-    cluster scale). Pass 2 re-streams the column against the broadcast
+    exactly SQL's ``GROUP BY user_id HAVING count(*) >= T``. Pass 1
+    streams one fixed-size (4×W uint64) CMS partial per batch, merged
+    on the driver (the sketch is LINEAR — a tree reduce at cluster
+    scale); W is sized to the stream's metadata row count so the
+    per-cell collision mass stays well under the threshold (a fixed
+    width saturates once N/W approaches T and the screen passes
+    everyone). Pass 2 re-streams the column against the broadcast
     merged sketch and keeps each batch's DISTINCT ids whose estimate
     reaches T: CMS only ever OVER-counts, so every true heavy hitter
     survives — no false negatives. Pass 3 trims the over-counted light
     ids with an exact candidate-only count (broadcast is_in prune →
-    combiner partials → candidate-sized groupby). Null users are
-    excluded up front on both engines."""
+    combiner partials → candidate-sized groupby). The candidate gather
+    is CAP-GATED by measured size: a saturated screen (threshold tiny
+    relative to the stream — at that point the "heavy hitters" are
+    most of the key set and no sketch can help) degrades to the exact
+    distributed count over ALL users instead of a corpus-sized driver
+    gather — degrade, never die. Only the survivors (the answer)
+    ever land on the driver. Null users are excluded up front on both
+    engines."""
     import ray
 
     from ..sketches import CountMinSketch
     from ..util import worker_cached
+    raw = _read(sf_dir, "events", columns=["user_id"])
+    n_hint = raw.count()       # parquet metadata, not a scan
+    # per-cell collision mass n/W must sit well under T for the screen
+    # to prune; cap W so a per-batch partial stays ~2 MB
     W, D = 8192, 4
-    ds = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+    while W < (1 << 16) and n_hint * 8 > W * max(int(threshold), 1):
+        W <<= 1
+    ds = raw.map_batches(
         lambda b: b.filter(pc.is_valid(b["user_id"])),
         batch_format="pyarrow", zero_copy_batch=True)
     empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
@@ -3075,26 +3090,37 @@ def heavy_hitters_cms_events(sf_dir: str, threshold: int = 80):
             sk.estimate(ids) >= np.uint64(threshold)))
         return pa.table({"user_id": keep})
 
-    cand = ds.map_batches(candidates, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
-    if cand.empty or "user_id" not in cand.columns:
-        return empty
-    cand_ids = np.unique(cand["user_id"].to_numpy())
-    cref = ray.put(cand_ids)
+    cand_ds = ds.map_batches(candidates, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    stream = ds
+    if cand_ds.size_bytes() <= gather_cap_bytes:
+        cand = cand_ds.to_pandas()
+        if cand.empty or "user_id" not in cand.columns:
+            return empty
+        cand_ids = np.unique(cand["user_id"].to_numpy())
+        cref = ray.put(cand_ids)
 
-    def prune(b: pa.Table) -> pa.Table:
-        cids = worker_cached(("cms_cand", cref.hex()),
-                             lambda: ray.get(cref))
-        vs = pa.array(cids, type=b.schema.field("user_id").type)
-        return b.filter(pc.is_in(b["user_id"], value_set=vs))
+        def prune(b: pa.Table) -> pa.Table:
+            t = b.schema.field("user_id").type
+            vs = worker_cached(
+                # cache the CONVERTED Arrow value_set, not the raw
+                # numpy payload — pa.array + is_in's hash-set build
+                # must not re-run per batch
+                ("cms_cand", cref.hex(), str(t)),
+                lambda: pa.array(ray.get(cref), type=t))
+            return b.filter(pc.is_in(b["user_id"], value_set=vs))
 
-    counts = grouped_agg(
-        ds.map_batches(prune, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        ["user_id"], {}, count_alias="n").to_pandas()
-    if counts.empty or "n" not in counts.columns:
+        stream = ds.map_batches(prune, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    counts = grouped_agg(stream, ["user_id"], {}, count_alias="n")
+    surv = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b["n"], pa.scalar(int(threshold), type=pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if surv.empty or "n" not in surv.columns:
         return empty
-    out = counts[counts["n"] >= threshold].copy()
+    out = surv.copy()
     out["user_id"] = out["user_id"].astype("int64")
     out["n"] = out["n"].astype("int64")
-    return out.sort_values("user_id").reset_index(drop=True)
+    return out[["user_id", "n"]].sort_values("user_id") \
+        .reset_index(drop=True)

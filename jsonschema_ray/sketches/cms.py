@@ -31,9 +31,13 @@ class CountMinSketch:
     """depth x width uint64 counter matrix with conservative defaults.
 
     Error bound: estimate <= true + eps * stream_total with probability
-    1 - delta, for eps = e / width and delta = exp(-depth). The default
-    (width 8192, depth 4) bounds over-count by ~0.033% of the stream
-    per item — far below any heavy-hitter threshold worth setting.
+    1 - delta, for eps = e / width and delta = exp(-depth). The bound
+    scales with the STREAM, so the screen is selective only when the
+    threshold does too (phi-heavy-hitters, T = phi*N): the default
+    width 8192 over-counts by ~0.033% of the stream per item. Against
+    a FIXED absolute threshold T, size width ~ e*N/T or the sketch
+    saturates and passes everything (heavy_hitters_cms_events sizes W
+    from the stream's metadata count and cap-gates the fallout).
     """
 
     def __init__(self, width: int = 8192, depth: int = 4,

@@ -44,7 +44,7 @@ def test_equi_join_matches_duckdb(how, duck):
 
     rng = np.random.default_rng(hash(how) % (2 ** 31))
     shuffle_supported = how in ("inner", "left_outer", "right_outer",
-                                "full_outer")
+                                "full_outer", "semi", "anti")
     for trial in range(6):
         nl = int(rng.integers(0, 40))
         nr = int(rng.integers(0, 40))

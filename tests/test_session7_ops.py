@@ -235,6 +235,31 @@ def test_heavy_hitters_crafted_threshold_boundary(tmp_path):
     assert canon(got) == canon(exp)
 
 
+def test_heavy_hitters_saturated_screen_degrades_exactly(tmp_path):
+    """gather_cap_bytes=0 forces the saturated-screen fallback (the
+    sketch can't prune, e.g. a tiny threshold over a huge stream): the
+    exact distributed count over ALL users must answer identically to
+    the candidate-pruned plan — degrade, never die, never a
+    corpus-sized driver gather."""
+    from jsonschema_ray.pipelines.relational import \
+        heavy_hitters_cms_events
+
+    uids = [7] * 95 + [8] * 80 + [9] * 79 + list(range(100, 150))
+    tb = pa.table({
+        "event_id": pa.array(range(len(uids)), type=pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000] * len(uids),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array(uids, type=pa.int64()),
+        "event_type": pa.array(["view"] * len(uids)),
+        "value": pa.array([1.0] * len(uids), type=pa.float64()),
+        "props": pa.array(["{}"] * len(uids))})
+    pq.write_table(tb, os.path.join(tmp_path, "events.parquet"))
+    pruned = heavy_hitters_cms_events(str(tmp_path))
+    exact = heavy_hitters_cms_events(str(tmp_path), gather_cap_bytes=0)
+    pd.testing.assert_frame_equal(pruned, exact)
+    assert exact["user_id"].tolist() == [7, 8]
+
+
 def test_heavy_hitters_empty_and_no_candidates(tmp_path):
     from jsonschema_ray.pipelines.relational import \
         heavy_hitters_cms_events
