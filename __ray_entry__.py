@@ -82,11 +82,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts_documents": R.bigram_counts_documents,  # oracled
         "nation_balance_outer": R.nation_balance_outer,  # oracled
         "embedding_covariance": R.embedding_covariance,  # oracled
-        "pca_embeddings": R.pca_embeddings,  # rows-only (eigensolver)
-        "embedding_outliers_mahalanobis":
-            R.embedding_outliers_mahalanobis,  # rows-only (matrix inverse)
-        "ann_pca_topk_embeddings":
-            R.ann_pca_topk_embeddings,  # rows-only (eigenbasis)
         "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
@@ -96,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": R.q5_local_supplier_volume,  # oracled
         "burst_rate_events": R.burst_rate_events,        # oracled
         "heavy_hitters_cms_events": R.heavy_hitters_cms_events,  # oracled
+        "q4_order_priority": R.q4_order_priority,        # oracled (semi)
+        "stale_parts_anti": R.stale_parts_anti,          # oracled (anti)
+        "q10_returned_items": R.q10_returned_items,      # oracled
         # --- driver-lens block 3: rows-only queries never driver-checked
         "incremental_minhash_documents":
             R.incremental_minhash_documents,              # rows-only (LSH)
@@ -104,6 +102,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
+        # (each pinned by its own pytest property net: eigensolver vs
+        # numpy, planted Mahalanobis outliers, planted rank-4 recall)
+        "pca_embeddings": R.pca_embeddings,  # rows-only (eigensolver)
+        "embedding_outliers_mahalanobis":
+            R.embedding_outliers_mahalanobis,  # rows-only (matrix inverse)
+        "ann_pca_topk_embeddings":
+            R.ann_pca_topk_embeddings,  # rows-only (eigenbasis)
         # (pinned by its own crafted-pixel pytest)
         "image_quality_synth": R.image_quality_synth,  # rows-only (pixels)
         # (export_shards' staged-commit layout is pinned by its own
@@ -456,6 +461,34 @@ SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst FROM (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n
 FROM events WHERE user_id IS NOT NULL
 GROUP BY user_id HAVING count(*) >= 80 ORDER BY user_id""",
+        "q4_order_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "stale_parts_anti": """
+SELECT p_partkey, p_brand FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate >= TIMESTAMP '2001-01-01')
+ORDER BY p_partkey""",
+        "q10_returned_items": """
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+  SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         c_acctbal, n_name
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  LEFT JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+    AND o_orderdate < TIMESTAMP '1996-10-01'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+) ORDER BY revenue DESC, c_custkey LIMIT 20""",
         # Tukey fences from exact discrete quartiles — the bound
         # arithmetic is the same two IEEE doubles on both sides
         "outlier_events_iqr": """

@@ -3124,3 +3124,159 @@ def heavy_hitters_cms_events(sf_dir: str, threshold: int = 80,
     out["n"] = out["n"].astype("int64")
     return out[["user_id", "n"]].sort_values("user_id") \
         .reset_index(drop=True)
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (ORACLED): order count by priority for a 3-month
+    window, keeping only orders with at least one returned lineitem —
+    SQL's correlated EXISTS as a distributed SEMI join. The probe side
+    is date-pruned per batch at the read; the build side carries ONLY
+    per-batch-distinct returned orderkeys (the semi join never needs a
+    key twice, so the dedup happens before anything ships); the result
+    is the 5-row grouped count — nothing corpus-sized ever gathers.
+    Mirrors the reference's EXISTS-style applicator gating (contains /
+    if-then-else over row sets) at table granularity."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 4, 1)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less(b["o_orderdate"], pa.scalar(hi))))
+        .select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    returned = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_returnflag"]).map_batches(
+        lambda b: pa.table({"l_orderkey": pc.unique(
+            b.filter(pc.equal(b["l_returnflag"], "R"))["l_orderkey"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    qualified = equi_join(orders, returned, on="o_orderkey",
+                          right_on="l_orderkey", how="semi")
+    out = grouped_agg(qualified, ["o_orderpriority"], {},
+                      count_alias="order_count").to_pandas()
+    if out.empty or "o_orderpriority" not in out.columns:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "order_count": pd.Series([], dtype="int64")})
+    out["order_count"] = out["order_count"].astype("int64")
+    return out[["o_orderpriority", "order_count"]] \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def stale_parts_anti(sf_dir: str):
+    """Parts with NO shipment on or after a cutoff (ORACLED): SQL's
+    NOT EXISTS with a correlated predicate as a distributed ANTI join.
+    The build side is date-filtered AND per-batch-distinct before the
+    join (an anti join only needs each key once); the part side streams
+    two columns. Inventory-staleness shape: at 100 TB the right side is
+    the recently-shipped key set — small relative to the catalog — so
+    the size-chosen plan broadcasts it; above the cap it rides Ray's
+    left_anti shuffle."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    cut = dt.datetime(2001, 1, 1)
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    shipped = _read(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_shipdate"]).map_batches(
+        lambda b: pa.table({"l_partkey": pc.unique(
+            b.filter(pc.greater_equal(b["l_shipdate"],
+                                      pa.scalar(cut)))["l_partkey"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = equi_join(part, shipped, on="p_partkey",
+                    right_on="l_partkey", how="anti").to_pandas()
+    if out.empty or "p_partkey" not in out.columns:
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "p_brand": pd.Series([], dtype="object")})
+    return out[["p_partkey", "p_brand"]].sort_values("p_partkey") \
+        .reset_index(drop=True)
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape (ORACLED): top-20 customers by revenue of
+    RETURNED items in a 3-month order window. lineitem is
+    returnflag-pruned and revenue-projected per batch at the read; the
+    order window joins through the size-chosen plan; per-customer
+    revenue reduces via the combiner groupby BEFORE customer attributes
+    attach (the wide customer row never rides the big join — it joins
+    the aggregate, hinted because a narrow window can qualify zero
+    customers); nation names attach from a driver-side 25-row lookup
+    and the top-20 is a per-block partial top-k merged on the driver.
+    Revenue per customer-window holds few addends, so 2-dp rounding is
+    stable on both engines (same convention as q3/revenue_by_nation)."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    lo, hi = dt.datetime(1996, 7, 1), dt.datetime(1996, 10, 1)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey",
+                            "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less(b["o_orderdate"], pa.scalar(hi))))
+        .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        r = pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": r})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"]).map_batches(
+        rev, batch_format="pyarrow", zero_copy_batch=True)
+    empty = pd.DataFrame({
+        "c_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype="object"),
+        "revenue": pd.Series([], dtype="float64"),
+        "c_acctbal": pd.Series([], dtype="float64"),
+        "n_name": pd.Series([], dtype="object")})
+    try:
+        j1 = equi_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey") \
+            .select_columns(["o_custkey", "revenue"])
+    except ValueError as ex:
+        # empty order window: Ray drops the all-empty side's schema and
+        # equi_join refuses inner on a schema-less right (hinting would
+        # materialize the corpus-sized stream on every healthy run)
+        if "right side is empty" in str(ex):
+            return empty
+        raise
+    per_cust = grouped_agg(j1, ["o_custkey"], {"revenue": "revenue"},
+                           count_alias="_n") \
+        .select_columns(["o_custkey", "revenue"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal",
+                          "c_nationkey"])
+    j2 = equi_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
+                   right_schema=pa.schema([
+                       pa.field("o_custkey", pa.int64()),
+                       pa.field("revenue", pa.float64())]))
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["revenue"] = df["revenue"].round(2)
+        df = df.sort_values(["revenue", "c_custkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    surv = j2.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if surv.empty or "revenue" not in surv.columns:
+        return empty
+    top = surv.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True],
+                           kind="mergesort").head(20)
+    top = top.merge(nat, left_on="c_nationkey", right_on="n_nationkey",
+                    how="left")
+    return top[["c_custkey", "c_name", "revenue", "c_acctbal",
+                "n_name"]].reset_index(drop=True)

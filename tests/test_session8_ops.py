@@ -1,0 +1,135 @@
+"""Session-8 operators: the semi/anti-join pipelines (TPC-H Q4 shape,
+stale-parts NOT EXISTS) and TPC-H Q10 — crafted edge branches; the sf
+oracles run in test_driver_contract / the driver harness."""
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from jsonschema_ray.pipelines.relational import (q4_order_priority,
+                                                 q10_returned_items,
+                                                 stale_parts_anti)
+
+TS = pa.timestamp("us")
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(tmp_path, f"{name}.parquet"))
+
+
+def test_q4_semi_counts_each_order_once(tmp_path):
+    """An in-window order with several returned lineitems counts ONCE
+    (EXISTS, not a join fan-out); in-window orders with only non-R
+    lineitems and out-of-window R-orders are excluded; an in-window
+    order with NO lineitems at all is excluded."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1996, 2, 1)] * 4
+                                + [dt.datetime(1995, 2, 1)], type=TS),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "5-LOW",
+                                     "5-LOW", "1-URGENT"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 3, 5], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "R", "R", "N", "R", "R"])}))
+    out = q4_order_priority(str(tmp_path))
+    # order 1 (3 R rows -> once), order 3 (R); order 2 non-R, order 4
+    # no lineitems, order 5 out of window
+    assert out.to_dict("records") == [
+        {"o_orderpriority": "1-URGENT", "order_count": 1},
+        {"o_orderpriority": "5-LOW", "order_count": 1}]
+
+
+def test_q4_no_qualifying_orders_typed_empty(tmp_path):
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1990, 1, 1)], type=TS),
+        "o_orderpriority": pa.array(["1-URGENT"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([], type=pa.int64()),
+        "l_returnflag": pa.array([], type=pa.string())}))
+    out = q4_order_priority(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["o_orderpriority", "order_count"]
+    assert str(out["order_count"].dtype) == "int64"
+
+
+def test_stale_parts_anti_edges(tmp_path):
+    """Kept: a part whose shipments are all pre-cutoff, and a part
+    never shipped at all. Dropped: any part with one post-cutoff
+    shipment (even among many pre-cutoff ones). Exactly-at-cutoff
+    counts as recent (>=)."""
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([10, 20, 30, 40], type=pa.int64()),
+        "p_brand": pa.array(["A", "B", "C", "D"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([10, 10, 20, 30], type=pa.int64()),
+        "l_shipdate": pa.array([
+            dt.datetime(2000, 5, 1),    # 10: old
+            dt.datetime(2001, 3, 1),    # 10: recent -> dropped
+            dt.datetime(2000, 12, 31),  # 20: old only -> kept
+            dt.datetime(2001, 1, 1),    # 30: exactly at cutoff -> dropped
+        ], type=TS)}))
+    out = stale_parts_anti(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"p_partkey": 20, "p_brand": "B"},
+        {"p_partkey": 40, "p_brand": "D"}]
+
+
+def test_q10_aggregates_before_attributes_and_left_join_nation(tmp_path):
+    """Revenue sums across a customer's orders in the window; nation
+    attaches LEFT (an unknown nationkey yields a null n_name, matching
+    the oracle's LEFT JOIN); non-R rows and out-of-window orders are
+    excluded; ties break by c_custkey ascending."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_custkey": pa.array([100, 100, 200, 100], type=pa.int64()),
+        "o_orderdate": pa.array(
+            [dt.datetime(1996, 8, 1)] * 3 + [dt.datetime(1997, 1, 1)],
+            type=TS)}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 3, 4], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 100.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.25, 0.5, 0.0]),
+        "l_returnflag": pa.array(["R", "R", "R", "N", "R"])}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([100, 200], type=pa.int64()),
+        "c_name": pa.array(["alice", "bob"]),
+        "c_acctbal": pa.array([10.0, 20.0]),
+        "c_nationkey": pa.array([1, 99], type=pa.int64())}))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([1], type=pa.int64()),
+        "n_name": pa.array(["FRANCE"])}))
+    out = q10_returned_items(str(tmp_path))
+    # cust 100: 100 + 25 = 125 (order 4 out of window); cust 200: 75
+    # (the N row excluded) — nationkey 99 has no nation row
+    assert out["c_custkey"].tolist() == [100, 200]
+    assert out["revenue"].tolist() == [125.0, 75.0]
+    assert out["n_name"].tolist()[0] == "FRANCE"
+    assert pd.isna(out["n_name"].iloc[1])
+
+
+def test_q10_empty_order_window_typed_empty(tmp_path):
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_custkey": pa.array([100], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1990, 1, 1)], type=TS)}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0]),
+        "l_discount": pa.array([0.0]),
+        "l_returnflag": pa.array(["R"])}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([100], type=pa.int64()),
+        "c_name": pa.array(["alice"]),
+        "c_acctbal": pa.array([10.0]),
+        "c_nationkey": pa.array([1], type=pa.int64())}))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([1], type=pa.int64()),
+        "n_name": pa.array(["FRANCE"])}))
+    out = q10_returned_items(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_custkey", "c_name", "revenue",
+                                 "c_acctbal", "n_name"]
