@@ -545,7 +545,12 @@ def _empty_side_join(lds, rds, lschema: pa.Schema, rschema: pa.Schema,
         # suffix/dupe concerns
         if l_empty:
             return rd.from_arrow(_typed_empty(lschema))
-        # r_empty: nothing can match — semi keeps none, anti keeps all
+        # r_empty: nothing can match — semi keeps none, anti keeps all.
+        # Today equi_join's Acero branch intercepts every empty right
+        # for semi/anti (an empty materialized right always broadcasts:
+        # size_bytes()==0), so this arm is belt-and-braces against Ray
+        # ever reporting nonzero size for empty blocks — pinned by a
+        # direct unit test, not reachable through equi_join.
         return lds if how == "anti" else rd.from_arrow(
             _typed_empty(lschema))
     lnames = {f.name for f in lschema}

@@ -95,6 +95,44 @@ def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2):
     return df
 
 
+def _partial_topk(ds, sort_cols: list[str], ascending: list[bool],
+                  k: int, round_col: str = None):
+    """Distributed top-k: per-block partial top-k inside map_batches,
+    then the same sort over the O(blocks·k) survivors on the driver —
+    only k rows per block ever gather, the group set never does.
+    ``round_col`` is rounded to 2 dp BEFORE ranking (the oracle
+    convention — both levels must rank the rounded value or a pair
+    rounding to a tie could order differently across engines). Returns
+    the k-row DataFrame, or None when the upstream pipeline was
+    all-empty (Ray drops its schema and the gather is column-less)."""
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if round_col is not None:
+            df[round_col] = df[round_col].round(2)
+        df = df.sort_values(sort_cols, ascending=ascending,
+                            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    surv = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if surv.empty or sort_cols[0] not in surv.columns:
+        return None
+    return surv.sort_values(sort_cols, ascending=ascending,
+                            kind="mergesort").head(k) \
+        .reset_index(drop=True)
+
+
+def _distinct_filtered_keys(sf_dir: str, table: str, key: str,
+                            filter_fn, columns: list[str]):
+    """Semi/anti BUILD side: push the predicate into the scan, keep the
+    per-batch-DISTINCT key column only — a semi/anti probe never needs
+    a key twice, so the dedup happens before anything ships (cross-batch
+    dupes are a size cost only, never a fan-out)."""
+    return _read(sf_dir, table, columns=columns).map_batches(
+        lambda b: pa.table({key: pc.unique(filter_fn(b)[key])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # validation rule sets (leaf keywords + combinators over testdata)
 
@@ -1362,23 +1400,13 @@ def hot_users_events(sf_dir: str):
                             zero_copy_batch=True) \
         .groupby("user_id").aggregate(Sum("n_part", alias_name="n"))
 
-    def local_topk(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().sort_values(
-            ["n", "user_id"], ascending=[False, True],
-            kind="mergesort").head(10)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    surv = counts.map_batches(local_topk, batch_format="pyarrow",
-                              zero_copy_batch=True).to_pandas()
-    if surv.empty or "n" not in surv.columns:
+    top = _partial_topk(counts, ["n", "user_id"], [False, True], 10)
+    if top is None:
         # empty events table: a zero-group shuffle can surface as a
         # column-less frame — return the typed empty top-10
         return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
                              "n": pd.Series([], dtype="int64"),
                              "share_bp": pd.Series([], dtype="int64")})
-    top = surv.sort_values(["n", "user_id"], ascending=[False, True],
-                           kind="mergesort").head(10) \
-        .reset_index(drop=True)
     top["share_bp"] = np.floor(
         10000 * top["n"].to_numpy(dtype=np.float64) / total) \
         .astype(np.int64)
@@ -2846,23 +2874,11 @@ def q3_shipping_priority(sf_dir: str):
                              "o_orderpriority"],
                             {"revenue": "revenue"}, count_alias="_n")
 
-    def local_topk(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["revenue"] = df["revenue"].round(2)
-        df = df.sort_values(["revenue", "l_orderkey"],
-                            ascending=[False, True],
-                            kind="mergesort").head(10)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    surv = per_order.map_batches(local_topk, batch_format="pyarrow",
-                                 zero_copy_batch=True).to_pandas()
-    if surv.empty or "revenue" not in surv.columns:
+    top = _partial_topk(per_order, ["revenue", "l_orderkey"],
+                        [False, True], 10, round_col="revenue")
+    if top is None:
         # all-empty pipeline: Ray drops the schema — typed empty top-10
         return q3_empty
-    top = surv.sort_values(["revenue", "l_orderkey"],
-                           ascending=[False, True],
-                           kind="mergesort").head(10) \
-        .reset_index(drop=True)
     return top[["l_orderkey", "revenue", "o_orderdate",
                 "o_orderpriority"]]
 
@@ -3092,9 +3108,15 @@ def heavy_hitters_cms_events(sf_dir: str, threshold: int = 80,
 
     cand_ds = ds.map_batches(candidates, batch_format="pyarrow",
                              zero_copy_batch=True).materialize()
+    small = cand_ds.size_bytes() <= gather_cap_bytes
+    cand = cand_ds.to_pandas() if small else None
+    # release the materialized candidate blocks either way — in the
+    # saturated-screen case they are near the full distinct-key set and
+    # must not stay pinned while the exact count (the memory-hungry
+    # pass) runs
+    del cand_ds
     stream = ds
-    if cand_ds.size_bytes() <= gather_cap_bytes:
-        cand = cand_ds.to_pandas()
+    if small:
         if cand.empty or "user_id" not in cand.columns:
             return empty
         cand_ids = np.unique(cand["user_id"].to_numpy())
@@ -3148,11 +3170,10 @@ def q4_order_priority(sf_dir: str):
             pc.less(b["o_orderdate"], pa.scalar(hi))))
         .select(["o_orderkey", "o_orderpriority"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    returned = _read(sf_dir, "lineitem",
-                     columns=["l_orderkey", "l_returnflag"]).map_batches(
-        lambda b: pa.table({"l_orderkey": pc.unique(
-            b.filter(pc.equal(b["l_returnflag"], "R"))["l_orderkey"])}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    returned = _distinct_filtered_keys(
+        sf_dir, "lineitem", "l_orderkey",
+        lambda b: b.filter(pc.equal(b["l_returnflag"], "R")),
+        columns=["l_orderkey", "l_returnflag"])
     qualified = equi_join(orders, returned, on="o_orderkey",
                           right_on="l_orderkey", how="semi")
     out = grouped_agg(qualified, ["o_orderpriority"], {},
@@ -3180,12 +3201,11 @@ def stale_parts_anti(sf_dir: str):
     from ..joins import equi_join
     cut = dt.datetime(2001, 1, 1)
     part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    shipped = _read(sf_dir, "lineitem",
-                    columns=["l_partkey", "l_shipdate"]).map_batches(
-        lambda b: pa.table({"l_partkey": pc.unique(
-            b.filter(pc.greater_equal(b["l_shipdate"],
-                                      pa.scalar(cut)))["l_partkey"])}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    shipped = _distinct_filtered_keys(
+        sf_dir, "lineitem", "l_partkey",
+        lambda b: b.filter(pc.greater_equal(b["l_shipdate"],
+                                            pa.scalar(cut))),
+        columns=["l_partkey", "l_shipdate"])
     out = equi_join(part, shipped, on="p_partkey",
                     right_on="l_partkey", how="anti").to_pandas()
     if out.empty or "p_partkey" not in out.columns:
@@ -3261,21 +3281,10 @@ def q10_returned_items(sf_dir: str):
     nat = _read(sf_dir, "nation",
                 columns=["n_nationkey", "n_name"]).to_pandas()
 
-    def local_topk(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["revenue"] = df["revenue"].round(2)
-        df = df.sort_values(["revenue", "c_custkey"],
-                            ascending=[False, True],
-                            kind="mergesort").head(20)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    surv = j2.map_batches(local_topk, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
-    if surv.empty or "revenue" not in surv.columns:
+    top = _partial_topk(j2, ["revenue", "c_custkey"], [False, True],
+                        20, round_col="revenue")
+    if top is None:
         return empty
-    top = surv.sort_values(["revenue", "c_custkey"],
-                           ascending=[False, True],
-                           kind="mergesort").head(20)
     top = top.merge(nat, left_on="c_nationkey", right_on="n_nationkey",
                     how="left")
     return top[["c_custkey", "c_name", "revenue", "c_acctbal",

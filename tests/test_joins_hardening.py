@@ -234,3 +234,40 @@ def test_empty_side_join_key_cast_and_duplicate_names(ray_session):
         "v": pa.array([], type=pa.float64())}))
     with pytest.raises(ValueError, match="collide"):
         equi_join(left, r2, on="nk", how="full_outer")
+
+
+def test_empty_side_join_semi_anti_arms_direct(ray_session):
+    """_empty_side_join's semi/anti arms, called DIRECTLY: through
+    equi_join the Acero branch intercepts every empty right for
+    semi/anti (an empty materialized right always broadcasts), so these
+    arms are belt-and-braces against Ray ever reporting nonzero
+    size_bytes for empty blocks — pin their semantics here."""
+    import ray.data as rd
+
+    from jsonschema_ray.joins import _empty_side_join
+
+    lsch = pa.schema([("nk", pa.int64()), ("v", pa.int64())])
+    rsch = pa.schema([("rk", pa.int64())])
+    left = rd.from_arrow(pa.table(
+        {"nk": pa.array([1, 2], type=pa.int64()),
+         "v": pa.array([10, 20], type=pa.int64())}))
+    empty_r = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    empty_l = rd.from_arrow(pa.table(
+        {"nk": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}))
+
+    # r empty: anti keeps ALL left rows, semi keeps none (left-typed)
+    anti = _empty_side_join(left, empty_r, lsch, rsch, ["nk"], ["rk"],
+                            "anti", "_r", False, True).to_pandas()
+    assert sorted(anti["nk"]) == [1, 2]
+    semi = _empty_side_join(left, empty_r, lsch, rsch, ["nk"], ["rk"],
+                            "semi", "_r", False, True)
+    assert semi.count() == 0
+    assert {f.name for b in semi.iter_batches(batch_format="pyarrow")
+            for f in b.schema} in (set(), {"nk", "v"})
+
+    # l empty: both keep nothing, left columns only
+    for how in ("semi", "anti"):
+        out = _empty_side_join(empty_l, left, lsch, lsch, ["nk"],
+                               ["nk"], how, "_r", True, False)
+        assert out.count() == 0
+        assert set(out.schema().names) == {"nk", "v"}
