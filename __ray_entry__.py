@@ -63,7 +63,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_events": R.chi2_events,                     # oracled
         "psi_events": R.psi_events,                       # oracled
         "rolling_mean_events": R.rolling_mean_events,     # oracled
-        "kmeans_embeddings": R.kmeans_embeddings,         # rows-only
         "events_percent_rank": R.events_percent_rank,     # oracled
         "split_documents": R.split_documents,             # oracled
         "quality_filter_documents": R.quality_filter_documents,  # oracled
@@ -94,16 +93,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": R.q4_order_priority,        # oracled (semi)
         "stale_parts_anti": R.stale_parts_anti,          # oracled (anti)
         "q10_returned_items": R.q10_returned_items,      # oracled
-        # --- driver-lens block 3: rows-only queries never driver-checked
-        "incremental_minhash_documents":
-            R.incremental_minhash_documents,              # rows-only (LSH)
+        "q18_large_volume_orders": R.q18_large_volume_orders,  # oracled
+        "top_event_type_by_user": R.top_event_type_by_user,  # oracled
+        # --- driver-lens block 3: one rows-only family representative
+        # (incremental LSH; its minhash sibling shares the pairs
+        # machinery and is pinned by the gather_cap=0 pytest net)
         "incremental_embedding_documents":
             R.incremental_embedding_documents,            # rows-only (LSH)
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
-        # (each pinned by its own pytest property net: eigensolver vs
-        # numpy, planted Mahalanobis outliers, planted rank-4 recall)
+        # (each pinned by its own pytest property net: gather-cap-0
+        # distributed-plan pins, LSH pairs nets, eigensolver vs numpy,
+        # planted Mahalanobis outliers, planted rank-4 recall)
+        "kmeans_embeddings": R.kmeans_embeddings,         # rows-only
+        "incremental_minhash_documents":
+            R.incremental_minhash_documents,              # rows-only (LSH)
         "pca_embeddings": R.pca_embeddings,  # rows-only (eigensolver)
         "embedding_outliers_mahalanobis":
             R.embedding_outliers_mahalanobis,  # rows-only (matrix inverse)
@@ -475,6 +480,26 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey
                     AND l_shipdate >= TIMESTAMP '2001-01-01')
 ORDER BY p_partkey""",
+        "q18_large_volume_orders": """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum_qty FROM (
+  SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         sum(l_quantity) AS sum_qty
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+  HAVING sum(l_quantity) > 180
+) ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
+        "top_event_type_by_user": """
+SELECT user_id, top_type, n FROM (
+  SELECT user_id, event_type AS top_type,
+         CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id, event_type
+) WHERE rn = 1 ORDER BY user_id""",
         "q10_returned_items": """
 SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
   SELECT c_custkey, c_name,

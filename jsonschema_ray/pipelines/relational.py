@@ -3289,3 +3289,89 @@ def q10_returned_items(sf_dir: str):
                     how="left")
     return top[["c_custkey", "c_name", "revenue", "c_acctbal",
                 "n_name"]].reset_index(drop=True)
+
+
+def q18_large_volume_orders(sf_dir: str, threshold: float = 180.0):
+    """TPC-H Q18 shape (ORACLED): top-100 large-volume orders — SQL's
+    ``IN (SELECT … GROUP BY … HAVING sum(qty) > T)`` as an
+    AGGREGATE-DERIVED join: the qualifying key set is itself a
+    distributed combiner groupby, filtered per batch, and it carries its
+    sum so nothing recomputes downstream. Orders join the (hinted,
+    aggregate-shaped) qualifier, customer names attach the same way as
+    q10 — the wide customer row joins the bounded qualified set, never
+    the lineitem stream — and the top-100 is the shared per-block
+    partial top-k. Quantities are integral, so the HAVING comparison
+    and the sum hash exactly across engines."""
+    from ..joins import equi_join
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    per_order = grouped_agg(li, ["l_orderkey"],
+                            {"l_quantity": "sum_qty"}, count_alias="_n")
+    big = per_order.map_batches(
+        lambda b: b.select(["l_orderkey", "sum_qty"]).filter(
+            pc.greater(b["sum_qty"], pa.scalar(float(threshold)))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    qual = equi_join(orders, big, on="o_orderkey",
+                     right_on="l_orderkey",
+                     right_schema=pa.schema([
+                         pa.field("l_orderkey", pa.int64()),
+                         pa.field("sum_qty", pa.float64())]))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j2 = equi_join(cust, qual, on="c_custkey", right_on="o_custkey",
+                   right_schema=pa.schema([
+                       pa.field("o_orderkey", pa.int64()),
+                       pa.field("o_custkey", pa.int64()),
+                       pa.field("o_orderdate", pa.timestamp("us")),
+                       pa.field("o_totalprice", pa.float64()),
+                       pa.field("sum_qty", pa.float64())]))
+    top = _partial_topk(j2, ["o_totalprice", "o_orderdate", "o_orderkey"],
+                        [False, True, True], 100)
+    if top is None:
+        return pd.DataFrame({
+            "c_name": pd.Series([], dtype="object"),
+            "c_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "sum_qty": pd.Series([], dtype="float64")})
+    return top[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]]
+
+
+def top_event_type_by_user(sf_dir: str):
+    """Grouped MODE (ORACLED): each user's most frequent event type,
+    SQL row_number tie-breaking (count DESC, then event_type ASC, nulls
+    last). Phase 1 is the combiner groupby over (user, type) — the only
+    corpus-sized pass; phase 2 picks the argmax inside ONE coarse
+    user-hash partition of the pair-aggregate (users never split, so
+    the pick is exact; only user×type aggregate rows ride the second
+    shuffle, never events). Null users are excluded up front on both
+    engines; a null TYPE is a real SQL group and can win the mode."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b["user_id"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_agg(ds, ["user_id", "event_type"], {},
+                         count_alias="n")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True],
+                            na_position="last", kind="mergesort")
+        return df.groupby("user_id", as_index=False, dropna=False) \
+            .head(1)
+
+    out = partitioned_group_apply(counts, ["user_id"], pick).to_pandas()
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "top_type": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"event_type": "top_type"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["user_id", "top_type", "n"]].sort_values("user_id") \
+        .reset_index(drop=True)

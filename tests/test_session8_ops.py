@@ -11,6 +11,7 @@ import pyarrow.parquet as pq
 
 from jsonschema_ray.pipelines.relational import (q4_order_priority,
                                                  q10_returned_items,
+                                                 q18_large_volume_orders,
                                                  stale_parts_anti)
 
 TS = pa.timestamp("us")
@@ -133,3 +134,78 @@ def test_q10_empty_order_window_typed_empty(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["c_custkey", "c_name", "revenue",
                                  "c_acctbal", "n_name"]
+
+
+def test_q18_threshold_boundary_and_sum_carry(tmp_path):
+    """sum == threshold is EXCLUDED (strict >); the qualifier's sum
+    rides into the output without recomputation; top-k orders by
+    totalprice desc with date then orderkey tie-breaks."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_quantity": pa.array([100.0, 81.0, 180.0, 181.0])}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([10, 10, 20], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1996, 1, 1)] * 3, type=TS),
+        "o_totalprice": pa.array([500.0, 900.0, 500.0])}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([10, 20], type=pa.int64()),
+        "c_name": pa.array(["alice", "bob"])}))
+    out = q18_large_volume_orders(str(tmp_path))
+    # order 2 sums to exactly 180 -> excluded; 1 and 3 qualify; the
+    # totalprice tie between them breaks by orderdate then orderkey
+    assert out["o_orderkey"].tolist() == [1, 3]
+    assert out["sum_qty"].tolist() == [181.0, 181.0]
+    assert out["c_name"].tolist() == ["alice", "bob"]
+
+
+def test_q18_no_qualifiers_typed_empty(tmp_path):
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1], type=pa.int64()),
+        "l_quantity": pa.array([5.0])}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_custkey": pa.array([10], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1996, 1, 1)], type=TS),
+        "o_totalprice": pa.array([500.0])}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([10], type=pa.int64()),
+        "c_name": pa.array(["alice"])}))
+    out = q18_large_volume_orders(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_name", "c_custkey", "o_orderkey",
+                                 "o_orderdate", "o_totalprice",
+                                 "sum_qty"]
+
+
+def test_top_event_type_tie_break_null_type_and_null_user(tmp_path):
+    """Count ties break to the lexicographically SMALLER type (SQL
+    row_number ORDER BY count DESC, event_type ASC); a null TYPE is a
+    real group but loses any tie (NULLS LAST); null USERS are excluded
+    entirely."""
+    from jsonschema_ray.pipelines.relational import top_event_type_by_user
+    uids = [1, 1, 1, 1, 2, 2, 3, 3, None]
+    types = ["view", "view", "click", "click",  # user 1: tie -> click
+             None, None,                        # user 2: null type wins
+             "view", None,                      # user 3: tie -> view
+             "view"]                            # null user: excluded
+    tb = pa.table({
+        "user_id": pa.array(uids, type=pa.int64()),
+        "event_type": pa.array(types, type=pa.string())})
+    _write(tmp_path, "events", tb)
+    out = top_event_type_by_user(str(tmp_path))
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["top_type"].tolist()[0] == "click"
+    assert out["top_type"].isna().tolist() == [False, True, False]
+    assert out["top_type"].tolist()[2] == "view"
+    assert out["n"].tolist() == [2, 2, 1]
+
+
+def test_top_event_type_empty_typed(tmp_path):
+    from jsonschema_ray.pipelines.relational import top_event_type_by_user
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "event_type": pa.array([], type=pa.string())}))
+    out = top_event_type_by_user(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["user_id", "top_type", "n"]

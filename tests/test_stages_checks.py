@@ -441,13 +441,10 @@ def test_equi_join_broadcast_and_shuffle_paths():
                      broadcast_cap=1 << 30).count() == 0
     assert equi_join(rd.from_arrow(L), er, "k", how="anti",
                      broadcast_cap=1 << 30).count() == 5
-    # shuffle path rejects semi/anti (needs the broadcast plan)
-    try:
-        equi_join(rd.from_arrow(L), rd.from_arrow(R), "k", how="semi",
-                  broadcast_cap=0)
-        raise AssertionError("expected ValueError")
-    except ValueError as e:
-        assert "broadcast cap" in str(e)
+    # shuffle path (cap 0) matches the broadcast plan for semi/anti
+    # (rides Ray's left_semi/left_anti above the cap)
+    assert sorted(run("semi", 0).lv) == ["b", "c"]
+    assert sorted(run("anti", 0).lv) == ["a", "d", "e"]
 
 
 def test_exact_ks_matches_reference(ray_session):
