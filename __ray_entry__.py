@@ -95,14 +95,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": R.q10_returned_items,      # oracled
         "q18_large_volume_orders": R.q18_large_volume_orders,  # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
-        # --- driver-lens block 3: one rows-only family representative
-        # (incremental LSH; its minhash sibling shares the pairs
-        # machinery and is pinned by the gather_cap=0 pytest net)
-        "incremental_embedding_documents":
-            R.incremental_embedding_documents,            # rows-only (LSH)
+        "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
+        # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
+        # window is full of never-checked oracled entries)
+        "events_dow_pivot": R.events_dow_pivot,           # oracled
+        # (rows-only LSH family: driver smoke traded for one more
+        # oracled hash row; pinned by the gather_cap=0 pytest nets)
+        "incremental_embedding_documents":
+            R.incremental_embedding_documents,            # rows-only (LSH)
         # (each pinned by its own pytest property net: gather-cap-0
         # distributed-plan pins, LSH pairs nets, eigensolver vs numpy,
         # planted Mahalanobis outliers, planted rank-4 recall)
@@ -480,6 +483,33 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey
                     AND l_shipdate >= TIMESTAMP '2001-01-01')
 ORDER BY p_partkey""",
+        "q7_volume_shipping": """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+         OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year""",
+        "events_dow_pivot": """
+SELECT event_type,
+       CAST(sum(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dow_0,
+       CAST(sum(CASE WHEN dayofweek(ts) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dow_1,
+       CAST(sum(CASE WHEN dayofweek(ts) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dow_2,
+       CAST(sum(CASE WHEN dayofweek(ts) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dow_3,
+       CAST(sum(CASE WHEN dayofweek(ts) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS dow_4,
+       CAST(sum(CASE WHEN dayofweek(ts) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS dow_5,
+       CAST(sum(CASE WHEN dayofweek(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow_6
+FROM events WHERE ts IS NOT NULL
+GROUP BY event_type ORDER BY event_type""",
         "q18_large_volume_orders": """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
        sum_qty FROM (

@@ -3375,3 +3375,136 @@ def top_event_type_by_user(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     return out[["user_id", "top_type", "n"]].sort_values("user_id") \
         .reset_index(drop=True)
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_9",
+                       nation_b: str = "NATION_11"):
+    """TPC-H Q7 shape (ORACLED): shipping volume between two nations by
+    ship YEAR, both directions — a join tree with a DISJUNCTIVE
+    cross-side pair predicate ((a,b) OR (b,a)) and a derived grouping
+    column (year extraction, Arrow kernel). Supplier and customer are
+    nation-pruned per batch BEFORE joining (2/25 of each dimension);
+    lineitem is date-pruned and carries only (orderkey, suppkey,
+    volume, year); the supplier join lands first so the big orders join
+    sees the already-nation-pruned stream; only per-(pair, year)
+    partials shuffle."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    keys = {r.n_name: int(r.n_nationkey) for r in nat.itertuples()
+            if r.n_name in (nation_a, nation_b)}
+    empty = pd.DataFrame({
+        "supp_nation": pd.Series([], dtype="object"),
+        "cust_nation": pd.Series([], dtype="object"),
+        "l_year": pd.Series([], dtype="int64"),
+        "revenue": pd.Series([], dtype="float64")})
+    if len(keys) < 2:
+        return empty
+    ka, kb = keys[nation_a], keys[nation_b]
+    pair = pa.array(sorted((ka, kb)), type=pa.int32())
+
+    def prune(col):
+        def fn(b: pa.Table) -> pa.Table:
+            vs = pc.cast(pair, b.schema.field(col).type)
+            return b.filter(pc.is_in(b[col], value_set=vs))
+        return fn
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).map_batches(
+        prune("s_nationkey"), batch_format="pyarrow",
+        zero_copy_batch=True)
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        prune("c_nationkey"), batch_format="pyarrow",
+        zero_copy_batch=True)
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1998, 1, 1)
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi))))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
+            "volume": pc.multiply(b["l_extendedprice"],
+                                  pc.subtract(pa.scalar(1.0),
+                                              b["l_discount"])),
+            "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"]).map_batches(
+        proj, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    try:
+        ls = equi_join(li, supp, on="l_suppkey", right_on="s_suppkey") \
+            .select_columns(["l_orderkey", "volume", "l_year",
+                             "s_nationkey"])
+        lso = equi_join(ls, orders, on="l_orderkey",
+                        right_on="o_orderkey") \
+            .select_columns(["volume", "l_year", "s_nationkey",
+                             "o_custkey"])
+        full = equi_join(lso, cust, on="o_custkey",
+                         right_on="c_custkey").map_batches(
+            lambda b: b.filter(pc.or_(
+                pc.and_(pc.equal(b["s_nationkey"], ka),
+                        pc.equal(b["c_nationkey"], kb)),
+                pc.and_(pc.equal(b["s_nationkey"], kb),
+                        pc.equal(b["c_nationkey"], ka)))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    except ValueError as ex:
+        # a nation with zero suppliers/customers empties a pruned
+        # dimension: Ray drops its schema and equi_join refuses inner
+        if "right side is empty" in str(ex):
+            return empty
+        raise
+    agg = grouped_agg(full, ["s_nationkey", "c_nationkey", "l_year"],
+                      {"volume": "revenue"}, count_alias="_n") \
+        .to_pandas()
+    if agg.empty or "revenue" not in agg.columns:
+        return empty
+    names = {v: k for k, v in keys.items()}
+    agg["supp_nation"] = agg["s_nationkey"].map(names)
+    agg["cust_nation"] = agg["c_nationkey"].map(names)
+    agg["revenue"] = agg["revenue"].round(2)
+    agg["l_year"] = agg["l_year"].astype("int64")
+    return agg[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+def events_dow_pivot(sf_dir: str):
+    """PIVOT / conditional aggregation (ORACLED): per event type, the
+    count for each day of week as SEVEN WIDE COLUMNS (dow_0=Sunday …
+    dow_6, DuckDB dayofweek convention = Arrow day_of_week with
+    week_start=7, count_from_zero). The corpus pass is the combiner
+    groupby over (type, dow) — at most types×7 rows reach the driver,
+    where the wide layout is assembled (pandas merge matching NaN keys
+    is load-bearing: a null TYPE is a real SQL group and must collect
+    its per-dow counts). Null timestamps are excluded up front on both
+    engines."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts"]).map_batches(
+        lambda b: pa.table({
+            "event_type": b.filter(pc.is_valid(b["ts"]))["event_type"],
+            "dow": pc.cast(pc.day_of_week(
+                b.filter(pc.is_valid(b["ts"]))["ts"],
+                count_from_zero=True, week_start=7), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_agg(ds, ["event_type", "dow"], {},
+                         count_alias="n").to_pandas()
+    cols = [f"dow_{d}" for d in range(7)]
+    if counts.empty or "event_type" not in counts.columns:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             **{c: pd.Series([], dtype="int64")
+                                for c in cols}})
+    out = counts[["event_type"]].drop_duplicates().reset_index(drop=True)
+    for d in range(7):
+        sub = counts[counts["dow"] == d][["event_type", "n"]] \
+            .rename(columns={"n": f"dow_{d}"})
+        out = out.merge(sub, on="event_type", how="left")
+    for c in cols:
+        out[c] = out[c].fillna(0).astype("int64")
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

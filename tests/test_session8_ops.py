@@ -209,3 +209,80 @@ def test_top_event_type_empty_typed(tmp_path):
     out = top_event_type_by_user(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["user_id", "top_type", "n"]
+
+
+def test_q7_pair_predicate_both_directions_and_year_boundary(tmp_path):
+    """Only the (A,B)/(B,A) nation pairs survive (A→A and A→C die on
+    the disjunctive cross predicate); the window is [1996-01-01,
+    1998-01-01); the year is the SHIP year. Volumes land in the right
+    direction bucket."""
+    from jsonschema_ray.pipelines.relational import q7_volume_shipping
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([1, 2, 3], type=pa.int32()),
+        "n_name": pa.array(["NATION_9", "NATION_11", "NATION_3"])}))
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([10, 20, 30], type=pa.int64()),
+        "s_nationkey": pa.array([1, 2, 3], type=pa.int32())}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([100, 200, 300], type=pa.int64()),
+        "c_nationkey": pa.array([1, 2, 3], type=pa.int32())}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "o_custkey": pa.array([200, 100, 100, 200, 300],
+                              type=pa.int64())}))
+    # li rows: (order, supp, ship, price) — A=1 (NATION_9), B=2
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "l_suppkey": pa.array([10, 20, 10, 10, 10], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 400.0, 800.0,
+                                     1600.0]),
+        "l_discount": pa.array([0.0] * 5),
+        "l_shipdate": pa.array([
+            dt.datetime(1996, 6, 1),    # A supp -> B cust: counts 1996
+            dt.datetime(1997, 12, 31),  # B supp -> A cust: counts 1997
+            dt.datetime(1997, 6, 1),    # A supp -> A cust: pair fails
+            dt.datetime(1998, 1, 1),    # A->B but ship >= 1998: out
+            dt.datetime(1996, 6, 1),    # A supp -> C cust: pair fails
+        ], type=TS)}))
+    out = q7_volume_shipping(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"supp_nation": "NATION_11", "cust_nation": "NATION_9",
+         "l_year": 1997, "revenue": 200.0},
+        {"supp_nation": "NATION_9", "cust_nation": "NATION_11",
+         "l_year": 1996, "revenue": 100.0}]
+
+
+def test_q7_missing_nation_typed_empty(tmp_path):
+    from jsonschema_ray.pipelines.relational import q7_volume_shipping
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([1], type=pa.int32()),
+        "n_name": pa.array(["NATION_9"])}))
+    out = q7_volume_shipping(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["supp_nation", "cust_nation",
+                                 "l_year", "revenue"]
+
+
+def test_events_dow_pivot_null_type_group_and_null_ts_excluded(tmp_path):
+    """Sunday maps to dow_0 (DuckDB dayofweek convention); a null
+    event_type is a real group collecting its own counts; null
+    timestamps vanish on both engines."""
+    from jsonschema_ray.pipelines.relational import events_dow_pivot
+    ts = [dt.datetime(2026, 8, 16),   # Sunday
+          dt.datetime(2026, 8, 16),   # Sunday
+          dt.datetime(2026, 8, 22),   # Saturday
+          dt.datetime(2026, 8, 17),   # Monday (null type)
+          None]                       # excluded
+    _write(tmp_path, "events", pa.table({
+        "event_type": pa.array(["view", "view", "view", None, "view"]),
+        "ts": pa.array(ts, type=TS)}))
+    out = events_dow_pivot(str(tmp_path))
+    assert len(out) == 2
+    view = out[out["event_type"] == "view"].iloc[0]
+    assert view["dow_0"] == 2 and view["dow_6"] == 1
+    assert int(view[[f"dow_{d}" for d in range(7)]].sum()) == 3
+    nullrow = out[out["event_type"].isna()].iloc[0]
+    assert nullrow["dow_1"] == 1
+    assert int(nullrow[[f"dow_{d}" for d in range(7)]].sum()) == 1
+    # null-type group sorts LAST (na_position), matching the oracle
+    assert pd.isna(out["event_type"].iloc[-1])
