@@ -3385,12 +3385,20 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_9",
     column (year extraction, Arrow kernel). Supplier and customer are
     nation-pruned per batch BEFORE joining (2/25 of each dimension);
     lineitem is date-pruned and carries only (orderkey, suppkey,
-    volume, year); the supplier join lands first so the big orders join
-    sees the already-nation-pruned stream; only per-(pair, year)
-    partials shuffle."""
+    volume, year); orders meets the tiny pruned-customer broadcast
+    FIRST, so the join that the lineitem stream sees on its right is
+    the ~2/25 customer-pruned slice of orders, never the full table;
+    only per-(pair, year) partials shuffle. ``nation_a`` must differ
+    from ``nation_b``: the pair predicate is the two cross directions
+    only (intra-nation volume is a different query — refuse loudly
+    rather than return a silently-empty frame)."""
     import datetime as dt
 
     from ..joins import equi_join
+    if nation_a == nation_b:
+        raise ValueError("q7_volume_shipping: nation_a and nation_b "
+                         "must differ (the pair predicate covers the "
+                         "two cross directions only)")
     nat = _read(sf_dir, "nation",
                 columns=["n_nationkey", "n_name"]).to_pandas()
     keys = {r.n_name: int(r.n_nationkey) for r in nat.itertuples()
@@ -3441,12 +3449,15 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_9",
         ls = equi_join(li, supp, on="l_suppkey", right_on="s_suppkey") \
             .select_columns(["l_orderkey", "volume", "l_year",
                              "s_nationkey"])
-        lso = equi_join(ls, orders, on="l_orderkey",
-                        right_on="o_orderkey") \
-            .select_columns(["volume", "l_year", "s_nationkey",
-                             "o_custkey"])
-        full = equi_join(lso, cust, on="o_custkey",
-                         right_on="c_custkey").map_batches(
+        # orders ⋈ pruned-customer FIRST: the lineitem stream's right
+        # side is then the ~2/25 slice of orders with c_nationkey
+        # already attached — one fewer corpus-stream join, ~12× less
+        # broadcast/shuffle footprint than joining full orders
+        oc = equi_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey") \
+            .select_columns(["o_orderkey", "c_nationkey"])
+        full = equi_join(ls, oc, on="l_orderkey",
+                         right_on="o_orderkey").map_batches(
             lambda b: b.filter(pc.or_(
                 pc.and_(pc.equal(b["s_nationkey"], ka),
                         pc.equal(b["c_nationkey"], kb)),
@@ -3484,14 +3495,17 @@ def events_dow_pivot(sf_dir: str):
     is load-bearing: a null TYPE is a real SQL group and must collect
     its per-dow counts). Null timestamps are excluded up front on both
     engines."""
+    def proj(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["ts"]))
+        return pa.table({
+            "event_type": f["event_type"],
+            "dow": pc.cast(pc.day_of_week(
+                f["ts"], count_from_zero=True, week_start=7),
+                pa.int64())})
+
     ds = _read(sf_dir, "events",
                columns=["event_type", "ts"]).map_batches(
-        lambda b: pa.table({
-            "event_type": b.filter(pc.is_valid(b["ts"]))["event_type"],
-            "dow": pc.cast(pc.day_of_week(
-                b.filter(pc.is_valid(b["ts"]))["ts"],
-                count_from_zero=True, week_start=7), pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True)
+        proj, batch_format="pyarrow", zero_copy_batch=True)
     counts = grouped_agg(ds, ["event_type", "dow"], {},
                          count_alias="n").to_pandas()
     cols = [f"dow_{d}" for d in range(7)]
