@@ -102,6 +102,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
         "events_dow_pivot": R.events_dow_pivot,           # oracled
+        "q13_customer_distribution": R.q13_customer_distribution,  # oracled
+        "q22_idle_balance": R.q22_idle_balance,           # oracled
+        "q15_top_supplier": R.q15_top_supplier,           # oracled
+        "q14_promo_revenue": R.q14_promo_revenue,         # oracled
+        "q17_small_quantity_revenue":
+            R.q17_small_quantity_revenue,                 # oracled
+        "q19_discounted_revenue": R.q19_discounted_revenue,  # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -499,6 +506,59 @@ SELECT supp_nation, cust_nation, l_year,
     AND l_shipdate < TIMESTAMP '1998-01-01'
 ) GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year""",
+        "q13_customer_distribution": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        "q22_idle_balance": """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-09-01')
+GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey""",
+        "q14_promo_revenue": """
+SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'""",
+        "q17_small_quantity_revenue": """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)""",
+        "q19_discounted_revenue": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)""",
         "events_dow_pivot": """
 SELECT event_type,
        CAST(sum(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dow_0,

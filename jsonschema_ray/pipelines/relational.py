@@ -3522,3 +3522,382 @@ def events_dow_pivot(sf_dir: str):
         out[c] = out[c].fillna(0).astype("int64")
     return out.sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape (ORACLED): distribution of per-customer URGENT
+    order counts INCLUDING zero-count customers — SQL's LEFT OUTER JOIN
+    with the predicate in the JOIN condition (a WHERE would silently
+    drop the zero bucket), then a SECOND aggregation over the first
+    aggregate's values. The orders stream reduces to per-customer
+    partials via the combiner groupby; customer keys left-join that
+    (hinted) aggregate so never-matched customers surface as null→0;
+    the distribution groupby runs over the customer-sized intermediate
+    only — at most distinct-count rows reach the driver. Mirrors the
+    reference's two-level applicator nesting (contains over contains)
+    at table granularity."""
+    from ..joins import equi_join
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    per_cust = grouped_agg(orders, ["o_custkey"], {},
+                           count_alias="c_count")
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    j = equi_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
+                  how="left_outer",
+                  right_schema=pa.schema([
+                      pa.field("o_custkey", pa.int64()),
+                      pa.field("c_count", pa.int64())]))
+    counts = j.map_batches(
+        lambda b: pa.table({"c_count": pc.fill_null(
+            pc.cast(b["c_count"], pa.int64()), 0)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    dist = grouped_agg(counts, ["c_count"], {},
+                       count_alias="custdist").to_pandas()
+    if dist.empty or "c_count" not in dist.columns:
+        return pd.DataFrame({
+            "c_count": pd.Series([], dtype="int64"),
+            "custdist": pd.Series([], dtype="int64")})
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return dist[["c_count", "custdist"]] \
+        .sort_values(["custdist", "c_count"], ascending=[False, False]) \
+        .reset_index(drop=True)
+
+
+def q22_idle_balance(sf_dir: str, cutoff=None):
+    """TPC-H Q22 shape (ORACLED): per-nation count + total balance of
+    customers whose balance exceeds the GLOBAL average positive balance
+    and who placed no order since a cutoff — a scalar subquery (one
+    tiny moment pass: per-batch (sum, n) partials, the threshold is a
+    driver float broadcast into the filter), composed with NOT EXISTS
+    as the distributed anti join (recent-order keys are per-batch
+    distinct before they ship) and a final combiner groupby. The
+    balance filter applies BEFORE the anti join so only above-average
+    customers probe it. Balances are 2-dp values (exact-multiple sums,
+    so the 2-dp rounding is boundary-safe); the avg threshold is the
+    one float compare both engines must agree on — verified exact at
+    all SFs, and any tie would need a balance within 1 ulp of the
+    grand mean."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    if cutoff is None:
+        cutoff = dt.datetime(2000, 9, 1)
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def moment(b: pa.Table) -> pa.Table:
+        pos = b.filter(pc.greater(b["c_acctbal"], pa.scalar(0.0)))
+        v = pos["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table({"_s": pa.array([float(v.sum())]),
+                         "_n": pa.array([len(v)], type=pa.int64())})
+
+    parts = cust.map_batches(moment, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    empty = pd.DataFrame({
+        "c_nationkey": pd.Series([], dtype="int64"),
+        "numcust": pd.Series([], dtype="int64"),
+        "totacctbal": pd.Series([], dtype="float64")})
+    n_pos = int(parts["_n"].sum()) if "_n" in parts.columns else 0
+    if n_pos == 0:
+        # SQL: avg over zero rows is NULL and `x > NULL` admits nothing
+        return empty
+    thr = float(parts["_s"].sum()) / n_pos
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], pa.scalar(thr))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    recent = _distinct_filtered_keys(
+        sf_dir, "orders", "o_custkey",
+        lambda b: b.filter(pc.greater_equal(b["o_orderdate"],
+                                            pa.scalar(cutoff))),
+        columns=["o_custkey", "o_orderdate"])
+    idle = equi_join(rich, recent, on="c_custkey", right_on="o_custkey",
+                     how="anti")
+    agg = grouped_agg(idle, ["c_nationkey"],
+                      {"c_acctbal": "totacctbal"},
+                      count_alias="numcust").to_pandas()
+    if agg.empty or "c_nationkey" not in agg.columns:
+        return empty
+    agg["c_nationkey"] = agg["c_nationkey"].astype("int64")
+    agg["numcust"] = agg["numcust"].astype("int64")
+    agg["totacctbal"] = agg["totacctbal"].round(2)
+    return agg[["c_nationkey", "numcust", "totacctbal"]] \
+        .sort_values("c_nationkey").reset_index(drop=True)
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (ORACLED): the supplier(s) with the MAXIMUM
+    3-month revenue — SQL's `= (SELECT max(...))` scalar subquery with
+    tie preservation. Revenue per supplier reduces through the combiner
+    groupby (the only corpus-sized pass) and is rounded to 2 dp per
+    batch BEFORE both the max and the equality compare (both engines
+    rank the rounded value, so a pair rounding to a tie cannot diverge
+    — the _partial_topk convention). The max is a per-block partial max
+    merged on the driver (one float gathers per block, never the
+    aggregate); winners are filtered distributed and only the tie set
+    joins supplier names (hinted: zero qualifying suppliers is legal)."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 4, 1)
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi))))
+        return pa.table({
+            "l_suppkey": b["l_suppkey"],
+            "volume": pc.multiply(b["l_extendedprice"],
+                                  pc.subtract(pa.scalar(1.0),
+                                              b["l_discount"]))})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]).map_batches(
+        proj, batch_format="pyarrow", zero_copy_batch=True)
+    rev = grouped_agg(li, ["l_suppkey"], {"volume": "total_revenue"},
+                      count_alias="_n").map_batches(
+        lambda b: pa.table({
+            "l_suppkey": b["l_suppkey"],
+            "total_revenue": pc.round(b["total_revenue"], 2)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rev = rev.materialize()  # consumed twice: max probe + winner filter
+    empty = pd.DataFrame({
+        "s_suppkey": pd.Series([], dtype="int64"),
+        "s_name": pd.Series([], dtype="object"),
+        "total_revenue": pd.Series([], dtype="float64")})
+    maxes = rev.map_batches(
+        lambda b: pa.table({"_m": pa.array(
+            [] if len(b) == 0 else [pc.max(b["total_revenue"]).as_py()],
+            type=pa.float64())}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if maxes.empty or "_m" not in maxes.columns or maxes["_m"].isna().all():
+        return empty
+    best = float(maxes["_m"].max())
+    winners = rev.map_batches(
+        lambda b: b.filter(pc.equal(b["total_revenue"],
+                                    pa.scalar(best))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = equi_join(supp, winners, on="s_suppkey", right_on="l_suppkey",
+                    right_schema=pa.schema([
+                        pa.field("l_suppkey", pa.int64()),
+                        pa.field("total_revenue", pa.float64())])) \
+        .to_pandas()
+    if out.empty or "s_suppkey" not in out.columns:
+        return empty
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["s_suppkey", "s_name", "total_revenue"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape (ORACLED): promo revenue share — a conditional
+    aggregate RATIO (100 · promo volume / total volume) over a one-month
+    lineitem window joined to part. The part side reduces to
+    (p_partkey, is_promo bool) before the size-chosen join; the joined
+    stream emits TWO partial sums per batch (branch and total — one
+    pass, no second scan for the denominator); the driver evaluates the
+    ratio. A ratio of large sums tolerates partial-order float drift
+    far inside its 4-dp rounding. Empty window answers the SQL NULL
+    ratio as one NaN row."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    lo, hi = dt.datetime(1996, 6, 1), dt.datetime(1996, 7, 1)
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi))))
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "volume": pc.multiply(b["l_extendedprice"],
+                                  pc.subtract(pa.scalar(1.0),
+                                              b["l_discount"]))})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]).map_batches(
+        proj, batch_format="pyarrow", zero_copy_batch=True)
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table({
+            "p_partkey": b["p_partkey"],
+            "is_promo": pc.equal(b["p_type"], "PROMO")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    try:
+        j = equi_join(li, part, on="l_partkey", right_on="p_partkey")
+    except ValueError as ex:
+        if "right side is empty" in str(ex):
+            return pd.DataFrame({"promo_revenue":
+                                 pd.Series([float("nan")])})
+        raise
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["volume"].to_numpy(zero_copy_only=False)
+        promo = b["is_promo"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_p": pa.array([float(v[promo].sum())]),
+            "_t": pa.array([float(v.sum())])})
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if parts.empty or "_t" not in parts.columns:
+        return pd.DataFrame({"promo_revenue": pd.Series([float("nan")])})
+    tot = float(parts["_t"].sum())
+    if tot == 0.0:
+        return pd.DataFrame({"promo_revenue": pd.Series([float("nan")])})
+    ratio = round(100.0 * float(parts["_p"].sum()) / tot, 4)
+    return pd.DataFrame({"promo_revenue": pd.Series([ratio])})
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#3"):
+    """TPC-H Q17 shape (ORACLED): average yearly revenue lost by
+    shipping small orders — a CORRELATED scalar subquery (per-part
+    average quantity) as an aggregate-derived broadcast. The brand's
+    part keys prune the lineitem stream per batch (broadcast key set —
+    the correlated average only ever needs the brand's parts, so the
+    corpus pass is the pruned slice, not full lineitem); ONE combiner
+    groupby yields per-part (sum, n) and the threshold map ships via
+    ray.put; the second pruned pass compares and sums partials.
+    Quantities are integral doubles, so the per-part average — and
+    therefore the strict `<` threshold — is EXACT on both engines (sums
+    of integers carry no float order drift); the final sum of 2-dp
+    prices divided by 7 can never sit at a rounding boundary (sum·100
+    is integral, and k/7 has no fractional part of exactly .5)."""
+    import ray
+
+    from ..util import worker_cached
+    part_keys = _read(sf_dir, "part",
+                      columns=["p_partkey", "p_brand"]).map_batches(
+        lambda b: pa.table({"p_partkey": pc.unique(
+            b.filter(pc.equal(b["p_brand"], brand))["p_partkey"])}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if part_keys.empty or "p_partkey" not in part_keys.columns:
+        return pd.DataFrame({"avg_yearly": pd.Series([float("nan")])})
+    keys_ref = ray.put(pa.array(part_keys["p_partkey"].to_numpy(),
+                                type=pa.int64()))
+
+    def prune(b: pa.Table, *, ref) -> pa.Table:
+        ks = worker_cached(("q17keys", ref.hex()), lambda: ray.get(ref))
+        return b.filter(pc.is_in(b["l_partkey"], value_set=ks))
+
+    import functools
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity",
+                        "l_extendedprice"]).map_batches(
+        functools.partial(prune, ref=keys_ref),
+        batch_format="pyarrow", zero_copy_batch=True)
+    per_part = grouped_agg(li, ["l_partkey"],
+                           {"l_quantity": "qty_sum"},
+                           count_alias="qty_n").to_pandas()
+    if per_part.empty or "l_partkey" not in per_part.columns:
+        return pd.DataFrame({"avg_yearly": pd.Series([float("nan")])})
+    thr = 0.5 * per_part["qty_sum"].to_numpy() \
+        / per_part["qty_n"].to_numpy()
+    thr_ref = ray.put((pa.array(per_part["l_partkey"].to_numpy(),
+                                type=pa.int64()),
+                       np.asarray(thr, dtype=np.float64)))
+
+    def small_sum(b: pa.Table, *, ref) -> pa.Table:
+        ks, th = worker_cached(("q17thr", ref.hex()),
+                               lambda: ray.get(ref))
+        idx = pc.index_in(b["l_partkey"], value_set=ks).to_numpy(
+            zero_copy_only=False)
+        # every surviving row's part is in the map by construction
+        lim = th[idx.astype(np.int64)]
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        hit = q < lim
+        return pa.table({"_s": pa.array([float(p[hit].sum())]),
+                         "_n": pa.array([int(hit.sum())],
+                                        type=pa.int64())})
+
+    parts = li.map_batches(functools.partial(small_sum, ref=thr_ref),
+                           batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if "_n" not in parts.columns or int(parts["_n"].sum()) == 0:
+        # SQL: sum over zero qualifying rows is NULL, and NULL/7 stays
+        # NULL — not 0.0
+        return pd.DataFrame({"avg_yearly": pd.Series([float("nan")])})
+    total = float(parts["_s"].sum())
+    return pd.DataFrame({"avg_yearly":
+                         pd.Series([round(total / 7.0, 2)])})
+
+
+_Q19_BRANCHES = (
+    # (brand, size_max, qty_lo, qty_hi) — OR-of-conjunctions branches
+    ("Brand#1", 10, 1.0, 15.0),
+    ("Brand#2", 20, 10.0, 25.0),
+    ("Brand#3", 30, 20.0, 35.0),
+)
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape (ORACLED): revenue under a DISJUNCTION of
+    conjunctive branch predicates spanning BOTH join sides (part
+    brand/size × lineitem quantity). The part side prunes to the union
+    of branch-eligible parts and carries (key, brand, size); lineitem
+    prunes to the quantity hull [min lo, max hi] per batch; after the
+    size-chosen join each branch is one vectorized AND over Arrow
+    kernels, OR-folded — no row loops, no per-branch rescan. One
+    2-dp-rounded scalar (sum of a modest row set) returns."""
+    from ..joins import equi_join
+    brands = pa.array([b for b, _, _, _ in _Q19_BRANCHES])
+    size_cap = max(s for _, s, _, _ in _Q19_BRANCHES)
+    qlo = min(q for _, _, q, _ in _Q19_BRANCHES)
+    qhi = max(q for _, _, _, q in _Q19_BRANCHES)
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.is_in(b["p_brand"], value_set=brands),
+            pc.and_(pc.greater_equal(b["p_size"], pa.scalar(1)),
+                    pc.less_equal(b["p_size"],
+                                  pa.scalar(size_cap))))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["l_quantity"], pa.scalar(qlo)),
+            pc.less_equal(b["l_quantity"], pa.scalar(qhi)))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    try:
+        j = equi_join(li, part, on="l_partkey", right_on="p_partkey")
+    except ValueError as ex:
+        if "right side is empty" in str(ex):
+            return pd.DataFrame({"revenue": pd.Series([float("nan")])})
+        raise
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = None
+        for brand, smax, lo, hi in _Q19_BRANCHES:
+            cond = pc.and_(
+                pc.and_(pc.equal(b["p_brand"], brand),
+                        pc.less_equal(b["p_size"], pa.scalar(smax))),
+                pc.and_(pc.greater_equal(b["l_quantity"],
+                                         pa.scalar(lo)),
+                        pc.less_equal(b["l_quantity"],
+                                      pa.scalar(hi))))
+            keep = cond if keep is None else pc.or_(keep, cond)
+        f = b.filter(keep)
+        v = pc.multiply(f["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        s = pc.sum(v).as_py()
+        return pa.table({"_s": pa.array([0.0 if s is None else
+                                         float(s)]),
+                         "_n": pa.array([len(f)], type=pa.int64())})
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if parts.empty or "_s" not in parts.columns \
+            or int(parts["_n"].sum()) == 0:
+        # SQL: sum over zero matching rows is NULL, not 0.0
+        return pd.DataFrame({"revenue": pd.Series([float("nan")])})
+    return pd.DataFrame({"revenue":
+                         pd.Series([round(float(parts["_s"].sum()), 2)])})

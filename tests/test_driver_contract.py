@@ -92,6 +92,16 @@ def oracle_pairs():
     "retention_cohorts_events",
     "q3_shipping_priority", "q5_local_supplier_volume",
     "burst_rate_events", "heavy_hitters_cms_events",
+    "psi_events", "rolling_mean_events", "pack_documents",
+    "incremental_dedup_documents", "dedup_events_window",
+    "curate_documents", "props_field_by_type",
+    "stratified_sample_documents", "bigram_counts_documents",
+    "nation_balance_outer", "q4_order_priority", "stale_parts_anti",
+    "q10_returned_items", "q18_large_volume_orders",
+    "top_event_type_by_user", "q7_volume_shipping", "events_dow_pivot",
+    "q13_customer_distribution", "q22_idle_balance",
+    "q15_top_supplier", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1,0 +1,245 @@
+"""Session-9 operators: TPC-H Q13 (left-outer double aggregation),
+Q22 (global scalar threshold + anti join), Q15 (max scalar subquery
+with ties), Q14 (conditional-aggregate ratio) — crafted edge branches;
+the sf oracles run in test_driver_contract / the driver harness."""
+
+import datetime as dt
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from jsonschema_ray.pipelines.relational import (q13_customer_distribution,
+                                                 q14_promo_revenue,
+                                                 q15_top_supplier,
+                                                 q22_idle_balance)
+
+TS = pa.timestamp("us")
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(tmp_path, f"{name}.parquet"))
+
+
+def test_q13_zero_count_bucket_is_real(tmp_path):
+    """Customers with NO urgent orders land in the c_count=0 bucket
+    (LEFT JOIN with the predicate in the join condition — a WHERE
+    would drop them); non-urgent orders never count; the distribution
+    groups the per-customer counts."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64())}))
+    _write(tmp_path, "orders", pa.table({
+        # cust 1: two urgent; cust 2: one urgent + one LOW (counts 1);
+        # cust 3: only LOW (zero bucket); cust 4: no orders (zero)
+        "o_custkey": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "1-URGENT",
+                                     "5-LOW", "5-LOW"])}))
+    out = q13_customer_distribution(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"c_count": 0, "custdist": 2},
+        {"c_count": 2, "custdist": 1},
+        {"c_count": 1, "custdist": 1}]
+
+
+def test_q13_empty_orders_all_zero(tmp_path):
+    """A fully empty orders table: every customer is a zero-count row
+    (the hinted aggregate side carries the schema Ray drops)."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([7, 8], type=pa.int64())}))
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([], type=pa.int64()),
+        "o_orderpriority": pa.array([], type=pa.string())}))
+    out = q13_customer_distribution(str(tmp_path))
+    assert out.to_dict("records") == [{"c_count": 0, "custdist": 2}]
+
+
+def test_q13_empty_customer_typed_empty(tmp_path):
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([], type=pa.int64())}))
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT"])}))
+    out = q13_customer_distribution(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_count", "custdist"]
+
+
+def test_q22_threshold_strict_and_anti(tmp_path):
+    """The global positive-balance average is a STRICT lower bound
+    (a customer exactly at the mean is excluded); null balances join
+    neither the average nor the filter; a recent order disqualifies;
+    never-ordered rich customers survive the anti join."""
+    cut = dt.datetime(2000, 9, 1)
+    # positive balances: 100, 200, 300 -> avg 200
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1, 1, 2], type=pa.int64()),
+        "c_acctbal": pa.array([100.0, 200.0, 300.0, None, -50.0],
+                              type=pa.float64())}))
+    # cust 3 is rich but ordered recently -> excluded... give the
+    # recent order to NOBODY first: all rich survive
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([3], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1999, 1, 1)], type=TS)}))
+    out = q22_idle_balance(str(tmp_path), cutoff=cut)
+    # only cust 3 (300 > 200); cust 2 == avg excluded (strict >)
+    assert out.to_dict("records") == [
+        {"c_nationkey": 1, "numcust": 1, "totacctbal": 300.0}]
+    # now the same customer orders AFTER the cutoff -> anti drops them
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([3], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(2001, 1, 1)], type=TS)}))
+    out = q22_idle_balance(str(tmp_path), cutoff=cut)
+    assert len(out) == 0
+
+
+def test_q22_no_positive_balances_empty(tmp_path):
+    """SQL's avg over zero rows is NULL and `x > NULL` admits nothing:
+    the whole query answers empty, it does not divide by zero."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_nationkey": pa.array([0], type=pa.int64()),
+        "c_acctbal": pa.array([-5.0], type=pa.float64())}))
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([], type=pa.int64()),
+        "o_orderdate": pa.array([], type=TS)}))
+    out = q22_idle_balance(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_nationkey", "numcust", "totacctbal"]
+
+
+def test_q15_tie_preserved_and_rounding_before_max(tmp_path):
+    """TWO suppliers whose window revenues round to the same 2-dp
+    maximum both return (SQL `= (SELECT max(...))` keeps ties); the
+    comparison runs on the ROUNDED value on both levels, so a pair
+    separated by less than half a cent is a tie, not a winner."""
+    lo = dt.datetime(1996, 1, 1)
+    _write(tmp_path, "lineitem", pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3], type=pa.int64()),
+        # supp 1: 100.004 -> 100.0; supp 2: 50.0 + 50.001 -> 100.0;
+        # supp 3: 99.99 (loser)
+        "l_extendedprice": pa.array([100.004, 50.0, 50.001, 99.99]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array([lo, lo, lo, lo], type=TS)}))
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"])}))
+    out = q15_top_supplier(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"s_suppkey": 1, "s_name": "S1", "total_revenue": 100.0},
+        {"s_suppkey": 2, "s_name": "S2", "total_revenue": 100.0}]
+
+
+def test_q15_empty_window_typed_empty(tmp_path):
+    _write(tmp_path, "lineitem", pa.table({
+        "l_suppkey": pa.array([1], type=pa.int64()),
+        "l_extendedprice": pa.array([10.0]),
+        "l_discount": pa.array([0.0]),
+        "l_shipdate": pa.array([dt.datetime(1990, 1, 1)], type=TS)}))
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1], type=pa.int64()),
+        "s_name": pa.array(["S1"])}))
+    out = q15_top_supplier(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["s_suppkey", "s_name", "total_revenue"]
+
+
+def test_q14_conditional_ratio_and_empty_window(tmp_path):
+    """The promo share is branch-sum over total-sum from ONE pass;
+    non-promo rows count only in the denominator; an empty window
+    answers SQL's NULL ratio as a single NaN row."""
+    lo = dt.datetime(1996, 6, 1)
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1, 2, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 100.0, 100.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0]),
+        "l_shipdate": pa.array([lo, lo,
+                                dt.datetime(1990, 1, 1)], type=TS)}))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_type": pa.array(["PROMO", "STANDARD"])}))
+    out = q14_promo_revenue(str(tmp_path))
+    # promo 100 / total 150 -> 66.6667
+    assert out["promo_revenue"].tolist() == [66.6667]
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([], type=pa.int64()),
+        "l_extendedprice": pa.array([], type=pa.float64()),
+        "l_discount": pa.array([], type=pa.float64()),
+        "l_shipdate": pa.array([], type=TS)}))
+    out = q14_promo_revenue(str(tmp_path))
+    assert len(out) == 1
+    assert math.isnan(out["promo_revenue"].iloc[0])
+
+
+def test_q17_correlated_threshold_per_part(tmp_path):
+    """Each part's threshold is ITS OWN half-average quantity: a row
+    exactly AT the threshold is excluded (strict <); the same quantity
+    can qualify under one part and not another; wrong-brand rows never
+    enter the sum or the averages."""
+    from jsonschema_ray.pipelines.relational import (
+        q17_small_quantity_revenue)
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_brand": pa.array(["Brand#3", "Brand#3", "Brand#9"])}))
+    # part 1: qties 10,30 -> avg 20, thr 10 -> the qty-10 row is AT the
+    #   threshold (excluded), qty-30 above. Nothing qualifies.
+    # part 2: qties 2,38 -> avg 20, thr 10 -> qty-2 row qualifies.
+    # part 3 (wrong brand): tiny qty, never counted.
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+        "l_quantity": pa.array([10.0, 30.0, 2.0, 38.0, 1.0]),
+        "l_extendedprice": pa.array([100.0, 100.0, 70.0, 100.0,
+                                     999.0])}))
+    out = q17_small_quantity_revenue(str(tmp_path))
+    assert out["avg_yearly"].tolist() == [10.0]  # 70 / 7
+
+
+def test_q17_no_qualifying_rows_null(tmp_path):
+    """Zero qualifying rows: SQL's sum is NULL (NaN through pandas),
+    NOT 0.0 — for a present brand with no small rows AND for an
+    absent brand."""
+    from jsonschema_ray.pipelines.relational import (
+        q17_small_quantity_revenue)
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1], type=pa.int64()),
+        "p_brand": pa.array(["Brand#3"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1, 1], type=pa.int64()),
+        "l_quantity": pa.array([20.0, 20.0]),
+        "l_extendedprice": pa.array([10.0, 10.0])}))
+    out = q17_small_quantity_revenue(str(tmp_path))
+    assert len(out) == 1 and math.isnan(out["avg_yearly"].iloc[0])
+    out = q17_small_quantity_revenue(str(tmp_path), brand="Brand#77")
+    assert len(out) == 1 and math.isnan(out["avg_yearly"].iloc[0])
+
+
+def test_q19_branch_predicates_do_not_cross(tmp_path):
+    """A quantity valid for branch 3 does not rescue a Brand#1 row
+    whose own branch rejects it; BETWEEN bounds are inclusive on both
+    ends; zero matches answer SQL's NULL sum as NaN."""
+    from jsonschema_ray.pipelines.relational import q19_discounted_revenue
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#3", "Brand#1"]),
+        "p_size": pa.array([10, 30, 11], type=pa.int64())}))
+    _write(tmp_path, "lineitem", pa.table({
+        # row 1: Brand#1 size 10 qty 15 -> branch 1 inclusive hit (100)
+        # row 2: Brand#1 size 10 qty 20 -> qty fits branch 3 only,
+        #        brand doesn't: excluded
+        # row 3: Brand#3 size 30 qty 35 -> branch 3 inclusive hit (50)
+        # row 4: Brand#1 size 11 qty 15 -> size over branch-1 cap
+        "l_partkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_quantity": pa.array([15.0, 20.0, 35.0, 15.0]),
+        "l_extendedprice": pa.array([100.0, 999.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0])}))
+    out = q19_discounted_revenue(str(tmp_path))
+    assert out["revenue"].tolist() == [150.0]
+    # zero matches -> NaN, not 0.0
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1], type=pa.int64()),
+        "l_quantity": pa.array([50.0]),
+        "l_extendedprice": pa.array([10.0]),
+        "l_discount": pa.array([0.0])}))
+    out = q19_discounted_revenue(str(tmp_path))
+    assert len(out) == 1 and math.isnan(out["revenue"].iloc[0])
