@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue":
             R.q17_small_quantity_revenue,                 # oracled
         "q19_discounted_revenue": R.q19_discounted_revenue,  # oracled
+        "q8_market_share": R.q8_market_share,             # oracled
+        "q16_supplier_count": R.q16_supplier_count,       # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -559,6 +561,34 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
        AND l_quantity BETWEEN 10 AND 25)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
        AND l_quantity BETWEEN 20 AND 35)""",
+        "q8_market_share": """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                      ELSE 0 END) / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer,
+       nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <= TIMESTAMP '1996-12-31'
+    AND p_type = 'ECONOMY'
+) GROUP BY o_year ORDER BY o_year""",
+        "q16_supplier_count": """
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size BETWEEN 1 AND 15
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type""",
         "events_dow_pivot": """
 SELECT event_type,
        CAST(sum(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dow_0,

@@ -3901,3 +3901,164 @@ def q19_discounted_revenue(sf_dir: str):
         return pd.DataFrame({"revenue": pd.Series([float("nan")])})
     return pd.DataFrame({"revenue":
                          pd.Series([round(float(parts["_s"].sum()), 2)])})
+
+
+def q8_market_share(sf_dir: str, region: str = "ASIA",
+                    nation: str = "NATION_5", p_type: str = "ECONOMY"):
+    """TPC-H Q8 shape (ORACLED): one nation's market share of a
+    region's imports by order year — the deepest join tree in the
+    suite (part, supplier, lineitem, orders, customer, nation×2,
+    region) with a per-group conditional RATIO. Dimension sides reduce
+    before any corpus join: the type-filtered part keys prune the
+    lineitem stream per batch as a broadcast MEMBERSHIP set (no join —
+    only existence matters); supplier attaches s_nationkey through the
+    size-chosen join; orders are date-pruned per batch and meet the
+    region-pruned customer keys FIRST (the q7 ordering: the lineitem
+    stream's right side is the ~region-share slice of orders carrying
+    o_year only). One combiner groupby emits per-(year, supp-nation)
+    partials; the driver evaluates numerator/denominator per year —
+    a ratio of large sums rounded at 4 dp, far inside float drift."""
+    import datetime as dt
+
+    import ray
+
+    from ..joins import equi_join
+    from ..util import worker_cached
+    lo, hi = dt.datetime(1995, 1, 1), dt.datetime(1996, 12, 31)
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    nat_r = nat.merge(reg, left_on="n_regionkey",
+                      right_on="r_regionkey")
+    in_region = sorted(
+        int(k) for k in nat_r[nat_r["r_name"] == region]["n_nationkey"])
+    target = nat[nat["n_name"] == nation]["n_nationkey"]
+    empty = pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                          "mkt_share": pd.Series([], dtype="float64")})
+    if not in_region:
+        return empty
+    target_key = int(target.iloc[0]) if len(target) else None
+
+    part_keys = _read(sf_dir, "part",
+                      columns=["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table({"p_partkey": pc.unique(
+            b.filter(pc.equal(b["p_type"], p_type))["p_partkey"])}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if part_keys.empty or "p_partkey" not in part_keys.columns:
+        return empty
+    pk_ref = ray.put(pa.array(part_keys["p_partkey"].to_numpy(),
+                              type=pa.int64()))
+
+    def li_prune(b: pa.Table, *, ref) -> pa.Table:
+        ks = worker_cached(("q8parts", ref.hex()), lambda: ray.get(ref))
+        b = b.filter(pc.is_in(b["l_partkey"], value_set=ks))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "volume": pc.multiply(b["l_extendedprice"],
+                                  pc.subtract(pa.scalar(1.0),
+                                              b["l_discount"]))})
+
+    import functools
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]).map_batches(
+        functools.partial(li_prune, ref=pk_ref),
+        batch_format="pyarrow", zero_copy_batch=True)
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"])
+
+    def ord_prune(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less_equal(b["o_orderdate"], pa.scalar(hi))))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey",
+                            "o_orderdate"]).map_batches(
+        ord_prune, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({"c_custkey": b.filter(pc.is_in(
+            b["c_nationkey"],
+            value_set=pa.array(in_region, type=pa.int64())))
+            ["c_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    try:
+        ls = equi_join(li, supp, on="l_suppkey", right_on="s_suppkey") \
+            .select_columns(["l_orderkey", "volume", "s_nationkey"])
+        oc = equi_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey") \
+            .select_columns(["o_orderkey", "o_year"])
+        full = equi_join(ls, oc, on="l_orderkey", right_on="o_orderkey")
+    except ValueError as ex:
+        if "right side is empty" in str(ex):
+            return empty
+        raise
+    agg = grouped_agg(full, ["o_year", "s_nationkey"],
+                      {"volume": "vol"}, count_alias="_n").to_pandas()
+    if agg.empty or "o_year" not in agg.columns:
+        return empty
+    den = agg.groupby("o_year")["vol"].sum()
+    num = agg[agg["s_nationkey"] == target_key] \
+        .groupby("o_year")["vol"].sum() if target_key is not None \
+        else den * 0.0
+    share = (num.reindex(den.index, fill_value=0.0) / den).round(4)
+    return pd.DataFrame({"o_year": den.index.astype("int64"),
+                         "mkt_share": share.to_numpy()}) \
+        .sort_values("o_year").reset_index(drop=True)
+
+
+def q16_supplier_count(sf_dir: str):
+    """TPC-H Q16 shape (ORACLED): per-(brand, type) count of DISTINCT
+    suppliers shipping small parts, excluding a supplier blocklist —
+    SQL's count(DISTINCT …) with a NOT IN subquery. The blocklist
+    (negative-balance suppliers) is per-batch distinct before it ships
+    into the ANTI join (s_suppkey is non-null, so NOT IN ≡ anti join);
+    part prunes by size and attaches (brand, type) through the
+    size-chosen join; the DISTINCT is the first combiner groupby's key
+    set (brand, type, suppkey — aggregate-shaped, corpus never
+    gathers) and the count is a second groupby over that aggregate."""
+    from ..joins import equi_join
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    bad = _distinct_filtered_keys(
+        sf_dir, "supplier", "s_suppkey",
+        lambda b: b.filter(pc.less(b["s_acctbal"], pa.scalar(0.0))),
+        columns=["s_suppkey", "s_acctbal"])
+    ok = equi_join(li, bad, on="l_suppkey", right_on="s_suppkey",
+                   how="anti")
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size",
+                          "p_type"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["p_size"], pa.scalar(1)),
+            pc.less_equal(b["p_size"], pa.scalar(15))))
+        .select(["p_partkey", "p_brand", "p_type"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    empty = pd.DataFrame({
+        "p_brand": pd.Series([], dtype="object"),
+        "p_type": pd.Series([], dtype="object"),
+        "supplier_cnt": pd.Series([], dtype="int64")})
+    try:
+        j = equi_join(ok, part, on="l_partkey", right_on="p_partkey")
+    except ValueError as ex:
+        if "right side is empty" in str(ex):
+            return empty
+        raise
+    distinct = grouped_agg(j, ["p_brand", "p_type", "l_suppkey"], {},
+                           count_alias="_n")
+    out = grouped_agg(distinct, ["p_brand", "p_type"], {},
+                      count_alias="supplier_cnt").to_pandas()
+    if out.empty or "p_brand" not in out.columns:
+        return empty
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out[["p_brand", "p_type", "supplier_cnt"]] \
+        .sort_values(["supplier_cnt", "p_brand", "p_type"],
+                     ascending=[False, True, True]) \
+        .reset_index(drop=True)

@@ -102,6 +102,7 @@ def oracle_pairs():
     "q13_customer_distribution", "q22_idle_balance",
     "q15_top_supplier", "q14_promo_revenue",
     "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q8_market_share", "q16_supplier_count",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -243,3 +243,130 @@ def test_q19_branch_predicates_do_not_cross(tmp_path):
         "l_discount": pa.array([0.0])}))
     out = q19_discounted_revenue(str(tmp_path))
     assert len(out) == 1 and math.isnan(out["revenue"].iloc[0])
+
+
+def test_q8_share_zero_target_and_inclusive_bounds(tmp_path):
+    """A year with NO target-nation volume reports share 0.0 (SQL's
+    conditional sum, not a missing row); both window endpoints are
+    inclusive; off-type parts and out-of-region customers never enter
+    either sum."""
+    from jsonschema_ray.pipelines.relational import q8_market_share
+    _write(tmp_path, "region", pa.table({
+        "r_regionkey": pa.array([0, 1], type=pa.int64()),
+        "r_name": pa.array(["ASIA", "AFRICA"])}))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([5, 6, 7], type=pa.int64()),
+        "n_name": pa.array(["NATION_5", "NATION_6", "NATION_7"]),
+        "n_regionkey": pa.array([0, 0, 1], type=pa.int64())}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_nationkey": pa.array([5, 7], type=pa.int64())}))  # 2 off-reg
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2], type=pa.int64()),
+        "s_nationkey": pa.array([5, 6], type=pa.int64())}))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_type": pa.array(["ECONOMY", "LARGE"])}))
+    _write(tmp_path, "orders", pa.table({
+        # both boundary dates inclusive; order 3 belongs to the
+        # off-region customer
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1995, 1, 1),
+                                 dt.datetime(1996, 12, 31),
+                                 dt.datetime(1995, 6, 1)], type=TS)}))
+    _write(tmp_path, "lineitem", pa.table({
+        # 1995: target supp 1 sells 100, other supp 2 sells 300 -> 0.25
+        # 1996: only supp 2 (60) -> share 0.0
+        # rows 4/5: off-type part / off-region order, excluded
+        "l_orderkey": pa.array([1, 1, 2, 1, 3], type=pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 2, 1], type=pa.int64()),
+        "l_suppkey": pa.array([1, 2, 2, 1, 1], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 300.0, 60.0, 999.0, 999.0]),
+        "l_discount": pa.array([0.0] * 5)}))
+    out = q8_market_share(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"o_year": 1995, "mkt_share": 0.25},
+        {"o_year": 1996, "mkt_share": 0.0}]
+
+
+def test_q8_unknown_nation_and_empty_region(tmp_path):
+    """A target nation absent from the dimension scores 0.0 everywhere
+    (SQL's CASE never fires); a region with no nations answers the
+    typed empty frame."""
+    from jsonschema_ray.pipelines.relational import q8_market_share
+    _write(tmp_path, "region", pa.table({
+        "r_regionkey": pa.array([0], type=pa.int64()),
+        "r_name": pa.array(["ASIA"])}))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([5], type=pa.int64()),
+        "n_name": pa.array(["NATION_5"]),
+        "n_regionkey": pa.array([0], type=pa.int64())}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_nationkey": pa.array([5], type=pa.int64())}))
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1], type=pa.int64()),
+        "s_nationkey": pa.array([5], type=pa.int64())}))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1], type=pa.int64()),
+        "p_type": pa.array(["ECONOMY"])}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1995, 2, 1)], type=TS)}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1], type=pa.int64()),
+        "l_partkey": pa.array([1], type=pa.int64()),
+        "l_suppkey": pa.array([1], type=pa.int64()),
+        "l_extendedprice": pa.array([10.0]),
+        "l_discount": pa.array([0.0])}))
+    out = q8_market_share(str(tmp_path), nation="NATION_99")
+    assert out.to_dict("records") == [{"o_year": 1995, "mkt_share": 0.0}]
+    out = q8_market_share(str(tmp_path), region="EUROPE")
+    assert len(out) == 0
+    assert list(out.columns) == ["o_year", "mkt_share"]
+
+
+def test_q16_distinct_per_group_and_blocklist(tmp_path):
+    """A supplier shipping MANY lineitems of a brand/type counts ONCE;
+    the same supplier counts separately under a second (brand, type);
+    blocklisted (negative-balance) suppliers never count even when
+    they ship qualifying parts; parts over the size cap are excluded."""
+    from jsonschema_ray.pipelines.relational import q16_supplier_count
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_acctbal": pa.array([10.0, -1.0, 5.0])}))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#1"]),
+        "p_type": pa.array(["SMALL", "SMALL", "SMALL"]),
+        "p_size": pa.array([5, 10, 20], type=pa.int64())}))
+    _write(tmp_path, "lineitem", pa.table({
+        # supp 1 ships part 1 three times (counts once) + part 2 once;
+        # supp 2 (blocklisted) ships part 1; supp 3 ships part 3
+        # (size 20 > 15, excluded)
+        "l_partkey": pa.array([1, 1, 1, 2, 1, 3], type=pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1, 1, 2, 3], type=pa.int64())}))
+    out = q16_supplier_count(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"p_brand": "Brand#1", "p_type": "SMALL", "supplier_cnt": 1},
+        {"p_brand": "Brand#2", "p_type": "SMALL", "supplier_cnt": 1}]
+
+
+def test_q16_all_blocklisted_typed_empty(tmp_path):
+    from jsonschema_ray.pipelines.relational import q16_supplier_count
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1], type=pa.int64()),
+        "s_acctbal": pa.array([-3.0])}))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1], type=pa.int64()),
+        "p_brand": pa.array(["Brand#1"]),
+        "p_type": pa.array(["SMALL"]),
+        "p_size": pa.array([5], type=pa.int64())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1], type=pa.int64()),
+        "l_suppkey": pa.array([1], type=pa.int64())}))
+    out = q16_supplier_count(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["p_brand", "p_type", "supplier_cnt"]
