@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_discounted_revenue": R.q19_discounted_revenue,  # oracled
         "q8_market_share": R.q8_market_share,             # oracled
         "q16_supplier_count": R.q16_supplier_count,       # oracled
+        "q21_lone_returner": R.q21_lone_returner,         # oracled
+        "cheapest_supplier_per_part":
+            R.cheapest_supplier_per_part,                 # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -589,6 +592,29 @@ WHERE p_size BETWEEN 1 AND 15
                         WHERE s_acctbal < 0)
 GROUP BY p_brand, p_type
 ORDER BY supplier_cnt DESC, p_brand, p_type""",
+        "q21_lone_returner": """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name""",
+        "cheapest_supplier_per_part": """
+SELECT p_partkey, q.l_suppkey AS s_suppkey, s_name, best_price FROM (
+  SELECT l_partkey AS p_partkey, l_suppkey,
+         min(l_extendedprice) AS best_price,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY min(l_extendedprice),
+                                     l_suppkey) AS rn
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+) q JOIN supplier ON q.l_suppkey = s_suppkey
+WHERE rn = 1 ORDER BY p_partkey""",
         "events_dow_pivot": """
 SELECT event_type,
        CAST(sum(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dow_0,

@@ -4062,3 +4062,142 @@ def q16_supplier_count(sf_dir: str):
         .sort_values(["supplier_cnt", "p_brand", "p_type"],
                      ascending=[False, True, True]) \
         .reset_index(drop=True)
+
+
+def q21_lone_returner(sf_dir: str):
+    """TPC-H Q21 shape (ORACLED): suppliers who were the ONLY supplier
+    with a returned item on a multi-supplier finalized order — the
+    double CORRELATED quantifier (EXISTS another supplier ∧ NOT EXISTS
+    another returning supplier) at lineitem grain. Both quantifiers
+    reduce to per-order aggregates over the (order, supplier) PAIR
+    aggregate: one combiner groupby builds the pairs with their
+    return counts (the only corpus-sized pass), a second tiny groupby
+    over the pair aggregate yields (n_suppliers, n_returning) per
+    order, and the quantifier pair becomes a vectorized filter
+    (n_suppliers ≥ 2 ∧ n_returning = 1) on the returning pairs joined
+    to those stats. Finalized orders prune via the per-batch-distinct
+    semi join; names attach to the bounded per-supplier counts."""
+    from ..joins import equi_join
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey",
+                        "l_returnflag"]).map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "_r": pc.cast(pc.equal(b["l_returnflag"], "R"),
+                          pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = grouped_agg(li, ["l_orderkey", "l_suppkey"],
+                        {"_r": "r_cnt"}, count_alias="_n")
+    stats_in = pairs.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "_one": pa.array(np.ones(len(b), dtype=np.int64)),
+            "_hr": pc.cast(pc.greater(b["r_cnt"], pa.scalar(0)),
+                           pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    order_stats = grouped_agg(stats_in, ["l_orderkey"],
+                              {"_one": "n_supp", "_hr": "n_ret"},
+                              count_alias="_c")
+    returners = pairs.map_batches(
+        lambda b: b.filter(pc.greater(b["r_cnt"], pa.scalar(0)))
+        .select(["l_orderkey", "l_suppkey", "r_cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    empty = pd.DataFrame({"s_name": pd.Series([], dtype="object"),
+                          "numwait": pd.Series([], dtype="int64")})
+    try:
+        qual = equi_join(
+            returners, order_stats, on="l_orderkey",
+            right_schema=pa.schema([
+                pa.field("l_orderkey", pa.int64()),
+                pa.field("n_supp", pa.int64()),
+                pa.field("n_ret", pa.int64()),
+                pa.field("_c", pa.int64())])).map_batches(
+            lambda b: b.filter(pc.and_(
+                pc.greater_equal(b["n_supp"], pa.scalar(2)),
+                pc.equal(b["n_ret"], pa.scalar(1))))
+            .select(["l_orderkey", "l_suppkey", "r_cnt"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        final_orders = _distinct_filtered_keys(
+            sf_dir, "orders", "o_orderkey",
+            lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")),
+            columns=["o_orderkey", "o_orderstatus"])
+        qual = equi_join(qual, final_orders, on="l_orderkey",
+                         right_on="o_orderkey", how="semi")
+    except ValueError as ex:
+        if "right side is empty" in str(ex):
+            return empty
+        raise
+    # SQL counts one row per qualifying l1 LINEITEM, not per pair — a
+    # supplier with three returned items on the order contributes 3
+    counts = grouped_agg(qual, ["l_suppkey"], {"r_cnt": "numwait"},
+                         count_alias="_c")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    named = equi_join(supp, counts.select_columns(
+        ["l_suppkey", "numwait"]), on="s_suppkey",
+                      right_on="l_suppkey",
+                      right_schema=pa.schema([
+                          pa.field("l_suppkey", pa.int64()),
+                          pa.field("numwait", pa.int64())])).to_pandas()
+    if named.empty or "s_name" not in named.columns:
+        return empty
+    # SQL groups by NAME: distinct suppliers sharing a name merge here
+    out = named.groupby("s_name", as_index=False)["numwait"].sum()
+    out["numwait"] = out["numwait"].astype("int64")
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+def cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H Q2 essence (ORACLED): the ARGMIN-per-group join — for
+    every part ever sold, the supplier offering its MINIMUM sale price
+    (ties broken by supplier key, SQL row_number semantics). Per-batch
+    Arrow group_by("min") partials reduce to the (part, supplier) pair
+    aggregate under Ray's Min — min is order-free and EXACT on 2-dp
+    doubles, so the cross-engine compare carries no float-sum drift;
+    the argmin runs inside ONE coarse part-hash partition of the pair
+    aggregate (parts never split, only pair rows ride the shuffle);
+    names attach to the one-row-per-part winner set."""
+    from ray.data.aggregate import Min
+
+    from ..joins import equi_join
+    from ..util import partitioned_group_apply
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("l_extendedprice", "min")])
+        return agg.rename_columns(["l_partkey", "l_suppkey", "_pmin"])
+
+    pairs = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072) \
+        .groupby(["l_partkey", "l_suppkey"]).aggregate(
+            Min("_pmin", alias_name="best_price"))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_partkey", "best_price", "l_suppkey"],
+                            kind="mergesort")
+        return df.groupby("l_partkey", as_index=False).head(1)
+
+    winners = partitioned_group_apply(pairs, ["l_partkey"], pick)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = equi_join(supp, winners, on="s_suppkey",
+                    right_on="l_suppkey",
+                    right_schema=pa.schema([
+                        pa.field("l_partkey", pa.int64()),
+                        pa.field("l_suppkey", pa.int64()),
+                        pa.field("best_price", pa.float64())])) \
+        .to_pandas()
+    if out.empty or "l_partkey" not in out.columns:
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "best_price": pd.Series([], dtype="float64")})
+    out = out.rename(columns={"l_partkey": "p_partkey"})
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["p_partkey", "s_suppkey", "s_name", "best_price"]] \
+        .sort_values("p_partkey").reset_index(drop=True)

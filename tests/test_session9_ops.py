@@ -370,3 +370,90 @@ def test_q16_all_blocklisted_typed_empty(tmp_path):
     out = q16_supplier_count(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["p_brand", "p_type", "supplier_cnt"]
+
+
+def test_q21_quantifier_pair_and_per_lineitem_count(tmp_path):
+    """The double quantifier: a returning supplier qualifies only on
+    MULTI-supplier orders (EXISTS) where NO OTHER supplier returned
+    (NOT EXISTS); the count is per qualifying LINEITEM — three returned
+    items on one order contribute 3; non-finalized orders are out."""
+    from jsonschema_ray.pipelines.relational import q21_lone_returner
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3", "S4"])}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([10, 20, 30, 40], type=pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        # order 10: supp 1 returns THREE items, supp 2 clean -> S1 +3
+        # order 20: supp 1 and supp 2 BOTH return -> neither (NOT
+        #           EXISTS fails)
+        # order 30: supp 3 returns but is the ONLY supplier -> EXISTS
+        #           fails
+        # order 40: supp 4 returns beside a clean co-supplier but the
+        #           order is open ('O') -> excluded
+        "l_orderkey": pa.array([10, 10, 10, 10, 20, 20, 30, 40, 40],
+                               type=pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1, 2, 1, 2, 3, 4, 1],
+                              type=pa.int64()),
+        "l_returnflag": pa.array(["R", "R", "R", "N", "R", "R", "R",
+                                  "R", "N"])}))
+    out = q21_lone_returner(str(tmp_path))
+    assert out.to_dict("records") == [{"s_name": "S1", "numwait": 3}]
+
+
+def test_q21_no_qualifiers_typed_empty(tmp_path):
+    from jsonschema_ray.pipelines.relational import q21_lone_returner
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1], type=pa.int64()),
+        "s_name": pa.array(["S1"])}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([10], type=pa.int64()),
+        "o_orderstatus": pa.array(["F"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([10], type=pa.int64()),
+        "l_suppkey": pa.array([1], type=pa.int64()),
+        "l_returnflag": pa.array(["N"])}))
+    out = q21_lone_returner(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["s_name", "numwait"]
+
+
+def test_cheapest_supplier_argmin_tiebreak(tmp_path):
+    """Per-part ARGMIN with SQL row_number tie-breaking: the pair min
+    is the MINIMUM over that supplier's sales (not first/last); equal
+    minima go to the lower supplier key; parts resolve independently."""
+    from jsonschema_ray.pipelines.relational import (
+        cheapest_supplier_per_part)
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        # part 1: supp 2 sells at 9 then 5 (min 5), supp 1 at 6 ->
+        #         supp 2 wins at 5.0
+        # part 2: supp 1 and supp 3 both min at 4.0 -> tie, supp 1
+        "l_partkey": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "l_suppkey": pa.array([2, 2, 1, 3, 1], type=pa.int64()),
+        "l_extendedprice": pa.array([9.0, 5.0, 6.0, 4.0, 4.0])}))
+    out = cheapest_supplier_per_part(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"p_partkey": 1, "s_suppkey": 2, "s_name": "S2",
+         "best_price": 5.0},
+        {"p_partkey": 2, "s_suppkey": 1, "s_name": "S1",
+         "best_price": 4.0}]
+
+
+def test_cheapest_supplier_empty_typed(tmp_path):
+    from jsonschema_ray.pipelines.relational import (
+        cheapest_supplier_per_part)
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1], type=pa.int64()),
+        "s_name": pa.array(["S1"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([], type=pa.int64()),
+        "l_suppkey": pa.array([], type=pa.int64()),
+        "l_extendedprice": pa.array([], type=pa.float64())}))
+    out = cheapest_supplier_per_part(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["p_partkey", "s_suppkey", "s_name",
+                                 "best_price"]
