@@ -133,6 +133,29 @@ def _distinct_filtered_keys(sf_dir: str, table: str, key: str,
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _broadcast_key_filter(ds, col: str, keys):
+    """Broadcast MEMBERSHIP prune — the small-side analog of a semi
+    join for a driver-resident key set. The keys ship once (ray.put);
+    each worker converts them to an Arrow value_set ONCE per column
+    type (worker_cached — pa.array + is_in's hash-set build must not
+    re-run per batch, the heavy_hitters rule); every batch filters to
+    rows whose ``col`` is in the set. Callers bound the key set's size
+    before choosing this path over a distributed semi join."""
+    import ray
+
+    from ..util import worker_cached
+    ref = ray.put(np.asarray(keys))
+
+    def prune(b: pa.Table) -> pa.Table:
+        t = b.schema.field(col).type
+        vs = worker_cached(("bkf", ref.hex(), col, str(t)),
+                           lambda: pa.array(ray.get(ref), type=t))
+        return b.filter(pc.is_in(b[col], value_set=vs))
+
+    return ds.map_batches(prune, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # validation rule sets (leaf keywords + combinators over testdata)
 
@@ -3120,20 +3143,7 @@ def heavy_hitters_cms_events(sf_dir: str, threshold: int = 80,
         if cand.empty or "user_id" not in cand.columns:
             return empty
         cand_ids = np.unique(cand["user_id"].to_numpy())
-        cref = ray.put(cand_ids)
-
-        def prune(b: pa.Table) -> pa.Table:
-            t = b.schema.field("user_id").type
-            vs = worker_cached(
-                # cache the CONVERTED Arrow value_set, not the raw
-                # numpy payload — pa.array + is_in's hash-set build
-                # must not re-run per batch
-                ("cms_cand", cref.hex(), str(t)),
-                lambda: pa.array(ray.get(cref), type=t))
-            return b.filter(pc.is_in(b["user_id"], value_set=vs))
-
-        stream = ds.map_batches(prune, batch_format="pyarrow",
-                                zero_copy_batch=True)
+        stream = _broadcast_key_filter(ds, "user_id", cand_ids)
     counts = grouped_agg(stream, ["user_id"], {}, count_alias="n")
     surv = counts.map_batches(
         lambda b: b.filter(pc.greater_equal(
@@ -3769,29 +3779,25 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#3"):
     of integers carry no float order drift); the final sum of 2-dp
     prices divided by 7 can never sit at a rounding boundary (sum·100
     is integral, and k/7 has no fractional part of exactly .5)."""
+    import functools
+
     import ray
 
     from ..util import worker_cached
-    part_keys = _read(sf_dir, "part",
-                      columns=["p_partkey", "p_brand"]).map_batches(
-        lambda b: pa.table({"p_partkey": pc.unique(
-            b.filter(pc.equal(b["p_brand"], brand))["p_partkey"])}),
-        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    part_keys = _distinct_filtered_keys(
+        sf_dir, "part", "p_partkey",
+        lambda b: b.filter(pc.equal(b["p_brand"], brand)),
+        columns=["p_partkey", "p_brand"]).to_pandas()
     if part_keys.empty or "p_partkey" not in part_keys.columns:
         return pd.DataFrame({"avg_yearly": pd.Series([float("nan")])})
-    keys_ref = ray.put(pa.array(part_keys["p_partkey"].to_numpy(),
-                                type=pa.int64()))
-
-    def prune(b: pa.Table, *, ref) -> pa.Table:
-        ks = worker_cached(("q17keys", ref.hex()), lambda: ray.get(ref))
-        return b.filter(pc.is_in(b["l_partkey"], value_set=ks))
-
-    import functools
-    li = _read(sf_dir, "lineitem",
-               columns=["l_partkey", "l_quantity",
-                        "l_extendedprice"]).map_batches(
-        functools.partial(prune, ref=keys_ref),
-        batch_format="pyarrow", zero_copy_batch=True)
+    # the brand slice (~1/|brands| of the corpus, 3 columns) is
+    # consumed twice (per-part averages, then the threshold compare):
+    # materialize it once instead of re-running the full lineitem
+    # read + prune for the second pass
+    li = _broadcast_key_filter(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"]),
+        "l_partkey", part_keys["p_partkey"].to_numpy()).materialize()
     per_part = grouped_agg(li, ["l_partkey"],
                            {"l_quantity": "qty_sum"},
                            count_alias="qty_n").to_pandas()
@@ -3920,10 +3926,7 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
     a ratio of large sums rounded at 4 dp, far inside float drift."""
     import datetime as dt
 
-    import ray
-
     from ..joins import equi_join
-    from ..util import worker_cached
     lo, hi = dt.datetime(1995, 1, 1), dt.datetime(1996, 12, 31)
     nat = _read(sf_dir, "nation",
                 columns=["n_nationkey", "n_name", "n_regionkey"]) \
@@ -3941,19 +3944,14 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
         return empty
     target_key = int(target.iloc[0]) if len(target) else None
 
-    part_keys = _read(sf_dir, "part",
-                      columns=["p_partkey", "p_type"]).map_batches(
-        lambda b: pa.table({"p_partkey": pc.unique(
-            b.filter(pc.equal(b["p_type"], p_type))["p_partkey"])}),
-        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    part_keys = _distinct_filtered_keys(
+        sf_dir, "part", "p_partkey",
+        lambda b: b.filter(pc.equal(b["p_type"], p_type)),
+        columns=["p_partkey", "p_type"]).to_pandas()
     if part_keys.empty or "p_partkey" not in part_keys.columns:
         return empty
-    pk_ref = ray.put(pa.array(part_keys["p_partkey"].to_numpy(),
-                              type=pa.int64()))
 
-    def li_prune(b: pa.Table, *, ref) -> pa.Table:
-        ks = worker_cached(("q8parts", ref.hex()), lambda: ray.get(ref))
-        b = b.filter(pc.is_in(b["l_partkey"], value_set=ks))
+    def vol_proj(b: pa.Table) -> pa.Table:
         return pa.table({
             "l_orderkey": b["l_orderkey"],
             "l_suppkey": b["l_suppkey"],
@@ -3961,12 +3959,12 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
                                   pc.subtract(pa.scalar(1.0),
                                               b["l_discount"]))})
 
-    import functools
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_partkey", "l_suppkey",
-                        "l_extendedprice", "l_discount"]).map_batches(
-        functools.partial(li_prune, ref=pk_ref),
-        batch_format="pyarrow", zero_copy_batch=True)
+    li = _broadcast_key_filter(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_suppkey",
+                       "l_extendedprice", "l_discount"]),
+        "l_partkey", part_keys["p_partkey"].to_numpy()).map_batches(
+        vol_proj, batch_format="pyarrow", zero_copy_batch=True)
     supp = _read(sf_dir, "supplier",
                  columns=["s_suppkey", "s_nationkey"])
 
@@ -4005,6 +4003,14 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
                       {"volume": "vol"}, count_alias="_n").to_pandas()
     if agg.empty or "o_year" not in agg.columns:
         return empty
+    # SQL inner-joins nation n2: a supplier whose nationkey is absent
+    # from the nation table contributes to NEITHER sum. The membership
+    # check runs on the per-(year, nation) aggregate — exact, since
+    # membership is a property of s_nationkey alone.
+    agg = agg[agg["s_nationkey"].isin(
+        set(int(k) for k in nat["n_nationkey"]))]
+    if agg.empty:
+        return empty
     den = agg.groupby("o_year")["vol"].sum()
     num = agg[agg["s_nationkey"] == target_key] \
         .groupby("o_year")["vol"].sum() if target_key is not None \
@@ -4026,7 +4032,16 @@ def q16_supplier_count(sf_dir: str):
     set (brand, type, suppkey — aggregate-shaped, corpus never
     gathers) and the count is a second groupby over that aggregate."""
     from ..joins import equi_join
-    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    # SQL makes a NULL l_suppkey row invisible TWICE over: NOT IN with
+    # a non-empty list evaluates NULL to UNKNOWN (row excluded), and
+    # count(DISTINCT l_suppkey) ignores NULLs — while the anti join
+    # would KEEP a null probe key and the groupby would count the
+    # (brand, type, NULL) group. Drop nulls up front so every
+    # downstream step agrees with the oracle.
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b["l_suppkey"])),
+        batch_format="pyarrow", zero_copy_batch=True)
     bad = _distinct_filtered_keys(
         sf_dir, "supplier", "s_suppkey",
         lambda b: b.filter(pc.less(b["s_acctbal"], pa.scalar(0.0))),
@@ -4087,8 +4102,12 @@ def q21_lone_returner(sf_dir: str):
             "_r": pc.cast(pc.equal(b["l_returnflag"], "R"),
                           pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
+    # the pair aggregate is consumed TWICE (order stats + returners):
+    # materialize it once — aggregate-shaped, one row per
+    # (order, supplier) — instead of re-running the lineitem read and
+    # the combiner groupby for the second consumer (the q15 rule)
     pairs = grouped_agg(li, ["l_orderkey", "l_suppkey"],
-                        {"_r": "r_cnt"}, count_alias="_n")
+                        {"_r": "r_cnt"}, count_alias="_n").materialize()
     stats_in = pairs.map_batches(
         lambda b: pa.table({
             "l_orderkey": b["l_orderkey"],

@@ -457,3 +457,62 @@ def test_cheapest_supplier_empty_typed(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["p_partkey", "s_suppkey", "s_name",
                                  "best_price"]
+
+
+def test_q8_unknown_supplier_nation_excluded(tmp_path):
+    """A supplier whose nationkey is ABSENT from the nation table
+    contributes to NEITHER sum (SQL's inner join to nation n2 drops
+    those rows) — review pin: the denominator must not keep them."""
+    from jsonschema_ray.pipelines.relational import q8_market_share
+    _write(tmp_path, "region", pa.table({
+        "r_regionkey": pa.array([0], type=pa.int64()),
+        "r_name": pa.array(["ASIA"])}))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([5, 6], type=pa.int64()),
+        "n_name": pa.array(["NATION_5", "NATION_6"]),
+        "n_regionkey": pa.array([0, 0], type=pa.int64())}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_nationkey": pa.array([5], type=pa.int64())}))
+    _write(tmp_path, "supplier", pa.table({
+        # supp 2's nation 99 does not exist
+        "s_suppkey": pa.array([1, 2], type=pa.int64()),
+        "s_nationkey": pa.array([5, 99], type=pa.int64())}))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1], type=pa.int64()),
+        "p_type": pa.array(["ECONOMY"])}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1995, 2, 1)], type=TS)}))
+    _write(tmp_path, "lineitem", pa.table({
+        # target supp 1: 100; ghost-nation supp 2: 900 (dropped)
+        "l_orderkey": pa.array([1, 1], type=pa.int64()),
+        "l_partkey": pa.array([1, 1], type=pa.int64()),
+        "l_suppkey": pa.array([1, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 900.0]),
+        "l_discount": pa.array([0.0, 0.0])}))
+    out = q8_market_share(str(tmp_path))
+    # share = 100/100, NOT 100/1000
+    assert out.to_dict("records") == [{"o_year": 1995, "mkt_share": 1.0}]
+
+
+def test_q16_null_suppkey_invisible(tmp_path):
+    """A NULL l_suppkey row is invisible to SQL twice over (NOT IN
+    with a non-empty list excludes it; count(DISTINCT) ignores NULL) —
+    review pin: the anti join must not keep it as a counted group."""
+    from jsonschema_ray.pipelines.relational import q16_supplier_count
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2], type=pa.int64()),
+        "s_acctbal": pa.array([10.0, -1.0])}))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1], type=pa.int64()),
+        "p_brand": pa.array(["Brand#1"]),
+        "p_type": pa.array(["SMALL"]),
+        "p_size": pa.array([5], type=pa.int64())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1, 1], type=pa.int64()),
+        "l_suppkey": pa.array([1, None], type=pa.int64())}))
+    out = q16_supplier_count(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"p_brand": "Brand#1", "p_type": "SMALL", "supplier_cnt": 1}]
