@@ -170,6 +170,16 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
     timed("mahalanobis_outliers",
           lambda: len(R.embedding_outliers_mahalanobis(sf_dir)))
     timed("funnel_events", lambda: len(R.funnel_events(sf_dir)))
+    timed("q7_volume_shipping", lambda: len(R.q7_volume_shipping(sf_dir)))
+    timed("q18_large_volume_orders",
+          lambda: len(R.q18_large_volume_orders(sf_dir)))
+    timed("q8_market_share", lambda: len(R.q8_market_share(sf_dir)))
+    timed("q16_supplier_count", lambda: len(R.q16_supplier_count(sf_dir)))
+    timed("q21_lone_returner", lambda: len(R.q21_lone_returner(sf_dir)))
+    timed("cheapest_supplier_per_part",
+          lambda: len(R.cheapest_supplier_per_part(sf_dir)))
+    timed("q13_customer_distribution",
+          lambda: len(R.q13_customer_distribution(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

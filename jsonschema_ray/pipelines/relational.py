@@ -89,6 +89,47 @@ def grouped_agg(ds, keys: list[str], sums: dict[str, str],
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def grouped_agg_hash(ds, keys: list[str], sums: dict[str, str],
+                     count_alias: str = "n_rows",
+                     mins: dict[str, str] = None):
+    """High-cardinality variant of grouped_agg: when the group count is
+    near the row count (PAIR aggregates — (order, supplier),
+    (part, supplier)), the per-batch combiner cannot reduce and Ray's
+    sort-based aggregate pays a full-corpus sort for nothing (measured
+    15-35 s vs 2-4 s at sf0.1). One per-batch Arrow combine bounds the
+    shuffle at one row per (key, batch), then ONE coarse hash-partition
+    shuffle + a vectorized Arrow group_by per partition finishes
+    exactly (keys never split across partitions). Same contract as
+    grouped_agg, plus optional ``mins`` (min is its own combiner).
+    Keys must be non-null (add_partition_column hashes concrete
+    values); callers filter null keys first."""
+    from ..util import partitioned_group_apply
+    sum_cols, min_cols = list(sums), list(mins or {})
+    names = (list(keys) + [f"{c}_ps" for c in sum_cols]
+             + [f"{c}_pm" for c in min_cols] + ["_pc"])
+    out_names = (list(keys) + [sums[c] for c in sum_cols]
+                 + [(mins or {})[c] for c in min_cols] + [count_alias])
+
+    def combine(t: pa.Table, final: bool) -> pa.Table:
+        if final:
+            aggs = [(f"{c}_ps", "sum") for c in sum_cols] \
+                + [(f"{c}_pm", "min") for c in min_cols] \
+                + [("_pc", "sum")]
+        else:
+            aggs = [(c, "sum") for c in sum_cols] \
+                + [(c, "min") for c in min_cols] + [([], "count_all")]
+        agg = t.group_by(list(keys)).aggregate(aggs)
+        return agg.rename_columns(out_names if final else names)
+
+    partials = ds.select_columns(
+        list(keys) + sum_cols + min_cols).map_batches(
+        lambda b: combine(b, final=False), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=131072)
+    return partitioned_group_apply(
+        partials, keys, lambda t: combine(t, final=True),
+        batch_format="pyarrow")
+
+
 def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2):
     for c in cols:
         df[c] = df[c].round(nd)
@@ -3314,8 +3355,11 @@ def q18_large_volume_orders(sf_dir: str, threshold: float = 180.0):
     and the sum hash exactly across engines."""
     from ..joins import equi_join
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    per_order = grouped_agg(li, ["l_orderkey"],
-                            {"l_quantity": "sum_qty"}, count_alias="_n")
+    # per-ORDER keys are near row cardinality: the hash-partition
+    # aggregate, not Ray's sort-based one (15.2 s -> measured faster)
+    per_order = grouped_agg_hash(li, ["l_orderkey"],
+                                 {"l_quantity": "sum_qty"},
+                                 count_alias="_n")
     big = per_order.map_batches(
         lambda b: b.select(["l_orderkey", "sum_qty"]).filter(
             pc.greater(b["sum_qty"], pa.scalar(float(threshold)))),
@@ -4066,8 +4110,10 @@ def q16_supplier_count(sf_dir: str):
         if "right side is empty" in str(ex):
             return empty
         raise
-    distinct = grouped_agg(j, ["p_brand", "p_type", "l_suppkey"], {},
-                           count_alias="_n")
+    # the distinct key set is high-cardinality (brands × types ×
+    # suppliers): hash-partition dedup, then the tiny count groupby
+    distinct = grouped_agg_hash(j, ["p_brand", "p_type", "l_suppkey"],
+                                {}, count_alias="_n")
     out = grouped_agg(distinct, ["p_brand", "p_type"], {},
                       count_alias="supplier_cnt").to_pandas()
     if out.empty or "p_brand" not in out.columns:
@@ -4083,16 +4129,17 @@ def q21_lone_returner(sf_dir: str):
     """TPC-H Q21 shape (ORACLED): suppliers who were the ONLY supplier
     with a returned item on a multi-supplier finalized order — the
     double CORRELATED quantifier (EXISTS another supplier ∧ NOT EXISTS
-    another returning supplier) at lineitem grain. Both quantifiers
-    reduce to per-order aggregates over the (order, supplier) PAIR
-    aggregate: one combiner groupby builds the pairs with their
-    return counts (the only corpus-sized pass), a second tiny groupby
-    over the pair aggregate yields (n_suppliers, n_returning) per
-    order, and the quantifier pair becomes a vectorized filter
-    (n_suppliers ≥ 2 ∧ n_returning = 1) on the returning pairs joined
-    to those stats. Finalized orders prune via the per-batch-distinct
-    semi join; names attach to the bounded per-supplier counts."""
+    another returning supplier) at lineitem grain. Everything
+    per-order — the pair counts, the (n_suppliers, n_returning) stats
+    and the quantifier filter — runs inside ONE order-hash partition
+    pass: per-batch Arrow combines bound the shuffle at one row per
+    (order, supplier, batch), the partition fn evaluates both
+    quantifiers vectorized, and only the qualifying (order, supplier,
+    r_cnt) rows leave it. Finalized orders prune via the
+    per-batch-distinct semi join; names attach to the bounded
+    per-supplier counts."""
     from ..joins import equi_join
+    from ..util import partitioned_group_apply
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey",
                         "l_returnflag"]).map_batches(
@@ -4102,41 +4149,37 @@ def q21_lone_returner(sf_dir: str):
             "_r": pc.cast(pc.equal(b["l_returnflag"], "R"),
                           pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
-    # the pair aggregate is consumed TWICE (order stats + returners):
-    # materialize it once — aggregate-shaped, one row per
-    # (order, supplier) — instead of re-running the lineitem read and
-    # the combiner groupby for the second consumer (the q15 rule)
-    pairs = grouped_agg(li, ["l_orderkey", "l_suppkey"],
-                        {"_r": "r_cnt"}, count_alias="_n").materialize()
-    stats_in = pairs.map_batches(
-        lambda b: pa.table({
-            "l_orderkey": b["l_orderkey"],
-            "_one": pa.array(np.ones(len(b), dtype=np.int64)),
-            "_hr": pc.cast(pc.greater(b["r_cnt"], pa.scalar(0)),
-                           pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    order_stats = grouped_agg(stats_in, ["l_orderkey"],
-                              {"_one": "n_supp", "_hr": "n_ret"},
-                              count_alias="_c")
-    returners = pairs.map_batches(
-        lambda b: b.filter(pc.greater(b["r_cnt"], pa.scalar(0)))
-        .select(["l_orderkey", "l_suppkey", "r_cnt"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    partials = li.map_batches(
+        lambda b: b.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("_r", "sum")]).rename_columns(
+            ["l_orderkey", "l_suppkey", "_r"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=131072)
+
+    def quantifiers(t: pa.Table) -> pa.Table:
+        pairs = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("_r", "sum")]).rename_columns(
+            ["l_orderkey", "l_suppkey", "r_cnt"])
+        ret = pc.cast(pc.greater(pairs["r_cnt"], pa.scalar(0)),
+                      pa.int64())
+        stats = pairs.append_column("_hr", ret) \
+            .group_by(["l_orderkey"]).aggregate(
+            [([], "count_all"), ("_hr", "sum")]).rename_columns(
+            ["l_orderkey", "n_supp", "n_ret"])
+        ok = stats.filter(pc.and_(
+            pc.greater_equal(stats["n_supp"], pa.scalar(2)),
+            pc.equal(stats["n_ret"], pa.scalar(1))))["l_orderkey"]
+        out = pairs.filter(pc.and_(
+            pc.greater(pairs["r_cnt"], pa.scalar(0)),
+            pc.is_in(pairs["l_orderkey"],
+                     value_set=_combine_col(ok))))
+        return out
+
+    qual = partitioned_group_apply(partials, ["l_orderkey"],
+                                   quantifiers, batch_format="pyarrow")
     empty = pd.DataFrame({"s_name": pd.Series([], dtype="object"),
                           "numwait": pd.Series([], dtype="int64")})
     try:
-        qual = equi_join(
-            returners, order_stats, on="l_orderkey",
-            right_schema=pa.schema([
-                pa.field("l_orderkey", pa.int64()),
-                pa.field("n_supp", pa.int64()),
-                pa.field("n_ret", pa.int64()),
-                pa.field("_c", pa.int64())])).map_batches(
-            lambda b: b.filter(pc.and_(
-                pc.greater_equal(b["n_supp"], pa.scalar(2)),
-                pc.equal(b["n_ret"], pa.scalar(1))))
-            .select(["l_orderkey", "l_suppkey", "r_cnt"]),
-            batch_format="pyarrow", zero_copy_batch=True)
         final_orders = _distinct_filtered_keys(
             sf_dir, "orders", "o_orderkey",
             lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")),
@@ -4178,8 +4221,6 @@ def cheapest_supplier_per_part(sf_dir: str):
     the argmin runs inside ONE coarse part-hash partition of the pair
     aggregate (parts never split, only pair rows ride the shuffle);
     names attach to the one-row-per-part winner set."""
-    from ray.data.aggregate import Min
-
     from ..joins import equi_join
     from ..util import partitioned_group_apply
     li = _read(sf_dir, "lineitem",
@@ -4190,17 +4231,24 @@ def cheapest_supplier_per_part(sf_dir: str):
             [("l_extendedprice", "min")])
         return agg.rename_columns(["l_partkey", "l_suppkey", "_pmin"])
 
-    pairs = li.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=131072) \
-        .groupby(["l_partkey", "l_suppkey"]).aggregate(
-            Min("_pmin", alias_name="best_price"))
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["l_partkey", "best_price", "l_suppkey"],
-                            kind="mergesort")
-        return df.groupby("l_partkey", as_index=False).head(1)
+    def pick(t: pa.Table) -> pa.Table:
+        # pair-min AND per-part argmin inside ONE part-hash partition:
+        # the pair lives wholly in its part's partition, so a single
+        # shuffle of the per-batch min partials answers both levels
+        pairs = t.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("_pmin", "min")]).rename_columns(
+            ["l_partkey", "l_suppkey", "best_price"])
+        df = pairs.to_pandas().sort_values(
+            ["l_partkey", "best_price", "l_suppkey"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("l_partkey", as_index=False).head(1),
+            preserve_index=False)
 
-    winners = partitioned_group_apply(pairs, ["l_partkey"], pick)
+    winners = partitioned_group_apply(partials, ["l_partkey"], pick,
+                                      batch_format="pyarrow")
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     out = equi_join(supp, winners, on="s_suppkey",
                     right_on="l_suppkey",
