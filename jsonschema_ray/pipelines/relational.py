@@ -2821,7 +2821,12 @@ def curate_documents(sf_dir: str, window: int = 2048):
                                "pack_id": pd.Series([], dtype="int64")})
     out = full.merge(packed[["doc_id", "pack_id"]], on="doc_id",
                      how="left")
-    out["pack_id"] = out["pack_id"].astype("Int64")
+    # canon parity with the oracle: DuckDB's pandas conversion answers
+    # a nullable BIGINT as float64+NaN when nulls exist (off-train rows
+    # always do), int64 otherwise — NOT pandas Int64/<NA> (the funnel
+    # conv_bp rule)
+    out["pack_id"] = out["pack_id"].astype(
+        "int64" if out["pack_id"].notna().all() else "float64")
     return out[["doc_id", "n_tokens", "split", "pack_id"]] \
         .sort_values("doc_id").reset_index(drop=True)
 
