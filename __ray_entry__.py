@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_lone_returner": R.q21_lone_returner,         # oracled
         "cheapest_supplier_per_part":
             R.cheapest_supplier_per_part,                 # oracled
+        "events_cube": R.events_cube,                     # oracled
+        "nation_customer_names": R.nation_customer_names,  # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -615,6 +617,17 @@ SELECT p_partkey, q.l_suppkey AS s_suppkey, s_name, best_price FROM (
   FROM lineitem GROUP BY l_partkey, l_suppkey
 ) q JOIN supplier ON q.l_suppkey = s_suppkey
 WHERE rn = 1 ORDER BY p_partkey""",
+        "events_cube": """
+SELECT CAST(grouping(event_type) AS BIGINT) AS g_type,
+       CAST(grouping(dow) AS BIGINT) AS g_dow,
+       event_type, dow, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow
+      FROM events WHERE ts IS NOT NULL)
+GROUP BY CUBE (event_type, dow)
+ORDER BY g_type, g_dow, event_type, dow""",
+        "nation_customer_names": """
+SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
         "events_dow_pivot": """
 SELECT event_type,
        CAST(sum(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dow_0,

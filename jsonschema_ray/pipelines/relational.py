@@ -4273,3 +4273,92 @@ def cheapest_supplier_per_part(sf_dir: str):
     out["s_suppkey"] = out["s_suppkey"].astype("int64")
     return out[["p_partkey", "s_suppkey", "s_name", "best_price"]] \
         .sort_values("p_partkey").reset_index(drop=True)
+
+
+def events_cube(sf_dir: str):
+    """GROUPING SETS / CUBE (ORACLED): event counts for all four
+    grouping sets of (event_type, day-of-week) with explicit
+    ``grouping()`` marker columns — the markers are what let a REAL
+    null group key (null event_type is a real SQL group here) stay
+    distinct from the rolled-up level that also answers NULL. One
+    combiner groupby over the finest set is the only corpus-sized
+    pass; the three coarser levels derive from the ≤ types×7 fine
+    aggregate on the driver (counts are additive, the derivation is
+    exact). The dow column answers the DuckDB pandas convention:
+    float64 with NaN on rolled rows (nullable BIGINT → float64)."""
+    def proj(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["ts"]))
+        return pa.table({
+            "event_type": f["event_type"],
+            "dow": pc.cast(pc.day_of_week(
+                f["ts"], count_from_zero=True, week_start=7),
+                pa.int64())})
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts"]).map_batches(
+        proj, batch_format="pyarrow", zero_copy_batch=True)
+    fine = grouped_agg(ds, ["event_type", "dow"], {},
+                       count_alias="n").to_pandas()
+    cols = ["g_type", "g_dow", "event_type", "dow", "n"]
+    if fine.empty or "event_type" not in fine.columns:
+        return pd.DataFrame({
+            "g_type": pd.Series([], dtype="int64"),
+            "g_dow": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "dow": pd.Series([], dtype="float64"),
+            "n": pd.Series([], dtype="int64")})
+    fine["n"] = fine["n"].astype("int64")
+    fine["dow"] = fine["dow"].astype("float64")
+    lvl00 = fine.assign(g_type=0, g_dow=0)
+    by_type = fine.groupby("event_type", dropna=False,
+                           as_index=False)["n"].sum() \
+        .assign(g_type=0, g_dow=1, dow=float("nan"))
+    by_dow = fine.groupby("dow", as_index=False)["n"].sum() \
+        .assign(g_type=1, g_dow=0, event_type=None)
+    total = pd.DataFrame([{"g_type": 1, "g_dow": 1, "event_type": None,
+                           "dow": float("nan"),
+                           "n": int(fine["n"].sum())}])
+    out = pd.concat([lvl00[cols], by_type[cols], by_dow[cols],
+                     total[cols]], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["g_type", "g_dow", "event_type", "dow"],
+                           na_position="last").reset_index(drop=True)
+
+
+def nation_customer_names(sf_dir: str):
+    """Grouped ORDER-SENSITIVE string aggregation (ORACLED vs DuckDB
+    string_agg(name, ',' ORDER BY name)): the one aggregate whose merge
+    is only associative under a global per-group ORDER, so it cannot
+    partial-combine per batch — each group's rows meet ONCE inside a
+    key-hash partition (groups never split), sort there, and join.
+    NULL names are skipped like SQL; a group with only NULL names
+    answers NULL, not ''. Inherent contract (same as SQL engines): one
+    group's concatenated payload must fit its partition's worker."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_name"])
+
+    # groups with only-NULL names must survive with names=NULL: carry
+    # the full key set per partition and left-join the joined strings
+    def join_names(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[["c_nationkey"]].drop_duplicates()
+        ok = df[df["c_name"].notna()].sort_values(
+            ["c_nationkey", "c_name"], kind="mergesort")
+        agg = ok.groupby("c_nationkey", dropna=False)["c_name"] \
+            .agg(",".join).reset_index().rename(
+            columns={"c_name": "names"})
+        out = keys.merge(agg, on="c_nationkey", how="left")
+        return out
+
+    out = partitioned_group_apply(ds, ["c_nationkey"],
+                                  join_names).to_pandas()
+    if out.empty or "c_nationkey" not in out.columns:
+        return pd.DataFrame({
+            "c_nationkey": pd.Series([], dtype="int64"),
+            "names": pd.Series([], dtype="object")})
+    # DuckDB pandas convention: a NULL group key makes the int column
+    # float64+NaN; all-concrete keys stay int64 (the curate rule)
+    out["c_nationkey"] = out["c_nationkey"].astype(
+        "int64" if out["c_nationkey"].notna().all() else "float64")
+    return out[["c_nationkey", "names"]] \
+        .sort_values("c_nationkey", na_position="last") \
+        .reset_index(drop=True)

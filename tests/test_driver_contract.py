@@ -104,6 +104,7 @@ def oracle_pairs():
     "q17_small_quantity_revenue", "q19_discounted_revenue",
     "q8_market_share", "q16_supplier_count",
     "q21_lone_returner", "cheapest_supplier_per_part",
+    "events_cube", "nation_customer_names",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

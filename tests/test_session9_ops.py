@@ -5,6 +5,8 @@ the sf oracles run in test_driver_contract / the driver harness."""
 
 import datetime as dt
 import math
+
+import pandas as pd
 import os
 
 import pyarrow as pa
@@ -516,3 +518,48 @@ def test_q16_null_suppkey_invisible(tmp_path):
     out = q16_supplier_count(str(tmp_path))
     assert out.to_dict("records") == [
         {"p_brand": "Brand#1", "p_type": "SMALL", "supplier_cnt": 1}]
+
+
+def test_events_cube_null_group_vs_rolled_level(tmp_path):
+    """A REAL null event_type group stays distinct from the rolled-up
+    level that also answers NULL — the grouping() markers carry the
+    difference; null-ts rows are invisible; every level's counts are
+    additive projections of the finest set."""
+    import math as _m
+
+    from jsonschema_ray.pipelines.relational import events_cube
+    # Sunday 1995-01-01 (dow 0), Monday 1995-01-02 (dow 1)
+    _write(tmp_path, "events", pa.table({
+        "event_type": pa.array(["a", "a", None, None]),
+        "ts": pa.array([dt.datetime(1995, 1, 1),
+                        dt.datetime(1995, 1, 2),
+                        dt.datetime(1995, 1, 1), None], type=TS)}))
+    out = events_cube(str(tmp_path))
+    assert len(out) == 8  # 3 fine + 2 types + 2 dows + 1 grand total
+    fine = out[(out.g_type == 0) & (out.g_dow == 0)]
+    assert len(fine) == 3  # (a,0) (a,1) (NULL,0) — null ts dropped
+    null_grp = fine[fine["event_type"].isna()]
+    assert null_grp["n"].tolist() == [1]
+    by_type = out[(out.g_type == 0) & (out.g_dow == 1)]
+    assert sorted(by_type["n"].tolist()) == [1, 2]
+    assert by_type["dow"].isna().all()
+    total = out[(out.g_type == 1) & (out.g_dow == 1)]
+    assert total["n"].tolist() == [3]
+    assert _m.isnan(total["dow"].iloc[0])
+
+
+def test_string_agg_order_null_name_and_null_key(tmp_path):
+    """The aggregate string is ordered BY NAME inside each group
+    (order-sensitive — partials cannot combine); NULL names are
+    skipped; a group with only NULL names answers NULL (not '');
+    a NULL group KEY is a real SQL group."""
+    from jsonschema_ray.pipelines.relational import nation_customer_names
+    _write(tmp_path, "customer", pa.table({
+        "c_nationkey": pa.array([1, 1, 1, 2, None], type=pa.int64()),
+        "c_name": pa.array(["zeta", "alpha", None, None, "solo"])}))
+    out = nation_customer_names(str(tmp_path))
+    byk = {(-1 if pd.isna(r.c_nationkey) else int(r.c_nationkey)):
+           r.names for r in out.itertuples()}
+    assert byk[1] == "alpha,zeta"
+    assert pd.isna(byk[2])
+    assert byk[-1] == "solo"
