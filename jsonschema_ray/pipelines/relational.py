@@ -90,39 +90,33 @@ def grouped_agg(ds, keys: list[str], sums: dict[str, str],
 
 
 def grouped_agg_hash(ds, keys: list[str], sums: dict[str, str],
-                     count_alias: str = "n_rows",
-                     mins: dict[str, str] = None):
+                     count_alias: str = "n_rows"):
     """High-cardinality variant of grouped_agg: when the group count is
     near the row count (PAIR aggregates — (order, supplier),
     (part, supplier)), the per-batch combiner cannot reduce and Ray's
     sort-based aggregate pays a full-corpus sort for nothing (measured
-    15-35 s vs 2-4 s at sf0.1). One per-batch Arrow combine bounds the
+    15-35 s vs 1-2 s at sf0.1). One per-batch Arrow combine bounds the
     shuffle at one row per (key, batch), then ONE coarse hash-partition
     shuffle + a vectorized Arrow group_by per partition finishes
     exactly (keys never split across partitions). Same contract as
-    grouped_agg, plus optional ``mins`` (min is its own combiner).
-    Keys must be non-null (add_partition_column hashes concrete
-    values); callers filter null keys first."""
+    grouped_agg. Null keys co-locate (hash64_array's fixed sentinel)
+    and form SQL-style null groups."""
     from ..util import partitioned_group_apply
-    sum_cols, min_cols = list(sums), list(mins or {})
-    names = (list(keys) + [f"{c}_ps" for c in sum_cols]
-             + [f"{c}_pm" for c in min_cols] + ["_pc"])
+    sum_cols = list(sums)
+    names = list(keys) + [f"{c}_ps" for c in sum_cols] + ["_pc"]
     out_names = (list(keys) + [sums[c] for c in sum_cols]
-                 + [(mins or {})[c] for c in min_cols] + [count_alias])
+                 + [count_alias])
 
     def combine(t: pa.Table, final: bool) -> pa.Table:
         if final:
             aggs = [(f"{c}_ps", "sum") for c in sum_cols] \
-                + [(f"{c}_pm", "min") for c in min_cols] \
                 + [("_pc", "sum")]
         else:
-            aggs = [(c, "sum") for c in sum_cols] \
-                + [(c, "min") for c in min_cols] + [([], "count_all")]
+            aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
         agg = t.group_by(list(keys)).aggregate(aggs)
         return agg.rename_columns(out_names if final else names)
 
-    partials = ds.select_columns(
-        list(keys) + sum_cols + min_cols).map_batches(
+    partials = ds.select_columns(list(keys) + sum_cols).map_batches(
         lambda b: combine(b, final=False), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=131072)
     return partitioned_group_apply(
@@ -3846,14 +3840,23 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#3"):
     li = _broadcast_key_filter(
         _read(sf_dir, "lineitem",
               columns=["l_partkey", "l_quantity", "l_extendedprice"]),
-        "l_partkey", part_keys["p_partkey"].to_numpy()).materialize()
+        "l_partkey", part_keys["p_partkey"].to_numpy()).map_batches(
+        # SQL avg ignores NULL quantities: the divisor must count only
+        # valid values, not count_all (review pin) — carried as a
+        # per-row validity column summed by the combiner groupby
+        lambda b: b.append_column("_qv", pc.cast(
+            pc.is_valid(b["l_quantity"]), pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     per_part = grouped_agg(li, ["l_partkey"],
-                           {"l_quantity": "qty_sum"},
-                           count_alias="qty_n").to_pandas()
+                           {"l_quantity": "qty_sum", "_qv": "qty_n"},
+                           count_alias="_c").to_pandas()
     if per_part.empty or "l_partkey" not in per_part.columns:
         return pd.DataFrame({"avg_yearly": pd.Series([float("nan")])})
-    thr = 0.5 * per_part["qty_sum"].to_numpy() \
-        / per_part["qty_n"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # a part whose quantities are ALL null: SQL's avg is NULL and
+        # the `<` never fires — 0/0 -> NaN gives the same exclusion
+        thr = 0.5 * per_part["qty_sum"].to_numpy() \
+            / per_part["qty_n"].to_numpy()
     thr_ref = ray.put((pa.array(per_part["l_partkey"].to_numpy(),
                                 type=pa.int64()),
                        np.asarray(thr, dtype=np.float64)))
@@ -4145,15 +4148,24 @@ def q21_lone_returner(sf_dir: str):
     per-supplier counts."""
     from ..joins import equi_join
     from ..util import partitioned_group_apply
+    def li_proj(b: pa.Table) -> pa.Table:
+        # a NULL l_suppkey line is invisible to the WHOLE oracle: the
+        # supplier join never matches it as l1, and l2/l3's
+        # `l_suppkey <> l1.l_suppkey` evaluates NULL to UNKNOWN — so
+        # it must count in NEITHER quantifier (the q16 rule)
+        b = b.filter(pc.is_valid(b["l_suppkey"]))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            # a NULL returnflag is not a return ('= R' is UNKNOWN) but
+            # the line still counts as another supplier for EXISTS
+            "_r": pc.fill_null(pc.cast(pc.equal(b["l_returnflag"], "R"),
+                                       pa.int64()), 0)})
+
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey",
                         "l_returnflag"]).map_batches(
-        lambda b: pa.table({
-            "l_orderkey": b["l_orderkey"],
-            "l_suppkey": b["l_suppkey"],
-            "_r": pc.cast(pc.equal(b["l_returnflag"], "R"),
-                          pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True)
+        li_proj, batch_format="pyarrow", zero_copy_batch=True)
     partials = li.map_batches(
         lambda b: b.group_by(["l_orderkey", "l_suppkey"]).aggregate(
             [("_r", "sum")]).rename_columns(
@@ -4242,15 +4254,24 @@ def cheapest_supplier_per_part(sf_dir: str):
     def pick(t: pa.Table) -> pa.Table:
         # pair-min AND per-part argmin inside ONE part-hash partition:
         # the pair lives wholly in its part's partition, so a single
-        # shuffle of the per-batch min partials answers both levels
+        # shuffle of the per-batch min partials answers both levels.
+        # ALL-ARROW: a pandas roundtrip would coerce a null-bearing
+        # int64 suppkey to float64 (join-type crash, and silent id
+        # corruption past 2^53). A NULL suppkey is a real SQL GROUP
+        # that competes in the ranking (ORDER BY l_suppkey NULLS LAST)
+        # — it can win a part and SHADOW a real supplier; the oracle's
+        # inner join then drops that part, so the null winner is
+        # filtered AFTER the argmin, never before.
         pairs = t.group_by(["l_partkey", "l_suppkey"]).aggregate(
             [("_pmin", "min")]).rename_columns(
-            ["l_partkey", "l_suppkey", "best_price"])
-        df = pairs.to_pandas().sort_values(
-            ["l_partkey", "best_price", "l_suppkey"], kind="mergesort")
-        return pa.Table.from_pandas(
-            df.groupby("l_partkey", as_index=False).head(1),
-            preserve_index=False)
+            ["l_partkey", "l_suppkey", "best_price"]).sort_by(
+            [("l_partkey", "ascending"), ("best_price", "ascending"),
+             ("l_suppkey", "ascending")])
+        pk = pairs["l_partkey"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(pk), dtype=bool)
+        first[1:] = pk[1:] != pk[:-1]
+        win = pairs.filter(pa.array(first))
+        return win.filter(pc.is_valid(win["l_suppkey"]))
 
     winners = partitioned_group_apply(partials, ["l_partkey"], pick,
                                       batch_format="pyarrow")
@@ -4301,12 +4322,11 @@ def events_cube(sf_dir: str):
                        count_alias="n").to_pandas()
     cols = ["g_type", "g_dow", "event_type", "dow", "n"]
     if fine.empty or "event_type" not in fine.columns:
-        return pd.DataFrame({
-            "g_type": pd.Series([], dtype="int64"),
-            "g_dow": pd.Series([], dtype="int64"),
-            "event_type": pd.Series([], dtype="object"),
-            "dow": pd.Series([], dtype="float64"),
-            "n": pd.Series([], dtype="int64")})
+        # SQL CUBE always emits the empty grouping set: even a zero-row
+        # input answers the grand-total row (count 0), not zero rows
+        return pd.DataFrame([{"g_type": 1, "g_dow": 1,
+                              "event_type": None,
+                              "dow": float("nan"), "n": 0}])[cols]
     fine["n"] = fine["n"].astype("int64")
     fine["dow"] = fine["dow"].astype("float64")
     lvl00 = fine.assign(g_type=0, g_dow=0)

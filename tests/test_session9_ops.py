@@ -5,10 +5,9 @@ the sf oracles run in test_driver_contract / the driver harness."""
 
 import datetime as dt
 import math
-
-import pandas as pd
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -563,3 +562,88 @@ def test_string_agg_order_null_name_and_null_key(tmp_path):
     assert byk[1] == "alpha,zeta"
     assert pd.isna(byk[2])
     assert byk[-1] == "solo"
+
+
+def test_cheapest_supplier_null_suppkey_shadows_then_drops(tmp_path):
+    """A NULL-suppkey group is a real SQL GROUP that competes in the
+    per-part ranking (ORDER BY suppkey NULLS LAST): when it wins a
+    part outright, the oracle's inner supplier join drops that part
+    entirely — and the pipeline must neither crash on the null int64
+    (the pandas-roundtrip coercion bug) nor let a pricier real
+    supplier inherit the win (review pin)."""
+    from jsonschema_ray.pipelines.relational import (
+        cheapest_supplier_per_part)
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2], type=pa.int64()),
+        "s_name": pa.array(["S1", "S2"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        # part 1: NULL supp at 4.0 beats supp 1 at 10.0 -> part 1
+        #         VANISHES (null winner dropped by the join)
+        # part 2: supp 2 at 7.0 TIES the NULL supp at 7.0 -> supp 2
+        #         wins (NULLS LAST), part survives
+        "l_partkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "l_suppkey": pa.array([None, 1, 2, None], type=pa.int64()),
+        "l_extendedprice": pa.array([4.0, 10.0, 7.0, 7.0])}))
+    out = cheapest_supplier_per_part(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"p_partkey": 2, "s_suppkey": 2, "s_name": "S2",
+         "best_price": 7.0}]
+
+
+def test_q21_null_suppkey_invisible_to_both_quantifiers(tmp_path):
+    """A NULL-suppkey line is invisible to the WHOLE oracle (the l1
+    join never matches it; l2/l3's <> evaluates NULL to UNKNOWN): it
+    must neither satisfy EXISTS-another-supplier nor defeat
+    NOT-EXISTS-another-returner (review pin)."""
+    from jsonschema_ray.pipelines.relational import q21_lone_returner
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"])}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([10, 20], type=pa.int64()),
+        "o_orderstatus": pa.array(["F", "F"])}))
+    _write(tmp_path, "lineitem", pa.table({
+        # order 10: supp 1 returns; the only OTHER line has NULL
+        #           suppkey -> EXISTS fails, supp 1 does NOT qualify
+        # order 20: supp 2 returns beside clean supp 3 AND a NULL
+        #           'R' line -> the null R must not defeat NOT EXISTS
+        "l_orderkey": pa.array([10, 10, 20, 20, 20], type=pa.int64()),
+        "l_suppkey": pa.array([1, None, 2, 3, None], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "R", "N", "R"])}))
+    out = q21_lone_returner(str(tmp_path))
+    assert out.to_dict("records") == [{"s_name": "S2", "numwait": 1}]
+
+
+def test_q17_null_quantity_excluded_from_avg(tmp_path):
+    """SQL's avg ignores NULL quantities: the per-part threshold
+    divides by the VALID count, not count(*) (review pin — the
+    deflated threshold wrongly excluded qualifying rows)."""
+    from jsonschema_ray.pipelines.relational import (
+        q17_small_quantity_revenue)
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1], type=pa.int64()),
+        "p_brand": pa.array(["Brand#3"])}))
+    # quantities [1, 5, NULL]: avg = 3 (not 2), thr = 1.5 -> the q=1
+    # row qualifies; with count(*) the thr would be 1.0 and nothing
+    # qualifies
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1, 1, 1], type=pa.int64()),
+        "l_quantity": pa.array([1.0, 5.0, None], type=pa.float64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0])}))
+    out = q17_small_quantity_revenue(str(tmp_path))
+    assert out["avg_yearly"].tolist() == [round(100.0 / 7.0, 2)]
+
+
+def test_events_cube_empty_input_grand_total(tmp_path):
+    """SQL CUBE always emits the empty grouping set: a zero-row (or
+    all-null-ts) input answers the single grand-total row with n=0,
+    not zero rows (review pin)."""
+    from jsonschema_ray.pipelines.relational import events_cube
+    _write(tmp_path, "events", pa.table({
+        "event_type": pa.array(["a"]),
+        "ts": pa.array([None], type=TS)}))
+    out = events_cube(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.g_type), int(r.g_dow), int(r.n)) == (1, 1, 0)
+    assert r.event_type is None and math.isnan(r.dow)
