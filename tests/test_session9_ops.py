@@ -647,3 +647,51 @@ def test_events_cube_empty_input_grand_total(tmp_path):
     r = out.iloc[0]
     assert (int(r.g_type), int(r.g_dow), int(r.n)) == (1, 1, 0)
     assert r.event_type is None and math.isnan(r.dow)
+
+
+def test_grouped_agg_hash_equals_sort_aggregate(tmp_path):
+    """Property net for the new hot helper: grouped_agg_hash must
+    answer EXACTLY what grouped_agg answers (same keys, sums, count)
+    on randomized multi-block tables with null group keys, null sum
+    values, high-cardinality keys and repeated rows — the two physical
+    plans (sort aggregate vs hash-partition + Arrow group_by) are
+    interchangeable by contract."""
+    import numpy as np
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.relational import (grouped_agg,
+                                                     grouped_agg_hash)
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = int(rng.integers(50, 400))
+        ks = rng.integers(0, max(2, n // 2), size=n).astype("int64")
+        k2 = rng.integers(0, 5, size=n).astype("int64")
+        vals = rng.normal(size=n) * rng.choice([0.01, 1, 1000])
+        vals[rng.random(n) < 0.1] = np.nan  # null sum values
+        k2_null = rng.random(n) < 0.1  # null GROUP KEYS are real groups
+        tb = pa.table({
+            "k": pa.array(ks),
+            "k2": pa.array([None if m else int(x)
+                            for m, x in zip(k2_null, k2)],
+                           type=pa.int64()),
+            "v": pa.array([None if np.isnan(x) else float(x)
+                           for x in vals], type=pa.float64())})
+        ds = rd.from_arrow(tb).repartition(int(rng.integers(1, 5)))
+        a = grouped_agg(ds, ["k", "k2"], {"v": "sv"},
+                        count_alias="n").to_pandas()
+        b = grouped_agg_hash(ds, ["k", "k2"], {"v": "sv"},
+                             count_alias="n").to_pandas()
+        a = a.sort_values(["k", "k2"], na_position="last") \
+            .reset_index(drop=True)
+        b = b.sort_values(["k", "k2"], na_position="last") \
+            .reset_index(drop=True)
+        assert a["k"].tolist() == b["k"].tolist(), f"trial {trial}"
+        ak2 = ["∅" if pd.isna(x) else int(x) for x in a["k2"]]
+        bk2 = ["∅" if pd.isna(x) else int(x) for x in b["k2"]]
+        assert ak2 == bk2
+        assert a["n"].astype("int64").tolist() == \
+            b["n"].astype("int64").tolist()
+        av = a["sv"].to_numpy(dtype="float64")
+        bv = b["sv"].to_numpy(dtype="float64")
+        ok = np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True)
+        assert ok.all(), f"trial {trial}: {av[~ok]} vs {bv[~ok]}"
