@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.cheapest_supplier_per_part,                 # oracled
         "events_cube": R.events_cube,                     # oracled
         "nation_customer_names": R.nation_customer_names,  # oracled
+        "q6_forecast_revenue": R.q6_forecast_revenue,     # oracled
+        "q12_shipmode_priority": R.q12_shipmode_priority,  # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -628,6 +630,25 @@ ORDER BY g_type, g_dow, event_type, dow""",
         "nation_customer_names": """
 SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
 FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "q6_forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+        "q12_shipmode_priority": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus""",
         "events_dow_pivot": """
 SELECT event_type,
        CAST(sum(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dow_0,

@@ -4382,3 +4382,101 @@ def nation_customer_names(sf_dir: str):
     return out[["c_nationkey", "names"]] \
         .sort_values("c_nationkey", na_position="last") \
         .reset_index(drop=True)
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 (ORACLED): the canonical scalar filter-aggregate — one
+    projected streaming pass, per-batch conditional partial sums, no
+    shuffle at all (the degenerate-but-common shape a 100 TB scan
+    reduces to when the answer is one number). Discount bounds compare
+    the same IEEE doubles both engines parsed from the same parquet
+    and the same literals, so the row set is bit-identical; the 2-dp
+    rounding of a sum of products holds the usual margin."""
+    import datetime as dt
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi))), pc.and_(
+            pc.and_(pc.greater_equal(b["l_discount"],
+                                     pa.scalar(0.05)),
+                    pc.less_equal(b["l_discount"], pa.scalar(0.07))),
+            pc.less(b["l_quantity"], pa.scalar(24.0))))
+        f = b.filter(m)
+        s = pc.sum(pc.multiply(f["l_extendedprice"],
+                               f["l_discount"])).as_py()
+        return pa.table({"_s": pa.array([0.0 if s is None else
+                                         float(s)]),
+                         "_n": pa.array([len(f)], type=pa.int64())})
+
+    parts = _read(sf_dir, "lineitem",
+                  columns=["l_shipdate", "l_discount", "l_quantity",
+                           "l_extendedprice"]).map_batches(
+        partial, batch_format="pyarrow",
+        zero_copy_batch=True).to_pandas()
+    if parts.empty or int(parts["_n"].sum()) == 0:
+        # SQL: sum over zero matching rows is NULL
+        return pd.DataFrame({"revenue": pd.Series([float("nan")])})
+    return pd.DataFrame({"revenue":
+                         pd.Series([round(float(parts["_s"].sum()), 2)])})
+
+
+def q12_shipmode_priority(sf_dir: str):
+    """TPC-H Q12 shape (ORACLED): conditional aggregation OVER A JOIN
+    — per lineitem status, how many joined orders carry urgent/high
+    priority vs the rest, for a one-year ship window (l_linestatus
+    stands in for the schema's missing l_shipmode). The lineitem side
+    prunes per batch to (orderkey, status); the priority flag is
+    computed per batch AFTER the size-chosen join; only per-(status)
+    conditional partials shuffle — the join stream never groups."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linestatus",
+                        "l_shipdate"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi))))
+        .select(["l_orderkey", "l_linestatus"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    empty = pd.DataFrame({
+        "l_linestatus": pd.Series([], dtype="object"),
+        "high_line_count": pd.Series([], dtype="int64"),
+        "low_line_count": pd.Series([], dtype="int64")})
+    try:
+        j = equi_join(li, orders, on="l_orderkey",
+                      right_on="o_orderkey")
+    except ValueError as ex:
+        if "right side is empty" in str(ex):
+            return empty
+        raise
+
+    def partial(b: pa.Table) -> pa.Table:
+        hi_p = pc.cast(pc.or_(
+            pc.equal(b["o_orderpriority"], "1-URGENT"),
+            pc.equal(b["o_orderpriority"], "2-HIGH")), pa.int64())
+        t = pa.table({"l_linestatus": b["l_linestatus"],
+                      "_h": pc.fill_null(hi_p, 0),
+                      "_l": pc.fill_null(pc.subtract(pa.scalar(1),
+                                                     hi_p), 0)})
+        agg = t.group_by(["l_linestatus"]).aggregate(
+            [("_h", "sum"), ("_l", "sum")])
+        return agg.rename_columns(["l_linestatus", "_h", "_l"])
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=131072)
+    out = grouped_agg(parts, ["l_linestatus"],
+                      {"_h": "high_line_count",
+                       "_l": "low_line_count"},
+                      count_alias="_c").to_pandas()
+    if out.empty or "l_linestatus" not in out.columns:
+        return empty
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out[["l_linestatus", "high_line_count", "low_line_count"]] \
+        .sort_values("l_linestatus").reset_index(drop=True)

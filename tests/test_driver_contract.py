@@ -105,6 +105,7 @@ def oracle_pairs():
     "q8_market_share", "q16_supplier_count",
     "q21_lone_returner", "cheapest_supplier_per_part",
     "events_cube", "nation_customer_names",
+    "q6_forecast_revenue", "q12_shipmode_priority",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -695,3 +695,49 @@ def test_grouped_agg_hash_equals_sort_aggregate(tmp_path):
         bv = b["sv"].to_numpy(dtype="float64")
         ok = np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True)
         assert ok.all(), f"trial {trial}: {av[~ok]} vs {bv[~ok]}"
+
+
+def test_q6_bounds_and_empty_null(tmp_path):
+    """Q6's BETWEEN bounds are inclusive, quantity strictly below, the
+    window half-open; zero matching rows answer SQL's NULL sum."""
+    from jsonschema_ray.pipelines.relational import q6_forecast_revenue
+    lo = dt.datetime(1996, 1, 1)
+    _write(tmp_path, "lineitem", pa.table({
+        "l_shipdate": pa.array([lo, lo, lo, lo,
+                                dt.datetime(1997, 1, 1)], type=TS),
+        "l_discount": pa.array([0.05, 0.07, 0.04, 0.05, 0.06]),
+        "l_quantity": pa.array([10.0, 23.0, 10.0, 24.0, 10.0]),
+        "l_extendedprice": pa.array([100.0, 200.0, 999.0, 999.0,
+                                     999.0])}))
+    out = q6_forecast_revenue(str(tmp_path))
+    # rows 1+2 qualify: 100*0.05 + 200*0.07 = 19.0; row 3 discount
+    # below band, row 4 quantity AT the cap, row 5 at the window end
+    assert out["revenue"].tolist() == [19.0]
+    _write(tmp_path, "lineitem", pa.table({
+        "l_shipdate": pa.array([dt.datetime(1990, 1, 1)], type=TS),
+        "l_discount": pa.array([0.06]),
+        "l_quantity": pa.array([1.0]),
+        "l_extendedprice": pa.array([1.0])}))
+    out = q6_forecast_revenue(str(tmp_path))
+    assert len(out) == 1 and math.isnan(out["revenue"].iloc[0])
+
+
+def test_q12_priority_split_and_null_priority(tmp_path):
+    """Conditional aggregation over the join: URGENT/HIGH orders count
+    high, the rest low, and a NULL priority counts in NEITHER column
+    (both SQL CASEs answer their ELSE on UNKNOWN)."""
+    from jsonschema_ray.pipelines.relational import q12_shipmode_priority
+    lo = dt.datetime(1996, 2, 1)
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_orderpriority": pa.array(["2-HIGH", "5-LOW", None])}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 1], type=pa.int64()),
+        "l_linestatus": pa.array(["O", "O", "O", "F"]),
+        "l_shipdate": pa.array([lo, lo, lo, lo], type=TS)}))
+    out = q12_shipmode_priority(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"l_linestatus": "F", "high_line_count": 1,
+         "low_line_count": 0},
+        {"l_linestatus": "O", "high_line_count": 1,
+         "low_line_count": 1}]
