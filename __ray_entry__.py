@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer_names": R.nation_customer_names,  # oracled
         "q6_forecast_revenue": R.q6_forecast_revenue,     # oracled
         "q12_shipmode_priority": R.q12_shipmode_priority,  # oracled
+        "source_quota_documents": R.source_quota_documents,  # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -637,6 +638,12 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24""",
+        "source_quota_documents": """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3 ORDER BY doc_id""",
         "q12_shipmode_priority": """
 SELECT l_linestatus,
        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'

@@ -4480,3 +4480,43 @@ def q12_shipmode_priority(sf_dir: str):
     out["low_line_count"] = out["low_line_count"].astype("int64")
     return out[["l_linestatus", "high_line_count", "low_line_count"]] \
         .sort_values("l_linestatus").reset_index(drop=True)
+
+
+def source_quota_documents(sf_dir: str, quota: int = 3):
+    """Per-source QUOTA sampling (ORACLED): keep at most ``quota``
+    documents per source, best-first (longest, ties by id) — the
+    domain-cap pass every web-curation pipeline runs so no single
+    domain dominates the training mix. Rank-per-group distributes in
+    two levels: each batch pre-prunes to its own per-source top-quota
+    (the global top-quota of a source is a subset of the union of
+    per-batch top-quotas — the _partial_topk argument, per group), so
+    at most quota rows per (source, batch) ride the ONE source-hash
+    shuffle; the partition pass ranks vectorized (cumcount) and cuts.
+    A NULL source is a real SQL group (fixed-sentinel co-location)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True],
+                            na_position="last", kind="mergesort")
+        keep = df.groupby("source", dropna=False).cumcount() < quota
+        return df[keep]
+
+    pruned = ds.map_batches(
+        lambda b: pa.Table.from_pandas(pick(b.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=131072)
+    out = partitioned_group_apply(pruned, ["source"], pick).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype="object"),
+            "n_chars": pd.Series([], dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype(
+        "int64" if out["n_chars"].notna().all() else "float64")
+    return out[["doc_id", "source", "n_chars"]].sort_values("doc_id") \
+        .reset_index(drop=True)

@@ -741,3 +741,21 @@ def test_q12_priority_split_and_null_priority(tmp_path):
          "low_line_count": 0},
         {"l_linestatus": "O", "high_line_count": 1,
          "low_line_count": 1}]
+
+
+def test_source_quota_rank_tiebreak_and_null_source(tmp_path):
+    """Per-source quota keeps the LONGEST docs with id tie-breaking;
+    a NULL source is its own capped group; NULL n_chars ranks last
+    (SQL DESC NULLS LAST); the per-batch pre-prune cannot lose a
+    global winner."""
+    from jsonschema_ray.pipelines.relational import source_quota_documents
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(list(range(1, 9)), type=pa.int64()),
+        "source": pa.array(["a", "a", "a", "a", None, None, None,
+                            None]),
+        # source a: lengths 10,30,30,20 -> keep 30(id2),30(id3),20(id4)
+        # source NULL: 5,NULL,7,6 -> keep 7(id7),6(id8),5(id5)
+        "n_chars": pa.array([10, 30, 30, 20, 5, None, 7, 6],
+                            type=pa.int64())}))
+    out = source_quota_documents(str(tmp_path), quota=3)
+    assert sorted(out["doc_id"].tolist()) == [2, 3, 4, 5, 7, 8]
