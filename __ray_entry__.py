@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": R.q6_forecast_revenue,     # oracled
         "q12_shipmode_priority": R.q12_shipmode_priority,  # oracled
         "source_quota_documents": R.source_quota_documents,  # oracled
+        "ann_hard_negatives_embeddings":
+            R.ann_hard_negatives_embeddings,              # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -638,6 +640,22 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24""",
+        "ann_hard_negatives_embeddings": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label IS DISTINCT FROM q.ql),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(s, 6) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
         "source_quota_documents": """
 SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars,

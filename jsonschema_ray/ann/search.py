@@ -127,6 +127,63 @@ def _brute_force_batch(batch: pa.Table, *, queries_ref, vec_col: str,
                          qids=qids, id_col=id_col)
 
 
+def _hard_negative_batch(batch: pa.Table, *, queries_ref, vec_col: str,
+                         id_col: str, label_col: str, k: int) -> pa.Table:
+    from ..util import worker_cached
+    q = worker_cached(("annqh", queries_ref.hex()),
+                      lambda: ray.get(queries_ref))
+    Q, qids, qlabels = q["matrix"], q["ids"], q["labels"]
+    id_type = batch.schema.field(id_col).type
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    out_q, out_id, out_s = [], [], []
+    if batch.num_rows and len(Q):
+        labels = np.asarray(batch.column(label_col).to_pylist(),
+                            dtype=object)
+        V = _as_matrix(batch.column(vec_col))
+        sim = Q @ V.T
+        for qi in range(sim.shape[0]):
+            # SQL IS NOT DISTINCT FROM: equal labels — including
+            # both-NULL — are positives and excluded; the exclusion
+            # also removes the query vector itself (same label)
+            same = labels == qlabels[qi]
+            row = sim[qi].copy()
+            row[same.astype(bool)] = np.nan  # _local_topk drops NaN
+            sel_id, sel_s = _local_topk(row, ids, k)
+            out_q.append(np.full(len(sel_id), qids[qi]))
+            out_id.append(sel_id)
+            out_s.append(sel_s)
+    return _result_table(out_q, out_id, out_s, id_type=id_type,
+                         qids=qids, id_col=id_col)
+
+
+def hard_negative_topk(ds, queries, query_labels, query_ids=None,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       label_col: str = "label", k: int = 10,
+                       batch_size: int = 65536) -> pd.DataFrame:
+    """Hard-negative mining: exact cosine top-k per query RESTRICTED to
+    vectors whose label differs from the query's (SQL
+    ``IS DISTINCT FROM`` — a both-NULL pair counts as SAME and is
+    excluded). The contrastive-training retrieval pass: same
+    per-batch partial top-k + driver merge as brute_force_topk, the
+    label mask applied vectorized inside the batch scorer — the corpus
+    never gathers and the filter never re-scans."""
+    Q = _as_matrix(queries)
+    qids = np.asarray(query_ids if query_ids is not None
+                      else np.arange(len(Q)))
+    import functools
+    ref = ray.put({"matrix": Q, "ids": qids,
+                   "labels": np.asarray(list(query_labels),
+                                        dtype=object)})
+    cand = ds.select_columns([id_col, vec_col, label_col]).map_batches(
+        functools.partial(_hard_negative_batch, queries_ref=ref,
+                          vec_col=vec_col, id_col=id_col,
+                          label_col=label_col, k=k),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size).to_pandas()
+    return _merge_topk(cand, id_col, k)
+
+
 def _merge_topk(candidates: pd.DataFrame, id_col: str, k: int) -> \
         pd.DataFrame:
     """Global merge of per-batch candidates: exact top-k per query with a

@@ -4520,3 +4520,27 @@ def source_quota_documents(sf_dir: str, quota: int = 3):
         "int64" if out["n_chars"].notna().all() else "float64")
     return out[["doc_id", "source", "n_chars"]].sort_values("doc_id") \
         .reset_index(drop=True)
+
+
+def ann_hard_negatives_embeddings(sf_dir: str):
+    """Hard-negative mining (ORACLED): for each of the 5 query vectors,
+    the exact cosine top-10 among vectors of a DIFFERENT label — the
+    contrastive-training retrieval pass (positives share the query's
+    label and must not surface). Same per-batch partial top-k + driver
+    merge as ann_topk; the label mask applies vectorized inside the
+    batch scorer, so the filter costs no extra scan and the corpus
+    never gathers."""
+    import duckdb
+
+    from ..ann import hard_negative_topk
+    q = duckdb.sql(
+        f"""SELECT vec_id, embedding, label
+            FROM read_parquet('{sf_dir}/embeddings.parquet')
+            ORDER BY vec_id LIMIT 5""").df()
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    out = hard_negative_topk(ds, q["embedding"].tolist(),
+                             q["label"].tolist(),
+                             query_ids=q["vec_id"].to_numpy(), k=10)
+    out["score"] = out["score"].round(6)
+    return out

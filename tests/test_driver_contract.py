@@ -106,7 +106,7 @@ def oracle_pairs():
     "q21_lone_returner", "cheapest_supplier_per_part",
     "events_cube", "nation_customer_names",
     "q6_forecast_revenue", "q12_shipmode_priority",
-    "source_quota_documents",
+    "source_quota_documents", "ann_hard_negatives_embeddings",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

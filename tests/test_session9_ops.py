@@ -759,3 +759,30 @@ def test_source_quota_rank_tiebreak_and_null_source(tmp_path):
                             type=pa.int64())}))
     out = source_quota_documents(str(tmp_path), quota=3)
     assert sorted(out["doc_id"].tolist()) == [2, 3, 4, 5, 7, 8]
+
+
+def test_hard_negative_excludes_same_label_and_self(tmp_path):
+    """The label mask: same-label vectors (including the query itself
+    and both-NULL label pairs — SQL IS NOT DISTINCT FROM) never
+    surface; different-label vectors rank by exact cosine."""
+    import numpy as np
+
+    from jsonschema_ray.pipelines.relational import (
+        ann_hard_negatives_embeddings)
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(8, 4))
+    vecs = [list(map(float, v)) for v in base]
+    # query = vec_id 0, label 'x'; ids 1,2 share 'x' (positives);
+    # id 3 has NULL label (negative vs 'x'); ids 4-7 label 'y'
+    _write(tmp_path, "embeddings", pa.table({
+        "vec_id": pa.array(list(range(8)), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+        "label": pa.array(["x", "x", "x", None, "y", "y", "y", "y"])}))
+    out = ann_hard_negatives_embeddings(str(tmp_path))
+    got0 = out[out["query_id"] == 0]
+    assert set(got0["vec_id"]) <= {3, 4, 5, 6, 7}
+    assert 0 not in set(got0["vec_id"])
+    # the NULL-label query (vec_id 3): both-NULL pairs are SAME ->
+    # only labeled vectors can surface
+    got3 = out[out["query_id"] == 3]
+    assert 3 not in set(got3["vec_id"])
