@@ -180,6 +180,11 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.cheapest_supplier_per_part(sf_dir)))
     timed("q13_customer_distribution",
           lambda: len(R.q13_customer_distribution(sf_dir)))
+    timed("source_quota_documents",
+          lambda: len(R.source_quota_documents(sf_dir)))
+    timed("events_cube", lambda: len(R.events_cube(sf_dir)))
+    timed("ann_hard_negatives",
+          lambda: len(R.ann_hard_negatives_embeddings(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {
