@@ -30,7 +30,10 @@ CORPUS_SIZES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
 # parallel compute that the fixed orchestration cost (~2-4 s of Ray
 # shuffle/setup in the two narrow-projection passes) is amortized into
 # the compute-bound stage-A decode, which scales at the hardware ceiling
-SCALING_FACTOR = 30
+# overridable: a larger factor amortizes the fixed Ray orchestration
+# (~15-20 s of shuffle/setup independent of corpus size) further into
+# the compute-bound decode, i.e. closer to the 100-TB design point
+SCALING_FACTOR = int(os.environ.get("GRAFT_SCALING_FACTOR", "30"))
 CORPUS_CACHE = "/tmp/jsonschema_ray_bench"
 
 
