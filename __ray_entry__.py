@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota_documents": R.source_quota_documents,  # oracled
         "ann_hard_negatives_embeddings":
             R.ann_hard_negatives_embeddings,              # oracled
+        "winsorize_events": R.winsorize_events_by_type,   # oracled
+        "upsample_documents": R.upsample_documents,       # oracled
+        "fuzzy_name_pairs_customers":
+            R.fuzzy_name_pairs_customers,                 # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -662,6 +666,35 @@ SELECT doc_id, source, n_chars FROM (
          row_number() OVER (PARTITION BY source
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents) WHERE rn <= 3 ORDER BY doc_id""",
+        "winsorize_events": """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL THEN NULL
+            WHEN e.value < b.lo THEN b.lo
+            WHEN e.value > b.hi THEN b.hi
+            ELSE e.value END AS value_w
+FROM events e
+LEFT JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
+ORDER BY e.event_id""",
+        "upsample_documents": """
+SELECT doc_id, source,
+       unnest(generate_series(
+           1, CASE source WHEN 'src0' THEN 3
+                          WHEN 'src1' THEN 2 ELSE 1 END)) AS copy
+FROM documents ORDER BY doc_id, copy""",
+        "fuzzy_name_pairs_customers": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY id_a, id_b""",
         "q12_shipmode_priority": """
 SELECT l_linestatus,
        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'

@@ -188,6 +188,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
     timed("events_cube", lambda: len(R.events_cube(sf_dir)))
     timed("ann_hard_negatives",
           lambda: len(R.ann_hard_negatives_embeddings(sf_dir)))
+    timed("winsorize_events",
+          lambda: len(R.winsorize_events_by_type(sf_dir)))
+    timed("fuzzy_name_pairs",
+          lambda: len(R.fuzzy_name_pairs_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

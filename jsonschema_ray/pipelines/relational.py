@@ -4544,3 +4544,136 @@ def ann_hard_negatives_embeddings(sf_dir: str):
                              query_ids=q["vec_id"].to_numpy(), k=10)
     out["score"] = out["score"].round(6)
     return out
+
+
+def winsorize_events_by_type(sf_dir: str, lo_q: float = 0.05,
+                             hi_q: float = 0.95):
+    """Grouped WINSORIZATION (ORACLED): clip events.value to the
+    per-event-type [p05, p95] band computed EXACTLY by the distributed
+    per-group value histogram (quantile_disc semantics, same machinery
+    as grouped_quantiles) — the robust-statistics normalization a
+    feature pipeline runs before scaling so per-group tails can't
+    dominate. Two passes: the bounds pass reads only (type, value) and
+    shuffles one row per (type, value, batch); the clip pass is an
+    embarrassingly-parallel broadcast-bounds map (the bounds table is
+    group-cardinality-sized — ship it via ray.put when types are many;
+    at 5 types it rides the closure). Like outlier_events_iqr, the
+    exact-histogram bounds suit bounded-distinct columns; the 100-TB
+    continuous-column path is the t-digest machinery (approximate
+    bounds, same clip pass).
+
+    SQL semantics pinned: a NULL event_type is a REAL group with its
+    own bounds (IS NOT DISTINCT FROM join); a NULL value stays NULL
+    (CASE returns NULL before touching the bounds); a group whose
+    values are all NULL has no bounds row and only NULL values, so the
+    LEFT JOIN's null bounds are unobservable. NaN values are excluded
+    from bounds AND pass through unclipped (np.where on NaN compares
+    false) — the repo's psi/drift convention, diverging from DuckDB's
+    NaN-above-everything total order; validation rules, not the
+    winsorizer, own NaN screening."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    # (type, value) groups are near row-cardinality on a continuous
+    # column — the grouped_agg_hash case, not the sort aggregate
+    hist = grouped_agg_hash(ds, ["event_type", "value"], {},
+                            count_alias="n").to_pandas()
+    hist = hist.dropna(subset=["value"])
+    if len(hist):
+        hist = hist[~np.isnan(hist["value"].to_numpy())]
+    bounds = {}
+    for k, g in hist.groupby("event_type", dropna=False):
+        g = g.sort_values("value")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["value"].to_numpy()
+        lo = vals[np.searchsorted(cum, max(int(np.ceil(lo_q * total)), 1))]
+        hi = vals[np.searchsorted(cum, max(int(np.ceil(hi_q * total)), 1))]
+        bounds[None if pd.isna(k) else k] = (float(lo), float(hi))
+
+    full = _read(sf_dir, "events",
+                 columns=["event_id", "event_type", "value"])
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["event_type"].where(df["event_type"].notna(), None)
+        lo = key.map({k: v[0] for k, v in bounds.items()}).to_numpy(
+            dtype="float64")
+        hi = key.map({k: v[1] for k, v in bounds.items()}).to_numpy(
+            dtype="float64")
+        v = df["value"].to_numpy(dtype="float64")
+        w = np.where(v < lo, lo, np.where(v > hi, hi, v))
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "event_type": df["event_type"],
+                             "value_w": w})
+
+    out = full.map_batches(clip, batch_format="pandas",
+                           batch_size=131072).to_pandas()
+    if out.empty or "event_id" not in out.columns:
+        return pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "value_w": pd.Series([], dtype="float64")})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def upsample_documents(sf_dir: str, weights: dict = None,
+                       default: int = 1):
+    """Training-mix UPSAMPLING (ORACLED): repeat each document
+    ``weights[source]`` times (default 1) with a 1-based copy index —
+    the per-source epoch-weighting pass that turns a curation mix
+    ("wikipedia ×3, books ×2, web ×1") into a physical training
+    stream. Embarrassingly parallel: one vectorized np.repeat per
+    batch, NO shuffle, no driver state; the weight table rides the
+    closure (ray.put it when the source vocabulary is large). A NULL
+    source takes the default weight (SQL CASE ELSE)."""
+    if weights is None:
+        weights = {"src0": 3, "src1": 2}
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pandas()
+        r = src.map(weights).fillna(default).astype("int64").to_numpy()
+        r = np.maximum(r, 0)
+        idx = np.repeat(np.arange(len(src), dtype=np.int64), r)
+        starts = np.concatenate(([0], np.cumsum(r)[:-1]))
+        copy = np.arange(int(r.sum()), dtype=np.int64) \
+            - np.repeat(starts, r) + 1
+        t = b.take(pa.array(idx))
+        return t.append_column("copy", pa.array(copy, pa.int64()))
+
+    out = ds.map_batches(rep, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         batch_size=131072).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype="object"),
+            "copy": pd.Series([], dtype="int64")})
+    return out.sort_values(["doc_id", "copy"]).reset_index(drop=True)
+
+
+def fuzzy_name_pairs_customers(sf_dir: str, max_dist: int = 2):
+    """Blocked FUZZY-MATCH record linkage (ORACLED): within each
+    (nation, market-segment) block, every customer-name pair at
+    Levenshtein distance ≤ 2 with id_a < id_b — the entity-resolution
+    pass that finds near-identical records exact dedup misses and
+    token-set near-dup is too coarse for. One block-key hash shuffle
+    of the narrow (block, id, name) projection; all-pairs generation
+    only within a block (the blocking contract — see
+    text/fuzzy.blocked_fuzzy_pairs). The oracle is the plain SQL
+    self-join with DuckDB's levenshtein; names are ASCII so the
+    byte-vs-code-point divergence is moot here."""
+    from ..text import blocked_fuzzy_pairs
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_nationkey",
+                        "c_mktsegment"])
+    out = blocked_fuzzy_pairs(
+        ds, ["c_nationkey", "c_mktsegment"], "c_name", "c_custkey",
+        max_dist=max_dist).to_pandas()
+    if out.empty or "id_a" not in out.columns:
+        return pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "dist": pd.Series([], dtype="int64")})
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

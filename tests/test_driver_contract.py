@@ -107,6 +107,8 @@ def oracle_pairs():
     "events_cube", "nation_customer_names",
     "q6_forecast_revenue", "q12_shipmode_priority",
     "source_quota_documents", "ann_hard_negatives_embeddings",
+    "winsorize_events", "upsample_documents",
+    "fuzzy_name_pairs_customers",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

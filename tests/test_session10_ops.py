@@ -1,0 +1,186 @@
+"""Session-10 operators: blocked fuzzy matching (vectorized
+Levenshtein record linkage), grouped winsorization, training-mix
+upsampling — crafted edge branches; the sf oracles run in
+test_driver_contract / the driver harness."""
+
+import itertools
+import math
+import os
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jsonschema_ray.text.fuzzy import blocked_fuzzy_pairs, levenshtein_many
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(tmp_path, f"{name}.parquet"))
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Pure-Python Wagner-Fischer over code points (the textbook
+    definition the vectorized DP must reproduce)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_many_matches_reference():
+    """Randomized pairs over varied lengths (incl. empty strings and
+    non-ASCII code points — distances count CODE POINTS, the pinned
+    divergence from DuckDB v1.0's byte counting on non-ASCII)."""
+    rng = random.Random(17)
+    alpha = "abcdeé𝕊"
+    pairs = [("", ""), ("", "xyz"), ("xyz", ""), ("é", "e"),
+             ("𝕊x", "Sx"), ("héllo", "hello")]
+    for _ in range(400):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        pairs.append((a, b))
+    got = levenshtein_many([p[0] for p in pairs], [p[1] for p in pairs])
+    exp = [_lev_ref(a, b) for a, b in pairs]
+    assert got.tolist() == exp
+    # the documented code-point pins
+    assert _lev_ref("é", "e") == 1 and _lev_ref("𝕊x", "Sx") == 1
+
+
+def _brute_pairs(rows, block_cols_idx, max_dist):
+    """(block..., id, text) tuples → SQL self-join reference."""
+    out = set()
+    for ra, rb in itertools.combinations(rows, 2):
+        ba, ia, ta = ra[:block_cols_idx], ra[block_cols_idx], \
+            ra[block_cols_idx + 1]
+        bb, ib, tb = rb[:block_cols_idx], rb[block_cols_idx], \
+            rb[block_cols_idx + 1]
+        if any(x is None for x in ba + bb) or None in (ia, ib, ta, tb):
+            continue
+        if ba != bb or ia == ib:
+            continue
+        lo, hi = (ia, ta), (ib, tb)
+        if ib < ia:
+            lo, hi = hi, lo
+        d = _lev_ref(lo[1], hi[1])
+        if d <= max_dist:
+            out.add((lo[0], hi[0], d))
+    return out
+
+
+def test_blocked_fuzzy_pairs_matches_brute_force(ray_session):
+    """Randomized blocks vs the pure-Python self-join: null block
+    keys / null ids / null texts are invisible (SQL join semantics),
+    id_a < id_b, cross-block pairs never form."""
+    import ray.data
+    rng = random.Random(23)
+    rows = []
+    for i in range(120):
+        blk = rng.choice(["b1", "b2", "b3", None])
+        txt = rng.choice(
+            ["kitten", "sitten", "sittin", "sitting", "mitten",
+             "kittens", None])
+        rid = None if rng.random() < 0.05 else i
+        rows.append((blk, rid, txt))
+    tb = pa.table({
+        "blk": pa.array([r[0] for r in rows]),
+        "rid": pa.array([r[1] for r in rows], type=pa.int64()),
+        "txt": pa.array([r[2] for r in rows])})
+    ds = ray.data.from_arrow(tb)
+    out = blocked_fuzzy_pairs(ds, ["blk"], "txt", "rid",
+                              max_dist=2).to_pandas()
+    got = set(zip(out["id_a"].astype("int64"),
+                  out["id_b"].astype("int64"),
+                  out["dist"].astype("int64")))
+    assert got == _brute_pairs(rows, 1, 2)
+
+
+def test_blocked_fuzzy_pairs_chunked_plan_identical(ray_session):
+    """A pair_chunk smaller than one row's pair fan-out forces the
+    row-chunked triu path through many slabs — identical output."""
+    import ray.data
+    rows = [("b", i, t) for i, t in enumerate(
+        ["kitten", "sitten", "mitten", "bitten", "kitty", "kittenz"])]
+    tb = pa.table({"blk": pa.array([r[0] for r in rows]),
+                   "rid": pa.array([r[1] for r in rows],
+                                   type=pa.int64()),
+                   "txt": pa.array([r[2] for r in rows])})
+    big = blocked_fuzzy_pairs(ray.data.from_arrow(tb), ["blk"], "txt",
+                              "rid", max_dist=3).to_pandas()
+    tiny = blocked_fuzzy_pairs(ray.data.from_arrow(tb), ["blk"], "txt",
+                               "rid", max_dist=3,
+                               pair_chunk=1).to_pandas()
+    key = ["id_a", "id_b", "dist"]
+    assert sorted(map(tuple, big[key].to_numpy().tolist())) == \
+        sorted(map(tuple, tiny[key].to_numpy().tolist()))
+
+
+def test_blocked_fuzzy_pairs_block_cap_raises(ray_session):
+    """The blocking contract: a block above max_block_rows raises
+    loudly instead of going silently quadratic."""
+    import ray.data
+    tb = pa.table({"blk": pa.array(["b"] * 10),
+                   "rid": pa.array(list(range(10)), type=pa.int64()),
+                   "txt": pa.array(["t%d" % i for i in range(10)])})
+    ds = blocked_fuzzy_pairs(ray.data.from_arrow(tb), ["blk"], "txt",
+                             "rid", max_block_rows=5)
+    with pytest.raises(Exception, match="max_block_rows"):
+        ds.to_pandas()
+
+
+def test_winsorize_null_type_group_null_value_and_nan(tmp_path):
+    """A NULL event_type is a REAL group with its own bounds; a NULL
+    value stays NULL; an all-NULL-value group emits only NULLs; a NaN
+    value passes through unclipped AND is excluded from the bounds
+    (the repo's psi/drift convention — the documented divergence from
+    DuckDB's NaN-above-everything total order)."""
+    from jsonschema_ray.pipelines.relational import (
+        winsorize_events_by_type)
+    # type a finite values: 1..20 plus 25 (n=21) -> quantile_disc
+    # p05 = value at ceil(0.05*21)=2 -> 2; p95 = ceil(0.95*21)=20 -> 20
+    vals = list(range(1, 21))
+    n = len(vals)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(list(range(1, n + 8)), type=pa.int64()),
+        "event_type": pa.array(["a"] * n + ["a"]
+                               + [None, None, None] + ["c", "c"]
+                               + ["a"]),
+        "value": pa.array(vals + [float("nan")]
+                          + [10.0, 100.0, None] + [None, None]
+                          + [25.0], type=pa.float64())}))
+    out = winsorize_events_by_type(str(tmp_path))
+    w = dict(zip(out["event_id"], out["value_w"]))
+    assert w[1] == 2.0                           # 1 clipped up to p05
+    assert w[3] == 3.0 and w[19] == 19.0         # interior untouched
+    assert w[n] == 20.0                          # 20 == p95, untouched
+    assert math.isnan(w[n + 1])                  # NaN passes through
+    assert w[n + 2] == 10.0 and w[n + 3] == 100.0  # null-type bounds
+    assert math.isnan(w[n + 4])                  # NULL value -> NULL
+    assert math.isnan(w[n + 5]) and math.isnan(w[n + 6])  # all-null grp
+    # NaN excluded from bounds: 25 clips to p95=20 — had NaN counted
+    # (DuckDB total order ranks it top), p95 over n=22 would be 25
+    # itself and the row would pass unclipped
+    assert w[n + 7] == 20.0
+
+
+def test_upsample_weights_null_source_and_zero_weight(tmp_path):
+    """weights[source] copies with a 1-based copy index; NULL source
+    takes the default; weight 0 drops the row (SQL
+    generate_series(1,0) is empty)."""
+    from jsonschema_ray.pipelines.relational import upsample_documents
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "source": pa.array(["a", "b", None, "z"])}))
+    out = upsample_documents(str(tmp_path),
+                             weights={"a": 3, "b": 0}, default=1)
+    recs = list(zip(out["doc_id"], out["copy"]))
+    assert recs == [(1, 1), (1, 2), (1, 3), (3, 1), (4, 1)]
+    assert out["copy"].dtype == np.dtype("int64")
