@@ -106,48 +106,41 @@ def _result_table(out_q: list, out_id: list, out_s: list, *,
     })
 
 
+def _norm_labels(seq) -> np.ndarray:
+    """Object array with EVERY missing-value flavor (None, float NaN,
+    pd.NA, NaT) normalized to None, so the IS-NOT-DISTINCT-FROM label
+    compare sees one canonical null on both the query and corpus sides
+    (NaN == NaN is False and would silently disable the both-NULL
+    exclusion)."""
+    return np.asarray([None if pd.isna(x) else x for x in seq],
+                      dtype=object)
+
+
 def _brute_force_batch(batch: pa.Table, *, queries_ref, vec_col: str,
-                       id_col: str, k: int) -> pa.Table:
+                       id_col: str, k: int,
+                       label_col=None) -> pa.Table:
     from ..util import worker_cached
     q = worker_cached(("annq", queries_ref.hex()),
                       lambda: ray.get(queries_ref))
     Q, qids = q["matrix"], q["ids"]          # (nq, dim), unit rows
+    qlabels = q.get("labels")
     id_type = batch.schema.field(id_col).type
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     out_q, out_id, out_s = [], [], []
     if batch.num_rows and len(Q):            # empty batch/queries → empty block
         V = _as_matrix(batch.column(vec_col))
         sim = Q @ V.T                        # (nq, nb)
+        labels = (_norm_labels(batch.column(label_col).to_pylist())
+                  if label_col is not None else None)
         for qi in range(sim.shape[0]):
-            sel_id, sel_s = _local_topk(sim[qi], ids, k)
-            out_q.append(np.full(len(sel_id), qids[qi]))
-            out_id.append(sel_id)
-            out_s.append(sel_s)
-    return _result_table(out_q, out_id, out_s, id_type=id_type,
-                         qids=qids, id_col=id_col)
-
-
-def _hard_negative_batch(batch: pa.Table, *, queries_ref, vec_col: str,
-                         id_col: str, label_col: str, k: int) -> pa.Table:
-    from ..util import worker_cached
-    q = worker_cached(("annqh", queries_ref.hex()),
-                      lambda: ray.get(queries_ref))
-    Q, qids, qlabels = q["matrix"], q["ids"], q["labels"]
-    id_type = batch.schema.field(id_col).type
-    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    out_q, out_id, out_s = [], [], []
-    if batch.num_rows and len(Q):
-        labels = np.asarray(batch.column(label_col).to_pylist(),
-                            dtype=object)
-        V = _as_matrix(batch.column(vec_col))
-        sim = Q @ V.T
-        for qi in range(sim.shape[0]):
-            # SQL IS NOT DISTINCT FROM: equal labels — including
-            # both-NULL — are positives and excluded; the exclusion
-            # also removes the query vector itself (same label)
-            same = labels == qlabels[qi]
-            row = sim[qi].copy()
-            row[same.astype(bool)] = np.nan  # _local_topk drops NaN
+            row = sim[qi]
+            if labels is not None:
+                # SQL IS NOT DISTINCT FROM: equal labels — including
+                # both-NULL — are positives and excluded; the exclusion
+                # also removes the query vector itself (same label)
+                same = labels == qlabels[qi]
+                row = row.copy()
+                row[same.astype(bool)] = np.nan  # _local_topk drops NaN
             sel_id, sel_s = _local_topk(row, ids, k)
             out_q.append(np.full(len(sel_id), qids[qi]))
             out_id.append(sel_id)
@@ -164,24 +157,15 @@ def hard_negative_topk(ds, queries, query_labels, query_ids=None,
     """Hard-negative mining: exact cosine top-k per query RESTRICTED to
     vectors whose label differs from the query's (SQL
     ``IS DISTINCT FROM`` — a both-NULL pair counts as SAME and is
-    excluded). The contrastive-training retrieval pass: same
-    per-batch partial top-k + driver merge as brute_force_topk, the
-    label mask applied vectorized inside the batch scorer — the corpus
-    never gathers and the filter never re-scans."""
-    Q = _as_matrix(queries)
-    qids = np.asarray(query_ids if query_ids is not None
-                      else np.arange(len(Q)))
-    import functools
-    ref = ray.put({"matrix": Q, "ids": qids,
-                   "labels": np.asarray(list(query_labels),
-                                        dtype=object)})
-    cand = ds.select_columns([id_col, vec_col, label_col]).map_batches(
-        functools.partial(_hard_negative_batch, queries_ref=ref,
-                          vec_col=vec_col, id_col=id_col,
-                          label_col=label_col, k=k),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size).to_pandas()
-    return _merge_topk(cand, id_col, k)
+    excluded; NaN/pd.NA labels normalize to the same null as None).
+    The contrastive-training retrieval pass — brute_force_topk with
+    the label mask applied vectorized inside the shared batch scorer,
+    so the corpus never gathers and the filter never re-scans."""
+    return brute_force_topk(ds, queries, query_ids=query_ids,
+                            vec_col=vec_col, id_col=id_col, k=k,
+                            batch_size=batch_size,
+                            query_labels=query_labels,
+                            label_col=label_col)
 
 
 def _merge_topk(candidates: pd.DataFrame, id_col: str, k: int) -> \
@@ -208,17 +192,27 @@ def _merge_topk(candidates: pd.DataFrame, id_col: str, k: int) -> \
 
 def brute_force_topk(ds, queries, query_ids=None, vec_col: str = "embedding",
                      id_col: str = "vec_id", k: int = 10,
-                     batch_size: int = 65536) -> pd.DataFrame:
+                     batch_size: int = 65536, query_labels=None,
+                     label_col: str = "label") -> pd.DataFrame:
     """Exact cosine top-k: → pandas ``(query_id, vec_id, score, rank)``
-    (small result: nq × k rows)."""
+    (small result: nq × k rows). With ``query_labels``, corpus rows
+    whose ``label_col`` equals the query's label (IS NOT DISTINCT
+    FROM — both-null is equal) are excluded: the hard-negative mask."""
     Q = _as_matrix(queries)
     qids = np.asarray(query_ids if query_ids is not None
                       else np.arange(len(Q)))
     import functools
-    ref = ray.put({"matrix": Q, "ids": qids})
-    cand = ds.select_columns([id_col, vec_col]).map_batches(
+    payload = {"matrix": Q, "ids": qids}
+    cols, lab = [id_col, vec_col], None
+    if query_labels is not None:
+        payload["labels"] = _norm_labels(list(query_labels))
+        cols.append(label_col)
+        lab = label_col
+    ref = ray.put(payload)
+    cand = ds.select_columns(cols).map_batches(
         functools.partial(_brute_force_batch, queries_ref=ref,
-                          vec_col=vec_col, id_col=id_col, k=k),
+                          vec_col=vec_col, id_col=id_col, k=k,
+                          label_col=lab),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size).to_pandas()
     return _merge_topk(cand, id_col, k)

@@ -4504,12 +4504,20 @@ def source_quota_documents(sf_dir: str, quota: int = 3):
         keep = df.groupby("source", dropna=False).cumcount() < quota
         return df[keep]
 
-    pruned = ds.map_batches(
-        lambda b: pa.Table.from_pandas(pick(b.to_pandas()),
-                                       preserve_index=False),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=131072)
-    out = partitioned_group_apply(pruned, ["source"], pick).to_pandas()
+    def pick_tbl(t: pa.Table) -> pa.Table:
+        # rank in pandas on NULLABLE Int64 — the plain roundtrip turns
+        # null-bearing int64 payloads into float64, rounding ids past
+        # 2^53 (the partitioned_group_apply docstring's pyarrow rule)
+        nullable_int = (lambda dt: pd.Int64Dtype()
+                        if pa.types.is_int64(dt) else None)
+        return pa.Table.from_pandas(
+            pick(t.to_pandas(types_mapper=nullable_int)),
+            preserve_index=False)
+
+    pruned = ds.map_batches(pick_tbl, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+    out = partitioned_group_apply(pruned, ["source"], pick_tbl,
+                                  batch_format="pyarrow").to_pandas()
     if out.empty or "doc_id" not in out.columns:
         return pd.DataFrame({
             "doc_id": pd.Series([], dtype="int64"),
@@ -4576,9 +4584,9 @@ def winsorize_events_by_type(sf_dir: str, lo_q: float = 0.05,
     # column — the grouped_agg_hash case, not the sort aggregate
     hist = grouped_agg_hash(ds, ["event_type", "value"], {},
                             count_alias="n").to_pandas()
+    # drops SQL NULLs and NaN value keys alike: the float64 histogram
+    # column carries both as NaN, and pandas dropna removes them
     hist = hist.dropna(subset=["value"])
-    if len(hist):
-        hist = hist[~np.isnan(hist["value"].to_numpy())]
     bounds = {}
     for k, g in hist.groupby("event_type", dropna=False):
         g = g.sort_values("value")
@@ -4633,7 +4641,7 @@ def upsample_documents(sf_dir: str, weights: dict = None,
         r = src.map(weights).fillna(default).astype("int64").to_numpy()
         r = np.maximum(r, 0)
         idx = np.repeat(np.arange(len(src), dtype=np.int64), r)
-        starts = np.concatenate(([0], np.cumsum(r)[:-1]))
+        starts = np.cumsum(r) - r  # exclusive prefix sum, empty-safe
         copy = np.arange(int(r.sum()), dtype=np.int64) \
             - np.repeat(starts, r) + 1
         t = b.take(pa.array(idx))

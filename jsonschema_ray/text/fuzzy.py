@@ -161,7 +161,10 @@ def blocked_fuzzy_pairs(ds, block_cols: list, text_col: str,
                     np.arange(i0, i1)[:, None], np.arange(m)[None, :])
                 keep = jj > ii
                 iu, ju = ii[keep], jj[keep]
-                keep = np.abs(lens[iu] - lens[ju]) <= max_dist
+                # SQL id_a < id_b: duplicated ids never self-pair
+                # (rows are id-sorted, so j > i implies id_j >= id_i)
+                keep = (np.abs(lens[iu] - lens[ju]) <= max_dist) \
+                    & (ids[iu] != ids[ju])
                 iu, ju = iu[keep], ju[keep]
                 if not len(iu):
                     continue

@@ -184,3 +184,66 @@ def test_upsample_weights_null_source_and_zero_weight(tmp_path):
     recs = list(zip(out["doc_id"], out["copy"]))
     assert recs == [(1, 1), (1, 2), (1, 3), (3, 1), (4, 1)]
     assert out["copy"].dtype == np.dtype("int64")
+
+
+def test_blocked_fuzzy_pairs_duplicate_ids_never_self_pair(ray_session):
+    """SQL id_a < id_b: two rows sharing an id (near-identical texts
+    under a duplicated key) must NOT emit an (id, id) pair, while
+    distinct-id pairs still form."""
+    import ray.data
+    tb = pa.table({"blk": pa.array(["b", "b", "b"]),
+                   "rid": pa.array([7, 7, 9], type=pa.int64()),
+                   "txt": pa.array(["kitten", "sitten", "mitten"])})
+    out = blocked_fuzzy_pairs(ray.data.from_arrow(tb), ["blk"], "txt",
+                              "rid", max_dist=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (7, 7) not in pairs
+    assert (7, 9) in pairs  # both id-7 rows still pair with id 9
+    assert len(out) == 2    # kitten-mitten and sitten-mitten
+
+
+def test_hard_negative_nan_query_label_is_null(tmp_path):
+    """A float-NaN query label (the pandas missing flavor) must behave
+    exactly like None: both-NULL pairs are SAME (excluded), so the
+    query vector itself never surfaces."""
+    import numpy as np
+
+    from jsonschema_ray.ann import hard_negative_topk
+    import ray.data
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(6, 4))
+    tb = pa.table({
+        "vec_id": pa.array(list(range(6)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array([None, None, "y", "y", "y", "y"])})
+    ds = ray.data.from_arrow(tb)
+    # query = vec 0 with label NaN (not None): must exclude vecs 0,1
+    out = hard_negative_topk(ds, [list(map(float, base[0]))],
+                             [float("nan")], query_ids=[0], k=6)
+    assert set(out["vec_id"]) == {2, 3, 4, 5}
+
+
+def test_source_quota_int64_payload_past_2_53(tmp_path):
+    """Null-bearing int64 ranking with doc ids past 2^53: the nullable
+    Int64 partition path must keep ids exact (a float64 roundtrip
+    rounds 2^53+1 to 2^53)."""
+    from jsonschema_ray.pipelines.relational import source_quota_documents
+    big = 2 ** 53
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([big + 1, big + 3, big + 5], type=pa.int64()),
+        "source": pa.array(["a", "a", "a"]),
+        "n_chars": pa.array([10, None, 30], type=pa.int64())}))
+    out = source_quota_documents(str(tmp_path), quota=2)
+    assert out["doc_id"].tolist() == [big + 1, big + 5]
+
+
+def test_upsample_empty_input(tmp_path):
+    """Zero-row documents table answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import upsample_documents
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "source": pa.array([], type=pa.string())}))
+    out = upsample_documents(str(tmp_path))
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "source",
+                                                   "copy"]
