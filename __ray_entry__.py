@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsample_documents": R.upsample_documents,       # oracled
         "fuzzy_name_pairs_customers":
             R.fuzzy_name_pairs_customers,                 # oracled
+        "regr_value_hour_by_type":
+            R.regr_value_hour_by_type,                    # oracled
+        "weighted_sample_documents":
+            R.weighted_sample_documents,                  # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -695,6 +699,26 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b""",
+        "regr_value_hour_by_type": """
+SELECT event_type,
+       round(regr_slope(value, CAST(extract(hour FROM ts) AS DOUBLE)),
+             6) AS slope,
+       round(regr_intercept(value,
+                            CAST(extract(hour FROM ts) AS DOUBLE)),
+             6) AS intercept,
+       CAST(regr_count(value, CAST(extract(hour FROM ts) AS DOUBLE))
+            AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "weighted_sample_documents": """
+SELECT doc_id, source, n_chars,
+       round(pow(((doc_id % 1000003) * 2654435761 % 4294967296 + 1)
+                 / 4294967297.0, 1.0 / n_chars), 6) AS skey
+FROM documents
+WHERE doc_id IS NOT NULL AND doc_id >= 0
+  AND n_chars IS NOT NULL AND n_chars > 0
+ORDER BY pow(((doc_id % 1000003) * 2654435761 % 4294967296 + 1)
+             / 4294967297.0, 1.0 / n_chars) DESC, doc_id
+LIMIT 50""",
         "q12_shipmode_priority": """
 SELECT l_linestatus,
        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'

@@ -1096,27 +1096,20 @@ def pca_embeddings(sf_dir: str):
         "n": np.full(k, n, dtype=np.int64)})
 
 
-def value_hour_corr_by_type(sf_dir: str):
-    """Per-group bivariate Pearson correlation — corr(value, hour(ts))
-    for every event_type, the grouped moment shape (n,Σx,Σy,Σx²,Σy²,Σxy
-    per group) none of the global-moment ops cover: one map computes
-    the six moment columns per row, grouped_agg pre-aggregates them
-    per batch (Arrow group_by — null group keys flow through like
-    SQL's NULL group) so ONE row per (group, batch) shuffles, and the
-    driver evaluates the corr formula per group. Pairs with a null
-    value or null ts are excluded (SQL corr semantics); non-finite
-    values too (psi/drift convention — DuckDB raises on NaN here);
-    zero-variance or n<2 groups answer NULL exactly as SQL does.
-    ORACLED vs DuckDB corr(value, extract(hour FROM ts)) per group."""
+def _value_hour_moments(sf_dir: str):
+    """Shared per-group bivariate moment pass over events: six moment
+    columns (n, Σx, Σy, Σx², Σy², Σxy; x = value, y = hour(ts)) per
+    event_type — ONE corpus scan, one row per (group, batch) shuffles,
+    the driver holds ngroups rows. Pairwise-complete FINITE rows only:
+    SQL corr/regr_* skip a pair if either side is null, and a non-null
+    NaN/inf would otherwise poison the partials PARTITION-DEPENDENTLY
+    (Ray's Sum drops NaN cells per block — review pin); the exclusion
+    is the repo's psi/drift convention, documented divergence from
+    DuckDB which raises on NaN input here. Returns the sorted agg
+    DataFrame (pn/sx/sy/sxx/syy/sxy) or None on empty input."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def mom(b: pa.Table) -> pa.Table:
-        # pairwise-complete FINITE rows only: corr skips a pair if
-        # either side is null, and a non-null NaN/inf would otherwise
-        # poison the partials PARTITION-DEPENDENTLY (Ray's Sum drops
-        # NaN cells per block — review pin); the exclusion is the
-        # repo's psi/drift convention, documented divergence from
-        # DuckDB which raises on NaN input here
         x = b.column("value").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         hr = pc.hour(b.column("ts")).to_numpy(zero_copy_only=False) \
@@ -1140,10 +1133,27 @@ def value_hour_corr_by_type(sf_dir: str):
         {"pok": "pn", "px": "sx", "py": "sy",
          "pxx": "sxx", "pyy": "syy", "pxy": "sxy"}).to_pandas()
     if agg.empty:
+        return None
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+def value_hour_corr_by_type(sf_dir: str):
+    """Per-group bivariate Pearson correlation — corr(value, hour(ts))
+    for every event_type, the grouped moment shape (n,Σx,Σy,Σx²,Σy²,Σxy
+    per group) none of the global-moment ops cover: one map computes
+    the six moment columns per row, grouped_agg pre-aggregates them
+    per batch (Arrow group_by — null group keys flow through like
+    SQL's NULL group) so ONE row per (group, batch) shuffles, and the
+    driver evaluates the corr formula per group. Pairs with a null
+    value or null ts are excluded (SQL corr semantics); non-finite
+    values too (psi/drift convention — DuckDB raises on NaN here);
+    zero-variance or n<2 groups answer NULL exactly as SQL does.
+    ORACLED vs DuckDB corr(value, extract(hour FROM ts)) per group."""
+    agg = _value_hour_moments(sf_dir)
+    if agg is None:
         return pd.DataFrame({"event_type": pd.Series([], dtype=object),
                              "corr": pd.Series([], dtype="float64"),
                              "n": pd.Series([], dtype="int64")})
-    agg = agg.sort_values("event_type").reset_index(drop=True)
     n = agg["pn"].to_numpy()
     sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
     sxx, syy, sxy = (agg[c].to_numpy() for c in ("sxx", "syy", "sxy"))
@@ -4685,3 +4695,86 @@ def fuzzy_name_pairs_customers(sf_dir: str, max_dist: int = 2):
     out["id_b"] = out["id_b"].astype("int64")
     out["dist"] = out["dist"].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def regr_value_hour_by_type(sf_dir: str):
+    """Grouped OLS REGRESSION (ORACLED): per-event-type least-squares
+    fit of value on hour(ts) — slope = cov(value, hour)/var(hour),
+    intercept = mean(value) − slope·mean(hour) — the trend-per-segment
+    screen a drift monitor runs next to the correlation. Reuses the
+    SAME one-scan grouped moment pass as value_hour_corr_by_type
+    (_value_hour_moments: one row per (group, batch) shuffles); the
+    driver evaluates the closed form per group. SQL population
+    semantics: a zero-variance or single-pair group answers NULL
+    exactly like DuckDB's regr_slope/regr_intercept (0/0); null pairs
+    are skipped; NaN/inf excluded per the psi/drift convention."""
+    agg = _value_hour_moments(sf_dir)
+    if agg is None:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "slope": pd.Series([], dtype="float64"),
+                             "intercept": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    n = agg["pn"].to_numpy()
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    syy, sxy = agg["syy"].to_numpy(), agg["sxy"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # x = hour (the helper's y-moments), y = value
+        vx = syy - sy * sy / n
+        slope = (sxy - sx * sy / n) / vx
+        intercept = sx / n - slope * sy / n
+    ok = (n >= 1) & (vx > 0)
+    slope = np.where(ok, slope, np.nan)
+    intercept = np.where(ok, intercept, np.nan)
+    return pd.DataFrame({
+        "event_type": agg["event_type"].to_numpy(),
+        "slope": np.round(slope, 6),
+        "intercept": np.round(intercept, 6),
+        "n": n.astype(np.int64)}).reset_index(drop=True)
+
+
+def weighted_sample_documents(sf_dir: str, k: int = 50):
+    """Deterministic WEIGHTED sampling without replacement (ORACLED):
+    Efraimidis-Spirakis A-Res — every doc draws key = u^(1/w) with
+    weight w = n_chars and u a deterministic uniform in (0, 1) from
+    pure integer arithmetic on doc_id (so SQL reproduces it bit-for-
+    bit), and the k largest keys win. This is THE distributed
+    weighted-reservoir primitive: the key needs only the row itself,
+    so selection is a per-block partial top-k + driver merge
+    (_partial_topk) — k rows per block gather, nothing shuffles, and
+    at 10^12 rows the same two-level merge holds per partition.
+    Rows with NULL/negative doc_id or NULL/non-positive n_chars are
+    excluded on both sides (u and 1/w undefined; negative ids also hit
+    the SQL-vs-numpy modulo sign divergence). The raw float key ranks;
+    the reported skey rounds to 6 dp AFTER selection."""
+    MOD, MULT, M32 = 1000003, 2654435761, 4294967296
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def score(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(b.column("doc_id").is_valid(),
+                    pc.greater_equal(b.column("doc_id"), 0)),
+            pc.and_(b.column("n_chars").is_valid(),
+                    pc.greater(b.column("n_chars"), 0)))
+        t = b.filter(pc.fill_null(keep, False))
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        u = ((d % MOD) * MULT % M32 + 1) / float(M32 + 1)
+        key = np.power(u, 1.0 / w)
+        return t.append_column("skey", pa.array(key, pa.float64()))
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+    out = _partial_topk(scored, ["skey", "doc_id"], [False, True], k)
+    if out is None:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype="object"),
+            "n_chars": pd.Series([], dtype="int64"),
+            "skey": pd.Series([], dtype="float64")})
+    out["skey"] = out["skey"].round(6)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["doc_id", "source", "n_chars", "skey"]] \
+        .reset_index(drop=True)

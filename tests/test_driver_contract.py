@@ -108,7 +108,8 @@ def oracle_pairs():
     "q6_forecast_revenue", "q12_shipmode_priority",
     "source_quota_documents", "ann_hard_negatives_embeddings",
     "winsorize_events", "upsample_documents",
-    "fuzzy_name_pairs_customers",
+    "fuzzy_name_pairs_customers", "regr_value_hour_by_type",
+    "weighted_sample_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

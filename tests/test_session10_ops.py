@@ -247,3 +247,60 @@ def test_upsample_empty_input(tmp_path):
     out = upsample_documents(str(tmp_path))
     assert len(out) == 0 and list(out.columns) == ["doc_id", "source",
                                                    "copy"]
+
+
+def test_regr_zero_variance_single_pair_and_nan(tmp_path):
+    """Grouped OLS: a known exact fit; zero-variance-hour and
+    single-pair groups answer NULL like DuckDB regr_slope (0/0);
+    null value/ts pairs are invisible; a NaN value is excluded from
+    the moments (psi/drift convention — DuckDB raises instead)."""
+    from jsonschema_ray.pipelines.relational import (
+        regr_value_hour_by_type)
+    import datetime as dt
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h, 0, 0)
+    rows = [
+        # group a: (1,2),(2,4),(3,6) -> slope 2, intercept 0; one NaN
+        # value and one null ts must not disturb the fit
+        ("a", t(1), 2.0), ("a", t(2), 4.0), ("a", t(3), 6.0),
+        ("a", t(4), float("nan")), ("a", None, 9.0),
+        # group b: constant hour -> var(x)=0 -> NULL
+        ("b", t(5), 1.0), ("b", t(5), 2.0),
+        # group c: single pair -> NULL
+        ("c", t(6), 3.0),
+    ]
+    _write(tmp_path, "events", pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], type=pa.float64())}))
+    out = regr_value_hour_by_type(str(tmp_path))
+    g = out.set_index("event_type")
+    assert g.loc["a", "slope"] == 2.0 and g.loc["a", "intercept"] == 0.0
+    assert g.loc["a", "n"] == 3  # NaN and null-ts rows excluded
+    assert math.isnan(g.loc["b", "slope"])
+    assert math.isnan(g.loc["c", "slope"])
+    assert math.isnan(g.loc["b", "intercept"])
+
+
+def test_weighted_sample_exclusions_and_exact_keys(tmp_path):
+    """A-Res selection equals the same formula computed locally;
+    negative/NULL doc_id and non-positive/NULL n_chars rows are
+    invisible; heavier docs need smaller u to lose."""
+    from jsonschema_ray.pipelines.relational import (
+        weighted_sample_documents)
+    ids = list(range(1, 31))
+    chars = [(i * 37) % 500 + 1 for i in ids]
+    all_ids = ids + [-5, None, 40, 41]
+    all_chars = chars + [100, 100, None, 0]
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(all_ids, type=pa.int64()),
+        "source": pa.array(["s"] * len(all_ids)),
+        "n_chars": pa.array(all_chars, type=pa.int64())}))
+    out = weighted_sample_documents(str(tmp_path), k=10)
+    key = {i: ((i % 1000003) * 2654435761 % 4294967296 + 1)
+           / 4294967297.0 for i in ids}
+    exp = sorted(ids, key=lambda i: (-(key[i] ** (1.0 / chars[i - 1])),
+                                     i))[:10]
+    assert out["doc_id"].tolist() == exp
+    assert set(out["doc_id"]) & {-5, 40, 41} == set()
