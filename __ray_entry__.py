@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.regr_value_hour_by_type,                    # oracled
         "weighted_sample_documents":
             R.weighted_sample_documents,                  # oracled
+        "candles_events": R.candles_events,               # oracled
+        "novelty_documents": R.novelty_documents,         # oracled
+        "cooccur_event_types": R.cooccur_event_types,     # oracled
         # (rows-only LSH family: driver smoke traded for one more
         # oracled hash row; pinned by the gather_cap=0 pytest nets)
         "incremental_embedding_documents":
@@ -699,6 +702,51 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b""",
+        "cooccur_event_types": """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY type_a, type_b ORDER BY type_a, type_b""",
+        "novelty_documents": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+  WHERE len(t) >= 8),
+cnt AS (SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram),
+per AS (
+  SELECT g.doc_id, count(*) AS total,
+         sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS shared
+  FROM grams g JOIN cnt c USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       round(1.0 - CAST(p.shared AS DOUBLE) / p.total, 6) AS novelty
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id""",
+        "candles_events": """
+WITH e AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+         value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM e)
+SELECT event_type, day,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_z = 1 THEN value END), 6) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY event_type, day ORDER BY event_type, day""",
         "regr_value_hour_by_type": """
 SELECT event_type,
        round(regr_slope(value, CAST(extract(hour FROM ts) AS DOUBLE)),

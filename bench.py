@@ -192,6 +192,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.winsorize_events_by_type(sf_dir)))
     timed("fuzzy_name_pairs",
           lambda: len(R.fuzzy_name_pairs_customers(sf_dir)))
+    timed("novelty_documents",
+          lambda: len(R.novelty_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -4778,3 +4778,206 @@ def weighted_sample_documents(sf_dir: str, k: int = 50):
     out["n_chars"] = out["n_chars"].astype("int64")
     return out[["doc_id", "source", "n_chars", "skey"]] \
         .reset_index(drop=True)
+
+
+def candles_events(sf_dir: str):
+    """Time-series OHLC CANDLES (ORACLED): per (event_type, day) the
+    open (value of the first row by (ts, event_id)), high, low, close
+    (last row), and count — the order-statistic-by-time aggregate a
+    metrics pipeline runs over every stream; none of min/max/sum
+    machinery covers first/last, whose merge needs the ARGUMENT of an
+    extremum, not the extremum itself. Two phases: each batch reduces
+    to one candidate row per (type, day, batch) — open/close carry
+    their (ts, event_id) coordinates so the merge can re-argmin — then
+    ONE (type, day)-hash partition merges candidates vectorized
+    (sort + group head/tail). Only groups×batches candidate rows ride
+    the shuffle; the corpus never re-sorts globally. Rows with a NULL
+    ts or NULL value are invisible (SQL: the window excludes them via
+    WHERE); a NULL event_type is a real group. Ties on ts break by
+    event_id on both engines (mergesort / row_number)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "event_id", "value"])
+
+    def reduce_candles(df: pd.DataFrame) -> pd.DataFrame:
+        # one candidate row per (type, day) of THIS frame; works for
+        # both the per-batch pass (raw rows: open=close=value) and the
+        # merge pass (candidate rows with distinct open/close)
+        df = df.sort_values(["event_type", "day", "ts", "event_id"],
+                            kind="mergesort")
+        g = df.groupby(["event_type", "day"], dropna=False, sort=False)
+        first = df.iloc[g.cumcount().to_numpy() == 0]
+        last = df.iloc[(g.cumcount(ascending=False)).to_numpy() == 0]
+        agg = g.agg(high=("high", "max"), low=("low", "min"),
+                    n=("n", "sum")).reset_index()
+        out = agg.merge(
+            first[["event_type", "day", "ts", "event_id", "open"]],
+            on=["event_type", "day"], how="left")
+        lastc = last[["event_type", "day", "ts", "event_id", "close"]] \
+            .rename(columns={"ts": "ts_z", "event_id": "id_z"})
+        return out.merge(lastc, on=["event_type", "day"], how="left")[
+            ["event_type", "day", "ts", "event_id", "open",
+             "ts_z", "id_z", "close", "high", "low", "n"]]
+
+    # the candidate schema is PINNED: an all-null-type batch would
+    # otherwise emit a float64 NaN event_type column (pandas groupby
+    # key) and the per-block schemas diverge (the repo's pin-types-at-
+    # batch-sources trap)
+    cand_schema = pa.schema([
+        ("event_type", pa.string()), ("day", pa.string()),
+        ("ts", pa.timestamp("us")), ("event_id", pa.int64()),
+        ("open", pa.float64()), ("ts_z", pa.timestamp("us")),
+        ("id_z", pa.int64()), ("close", pa.float64()),
+        ("high", pa.float64()), ("low", pa.float64()),
+        ("n", pa.int64())])
+
+    # the NULL group rides as a sentinel STRING through every pandas
+    # sort/groupby/merge (an all-None key column materializes as
+    # float64 NaN on reset_index and merges stop typing; NaN-vs-None
+    # merge matching is version lore this avoids entirely), restored
+    # to a real null at each stage's Arrow boundary
+    _NULLS = "\x00\x00<null-type>"
+
+    def _renull(s: pd.Series) -> list:
+        return [None if x == _NULLS else x for x in s]
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(b.column("ts").is_valid(),
+                       b.column("value").is_valid())
+        t = b.filter(keep)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas()
+            .fillna(_NULLS),
+            "day": pc.strftime(t.column("ts"),
+                               format="%Y-%m-%d").to_pandas(),
+            "ts": t.column("ts").to_pandas(),
+            "event_id": t.column("event_id").to_pandas(),
+        })
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        df["open"] = v
+        df["close"] = v
+        df["high"] = v
+        df["low"] = v
+        df["n"] = np.ones(len(df), dtype=np.int64)
+        # per-batch candidates: the merge needs (ts, id) of open/close
+        red = reduce_candles(df)
+        red["event_type"] = _renull(red["event_type"])
+        return pa.Table.from_pandas(red, schema=cand_schema,
+                                    preserve_index=False)
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("day", pa.string()),
+        ("open", pa.float64()), ("high", pa.float64()),
+        ("low", pa.float64()), ("close", pa.float64()),
+        ("n", pa.int64())])
+
+    def merge(t: pa.Table) -> pa.Table:
+        # a candidate's close coordinates live in (ts_z, id_z): the
+        # merge re-argmins on open coords and re-argmaxes on close
+        df = t.to_pandas()
+        df["event_type"] = df["event_type"].fillna(_NULLS)
+        opens = reduce_candles(df)
+        closes = df.sort_values(["event_type", "day", "ts_z", "id_z"],
+                                kind="mergesort")
+        gz = closes.groupby(["event_type", "day"], dropna=False,
+                            sort=False)
+        lastz = closes.iloc[
+            gz.cumcount(ascending=False).to_numpy() == 0]
+        res = opens.drop(columns=["ts_z", "id_z", "close"]).merge(
+            lastz[["event_type", "day", "ts_z", "id_z", "close"]],
+            on=["event_type", "day"], how="left")
+        res = res[["event_type", "day", "open", "high", "low",
+                   "close", "n"]]
+        res["event_type"] = _renull(res["event_type"])
+        return pa.Table.from_pandas(res, schema=out_schema,
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072)
+    out = partitioned_group_apply(parts, ["event_type", "day"],
+                                  merge,
+                                  batch_format="pyarrow").to_pandas()
+    cols = ["event_type", "day", "open", "high", "low", "close", "n"]
+    if out.empty or "day" not in out.columns:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "day": pd.Series([], dtype="object"),
+            "open": pd.Series([], dtype="float64"),
+            "high": pd.Series([], dtype="float64"),
+            "low": pd.Series([], dtype="float64"),
+            "close": pd.Series([], dtype="float64"),
+            "n": pd.Series([], dtype="int64")})
+    for c in ("open", "high", "low", "close"):
+        out[c] = out[c].round(6)
+    out["n"] = out["n"].astype("int64")
+    return out[cols].sort_values(["event_type", "day"]) \
+        .reset_index(drop=True)
+
+
+def novelty_documents(sf_dir: str):
+    """Per-document NOVELTY / memorization-risk score (ORACLED):
+    1 − (shared word-8-grams / total distinct word-8-grams), where a
+    gram is shared when ≥ 2 distinct documents contain it — the
+    admit/reject aggregate of the dup_passages signal. One gram-hash
+    partition computes per-gram doc counts AND the per-(doc,
+    partition) total/shared partials in the same pass; a doc-keyed
+    combiner sum and a size-chosen LEFT equi-join attach scores to the
+    id stream (gramless/null-text docs answer NULL). The gram STRING
+    shuffles here so DuckDB can reproduce it; novelty_scores
+    (hash_only=True) is the 8 B/gram 100-TB path."""
+    from ..text import novelty_scores
+    out = novelty_scores(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])) \
+        .to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "novelty": pd.Series([], dtype="float64")})
+    out["doc_id"] = out["doc_id"].astype(
+        "int64" if out["doc_id"].notna().all() else "float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def cooccur_event_types(sf_dir: str):
+    """Market-basket CO-OCCURRENCE (ORACLED): for every unordered pair
+    of event types, the number of distinct users who performed BOTH —
+    the association signal behind recommendation/affinity mining. The
+    SQL self-join never materializes: each batch first dedups to its
+    distinct (user, type) pairs (dedup-before-ship), ONE user-hash
+    partition then re-dedups and pair-expands WITHIN each user
+    (≤ C(types, 2) rows per user — bounded by the type vocabulary, not
+    the corpus) and pre-counts pairs, so only (type_a, type_b, n)
+    partials reach the final tiny groupby. Null users and null types
+    are invisible (a NULL never survives the self-join's equality or
+    the < tie-break)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("user_id").is_valid(),
+                             b.column("event_type").is_valid()))
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    pruned = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "event_type"])
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        agg = m.groupby(["event_type_x", "event_type_y"]) \
+            .size().reset_index(name="_n")
+        return agg.rename(columns={"event_type_x": "type_a",
+                                   "event_type_y": "type_b"})
+
+    partials = partitioned_group_apply(pruned, ["user_id"], expand)
+    out = grouped_agg(partials, ["type_a", "type_b"],
+                      {"_n": "n_users"}, count_alias="_c").to_pandas()
+    if out.empty or "type_a" not in out.columns:
+        return pd.DataFrame({
+            "type_a": pd.Series([], dtype="object"),
+            "type_b": pd.Series([], dtype="object"),
+            "n_users": pd.Series([], dtype="int64")})
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["type_a", "type_b", "n_users"]] \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)

@@ -109,7 +109,8 @@ def oracle_pairs():
     "source_quota_documents", "ann_hard_negatives_embeddings",
     "winsorize_events", "upsample_documents",
     "fuzzy_name_pairs_customers", "regr_value_hour_by_type",
-    "weighted_sample_documents",
+    "weighted_sample_documents", "candles_events",
+    "novelty_documents", "cooccur_event_types",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -304,3 +304,86 @@ def test_weighted_sample_exclusions_and_exact_keys(tmp_path):
                                      i))[:10]
     assert out["doc_id"].tolist() == exp
     assert set(out["doc_id"]) & {-5, 40, 41} == set()
+
+
+def test_candles_ties_nulls_and_null_type_group(tmp_path):
+    """OHLC: ties on ts break by event_id for BOTH open and close;
+    null ts / null value rows are invisible; a NULL event_type is a
+    real group whose open/close attach through the NaN-matching merge."""
+    from jsonschema_ray.pipelines.relational import candles_events
+    import datetime as dt
+    T = dt.datetime
+    rows = [
+        # type a, one day: tie at 09:00 -> open = id 1's value; tie at
+        # 17:00 -> close = id 5's value (DESC id picks the LARGEST id)
+        ("a", T(2024, 1, 1, 9), 1, 10.0),
+        ("a", T(2024, 1, 1, 9), 2, 20.0),
+        ("a", T(2024, 1, 1, 12), 3, 99.0),
+        ("a", T(2024, 1, 1, 17), 4, 5.0),
+        ("a", T(2024, 1, 1, 17), 5, 7.0),
+        # invisible rows
+        ("a", None, 6, 1000.0),
+        ("a", T(2024, 1, 1, 3), 7, None),
+        # NULL type group, second day boundary
+        (None, T(2024, 1, 2, 8), 8, 3.0),
+        (None, T(2024, 1, 2, 9), 9, 4.0),
+    ]
+    _write(tmp_path, "events", pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([r[3] for r in rows], type=pa.float64())}))
+    out = candles_events(str(tmp_path))
+    a = out[out["event_type"] == "a"].iloc[0]
+    assert (a["open"], a["close"], a["high"], a["low"], a["n"]) == \
+        (10.0, 7.0, 99.0, 5.0, 5)
+    nul = out[out["event_type"].isna()].iloc[0]
+    assert (nul["day"], nul["open"], nul["close"], nul["n"]) == \
+        ("2024-01-02", 3.0, 4.0, 2)
+
+
+def test_novelty_shared_unique_short_null(tmp_path):
+    """Novelty: a doc duplicated verbatim scores 0 (every gram
+    shared), a unique doc scores 1, overlap in between; < 8-token and
+    null-text docs answer NULL; a NULL-id doc CONTRIBUTES to gram
+    doc-counts (SQL keeps it in the grams CTE) but never receives a
+    score."""
+    from jsonschema_ray.pipelines.relational import novelty_documents
+    w = lambda k: " ".join(f"{k}{i}" for i in range(9))  # 9 tokens
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, None], type=pa.int64()),
+        "text": pa.array([
+            w("a"),            # doc 1: duplicated by doc 2 -> 0.0
+            w("a"),            # doc 2 -> 0.0
+            w("b"),            # doc 3: duplicated ONLY by null-id doc
+            "one two three",   # doc 4: <8 tokens -> NULL
+            None,              # doc 5: null text -> NULL
+            w("b")])}))        # null id: shares doc 3's grams
+    out = novelty_documents(str(tmp_path))
+    v = dict(zip(out["doc_id"], out["novelty"]))
+    assert v[1] == 0.0 and v[2] == 0.0
+    # doc 3's grams appear in 2 "documents" (doc 3 + the null-id row)
+    assert v[3] == 0.0
+    assert math.isnan(v[4]) and math.isnan(v[5])
+    assert len(out) == 6 and out["doc_id"].isna().sum() == 1
+
+
+def test_cooccur_null_user_null_type_and_dedup(tmp_path):
+    """Co-occurrence counts DISTINCT users per unordered pair:
+    repeated (user, type) events count once; null users and null
+    types are invisible; a user with one type contributes nothing."""
+    from jsonschema_ray.pipelines.relational import cooccur_event_types
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),       # repeat (1,a) counts once
+        (2, "a"), (2, "b"), (2, "c"),       # 3 pairs
+        (3, "a"),                           # single type: no pair
+        (None, "a"), (None, "b"),           # null user invisible
+        (4, None), (4, "a"),                # null type invisible
+    ]
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows])}))
+    out = cooccur_event_types(str(tmp_path))
+    got = {(r.type_a, r.type_b): r.n_users
+           for r in out.itertuples(index=False)}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
