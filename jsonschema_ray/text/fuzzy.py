@@ -51,7 +51,65 @@ def _codes(strs, length: int) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint32).reshape(len(strs), length)
 
 
-def levenshtein_many(a: list, b: list) -> np.ndarray:
+def _lev_full(A: np.ndarray, B: np.ndarray, l1: int,
+              l2: int) -> np.ndarray:
+    """Full Wagner-Fischer over a (len_a, len_b) bucket: l1×l2 Python
+    steps, each an O(pairs) vector op."""
+    prev = np.tile(np.arange(l2 + 1, dtype=np.int32), (len(A), 1))
+    cur = np.empty_like(prev)
+    for i in range(1, l1 + 1):
+        cur[:, 0] = i
+        cost = (A[:, i - 1:i] != B).astype(np.int32)
+        for j in range(1, l2 + 1):
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1,
+                       out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost[:, j - 1],
+                       out=cur[:, j])
+        prev, cur = cur, prev
+    return prev[:, l2].astype(np.int64)
+
+
+def _lev_banded(A: np.ndarray, B: np.ndarray, l1: int, l2: int,
+                cap: int) -> np.ndarray:
+    """Ukkonen-banded DP: only cells with |i−j| ≤ cap can sit on a
+    path of total cost ≤ cap, so each row touches 2·cap+1 columns
+    instead of l2. Pairs whose banded row MINIMUM exceeds cap are
+    provably above the threshold (every ≤-cap path crosses each row
+    inside the band, and the row min lower-bounds any completion) —
+    they are compressed out mid-flight, so a bucket of mostly-distant
+    pairs dies in a few rows. Returns the exact distance where it is
+    ≤ cap, else cap+1."""
+    P = len(A)
+    INF = np.int32(cap + 1)
+    res = np.full(P, cap + 1, dtype=np.int64)
+    idx = np.arange(P)
+    prev = np.full((P, l2 + 1), INF, np.int32)
+    w = min(cap, l2)
+    prev[:, :w + 1] = np.arange(w + 1, dtype=np.int32)
+    for i in range(1, l1 + 1):
+        lo, hi = max(1, i - cap), min(l2, i + cap)
+        cur = np.full((len(idx), l2 + 1), INF, np.int32)
+        if i <= cap:
+            cur[:, 0] = i
+        cost = (A[:, i - 1:i] != B).astype(np.int32)
+        for j in range(lo, hi + 1):
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1,
+                       out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost[:, j - 1],
+                       out=cur[:, j])
+        prev = cur
+        alive = prev[:, lo:hi + 1].min(axis=1) <= cap
+        if not alive.all():
+            if not alive.any():
+                return res
+            if alive.mean() < 0.7:
+                idx, prev = idx[alive], prev[alive]
+                A, B = A[alive], B[alive]
+    res[idx] = np.minimum(prev[:, l2], INF).astype(np.int64)
+    return res
+
+
+def levenshtein_many(a: list, b: list, cap: int = None) -> np.ndarray:
     """Exact Levenshtein distance for each (a[i], b[i]) pair, int64.
 
     Pairs are bucketed by (len(a), len(b)); each bucket runs one
@@ -59,6 +117,11 @@ def levenshtein_many(a: list, b: list) -> np.ndarray:
     loops are over CHARACTER positions only). Distances are over
     Unicode code points (see module docstring for the DuckDB
     byte-counting divergence on non-ASCII).
+
+    With ``cap``, the banded early-abandon DP runs instead: distances
+    ≤ cap are exact, anything above reports cap+1 — the threshold-join
+    fast path (2·cap+1 columns per row, dead pairs compressed out),
+    pinned equal to the full DP by pytest.
     """
     n = len(a)
     if n != len(b):
@@ -74,22 +137,18 @@ def levenshtein_many(a: list, b: list) -> np.ndarray:
     for idx in np.split(order, bounds):
         l1, l2 = int(la[idx[0]]), int(lb[idx[0]])
         if l1 == 0 or l2 == 0:
-            out[idx] = max(l1, l2)
+            d = max(l1, l2)
+            out[idx] = d if cap is None else min(d, cap + 1)
+            continue
+        if cap is not None and abs(l1 - l2) > cap:
+            out[idx] = cap + 1
             continue
         A = _codes([a[i] for i in idx], l1)
         B = _codes([b[i] for i in idx], l2)
-        prev = np.tile(np.arange(l2 + 1, dtype=np.int32), (len(idx), 1))
-        cur = np.empty_like(prev)
-        for i in range(1, l1 + 1):
-            cur[:, 0] = i
-            cost = (A[:, i - 1:i] != B).astype(np.int32)
-            for j in range(1, l2 + 1):
-                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1,
-                           out=cur[:, j])
-                np.minimum(cur[:, j], prev[:, j - 1] + cost[:, j - 1],
-                           out=cur[:, j])
-            prev, cur = cur, prev
-        out[idx] = prev[:, l2]
+        if cap is None:
+            out[idx] = _lev_full(A, B, l1, l2)
+        else:
+            out[idx] = _lev_banded(A, B, l1, l2, cap)
     return out
 
 
@@ -169,7 +228,8 @@ def blocked_fuzzy_pairs(ds, block_cols: list, text_col: str,
                 if not len(iu):
                     continue
                 d = levenshtein_many([texts[i] for i in iu],
-                                     [texts[j] for j in ju])
+                                     [texts[j] for j in ju],
+                                     cap=max_dist)
                 hit = d <= max_dist
                 if hit.any():
                     outs.append(pd.DataFrame({

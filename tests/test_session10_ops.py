@@ -387,3 +387,22 @@ def test_cooccur_null_user_null_type_and_dedup(tmp_path):
     got = {(r.type_a, r.type_b): r.n_users
            for r in out.itertuples(index=False)}
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_levenshtein_banded_equals_full():
+    """The cap path: exact where dist <= cap, cap+1 above — pinned to
+    the full DP on randomized mixed-length pairs for caps 0..4."""
+    rng = random.Random(41)
+    alpha = "abcde"
+    pairs = []
+    for _ in range(600):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 16)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 16)))
+        pairs.append((a, b))
+    A = [p[0] for p in pairs]
+    B = [p[1] for p in pairs]
+    full = levenshtein_many(A, B)
+    for cap in (0, 1, 2, 3, 4):
+        banded = levenshtein_many(A, B, cap=cap)
+        exp = np.minimum(full, cap + 1)
+        assert banded.tolist() == exp.tolist(), cap
