@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stale_parts_anti": R.stale_parts_anti,          # oracled (anti)
         "q10_returned_items": R.q10_returned_items,      # oracled
         "q18_large_volume_orders": R.q18_large_volume_orders,  # oracled
+        # --- session-11 additions (oracled, never driver-checked)
+        "robust_stats_events": R.robust_stats_events,     # oracled
+        "user_entropy_events": R.user_entropy_events,     # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
@@ -702,6 +705,16 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b""",
+        "robust_stats_events": """
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+       round(median(value), 6) AS med, round(mad(value), 6) AS mad,
+       round(skewness(value), 6) AS skew,
+       round(kurtosis(value), 6) AS kurt
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "user_entropy_events": """
+SELECT user_id, round(entropy(event_type), 6) AS h,
+       CAST(count(event_type) AS BIGINT) AS n
+FROM events GROUP BY user_id ORDER BY user_id""",
         "cooccur_event_types": """
 WITH ut AS (
   SELECT DISTINCT user_id, event_type FROM events

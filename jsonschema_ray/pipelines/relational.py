@@ -4981,3 +4981,161 @@ def cooccur_event_types(sf_dir: str):
     out["n_users"] = out["n_users"].astype("int64")
     return out[["type_a", "type_b", "n_users"]] \
         .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def _hist_quantile_cont(vals: np.ndarray, counts: np.ndarray,
+                        q: float = 0.5) -> float:
+    """Interpolated (quantile_cont / DuckDB median) quantile from a
+    SORTED distinct-value histogram. The k-th order statistic (0-based)
+    of the expanded multiset is ``vals[searchsorted(cumsum, k+1)]``;
+    the continuous quantile interpolates between the two straddling
+    order statistics exactly as DuckDB's median()/mad() do."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    k = q * (n - 1)
+    lo = vals[np.searchsorted(cum, int(np.floor(k)) + 1)]
+    hi = vals[np.searchsorted(cum, int(np.ceil(k)) + 1)]
+    return float(lo + (hi - lo) * (k - np.floor(k)))
+
+
+def robust_stats_events(sf_dir: str):
+    """Per-group ROBUST + SHAPE statistics (ORACLED): median, MAD
+    (median absolute deviation), sample skewness and sample excess
+    kurtosis of ``value`` for every event_type — the screening profile
+    a feature-quality pass computes before deciding on clipping /
+    transforms. ONE distributed pass: the per-group distinct-value
+    histogram (grouped_agg_hash — the winsorize machinery; one row per
+    (type, value, batch) shuffles) is a sufficient statistic for ALL
+    four outputs. The driver computes the interpolated median from
+    cumulative counts, folds the histogram around it for the MAD
+    (|v - med| re-grouped, counts summed — exact because the fold is a
+    many-to-one map of distinct values), and evaluates the
+    adjusted-Fisher-Pearson skewness G1 = g1·sqrt(n(n-1))/(n-2) and the
+    sample excess kurtosis G2 = ((n+1)·g2 + 6)(n-1)/((n-2)(n-3)) from
+    count-weighted raw power sums (reconstruction error ~1e-14,
+    measured — safe under the 6dp contract). Like winsorize /
+    outlier_iqr, the exact histogram suits bounded-distinct columns;
+    the continuous-column 100-TB path is the t-digest machinery.
+
+    SQL semantics pinned: NULL event_type is a real group; NULL values
+    are invisible (an all-NULL group answers n=0 and all-NULL stats);
+    skewness answers NULL below n=3 OR at zero variance, kurtosis below
+    n=4 OR at zero variance — DuckDB's 0/0 rule, verified empirically.
+    NaN values are excluded (psi/drift convention; DuckDB would instead
+    sort NaN above everything — validation rules own NaN screening)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    hist = grouped_agg_hash(ds, ["event_type", "value"],
+                            {}, count_alias="n").to_pandas()
+    if hist.empty or "event_type" not in hist.columns:
+        hist = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "value": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    # every group key that appeared at all (value-NULL rows included)
+    all_keys = hist["event_type"].drop_duplicates().tolist()
+    # the float64 histogram key carries SQL NULL and NaN identically;
+    # dropna excludes both (psi/drift convention)
+    hv = hist.dropna(subset=["value"])
+    rows = []
+    stats = {}
+    for k, g in hv.groupby("event_type", dropna=False):
+        g = g.sort_values("value")
+        v = g["value"].to_numpy(dtype=np.float64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        med = _hist_quantile_cont(v, c)
+        fold = pd.Series(c, index=np.abs(v - med)).groupby(level=0).sum()
+        mad = _hist_quantile_cont(fold.index.to_numpy(),
+                                  fold.to_numpy())
+        cf = c.astype(np.float64)
+        s1 = float(cf @ v)
+        s2 = float(cf @ (v * v))
+        s3 = float(cf @ (v ** 3))
+        s4 = float(cf @ (v ** 4))
+        m = s1 / n
+        m2 = s2 - n * m * m
+        m3 = s3 - 3.0 * m * s2 + 2.0 * n * m ** 3
+        m4 = s4 - 4.0 * m * s3 + 6.0 * m * m * s2 - 3.0 * n * m ** 4
+        skew = kurt = np.nan
+        if n >= 3 and m2 > 0:
+            g1 = (m3 / n) / (m2 / n) ** 1.5
+            skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+        if n >= 4 and m2 > 0:
+            g2 = (m4 / n) / (m2 / n) ** 2 - 3.0
+            kurt = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0)
+                                                         * (n - 3.0))
+        stats[None if pd.isna(k) else k] = (n, med, mad, skew, kurt)
+    for k in all_keys:
+        kk = None if pd.isna(k) else k
+        n, med, mad, skew, kurt = stats.get(kk,
+                                            (0, np.nan, np.nan,
+                                             np.nan, np.nan))
+        rows.append((kk, n, med, mad, skew, kurt))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "med", "mad",
+                                      "skew", "kurt"])
+    out["n"] = out["n"].astype("int64")
+    for c in ("med", "mad", "skew", "kurt"):
+        out[c] = np.round(out[c].astype("float64"), 6)
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)
+
+
+def user_entropy_events(sf_dir: str):
+    """Per-user behavioral ENTROPY (ORACLED): the Shannon entropy
+    (base 2, DuckDB entropy() semantics) of each user's event-type
+    distribution plus the contributing event count — the
+    diversity/bot-screening signal of a behavioral pipeline. Plan:
+    grouped_agg_hash pre-counts (user, type) pairs per batch (one row
+    per (pair, batch) shuffles — the pair-aggregate case), then ONE
+    user-hash partition evaluates -Σ p·log2 p vectorized per partition;
+    only (user, h, n) rows reach the driver. The partition pass is the
+    PYARROW path (null-bearing int64 user ids — the pandas roundtrip
+    float64-rounds ids past 2^53).
+
+    SQL semantics pinned: NULL user_id is a real GROUP BY group; NULL
+    event_type VALUES are invisible to entropy() (aggregates skip
+    NULL), and a user with only NULL types answers h=0.0, n=0 —
+    DuckDB's entropy() of an empty multiset, verified empirically. The
+    driver-facing user_id column follows the DuckDB pandas dtype rule
+    (float64+NaN when a NULL user exists, int64 otherwise)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    pairs = grouped_agg_hash(ds, ["user_id", "event_type"],
+                             {}, count_alias="c")
+
+    def ent(t: pa.Table) -> pa.Table:
+        nullable_int = (lambda dt: pd.Int64Dtype()
+                        if pa.types.is_int64(dt) else None)
+        df = t.to_pandas(types_mapper=nullable_int)
+        valid = df[df["event_type"].notna()]
+        gsum = valid.groupby("user_id", dropna=False, sort=False)["c"] \
+            .transform("sum")
+        p = valid["c"].to_numpy(dtype=np.float64) \
+            / gsum.to_numpy(dtype=np.float64)
+        terms = pd.DataFrame({"user_id": valid["user_id"],
+                              "t": -(p * np.log2(p)),
+                              "c": valid["c"]})
+        agg = terms.groupby("user_id", dropna=False) \
+            .agg(h=("t", "sum"), n=("c", "sum")).reset_index()
+        allu = df[["user_id"]].drop_duplicates()
+        # pandas merge MATCHES NA keys — load-bearing here: the NULL
+        # user is a real SQL group on both sides
+        out = allu.merge(agg, on="user_id", how="left")
+        out["h"] = out["h"].astype("float64").fillna(0.0)
+        out["n"] = out["n"].astype("float64").fillna(0.0) \
+            .astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = partitioned_group_apply(pairs, ["user_id"], ent,
+                                  batch_format="pyarrow").to_pandas()
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "h": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    # DuckDB pandas dtype rule for the nullable BIGINT group key
+    out["user_id"] = out["user_id"].astype(
+        "float64" if out["user_id"].isna().any() else "int64")
+    out["h"] = np.round(out["h"].astype("float64"), 6)
+    out["n"] = out["n"].astype("int64")
+    return out[["user_id", "h", "n"]] \
+        .sort_values("user_id", na_position="last") \
+        .reset_index(drop=True)

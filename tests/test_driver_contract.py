@@ -111,6 +111,7 @@ def oracle_pairs():
     "fuzzy_name_pairs_customers", "regr_value_hour_by_type",
     "weighted_sample_documents", "candles_events",
     "novelty_documents", "cooccur_event_types",
+    "robust_stats_events", "user_entropy_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
