@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-11 additions (oracled, never driver-checked)
         "robust_stats_events": R.robust_stats_events,     # oracled
         "user_entropy_events": R.user_entropy_events,     # oracled
+        "transitions_event_types": R.transitions_event_types,  # oracled
+        "jaccard_event_types": R.jaccard_event_types,     # oracled
+        "prefix_dup_documents": R.prefix_dup_documents,   # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
@@ -705,6 +708,42 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b""",
+        "transitions_event_types": """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type""",
+        "jaccard_event_types": """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS nb
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY type_a, type_b)
+SELECT type_a, type_b, CAST(nb AS BIGINT) AS n_both,
+       round(CAST(nb AS DOUBLE) / (x.n + y.n - nb), 6) AS jaccard
+FROM inter JOIN tot x ON x.event_type = type_a
+           JOIN tot y ON y.event_type = type_b
+ORDER BY type_a, type_b""",
+        "prefix_dup_documents": """
+WITH g AS (
+  SELECT substr(text, 1, 40) AS p, count(*) AS n
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY p HAVING count(*) > 1)
+SELECT d.doc_id, CAST(g.n AS BIGINT) AS n
+FROM documents d JOIN g ON substr(d.text, 1, 40) = g.p
+ORDER BY d.doc_id""",
         "robust_stats_events": """
 SELECT event_type, CAST(count(value) AS BIGINT) AS n,
        round(median(value), 6) AS med, round(mad(value), 6) AS mad,

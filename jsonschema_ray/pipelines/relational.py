@@ -4950,29 +4950,8 @@ def cooccur_event_types(sf_dir: str):
     partials reach the final tiny groupby. Null users and null types
     are invisible (a NULL never survives the self-join's equality or
     the < tie-break)."""
-    from ..util import partitioned_group_apply
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
-
-    def distinct_pairs(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.and_(b.column("user_id").is_valid(),
-                             b.column("event_type").is_valid()))
-        return t.group_by(["user_id", "event_type"]).aggregate([])
-
-    pruned = ds.map_batches(distinct_pairs, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=131072)
-
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["user_id", "event_type"])
-        m = df.merge(df, on="user_id")
-        m = m[m["event_type_x"] < m["event_type_y"]]
-        agg = m.groupby(["event_type_x", "event_type_y"]) \
-            .size().reset_index(name="_n")
-        return agg.rename(columns={"event_type_x": "type_a",
-                                   "event_type_y": "type_b"})
-
-    partials = partitioned_group_apply(pruned, ["user_id"], expand)
-    out = grouped_agg(partials, ["type_a", "type_b"],
-                      {"_n": "n_users"}, count_alias="_c").to_pandas()
+    out = _user_type_pair_partials(sf_dir, with_totals=False) \
+        .rename(columns={"cnt": "n_users"})
     if out.empty or "type_a" not in out.columns:
         return pd.DataFrame({
             "type_a": pd.Series([], dtype="object"),
@@ -5138,4 +5117,197 @@ def user_entropy_events(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     return out[["user_id", "h", "n"]] \
         .sort_values("user_id", na_position="last") \
+        .reset_index(drop=True)
+
+
+def transitions_event_types(sf_dir: str):
+    """Markov TRANSITION counts (ORACLED): how often event_type A is
+    immediately followed by B within one user's timeline ordered by
+    (ts, event_id) — the sequence-model statistic (bigram over sessions)
+    behind next-action prediction. The SQL lag() window never sorts the
+    corpus globally: rows pruned per batch to non-null (user, ts, type),
+    ONE user-hash partition sorts its own rows and shifts within user
+    (vectorized groupby.shift), and only per-partition (prev, next, n)
+    partials — bounded by the type-vocabulary square, not the corpus —
+    reach the final tiny groupby.
+
+    SQL semantics pinned: NULL-type events are removed from the
+    timeline BEFORE pairing (so A, NULL, B yields the A→B transition —
+    the only self-consistent reading: SQL lag over the null-filtered
+    view), null user/ts rows are invisible, and each user's first event
+    has no predecessor (prev IS NULL filtered on both sides)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(b.column("user_id").is_valid(),
+                            b.column("ts").is_valid()),
+                    b.column("event_type").is_valid())
+        return b.filter(m)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+
+    def trans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        m = prev.notna().to_numpy()
+        agg = pd.DataFrame({"prev_type": prev.to_numpy()[m],
+                            "next_type": df["event_type"]
+                            .to_numpy()[m]}) \
+            .groupby(["prev_type", "next_type"]).size() \
+            .reset_index(name="_n")
+        return agg
+
+    partials = partitioned_group_apply(pruned, ["user_id"], trans)
+    out = grouped_agg(partials, ["prev_type", "next_type"],
+                      {"_n": "n"}, count_alias="_c").to_pandas()
+    if out.empty or "prev_type" not in out.columns:
+        return pd.DataFrame({
+            "prev_type": pd.Series([], dtype="object"),
+            "next_type": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out[["prev_type", "next_type", "n"]] \
+        .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def _user_type_pair_partials(sf_dir: str, with_totals: bool):
+    """Shared distinct-(user, type) machinery for the co-occurrence
+    family: per-batch distinct prune (dedup-before-ship), ONE user-hash
+    partition that re-dedups, pair-expands within each user (bounded by
+    the type vocabulary) and pre-counts — returning the aggregated
+    (type_a, type_b, cnt) DataFrame. With ``with_totals`` the SAME
+    partition pass also emits per-type distinct-user partials as rows
+    with type_b NULL (exact: each user lives wholly in one partition),
+    so Jaccard needs no second corpus scan. Null users and null types
+    are invisible (SQL self-join equality)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("user_id").is_valid(),
+                             b.column("event_type").is_valid()))
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    pruned = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+
+    # the partition pass is the PYARROW path with a PINNED output
+    # schema: a partition whose totals rows are its only output would
+    # otherwise emit an all-None type_b that Arrow infers as null type
+    # and block schemas diverge (the candles rule)
+    _pair_schema = pa.schema([("type_a", pa.string()),
+                              ("type_b", pa.string()),
+                              ("_n", pa.int64())])
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.drop_duplicates(["user_id", "event_type"])
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        agg = m.groupby(["event_type_x", "event_type_y"]) \
+            .size().reset_index(name="_n")
+        agg = agg.rename(columns={"event_type_x": "type_a",
+                                  "event_type_y": "type_b"})
+        if with_totals:
+            tot = df.groupby("event_type").size().reset_index(name="_n")
+            tot = tot.rename(columns={"event_type": "type_a"})
+            tot["type_b"] = None
+            agg = pd.concat([agg, tot[["type_a", "type_b", "_n"]]],
+                            ignore_index=True)
+        return pa.Table.from_pandas(agg, schema=_pair_schema,
+                                    preserve_index=False)
+
+    partials = partitioned_group_apply(pruned, ["user_id"], expand,
+                                       batch_format="pyarrow")
+    return grouped_agg(partials, ["type_a", "type_b"],
+                       {"_n": "cnt"}, count_alias="_c").to_pandas()
+
+
+def jaccard_event_types(sf_dir: str):
+    """Type-pair JACCARD similarity (ORACLED): for every unordered pair
+    of event types, |users(A) ∩ users(B)| / |users(A) ∪ users(B)| plus
+    the raw intersection count — co-occurrence normalized by reach, the
+    actual affinity metric recommendation screens rank on. ONE corpus
+    scan: the shared cooccur partition pass emits pair intersections
+    AND per-type distinct-user totals together (totals ride as
+    type_b-NULL marker rows through the same tiny groupby), and the
+    driver evaluates inter / (nA + nB - inter) over at most
+    C(|vocabulary|, 2) rows. Pairs with an empty intersection are
+    absent (SQL inner-join shape, like cooccur); null users/types are
+    invisible."""
+    agg = _user_type_pair_partials(sf_dir, with_totals=True)
+    if agg.empty or "type_a" not in agg.columns:
+        return pd.DataFrame({
+            "type_a": pd.Series([], dtype="object"),
+            "type_b": pd.Series([], dtype="object"),
+            "n_both": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")})
+    totals = agg[agg["type_b"].isna()].set_index("type_a")["cnt"]
+    inter = agg[agg["type_b"].notna()].copy()
+    if inter.empty:
+        return pd.DataFrame({
+            "type_a": pd.Series([], dtype="object"),
+            "type_b": pd.Series([], dtype="object"),
+            "n_both": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")})
+    na = inter["type_a"].map(totals).to_numpy(dtype=np.float64)
+    nb = inter["type_b"].map(totals).to_numpy(dtype=np.float64)
+    nn = inter["cnt"].to_numpy(dtype=np.float64)
+    inter["jaccard"] = np.round(nn / (na + nb - nn), 6)
+    inter["n_both"] = inter["cnt"].astype("int64")
+    return inter[["type_a", "type_b", "n_both", "jaccard"]] \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def prefix_dup_documents(sf_dir: str, prefix_len: int = 40):
+    """Shared-opening BOILERPLATE groups (ORACLED): documents whose
+    first ``prefix_len`` code points coincide with at least one other
+    document — the template/mirror screen a web-curation pass runs
+    before near-dup (identical openings betray boilerplate cheaply,
+    without shingling). Exact-dedup shape on the PREFIX key: pass 1
+    aggregates per-prefix counts (grouped_agg_hash — per-batch combine,
+    one prefix-hash partition; the 40-char key bounds shuffle width),
+    keeps only colliding groups (count > 1 — at web scale a tiny
+    fraction), and pass 2 re-projects (doc_id, prefix) and attaches the
+    group size through the size-chosen equi_join (broadcast while the
+    dup-group table is small, partitioned shuffle above the cap). The
+    narrow prefix projection is re-executed rather than materialized —
+    read+slice is cheap, pinning a corpus-sized intermediate is not
+    (the index-writer rule applies to expensive passes only).
+
+    Arrow's utf8_slice_codeunits slices CODE POINTS, verified equal to
+    DuckDB substr on non-ASCII (é, surrogate-pair range). Null-text
+    docs are invisible; shorter docs key on their full text exactly as
+    SQL substr does."""
+    from ..joins import equi_join
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prefixes(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("text").is_valid())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "prefix": pc.utf8_slice_codeunits(t.column("text"),
+                                              0, prefix_len)})
+
+    pref = ds.map_batches(prefixes, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=131072)
+    counts = grouped_agg_hash(pref.select_columns(["prefix"]),
+                              ["prefix"], {}, count_alias="n")
+    dups = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"), 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = equi_join(
+        pref, dups, on="prefix", how="inner",
+        right_schema=pa.schema([("prefix", pa.string()),
+                                ("n", pa.int64())]))
+    out = joined.to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out[["doc_id", "n"]].sort_values("doc_id",
+                                            na_position="last") \
         .reset_index(drop=True)

@@ -112,6 +112,8 @@ def oracle_pairs():
     "weighted_sample_documents", "candles_events",
     "novelty_documents", "cooccur_event_types",
     "robust_stats_events", "user_entropy_events",
+    "transitions_event_types", "jaccard_event_types",
+    "prefix_dup_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

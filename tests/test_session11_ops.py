@@ -170,3 +170,158 @@ def test_user_entropy_int64_ids_exact(tmp_path):
     assert r["user_id"].dtype == np.int64
     assert set(r["user_id"]) == {big, big + 1}
     assert r.loc[r["user_id"] == big, "h"].iloc[0] == 1.0
+
+
+def _duck_docs(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute("create view documents as select * from "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    return con.execute(sql).df()
+
+
+def _write_docs(tmp_path, rows):
+    """rows: list of (doc_id, text)."""
+    os.makedirs(str(tmp_path), exist_ok=True)
+    tb = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1] or "") for r in rows],
+                            pa.int64()),
+    })
+    pq.write_table(tb, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+TRANS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""
+
+
+def test_transitions_edge_branches(tmp_path):
+    """NULL-type events vanish BEFORE pairing (A,NULL,B yields A→B);
+    null user/ts rows invisible; equal-ts ordering decided by event_id;
+    single-event users contribute nothing."""
+    rows = [
+        # user 1: a, (null), b  -> a->b
+        (1, T0 + 1, 1, "a", 0.0), (2, T0 + 2, 1, None, 0.0),
+        (3, T0 + 3, 1, "b", 0.0),
+        # user 2: equal ts — event_id breaks the tie: b->a
+        (4, T0, 2, "b", 0.0), (5, T0, 2, "a", 0.0),
+        # user 3: single event, no transition
+        (6, T0, 3, "a", 0.0),
+        # invisible rows
+        (7, T0, None, "a", 0.0), (8, None, 1, "a", 0.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _canon(R.transitions_event_types(d))
+    exp = _canon(_duck(d, TRANS_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    t = R.transitions_event_types(d)
+    assert t.values.tolist() == [["a", "b", 1], ["b", "a", 1]]
+
+
+def test_transitions_empty(tmp_path):
+    d = _write_events(tmp_path, [(1, T0, None, "a", 0.0)])
+    t = R.transitions_event_types(d)
+    assert len(t) == 0
+    assert list(t.columns) == ["prev_type", "next_type", "n"]
+
+
+JACC_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS nb
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY type_a, type_b)
+SELECT type_a, type_b, CAST(nb AS BIGINT) AS n_both,
+       round(CAST(nb AS DOUBLE) / (x.n + y.n - nb), 6) AS jaccard
+FROM inter JOIN tot x ON x.event_type = type_a
+           JOIN tot y ON y.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+def test_jaccard_edge_branches(tmp_path):
+    """Known hand-computed case: repeated events dedup (distinct
+    user-type), empty-intersection pairs absent, nulls invisible,
+    totals ride the SAME partition pass (marker rows) yet J is exact."""
+    rows = [
+        (1, T0, 1, "a", 0.0), (2, T0, 1, "a", 0.0),  # dup collapses
+        (3, T0, 1, "b", 0.0),
+        (4, T0, 2, "a", 0.0),
+        (5, T0, 3, "b", 0.0),
+        (6, T0, 4, "c", 0.0),                        # c shares no user
+        (7, T0, None, "a", 0.0), (8, T0, 5, None, 0.0),  # invisible
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _canon(R.jaccard_event_types(d))
+    exp = _canon(_duck(d, JACC_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    j = R.jaccard_event_types(d)
+    # only (a,b): inter=1, |a|=2, |b|=2 -> 1/3; c pairs absent
+    assert j.values.tolist() == [["a", "b", 1, round(1 / 3, 6)]]
+
+
+def test_jaccard_empty(tmp_path):
+    d = _write_events(tmp_path, [(1, T0, 1, None, 0.0)])
+    j = R.jaccard_event_types(d)
+    assert len(j) == 0
+    assert list(j.columns) == ["type_a", "type_b", "n_both", "jaccard"]
+
+
+PREFIX_SQL = """
+WITH g AS (
+  SELECT substr(text, 1, 40) AS p, count(*) AS n
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY p HAVING count(*) > 1)
+SELECT d.doc_id, CAST(g.n AS BIGINT) AS n
+FROM documents d JOIN g ON substr(d.text, 1, 40) = g.p
+ORDER BY d.doc_id
+"""
+
+
+def test_prefix_dup_edge_branches(tmp_path):
+    """Shared 40-code-point openings group; a doc shorter than the
+    prefix keys on its FULL text (SQL substr semantics); null text
+    invisible; unique openings absent; non-ASCII counts CODE POINTS
+    (é, 𝕊 surrogate-pair range) exactly like DuckDB substr."""
+    boiler = "w" * 40
+    rows = [
+        (1, boiler + " tail one"), (2, boiler + " tail two"),
+        (3, "short"), (4, "short"),          # short docs: full-text key
+        (5, "shorter but different"),
+        (6, None),                            # invisible
+        (7, "é𝕊" * 20 + " suffix a"),         # 40 code points prefix
+        (8, "é𝕊" * 20 + " suffix b"),
+        (9, "unique opening " + "x" * 40),
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = _canon(R.prefix_dup_documents(d))
+    exp = _canon(_duck_docs(d, PREFIX_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = R.prefix_dup_documents(d)
+    assert r.values.tolist() == [[1, 2], [2, 2], [3, 2], [4, 2],
+                                 [7, 2], [8, 2]]
+
+
+def test_prefix_dup_no_collisions(tmp_path):
+    d = _write_docs(tmp_path, [(1, "abc"), (2, "def")])
+    r = R.prefix_dup_documents(d)
+    assert len(r) == 0 and list(r.columns) == ["doc_id", "n"]
