@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions_event_types": R.transitions_event_types,  # oracled
         "jaccard_event_types": R.jaccard_event_types,     # oracled
         "prefix_dup_documents": R.prefix_dup_documents,   # oracled
+        "events_next_order": R.events_next_order,         # oracled
+        "top_terms_by_lang": R.top_terms_by_lang,         # oracled
+        "daily_counts_ma_events": R.daily_counts_ma_events,  # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
@@ -708,6 +711,47 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b""",
+        "events_next_order": """
+SELECT e.event_id,
+       (SELECT min(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+       AS next_orderdate
+FROM events e ORDER BY e.event_id""",
+        "top_terms_by_lang": """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL),
+cnt AS (
+  SELECT lang, token, count(*) AS n FROM tok
+  WHERE token <> '' GROUP BY lang, token),
+r AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token) AS rk
+  FROM cnt)
+SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 10 ORDER BY lang, rk""",
+        "daily_counts_ma_events": """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT event_type, d, count(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM e),
+grid AS (
+  SELECT t.event_type, CAST(g.d AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+        FROM b) g),
+f AS (
+  SELECT grid.event_type, grid.d, coalesce(c.n, 0) AS n
+  FROM grid LEFT JOIN c
+    ON c.event_type = grid.event_type AND c.d = grid.d)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             6) AS ma7
+FROM f ORDER BY event_type, day""",
         "transitions_event_types": """
 WITH s AS (
   SELECT user_id, event_type,

@@ -144,9 +144,18 @@ def _sortable(col: pa.ChunkedArray, name: str, target: pa.DataType):
 def asof_join(left, right, by: str, on: str, right_by: str = None,
               right_on: str = None, value_cols: list[str] = None,
               inclusive: bool = True, num_partitions: int = None,
-              batch_size: int = 131072):
+              batch_size: int = 131072, direction: str = "backward"):
     """Dataset × Dataset → Dataset: left columns + matched right
-    ``value_cols`` (suffixed ``_r`` on name clash, null when no match)."""
+    ``value_cols`` (suffixed ``_r`` on name clash, null when no match).
+
+    ``direction``: "backward" (default) matches the LAST right row with
+    right_on <= on (< when not inclusive); "forward" matches the FIRST
+    right row with right_on >= on (> when not inclusive). Among several
+    right rows tied at the matched time the pick is sort-arbitrary in
+    both directions — deterministic only when value_cols are functions
+    of (by, on), as for the date-valued pipelines here."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     from .util import partitioned_group_apply
     right_by = right_by or by
     right_on = right_on or on
@@ -164,8 +173,14 @@ def asof_join(left, right, by: str, on: str, right_by: str = None,
                                rschema.field(right_on).type, on, right_on)
 
     # the union schema both sides emit: left payload + _by/_on/_ord + the
-    # right value columns (typed nulls on the left side)
-    right_first = 0 if inclusive else 2  # sort order at equal `on`
+    # right value columns (typed nulls on the left side).
+    # Sort order at equal `on`: a right row visible to an equal-time
+    # left row must sort BEFORE it under backward (the scan looks back)
+    # and AFTER it under forward (the scan looks ahead).
+    if direction == "backward":
+        right_first = 0 if inclusive else 2
+    else:
+        right_first = 2 if inclusive else 0
 
     def prep_left(b: pa.Table) -> pa.Table:
         _guard_exact_ints(b, left_names + [by], "asof_join")
@@ -208,13 +223,22 @@ def asof_join(left, right, by: str, on: str, right_by: str = None,
         n = len(df)
         idx = np.arange(n)
         is_r = df["_ord"].to_numpy() != 1
-        lastr = np.where(is_r, idx, -1)
-        np.maximum.accumulate(lastr, out=lastr)
         byv = df["_by"].to_numpy()
         newg = np.ones(n, dtype=bool)
         newg[1:] = byv[1:] != byv[:-1]
-        gstart = idx[newg][np.cumsum(newg) - 1]
-        match = np.where(lastr >= gstart, lastr, -1)
+        if direction == "backward":
+            lastr = np.where(is_r, idx, -1)
+            np.maximum.accumulate(lastr, out=lastr)
+            gstart = idx[newg][np.cumsum(newg) - 1]
+            match = np.where(lastr >= gstart, lastr, -1)
+        else:
+            # forward: FIRST right row at-or-after — reverse min-scan,
+            # bounded by the group END instead of the group start
+            nextr = np.where(is_r, idx, n)
+            nextr = np.minimum.accumulate(nextr[::-1])[::-1]
+            gend = np.append(idx[newg][1:] - 1, n - 1)[
+                np.cumsum(newg) - 1]
+            match = np.where(nextr <= gend, nextr, -1)
         # a left row with null `on` never matches (sorted last, would
         # otherwise see the whole group)
         match[pd.isna(df["_on"]).to_numpy()] = -1

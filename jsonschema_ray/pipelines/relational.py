@@ -5311,3 +5311,134 @@ def prefix_dup_documents(sf_dir: str, prefix_len: int = 40):
     return out[["doc_id", "n"]].sort_values("doc_id",
                                             na_position="last") \
         .reset_index(drop=True)
+
+
+def events_next_order(sf_dir: str):
+    """FORWARD as-of join (ORACLED): each event picks up the EARLIEST
+    order date of the same customer at-or-after the event time — the
+    lead-time / time-to-next-purchase shape (the mirror of
+    events_last_order's backward match), exercising asof_join's
+    direction="forward" scan: same one co-partition shuffle, the
+    vectorized merge runs a reverse min-scan bounded by the group end
+    instead of the backward max-scan. Null user/ts events answer NULL
+    (a null key matches nothing, SQL scalar-subquery semantics)."""
+    from ..joins import asof_join
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate"])
+    j = asof_join(events, orders, by="user_id", on="ts",
+                  right_by="o_custkey", right_on="o_orderdate",
+                  value_cols=["o_orderdate"], direction="forward")
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "next_orderdate": b["o_orderdate"]})
+
+    return j.map_batches(out, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def top_terms_by_lang(sf_dir: str, k: int = 10):
+    """Per-language vocabulary head (ORACLED): the k most frequent
+    whitespace tokens per lang with their ranks — the
+    stopword/vocabulary screen a multilingual curation pass runs per
+    language, and the grouped-top-k-on-aggregate shape (rank AFTER a
+    full aggregation, where per-batch top-k pre-pruning would be WRONG
+    because a token's count is spread across batches). Each batch
+    pre-counts its own (lang, token) pairs (vocabulary-sized partials,
+    term_frequency's tokenizer contract: split on single space, empty
+    tokens dropped), grouped_agg_hash finishes the counts, and ONE
+    lang-hash partition ranks vectorized (count desc, token asc —
+    row_number semantics) and cuts to k. NULL lang is a real group;
+    null-text docs are invisible."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("text").is_valid())
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        lang = t.column("lang").combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(t), dtype=np.int64),
+                               lens)))
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table({"lang": lang.filter(keep),
+                          "token": flat.filter(keep)})
+        agg = pairs.group_by(["lang", "token"]).aggregate([
+            ([], "count_all")])
+        return agg.rename_columns(["lang", "token", "_n"])
+
+    partials = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+    counts = grouped_agg_hash(partials, ["lang", "token"],
+                              {"_n": "n"}, count_alias="_c")
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n", "token"],
+                            ascending=[True, False, True],
+                            na_position="last", kind="mergesort")
+        rk = df.groupby("lang", dropna=False, sort=False).cumcount() + 1
+        df = df.assign(rk=rk.astype("int64"))
+        return df[df["rk"] <= k]
+
+    out = partitioned_group_apply(counts, ["lang"], rank).to_pandas()
+    if out.empty or "lang" not in out.columns:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "token": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "rk": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    out["rk"] = out["rk"].astype("int64")
+    return out[["lang", "token", "n", "rk"]] \
+        .sort_values(["lang", "rk"], na_position="last") \
+        .reset_index(drop=True)
+
+
+def daily_counts_ma_events(sf_dir: str, window: int = 7):
+    """Gap-filled daily series + trailing moving average (ORACLED):
+    per-type daily event counts on the DENSE day grid (every day
+    between the corpus min and max day appears for every observed type,
+    zero-filled) with the ``window``-day trailing mean — the
+    seasonality/monitoring series shape, where the moving average is
+    only correct over a gap-free calendar. The corpus scan distributes
+    (grouped_agg per-batch partials on (type, day); one row per group
+    per batch shuffles); the densify + rolling window runs driver-side
+    over the aggregate (days × types rows — bounded by calendar and
+    vocabulary, the candles/dow-pivot convention). Null-ts and
+    null-type rows are excluded; a type absent on early days still
+    answers the full grid (SQL cross-join grid semantics). The mean of
+    integer counts is exact in float64; ma7 rounds at 6dp."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("ts").is_valid(),
+                             b.column("event_type").is_valid()))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": pc.strftime(t.column("ts"), "%Y-%m-%d")})
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["event_type", "day"], {}, count_alias="n").to_pandas()
+    if agg.empty or "event_type" not in agg.columns:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "day": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "ma7": pd.Series([], dtype="float64")})
+    days = pd.date_range(agg["day"].min(), agg["day"].max(),
+                         freq="D").strftime("%Y-%m-%d")
+    types = sorted(agg["event_type"].unique())
+    grid = pd.MultiIndex.from_product([types, days],
+                                      names=["event_type", "day"])
+    f = agg.set_index(["event_type", "day"]).reindex(
+        grid, fill_value=0).reset_index()
+    f = f.sort_values(["event_type", "day"]).reset_index(drop=True)
+    f["n"] = f["n"].astype("int64")
+    f["ma7"] = np.round(
+        f.groupby("event_type", sort=False)["n"]
+        .transform(lambda s: s.rolling(window, min_periods=1).mean())
+        .astype("float64"), 6)
+    return f[["event_type", "day", "n", "ma7"]]

@@ -113,7 +113,8 @@ def oracle_pairs():
     "novelty_documents", "cooccur_event_types",
     "robust_stats_events", "user_entropy_events",
     "transitions_event_types", "jaccard_event_types",
-    "prefix_dup_documents",
+    "prefix_dup_documents", "events_next_order",
+    "top_terms_by_lang", "daily_counts_ma_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -325,3 +325,166 @@ def test_prefix_dup_no_collisions(tmp_path):
     d = _write_docs(tmp_path, [(1, "abc"), (2, "def")])
     r = R.prefix_dup_documents(d)
     assert len(r) == 0 and list(r.columns) == ["doc_id", "n"]
+
+
+def test_asof_join_forward_property():
+    """Randomized cross-check of asof_join(direction='forward')
+    against brute force: FIRST right t at-or-after (inclusive) /
+    strictly-after (exclusive) within key — duplicate times, unmatched
+    groups, null left keys and times."""
+    import ray.data as rd
+
+    from jsonschema_ray.joins import asof_join
+    rng = np.random.default_rng(31)
+    for trial, inclusive in [(0, True), (1, False), (2, True)]:
+        nl, nr = 120, 150
+        lk = rng.integers(0, 12, nl).astype("float64")
+        ltv = rng.integers(0, 50, nl).astype("float64")
+        lk[rng.integers(0, nl, 5)] = np.nan   # null keys
+        ltv[rng.integers(0, nl, 5)] = np.nan  # null times
+        lt = pa.table({
+            "lid": pa.array(range(nl), type=pa.int64()),
+            "k": pa.array(pd.array(lk).astype("Int64")),
+            "t": pa.array(pd.array(ltv).astype("Int64")),
+        })
+        rt = pa.table({
+            "k": pa.array(rng.integers(0, 15, nr), type=pa.int64()),
+            "t": pa.array(rng.integers(0, 50, nr), type=pa.int64()),
+        })
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        got = asof_join(rd.from_arrow(lt), rd.from_arrow(rt), by="k",
+                        on="t", value_cols=["t"], inclusive=inclusive,
+                        direction="forward") \
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        exp = []
+        for _, row in ldf.iterrows():
+            if pd.isna(row["k"]) or pd.isna(row["t"]):
+                exp.append(None)
+                continue
+            c = rdf[(rdf["k"] == row["k"])
+                    & ((rdf["t"] >= row["t"]) if inclusive
+                       else (rdf["t"] > row["t"]))]
+            exp.append(c["t"].min() if len(c) else None)
+        exp = pd.Series(exp, dtype="float64")
+        assert got["t_r"].astype("float64").equals(exp), \
+            f"forward trial {trial}"
+
+
+def test_asof_join_bad_direction():
+    import ray.data as rd
+
+    from jsonschema_ray.joins import asof_join
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "t": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(rd.from_arrow(t), rd.from_arrow(t), by="k", on="t",
+                  value_cols=["t"], direction="sideways")
+
+
+TOP_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL),
+cnt AS (
+  SELECT lang, token, count(*) AS n FROM tok
+  WHERE token <> '' GROUP BY lang, token),
+r AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token) AS rk
+  FROM cnt)
+SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 10 ORDER BY lang, rk
+"""
+
+
+def _write_docs_lang(tmp_path, rows):
+    """rows: (doc_id, lang, text)."""
+    os.makedirs(str(tmp_path), exist_ok=True)
+    tb = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[2] or "") for r in rows],
+                            pa.int64()),
+    })
+    pq.write_table(tb, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_top_terms_edge_branches(tmp_path):
+    """Double spaces yield empty tokens that are DROPPED (term_frequency
+    contract); count ties break by token asc; NULL lang is a real
+    group; null text invisible; k cuts."""
+    rows = [
+        (1, "en", "b b a  a c"),      # a:2 b:2 c:1; '' dropped
+        (2, "en", "c"),
+        (3, None, "z z y"),
+        (4, "de", None),              # invisible
+    ]
+    d = _write_docs_lang(tmp_path, rows)
+    got = _canon(R.top_terms_by_lang(d))
+    exp = _canon(_duck_docs(d, TOP_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = R.top_terms_by_lang(d, k=2)
+    en = r[r["lang"] == "en"]
+    # ties at n=2: 'a' before 'b'; c cut by k=2
+    assert en[["token", "n", "rk"]].values.tolist() == \
+        [["a", 2, 1], ["b", 2, 2]]
+    nul = r[r["lang"].isna()]
+    assert nul[["token", "n", "rk"]].values.tolist() == \
+        [["z", 2, 1], ["y", 1, 2]]
+
+
+MA_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT event_type, d, count(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM e),
+grid AS (
+  SELECT t.event_type, CAST(g.d AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+        FROM b) g),
+f AS (
+  SELECT grid.event_type, grid.d, coalesce(c.n, 0) AS n
+  FROM grid LEFT JOIN c
+    ON c.event_type = grid.event_type AND c.d = grid.d)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             6) AS ma7
+FROM f ORDER BY event_type, day
+"""
+
+
+def test_daily_ma_gap_fill(tmp_path):
+    """A 3-day gap zero-fills INTO the window; a type absent on early
+    days still answers the full grid; null ts/type rows excluded."""
+    day = 86_400_000_000
+    rows = [
+        (1, T0, 1, "a", 0.0), (2, T0, 1, "a", 0.0),       # day0: a=2
+        (3, T0 + 4 * day, 1, "a", 0.0),                   # day4: a=1
+        (4, T0 + 4 * day, 1, "b", 0.0),                   # b only day4
+        (5, None, 1, "a", 0.0), (6, T0, 1, None, 0.0),    # invisible
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _canon(R.daily_counts_ma_events(d))
+    exp = _canon(_duck(d, MA_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = R.daily_counts_ma_events(d)
+    a = r[r["event_type"] == "a"]
+    assert a["n"].tolist() == [2, 0, 0, 0, 1]
+    assert a["ma7"].tolist() == [2.0, 1.0, round(2 / 3, 6), 0.5, 0.6]
+    b = r[r["event_type"] == "b"]
+    assert len(b) == 5 and b["n"].tolist() == [0, 0, 0, 0, 1]
+
+
+def test_daily_ma_empty(tmp_path):
+    d = _write_events(tmp_path, [(1, None, 1, "a", 0.0)])
+    r = R.daily_counts_ma_events(d)
+    assert len(r) == 0
+    assert list(r.columns) == ["event_type", "day", "n", "ma7"]
