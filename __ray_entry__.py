@@ -86,14 +86,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
         "funnel_events": R.funnel_events,                # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
-        "q3_shipping_priority": R.q3_shipping_priority,  # oracled
-        "q5_local_supplier_volume": R.q5_local_supplier_volume,  # oracled
-        "burst_rate_events": R.burst_rate_events,        # oracled
-        "heavy_hitters_cms_events": R.heavy_hitters_cms_events,  # oracled
-        "q4_order_priority": R.q4_order_priority,        # oracled (semi)
-        "stale_parts_anti": R.stale_parts_anti,          # oracled (anti)
-        "q10_returned_items": R.q10_returned_items,      # oracled
-        "q18_large_volume_orders": R.q18_large_volume_orders,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
         "robust_stats_events": R.robust_stats_events,     # oracled
         "user_entropy_events": R.user_entropy_events,     # oracled
@@ -110,6 +102,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # line pushes the entry before it out of the window. =====
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
+        "q3_shipping_priority": R.q3_shipping_priority,  # oracled
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,  # oracled
+        "burst_rate_events": R.burst_rate_events,        # oracled
+        "heavy_hitters_cms_events": R.heavy_hitters_cms_events,  # oracled
+        "q4_order_priority": R.q4_order_priority,        # oracled (semi)
+        "stale_parts_anti": R.stale_parts_anti,          # oracled (anti)
+        "q10_returned_items": R.q10_returned_items,      # oracled
+        "q18_large_volume_orders": R.q18_large_volume_orders,  # oracled
         "events_dow_pivot": R.events_dow_pivot,           # oracled
         "q13_customer_distribution": R.q13_customer_distribution,  # oracled
         "q22_idle_balance": R.q22_idle_balance,           # oracled

@@ -5001,7 +5001,13 @@ def robust_stats_events(sf_dir: str):
     skewness answers NULL below n=3 OR at zero variance, kurtosis below
     n=4 OR at zero variance — DuckDB's 0/0 rule, verified empirically.
     NaN values are excluded (psi/drift convention; DuckDB would instead
-    sort NaN above everything — validation rules own NaN screening)."""
+    sort NaN above everything — validation rules own NaN screening).
+    Numerics: moments are computed CENTERED (v - mean before powers) —
+    shift-stable where DuckDB's own streaming raw-moment skewness/
+    kurtosis collapses at large |mean|/sigma (measured: 1e8-offset
+    unit-variance values answer 0.0/-6.25 in DuckDB v1.0.0 vs the
+    shift-invariant truth 0.943266/-0.055813 — a documented divergence
+    in OUR favor, pinned; the oracle holds at testdata magnitudes)."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     hist = grouped_agg_hash(ds, ["event_type", "value"],
                             {}, count_alias="n").to_pandas()
@@ -5026,14 +5032,15 @@ def robust_stats_events(sf_dir: str):
         mad = _hist_quantile_cont(fold.index.to_numpy(),
                                   fold.to_numpy())
         cf = c.astype(np.float64)
-        s1 = float(cf @ v)
-        s2 = float(cf @ (v * v))
-        s3 = float(cf @ (v ** 3))
-        s4 = float(cf @ (v ** 4))
-        m = s1 / n
-        m2 = s2 - n * m * m
-        m3 = s3 - 3.0 * m * s2 + 2.0 * n * m ** 3
-        m4 = s4 - 4.0 * m * s3 + 6.0 * m * m * s2 - 3.0 * n * m ** 4
+        m = float(cf @ v) / n
+        # center BEFORE taking powers: raw power sums cancel
+        # catastrophically for large-mean/low-variance groups (s2 ~
+        # 1e19 vs m2 ~ 1e2 at 1e8-magnitude values); the histogram
+        # holds both v and the exact mean, so the stable form is free
+        d = v - m
+        m2 = float(cf @ (d * d))
+        m3 = float(cf @ (d ** 3))
+        m4 = float(cf @ (d ** 4))
         skew = kurt = np.nan
         if n >= 3 and m2 > 0:
             g1 = (m3 / n) / (m2 / n) ** 1.5
@@ -5149,7 +5156,16 @@ def transitions_event_types(sf_dir: str):
     pruned = ds.map_batches(prune, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=131072)
 
-    def trans(df: pd.DataFrame) -> pd.DataFrame:
+    # output schema PINNED at the Arrow boundary: a partition whose
+    # users all have single events returns an empty frame whose object
+    # columns Arrow would infer as null type — block schemas diverge
+    # (the candles rule)
+    _trans_schema = pa.schema([("prev_type", pa.string()),
+                               ("next_type", pa.string()),
+                               ("_n", pa.int64())])
+
+    def trans(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         df = df.sort_values(["user_id", "ts", "event_id"])
         prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
         m = prev.notna().to_numpy()
@@ -5158,9 +5174,11 @@ def transitions_event_types(sf_dir: str):
                             .to_numpy()[m]}) \
             .groupby(["prev_type", "next_type"]).size() \
             .reset_index(name="_n")
-        return agg
+        return pa.Table.from_pandas(agg, schema=_trans_schema,
+                                    preserve_index=False)
 
-    partials = partitioned_group_apply(pruned, ["user_id"], trans)
+    partials = partitioned_group_apply(pruned, ["user_id"], trans,
+                                       batch_format="pyarrow")
     out = grouped_agg(partials, ["prev_type", "next_type"],
                       {"_n": "n"}, count_alias="_c").to_pandas()
     if out.empty or "prev_type" not in out.columns:
@@ -5238,21 +5256,18 @@ def jaccard_event_types(sf_dir: str):
     C(|vocabulary|, 2) rows. Pairs with an empty intersection are
     absent (SQL inner-join shape, like cooccur); null users/types are
     invisible."""
+    empty = pd.DataFrame({
+        "type_a": pd.Series([], dtype="object"),
+        "type_b": pd.Series([], dtype="object"),
+        "n_both": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64")})
     agg = _user_type_pair_partials(sf_dir, with_totals=True)
     if agg.empty or "type_a" not in agg.columns:
-        return pd.DataFrame({
-            "type_a": pd.Series([], dtype="object"),
-            "type_b": pd.Series([], dtype="object"),
-            "n_both": pd.Series([], dtype="int64"),
-            "jaccard": pd.Series([], dtype="float64")})
+        return empty
     totals = agg[agg["type_b"].isna()].set_index("type_a")["cnt"]
     inter = agg[agg["type_b"].notna()].copy()
     if inter.empty:
-        return pd.DataFrame({
-            "type_a": pd.Series([], dtype="object"),
-            "type_b": pd.Series([], dtype="object"),
-            "n_both": pd.Series([], dtype="int64"),
-            "jaccard": pd.Series([], dtype="float64")})
+        return empty
     na = inter["type_a"].map(totals).to_numpy(dtype=np.float64)
     nb = inter["type_b"].map(totals).to_numpy(dtype=np.float64)
     nn = inter["cnt"].to_numpy(dtype=np.float64)
@@ -5396,11 +5411,11 @@ def top_terms_by_lang(sf_dir: str, k: int = 10):
         .reset_index(drop=True)
 
 
-def daily_counts_ma_events(sf_dir: str, window: int = 7):
+def daily_counts_ma_events(sf_dir: str):
     """Gap-filled daily series + trailing moving average (ORACLED):
     per-type daily event counts on the DENSE day grid (every day
     between the corpus min and max day appears for every observed type,
-    zero-filled) with the ``window``-day trailing mean — the
+    zero-filled) with the 7-day trailing mean — the
     seasonality/monitoring series shape, where the moving average is
     only correct over a gap-free calendar. The corpus scan distributes
     (grouped_agg per-batch partials on (type, day); one row per group
@@ -5439,6 +5454,6 @@ def daily_counts_ma_events(sf_dir: str, window: int = 7):
     f["n"] = f["n"].astype("int64")
     f["ma7"] = np.round(
         f.groupby("event_type", sort=False)["n"]
-        .transform(lambda s: s.rolling(window, min_periods=1).mean())
+        .transform(lambda s: s.rolling(7, min_periods=1).mean())
         .astype("float64"), 6)
     return f[["event_type", "day", "n", "ma7"]]

@@ -488,3 +488,42 @@ def test_daily_ma_empty(tmp_path):
     r = R.daily_counts_ma_events(d)
     assert len(r) == 0
     assert list(r.columns) == ["event_type", "day", "n", "ma7"]
+
+
+def test_robust_stats_large_mean_low_variance(tmp_path):
+    """Cancellation pin — A DOCUMENTED DIVERGENCE: at mean ~1e8 with
+    unit-scale variance, skewness/kurtosis are shift-invariant, so the
+    truth equals the small-value answer (skew 0.943266, kurt
+    -0.055813, which DuckDB itself returns for the UNSHIFTED values).
+    DuckDB's streaming raw-moment aggregate collapses on the shifted
+    values (returns 0.0 / -6.25 — measured, DuckDB v1.0.0); the
+    centered histogram form stays exact. med/mad (order statistics)
+    still match DuckDB bit for bit."""
+    offs = (0.0, 1.0, 2.0, 4.0, 7.0, 11.0)
+    d_small = _write_events(tmp_path / "small",
+                            [(i, T0, 1, "a", v)
+                             for i, v in enumerate(offs)])
+    truth = _duck(d_small, ROBUST_SQL)
+    d_big = _write_events(tmp_path / "big",
+                          [(i, T0, 1, "a", 1.0e8 + v)
+                           for i, v in enumerate(offs)])
+    got = R.robust_stats_events(d_big)
+    assert got.loc[0, "skew"] == truth.loc[0, "skew"] == 0.943266
+    assert got.loc[0, "kurt"] == truth.loc[0, "kurt"] == -0.055813
+    # DuckDB on the shifted values cancels catastrophically
+    drift = _duck(d_big, ROBUST_SQL)
+    assert abs(drift.loc[0, "kurt"] - truth.loc[0, "kurt"]) > 1.0
+    # order statistics are immune on both sides
+    assert got.loc[0, "med"] == drift.loc[0, "med"]
+    assert got.loc[0, "mad"] == drift.loc[0, "mad"]
+
+
+def test_transitions_all_single_event_users(tmp_path):
+    """Every partition emits an EMPTY partial (all users single-event)
+    — the pinned Arrow schema keeps blocks unifiable and the result is
+    a typed empty frame, not a schema-divergence crash."""
+    rows = [(i, T0 + i, i, "a", 0.0) for i in range(40)]
+    d = _write_events(tmp_path, rows)
+    t = R.transitions_event_types(d)
+    assert len(t) == 0
+    assert list(t.columns) == ["prev_type", "next_type", "n"]
