@@ -45,7 +45,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-lens block 1: round-3 additions, never driver-checked
         "chunk_documents": R.chunk_documents,             # oracled
         "events_value_delta": R.events_value_delta,       # oracled
-        "quantity_percentiles": R.quantity_percentiles,   # oracled
         "pii_documents": R.pii_documents,                 # oracled
         "repetition_documents": R.repetition_documents,   # oracled
         "revenue_by_nation": R.revenue_by_nation,         # oracled
@@ -57,7 +56,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_documents": R.entropy_documents,         # oracled
         "events_value_histogram": R.events_value_histogram,  # oracled
         "events_value_zscore": R.events_value_zscore,     # oracled
-        "dedup_neardup_keep_documents": R.dedup_neardup_keep_documents,  # oracled
         "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
         "psi_events": R.psi_events,                       # oracled
         "rolling_mean_events": R.rolling_mean_events,     # oracled
@@ -95,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_gap_by_user": R.median_gap_by_user,       # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
         "pareto_sources": R.pareto_sources,               # oracled
+        "latest_event_per_user": R.latest_event_per_user,  # oracled
+        "ttr_documents": R.ttr_documents,                 # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
         # (r3-judge-verified vs DuckDB, moved out for the session-11 set)
+        "quantity_percentiles": R.quantity_percentiles,   # oracled
+        "dedup_neardup_keep_documents": R.dedup_neardup_keep_documents,  # oracled
         "drift_exact_events": R.drift_exact_events,       # oracled
         "chi2_events": R.chi2_events,                     # oracled
         "events_percent_rank": R.events_percent_rank,     # oracled
@@ -715,6 +717,19 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b""",
+        "latest_event_per_user": """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id""",
+        "ttr_documents": """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_uniq,
+       round(count(DISTINCT t) / CAST(count(*) AS DOUBLE), 6) AS ttr
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL)
+WHERE t <> '' GROUP BY doc_id ORDER BY doc_id""",
         "median_gap_by_user": """
 WITH e AS (
   SELECT user_id, event_id, ts FROM events WHERE ts IS NOT NULL),

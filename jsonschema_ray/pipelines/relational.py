@@ -5620,3 +5620,109 @@ def pareto_sources(sf_dir: str):
         "cum_share": np.round(cum / total, 6) if total > 0
         else np.full(len(agg), np.nan)})
     return out
+
+
+def latest_event_per_user(sf_dir: str):
+    """CDC LOG COMPACTION (ORACLED): the single most-recent event row
+    per user — ORDER BY ts DESC NULLS LAST, event_id DESC, row 1 — the
+    upsert/compaction primitive every changelog consumer runs to
+    materialize current state. Argmax distributes in two levels: each
+    batch keeps ITS OWN latest row per user (a valid partial — the
+    global argmax is the argmax of batch argmaxes), so at most one row
+    per (user, batch) rides the ONE user-hash shuffle; the partition
+    pass re-argmaxes vectorized (sort + tail(1)). PYARROW path
+    throughout (null-bearing int64 ids, the 2^53 rule).
+
+    SQL semantics pinned: NULL user is a real window partition; null-ts
+    rows lose to any timed row (NULLS LAST under DESC) but win — by
+    highest event_id — when the user has only null-ts rows; equal
+    timestamps break by event_id DESC; the full row (type, value)
+    rides with the winner."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type",
+                        "value"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        nullable_int = (lambda dt: pd.Int64Dtype()
+                        if pa.types.is_int64(dt) else None)
+        df = t.to_pandas(types_mapper=nullable_int)
+        # ascending with nulls FIRST mirrors DESC NULLS LAST at tail(1)
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            na_position="first", kind="mergesort")
+        win = df.groupby("user_id", dropna=False, sort=False).tail(1)
+        return pa.Table.from_pandas(win, preserve_index=False,
+                                    schema=t.schema)
+
+    partials = ds.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+    out = partitioned_group_apply(partials, ["user_id"], pick,
+                                  batch_format="pyarrow").to_pandas()
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "event_type": pd.Series([], dtype="object"),
+            "value": pd.Series([], dtype="float64")})
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype(
+            "float64" if out[c].isna().any() else "int64")
+    return out[["user_id", "event_id", "ts", "event_type", "value"]] \
+        .sort_values("user_id", na_position="last") \
+        .reset_index(drop=True)
+
+
+def ttr_documents(sf_dir: str):
+    """Type-token ratio (ORACLED): distinct-token share per document —
+    the lexical-diversity quality signal (low TTR betrays repetitive or
+    templated text). Embarrassingly parallel: every doc lives wholly in
+    one batch, tokens split vectorized (term_frequency contract: single
+    space, empty tokens dropped), per-doc totals by bincount and
+    distinct counts by an exact batch-local drop_duplicates — no
+    shuffle at all, the result streams. Docs with no tokens (null text,
+    empty, or all-space) are absent, the SQL inner-group shape."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ttr(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("text").is_valid())
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = flat_all = pc.list_flatten(toks)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+        idx = idx[keep]
+        flat = flat_all.filter(pa.array(keep))
+        if len(idx) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64()),
+                             "n_uniq": pa.array([], pa.int64()),
+                             "ttr": pa.array([], pa.float64())})
+        n_tok = np.bincount(idx, minlength=len(t))
+        uniq = pd.DataFrame({"i": idx,
+                             "t": flat.to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        n_uniq = np.bincount(uniq["i"].to_numpy(), minlength=len(t))
+        live = n_tok > 0
+        # doc_id stays an Arrow take — a null-bearing int64 id column
+        # must not round-trip through float64 (the 2^53 rule)
+        ids = t.column("doc_id").combine_chunks().take(
+            pa.array(np.nonzero(live)[0], pa.int64()))
+        nt = n_tok[live].astype(np.int64)
+        nu = n_uniq[live].astype(np.int64)
+        return pa.table({
+            "doc_id": ids,
+            "n_tok": pa.array(nt),
+            "n_uniq": pa.array(nu),
+            "ttr": pa.array(np.round(nu / nt.astype(np.float64), 6))})
+
+    out = ds.map_batches(ttr, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         batch_size=131072).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_tok": pd.Series([], dtype="int64"),
+                             "n_uniq": pd.Series([], dtype="int64"),
+                             "ttr": pd.Series([], dtype="float64")})
+    return out.sort_values("doc_id", na_position="last") \
+        .reset_index(drop=True)

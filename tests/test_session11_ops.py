@@ -673,3 +673,69 @@ def test_pareto_edge_branches(tmp_path):
     assert r["source"].tolist()[3] == "z"
     assert r["cum_share"].tolist() == [0.6, 0.9, 1.0, 1.0]
     assert math.isnan(r["chars"].tolist()[3])
+
+
+LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def test_latest_event_edge_branches(tmp_path):
+    """Null-ts rows lose to any timed row but win (highest event_id)
+    for an all-null-ts user; equal timestamps break by event_id DESC;
+    NULL user is a real partition; the whole row rides with the
+    winner."""
+    rows = [
+        (1, T0, 1, "a", 1.0), (2, T0 + 5, 1, "b", 2.0),
+        (3, None, 1, "c", 3.0),                       # null ts loses
+        (4, T0, 2, "x", 1.0), (5, T0, 2, "y", 2.0),   # tie: id 5 wins
+        (6, None, 3, "p", 7.0), (7, None, 3, "q", 8.0),  # all-null: 7
+        (8, T0, None, "n", 9.0), (9, T0 + 1, None, "m", 10.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _canon(R.latest_event_per_user(d))
+    exp = _canon(_duck(d, LATEST_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = R.latest_event_per_user(d)
+    by = {(None if pd.isna(t.user_id) else int(t.user_id)): t
+          for t in r.itertuples()}
+    assert by[1].event_id == 2 and by[1].event_type == "b"
+    assert by[2].event_id == 5 and by[2].value == 2.0
+    assert by[3].event_id == 7 and pd.isna(by[3].ts)
+    assert by[None].event_id == 9 and by[None].event_type == "m"
+
+
+TTR_SQL = """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_uniq,
+       round(count(DISTINCT t) / CAST(count(*) AS DOUBLE), 6) AS ttr
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL)
+WHERE t <> '' GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def test_ttr_edge_branches(tmp_path):
+    """Repeated tokens lower TTR exactly; empty tokens (double spaces)
+    are dropped; null-text / all-space / empty docs are ABSENT; a doc
+    with one token answers 1.0."""
+    rows = [
+        (1, "a a a b"),        # 4 tok, 2 uniq, 0.5
+        (2, "x  y"),           # '' dropped: 2 tok 2 uniq
+        (3, None),             # absent
+        (4, "  "),             # all-space: absent
+        (5, ""),               # empty: absent
+        (6, "solo"),           # 1.0
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = _canon(R.ttr_documents(d))
+    exp = _canon(_duck_docs(d, TTR_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = R.ttr_documents(d)
+    assert r["doc_id"].tolist() == [1, 2, 6]
+    assert r["ttr"].tolist() == [0.5, 1.0, 1.0]
+    assert r["n_tok"].tolist() == [4, 2, 1]
