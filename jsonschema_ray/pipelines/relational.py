@@ -124,6 +124,13 @@ def grouped_agg_hash(ds, keys: list[str], sums: dict[str, str],
         batch_format="pyarrow")
 
 
+def _nullable_int64(dt):
+    """types_mapper for to_pandas: int64 -> pandas Int64 so null-bearing
+    id columns never round-trip through float64 (the 2^53 rule — a
+    plain roundtrip silently rounds ids past 2^53)."""
+    return pd.Int64Dtype() if pa.types.is_int64(dt) else None
+
+
 def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2):
     for c in cols:
         df[c] = df[c].round(nd)
@@ -4518,10 +4525,8 @@ def source_quota_documents(sf_dir: str, quota: int = 3):
         # rank in pandas on NULLABLE Int64 — the plain roundtrip turns
         # null-bearing int64 payloads into float64, rounding ids past
         # 2^53 (the partitioned_group_apply docstring's pyarrow rule)
-        nullable_int = (lambda dt: pd.Int64Dtype()
-                        if pa.types.is_int64(dt) else None)
         return pa.Table.from_pandas(
-            pick(t.to_pandas(types_mapper=nullable_int)),
+            pick(t.to_pandas(types_mapper=_nullable_int64)),
             preserve_index=False)
 
     pruned = ds.map_batches(pick_tbl, batch_format="pyarrow",
@@ -5089,9 +5094,7 @@ def user_entropy_events(sf_dir: str):
                              {}, count_alias="c")
 
     def ent(t: pa.Table) -> pa.Table:
-        nullable_int = (lambda dt: pd.Int64Dtype()
-                        if pa.types.is_int64(dt) else None)
-        df = t.to_pandas(types_mapper=nullable_int)
+        df = t.to_pandas(types_mapper=_nullable_int64)
         valid = df[df["event_type"].notna()]
         gsum = valid.groupby("user_id", dropna=False, sort=False)["c"] \
             .transform("sum")
@@ -5479,9 +5482,7 @@ def median_gap_by_user(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def gaps(t: pa.Table) -> pa.Table:
-        nullable_int = (lambda dt: pd.Int64Dtype()
-                        if pa.types.is_int64(dt) else None)
-        df = t.to_pandas(types_mapper=nullable_int)
+        df = t.to_pandas(types_mapper=_nullable_int64)
         df = df.sort_values(["user_id", "ts", "event_id"],
                             na_position="last")
         have_ts = df["ts"].notna()
@@ -5599,25 +5600,33 @@ def pareto_sources(sf_dir: str):
     sum skips NULL); integer cumulation is exact, the share divides
     once at the end."""
     ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
-    agg = grouped_agg(ds, ["source"], {"n_chars": "chars"},
-                      count_alias="_c").to_pandas()
-    if agg.empty or "source" not in agg.columns:
+    # consume the aggregate as ARROW: a pandas roundtrip would float64
+    # the null-bearing int64 sums and round char totals past 2^53,
+    # while SQL's window cumulation is exact BIGINT
+    batches = list(grouped_agg(ds, ["source"], {"n_chars": "chars"},
+                               count_alias="_c")
+                   .iter_batches(batch_format="pyarrow"))
+    if not batches:
         return pd.DataFrame({"source": pd.Series([], dtype="object"),
                              "chars": pd.Series([], dtype="float64"),
                              "cum_share": pd.Series([],
                                                     dtype="float64")})
+    agg = pa.concat_tables(batches, promote_options="permissive") \
+        .to_pandas(types_mapper=_nullable_int64)
     agg = agg.sort_values(["chars", "source"],
                           ascending=[False, True],
                           na_position="last", kind="mergesort") \
         .reset_index(drop=True)
-    chars = agg["chars"].to_numpy(dtype=np.float64)
-    filled = np.where(np.isnan(chars), 0.0, chars)
-    total = filled.sum()
+    filled = agg["chars"].fillna(0).to_numpy(dtype=np.int64)
+    total = int(filled.sum())
     cum = np.cumsum(filled)
+    # driver-facing chars column follows the DuckDB pandas dtype rule
+    chars_out = agg["chars"].astype(
+        "float64" if agg["chars"].isna().any() else "int64")
     out = pd.DataFrame({
         "source": agg["source"],
-        "chars": agg["chars"],
-        "cum_share": np.round(cum / total, 6) if total > 0
+        "chars": chars_out,
+        "cum_share": np.round(cum / float(total), 6) if total > 0
         else np.full(len(agg), np.nan)})
     return out
 
@@ -5644,9 +5653,7 @@ def latest_event_per_user(sf_dir: str):
                         "value"])
 
     def pick(t: pa.Table) -> pa.Table:
-        nullable_int = (lambda dt: pd.Int64Dtype()
-                        if pa.types.is_int64(dt) else None)
-        df = t.to_pandas(types_mapper=nullable_int)
+        df = t.to_pandas(types_mapper=_nullable_int64)
         # ascending with nulls FIRST mirrors DESC NULLS LAST at tail(1)
         df = df.sort_values(["user_id", "ts", "event_id"],
                             na_position="first", kind="mergesort")
@@ -5676,53 +5683,68 @@ def latest_event_per_user(sf_dir: str):
 def ttr_documents(sf_dir: str):
     """Type-token ratio (ORACLED): distinct-token share per document —
     the lexical-diversity quality signal (low TTR betrays repetitive or
-    templated text). Embarrassingly parallel: every doc lives wholly in
-    one batch, tokens split vectorized (term_frequency contract: single
-    space, empty tokens dropped), per-doc totals by bincount and
-    distinct counts by an exact batch-local drop_duplicates — no
-    shuffle at all, the result streams. Docs with no tokens (null text,
-    empty, or all-space) are absent, the SQL inner-group shape."""
+    templated text). SQL GROUP BY doc_id semantics exactly: rows
+    sharing a doc_id (and the NULL-id group) MERGE their token
+    multisets, so the plan is the dedup_rate shape keyed by doc — each
+    batch pre-groups (doc_id, hash64(token)) with counts (term_frequency
+    tokenizer contract: single space, empty tokens dropped),
+    grouped_agg_hash finishes the per-(doc, hash) totals, and a tiny
+    per-doc reduce over THAT aggregate yields n_tok = Σ counts and
+    n_uniq = #hashes. 64-bit token hashing stands in for string
+    equality (the exact-dedup convention). Docs with no tokens (null
+    text, empty, all-space) are absent — the SQL inner-group shape."""
+    from ..sketches.hashing import hash64_array
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def ttr(b: pa.Table) -> pa.Table:
+    def pairs(b: pa.Table) -> pa.Table:
         t = b.filter(b.column("text").is_valid())
         toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = flat_all = pc.list_flatten(toks)
+        flat = pc.list_flatten(toks)
         idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
-        keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         idx = idx[keep]
-        flat = flat_all.filter(pa.array(keep))
-        if len(idx) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_tok": pa.array([], pa.int64()),
-                             "n_uniq": pa.array([], pa.int64()),
-                             "ttr": pa.array([], pa.float64())})
-        n_tok = np.bincount(idx, minlength=len(t))
-        uniq = pd.DataFrame({"i": idx,
-                             "t": flat.to_numpy(zero_copy_only=False)}) \
-            .drop_duplicates()
-        n_uniq = np.bincount(uniq["i"].to_numpy(), minlength=len(t))
-        live = n_tok > 0
-        # doc_id stays an Arrow take — a null-bearing int64 id column
-        # must not round-trip through float64 (the 2^53 rule)
+        flat = flat.filter(pa.array(keep))
+        th = hash64_array(flat).astype("int64")
+        # doc_id via Arrow take — null-bearing int64 ids never float
         ids = t.column("doc_id").combine_chunks().take(
-            pa.array(np.nonzero(live)[0], pa.int64()))
-        nt = n_tok[live].astype(np.int64)
-        nu = n_uniq[live].astype(np.int64)
-        return pa.table({
-            "doc_id": ids,
-            "n_tok": pa.array(nt),
-            "n_uniq": pa.array(nu),
-            "ttr": pa.array(np.round(nu / nt.astype(np.float64), 6))})
+            pa.array(idx, pa.int64()))
+        agg = pa.table({"doc_id": ids, "th": pa.array(th)}) \
+            .group_by(["doc_id", "th"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["doc_id", "th", "_n"])
 
-    out = ds.map_batches(ttr, batch_format="pyarrow",
-                         zero_copy_batch=True,
-                         batch_size=131072).to_pandas()
-    if out.empty or "doc_id" not in out.columns:
+    partials = ds.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+    per_hash = grouped_agg_hash(partials, ["doc_id", "th"],
+                                {"_n": "n"}, count_alias="_c")
+
+    def reduce_doc(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "pn": b.column("n"),
+                      "pu": pa.array(np.ones(b.num_rows, np.int64))})
+        agg = t.group_by(["doc_id"]).aggregate(
+            [("pn", "sum"), ("pu", "sum")])
+        return agg.rename_columns(["doc_id", "pn", "pu"])
+
+    batches = list(grouped_agg(
+        per_hash.map_batches(reduce_doc, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["doc_id"], {"pn": "n_tok", "pu": "n_uniq"},
+        count_alias="_c").iter_batches(batch_format="pyarrow"))
+    if not batches:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "n_tok": pd.Series([], dtype="int64"),
                              "n_uniq": pd.Series([], dtype="int64"),
                              "ttr": pd.Series([], dtype="float64")})
-    return out.sort_values("doc_id", na_position="last") \
+    out = pa.concat_tables(batches, promote_options="permissive") \
+        .to_pandas(types_mapper=_nullable_int64)
+    nt = out["n_tok"].to_numpy(dtype=np.float64)
+    nu = out["n_uniq"].to_numpy(dtype=np.float64)
+    res = pd.DataFrame({
+        "doc_id": out["doc_id"].astype(
+            "float64" if out["doc_id"].isna().any() else "int64"),
+        "n_tok": out["n_tok"].astype("int64"),
+        "n_uniq": out["n_uniq"].astype("int64"),
+        "ttr": np.round(nu / nt, 6)})
+    return res.sort_values("doc_id", na_position="last") \
         .reset_index(drop=True)

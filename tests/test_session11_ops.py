@@ -739,3 +739,24 @@ def test_ttr_edge_branches(tmp_path):
     assert r["doc_id"].tolist() == [1, 2, 6]
     assert r["ttr"].tolist() == [0.5, 1.0, 1.0]
     assert r["n_tok"].tolist() == [4, 2, 1]
+
+
+def test_ttr_duplicate_and_null_doc_ids(tmp_path):
+    """SQL GROUP BY semantics under id collisions (the session-10
+    blocked_fuzzy lesson): rows sharing a doc_id MERGE their token
+    multisets, and ALL null-id rows form ONE group — per-record rows
+    would be wrong on both."""
+    rows = [(7, "a b"), (7, "b c"),          # one group: 4 tok, 3 uniq
+            (None, "x y"), (None, "y z"),    # one NULL group: 4 tok, 3
+            (1, "solo")]
+    d = _write_docs(tmp_path, rows)
+    got = _canon(R.ttr_documents(d))
+    exp = _canon(_duck_docs(d, TTR_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = R.ttr_documents(d)
+    by = {(None if pd.isna(t.doc_id) else int(t.doc_id)): t
+          for t in r.itertuples()}
+    assert by[7].n_tok == 4 and by[7].n_uniq == 3 \
+        and by[7].ttr == 0.75
+    assert by[None].n_tok == 4 and by[None].n_uniq == 3
+    assert by[1].ttr == 1.0
