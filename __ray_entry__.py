@@ -64,7 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": R.pack_documents,               # oracled
         "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
         "dedup_events_window": R.dedup_events_window,     # oracled
-        "curate_documents": R.curate_documents,           # oracled e2e
         # --- driver-lens block 2: NEW this round (oracled)
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
@@ -95,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_sources": R.pareto_sources,               # oracled
         "latest_event_per_user": R.latest_event_per_user,  # oracled
         "ttr_documents": R.ttr_documents,                 # oracled
+        "split_leakage_documents": R.split_leakage_documents,  # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
         # (r3-judge-verified vs DuckDB, moved out for the session-11 set)
+        "curate_documents": R.curate_documents,           # oracled e2e
         "quantity_percentiles": R.quantity_percentiles,   # oracled
         "dedup_neardup_keep_documents": R.dedup_neardup_keep_documents,  # oracled
         "drift_exact_events": R.drift_exact_events,       # oracled
@@ -717,6 +718,20 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b""",
+        "split_leakage_documents": """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 100 < 10 THEN 'val'
+              WHEN doc_id % 100 < 20 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents WHERE text IS NOT NULL)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN EXISTS (
+           SELECT 1 FROM d t WHERE t.split = 'train'
+             AND t.text = dd.text
+             AND t.doc_id IS DISTINCT FROM dd.doc_id)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+FROM d dd GROUP BY split ORDER BY split""",
         "latest_event_per_user": """
 SELECT user_id, event_id, ts, event_type, value FROM (
   SELECT *, row_number() OVER (

@@ -5748,3 +5748,82 @@ def ttr_documents(sf_dir: str):
         "ttr": np.round(nu / nt, 6)})
     return res.sort_values("doc_id", na_position="last") \
         .reset_index(drop=True)
+
+
+def split_leakage_documents(sf_dir: str, val_pct: int = 10,
+                            test_pct: int = 10):
+    """Train/eval LEAKAGE audit (ORACLED): per split, how many docs
+    share their EXACT text with a different train document — the
+    contamination check every eval pipeline runs before trusting its
+    val/test numbers (for the train split itself the same count reads
+    as intra-train duplication). Identity is SQL's: a doc is leaked iff
+    a train doc with IS DISTINCT FROM id carries equal text, so two
+    NULL-id docs are the SAME identity (NOT DISTINCT) and don't leak
+    each other, while a NULL-id train doc leaks any real-id twin. Texts
+    never ship: ONE text-hash partition receives only (hash, doc_id) —
+    the split re-derives from the id inside the partition (assign_split
+    is stateless) — counts train rows per (hash) and per (hash, id)
+    (pandas merge matching NA keys IS the IS-NOT-DISTINCT semantics,
+    load-bearing as in funnel), flags leaked = train_total −
+    same-identity-train > 0 vectorized, and only (split, n_docs,
+    n_leaked) partials reach the final 3-row groupby. Null-text docs
+    are invisible (equality never holds in SQL)."""
+    from ..sketches.hashing import hash64_array
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("text").is_valid())
+        h = hash64_array(t.column("text").combine_chunks()) \
+            .astype("int64")
+        return pa.table({"h": pa.array(h), "doc_id": t.column("doc_id")})
+
+    pruned = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+
+    _out_schema = pa.schema([("split", pa.string()),
+                             ("pn", pa.int64()), ("pl", pa.int64())])
+
+    def audit(t: pa.Table) -> pa.Table:
+        df = t.to_pandas(types_mapper=_nullable_int64)
+        # split derivation on EXACT ints (a float64 detour would round
+        # ids past 2^53 into the wrong bucket); NULL id -> 'train'
+        # exactly like SQL's CASE on NULL % 100
+        isna = df["doc_id"].isna().to_numpy()
+        iv = df["doc_id"].fillna(0).astype("int64").to_numpy()
+        bucket = _sql_mod(iv, 100)
+        split = np.where(isna, "train",
+                         np.where(bucket < val_pct, "val",
+                                  np.where(bucket < val_pct + test_pct,
+                                           "test", "train")))
+        df = df.assign(split=split,
+                       _tr=(split == "train").astype(np.int64))
+        per_hash = df.groupby("h")["_tr"].sum().rename("t_n") \
+            .reset_index()
+        per_id = df.groupby(["h", "doc_id"], dropna=False)["_tr"] \
+            .sum().rename("same_n").reset_index()
+        # column merges: pandas matches NA keys, which IS the SQL
+        # IS-NOT-DISTINCT identity this audit needs
+        df = df.merge(per_hash, on="h", how="left") \
+            .merge(per_id, on=["h", "doc_id"], how="left")
+        leaked = (df["t_n"] - df["same_n"]) > 0
+        agg = pd.DataFrame({"split": df["split"],
+                            "pn": np.ones(len(df), np.int64),
+                            "pl": leaked.to_numpy().astype(np.int64)}) \
+            .groupby("split").sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=_out_schema,
+                                    preserve_index=False)
+
+    partials = partitioned_group_apply(pruned, ["h"], audit,
+                                       batch_format="pyarrow")
+    out = grouped_agg(partials, ["split"],
+                      {"pn": "n_docs", "pl": "n_leaked"},
+                      count_alias="_c").to_pandas()
+    if out.empty or "split" not in out.columns:
+        return pd.DataFrame({"split": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "n_leaked": pd.Series([], dtype="int64")})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_leaked"] = out["n_leaked"].astype("int64")
+    return out[["split", "n_docs", "n_leaked"]].sort_values("split") \
+        .reset_index(drop=True)

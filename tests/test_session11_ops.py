@@ -760,3 +760,55 @@ def test_ttr_duplicate_and_null_doc_ids(tmp_path):
         and by[7].ttr == 0.75
     assert by[None].n_tok == 4 and by[None].n_uniq == 3
     assert by[1].ttr == 1.0
+
+
+LEAK_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 100 < 10 THEN 'val'
+              WHEN doc_id % 100 < 20 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents WHERE text IS NOT NULL)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN EXISTS (
+           SELECT 1 FROM d t WHERE t.split = 'train'
+             AND t.text = dd.text
+             AND t.doc_id IS DISTINCT FROM dd.doc_id)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+FROM d dd GROUP BY split ORDER BY split
+"""
+
+
+def test_split_leakage_edge_branches(tmp_path):
+    """Identity is IS DISTINCT FROM: two NULL-id train twins are the
+    SAME identity (not leaked), a NULL-id train doc leaks a real-id
+    val twin, same-id train twins don't leak each other, intra-train
+    duplication counts on the train row, null text invisible.
+    Buckets: id%100 <10 val, <20 test, else train."""
+    rows = [
+        (5, "leak-a"), (125, "leak-a"),      # val 5 leaked by train 125
+        (15, "leak-b"), (120, "leak-b"),     # test 15 leaked by train 120
+        (30, "dup-t"), (130, "dup-t"),       # intra-train: both leaked
+        (231, "unique one"),                 # train, clean
+        (7, "clean val"),                    # val, clean
+        (None, "null-twin"), (None, "null-twin"),  # same identity: 0
+        (None, "null-leaks"), (8, "null-leaks"),   # null train leaks val 8
+        (50, None),                          # null text invisible
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = R.split_leakage_documents(d)
+    exp = _duck_docs(d, LEAK_SQL)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    by = {t.split: t for t in got.itertuples()}
+    assert by["val"].n_docs == 3 and by["val"].n_leaked == 2
+    assert by["test"].n_docs == 1 and by["test"].n_leaked == 1
+    # train: 125,120,30,130,231,None,None,None -> 8 docs;
+    # leaked: 30 & 130 (each other); null twins NOT; others no twin
+    assert by["train"].n_docs == 8 and by["train"].n_leaked == 2
+
+
+def test_split_leakage_empty(tmp_path):
+    d = _write_docs(tmp_path, [(1, None)])
+    r = R.split_leakage_documents(d)
+    assert len(r) == 0
+    assert list(r.columns) == ["split", "n_docs", "n_leaked"]
