@@ -61,7 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_mean_events": R.rolling_mean_events,     # oracled
         "split_documents": R.split_documents,             # oracled
         "quality_filter_documents": R.quality_filter_documents,  # oracled
-        "pack_documents": R.pack_documents,               # oracled
         "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
         "dedup_events_window": R.dedup_events_window,     # oracled
         # --- driver-lens block 2: NEW this round (oracled)
@@ -95,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": R.latest_event_per_user,  # oracled
         "ttr_documents": R.ttr_documents,                 # oracled
         "split_leakage_documents": R.split_leakage_documents,  # oracled
+        "fuzzy_components_customers":
+            R.fuzzy_components_customers,                 # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
@@ -103,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
         # (r3-judge-verified vs DuckDB, moved out for the session-11 set)
+        "pack_documents": R.pack_documents,               # oracled
+        "props_field_by_type": R.props_field_by_type,     # oracled
         "curate_documents": R.curate_documents,           # oracled e2e
         "quantity_percentiles": R.quantity_percentiles,   # oracled
         "dedup_neardup_keep_documents": R.dedup_neardup_keep_documents,  # oracled
@@ -191,7 +194,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_documents": R.clean_documents,             # oracled
         "tfidf_documents": R.tfidf_documents,             # oracled
         "stratified_sample_documents": R.stratified_sample_documents,  # oracled
-        "props_field_by_type": R.props_field_by_type,     # oracled
         "orders_customer_join": R.orders_customer_join,  # oracled
         "events_last_order": R.events_last_order,
         "hopping_window_events": R.hopping_window_events,
@@ -718,6 +720,23 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b""",
+        "fuzzy_components_customers": """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS c_custkey, min(v) AS entity_id
+FROM reach GROUP BY u ORDER BY c_custkey""",
         "split_leakage_documents": """
 WITH d AS (
   SELECT doc_id, text,

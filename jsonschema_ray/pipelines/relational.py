@@ -5827,3 +5827,48 @@ def split_leakage_documents(sf_dir: str, val_pct: int = 10,
     out["n_leaked"] = out["n_leaked"].astype("int64")
     return out[["split", "n_docs", "n_leaked"]].sort_values("split") \
         .reset_index(drop=True)
+
+
+def fuzzy_components_customers(sf_dir: str, max_dist: int = 2):
+    """ENTITY RESOLUTION end-to-end (ORACLED): fuzzy-match pairs →
+    distributed connected components → one (c_custkey, entity_id) row
+    per customer appearing in any pair, entity_id = the smallest key
+    in its cluster — the record-linkage composition (blocking +
+    vectorized Levenshtein + min-label clustering) that turns pairwise
+    matches into dedupable entities. Both stages are the existing
+    scale paths: blocked_fuzzy_pairs ships only the narrow
+    (block, id, name) projection through one block-hash shuffle, and
+    connected_components union-finds under its gather cap with the
+    distributed min-label-propagation fallback above it. The oracle is
+    a recursive-CTE transitive closure over the same SQL pair set —
+    pairs AND clustering checked end to end (the
+    neardup_components_documents convention)."""
+    from ..dedup import connected_components
+    from ..text import blocked_fuzzy_pairs
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_nationkey",
+                        "c_mktsegment"])
+    pairs = blocked_fuzzy_pairs(
+        ds, ["c_nationkey", "c_mktsegment"], "c_name", "c_custkey",
+        max_dist=max_dist)
+    # components reads an ARROW schema; the fuzzy stage emits pandas
+    # blocks — pin the edge schema at the boundary (typed even when a
+    # partition finds zero pairs)
+    _edge_schema = pa.schema([("id_a", pa.int64()),
+                              ("id_b", pa.int64()),
+                              ("dist", pa.int64())])
+    edges = pairs.map_batches(
+        lambda df: pa.Table.from_pandas(df, schema=_edge_schema,
+                                        preserve_index=False),
+        batch_format="pandas", batch_size=131072)
+    out = connected_components(edges).to_pandas()
+    if out.empty or "node" not in out.columns:
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "entity_id": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"node": "c_custkey",
+                              "component": "entity_id"})
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["entity_id"] = out["entity_id"].astype("int64")
+    return out[["c_custkey", "entity_id"]].sort_values("c_custkey") \
+        .reset_index(drop=True)

@@ -117,7 +117,7 @@ def oracle_pairs():
     "top_terms_by_lang", "daily_counts_ma_events",
     "median_gap_by_user", "dedup_rate_by_source", "pareto_sources",
     "latest_event_per_user", "ttr_documents",
-    "split_leakage_documents",
+    "split_leakage_documents", "fuzzy_components_customers",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -812,3 +812,56 @@ def test_split_leakage_empty(tmp_path):
     r = R.split_leakage_documents(d)
     assert len(r) == 0
     assert list(r.columns) == ["split", "n_docs", "n_leaked"]
+
+
+FUZZY_COMP_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS c_custkey, min(v) AS entity_id
+FROM reach GROUP BY u ORDER BY c_custkey
+"""
+
+
+def test_fuzzy_components_edge_branches(tmp_path):
+    """Transitive chain A~B~C clusters even when A-C exceeds the
+    distance cap; identical names in DIFFERENT blocks stay separate
+    entities; customers with no fuzzy twin are absent."""
+    rows = [
+        # chain inside block (1, 'SEG'): abcdef ~ abcdeX ~ abcdXY
+        (10, "abcdef", 1, "SEG"), (11, "abcdeX", 1, "SEG"),
+        (12, "abXdeX", 1, "SEG"),
+        # identical name, different nation -> no pair across blocks
+        (20, "abcdef", 2, "SEG"),
+        # singleton
+        (30, "zzzzzzzz", 1, "SEG"),
+    ]
+    os.makedirs(str(tmp_path), exist_ok=True)
+    tb = pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_name": pa.array([r[1] for r in rows], pa.string()),
+        "c_nationkey": pa.array([r[2] for r in rows], pa.int64()),
+        "c_mktsegment": pa.array([r[3] for r in rows], pa.string()),
+    })
+    pq.write_table(tb, os.path.join(str(tmp_path), "customer.parquet"))
+    d = str(tmp_path)
+    got = R.fuzzy_components_customers(d)
+    con = duckdb.connect()
+    con.execute("create view customer as select * from "
+                f"read_parquet('{d}/customer.parquet')")
+    exp = con.execute(FUZZY_COMP_SQL).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # 10~11 (dist 1), 11~12 (dist 2), 10~12 dist 3 > cap: still one
+    # entity by transitivity; 20 and 30 absent
+    assert got.values.tolist() == [[10, 10], [11, 10], [12, 10]]
