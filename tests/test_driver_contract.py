@@ -118,6 +118,7 @@ def oracle_pairs():
     "median_gap_by_user", "dedup_rate_by_source", "pareto_sources",
     "latest_event_per_user", "ttr_documents",
     "split_leakage_documents", "fuzzy_components_customers",
+    "q9_product_profit", "q20_dominant_supplier",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()
