@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-12 additions (oracled, never driver-checked)
         "q9_product_profit": R.q9_product_profit,         # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
+        "q11_important_parts": R.q11_important_parts,     # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -563,6 +564,18 @@ WHERE s_suppkey IN (
   ) WHERE q > 0.5 * tot AND l_suppkey IS NOT NULL
 )
 ORDER BY s_name, s_acctbal""",
+        "q11_important_parts": """
+WITH nkeys AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_20')
+SELECT l_partkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM nkeys)
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * (1 - l_discount)) >
+  0.0003 * (SELECT sum(l_extendedprice * (1 - l_discount))
+            FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM nkeys))
+ORDER BY value DESC, l_partkey""",
         "q7_volume_shipping": """
 SELECT supp_nation, cust_nation, l_year,
        round(sum(volume), 2) AS revenue FROM (

@@ -137,6 +137,26 @@ def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2):
     return df
 
 
+def duckdb_round(a, nd: int = 2):
+    """DuckDB-parity ``round(DOUBLE, nd)``: DuckDB computes
+    ``std::round(x * 10^nd) / 10^nd`` — an fp multiply, then
+    ties-AWAY-from-zero on the scaled double. numpy/pandas ``round``
+    instead round the BINARY value half-to-even, so any aggregate
+    landing within one ulp of a half-cent diverges (observed:
+    sum=74251.48500000000058 → DuckDB .49, pandas .48). The tie branch
+    is exact: for |v| ≥ 1, floor(|v|) is within a factor 2 of |v| so
+    the Sterbenz lemma makes ``|v| - floor(|v|)`` exact; for |v| < 1
+    the subtraction is trivially exact; above 2^52 the fraction is 0.
+    Property-tested equal to DuckDB on 30k adversarial doubles
+    (test_session13_ops). NaN propagates; use where an oracle rounds a
+    SUM whose granularity can hit the half boundary."""
+    p = float(10 ** nd)
+    v = np.asarray(a, dtype=np.float64) * p
+    av = np.abs(v)
+    f = np.floor(av)
+    return np.copysign(np.where(av - f >= 0.5, f + 1.0, f), v) / p
+
+
 def _partial_topk(ds, sort_cols: list[str], ascending: list[bool],
                   k: int, round_col: str = None):
     """Distributed top-k: per-block partial top-k inside map_batches,
@@ -6053,3 +6073,80 @@ def q20_dominant_supplier(sf_dir: str):
                         "s_acctbal": got["s_acctbal"].round(2)})
     return out.sort_values(["s_name", "s_acctbal"]) \
         .reset_index(drop=True)
+
+
+def q11_important_parts(sf_dir: str, nation: str = "NATION_20",
+                        fraction: float = 0.0003):
+    """TPC-H Q11 shape (ORACLED): parts whose revenue within ONE
+    nation's suppliers exceeds a FRACTION of that nation's total — the
+    global-scalar-threshold-over-grouped-sums shape (Q22 uses a global
+    avg; Q11's threshold is a fraction of the aggregate's own grand
+    total, so the scalar derives from the SAME aggregate it filters).
+    The testdata star carries no partsupp, so Q11's
+    ps_supplycost*ps_availqty value is re-expressed as shipped revenue
+    l_extendedprice*(1-l_discount) — same join tree (nation → supplier
+    → lineitem), same HAVING-vs-scalar-subquery contract. The nation's
+    supplier keys are dimension-sized and broadcast
+    (_broadcast_key_filter) so the lineitem scan prunes to ~1/25 of
+    the stream before anything groups; per-(partkey, batch) combiner
+    partials ride grouped_agg_hash (near-part-cardinality keys); the
+    aggregate is PART-BOUNDED, so the grand total + strict-> filter
+    run driver-side over the gathered aggregate (the pareto_sources
+    convention — at 10^12 lineitem rows this gather is still only one
+    nation's part list). NULL l_partkey forms a real group that can
+    qualify; an all-NULL-amount group has v = NULL and fails the
+    strict > on both engines (pandas NaN compare = False); NULL
+    l_suppkey rows never match the supplier semi join, exactly like
+    the SQL inner join. The displayed value uses duckdb_round, NOT
+    pandas round: three sf0.01 part sums land within one ulp of a
+    half-cent and DuckDB's std::round(x*100)/100 ties AWAY from zero
+    where numpy ties to even (74251.485 → .49 vs .48 — pinned)."""
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    empty = pd.DataFrame({
+        "l_partkey": pd.Series([], dtype="int64"),
+        "value": pd.Series([], dtype="float64")})
+    keys = nat.loc[nat["n_name"] == nation, "n_nationkey"]
+    if keys.empty:
+        return empty
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = supp.loc[supp["s_nationkey"].isin(keys.to_numpy()),
+                     "s_suppkey"].dropna()
+    if skeys.empty:
+        return empty
+
+    def amount_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "v": pc.multiply(b["l_extendedprice"],
+                             pc.subtract(pa.scalar(1.0),
+                                         b["l_discount"]))})
+
+    li = _broadcast_key_filter(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"]),
+        "l_suppkey", skeys.to_numpy()).map_batches(
+        amount_proj, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg_hash(li, ["l_partkey"], {"v": "v"},
+                           count_alias="_n")
+    # part-bounded gather (nullable Int64 keys — the 2^53 rule)
+    parts = []
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        parts.append(b.to_pandas(types_mapper=_nullable_int64))
+    if not parts:
+        return empty
+    df = pd.concat(parts, ignore_index=True)
+    if df.empty or "l_partkey" not in df.columns:
+        return empty
+    total = df["v"].sum(min_count=1)
+    if pd.isna(total):
+        return empty
+    keep = df[df["v"] > fraction * total].copy()
+    keep["value"] = duckdb_round(keep["v"].to_numpy())
+    keep["l_partkey"] = keep["l_partkey"].astype(
+        "float64" if keep["l_partkey"].isna().any() else "int64")
+    return keep[["l_partkey", "value"]].sort_values(
+        ["value", "l_partkey"], ascending=[False, True],
+        na_position="last").reset_index(drop=True)

@@ -119,6 +119,7 @@ def oracle_pairs():
     "latest_event_per_user", "ttr_documents",
     "split_leakage_documents", "fuzzy_components_customers",
     "q9_product_profit", "q20_dominant_supplier",
+    "q11_important_parts",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

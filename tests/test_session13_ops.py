@@ -1,0 +1,127 @@
+"""Session-13 operators: TPC-H Q11 shape (grouped sums filtered by a
+scalar fraction of their own grand total) — crafted edge branches; the
+sf oracles run in test_driver_contract / the driver harness. The
+testdata star carries no nulls in these columns, so every NULL branch
+here is pin-covered ONLY by these crafted tables."""
+
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jsonschema_ray.pipelines.relational import (duckdb_round,
+                                                 q11_important_parts)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_duckdb_round_property():
+    """duckdb_round == DuckDB round(DOUBLE, nd) exactly — uniform
+    randoms, every k/1000 half-cent knife edge, the observed q11 sums,
+    the fp-multiply tie cases (2.675*100 == 267.5 exactly), signed
+    zeros, and the floor(v+0.5) double-rounding trap value."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vals = list(rng.uniform(-1e6, 1e6, 20000))
+    vals += [k / 1000 for k in range(-5000, 5000)]
+    vals += [49099.94499999999971, 30629.08499999999913,
+             74251.48500000000058, 1.005, 2.675, -2.675,
+             0.49999999999999994 * 100, -0.0, 0.0]
+    df = pd.DataFrame({"v": np.array(vals, np.float64)})
+    con = duckdb.connect()
+    for nd in (2, 4):
+        mine = duckdb_round(df["v"].to_numpy(), nd)
+        theirs = con.execute(
+            f"SELECT round(v::DOUBLE, {nd}) FROM df").df() \
+            .iloc[:, 0].to_numpy()
+        assert (mine == theirs).all()
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _q11_star(tmp_path, li_rows, *, nations=None, supp=None):
+    """li_rows: (partkey|None, suppkey|None, extprice, disc|None).
+    nations: [(nationkey, name)]. supp: [(suppkey, nationkey)]."""
+    nations = nations or [(0, "ALPHA"), (1, "BETA")]
+    supp = supp or [(1, 0), (2, 0), (9, 1)]
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([n[0] for n in nations], pa.int64()),
+        "n_name": pa.array([n[1] for n in nations])}))
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([s[0] for s in supp], pa.int64()),
+        "s_nationkey": pa.array([s[1] for s in supp], pa.int64())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in li_rows], pa.int64()),
+        "l_extendedprice": pa.array([r[2] for r in li_rows],
+                                    pa.float64()),
+        "l_discount": pa.array([r[3] for r in li_rows],
+                               pa.float64())}))
+    return str(tmp_path)
+
+
+def test_q11_null_partkey_qualifies_strict_threshold(tmp_path):
+    """A NULL l_partkey forms a real group that can QUALIFY (SQL
+    GROUP BY keeps the NULL group; the key gathers float64+NaN, the
+    DuckDB pandas canon); a part landing EXACTLY on fraction*total is
+    excluded (strict >)."""
+    sf = _q11_star(tmp_path, [
+        (1, 1, 25.0, 0.0),      # exactly 0.25 * 100 -> excluded
+        (2, 1, 15.0, 0.0),      # below threshold
+        (None, 2, 60.0, 0.0),   # NULL part dominates -> qualifies
+    ])
+    out = q11_important_parts(sf, nation="ALPHA", fraction=0.25)
+    assert len(out) == 1
+    assert out["l_partkey"].dtype == "float64"
+    assert math.isnan(out["l_partkey"].iloc[0])
+    assert out["value"].iloc[0] == 60.0
+
+
+def test_q11_all_null_amount_group_excluded(tmp_path):
+    """A group whose every amount is NULL (null discount) has
+    v = NULL: HAVING NULL > x is UNKNOWN in SQL and NaN > x is False
+    in pandas — excluded on both engines; the grand total likewise
+    skips the NULL amounts (so the threshold derives from real rows
+    only)."""
+    sf = _q11_star(tmp_path, [
+        (1, 1, 100.0, None),    # v = NULL -> can never qualify
+        (2, 1, 10.0, 0.0),      # total = 10, thr = 2.5 -> qualifies
+    ])
+    out = q11_important_parts(sf, nation="ALPHA", fraction=0.25)
+    assert out.to_dict("records") == [{"l_partkey": 2, "value": 10.0}]
+    assert out["l_partkey"].dtype == "int64"
+
+
+def test_q11_null_suppkey_other_nation_invisible_tie_order(tmp_path):
+    """A NULL l_suppkey row never matches the supplier semi join
+    (exactly like the SQL inner IN); another nation's supplier is
+    invisible even with a monster amount; equal-value parts tie-break
+    by l_partkey ascending under the value-DESC sort."""
+    sf = _q11_star(tmp_path, [
+        (1, 1, 10.0, 0.0),
+        (2, 1, 10.0, 0.0),
+        (1, None, 100.0, 0.0),   # NULL suppkey: excluded everywhere
+        (3, 9, 100.0, 0.0),      # BETA supplier: not ALPHA's stream
+    ])
+    out = q11_important_parts(sf, nation="ALPHA", fraction=0.25)
+    assert out.to_dict("records") == [
+        {"l_partkey": 1, "value": 10.0},
+        {"l_partkey": 2, "value": 10.0}]
+
+
+def test_q11_missing_nation_and_no_suppliers_typed_empty(tmp_path):
+    sf = _q11_star(tmp_path, [(1, 1, 10.0, 0.0)],
+                   nations=[(0, "ALPHA"), (3, "EMPTYLAND")])
+    for nat in ("GAMMA", "EMPTYLAND"):
+        out = q11_important_parts(sf, nation=nat)
+        assert len(out) == 0
+        assert list(out.columns) == ["l_partkey", "value"]
+        assert out["l_partkey"].dtype == "int64"
+        assert out["value"].dtype == "float64"
