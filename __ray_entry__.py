@@ -100,6 +100,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_profit": R.q9_product_profit,         # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
+        # --- session-13: the md5-keyed LSH family — first value-level
+        # oracles over minhash/simhash signatures (SQL md5_number)
+        "minhash_md5_signatures_documents":
+            R.minhash_md5_signatures_documents,           # oracled
+        "minhash_md5_pairs_documents":
+            R.minhash_md5_pairs_documents,                # oracled
+        "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -244,7 +251,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # md5lsh owns its SQL (the permutation/band constants live in ONE
+    # module; the oracle strings are generated from them)
+    from jsonschema_ray.dedup import md5lsh as _md5lsh
     return {
+        "minhash_md5_signatures_documents": _md5lsh.sql_signatures(),
+        "minhash_md5_pairs_documents": _md5lsh.sql_band_pairs(),
+        "simhash_md5_documents": _md5lsh.sql_simhash(),
         "validate_lineitem": """
 SELECT l_orderkey, l_linenumber, 'minimum' AS keyword,
        '/properties/l_quantity/minimum' AS keyword_location,

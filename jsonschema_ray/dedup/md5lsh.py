@@ -1,0 +1,401 @@
+"""MD5-keyed minhash / banded LSH / simhash with bit-exact SQL parity.
+
+The repo's production near-dup family (dedup/minhash.py, simhash.py —
+reference semantics per altshiftab/jsonschema's duplicate-detection
+checks) keys on the internal vectorized hash64, which no SQL engine can
+reproduce, so those queries are rows-only in the driver's correctness
+gate. This module re-keys the SAME pipeline shapes on MD5 — DuckDB
+exposes ``md5_number`` (little-endian signed INT128 of the digest,
+pinned by test_session13_ops) — making every stage value-reproducible
+in ANSI SQL: token hash, permuted minhash signatures, banded LSH
+candidate pairs, and the ±1-bit-sum simhash all gain full oracles.
+
+Arithmetic contract (shared by the numpy and SQL sides):
+- token hash  h = low 64 bits of md5(token), i.e. the first 8 digest
+  bytes little-endian. SQL: ``((md5_number(t) % 2^64) + 2^64) % 2^64``
+  (DuckDB ``%`` keeps the dividend's sign; the add-and-remod lifts the
+  signed HUGEINT remainder into [0, 2^64)).
+- permutation k: ``sig_k = min over tokens of (A_k*h + B_k) mod 2^64``.
+  numpy uint64 multiply/add wrap IS mod 2^64; on the SQL side A_k < 2^62
+  keeps ``A_k*h < 2^126`` inside HUGEINT before the explicit ``% 2^64``.
+- band hash: ``bh = (sum over the band's k of W_k*sig_k) mod 2^64`` —
+  an ORDER-INSENSITIVE combine (a fold would need a defined k-order
+  inside a SQL aggregate; a weighted wrap-sum doesn't).
+- simhash bit b: set iff ``2*ones_b > n_tokens`` (strict; the tie and
+  the zero-token doc fall to 0/absent on both engines).
+
+Tokens are ``string_split(text, ' ')`` with empty strings dropped —
+the repo's bigram_counts oracle convention. Minhash hashes the SET of
+3-token SHINGLES (word 3-grams): the synthetic corpus shares so much
+vocabulary that unigram bands collapse (62k candidate pairs from 500
+docs, measured) while 3-gram shingles keep LSH selective (28) — the
+same reason the production minhash shingles. Shingling is strictly
+WITHIN a source row (adjacency is a row property); the SQL side pins
+this with ``row_number() OVER ()`` — an arbitrary but DISTINCT rid
+whose only job is keeping lead() from pairing across rows. Simhash
+reads the unigram token MULTISET (occurrences weight the bit sums).
+Rows sharing a doc_id (and ALL null-id rows as ONE group) merge their
+shingle sets / token multisets before signatures or banding — min
+distributes over set union and the bit sums are additive, so per-ROW
+partials merge exactly in one doc_id-hash partition pass (the
+ttr_documents GROUP-BY-identity convention).
+
+Scale shape: the token stream never shuffles — each batch reduces to
+one wide partial row per input row (k uint64 sigs, or 64 bit counts);
+ONE doc-hash partition merges duplicates; banding emits 4 narrow rows
+per doc; pair expansion runs inside a (band, bh)-hash partition via
+the vectorized segment_pairs, followed by the distributed
+distinct_pairs dedup. Nothing corpus-proportional lands on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..util import partitioned_group_apply
+
+K64 = 1 << 64
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+# Deterministic constants, < 2^62 so every SQL-side product fits
+# HUGEINT (see module docstring). A and W must be odd (full-period
+# multipliers mod 2^64).
+A = tuple(((0x1000193 + 2 * k) * 0x61C88647) % (1 << 62) | 1
+          for k in range(N_PERM))
+B = tuple(((0x12345 + k) * 0x9E3779B1) % (1 << 62)
+          for k in range(N_PERM))
+W = tuple(((0xABCDE + 2 * k) * 0x85EBCA77) % (1 << 62) | 1
+          for k in range(N_PERM))
+
+_A = np.array(A, dtype=np.uint64)[:, None]
+_B = np.array(B, dtype=np.uint64)[:, None]
+_W = np.array(W, dtype=np.uint64)
+
+
+def md5_low64(token: str) -> int:
+    """Low 64 bits of md5(token) == DuckDB
+    ``((md5_number(t) % 2^64) + 2^64) % 2^64``."""
+    return int.from_bytes(
+        hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
+
+
+SHINGLE = 3
+
+
+def _row_token_hashes(texts, memo: dict, shingle: int = 1):
+    """Per row: uint64 hash array of the row's token MULTISET
+    (``shingle=1``) or its word-``shingle``-gram multiset (None for
+    null/blank/too-short rows). ``memo`` caches md5 per distinct
+    token/shingle within the batch — they repeat heavily across
+    documents."""
+    out = []
+    for txt in texts:
+        if txt is None:
+            out.append(None)
+            continue
+        toks = [t for t in txt.split(" ") if t]
+        if shingle > 1:
+            toks = [" ".join(toks[i:i + shingle])
+                    for i in range(len(toks) - shingle + 1)]
+        if not toks:
+            out.append(None)
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            v = memo.get(t)
+            if v is None:
+                v = np.uint64(md5_low64(t))
+                memo[t] = v
+            hs[i] = v
+        out.append(hs)
+    return out
+
+
+_SIG_COLS = [f"sig_{k}" for k in range(N_PERM)]
+
+
+def _sig_partials(b: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """One wide partial row per input row that HAS at least one
+    3-token shingle: (id, sig_0..sig_{K-1})."""
+    memo: dict = {}
+    rows = _row_token_hashes(b.column(text_col).to_pylist(), memo,
+                             shingle=SHINGLE)
+    keep, sigs = [], []
+    for i, hs in enumerate(rows):
+        if hs is None:
+            continue
+        keep.append(i)
+        hu = np.unique(hs)  # SET semantics: min is dedup-invariant
+        sigs.append((_A * hu[None, :] + _B).min(axis=1))
+    ids = b.column(id_col).take(pa.array(keep, type=pa.int64()))
+    mat = (np.vstack(sigs) if sigs
+           else np.empty((0, N_PERM), dtype=np.uint64))
+    cols = {id_col: ids}
+    for k in range(N_PERM):
+        cols[_SIG_COLS[k]] = pa.array(mat[:, k], type=pa.uint64())
+    return pa.table(cols)
+
+
+def _merged_sigs(t: pa.Table, id_col: str) -> pa.Table:
+    """Within one doc-hash partition: merge duplicate ids (all
+    null-id rows form ONE group, like SQL GROUP BY) via per-column
+    min."""
+    g = t.group_by([id_col]).aggregate(
+        [(c, "min") for c in _SIG_COLS])
+    return g.rename_columns([id_col] + _SIG_COLS)
+
+
+def minhash_signatures_md5(ds, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """(id, k, sig) Dataset — K=16 MD5-permuted minhash signatures per
+    merged document identity, long format to match the SQL oracle's
+    unnest shape. Docs with no tokens are absent (SQL: unnest of an
+    empty token list yields no rows)."""
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _sig_partials(b, id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = _merged_sigs(t, id_col)
+        n = m.num_rows
+        ids = m.column(id_col)
+        sig = np.empty((n, N_PERM), dtype=np.uint64)
+        for k in range(N_PERM):
+            sig[:, k] = m.column(_SIG_COLS[k]).to_numpy(
+                zero_copy_only=False)
+        return pa.table({
+            id_col: ids.take(pa.array(
+                np.repeat(np.arange(n, dtype=np.int64), N_PERM))),
+            "k": pa.array(np.tile(np.arange(N_PERM, dtype=np.int64),
+                                  n)),
+            "sig": pa.array(sig.reshape(-1), type=pa.uint64())})
+
+    return partitioned_group_apply(partials, [id_col], finish,
+                                   batch_format="pyarrow")
+
+
+def _band_rows(m: pa.Table, id_col: str) -> pa.Table:
+    """Merged wide sigs → (id, band, bh) long rows, null ids DROPPED
+    (a NULL id can never satisfy the pair oracle's ``a < b``; removing
+    it here keeps the pair partition free of rows that cannot pair)."""
+    ids = m.column(id_col)
+    if ids.null_count:
+        mask = pa.compute.is_valid(ids)
+        m = m.filter(mask)
+        ids = m.column(id_col)
+    n = m.num_rows
+    sig = np.empty((n, N_PERM), dtype=np.uint64)
+    for k in range(N_PERM):
+        sig[:, k] = m.column(_SIG_COLS[k]).to_numpy(
+            zero_copy_only=False)
+    wsig = sig * _W[None, :]  # uint64 wrap == mod 2^64
+    bh = wsig.reshape(n, N_BANDS, ROWS_PER_BAND).sum(
+        axis=2, dtype=np.uint64)
+    return pa.table({
+        id_col: ids.take(pa.array(
+            np.repeat(np.arange(n, dtype=np.int64), N_BANDS))),
+        "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int64),
+                                 n)),
+        "bh": pa.array(bh.reshape(-1), type=pa.uint64())})
+
+
+def minhash_band_pairs_md5(ds, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           bucket_cap: int = 10000):
+    """(id_a, id_b) DISTINCT candidate pairs sharing at least one of
+    the 4 LSH bands (id_a < id_b) — the fully-oracled MD5 variant of
+    the production minhash candidate generation. ``bucket_cap``
+    truncates pathological single-bucket blowups exactly like the
+    production path (segment_pairs' hot-bucket guard); the oracle SFs
+    sit far below it."""
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _sig_partials(b, id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bands = partitioned_group_apply(
+        partials, [id_col],
+        lambda t: _band_rows(_merged_sigs(t, id_col), id_col),
+        batch_format="pyarrow")
+
+    def pairs_in_partition(t: pa.Table) -> pa.Table:
+        from ..util import segment_pairs
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bh = t.column("bh").to_numpy(zero_copy_only=False)
+        a_idx, b_idx, order = segment_pairs([band, bh], bucket_cap)
+        ids = t.column(id_col).take(pa.array(order))
+        lo = np.minimum(a_idx, b_idx)
+        hi = np.maximum(a_idx, b_idx)
+        # order ids within the pair by VALUE, not sort position
+        ia = ids.take(pa.array(lo)).to_numpy(zero_copy_only=False)
+        ib = ids.take(pa.array(hi)).to_numpy(zero_copy_only=False)
+        sw = ia > ib
+        ia2 = np.where(sw, ib, ia)
+        ib2 = np.where(sw, ia, ib)
+        return pa.table({"id_a": pa.array(ia2, type=pa.int64()),
+                         "id_b": pa.array(ib2, type=pa.int64())})
+
+    from .pairsops import distinct_pairs
+    raw = partitioned_group_apply(bands, ["band", "bh"],
+                                  pairs_in_partition,
+                                  batch_format="pyarrow")
+    return distinct_pairs(raw, ["id_a", "id_b"])
+
+
+_ONE_COLS = [f"ones_{b}" for b in range(64)]
+
+
+def _sim_partials(b: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """One wide partial per tokenful row: (id, n, ones_0..ones_63) —
+    MULTISET bit counts (occurrences weight simhash)."""
+    memo: dict = {}
+    rows = _row_token_hashes(b.column(text_col).to_pylist(), memo)
+    keep, ns, ones = [], [], []
+    for i, hs in enumerate(rows):
+        if hs is None:
+            continue
+        keep.append(i)
+        ns.append(len(hs))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                & np.uint64(1))
+        ones.append(bits.sum(axis=0, dtype=np.int64))
+    ids = b.column(id_col).take(pa.array(keep, type=pa.int64()))
+    mat = (np.vstack(ones) if ones
+           else np.empty((0, 64), dtype=np.int64))
+    cols = {id_col: ids,
+            "n": pa.array(np.array(ns, dtype=np.int64))}
+    for j in range(64):
+        cols[_ONE_COLS[j]] = pa.array(mat[:, j])
+    return pa.table(cols)
+
+
+def simhash_md5(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, simhash) Dataset — 64-bit simhash over MD5 token hashes,
+    bit b set iff 2*ones_b > n_tokens (strict: the exact tie answers
+    0, pinned against the SQL CASE). Duplicate/NULL ids merge their
+    token multisets before the bit vote."""
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _sim_partials(b, id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col]).aggregate(
+            [("n", "sum")] + [(c, "sum") for c in _ONE_COLS])
+        g = g.rename_columns([id_col, "n"] + _ONE_COLS)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        sim = np.zeros(g.num_rows, dtype=np.uint64)
+        for j in range(64):
+            ones = g.column(_ONE_COLS[j]).to_numpy(
+                zero_copy_only=False)
+            sim |= np.where(2 * ones > n, np.uint64(1 << j),
+                            np.uint64(0))
+        return pa.table({id_col: g.column(id_col),
+                         "simhash": pa.array(sim, type=pa.uint64())})
+
+    return partitioned_group_apply(partials, [id_col], finish,
+                                   batch_format="pyarrow")
+
+
+# --- SQL oracle fragments (single source of truth for the constants) --
+
+_K64_LIT = "18446744073709551616"
+
+
+def _perm_values() -> str:
+    return ", ".join(f"({k}, {A[k]}, {B[k]}, {W[k]})"
+                     for k in range(N_PERM))
+
+
+def _pow_values() -> str:
+    return ", ".join(f"({b}, {1 << b})" for b in range(64))
+
+
+def sql_token_cte(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Shared unigram token-hash CTE: (id, h) with h in [0, 2^64)."""
+    return f"""
+toks AS (
+  SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS w
+  FROM {table}),
+tl AS (
+  SELECT {id_col},
+         ((md5_number(w) % {_K64_LIT}) + {_K64_LIT}) % {_K64_LIT} AS h
+  FROM toks WHERE w <> '')"""
+
+
+def sql_shingle_cte(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Shared 3-gram shingle-hash CTE: (id, h). ``rid`` is an
+    arbitrary-but-distinct row number whose only job is keeping
+    lead() from pairing tokens across rows — the shingle SET per id
+    is rid-order-insensitive."""
+    return f"""
+numbered AS (
+  SELECT {id_col}, {text_col}, row_number() OVER () AS rid
+  FROM {table}),
+rawtoks AS (
+  SELECT {id_col}, rid,
+         unnest(string_split({text_col}, ' ')) AS w,
+         generate_subscripts(string_split({text_col}, ' '), 1) AS pos
+  FROM numbered),
+nz AS (SELECT {id_col}, rid, w, pos FROM rawtoks WHERE w <> ''),
+sh AS (
+  SELECT {id_col},
+         w || ' ' || lead(w, 1) OVER win
+           || ' ' || lead(w, 2) OVER win AS s,
+         lead(w, 2) OVER win AS w3
+  FROM nz WINDOW win AS (PARTITION BY rid ORDER BY pos)),
+tl AS (
+  SELECT {id_col},
+         ((md5_number(s) % {_K64_LIT}) + {_K64_LIT}) % {_K64_LIT} AS h
+  FROM sh WHERE w3 IS NOT NULL)"""
+
+
+def sql_signatures() -> str:
+    return f"""
+WITH {sql_shingle_cte()},
+perm(k, a, b, w) AS (VALUES {_perm_values()}),
+sigs AS (
+  SELECT doc_id, k, min((a * h + b) % {_K64_LIT}) AS sig
+  FROM (SELECT DISTINCT doc_id, h FROM tl), perm
+  GROUP BY doc_id, k)
+SELECT doc_id, k, CAST(sig AS UBIGINT) AS sig
+FROM sigs ORDER BY doc_id, k"""
+
+
+def sql_band_pairs() -> str:
+    return f"""
+WITH {sql_shingle_cte()},
+perm(k, a, b, w) AS (VALUES {_perm_values()}),
+sigs AS (
+  SELECT doc_id, k, w, min((a * h + b) % {_K64_LIT}) AS sig
+  FROM (SELECT DISTINCT doc_id, h FROM tl), perm
+  GROUP BY doc_id, k, w),
+bands AS (
+  SELECT doc_id, k // {ROWS_PER_BAND} AS band,
+         sum((w * sig) % {_K64_LIT}) % {_K64_LIT} AS bh
+  FROM sigs GROUP BY doc_id, k // {ROWS_PER_BAND})
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+ORDER BY id_a, id_b"""
+
+
+def sql_simhash() -> str:
+    return f"""
+WITH {sql_token_cte()},
+pows(b, p) AS (VALUES {_pow_values()}),
+bits AS (
+  SELECT doc_id, p,
+         CASE WHEN (h % (2 * p)) >= p THEN 1 ELSE 0 END AS bit
+  FROM tl, pows),
+votes AS (
+  SELECT doc_id, p, sum(bit) AS ones, count(*) AS n
+  FROM bits GROUP BY doc_id, p)
+SELECT doc_id,
+       CAST(sum(CASE WHEN 2 * ones > n THEN p ELSE 0 END)
+            AS UBIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id"""

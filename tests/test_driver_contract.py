@@ -119,7 +119,8 @@ def oracle_pairs():
     "latest_event_per_user", "ttr_documents",
     "split_leakage_documents", "fuzzy_components_customers",
     "q9_product_profit", "q20_dominant_supplier",
-    "q11_important_parts",
+    "q11_important_parts", "minhash_md5_signatures_documents",
+    "minhash_md5_pairs_documents", "simhash_md5_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -116,6 +116,86 @@ def test_q11_null_suppkey_other_nation_invisible_tie_order(tmp_path):
         {"l_partkey": 2, "value": 10.0}]
 
 
+def _md5lsh_docs(tmp_path):
+    """Crafted documents: exact-dup pair, duplicate doc_id rows, TWO
+    null-id rows (one SQL group), null text, blank text, sub-shingle
+    doc."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 3, None, None, 7, 8, 9],
+                           pa.int64()),
+        "text": ["the cat sat on the mat", "the cat sat on the mat",
+                 "alpha beta gamma delta", "gamma  delta eps zeta",
+                 "null id doc one two", "null id more tokens here",
+                 None, "   ", "ab"]}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    import ray.data
+    return ray.data.read_parquet(
+        os.path.join(str(tmp_path), "documents.parquet")), con
+
+
+def _assert_frames_equal(got, exp, sort_cols):
+    import numpy as np
+    got = got[list(exp.columns)].sort_values(sort_cols) \
+        .reset_index(drop=True)
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        gv, ev = got[c].to_numpy(), exp[c].to_numpy()
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            assert np.array_equal(np.nan_to_num(gv.astype(float),
+                                                nan=-1.0),
+                                  np.nan_to_num(ev.astype(float),
+                                                nan=-1.0)), c
+        else:
+            assert np.array_equal(gv, ev), c
+
+
+def test_md5_low64_matches_md5_number():
+    """md5_low64 == DuckDB ((md5_number % 2^64)+2^64) % 2^64 — the
+    whole family's parity root (md5_number is the little-endian
+    signed INT128 of the digest)."""
+    import duckdb
+
+    from jsonschema_ray.dedup.md5lsh import md5_low64
+    con = duckdb.connect()
+    K = "18446744073709551616"
+    for s in ["hello", "", "a b", "日本語", "the cat sat"]:
+        d = con.execute(
+            f"SELECT ((md5_number(?) % {K}) + {K}) % {K}",
+            [s]).fetchone()[0]
+        assert int(d) == md5_low64(s), s
+
+
+def test_md5lsh_crafted_engine_parity(tmp_path):
+    """All three md5lsh ops value-equal DuckDB on the crafted table:
+    duplicate doc_id rows merge shingle sets / token multisets, ALL
+    null-id rows form ONE merged group (present in signatures and
+    simhash, absent from pairs — NULL < x is UNKNOWN), null/blank
+    texts invisible, a sub-shingle doc absent from minhash but present
+    in simhash (unigram), the exact-dup pair (1,2) survives banding."""
+    from jsonschema_ray.dedup.md5lsh import (minhash_band_pairs_md5,
+                                             minhash_signatures_md5,
+                                             simhash_md5, sql_band_pairs,
+                                             sql_signatures, sql_simhash)
+    ds, con = _md5lsh_docs(tmp_path)
+    _assert_frames_equal(minhash_signatures_md5(ds).to_pandas(),
+                         con.execute(sql_signatures()).df(),
+                         ["doc_id", "k"])
+    pairs = minhash_band_pairs_md5(ds).to_pandas()
+    _assert_frames_equal(pairs, con.execute(sql_band_pairs()).df(),
+                         ["id_a", "id_b"])
+    assert {(1, 2)} <= set(map(tuple, pairs.to_numpy()))
+    sim = simhash_md5(ds).to_pandas()
+    _assert_frames_equal(sim, con.execute(sql_simhash()).df(),
+                         ["doc_id"])
+    # unigram simhash sees doc 9 ('ab'); shingled minhash does not
+    assert 9 in set(sim["doc_id"].dropna().astype(int))
+
+
 def test_q11_missing_nation_and_no_suppliers_typed_empty(tmp_path):
     sf = _q11_star(tmp_path, [(1, 1, 10.0, 0.0)],
                    nations=[(0, "ALPHA"), (3, "EMPTYLAND")])
