@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_md5_pairs_documents":
             R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
+        "quantize_embeddings": R.quantize_embeddings,     # oracled
+        "interleave_by_source_documents":
+            R.interleave_by_source_documents,             # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -253,11 +256,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     # md5lsh owns its SQL (the permutation/band constants live in ONE
     # module; the oracle strings are generated from them)
+    from jsonschema_ray.ann.quantize import sql_scalar_quantize
     from jsonschema_ray.dedup import md5lsh as _md5lsh
     return {
         "minhash_md5_signatures_documents": _md5lsh.sql_signatures(),
         "minhash_md5_pairs_documents": _md5lsh.sql_band_pairs(),
         "simhash_md5_documents": _md5lsh.sql_simhash(),
+        "quantize_embeddings": sql_scalar_quantize(),
+        "interleave_by_source_documents": """
+WITH c AS (SELECT count(*) AS total FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM documents)
+SELECT doc_id, source, ((2 * rn - 1) * total) // (2 * cnt) AS slot
+FROM r, c ORDER BY slot, source, doc_id""",
         "validate_lineitem": """
 SELECT l_orderkey, l_linenumber, 'minimum' AS keyword,
        '/properties/l_quantity/minimum' AS keyword_location,

@@ -137,24 +137,10 @@ def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2):
     return df
 
 
-def duckdb_round(a, nd: int = 2):
-    """DuckDB-parity ``round(DOUBLE, nd)``: DuckDB computes
-    ``std::round(x * 10^nd) / 10^nd`` — an fp multiply, then
-    ties-AWAY-from-zero on the scaled double. numpy/pandas ``round``
-    instead round the BINARY value half-to-even, so any aggregate
-    landing within one ulp of a half-cent diverges (observed:
-    sum=74251.48500000000058 → DuckDB .49, pandas .48). The tie branch
-    is exact: for |v| ≥ 1, floor(|v|) is within a factor 2 of |v| so
-    the Sterbenz lemma makes ``|v| - floor(|v|)`` exact; for |v| < 1
-    the subtraction is trivially exact; above 2^52 the fraction is 0.
-    Property-tested equal to DuckDB on 30k adversarial doubles
-    (test_session13_ops). NaN propagates; use where an oracle rounds a
-    SUM whose granularity can hit the half boundary."""
-    p = float(10 ** nd)
-    v = np.asarray(a, dtype=np.float64) * p
-    av = np.abs(v)
-    f = np.floor(av)
-    return np.copysign(np.where(av - f >= 0.5, f + 1.0, f), v) / p
+# DuckDB-parity round lives in util (the ann/quantize stage needs it
+# too); re-exported here because the oracle-rounding convention is a
+# pipelines concern.
+from ..util import duckdb_round  # noqa: E402,F401
 
 
 def _partial_topk(ds, sort_cols: list[str], ascending: list[bool],
@@ -6185,3 +6171,70 @@ def simhash_md5_documents(sf_dir: str):
     from ..dedup.md5lsh import simhash_md5
     return simhash_md5(
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def quantize_embeddings(sf_dir: str):
+    """Scalar int8-range quantization summary (ORACLED): per-dimension
+    corpus min/max -> code = round(((v-mn)/(mx-mn))*255) -> per-vector
+    (code_sum, n_dims) exact-integer summary. The compression pass a
+    vector store runs before persisting; ann/quantize.py's module
+    docstring carries the full exactness contract (duckdb_round ties,
+    NaN/NULL exclusion mirrored INTO the oracle, degenerate dims,
+    all-null vectors absent). Two streaming passes: dim-bounded stats
+    partials + broadcast encode; nothing vector-proportional gathers."""
+    from ..ann.quantize import scalar_quantize_summary
+    return scalar_quantize_summary(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+
+def interleave_by_source_documents(sf_dir: str):
+    """Deterministic proportional interleave (ORACLED) — the epoch
+    schedule a training loader uses to mix sources at their corpus
+    proportions without a global shuffle: within each source, the r-th
+    document (ordered by doc_id, NULLS LAST) lands at
+    ``slot = ((2r-1)*total) // (2*cnt_source)`` — the midpoint-rounded
+    proportional position, so every source spreads evenly over
+    [0, total) and two sources never systematically collide. Exact
+    integer math on both engines (int64 holds to ~2^31 rows; the
+    100-TB variant lifts the product into uint128/HUGEINT). ONE
+    source-hash partition pass; inside, Arrow sort + segment
+    boundaries compute ranks vectorized and doc_ids NEVER round-trip
+    through pandas float64 (the 2^53 rule). A NULL source is a real
+    schedule lane (sorted to its own segment); duplicate doc_ids make
+    the rank assignment between the twins arbitrary but the OUTPUT
+    multiset identical on both engines (slots are consumed as rows,
+    not joined back by id)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    total = int(ds.count())
+    if total == 0:
+        import ray
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "slot": pa.array([], pa.int64())}))
+    from ..util import partitioned_group_apply
+
+    def schedule(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("source", "ascending"),
+                          ("doc_id", "ascending")],
+            null_placement="at_end")
+        t = t.take(order)
+        codes = pc.fill_null(
+            pc.cast(t["source"].combine_chunks().dictionary_encode()
+                    .indices, pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False)
+        n = len(codes)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = codes[1:] != codes[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.nonzero(new_seg)[0]
+        cnt = np.diff(np.append(seg_start, n))
+        rn = np.arange(n, dtype=np.int64) - seg_start[seg_id] + 1
+        slot = ((2 * rn - 1) * total) // (2 * cnt[seg_id])
+        return pa.table({"doc_id": t["doc_id"],
+                         "source": t["source"],
+                         "slot": pa.array(slot, pa.int64())})
+
+    return partitioned_group_apply(ds, ["source"], schedule,
+                                   batch_format="pyarrow")

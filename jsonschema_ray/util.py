@@ -177,3 +177,23 @@ def default_concurrency(cap: int = 32) -> tuple[int, int]:
     against the read/write stages instead of starving them (ray_guide:
     'a pool that reserves every CPU starves the read and write stages')."""
     return (1, max(2, min(cap, _cluster_cpus(4))))
+
+
+def duckdb_round(a, nd: int = 2):
+    """DuckDB-parity ``round(DOUBLE, nd)``: DuckDB computes
+    ``std::round(x * 10^nd) / 10^nd`` — an fp multiply, then
+    ties-AWAY-from-zero on the scaled double. numpy/pandas ``round``
+    instead round the BINARY value half-to-even, so any aggregate
+    landing within one ulp of a half-cent diverges (observed:
+    sum=74251.48500000000058 → DuckDB .49, pandas .48). The tie branch
+    is exact: for |v| ≥ 1, floor(|v|) is within a factor 2 of |v| so
+    the Sterbenz lemma makes ``|v| - floor(|v|)`` exact; for |v| < 1
+    the subtraction is trivially exact; above 2^52 the fraction is 0.
+    Property-tested equal to DuckDB on 30k adversarial doubles
+    (test_session13_ops). NaN propagates; use where an oracle rounds a
+    value whose granularity can hit the half boundary."""
+    p = float(10 ** nd)
+    v = np.asarray(a, dtype=np.float64) * p
+    av = np.abs(v)
+    f = np.floor(av)
+    return np.copysign(np.where(av - f >= 0.5, f + 1.0, f), v) / p

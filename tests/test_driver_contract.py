@@ -121,6 +121,7 @@ def oracle_pairs():
     "q9_product_profit", "q20_dominant_supplier",
     "q11_important_parts", "minhash_md5_signatures_documents",
     "minhash_md5_pairs_documents", "simhash_md5_documents",
+    "quantize_embeddings", "interleave_by_source_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

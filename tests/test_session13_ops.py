@@ -7,6 +7,8 @@ here is pin-covered ONLY by these crafted tables."""
 import math
 import os
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -194,6 +196,76 @@ def test_md5lsh_crafted_engine_parity(tmp_path):
                          ["doc_id"])
     # unigram simhash sees doc 9 ('ab'); shingled minhash does not
     assert 9 in set(sim["doc_id"].dropna().astype(int))
+
+
+def test_quantize_crafted_engine_parity(tmp_path):
+    """scalar_quantize_summary value-equals its SQL oracle on the
+    adversarial table: duplicate vec_ids merge (SQL GROUP BY), a NULL
+    id is a real group, a NULL list row and an all-excluded row are
+    ABSENT, a NULL element and a NaN element are excluded from stats
+    AND sums, a degenerate dimension codes 0, ragged lengths
+    contribute only the dims they have."""
+    import duckdb
+    import ray.data
+
+    from jsonschema_ray.ann.quantize import (scalar_quantize_summary,
+                                             sql_scalar_quantize)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 2, None, 5, 6, 7], pa.int64()),
+        "embedding": pa.array([
+            [1.0, 5.0, 7.0], [2.0, 5.0, -1.0], [3.0, 5.0, 0.5],
+            [0.0, 5.0, 1.0], None, [None, 5.0, float("nan")],
+            [4.0]], type=pa.list_(pa.float32()))}),
+        os.path.join(str(tmp_path), "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    ds = ray.data.read_parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet"))
+    got = scalar_quantize_summary(ds).to_pandas()
+    exp = con.execute(sql_scalar_quantize()).df()
+    _assert_frames_equal(got, exp, ["vec_id"])
+    rec = {(-1 if pd.isna(r.vec_id) else int(r.vec_id)):
+           (r.code_sum, r.n_dims) for r in got.itertuples()}
+    assert 5 not in rec                   # NULL list absent
+    assert rec[6] == (0, 1)               # degenerate dim codes 0
+    assert rec[7] == (255, 1)             # ragged max-of-dim0
+    assert rec[2][1] == 6                 # dup ids merged
+
+
+def test_interleave_crafted_engine_parity(tmp_path):
+    """interleave_by_source_documents equals its SQL oracle on skewed
+    sources (10:3:1), a NULL-source lane, a NULL doc_id (sorted LAST
+    within its source), and duplicate doc_ids (output multiset
+    identical however the twins split the two ranks); every source's
+    slots are strictly increasing within [0, total)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    ids = list(range(10)) + [20, 20, None] + [30]
+    src = ["big"] * 10 + ["mid"] * 3 + [None]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["x"] * len(ids)),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(src),
+        "n_chars": pa.array([1] * len(ids), pa.int64())}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    from jsonschema_ray.pipelines.relational import \
+        interleave_by_source_documents
+    got = interleave_by_source_documents(str(tmp_path)).to_pandas()
+    exp = con.execute(
+        E.oracle_sql()["interleave_by_source_documents"]).df()
+    _assert_frames_equal(got, exp, ["source", "slot", "doc_id"])
+    total = len(ids)
+    for _, g in got.groupby("source", dropna=False):
+        s = g["slot"].to_numpy()
+        s.sort()
+        assert (np.diff(s) > 0).all() or len(s) == 1
+        assert s.min() >= 0 and s.max() < total
 
 
 def test_q11_missing_nation_and_no_suppliers_typed_empty(tmp_path):
