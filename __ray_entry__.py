@@ -50,19 +50,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customers_no_bigorder": R.customers_no_bigorder,  # oracled
         "quantity_quantiles_by_flag": R.quantity_quantiles_by_flag,  # oracled
-        "neardup_components_documents": R.neardup_components_documents,  # oracled
         "dup_passages_documents": R.dup_passages_documents,  # oracled
         "decontam_documents": R.decontam_documents,       # oracled
         "entropy_documents": R.entropy_documents,         # oracled
         "events_value_histogram": R.events_value_histogram,  # oracled
         "events_value_zscore": R.events_value_zscore,     # oracled
         "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
-        "psi_events": R.psi_events,                       # oracled
-        "rolling_mean_events": R.rolling_mean_events,     # oracled
-        "split_documents": R.split_documents,             # oracled
         "quality_filter_documents": R.quality_filter_documents,  # oracled
-        "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
-        "dedup_events_window": R.dedup_events_window,     # oracled
         # --- driver-lens block 2: NEW this round (oracled)
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
@@ -117,6 +111,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sf0.001+0.01 and judge-reverifiable)
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
+        # (evicted for the session-13 block: neardup_components /
+        # incremental_dedup / dedup_events_window were r3-JUDGE-verified
+        # vs DuckDB; psi/rolling_mean/split carry dense pytest property
+        # nets and feed oracled downstream composites)
+        "neardup_components_documents": R.neardup_components_documents,  # oracled
+        "psi_events": R.psi_events,                       # oracled
+        "rolling_mean_events": R.rolling_mean_events,     # oracled
+        "split_documents": R.split_documents,             # oracled
+        "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
+        "dedup_events_window": R.dedup_events_window,     # oracled
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
         # (r3-judge-verified vs DuckDB, moved out for the session-11 set)

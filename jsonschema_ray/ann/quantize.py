@@ -21,10 +21,13 @@ generate_subscripts):
   (std::round ties-away; numpy would tie to even).
 - codes stay in [0, 255] by construction (v ∈ [mn, mx] ⇒ the ratio is
   exactly 0..1 in fp), so no clamp exists to diverge.
-- NULL list elements and NaN values are excluded from BOTH the stats
-  and the code sums (SQL: ``val IS NOT NULL AND NOT isnan(val)``) —
-  NaN exclusion is the repo's psi/drift convention and here it is
-  mirrored in the oracle rather than documented as divergence.
+- NULL list elements and non-finite values (NaN AND ±inf) are
+  excluded from BOTH the stats and the code sums (SQL:
+  ``val IS NOT NULL AND isfinite(val)``) — the repo's psi/drift
+  non-finite convention, here mirrored in the oracle rather than
+  documented as divergence. An admitted inf would diverge hard:
+  Python's ``rng = inf - inf = NaN`` silently codes INT64_MIN while
+  DuckDB raises on ``CAST(round(NaN) AS BIGINT)``.
 - a degenerate dimension (mx == mn) codes to 0 on both engines.
 - vectors whose every element is NULL/NaN (or whose list is NULL) are
   ABSENT from the output, exactly like unnest of an empty list.
@@ -67,7 +70,11 @@ def _flat_dims(b: pa.Table, id_col: str, vec_col: str):
         keep &= pc.is_valid(vals).to_numpy(zero_copy_only=False)
         vals = pc.fill_null(vals, 0.0)
     v = vals.to_numpy(zero_copy_only=False)
-    keep &= ~np.isnan(v)
+    # exclude NULL, NaN AND ±inf: an inf element would make the stats
+    # non-finite (Python: rng = inf-inf = NaN → INT64_MIN garbage
+    # codes; SQL: CAST(round(NaN) AS BIGINT) errors) — the psi/drift
+    # non-finite screen, mirrored into the oracle via isfinite(val)
+    keep &= np.isfinite(v)
     uniform = None
     if keep.all():
         if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
@@ -116,14 +123,13 @@ def scalar_quantize_summary(ds, id_col: str = "vec_id",
             "code_sum": pa.array([], pa.int64()),
             "n_dims": pa.array([], pa.int64())}))
     g = parts.groupby("dim")
-    stats = np.stack([g["mn"].min().to_numpy(),
-                      g["mx"].max().to_numpy()])
-    dim_index = g["mn"].min().index.to_numpy().astype(np.int64)
+    mins = g["mn"].min()
+    dim_index = mins.index.to_numpy().astype(np.int64)
     ndim = int(dim_index.max()) + 1
     mn_full = np.full(ndim, np.nan)
     mx_full = np.full(ndim, np.nan)
-    mn_full[dim_index] = stats[0]
-    mx_full[dim_index] = stats[1]
+    mn_full[dim_index] = mins.to_numpy()
+    mx_full[dim_index] = g["mx"].max().to_numpy()
     ref = ray.put((mn_full, mx_full))
 
     def encode(b: pa.Table) -> pa.Table:
@@ -162,7 +168,7 @@ WITH x AS (
          generate_subscripts({vec_col}, 1) AS dim
   FROM {table}),
 f AS (SELECT {id_col}, val, dim FROM x
-      WHERE val IS NOT NULL AND NOT isnan(val)),
+      WHERE val IS NOT NULL AND isfinite(val)),
 stats AS (SELECT dim, min(val) AS mn, max(val) AS mx
           FROM f GROUP BY dim),
 codes AS (

@@ -6195,8 +6195,9 @@ def interleave_by_source_documents(sf_dir: str):
     ``slot = ((2r-1)*total) // (2*cnt_source)`` — the midpoint-rounded
     proportional position, so every source spreads evenly over
     [0, total) and two sources never systematically collide. Exact
-    integer math on both engines (int64 holds to ~2^31 rows; the
-    100-TB variant lifts the product into uint128/HUGEINT). ONE
+    integer math on both engines; past ~2^31 rows the int64 product
+    would WRAP, so the schedule lifts to Python-int (object-dtype)
+    arithmetic there instead of corrupting slots silently. ONE
     source-hash partition pass; inside, Arrow sort + segment
     boundaries compute ranks vectorized and doc_ids NEVER round-trip
     through pandas float64 (the 2^53 rule). A NULL source is a real
@@ -6224,14 +6225,19 @@ def interleave_by_source_documents(sf_dir: str):
             pc.cast(t["source"].combine_chunks().dictionary_encode()
                     .indices, pa.int64()), -1) \
             .to_numpy(zero_copy_only=False)
+        from ..util import sorted_segments
         n = len(codes)
-        new_seg = np.ones(n, dtype=bool)
-        new_seg[1:] = codes[1:] != codes[:-1]
-        seg_id = np.cumsum(new_seg) - 1
-        seg_start = np.nonzero(new_seg)[0]
-        cnt = np.diff(np.append(seg_start, n))
-        rn = np.arange(n, dtype=np.int64) - seg_start[seg_id] + 1
-        slot = ((2 * rn - 1) * total) // (2 * cnt[seg_id])
+        seg_start, pos = sorted_segments([codes], n)
+        rn = pos + 1
+        uniq = np.unique(seg_start)
+        lens = np.diff(np.append(uniq, n))
+        cnt = lens[np.searchsorted(uniq, seg_start)]
+        if 2 * total * total >= 2 ** 63:
+            # int64 would wrap: lift to Python-int arithmetic
+            slot = ((2 * rn.astype(object) - 1) * total
+                    // (2 * cnt.astype(object))).astype(np.int64)
+        else:
+            slot = ((2 * rn - 1) * total) // (2 * cnt)
         return pa.table({"doc_id": t["doc_id"],
                          "source": t["source"],
                          "slot": pa.array(slot, pa.int64())})

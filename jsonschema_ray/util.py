@@ -104,6 +104,20 @@ def ranges_concat(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return base + pos
 
 
+def sorted_segments(cols: list[np.ndarray], m: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(seg_start_per_row, pos_within_segment) for PRE-SORTED key
+    columns — the one audited home of the boundaries idiom shared by
+    segment_pairs and rank-style partition fns (a third hand-rolled
+    copy is how off-by-one rank bugs breed)."""
+    new_seg = np.ones(m, dtype=bool)
+    new_seg[1:] = False
+    for c in cols:
+        new_seg[1:] |= c[1:] != c[:-1]
+    seg_start = np.nonzero(new_seg)[0][np.cumsum(new_seg) - 1]
+    return seg_start, np.arange(m, dtype=np.int64) - seg_start
+
+
 def segment_pairs(sort_cols: list[np.ndarray], cap: int
                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All intra-bucket index pairs (a < b in sort order), fully vectorized.
@@ -118,24 +132,14 @@ def segment_pairs(sort_cols: list[np.ndarray], cap: int
     if n < 2:
         return (np.array([], dtype=np.int64),) * 2 + (order,)
 
-    def boundaries(cols, m):
-        """(seg_start, pos) for pre-sorted columns — position of each
-        row's segment start and its offset within the segment."""
-        new_seg = np.ones(m, dtype=bool)
-        new_seg[1:] = False
-        for c in cols:
-            new_seg[1:] |= c[1:] != c[:-1]
-        seg_start = np.nonzero(new_seg)[0][np.cumsum(new_seg) - 1]
-        return seg_start, np.arange(m, dtype=np.int64) - seg_start
-
     sorted_cols = [c[order] for c in sort_cols]
-    seg_start, pos = boundaries(sorted_cols, n)
+    seg_start, pos = sorted_segments(sorted_cols, n)
     keep = pos < cap
     if not keep.all():
         order = order[keep]
         sorted_cols = [c[keep] for c in sorted_cols]
         n = len(order)
-        seg_start, pos = boundaries(sorted_cols, n)
+        seg_start, pos = sorted_segments(sorted_cols, n)
     b_idx = np.repeat(np.arange(n, dtype=np.int64), pos)
     a_idx = ranges_concat(seg_start, pos)
     return a_idx, b_idx, order

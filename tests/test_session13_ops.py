@@ -211,11 +211,13 @@ def test_quantize_crafted_engine_parity(tmp_path):
     from jsonschema_ray.ann.quantize import (scalar_quantize_summary,
                                              sql_scalar_quantize)
     pq.write_table(pa.table({
-        "vec_id": pa.array([1, 2, 2, None, 5, 6, 7], pa.int64()),
+        "vec_id": pa.array([1, 2, 2, None, 5, 6, 7, 8, 9],
+                           pa.int64()),
         "embedding": pa.array([
             [1.0, 5.0, 7.0], [2.0, 5.0, -1.0], [3.0, 5.0, 0.5],
             [0.0, 5.0, 1.0], None, [None, 5.0, float("nan")],
-            [4.0]], type=pa.list_(pa.float32()))}),
+            [4.0], [float("inf"), 5.0], [float("-inf")]],
+            type=pa.list_(pa.float32()))}),
         os.path.join(str(tmp_path), "embeddings.parquet"))
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
@@ -231,6 +233,8 @@ def test_quantize_crafted_engine_parity(tmp_path):
     assert rec[6] == (0, 1)               # degenerate dim codes 0
     assert rec[7] == (255, 1)             # ragged max-of-dim0
     assert rec[2][1] == 6                 # dup ids merged
+    assert rec[8][1] == 1                 # inf element excluded
+    assert 9 not in rec                   # all-inf vector absent
 
 
 def test_interleave_crafted_engine_parity(tmp_path):
@@ -266,6 +270,24 @@ def test_interleave_crafted_engine_parity(tmp_path):
         s.sort()
         assert (np.diff(s) > 0).all() or len(s) == 1
         assert s.min() >= 0 and s.max() < total
+
+
+def test_interleave_slot_lift_parity():
+    """The object-dtype (Python-int) slot expression the schedule
+    switches to past ~2^31 rows equals exact bigint math AND equals
+    the int64 branch wherever int64 doesn't wrap — so the branch
+    boundary is unobservable in outputs."""
+    rn = np.arange(1, 2001, dtype=np.int64)
+    cnt = np.full(2000, 2000, dtype=np.int64)
+    for total in (2000, 3_100_000_000, 2**62):
+        lifted = ((2 * rn.astype(object) - 1) * total
+                  // (2 * cnt.astype(object))).astype(np.int64)
+        exact = np.array([((2 * int(r) - 1) * total) // (2 * 2000)
+                          for r in rn], dtype=np.int64)
+        assert np.array_equal(lifted, exact)
+        if 2 * total * total < 2**63:
+            i64 = ((2 * rn - 1) * total) // (2 * cnt)
+            assert np.array_equal(i64, exact)
 
 
 def test_q11_missing_nation_and_no_suppliers_typed_empty(tmp_path):
