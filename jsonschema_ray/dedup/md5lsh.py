@@ -272,6 +272,77 @@ def _sim_partials(b: pa.Table, id_col: str, text_col: str) -> pa.Table:
     return pa.table(cols)
 
 
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 (numpy<2 has no bitwise_count):
+    unpack the 8-byte view to bits and sum per row."""
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    if len(a) == 0:
+        return np.array([], dtype=np.int64)
+    return np.unpackbits(a.view(np.uint8)).reshape(len(a), 64) \
+        .sum(axis=1).astype(np.int64)
+
+
+def simhash_band_pairs_md5(ds, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           threshold: int = 3,
+                           bucket_cap: int = 10000):
+    """(id_a, id_b) DISTINCT near-duplicate pairs with simhash Hamming
+    distance <= ``threshold`` (id_a < id_b) — the Manku-style banded
+    scheme, fully oracled: a pair within Hamming 3 of a 64-bit
+    signature must agree EXACTLY on at least one of the 4 16-bit bands
+    (pigeonhole), so banding loses nothing at threshold <= 3; each
+    band bucket expands to candidate pairs (segment_pairs, hot-bucket
+    capped) and the xor-popcount verify filters exactly. Null ids are
+    dropped before banding (they can never satisfy the oracle's
+    ``a < b``)."""
+    sims = simhash_md5(ds, id_col=id_col, text_col=text_col)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if ids.null_count:
+            t = t.filter(pa.compute.is_valid(ids))
+            ids = t.column(id_col)
+        sim = t.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(sim)
+        bh = np.empty((n, N_BANDS), dtype=np.uint64)
+        for b in range(N_BANDS):
+            bh[:, b] = (sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        rep = np.repeat(np.arange(n, dtype=np.int64), N_BANDS)
+        return pa.table({
+            id_col: ids.take(pa.array(rep)),
+            "b": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int64),
+                                  n)),
+            "bh": pa.array(bh.reshape(-1), type=pa.uint64()),
+            "simhash": pa.array(sim[rep], type=pa.uint64())})
+
+    bands = sims.map_batches(band_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def pairs_in_partition(t: pa.Table) -> pa.Table:
+        from ..util import segment_pairs
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        bh = t.column("bh").to_numpy(zero_copy_only=False)
+        a_idx, b_idx, order = segment_pairs([b, bh], bucket_cap)
+        ids = t.column(id_col).take(pa.array(order)) \
+            .to_numpy(zero_copy_only=False)
+        sim = t.column("simhash").take(pa.array(order)) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        ham = _popcount64(sim[a_idx] ^ sim[b_idx])
+        keep = ham <= threshold
+        ia, ib = ids[a_idx[keep]], ids[b_idx[keep]]
+        sw = ia > ib
+        return pa.table({
+            "id_a": pa.array(np.where(sw, ib, ia), type=pa.int64()),
+            "id_b": pa.array(np.where(sw, ia, ib), type=pa.int64())})
+
+    from .pairsops import distinct_pairs
+    raw = partitioned_group_apply(bands, ["b", "bh"],
+                                  pairs_in_partition,
+                                  batch_format="pyarrow")
+    return distinct_pairs(raw, ["id_a", "id_b"])
+
+
 def simhash_md5(ds, id_col: str = "doc_id", text_col: str = "text"):
     """(id, simhash) Dataset — 64-bit simhash over MD5 token hashes,
     bit b set iff 2*ones_b > n_tokens (strict: the exact tie answers
@@ -384,7 +455,7 @@ FROM bands x JOIN bands y
 ORDER BY id_a, id_b"""
 
 
-def sql_simhash() -> str:
+def _sql_simhash_core() -> str:
     return f"""
 WITH {sql_token_cte()},
 pows(b, p) AS (VALUES {_pow_values()}),
@@ -398,4 +469,22 @@ votes AS (
 SELECT doc_id,
        CAST(sum(CASE WHEN 2 * ones > n THEN p ELSE 0 END)
             AS UBIGINT) AS simhash
-FROM votes GROUP BY doc_id ORDER BY doc_id"""
+FROM votes GROUP BY doc_id"""
+
+
+def sql_simhash() -> str:
+    return _sql_simhash_core() + " ORDER BY doc_id"
+
+
+def sql_simhash_pairs(threshold: int = 3) -> str:
+    return f"""
+WITH sims AS ({_sql_simhash_core()}),
+sbands AS (
+  SELECT doc_id, simhash, b, (simhash >> (16 * b)) & 65535 AS bh
+  FROM sims, (VALUES (0), (1), (2), (3)) bb(b)
+  WHERE doc_id IS NOT NULL)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+FROM sbands x JOIN sbands y
+  ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {threshold}
+ORDER BY id_a, id_b"""

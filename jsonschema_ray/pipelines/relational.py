@@ -6244,3 +6244,16 @@ def interleave_by_source_documents(sf_dir: str):
 
     return partitioned_group_apply(ds, ["source"], schedule,
                                    batch_format="pyarrow")
+
+
+def simhash_md5_pairs_documents(sf_dir: str):
+    """Simhash near-duplicate pairs (ORACLED): Manku-style banded
+    Hamming dedup over the md5-keyed 64-bit simhash — docs within
+    Hamming distance 3, found via the 4x16-bit band pigeonhole
+    (distance <= 3 forces exact agreement on >= 1 band) and verified
+    by xor-popcount. The whole candidate-generate + verify loop is
+    value-checked against a SQL self-join with bit_count(xor(...)) —
+    the production simhash family's first end-to-end pair oracle."""
+    from ..dedup.md5lsh import simhash_band_pairs_md5
+    return simhash_band_pairs_md5(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))

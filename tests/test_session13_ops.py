@@ -198,6 +198,27 @@ def test_md5lsh_crafted_engine_parity(tmp_path):
     assert 9 in set(sim["doc_id"].dropna().astype(int))
 
 
+def test_simhash_pairs_crafted_engine_parity(tmp_path):
+    """simhash_band_pairs_md5 equals its SQL oracle on the crafted
+    table; the identical-text pair (1,2) is Hamming 0 and survives;
+    the merged NULL-id group never pairs."""
+    import numpy as np
+
+    from jsonschema_ray.dedup.md5lsh import (_popcount64,
+                                             simhash_band_pairs_md5,
+                                             sql_simhash_pairs)
+    ds, con = _md5lsh_docs(tmp_path)
+    got = simhash_band_pairs_md5(ds).to_pandas()
+    _assert_frames_equal(got, con.execute(sql_simhash_pairs()).df(),
+                         ["id_a", "id_b"])
+    assert (1, 2) in set(map(tuple, got.to_numpy()))
+    # popcount helper: exhaustive small values + edge words
+    vals = np.array([0, 1, 3, 0xFFFF, 2**63, 2**64 - 1,
+                     0x5555555555555555], dtype=np.uint64)
+    assert _popcount64(vals).tolist() == [0, 1, 2, 16, 1, 64, 32]
+    assert _popcount64(np.array([], dtype=np.uint64)).tolist() == []
+
+
 def test_quantize_crafted_engine_parity(tmp_path):
     """scalar_quantize_summary value-equals its SQL oracle on the
     adversarial table: duplicate vec_ids merge (SQL GROUP BY), a NULL
