@@ -242,7 +242,7 @@ def minhash_band_pairs_md5(ds, id_col: str = "doc_id",
     raw = partitioned_group_apply(bands, ["band", "bh"],
                                   pairs_in_partition,
                                   batch_format="pyarrow")
-    return distinct_pairs(raw, ["id_a", "id_b"])
+    return _pin_pairs_schema(distinct_pairs(raw, ["id_a", "id_b"]))
 
 
 _ONE_COLS = [f"ones_{b}" for b in range(64)]
@@ -272,14 +272,21 @@ def _sim_partials(b: pa.Table, id_col: str, text_col: str) -> pa.Table:
     return pa.table(cols)
 
 
-def _popcount64(a: np.ndarray) -> np.ndarray:
-    """Vectorized popcount for uint64 (numpy<2 has no bitwise_count):
-    unpack the 8-byte view to bits and sum per row."""
-    a = np.ascontiguousarray(a, dtype=np.uint64)
-    if len(a) == 0:
-        return np.array([], dtype=np.int64)
-    return np.unpackbits(a.view(np.uint8)).reshape(len(a), 64) \
-        .sum(axis=1).astype(np.int64)
+_EMPTY_PAIRS = pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+
+
+def _pin_pairs_schema(pairs_ds):
+    """An all-empty groupby/map_groups pipeline DROPS its schema (the
+    known Ray trap) — union a typed empty block so an empty corpus
+    still answers a Dataset whose schema() is (id_a, id_b) and whose
+    iter_batches yield typed tables. (``to_pandas()`` of ANY empty
+    Dataset — even a directly-typed from_arrow one — is column-less;
+    that is Ray-global behavior, not recoverable here.) The pin block
+    ships as a PANDAS block: distinct_pairs emits pandas blocks and a
+    mixed Arrow/pandas union logs a schema-mismatch warning."""
+    import ray.data as rd
+    return rd.from_pandas(_EMPTY_PAIRS.to_pandas()).union(pairs_ds)
 
 
 def simhash_band_pairs_md5(ds, id_col: str = "doc_id",
@@ -294,7 +301,14 @@ def simhash_band_pairs_md5(ds, id_col: str = "doc_id",
     band bucket expands to candidate pairs (segment_pairs, hot-bucket
     capped) and the xor-popcount verify filters exactly. Null ids are
     dropped before banding (they can never satisfy the oracle's
-    ``a < b``)."""
+    ``a < b``). ``threshold`` must stay below N_BANDS: at >= 4 a pair
+    can differ in one bit per band and banding would silently lose it
+    — guarded, not documented-only."""
+    if threshold >= N_BANDS:
+        raise ValueError(
+            f"threshold={threshold} breaks the {N_BANDS}-band "
+            f"pigeonhole (lossless only for threshold < {N_BANDS}); "
+            "raise N_BANDS or use the production simhash family")
     sims = simhash_md5(ds, id_col=id_col, text_col=text_col)
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -328,8 +342,8 @@ def simhash_band_pairs_md5(ds, id_col: str = "doc_id",
             .to_numpy(zero_copy_only=False)
         sim = t.column("simhash").take(pa.array(order)) \
             .to_numpy(zero_copy_only=False).astype(np.uint64)
-        ham = _popcount64(sim[a_idx] ^ sim[b_idx])
-        keep = ham <= threshold
+        from ..checks.neardup import hamming64
+        keep = hamming64(sim[a_idx], sim[b_idx]) <= threshold
         ia, ib = ids[a_idx[keep]], ids[b_idx[keep]]
         sw = ia > ib
         return pa.table({
@@ -340,7 +354,7 @@ def simhash_band_pairs_md5(ds, id_col: str = "doc_id",
     raw = partitioned_group_apply(bands, ["b", "bh"],
                                   pairs_in_partition,
                                   batch_format="pyarrow")
-    return distinct_pairs(raw, ["id_a", "id_b"])
+    return _pin_pairs_schema(distinct_pairs(raw, ["id_a", "id_b"]))
 
 
 def simhash_md5(ds, id_col: str = "doc_id", text_col: str = "text"):

@@ -204,19 +204,46 @@ def test_simhash_pairs_crafted_engine_parity(tmp_path):
     the merged NULL-id group never pairs."""
     import numpy as np
 
-    from jsonschema_ray.dedup.md5lsh import (_popcount64,
-                                             simhash_band_pairs_md5,
+    from jsonschema_ray.checks.neardup import hamming64
+    from jsonschema_ray.dedup.md5lsh import (simhash_band_pairs_md5,
                                              sql_simhash_pairs)
     ds, con = _md5lsh_docs(tmp_path)
     got = simhash_band_pairs_md5(ds).to_pandas()
     _assert_frames_equal(got, con.execute(sql_simhash_pairs()).df(),
                          ["id_a", "id_b"])
     assert (1, 2) in set(map(tuple, got.to_numpy()))
-    # popcount helper: exhaustive small values + edge words
+    # the shared popcount (hamming64 vs 0): edge words
     vals = np.array([0, 1, 3, 0xFFFF, 2**63, 2**64 - 1,
                      0x5555555555555555], dtype=np.uint64)
-    assert _popcount64(vals).tolist() == [0, 1, 2, 16, 1, 64, 32]
-    assert _popcount64(np.array([], dtype=np.uint64)).tolist() == []
+    zeros = np.zeros_like(vals)
+    assert hamming64(vals, zeros).tolist() == [0, 1, 2, 16, 1, 64, 32]
+    # threshold >= N_BANDS breaks the pigeonhole: guarded, not silent
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_band_pairs_md5(ds, threshold=4)
+
+
+def test_md5lsh_pair_ops_empty_corpus_typed(tmp_path):
+    """An EMPTY documents table answers a Dataset whose SCHEMA is the
+    typed (id_a, id_b) pair contract from both pair ops (the all-empty
+    map_groups pipeline drops schema — pinned via the
+    union-typed-empty-block trick); iter_batches yields typed Arrow.
+    (to_pandas() of ANY empty Dataset is column-less — Ray-global.)"""
+    import ray.data
+
+    from jsonschema_ray.dedup.md5lsh import (minhash_band_pairs_md5,
+                                             simhash_band_pairs_md5)
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())}),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    for op in (minhash_band_pairs_md5, simhash_band_pairs_md5):
+        out = op(ds)
+        s = out.schema()
+        assert s.names == ["id_a", "id_b"]
+        assert [str(t) for t in s.types] == ["int64", "int64"]
+        bts = list(out.iter_batches(batch_format="pyarrow"))
+        assert sum(b.num_rows for b in bts) == 0
 
 
 def test_quantize_crafted_engine_parity(tmp_path):
@@ -309,6 +336,52 @@ def test_interleave_slot_lift_parity():
         if 2 * total * total < 2**63:
             i64 = ((2 * rn - 1) * total) // (2 * cnt)
             assert np.array_equal(i64, exact)
+
+
+def test_md5lsh_randomized_engine_net(tmp_path):
+    """Randomized two-engine net: 120 docs of random small-alphabet
+    token strings (seeded — lengths 0..12 so sub-shingle docs,
+    boundary double-spaces, duplicate ids and NULLs all occur by
+    construction), every md5lsh op value-equal to DuckDB. Catches
+    arithmetic-contract drift the crafted pins can't enumerate."""
+    from jsonschema_ray.dedup.md5lsh import (minhash_band_pairs_md5,
+                                             minhash_signatures_md5,
+                                             simhash_band_pairs_md5,
+                                             simhash_md5, sql_band_pairs,
+                                             sql_signatures, sql_simhash,
+                                             sql_simhash_pairs)
+    rng = np.random.default_rng(20260819)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "zz", "日本", ""]
+    ids, texts = [], []
+    for i in range(120):
+        ids.append(None if rng.random() < 0.05
+                   else int(rng.integers(0, 60)))
+        if rng.random() < 0.05:
+            texts.append(None)
+        else:
+            n = int(rng.integers(0, 13))
+            texts.append(" ".join(
+                vocab[int(k)] for k in rng.integers(0, len(vocab), n)))
+    import duckdb
+
+    import ray.data
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ds = ray.data.read_parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    for op, sql, sort in [
+            (minhash_signatures_md5, sql_signatures(), ["doc_id", "k"]),
+            (minhash_band_pairs_md5, sql_band_pairs(),
+             ["id_a", "id_b"]),
+            (simhash_md5, sql_simhash(), ["doc_id"]),
+            (simhash_band_pairs_md5, sql_simhash_pairs(),
+             ["id_a", "id_b"])]:
+        _assert_frames_equal(op(ds).to_pandas(), con.execute(sql).df(),
+                             sort)
 
 
 def test_q11_missing_nation_and_no_suppliers_typed_empty(tmp_path):
