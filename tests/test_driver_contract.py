@@ -122,7 +122,7 @@ def oracle_pairs():
     "q11_important_parts", "minhash_md5_signatures_documents",
     "minhash_md5_pairs_documents", "simhash_md5_documents",
     "quantize_embeddings", "interleave_by_source_documents",
-    "simhash_md5_pairs_documents",
+    "simhash_md5_pairs_documents", "snapshot_diff_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -384,6 +384,39 @@ def test_md5lsh_randomized_engine_net(tmp_path):
                              sort)
 
 
+def test_snapshot_diff_crafted_semantics(tmp_path):
+    """joins.snapshot_diff three-valued semantics: NULL→value and
+    value→NULL are CHANGED (IS DISTINCT FROM), NULL→NULL is unchanged
+    (absent), equal values absent, one-side keys are added/removed
+    even when their value is NULL (presence = marker, not value
+    nullness), NULL keys never join (one added + one removed),
+    duplicate keys cross-match like SQL."""
+    import ray.data as rd
+
+    from jsonschema_ray.joins import snapshot_diff
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    old = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, None, 8, 8], pa.int64()),
+        "v": ["same", None, "was", None, "gone", "nullkey-old",
+              "dupA", "dupB"]}))
+    new = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 6, None, 8], pa.int64()),
+        "v": ["same", None, "now", None, "nullkey-new", "dupA"]}))
+    out = snapshot_diff(old, new, on="k", value_cols=["v"],
+                        left_schema=schema, right_schema=schema) \
+        .to_pandas()
+    recs = sorted(
+        ((-1 if pd.isna(r.k) else int(r.k)), r.change)
+        for r in out.itertuples())
+    # k=1 equal → absent; k=2 NULL==NULL → absent; k=3 changed;
+    # k=4 removed (present with NULL value); k=5 removed; k=6 added
+    # (NULL value); NULL keys: one removed + one added; k=8 dup rows:
+    # old dupA matches, old dupB differs → one changed row
+    assert recs == [(-1, "added"), (-1, "removed"), (3, "changed"),
+                    (4, "removed"), (5, "removed"), (6, "added"),
+                    (8, "changed")]
+
+
 def test_q11_missing_nation_and_no_suppliers_typed_empty(tmp_path):
     sf = _q11_star(tmp_path, [(1, 1, 10.0, 0.0)],
                    nations=[(0, "ALPHA"), (3, "EMPTYLAND")])
