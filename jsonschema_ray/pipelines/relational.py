@@ -15,6 +15,8 @@ BOTH sides.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -5420,20 +5422,13 @@ def top_terms_by_lang(sf_dir: str, k: int = 10):
         .reset_index(drop=True)
 
 
-def daily_counts_ma_events(sf_dir: str):
-    """Gap-filled daily series + trailing moving average (ORACLED):
-    per-type daily event counts on the DENSE day grid (every day
-    between the corpus min and max day appears for every observed type,
-    zero-filled) with the 7-day trailing mean — the
-    seasonality/monitoring series shape, where the moving average is
-    only correct over a gap-free calendar. The corpus scan distributes
-    (grouped_agg per-batch partials on (type, day); one row per group
-    per batch shuffles); the densify + rolling window runs driver-side
-    over the aggregate (days × types rows — bounded by calendar and
-    vocabulary, the candles/dow-pivot convention). Null-ts and
-    null-type rows are excluded; a type absent on early days still
-    answers the full grid (SQL cross-join grid semantics). The mean of
-    integer counts is exact in float64; ma7 rounds at 6dp."""
+def _dense_daily_counts(sf_dir: str):
+    """Shared dense-grid builder (daily_counts_ma / autocorr): per-type
+    daily counts on the GLOBAL corpus min..max day grid, zero-filled,
+    sorted (event_type, day) — None when the corpus has no (type, ts)
+    rows. The corpus scan distributes (one (type, day) partial per
+    batch); the calendar×vocabulary-bounded densify runs driver-side
+    (the candles/dow-pivot convention)."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -5448,10 +5443,7 @@ def daily_counts_ma_events(sf_dir: str):
                        zero_copy_batch=True, batch_size=131072),
         ["event_type", "day"], {}, count_alias="n").to_pandas()
     if agg.empty or "event_type" not in agg.columns:
-        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
-                             "day": pd.Series([], dtype="object"),
-                             "n": pd.Series([], dtype="int64"),
-                             "ma7": pd.Series([], dtype="float64")})
+        return None
     days = pd.date_range(agg["day"].min(), agg["day"].max(),
                          freq="D").strftime("%Y-%m-%d")
     types = sorted(agg["event_type"].unique())
@@ -5461,6 +5453,73 @@ def daily_counts_ma_events(sf_dir: str):
         grid, fill_value=0).reset_index()
     f = f.sort_values(["event_type", "day"]).reset_index(drop=True)
     f["n"] = f["n"].astype("int64")
+    return f
+
+
+def autocorr_daily_events(sf_dir: str, lag: int = 1):
+    """Lag-k autocorrelation of the daily count series per event type
+    (ORACLED) — the seasonality/periodicity statistic a monitoring or
+    curriculum pipeline reads off ingestion volumes. Pearson r between
+    (c_d, c_{d+lag}) over the SAME dense zero-filled grid as
+    daily_counts_ma (gaps must count as 0 or the lag pairing is
+    wrong). Every moment sum is an EXACT small integer in int64
+    (counts × calendar days), so both engines compute the same
+    mathematical r and the 6dp round is order-free; a zero-variance
+    side (constant series) answers SQL-NULL, as does a single-day
+    grid (no pairs → type row ABSENT, like the GROUP BY over the
+    empty lead() set)."""
+    f = _dense_daily_counts(sf_dir)
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_pairs": pd.Series([], dtype="int64"),
+        "r": pd.Series([], dtype="float64")})
+    if f is None:
+        return out_empty
+    rows = []
+    for t, g in f.groupby("event_type", sort=True):
+        n_arr = g["n"].to_numpy()
+        x, y = n_arr[:-lag], n_arr[lag:]
+        m = len(x)
+        if m == 0:
+            continue
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        sxy = int((x * y).sum())
+        vx = m * sxx - sx * sx
+        vy = m * syy - sy * sy
+        num = m * sxy - sx * sy
+        r = (round(num / math.sqrt(vx * vy), 6)
+             if vx > 0 and vy > 0 and m >= 2 else None)
+        rows.append({"event_type": t, "n_pairs": m, "r": r})
+    if not rows:
+        return out_empty
+    out = pd.DataFrame(rows)
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["r"] = out["r"].astype("float64")
+    return out
+
+
+def daily_counts_ma_events(sf_dir: str):
+    """Gap-filled daily series + trailing moving average (ORACLED):
+    per-type daily event counts on the DENSE day grid (every day
+    between the corpus min and max day appears for every observed type,
+    zero-filled) with the 7-day trailing mean — the
+    seasonality/monitoring series shape, where the moving average is
+    only correct over a gap-free calendar. The corpus scan distributes
+    (grouped_agg per-batch partials on (type, day); one row per group
+    per batch shuffles); the densify + rolling window runs driver-side
+    over the aggregate (days × types rows — bounded by calendar and
+    vocabulary, the candles/dow-pivot convention). Null-ts and
+    null-type rows are excluded; a type absent on early days still
+    answers the full grid (SQL cross-join grid semantics). The mean of
+    integer counts is exact in float64; ma7 rounds at 6dp."""
+    f = _dense_daily_counts(sf_dir)
+    if f is None:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "day": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "ma7": pd.Series([], dtype="float64")})
     f["ma7"] = np.round(
         f.groupby("event_type", sort=False)["n"]
         .transform(lambda s: s.rolling(7, min_periods=1).mean())

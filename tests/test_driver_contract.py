@@ -123,6 +123,7 @@ def oracle_pairs():
     "minhash_md5_pairs_documents", "simhash_md5_documents",
     "quantize_embeddings", "interleave_by_source_documents",
     "simhash_md5_pairs_documents", "snapshot_diff_documents",
+    "autocorr_daily_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

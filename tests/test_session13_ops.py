@@ -417,6 +417,61 @@ def test_snapshot_diff_crafted_semantics(tmp_path):
                     (8, "changed")]
 
 
+def test_autocorr_crafted_semantics(tmp_path):
+    """autocorr_daily_events vs its SQL oracle on a crafted calendar:
+    an alternating 5/1 series answers r = -1-ish (negative
+    autocorrelation), a CONSTANT series answers SQL-NULL (zero
+    variance), a type with a mid-calendar gap pairs against the
+    zero-filled day (dense-grid semantics — dropping the gap would
+    change r), a type observed on ONE day still answers over the
+    GLOBAL grid (zeros elsewhere), null ts/type rows invisible."""
+    import datetime as dt
+
+    import duckdb
+
+    import __ray_entry__ as E
+    rows = []
+    eid = 0
+
+    def add(t, day, k):
+        nonlocal eid
+        for _ in range(k):
+            rows.append((eid, dt.datetime(2024, 1, day, 12), t))
+            eid += 1
+
+    for d, k in [(1, 5), (2, 1), (3, 5), (4, 1), (5, 5)]:
+        add("alt", d, k)          # alternating 5,1,5,1,5
+    for d in range(1, 6):
+        add("flat", d, 2)         # constant 2/day -> NULL
+    add("gappy", 1, 3)
+    add("gappy", 5, 3)            # days 2-4 are ZEROS on the grid
+    add("oneday", 3, 7)           # zeros on 4 of 5 grid days
+    rows.append((eid, None, "alt"))          # null ts invisible
+    rows.append((eid + 1, dt.datetime(2024, 1, 2, 1), None))  # null type
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows))}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    from jsonschema_ray.pipelines.relational import autocorr_daily_events
+    got = autocorr_daily_events(str(tmp_path)) \
+        .sort_values("event_type").reset_index(drop=True)
+    exp = con.execute(E.oracle_sql()["autocorr_daily_events"]).df() \
+        .sort_values("event_type").reset_index(drop=True)
+    _assert_frames_equal(got, exp, ["event_type"])
+    rec = dict(zip(got["event_type"], got["r"]))
+    assert rec["alt"] == -1.0
+    assert math.isnan(rec["flat"])
+    assert not math.isnan(rec["gappy"])
+    assert (got["n_pairs"] == 4).all()
+
+
 def test_q11_missing_nation_and_no_suppliers_typed_empty(tmp_path):
     sf = _q11_star(tmp_path, [(1, 1, 10.0, 0.0)],
                    nations=[(0, "ALPHA"), (3, "EMPTYLAND")])
