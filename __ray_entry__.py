@@ -49,8 +49,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": R.repetition_documents,   # oracled
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customers_no_bigorder": R.customers_no_bigorder,  # oracled
-        "quantity_quantiles_by_flag": R.quantity_quantiles_by_flag,  # oracled
-        "events_value_histogram": R.events_value_histogram,  # oracled
         "events_value_zscore": R.events_value_zscore,     # oracled
         "rollup_orders_segment_priority": R.rollup_orders_segment_priority,  # oracled
         "quality_filter_documents": R.quality_filter_documents,  # oracled
@@ -105,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.simhash_md5_pairs_documents,                # oracled
         "snapshot_diff_documents": R.snapshot_diff_documents,  # oracled
         "autocorr_daily_events": R.autocorr_daily_events,  # oracled
+        "scd2_intervals_events": R.scd2_intervals_events,  # oracled
+        "pmi_bigrams_documents": R.pmi_bigrams_documents,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages_documents": R.dup_passages_documents,  # oracled (r2-pass + judge ✓)
         "decontam_documents": R.decontam_documents,       # oracled (r2-pass + judge ✓)
         "entropy_documents": R.entropy_documents,         # oracled (r2-pass)
+        "events_value_histogram": R.events_value_histogram,  # oracled (r2-pass)
+        "quantity_quantiles_by_flag": R.quantity_quantiles_by_flag,  # oracled (quantiles-family pytest net)
         # (oracled, session-verified vs DuckDB at sf0.001+0.01; the
         # window is full of never-checked oracled entries)
         # (r3-judge-verified vs DuckDB, moved out for the session-11 set)
@@ -308,6 +310,47 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
        round(corr(CAST(n AS DOUBLE), CAST(n1 AS DOUBLE)), 6) AS r
 FROM s WHERE n1 IS NOT NULL
 GROUP BY event_type ORDER BY event_type""",
+        "scd2_intervals_events": """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+s AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM e),
+c AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM s WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id)
+         AS valid_to
+FROM c ORDER BY user_id, valid_from, event_id""",
+        "pmi_bigrams_documents": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+b AS (SELECT w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM t),
+bc AS (SELECT w1, w2, count(*) AS n FROM b
+       WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
+       GROUP BY w1, w2),
+uc AS (SELECT w AS term, count(*) AS n FROM t WHERE w <> ''
+       GROUP BY w),
+tot AS (SELECT (SELECT sum(n) FROM bc) AS nb,
+               (SELECT sum(n) FROM uc) AS nt)
+SELECT bc.w1, bc.w2, CAST(bc.n AS BIGINT) AS n,
+       round(log2((CAST(bc.n AS DOUBLE) / nb) /
+                  ((CAST(x.n AS DOUBLE) / nt)
+                   * (CAST(y.n AS DOUBLE) / nt))), 6) AS pmi
+FROM bc JOIN uc x ON bc.w1 = x.term
+JOIN uc y ON bc.w2 = y.term, tot
+WHERE bc.n >= 5
+ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -6358,3 +6358,65 @@ def snapshot_diff_documents(sf_dir: str):
     schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     return snapshot_diff(old, new, on="doc_id", value_cols=["text"],
                          left_schema=schema, right_schema=schema)
+
+
+def scd2_intervals_events(sf_dir: str):
+    """SCD2 historization (ORACLED): compress each user's
+    (ts, event_id)-ordered event_type timeline into change-point
+    validity intervals — one row per RUN of consecutive equal types,
+    valid_from = the run's first ts, valid_to = the NEXT run's first
+    ts (NULL on the open/current run). The slowly-changing-dimension
+    build every warehouse runs to historize a mutable attribute; the
+    as-of join family then consumes the intervals. ONE user-hash
+    partition (a user's whole timeline co-locates; the transitions
+    machinery): sort, groupby-shift change detection, shift(-1) close
+    — the OUTPUT is the partition rows themselves (run-count-sized,
+    streamed as a Dataset; no second aggregate). Null user/ts/type
+    rows leave the timeline BEFORE run detection (the transitions
+    convention — lag over the filtered view), so A, NULL-type, A
+    stays ONE run. Tie rows (same user, ts) order by event_id on both
+    engines; a type change inside a tie yields a zero-length interval
+    identically."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(b.column("user_id").is_valid(),
+                            b.column("ts").is_valid()),
+                    b.column("event_type").is_valid())
+        return b.filter(m)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+    _schema = pa.schema([("user_id", pa.int64()),
+                         ("event_type", pa.string()),
+                         ("valid_from", pa.timestamp("us")),
+                         ("valid_to", pa.timestamp("us"))])
+
+    def intervals(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        change = (prev.isna() | (prev != df["event_type"])).to_numpy()
+        st = df[change]
+        out = pd.DataFrame({
+            "user_id": st["user_id"].to_numpy(),
+            "event_type": st["event_type"].to_numpy(),
+            "valid_from": st["ts"].to_numpy(),
+            "valid_to": st.groupby("user_id", sort=False)["ts"]
+            .shift(-1).to_numpy()})
+        return pa.Table.from_pandas(out, schema=_schema,
+                                    preserve_index=False)
+
+    return partitioned_group_apply(pruned, ["user_id"], intervals,
+                                   batch_format="pyarrow")
+
+
+def pmi_bigrams_documents(sf_dir: str):
+    """Top-50 collocations by pointwise mutual information (ORACLED):
+    Church-Hanks PMI over adjacent token pairs with n >= 5, the phrase
+    detector behind tokenizer merges — see text/transform.pmi_bigrams
+    for the materialize-once / prune-before-join / partial-top-k scale
+    shape and the duckdb_round(…, 6)-before-ranking tie contract."""
+    from ..text.transform import pmi_bigrams
+    return pmi_bigrams(_read(sf_dir, "documents", columns=["text"]))

@@ -384,3 +384,77 @@ def bigram_counts(ds, text_col: str = "text", top_n: int | None = None):
     if top_n is None:
         return counts
     return _grouped_topk(counts, ["w1", "w2"], top_n)
+
+
+def pmi_bigrams(ds, text_col: str = "text", top_n: int = 50,
+                min_n: int = 5):
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation statistic (Church-Hanks) a tokenizer-merge or phrase
+    detector ranks by: ``pmi = log2(p(x,y) / (p(x)·p(y)))`` with
+    p(x,y) from the bigram table and p(x) from the unigram table (the
+    SAME split-on-space tokenization; empties excluded — bigram oracle
+    conventions). Both count tables are vocabulary-sized combiner
+    aggregates, MATERIALIZED once (each feeds a total, a filter and a
+    join — re-running the corpus scan per consumer is the index-writer
+    sin); the pair table prunes to ``n >= min_n`` BEFORE the two
+    size-chosen equi-joins attach the unigram counts (unigram side
+    broadcasts under the cap), and selection is the per-block partial
+    top-k — the pair vocabulary is never driver-resident. The pmi
+    expression evaluates in the exact SQL operand order on float64
+    with util.duckdb_round(…, 6) BEFORE ranking, so the tied band at
+    the cut is deterministic cross-engine ((pmi DESC, w1, w2) total
+    order)."""
+    import functools
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..joins import equi_join
+    from ..util import duckdb_round
+
+    def counts(partial_fn, keys, names):
+        p = ds.select_columns([text_col]).map_batches(
+            functools.partial(partial_fn, text_col=text_col),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return p.groupby(keys).aggregate(
+            Sum("n_part", alias_name=names)).materialize()
+
+    bi = counts(_bigram_partials, ["w1", "w2"], "n")
+    uni = counts(_term_partials, "term", "n")
+    empty = pd.DataFrame({"w1": pd.Series([], dtype="object"),
+                          "w2": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64"),
+                          "pmi": pd.Series([], dtype="float64")})
+    nb = bi.sum("n") if bi.count() else 0
+    nt = uni.sum("n") if uni.count() else 0
+    if not nb or not nt:
+        return empty
+
+    def rename(side, cname):
+        return uni.map_batches(
+            lambda b, s=side, c=cname: pa.table(
+                {s: b["term"], c: b["n"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    filt = bi.filter(expr=f"n >= {min_n}")
+    j = equi_join(filt, rename("w1", "cx"), on="w1")
+    j = equi_join(j, rename("w2", "cy"), on="w2")
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = b["cx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cy = b["cy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = duckdb_round(
+            np.log2((n / nb) / ((cx / nt) * (cy / nt))), 6)
+        return pa.table({"w1": b["w1"], "w2": b["w2"], "n": b["n"],
+                         "pmi": pa.array(pmi)})
+
+    from ..pipelines.relational import _partial_topk
+    out = _partial_topk(
+        j.map_batches(score, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["pmi", "w1", "w2"], [False, True, True], top_n)
+    if out is None:
+        return empty
+    out["n"] = out["n"].astype("int64")
+    return out[["w1", "w2", "n", "pmi"]]

@@ -123,7 +123,8 @@ def oracle_pairs():
     "minhash_md5_pairs_documents", "simhash_md5_documents",
     "quantize_embeddings", "interleave_by_source_documents",
     "simhash_md5_pairs_documents", "snapshot_diff_documents",
-    "autocorr_daily_events",
+    "autocorr_daily_events", "scd2_intervals_events",
+    "pmi_bigrams_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

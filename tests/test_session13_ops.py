@@ -472,6 +472,106 @@ def test_autocorr_crafted_semantics(tmp_path):
     assert (got["n_pairs"] == 4).all()
 
 
+def test_scd2_crafted_semantics(tmp_path):
+    """scd2_intervals_events vs its SQL oracle on a crafted timeline:
+    runs compress (A A A B → 2 intervals), a NULL-type event BRIDGES
+    a run (A, NULL, A stays one run — lag over the filtered view),
+    the last run is open (valid_to NULL), a same-ts tie with a type
+    change yields a zero-length interval ordered by event_id, null
+    user/ts rows invisible."""
+    import datetime as dt
+
+    import duckdb
+
+    import __ray_entry__ as E
+    T = lambda m: dt.datetime(2024, 3, 1, 10, m)
+    rows = [  # (event_id, user, ts, type)
+        (1, 1, T(0), "A"), (2, 1, T(1), "A"), (3, 1, T(2), "A"),
+        (4, 1, T(3), None),            # bridges the A-run
+        (5, 1, T(4), "A"), (6, 1, T(5), "B"),
+        (7, 2, T(0), "X"),             # single-event user: open
+        (8, 3, T(1), "P"), (9, 3, T(1), "Q"),  # same-ts tie: zero-len
+        (10, None, T(2), "A"), (11, 4, None, "A")]  # invisible
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows))}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    from jsonschema_ray.pipelines.relational import scd2_intervals_events
+    sc = ["user_id", "valid_from", "event_type"]
+    got = scd2_intervals_events(str(tmp_path)).to_pandas() \
+        .sort_values(sc).reset_index(drop=True)
+    exp = con.execute(E.oracle_sql()["scd2_intervals_events"]).df() \
+        [got.columns.tolist()].sort_values(sc).reset_index(drop=True)
+    assert len(got) == len(exp) == 5
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if c.startswith("valid"):
+            g = g.astype("datetime64[us]").fillna(pd.Timestamp(0))
+            e = e.astype("datetime64[us]").fillna(pd.Timestamp(0))
+        assert (g == e).all(), c
+    u1 = got[got["user_id"] == 1]
+    assert list(u1["event_type"]) == ["A", "B"]       # bridged run
+    assert pd.isna(got[got["user_id"] == 2]["valid_to"]).all()
+    u3 = got[got["user_id"] == 3]
+    assert (u3["valid_from"] == T(1)).all()           # zero-length
+    assert list(u3["event_type"]) == ["P", "Q"]
+
+
+def test_pmi_crafted_exact_value(tmp_path):
+    """pmi_bigrams on a hand-computable corpus: one doc repeating
+    'x y' 6 times (plus filler) — c_xy=6 ... engine-equal to the SQL
+    oracle AND to the hand formula; pairs under min_n absent; the
+    empty corpus answers the typed empty frame."""
+    import duckdb
+
+    import ray.data
+
+    import __ray_entry__ as E
+    from jsonschema_ray.text.transform import pmi_bigrams
+    text = " ".join(["x y"] * 6) + " " + " ".join(["f"] * 8)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([text]), "lang": pa.array(["en"]),
+        "source": pa.array(["s"]),
+        "n_chars": pa.array([len(text)], pa.int64())}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    got = pmi_bigrams(ray.data.read_parquet(
+        os.path.join(str(tmp_path), "documents.parquet")))
+    exp = con.execute(E.oracle_sql()["pmi_bigrams_documents"]).df()
+    assert len(got) == len(exp)
+    assert (got["pmi"].to_numpy() == exp["pmi"].to_numpy()).all()
+    assert list(got["w1"]) == list(exp["w1"])
+    # hand check: tokens = 6x + 6y + 8f = 20; bigrams: xy 6, yx 5,
+    # yf 1, ff 7 -> n>=5 keeps xy, yx, ff; N_bi = 19
+    rec = {(r.w1, r.w2): (r.n, r.pmi) for r in got.itertuples()}
+    assert set(rec) == {("x", "y"), ("y", "x"), ("f", "f")}
+    import math as m
+    want = round(m.log2((6 / 19) / ((6 / 20) * (6 / 20))), 6)
+    assert rec[("x", "y")][1] == want
+    # empty corpus -> typed empty frame
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = pmi_bigrams(ray.data.read_parquet(
+        os.path.join(str(tmp_path), "documents.parquet")))
+    assert len(out) == 0
+    assert list(out.columns) == ["w1", "w2", "n", "pmi"]
+
+
 def test_q11_missing_nation_and_no_suppliers_typed_empty(tmp_path):
     sf = _q11_star(tmp_path, [(1, 1, 10.0, 0.0)],
                    nations=[(0, "ALPHA"), (3, "EMPTYLAND")])
