@@ -329,12 +329,14 @@ SELECT user_id, event_type, valid_from,
          AS valid_to
 FROM c ORDER BY user_id, valid_from, event_id""",
         "pmi_bigrams_documents": """
-WITH t AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+WITH numbered AS (
+  SELECT text, row_number() OVER () AS rid FROM documents),
+t AS (
+  SELECT rid, unnest(string_split(text, ' ')) AS w,
          generate_subscripts(string_split(text, ' '), 1) AS pos
-  FROM documents),
+  FROM numbered),
 b AS (SELECT w AS w1,
-             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             lead(w) OVER (PARTITION BY rid ORDER BY pos) AS w2
       FROM t),
 bc AS (SELECT w1, w2, count(*) AS n FROM b
        WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
@@ -489,14 +491,16 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 ORDER BY event_id""",
         "bigram_counts_documents": """
-WITH t AS (
-  SELECT doc_id,
+WITH numbered AS (
+  SELECT text, row_number() OVER () AS rid FROM documents),
+t AS (
+  SELECT rid,
          unnest(string_split(text, ' ')) AS w,
          generate_subscripts(string_split(text, ' '), 1) AS pos
-  FROM documents),
+  FROM numbered),
 b AS (
   SELECT w AS w1,
-         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         lead(w) OVER (PARTITION BY rid ORDER BY pos) AS w2
   FROM t)
 SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
 FROM b WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''

@@ -145,31 +145,10 @@ def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2):
 from ..util import duckdb_round  # noqa: E402,F401
 
 
-def _partial_topk(ds, sort_cols: list[str], ascending: list[bool],
-                  k: int, round_col: str = None):
-    """Distributed top-k: per-block partial top-k inside map_batches,
-    then the same sort over the O(blocks·k) survivors on the driver —
-    only k rows per block ever gather, the group set never does.
-    ``round_col`` is rounded to 2 dp BEFORE ranking (the oracle
-    convention — both levels must rank the rounded value or a pair
-    rounding to a tie could order differently across engines). Returns
-    the k-row DataFrame, or None when the upstream pipeline was
-    all-empty (Ray drops its schema and the gather is column-less)."""
-    def local_topk(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        if round_col is not None:
-            df[round_col] = df[round_col].round(2)
-        df = df.sort_values(sort_cols, ascending=ascending,
-                            kind="mergesort").head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    surv = ds.map_batches(local_topk, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
-    if surv.empty or sort_cols[0] not in surv.columns:
-        return None
-    return surv.sort_values(sort_cols, ascending=ascending,
-                            kind="mergesort").head(k) \
-        .reset_index(drop=True)
+# distributed top-k now lives in util (the text-side PMI ranking
+# needs it too); the underscore alias keeps this module's many
+# call sites
+from ..util import partial_topk as _partial_topk  # noqa: E402
 
 
 def _distinct_filtered_keys(sf_dir: str, table: str, key: str,
@@ -5489,7 +5468,9 @@ def autocorr_daily_events(sf_dir: str, lag: int = 1):
         vx = m * sxx - sx * sx
         vy = m * syy - sy * sy
         num = m * sxy - sx * sy
-        r = (round(num / math.sqrt(vx * vy), 6)
+        # duckdb_round, NOT Python round: round(5e-07, 6) is 0.0 in
+        # Python (exact-decimal ties-to-even) but 1e-06 in DuckDB
+        r = (float(duckdb_round(num / math.sqrt(vx * vy), 6))
              if vx > 0 and vy > 0 and m >= 2 else None)
         rows.append({"event_type": t, "n_pairs": m, "r": r})
     if not rows:

@@ -449,8 +449,8 @@ def pmi_bigrams(ds, text_col: str = "text", top_n: int = 50,
         return pa.table({"w1": b["w1"], "w2": b["w2"], "n": b["n"],
                          "pmi": pa.array(pmi)})
 
-    from ..pipelines.relational import _partial_topk
-    out = _partial_topk(
+    from ..util import partial_topk
+    out = partial_topk(
         j.map_batches(score, batch_format="pyarrow",
                       zero_copy_batch=True),
         ["pmi", "w1", "w2"], [False, True, True], top_n)

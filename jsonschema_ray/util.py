@@ -201,3 +201,35 @@ def duckdb_round(a, nd: int = 2):
     av = np.abs(v)
     f = np.floor(av)
     return np.copysign(np.where(av - f >= 0.5, f + 1.0, f), v) / p
+
+
+def partial_topk(ds, sort_cols: list[str], ascending: list[bool],
+                 k: int, round_col: str = None):
+    """Distributed top-k: per-block partial top-k inside map_batches,
+    then the same sort over the O(blocks·k) survivors on the driver —
+    only k rows per block ever gather, the group set never does.
+    ``round_col`` is rounded to 2 dp BEFORE ranking (the oracle
+    convention — both levels must rank the rounded value or a pair
+    rounding to a tie could order differently across engines). Returns
+    the k-row DataFrame, or None when the upstream pipeline was
+    all-empty (Ray drops its schema and the gather is column-less).
+    One home for the relational _partial_topk AND the text-side PMI
+    ranking (moving it here removed a pipelines<-text layer
+    inversion)."""
+    import pyarrow as pa
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if round_col is not None:
+            df[round_col] = df[round_col].round(2)
+        df = df.sort_values(sort_cols, ascending=ascending,
+                            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    surv = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if surv.empty or sort_cols[0] not in surv.columns:
+        return None
+    return surv.sort_values(sort_cols, ascending=ascending,
+                            kind="mergesort").head(k) \
+        .reset_index(drop=True)

@@ -558,6 +558,29 @@ def test_pmi_crafted_exact_value(tmp_path):
     import math as m
     want = round(m.log2((6 / 19) / ((6 / 20) * (6 / 20))), 6)
     assert rec[("x", "y")][1] == want
+    # duplicate/NULL doc_ids must NOT cross-pair: pairing is a
+    # physical-ROW property (the oracle pins it with an
+    # arbitrary-but-distinct row_number rid — the ttr/md5lsh class)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 1, None, None], pa.int64()),
+        "text": pa.array(["a b a b a b a b a b",
+                          "c d c d c d c d c d",
+                          "e f e f e f e f e f",
+                          "g h g h g h g h g h"]),
+        "lang": pa.array(["en"] * 4), "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([19] * 4, pa.int64())}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                 f"read_parquet('{tmp_path}/documents.parquet')")
+    got2 = pmi_bigrams(ray.data.read_parquet(
+        os.path.join(str(tmp_path), "documents.parquet")))
+    exp2 = con2.execute(E.oracle_sql()["pmi_bigrams_documents"]).df()
+    assert (got2["pmi"].to_numpy() == exp2["pmi"].to_numpy()).all()
+    pairs = set(zip(got2["w1"], got2["w2"]))
+    # no cross-row fabrications like (b, c) or (f, g)
+    assert ("b", "c") not in pairs and ("f", "g") not in pairs
+
     # empty corpus -> typed empty frame
     pq.write_table(pa.table({
         "doc_id": pa.array([], pa.int64()),
