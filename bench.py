@@ -202,6 +202,14 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.transitions_event_types(sf_dir)))
     timed("events_next_order",
           lambda: R.events_next_order(sf_dir).count())
+    timed("sequence_match_users",
+          lambda: R.sequence_match_users(sf_dir).count())
+    timed("cumulative_parts_shipped",
+          lambda: len(R.cumulative_parts_shipped(sf_dir)))
+    timed("tokenset_dedup_documents",
+          lambda: len(R.tokenset_dedup_documents(sf_dir)))
+    timed("gini_daily_events",
+          lambda: len(R.gini_daily_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

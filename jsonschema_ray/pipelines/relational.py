@@ -6401,3 +6401,203 @@ def pmi_bigrams_documents(sf_dir: str):
     shape and the duckdb_round(…, 6)-before-ranking tie contract."""
     from ..text.transform import pmi_bigrams
     return pmi_bigrams(_read(sf_dir, "documents", columns=["text"]))
+
+
+def sequence_match_users(sf_dir: str,
+                         pattern: str = "view>click>purchase"):
+    """Sequential-pattern mining (ORACLED): users whose (ts, event_id)-
+    ordered event-type sequence contains the adjacent trigram
+    ``view>click>purchase`` at least once, with the non-overlapping
+    match count — the behavioral-cohort selector a funnel/curriculum
+    pipeline runs as a REGEX over the ordered sequence (funnel_events
+    answers first-touch stage conversion; this answers arbitrary
+    ordered patterns). ONE user-hash partition (a user's timeline
+    co-locates; the scd2/transitions machinery): sort, per-user
+    '>'-join, ONE vectorized RE2 ``count_substring_regex`` over the
+    user-count-sized sequence array — RE2 on both engines
+    (DuckDB ``regexp_extract_all`` is RE2 too) with identical
+    leftmost non-overlapping match semantics. Null user/ts/type rows
+    leave the timeline BEFORE joining (the transitions convention);
+    tie rows (same user, ts) order by event_id on both engines, and
+    '>' cannot appear inside a type token so the join is unambiguous.
+    Output is user-bounded (only matching users), streamed as a
+    Dataset; a typed empty block pins the (user_id, n_matches) schema
+    on an empty corpus (md5lsh convention)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(b.column("user_id").is_valid(),
+                            b.column("ts").is_valid()),
+                    b.column("event_type").is_valid())
+        return b.filter(m)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        seqs = df.groupby("user_id", sort=False)["event_type"] \
+            .agg(">".join)
+        n = pc.count_substring_regex(
+            pa.array(seqs.to_numpy(), pa.string()),
+            pattern).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        return pd.DataFrame({
+            "user_id": seqs.index.to_numpy()[keep].astype(np.int64),
+            "n_matches": n[keep]})
+
+    out = partitioned_group_apply(pruned, ["user_id"], match)
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_matches": pa.array([], pa.int64())})
+    return _rd().from_pandas(empty.to_pandas()).union(out)
+
+
+def cumulative_parts_shipped(sf_dir: str):
+    """Catalog-adoption curve (ORACLED): per ship day, how many parts
+    shipped for the FIRST time and the running total of distinct parts
+    ever shipped — the cumulative-distinct-count curve a rollout or
+    coverage dashboard reads. Two grouped aggregates, both partial:
+    first-seen day per part is a #parts-bounded grouped MIN (one row
+    per (part, batch) shuffles), the day recount is calendar-bounded,
+    and the running sum is an exact int64 cumulation over the
+    calendar-sized driver result (the pareto_sources convention).
+    Null partkey/shipdate rows are invisible on both engines."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("l_partkey").is_valid(),
+                             b.column("l_shipdate").is_valid()))
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "day": pc.strftime(t.column("l_shipdate"), "%Y-%m-%d")})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=131072)
+    # per-batch partial min → one grouped Min per part (parts-bounded)
+    partials = prepped.map_batches(
+        lambda b: b.group_by(["l_partkey"]).aggregate([("day", "min")])
+        .rename_columns(["l_partkey", "day_pmin"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=131072)
+    from ray.data.aggregate import Min
+    firsts = partials.groupby(["l_partkey"]).aggregate(
+        Min("day_pmin", alias_name="day"))
+    # calendar-bounded recount of first-seen days
+    days = grouped_agg(firsts, ["day"], {}, count_alias="new_parts") \
+        .to_pandas()
+    if days.empty or "day" not in days.columns:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="object"),
+            "new_parts": pd.Series([], dtype="int64"),
+            "cum_parts": pd.Series([], dtype="int64")})
+    days = days.sort_values("day").reset_index(drop=True)
+    days["new_parts"] = days["new_parts"].astype("int64")
+    days["cum_parts"] = days["new_parts"].cumsum().astype("int64")
+    return days[["day", "new_parts", "cum_parts"]]
+
+
+def tokenset_dedup_documents(sf_dir: str):
+    """Bag-of-words dedup clusters (ORACLED): documents whose SORTED
+    DISTINCT token set is identical collapse to one cluster — the
+    order/multiplicity-insensitive exact-dedup key (catches shuffled
+    or repeated-sentence near-copies that byte-exact dedup misses;
+    the md5lsh family catches looser overlap). Per batch: literal
+    single-space split (DuckDB string_split parity: consecutive
+    spaces yield empty tokens, '' yields ['']), per-row distinct+sort
+    (UTF-8 byte order == codepoint order == DuckDB binary collation),
+    ' '-rejoin, md5-low64 of the canonical key — only the 8-byte key
+    hash plus (min_id, cnt) partials ever shuffle, never the text
+    (the hash_only convention; md5 collisions are 2^-64-negligible
+    and the oracle groups the full key string, so a collision would
+    surface as a mismatch, not hide). Output: clusters with >1 doc as
+    (keep_id = min doc_id, n_docs). Null-text rows are excluded on
+    both engines; duplicate doc_ids merge per SQL GROUP BY."""
+    from ..dedup.md5lsh import md5_low64
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("text").is_valid())
+        # token explode stays vectorized Arrow; the per-row sorted
+        # distinct set rebuilds via ONE lexsort over (row, token)
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        order = np.lexsort((flat, idx))
+        ridx, rtok = idx[order], flat[order]
+        # drop (row, token) duplicates on the sorted stream
+        first = np.ones(len(ridx), dtype=bool)
+        first[1:] = (ridx[1:] != ridx[:-1]) | (rtok[1:] != rtok[:-1])
+        ridx, rtok = ridx[first], rtok[first]
+        keys = pd.Series(rtok).groupby(ridx, sort=True).agg(" ".join)
+        # signed wrap of the unsigned low64 is a bijection — grouping
+        # semantics unchanged (md5lsh signing convention)
+        k64 = np.fromiter((md5_low64(k) for k in keys.to_numpy()),
+                          dtype=np.uint64, count=len(keys)) \
+            .astype(np.int64)
+        # doc_id rides Arrow take — null-bearing ids never float
+        ids = t.column("doc_id").combine_chunks().take(
+            pa.array(keys.index.to_numpy(), pa.int64()))
+        agg = pa.table({"key64": pa.array(k64), "doc_id": ids}) \
+            .group_by(["key64"]).aggregate(
+                [("doc_id", "min"), ([], "count_all")])
+        return agg.rename_columns(["key64", "keep_pmin", "cnt_psum"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+    from ray.data.aggregate import Min, Sum
+    agg = partials.groupby(["key64"]).aggregate(
+        Min("keep_pmin", alias_name="keep_id"),
+        Sum("cnt_psum", alias_name="n_docs"))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pd.DataFrame({"keep_id": pd.Series([], dtype="int64"),
+                             "n_docs": pd.Series([], dtype="int64")})
+    out = pa.concat_tables(batches, promote_options="permissive") \
+        .to_pandas(types_mapper=_nullable_int64)
+    out = out[out["n_docs"].astype("int64") > 1]
+    keep = out["keep_id"]
+    res = pd.DataFrame({
+        "keep_id": keep.astype(
+            "float64" if keep.isna().any() else "int64"),
+        "n_docs": out["n_docs"].astype("int64")})
+    return res.sort_values("keep_id", na_position="last") \
+        .reset_index(drop=True)
+
+
+def gini_daily_events(sf_dir: str):
+    """Daily-volume inequality (ORACLED): the Gini coefficient of each
+    type's daily event counts over the SAME dense zero-filled corpus
+    calendar grid as daily_counts_ma/autocorr — the burstiness /
+    concentration statistic a capacity or data-mixing pipeline reads
+    (0 = perfectly even ingestion, →1 = all volume on one day).
+    Computed from the sorted-count identity
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n: every moment is an EXACT
+    small integer in int64 (counts × calendar ranks), tied counts are
+    rank-sum-invariant (consecutive ranks × the same value), so both
+    engines evaluate the same rationals in the same operand order and
+    the 6dp duckdb_round is summation-order-free. The corpus scan
+    distributes (_dense_daily_counts partials); the finish is
+    vocabulary×calendar-bounded driver work. All-zero-sum series are
+    impossible (an observed type has ≥1 event on the grid)."""
+    f = _dense_daily_counts(sf_dir)
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_days": pd.Series([], dtype="int64"),
+        "gini": pd.Series([], dtype="float64")})
+    if f is None:
+        return out_empty
+    rows = []
+    for t, g in f.groupby("event_type", sort=True):
+        x = np.sort(g["n"].to_numpy())
+        nd = len(x)
+        s = int(x.sum())
+        srn = int((np.arange(1, nd + 1, dtype=np.int64) * x).sum())
+        gini = float(duckdb_round(
+            (2.0 * srn) / (nd * s) - (nd + 1.0) / nd, 6))
+        rows.append({"event_type": t, "n_days": nd, "gini": gini})
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    out["gini"] = out["gini"].astype("float64")
+    return out

@@ -125,6 +125,8 @@ def oracle_pairs():
     "simhash_md5_pairs_documents", "snapshot_diff_documents",
     "autocorr_daily_events", "scd2_intervals_events",
     "pmi_bigrams_documents",
+    "sequence_match_users", "cumulative_parts_shipped",
+    "tokenset_dedup_documents", "gini_daily_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

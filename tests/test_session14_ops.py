@@ -1,0 +1,291 @@
+"""Session-14 operators: sequential pattern mining, cumulative-distinct
+adoption curve, bag-of-words (token-set) dedup, daily-volume Gini —
+crafted edge branches the sf oracles can't reach (the testdata carries
+no nulls / no ties in these columns). The sf-scale value oracles run in
+test_driver_contract and were hand-verified at sf0.001/0.01/0.1."""
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jsonschema_ray.pipelines.relational import (
+    cumulative_parts_shipped, gini_daily_events, sequence_match_users,
+    tokenset_dedup_documents)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _events(tmp_path, rows):
+    """rows: (event_id, user_id|None, ts_us|None, event_type|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }))
+
+
+def _oracle(tmp_path, name):
+    import duckdb
+
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem"):
+        p = os.path.join(str(tmp_path), f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}')")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+def _frames_equal(got, exp, sort_cols):
+    got = got[list(exp.columns)].sort_values(sort_cols) \
+        .reset_index(drop=True)
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in exp.columns:
+        gv, ev = got[c].to_numpy(), exp[c].to_numpy()
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            assert np.array_equal(
+                np.nan_to_num(gv.astype(float), nan=-1.0),
+                np.nan_to_num(ev.astype(float), nan=-1.0)), c
+        else:
+            assert np.array_equal(gv.astype(str), ev.astype(str)), c
+
+
+# ---------------------------------------------------------------------------
+# sequence_match_users
+
+
+def test_seq_match_null_rows_bridge_the_pattern(tmp_path):
+    """A NULL-type (or null-user/ts) row between view and click leaves
+    the timeline BEFORE joining on BOTH engines, so view, NULL, click,
+    purchase still matches — the lag-over-filtered-view convention."""
+    _events(tmp_path, [
+        (1, 10, 1_000_000, "view"),
+        (2, 10, 2_000_000, None),
+        (3, 10, 3_000_000, "click"),
+        (4, None, 3_500_000, "purchase"),   # null user: other timeline
+        (5, 10, 4_000_000, "purchase"),
+        (6, 11, 1_000_000, "view"),
+        (7, 11, 2_000_000, "error"),        # breaks adjacency
+        (8, 11, 3_000_000, "click"),
+        (9, 11, 4_000_000, "purchase"),
+        (10, 12, None, "view"),             # null ts: invisible
+        (11, 12, 1_000_000, "click"),
+        (12, 12, 2_000_000, "purchase"),
+    ])
+    got = sequence_match_users(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "sequence_match_users")
+    _frames_equal(got, exp, ["user_id"])
+    assert set(got["user_id"]) == {10}
+    assert got["n_matches"].tolist() == [1]
+
+
+def test_seq_match_tie_order_and_nonoverlap_count(tmp_path):
+    """Same-ts ties order by event_id on both engines (the tie decides
+    whether the trigram is adjacent), and two back-to-back occurrences
+    count 2 (leftmost non-overlapping on both RE2 engines)."""
+    _events(tmp_path, [
+        # user 20: tie at ts=5 — event_id order makes view>click adjacent
+        (1, 20, 5, "view"), (2, 20, 5, "click"), (3, 20, 6, "purchase"),
+        # user 21: tie ordered the other way breaks it (click's
+        # event_id sorts BEFORE view's inside the ts=5 tie)
+        (4, 21, 5, "click"), (5, 21, 5, "view"), (6, 21, 6, "purchase"),
+        # user 22: two full occurrences
+        (7, 22, 1, "view"), (8, 22, 2, "click"), (9, 22, 3, "purchase"),
+        (10, 22, 4, "view"), (11, 22, 5, "click"),
+        (12, 22, 6, "purchase"),
+    ])
+    got = sequence_match_users(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "sequence_match_users")
+    _frames_equal(got, exp, ["user_id"])
+    d = dict(zip(got["user_id"], got["n_matches"]))
+    assert d == {20: 1, 22: 2}
+
+
+def test_seq_match_substring_type_prefix_parity(tmp_path):
+    """'preview>click>purchase' CONTAINS 'view>click>purchase' as a
+    substring — both engines match it (unanchored RE2 substring
+    semantics); pinned so the shared convention is explicit."""
+    _events(tmp_path, [
+        (1, 30, 1, "preview"), (2, 30, 2, "click"), (3, 30, 3, "purchase"),
+    ])
+    got = sequence_match_users(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "sequence_match_users")
+    _frames_equal(got, exp, ["user_id"])
+    assert set(got["user_id"]) == {30}
+
+
+def test_seq_match_empty_corpus_typed(tmp_path):
+    """Empty corpus answers a Dataset whose schema is the typed
+    (user_id, n_matches) contract (union-typed-empty-block pin)."""
+    _events(tmp_path, [])
+    out = sequence_match_users(str(tmp_path))
+    s = out.schema()
+    assert s.names == ["user_id", "n_matches"]
+    assert [str(t) for t in s.types] == ["int64", "int64"]
+    assert sum(b.num_rows
+               for b in out.iter_batches(batch_format="pyarrow")) == 0
+
+
+# ---------------------------------------------------------------------------
+# cumulative_parts_shipped
+
+
+def _lineitem(tmp_path, rows):
+    """rows: (partkey|None, shipdate_us|None)."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_shipdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }))
+
+
+DAY = 86_400_000_000
+
+
+def test_cumulative_parts_first_day_and_nulls(tmp_path):
+    """A part shipping on three days counts ONCE at its min day; null
+    partkey/shipdate rows are invisible; the cumulation is exact."""
+    _lineitem(tmp_path, [
+        (1, 2 * DAY), (1, 0), (1, 5 * DAY),     # part 1 first ships day 0
+        (2, 2 * DAY), (3, 2 * DAY),             # two new parts on day 2
+        (None, 0), (4, None),                    # invisible
+        (5, 9 * DAY),
+    ])
+    got = cumulative_parts_shipped(str(tmp_path))
+    exp = _oracle(tmp_path, "cumulative_parts_shipped")
+    _frames_equal(got, exp, ["day"])
+    assert got["new_parts"].tolist() == [1, 2, 1]
+    assert got["cum_parts"].tolist() == [1, 3, 4]
+
+
+def test_cumulative_parts_empty_typed(tmp_path):
+    _lineitem(tmp_path, [])
+    got = cumulative_parts_shipped(str(tmp_path))
+    assert list(got.columns) == ["day", "new_parts", "cum_parts"]
+    assert len(got) == 0
+    assert str(got["new_parts"].dtype) == "int64"
+    assert str(got["cum_parts"].dtype) == "int64"
+
+
+# ---------------------------------------------------------------------------
+# tokenset_dedup_documents
+
+
+def _docs(tmp_path, rows):
+    """rows: (doc_id|None, text|None)."""
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_tokenset_dedup_set_semantics_vs_duckdb(tmp_path):
+    """Order/multiplicity-insensitive key: 'a b b' == 'b a'; consecutive
+    spaces inject an EMPTY token into the set ('a  b' != 'a b'); ''
+    and ' ' both reduce to the {''} set and collide; null text rows
+    are excluded; UTF-8 tokens sort identically (byte order ==
+    codepoint order == DuckDB binary collation)."""
+    _docs(tmp_path, [
+        (1, "a b b"), (2, "b a"), (3, "a c"),       # 1+2 cluster; 3 alone
+        (4, "a  b"), (5, "b  a"),                    # {'', a, b} cluster
+        (6, ""), (7, " "),                           # {''} cluster
+        (8, None),                                   # invisible
+        (9, "日本 z"), (10, "z 日本 日本"),            # UTF-8 cluster
+    ])
+    got = tokenset_dedup_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "tokenset_dedup_documents")
+    _frames_equal(got, exp, ["keep_id"])
+    assert set(map(tuple, got.to_numpy())) == {(1, 2), (4, 2), (6, 2),
+                                               (9, 2)}
+
+
+def test_tokenset_dedup_null_and_duplicate_ids(tmp_path):
+    """SQL GROUP BY semantics on the id side: min(doc_id) skips NULLs
+    but count(*) includes them; an all-NULL-id cluster answers a
+    NULL keep_id (float64 NaN, the DuckDB .df() convention);
+    duplicate doc_ids are two rows, not one."""
+    _docs(tmp_path, [
+        (7, "x y"), (None, "y x"),          # keep_id 7, n 2
+        (None, "q"), (None, "q"),           # keep_id NULL, n 2
+        (3, "z w"), (3, "w z"),             # duplicate id: n 2
+    ])
+    got = tokenset_dedup_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "tokenset_dedup_documents")
+    _frames_equal(got, exp, ["n_docs", "keep_id"])
+    assert str(got["keep_id"].dtype) == "float64"
+    assert got["keep_id"].isna().sum() == 1
+
+
+def test_tokenset_dedup_empty_typed(tmp_path):
+    _docs(tmp_path, [])
+    got = tokenset_dedup_documents(str(tmp_path))
+    assert list(got.columns) == ["keep_id", "n_docs"]
+    assert len(got) == 0
+    assert str(got["keep_id"].dtype) == "int64"
+
+
+# ---------------------------------------------------------------------------
+# gini_daily_events
+
+
+def test_gini_uniform_and_single_day(tmp_path):
+    """A perfectly even series answers EXACTLY 0.0 (the two fp
+    divisions round the same true quotient (n+1)/n identically), and
+    a one-day grid answers 0.0 with n_days 1."""
+    _events(tmp_path, [
+        (1, 1, 0 * DAY, "even"), (2, 1, 1 * DAY, "even"),
+        (3, 1, 2 * DAY, "even"), (4, 1, 3 * DAY, "even"),
+    ])
+    got = gini_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "gini_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    assert got["gini"].tolist() == [0.0]
+    assert got["n_days"].tolist() == [4]
+
+    _events(tmp_path, [(1, 1, 5, "solo"), (2, 1, 6, "solo")])
+    got = gini_daily_events(str(tmp_path))
+    assert got["n_days"].tolist() == [1]
+    assert got["gini"].tolist() == [0.0]
+
+
+def test_gini_concentration_and_zero_fill(tmp_path):
+    """All volume on ONE day of an n-day grid answers the hand value
+    (n-1)/n; a type absent on grid days is zero-filled (dropping the
+    calendar gap would change the statistic) — exact vs DuckDB."""
+    rows = [(i, 1, 4 * DAY + i, "burst") for i in range(10)]
+    rows.append((100, 1, 0, "anchor"))          # stretches grid to 5 days
+    rows.append((101, 1, 4 * DAY, "anchor"))
+    _events(tmp_path, rows)
+    got = gini_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "gini_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    d = dict(zip(got["event_type"], got["gini"]))
+    # burst: 10 events on day 5 of a 5-day grid → G = (5-1)/5 = 0.8
+    assert d["burst"] == 0.8
+    # anchor: [1,0,0,0,1] sorted [0,0,0,1,1] → 2(4+5)/(5·2)−6/5 = 0.6
+    assert d["anchor"] == 0.6
+
+
+def test_gini_null_rows_invisible_and_empty(tmp_path):
+    _events(tmp_path, [
+        (1, 1, 0, "t"), (2, 1, None, "t"), (3, 1, DAY, None),
+    ])
+    got = gini_daily_events(str(tmp_path))
+    assert got["event_type"].tolist() == ["t"]
+    assert got["n_days"].tolist() == [1]
+
+    _events(tmp_path, [])
+    got = gini_daily_events(str(tmp_path))
+    assert list(got.columns) == ["event_type", "n_days", "gini"]
+    assert len(got) == 0
