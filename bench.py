@@ -210,6 +210,12 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.tokenset_dedup_documents(sf_dir)))
     timed("gini_daily_events",
           lambda: len(R.gini_daily_events(sf_dir)))
+    timed("rolling_distinct_users_events",
+          lambda: len(R.rolling_distinct_users_events(sf_dir)))
+    timed("benford_totalprice",
+          lambda: len(R.benford_totalprice(sf_dir)))
+    timed("transition_timing_events",
+          lambda: len(R.transition_timing_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

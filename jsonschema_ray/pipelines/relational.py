@@ -6566,6 +6566,223 @@ def tokenset_dedup_documents(sf_dir: str):
         .reset_index(drop=True)
 
 
+def rolling_distinct_users_events(sf_dir: str,
+                                  event_type: str = "error",
+                                  window: int = 3):
+    """Sliding-window COUNT DISTINCT (ORACLED): distinct users with an
+    ``event_type`` event in the trailing ``window`` days, for every day
+    of the dense corpus calendar — the active-user / incident-reach
+    series, and the classic hard distributed op (a per-day distinct
+    set can't be pre-aggregated). Solved EXACTLY without any per-day
+    set: a user active on day a covers window-days [a, a+W-1]; merge
+    each user's overlapping coverage intervals inside ONE user-hash
+    partition (vectorized run detection over sorted unique day
+    ordinals — gap > W breaks a run), emit ±1 sweep deltas at merged
+    run bounds, and the answer is the exact int64 prefix sum of the
+    calendar-bounded delta aggregate (touching runs may stay split:
+    their -1/+1 cancel at the same day; only OVERLAP must merge or a
+    user double-counts). Per-batch (user, day) dedup partials bound
+    the shuffle at one row per (user, day, batch); the grid hi bound
+    rides the deltas as per-partition max-raw-day marker rows
+    (delta 0). Null user/ts rows are invisible on both engines."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(b.column("user_id").is_valid(),
+                            b.column("ts").is_valid()),
+                    pc.equal(b.column("event_type"), event_type))
+        t = b.filter(pc.fill_null(m, False))
+        day = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        agg = pa.table({"user_id": t.column("user_id"), "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+        return agg
+
+    partials = ds.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[first], d[first]
+        if len(u) == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "delta": pa.array([], pa.int64()),
+                             "marker": pa.array([], pa.int64())})
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > window)
+        start_idx = np.flatnonzero(brk)
+        end_idx = np.append(start_idx[1:] - 1, len(u) - 1)
+        starts = d[start_idx]
+        ends = d[end_idx] + window  # exclusive: last active + W
+        # the grid hi bound (max RAW active day) rides a separate
+        # marker column — netting +1/-1 sums at the same day could
+        # otherwise hide a delta-0 marker row
+        days = np.concatenate([starts, ends,
+                               [int(d.max())]]).astype(np.int64)
+        dl = np.concatenate([np.ones(len(starts), np.int64),
+                             -np.ones(len(ends), np.int64),
+                             [0]])
+        mk = np.zeros(len(days), np.int64)
+        mk[-1] = 1
+        return pa.table({"day": pa.array(days), "delta": pa.array(dl),
+                         "marker": pa.array(mk)})
+
+    agg = grouped_agg(
+        partitioned_group_apply(partials, ["user_id"], deltas,
+                                batch_format="pyarrow"),
+        ["day"], {"delta": "delta", "marker": "marker"},
+        count_alias="_c").to_pandas()
+    out_empty = pd.DataFrame({"day": pd.Series([], dtype="object"),
+                              "n_users": pd.Series([], dtype="int64")})
+    if agg.empty or "day" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("day").reset_index(drop=True)
+    pos = agg[agg["delta"] > 0]["day"]
+    if pos.empty:
+        return out_empty
+    lo = int(pos.min())
+    hi = int(agg[agg["marker"] > 0]["day"].max())
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    dl = np.zeros(len(grid), dtype=np.int64)
+    inb = agg[(agg["day"] >= lo) & (agg["day"] <= hi)]
+    dl[inb["day"].to_numpy() - lo] = inb["delta"].to_numpy()
+    n = np.cumsum(dl)
+    day_str = (pd.to_datetime(grid, unit="D")
+               .strftime("%Y-%m-%d").to_numpy())
+    return pd.DataFrame({"day": day_str, "n_users": n})
+
+
+def benford_totalprice(sf_dir: str):
+    """Benford leading-digit screen (ORACLED): the distribution of the
+    first significant digit of o_totalprice vs Benford's law — the
+    classic fabricated-data / unit-mixing audit a data-quality
+    pipeline runs over monetary columns. digit =
+    floor(v / pow(10, floor(log10 v))): numpy and DuckDB agree
+    BIT-FOR-BIT for v >= 1 (property-checked incl. the nextafter
+    knife edges around powers of 10) but diverge one ulp on NEGATIVE
+    exponents (np.power(10., -10) is one ulp under DuckDB's 1e-10) —
+    so the domain is v >= 1 AND isfinite(v) on BOTH engines (a NaN
+    would also poison DuckDB's BIGINT cast: NaN > 0 is TRUE there).
+    Per-batch digit counts shuffle ≤ 10 rows each; shares divide
+    exact ints in the SQL operand order and round at 6dp."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = v[np.isfinite(v) & (v >= 1.0)]
+        e = np.floor(np.log10(v))
+        dig = np.floor(v / np.power(10.0, e)).astype(np.int64)
+        t = pa.table({"digit": pa.array(dig)})
+        return t.group_by(["digit"]).aggregate([([], "count_all")]) \
+            .rename_columns(["digit", "n_p"])
+
+    agg = grouped_agg(
+        ds.map_batches(digits, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["digit"], {"n_p": "n"}, count_alias="_c").to_pandas()
+    if agg.empty or "digit" not in agg.columns:
+        return pd.DataFrame({
+            "digit": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "obs_share": pd.Series([], dtype="float64"),
+            "benford_share": pd.Series([], dtype="float64")})
+    agg = agg.sort_values("digit").reset_index(drop=True)
+    n = agg["n"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    dig = agg["digit"].to_numpy().astype(np.float64)
+    # digit 0 is REACHABLE on knife edges (log10(nextafter(1000,0))
+    # rounds to exactly 3.0 → v/1000 < 1) and both engines agree on
+    # the digit — but 1.0/0 diverges (np inf vs DuckDB NaN), so
+    # benford_share is defined only on 1..9 (NULL elsewhere)
+    with np.errstate(divide="ignore"):
+        bs = duckdb_round(np.log10(1.0 + 1.0 / dig), 6)
+    bs = np.where((dig >= 1) & (dig <= 9), bs, np.nan)
+    return pd.DataFrame({
+        "digit": agg["digit"].astype("int64"),
+        "n": n,
+        "obs_share": duckdb_round(n.astype(np.float64) / total, 6),
+        "benford_share": bs})
+
+
+def transition_timing_events(sf_dir: str):
+    """Markov transition TIMING (ORACLED): for every adjacent
+    (prev_type → cur_type) pair in each user's (ts, event_id)-ordered
+    timeline, the pair count and average gap in seconds — the dwell
+    time that turns transitions_event_types' counts into a rate
+    model. Same ONE user-hash partition; per-partition partials group
+    (prev, cur) over EXACT int64 µs gap sums (timestamps subtract as
+    int64 views), the global aggregate is vocabulary²-bounded, and
+    the average divides exact ints in the SQL operand order
+    (CAST(sum AS DOUBLE) / n / 1e6) before the 6dp round. Null
+    user/ts/type rows leave the timeline BEFORE pairing (transitions
+    convention); same-ts ties order by event_id, a zero gap is
+    legitimate."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(b.column("user_id").is_valid(),
+                            b.column("ts").is_valid()),
+                    b.column("event_type").is_valid())
+        return b.filter(m)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", sort=False)
+        prev_t = g["event_type"].shift(1)
+        prev_ts = g["ts"].shift(1)
+        keep = prev_t.notna().to_numpy()
+        # explicit µs view — unit-safe whatever pandas datetime64
+        # resolution the roundtrip picked
+        cur_us = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        prev_us = prev_ts.to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        gap = (cur_us - prev_us)[keep]
+        sub = pa.table({
+            "prev_type": pa.array(prev_t.to_numpy()[keep], pa.string()),
+            "cur_type": pa.array(df["event_type"].to_numpy()[keep],
+                                 pa.string()),
+            "gap_us": pa.array(gap, pa.int64())})
+        agg = sub.group_by(["prev_type", "cur_type"]).aggregate(
+            [("gap_us", "sum"), ([], "count_all")])
+        return agg.rename_columns(["prev_type", "cur_type",
+                                   "gap_p", "n_p"])
+
+    agg = grouped_agg(
+        partitioned_group_apply(pruned, ["user_id"], pairs,
+                                batch_format="pyarrow"),
+        ["prev_type", "cur_type"], {"gap_p": "gap_us", "n_p": "n"},
+        count_alias="_c").to_pandas()
+    if agg.empty or "prev_type" not in agg.columns:
+        return pd.DataFrame({
+            "prev_type": pd.Series([], dtype="object"),
+            "cur_type": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "avg_gap_s": pd.Series([], dtype="float64")})
+    agg = agg.sort_values(["prev_type", "cur_type"]) \
+        .reset_index(drop=True)
+    n = agg["n"].to_numpy().astype(np.int64)
+    gap = agg["gap_us"].to_numpy().astype(np.float64)
+    return pd.DataFrame({
+        "prev_type": agg["prev_type"],
+        "cur_type": agg["cur_type"],
+        "n": n,
+        "avg_gap_s": duckdb_round(gap / n / 1000000.0, 6)})
+
+
 def gini_daily_events(sf_dir: str):
     """Daily-volume inequality (ORACLED): the Gini coefficient of each
     type's daily event counts over the SAME dense zero-filled corpus

@@ -127,6 +127,8 @@ def oracle_pairs():
     "pmi_bigrams_documents",
     "sequence_match_users", "cumulative_parts_shipped",
     "tokenset_dedup_documents", "gini_daily_events",
+    "rolling_distinct_users_events", "benford_totalprice",
+    "transition_timing_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

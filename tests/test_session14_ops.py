@@ -14,8 +14,9 @@ import pyarrow.parquet as pq
 import pytest
 
 from jsonschema_ray.pipelines.relational import (
-    cumulative_parts_shipped, gini_daily_events, sequence_match_users,
-    tokenset_dedup_documents)
+    benford_totalprice, cumulative_parts_shipped, gini_daily_events,
+    rolling_distinct_users_events, sequence_match_users,
+    tokenset_dedup_documents, transition_timing_events)
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -39,7 +40,7 @@ def _oracle(tmp_path, name):
 
     import __ray_entry__ as E
     con = duckdb.connect()
-    for t in ("events", "documents", "lineitem"):
+    for t in ("events", "documents", "lineitem", "orders"):
         p = os.path.join(str(tmp_path), f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS "
@@ -275,6 +276,143 @@ def test_gini_concentration_and_zero_fill(tmp_path):
     assert d["burst"] == 0.8
     # anchor: [1,0,0,0,1] sorted [0,0,0,1,1] → 2(4+5)/(5·2)−6/5 = 0.6
     assert d["anchor"] == 0.6
+
+
+# ---------------------------------------------------------------------------
+# rolling_distinct_users_events (default: event_type='error', window=3)
+
+
+def test_rolling_distinct_overlap_never_double_counts(tmp_path):
+    """A user active on CONSECUTIVE days has overlapping coverage
+    intervals — they must merge or the sweep counts the user twice;
+    pinned exactly 1 across the whole grid, equal to DuckDB."""
+    _events(tmp_path, [
+        (1, 1, 0 * DAY, "error"), (2, 1, 1 * DAY, "error"),
+        (3, 1, 2 * DAY, "error"), (4, 1, 4 * DAY, "error"),
+    ])
+    got = rolling_distinct_users_events(str(tmp_path))
+    exp = _oracle(tmp_path, "rolling_distinct_users_events")
+    _frames_equal(got, exp, ["day"])
+    assert got["n_users"].tolist() == [1, 1, 1, 1, 1]
+
+
+def test_rolling_distinct_gap_and_marker_on_start_day(tmp_path):
+    """A gap > window produces real zero days mid-grid; the grid hi
+    bound survives even when the max active day carries a +1 run
+    start (the netting trap: a delta-0 marker summed with a +1 at the
+    same day would vanish — markers ride their own column)."""
+    _events(tmp_path, [
+        (1, 1, 0 * DAY, "error"),
+        # user 2's run STARTS on the global max active day
+        (2, 2, 7 * DAY, "error"),
+        (3, 3, 0 * DAY, "view"),       # other type invisible
+        (4, None, 3 * DAY, "error"),   # null user invisible
+        (5, 4, None, "error"),         # null ts invisible
+    ])
+    got = rolling_distinct_users_events(str(tmp_path))
+    exp = _oracle(tmp_path, "rolling_distinct_users_events")
+    _frames_equal(got, exp, ["day"])
+    # grid 1970-01-01..01-08: user1 covers d0-2, user2 covers d7
+    assert got["n_users"].tolist() == [1, 1, 1, 0, 0, 0, 0, 1]
+
+
+def test_rolling_distinct_no_matching_type_empty(tmp_path):
+    _events(tmp_path, [(1, 1, 0, "view"), (2, 1, DAY, "click")])
+    got = rolling_distinct_users_events(str(tmp_path))
+    assert list(got.columns) == ["day", "n_users"]
+    assert len(got) == 0
+
+
+def test_rolling_distinct_custom_window_merges_touching(tmp_path):
+    """Active days 0 and 3 at window 3 TOUCH (coverage [0,2] and
+    [3,5]) — merging them into [0,5] is identical to keeping them
+    split (the -1/+1 cancel); the grid clips at the max ACTIVE day
+    (day 3, like the SQL generate_series hi bound), so the answer is
+    a dense 1s run of 4."""
+    _events(tmp_path, [(1, 9, 0, "error"), (2, 9, 3 * DAY, "error")])
+    got = rolling_distinct_users_events(str(tmp_path))
+    exp = _oracle(tmp_path, "rolling_distinct_users_events")
+    _frames_equal(got, exp, ["day"])
+    assert got["n_users"].tolist() == [1, 1, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# benford_totalprice
+
+
+def _orders(tmp_path, prices):
+    _write(tmp_path, "orders", pa.table({
+        "o_totalprice": pa.array(prices, pa.float64())}))
+
+
+def test_benford_domain_and_knife_edges(tmp_path):
+    """v < 1, NULL, NaN and ±inf are excluded on BOTH engines (NaN > 0
+    is TRUE in DuckDB and would poison its BIGINT cast; negative
+    exponents diverge one ulp between np.power and DuckDB pow);
+    nextafter knife edges around powers of ten agree bit-for-bit."""
+    below = float(np.nextafter(1000.0, 0))
+    above = float(np.nextafter(1000.0, np.inf))
+    _orders(tmp_path, [0.5, 0.999999, None, float("nan"), float("inf"),
+                       float("-inf"), 1.0, 9.999999, below, above,
+                       123456.78, 2.0])
+    got = benford_totalprice(str(tmp_path))
+    exp = _oracle(tmp_path, "benford_totalprice")
+    _frames_equal(got, exp, ["digit"])
+    d = dict(zip(got["digit"], got["n"]))
+    # nextafter(1000, 0): log10 rounds to EXACTLY 3.0 so v/1000 < 1 —
+    # digit 0 is reachable and BOTH engines agree on it; its
+    # benford_share is NULL (1/0 diverges np-inf vs DuckDB-NaN)
+    assert d == {0: 1, 1: 3, 2: 1, 9: 1}        # 6 rows qualify
+    assert math.isnan(
+        got[got["digit"] == 0]["benford_share"].iloc[0])
+
+
+def test_benford_shares_exact_and_empty(tmp_path):
+    _orders(tmp_path, [1.0, 1.0, 2.0, 9.0])
+    got = benford_totalprice(str(tmp_path))
+    exp = _oracle(tmp_path, "benford_totalprice")
+    _frames_equal(got, exp, ["digit"])
+    assert got[got["digit"] == 1]["obs_share"].iloc[0] == 0.5
+    assert got[got["digit"] == 1]["benford_share"].iloc[0] == \
+        round(math.log10(2), 6)
+
+    _orders(tmp_path, [0.5, None])
+    got = benford_totalprice(str(tmp_path))
+    assert list(got.columns) == ["digit", "n", "obs_share",
+                                 "benford_share"]
+    assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# transition_timing_events
+
+
+def test_transition_timing_bridging_ties_and_half_us_round(tmp_path):
+    """Null-type rows bridge the pairing; a same-ts tie gives a zero
+    gap; two (a→b) pairs with gaps 0 and 1 µs average to 5e-7 s,
+    which DuckDB rounds AWAY to 1e-06 while Python's round would
+    answer 0.0 — the duckdb_round branch, exact vs the oracle."""
+    _events(tmp_path, [
+        (1, 1, 100, "a"), (2, 1, 200, None), (3, 1, 100 + 0, "b"),
+        # ^ null bridges: pair (a,b) ordered by (ts,event_id):
+        #   a@100(id1), b@100(id3) — tie, gap 0
+        (4, 2, 500, "a"), (5, 2, 501, "b"),   # gap 1 µs
+        (6, 3, 0, "solo"),                    # single event: no pair
+    ])
+    got = transition_timing_events(str(tmp_path))
+    exp = _oracle(tmp_path, "transition_timing_events")
+    _frames_equal(got, exp, ["prev_type", "cur_type"])
+    row = got[(got["prev_type"] == "a") & (got["cur_type"] == "b")]
+    assert row["n"].tolist() == [2]
+    assert row["avg_gap_s"].tolist() == [1e-06]
+
+
+def test_transition_timing_empty_typed(tmp_path):
+    _events(tmp_path, [])
+    got = transition_timing_events(str(tmp_path))
+    assert list(got.columns) == ["prev_type", "cur_type", "n",
+                                 "avg_gap_s"]
+    assert len(got) == 0
 
 
 def test_gini_null_rows_invisible_and_empty(tmp_path):
