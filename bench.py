@@ -216,6 +216,12 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.benford_totalprice(sf_dir)))
     timed("transition_timing_events",
           lambda: len(R.transition_timing_events(sf_dir)))
+    timed("longest_streak_events",
+          lambda: R.longest_streak_events(sf_dir).count())
+    timed("customers_not_in_error_users",
+          lambda: len(R.customers_not_in_error_users(sf_dir)))
+    timed("nation_share_of_region",
+          lambda: len(R.nation_share_of_region(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

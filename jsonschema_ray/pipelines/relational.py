@@ -49,13 +49,15 @@ def _partial_group_agg(batch: pa.Table, *, keys: tuple,
 
 
 def _broadcast_lookup_batch(b: pa.Table, *, ref, key: str,
-                            out: str) -> pa.Table:
+                            out: str, val_type=None) -> pa.Table:
     """Broadcast hash join: the small-side dict is fetched from the object
     store once per worker process (ray.put on the driver, worker_cached
     here), converted ONCE to parallel Arrow key/value arrays, then each
     batch is joined with vectorized index_in + take — no per-row Python
     dict probe in the hot path. Unmatched keys map to null (take with a
-    null index), matching dict.get semantics."""
+    null index), matching dict.get semantics. ``val_type`` defaults to
+    string (the dimension-name callers); pass e.g. pa.int64() for a
+    key→key lookup."""
     import ray
 
     from ..util import worker_cached
@@ -63,7 +65,8 @@ def _broadcast_lookup_batch(b: pa.Table, *, ref, key: str,
     def build():
         d = ray.get(ref)
         return (pa.array(list(d.keys())),
-                pa.array(list(d.values()), type=pa.string()))
+                pa.array(list(d.values()),
+                         type=val_type or pa.string()))
 
     ks, vs = worker_cached(("lookup_arrays", ref.hex()), build)
     idx = pc.index_in(_combine_col(b[key]), value_set=ks)
@@ -6564,6 +6567,189 @@ def tokenset_dedup_documents(sf_dir: str):
         "n_docs": out["n_docs"].astype("int64")})
     return res.sort_values("keep_id", na_position="last") \
         .reset_index(drop=True)
+
+
+def longest_streak_events(sf_dir: str):
+    """Longest same-type streak per user (ORACLED): the max-length run
+    of consecutive equal event_types in each user's (ts, event_id)-
+    ordered timeline, with the run's type and start ts — the
+    engagement/obsession statistic the SCD2 run machinery aggregates
+    instead of historizes. ONE user-hash partition: change-point run
+    detection (scd2 convention: null rows leave BEFORE detection, so
+    A, NULL, A stays one run), run lengths via bincount over run ids,
+    and the winner is the FIRST longest run in timeline order (ties
+    on length resolve to the earliest run — the SQL tiebreak is the
+    per-user run ordinal grp, which both engines derive from the same
+    (ts, event_id) order). Output is user-bounded, streamed; a typed
+    empty block pins the schema."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(b.column("user_id").is_valid(),
+                            b.column("ts").is_valid()),
+                    b.column("event_type").is_valid())
+        return b.filter(m)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+    _schema = pa.schema([("user_id", pa.int64()),
+                         ("streak", pa.int64()),
+                         ("event_type", pa.string()),
+                         ("start_ts", pa.timestamp("us"))])
+
+    def best(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        if len(u) == 0:
+            return _schema.empty_table()
+        change = np.ones(len(u), dtype=bool)
+        change[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        rid = np.cumsum(change) - 1
+        run_user = u[change]
+        run_type = et[change]
+        run_start = ts[change]
+        run_len = np.bincount(rid).astype(np.int64)
+        # first-longest per user: runs are already timeline-ordered,
+        # so a stable sort on (user, -len) keeps the earliest winner
+        order = np.lexsort((np.arange(len(run_len)), -run_len,
+                            run_user))
+        ru, rl = run_user[order], run_len[order]
+        firsts = np.ones(len(ru), dtype=bool)
+        firsts[1:] = ru[1:] != ru[:-1]
+        sel = order[firsts]
+        return pa.Table.from_pandas(
+            pd.DataFrame({"user_id": run_user[sel],
+                          "streak": run_len[sel],
+                          "event_type": run_type[sel],
+                          "start_ts": run_start[sel]}),
+            schema=_schema, preserve_index=False)
+
+    out = partitioned_group_apply(pruned, ["user_id"], best,
+                                  batch_format="pyarrow")
+    return _rd().from_arrow(_schema.empty_table()).union(out)
+
+
+def customers_not_in_error_users(sf_dir: str):
+    """NOT IN anti-join with full three-valued semantics (ORACLED):
+    customers whose key is NOT IN the user_id set of 'error' events —
+    the SQL trap the plain anti-join gets wrong twice: (a) ONE NULL
+    in the probe set makes the whole result EMPTY (x NOT IN S is
+    never TRUE when S holds a NULL), (b) an EMPTY probe set answers
+    every row, INCLUDING null-key rows (vacuous truth), while a
+    non-empty probe EXCLUDES null-key rows (NULL NOT IN S is NULL).
+    The probe distinct-set is users-bounded (per-batch group_by
+    partials with Arrow's null group carrying the null flag); the
+    anti join is the size-chosen equi_join with null-key rows dropped
+    first (Acero's anti keeps unmatched nulls — the opposite of SQL
+    NOT IN)."""
+    from ..joins import equi_join
+    probe = _read(sf_dir, "events",
+                  columns=["user_id", "event_type"])
+
+    def dedup(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.fill_null(
+            pc.equal(b.column("event_type"), "error"), False))
+        return pa.table({"user_id": t.column("user_id")}) \
+            .group_by(["user_id"]).aggregate([])
+
+    # users-bounded distinct Dataset — NEVER gathered to the driver;
+    # the null flag and emptiness are tiny aggregates over it and the
+    # anti join consumes it as the size-chosen equi_join right side
+    keys = probe.map_batches(dedup, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=131072) \
+        .groupby("user_id").count().materialize()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    empty = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                          "c_name": pd.Series([], dtype="object")})
+    if keys.count() == 0:
+        # empty probe: vacuously TRUE for every row, nulls included
+        out = cust.to_pandas()
+        if out.empty and "c_custkey" not in out.columns:
+            return empty
+        return out.sort_values("c_custkey", na_position="last") \
+            .reset_index(drop=True)
+
+    def nullrows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b.column("user_id"))) \
+            .select(["user_id"])
+
+    if keys.map_batches(nullrows, batch_format="pyarrow",
+                        zero_copy_batch=True).count() > 0:
+        return empty  # a NULL in the probe: nothing is NOT IN
+
+    def dropnull(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("c_custkey").is_valid())
+
+    nonnull = cust.map_batches(dropnull, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = equi_join(nonnull, keys.select_columns(["user_id"]),
+                    on="c_custkey", right_on="user_id",
+                    how="anti").to_pandas()
+    if out.empty and "c_custkey" not in out.columns:
+        return empty
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def nation_share_of_region(sf_dir: str):
+    """Ratio-to-parent rollup (ORACLED): each nation's supplier-side
+    revenue share WITHIN its region — the two-level percent-of-parent
+    read every mix dashboard computes. The lineitem scan attaches
+    nationkey from ONE broadcast supplier dict (ray.put once, Arrow
+    index_in per batch — never a shuffle), partials combine per batch,
+    the global aggregate is nation-bounded, and the region share
+    divides the unrounded sums driver-side (region grouping is
+    vocabulary-sized). revenue rounds at 2dp and share at 6dp via
+    duckdb_round AFTER the division — float-sum ulp drift across
+    summation orders is absorbed by the rounding grain (the q5/q7
+    revenue convention)."""
+    import functools
+
+    import ray
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    out_empty = pd.DataFrame({
+        "region": pd.Series([], dtype="object"),
+        "nation": pd.Series([], dtype="object"),
+        "revenue": pd.Series([], dtype="float64"),
+        "share": pd.Series([], dtype="float64")})
+    if "s_suppkey" not in supp.columns:
+        return out_empty  # empty supplier: the inner join is empty
+    ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def amount(b: pa.Table) -> pa.Table:
+        t = _broadcast_lookup_batch(b, ref=ref, key="l_suppkey",
+                                    out="n_nationkey",
+                                    val_type=pa.int64())
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"n_nationkey": t["n_nationkey"], "r": r})
+
+    per_nation = grouped_agg(
+        li.map_batches(amount, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["n_nationkey"], {"r": "r"}, count_alias="_c").to_pandas()
+    if per_nation.empty or "n_nationkey" not in per_nation.columns:
+        return out_empty
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name",
+                         "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    m = per_nation.merge(nat, on="n_nationkey") \
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    tot = m.groupby("n_regionkey")["r"].transform("sum")
+    out = pd.DataFrame({
+        "region": m["r_name"],
+        "nation": m["n_name"],
+        "revenue": duckdb_round(m["r"].to_numpy(), 2),
+        "share": duckdb_round(m["r"].to_numpy() / tot.to_numpy(), 6)})
+    return out.sort_values(["region", "nation"]).reset_index(drop=True)
 
 
 def rolling_distinct_users_events(sf_dir: str,

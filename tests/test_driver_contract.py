@@ -128,7 +128,8 @@ def oracle_pairs():
     "sequence_match_users", "cumulative_parts_shipped",
     "tokenset_dedup_documents", "gini_daily_events",
     "rolling_distinct_users_events", "benford_totalprice",
-    "transition_timing_events",
+    "transition_timing_events", "longest_streak_events",
+    "customers_not_in_error_users", "nation_share_of_region",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -14,7 +14,9 @@ import pyarrow.parquet as pq
 import pytest
 
 from jsonschema_ray.pipelines.relational import (
-    benford_totalprice, cumulative_parts_shipped, gini_daily_events,
+    benford_totalprice, cumulative_parts_shipped,
+    customers_not_in_error_users, gini_daily_events,
+    longest_streak_events, nation_share_of_region,
     rolling_distinct_users_events, sequence_match_users,
     tokenset_dedup_documents, transition_timing_events)
 
@@ -40,7 +42,8 @@ def _oracle(tmp_path, name):
 
     import __ray_entry__ as E
     con = duckdb.connect()
-    for t in ("events", "documents", "lineitem", "orders"):
+    for t in ("events", "documents", "lineitem", "orders",
+              "customer", "supplier", "nation", "region"):
         p = os.path.join(str(tmp_path), f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS "
@@ -234,6 +237,144 @@ def test_tokenset_dedup_empty_typed(tmp_path):
     assert list(got.columns) == ["keep_id", "n_docs"]
     assert len(got) == 0
     assert str(got["keep_id"].dtype) == "int64"
+
+
+# ---------------------------------------------------------------------------
+# longest_streak_events
+
+
+def test_longest_streak_ties_nulls_and_tie_order(tmp_path):
+    """Equal-length runs resolve to the EARLIEST run (SQL tiebreak =
+    per-user run ordinal); a null-type row does NOT break a run
+    (A, NULL, A is one run of 2 — lag over the filtered view); a
+    run boundary inside a same-ts tie is ordered by event_id."""
+    _events(tmp_path, [
+        # user 1: AA then BB — tie, A (earlier) wins
+        (1, 1, 10, "b_type"), (2, 1, 20, "b_type"),
+        (3, 1, 30, "a_type"), (4, 1, 40, "a_type"),
+        # user 2: A NULL A → streak 2 of 'x'
+        (5, 2, 10, "x"), (6, 2, 20, None), (7, 2, 30, "x"),
+        # user 3: tie at ts=10: id 8 (p) then id 9 (q) then q@20 →
+        # q-run length 2 wins
+        (9, 3, 10, "q"), (8, 3, 10, "p"), (10, 3, 20, "q"),
+        # user 4: single event
+        (11, 4, 10, "solo"),
+    ])
+    got = longest_streak_events(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "longest_streak_events")
+    _frames_equal(got, exp, ["user_id"])
+    d = {r.user_id: (r.streak, r.event_type)
+         for r in got.itertuples(index=False)}
+    assert d == {1: (2, "b_type"), 2: (2, "x"), 3: (2, "q"),
+                 4: (1, "solo")}
+
+
+def test_longest_streak_empty_typed(tmp_path):
+    _events(tmp_path, [])
+    out = longest_streak_events(str(tmp_path))
+    s = out.schema()
+    assert s.names == ["user_id", "streak", "event_type", "start_ts"]
+    assert [str(t) for t in s.types] == \
+        ["int64", "int64", "string", "timestamp[us]"]
+    assert sum(b.num_rows
+               for b in out.iter_batches(batch_format="pyarrow")) == 0
+
+
+# ---------------------------------------------------------------------------
+# customers_not_in_error_users
+
+
+def _customers(tmp_path, rows):
+    """rows: (custkey|None, name)."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_name": pa.array([r[1] for r in rows], pa.string())}))
+
+
+def test_not_in_null_probe_empties_everything(tmp_path):
+    """ONE NULL user_id among the 'error' events makes the whole
+    NOT IN result EMPTY — x NOT IN S is never TRUE when S holds a
+    NULL (the three-valued trap a plain anti-join misses)."""
+    _customers(tmp_path, [(1, "a"), (2, "b"), (99, "c")])
+    _events(tmp_path, [(1, 1, 0, "error"), (2, None, 0, "error")])
+    got = customers_not_in_error_users(str(tmp_path))
+    exp = _oracle(tmp_path, "customers_not_in_error_users")
+    assert len(got) == 0 and len(exp) == 0
+    assert list(got.columns) == ["c_custkey", "c_name"]
+
+
+def test_not_in_empty_probe_keeps_null_keys(tmp_path):
+    """An EMPTY probe set answers EVERY customer — including the
+    null-key row (vacuous truth); with a non-empty probe the
+    null-key row is EXCLUDED (NULL NOT IN S is NULL)."""
+    _customers(tmp_path, [(1, "a"), (None, "nullkey"), (5, "e")])
+    _events(tmp_path, [(1, 1, 0, "view")])      # no 'error' rows
+    got = customers_not_in_error_users(str(tmp_path))
+    exp = _oracle(tmp_path, "customers_not_in_error_users")
+    _frames_equal(got, exp, ["c_name"])
+    assert len(got) == 3
+
+    _events(tmp_path, [(1, 1, 0, "error")])     # probe {1}, no nulls
+    got = customers_not_in_error_users(str(tmp_path))
+    exp = _oracle(tmp_path, "customers_not_in_error_users")
+    _frames_equal(got, exp, ["c_name"])
+    assert set(got["c_name"]) == {"e"}
+
+
+# ---------------------------------------------------------------------------
+# nation_share_of_region
+
+
+def test_nation_share_orphans_nulls_single_nation(tmp_path):
+    """An orphan suppkey (no supplier row) drops like the SQL inner
+    join; a null amount (null discount) leaves the sum like SQL sum;
+    a single-nation region answers share EXACTLY 1.0."""
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_nationkey": pa.array([10, 20, 30], pa.int64())}))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([10, 20, 30], pa.int64()),
+        "n_name": pa.array(["NAT_A", "NAT_B", "NAT_C"], pa.string()),
+        "n_regionkey": pa.array([100, 100, 200], pa.int64())}))
+    _write(tmp_path, "region", pa.table({
+        "r_regionkey": pa.array([100, 200], pa.int64()),
+        "r_name": pa.array(["R1", "R2"], pa.string())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_suppkey": pa.array([1, 2, 3, 99, 1], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 300.0, 50.0, 777.0, 100.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.5, 0.0, None],
+                               pa.float64())}))
+    got = nation_share_of_region(str(tmp_path))
+    exp = _oracle(tmp_path, "nation_share_of_region")
+    _frames_equal(got, exp, ["region", "nation"])
+    d = {r.nation: (r.revenue, r.share)
+         for r in got.itertuples(index=False)}
+    # A: 100 (its null-discount row drops from the sum), B: 300 —
+    # region R1 splits 0.25/0.75; C alone in R2 answers EXACTLY 1.0
+    assert d == {"NAT_A": (100.0, 0.25), "NAT_B": (300.0, 0.75),
+                 "NAT_C": (25.0, 1.0)}
+
+
+def test_nation_share_empty_lineitem_typed(tmp_path):
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_nationkey": pa.array([], pa.int64())}))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([], pa.int64()),
+        "n_name": pa.array([], pa.string()),
+        "n_regionkey": pa.array([], pa.int64())}))
+    _write(tmp_path, "region", pa.table({
+        "r_regionkey": pa.array([], pa.int64()),
+        "r_name": pa.array([], pa.string())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_suppkey": pa.array([], pa.int64()),
+        "l_extendedprice": pa.array([], pa.float64()),
+        "l_discount": pa.array([], pa.float64())}))
+    got = nation_share_of_region(str(tmp_path))
+    assert list(got.columns) == ["region", "nation", "revenue",
+                                 "share"]
+    assert len(got) == 0
 
 
 # ---------------------------------------------------------------------------
