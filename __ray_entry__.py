@@ -44,8 +44,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-lens block 1: round-3 additions, never driver-checked
         "chunk_documents": R.chunk_documents,             # oracled
-        "pii_documents": R.pii_documents,                 # oracled
-        "repetition_documents": R.repetition_documents,   # oracled
         # --- driver-lens block 2: NEW this round (oracled)
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
@@ -111,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_not_in_error_users":
             R.customers_not_in_error_users,               # oracled
         "nation_share_of_region": R.nation_share_of_region,  # oracled
+        "timed_conversions_events":
+            R.timed_conversions_events,                   # oracled
+        "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -134,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": R.events_value_zscore,     # oracled
         "quality_filter_documents": R.quality_filter_documents,  # oracled
         "nation_balance_outer": R.nation_balance_outer,   # oracled
+        # (evicted for the session-14 wave-4 block: regex families
+        # with crafted pins and 3-SF local green history)
+        "pii_documents": R.pii_documents,                 # oracled
+        "repetition_documents": R.repetition_documents,   # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # (evicted for the session-13 block: neardup_components /
@@ -513,6 +518,28 @@ SELECT r_name AS region, n_name AS nation,
          AS share
 FROM rev JOIN region ON r_regionkey = n_regionkey
 ORDER BY region, nation""",
+        "timed_conversions_events": """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL)
+SELECT p.user_id, count(*) AS n_conversions
+FROM e p WHERE p.event_type = 'purchase' AND EXISTS (
+  SELECT 1 FROM e v
+  WHERE v.user_id = p.user_id AND v.event_type = 'view'
+    AND v.ts >= p.ts - INTERVAL 24 HOURS
+    AND (v.ts, v.event_id) < (p.ts, p.event_id))
+GROUP BY p.user_id ORDER BY p.user_id""",
+        "basket_brand_pairs": """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_orderkey IS NOT NULL)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       count(*) AS n_orders
+FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+WHERE a.p_brand < b.p_brand
+GROUP BY brand_a, brand_b ORDER BY brand_a, brand_b""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

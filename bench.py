@@ -222,6 +222,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.customers_not_in_error_users(sf_dir)))
     timed("nation_share_of_region",
           lambda: len(R.nation_share_of_region(sf_dir)))
+    timed("timed_conversions_events",
+          lambda: R.timed_conversions_events(sf_dir).count())
+    timed("basket_brand_pairs",
+          lambda: len(R.basket_brand_pairs(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

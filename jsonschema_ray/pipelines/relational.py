@@ -6569,6 +6569,137 @@ def tokenset_dedup_documents(sf_dir: str):
         .reset_index(drop=True)
 
 
+def timed_conversions_events(sf_dir: str, window_h: int = 24):
+    """Attribution-window conversions (ORACLED): per user, the number
+    of 'purchase' events with at least one 'view' in the trailing
+    ``window_h`` hours — the timed sequential join behind every
+    attribution / conversion-rate metric (funnel_events answers
+    unordered first-touch; this enforces the time constraint). ONE
+    user-hash partition: sort (user, ts, event_id), per-user running
+    cummax of view timestamps in EXACT int64 µs (a float64 µs would
+    lose ~128 µs of precision at 2024 epochs — enough to flip an
+    inclusive window compare), conversion = purchase with
+    last_view >= ts - W. 'At least one view in window' reduces to
+    the LAST view because ts is the sort key: the latest earlier
+    view is the max. The SQL EXISTS counts views strictly earlier in
+    (ts, event_id) order — the cummax sees exactly those rows (a
+    same-ts view with a smaller event_id counts; a later one does
+    not). Null rows leave before the scan; output is user-bounded
+    (only converting users), typed-empty-pinned."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(b.column("user_id").is_valid(),
+                            b.column("ts").is_valid()),
+                    b.column("event_type").is_valid())
+        return b.filter(m)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+    w_us = int(window_h) * 3_600_000_000
+    sentinel = np.iinfo(np.int64).min
+
+    def conv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        vts = np.where(et == "view", us, sentinel)
+        lv = pd.Series(vts).groupby(u, sort=False).cummax() \
+            .to_numpy()
+        hit = (et == "purchase") & (lv != sentinel) & (lv >= us - w_us)
+        agg = pd.Series(hit.astype(np.int64)).groupby(u, sort=True) \
+            .sum()
+        agg = agg[agg > 0]
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy().astype(np.int64),
+            "n_conversions": agg.to_numpy().astype(np.int64)})
+
+    out = partitioned_group_apply(pruned, ["user_id"], conv)
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_conversions": pa.array([], pa.int64())})
+    return _rd().from_pandas(empty.to_pandas()).union(out)
+
+
+def basket_brand_pairs(sf_dir: str):
+    """Market-basket affinity (ORACLED): for every unordered brand
+    pair, the number of orders containing BOTH brands — the
+    co-purchase lift table. Brand attaches from ONE broadcast part
+    dict (brand_quantity convention); per-batch (order, brand)
+    distinct partials prune the shuffle; ONE orderkey-hash partition
+    rebuilds each order's sorted distinct brand set and expands the
+    k·(k−1)/2 within-order pairs via ranges_concat (k is basket-
+    bounded, ≤ order width); the global pair aggregate is
+    vocabulary²-bounded. Null orderkeys and orphan partkeys (null
+    brand) drop exactly like the SQL inner join."""
+    import functools
+
+    import ray
+
+    from ..util import partitioned_group_apply, ranges_concat
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    out_empty = pd.DataFrame({
+        "brand_a": pd.Series([], dtype="object"),
+        "brand_b": pd.Series([], dtype="object"),
+        "n_orders": pd.Series([], dtype="int64")})
+    if "p_partkey" not in part.columns:
+        return out_empty
+    ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def ob_partial(b: pa.Table) -> pa.Table:
+        t = _broadcast_lookup_batch(b, ref=ref, key="l_partkey",
+                                    out="p_brand")
+        t = t.filter(pc.and_(t.column("l_orderkey").is_valid(),
+                             t.column("p_brand").is_valid()))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "p_brand": t.column("p_brand")}) \
+            .group_by(["l_orderkey", "p_brand"]).aggregate([])
+
+    partials = li.map_batches(ob_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        br = t.column("p_brand").to_numpy(zero_copy_only=False)
+        order = np.lexsort((br, o))
+        o, br = o[order], br[order]
+        first = np.ones(len(o), dtype=bool)
+        first[1:] = (o[1:] != o[:-1]) | (br[1:] != br[:-1])
+        o, br = o[first], br[first]
+        seg = np.ones(len(o), dtype=bool)
+        seg[1:] = o[1:] != o[:-1]
+        seg_start = np.flatnonzero(seg)
+        seg_end = np.append(seg_start[1:], len(o))
+        ends = np.repeat(seg_end,
+                         seg_end - seg_start)  # row's segment end
+        idx = np.arange(len(o))
+        lens = ends - idx - 1
+        left = np.repeat(idx, lens)
+        right = ranges_concat(idx + 1, lens)
+        tb = pa.table({"brand_a": pa.array(br[left], pa.string()),
+                       "brand_b": pa.array(br[right], pa.string())})
+        agg = tb.group_by(["brand_a", "brand_b"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["brand_a", "brand_b", "n_p"])
+
+    agg = grouped_agg(
+        partitioned_group_apply(partials, ["l_orderkey"], pairs,
+                                batch_format="pyarrow"),
+        ["brand_a", "brand_b"], {"n_p": "n_orders"},
+        count_alias="_c").to_pandas()
+    if agg.empty or "brand_a" not in agg.columns:
+        return out_empty
+    out = agg[["brand_a", "brand_b", "n_orders"]] \
+        .sort_values(["brand_a", "brand_b"]).reset_index(drop=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
 def longest_streak_events(sf_dir: str):
     """Longest same-type streak per user (ORACLED): the max-length run
     of consecutive equal event_types in each user's (ts, event_id)-

@@ -130,6 +130,7 @@ def oracle_pairs():
     "rolling_distinct_users_events", "benford_totalprice",
     "transition_timing_events", "longest_streak_events",
     "customers_not_in_error_users", "nation_share_of_region",
+    "timed_conversions_events", "basket_brand_pairs",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -14,11 +14,12 @@ import pyarrow.parquet as pq
 import pytest
 
 from jsonschema_ray.pipelines.relational import (
-    benford_totalprice, cumulative_parts_shipped,
+    basket_brand_pairs, benford_totalprice, cumulative_parts_shipped,
     customers_not_in_error_users, gini_daily_events,
     longest_streak_events, nation_share_of_region,
     rolling_distinct_users_events, sequence_match_users,
-    tokenset_dedup_documents, transition_timing_events)
+    timed_conversions_events, tokenset_dedup_documents,
+    transition_timing_events)
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -43,7 +44,7 @@ def _oracle(tmp_path, name):
     import __ray_entry__ as E
     con = duckdb.connect()
     for t in ("events", "documents", "lineitem", "orders",
-              "customer", "supplier", "nation", "region"):
+              "customer", "supplier", "nation", "region", "part"):
         p = os.path.join(str(tmp_path), f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS "
@@ -374,6 +375,85 @@ def test_nation_share_empty_lineitem_typed(tmp_path):
     got = nation_share_of_region(str(tmp_path))
     assert list(got.columns) == ["region", "nation", "revenue",
                                  "share"]
+    assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# timed_conversions_events (window 24h)
+
+
+H = 3_600_000_000
+
+
+def test_timed_conversions_window_edges_and_tie_order(tmp_path):
+    """The window is INCLUSIVE at exactly 24h; a view one µs older
+    misses; a same-ts view counts only with a SMALLER event_id (the
+    (ts,event_id) tuple compare); views after the purchase never
+    count; each purchase with ≥1 in-window view counts once."""
+    _events(tmp_path, [
+        # user 1: view exactly 24h before → converts
+        (1, 1, 0, "view"), (2, 1, 24 * H, "purchase"),
+        # user 2: view 24h+1µs before → misses
+        (3, 2, 0, "view"), (4, 2, 24 * H + 1, "purchase"),
+        # user 3: same-ts tie — view id 5 < purchase id 6 → converts
+        (5, 3, 10, "view"), (6, 3, 10, "purchase"),
+        # user 4: same-ts tie the other way → misses
+        (8, 4, 10, "view"), (7, 4, 10, "purchase"),
+        # user 5: view only AFTER the purchase → misses
+        (9, 5, 20, "purchase"), (10, 5, 30, "view"),
+        # user 6: two purchases off one view, second out of window
+        (11, 6, 0, "view"), (12, 6, 1 * H, "purchase"),
+        (13, 6, 30 * H, "purchase"),
+    ])
+    got = timed_conversions_events(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "timed_conversions_events")
+    _frames_equal(got, exp, ["user_id"])
+    d = dict(zip(got["user_id"], got["n_conversions"]))
+    assert d == {1: 1, 3: 1, 6: 1}
+
+
+def test_timed_conversions_empty_typed(tmp_path):
+    _events(tmp_path, [])
+    out = timed_conversions_events(str(tmp_path))
+    s = out.schema()
+    assert s.names == ["user_id", "n_conversions"]
+    assert [str(t) for t in s.types] == ["int64", "int64"]
+    assert sum(b.num_rows
+               for b in out.iter_batches(batch_format="pyarrow")) == 0
+
+
+# ---------------------------------------------------------------------------
+# basket_brand_pairs
+
+
+def test_basket_pairs_dedup_orphans_nulls(tmp_path):
+    """Two lineitems of the SAME brand in one order contribute no
+    (x,x) pair and no double count; orphan partkeys and null
+    orderkeys drop like the SQL inner join / WHERE; pairs are
+    unordered (brand_a < brand_b)."""
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["B1", "B2", "B3"], pa.string())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([10, 10, 10, 10, 20, 20, None, 30],
+                               pa.int64()),
+        "l_partkey": pa.array([1, 1, 2, 99, 2, 3, 1, 3], pa.int64())}))
+    got = basket_brand_pairs(str(tmp_path))
+    exp = _oracle(tmp_path, "basket_brand_pairs")
+    _frames_equal(got, exp, ["brand_a", "brand_b"])
+    assert set(map(tuple, got.to_numpy())) == {("B1", "B2", 1),
+                                               ("B2", "B3", 1)}
+
+
+def test_basket_pairs_empty_typed(tmp_path):
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "p_brand": pa.array([], pa.string())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([], pa.int64()),
+        "l_partkey": pa.array([], pa.int64())}))
+    got = basket_brand_pairs(str(tmp_path))
+    assert list(got.columns) == ["brand_a", "brand_b", "n_orders"]
     assert len(got) == 0
 
 
