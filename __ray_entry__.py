@@ -43,13 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from jsonschema_ray.pipelines import relational as R
     return {
         # --- driver-lens block 1: round-3 additions, never driver-checked
-        "chunk_documents": R.chunk_documents,             # oracled
         # --- driver-lens block 2: NEW this round (oracled)
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
-        "label_centroids_embeddings":
-            R.label_centroids_embeddings,                # oracled
         "embedding_covariance": R.embedding_covariance,  # oracled
         "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
@@ -112,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timed_conversions_events":
             R.timed_conversions_events,                   # oracled
         "basket_brand_pairs": R.basket_brand_pairs,       # oracled
+        "skyline_orders": R.skyline_orders,               # oracled
+        "price_gaps_orders": R.price_gaps_orders,         # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -139,6 +138,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with crafted pins and 3-SF local green history)
         "pii_documents": R.pii_documents,                 # oracled
         "repetition_documents": R.repetition_documents,   # oracled
+        # (evicted for the session-14 wave-5 block: chunk carries the
+        # codepoint-slice pins; centroids the list-column moment pins)
+        "chunk_documents": R.chunk_documents,             # oracled
+        "label_centroids_embeddings":
+            R.label_centroids_embeddings,                 # oracled
         "top_event_type_by_user": R.top_event_type_by_user,  # oracled
         "q7_volume_shipping": R.q7_volume_shipping,       # oracled
         # (evicted for the session-13 block: neardup_components /
@@ -540,6 +544,29 @@ SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
 FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
 WHERE a.p_brand < b.p_brand
 GROUP BY brand_a, brand_b ORDER BY brand_a, brand_b""",
+        "skyline_orders": """
+WITH dmax AS (
+  SELECT o_orderdate AS d, max(o_totalprice) AS mp FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    AND isfinite(o_totalprice)
+  GROUP BY o_orderdate),
+thr AS (
+  SELECT d, max(mp) OVER (ORDER BY d DESC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+  FROM dmax)
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM orders o JOIN thr ON o.o_orderdate = thr.d
+WHERE o.o_totalprice IS NOT NULL AND isfinite(o.o_totalprice)
+  AND (thr.t IS NULL OR o.o_totalprice >= thr.t)
+ORDER BY o.o_orderdate""",
+        "price_gaps_orders": """
+WITH d AS (
+  SELECT DISTINCT o_totalprice AS v FROM orders
+  WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)),
+s AS (SELECT v, lag(v) OVER (ORDER BY v) AS prev FROM d)
+SELECT prev AS lo, v AS hi, v - prev AS gap
+FROM s WHERE prev IS NOT NULL
+ORDER BY gap DESC, lo LIMIT 10""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

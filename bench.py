@@ -226,6 +226,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.timed_conversions_events(sf_dir).count())
     timed("basket_brand_pairs",
           lambda: len(R.basket_brand_pairs(sf_dir)))
+    timed("skyline_orders",
+          lambda: R.skyline_orders(sf_dir).count())
+    timed("price_gaps_orders",
+          lambda: len(R.price_gaps_orders(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -6569,6 +6569,155 @@ def tokenset_dedup_documents(sf_dir: str):
         .reset_index(drop=True)
 
 
+def skyline_orders(sf_dir: str):
+    """Pareto-front / skyline filter (ORACLED): orders not STRICTLY
+    dominated on (o_orderdate, o_totalprice) — no other order has
+    BOTH a later date AND a higher price; the maximal-frontier
+    selection a curation pipeline runs to keep 'newest or best'.
+    NO sort and NO pairwise join: the per-date max price is a
+    calendar-bounded grouped aggregate, the strictly-later-date
+    threshold is a driver-side suffix max over it, and one broadcast
+    filter pass keeps rows with price > threshold (rows on the
+    latest date have no threshold and always survive). Strict double
+    compares are deterministic — same-date rows never dominate each
+    other, equal prices across dates don't dominate. Null
+    date/price rows are invisible on both engines; non-finite
+    prices are excluded (NaN compares diverge across engines)."""
+    import functools
+
+    import ray
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def dmax(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        keep = np.isfinite(v) & (d != np.iinfo(np.int64).min) \
+            & b.column("o_orderdate").is_valid().to_numpy(
+                zero_copy_only=False)
+        t = pa.table({"d": pa.array(d[keep]),
+                      "mp": pa.array(v[keep])})
+        return t.group_by(["d"]).aggregate([("mp", "max")]) \
+            .rename_columns(["d", "mp"])
+
+    from ray.data.aggregate import Max
+    per_day = ds.map_batches(dmax, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=131072) \
+        .groupby("d").aggregate(Max("mp", alias_name="mp")).to_pandas()
+    _schema = pa.schema([("o_orderkey", pa.int64()),
+                         ("o_orderdate", pa.timestamp("us")),
+                         ("o_totalprice", pa.float64())])
+    if per_day.empty or "d" not in per_day.columns:
+        return _rd().from_arrow(_schema.empty_table())
+    per_day = per_day.sort_values("d", ascending=False) \
+        .reset_index(drop=True)
+    # threshold for date d = max price over STRICTLY later dates
+    mp = per_day["mp"].to_numpy()
+    thr = np.concatenate([[-np.inf],
+                          np.maximum.accumulate(mp)[:-1]])
+    thr_ref = ray.put((per_day["d"].to_numpy().astype(np.int64),
+                       thr))
+
+    def keep_skyline(b: pa.Table, *, ref) -> pa.Table:
+        from ..util import worker_cached
+        days, t_arr = worker_cached(("skyline_thr", ref.hex()),
+                                    lambda: ray.get(ref))
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        du = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        valid = b.column("o_orderdate").is_valid().to_numpy(
+            zero_copy_only=False) & np.isfinite(v)
+        # vectorized threshold lookup (every valid date IS in the
+        # per-day aggregate; invalid rows are masked out anyway)
+        idx = pc.index_in(pa.array(du), value_set=pa.array(days)) \
+            .to_numpy(zero_copy_only=False)
+        miss = pd.isna(idx)
+        t = np.where(miss, np.inf,
+                     t_arr[np.where(miss, 0, idx).astype(np.int64)])
+        # strict dominance: dominated iff a LATER date has a STRICTLY
+        # higher price → keep price >= threshold (an equal price on a
+        # later date does not dominate)
+        return b.filter(pa.array(valid & (v >= t)))
+
+    out = ds.map_batches(
+        functools.partial(keep_skyline, ref=thr_ref),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=131072)
+    return _rd().from_arrow(_schema.empty_table()).union(out)
+
+
+def price_gaps_orders(sf_dir: str, k: int = 10):
+    """Top-k gaps between consecutive DISTINCT o_totalprice values
+    (ORACLED) — the sorted-neighbor statistic behind outlier-band and
+    discretization audits, and the distributed-sort-with-boundary
+    pattern: distinct values (grouped-agg histogram discipline) →
+    Ray range sort → per-batch INTERNAL neighbor gaps reduced to a
+    local top-k, plus one (first, last) edge row per batch — the
+    driver stitches the batches-bounded edges into the cross-block
+    gaps and merges (sorted batches are disjoint ordered ranges, so
+    edge rows sorted by value pair up exactly). Gaps subtract the
+    same doubles on both engines (no rounding); ties order
+    (gap DESC, lo ASC) over unique lo values. Non-finite and null
+    prices are excluded on both engines."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def finite(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"o_totalprice": pa.array(v[np.isfinite(v)])})
+
+    distinct = grouped_agg(
+        ds.map_batches(finite, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["o_totalprice"], {}, count_alias="_c") \
+        .select_columns(["o_totalprice"]).sort("o_totalprice")
+
+    def local(b: pa.Table) -> pa.Table:
+        v = np.sort(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "gap": pa.array([], pa.float64()),
+                             "edge": pa.array([], pa.int8())})
+        gaps = v[1:] - v[:-1]
+        # (-gap, lo)-lexsorted so the k kept ties are the SMALLEST-lo
+        # ones — exactly the ties the global (gap DESC, lo ASC)
+        # merge would pick; a dropped tie therefore can't belong to
+        # the global top-k
+        top = np.lexsort((v[:-1], -gaps))[:k]
+        lo = np.concatenate([v[top], [v[0], v[-1]]])
+        hi = np.concatenate([v[top + 1], [v[0], v[-1]]])
+        gap = np.concatenate([gaps[top], [np.nan, np.nan]])
+        edge = np.concatenate([np.zeros(len(top), np.int8),
+                               [1, 2]]).astype(np.int8)
+        return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                         "gap": pa.array(gap),
+                         "edge": pa.array(edge)})
+
+    parts = distinct.map_batches(local, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    out_empty = pd.DataFrame({"lo": pd.Series([], dtype="float64"),
+                              "hi": pd.Series([], dtype="float64"),
+                              "gap": pd.Series([], dtype="float64")})
+    if parts.empty or "edge" not in parts.columns:
+        return out_empty
+    internal = parts[parts["edge"] == 0][["lo", "hi", "gap"]]
+    firsts = parts[parts["edge"] == 1].sort_values("lo")["lo"] \
+        .to_numpy()
+    lasts = parts[parts["edge"] == 2].sort_values("lo")["lo"] \
+        .to_numpy()
+    cross = pd.DataFrame({"lo": lasts[:-1], "hi": firsts[1:]})
+    cross["gap"] = cross["hi"] - cross["lo"]
+    allg = pd.concat([internal, cross], ignore_index=True)
+    allg = allg.sort_values(["gap", "lo"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return allg.reset_index(drop=True)
+
+
 def timed_conversions_events(sf_dir: str, window_h: int = 24):
     """Attribution-window conversions (ORACLED): per user, the number
     of 'purchase' events with at least one 'view' in the trailing

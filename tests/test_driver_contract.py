@@ -131,6 +131,7 @@ def oracle_pairs():
     "transition_timing_events", "longest_streak_events",
     "customers_not_in_error_users", "nation_share_of_region",
     "timed_conversions_events", "basket_brand_pairs",
+    "skyline_orders", "price_gaps_orders",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -458,6 +458,70 @@ def test_basket_pairs_empty_typed(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# skyline_orders / price_gaps_orders
+
+
+def _orders_sky(tmp_path, rows):
+    """rows: (orderkey, date_us|None, price|None)."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64())}))
+
+
+def test_skyline_strict_dominance_and_ties(tmp_path):
+    """Strict dominance only: an EQUAL price on a later date does NOT
+    dominate; same-date rows never dominate each other; null
+    date/price and NaN rows are invisible; the latest date always
+    survives."""
+    from jsonschema_ray.pipelines.relational import skyline_orders
+    _orders_sky(tmp_path, [
+        (1, 0, 5.0), (2, 0, 3.0),          # day 0: 5 survives, 3 dies
+        (3, DAY, 4.0), (4, DAY, 4.0),      # day 1: equal-price twins
+        (5, 2 * DAY, 4.0),                 # day 2: 4 — does NOT kill day-1 4s
+        (6, None, 99.0), (7, 3 * DAY, None),
+        (8, 3 * DAY, float("nan")),
+        (9, 3 * DAY, 1.0),                 # latest date, low price: survives
+    ])
+    got = skyline_orders(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "skyline_orders")
+    _frames_equal(got, exp, ["o_orderkey"])
+    assert set(got["o_orderkey"]) == {1, 3, 4, 5, 9}
+
+
+def test_skyline_empty_typed(tmp_path):
+    from jsonschema_ray.pipelines.relational import skyline_orders
+    _orders_sky(tmp_path, [])
+    out = skyline_orders(str(tmp_path))
+    s = out.schema()
+    assert s.names == ["o_orderkey", "o_orderdate", "o_totalprice"]
+    assert sum(b.num_rows
+               for b in out.iter_batches(batch_format="pyarrow")) == 0
+
+
+def test_price_gaps_ties_duplicates_and_small(tmp_path):
+    """Duplicate prices collapse before neighboring; equal gaps order
+    by lo ascending at the k cut; fewer than k gaps answers them
+    all; a single distinct value answers empty."""
+    from jsonschema_ray.pipelines.relational import price_gaps_orders
+    _orders_sky(tmp_path, [(i, 0, float(v)) for i, v in
+                           enumerate([10, 10, 20, 30, 40, 40, 50])])
+    got = price_gaps_orders(str(tmp_path), k=3)
+    exp = _oracle(tmp_path, "price_gaps_orders").head(3) \
+        .reset_index(drop=True)
+    _frames_equal(got, exp, ["lo"])
+    # all gaps equal 10 → the 3 smallest lo win: (10,20),(20,30),(30,40)
+    assert got["lo"].tolist() == [10.0, 20.0, 30.0]
+    assert got["gap"].tolist() == [10.0, 10.0, 10.0]
+
+    _orders_sky(tmp_path, [(1, 0, 7.0), (2, 0, 7.0)])
+    got = price_gaps_orders(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["lo", "hi", "gap"]
+
+
+# ---------------------------------------------------------------------------
 # gini_daily_events
 
 
