@@ -47,14 +47,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
-        "embedding_covariance": R.embedding_covariance,  # oracled
         "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
         "funnel_events": R.funnel_events,                # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
-        "robust_stats_events": R.robust_stats_events,     # oracled
         "user_entropy_events": R.user_entropy_events,     # oracled
         "transitions_event_types": R.transitions_event_types,  # oracled
         "jaccard_event_types": R.jaccard_event_types,     # oracled
@@ -111,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         "skyline_orders": R.skyline_orders,               # oracled
         "price_gaps_orders": R.price_gaps_orders,         # oracled
+        "locf_resample_events": R.locf_resample_events,   # oracled
+        "value_bands_events": R.value_bands_events,       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with crafted pins and 3-SF local green history)
         "pii_documents": R.pii_documents,                 # oracled
         "repetition_documents": R.repetition_documents,   # oracled
+        # (evicted for the session-14 wave-6 block: the moment
+        # machinery carries its own property net + crafted pins)
+        "embedding_covariance": R.embedding_covariance,   # oracled
+        "robust_stats_events": R.robust_stats_events,     # oracled
         # (evicted for the session-14 wave-5 block: chunk carries the
         # codepoint-slice pins; centroids the list-column moment pins)
         "chunk_documents": R.chunk_documents,             # oracled
@@ -567,6 +571,27 @@ s AS (SELECT v, lag(v) OVER (ORDER BY v) AS prev FROM d)
 SELECT prev AS lo, v AS hi, v - prev AS gap
 FROM s WHERE prev IS NOT NULL
 ORDER BY gap DESC, lo LIMIT 10""",
+        "locf_resample_events": """
+WITH e AS (SELECT event_type, ts, event_id, value FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                  date_trunc('hour', max(ts)) AS hi FROM e),
+grid AS (SELECT t.event_type, g.h
+         FROM (SELECT DISTINCT event_type FROM e) t
+         CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+             INTERVAL 1 HOUR)) AS h FROM bounds) g)
+SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+       (SELECT e.value FROM e
+        WHERE e.event_type = g.event_type AND e.ts <= g.h
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS value
+FROM grid g ORDER BY g.event_type, hour""",
+        "value_bands_events": """
+WITH bands(band, lo, hi) AS (VALUES
+  ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1000.0)),
+e AS (SELECT value FROM events WHERE value IS NOT NULL)
+SELECT b.band, count(e.value) AS n
+FROM bands b LEFT JOIN e ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band ORDER BY b.band""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -230,6 +230,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.skyline_orders(sf_dir).count())
     timed("price_gaps_orders",
           lambda: len(R.price_gaps_orders(sf_dir)))
+    timed("locf_resample_events",
+          lambda: len(R.locf_resample_events(sf_dir)))
+    timed("value_bands_events",
+          lambda: len(R.value_bands_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -6569,6 +6569,120 @@ def tokenset_dedup_documents(sf_dir: str):
         .reset_index(drop=True)
 
 
+def locf_resample_events(sf_dir: str):
+    """Hourly LOCF resample per type (ORACLED): the value of the
+    LATEST event at-or-before every hour of the dense corpus grid —
+    the last-observation-carried-forward time-series regularization a
+    monitoring/feature pipeline runs before windowed models. The
+    latest-at-or-before-H event is the latest among per-HOUR winners
+    with hour <= H, so the corpus never sorts: per-batch argmax per
+    (type, hour) by (ts, event_id) — the candles two-level argmax —
+    then ONE (type, hour)-hash partition re-argmax, then the
+    calendar×vocabulary-bounded driver LOCF over the dense grid.
+    A winner whose value is NULL CARRIES (SQL picks the latest row's
+    value, null or not — a ffill would wrongly skip it); hours before
+    a type's first event answer NULL; ties at the same ts resolve to
+    the larger event_id on both engines (ORDER BY ts DESC, id DESC
+    LIMIT 1). Null type/ts rows are invisible."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("event_type").is_valid(),
+                             b.column("ts").is_valid()))
+        df = t.to_pandas()
+        # admissible-from hour: an event at H:30 is visible only to
+        # grid points >= H+1; an event exactly at H:00 to H itself —
+        # i.e. the CEILING hour (floor-bucketing would leak events
+        # later in the hour into grid point H)
+        df["hour"] = df["ts"].dt.ceil("h")
+        df = df.sort_values(["event_type", "hour", "ts", "event_id"])
+        win = df.groupby(["event_type", "hour"], sort=False).tail(1)
+        return pa.Table.from_pandas(
+            win[["event_type", "hour", "ts", "event_id", "value"]],
+            preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+
+    def re_argmax(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["event_type", "hour", "ts", "event_id"])
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "hour"], sort=False).tail(1),
+            preserve_index=False)
+
+    winners = partitioned_group_apply(
+        partials, ["event_type", "hour"], re_argmax,
+        batch_format="pyarrow").to_pandas()
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "hour": pd.Series([], dtype="object"),
+        "value": pd.Series([], dtype="float64")})
+    if winners.empty or "hour" not in winners.columns:
+        return out_empty
+    # SQL grid bounds are FLOORED event extremes (a bucket's winner
+    # shares the raw min/max event's hour, so floors agree)
+    lo = winners["ts"].min().floor("h")
+    hi = winners["ts"].max().floor("h")
+    hours = pd.date_range(lo, hi, freq="h").to_numpy() \
+        .astype("datetime64[us]")
+    rows = []
+    for et, g in winners.groupby("event_type", sort=True):
+        g = g.sort_values(["hour", "ts", "event_id"])
+        ghr = g["hour"].to_numpy().astype("datetime64[us]")
+        vals = g["value"].to_numpy()
+        idx = np.searchsorted(ghr, hours, side="right") - 1
+        v = np.where(idx >= 0, vals[np.maximum(idx, 0)], np.nan)
+        rows.append(pd.DataFrame({
+            "event_type": et,
+            "hour": pd.DatetimeIndex(hours)
+            .strftime("%Y-%m-%d %H:00"),
+            "value": v}))
+    return pd.concat(rows, ignore_index=True)
+
+
+BANDS = (("low", 0.0, 10.0), ("mid", 10.0, 100.0),
+         ("high", 100.0, 1000.0))
+
+
+def value_bands_events(sf_dir: str):
+    """Broadcast interval-band join (ORACLED): count events whose
+    value lands in each [lo, hi) band of a small interval dimension
+    table — the bin-lookup join a bucketing/pricing stage runs; the
+    intervals are contiguous so ONE vectorized searchsorted per batch
+    replaces the SQL theta-join (the broadcast analog of a range
+    join; bands ship in the closure, nothing shuffles but ≤ |bands|
+    partial rows per batch). Zero-match bands still answer n = 0
+    (the SQL LEFT JOIN count(e.value) shape); NaN matches no band on
+    both engines; null values are excluded."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    bounds = np.array([b[1] for b in BANDS] + [BANDS[-1][2]])
+    names = [b[0] for b in BANDS]
+
+    def bin_batch(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = v[np.isfinite(v) & (v >= bounds[0]) & (v < bounds[-1])]
+        idx = np.searchsorted(bounds, v, side="right") - 1
+        cnt = np.bincount(idx, minlength=len(names)).astype(np.int64)
+        return pa.table({"band": pa.array(names),
+                         "n_p": pa.array(cnt)})
+
+    agg = grouped_agg(
+        ds.map_batches(bin_batch, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["band"], {"n_p": "n"}, count_alias="_c").to_pandas()
+    base = pd.DataFrame({"band": names})
+    if agg.empty or "band" not in agg.columns:
+        base["n"] = np.int64(0)
+    else:
+        base = base.merge(agg[["band", "n"]], on="band", how="left")
+        base["n"] = base["n"].fillna(0).astype("int64")
+    return base.sort_values("band").reset_index(drop=True)
+
+
 def skyline_orders(sf_dir: str):
     """Pareto-front / skyline filter (ORACLED): orders not STRICTLY
     dominated on (o_orderdate, o_totalprice) — no other order has

@@ -132,6 +132,7 @@ def oracle_pairs():
     "customers_not_in_error_users", "nation_share_of_region",
     "timed_conversions_events", "basket_brand_pairs",
     "skyline_orders", "price_gaps_orders",
+    "locf_resample_events", "value_bands_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

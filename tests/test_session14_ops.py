@@ -522,6 +522,84 @@ def test_price_gaps_ties_duplicates_and_small(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# locf_resample_events / value_bands_events
+
+
+def _events_v(tmp_path, rows):
+    """rows: (event_id, event_type|None, ts_us|None, value|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    }))
+
+
+def test_locf_ceiling_admissibility_and_null_carry(tmp_path):
+    """An event at H:30 is INVISIBLE at grid point H:00 (the
+    floor-bucketing leak), visible from H+1; an event exactly at H:00
+    is visible at H; a NULL value CARRIES (ffill would wrongly skip
+    it); ties at the same ts resolve to the larger event_id; hours
+    before a type's first event answer NULL on the SHARED global
+    grid."""
+    from jsonschema_ray.pipelines.relational import locf_resample_events
+    _events_v(tmp_path, [
+        # type a: event at 0:30 (invisible at 0:00), NULL value at
+        # 2:00 exactly (visible at 2:00, carries NULL onward)
+        (1, "a", 30 * 60 * 1_000_000, 7.0),
+        (2, "a", 2 * H, None),
+        # type b: stretches the global grid 0:00..3:00; tie at 1:00
+        (3, "b", 0, 1.0),
+        (4, "b", 1 * H, 2.0), (5, "b", 1 * H, 3.0),
+        (6, "b", 3 * H, 4.0),
+        (7, None, 0, 9.0), (8, "c", None, 9.0),   # invisible rows
+    ])
+    got = locf_resample_events(str(tmp_path))
+    exp = _oracle(tmp_path, "locf_resample_events")
+    _frames_equal(got, exp, ["event_type", "hour"])
+    a = got[got["event_type"] == "a"]["value"].tolist()
+    b = got[got["event_type"] == "b"]["value"].tolist()
+    assert np.isnan(a[0]) and a[1] == 7.0 and np.isnan(a[2]) \
+        and np.isnan(a[3])
+    assert b == [1.0, 3.0, 3.0, 4.0]   # tie at 1:00 → id 5 wins
+
+
+def test_locf_empty_typed(tmp_path):
+    from jsonschema_ray.pipelines.relational import locf_resample_events
+    _events_v(tmp_path, [])
+    got = locf_resample_events(str(tmp_path))
+    assert list(got.columns) == ["event_type", "hour", "value"]
+    assert len(got) == 0
+
+
+def test_value_bands_boundaries_and_zero_band(tmp_path):
+    """[lo, hi) inclusivity at every boundary; out-of-range, negative,
+    NaN and NULL values match no band; a zero-match band still
+    answers n = 0 (the LEFT JOIN count shape)."""
+    from jsonschema_ray.pipelines.relational import value_bands_events
+    _events_v(tmp_path, [
+        (1, "t", 0, 0.0),       # low  (inclusive lo)
+        (2, "t", 0, 9.999999),  # low
+        (3, "t", 0, 10.0),      # mid  (boundary goes up)
+        (4, "t", 0, 999.9999),  # high
+        (5, "t", 0, 1000.0),    # out (exclusive hi)
+        (6, "t", 0, -0.5),      # out
+        (7, "t", 0, float("nan")),
+        (8, "t", 0, None),
+    ])
+    got = value_bands_events(str(tmp_path))
+    exp = _oracle(tmp_path, "value_bands_events")
+    _frames_equal(got, exp, ["band"])
+    d = dict(zip(got["band"], got["n"]))
+    assert d == {"low": 2, "mid": 1, "high": 1}
+
+    _events_v(tmp_path, [(1, "t", 0, None)])
+    got = value_bands_events(str(tmp_path))
+    assert dict(zip(got["band"], got["n"])) == \
+        {"low": 0, "mid": 0, "high": 0}
+
+
+# ---------------------------------------------------------------------------
 # gini_daily_events
 
 
