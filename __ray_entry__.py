@@ -49,12 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
         "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
-        "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
         "funnel_events": R.funnel_events,                # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
         "user_entropy_events": R.user_entropy_events,     # oracled
-        "transitions_event_types": R.transitions_event_types,  # oracled
         "jaccard_event_types": R.jaccard_event_types,     # oracled
         "prefix_dup_documents": R.prefix_dup_documents,   # oracled
         "events_next_order": R.events_next_order,         # oracled
@@ -111,6 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_gaps_orders": R.price_gaps_orders,         # oracled
         "locf_resample_events": R.locf_resample_events,   # oracled
         "value_bands_events": R.value_bands_events,       # oracled
+        "contingency_lift_events":
+            R.contingency_lift_events,                    # oracled
+        "trending_terms_documents":
+            R.trending_terms_documents,                   # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -142,6 +144,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery carries its own property net + crafted pins)
         "embedding_covariance": R.embedding_covariance,   # oracled
         "robust_stats_events": R.robust_stats_events,     # oracled
+        # (evicted for the session-14 wave-7 block: grouped-corr and
+        # Markov-transition machinery both pin-netted; timing variant
+        # now inside the window)
+        "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
+        "transitions_event_types": R.transitions_event_types,  # oracled
         # (evicted for the session-14 wave-5 block: chunk carries the
         # codepoint-slice pins; centroids the list-column moment pins)
         "chunk_documents": R.chunk_documents,             # oracled
@@ -592,6 +599,31 @@ e AS (SELECT value FROM events WHERE value IS NOT NULL)
 SELECT b.band, count(e.value) AS n
 FROM bands b LEFT JOIN e ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.band ORDER BY b.band""",
+        "contingency_lift_events": """
+WITH e AS (SELECT event_type, extract(hour FROM ts) AS hr FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+cell AS (SELECT event_type, hr, count(*) AS n FROM e
+         GROUP BY event_type, hr),
+mx AS (SELECT event_type, sum(n) AS nx FROM cell GROUP BY event_type),
+mh AS (SELECT hr, sum(n) AS nh FROM cell GROUP BY hr),
+tot AS (SELECT sum(n) AS nn FROM cell)
+SELECT c.event_type, CAST(c.hr AS BIGINT) AS hr, c.n,
+       round((CAST(c.n AS DOUBLE) * nn) / (nx * nh), 6) AS lift
+FROM cell c JOIN mx USING (event_type) JOIN mh USING (hr), tot
+ORDER BY c.event_type, hr""",
+        "trending_terms_documents": """
+WITH t AS (
+  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+c AS (SELECT w, sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+      FROM t WHERE w <> '' GROUP BY w),
+tot AS (SELECT sum(n0) AS t0, sum(n1) AS t1 FROM c)
+SELECT w, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       round(((n1 + 1.0) / (t1 + 1.0))
+             / ((n0 + 1.0) / (t0 + 1.0)), 6) AS lift
+FROM c, tot WHERE n0 + n1 >= 20
+ORDER BY lift DESC, w LIMIT 25""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -234,6 +234,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.locf_resample_events(sf_dir)))
     timed("value_bands_events",
           lambda: len(R.value_bands_events(sf_dir)))
+    timed("contingency_lift_events",
+          lambda: len(R.contingency_lift_events(sf_dir)))
+    timed("trending_terms_documents",
+          lambda: len(R.trending_terms_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -6569,6 +6569,128 @@ def tokenset_dedup_documents(sf_dir: str):
         .reset_index(drop=True)
 
 
+def contingency_lift_events(sf_dir: str):
+    """Association-strength contingency cells (ORACLED): observed /
+    expected lift for every (event_type, hour) cell — the pointwise
+    dependence table behind mutual-information feature screens,
+    computed CELL-WISE so no cross-cell float summation order exists:
+    lift = (n_xy · N) / (n_x · n_y), all four moments exact int64
+    from ONE combiner groupby (cells ≤ vocabulary × 24 reach the
+    driver; margins derive from the same aggregate), evaluated in the
+    exact SQL operand order and rounded at 6dp. Null type/ts rows are
+    invisible on both engines."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("event_type").is_valid(),
+                             b.column("ts").is_valid()))
+        return pa.table({"event_type": t.column("event_type"),
+                         "hr": pc.hour(t.column("ts"))})
+
+    cells = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["event_type", "hr"], {}, count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "hr": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+        "lift": pd.Series([], dtype="float64")})
+    if cells.empty or "event_type" not in cells.columns:
+        return out_empty
+    cells["n"] = cells["n"].astype("int64")
+    nx = cells.groupby("event_type")["n"].transform("sum").to_numpy()
+    nh = cells.groupby("hr")["n"].transform("sum").to_numpy()
+    nn = int(cells["n"].sum())
+    n = cells["n"].to_numpy()
+    lift = duckdb_round((n.astype(np.float64) * nn) / (nx * nh), 6)
+    out = pd.DataFrame({"event_type": cells["event_type"],
+                        "hr": cells["hr"].astype("int64"),
+                        "n": n, "lift": lift})
+    return out.sort_values(["event_type", "hr"]).reset_index(drop=True)
+
+
+def trending_terms_documents(sf_dir: str, min_n: int = 20,
+                             k: int = 25):
+    """Trending-term drift (ORACLED): add-one-smoothed frequency lift
+    of each term between the doc_id%2 == 0 and == 1 corpus halves —
+    the term-level drift screen run between two crawl snapshots
+    (here the deterministic parity split stands in for the time
+    axis). Per-batch token explode with (term, half) count partials
+    (term strings shuffle so DuckDB can reproduce them — the
+    term_frequency convention; the 100-TB variant ships hash64(term));
+    the vocabulary-sized aggregate MATERIALIZES once (it feeds the
+    totals, the min-support filter AND the ranking — the pmi
+    convention), lift evaluates in the exact SQL operand order with
+    duckdb_round BEFORE ranking, selection is the per-block partial
+    top-k. doc_id %% 2 is TRUNC-mod on both engines (a negative id
+    answers -1: counted in NEITHER half, exactly like the SQL CASE);
+    empty tokens are excluded; null text/doc_id rows are invisible."""
+    from ..util import partial_topk
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("text").is_valid(),
+                             b.column("doc_id").is_valid()))
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        half = np.repeat(np.fmod(ids, 2), lens)  # trunc-mod like SQL %
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        w = flat.filter(pa.array(keep))
+        half = half[keep]
+        tb = pa.table({
+            "w": w,
+            "c0": pa.array((half == 0).astype(np.int64)),
+            "c1": pa.array((half == 1).astype(np.int64))})
+        agg = tb.group_by(["w"]).aggregate([("c0", "sum"),
+                                            ("c1", "sum")])
+        return agg.rename_columns(["w", "c0", "c1"])
+
+    agg = grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["w"], {"c0": "n0", "c1": "n1"},
+        count_alias="_c").materialize()
+    out_empty = pd.DataFrame({
+        "w": pd.Series([], dtype="object"),
+        "n0": pd.Series([], dtype="int64"),
+        "n1": pd.Series([], dtype="int64"),
+        "lift": pd.Series([], dtype="float64")})
+    tot = agg.select_columns(["n0", "n1"]) \
+        .map_batches(lambda b: pa.table(
+            {"t0": pa.array([int(pc.sum(b["n0"]).as_py() or 0)]),
+             "t1": pa.array([int(pc.sum(b["n1"]).as_py() or 0)])}),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if tot.empty:
+        return out_empty
+    t0, t1 = int(tot["t0"].sum()), int(tot["t1"].sum())
+
+    def lift_batch(b: pa.Table) -> pa.Table:
+        n0 = b.column("n0").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n1 = b.column("n1").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = (n0 + n1) >= min_n
+        n0, n1 = n0[keep], n1[keep]
+        w = b.column("w").filter(pa.array(keep))
+        lift = duckdb_round(((n1 + 1.0) / (t1 + 1.0))
+                            / ((n0 + 1.0) / (t0 + 1.0)), 6)
+        return pa.table({"w": w, "n0": pa.array(n0),
+                         "n1": pa.array(n1), "lift": pa.array(lift)})
+
+    ranked = agg.map_batches(lift_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    top = partial_topk(ranked, ["lift", "w"], [False, True], k)
+    if top is None:
+        return out_empty
+    top["n0"] = top["n0"].astype("int64")
+    top["n1"] = top["n1"].astype("int64")
+    return top[["w", "n0", "n1", "lift"]]
+
+
 def locf_resample_events(sf_dir: str):
     """Hourly LOCF resample per type (ORACLED): the value of the
     LATEST event at-or-before every hour of the dense corpus grid —
@@ -6783,7 +6905,10 @@ def price_gaps_orders(sf_dir: str, k: int = 10):
             .astype(np.float64)
         return pa.table({"o_totalprice": pa.array(v[np.isfinite(v)])})
 
-    distinct = grouped_agg(
+    # near-row-cardinality distinct: the hash-partition aggregate, not
+    # Ray's sort aggregate (grouped_agg here measured 9.8 s vs 1-2 s
+    # at sf0.1 — the grouped_agg_hash pathology exactly)
+    distinct = grouped_agg_hash(
         ds.map_batches(finite, batch_format="pyarrow",
                        zero_copy_batch=True, batch_size=131072),
         ["o_totalprice"], {}, count_alias="_c") \

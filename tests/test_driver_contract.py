@@ -133,6 +133,7 @@ def oracle_pairs():
     "timed_conversions_events", "basket_brand_pairs",
     "skyline_orders", "price_gaps_orders",
     "locf_resample_events", "value_bands_events",
+    "contingency_lift_events", "trending_terms_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

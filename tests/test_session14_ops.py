@@ -600,6 +600,88 @@ def test_value_bands_boundaries_and_zero_band(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# contingency_lift_events / trending_terms_documents
+
+
+def test_contingency_lift_independence_and_nulls(tmp_path):
+    """A perfectly independent 2×2 layout answers lift EXACTLY 1.0 in
+    every cell; a concentrated cell answers the hand value; null
+    type/ts rows are invisible."""
+    from jsonschema_ray.pipelines.relational import contingency_lift_events
+    rows = []
+    eid = 0
+    # independent: a/b × hour0/hour1 all equal
+    for et in ("a", "b"):
+        for h in (0, 1):
+            for _ in range(5):
+                rows.append((eid, 1, h * H, et)); eid += 1
+    rows.append((eid, 1, None, "a")); eid += 1
+    rows.append((eid, 1, 0, None))
+    _events(tmp_path, rows)
+    got = contingency_lift_events(str(tmp_path))
+    exp = _oracle(tmp_path, "contingency_lift_events")
+    _frames_equal(got, exp, ["event_type", "hr"])
+    assert got["lift"].tolist() == [1.0, 1.0, 1.0, 1.0]
+    assert got["n"].tolist() == [5, 5, 5, 5]
+
+    # concentrated: all of type c in hour 0 → lift = N/(n_c·n_h0)·n
+    _events(tmp_path, [(1, 1, 0, "c"), (2, 1, 0, "c"),
+                       (3, 1, H, "d")])
+    got = contingency_lift_events(str(tmp_path))
+    exp = _oracle(tmp_path, "contingency_lift_events")
+    _frames_equal(got, exp, ["event_type", "hr"])
+    d = {(r.event_type, r.hr): r.lift
+         for r in got.itertuples(index=False)}
+    assert d == {("c", 0): 1.5, ("d", 1): 3.0}
+
+
+def test_trending_terms_parity_split_and_smoothing(tmp_path):
+    """doc_id %% 2 is TRUNC-mod: a negative id answers -1 and counts
+    in NEITHER half (but its tokens still hold a vocabulary row
+    subject to min support); add-one smoothing keeps a
+    one-sided term finite; ties at the cut order by term."""
+    from jsonschema_ray.pipelines.relational import trending_terms_documents
+    docs = []
+    # term 'up' only in half 1; 'down' only in half 0; 'flat' in both
+    docs += [(2 * i + 1, "up flat") for i in range(12)]
+    docs += [(2 * i, "down flat") for i in range(12)]
+    docs += [(-3, "down down down")]       # negative id: neither half
+    docs += [(None, "up up up")]           # null id invisible
+    _docs(tmp_path, docs)
+    got = trending_terms_documents(str(tmp_path), min_n=10, k=10)
+    import duckdb
+
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{p}')")
+    sql = E.oracle_sql()["trending_terms_documents"] \
+        .replace(">= 20", ">= 10").replace("LIMIT 25", "LIMIT 10")
+    exp = con.execute(sql).df()
+    _frames_equal(got, exp, ["w"])
+    d = {r.w: (r.n0, r.n1, r.lift) for r in got.itertuples(index=False)}
+    # 'down' appears 12x in half 0 plus 3x in the -3 doc → n0=12,
+    # counted rows for neither half don't enter n0/n1
+    assert d["down"][0] == 12 and d["down"][1] == 0
+    assert d["up"] == (0, 12, d["up"][2])
+    assert d["up"][2] > 1.0 > d["down"][2]
+
+
+def test_trending_terms_empty_and_one_half(tmp_path):
+    from jsonschema_ray.pipelines.relational import trending_terms_documents
+    _docs(tmp_path, [])
+    got = trending_terms_documents(str(tmp_path))
+    assert list(got.columns) == ["w", "n0", "n1", "lift"]
+    assert len(got) == 0
+    # every doc in one half: t1 = 0, smoothing keeps lift finite
+    _docs(tmp_path, [(0, "x x x x x x x x x x x x x x x x x x x x")])
+    got = trending_terms_documents(str(tmp_path))
+    assert got["w"].tolist() == ["x"] and np.isfinite(
+        got["lift"]).all()
+
+
+# ---------------------------------------------------------------------------
 # gini_daily_events
 
 
