@@ -49,10 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
         "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
-        "funnel_events": R.funnel_events,                # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
-        "user_entropy_events": R.user_entropy_events,     # oracled
         "jaccard_event_types": R.jaccard_event_types,     # oracled
         "prefix_dup_documents": R.prefix_dup_documents,   # oracled
         "events_next_order": R.events_next_order,         # oracled
@@ -113,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.contingency_lift_events,                    # oracled
         "trending_terms_documents":
             R.trending_terms_documents,                   # oracled
+        "drawdown_daily_events": R.drawdown_daily_events,  # oracled
+        "weighted_median_price": R.weighted_median_price,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -149,6 +149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # now inside the window)
         "value_hour_corr_by_type": R.value_hour_corr_by_type,  # oracled
         "transitions_event_types": R.transitions_event_types,  # oracled
+        # (evicted for the session-14 wave-8 block: funnel carries the
+        # crafted drop-off pins; entropy the null-type/2^53 pins)
+        "funnel_events": R.funnel_events,                 # oracled
+        "user_entropy_events": R.user_entropy_events,     # oracled
         # (evicted for the session-14 wave-5 block: chunk carries the
         # codepoint-slice pins; centroids the list-column moment pins)
         "chunk_documents": R.chunk_documents,             # oracled
@@ -624,6 +628,41 @@ SELECT w, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
              / ((n0 + 1.0) / (t0 + 1.0)), 6) AS lift
 FROM c, tot WHERE n0 + n1 >= 20
 ORDER BY lift DESC, w LIMIT 25""",
+        "drawdown_daily_events": """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+grid AS (SELECT t.event_type, g.d
+         FROM (SELECT DISTINCT event_type FROM e) t
+         CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY))::DATE AS d FROM bounds) g),
+cnt AS (SELECT grid.event_type, grid.d, count(e.event_type) AS n
+        FROM grid LEFT JOIN e
+          ON e.event_type = grid.event_type AND e.d = grid.d
+        GROUP BY grid.event_type, grid.d),
+dd AS (SELECT event_type, d, n,
+              max(n) OVER (PARTITION BY event_type ORDER BY d) - n
+                AS drawdown
+       FROM cnt),
+mx AS (SELECT event_type, max(drawdown) AS md FROM dd
+       GROUP BY event_type)
+SELECT dd.event_type, CAST(mx.md AS BIGINT) AS max_drawdown,
+       strftime(min(dd.d), '%Y-%m-%d') AS trough_day
+FROM dd JOIN mx ON dd.event_type = mx.event_type
+               AND dd.drawdown = mx.md
+GROUP BY dd.event_type, mx.md ORDER BY dd.event_type""",
+        "weighted_median_price": """
+WITH w AS (SELECT l_extendedprice AS v, l_quantity AS q FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+             AND isfinite(l_extendedprice)
+             AND l_quantity IS NOT NULL AND isfinite(l_quantity)
+             AND l_quantity > 0),
+g AS (SELECT v, sum(q) AS wt FROM w GROUP BY v),
+c AS (SELECT v, sum(wt) OVER (ORDER BY v) AS cw,
+             (SELECT sum(wt) FROM g) AS tot FROM g)
+SELECT min(v) AS wmedian,
+       CAST(max(tot) AS BIGINT) AS total_qty
+FROM c WHERE cw >= tot / 2""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -238,6 +238,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.contingency_lift_events(sf_dir)))
     timed("trending_terms_documents",
           lambda: len(R.trending_terms_documents(sf_dir)))
+    timed("drawdown_daily_events",
+          lambda: len(R.drawdown_daily_events(sf_dir)))
+    timed("weighted_median_price",
+          lambda: len(R.weighted_median_price(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -6569,6 +6569,108 @@ def tokenset_dedup_documents(sf_dir: str):
         .reset_index(drop=True)
 
 
+def drawdown_daily_events(sf_dir: str):
+    """Max drawdown of each type's daily-count series (ORACLED): the
+    largest peak-to-current drop over the SAME dense zero-filled
+    calendar grid as ma/autocorr/gini, plus the EARLIEST trough day —
+    the path statistic a volume-monitoring pipeline alarms on (a
+    calendar gap IS a drawdown; dropping it would hide the alarm).
+    Running max − count is exact int64; ties on the max drawdown
+    resolve to the earliest day on both engines (SQL min(d) over the
+    equal-drawdown rows). The corpus scan distributes; the finish is
+    calendar×vocabulary-bounded driver work."""
+    f = _dense_daily_counts(sf_dir)
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "max_drawdown": pd.Series([], dtype="int64"),
+        "trough_day": pd.Series([], dtype="object")})
+    if f is None:
+        return out_empty
+    rows = []
+    for t, g in f.groupby("event_type", sort=True):
+        n = g["n"].to_numpy()
+        dd = np.maximum.accumulate(n) - n
+        md = int(dd.max())
+        trough = g["day"].to_numpy()[int(np.argmax(dd))]
+        rows.append({"event_type": t, "max_drawdown": md,
+                     "trough_day": trough})
+    out = pd.DataFrame(rows)
+    out["max_drawdown"] = out["max_drawdown"].astype("int64")
+    return out
+
+
+def weighted_median_price(sf_dir: str):
+    """Exact quantity-weighted median of l_extendedprice (ORACLED) —
+    the weighted-quantile selection a pricing/mixture stage needs,
+    computed by DISTRIBUTED SELECTION instead of a driver histogram
+    (the distinct-price count is near the row count, so the
+    _distinct_quantiles gather convention would not scale): per-price
+    weight sums (grouped_agg_hash — near-row-cardinality keys) → Ray
+    range sort → ONE batches-bounded gather of (min_v, sum_wt) block
+    summaries → the driver prefix-sums to locate the crossing block →
+    ONE value-range-pruned re-scan of just that block finds the
+    smallest v with cumweight >= total/2. Weights are integral
+    doubles (quantities) so every cumulative sum is exact below 2^53;
+    non-positive and null weights/prices are excluded on both
+    engines. Returns (wmedian, total_qty)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        v = b.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keep = np.isfinite(v) & np.isfinite(q) & (q > 0)
+        return pa.table({"v": pa.array(v[keep]),
+                         "q": pa.array(q[keep])})
+
+    wagg = grouped_agg_hash(
+        ds.map_batches(clean, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["v"], {"q": "wt"}, count_alias="_c") \
+        .select_columns(["v", "wt"]).sort("v").materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        w = b.column("wt").to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())]),
+                         "w": pa.array([float(w.sum())])})
+
+    out_empty = pd.DataFrame({
+        "wmedian": pd.Series([], dtype="float64"),
+        "total_qty": pd.Series([], dtype="int64")})
+    summ = wagg.map_batches(summary, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    if summ.empty or "lo" not in summ.columns:
+        return out_empty
+    summ = summ.sort_values("lo").reset_index(drop=True)
+    total = float(summ["w"].sum())
+    target = total / 2
+    cum = summ["w"].cumsum().to_numpy()
+    k = int(np.searchsorted(cum, target))  # first block with cum>=t
+    lo_k, hi_k = summ["lo"].iloc[k], summ["hi"].iloc[k]
+    before = float(cum[k - 1]) if k > 0 else 0.0
+
+    def in_block(b: pa.Table) -> pa.Table:
+        v = b.column("v")
+        m = pc.and_(pc.greater_equal(v, lo_k), pc.less_equal(v, hi_k))
+        return b.filter(m)
+
+    blk = wagg.map_batches(in_block, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas() \
+        .sort_values("v")
+    cw = before + blk["wt"].cumsum().to_numpy()
+    v = blk["v"].to_numpy()[cw >= target]
+    return pd.DataFrame({"wmedian": [float(v[0])],
+                         "total_qty": [np.int64(total)]})
+
+
 def contingency_lift_events(sf_dir: str):
     """Association-strength contingency cells (ORACLED): observed /
     expected lift for every (event_type, hour) cell — the pointwise

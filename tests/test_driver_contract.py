@@ -134,6 +134,7 @@ def oracle_pairs():
     "skyline_orders", "price_gaps_orders",
     "locf_resample_events", "value_bands_events",
     "contingency_lift_events", "trending_terms_documents",
+    "drawdown_daily_events", "weighted_median_price",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -682,6 +682,78 @@ def test_trending_terms_empty_and_one_half(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# drawdown_daily_events / weighted_median_price
+
+
+def test_drawdown_monotone_gap_and_tie(tmp_path):
+    """A non-decreasing series answers drawdown 0 with the FIRST day
+    as trough (every day ties at 0 → SQL min(d)); a calendar gap IS a
+    drawdown (zero-fill); equal max drawdowns resolve to the earliest
+    day."""
+    from jsonschema_ray.pipelines.relational import drawdown_daily_events
+    rows = []
+    eid = 0
+    # 'up': 1,2,3 events on days 0,1,2 — monotone
+    for d, k in [(0, 1), (1, 2), (2, 3)]:
+        for _ in range(k):
+            rows.append((eid, 1, d * DAY, "up")); eid += 1
+    # 'gap': 2 events day 0, nothing day 1, 2 events day 2 → dd=2 at day 1
+    rows += [(eid, 1, 0, "gap"), (eid + 1, 1, 1, "gap"),
+             (eid + 2, 1, 2 * DAY, "gap"), (eid + 3, 1, 2 * DAY, "gap")]
+    eid += 4
+    # 'tie': 2,0,2,0 → dd=2 on days 1 AND 3 → earliest (day 1)
+    rows += [(eid, 1, 0, "tie"), (eid + 1, 1, 1, "tie"),
+             (eid + 2, 1, 2 * DAY, "tie"), (eid + 3, 1, 2 * DAY, "tie")]
+    _events(tmp_path, rows)
+    got = drawdown_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "drawdown_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    d = {r.event_type: (r.max_drawdown, r.trough_day)
+         for r in got.itertuples(index=False)}
+    assert d["up"] == (0, "1970-01-01")
+    assert d["gap"] == (2, "1970-01-02")
+    assert d["tie"] == (2, "1970-01-02")
+
+
+def test_weighted_median_crossing_and_exclusions(tmp_path):
+    """The crossing is INCLUSIVE at exactly half the total weight;
+    duplicate prices merge weights; zero/negative/null weights and
+    null prices are excluded on both engines."""
+    from jsonschema_ray.pipelines.relational import weighted_median_price
+    _write(tmp_path, "lineitem", pa.table({
+        "l_extendedprice": pa.array([1.0, 2.0, 2.0, 9.0, None, 5.0],
+                                    pa.float64()),
+        "l_quantity": pa.array([2.0, 1.0, 1.0, 2.0, 5.0, 0.0],
+                               pa.float64())}))
+    # weights: v=1→2, v=2→2, v=9→2 (null price and zero weight out)
+    # total 6, target 3: cum(1)=2 < 3, cum(2)=4 >= 3 → wmedian 2
+    got = weighted_median_price(str(tmp_path))
+    exp = _oracle(tmp_path, "weighted_median_price")
+    _frames_equal(got, exp, ["wmedian"])
+    assert got["wmedian"].tolist() == [2.0]
+    assert got["total_qty"].tolist() == [6]
+
+    # exact-half crossing: weights 1,1 → target 1 hits the FIRST value
+    _write(tmp_path, "lineitem", pa.table({
+        "l_extendedprice": pa.array([10.0, 20.0], pa.float64()),
+        "l_quantity": pa.array([1.0, 1.0], pa.float64())}))
+    got = weighted_median_price(str(tmp_path))
+    exp = _oracle(tmp_path, "weighted_median_price")
+    _frames_equal(got, exp, ["wmedian"])
+    assert got["wmedian"].tolist() == [10.0]
+
+
+def test_weighted_median_empty_typed(tmp_path):
+    from jsonschema_ray.pipelines.relational import weighted_median_price
+    _write(tmp_path, "lineitem", pa.table({
+        "l_extendedprice": pa.array([], pa.float64()),
+        "l_quantity": pa.array([], pa.float64())}))
+    got = weighted_median_price(str(tmp_path))
+    assert list(got.columns) == ["wmedian", "total_qty"]
+    assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
 # gini_daily_events
 
 
