@@ -51,8 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
-        "jaccard_event_types": R.jaccard_event_types,     # oracled
-        "prefix_dup_documents": R.prefix_dup_documents,   # oracled
         "events_next_order": R.events_next_order,         # oracled
         "top_terms_by_lang": R.top_terms_by_lang,         # oracled
         "daily_counts_ma_events": R.daily_counts_ma_events,  # oracled
@@ -113,6 +111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.trending_terms_documents,                   # oracled
         "drawdown_daily_events": R.drawdown_daily_events,  # oracled
         "weighted_median_price": R.weighted_median_price,  # oracled
+        # --- session-15 additions (oracled)
+        "cusum_daily_events": R.cusum_daily_events,        # oracled
+        "rolling_median_daily_events":
+            R.rolling_median_daily_events,                 # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -121,6 +123,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (evicted for the session-14 block: simple lag/grouped-sum/
         # semi-join/filter families with dense crafted pins and a long
         # local two-engine green history at 3 SFs)
+        # (evicted for the session-15 block: set-similarity and
+        # prefix-hash families, pin-dense, two sessions of local
+        # two-engine green at 3 SFs)
+        "jaccard_event_types": R.jaccard_event_types,     # oracled
+        "prefix_dup_documents": R.prefix_dup_documents,   # oracled
         "events_value_delta": R.events_value_delta,       # oracled
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customer_order_counts": R.customer_order_counts,  # oracled
@@ -663,6 +670,54 @@ c AS (SELECT v, sum(wt) OVER (ORDER BY v) AS cw,
 SELECT min(v) AS wmedian,
        CAST(max(tot) AS BIGINT) AS total_qty
 FROM c WHERE cw >= tot / 2""",
+        "cusum_daily_events": """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+grid AS (SELECT t.event_type, g.d
+         FROM (SELECT DISTINCT event_type FROM e) t
+         CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY))::DATE AS d FROM bounds) g),
+cnt AS (SELECT grid.event_type, grid.d, count(e.event_type) AS n
+        FROM grid LEFT JOIN e
+          ON e.event_type = grid.event_type AND e.d = grid.d
+        GROUP BY grid.event_type, grid.d),
+dd AS (SELECT event_type, d,
+              CAST(sum(n) OVER (PARTITION BY event_type
+                                ORDER BY d) AS BIGINT) AS s,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY d) AS k,
+              CAST(sum(n) OVER (PARTITION BY event_type)
+                   AS BIGINT) AS tot,
+              count(*) OVER (PARTITION BY event_type) AS nn
+       FROM cnt),
+dev AS (SELECT event_type, d, abs(nn * s - k * tot) AS num, nn
+        FROM dd),
+mx AS (SELECT event_type, max(num) AS mnum FROM dev
+       GROUP BY event_type)
+SELECT dev.event_type,
+       round(CAST(mx.mnum AS DOUBLE) / max(dev.nn), 6) AS cusum,
+       strftime(min(dev.d), '%Y-%m-%d') AS change_day
+FROM dev JOIN mx ON dev.event_type = mx.event_type
+                AND dev.num = mx.mnum
+GROUP BY dev.event_type, mx.mnum ORDER BY dev.event_type""",
+        "rolling_median_daily_events": """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+grid AS (SELECT t.event_type, g.d
+         FROM (SELECT DISTINCT event_type FROM e) t
+         CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY))::DATE AS d FROM bounds) g),
+cnt AS (SELECT grid.event_type, grid.d, count(e.event_type) AS n
+        FROM grid LEFT JOIN e
+          ON e.event_type = grid.event_type AND e.d = grid.d
+        GROUP BY grid.event_type, grid.d)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       round(median(n) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+FROM cnt ORDER BY event_type, day""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

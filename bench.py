@@ -242,6 +242,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.drawdown_daily_events(sf_dir)))
     timed("weighted_median_price",
           lambda: len(R.weighted_median_price(sf_dir)))
+    timed("cusum_daily_events",
+          lambda: len(R.cusum_daily_events(sf_dir)))
+    timed("rolling_median_daily_events",
+          lambda: len(R.rolling_median_daily_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -7625,3 +7625,70 @@ def gini_daily_events(sf_dir: str):
     out["n_days"] = out["n_days"].astype("int64")
     out["gini"] = out["gini"].astype("float64")
     return out
+
+
+def cusum_daily_events(sf_dir: str):
+    """CUSUM change-point statistic per event type (ORACLED): the max
+    absolute deviation of each type's cumulative daily count from the
+    uniform-rate line, plus the EARLIEST day attaining it — the
+    classic change-point locator a drift monitor runs on ingestion
+    volume (reference semantics: checks/drift.go's distribution-shift
+    family, here as a path statistic). Fifth consumer of the shared
+    _dense_daily_counts grid: a calendar gap IS a rate change and
+    must zero-fill. The deviation is computed in EXACT int64 as
+    |n_days·cumsum_k − k·total| (one multiply keeps every compare
+    integral; bound calendar_days × corpus_rows < 2^63 at any real
+    scale), divided by n_days only at the very end as ONE double
+    divide in the same operand order as the SQL, then duckdb_round
+    6dp. Ties on the max deviation resolve to the earliest day on
+    both engines (np.argmax first-hit == SQL min(d)); a constant or
+    single-day series answers EXACTLY 0.0 with the first grid day.
+    The corpus scan distributes (per-batch (type, day) partials);
+    the finish is calendar×vocabulary-bounded driver work."""
+    f = _dense_daily_counts(sf_dir)
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "cusum": pd.Series([], dtype="float64"),
+        "change_day": pd.Series([], dtype="object")})
+    if f is None:
+        return out_empty
+    rows = []
+    for t, g in f.groupby("event_type", sort=True):
+        n = g["n"].to_numpy().astype(np.int64)
+        nn = len(n)
+        tot = int(n.sum())
+        s = np.cumsum(n)
+        k = np.arange(1, nn + 1, dtype=np.int64)
+        num = np.abs(nn * s - k * tot)
+        mx = int(num.max())
+        day = g["day"].to_numpy()[int(np.argmax(num))]
+        rows.append({"event_type": t,
+                     "cusum": float(duckdb_round(float(mx) / float(nn), 6)),
+                     "change_day": day})
+    out = pd.DataFrame(rows)
+    out["cusum"] = out["cusum"].astype("float64")
+    return out
+
+
+def rolling_median_daily_events(sf_dir: str):
+    """7-day trailing MEDIAN of the daily count series per type
+    (ORACLED): the robust trend line (order statistic — immune to the
+    single-day spikes that drag daily_counts_ma's mean), over the SAME
+    dense zero-filled calendar grid; sixth consumer of
+    _dense_daily_counts. The window is ROWS 6 PRECEDING..CURRENT with
+    a ramp at the series start (min_periods=1 == SQL's shrinking
+    frame); both engines interpolate the even-count middle as
+    (a+b)/2, exact in float64 for integer counts, so the 6dp round is
+    a no-op kept for convention. The corpus scan distributes; the
+    rolling finish is calendar×vocabulary-bounded driver work."""
+    f = _dense_daily_counts(sf_dir)
+    if f is None:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "day": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "med7": pd.Series([], dtype="float64")})
+    f["med7"] = np.round(
+        f.groupby("event_type", sort=False)["n"]
+        .transform(lambda s: s.rolling(7, min_periods=1).median())
+        .astype("float64"), 6)
+    return f[["event_type", "day", "n", "med7"]]

@@ -135,6 +135,7 @@ def oracle_pairs():
     "locf_resample_events", "value_bands_events",
     "contingency_lift_events", "trending_terms_documents",
     "drawdown_daily_events", "weighted_median_price",
+    "cusum_daily_events", "rolling_median_daily_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1,0 +1,206 @@
+"""Session-15 operators: CUSUM change-point statistic and 7-day rolling
+median over the shared dense daily grid — crafted edge branches the sf
+oracles can't reach (constant series, max-deviation ties, calendar
+gaps, null rows, window ramps). The sf-scale value oracles run in
+test_driver_contract and were hand-verified at sf0.001/0.01/0.1."""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jsonschema_ray.pipelines.relational import (
+    cusum_daily_events, rolling_median_daily_events)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+DAY = 86_400_000_000  # one day in µs
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _events(tmp_path, rows):
+    """rows: (event_id, user_id|None, ts_us|None, event_type|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }))
+
+
+def _oracle(tmp_path, name):
+    import duckdb
+
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders",
+              "customer", "supplier", "nation", "region", "part"):
+        p = os.path.join(str(tmp_path), f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}')")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+def _frames_equal(got, exp, sort_cols):
+    got = got[list(exp.columns)].sort_values(sort_cols) \
+        .reset_index(drop=True)
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in exp.columns:
+        gv, ev = got[c].to_numpy(), exp[c].to_numpy()
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            assert np.array_equal(
+                np.nan_to_num(gv.astype(float), nan=-1.0),
+                np.nan_to_num(ev.astype(float), nan=-1.0)), c
+        else:
+            assert np.array_equal(gv.astype(str), ev.astype(str)), c
+
+
+# ---------------------------------------------------------------------------
+# cusum_daily_events
+
+
+def test_cusum_constant_series_is_zero_earliest_day(tmp_path):
+    """A perfectly uniform series has EVERY deviation 0 — the max tie
+    covers the whole grid and both engines resolve it to the FIRST
+    day (np.argmax first-hit == SQL min(d))."""
+    _events(tmp_path, [
+        (i + 1, 1, i * DAY, "click") for i in range(4)])
+    got = cusum_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "cusum_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    assert got["cusum"].tolist() == [0.0]
+    assert got["change_day"].tolist() == ["1970-01-01"]
+
+
+def test_cusum_step_change_locates_boundary(tmp_path):
+    """Counts [0,0,10,10]: |nn·s − k·tot| = [20,40,20,0] → max 40 on
+    the LAST pre-change day, cusum 40/4 = 10.0 — the change-point
+    lands on the boundary, not the spike itself."""
+    rows = []
+    eid = 1
+    for d in (2, 3):
+        for _ in range(10):
+            rows.append((eid, 1, d * DAY, "click"))
+            eid += 1
+    # pin the grid's left edge with a DIFFERENT type on day 0
+    rows.append((eid, 2, 0, "view"))
+    _events(tmp_path, rows)
+    got = cusum_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "cusum_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    d = dict(zip(got["event_type"],
+                 zip(got["cusum"], got["change_day"])))
+    assert d["click"] == (10.0, "1970-01-02")
+
+
+def test_cusum_calendar_gap_zero_fills(tmp_path):
+    """Events on day0 (3×) and day3 (1×) only: the two gap days MUST
+    enter as zeros — [3,0,0,1] → deviations [8,4,0,0]/4 → cusum 2.0
+    at day0. Dropping the gap would answer a different statistic."""
+    _events(tmp_path, [
+        (1, 1, 0, "click"), (2, 1, 1000, "click"), (3, 1, 2000, "click"),
+        (4, 1, 3 * DAY, "click")])
+    got = cusum_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "cusum_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    assert got["cusum"].tolist() == [2.0]
+    assert got["change_day"].tolist() == ["1970-01-01"]
+
+
+def test_cusum_tie_resolves_earliest_and_nulls_invisible(tmp_path):
+    """Symmetric series [5,0,0,5] ties the max deviation (10) at day0
+    and day2 — both engines answer the EARLIEST. Null-ts and
+    null-type rows leave before the grid on both engines."""
+    rows = [(i + 1, 1, i % 5 * 1000, "click") for i in range(5)]
+    rows += [(i + 6, 1, 3 * DAY + i * 1000, "click") for i in range(5)]
+    rows.append((11, 1, None, "click"))       # null ts: invisible
+    rows.append((12, 1, 2 * DAY, None))       # null type: invisible
+    _events(tmp_path, rows)
+    got = cusum_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "cusum_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    assert got["cusum"].tolist() == [2.5]
+    assert got["change_day"].tolist() == ["1970-01-01"]
+
+
+def test_cusum_global_grid_spans_all_types(tmp_path):
+    """The grid is GLOBAL (corpus min..max day), not per-type: a type
+    first seen on the last day still accumulates deviation over the
+    early zero days ([0,0,0,1] → max 3/4 at day2)."""
+    _events(tmp_path, [
+        (1, 1, 0, "view"), (2, 1, 1 * DAY, "view"),
+        (3, 2, 3 * DAY, "click")])
+    got = cusum_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "cusum_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    d = dict(zip(got["event_type"],
+                 zip(got["cusum"], got["change_day"])))
+    assert d["click"] == (0.75, "1970-01-03")
+    assert d["view"] == (1.0, "1970-01-02")
+
+
+# ---------------------------------------------------------------------------
+# rolling_median_daily_events
+
+
+def test_rolling_median_ramp_and_interpolation(tmp_path):
+    """Counts [1,2,10,0]: med7 = [1, 1.5, 2, 1.5] — the shrinking
+    leading frame (min_periods=1 == ROWS 6 PRECEDING ramp) and the
+    exact (a+b)/2 even-count interpolation, on both engines."""
+    rows = []
+    eid = 1
+    for d, c in [(0, 1), (1, 2), (2, 10)]:
+        for _ in range(c):
+            rows.append((eid, 1, d * DAY + eid, "click"))
+            eid += 1
+    # day-3 zero comes from the GLOBAL grid: a different type anchors
+    # the calendar's right edge (zero-count days only exist inside the
+    # observed min..max range)
+    rows.append((eid, 2, 3 * DAY, "view"))
+    _events(tmp_path, rows)
+    got = rolling_median_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "rolling_median_daily_events")
+    _frames_equal(got, exp, ["event_type", "day"])
+    ck = got[got["event_type"] == "click"]
+    assert ck["med7"].tolist() == [1.0, 1.5, 2.0, 1.5]
+    assert ck["n"].tolist() == [1, 2, 10, 0]
+
+
+def test_rolling_median_window_slides_out_and_gap_zero_fills(tmp_path):
+    """8-day series with events only on day0 (7×) and day7 (1×): day7's
+    window covers days1..7 = six gap ZEROS + 1 → median 0.0; day0's
+    spike has fully slid out. A robust line the mean can't draw."""
+    rows = [(i + 1, 1, i * 1000, "click") for i in range(7)]
+    rows.append((8, 1, 7 * DAY, "click"))
+    _events(tmp_path, rows)
+    got = rolling_median_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "rolling_median_daily_events")
+    _frames_equal(got, exp, ["event_type", "day"])
+    assert got["n"].tolist() == [7, 0, 0, 0, 0, 0, 0, 1]
+    # day0: [7] → 7; day1: [7,0] → 3.5; day7: [0×6,1] → 0
+    assert got["med7"].tolist() == [7.0, 3.5, 0.0, 0.0, 0.0, 0.0,
+                                    0.0, 0.0]
+
+
+def test_rolling_median_types_share_grid(tmp_path):
+    """Two types share the global calendar: each gets the full dense
+    grid and its own independent rolling window."""
+    _events(tmp_path, [
+        (1, 1, 0, "view"), (2, 1, 0, "view"),
+        (3, 2, 2 * DAY, "click")])
+    got = rolling_median_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "rolling_median_daily_events")
+    _frames_equal(got, exp, ["event_type", "day"])
+    assert len(got) == 6  # 2 types × 3 days
+    v = got[got["event_type"] == "view"]["med7"].tolist()
+    c = got[got["event_type"] == "click"]["med7"].tolist()
+    assert v == [2.0, 1.0, 0.0]
+    assert c == [0.0, 0.0, 0.0]
