@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
-        "events_next_order": R.events_next_order,         # oracled
         "top_terms_by_lang": R.top_terms_by_lang,         # oracled
         "daily_counts_ma_events": R.daily_counts_ma_events,  # oracled
         "median_gap_by_user": R.median_gap_by_user,       # oracled
@@ -115,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily_events": R.cusum_daily_events,        # oracled
         "rolling_median_daily_events":
             R.rolling_median_daily_events,                 # oracled
+        "bigram_logprob_documents":
+            R.bigram_logprob_documents,                    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -123,11 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (evicted for the session-14 block: simple lag/grouped-sum/
         # semi-join/filter families with dense crafted pins and a long
         # local two-engine green history at 3 SFs)
-        # (evicted for the session-15 block: set-similarity and
-        # prefix-hash families, pin-dense, two sessions of local
-        # two-engine green at 3 SFs)
+        # (evicted for the session-15 block: set-similarity,
+        # prefix-hash and per-user-lag families, pin-dense, two
+        # sessions of local two-engine green at 3 SFs)
         "jaccard_event_types": R.jaccard_event_types,     # oracled
         "prefix_dup_documents": R.prefix_dup_documents,   # oracled
+        "events_next_order": R.events_next_order,         # oracled
         "events_value_delta": R.events_value_delta,       # oracled
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customer_order_counts": R.customer_order_counts,  # oracled
@@ -718,6 +720,32 @@ SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
        round(median(n) OVER (PARTITION BY event_type ORDER BY d
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
 FROM cnt ORDER BY event_type, day""",
+        "bigram_logprob_documents": """
+WITH numbered AS (
+  SELECT doc_id, text, row_number() OVER () AS rid
+  FROM documents WHERE text IS NOT NULL),
+t AS (SELECT rid, doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM numbered),
+b AS (SELECT rid, doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY rid ORDER BY pos) AS w2
+      FROM t),
+p AS (SELECT doc_id, w1, w2 FROM b
+      WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''),
+ptf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+        FROM p GROUP BY doc_id, w1, w2),
+c AS (SELECT w1, w2, CAST(sum(tf) AS DOUBLE) AS cxy
+      FROM ptf GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(cxy) AS DOUBLE) AS cx FROM c GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vv FROM ptf)
+SELECT ptf.doc_id,
+       CAST(sum(ptf.tf) AS BIGINT) AS n_bigrams,
+       CAST(floor(10000 * sum(ptf.tf
+                * ln((c.cxy + 1) / (c1.cx + v.vv)))
+            / sum(ptf.tf)) AS BIGINT) AS logprob_bp
+FROM ptf JOIN c USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY ptf.doc_id ORDER BY ptf.doc_id""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -246,6 +246,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.cusum_daily_events(sf_dir)))
     timed("rolling_median_daily_events",
           lambda: len(R.rolling_median_daily_events(sf_dir)))
+    timed("bigram_logprob_documents",
+          lambda: R.bigram_logprob_documents(sf_dir).count())
 
     headline = timings["flagship_images"]
     out = {

@@ -7692,3 +7692,20 @@ def rolling_median_daily_events(sf_dir: str):
         .transform(lambda s: s.rolling(7, min_periods=1).median())
         .astype("float64"), 6)
     return f[["event_type", "day", "n", "med7"]]
+
+
+def bigram_logprob_documents(sf_dir: str):
+    """Per-doc mean ADD-ONE-SMOOTHED bigram conditional log-probability
+    under the corpus's own bigram LM (ORACLED) — the perplexity-style
+    fluency filter (KenLM-analog without external weights): fluent text
+    reuses frequent transitions, word salad doesn't. Whitespace tokens,
+    lead()-then-filter pairing (a doubled space BREAKS adjacency), libm
+    ln and floor basis points on both engines — the unigram_logprob /
+    tfidf convention, extended to the conditional model. See
+    text.transform.bigram_logprob for the shuffle story (token stream
+    never shuffles; the pair vocabulary materializes ONCE and feeds
+    context counts, the V distinct-successor count and the scoring
+    join)."""
+    from ..text.transform import bigram_logprob
+    return bigram_logprob(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]))

@@ -458,3 +458,132 @@ def pmi_bigrams(ds, text_col: str = "text", top_n: int = 50,
         return empty
     out["n"] = out["n"].astype("int64")
     return out[["w1", "w2", "n", "pmi"]]
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model document scoring
+
+
+def _doc_bigram_partials(batch: pa.Table, *, id_col: str,
+                         text_col: str) -> pa.Table:
+    """(doc, w1, w2) → pair frequency, exact per batch (a document
+    lives in exactly one row). Same vectorized pairing as
+    ``_bigram_partials`` — flatten once, drop each row's last token,
+    two takes — with the document id attached via the pair's FIRST
+    token's parent index; empty tokens are excluded AFTER pairing
+    (lead()-then-filter — a doubled space breaks adjacency, it does
+    not bridge it). Null texts contribute no pairs; null doc ids are
+    kept and group (SQL GROUP BY semantics)."""
+    t = batch.select([id_col, text_col])
+    tc = _combine(t[text_col])
+    if tc.null_count:
+        t = t.filter(tc.is_valid())
+    toks = pc.split_pattern(_combine(t[text_col]), " ")
+    flat = pc.cast(pc.list_flatten(toks), pa.string())
+    n = len(flat)
+    id_type = t.schema.field(id_col).type
+    empty = pa.table({id_col: pa.array([], type=id_type),
+                      "w1": pa.array([], type=pa.string()),
+                      "w2": pa.array([], type=pa.string()),
+                      "tf": pa.array([], type=pa.int64())})
+    if n < 2:
+        return empty
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ends = np.cumsum(lens)
+    keep = np.ones(n, dtype=bool)
+    keep[ends[ends > 0] - 1] = False
+    idx = np.nonzero(keep)[0]
+    if not len(idx):
+        return empty
+    par = pc.list_parent_indices(toks)
+    ia = pa.array(idx, type=pa.int64())
+    w1 = flat.take(ia)
+    w2 = flat.take(pa.array(idx + 1, type=pa.int64()))
+    doc = _combine(t[id_col]).take(par.take(ia))
+    m = pc.and_(pc.not_equal(w1, ""), pc.not_equal(w2, ""))
+    out = pa.table({id_col: doc.filter(m), "w1": w1.filter(m),
+                    "w2": w2.filter(m)})
+    if not out.num_rows:
+        return empty
+    g = out.group_by([id_col, "w1", "w2"], use_threads=False) \
+        .aggregate([([], "count_all")])
+    return g.rename_columns([id_col, "w1", "w2", "tf"])
+
+
+def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                   ndigits: int = 4):
+    """Per-document mean bigram conditional log-probability under the
+    corpus's OWN add-one-smoothed bigram LM — the perplexity-style
+    fluency score (a KenLM-filter analog computable without external
+    model weights): ``p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V)`` with V =
+    the distinct-successor vocabulary, score =
+    ``floor(10^ndigits · Σ tf·ln p / Σ tf)`` as int64 basis points
+    (both engines use libm ``log``; the tf-grouped form keeps the
+    multiply-vs-repeated-add float question out of scope — both sides
+    compute tf·ln(p) per DISTINCT doc-pair). Docs with < 2 tokens
+    have no bigrams and drop out, matching the SQL oracle.
+
+    Plan (token stream never shuffles): per-batch exact
+    (doc, w1, w2, tf) partials; the pair-vocabulary-sized corpus count
+    table via groupby(w1, w2).sum, MATERIALIZED once (it feeds the
+    context-count aggregate, the V distinct-successor count AND the
+    scoring join — re-running the corpus scan per consumer is the
+    index-writer sin); context counts c(w1,·) derive from the pair
+    table (vocabulary-sized aggregate, never a second corpus pass);
+    two size-chosen equi-joins attach (c, cx) to the streaming tf
+    table (vocabulary sides broadcast under the cap); per-(doc, batch)
+    combiner partials before the doc-sized grouped sum."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from ..joins import equi_join
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(_doc_bigram_partials, id_col=id_col,
+                          text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bi = tf.groupby(["w1", "w2"]).aggregate(Sum("tf", alias_name="c")) \
+        .materialize()
+    if not bi.count():
+        import ray.data as rd
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=id_type),
+            "n_bigrams": pa.array([], type=pa.int64()),
+            "logprob_bp": pa.array([], type=pa.int64())}))
+    from ray.data.aggregate import Count
+    ctx = bi.groupby("w1").aggregate(Sum("c", alias_name="cx"))
+    vocab = float(bi.groupby("w2").aggregate(Count()).count())
+    joined = equi_join(equi_join(tf, bi, on=["w1", "w2"]), ctx, on="w1")
+
+    def doc_partials(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cv = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cxv = b["cx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({id_col: _combine(b[id_col]),
+                      "w": pa.array(tfv * np.log((cv + 1.0)
+                                                 / (cxv + vocab))),
+                      "n": _combine(b["tf"])})
+        g = t.group_by([id_col]).aggregate([("w", "sum"), ("n", "sum")])
+        return g.select([id_col, "w_sum", "n_sum"])
+
+    parts = joined.map_batches(doc_partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = parts.groupby(id_col).aggregate(
+        Sum("w_sum", alias_name="w"), Sum("n_sum", alias_name="n"))
+    scale = 10 ** ndigits
+
+    def finish(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: _combine(b[id_col]),
+            "n_bigrams": pa.array(n.astype(np.int64)),
+            "logprob_bp": pa.array(
+                np.floor(scale * w / n.astype(np.float64))
+                .astype(np.int64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

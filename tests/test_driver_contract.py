@@ -136,6 +136,7 @@ def oracle_pairs():
     "contingency_lift_events", "trending_terms_documents",
     "drawdown_daily_events", "weighted_median_price",
     "cusum_daily_events", "rolling_median_daily_events",
+    "bigram_logprob_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -13,7 +13,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from jsonschema_ray.pipelines.relational import (
-    cusum_daily_events, rolling_median_daily_events)
+    bigram_logprob_documents, cusum_daily_events,
+    rolling_median_daily_events)
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -204,3 +205,71 @@ def test_rolling_median_types_share_grid(tmp_path):
     c = got[got["event_type"] == "click"]["med7"].tolist()
     assert v == [2.0, 1.0, 0.0]
     assert c == [0.0, 0.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob_documents
+
+
+def _docs(tmp_path, rows):
+    """rows: (doc_id|None, text|None)."""
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_bigram_logprob_single_pair_corpus_scores_zero(tmp_path):
+    """A one-pair corpus is perfectly predictable under add-one
+    smoothing: p(b|a) = (1+1)/(1+1) = 1 → ln 1 = 0 → bp EXACTLY 0;
+    single-token, empty and null texts have no bigrams and DROP OUT
+    on both engines."""
+    _docs(tmp_path, [(1, "a b"), (2, "solo"), (3, ""), (4, None)])
+    got = bigram_logprob_documents(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "bigram_logprob_documents")
+    _frames_equal(got.sort_values("doc_id"), exp, ["doc_id"])
+    assert got["doc_id"].tolist() == [1]
+    assert got["n_bigrams"].tolist() == [1]
+    assert got["logprob_bp"].tolist() == [0]
+
+
+def test_bigram_logprob_doubled_space_breaks_adjacency(tmp_path):
+    """'a  b' splits to [a, '', b]: the empty token is filtered AFTER
+    pairing (lead()-then-filter), so (a,'') and ('',b) both die and
+    the doc has NO (a,b) bigram — it must not bridge. The doc drops
+    out entirely; the sibling 'a b' doc still scores."""
+    _docs(tmp_path, [(1, "a  b"), (2, "a b")])
+    got = bigram_logprob_documents(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "bigram_logprob_documents")
+    _frames_equal(got.sort_values("doc_id"), exp, ["doc_id"])
+    assert got["doc_id"].tolist() == [2]
+
+
+def test_bigram_logprob_repeats_and_hand_value(tmp_path):
+    """'x y x y' → pairs (x,y)×2, (y,x)×1; with this single doc the
+    model is c(x,y)=2, c(y,x)=1, cx(x)=2, cx(y)=1, V=2 (successors
+    {x,y}): score = floor(1e4·(2·ln(3/4) + 1·ln(2/3))/3) — computed
+    on BOTH engines from the same tf-grouped form (tf·ln p per
+    distinct doc-pair, never repeated addition)."""
+    _docs(tmp_path, [(7, "x y x y")])
+    got = bigram_logprob_documents(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "bigram_logprob_documents")
+    _frames_equal(got.sort_values("doc_id"), exp, ["doc_id"])
+    hand = math.floor(
+        10000 * (2 * math.log((2 + 1) / (2 + 2))
+                 + 1 * math.log((1 + 1) / (1 + 2))) / 3)
+    assert got["n_bigrams"].tolist() == [3]
+    assert got["logprob_bp"].tolist() == [hand]
+
+
+def test_bigram_logprob_duplicate_doc_ids_merge(tmp_path):
+    """Two ROWS sharing doc_id: pairing stays per-row (the SQL
+    partitions by row, so no bigram forms across the rows' texts),
+    then the per-doc aggregate merges their bigrams — n_bigrams = 2
+    for the pair of one-pair rows."""
+    _docs(tmp_path, [(1, "a b"), (1, "c d"), (2, "a b")])
+    got = bigram_logprob_documents(str(tmp_path)).to_pandas()
+    exp = _oracle(tmp_path, "bigram_logprob_documents")
+    _frames_equal(got.sort_values("doc_id"), exp, ["doc_id"])
+    d = dict(zip(got["doc_id"], got["n_bigrams"]))
+    assert d == {1: 2, 2: 1}
