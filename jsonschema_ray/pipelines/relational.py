@@ -7709,3 +7709,46 @@ def bigram_logprob_documents(sf_dir: str):
     from ..text.transform import bigram_logprob
     return bigram_logprob(_read(sf_dir, "documents",
                                 columns=["doc_id", "text"]))
+
+
+def mode_quantity_by_flag(sf_dir: str):
+    """Per-returnflag MODE of l_quantity (ORACLED): the most frequent
+    value, ties resolved to the SMALLEST value — the modal aggregate
+    (SQL mode() is nondeterministic on ties; this is the
+    deterministic argmax-with-min-tiebreak form a reporting layer
+    needs). ONE combiner groupby over the (flag, quantity) key space
+    — flag vocabulary × ~50 distinct quantities, so the shuffle is
+    key-bounded regardless of corpus size — then a key-space-bounded
+    driver argmax. Null quantities are excluded on both engines; a
+    NULL flag is its own group and SURVIVES the argmax join (SQL
+    IS NOT DISTINCT FROM — pinned; a plain equi-join would silently
+    drop it)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("l_quantity").is_valid())
+        return pa.table({"flag": t.column("l_returnflag"),
+                         "q": t.column("l_quantity")})
+
+    agg = grouped_agg(
+        ds.map_batches(clean, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["flag", "q"], {}, count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "flag": pd.Series([], dtype="object"),
+        "mode_q": pd.Series([], dtype="float64"),
+        "n": pd.Series([], dtype="int64")})
+    if agg.empty or "flag" not in agg.columns:
+        return out_empty
+    # argmax with (n desc, q asc) total order: one stable sort, first
+    # row per flag — the SQL join-on-max + min(q) tie resolution
+    agg = agg.sort_values(["flag", "n", "q"],
+                          ascending=[True, False, True],
+                          na_position="last", kind="mergesort")
+    out = agg.groupby("flag", dropna=False, sort=True).head(1) \
+        .reset_index(drop=True)
+    out = out.rename(columns={"q": "mode_q"})
+    out["mode_q"] = out["mode_q"].astype("float64")
+    out["n"] = out["n"].astype("int64")
+    return out[["flag", "mode_q", "n"]].reset_index(drop=True)

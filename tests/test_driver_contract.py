@@ -136,7 +136,7 @@ def oracle_pairs():
     "contingency_lift_events", "trending_terms_documents",
     "drawdown_daily_events", "weighted_median_price",
     "cusum_daily_events", "rolling_median_daily_events",
-    "bigram_logprob_documents",
+    "bigram_logprob_documents", "mode_quantity_by_flag",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

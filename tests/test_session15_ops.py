@@ -8,13 +8,14 @@ import math
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
 from jsonschema_ray.pipelines.relational import (
     bigram_logprob_documents, cusum_daily_events,
-    rolling_median_daily_events)
+    mode_quantity_by_flag, rolling_median_daily_events)
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -273,3 +274,59 @@ def test_bigram_logprob_duplicate_doc_ids_merge(tmp_path):
     _frames_equal(got.sort_values("doc_id"), exp, ["doc_id"])
     d = dict(zip(got["doc_id"], got["n_bigrams"]))
     assert d == {1: 2, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# mode_quantity_by_flag
+
+
+def _lineitem(tmp_path, rows):
+    """rows: (orderkey, linenumber, flag|None, qty|None)."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+        "l_returnflag": pa.array([r[2] for r in rows], pa.string()),
+        "l_quantity": pa.array([r[3] for r in rows], pa.float64()),
+    }))
+
+
+def test_mode_tie_resolves_to_smallest_value(tmp_path):
+    """Two quantities tied at the max count: both engines answer the
+    SMALLEST (argmax over (n desc, q asc) == SQL min(q) over the
+    join-on-max rows)."""
+    _lineitem(tmp_path, [
+        (1, 1, "A", 5.0), (1, 2, "A", 5.0),
+        (2, 1, "A", 3.0), (2, 2, "A", 3.0),
+        (3, 1, "A", 9.0)])
+    got = mode_quantity_by_flag(str(tmp_path))
+    exp = _oracle(tmp_path, "mode_quantity_by_flag")
+    _frames_equal(got, exp, ["flag"])
+    assert got["mode_q"].tolist() == [3.0]
+    assert got["n"].tolist() == [2]
+
+
+def test_mode_null_flag_group_survives_and_null_qty_invisible(tmp_path):
+    """A NULL returnflag is its own GROUP BY group and must survive the
+    argmax join (the SQL uses IS NOT DISTINCT FROM — a plain equi-join
+    would silently drop it); null quantities are excluded from the
+    counts on both engines."""
+    _lineitem(tmp_path, [
+        (1, 1, None, 7.0), (1, 2, None, 7.0), (1, 3, None, 2.0),
+        (2, 1, "N", 4.0), (2, 2, "N", None)])
+    got = mode_quantity_by_flag(str(tmp_path))
+    exp = _oracle(tmp_path, "mode_quantity_by_flag")
+    _frames_equal(got, exp, ["flag"])
+    assert len(got) == 2
+    byflag = {("null" if pd.isna(f) else f): (q, n)
+              for f, q, n in zip(got["flag"], got["mode_q"], got["n"])}
+    assert byflag["null"] == (7.0, 2)
+    assert byflag["N"] == (4.0, 1)
+
+
+def test_mode_all_null_quantities_yield_empty(tmp_path):
+    """Every quantity NULL → no countable rows → zero output rows on
+    both engines (the flag group itself vanishes with its rows)."""
+    _lineitem(tmp_path, [(1, 1, "A", None), (1, 2, "B", None)])
+    got = mode_quantity_by_flag(str(tmp_path))
+    exp = _oracle(tmp_path, "mode_quantity_by_flag")
+    assert len(got) == 0 and len(exp) == 0
