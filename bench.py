@@ -250,6 +250,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.bigram_logprob_documents(sf_dir).count())
     timed("mode_quantity_by_flag",
           lambda: len(R.mode_quantity_by_flag(sf_dir)))
+    timed("spend_deciles_customers",
+          lambda: len(R.spend_deciles_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -7752,3 +7752,115 @@ def mode_quantity_by_flag(sf_dir: str):
     out["mode_q"] = out["mode_q"].astype("float64")
     out["n"] = out["n"].astype("int64")
     return out[["flag", "mode_q", "n"]].reset_index(drop=True)
+
+
+def spend_deciles_customers(sf_dir: str, k: int = 10):
+    """Customer spend deciles (ORACLED against NTILE(10)): per-customer
+    total spend in EXACT CENTS, bucketed into k equal-frequency bands
+    with SQL NTILE's uneven-split rule (the first n%k buckets take the
+    extra row) over the deterministic total order (spend, custkey) —
+    the distribution table behind tiering/LTV reports, and the
+    DISTRIBUTED GLOBAL-RANK pattern: per-customer combiner sums
+    (custkey-bounded shuffle, hash aggregate — near-table-cardinality
+    keys) → Ray range sort on (spend, c) → ONE batches-bounded
+    (first-key, count) block-summary gather → driver prefix-sums block
+    offsets → a second block-aligned pass (batch_size=None on the SAME
+    materialized sorted dataset — batches ARE blocks, both passes) maps
+    each row's global 0-based position to its NTILE bucket and emits
+    <= k partial rows per block. No row-level data ever reaches the
+    driver; the finish is (blocks x k)-bounded.
+
+    Spend sums CENTS as int64 — sum(CAST(price*100 AS BIGINT)) per
+    ORDER on both engines — so the sort key is exact and no float
+    summation order can reorder two customers across a decile
+    boundary (the 0.29*100 = 28.999… trap: both engines round the
+    SAME double to the SAME 29). Null custkeys and null prices are
+    excluded on both engines; a customer with only null-price orders
+    is ABSENT (no countable rows), ties order by custkey."""
+    import ray as _ray
+
+    from ..util import worker_cached
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("o_custkey").is_valid(),
+                             b.column("o_totalprice").is_valid()))
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "c": t.column("o_custkey"),
+            "cents": pa.array(np.rint(v * 100.0).astype(np.int64))})
+
+    spend = grouped_agg_hash(
+        ds.map_batches(clean, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["c"], {"cents": "spend"}, count_alias="_c") \
+        .select_columns(["c", "spend"]) \
+        .sort(["spend", "c"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"s0": pa.array([], pa.int64()),
+                             "c0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"s0": pa.array([b["spend"][0].as_py()]),
+                         "c0": pa.array([b["c"][0].as_py()]),
+                         "cnt": pa.array([b.num_rows])})
+
+    out_empty = pd.DataFrame({
+        "decile": pd.Series([], dtype="int64"),
+        "n_cust": pd.Series([], dtype="int64"),
+        "lo_cents": pd.Series([], dtype="int64"),
+        "hi_cents": pd.Series([], dtype="int64")})
+    summ = spend.map_batches(summary, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=None).to_pandas()
+    if summ.empty or "s0" not in summ.columns:
+        return out_empty
+    # blocks are disjoint ordered ranges of the UNIQUE (spend, c) key:
+    # sorting the summaries by first key orders the blocks
+    summ = summ.sort_values(["s0", "c0"]).reset_index(drop=True)
+    n = int(summ["cnt"].sum())
+    offs = np.concatenate(([0], summ["cnt"].cumsum().to_numpy()[:-1]))
+    lut = {(int(s), int(c)): int(o)
+           for s, c, o in zip(summ["s0"], summ["c0"], offs)}
+    size, rem = divmod(n, k)
+    ref = _ray.put(lut)
+
+    def bucketize(b: pa.Table, *, ref=ref) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64()),
+                          "lo": pa.array([], pa.int64()),
+                          "hi": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        table = worker_cached(("ntile_offs", ref.hex()),
+                              lambda: _ray.get(ref))
+        s = b["spend"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        pos = table[(int(s[0]), int(c[0]))] + np.arange(b.num_rows)
+        # SQL NTILE: the first rem buckets take size+1 rows
+        cut = rem * (size + 1)
+        dec = np.where(pos < cut,
+                       pos // max(size + 1, 1),
+                       rem + (pos - cut) // max(size, 1)) + 1
+        t = pa.table({"decile": pa.array(dec.astype(np.int64)),
+                      "s1": pa.array(s), "s2": pa.array(s)})
+        g = t.group_by(["decile"]).aggregate(
+            [([], "count_all"), ("s1", "min"), ("s2", "max")])
+        # select by NAME: pyarrow group_by key/aggregate column order
+        # differs across versions
+        g = g.select(["decile", "count_all", "s1_min", "s2_max"])
+        return g.rename_columns(["decile", "n_part", "lo", "hi"])
+
+    parts = spend.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=None).to_pandas()
+    if parts.empty or "decile" not in parts.columns:
+        return out_empty
+    out = parts.groupby("decile", sort=True).agg(
+        n_cust=("n_part", "sum"), lo_cents=("lo", "min"),
+        hi_cents=("hi", "max")).reset_index()
+    for col in ("decile", "n_cust", "lo_cents", "hi_cents"):
+        out[col] = out[col].astype("int64")
+    return out

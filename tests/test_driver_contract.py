@@ -137,6 +137,7 @@ def oracle_pairs():
     "drawdown_daily_events", "weighted_median_price",
     "cusum_daily_events", "rolling_median_daily_events",
     "bigram_logprob_documents", "mode_quantity_by_flag",
+    "spend_deciles_customers",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -15,7 +15,8 @@ import pytest
 
 from jsonschema_ray.pipelines.relational import (
     bigram_logprob_documents, cusum_daily_events,
-    mode_quantity_by_flag, rolling_median_daily_events)
+    mode_quantity_by_flag, rolling_median_daily_events,
+    spend_deciles_customers)
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -330,3 +331,60 @@ def test_mode_all_null_quantities_yield_empty(tmp_path):
     got = mode_quantity_by_flag(str(tmp_path))
     exp = _oracle(tmp_path, "mode_quantity_by_flag")
     assert len(got) == 0 and len(exp) == 0
+
+
+# ---------------------------------------------------------------------------
+# spend_deciles_customers
+
+
+def _orders(tmp_path, rows):
+    """rows: (orderkey, custkey|None, totalprice|None)."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+
+
+def test_deciles_uneven_split_rule(tmp_path):
+    """12 customers into 10 buckets: SQL NTILE gives the FIRST n%k
+    buckets the extra row — deciles 1 and 2 take 2 customers, 3..10
+    take 1; boundaries follow the (spend, custkey) total order."""
+    _orders(tmp_path, [(i, i, float(i)) for i in range(1, 13)])
+    got = spend_deciles_customers(str(tmp_path))
+    exp = _oracle(tmp_path, "spend_deciles_customers")
+    _frames_equal(got, exp, ["decile"])
+    assert got["n_cust"].tolist() == [2, 2] + [1] * 8
+    assert got["lo_cents"].tolist()[0] == 100
+    assert got["hi_cents"].tolist()[0] == 200
+
+
+def test_deciles_tie_breaks_by_custkey(tmp_path):
+    """Every customer ties on spend: the (spend, custkey) total order
+    decides which side of each decile boundary a customer falls —
+    the smaller custkey lands in the EARLIER decile on both engines."""
+    _orders(tmp_path, [(i, i, 7.0) for i in range(1, 13)])
+    got = spend_deciles_customers(str(tmp_path))
+    exp = _oracle(tmp_path, "spend_deciles_customers")
+    _frames_equal(got, exp, ["decile"])
+    assert got["n_cust"].tolist() == [2, 2] + [1] * 8
+    assert set(got["lo_cents"]) == {700}
+
+
+def test_deciles_cents_exact_and_nulls_excluded(tmp_path):
+    """0.29 · 100 = 28.999999999999996: BOTH engines round the same
+    double to the SAME 29 cents (the float-cents trap that would
+    otherwise reorder customers across a boundary). Null custkeys and
+    null prices are invisible; a customer with ONLY null-price orders
+    is ABSENT, and multiple orders per customer sum exactly."""
+    _orders(tmp_path, [
+        (1, 1, 0.29), (2, 1, 0.29),       # customer 1: 58 cents
+        (3, 2, 0.10), (4, 2, None),        # null price invisible
+        (5, 3, None),                      # only-null customer: absent
+        (6, None, 9.99)])                  # null custkey invisible
+    got = spend_deciles_customers(str(tmp_path))
+    exp = _oracle(tmp_path, "spend_deciles_customers")
+    _frames_equal(got, exp, ["decile"])
+    assert len(got) == 2   # n=2 < k: deciles 1..2 only, one each
+    assert got["lo_cents"].tolist() == [10, 58]
+    assert got["n_cust"].tolist() == [1, 1]
