@@ -51,10 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
-        "median_gap_by_user": R.median_gap_by_user,       # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
-        "pareto_sources": R.pareto_sources,               # oracled
-        "latest_event_per_user": R.latest_event_per_user,  # oracled
         "ttr_documents": R.ttr_documents,                 # oracled
         "split_leakage_documents": R.split_leakage_documents,  # oracled
         "fuzzy_components_customers":
@@ -117,6 +114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_quantity_by_flag": R.mode_quantity_by_flag,  # oracled
         "spend_deciles_customers":
             R.spend_deciles_customers,                     # oracled
+        # --- session-16 additions (oracled)
+        "hhi_sources_by_lang": R.hhi_sources_by_lang,      # oracled
+        "fano_daily_events": R.fano_daily_events,          # oracled
+        "dup_cluster_sizes_documents":
+            R.dup_cluster_sizes_documents,                 # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -128,6 +130,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (evicted for the session-15 block: set-similarity,
         # prefix-hash and per-user-lag families, pin-dense, two
         # sessions of local two-engine green at 3 SFs)
+        # (evicted for the session-16 block: per-user gap / source
+        # concentration / per-user argmax families — longest-tenured
+        # in-window entries, pin-dense, multi-session two-engine
+        # green at 3 SFs; source distribution stays covered by
+        # dedup_rate_by_source + the new hhi_sources_by_lang)
+        "median_gap_by_user": R.median_gap_by_user,       # oracled
+        "pareto_sources": R.pareto_sources,               # oracled
+        "latest_event_per_user": R.latest_event_per_user,  # oracled
         "jaccard_event_types": R.jaccard_event_types,     # oracled
         "prefix_dup_documents": R.prefix_dup_documents,   # oracled
         "events_next_order": R.events_next_order,         # oracled
@@ -772,6 +782,42 @@ SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
        CAST(min(spend) AS BIGINT) AS lo_cents,
        CAST(max(spend) AS BIGINT) AS hi_cents
 FROM b GROUP BY decile ORDER BY decile""",
+        "hhi_sources_by_lang": """
+WITH c AS (SELECT lang, source, count(*) AS n FROM documents
+           WHERE source IS NOT NULL GROUP BY lang, source)
+SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       round(CAST(sum(CAST(n AS HUGEINT)*n) AS DOUBLE)
+             / CAST(sum(CAST(n AS HUGEINT))
+                    * sum(CAST(n AS HUGEINT)) AS DOUBLE), 6) AS hhi
+FROM c GROUP BY lang ORDER BY lang""",
+        "fano_daily_events": """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT event_type, d, count(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM e),
+grid AS (
+  SELECT t.event_type, CAST(g.d AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+        FROM b) g),
+f AS (
+  SELECT grid.event_type, grid.d, coalesce(c.n, 0) AS n
+  FROM grid LEFT JOIN c
+    ON c.event_type = grid.event_type AND c.d = grid.d)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(count(*) * sum(CAST(n AS HUGEINT)*n)
+                  - sum(CAST(n AS HUGEINT))
+                    * sum(CAST(n AS HUGEINT)) AS DOUBLE)
+             / CAST(count(*) * sum(CAST(n AS HUGEINT)) AS DOUBLE),
+             6) AS fano
+FROM f GROUP BY event_type ORDER BY event_type""",
+        "dup_cluster_sizes_documents": """
+WITH c AS (SELECT count(*) AS sz FROM documents
+           WHERE text IS NOT NULL GROUP BY md5(text))
+SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY sz ORDER BY sz""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

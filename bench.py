@@ -252,6 +252,12 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.mode_quantity_by_flag(sf_dir)))
     timed("spend_deciles_customers",
           lambda: len(R.spend_deciles_customers(sf_dir)))
+    timed("hhi_sources_by_lang",
+          lambda: len(R.hhi_sources_by_lang(sf_dir)))
+    timed("fano_daily_events",
+          lambda: len(R.fano_daily_events(sf_dir)))
+    timed("dup_cluster_sizes_documents",
+          lambda: len(R.dup_cluster_sizes_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -7864,3 +7864,143 @@ def spend_deciles_customers(sf_dir: str, k: int = 10):
     for col in ("decile", "n_cust", "lo_cents", "hi_cents"):
         out[col] = out[col].astype("int64")
     return out
+
+
+def hhi_sources_by_lang(sf_dir: str):
+    """Herfindahl-Hirschman concentration of sources per language
+    (ORACLED): hhi = sum over sources of (share of the lang's docs)^2
+    — the market-concentration index a curation pipeline reads to
+    catch a language silently dominated by one crawl source (the
+    drift/imbalance family of the reference's distribution checks,
+    checks/drift.go semantics, here as a composition diagnostic).
+    The corpus scan distributes (grouped_agg per-batch partials on the
+    lang x source key — vocabulary-bounded shuffle); the finish is
+    vocabulary-bounded driver work in PYTHON INTS: the numerator
+    sum(n_s^2) overflows int64 once any source holds > 3e9 docs, so
+    the exact integers live in arbitrary precision (the SQL side sums
+    HUGEINT) and ONE double divide at the end matches the SQL operand
+    order, round 6dp. A null source is EXCLUDED on both engines (it is
+    no source); a null lang is its own GROUP BY group and sorts last
+    (pandas sort=True NaN-last == DuckDB ORDER BY NULLS LAST). A lang
+    with a single source answers exactly 1.0; k equal sources answer
+    exactly 1/k when k divides the count evenly."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("source").is_valid())
+
+    agg = grouped_agg(
+        ds.map_batches(clean, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["lang", "source"], {}, count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "lang": pd.Series([], dtype="object"),
+        "n_docs": pd.Series([], dtype="int64"),
+        "n_sources": pd.Series([], dtype="int64"),
+        "hhi": pd.Series([], dtype="float64")})
+    if agg.empty or "lang" not in agg.columns:
+        return out_empty
+    rows = []
+    for lang, g in agg.groupby("lang", dropna=False, sort=True):
+        ns = [int(v) for v in g["n"]]
+        total = sum(ns)
+        num = sum(v * v for v in ns)  # exact at any scale
+        rows.append({
+            "lang": None if pd.isna(lang) else lang,
+            "n_docs": total, "n_sources": len(ns),
+            "hhi": float(duckdb_round(
+                float(num) / float(total * total), 6))})
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_sources"] = out["n_sources"].astype("int64")
+    out["hhi"] = out["hhi"].astype("float64")
+    return out
+
+
+def fano_daily_events(sf_dir: str):
+    """Fano factor (index of dispersion) of each type's daily count
+    series (ORACLED): population variance / mean over the shared dense
+    zero-filled calendar grid — the burstiness statistic (Poisson
+    arrivals sit at 1; bursty traffic far above; a metronome near 0);
+    seventh consumer of _dense_daily_counts, and a calendar gap IS
+    dispersion so the grid must zero-fill (pinned). Kept exact as
+    integers end-to-end: fano = (m*sum(x^2) - (sum x)^2) / (m*sum x)
+    with PYTHON-INT sums (daily counts squared overflow int64 once a
+    day holds > 3e9 events; the SQL side sums HUGEINT), then ONE
+    double divide in the SQL operand order, round 6dp. A constant
+    series answers exactly 0.0, as does a single-day grid (m=1 makes
+    the numerator identically zero); the mean is never 0 because an
+    observed type has >= 1 event. Null ts / null type rows are
+    invisible on both engines."""
+    f = _dense_daily_counts(sf_dir)
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_days": pd.Series([], dtype="int64"),
+        "fano": pd.Series([], dtype="float64")})
+    if f is None:
+        return out_empty
+    rows = []
+    for t, g in f.groupby("event_type", sort=True):
+        ns = [int(v) for v in g["n"]]
+        m = len(ns)
+        sx = sum(ns)
+        sxx = sum(v * v for v in ns)
+        rows.append({
+            "event_type": t, "n_days": m,
+            "fano": float(duckdb_round(
+                float(m * sxx - sx * sx) / float(m * sx), 6))})
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    out["fano"] = out["fano"].astype("float64")
+    return out
+
+
+def dup_cluster_sizes_documents(sf_dir: str):
+    """Histogram of exact-duplicate cluster sizes (ORACLED): group docs
+    by full 128-bit MD5 of the text, then count clusters per size —
+    the dedup DIAGNOSTIC table (how much of the corpus is singletons
+    vs. template spam; the reference's duplicate-detection family,
+    checks/uniqueness.go semantics, read as a distribution instead of
+    a verdict). Two-level aggregation, nothing corpus-sized ever
+    gathers: per-batch md5 partials -> grouped_agg_hash on the
+    (h1, h2) digest halves (near-corpus-cardinality keys — the PAIR
+    aggregate shape, so the hash-partition variant, one narrow row
+    per distinct text on the wire) -> grouped_agg on the cluster SIZE
+    (size-vocabulary-bounded second shuffle) -> size-bounded driver
+    finish. MD5 follows the md5lsh convention (the one DuckDB-
+    reproducible hash; hashlib per row with the digest buffer
+    vectorized via frombuffer — same cost class as the oracled
+    md5-LSH family, and 128 bits make collisions vs the SQL's
+    GROUP BY md5(text) physically negligible). Null texts are
+    EXCLUDED on both engines; clustering is pure content (the same
+    text under different doc_id/lang/source merges — pinned)."""
+    import hashlib
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def digest(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("text").is_valid())
+        if t.num_rows == 0:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        buf = b"".join(
+            hashlib.md5(s.encode("utf-8")).digest()
+            for s in t.column("text").to_pylist())
+        h = np.frombuffer(buf, dtype="<i8").reshape(-1, 2)
+        return pa.table({"h1": pa.array(h[:, 0]),
+                         "h2": pa.array(h[:, 1])})
+
+    clusters = grouped_agg_hash(
+        ds.map_batches(digest, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["h1", "h2"], {}, count_alias="size")
+    hist = grouped_agg(clusters.select_columns(["size"]),
+                       ["size"], {}, count_alias="n_clusters").to_pandas()
+    out_empty = pd.DataFrame({
+        "size": pd.Series([], dtype="int64"),
+        "n_clusters": pd.Series([], dtype="int64")})
+    if hist.empty or "size" not in hist.columns:
+        return out_empty
+    out = hist.sort_values("size").reset_index(drop=True)
+    out["size"] = out["size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out[["size", "n_clusters"]]

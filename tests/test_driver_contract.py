@@ -138,6 +138,8 @@ def oracle_pairs():
     "cusum_daily_events", "rolling_median_daily_events",
     "bigram_logprob_documents", "mode_quantity_by_flag",
     "spend_deciles_customers",
+    "hhi_sources_by_lang", "fano_daily_events",
+    "dup_cluster_sizes_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1,0 +1,246 @@
+"""Session-16 operators: HHI source concentration, Fano factor of the
+daily grid, and the exact-dup cluster-size histogram — crafted edge
+branches the sf oracles can't reach (single-source langs, exact 1/k
+splits, calendar gaps, null rows, content-pure clustering). The
+sf-scale value oracles run in test_driver_contract and were
+hand-verified at sf0.001/0.01/0.1."""
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jsonschema_ray.pipelines.relational import (
+    dup_cluster_sizes_documents, fano_daily_events, hhi_sources_by_lang)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+DAY = 86_400_000_000  # one day in µs
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _events(tmp_path, rows):
+    """rows: (event_id, user_id|None, ts_us|None, event_type|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }))
+
+
+def _documents(tmp_path, rows):
+    """rows: (doc_id, text|None, lang|None, source|None)."""
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+    }))
+
+
+def _oracle(tmp_path, name):
+    import duckdb
+
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders",
+              "customer", "supplier", "nation", "region", "part"):
+        p = os.path.join(str(tmp_path), f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}')")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+def _frames_equal(got, exp, sort_cols):
+    got = got[list(exp.columns)].sort_values(sort_cols) \
+        .reset_index(drop=True)
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in exp.columns:
+        gv, ev = got[c].to_numpy(), exp[c].to_numpy()
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            assert np.array_equal(
+                np.nan_to_num(gv.astype(float), nan=-1.0),
+                np.nan_to_num(ev.astype(float), nan=-1.0)), c
+        else:
+            assert np.array_equal(gv.astype(str), ev.astype(str)), c
+
+
+# ---------------------------------------------------------------------------
+# hhi_sources_by_lang
+
+
+def test_hhi_single_source_is_one_and_even_split_is_one_over_k(tmp_path):
+    """A lang fed by ONE source answers exactly 1.0; four equal
+    sources answer exactly 0.25 — both representable doubles, so the
+    6dp round is a no-op and the match is bit-exact."""
+    rows = [(1, "a", "en", "s0"), (2, "b", "en", "s0"),
+            (3, "c", "en", "s0")]
+    rows += [(10 + i, f"t{i}", "de", f"src{i % 4}") for i in range(8)]
+    _documents(tmp_path, rows)
+    got = hhi_sources_by_lang(str(tmp_path))
+    exp = _oracle(tmp_path, "hhi_sources_by_lang")
+    _frames_equal(got, exp, ["lang"])
+    by = got.set_index("lang")
+    assert by.loc["en", "hhi"] == 1.0
+    assert by.loc["de", "hhi"] == 0.25
+    assert int(by.loc["de", "n_sources"]) == 4
+
+
+def test_hhi_uneven_split_hand_value(tmp_path):
+    """(3,1) split: hhi = (9+1)/16 = 0.625 exactly."""
+    _documents(tmp_path, [
+        (1, "a", "en", "big"), (2, "b", "en", "big"),
+        (3, "c", "en", "big"), (4, "d", "en", "small")])
+    got = hhi_sources_by_lang(str(tmp_path))
+    exp = _oracle(tmp_path, "hhi_sources_by_lang")
+    _frames_equal(got, exp, ["lang"])
+    assert got["hhi"].iloc[0] == 0.625
+    assert int(got["n_docs"].iloc[0]) == 4
+
+
+def test_hhi_null_source_excluded_null_lang_own_group(tmp_path):
+    """A null source is no source (excluded on both engines — it must
+    not form a phantom category that dilutes the index); a null LANG
+    is its own GROUP BY group and sorts last."""
+    _documents(tmp_path, [
+        (1, "a", "en", "s0"), (2, "b", "en", None),
+        (3, "c", None, "s1"), (4, "d", None, "s1"),
+        (5, "e", None, "s2")])
+    got = hhi_sources_by_lang(str(tmp_path))
+    exp = _oracle(tmp_path, "hhi_sources_by_lang")
+    _frames_equal(got, exp, ["n_docs"])
+    assert len(got) == 2
+    en = got[got["lang"] == "en"]
+    assert int(en["n_docs"].iloc[0]) == 1  # the null-source row is gone
+    nul = got[got["lang"].isna()]
+    assert int(nul["n_docs"].iloc[0]) == 3
+    # (2,1) split: (4+1)/9
+    assert nul["hhi"].iloc[0] == float(np.round(5.0 / 9.0, 6))
+
+
+def test_hhi_all_null_sources_empty(tmp_path):
+    _documents(tmp_path, [(1, "a", "en", None), (2, "b", "de", None)])
+    got = hhi_sources_by_lang(str(tmp_path))
+    exp = _oracle(tmp_path, "hhi_sources_by_lang")
+    assert len(got) == 0 and len(exp) == 0
+    assert list(got.columns) == ["lang", "n_docs", "n_sources", "hhi"]
+
+
+# ---------------------------------------------------------------------------
+# fano_daily_events
+
+
+def test_fano_constant_series_is_zero(tmp_path):
+    """One event per day for four days: variance 0 → fano exactly 0.0."""
+    _events(tmp_path, [(i + 1, 1, i * DAY, "click") for i in range(4)])
+    got = fano_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "fano_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    assert got["fano"].iloc[0] == 0.0
+    assert int(got["n_days"].iloc[0]) == 4
+
+
+def test_fano_gap_zero_fill_hand_value(tmp_path):
+    """4 events on day0, 1 on day4 → grid [4,0,0,0,1]: m=5, Σx=5,
+    Σx²=17, fano = (5·17−25)/(5·5) = 60/25 = 2.4 exactly. The three
+    GAP days are load-bearing: without zero-fill the series would be
+    [4,1] and fano (2·17−25)/(2·5) = 0.9."""
+    _events(tmp_path, [(i, 1, 0 * DAY, "burst") for i in range(1, 5)]
+            + [(5, 1, 4 * DAY, "burst")])
+    got = fano_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "fano_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    assert got["fano"].iloc[0] == 2.4
+    assert int(got["n_days"].iloc[0]) == 5
+
+
+def test_fano_single_day_grid_is_zero(tmp_path):
+    """m=1 makes the numerator m·Σx²−(Σx)² identically zero for any
+    count — the degenerate grid answers 0.0, not a division error."""
+    _events(tmp_path, [(1, 1, 0, "click"), (2, 2, 1000, "click")])
+    got = fano_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "fano_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    assert got["fano"].iloc[0] == 0.0
+
+
+def test_fano_global_grid_and_null_rows(tmp_path):
+    """Types share the GLOBAL calendar: 'rare' fires once on day2 but
+    its series spans all 3 grid days [0,0,1] → fano = (3·1−1)/(3·1)
+    = 2/3 (rounded 6dp). Null ts and null type rows are invisible."""
+    _events(tmp_path, [
+        (1, 1, 0 * DAY, "steady"), (2, 1, 1 * DAY, "steady"),
+        (3, 1, 2 * DAY, "steady"), (4, 1, 2 * DAY, "rare"),
+        (5, 1, None, "steady"), (6, 1, 1 * DAY, None)])
+    got = fano_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "fano_daily_events")
+    _frames_equal(got, exp, ["event_type"])
+    by = got.set_index("event_type")
+    assert by.loc["steady", "fano"] == 0.0
+    assert by.loc["rare", "fano"] == float(np.round(2.0 / 3.0, 6))
+    assert int(by.loc["rare", "n_days"]) == 3
+
+
+def test_fano_empty_events_empty_frame(tmp_path):
+    _events(tmp_path, [(1, 1, None, None)])
+    got = fano_daily_events(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["event_type", "n_days", "fano"]
+
+
+# ---------------------------------------------------------------------------
+# dup_cluster_sizes_documents
+
+
+def test_dup_cluster_histogram_hand_case(tmp_path):
+    """3×'aaa', 2×'bb', 1×'c' → sizes {3:1, 2:1, 1:1}."""
+    _documents(tmp_path, [
+        (1, "aaa", "en", "s"), (2, "aaa", "en", "s"),
+        (3, "aaa", "en", "s"), (4, "bb", "en", "s"),
+        (5, "bb", "en", "s"), (6, "c", "en", "s")])
+    got = dup_cluster_sizes_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "dup_cluster_sizes_documents")
+    _frames_equal(got, exp, ["size"])
+    assert got.set_index("size")["n_clusters"].to_dict() == {
+        1: 1, 2: 1, 3: 1}
+
+
+def test_dup_clustering_is_content_pure(tmp_path):
+    """The SAME text under different doc_id / lang / source is ONE
+    cluster — dedup keys on content alone (the exact-dedup contract);
+    unicode round-trips through the UTF-8 md5 on both engines."""
+    _documents(tmp_path, [
+        (1, "héllo wörld", "en", "s0"), (2, "héllo wörld", "de", "s1"),
+        (3, "héllo wörld", None, None), (4, "other", "en", "s0")])
+    got = dup_cluster_sizes_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "dup_cluster_sizes_documents")
+    _frames_equal(got, exp, ["size"])
+    assert got.set_index("size")["n_clusters"].to_dict() == {1: 1, 3: 1}
+
+
+def test_dup_null_text_excluded_empty_string_is_a_doc(tmp_path):
+    """Null text is no document (excluded); the EMPTY string is a real
+    (degenerate) document and clusters normally."""
+    _documents(tmp_path, [
+        (1, None, "en", "s"), (2, "", "en", "s"), (3, "", "en", "s")])
+    got = dup_cluster_sizes_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "dup_cluster_sizes_documents")
+    _frames_equal(got, exp, ["size"])
+    assert got.set_index("size")["n_clusters"].to_dict() == {2: 1}
+
+
+def test_dup_all_null_text_empty(tmp_path):
+    _documents(tmp_path, [(1, None, "en", "s")])
+    got = dup_cluster_sizes_documents(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["size", "n_clusters"]
