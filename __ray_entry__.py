@@ -52,7 +52,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
-        "ttr_documents": R.ttr_documents,                 # oracled
         "split_leakage_documents": R.split_leakage_documents,  # oracled
         "fuzzy_components_customers":
             R.fuzzy_components_customers,                 # oracled
@@ -119,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_daily_events": R.fano_daily_events,          # oracled
         "dup_cluster_sizes_documents":
             R.dup_cluster_sizes_documents,                 # oracled
+        "spearman_quantity_discount":
+            R.spearman_quantity_discount,                  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -134,7 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # concentration / per-user argmax families — longest-tenured
         # in-window entries, pin-dense, multi-session two-engine
         # green at 3 SFs; source distribution stays covered by
-        # dedup_rate_by_source + the new hhi_sources_by_lang)
+        # dedup_rate_by_source + the new hhi_sources_by_lang;
+        # ttr's per-doc token-set machinery stays covered by
+        # tokenset_dedup_documents IN the window)
+        "ttr_documents": R.ttr_documents,                 # oracled
         "median_gap_by_user": R.median_gap_by_user,       # oracled
         "pareto_sources": R.pareto_sources,               # oracled
         "latest_event_per_user": R.latest_event_per_user,  # oracled
@@ -818,6 +822,39 @@ WITH c AS (SELECT count(*) AS sz FROM documents
            WHERE text IS NOT NULL GROUP BY md5(text))
 SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM c GROUP BY sz ORDER BY sz""",
+        # NOTE the CAST(... AS VARCHAR) AS DOUBLE route: DuckDB's direct
+        # HUGEINT->DOUBLE cast double-rounds (upper*2^64 + lower) while
+        # the string route is a correctly-rounded strtod == Python's
+        # float(int) — property-tested in test_session16_ops.
+        "spearman_quantity_discount": """
+WITH e AS (SELECT l_quantity AS q, l_discount AS d FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND isfinite(l_quantity) AND isfinite(l_discount)),
+c AS (SELECT q, d, count(*) AS w FROM e GROUP BY q, d),
+mq AS (SELECT q, sum(w) AS nq FROM c GROUP BY q),
+rq AS (SELECT q, 2*COALESCE(SUM(nq) OVER (ORDER BY q
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + nq + 1 AS rx FROM mq),
+md AS (SELECT d, sum(w) AS nd FROM c GROUP BY d),
+rd AS (SELECT d, 2*COALESCE(SUM(nd) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + nd + 1 AS ry FROM md),
+j AS (SELECT CAST(c.w AS HUGEINT) AS w, rq.rx, rd.ry
+      FROM c JOIN rq ON c.q = rq.q JOIN rd ON c.d = rd.d),
+s AS (SELECT COALESCE(sum(w),0) AS n, COALESCE(sum(w*rx),0) AS sx,
+             COALESCE(sum(w*ry),0) AS sy, COALESCE(sum(w*rx*rx),0) AS sxx,
+             COALESCE(sum(w*ry*ry),0) AS syy, COALESCE(sum(w*rx*ry),0) AS sxy
+      FROM j)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM mq) AS n_q,
+       (SELECT CAST(count(*) AS BIGINT) FROM md) AS n_d,
+       CASE WHEN n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0 THEN NULL
+            ELSE round(CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+                       / (sqrt(CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE))
+                          * sqrt(CAST(CAST(n*syy - sy*sy AS VARCHAR)
+                                      AS DOUBLE))), 6)
+       END AS rho
+FROM s""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -8004,3 +8004,100 @@ def dup_cluster_sizes_documents(sf_dir: str):
     out["size"] = out["size"].astype("int64")
     out["n_clusters"] = out["n_clusters"].astype("int64")
     return out[["size", "n_clusters"]]
+
+
+def spearman_quantity_discount(sf_dir: str):
+    """Spearman rank correlation between l_quantity and l_discount
+    (ORACLED) — the monotone-association statistic (Pearson on
+    tie-AVERAGED fractional ranks), the robust screen for "does
+    discount rise with quantity" that ignores the marginal shapes.
+    Both columns are LOW-CARDINALITY numerics (~50 x 11 values), so
+    the whole problem reduces to the (q, d) CONTINGENCY TABLE: one
+    vocabulary-bounded grouped_agg shuffle, then a cells-bounded
+    driver finish — for continuous columns the distributed
+    global-rank primitive (spend_deciles_customers) would replace the
+    marginal rank derivation; this query pins the contingency form.
+
+    Exactness: with integer weights the tie-averaged rank of value v
+    is (2*cum_below + n_v + 1)/2 — kept DOUBLED as an exact integer,
+    and the factor cancels in rho. Every moment (n, Sx, Sy, Sxx, Syy,
+    Sxy over w*rx*ry) is an exact PYTHON INT (SQL: HUGEINT; bound
+    4*N^3 < 1.7e38 holds to N ~ 3.5e12 rows), so no float summation
+    order exists. The single float step is the final
+    num / (sqrt(dx) * sqrt(dy)) in pinned operand order — and the
+    SQL converts each integer through CAST(... AS VARCHAR) AS DOUBLE
+    because DuckDB's direct HUGEINT->DOUBLE cast DOUBLE-ROUNDS
+    (upper*2^64 + lower; measured 502/30000 off-by-ulp at 70 bits)
+    while the string route is a correctly-rounded strtod == Python's
+    float(int) (property-tested on 72k adversarial ints). Null and
+    non-finite values are excluded on both engines; zero variance on
+    either side (a single distinct value) answers SQL-NULL; an empty
+    cleaned corpus answers the (0, 0, 0, NULL) aggregate row."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(b.column("l_quantity").is_valid(),
+                    b.column("l_discount").is_valid()),
+            pc.and_(pc.is_finite(b.column("l_quantity")),
+                    pc.is_finite(b.column("l_discount"))))
+        t = b.filter(m)
+        return pa.table({"q": t.column("l_quantity"),
+                         "d": t.column("l_discount")})
+
+    cells = grouped_agg(
+        ds.map_batches(clean, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["q", "d"], {}, count_alias="w").to_pandas()
+
+    def one(n_rows, n_q, n_d, rho):
+        out = pd.DataFrame({"n_rows": [n_rows], "n_q": [n_q],
+                            "n_d": [n_d], "rho": [rho]})
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["n_q"] = out["n_q"].astype("int64")
+        out["n_d"] = out["n_d"].astype("int64")
+        out["rho"] = out["rho"].astype("float64")
+        return out
+
+    if cells.empty or "q" not in cells.columns:
+        return one(0, 0, 0, None)
+
+    def doubled_ranks(keys, weights):
+        """value -> 2*avgrank as an exact Python int, ascending order."""
+        order = np.argsort(keys, kind="mergesort")
+        out, below = {}, 0
+        for i in order:
+            nv = int(weights[i])
+            out[keys[i]] = 2 * below + nv + 1
+            below += nv
+        return out
+
+    qv = cells["q"].to_numpy()
+    dv = cells["d"].to_numpy()
+    wv = cells["w"].to_numpy()
+    mq, md = {}, {}
+    for q, w in zip(qv, wv):
+        mq[q] = mq.get(q, 0) + int(w)
+    for d, w in zip(dv, wv):
+        md[d] = md.get(d, 0) + int(w)
+    rx_of = doubled_ranks(np.array(list(mq.keys())),
+                          np.array(list(mq.values()), dtype=object))
+    ry_of = doubled_ranks(np.array(list(md.keys())),
+                          np.array(list(md.values()), dtype=object))
+    n = sx = sy = sxx = syy = sxy = 0
+    for q, d, w in zip(qv, dv, wv):  # cells-bounded, exact ints
+        w = int(w)
+        rx, ry = rx_of[q], ry_of[d]
+        n += w
+        sx += w * rx
+        sy += w * ry
+        sxx += w * rx * rx
+        syy += w * ry * ry
+        sxy += w * rx * ry
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = (float(duckdb_round(
+        float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))), 6))
+        if dx > 0 and dy > 0 else None)
+    return one(n, len(mq), len(md), rho)

@@ -139,7 +139,7 @@ def oracle_pairs():
     "bigram_logprob_documents", "mode_quantity_by_flag",
     "spend_deciles_customers",
     "hhi_sources_by_lang", "fano_daily_events",
-    "dup_cluster_sizes_documents",
+    "dup_cluster_sizes_documents", "spearman_quantity_discount",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

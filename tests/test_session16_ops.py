@@ -244,3 +244,114 @@ def test_dup_all_null_text_empty(tmp_path):
     got = dup_cluster_sizes_documents(str(tmp_path))
     assert len(got) == 0
     assert list(got.columns) == ["size", "n_clusters"]
+
+
+# ---------------------------------------------------------------------------
+# spearman_quantity_discount
+
+
+def _lineitem_qd(tmp_path, rows):
+    """rows: (l_quantity|None, l_discount|None)."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_quantity": pa.array([r[0] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[1] for r in rows], pa.float64()),
+    }))
+
+
+def test_spearman_perfect_monotone_is_exactly_one(tmp_path):
+    """Strictly increasing y over distinct x: ranks coincide, so
+    num == dx == dy and rho is EXACTLY 1.0; the reverse is -1.0."""
+    from jsonschema_ray.pipelines.relational import (
+        spearman_quantity_discount)
+    _lineitem_qd(tmp_path, [(1.0, 0.01), (2.0, 0.02), (5.0, 0.07),
+                            (9.0, 0.10)])
+    got = spearman_quantity_discount(str(tmp_path))
+    exp = _oracle(tmp_path, "spearman_quantity_discount")
+    _frames_equal(got, exp, ["n_rows"])
+    assert got["rho"].iloc[0] == 1.0
+    _lineitem_qd(tmp_path, [(1.0, 0.10), (2.0, 0.07), (5.0, 0.02),
+                            (9.0, 0.01)])
+    assert spearman_quantity_discount(str(tmp_path))["rho"].iloc[0] == -1.0
+
+
+def test_spearman_tie_averaged_ranks_hand_value(tmp_path):
+    """x=[1,1,2], y=[3,4,5]: the two tied x take avg rank 1.5 (doubled
+    rank 3), so num=dx=18, dy=24 → rho = 18/(√18·√24) = 0.866025.
+    This pins the FRACTIONAL tie rule — integer min- or max-rank would
+    answer a different value."""
+    from jsonschema_ray.pipelines.relational import (
+        spearman_quantity_discount)
+    _lineitem_qd(tmp_path, [(1.0, 3.0), (1.0, 4.0), (2.0, 5.0)])
+    got = spearman_quantity_discount(str(tmp_path))
+    exp = _oracle(tmp_path, "spearman_quantity_discount")
+    _frames_equal(got, exp, ["n_rows"])
+    assert got["rho"].iloc[0] == 0.866025
+    assert int(got["n_q"].iloc[0]) == 2 and int(got["n_d"].iloc[0]) == 3
+
+
+def test_spearman_zero_variance_is_null(tmp_path):
+    """A constant x side has dx == 0 → rho SQL-NULL, rows still
+    counted (the aggregate row survives)."""
+    from jsonschema_ray.pipelines.relational import (
+        spearman_quantity_discount)
+    _lineitem_qd(tmp_path, [(7.0, 0.01), (7.0, 0.05), (7.0, 0.09)])
+    got = spearman_quantity_discount(str(tmp_path))
+    exp = _oracle(tmp_path, "spearman_quantity_discount")
+    _frames_equal(got, exp, ["n_rows"])
+    assert int(got["n_rows"].iloc[0]) == 3
+    assert math.isnan(got["rho"].iloc[0])
+
+
+def test_spearman_null_and_nonfinite_excluded(tmp_path):
+    """Null, NaN and inf on either side drop the ROW on both engines
+    (isfinite in SQL, pc.is_finite here) — they are not rankable."""
+    from jsonschema_ray.pipelines.relational import (
+        spearman_quantity_discount)
+    _lineitem_qd(tmp_path, [
+        (1.0, 0.01), (2.0, 0.02), (5.0, 0.07), (9.0, 0.10),
+        (None, 0.3), (3.0, None), (float("nan"), 0.5),
+        (4.0, float("inf"))])
+    got = spearman_quantity_discount(str(tmp_path))
+    exp = _oracle(tmp_path, "spearman_quantity_discount")
+    _frames_equal(got, exp, ["n_rows"])
+    assert int(got["n_rows"].iloc[0]) == 4
+    assert got["rho"].iloc[0] == 1.0
+
+
+def test_spearman_empty_answers_zero_row(tmp_path):
+    from jsonschema_ray.pipelines.relational import (
+        spearman_quantity_discount)
+    _lineitem_qd(tmp_path, [(None, None)])
+    got = spearman_quantity_discount(str(tmp_path))
+    exp = _oracle(tmp_path, "spearman_quantity_discount")
+    _frames_equal(got, exp, ["n_rows"])
+    assert int(got["n_rows"].iloc[0]) == 0
+    assert math.isnan(got["rho"].iloc[0])
+
+
+def test_hugeint_varchar_double_route_is_correctly_rounded():
+    """The parity mechanism behind spearman's oracle: DuckDB's direct
+    HUGEINT->DOUBLE cast DOUBLE-ROUNDS (upper*2^64 + lower — measured
+    ~1.7% off-by-ulp at 70 bits), while HUGEINT->VARCHAR->DOUBLE is a
+    correctly-rounded strtod that equals Python's float(int) exactly.
+    Guards the oracle against a DuckDB behavior change."""
+    import random
+
+    import duckdb
+    con = duckdb.connect()
+    rng = random.Random(13)
+    direct_bad = 0
+    for bits in (60, 70, 90, 110, 126):
+        for _ in range(400):
+            v = rng.getrandbits(bits) | 1
+            via_str = con.execute(
+                f"SELECT CAST(CAST(CAST('{v}' AS HUGEINT) AS VARCHAR)"
+                f" AS DOUBLE)").fetchone()[0]
+            assert via_str == float(v), v
+            direct = con.execute(
+                f"SELECT CAST(CAST('{v}' AS HUGEINT) AS DOUBLE)"
+            ).fetchone()[0]
+            direct_bad += direct != float(v)
+    # the direct cast IS lossy somewhere in this range — if this ever
+    # reads 0, DuckDB fixed it and the VARCHAR detour can be dropped
+    assert direct_bad > 0
