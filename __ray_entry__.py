@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
-        "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
         "split_leakage_documents": R.split_leakage_documents,  # oracled
         "fuzzy_components_customers":
             R.fuzzy_components_customers,                 # oracled
@@ -120,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.dup_cluster_sizes_documents,                 # oracled
         "spearman_quantity_discount":
             R.spearman_quantity_discount,                  # oracled
+        "kendall_tau_daily_events":
+            R.kendall_tau_daily_events,                    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_rate_by_source + the new hhi_sources_by_lang;
         # ttr's per-doc token-set machinery stays covered by
         # tokenset_dedup_documents IN the window)
+        "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
         "ttr_documents": R.ttr_documents,                 # oracled
         "median_gap_by_user": R.median_gap_by_user,       # oracled
         "pareto_sources": R.pareto_sources,               # oracled
@@ -855,6 +857,41 @@ SELECT CAST(n AS BIGINT) AS n_rows,
                                       AS DOUBLE))), 6)
        END AS rho
 FROM s""",
+        "kendall_tau_daily_events": """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT event_type, d, count(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM e),
+grid AS (
+  SELECT t.event_type, CAST(g.d AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+        FROM b) g),
+f AS (
+  SELECT grid.event_type, grid.d, coalesce(c.n, 0) AS n
+  FROM grid LEFT JOIN c
+    ON c.event_type = grid.event_type AND c.d = grid.d),
+p AS (SELECT a.event_type AS t1, b2.event_type AS t2, a.d,
+             a.n AS x, b2.n AS y
+      FROM f a JOIN f b2
+        ON a.d = b2.d AND a.event_type < b2.event_type),
+pp AS (SELECT p.t1, p.t2,
+         SUM((CASE WHEN p.x < q.x THEN -1 WHEN p.x > q.x THEN 1 ELSE 0 END)
+           * (CASE WHEN p.y < q.y THEN -1 WHEN p.y > q.y THEN 1 ELSE 0 END))
+           AS s,
+         SUM(CASE WHEN p.x = q.x THEN 1 ELSE 0 END) AS tx,
+         SUM(CASE WHEN p.y = q.y THEN 1 ELSE 0 END) AS ty,
+         count(*) AS n0
+       FROM p JOIN p q ON p.t1 = q.t1 AND p.t2 = q.t2 AND p.d < q.d
+       GROUP BY p.t1, p.t2)
+SELECT t1, t2, CAST(n0 AS BIGINT) AS n_pairs, CAST(s AS BIGINT) AS s,
+       CASE WHEN n0 - tx <= 0 OR n0 - ty <= 0 THEN NULL
+            ELSE round(CAST(s AS DOUBLE)
+                       / (sqrt(CAST(n0 - tx AS DOUBLE))
+                          * sqrt(CAST(n0 - ty AS DOUBLE))), 6)
+       END AS tau
+FROM pp ORDER BY t1, t2""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -260,6 +260,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.dup_cluster_sizes_documents(sf_dir)))
     timed("spearman_quantity_discount",
           lambda: len(R.spearman_quantity_discount(sf_dir)))
+    timed("kendall_tau_daily_events",
+          lambda: len(R.kendall_tau_daily_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -8101,3 +8101,67 @@ def spearman_quantity_discount(sf_dir: str):
         float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))), 6))
         if dx > 0 and dy > 0 else None)
     return one(n, len(mq), len(md), rho)
+
+
+def kendall_tau_daily_events(sf_dir: str):
+    """Kendall tau-b between every PAIR of event types' daily count
+    series (ORACLED): the rank-concordance matrix over the shared
+    dense zero-filled calendar grid — "do these two signals move
+    together day-over-day", robust to the marginal shapes and, unlike
+    the Pearson autocorr/corr family, to any monotone rescaling;
+    eighth consumer of _dense_daily_counts (a calendar gap IS signal
+    on both sides and must zero-fill — pinned). The corpus scan
+    distributes (per-batch (type, day) partials); the finish is
+    driver work bounded by calendar^2 x vocabulary-pairs: S =
+    sum over day pairs a<b of sign(x_a-x_b)*sign(y_a-y_b) runs as
+    CHUNKED numpy outer comparisons (256-row strips — no m^2
+    temporary), exact in int64 (|S| <= m^2 < 2^53 for any calendar
+    under 260k years, so the SQL's direct CAST to DOUBLE is exact),
+    tie counts from np.unique value counts. tau-b = S /
+    (sqrt(n0-tx) * sqrt(n0-ty)) with ONE float step in SQL operand
+    order, round 6dp. A constant side makes the denominator zero and
+    answers SQL-NULL; a single-day grid or a single observed type
+    answers NO rows (the SQL self-join over d < d' is empty)."""
+    f = _dense_daily_counts(sf_dir)
+    out_empty = pd.DataFrame({
+        "t1": pd.Series([], dtype="object"),
+        "t2": pd.Series([], dtype="object"),
+        "n_pairs": pd.Series([], dtype="int64"),
+        "s": pd.Series([], dtype="int64"),
+        "tau": pd.Series([], dtype="float64")})
+    if f is None:
+        return out_empty
+    series = {t: g["n"].to_numpy().astype(np.int64)
+              for t, g in f.groupby("event_type", sort=True)}
+    types = sorted(series)
+    m = len(next(iter(series.values()))) if series else 0
+    if m < 2 or len(types) < 2:
+        return out_empty
+    n0 = m * (m - 1) // 2
+    rows = []
+    for i, t1 in enumerate(types):
+        for t2 in types[i + 1:]:
+            x, y = series[t1], series[t2]
+            s_val = 0
+            for st in range(0, m, 256):  # strip-chunked outer compare
+                xa = x[st:st + 256, None]
+                ya = y[st:st + 256, None]
+                later = (np.arange(m)[None, :]
+                         > (st + np.arange(len(xa)))[:, None])
+                s_val += int((np.sign(xa - x[None, :])
+                              * np.sign(ya - y[None, :]))[later].sum())
+            tx = sum(int(c) * (int(c) - 1) // 2
+                     for c in np.unique(x, return_counts=True)[1])
+            ty = sum(int(c) * (int(c) - 1) // 2
+                     for c in np.unique(y, return_counts=True)[1])
+            tau = (float(duckdb_round(
+                float(s_val) / (math.sqrt(float(n0 - tx))
+                                * math.sqrt(float(n0 - ty))), 6))
+                if n0 > tx and n0 > ty else None)
+            rows.append({"t1": t1, "t2": t2, "n_pairs": n0,
+                         "s": s_val, "tau": tau})
+    out = pd.DataFrame(rows)
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["s"] = out["s"].astype("int64")
+    out["tau"] = out["tau"].astype("float64")
+    return out

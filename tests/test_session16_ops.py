@@ -355,3 +355,126 @@ def test_hugeint_varchar_double_route_is_correctly_rounded():
     # the direct cast IS lossy somewhere in this range — if this ever
     # reads 0, DuckDB fixed it and the VARCHAR detour can be dropped
     assert direct_bad > 0
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_daily_events
+
+
+def test_kendall_identical_and_reversed_series(tmp_path):
+    """Two types with the SAME strictly-varying daily profile answer
+    tau exactly 1.0; a third moving exactly opposite answers -1.0
+    against both."""
+    from jsonschema_ray.pipelines.relational import (
+        kendall_tau_daily_events)
+    rows, eid = [], 0
+    up = [1, 2, 4]          # strictly increasing counts per day
+    for day, k in enumerate(up):
+        for t in ("a", "b"):
+            for _ in range(k):
+                eid += 1
+                rows.append((eid, 1, day * DAY, t))
+    for day, k in enumerate(reversed(up)):  # "c" mirrors
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, 1, day * DAY, "c"))
+    _events(tmp_path, rows)
+    got = kendall_tau_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "kendall_tau_daily_events")
+    _frames_equal(got, exp, ["t1", "t2"])
+    by = got.set_index(["t1", "t2"])
+    assert by.loc[("a", "b"), "tau"] == 1.0
+    assert by.loc[("a", "c"), "tau"] == -1.0
+    assert by.loc[("b", "c"), "tau"] == -1.0
+
+
+def test_kendall_tau_b_tie_hand_value(tmp_path):
+    """x=[1,1,2] vs y=[1,2,3]: S=2, n0=3, tx=1, ty=0 → tau-b =
+    2/(√2·√3) = 0.816497 — pins the TIE-ADJUSTED denominator (plain
+    tau-a would answer 2/3)."""
+    from jsonschema_ray.pipelines.relational import (
+        kendall_tau_daily_events)
+    rows, eid = [], 0
+    for day, k in enumerate([1, 1, 2]):
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, 1, day * DAY, "x"))
+    for day, k in enumerate([1, 2, 3]):
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, 1, day * DAY, "y"))
+    _events(tmp_path, rows)
+    got = kendall_tau_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "kendall_tau_daily_events")
+    _frames_equal(got, exp, ["t1", "t2"])
+    r = got.iloc[0]
+    assert (r["t1"], r["t2"]) == ("x", "y")
+    assert int(r["n_pairs"]) == 3 and int(r["s"]) == 2
+    assert r["tau"] == 0.816497
+
+
+def test_kendall_constant_side_is_null_and_gap_is_signal(tmp_path):
+    """A constant series ties every day pair (n0 == tx) → SQL-NULL.
+    The GAP day is load-bearing: 'spiky' fires days 0 and 2 only, so
+    its zero-filled series [1,0,1] ties days 0/2 — without the grid
+    the pairing would collapse to two days and change every count."""
+    from jsonschema_ray.pipelines.relational import (
+        kendall_tau_daily_events)
+    rows, eid = [], 0
+    for day in range(3):                      # constant: 1/day
+        eid += 1
+        rows.append((eid, 1, day * DAY, "flat"))
+    for day in (0, 2):                        # gap on day 1
+        eid += 1
+        rows.append((eid, 1, day * DAY, "spiky"))
+    _events(tmp_path, rows)
+    got = kendall_tau_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "kendall_tau_daily_events")
+    _frames_equal(got, exp, ["t1", "t2"])
+    r = got.iloc[0]
+    assert (r["t1"], r["t2"]) == ("flat", "spiky")
+    assert math.isnan(r["tau"])               # flat side: n0 == tx
+    assert int(r["n_pairs"]) == 3             # the gap day IS a day
+
+
+def test_kendall_degenerate_grids_answer_empty(tmp_path):
+    """A single observed type has no pair; a single-day grid has no
+    day pair — both answer NO rows like the SQL's empty self-join."""
+    from jsonschema_ray.pipelines.relational import (
+        kendall_tau_daily_events)
+    _events(tmp_path, [(1, 1, 0, "solo"), (2, 1, DAY, "solo")])
+    got = kendall_tau_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "kendall_tau_daily_events")
+    assert len(got) == 0 and len(exp) == 0
+    _events(tmp_path, [(1, 1, 0, "a"), (2, 1, 1000, "b")])
+    got = kendall_tau_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "kendall_tau_daily_events")
+    assert len(got) == 0 and len(exp) == 0
+    assert list(got.columns) == ["t1", "t2", "n_pairs", "s", "tau"]
+
+
+def test_kendall_chunked_strip_equals_naive(tmp_path):
+    """The 256-row strip chunking crosses a boundary on a 300-day
+    grid: S from the pipeline must equal the naive all-pairs double
+    loop (and the oracle)."""
+    from jsonschema_ray.pipelines.relational import (
+        kendall_tau_daily_events)
+    rng = np.random.default_rng(5)
+    ka = rng.integers(1, 4, 300)
+    kb = rng.integers(1, 4, 300)
+    rows, eid = [], 0
+    for day in range(300):
+        for _ in range(int(ka[day])):
+            eid += 1
+            rows.append((eid, 1, day * DAY, "a"))
+        for _ in range(int(kb[day])):
+            eid += 1
+            rows.append((eid, 1, day * DAY, "b"))
+    _events(tmp_path, rows)
+    got = kendall_tau_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "kendall_tau_daily_events")
+    _frames_equal(got, exp, ["t1", "t2"])
+    s_naive = sum(
+        int(np.sign(ka[i] - ka[j]) * np.sign(kb[i] - kb[j]))
+        for i in range(300) for j in range(i + 1, 300))
+    assert int(got["s"].iloc[0]) == s_naive
