@@ -57,7 +57,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-12 additions (oracled, never driver-checked)
         "q9_product_profit": R.q9_product_profit,         # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
-        "q11_important_parts": R.q11_important_parts,     # oracled
         # --- session-13: the md5-keyed LSH family — first value-level
         # oracles over minhash/simhash signatures (SQL md5_number)
         "minhash_md5_signatures_documents":
@@ -121,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.spearman_quantity_discount,                  # oracled
         "kendall_tau_daily_events":
             R.kendall_tau_daily_events,                    # oracled
+        "auc_value_error_events":
+            R.auc_value_error_events,                      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_rate_by_source + the new hhi_sources_by_lang;
         # ttr's per-doc token-set machinery stays covered by
         # tokenset_dedup_documents IN the window)
+        "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
         "ttr_documents": R.ttr_documents,                 # oracled
         "median_gap_by_user": R.median_gap_by_user,       # oracled
@@ -892,6 +894,29 @@ SELECT t1, t2, CAST(n0 AS BIGINT) AS n_pairs, CAST(s AS BIGINT) AS s,
                           * sqrt(CAST(n0 - ty AS DOUBLE))), 6)
        END AS tau
 FROM pp ORDER BY t1, t2""",
+        "auc_value_error_events": """
+WITH e AS (
+  SELECT CAST(value*100 AS BIGINT) AS cents,
+         CASE WHEN event_type IS NOT DISTINCT FROM 'error'
+              THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL AND isfinite(value)),
+g AS (SELECT cents, SUM(pos) AS np, COUNT(*) - SUM(pos) AS nn
+      FROM e GROUP BY cents),
+s AS (SELECT np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g),
+u AS (SELECT COALESCE(SUM(CAST(np AS HUGEINT)
+                 * (2*CAST(cb AS HUGEINT) + CAST(nn AS HUGEINT))), 0) AS u2,
+             COALESCE(SUM(np), 0) AS p, COALESCE(SUM(nn), 0) AS n FROM s)
+SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+       CAST(u2 AS VARCHAR) AS u2,
+       CASE WHEN p = 0 OR n = 0 THEN NULL
+            ELSE round(CAST(CAST(u2 AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(2*CAST(p AS HUGEINT)*CAST(n AS HUGEINT)
+                                   AS VARCHAR) AS DOUBLE), 6)
+       END AS auc
+FROM u""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -8165,3 +8165,108 @@ def kendall_tau_daily_events(sf_dir: str):
     out["s"] = out["s"].astype("int64")
     out["tau"] = out["tau"].astype("float64")
     return out
+
+
+def auc_value_error_events(sf_dir: str):
+    """ROC AUC of `value` as a score for event_type == 'error'
+    (ORACLED): the Mann-Whitney statistic — P(score_pos > score_neg)
+    + 0.5*P(=) — the standard quality gate for any scorer/classifier
+    column, here read directly off the corpus with NO row-level
+    gather. Scores quantize to CENTS (np.rint(v*100) == the SQL
+    CAST(value*100 AS BIGINT), the spend_deciles-pinned recipe) so
+    the group key is exact int64; a NULL event_type is a NEGATIVE
+    ("not error" — IS NOT DISTINCT FROM in SQL, pinned), null or
+    non-finite values are excluded on both engines.
+
+    Distributed-rank shape (the spend_deciles primitive, extended to
+    an EXACT BIG-INT reduction): per-value (cents, n_pos, n_total)
+    via grouped_agg_hash (value-range-bounded keys) -> Ray range sort
+    on the unique cents key -> ONE batches-bounded pass over the
+    materialized sorted dataset emitting per BLOCK (first key, pos
+    sum, neg sum, and the two WITHIN-BLOCK products as decimal
+    strings): w = sum(n_pos_v * cumneg_strictly_below_within) and
+    t = sum(n_pos_v * n_neg_v). Those products overflow int64 once
+    n_pos*n_neg crosses 9.2e18 (a 6e9-row balanced corpus), so the
+    in-block dot products run on OBJECT-dtype arrays — arbitrary-
+    precision Python ints under a C-level loop, block-bounded, never
+    corpus-proportional on the driver — and ship as strings (Arrow
+    has no int128 column). The driver orders blocks by first key,
+    prefix-sums block negatives into offsets, and combines 2U =
+    sum_b(2*(offset_b*pos_b + w_b) + t_b) in Python ints: exact at
+    ANY scale. AUC = 2U / (2*P*N) — one float divide; the SQL
+    converts both HUGEINT operands through the VARCHAR route
+    (correctly-rounded strtod == Python float(int); the direct
+    HUGEINT->DOUBLE cast double-rounds — see
+    spearman_quantity_discount). u2 itself is returned as a decimal
+    string for an exact value pin. Zero positives or zero negatives
+    answer SQL-NULL AUC with the counts still reported; an empty
+    cleaned corpus answers the (0, 0, '0', NULL) aggregate row."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        t = b.filter(pc.and_(v.is_valid(), pc.is_finite(v)))
+        vv = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pos = pc.fill_null(
+            pc.equal(t.column("event_type"), "error"), False)
+        return pa.table({
+            "cents": pa.array(np.rint(vv * 100.0).astype(np.int64)),
+            "pos": pc.cast(pos, pa.int64())})
+
+    g = grouped_agg_hash(
+        ds.map_batches(clean, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["cents"], {"pos": "np"}, count_alias="ntot") \
+        .select_columns(["cents", "np", "ntot"]) \
+        .sort("cents").materialize()
+
+    def block_reduce(b: pa.Table) -> pa.Table:
+        empty = pa.table({"c0": pa.array([], pa.int64()),
+                          "bp": pa.array([], pa.int64()),
+                          "bn": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.string()),
+                          "t": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        npos = b.column("np").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        neg = b.column("ntot").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) - npos
+        cum = np.concatenate(([0], np.cumsum(neg)[:-1]))
+        po = npos.astype(object)
+        w = int((po * cum.astype(object)).sum())
+        t = int((po * neg.astype(object)).sum())
+        return pa.table({
+            "c0": pa.array([int(b.column("cents")[0].as_py())]),
+            "bp": pa.array([int(npos.sum())]),
+            "bn": pa.array([int(neg.sum())]),
+            "w": pa.array([str(w)]), "t": pa.array([str(t)])})
+
+    parts = g.map_batches(block_reduce, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          batch_size=None).to_pandas()
+
+    def one(n_pos, n_neg, u2, auc):
+        out = pd.DataFrame({"n_pos": [n_pos], "n_neg": [n_neg],
+                            "u2": [u2], "auc": [auc]})
+        out["n_pos"] = out["n_pos"].astype("int64")
+        out["n_neg"] = out["n_neg"].astype("int64")
+        out["u2"] = out["u2"].astype("object")
+        out["auc"] = out["auc"].astype("float64")
+        return out
+
+    if parts.empty or "c0" not in parts.columns:
+        return one(0, 0, "0", None)
+    parts = parts.sort_values("c0").reset_index(drop=True)
+    u2 = 0
+    off = 0  # negatives strictly below the current block
+    for bp, bn, w, t in zip(parts["bp"], parts["bn"],
+                            parts["w"], parts["t"]):
+        u2 += 2 * (off * int(bp) + int(w)) + int(t)
+        off += int(bn)
+    p = int(parts["bp"].sum())
+    n = int(parts["bn"].sum())
+    auc = (float(duckdb_round(float(u2) / float(2 * p * n), 6))
+           if p > 0 and n > 0 else None)
+    return one(p, n, str(u2), auc)

@@ -478,3 +478,108 @@ def test_kendall_chunked_strip_equals_naive(tmp_path):
         int(np.sign(ka[i] - ka[j]) * np.sign(kb[i] - kb[j]))
         for i in range(300) for j in range(i + 1, 300))
     assert int(got["s"].iloc[0]) == s_naive
+
+
+# ---------------------------------------------------------------------------
+# auc_value_error_events
+
+
+def _events_v(tmp_path, rows):
+    """rows: (event_id, event_type|None, value|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+
+
+def _auc(tmp_path):
+    from jsonschema_ray.pipelines.relational import auc_value_error_events
+    got = auc_value_error_events(str(tmp_path))
+    exp = _oracle(tmp_path, "auc_value_error_events")
+    _frames_equal(got, exp, ["n_pos"])
+    return got.iloc[0]
+
+
+def test_auc_perfect_separation_and_reversal(tmp_path):
+    """Every error scores above every non-error → AUC exactly 1.0;
+    flipping the classes answers exactly 0.0."""
+    _events_v(tmp_path, [(1, "error", 3.0), (2, "click", 1.0),
+                         (3, "view", 2.0)])
+    r = _auc(tmp_path)
+    assert r["auc"] == 1.0 and r["u2"] == "4"
+    _events_v(tmp_path, [(1, "error", 0.5), (2, "click", 1.0),
+                         (3, "view", 2.0)])
+    assert _auc(tmp_path)["auc"] == 0.0
+
+
+def test_auc_ties_take_half_credit_hand_value(tmp_path):
+    """pos=[2,3], neg=[1,2]: one win-win, one tie, two wins → U=3.5,
+    AUC = 3.5/4 = 0.875, 2U = 7 exactly — pins the Mann-Whitney
+    0.5-per-tie rule (rank-without-tie-averaging would answer 1.0 or
+    0.75 depending on order)."""
+    _events_v(tmp_path, [(1, "error", 2.0), (2, "error", 3.0),
+                         (3, "click", 1.0), (4, "view", 2.0)])
+    r = _auc(tmp_path)
+    assert r["u2"] == "7" and r["auc"] == 0.875
+    assert int(r["n_pos"]) == 2 and int(r["n_neg"]) == 2
+
+
+def test_auc_all_tied_is_half_and_cent_quantization(tmp_path):
+    """Scores tie at CENT granularity (the query's stated contract):
+    0.199 and 0.204 both quantize to 20 cents on both engines, so a
+    pos/neg pair there is a TIE and the degenerate corpus answers
+    exactly 0.5."""
+    _events_v(tmp_path, [(1, "error", 0.199), (2, "click", 0.204)])
+    r = _auc(tmp_path)
+    assert r["u2"] == "1" and r["auc"] == 0.5
+
+
+def test_auc_null_type_is_negative_and_dirty_values_drop(tmp_path):
+    """A NULL event_type is 'not error' → NEGATIVE class (IS NOT
+    DISTINCT FROM — pinned; a bare = would make the row vanish from
+    the SQL count). Null / NaN / inf values are unrankable and drop
+    the ROW on both engines."""
+    _events_v(tmp_path, [
+        (1, "error", 5.0), (2, None, 1.0), (3, "click", 2.0),
+        (4, "error", None), (5, "view", float("nan")),
+        (6, None, float("inf"))])
+    r = _auc(tmp_path)
+    assert int(r["n_pos"]) == 1 and int(r["n_neg"]) == 2
+    assert r["auc"] == 1.0
+
+
+def test_auc_single_class_is_null_with_counts(tmp_path):
+    """No positives (or no negatives) → AUC undefined → SQL-NULL, but
+    the class counts still report."""
+    _events_v(tmp_path, [(1, "click", 1.0), (2, "view", 2.0)])
+    r = _auc(tmp_path)
+    assert int(r["n_pos"]) == 0 and int(r["n_neg"]) == 2
+    assert r["u2"] == "0" and math.isnan(r["auc"])
+
+
+def test_auc_empty_answers_zero_row(tmp_path):
+    _events_v(tmp_path, [(1, "error", None)])
+    r = _auc(tmp_path)
+    assert int(r["n_pos"]) == 0 and int(r["n_neg"]) == 0
+    assert r["u2"] == "0" and math.isnan(r["auc"])
+
+
+def test_auc_randomized_matches_oracle(tmp_path):
+    """5k rows, 2-decimal scores over a narrow range (dense cent ties
+    across many distinct values), all five types plus nulls — the
+    block-summary prefix combine must equal the SQL window cumsum
+    exactly, u2 pinned as a decimal string."""
+    rng = np.random.default_rng(16)
+    types = ["error", "click", "view", "signup", None]
+    rows = []
+    for i in range(5000):
+        t = types[int(rng.integers(0, 5))]
+        v = float(np.round(rng.uniform(0, 20), 2))
+        rows.append((i, t, v))
+    _events_v(tmp_path, rows)
+    r = _auc(tmp_path)
+    assert int(r["n_pos"]) > 0 and int(r["n_neg"]) > 0
+    assert not math.isnan(r["auc"])  # oracle equality via _auc
