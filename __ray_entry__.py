@@ -67,8 +67,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": R.quantize_embeddings,     # oracled
         "interleave_by_source_documents":
             R.interleave_by_source_documents,             # oracled
-        "simhash_md5_pairs_documents":
-            R.simhash_md5_pairs_documents,                # oracled
         "snapshot_diff_documents": R.snapshot_diff_documents,  # oracled
         "autocorr_daily_events": R.autocorr_daily_events,  # oracled
         "scd2_intervals_events": R.scd2_intervals_events,  # oracled
@@ -122,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.kendall_tau_daily_events,                    # oracled
         "auc_value_error_events":
             R.auc_value_error_events,                      # oracled
+        "rrf_fusion_embeddings":
+            R.rrf_fusion_embeddings,                       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_rate_by_source + the new hhi_sources_by_lang;
         # ttr's per-doc token-set machinery stays covered by
         # tokenset_dedup_documents IN the window)
+        "simhash_md5_pairs_documents":
+            R.simhash_md5_pairs_documents,                # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
         "ttr_documents": R.ttr_documents,                 # oracled
@@ -917,6 +919,30 @@ SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
                                    AS VARCHAR) AS DOUBLE), 6)
        END AS auc
 FROM u""",
+        "rrf_fusion_embeddings": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 2),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, vec_id ASC) AS r
+  FROM scored),
+top AS (SELECT * FROM ranked WHERE r <= 20),
+fused AS (SELECT vec_id, SUM(1.0/(60 + r)) AS rrf,
+                 CAST(count(*) AS BIGINT) AS n_lists,
+                 CAST(min(r) AS BIGINT) AS best_rank
+          FROM top GROUP BY vec_id),
+o AS (SELECT vec_id, rrf, n_lists, best_rank,
+             row_number() OVER (ORDER BY rrf DESC, vec_id ASC) AS rank
+      FROM fused)
+SELECT vec_id, round(rrf, 6) AS rrf, n_lists, best_rank,
+       CAST(rank AS BIGINT) AS rank
+FROM o WHERE rank <= 10 ORDER BY rank""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

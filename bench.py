@@ -264,6 +264,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.kendall_tau_daily_events(sf_dir)))
     timed("auc_value_error_events",
           lambda: len(R.auc_value_error_events(sf_dir)))
+    timed("rrf_fusion_embeddings",
+          lambda: len(R.rrf_fusion_embeddings(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -8270,3 +8270,58 @@ def auc_value_error_events(sf_dir: str):
     auc = (float(duckdb_round(float(u2) / float(2 * p * n), 6))
            if p > 0 and n > 0 else None)
     return one(p, n, str(u2), auc)
+
+
+def rrf_fusion_embeddings(sf_dir: str, k_each: int = 20,
+                          k_out: int = 10, rrf_k: int = 60):
+    """Reciprocal-rank fusion of two exact ANN rankings (ORACLED) —
+    the standard zero-tuning way to combine retrievers (hybrid
+    search / multi-query recall): each corpus vector scores
+    rrf = sum over the two query lists it appears in of
+    1/(rrf_k + rank), and the fused top-k_out answers. Ranks come
+    from the SAME distributed exact-cosine scorer as
+    ann_topk_embeddings (per-batch Q@V^T partial top-k, only
+    queries x k_each candidate rows ever gather — the corpus never
+    does), each list cut at k_each with the deterministic
+    (score desc, vec_id asc) order. Float discipline: the fusion sum
+    has AT MOST TWO terms and IEEE addition of two doubles is
+    commutative, so the SQL SUM's unspecified order cannot diverge —
+    this query is pinned to exactly TWO query lists for that reason
+    (three lists would need an ordered fold); each term
+    1.0/(rrf_k + rank) is the identical double on both engines, the
+    fused ranking compares those exact doubles with the vec_id
+    tiebreak, and only the REPORTED rrf rounds (6dp). A vector
+    outside both top-k_each lists contributes nothing and cannot
+    appear; a vector in one list carries its single term. A corpus
+    with a single vector degrades to a one-list fusion (still
+    order-free); an empty corpus answers no rows."""
+    from ..ann import brute_force_topk
+    vecs, ids = _query_vectors(sf_dir, n=2)
+    out_empty = pd.DataFrame({
+        "vec_id": pd.Series([], dtype="int64"),
+        "rrf": pd.Series([], dtype="float64"),
+        "n_lists": pd.Series([], dtype="int64"),
+        "best_rank": pd.Series([], dtype="int64"),
+        "rank": pd.Series([], dtype="int64")})
+    if len(vecs) == 0:
+        return out_empty
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base = brute_force_topk(ds, vecs, query_ids=ids, k=k_each)
+    if base.empty:
+        return out_empty
+    base = base.copy()
+    base["contrib"] = 1.0 / (rrf_k + base["rank"].to_numpy())
+    fused = base.groupby("vec_id", sort=False).agg(
+        rrf=("contrib", "sum"), n_lists=("contrib", "size"),
+        best_rank=("rank", "min")).reset_index()
+    fused = fused.sort_values(["rrf", "vec_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k_out) \
+        .reset_index(drop=True)
+    fused["rank"] = np.arange(1, len(fused) + 1, dtype=np.int64)
+    fused["rrf"] = duckdb_round(fused["rrf"].to_numpy(), 6)
+    fused["vec_id"] = fused["vec_id"].astype("int64")
+    fused["n_lists"] = fused["n_lists"].astype("int64")
+    fused["best_rank"] = fused["best_rank"].astype("int64")
+    fused["rrf"] = fused["rrf"].astype("float64")
+    return fused[["vec_id", "rrf", "n_lists", "best_rank", "rank"]]

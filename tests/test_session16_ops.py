@@ -51,8 +51,8 @@ def _oracle(tmp_path, name):
 
     import __ray_entry__ as E
     con = duckdb.connect()
-    for t in ("events", "documents", "lineitem", "orders",
-              "customer", "supplier", "nation", "region", "part"):
+    for t in ("events", "documents", "lineitem", "orders", "customer",
+              "supplier", "nation", "region", "part", "embeddings"):
         p = os.path.join(str(tmp_path), f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS "
@@ -583,3 +583,73 @@ def test_auc_randomized_matches_oracle(tmp_path):
     r = _auc(tmp_path)
     assert int(r["n_pos"]) > 0 and int(r["n_neg"]) > 0
     assert not math.isnan(r["auc"])  # oracle equality via _auc
+
+
+# ---------------------------------------------------------------------------
+# rrf_fusion_embeddings
+
+
+def _embeddings(tmp_path, rows):
+    """rows: (vec_id, [floats], label)."""
+    _write(tmp_path, "embeddings", pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    }))
+
+
+def test_rrf_two_list_fusion_hand_geometry(tmp_path):
+    """Queries are vec 1=[1,0] and 2=[0,1]. Hand ranks —
+    q1: v1,v3 (cos 1.0, id tiebreak), v5 (.8), v4 (.6), v2 (0);
+    q2: v2, v4 (.8), v5 (.6), then the 0.0 tie v1, v3 by id.
+    rrf: v1=1/61+1/64, v2=1/61+1/65, v3=1/62+1/65, v4=1/62+1/64,
+    v5=2/63 — fused order v1, v2, v4, v5, v3: the v4 > v5 compare is
+    the AM-HM inequality (1/62+1/64 > 2/63 by ~8e-6), a genuinely
+    close double compare both engines must get identically."""
+    from jsonschema_ray.pipelines.relational import rrf_fusion_embeddings
+    _embeddings(tmp_path, [
+        (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [1.0, 0.0], 0),
+        (4, [0.6, 0.8], 0), (5, [0.8, 0.6], 0)])
+    got = rrf_fusion_embeddings(str(tmp_path))
+    exp = _oracle(tmp_path, "rrf_fusion_embeddings")
+    _frames_equal(got, exp, ["rank"])
+    assert got["vec_id"].tolist() == [1, 2, 4, 5, 3]
+    assert got["n_lists"].tolist() == [2, 2, 2, 2, 2]
+    assert got["best_rank"].tolist() == [1, 1, 2, 3, 2]
+    assert got["rrf"].iloc[0] == float(np.round(1 / 61 + 1 / 64, 6))
+
+
+def test_rrf_cutoff_and_single_list_terms(tmp_path):
+    """k_each=2 (unit-level param): q1's top-2 is {v1, v3}, q2's is
+    {v2, v4} — every fused vector carries ONE term, v5 appears in
+    neither list and is ABSENT; equal single terms order by vec_id."""
+    from jsonschema_ray.pipelines.relational import rrf_fusion_embeddings
+    _embeddings(tmp_path, [
+        (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [1.0, 0.0], 0),
+        (4, [0.6, 0.8], 0), (5, [0.8, 0.6], 0)])
+    got = rrf_fusion_embeddings(str(tmp_path), k_each=2)
+    assert got["vec_id"].tolist() == [1, 2, 3, 4]  # 1/61,1/61,1/62,1/62
+    assert got["n_lists"].tolist() == [1, 1, 1, 1]
+    assert 5 not in set(got["vec_id"])
+
+
+def test_rrf_single_vector_corpus_one_list(tmp_path):
+    """One corpus vector: LIMIT 2 finds one query, fusion degrades to
+    a single self-hit list on both engines."""
+    from jsonschema_ray.pipelines.relational import rrf_fusion_embeddings
+    _embeddings(tmp_path, [(7, [1.0, 0.0], 0)])
+    got = rrf_fusion_embeddings(str(tmp_path))
+    exp = _oracle(tmp_path, "rrf_fusion_embeddings")
+    _frames_equal(got, exp, ["rank"])
+    assert got["vec_id"].tolist() == [7]
+    assert got["rrf"].iloc[0] == float(np.round(1 / 61, 6))
+
+
+def test_rrf_empty_corpus(tmp_path):
+    from jsonschema_ray.pipelines.relational import rrf_fusion_embeddings
+    _embeddings(tmp_path, [])
+    got = rrf_fusion_embeddings(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["vec_id", "rrf", "n_lists",
+                                 "best_rank", "rank"]
