@@ -56,7 +56,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.fuzzy_components_customers,                 # oracled
         # --- session-12 additions (oracled, never driver-checked)
         "q9_product_profit": R.q9_product_profit,         # oracled
-        "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         # --- session-13: the md5-keyed LSH family — first value-level
         # oracles over minhash/simhash signatures (SQL md5_number)
         "minhash_md5_signatures_documents":
@@ -122,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.auc_value_error_events,                      # oracled
         "rrf_fusion_embeddings":
             R.rrf_fusion_embeddings,                       # oracled
+        "calibration_value_error_events":
+            R.calibration_value_error_events,              # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenset_dedup_documents IN the window)
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
+        "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
         "ttr_documents": R.ttr_documents,                 # oracled
@@ -943,6 +945,23 @@ o AS (SELECT vec_id, rrf, n_lists, best_rank,
 SELECT vec_id, round(rrf, 6) AS rrf, n_lists, best_rank,
        CAST(rank AS BIGINT) AS rank
 FROM o WHERE rank <= 10 ORDER BY rank""",
+        "calibration_value_error_events": """
+WITH e AS (SELECT event_id, CAST(value*100 AS BIGINT) AS cents,
+                  CASE WHEN event_type IS NOT DISTINCT FROM 'error'
+                       THEN 1 ELSE 0 END AS pos
+           FROM events
+           WHERE value IS NOT NULL AND isfinite(value)
+             AND event_id IS NOT NULL),
+b AS (SELECT cents, pos,
+             ntile(10) OVER (ORDER BY cents, event_id, pos) AS decile
+      FROM e)
+SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS pos_rate,
+       round(CAST(CAST(sum(cents) AS VARCHAR) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_cents
+FROM b GROUP BY decile ORDER BY decile""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

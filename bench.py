@@ -266,6 +266,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.auc_value_error_events(sf_dir)))
     timed("rrf_fusion_embeddings",
           lambda: len(R.rrf_fusion_embeddings(sf_dir)))
+    timed("calibration_value_error_events",
+          lambda: len(R.calibration_value_error_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

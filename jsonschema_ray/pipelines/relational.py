@@ -8325,3 +8325,137 @@ def rrf_fusion_embeddings(sf_dir: str, k_each: int = 20,
     fused["best_rank"] = fused["best_rank"].astype("int64")
     fused["rrf"] = fused["rrf"].astype("float64")
     return fused[["vec_id", "rrf", "n_lists", "best_rank", "rank"]]
+
+
+def calibration_value_error_events(sf_dir: str, k: int = 10):
+    """Calibration table of `value` scoring event_type == 'error'
+    (ORACLED): rows sort by score and split into k equal-frequency
+    NTILE buckets; each bucket reports its size, positive count,
+    realized positive RATE and mean score — read next to
+    auc_value_error_events it answers "is the scorer calibrated, and
+    where does it separate". Composes three pinned primitives:
+    the spend_deciles distributed NTILE (Ray range sort on a
+    deterministic total order -> ONE batches-bounded block-summary
+    gather -> driver prefix offsets -> a second block-aligned pass
+    emitting <= k partial rows per block), the cents quantization
+    (np.rint(v*100) == CAST(value*100 AS BIGINT)), and the AUC
+    big-int discipline (per-decile cents sums ship as DECIMAL
+    STRINGS; sum(cents) can pass 2^53 where DuckDB's direct
+    HUGEINT->DOUBLE cast double-rounds, so the SQL takes the VARCHAR
+    route for mean_cents). The total order is (cents, event_id, pos):
+    event_id disambiguates equal scores, and pos breaks the remaining
+    tie so two rows sharing (cents, event_id) but differing in class
+    land DETERMINISTICALLY around a bucket boundary on both engines
+    (pinned — without it the per-bucket n_pos at a boundary would be
+    engine-dependent). Null event_id rows are EXCLUDED (no total
+    order without the key); null event_type is a NEGATIVE; null and
+    non-finite values drop the row; n < k answers buckets 1..n with
+    one row each (the NTILE degeneracy)."""
+    import ray as _ray
+
+    from ..util import worker_cached
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        t = b.filter(pc.and_(pc.and_(v.is_valid(), pc.is_finite(v)),
+                             b.column("event_id").is_valid()))
+        vv = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pos = pc.fill_null(
+            pc.equal(t.column("event_type"), "error"), False)
+        return pa.table({
+            "cents": pa.array(np.rint(vv * 100.0).astype(np.int64)),
+            "eid": t.column("event_id"),
+            "pos": pc.cast(pos, pa.int64())})
+
+    sortd = ds.map_batches(clean, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072) \
+        .sort(["cents", "eid", "pos"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c0": pa.array([], pa.int64()),
+                             "e0": pa.array([], pa.int64()),
+                             "p0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"c0": pa.array([b["cents"][0].as_py()]),
+                         "e0": pa.array([b["eid"][0].as_py()]),
+                         "p0": pa.array([b["pos"][0].as_py()]),
+                         "cnt": pa.array([b.num_rows])})
+
+    out_empty = pd.DataFrame({
+        "decile": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+        "n_pos": pd.Series([], dtype="int64"),
+        "pos_rate": pd.Series([], dtype="float64"),
+        "mean_cents": pd.Series([], dtype="float64")})
+    summ = sortd.map_batches(summary, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=None).to_pandas()
+    if summ.empty or "c0" not in summ.columns:
+        return out_empty
+    summ = summ.sort_values(["c0", "e0", "p0"]).reset_index(drop=True)
+    n = int(summ["cnt"].sum())
+    offs = np.concatenate(([0], summ["cnt"].cumsum().to_numpy()[:-1]))
+    lut = {(int(c), int(e), int(p)): int(o)
+           for c, e, p, o in zip(summ["c0"], summ["e0"],
+                                 summ["p0"], offs)}
+    size, rem = divmod(n, k)
+    ref = _ray.put(lut)
+
+    def bucketize(b: pa.Table, *, ref=ref) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64()),
+                          "pos_part": pa.array([], pa.int64()),
+                          "cents_part": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        table = worker_cached(("calib_offs", ref.hex()),
+                              lambda: _ray.get(ref))
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        e = b["eid"].to_numpy(zero_copy_only=False)
+        p = b["pos"].to_numpy(zero_copy_only=False)
+        pos = table[(int(c[0]), int(e[0]), int(p[0]))] \
+            + np.arange(b.num_rows)
+        cut = rem * (size + 1)
+        dec = np.where(pos < cut,
+                       pos // max(size + 1, 1),
+                       rem + (pos - cut) // max(size, 1)) + 1
+        rows = {"decile": [], "n_part": [], "pos_part": [],
+                "cents_part": []}
+        for d in np.unique(dec):  # <= k buckets per block
+            m = dec == d
+            rows["decile"].append(int(d))
+            rows["n_part"].append(int(m.sum()))
+            rows["pos_part"].append(int(p[m].sum()))
+            rows["cents_part"].append(
+                str(int(c[m].astype(object).sum())))
+        return pa.table({
+            "decile": pa.array(rows["decile"], pa.int64()),
+            "n_part": pa.array(rows["n_part"], pa.int64()),
+            "pos_part": pa.array(rows["pos_part"], pa.int64()),
+            "cents_part": pa.array(rows["cents_part"], pa.string())})
+
+    parts = sortd.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=None).to_pandas()
+    if parts.empty or "decile" not in parts.columns:
+        return out_empty
+    rows = []
+    for d, g in parts.groupby("decile", sort=True):
+        nd = int(g["n_part"].sum())
+        npos = int(g["pos_part"].sum())
+        sc = sum(int(x) for x in g["cents_part"])
+        rows.append({
+            "decile": int(d), "n": nd, "n_pos": npos,
+            "pos_rate": float(duckdb_round(float(npos) / float(nd), 6)),
+            "mean_cents": float(duckdb_round(
+                float(sc) / float(nd), 6))})
+    out = pd.DataFrame(rows)
+    for col in ("decile", "n", "n_pos"):
+        out[col] = out[col].astype("int64")
+    out["pos_rate"] = out["pos_rate"].astype("float64")
+    out["mean_cents"] = out["mean_cents"].astype("float64")
+    return out

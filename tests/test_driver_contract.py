@@ -141,7 +141,7 @@ def oracle_pairs():
     "hhi_sources_by_lang", "fano_daily_events",
     "dup_cluster_sizes_documents", "spearman_quantity_discount",
     "kendall_tau_daily_events", "auc_value_error_events",
-    "rrf_fusion_embeddings",
+    "rrf_fusion_embeddings", "calibration_value_error_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -653,3 +653,92 @@ def test_rrf_empty_corpus(tmp_path):
     assert len(got) == 0
     assert list(got.columns) == ["vec_id", "rrf", "n_lists",
                                  "best_rank", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# calibration_value_error_events
+
+
+def _events_ev(tmp_path, rows):
+    """rows: (event_id|None, event_type|None, value|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+
+
+def test_calibration_uneven_split_hand_buckets(tmp_path):
+    """12 rows into 10 buckets: the FIRST n%k=2 buckets take 2 rows
+    (SQL NTILE's rule). Scores .01..=.12 with the two errors at the
+    top → only deciles 9 and 10 (positions 10, 11) have positive
+    rate, both exactly 1.0; decile 1 means (1+2)/2 = 1.5 cents."""
+    from jsonschema_ray.pipelines.relational import (
+        calibration_value_error_events)
+    rows = [(i, "click", i / 100.0) for i in range(1, 11)]
+    rows += [(11, "error", 0.11), (12, "error", 0.12)]
+    _events_ev(tmp_path, rows)
+    got = calibration_value_error_events(str(tmp_path))
+    exp = _oracle(tmp_path, "calibration_value_error_events")
+    _frames_equal(got, exp, ["decile"])
+    assert got["n"].tolist() == [2, 2, 1, 1, 1, 1, 1, 1, 1, 1]
+    assert got["pos_rate"].tolist() == [0.0] * 8 + [1.0, 1.0]
+    assert got["mean_cents"].iloc[0] == 1.5
+
+
+def test_calibration_boundary_tie_and_n_below_k(tmp_path):
+    """Two rows share (cents, event_id) but differ in class: the pos
+    tiebreak puts the NEGATIVE first on both engines, so with n=2<k
+    the NTILE degeneracy answers buckets 1..2 one row each — decile 1
+    rate 0.0, decile 2 rate 1.0, deterministically (without the pos
+    key the boundary assignment would be engine-dependent)."""
+    from jsonschema_ray.pipelines.relational import (
+        calibration_value_error_events)
+    _events_ev(tmp_path, [(5, "error", 0.50), (5, "click", 0.50)])
+    got = calibration_value_error_events(str(tmp_path))
+    exp = _oracle(tmp_path, "calibration_value_error_events")
+    _frames_equal(got, exp, ["decile"])
+    assert got["decile"].tolist() == [1, 2]
+    assert got["pos_rate"].tolist() == [0.0, 1.0]
+    assert got["mean_cents"].tolist() == [50.0, 50.0]
+
+
+def test_calibration_null_rows_and_empty(tmp_path):
+    """Null event_id rows are EXCLUDED (no total order without the
+    key); null event_type is a NEGATIVE; null/NaN values drop."""
+    from jsonschema_ray.pipelines.relational import (
+        calibration_value_error_events)
+    _events_ev(tmp_path, [
+        (1, "error", 0.10), (None, "error", 0.99),
+        (2, None, 0.20), (3, "click", None),
+        (4, "view", float("nan"))])
+    got = calibration_value_error_events(str(tmp_path))
+    exp = _oracle(tmp_path, "calibration_value_error_events")
+    _frames_equal(got, exp, ["decile"])
+    assert int(got["n"].sum()) == 2      # rows 1 and 2 only
+    assert int(got["n_pos"].sum()) == 1  # the null-type row is negative
+    _events_ev(tmp_path, [(None, "error", 0.5)])
+    got = calibration_value_error_events(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["decile", "n", "n_pos", "pos_rate",
+                                 "mean_cents"]
+
+
+def test_calibration_randomized_matches_oracle(tmp_path):
+    """3k rows over a narrow score range (dense cent ties straddling
+    bucket boundaries) — the block-offset NTILE and per-decile
+    big-int cents sums must equal the SQL window exactly."""
+    from jsonschema_ray.pipelines.relational import (
+        calibration_value_error_events)
+    rng = np.random.default_rng(61)
+    types = ["error", "click", "view", None]
+    rows = [(i, types[int(rng.integers(0, 4))],
+             float(np.round(rng.uniform(0, 5), 2)))
+            for i in range(3000)]
+    _events_ev(tmp_path, rows)
+    got = calibration_value_error_events(str(tmp_path))
+    exp = _oracle(tmp_path, "calibration_value_error_events")
+    _frames_equal(got, exp, ["decile"])
+    assert int(got["n"].sum()) == 3000
