@@ -64,8 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
-        "interleave_by_source_documents":
-            R.interleave_by_source_documents,             # oracled
         "snapshot_diff_documents": R.snapshot_diff_documents,  # oracled
         "autocorr_daily_events": R.autocorr_daily_events,  # oracled
         "scd2_intervals_events": R.scd2_intervals_events,  # oracled
@@ -123,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.rrf_fusion_embeddings,                       # oracled
         "calibration_value_error_events":
             R.calibration_value_error_events,              # oracled
+        "bounce_rate_events": R.bounce_rate_events,        # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -143,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenset_dedup_documents IN the window)
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
+        "interleave_by_source_documents":
+            R.interleave_by_source_documents,             # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
@@ -962,6 +963,26 @@ SELECT decile, CAST(count(*) AS BIGINT) AS n,
        round(CAST(CAST(sum(cents) AS VARCHAR) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS mean_cents
 FROM b GROUP BY decile ORDER BY decile""",
+        "bounce_rate_events": """
+WITH e AS (SELECT user_id, ts, event_id FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+g AS (SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+c AS (SELECT user_id, sid, count(*) AS sz FROM s GROUP BY user_id, sid)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       round(CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM c GROUP BY user_id ORDER BY user_id""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

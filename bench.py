@@ -268,6 +268,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.rrf_fusion_embeddings(sf_dir)))
     timed("calibration_value_error_events",
           lambda: len(R.calibration_value_error_events(sf_dir)))
+    timed("bounce_rate_events",
+          lambda: R.bounce_rate_events(sf_dir).count())
 
     headline = timings["flagship_images"]
     out = {

@@ -8459,3 +8459,57 @@ def calibration_value_error_events(sf_dir: str, k: int = 10):
     out["pos_rate"] = out["pos_rate"].astype("float64")
     out["mean_cents"] = out["mean_cents"].astype("float64")
     return out
+
+
+def bounce_rate_events(sf_dir: str):
+    """Per-user session bounce rate (ORACLED): sessionize each user's
+    stream with the 30-minute inactivity rule (the events_sessions
+    contract: a gap STRICTLY greater than 1800s opens a new session;
+    exactly 1800s continues — pinned both ways), then report how many
+    sessions contain exactly ONE event — the engagement-quality
+    statistic next to events_sessions' volume counts. ONE coarse
+    user-hash partition (the sessionization convention), with the
+    session SIZE histogram fully vectorized inside the partition:
+    session ids by cumsum over (new-user | gap) breaks, sizes by
+    bincount over the contiguous ids, per-user session/bounce counts
+    by segment reduction — no per-user Python loop. bounce_rate =
+    n_bounce / n_sessions, two exact small ints and ONE double divide
+    in SQL operand order, 6dp. Null user_id rows are EXCLUDED (a
+    session needs an owner), null ts rows are EXCLUDED (unorderable;
+    and NaT.astype(int64) wraps to -2^63, fabricating a break)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"].notna() & df["user_id"].notna()]
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_sessions": pd.Series([], dtype="int64"),
+                "n_bounce": pd.Series([], dtype="int64"),
+                "bounce_rate": pd.Series([], dtype="float64")})
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | \
+            ((us[1:] - us[:-1] > 1_800_000_000)
+             & (uid[1:] == uid[:-1]))
+        sid = np.cumsum(brk) - 1           # contiguous session ids
+        sizes = np.bincount(sid)
+        sess_user = uid[brk]               # owner of each session
+        users, cnt = np.unique(sess_user, return_counts=True)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        bounce1 = (sizes == 1).astype(np.int64)
+        cumb = np.concatenate(([0], np.cumsum(bounce1)))
+        n_bounce = cumb[starts + cnt] - cumb[starts]
+        rate = duckdb_round(n_bounce.astype(np.float64)
+                            / cnt.astype(np.float64), 6)
+        return pd.DataFrame({
+            "user_id": users,
+            "n_sessions": cnt.astype(np.int64),
+            "n_bounce": n_bounce.astype(np.int64),
+            "bounce_rate": np.asarray(rate, dtype=np.float64)})
+
+    return partitioned_group_apply(ds, ["user_id"], kernel,
+                                   num_partitions=None)

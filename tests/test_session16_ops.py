@@ -742,3 +742,78 @@ def test_calibration_randomized_matches_oracle(tmp_path):
     exp = _oracle(tmp_path, "calibration_value_error_events")
     _frames_equal(got, exp, ["decile"])
     assert int(got["n"].sum()) == 3000
+
+
+# ---------------------------------------------------------------------------
+# bounce_rate_events
+
+
+def _events_u(tmp_path, rows):
+    """rows: (event_id, user_id|None, ts_us|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["e"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    }))
+
+
+def _bounce(tmp_path):
+    from jsonschema_ray.pipelines.relational import bounce_rate_events
+    got = bounce_rate_events(str(tmp_path))
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    exp = _oracle(tmp_path, "bounce_rate_events")
+    _frames_equal(got, exp, ["user_id"])
+    return got.sort_values("user_id").reset_index(drop=True)
+
+
+MIN30 = 1_800_000_000  # 30 minutes in µs
+
+
+def test_bounce_sessions_sizes_hand_case(tmp_path):
+    """User 1's stream splits into sessions of sizes [1, 3, 1] →
+    3 sessions, 2 bounces, rate 2/3 (6dp). User 2 has one lone event:
+    rate exactly 1.0."""
+    t0 = 0
+    rows = [
+        (1, 1, t0),                              # session A (size 1)
+        (2, 1, t0 + MIN30 + MIN30),              # session B starts
+        (3, 1, t0 + MIN30 + MIN30 + 1000),
+        (4, 1, t0 + MIN30 + MIN30 + 2000),
+        (5, 1, t0 + 10 * MIN30),                 # session C (size 1)
+        (6, 2, t0),
+    ]
+    _events_u(tmp_path, rows)
+    got = _bounce(tmp_path)
+    assert got["n_sessions"].tolist() == [3, 1]
+    assert got["n_bounce"].tolist() == [2, 1]
+    assert got["bounce_rate"].iloc[0] == float(np.round(2 / 3, 6))
+    assert got["bounce_rate"].iloc[1] == 1.0
+
+
+def test_bounce_exact_30min_gap_continues_session(tmp_path):
+    """The gap rule is STRICTLY greater: exactly 1800s continues the
+    session (one 2-event session, zero bounces); 1800s + 1µs breaks
+    it (two 1-event sessions, two bounces)."""
+    _events_u(tmp_path, [(1, 1, 0), (2, 1, MIN30)])
+    got = _bounce(tmp_path)
+    assert got["n_sessions"].iloc[0] == 1 and got["n_bounce"].iloc[0] == 0
+    _events_u(tmp_path, [(1, 1, 0), (2, 1, MIN30 + 1)])
+    got = _bounce(tmp_path)
+    assert got["n_sessions"].iloc[0] == 2 and got["n_bounce"].iloc[0] == 2
+
+
+def test_bounce_null_user_and_null_ts_excluded(tmp_path):
+    """A session needs an owner and an order: null user_id and null
+    ts rows are invisible on both engines (and NaT.astype(int64)
+    would wrap to -2^63, fabricating a break — the events_sessions
+    pin, re-asserted here)."""
+    rows = [(1, 1, 0), (2, 1, 1000),
+            (3, None, 0), (4, 1, None)]
+    _events_u(tmp_path, rows)
+    got = _bounce(tmp_path)
+    assert got["user_id"].tolist() == [1]
+    assert got["n_sessions"].iloc[0] == 1
+    assert got["n_bounce"].iloc[0] == 0
