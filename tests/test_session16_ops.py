@@ -817,3 +817,77 @@ def test_bounce_null_user_and_null_ts_excluded(tmp_path):
     assert got["user_id"].tolist() == [1]
     assert got["n_sessions"].iloc[0] == 1
     assert got["n_bounce"].iloc[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments_customers
+
+
+def _orders(tmp_path, rows):
+    """rows: (o_custkey|None, o_orderdate_us|None, o_totalprice|None)."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(list(range(1, len(rows) + 1)),
+                               pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * len(rows), pa.string()),
+    }))
+
+
+def test_rfm_hand_segmentation(tmp_path):
+    """Five customers, k=5 → every quintile holds exactly one customer
+    on each axis. Customer 5 is most recent (r=1), most frequent
+    (fq=5) and biggest spender (mq=5); customer 1 the opposite
+    (r=5, fq=1, mq=1): frequencies 1..5 via repeated orders, spend
+    and recency move together."""
+    from jsonschema_ray.pipelines.relational import rfm_segments_customers
+    rows = []
+    for c in range(1, 6):
+        for j in range(c):  # c orders → frequency c
+            rows.append((c, (c * 10 + j) * DAY, float(c) * 10.0))
+    _orders(tmp_path, rows)
+    got = rfm_segments_customers(str(tmp_path))
+    exp = _oracle(tmp_path, "rfm_segments_customers")
+    _frames_equal(got, exp, ["r", "fq", "mq"])
+    assert len(got) == 5 and got["n_customers"].tolist() == [1] * 5
+    # most recent customer (c=5, latest last-order day) sits in r=1
+    top = got[(got["fq"] == 5) & (got["mq"] == 5)]
+    assert top["r"].iloc[0] == 1
+
+
+def test_rfm_uneven_split_and_ties(tmp_path):
+    """Seven customers into 5 quintiles: the first 7%5=2 buckets take
+    2 customers (NTILE's rule). All metrics EQUAL → every total order
+    falls back to custkey, so assignments are fully deterministic:
+    cells are (q,q,q) for q=1..5 with counts [2,2,1,1,1]."""
+    from jsonschema_ray.pipelines.relational import rfm_segments_customers
+    rows = [(c, 10 * DAY, 25.0) for c in range(1, 8)]
+    _orders(tmp_path, rows)
+    got = rfm_segments_customers(str(tmp_path))
+    exp = _oracle(tmp_path, "rfm_segments_customers")
+    _frames_equal(got, exp, ["r", "fq", "mq"])
+    assert got["r"].tolist() == [1, 2, 3, 4, 5]
+    assert (got["r"] == got["fq"]).all() and (got["r"] == got["mq"]).all()
+    assert got["n_customers"].tolist() == [2, 2, 1, 1, 1]
+
+
+def test_rfm_null_fields_drop_rows(tmp_path):
+    """A row missing custkey, orderdate or totalprice is excluded from
+    ALL three metrics — customer 2's null-price order doesn't count
+    toward frequency either (one row-level filter, pinned)."""
+    from jsonschema_ray.pipelines.relational import rfm_segments_customers
+    _orders(tmp_path, [
+        (1, 1 * DAY, 10.0), (2, 2 * DAY, 20.0), (2, 3 * DAY, None),
+        (None, 4 * DAY, 30.0), (1, None, 40.0)])
+    got = rfm_segments_customers(str(tmp_path))
+    exp = _oracle(tmp_path, "rfm_segments_customers")
+    _frames_equal(got, exp, ["r", "fq", "mq"])
+    # both customers have exactly one counted order → same fq bucket set
+    assert int(got["n_customers"].sum()) == 2
+    _orders(tmp_path, [(None, 1 * DAY, 10.0)])
+    got = rfm_segments_customers(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["r", "fq", "mq", "n_customers"]
