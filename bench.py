@@ -272,6 +272,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.bounce_rate_events(sf_dir).count())
     timed("rfm_segments_customers",
           lambda: len(R.rfm_segments_customers(sf_dir)))
+    timed("session_duration_median_events",
+          lambda: R.session_duration_median_events(sf_dir).count())
 
     headline = timings["flagship_images"]
     out = {

@@ -8657,3 +8657,51 @@ def rfm_segments_customers(sf_dir: str, k: int = 5):
     for col in ("r", "fq", "mq", "n_customers"):
         out[col] = out[col].astype("int64")
     return out[["r", "fq", "mq", "n_customers"]]
+
+
+def session_duration_median_events(sf_dir: str):
+    """Per-user MEDIAN session duration (ORACLED): sessionize with the
+    30-minute rule (the events_sessions / bounce_rate contract), take
+    each session's last-minus-first timestamp in exact µs, and answer
+    the user's interpolated median — the robust dwell-time statistic
+    (mean dwell is dragged by one left-open tab; the median is not).
+    ONE user-hash partition; inside it session bounds via segment
+    min/max over the contiguous session ids, the median via ONE
+    pandas groupby-median (C-vectorized order statistic per user).
+    Exactness: durations are int64 µs differences (session span «
+    2^53 µs ≈ 285 years, so DuckDB's quantile_cont interpolated
+    (a+b)/2 is exact in float64 — the bound is on DURATIONS, not
+    epochs, which would overflow the mantissa); a single-event
+    session has duration EXACTLY 0. Null user_id / null ts rows are
+    invisible (the bounce_rate pins)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"].notna() & df["user_id"].notna()]
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_sessions": pd.Series([], dtype="int64"),
+                "med_duration_us": pd.Series([], dtype="float64")})
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | \
+            ((us[1:] - us[:-1] > 1_800_000_000)
+             & (uid[1:] == uid[:-1]))
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [len(us)])) - 1
+        dur = us[ends] - us[starts]          # sorted ⇒ last - first
+        sess = pd.DataFrame({"user_id": uid[starts], "dur": dur})
+        med = sess.groupby("user_id", sort=True)["dur"] \
+            .agg(n_sessions="size", med_duration_us="median") \
+            .reset_index()
+        med["n_sessions"] = med["n_sessions"].astype("int64")
+        med["med_duration_us"] = med["med_duration_us"] \
+            .astype("float64")
+        return med
+
+    return partitioned_group_apply(ds, ["user_id"], kernel,
+                                   num_partitions=None)

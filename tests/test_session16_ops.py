@@ -891,3 +891,68 @@ def test_rfm_null_fields_drop_rows(tmp_path):
     got = rfm_segments_customers(str(tmp_path))
     assert len(got) == 0
     assert list(got.columns) == ["r", "fq", "mq", "n_customers"]
+
+
+# ---------------------------------------------------------------------------
+# session_duration_median_events
+
+
+def _sdm(tmp_path):
+    from jsonschema_ray.pipelines.relational import (
+        session_duration_median_events)
+    got = session_duration_median_events(str(tmp_path))
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    exp = _oracle(tmp_path, "session_duration_median_events")
+    _frames_equal(got, exp, ["user_id"])
+    return got.sort_values("user_id").reset_index(drop=True)
+
+
+def test_session_median_interpolation_and_zero(tmp_path):
+    """User 1 has two sessions of durations 10s and 20s → the even
+    count interpolates (a+b)/2 = 15s exactly; user 2's lone event is
+    a zero-duration session (median exactly 0.0)."""
+    S = 1_000_000
+    rows = [
+        (1, 1, 0), (2, 1, 10 * S),                      # session 10s
+        (3, 1, 10 * S + 2 * MIN30),                     # break
+        (4, 1, 10 * S + 2 * MIN30 + 20 * S),            # session 20s
+        (5, 2, 0),
+    ]
+    _events_u(tmp_path, rows)
+    got = _sdm(tmp_path)
+    assert got["med_duration_us"].tolist() == [15.0 * S, 0.0]
+    assert got["n_sessions"].tolist() == [2, 1]
+
+
+def test_session_median_exact_gap_lengthens_session(tmp_path):
+    """An exactly-1800s gap CONTINUES the session, so the duration
+    spans it (one 1800s session); one extra µs breaks it into two
+    zero-duration sessions — the strict-> boundary read through the
+    DURATION lens."""
+    _events_u(tmp_path, [(1, 1, 0), (2, 1, MIN30)])
+    got = _sdm(tmp_path)
+    assert got["n_sessions"].iloc[0] == 1
+    assert got["med_duration_us"].iloc[0] == float(MIN30)
+    _events_u(tmp_path, [(1, 1, 0), (2, 1, MIN30 + 1)])
+    got = _sdm(tmp_path)
+    assert got["n_sessions"].iloc[0] == 2
+    assert got["med_duration_us"].iloc[0] == 0.0
+
+
+def test_session_median_odd_count_and_null_rows(tmp_path):
+    """Three sessions [0s, 4s, 100s] → the odd-count median is the
+    middle order statistic 4s (no interpolation); null user/ts rows
+    invisible."""
+    S = 1_000_000
+    rows = [
+        (1, 1, 0),                                      # 0s
+        (2, 1, 2 * MIN30), (3, 1, 2 * MIN30 + 4 * S),   # 4s
+        (4, 1, 6 * MIN30), (5, 1, 6 * MIN30 + 100 * S),  # 100s
+        (6, None, 0), (7, 1, None),
+    ]
+    _events_u(tmp_path, rows)
+    got = _sdm(tmp_path)
+    assert got["user_id"].tolist() == [1]
+    assert got["n_sessions"].iloc[0] == 3
+    assert got["med_duration_us"].iloc[0] == 4.0 * S
