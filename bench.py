@@ -274,6 +274,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.rfm_segments_customers(sf_dir)))
     timed("session_duration_median_events",
           lambda: R.session_duration_median_events(sf_dir).count())
+    timed("readability_documents",
+          lambda: len(R.readability_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -8705,3 +8705,63 @@ def session_duration_median_events(sf_dir: str):
 
     return partitioned_group_apply(ds, ["user_id"], kernel,
                                    num_partitions=None)
+
+
+def readability_documents(sf_dir: str):
+    """Flesch-style readability per document (ORACLED): flesch =
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) — the
+    classic reading-ease screen, the text-quality family's third axis
+    next to length/punct ratios (quality_documents) and LM fluency
+    (bigram_logprob). Deterministic proxies, stated as the contract:
+    WORDS are maximal non-space runs (== the split(' ') non-empty
+    token rule), SYLLABLES are maximal [aeiouy]+ runs in the
+    lowercased text (the standard vowel-group approximation),
+    SENTENCES are maximal [.!?]+ runs floored at 1 (an unpunctuated
+    doc is one sentence). Everything is ONE vectorized RE2 pass per
+    quantity inside map_batches (pc.count_substring_regex — the
+    engine pyarrow and DuckDB share, so counts agree by construction);
+    the score is per-DOC float math in pinned operand order, FLOORED
+    TO BASIS POINTS (the tfidf convention) so no cross-engine float
+    compare is ever closer than 1e-4. Zero-word docs (empty, all
+    spaces) and null texts are EXCLUDED; a doc with no vowels scores
+    the pure sentence-length term; negative scores floor toward -inf
+    on both engines."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("text").is_valid())
+        txt = t.column("text")
+        w = pc.count_substring_regex(txt, pattern="[^ ]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = pc.count_substring_regex(pc.utf8_lower(txt),
+                                      pattern="[aeiouy]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = pc.count_substring_regex(txt, pattern="[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w >= 1
+        w, sy = w[keep], sy[keep]
+        sn = np.maximum(sn[keep], 1)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        flesch = (206.835
+                  - 1.015 * (w.astype(np.float64)
+                             / sn.astype(np.float64))
+                  - 84.6 * (sy.astype(np.float64)
+                            / w.astype(np.float64)))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "words": pa.array(w), "sentences": pa.array(sn),
+            "syllables": pa.array(sy),
+            "flesch_bp": pa.array(
+                np.floor(10000.0 * flesch).astype(np.int64))})
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         batch_size=131072).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "words": pd.Series([], dtype="int64"),
+            "sentences": pd.Series([], dtype="int64"),
+            "syllables": pd.Series([], dtype="int64"),
+            "flesch_bp": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)

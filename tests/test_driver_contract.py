@@ -143,7 +143,7 @@ def oracle_pairs():
     "kendall_tau_daily_events", "auc_value_error_events",
     "rrf_fusion_embeddings", "calibration_value_error_events",
     "bounce_rate_events", "rfm_segments_customers",
-    "session_duration_median_events",
+    "session_duration_median_events", "readability_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

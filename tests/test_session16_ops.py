@@ -956,3 +956,69 @@ def test_session_median_odd_count_and_null_rows(tmp_path):
     assert got["user_id"].tolist() == [1]
     assert got["n_sessions"].iloc[0] == 3
     assert got["med_duration_us"].iloc[0] == 4.0 * S
+
+
+# ---------------------------------------------------------------------------
+# readability_documents
+
+
+def _read_docs(tmp_path):
+    from jsonschema_ray.pipelines.relational import readability_documents
+    got = readability_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "readability_documents")
+    _frames_equal(got, exp, ["doc_id"])
+    return got.set_index("doc_id")
+
+
+def test_readability_hand_counts_and_score(tmp_path):
+    """'The cat sat. It ran!' → 5 words, 2 sentences, 5 vowel runs
+    (e, a, a, i, a) → flesch = 206.835 − 1.015·2.5 − 84.6·1.0 =
+    119.7975 → 1197975 bp exactly."""
+    _documents(tmp_path, [(1, "The cat sat. It ran!", "en", "s")])
+    by = _read_docs(tmp_path)
+    assert int(by.loc[1, "words"]) == 5
+    assert int(by.loc[1, "sentences"]) == 2
+    assert int(by.loc[1, "syllables"]) == 5
+    assert int(by.loc[1, "flesch_bp"]) == int(
+        np.floor(10000 * (206.835 - 1.015 * 2.5 - 84.6 * 1.0)))
+
+
+def test_readability_unpunctuated_doc_is_one_sentence(tmp_path):
+    """No [.!?] anywhere → sentence count floors at 1 (an
+    unpunctuated doc is one long sentence, not a division by zero);
+    a doubled space does NOT create a word (words are non-space
+    runs); 'aa' is ONE maximal vowel run while 'bb' has none."""
+    _documents(tmp_path, [(1, "aa  bb", "en", "s")])
+    by = _read_docs(tmp_path)
+    assert int(by.loc[1, "words"]) == 2
+    assert int(by.loc[1, "sentences"]) == 1
+    assert int(by.loc[1, "syllables"]) == 1
+
+
+def test_readability_no_vowels_and_negative_floor(tmp_path):
+    """A vowel-free doc scores the pure sentence-length terms exactly
+    (206.835 − 1.015·2 − 0); a one-word doc with FIVE vowel runs
+    ('ababababa') scores 206.835 − 1.015 − 84.6·5 = −217.165 —
+    negative, so the basis-point floor must round toward -inf on
+    both engines (trunc would differ by one)."""
+    _documents(tmp_path, [
+        (1, "zzz qqq.", "en", "s"),
+        (2, "ababababa", "en", "s")])
+    by = _read_docs(tmp_path)
+    assert int(by.loc[1, "syllables"]) == 0
+    assert int(by.loc[1, "flesch_bp"]) == int(
+        np.floor(10000 * (206.835 - 1.015 * 2.0 - 0.0)))
+    assert int(by.loc[2, "syllables"]) == 5
+    assert int(by.loc[2, "flesch_bp"]) == int(
+        np.floor(10000 * (206.835 - 1.015 * 1.0 - 84.6 * 5.0)))
+    assert int(by.loc[2, "flesch_bp"]) < 0
+
+
+def test_readability_empty_and_null_docs_excluded(tmp_path):
+    """Null text, the empty string and an all-space doc have no words
+    and are EXCLUDED (w >= 1 on both engines)."""
+    _documents(tmp_path, [
+        (1, None, "en", "s"), (2, "", "en", "s"), (3, "   ", "en", "s"),
+        (4, "ok.", "en", "s")])
+    by = _read_docs(tmp_path)
+    assert list(by.index) == [4]
