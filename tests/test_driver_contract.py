@@ -144,6 +144,7 @@ def oracle_pairs():
     "rrf_fusion_embeddings", "calibration_value_error_events",
     "bounce_rate_events", "rfm_segments_customers",
     "session_duration_median_events", "readability_documents",
+    "nonascii_ratio_by_lang",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1022,3 +1022,46 @@ def test_readability_empty_and_null_docs_excluded(tmp_path):
         (4, "ok.", "en", "s")])
     by = _read_docs(tmp_path)
     assert list(by.index) == [4]
+
+
+# ---------------------------------------------------------------------------
+# nonascii_ratio_by_lang
+
+
+def _nonascii(tmp_path):
+    from jsonschema_ray.pipelines.relational import nonascii_ratio_by_lang
+    got = nonascii_ratio_by_lang(str(tmp_path))
+    exp = _oracle(tmp_path, "nonascii_ratio_by_lang")
+    _frames_equal(got, exp, ["n_docs"])
+    return got
+
+
+def test_nonascii_codepoint_counting_hand_values(tmp_path):
+    """'héllo' is 5 CODEPOINTS, 1 non-ASCII → exactly 0.2; '中文'
+    is 2/2 → exactly 1.0; pure ASCII → 0.0. Counting is per
+    codepoint, not per byte ('é' is 2 UTF-8 bytes but ONE char —
+    a byte-based count would answer 2/6)."""
+    _documents(tmp_path, [
+        (1, "héllo", "en", "s"), (2, "中文", "zh", "s"),
+        (3, "plain", "de", "s")])
+    got = _nonascii(tmp_path).set_index("lang")
+    assert int(got.loc["en", "chars"]) == 5
+    assert int(got.loc["en", "nonascii"]) == 1
+    assert got.loc["en", "nonascii_ratio"] == 0.2
+    assert got.loc["zh", "nonascii_ratio"] == 1.0
+    assert got.loc["de", "nonascii_ratio"] == 0.0
+
+
+def test_nonascii_empty_texts_null_ratio_and_null_rows(tmp_path):
+    """A lang whose only texts are EMPTY answers SQL-NULL ratio (0/0)
+    with n_docs intact; null text rows are invisible; a null lang is
+    its own group."""
+    _documents(tmp_path, [
+        (1, "", "fr", "s"), (2, "", "fr", "s"),
+        (3, None, "fr", "s"), (4, "añejo", None, "s")])
+    got = _nonascii(tmp_path)
+    fr = got[got["lang"] == "fr"]
+    assert int(fr["n_docs"].iloc[0]) == 2
+    assert math.isnan(fr["nonascii_ratio"].iloc[0])
+    nul = got[got["lang"].isna()]
+    assert nul["nonascii_ratio"].iloc[0] == 0.2
