@@ -8515,22 +8515,19 @@ def bounce_rate_events(sf_dir: str):
                                    num_partitions=None)
 
 
-def _ntile_assign(ds, metric_col: str, id_col: str, k: int,
-                  out_col: str):
-    """Distributed NTILE(k) assignment (the spend_deciles primitive,
-    factored for reuse): ``ds`` carries a UNIQUE (metric, id) total
-    order; returns a Dataset of (id_col, out_col) with each row's
-    1-based equal-frequency bucket under SQL NTILE's uneven-split
-    rule (the first n%k buckets take the extra row). Ray range sort
-    on (metric, id) → ONE batches-bounded (first-key, count)
-    block-summary gather → driver prefix-sums block offsets → a
-    second block-aligned pass (batch_size=None over the SAME
-    materialized sorted dataset, so batches ARE blocks in both
-    passes) maps offset + arange to buckets. Only block summaries
-    ever reach the driver."""
-    import ray as _ray
-
-    from ..util import worker_cached
+def _ntile_boundaries(ds, metric_col: str, id_col: str, k: int):
+    """Distributed NTILE(k) BOUNDARY extraction: ``ds`` carries a
+    UNIQUE (metric, id) total order; returns the <= k-1 boundary keys
+    — the FIRST (metric, id) of buckets 2..k under SQL NTILE's
+    uneven-split rule — so a later single pass can bucket ANY row by
+    counting boundaries <= its key (tuple compare). Ray range sort →
+    ONE batches-bounded (first-key, count) block-summary gather →
+    the driver locates each boundary position's (block, offset) → a
+    SECOND block-aligned pass emits only the boundary rows (<= k-1
+    per block). Buckets left empty by n < k produce NO boundary
+    (positions past n clip), which makes the bisect rule degrade
+    exactly like NTILE. Nothing row-level reaches the driver beyond
+    the k-1 keys themselves."""
     sortd = ds.sort([metric_col, id_col]).materialize()
 
     def summary(b: pa.Table) -> pa.Table:
@@ -8550,29 +8547,41 @@ def _ntile_assign(ds, metric_col: str, id_col: str, k: int,
     summ = summ.sort_values(["m0", "i0"]).reset_index(drop=True)
     n = int(summ["cnt"].sum())
     offs = np.concatenate(([0], summ["cnt"].cumsum().to_numpy()[:-1]))
-    lut = {(int(m), int(i)): int(o)
-           for m, i, o in zip(summ["m0"], summ["i0"], offs)}
     size, rem = divmod(n, k)
-    ref = _ray.put(lut)
+    targets = []
+    for q in range(1, k):
+        pos = (q * (size + 1) if q < rem
+               else rem * (size + 1) + (q - rem) * size)
+        if 0 < pos < n:
+            targets.append(pos)
+    targets = sorted(set(targets))
+    if not targets:
+        return []
+    # map each global position to its block's (first key, offset)
+    want = {}
+    for pos in targets:
+        bi = int(np.searchsorted(offs, pos, side="right") - 1)
+        key = (int(summ["m0"][bi]), int(summ["i0"][bi]))
+        want.setdefault(key, []).append(pos - int(offs[bi]))
 
-    def assign(b: pa.Table, *, ref=ref) -> pa.Table:
+    def extract(b: pa.Table) -> pa.Table:
+        empty = pa.table({"m": pa.array([], pa.int64()),
+                          "i": pa.array([], pa.int64())})
         if b.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             out_col: pa.array([], pa.int64())})
-        table = worker_cached((f"ntile_{out_col}", ref.hex()),
-                              lambda: _ray.get(ref))
+            return empty
         m = b[metric_col].to_numpy(zero_copy_only=False)
         i = b[id_col].to_numpy(zero_copy_only=False)
-        pos = table[(int(m[0]), int(i[0]))] + np.arange(b.num_rows)
-        cut = rem * (size + 1)
-        bk = np.where(pos < cut,
-                      pos // max(size + 1, 1),
-                      rem + (pos - cut) // max(size, 1)) + 1
-        return pa.table({id_col: b[id_col],
-                         out_col: pa.array(bk.astype(np.int64))})
+        sel = want.get((int(m[0]), int(i[0])))
+        if not sel:
+            return empty
+        idx = np.asarray(sel)
+        return pa.table({"m": pa.array(m[idx].astype(np.int64)),
+                         "i": pa.array(i[idx].astype(np.int64))})
 
-    return sortd.map_batches(assign, batch_format="pyarrow",
-                             zero_copy_batch=True, batch_size=None)
+    bd = sortd.map_batches(extract, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).to_pandas()
+    return sorted(zip(bd["m"].astype(int), bd["i"].astype(int)))
 
 
 def rfm_segments_customers(sf_dir: str, k: int = 5):
@@ -8580,20 +8589,25 @@ def rfm_segments_customers(sf_dir: str, k: int = 5):
     Recency (days since their last order, relative to the corpus max
     order date), Frequency (order count) and Monetary (exact cents
     spend), then count customers per (r, f, m) cell — the classic
-    marketing / curation segmentation, ≤ k³ output rows. THREE
-    applications of the factored _ntile_assign distributed-NTILE
-    primitive over the per-customer aggregate (customer-cardinality,
-    far below corpus rows), stitched by two size-chosen equi-joins on
-    custkey, finished by a k³-bounded grouped count. Total orders are
+    marketing / curation segmentation, <= k^3 output rows. Plan
+    (rewritten from the first join-based draft, which paid ~17 Ray
+    stage overheads on customer-cardinality data — 7.2 s at sf0.1):
+    ONE per-customer shuffle computes (f, m, last_day) together
+    (count+sum+max in the same partitioned combine), then per metric
+    the _ntile_boundaries primitive extracts the <= k-1 NTILE
+    boundary KEYS (sort + two block-bounded passes), and ONE final
+    pass over the base buckets every customer against the THREE
+    broadcast boundary lists with 3*(k-1) vectorized tuple compares,
+    emitting <= k^3 partial rows per batch into a k^3-bounded count.
+    No per-row assignment dataset, no joins. Total orders are
     (metric, custkey) — unique and deterministic on both engines;
     quintile 1 holds the MOST RECENT customers (recency_days sorts
     ascending) and the LOWEST frequency/spend (SQL NTILE ascending
     order — stated so readers don't assume the marketing 5=best
     flip). Cents via the pinned rint/CAST recipe; recency in exact
-    int32 days (date32 arithmetic). Rows missing custkey, orderdate
-    or totalprice are EXCLUDED from all three metrics (one row-level
+    date32-derived int days. Rows missing custkey, orderdate or
+    totalprice are EXCLUDED from all three metrics (one row-level
     filter, pinned); an empty cleaned corpus answers no rows."""
-    from ..joins import equi_join
     ds = _read(sf_dir, "orders",
                columns=["o_custkey", "o_orderdate", "o_totalprice"])
 
@@ -8611,46 +8625,74 @@ def rfm_segments_customers(sf_dir: str, k: int = 5):
             "day": pc.cast(day, pa.int64()),
             "cents": pa.array(np.rint(v * 100.0).astype(np.int64))})
 
-    cleaned = ds.map_batches(clean, batch_format="pyarrow",
-                             zero_copy_batch=True, batch_size=131072)
-    from ray.data.aggregate import Max, Sum
-    per_cust = grouped_agg_hash(
-        cleaned, ["c"], {"cents": "m"}, count_alias="f").materialize()
-    # per-customer last-order day needs Max, not Sum — second narrow agg
-    last_day = cleaned.select_columns(["c", "day"]) \
-        .groupby("c").aggregate(Max("day", alias_name="last_day"))
+    from ..util import partitioned_group_apply
+
+    def part(b: pa.Table) -> pa.Table:
+        g = b.group_by(["c"]).aggregate(
+            [([], "count_all"), ("cents", "sum"), ("day", "max")])
+        g = g.select(["c", "count_all", "cents_sum", "day_max"])
+        return g.rename_columns(["c", "f_p", "m_p", "d_p"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c"]).aggregate(
+            [("f_p", "sum"), ("m_p", "sum"), ("d_p", "max")])
+        g = g.select(["c", "f_p_sum", "m_p_sum", "d_p_max"])
+        return g.rename_columns(["c", "f", "m", "last_day"])
+
+    partials = ds.map_batches(clean, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=131072) \
+        .map_batches(part, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=131072)
+    base = partitioned_group_apply(partials, ["c"], fin,
+                                   batch_format="pyarrow").materialize()
     out_empty = pd.DataFrame({
         "r": pd.Series([], dtype="int64"),
         "fq": pd.Series([], dtype="int64"),
         "mq": pd.Series([], dtype="int64"),
         "n_customers": pd.Series([], dtype="int64")})
-    # an all-filtered corpus drops the lazy aggregate's schema — guard
-    # BEFORE the join (its empty right side would be unconstructible)
-    if per_cust.count() == 0:
-        return out_empty
-    base = equi_join(per_cust.select_columns(["c", "f", "m"]),
-                     last_day, on=["c"]).materialize()
     if base.count() == 0:
         return out_empty
     gmax = int(base.max("last_day"))
 
-    def recency(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "c": b["c"],
-            "rec": pc.subtract(pa.scalar(gmax, pa.int64()),
-                               pc.cast(b["last_day"], pa.int64()))})
+    def with_rec(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "rec", pc.subtract(pa.scalar(gmax, pa.int64()),
+                               pc.cast(b["last_day"], pa.int64())))
 
-    r_ds = _ntile_assign(
-        base.map_batches(recency, batch_format="pyarrow",
-                         zero_copy_batch=True), "rec", "c", k, "r")
-    f_ds = _ntile_assign(base.select_columns(["c", "f"]),
-                         "f", "c", k, "fq")
-    m_ds = _ntile_assign(base.select_columns(["c", "m"]),
-                         "m", "c", k, "mq")
-    joined = equi_join(equi_join(r_ds, f_ds, on=["c"]), m_ds, on=["c"])
-    cells = grouped_agg(joined.select_columns(["r", "fq", "mq"]),
-                        ["r", "fq", "mq"], {},
-                        count_alias="n_customers").to_pandas()
+    base = base.map_batches(with_rec, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            batch_size=None).materialize()
+    bounds = {}
+    for metric, name in (("rec", "r"), ("f", "fq"), ("m", "mq")):
+        bl = _ntile_boundaries(
+            base.select_columns([metric, "c"]), metric, "c", k)
+        bounds[name] = bl or []
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        empty = pa.table({"r": pa.array([], pa.int64()),
+                          "fq": pa.array([], pa.int64()),
+                          "mq": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        c = b["c"].to_numpy(zero_copy_only=False)
+        out = {}
+        for metric, name in (("rec", "r"), ("f", "fq"), ("m", "mq")):
+            v = b[metric].to_numpy(zero_copy_only=False)
+            bucket = np.ones(len(v), dtype=np.int64)
+            for bm, bc in bounds[name]:   # <= k-1 vectorized compares
+                bucket += ((v > bm) | ((v == bm) & (c >= bc)))
+            out[name] = bucket
+        t = pa.table({n: pa.array(a) for n, a in out.items()})
+        g = t.group_by(["r", "fq", "mq"]).aggregate([([], "count_all")])
+        g = g.select(["r", "fq", "mq", "count_all"])
+        return g.rename_columns(["r", "fq", "mq", "n_p"])
+
+    cells = grouped_agg(
+        base.map_batches(bucketize, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        ["r", "fq", "mq"], {"n_p": "n_customers"},
+        count_alias="_b").to_pandas()
     if cells.empty or "r" not in cells.columns:
         return out_empty
     out = cells.sort_values(["r", "fq", "mq"]).reset_index(drop=True)
