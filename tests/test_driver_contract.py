@@ -144,7 +144,7 @@ def oracle_pairs():
     "rrf_fusion_embeddings", "calibration_value_error_events",
     "bounce_rate_events", "rfm_segments_customers",
     "session_duration_median_events", "readability_documents",
-    "nonascii_ratio_by_lang",
+    "nonascii_ratio_by_lang", "normalized_dup_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1065,3 +1065,50 @@ def test_nonascii_empty_texts_null_ratio_and_null_rows(tmp_path):
     assert math.isnan(fr["nonascii_ratio"].iloc[0])
     nul = got[got["lang"].isna()]
     assert nul["nonascii_ratio"].iloc[0] == 0.2
+
+
+# ---------------------------------------------------------------------------
+# normalized_dup_documents
+
+
+def _norm_dup(tmp_path):
+    from jsonschema_ray.pipelines.relational import normalized_dup_documents
+    got = normalized_dup_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "normalized_dup_documents")
+    _frames_equal(got, exp, ["size"])
+    return got.set_index("size")["n_clusters"].to_dict()
+
+
+def test_normalized_dup_casing_and_whitespace_merge(tmp_path):
+    """'Hello  World', ' hello world' and 'HELLO WORLD ' all
+    normalize to 'hello world' → ONE cluster of 3; raw exact dedup
+    (dup_cluster_sizes) sees three singletons — the canonicalization
+    gap this query exists to expose."""
+    from jsonschema_ray.pipelines.relational import (
+        dup_cluster_sizes_documents)
+    _documents(tmp_path, [
+        (1, "Hello  World", "en", "s"), (2, " hello world", "en", "s"),
+        (3, "HELLO WORLD ", "en", "s"), (4, "other", "en", "s")])
+    assert _norm_dup(tmp_path) == {1: 1, 3: 1}
+    raw = dup_cluster_sizes_documents(str(tmp_path))
+    assert raw.set_index("size")["n_clusters"].to_dict() == {1: 4}
+
+
+def test_normalized_dup_accents_survive_and_empty_string_doc(tmp_path):
+    """Normalization lowercases but does NOT strip accents ('Éclair'
+    == 'éclair' but != 'eclair'); an all-space doc normalizes to the
+    EMPTY string and still clusters (degenerate doc, not null)."""
+    _documents(tmp_path, [
+        (1, "Éclair", "fr", "s"), (2, "éclair", "fr", "s"),
+        (3, "eclair", "fr", "s"), (4, "   ", "fr", "s"),
+        (5, "", "fr", "s"), (6, None, "fr", "s")])
+    # clusters: {éclair: 2} {eclair: 1} {"": 2}; null invisible
+    assert _norm_dup(tmp_path) == {1: 1, 2: 2}
+
+
+def test_normalized_dup_internal_tabs_not_collapsed(tmp_path):
+    """The collapse rule is SPACES ONLY (' +') — a tab is content, so
+    'a\\tb' and 'a b' stay distinct clusters (pinning the exact regex
+    both engines run)."""
+    _documents(tmp_path, [(1, "a\tb", "en", "s"), (2, "a b", "en", "s")])
+    assert _norm_dup(tmp_path) == {1: 2}
