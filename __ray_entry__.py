@@ -68,8 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-14 additions (oracled, never driver-checked)
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
-        "rolling_distinct_users_events":
-            R.rolling_distinct_users_events,              # oracled
         "benford_totalprice": R.benford_totalprice,       # oracled
         "transition_timing_events":
             R.transition_timing_events,                   # oracled
@@ -126,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.normalized_dup_documents,                    # oracled
         "gains_spend_customers":
             R.gains_spend_customers,                       # oracled
+        "stickiness_daily_events":
+            R.stickiness_daily_events,                     # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenset_dedup_documents":
             R.tokenset_dedup_documents,                   # oracled
         "gini_daily_events": R.gini_daily_events,         # oracled
+        "rolling_distinct_users_events":
+            R.rolling_distinct_users_events,              # oracled
         "q20_dominant_supplier": R.q20_dominant_supplier,  # oracled
         "q11_important_parts": R.q11_important_parts,     # oracled
         "dedup_rate_by_source": R.dedup_rate_by_source,   # oracled
@@ -1086,6 +1088,20 @@ SELECT decile, n_cust, CAST(cents AS VARCHAR) AS cents,
                               AS DOUBLE), 6)
        END AS cum_share_top
 FROM w ORDER BY decile""",
+        "stickiness_daily_events": """
+WITH du AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+r AS (SELECT a.d, count(*) AS returning
+      FROM du a JOIN du b ON a.u = b.u AND b.d = a.d - INTERVAL 1 DAY
+      GROUP BY a.d),
+a AS (SELECT d, count(*) AS active FROM du GROUP BY d)
+SELECT strftime(a.d, '%Y-%m-%d') AS day,
+       CAST(a.active AS BIGINT) AS active,
+       CAST(COALESCE(r.returning, 0) AS BIGINT) AS returning,
+       round(CAST(COALESCE(r.returning, 0) AS DOUBLE)
+             / CAST(a.active AS DOUBLE), 6) AS stickiness
+FROM a LEFT JOIN r ON a.d = r.d ORDER BY day""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

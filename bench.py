@@ -282,6 +282,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.normalized_dup_documents(sf_dir)))
     timed("gains_spend_customers",
           lambda: len(R.gains_spend_customers(sf_dir)))
+    timed("stickiness_daily_events",
+          lambda: len(R.stickiness_daily_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

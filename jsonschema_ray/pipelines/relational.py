@@ -9035,3 +9035,82 @@ def gains_spend_customers(sf_dir: str, k: int = 10):
     out["cents"] = out["cents"].astype("object")
     out["cum_share_top"] = out["cum_share_top"].astype("float64")
     return out
+
+
+def stickiness_daily_events(sf_dir: str):
+    """Daily stickiness (ORACLED): per calendar day, how many users
+    were active, how many of those were ALSO active the previous day,
+    and their ratio — the returning-user (DAU retention) metric a
+    growth dashboard reads. ONE user-hash partition does all the
+    pairing: within it the distinct (user, day) set sorts by
+    (user, day) and a vectorized consecutive-day compare
+    (d[i]−d[i−1] == 1 within the same user) marks returning days; the
+    per-day (active, returning) partials that leave the partition are
+    calendar-bounded, finished by one small grouped sum. Each user
+    contributes at most ONE active and ONE returning per day (the
+    distinct set — a user's 50 events on Tuesday are one active);
+    a day with no previous-day overlap answers returning = 0 (the
+    SQL LEFT JOIN + COALESCE); the first corpus day can never be
+    returning. Days are exact date32 ints in-pipeline, formatted
+    %Y-%m-%d at the edge; stickiness = two ints and ONE divide in
+    SQL operand order, 6dp. Null user_id / null ts rows invisible."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("user_id").is_valid(),
+                             b.column("ts").is_valid()))
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        out = pa.table({"u": t.column("user_id"),
+                        "d": pc.cast(d, pa.int64())})
+        # per-batch distinct prunes the shuffle to one row per (u, d)
+        return out.group_by(["u", "d"]).aggregate([]) \
+            .select(["u", "d"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"d": pa.array([], pa.int64()),
+                          "act": pa.array([], pa.int64()),
+                          "ret": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        dd = t.group_by(["u", "d"]).aggregate([])  # exact distinct
+        u = dd.column("u").to_numpy(zero_copy_only=False)
+        d = dd.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        ret = np.zeros(len(u), dtype=bool)
+        ret[1:] = (u[1:] == u[:-1]) & (d[1:] - d[:-1] == 1)
+        days, act = np.unique(d, return_counts=True)
+        rdays, rcnt = np.unique(d[ret], return_counts=True)
+        rmap = dict(zip(rdays, rcnt))
+        return pa.table({
+            "d": pa.array(days.astype(np.int64)),
+            "act": pa.array(act.astype(np.int64)),
+            "ret": pa.array([int(rmap.get(x, 0)) for x in days],
+                            pa.int64())})
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["u"], kernel, batch_format="pyarrow")
+    agg = grouped_agg(parts, ["d"], {"act": "active", "ret": "returning"},
+                      count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "day": pd.Series([], dtype="object"),
+        "active": pd.Series([], dtype="int64"),
+        "returning": pd.Series([], dtype="int64"),
+        "stickiness": pd.Series([], dtype="float64")})
+    if agg.empty or "d" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("d").reset_index(drop=True)
+    day = pd.to_datetime(agg["d"].astype("int64"), unit="D") \
+        .dt.strftime("%Y-%m-%d")
+    out = pd.DataFrame({
+        "day": day.astype("object"),
+        "active": agg["active"].astype("int64"),
+        "returning": agg["returning"].astype("int64"),
+        "stickiness": np.asarray(duckdb_round(
+            agg["returning"].to_numpy().astype(np.float64)
+            / agg["active"].to_numpy().astype(np.float64), 6),
+            dtype=np.float64)})
+    return out

@@ -145,7 +145,7 @@ def oracle_pairs():
     "bounce_rate_events", "rfm_segments_customers",
     "session_duration_median_events", "readability_documents",
     "nonascii_ratio_by_lang", "normalized_dup_documents",
-    "gains_spend_customers",
+    "gains_spend_customers", "stickiness_daily_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

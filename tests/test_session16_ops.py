@@ -1170,3 +1170,54 @@ def test_gains_null_rows_and_empty(tmp_path):
     assert len(got) == 0
     assert list(got.columns) == ["decile", "n_cust", "cents",
                                  "cum_share_top"]
+
+
+# ---------------------------------------------------------------------------
+# stickiness_daily_events
+
+
+def _stick(tmp_path):
+    from jsonschema_ray.pipelines.relational import stickiness_daily_events
+    got = stickiness_daily_events(str(tmp_path))
+    exp = _oracle(tmp_path, "stickiness_daily_events")
+    _frames_equal(got, exp, ["day"])
+    return got.set_index("day")
+
+
+def test_stickiness_hand_case_and_dedup(tmp_path):
+    """Day 0: users {1,2}. Day 1: users {1,3} → user 1 returns →
+    stickiness 1/2. User 1 fires THREE events on day 1 but counts as
+    ONE active and ONE returning (the distinct set); the first corpus
+    day is never returning."""
+    rows = [
+        (1, 1, 0), (2, 2, 0),
+        (3, 1, DAY), (4, 1, DAY + 1000), (5, 1, DAY + 2000),
+        (6, 3, DAY)]
+    _events_u(tmp_path, rows)
+    by = _stick(tmp_path)
+    assert by.iloc[0]["active"] == 2 and by.iloc[0]["returning"] == 0
+    assert by.iloc[1]["active"] == 2 and by.iloc[1]["returning"] == 1
+    assert by.iloc[1]["stickiness"] == 0.5
+
+
+def test_stickiness_gap_breaks_return(tmp_path):
+    """User active on day 0 and day 2 (gap on day 1) is NOT returning
+    on day 2 — only strictly consecutive days count; and day 1 has no
+    row at all (no active users — observed days only, no grid)."""
+    _events_u(tmp_path, [(1, 1, 0), (2, 1, 2 * DAY)])
+    by = _stick(tmp_path)
+    assert len(by) == 2
+    assert by.iloc[1]["returning"] == 0
+    assert by.iloc[1]["stickiness"] == 0.0
+
+
+def test_stickiness_full_return_and_null_rows(tmp_path):
+    """Every day-1 user was active on day 0 → stickiness exactly 1.0;
+    null user/ts rows invisible."""
+    _events_u(tmp_path, [
+        (1, 1, 0), (2, 2, 0),
+        (3, 1, DAY), (4, 2, DAY),
+        (5, None, DAY), (6, 1, None)])
+    by = _stick(tmp_path)
+    assert by.iloc[1]["active"] == 2
+    assert by.iloc[1]["stickiness"] == 1.0
