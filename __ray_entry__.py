@@ -66,8 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": R.quantize_embeddings,     # oracled
         "scd2_intervals_events": R.scd2_intervals_events,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
-        "cumulative_parts_shipped":
-            R.cumulative_parts_shipped,                   # oracled
         "benford_totalprice": R.benford_totalprice,       # oracled
         "transition_timing_events":
             R.transition_timing_events,                   # oracled
@@ -126,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.gains_spend_customers,                       # oracled
         "stickiness_daily_events":
             R.stickiness_daily_events,                     # oracled
+        # --- session-17 additions (oracled)
+        "ship_delay_by_month": R.ship_delay_by_month,      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -144,6 +144,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_rate_by_source + the new hhi_sources_by_lang;
         # ttr's per-doc token-set machinery stays covered by
         # tokenset_dedup_documents IN the window)
+        # (evicted for the session-17 block: cumulative grouped-sum
+        # machinery stays covered in-window by drawdown_daily_events
+        # and gains_spend_customers; pin-dense, two-engine green at
+        # 3 SFs across two sessions)
+        "cumulative_parts_shipped":
+            R.cumulative_parts_shipped,                   # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1102,6 +1108,18 @@ SELECT strftime(a.d, '%Y-%m-%d') AS day,
        round(CAST(COALESCE(r.returning, 0) AS DOUBLE)
              / CAST(a.active AS DOUBLE), 6) AS stickiness
 FROM a LEFT JOIN r ON a.d = r.d ORDER BY day""",
+        "ship_delay_by_month": """
+SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(CAST(SUM(CAST(l.l_shipdate AS DATE)
+                           - CAST(o.o_orderdate AS DATE)) AS VARCHAR)
+                  AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_delay,
+       median(CAST(l.l_shipdate AS DATE)
+              - CAST(o.o_orderdate AS DATE)) AS med_delay
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+GROUP BY month ORDER BY month""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

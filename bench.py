@@ -284,6 +284,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.gains_spend_customers(sf_dir)))
     timed("stickiness_daily_events",
           lambda: len(R.stickiness_daily_events(sf_dir)))
+    timed("ship_delay_by_month",
+          lambda: len(R.ship_delay_by_month(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

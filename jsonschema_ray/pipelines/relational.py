@@ -9114,3 +9114,96 @@ def stickiness_daily_events(sf_dir: str):
             / agg["active"].to_numpy().astype(np.float64), 6),
             dtype=np.float64)})
     return out
+
+
+def ship_delay_by_month(sf_dir: str):
+    """Shipping-latency SLA table (ORACLED): per ORDER month, the
+    line-item count, mean and interpolated median of days between the
+    order date and each line item's ship date — the fulfillment
+    report behind "are we shipping slower this quarter". One
+    size-chosen equi-join (orders' (key, date) projection broadcasts
+    under the cap, shuffles above it — the established plan), then
+    per-batch (month, delay_days) partials: the aggregate is
+    month x delay-range-bounded, so the shuffle is key-bounded
+    regardless of corpus size and the finish is key-bounded driver
+    work. Exactness: delays are exact date32-int differences; the
+    mean's numerator sum(delay) passes 2^53 at corpus scale, so the
+    driver sums PYTHON INTS over the count table and the SQL reads
+    its HUGEINT sum through the VARCHAR->DOUBLE route; the median
+    comes EXACTLY from the per-month delay histogram (even counts
+    interpolate (a+b)/2 — exact in float64 for day-sized ints ==
+    DuckDB quantile_cont). A lineitem with a null ship date, an
+    order with a null date, and orphan orderkeys (no matching order —
+    the inner join) are invisible on both engines; negative delays
+    (data errors) are KEPT — the report must show them."""
+    from ..joins import equi_join
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+
+    def li_clean(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("l_orderkey").is_valid(),
+                             b.column("l_shipdate").is_valid()))
+        return pa.table({
+            "k": t.column("l_orderkey"),
+            "sd": pc.cast(pc.cast(pc.cast(t.column("l_shipdate"),
+                                          pa.date32()), pa.int32()),
+                          pa.int64())})
+
+    def o_clean(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("o_orderkey").is_valid(),
+                             b.column("o_orderdate").is_valid()))
+        od = t.column("o_orderdate")
+        return pa.table({
+            "k": t.column("o_orderkey"),
+            "od": pc.cast(pc.cast(pc.cast(od, pa.date32()),
+                                  pa.int32()), pa.int64()),
+            "month": pc.strftime(od, "%Y-%m")})
+
+    joined = equi_join(
+        li.map_batches(li_clean, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        orders.map_batches(o_clean, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072),
+        on=["k"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.subtract(b["sd"], b["od"])
+        t = pa.table({"month": b["month"], "delay": d})
+        g = t.group_by(["month", "delay"]).aggregate([([], "count_all")])
+        g = g.select(["month", "delay", "count_all"])
+        return g.rename_columns(["month", "delay", "n_p"])
+
+    hist = grouped_agg(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072),
+        ["month", "delay"], {"n_p": "n"}, count_alias="_b").to_pandas()
+    out_empty = pd.DataFrame({
+        "month": pd.Series([], dtype="object"),
+        "n_items": pd.Series([], dtype="int64"),
+        "mean_delay": pd.Series([], dtype="float64"),
+        "med_delay": pd.Series([], dtype="float64")})
+    if hist.empty or "month" not in hist.columns:
+        return out_empty
+    rows = []
+    for month, g in hist.groupby("month", sort=True):
+        g = g.sort_values("delay")
+        cnt = [int(x) for x in g["n"]]
+        dly = [int(x) for x in g["delay"]]
+        n = sum(cnt)
+        total = sum(c * d for c, d in zip(cnt, dly))  # exact ints
+        # exact median from the histogram: positions are 0-based
+        cum = np.cumsum(cnt)
+        lo_pos, hi_pos = (n - 1) // 2, n // 2
+        lo = dly[int(np.searchsorted(cum, lo_pos + 1))]
+        hi = dly[int(np.searchsorted(cum, hi_pos + 1))]
+        rows.append({
+            "month": month, "n_items": n,
+            "mean_delay": float(duckdb_round(
+                float(total) / float(n), 6)),
+            "med_delay": (float(lo) + float(hi)) / 2.0})
+    out = pd.DataFrame(rows)
+    out["n_items"] = out["n_items"].astype("int64")
+    out["mean_delay"] = out["mean_delay"].astype("float64")
+    out["med_delay"] = out["med_delay"].astype("float64")
+    return out

@@ -1,0 +1,150 @@
+"""Session-17 operators: shipping-delay SLA table — crafted edge
+branches the sf oracles can't reach (order-month attribution across a
+month boundary, negative delays, even/odd median interpolation, null
+dates, orphan orderkeys). The sf-scale value oracles run in
+test_driver_contract and were hand-verified at sf0.001/0.01/0.1."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jsonschema_ray.pipelines.relational import ship_delay_by_month
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+DAY = 86_400_000_000  # one day in µs
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _orders(tmp_path, rows):
+    """rows: (o_orderkey, orderdate_day|None)."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [None if r[1] is None else r[1] * DAY for r in rows],
+            pa.timestamp("us")),
+    }))
+
+
+def _lineitem(tmp_path, rows):
+    """rows: (l_orderkey|None, shipdate_day|None)."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_shipdate": pa.array(
+            [None if r[1] is None else r[1] * DAY for r in rows],
+            pa.timestamp("us")),
+    }))
+
+
+def _oracle(tmp_path, name):
+    import duckdb
+
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "customer",
+              "supplier", "nation", "region", "part", "embeddings"):
+        p = os.path.join(str(tmp_path), f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}')")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+def _frames_equal(got, exp, sort_cols):
+    got = got[list(exp.columns)].sort_values(sort_cols) \
+        .reset_index(drop=True)
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in exp.columns:
+        gv, ev = got[c].to_numpy(), exp[c].to_numpy()
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            assert np.array_equal(
+                np.nan_to_num(gv.astype(float), nan=-1.0),
+                np.nan_to_num(ev.astype(float), nan=-1.0)), c
+        else:
+            assert np.array_equal(gv.astype(str), ev.astype(str)), c
+
+
+def _ship(tmp_path):
+    got = ship_delay_by_month(str(tmp_path))
+    exp = _oracle(tmp_path, "ship_delay_by_month")
+    _frames_equal(got, exp, ["month"])
+    return got.set_index("month")
+
+
+# ---------------------------------------------------------------------------
+# ship_delay_by_month
+
+
+def test_ship_delay_hand_means_and_medians(tmp_path):
+    """Jan order ships +2/+4/+9 → mean 5.0, odd-count median 4.0.
+    Feb's two orders contribute delays {1,2,4,9} → even-count median
+    interpolates (2+4)/2 = 3.0 exactly (quantile_cont semantics)."""
+    _orders(tmp_path, [(1, 10), (2, 40), (3, 45)])
+    _lineitem(tmp_path, [
+        (1, 12), (1, 14), (1, 19),
+        (2, 41), (2, 42), (3, 49), (3, 54)])
+    by = _ship(tmp_path)
+    assert int(by.loc["1970-01", "n_items"]) == 3
+    assert by.loc["1970-01", "mean_delay"] == 5.0
+    assert by.loc["1970-01", "med_delay"] == 4.0
+    assert int(by.loc["1970-02", "n_items"]) == 4
+    assert by.loc["1970-02", "med_delay"] == 3.0
+
+
+def test_ship_delay_order_month_attribution(tmp_path):
+    """Month comes from the ORDER date: an item shipped in February
+    for a January 31 order lands in 1970-01 — the SLA report charges
+    latency to when the order was placed, not when it shipped."""
+    _orders(tmp_path, [(1, 30)])  # 1970-01-31
+    _lineitem(tmp_path, [(1, 35)])  # ships 1970-02-05
+    by = _ship(tmp_path)
+    assert list(by.index) == ["1970-01"]
+    assert by.loc["1970-01", "med_delay"] == 5.0
+
+
+def test_ship_delay_negative_delays_kept(tmp_path):
+    """A ship date BEFORE the order date (a data error the report
+    must surface) is kept: delays {-3, 3} → mean 0.0, median 0.0."""
+    _orders(tmp_path, [(1, 10)])
+    _lineitem(tmp_path, [(1, 7), (1, 13)])
+    by = _ship(tmp_path)
+    assert by.loc["1970-01", "mean_delay"] == 0.0
+    assert by.loc["1970-01", "med_delay"] == 0.0
+    assert int(by.loc["1970-01", "n_items"]) == 2
+
+
+def test_ship_delay_null_and_orphan_rows_invisible(tmp_path):
+    """A null ship date, a null order date, a null orderkey and an
+    orphan orderkey (no matching order — the inner join) all vanish
+    on both engines; an order with no line items produces no row."""
+    _orders(tmp_path, [(1, 10), (2, None), (3, 70)])
+    _lineitem(tmp_path, [
+        (1, 12),          # the only surviving pair
+        (1, None),        # null ship date
+        (2, 50),          # its order has a null date
+        (99, 55),         # orphan orderkey
+        (None, 60)])      # null orderkey
+    by = _ship(tmp_path)
+    assert len(by) == 1
+    assert int(by.loc["1970-01", "n_items"]) == 1
+    assert by.loc["1970-01", "med_delay"] == 2.0
+
+
+def test_ship_delay_empty_table_typed(tmp_path):
+    """An all-filtered corpus answers the typed empty frame."""
+    _orders(tmp_path, [(1, None)])
+    _lineitem(tmp_path, [(1, 12)])
+    got = ship_delay_by_month(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["month", "n_items", "mean_delay",
+                                 "med_delay"]
+    assert str(got["n_items"].dtype) == "int64"
+    assert str(got["mean_delay"].dtype) == "float64"
