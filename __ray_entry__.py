@@ -63,7 +63,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_md5_pairs_documents":
             R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
-        "quantize_embeddings": R.quantize_embeddings,     # oracled
         "scd2_intervals_events": R.scd2_intervals_events,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
         "benford_totalprice": R.benford_totalprice,       # oracled
@@ -126,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.stickiness_daily_events,                     # oracled
         # --- session-17 additions (oracled)
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
+        "retention_curve_events":
+            R.retention_curve_events,                      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -146,10 +147,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenset_dedup_documents IN the window)
         # (evicted for the session-17 block: cumulative grouped-sum
         # machinery stays covered in-window by drawdown_daily_events
-        # and gains_spend_customers; pin-dense, two-engine green at
-        # 3 SFs across two sessions)
+        # and gains_spend_customers; the scalar-quantize vector
+        # machinery stays covered by rrf_fusion_embeddings +
+        # ann_ivf_fullprobe_embeddings; both pin-dense, two-engine
+        # green at 3 SFs across two sessions)
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
+        "quantize_embeddings": R.quantize_embeddings,     # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1120,6 +1124,16 @@ SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
 GROUP BY month ORDER BY month""",
+        "retention_curve_events": """
+WITH du AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT u, min(d) AS fd FROM du GROUP BY u),
+o AS (SELECT du.u, du.d - f.fd AS off FROM du JOIN f ON du.u = f.u)
+SELECT CAST(off AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM f) AS DOUBLE), 6) AS share
+FROM o GROUP BY off ORDER BY day_offset""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

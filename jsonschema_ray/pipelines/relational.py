@@ -9207,3 +9207,76 @@ def ship_delay_by_month(sf_dir: str):
     out["mean_delay"] = out["mean_delay"].astype("float64")
     out["med_delay"] = out["med_delay"].astype("float64")
     return out
+
+
+def retention_curve_events(sf_dir: str):
+    """Day-offset retention (survival) curve (ORACLED): for each day
+    offset k, how many users were active exactly k days after their
+    OWN first active day, and that count's share of all users — the
+    lifecycle decay curve a product review reads next to the cohort
+    table (retention_cohorts_events is cohort-month x age; this
+    collapses to a single curve at day granularity). ONE user-hash
+    partition computes everything: the distinct (user, day) set
+    (per-batch Arrow distinct prunes the shuffle to one row per pair)
+    lexsorts by (user, day) inside the partition, the run-start
+    propagation (np.repeat of each user's first day) turns days into
+    offsets with no join, and only offset-range-bounded
+    (offset, n_users) partials leave the partition, finished by one
+    small grouped sum. Every user contributes offset 0 (their first
+    day IS an active day), so the denominator — total users — is
+    EXACTLY the offset-0 count and share(0) == 1.0 by construction;
+    observed offsets only (a user active on days {0, 5} emits offsets
+    {0, 5}, nothing for the gap). Share = two exact ints and ONE
+    divide in SQL operand order, 6dp. Null user/ts rows invisible."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("user_id").is_valid(),
+                             b.column("ts").is_valid()))
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        out = pa.table({"u": t.column("user_id"),
+                        "d": pc.cast(d, pa.int64())})
+        return out.group_by(["u", "d"]).aggregate([]) \
+            .select(["u", "d"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"off": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        dd = t.group_by(["u", "d"]).aggregate([])  # exact distinct
+        u = dd.column("u").to_numpy(zero_copy_only=False)
+        d = dd.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        starts = np.ones(len(u), dtype=bool)
+        starts[1:] = u[1:] != u[:-1]
+        idx = np.flatnonzero(starts)
+        runlen = np.diff(np.append(idx, len(u)))
+        first = np.repeat(d[idx], runlen)
+        off = d - first
+        offs, cnt = np.unique(off, return_counts=True)
+        return pa.table({"off": pa.array(offs.astype(np.int64)),
+                         "n_p": pa.array(cnt.astype(np.int64))})
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["u"], kernel, batch_format="pyarrow")
+    agg = grouped_agg(parts, ["off"], {"n_p": "n"},
+                      count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "day_offset": pd.Series([], dtype="int64"),
+        "n_users": pd.Series([], dtype="int64"),
+        "share": pd.Series([], dtype="float64")})
+    if agg.empty or "off" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("off").reset_index(drop=True)
+    total = int(agg.loc[agg["off"] == 0, "n"].iloc[0])
+    return pd.DataFrame({
+        "day_offset": agg["off"].astype("int64"),
+        "n_users": agg["n"].astype("int64"),
+        "share": np.asarray(duckdb_round(
+            agg["n"].to_numpy().astype(np.float64) / float(total), 6),
+            dtype=np.float64)})

@@ -146,7 +146,7 @@ def oracle_pairs():
     "session_duration_median_events", "readability_documents",
     "nonascii_ratio_by_lang", "normalized_dup_documents",
     "gains_spend_customers", "stickiness_daily_events",
-    "ship_delay_by_month",
+    "ship_delay_by_month", "retention_curve_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -12,7 +12,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from jsonschema_ray.pipelines.relational import ship_delay_by_month
+from jsonschema_ray.pipelines.relational import (
+    retention_curve_events, ship_delay_by_month)
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -148,3 +149,65 @@ def test_ship_delay_empty_table_typed(tmp_path):
                                  "med_delay"]
     assert str(got["n_items"].dtype) == "int64"
     assert str(got["mean_delay"].dtype) == "float64"
+
+
+# ---------------------------------------------------------------------------
+# retention_curve_events
+
+
+def _events_u(tmp_path, rows):
+    """rows: (event_id, user_id|None, ts_us|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    }))
+
+
+def _curve(tmp_path):
+    got = retention_curve_events(str(tmp_path))
+    exp = _oracle(tmp_path, "retention_curve_events")
+    _frames_equal(got, exp, ["day_offset"])
+    return got.set_index("day_offset")
+
+
+def test_retention_curve_offsets_are_per_user_and_gapped(tmp_path):
+    """User 1 active on days {0, 1, 5}; user 2 starts day 3, active
+    {3, 4}. Offsets are relative to each user's OWN first day: user 2
+    contributes offsets {0, 1}, not {3, 4}; user 1's day-5 activity
+    emits offset 5 with NO rows for the gap offsets 2-4 from them.
+    share(0) is exactly 1.0 — every user has a first day."""
+    _events_u(tmp_path, [
+        (1, 1, 0), (2, 1, DAY), (3, 1, 5 * DAY),
+        (4, 2, 3 * DAY), (5, 2, 4 * DAY)])
+    by = _curve(tmp_path)
+    assert list(by.index) == [0, 1, 5]
+    assert int(by.loc[0, "n_users"]) == 2 and by.loc[0, "share"] == 1.0
+    assert int(by.loc[1, "n_users"]) == 2
+    assert int(by.loc[5, "n_users"]) == 1 and by.loc[5, "share"] == 0.5
+
+
+def test_retention_curve_dedup_and_null_rows(tmp_path):
+    """Three events on one user's second day count ONCE (the distinct
+    (user, day) set); null user / null ts rows invisible."""
+    _events_u(tmp_path, [
+        (1, 1, 0),
+        (2, 1, DAY), (3, 1, DAY + 1000), (4, 1, DAY + 2000),
+        (5, None, DAY), (6, 1, None)])
+    by = _curve(tmp_path)
+    assert list(by.index) == [0, 1]
+    assert int(by.loc[1, "n_users"]) == 1
+    assert by.loc[1, "share"] == 1.0
+
+
+def test_retention_curve_single_day_users_and_empty(tmp_path):
+    """A corpus of one-day users answers ONE row (offset 0, share
+    1.0); an all-null corpus answers the typed empty frame."""
+    _events_u(tmp_path, [(1, 1, 0), (2, 2, 7 * DAY), (3, 3, 30 * DAY)])
+    by = _curve(tmp_path)
+    assert list(by.index) == [0]
+    assert int(by.loc[0, "n_users"]) == 3
+    _events_u(tmp_path, [(1, None, 0), (2, 1, None)])
+    got = retention_curve_events(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["day_offset", "n_users", "share"]
