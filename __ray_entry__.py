@@ -63,7 +63,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_md5_pairs_documents":
             R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
-        "scd2_intervals_events": R.scd2_intervals_events,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
         "benford_totalprice": R.benford_totalprice,       # oracled
         "transition_timing_events":
@@ -127,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
         "retention_curve_events":
             R.retention_curve_events,                      # oracled
+        "zipf_slope_documents": R.zipf_slope_documents,    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
+        # (evicted for zipf_slope: per-user run/change-point machinery
+        # stays covered in-window by longest_streak_events +
+        # transition_timing_events)
+        "scd2_intervals_events": R.scd2_intervals_events,  # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1134,6 +1138,22 @@ SELECT CAST(off AS BIGINT) AS day_offset,
        round(CAST(count(*) AS DOUBLE)
              / CAST((SELECT count(*) FROM f) AS DOUBLE), 6) AS share
 FROM o GROUP BY off ORDER BY day_offset""",
+        "zipf_slope_documents": """
+WITH tc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term),
+top AS (SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS r
+        FROM tc ORDER BY n DESC, term LIMIT 1000),
+l AS (SELECT log2(CAST(r AS DOUBLE)) AS x,
+             log2(CAST(n AS DOUBLE)) AS y FROM top),
+m AS (SELECT count(*) AS c, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM l)
+SELECT CAST(c AS BIGINT) AS n_terms,
+       round((sxy - sx*sy/c) / (sxx - sx*sx/c), 6) AS slope,
+       round(sy/c - ((sxy - sx*sy/c) / (sxx - sx*sx/c)) * (sx/c), 6)
+           AS intercept
+FROM m""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

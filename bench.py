@@ -288,6 +288,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.ship_delay_by_month(sf_dir)))
     timed("retention_curve_events",
           lambda: len(R.retention_curve_events(sf_dir)))
+    timed("zipf_slope_documents",
+          lambda: len(R.zipf_slope_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -9280,3 +9280,48 @@ def retention_curve_events(sf_dir: str):
         "share": np.asarray(duckdb_round(
             agg["n"].to_numpy().astype(np.float64) / float(total), 6),
             dtype=np.float64)})
+
+
+def zipf_slope_documents(sf_dir: str, top_n: int = 1000):
+    """Zipf exponent of the term-frequency distribution (ORACLED):
+    OLS slope (and intercept) of log2(count) on log2(rank) over the
+    top-N whitespace terms — the one-number lexical-health readout a
+    corpus curation review uses to spot template spam (slope near 0:
+    boilerplate-flat head) or OCR noise (steeper-than-Zipf tail). The
+    corpus-sized work is the SAME combiner + vocabulary-bounded
+    groupby + per-block partial-top-k as term_frequency (the token
+    stream never shuffles, the full vocabulary is never
+    driver-resident); the regression runs on the driver over AT MOST
+    top_n (rank, count) pairs with ranks from the deterministic
+    (n DESC, term ASC) total order. Both engines evaluate the SAME
+    closed form (sxy − sx·sy/c) / (sxx − sx·sx/c) in the same operand
+    order over log2 values (numpy log2 == DuckDB log2 bit-for-bit on
+    this host — the pmi_bigrams precedent), rounded at 6dp; a
+    single-term corpus has zero x-variance and answers SQL-NULL slope
+    (0/0 → NaN on both engines); an empty vocabulary answers the
+    n_terms = 0 row with NULL slope AND NULL intercept."""
+    from ..text.transform import term_frequency
+    top = term_frequency(_read(sf_dir, "documents", columns=["text"]),
+                         top_n=top_n)
+    c = len(top)
+    out = pd.DataFrame({"n_terms": pd.Series([c], dtype="int64"),
+                        "slope": pd.Series([np.nan], dtype="float64"),
+                        "intercept": pd.Series([np.nan],
+                                               dtype="float64")})
+    if c == 0:
+        return out
+    # ranks in the (n desc, term asc) order term_frequency returns
+    x = np.log2(np.arange(1, c + 1, dtype=np.float64))
+    y = np.log2(top["n"].to_numpy().astype(np.float64))
+    # np.float64 operands: 0/0 follows IEEE (NaN) instead of raising
+    # like Python floats — the single-term zero-variance branch
+    sx, sy = np.float64(np.sum(x)), np.float64(np.sum(y))
+    sxx, sxy = np.float64(np.sum(x * x)), np.float64(np.sum(x * y))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = (sxy - sx * sy / c) / (sxx - sx * sx / c)
+        intercept = sy / c - slope * (sx / c)
+    out.loc[0, "slope"] = duckdb_round(float(slope), 6) \
+        if np.isfinite(slope) else np.nan
+    out.loc[0, "intercept"] = duckdb_round(float(intercept), 6) \
+        if np.isfinite(intercept) else np.nan
+    return out

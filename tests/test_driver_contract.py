@@ -147,6 +147,7 @@ def oracle_pairs():
     "nonascii_ratio_by_lang", "normalized_dup_documents",
     "gains_spend_customers", "stickiness_daily_events",
     "ship_delay_by_month", "retention_curve_events",
+    "zipf_slope_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -4,6 +4,7 @@ month boundary, negative delays, even/odd median interpolation, null
 dates, orphan orderkeys). The sf-scale value oracles run in
 test_driver_contract and were hand-verified at sf0.001/0.01/0.1."""
 
+import math
 import os
 
 import numpy as np
@@ -211,3 +212,58 @@ def test_retention_curve_single_day_users_and_empty(tmp_path):
     got = retention_curve_events(str(tmp_path))
     assert len(got) == 0
     assert list(got.columns) == ["day_offset", "n_users", "share"]
+
+
+# ---------------------------------------------------------------------------
+# zipf_slope_documents
+
+
+def _docs(tmp_path, texts):
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def _zipf(tmp_path):
+    from jsonschema_ray.pipelines.relational import zipf_slope_documents
+    got = zipf_slope_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "zipf_slope_documents")
+    _frames_equal(got, exp, ["n_terms"])
+    return got.iloc[0]
+
+
+def test_zipf_two_point_exact_line(tmp_path):
+    """Counts {4, 2} at ranks {1, 2}: x = {0, 1}, y = {2, 1} — a
+    two-point OLS fits exactly, slope −1.0 and intercept 2.0, both
+    representable doubles so the 6dp round is a no-op."""
+    _docs(tmp_path, ["a a b", "a a b"])
+    row = _zipf(tmp_path)
+    assert int(row["n_terms"]) == 2
+    assert row["slope"] == -1.0
+    assert row["intercept"] == 2.0
+
+
+def test_zipf_top_n_cut_and_tiebreak(tmp_path):
+    """1200 singleton terms + one 5x head term: only the top 1000
+    (n DESC, term ASC) survive the cut on BOTH engines — n_terms
+    reports exactly 1000 and the tied singleton band at the cut is
+    resolved by the term tiebreak identically."""
+    terms = [f"w{i:05d}" for i in range(1200)]
+    _docs(tmp_path, ["head head head head head", " ".join(terms)])
+    row = _zipf(tmp_path)
+    assert int(row["n_terms"]) == 1000
+
+
+def test_zipf_single_term_and_empty(tmp_path):
+    """One distinct term has zero x-variance → 0/0 → SQL-NULL slope
+    AND intercept on both engines; an empty/null corpus answers the
+    n_terms = 0 row."""
+    _docs(tmp_path, ["solo solo solo"])
+    row = _zipf(tmp_path)
+    assert int(row["n_terms"]) == 1
+    assert math.isnan(row["slope"]) and math.isnan(row["intercept"])
+    _docs(tmp_path, ["", None])
+    row = _zipf(tmp_path)
+    assert int(row["n_terms"]) == 0
+    assert math.isnan(row["slope"])
