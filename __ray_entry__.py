@@ -58,8 +58,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_profit": R.q9_product_profit,         # oracled
         # --- session-13: the md5-keyed LSH family — first value-level
         # oracles over minhash/simhash signatures (SQL md5_number)
-        "minhash_md5_signatures_documents":
-            R.minhash_md5_signatures_documents,           # oracled
         "minhash_md5_pairs_documents":
             R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
@@ -127,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_curve_events":
             R.retention_curve_events,                      # oracled
         "zipf_slope_documents": R.zipf_slope_documents,    # oracled
+        "new_vs_repeat_revenue": R.new_vs_repeat_revenue,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +157,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays covered in-window by longest_streak_events +
         # transition_timing_events)
         "scd2_intervals_events": R.scd2_intervals_events,  # oracled
+        # (evicted for new_vs_repeat_revenue: the md5-keyed signature
+        # path stays covered in-window by minhash_md5_pairs_documents,
+        # which CONSUMES those signatures end-to-end)
+        "minhash_md5_signatures_documents":
+            R.minhash_md5_signatures_documents,           # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1154,6 +1158,31 @@ SELECT CAST(c AS BIGINT) AS n_terms,
        round(sy/c - ((sxy - sx*sy/c) / (sxx - sx*sx/c)) * (sx/c), 6)
            AS intercept
 FROM m""",
+        "new_vs_repeat_revenue": """
+WITH o AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d,
+                  strftime(o_orderdate, '%Y-%m') AS month,
+                  CAST(o_totalprice * 100 AS BIGINT) AS cents
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+f AS (SELECT c, min(d) AS fd FROM o GROUP BY c),
+l AS (SELECT o.month, o.cents, (o.d = f.fd) AS is_new
+      FROM o JOIN f ON o.c = f.c),
+m AS (SELECT month,
+             sum(CASE WHEN is_new THEN cents ELSE 0 END) AS nc,
+             sum(CASE WHEN is_new THEN 0 ELSE cents END) AS rc,
+             sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS nn,
+             sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS rn
+      FROM l GROUP BY month)
+SELECT month,
+       CAST(nn AS BIGINT) AS new_orders,
+       CAST(rn AS BIGINT) AS repeat_orders,
+       CAST(nc AS VARCHAR) AS new_cents,
+       CAST(rc AS VARCHAR) AS repeat_cents,
+       round(CAST(CAST(rc AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(nc + rc AS VARCHAR) AS DOUBLE), 6)
+           AS repeat_share
+FROM m ORDER BY month""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

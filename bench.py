@@ -290,6 +290,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.retention_curve_events(sf_dir)))
     timed("zipf_slope_documents",
           lambda: len(R.zipf_slope_documents(sf_dir)))
+    timed("new_vs_repeat_revenue",
+          lambda: len(R.new_vs_repeat_revenue(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -9325,3 +9325,107 @@ def zipf_slope_documents(sf_dir: str, top_n: int = 1000):
     out.loc[0, "intercept"] = duckdb_round(float(intercept), 6) \
         if np.isfinite(intercept) else np.nan
     return out
+
+
+def new_vs_repeat_revenue(sf_dir: str):
+    """New-vs-returning revenue split by order month (ORACLED): per
+    calendar month, how many orders (and how much exact-cents
+    revenue) came from customers placing their FIRST order vs
+    returning customers, plus the repeat-revenue share — the
+    acquisition-vs-retention readout of a growth P&L. An order is
+    "new" iff its date equals the customer's earliest order date
+    (same-day ties are ALL new — no arbitrary tiebreak). ONE
+    customer-hash partition does the labeling: orders lexsort by
+    (customer, day) inside the partition and a run-start np.repeat
+    propagates each customer's first day with no join; only
+    month-bounded (month, new/repeat cents + counts) int64 partials
+    leave, finished by one small grouped sum. Cents ride the pinned
+    rint/CAST recipe; the month sums stay exact int64 in Arrow and
+    are reported as DECIMAL STRINGS (a month's revenue passes 2^53 at
+    corpus scale and DuckDB's HUGEINT->pandas conversion
+    double-rounds — the gains_spend precedent), with the share's two
+    operands through the correctly-rounded VARCHAR->DOUBLE route in
+    SQL operand order. Null custkey/date/price rows invisible; a
+    zero-revenue month answers SQL-NULL share (0/0)."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("o_custkey").is_valid(),
+                    b.column("o_orderdate").is_valid()),
+            b.column("o_totalprice").is_valid()))
+        od = t.column("o_orderdate")
+        d = pc.cast(pc.cast(pc.cast(od, pa.date32()), pa.int32()),
+                    pa.int64())
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c": t.column("o_custkey"), "d": d,
+            "month": pc.strftime(od, "%Y-%m"),
+            "cents": pa.array(np.rint(v * 100.0).astype(np.int64))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "month": pa.array([], pa.string()),
+            "nc_p": pa.array([], pa.int64()),
+            "rc_p": pa.array([], pa.int64()),
+            "nn_p": pa.array([], pa.int64()),
+            "rn_p": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, c))
+        c, d = c[order], d[order]
+        month = t.column("month").take(pa.array(order))
+        cents = t.column("cents").to_numpy(zero_copy_only=False)[order]
+        starts = np.ones(len(c), dtype=bool)
+        starts[1:] = c[1:] != c[:-1]
+        idx = np.flatnonzero(starts)
+        runlen = np.diff(np.append(idx, len(c)))
+        first = np.repeat(d[idx], runlen)
+        new = d == first  # same-day ties are all new
+        part = pa.table({
+            "month": month,
+            "nc_p": pa.array(np.where(new, cents, 0).astype(np.int64)),
+            "rc_p": pa.array(np.where(new, 0, cents).astype(np.int64)),
+            "nn_p": pa.array(new.astype(np.int64)),
+            "rn_p": pa.array((~new).astype(np.int64))})
+        g = part.group_by(["month"]).aggregate(
+            [("nc_p", "sum"), ("rc_p", "sum"),
+             ("nn_p", "sum"), ("rn_p", "sum")])
+        return g.rename_columns(["month", "nc_p", "rc_p",
+                                 "nn_p", "rn_p"])
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["c"], kernel, batch_format="pyarrow")
+    agg = grouped_agg(parts, ["month"],
+                      {"nc_p": "nc", "rc_p": "rc",
+                       "nn_p": "nn", "rn_p": "rn"},
+                      count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "month": pd.Series([], dtype="object"),
+        "new_orders": pd.Series([], dtype="int64"),
+        "repeat_orders": pd.Series([], dtype="int64"),
+        "new_cents": pd.Series([], dtype="object"),
+        "repeat_cents": pd.Series([], dtype="object"),
+        "repeat_share": pd.Series([], dtype="float64")})
+    if agg.empty or "month" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("month").reset_index(drop=True)
+    nc = [int(x) for x in agg["nc"]]
+    rc = [int(x) for x in agg["rc"]]
+    share = np.asarray([
+        duckdb_round(np.float64(float(r)) / np.float64(float(n + r)), 6)
+        if (n + r) != 0 else np.nan
+        for n, r in zip(nc, rc)], dtype=np.float64)
+    return pd.DataFrame({
+        "month": agg["month"].astype("object"),
+        "new_orders": agg["nn"].astype("int64"),
+        "repeat_orders": agg["rn"].astype("int64"),
+        "new_cents": pd.Series([str(x) for x in nc], dtype="object"),
+        "repeat_cents": pd.Series([str(x) for x in rc], dtype="object"),
+        "repeat_share": share})

@@ -147,7 +147,7 @@ def oracle_pairs():
     "nonascii_ratio_by_lang", "normalized_dup_documents",
     "gains_spend_customers", "stickiness_daily_events",
     "ship_delay_by_month", "retention_curve_events",
-    "zipf_slope_documents",
+    "zipf_slope_documents", "new_vs_repeat_revenue",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -267,3 +267,75 @@ def test_zipf_single_term_and_empty(tmp_path):
     row = _zipf(tmp_path)
     assert int(row["n_terms"]) == 0
     assert math.isnan(row["slope"])
+
+
+# ---------------------------------------------------------------------------
+# new_vs_repeat_revenue
+
+
+def _orders_cust(tmp_path, rows):
+    """rows: (o_custkey|None, orderdate_day|None, totalprice|None)."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(list(range(len(rows))), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [None if r[1] is None else r[1] * DAY for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+
+
+def _nvr(tmp_path):
+    from jsonschema_ray.pipelines.relational import new_vs_repeat_revenue
+    got = new_vs_repeat_revenue(str(tmp_path))
+    exp = _oracle(tmp_path, "new_vs_repeat_revenue")
+    _frames_equal(got, exp, ["month"])
+    return got.set_index("month")
+
+
+def test_nvr_hand_split_and_same_month_repeat(tmp_path):
+    """Customer 1 orders on day 2 ($10) and AGAIN on day 20 ($20) —
+    the second lands in the SAME January as the first yet counts as
+    repeat; customer 2's only order ($5, February) is new. January:
+    new 1000 cents / repeat 2000 cents → repeat_share 2000/3000."""
+    _orders_cust(tmp_path, [
+        (1, 2, 10.0), (1, 20, 20.0), (2, 40, 5.0)])
+    by = _nvr(tmp_path)
+    assert by.loc["1970-01", "new_cents"] == "1000"
+    assert by.loc["1970-01", "repeat_cents"] == "2000"
+    assert int(by.loc["1970-01", "new_orders"]) == 1
+    assert int(by.loc["1970-01", "repeat_orders"]) == 1
+    assert by.loc["1970-02", "repeat_cents"] == "0"
+    assert by.loc["1970-02", "repeat_share"] == 0.0
+
+
+def test_nvr_same_day_ties_are_all_new(tmp_path):
+    """TWO orders by one customer on the same earliest day both count
+    as new (is_new = date == min date — no arbitrary tiebreak); a
+    later order is repeat."""
+    _orders_cust(tmp_path, [
+        (1, 5, 10.0), (1, 5, 20.0), (1, 40, 30.0)])
+    by = _nvr(tmp_path)
+    assert int(by.loc["1970-01", "new_orders"]) == 2
+    assert by.loc["1970-01", "new_cents"] == "3000"
+    assert int(by.loc["1970-02", "repeat_orders"]) == 1
+
+
+def test_nvr_zero_revenue_month_null_share_and_nulls(tmp_path):
+    """A month whose only orders are $0 answers SQL-NULL share (0/0)
+    on both engines; null custkey / null date / null price rows are
+    invisible."""
+    _orders_cust(tmp_path, [
+        (1, 2, 0.0),
+        (None, 5, 10.0), (2, None, 10.0), (3, 8, None)])
+    by = _nvr(tmp_path)
+    assert len(by) == 1
+    assert by.loc["1970-01", "new_cents"] == "0"
+    assert math.isnan(by.loc["1970-01", "repeat_share"])
+    _orders_cust(tmp_path, [(None, 5, 10.0)])
+    from jsonschema_ray.pipelines.relational import new_vs_repeat_revenue
+    got = new_vs_repeat_revenue(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == [
+        "month", "new_orders", "repeat_orders", "new_cents",
+        "repeat_cents", "repeat_share"]
