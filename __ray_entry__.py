@@ -54,8 +54,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_documents": R.split_leakage_documents,  # oracled
         "fuzzy_components_customers":
             R.fuzzy_components_customers,                 # oracled
-        # --- session-12 additions (oracled, never driver-checked)
-        "q9_product_profit": R.q9_product_profit,         # oracled
         # --- session-13: the md5-keyed LSH family — first value-level
         # oracles over minhash/simhash signatures (SQL md5_number)
         "minhash_md5_pairs_documents":
@@ -126,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.retention_curve_events,                      # oracled
         "zipf_slope_documents": R.zipf_slope_documents,    # oracled
         "new_vs_repeat_revenue": R.new_vs_repeat_revenue,  # oracled
+        "return_rate_by_month": R.return_rate_by_month,    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -162,6 +161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # which CONSUMES those signatures end-to-end)
         "minhash_md5_signatures_documents":
             R.minhash_md5_signatures_documents,           # oracled
+        # (evicted for return_rate_by_month: multi-table equi-join
+        # machinery stays covered in-window by nation_share_of_region,
+        # basket_brand_pairs and ship_delay_by_month)
+        "q9_product_profit": R.q9_product_profit,         # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1183,6 +1186,25 @@ SELECT month,
              / CAST(CAST(nc + rc AS VARCHAR) AS DOUBLE), 6)
            AS repeat_share
 FROM m ORDER BY month""",
+        "return_rate_by_month": """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+       round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS return_rate,
+       CAST(COALESCE(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_extendedprice * 100 AS BIGINT)
+                         END), 0) AS VARCHAR) AS ret_cents,
+       round(CAST(CAST(COALESCE(sum(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_extendedprice * 100 AS BIGINT)
+                        END), 0) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(COALESCE(sum(CAST(l_extendedprice * 100
+                                            AS BIGINT)), 0)
+                         AS VARCHAR) AS DOUBLE), 6) AS ret_share
+FROM lineitem WHERE l_shipdate IS NOT NULL
+GROUP BY month ORDER BY month""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -292,6 +292,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.zipf_slope_documents(sf_dir)))
     timed("new_vs_repeat_revenue",
           lambda: len(R.new_vs_repeat_revenue(sf_dir)))
+    timed("return_rate_by_month",
+          lambda: len(R.return_rate_by_month(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -9429,3 +9429,88 @@ def new_vs_repeat_revenue(sf_dir: str):
         "new_cents": pd.Series([str(x) for x in nc], dtype="object"),
         "repeat_cents": pd.Series([str(x) for x in rc], dtype="object"),
         "repeat_share": share})
+
+
+def return_rate_by_month(sf_dir: str):
+    """Returns/refunds SLA by ship month (ORACLED): per calendar month
+    of l_shipdate, the item count, how many items came back
+    (l_returnflag = 'R'), the item-level return rate, the exact-cents
+    returned revenue and its share of the month's revenue — the
+    quality trend a merchandising review reads. Per-batch Arrow
+    partials (count, conditional count, two conditional cents sums)
+    feed a calendar-month-BOUNDED groupby; the finish is key-bounded
+    driver work. A NULL returnflag is NOT returned (the SQL CASE
+    WHEN NULL THEN .. ELSE 0 takes the ELSE); a NULL price row still
+    counts in n_items but contributes nothing to either cents sum
+    (the SQL SUM skips CASE-produced NULLs; both sides COALESCE to 0
+    so a zero-R month answers '0', not NULL); a month whose every
+    price is NULL answers 0/0 = SQL-NULL share. Cents ride the
+    pinned rint/CAST recipe and are reported as DECIMAL STRINGS with
+    the share's operands through the correctly-rounded
+    VARCHAR->DOUBLE route. Null shipdate rows are invisible."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_returnflag", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("l_shipdate").is_valid())
+        if t.num_rows == 0:
+            return pa.table({"month": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64()),
+                             "r_p": pa.array([], pa.int64()),
+                             "rc_p": pa.array([], pa.int64()),
+                             "tc_p": pa.array([], pa.int64())})
+        month = pc.strftime(t.column("l_shipdate"), "%Y-%m")
+        flag = t.column("l_returnflag")
+        is_r = pc.fill_null(pc.equal(flag, "R"), False) \
+            .to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice")
+        pv = price.is_valid().to_numpy(zero_copy_only=False)
+        cents = np.where(
+            pv, np.rint(np.nan_to_num(
+                price.to_numpy(zero_copy_only=False).astype(np.float64))
+                * 100.0).astype(np.int64), 0)
+        part = pa.table({
+            "month": month,
+            "n_p": pa.array(np.ones(len(is_r), dtype=np.int64)),
+            "r_p": pa.array(is_r.astype(np.int64)),
+            "rc_p": pa.array(np.where(is_r & pv, cents, 0)
+                             .astype(np.int64)),
+            "tc_p": pa.array(np.where(pv, cents, 0).astype(np.int64))})
+        g = part.group_by(["month"]).aggregate(
+            [("n_p", "sum"), ("r_p", "sum"),
+             ("rc_p", "sum"), ("tc_p", "sum")])
+        return g.rename_columns(["month", "n_p", "r_p", "rc_p", "tc_p"])
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["month"], {"n_p": "n", "r_p": "r", "rc_p": "rc", "tc_p": "tc"},
+        count_alias="_b").to_pandas()
+    out_empty = pd.DataFrame({
+        "month": pd.Series([], dtype="object"),
+        "n_items": pd.Series([], dtype="int64"),
+        "n_returned": pd.Series([], dtype="int64"),
+        "return_rate": pd.Series([], dtype="float64"),
+        "ret_cents": pd.Series([], dtype="object"),
+        "ret_share": pd.Series([], dtype="float64")})
+    if agg.empty or "month" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("month").reset_index(drop=True)
+    rc = [int(x) for x in agg["rc"]]
+    tc = [int(x) for x in agg["tc"]]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rate = np.asarray(duckdb_round(
+            agg["r"].to_numpy().astype(np.float64)
+            / agg["n"].to_numpy().astype(np.float64), 6),
+            dtype=np.float64)
+        share = np.asarray([
+            duckdb_round(np.float64(float(a)) / np.float64(float(b)), 6)
+            if b != 0 else np.nan for a, b in zip(rc, tc)],
+            dtype=np.float64)
+    return pd.DataFrame({
+        "month": agg["month"].astype("object"),
+        "n_items": agg["n"].astype("int64"),
+        "n_returned": agg["r"].astype("int64"),
+        "return_rate": rate,
+        "ret_cents": pd.Series([str(x) for x in rc], dtype="object"),
+        "ret_share": share})

@@ -339,3 +339,75 @@ def test_nvr_zero_revenue_month_null_share_and_nulls(tmp_path):
     assert list(got.columns) == [
         "month", "new_orders", "repeat_orders", "new_cents",
         "repeat_cents", "repeat_share"]
+
+
+# ---------------------------------------------------------------------------
+# return_rate_by_month
+
+
+def _lineitem_rf(tmp_path, rows):
+    """rows: (shipdate_day|None, returnflag|None, price|None)."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array(list(range(len(rows))), pa.int64()),
+        "l_shipdate": pa.array(
+            [None if r[0] is None else r[0] * DAY for r in rows],
+            pa.timestamp("us")),
+        "l_returnflag": pa.array([r[1] for r in rows], pa.string()),
+        "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+
+
+def _rrm(tmp_path):
+    from jsonschema_ray.pipelines.relational import return_rate_by_month
+    got = return_rate_by_month(str(tmp_path))
+    exp = _oracle(tmp_path, "return_rate_by_month")
+    _frames_equal(got, exp, ["month"])
+    return got.set_index("month")
+
+
+def test_return_rate_hand_values_and_null_flag(tmp_path):
+    """January: 4 items, one 'R' ($20) → rate 0.25, ret_cents 2000,
+    share 2000/8000 = 0.25. A NULL returnflag is NOT returned (the
+    SQL CASE falls to ELSE 0)."""
+    _lineitem_rf(tmp_path, [
+        (2, "R", 20.0), (5, "N", 30.0), (9, "A", 25.0),
+        (12, None, 5.0)])
+    by = _rrm(tmp_path)
+    assert int(by.loc["1970-01", "n_items"]) == 4
+    assert int(by.loc["1970-01", "n_returned"]) == 1
+    assert by.loc["1970-01", "return_rate"] == 0.25
+    assert by.loc["1970-01", "ret_cents"] == "2000"
+    assert by.loc["1970-01", "ret_share"] == 0.25
+
+
+def test_return_rate_null_price_and_zero_r_month(tmp_path):
+    """A NULL-price 'R' item counts in n_returned but adds nothing to
+    either cents sum; a month with no 'R' at all answers ret_cents
+    '0' and share 0.0 (the COALESCE), not NULL."""
+    _lineitem_rf(tmp_path, [
+        (2, "R", None), (5, "N", 40.0),
+        (40, "N", 10.0), (45, "A", 10.0)])
+    by = _rrm(tmp_path)
+    assert int(by.loc["1970-01", "n_returned"]) == 1
+    assert by.loc["1970-01", "ret_cents"] == "0"
+    assert by.loc["1970-01", "ret_share"] == 0.0
+    assert by.loc["1970-02", "ret_cents"] == "0"
+    assert by.loc["1970-02", "ret_share"] == 0.0
+
+
+def test_return_rate_all_null_price_month_null_share(tmp_path):
+    """A month whose EVERY price is NULL answers 0/0 = SQL-NULL share
+    while its counts stay exact; null shipdate rows invisible; empty
+    corpus answers the typed empty frame."""
+    _lineitem_rf(tmp_path, [
+        (2, "R", None), (3, "N", None), (None, "R", 10.0)])
+    by = _rrm(tmp_path)
+    assert len(by) == 1
+    assert int(by.loc["1970-01", "n_items"]) == 2
+    assert math.isnan(by.loc["1970-01", "ret_share"])
+    _lineitem_rf(tmp_path, [(None, "R", 10.0)])
+    from jsonschema_ray.pipelines.relational import return_rate_by_month
+    got = return_rate_by_month(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["month", "n_items", "n_returned",
+                                 "return_rate", "ret_cents", "ret_share"]
