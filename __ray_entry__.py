@@ -47,7 +47,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
-        "lineitem_correlation": R.lineitem_correlation,  # oracled
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
@@ -125,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope_documents": R.zipf_slope_documents,    # oracled
         "new_vs_repeat_revenue": R.new_vs_repeat_revenue,  # oracled
         "return_rate_by_month": R.return_rate_by_month,    # oracled
+        "basket_size_histogram": R.basket_size_histogram,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery stays covered in-window by nation_share_of_region,
         # basket_brand_pairs and ship_delay_by_month)
         "q9_product_profit": R.q9_product_profit,         # oracled
+        # (evicted for basket_size_histogram: bivariate-moment
+        # machinery stays covered in-window by
+        # spearman_quantity_discount + kendall_tau_daily_events +
+        # calibration_value_error_events)
+        "lineitem_correlation": R.lineitem_correlation,  # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1205,6 +1210,14 @@ SELECT strftime(l_shipdate, '%Y-%m') AS month,
                          AS VARCHAR) AS DOUBLE), 6) AS ret_share
 FROM lineitem WHERE l_shipdate IS NOT NULL
 GROUP BY month ORDER BY month""",
+        "basket_size_histogram": """
+WITH c AS (SELECT l_orderkey, count(*) AS k FROM lineitem
+           WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey)
+SELECT CAST(k AS BIGINT) AS basket_size,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM c) AS DOUBLE), 6) AS share
+FROM c GROUP BY k ORDER BY basket_size""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -294,6 +294,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.new_vs_repeat_revenue(sf_dir)))
     timed("return_rate_by_month",
           lambda: len(R.return_rate_by_month(sf_dir)))
+    timed("basket_size_histogram",
+          lambda: len(R.basket_size_histogram(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

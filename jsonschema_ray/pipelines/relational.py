@@ -9514,3 +9514,47 @@ def return_rate_by_month(sf_dir: str):
         "return_rate": rate,
         "ret_cents": pd.Series([str(x) for x in rc], dtype="object"),
         "ret_share": share})
+
+
+def basket_size_histogram(sf_dir: str):
+    """Order-size (basket) histogram (ORACLED): for each basket size
+    k, how many orders contain exactly k line items, and that count's
+    share of all orders — the order-shape distribution a fulfillment
+    capacity plan reads (and the lineitem twin of
+    dup_cluster_sizes' cluster histogram). Two-level aggregation:
+    the per-order count is the high-cardinality level and rides
+    grouped_agg_hash (per-batch combine bounds the shuffle at one row
+    per (order, batch); one coarse hash partition finishes exactly —
+    per-order counts are near row-cardinality, where Ray's sort
+    aggregate pathologically pays a full-corpus sort), then only the
+    size-BOUNDED (k, n_orders) histogram shuffles again. The share
+    denominator — total orders — is the exact Python-int sum of the
+    k-bounded histogram counts (no extra pass); share is two exact
+    ints and ONE divide in SQL operand order, 6dp. Null orderkey rows
+    are invisible."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("l_orderkey").is_valid())
+        return pa.table({"o": t.column("l_orderkey")})
+
+    per_order = grouped_agg_hash(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["o"], {}, count_alias="k")
+    hist = grouped_agg(per_order.select_columns(["k"]),
+                       ["k"], {}, count_alias="n_orders").to_pandas()
+    out_empty = pd.DataFrame({
+        "basket_size": pd.Series([], dtype="int64"),
+        "n_orders": pd.Series([], dtype="int64"),
+        "share": pd.Series([], dtype="float64")})
+    if hist.empty or "k" not in hist.columns:
+        return out_empty
+    hist = hist.sort_values("k").reset_index(drop=True)
+    total = sum(int(x) for x in hist["n_orders"])  # exact ints
+    return pd.DataFrame({
+        "basket_size": hist["k"].astype("int64"),
+        "n_orders": hist["n_orders"].astype("int64"),
+        "share": np.asarray(duckdb_round(
+            hist["n_orders"].to_numpy().astype(np.float64)
+            / np.float64(float(total)), 6), dtype=np.float64)})

@@ -148,7 +148,7 @@ def oracle_pairs():
     "gains_spend_customers", "stickiness_daily_events",
     "ship_delay_by_month", "retention_curve_events",
     "zipf_slope_documents", "new_vs_repeat_revenue",
-    "return_rate_by_month",
+    "return_rate_by_month", "basket_size_histogram",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

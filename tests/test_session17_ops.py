@@ -411,3 +411,49 @@ def test_return_rate_all_null_price_month_null_share(tmp_path):
     assert len(got) == 0
     assert list(got.columns) == ["month", "n_items", "n_returned",
                                  "return_rate", "ret_cents", "ret_share"]
+
+
+# ---------------------------------------------------------------------------
+# basket_size_histogram
+
+
+def _lineitem_keys(tmp_path, keys):
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array(keys, pa.int64()),
+    }))
+
+
+def _basket(tmp_path):
+    from jsonschema_ray.pipelines.relational import basket_size_histogram
+    got = basket_size_histogram(str(tmp_path))
+    exp = _oracle(tmp_path, "basket_size_histogram")
+    _frames_equal(got, exp, ["basket_size"])
+    return got.set_index("basket_size")
+
+
+def test_basket_hand_histogram_and_share(tmp_path):
+    """Orders with 1, 1, 2 and 4 items → k=1: 2 orders (share 0.5),
+    k=2 and k=4: 1 each (0.25) — exact representable shares; gap
+    sizes (k=3) produce NO row."""
+    _lineitem_keys(tmp_path, [10, 20, 30, 30, 40, 40, 40, 40])
+    by = _basket(tmp_path)
+    assert list(by.index) == [1, 2, 4]
+    assert int(by.loc[1, "n_orders"]) == 2 and by.loc[1, "share"] == 0.5
+    assert by.loc[2, "share"] == 0.25
+    assert by.loc[4, "share"] == 0.25
+
+
+def test_basket_null_keys_and_empty(tmp_path):
+    """Null orderkeys are invisible (they are not an order); an
+    all-null corpus answers the typed empty frame."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, None, None, None], pa.int64())}))
+    by = _basket(tmp_path)
+    assert list(by.index) == [2]
+    assert by.loc[2, "share"] == 1.0
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([None, None], pa.int64())}))
+    from jsonschema_ray.pipelines.relational import basket_size_histogram
+    got = basket_size_histogram(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["basket_size", "n_orders", "share"]
