@@ -47,7 +47,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
-        "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
         "split_leakage_documents": R.split_leakage_documents,  # oracled
@@ -125,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_repeat_revenue": R.new_vs_repeat_revenue,  # oracled
         "return_rate_by_month": R.return_rate_by_month,    # oracled
         "basket_size_histogram": R.basket_size_histogram,  # oracled
+        "price_qty_regr_by_brand":
+            R.price_qty_regr_by_brand,                     # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -170,6 +171,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spearman_quantity_discount + kendall_tau_daily_events +
         # calibration_value_error_events)
         "lineitem_correlation": R.lineitem_correlation,  # oracled
+        # (evicted for price_qty_regr_by_brand: the distributed
+        # exact-quantile fence machinery stays covered in-window by
+        # weighted_median_price + session_duration_median_events +
+        # rolling_median_daily_events)
+        "outlier_events_iqr": R.outlier_events_iqr,      # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1218,6 +1224,15 @@ SELECT CAST(k AS BIGINT) AS basket_size,
        round(CAST(count(*) AS DOUBLE)
              / CAST((SELECT count(*) FROM c) AS DOUBLE), 6) AS share
 FROM c GROUP BY k ORDER BY basket_size""",
+        "price_qty_regr_by_brand": """
+SELECT p.p_brand AS brand,
+       round(regr_slope(l.l_quantity, l.l_extendedprice), 6) AS slope,
+       round(regr_intercept(l.l_quantity, l.l_extendedprice), 6)
+           AS intercept,
+       round(corr(l.l_quantity, l.l_extendedprice), 6) AS pearson,
+       CAST(regr_count(l.l_quantity, l.l_extendedprice) AS BIGINT) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY brand ORDER BY brand""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

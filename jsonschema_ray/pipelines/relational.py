@@ -9558,3 +9558,95 @@ def basket_size_histogram(sf_dir: str):
         "share": np.asarray(duckdb_round(
             hist["n_orders"].to_numpy().astype(np.float64)
             / np.float64(float(total)), 6), dtype=np.float64)})
+
+
+def price_qty_regr_by_brand(sf_dir: str):
+    """Per-brand price-quantity regression (ORACLED): OLS slope +
+    intercept of l_quantity on l_extendedprice, the Pearson corr, and
+    the pair count, per part brand — the crude elasticity screen a
+    pricing review runs per brand line. Composition the moment family
+    didn't cover: ONE size-chosen equi-join attaches p_brand (only
+    the (partkey, brand) projection ships — broadcast under the cap,
+    shuffle above), then the SAME six-moment grouped pass as
+    value_hour_corr (one row per (brand, batch) shuffles; the brand
+    vocabulary is bounded) and the driver evaluates the closed forms.
+    SQL population semantics: pairwise-complete rows only (a null
+    quantity or price skips the pair), non-finite values excluded per
+    the psi/drift convention; zero-price-variance or empty brands
+    answer NULL slope/intercept/corr exactly like DuckDB regr_*/corr;
+    a NULL brand is its own group (SQL GROUP BY). Null partkeys drop
+    at the join on both engines."""
+    from ..joins import equi_join
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("l_partkey").is_valid())
+        return pa.table({"pk": t.column("l_partkey"),
+                         "qty": t.column("l_quantity"),
+                         "price": t.column("l_extendedprice")})
+
+    def p_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("p_partkey").is_valid())
+        return pa.table({"pk": t.column("p_partkey"),
+                         "brand": t.column("p_brand")})
+
+    joined = equi_join(
+        li.map_batches(li_prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        part.map_batches(p_prep, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=131072),
+        on=["pk"])
+
+    def mom(b: pa.Table) -> pa.Table:
+        x = b.column("price").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = b.column("qty").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = (np.asarray(b.column("price").is_valid())
+              & np.asarray(b.column("qty").is_valid()))
+        ok &= np.isfinite(np.where(ok, x, 0.0))
+        ok &= np.isfinite(np.where(ok, y, 0.0))
+        xv = np.where(ok, x, 0.0)
+        yv = np.where(ok, y, 0.0)
+        return pa.table({
+            "brand": b.column("brand"),
+            "pok": pa.array(ok.astype(np.float64)),
+            "px": pa.array(xv), "py": pa.array(yv),
+            "pxx": pa.array(xv * xv), "pyy": pa.array(yv * yv),
+            "pxy": pa.array(xv * yv)})
+
+    agg = grouped_agg(
+        joined.map_batches(mom, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["brand"],
+        {"pok": "pn", "px": "sx", "py": "sy",
+         "pxx": "sxx", "pyy": "syy", "pxy": "sxy"}).to_pandas()
+    out_empty = pd.DataFrame({
+        "brand": pd.Series([], dtype=object),
+        "slope": pd.Series([], dtype="float64"),
+        "intercept": pd.Series([], dtype="float64"),
+        "pearson": pd.Series([], dtype="float64"),
+        "n": pd.Series([], dtype="int64")})
+    if agg.empty or "brand" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("brand").reset_index(drop=True)
+    n = agg["pn"].to_numpy()
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxx, syy, sxy = (agg[c].to_numpy() for c in ("sxx", "syy", "sxy"))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        cov = sxy - sx * sy / n
+        slope = cov / vx
+        intercept = sy / n - slope * (sx / n)
+        pear = cov / np.sqrt(vx * vy)
+    ok_s = (n >= 1) & (vx > 0)
+    ok_c = ok_s & (vy > 0)
+    return pd.DataFrame({
+        "brand": agg["brand"].to_numpy(),
+        "slope": np.round(np.where(ok_s, slope, np.nan), 6),
+        "intercept": np.round(np.where(ok_s, intercept, np.nan), 6),
+        "pearson": np.round(np.where(ok_c, pear, np.nan), 6),
+        "n": n.astype(np.int64)})

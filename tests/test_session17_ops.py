@@ -457,3 +457,81 @@ def test_basket_null_keys_and_empty(tmp_path):
     got = basket_size_histogram(str(tmp_path))
     assert len(got) == 0
     assert list(got.columns) == ["basket_size", "n_orders", "share"]
+
+
+# ---------------------------------------------------------------------------
+# price_qty_regr_by_brand
+
+
+def _li_part(tmp_path, li_rows, part_rows):
+    """li_rows: (partkey|None, qty|None, price|None);
+    part_rows: (partkey, brand|None)."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_quantity": pa.array([r[1] for r in li_rows], pa.float64()),
+        "l_extendedprice": pa.array([r[2] for r in li_rows],
+                                    pa.float64()),
+    }))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([r[0] for r in part_rows], pa.int64()),
+        "p_brand": pa.array([r[1] for r in part_rows], pa.string()),
+    }))
+
+
+def _regr(tmp_path):
+    from jsonschema_ray.pipelines.relational import (
+        price_qty_regr_by_brand)
+    got = price_qty_regr_by_brand(str(tmp_path))
+    exp = _oracle(tmp_path, "price_qty_regr_by_brand")
+    _frames_equal(got, exp, ["brand"])
+    return got.set_index("brand")
+
+
+def test_regr_hand_line_and_null_pairs(tmp_path):
+    """Brand A lies exactly on qty = 2 + 0.5*price (three points) →
+    slope 0.5, intercept 2.0, pearson 1.0 — all representable, round
+    a no-op. A null-qty and a null-price pair are SKIPPED (n counts
+    surviving pairs, SQL regr_count)."""
+    _li_part(tmp_path, [
+        (1, 3.0, 2.0), (1, 4.0, 4.0), (2, 5.0, 6.0),
+        (2, None, 8.0), (1, 7.0, None)],
+        [(1, "A"), (2, "A")])
+    by = _regr(tmp_path)
+    assert int(by.loc["A", "n"]) == 3
+    assert by.loc["A", "slope"] == 0.5
+    assert by.loc["A", "intercept"] == 2.0
+    assert by.loc["A", "pearson"] == 1.0
+
+
+def test_regr_zero_variance_and_single_pair(tmp_path):
+    """A brand whose every price is identical has zero x-variance →
+    NULL slope/intercept/pearson like SQL; a single-pair brand too
+    (0/0); counts stay exact."""
+    _li_part(tmp_path, [
+        (1, 3.0, 5.0), (1, 9.0, 5.0),
+        (2, 4.0, 7.0)],
+        [(1, "FLAT"), (2, "ONE")])
+    by = _regr(tmp_path)
+    assert int(by.loc["FLAT", "n"]) == 2
+    assert math.isnan(by.loc["FLAT", "slope"])
+    assert math.isnan(by.loc["ONE", "pearson"])
+    assert int(by.loc["ONE", "n"]) == 1
+
+
+def test_regr_null_brand_group_and_orphans(tmp_path):
+    """A NULL p_brand is its own group (SQL GROUP BY NULL); an orphan
+    l_partkey (no part row) vanishes at the inner join; an empty
+    join answers the typed empty frame."""
+    _li_part(tmp_path, [
+        (1, 3.0, 2.0), (1, 5.0, 6.0), (99, 4.0, 4.0)],
+        [(1, None)])
+    got_df = _regr(tmp_path).reset_index()
+    assert len(got_df) == 1
+    assert got_df["n"].iloc[0] == 2
+    _li_part(tmp_path, [(99, 3.0, 2.0)], [(1, "A")])
+    from jsonschema_ray.pipelines.relational import (
+        price_qty_regr_by_brand)
+    got = price_qty_regr_by_brand(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["brand", "slope", "intercept",
+                                 "pearson", "n"]
