@@ -47,7 +47,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
-        "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         # --- session-11 additions (oracled, never driver-checked)
         "split_leakage_documents": R.split_leakage_documents,  # oracled
         "fuzzy_components_customers":
@@ -126,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_size_histogram": R.basket_size_histogram,  # oracled
         "price_qty_regr_by_brand":
             R.price_qty_regr_by_brand,                     # oracled
+        "wau_mau_engagement": R.wau_mau_engagement,        # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted_median_price + session_duration_median_events +
         # rolling_median_daily_events)
         "outlier_events_iqr": R.outlier_events_iqr,      # oracled
+        # (evicted for wau_mau_engagement: cohort/retention machinery
+        # stays covered in-window by retention_curve_events +
+        # stickiness_daily_events)
+        "retention_cohorts_events": R.retention_cohorts_events,  # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1233,6 +1237,20 @@ SELECT p.p_brand AS brand,
        CAST(regr_count(l.l_quantity, l.l_extendedprice) AS BIGINT) AS n
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY brand ORDER BY brand""",
+        "wau_mau_engagement": """
+WITH du AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+days AS (SELECT DISTINCT d FROM du),
+w AS (SELECT days.d, count(DISTINCT du.u) AS wau
+      FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d),
+m AS (SELECT days.d, count(DISTINCT du.u) AS mau
+      FROM days JOIN du ON du.d BETWEEN days.d - 27 AND days.d
+      GROUP BY days.d)
+SELECT strftime(w.d, '%Y-%m-%d') AS day,
+       CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau,
+       round(CAST(wau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS wau_mau
+FROM w JOIN m ON w.d = m.d ORDER BY day""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

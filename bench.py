@@ -298,6 +298,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.basket_size_histogram(sf_dir)))
     timed("price_qty_regr_by_brand",
           lambda: len(R.price_qty_regr_by_brand(sf_dir)))
+    timed("wau_mau_engagement",
+          lambda: len(R.wau_mau_engagement(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

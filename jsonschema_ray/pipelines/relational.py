@@ -9650,3 +9650,102 @@ def price_qty_regr_by_brand(sf_dir: str):
         "intercept": np.round(np.where(ok_s, intercept, np.nan), 6),
         "pearson": np.round(np.where(ok_c, pear, np.nan), 6),
         "n": n.astype(np.int64)})
+
+
+def wau_mau_engagement(sf_dir: str):
+    """WAU/MAU engagement ratio (ORACLED): per observed day, the
+    trailing-7-day and trailing-28-day distinct active users and
+    their ratio — the engagement-health metric a growth dashboard
+    reads next to stickiness. The windowed distincts never rescan:
+    inside ONE user-hash partition each user's sorted distinct days
+    become maximal coverage intervals per window (a new interval
+    starts when the day gap >= W, else the coverage merges — the
+    merge is what keeps a twice-active-in-window user counted ONCE),
+    and each interval emits just TWO sweep deltas (+1 at its start,
+    -1 one past its end). Only calendar-bounded (day, w7-delta,
+    w28-delta, dau) partials leave the partition; the driver cumsums
+    the deltas over the day line (calendar-bounded work) and keeps
+    OBSERVED days only (dau > 0 — a silent day has no row, matching
+    the SQL day grid). Ratio = two exact ints, ONE divide in SQL
+    operand order, 6dp; wau <= mau always (window nesting). Null
+    user/ts rows invisible."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("user_id").is_valid(),
+                             b.column("ts").is_valid()))
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        out = pa.table({"u": t.column("user_id"),
+                        "d": pc.cast(d, pa.int64())})
+        return out.group_by(["u", "d"]).aggregate([]) \
+            .select(["u", "d"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"d": pa.array([], pa.int64()),
+                          "w7": pa.array([], pa.int64()),
+                          "w28": pa.array([], pa.int64()),
+                          "dau": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        dd = t.group_by(["u", "d"]).aggregate([])  # exact distinct
+        u = dd.column("u").to_numpy(zero_copy_only=False)
+        d = dd.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        days_list, deltas = [], []
+        for col, w in (("w7", 7), ("w28", 28)):
+            brk = new_user.copy()
+            brk[1:] |= (d[1:] - d[:-1]) >= w  # gap >= W: coverage splits
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(d)) - 1
+            days_list.append(np.concatenate([d[starts], d[ends] + w]))
+            deltas.append(np.concatenate([
+                np.ones(len(starts), dtype=np.int64),
+                -np.ones(len(starts), dtype=np.int64)]))
+        udays, ucnt = np.unique(d, return_counts=True)
+        n7, n28 = len(days_list[0]), len(days_list[1])
+        part = pa.table({
+            "d": pa.array(np.concatenate(
+                [days_list[0], days_list[1], udays]).astype(np.int64)),
+            "w7": pa.array(np.concatenate(
+                [deltas[0], np.zeros(n28 + len(udays), np.int64)])),
+            "w28": pa.array(np.concatenate(
+                [np.zeros(n7, np.int64), deltas[1],
+                 np.zeros(len(udays), np.int64)])),
+            "dau": pa.array(np.concatenate(
+                [np.zeros(n7 + n28, np.int64),
+                 ucnt.astype(np.int64)]))})
+        g = part.group_by(["d"]).aggregate(
+            [("w7", "sum"), ("w28", "sum"), ("dau", "sum")])
+        return g.rename_columns(["d", "w7", "w28", "dau"])
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["u"], kernel, batch_format="pyarrow")
+    agg = grouped_agg(parts, ["d"],
+                      {"w7": "w7", "w28": "w28", "dau": "dau"},
+                      count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "day": pd.Series([], dtype="object"),
+        "wau": pd.Series([], dtype="int64"),
+        "mau": pd.Series([], dtype="int64"),
+        "wau_mau": pd.Series([], dtype="float64")})
+    if agg.empty or "d" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("d").reset_index(drop=True)
+    wau = agg["w7"].to_numpy().cumsum()
+    mau = agg["w28"].to_numpy().cumsum()
+    keep = agg["dau"].to_numpy() > 0
+    day = pd.to_datetime(agg.loc[keep, "d"].astype("int64"),
+                         unit="D").dt.strftime("%Y-%m-%d")
+    return pd.DataFrame({
+        "day": day.astype("object").reset_index(drop=True),
+        "wau": pd.Series(wau[keep], dtype="int64"),
+        "mau": pd.Series(mau[keep], dtype="int64"),
+        "wau_mau": np.asarray(duckdb_round(
+            wau[keep].astype(np.float64) / mau[keep].astype(np.float64),
+            6), dtype=np.float64)})

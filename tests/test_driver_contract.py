@@ -149,7 +149,7 @@ def oracle_pairs():
     "ship_delay_by_month", "retention_curve_events",
     "zipf_slope_documents", "new_vs_repeat_revenue",
     "return_rate_by_month", "basket_size_histogram",
-    "price_qty_regr_by_brand",
+    "price_qty_regr_by_brand", "wau_mau_engagement",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

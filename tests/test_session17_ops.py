@@ -535,3 +535,63 @@ def test_regr_null_brand_group_and_orphans(tmp_path):
     assert len(got) == 0
     assert list(got.columns) == ["brand", "slope", "intercept",
                                  "pearson", "n"]
+
+
+# ---------------------------------------------------------------------------
+# wau_mau_engagement
+
+
+def _wm(tmp_path):
+    from jsonschema_ray.pipelines.relational import wau_mau_engagement
+    got = wau_mau_engagement(str(tmp_path))
+    exp = _oracle(tmp_path, "wau_mau_engagement")
+    _frames_equal(got, exp, ["day"])
+    return got.set_index("day")
+
+
+def test_wau_mau_no_double_count_in_window(tmp_path):
+    """User A is active on days 0 AND 3 — both inside day 3's
+    trailing week — yet counts ONCE in day 3's WAU (the coverage
+    merge; a naive per-activity sweep would answer 3). User B is
+    active on day 3 only → day 3 WAU = 2."""
+    _events_u(tmp_path, [
+        (1, 1, 0), (2, 1, 3 * DAY), (3, 2, 3 * DAY)])
+    by = _wm(tmp_path)
+    assert list(by.index) == ["1970-01-01", "1970-01-04"]
+    assert int(by.loc["1970-01-04", "wau"]) == 2
+    assert int(by.loc["1970-01-04", "mau"]) == 2
+    assert by.loc["1970-01-04", "wau_mau"] == 1.0
+
+
+def test_wau_mau_window_expiry_boundaries(tmp_path):
+    """A active day 0, B day 7, C day 28. Day 7's trailing week is
+    [1, 7] — A has EXPIRED from WAU but still sits in MAU ([−20, 7])
+    → wau 1 / mau 2 = 0.5. Day 28's month window is [1, 28] — A has
+    expired from MAU too; B stays → wau 1 (C) / mau 2 (B, C) = 0.5.
+    Unobserved days in between produce NO rows (three rows total)."""
+    _events_u(tmp_path, [
+        (1, 1, 0), (2, 2, 7 * DAY), (3, 3, 28 * DAY)])
+    by = _wm(tmp_path)
+    assert len(by) == 3
+    assert int(by.loc["1970-01-08", "wau"]) == 1
+    assert int(by.loc["1970-01-08", "mau"]) == 2
+    assert by.loc["1970-01-08", "wau_mau"] == 0.5
+    assert int(by.loc["1970-01-29", "wau"]) == 1
+    assert int(by.loc["1970-01-29", "mau"]) == 2
+
+
+def test_wau_mau_dedup_nulls_and_empty(tmp_path):
+    """Three same-day events are one user-day; null user/ts rows are
+    invisible; an all-null corpus answers the typed empty frame."""
+    _events_u(tmp_path, [
+        (1, 1, 0), (2, 1, 1000), (3, 1, 2000),
+        (4, None, 0), (5, 1, None)])
+    by = _wm(tmp_path)
+    assert len(by) == 1
+    assert int(by.loc["1970-01-01", "wau"]) == 1
+    assert by.loc["1970-01-01", "wau_mau"] == 1.0
+    _events_u(tmp_path, [(1, None, 0)])
+    from jsonschema_ray.pipelines.relational import wau_mau_engagement
+    got = wau_mau_engagement(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["day", "wau", "mau", "wau_mau"]
