@@ -44,7 +44,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-lens block 1: round-3 additions, never driver-checked
         # --- driver-lens block 2: NEW this round (oracled)
-        "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "ann_ivf_fullprobe_embeddings":
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
         # --- session-11 additions (oracled, never driver-checked)
@@ -126,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_qty_regr_by_brand":
             R.price_qty_regr_by_brand,                     # oracled
         "wau_mau_engagement": R.wau_mau_engagement,        # oracled
+        "first_touch_attribution":
+            R.first_touch_attribution,                     # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -180,6 +181,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays covered in-window by retention_curve_events +
         # stickiness_daily_events)
         "retention_cohorts_events": R.retention_cohorts_events,  # oracled
+        # (evicted for first_touch_attribution: the smoothed-logprob
+        # machinery stays covered in-window by
+        # bigram_logprob_documents, its strict superset)
+        "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1251,6 +1256,24 @@ SELECT strftime(w.d, '%Y-%m-%d') AS day,
        CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau,
        round(CAST(wau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS wau_mau
 FROM w JOIN m ON w.d = m.d ORDER BY day""",
+        "first_touch_attribution": """
+WITH e AS (SELECT user_id AS u, ts, event_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_id IS NOT NULL),
+r AS (SELECT u, event_type,
+             row_number() OVER (PARTITION BY u
+                                ORDER BY ts, event_id) AS rn
+      FROM e),
+f AS (SELECT u, event_type AS ft FROM r WHERE rn = 1),
+c AS (SELECT u, bool_or(event_type = 'purchase' AND rn > 1) AS conv
+      FROM r GROUP BY u)
+SELECT f.ft AS first_touch,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN c.conv THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_converted,
+       round(CAST(sum(CASE WHEN c.conv THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS conversion
+FROM f JOIN c ON f.u = c.u GROUP BY f.ft ORDER BY first_touch""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

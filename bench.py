@@ -300,6 +300,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.price_qty_regr_by_brand(sf_dir)))
     timed("wau_mau_engagement",
           lambda: len(R.wau_mau_engagement(sf_dir)))
+    timed("first_touch_attribution",
+          lambda: len(R.first_touch_attribution(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -9749,3 +9749,91 @@ def wau_mau_engagement(sf_dir: str):
         "wau_mau": np.asarray(duckdb_round(
             wau[keep].astype(np.float64) / mau[keep].astype(np.float64),
             6), dtype=np.float64)})
+
+
+def first_touch_attribution(sf_dir: str):
+    """First-touch attribution (ORACLED): bucket every user by the
+    event type of their FIRST event (order = (ts, event_id) — the
+    deterministic tie-break both engines share) and report, per
+    first-touch type, the user count, how many of those users later
+    fired a 'purchase' (strictly AFTER the first event in that same
+    order), and the conversion rate — the marketing-attribution
+    baseline every funnel review starts from. ONE user-hash partition
+    does everything: rows lexsort by (user, ts, event_id), the
+    first-of-user mask reads the first-touch type, a reduceat-style
+    any() over the purchase mask past position 0 marks conversion,
+    and only type-vocabulary-bounded (first_touch, n_users,
+    n_converted) partials leave the partition. A user whose FIRST
+    event is already a purchase converts only on a SECOND purchase
+    (strictly-after contract, pinned); a NULL event_type is its own
+    first-touch group and never counts as a purchase; rows with null
+    user/ts/event_id are invisible (the tie-break must be total).
+    Rate = two exact ints, ONE divide in SQL operand order, 6dp."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("user_id").is_valid(),
+                    b.column("ts").is_valid()),
+            b.column("event_id").is_valid()))
+        return pa.table({
+            "u": t.column("user_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "eid": t.column("event_id"),
+            "et": t.column("event_type")})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ft": pa.array([], pa.string()),
+                          "nu_p": pa.array([], pa.int64()),
+                          "nc_p": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("eid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u = u[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        et = t.column("et").take(pa.array(order))
+        is_p = pc.fill_null(pc.equal(et, "purchase"), False) \
+            .to_numpy(zero_copy_only=False)
+        conv_rows = is_p & ~first  # purchases strictly after the first
+        idx = np.flatnonzero(first)
+        # any() per user over conv_rows: cumsum difference at run edges
+        cs = np.concatenate([[0], np.cumsum(conv_rows.astype(np.int64))])
+        ends = np.append(idx[1:], len(u))
+        conv = (cs[ends] - cs[idx]) > 0
+        users = pa.table({
+            "ft": et.take(pa.array(idx)),
+            "nu_p": pa.array(np.ones(len(idx), dtype=np.int64)),
+            "nc_p": pa.array(conv.astype(np.int64))})
+        g = users.group_by(["ft"]).aggregate(
+            [("nu_p", "sum"), ("nc_p", "sum")])
+        return g.rename_columns(["ft", "nu_p", "nc_p"])
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["u"], kernel, batch_format="pyarrow")
+    agg = grouped_agg(parts, ["ft"], {"nu_p": "nu", "nc_p": "nc"},
+                      count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "first_touch": pd.Series([], dtype="object"),
+        "n_users": pd.Series([], dtype="int64"),
+        "n_converted": pd.Series([], dtype="int64"),
+        "conversion": pd.Series([], dtype="float64")})
+    if agg.empty or "ft" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("ft", na_position="last") \
+        .reset_index(drop=True)
+    return pd.DataFrame({
+        "first_touch": agg["ft"].astype("object"),
+        "n_users": agg["nu"].astype("int64"),
+        "n_converted": agg["nc"].astype("int64"),
+        "conversion": np.asarray(duckdb_round(
+            agg["nc"].to_numpy().astype(np.float64)
+            / agg["nu"].to_numpy().astype(np.float64), 6),
+            dtype=np.float64)})

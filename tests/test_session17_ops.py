@@ -595,3 +595,79 @@ def test_wau_mau_dedup_nulls_and_empty(tmp_path):
     got = wau_mau_engagement(str(tmp_path))
     assert len(got) == 0
     assert list(got.columns) == ["day", "wau", "mau", "wau_mau"]
+
+
+# ---------------------------------------------------------------------------
+# first_touch_attribution
+
+
+def _events_t(tmp_path, rows):
+    """rows: (event_id|None, user_id|None, ts_us|None, type|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }))
+
+
+def _fta(tmp_path):
+    from jsonschema_ray.pipelines.relational import (
+        first_touch_attribution)
+    got = first_touch_attribution(str(tmp_path))
+    exp = _oracle(tmp_path, "first_touch_attribution")
+    _frames_equal(got, exp, ["first_touch"])
+    return got.set_index("first_touch")
+
+
+def test_fta_strictly_after_and_tiebreak(tmp_path):
+    """User 1's first touch is 'view' (ts tie at 0 broken by
+    event_id: view has the smaller id) and converts on a later
+    purchase; user 2's FIRST event is already a purchase with no
+    second one → NOT converted (strictly-after contract); user 3
+    signup, never buys."""
+    _events_t(tmp_path, [
+        (1, 1, 0, "view"), (2, 1, 0, "click"),
+        (3, 1, 1000, "purchase"),
+        (4, 2, 0, "purchase"),
+        (5, 3, 0, "signup")])
+    by = _fta(tmp_path)
+    assert list(by.index) == ["purchase", "signup", "view"]
+    assert int(by.loc["view", "n_converted"]) == 1
+    assert by.loc["view", "conversion"] == 1.0
+    assert int(by.loc["purchase", "n_converted"]) == 0
+    assert by.loc["purchase", "conversion"] == 0.0
+
+
+def test_fta_double_purchase_and_null_type_group(tmp_path):
+    """A first-touch purchase DOES convert on a SECOND purchase; a
+    NULL first event_type is its own group and a later null-type
+    event is never a purchase."""
+    _events_t(tmp_path, [
+        (1, 1, 0, "purchase"), (2, 1, 1000, "purchase"),
+        (3, 2, 0, None), (4, 2, 1000, None)])
+    by = _fta(tmp_path)
+    assert int(by.loc["purchase", "n_converted"]) == 1
+    nullrow = by[by.index.isnull()]
+    assert int(nullrow["n_users"].iloc[0]) == 1
+    assert int(nullrow["n_converted"].iloc[0]) == 0
+
+
+def test_fta_null_keys_invisible_and_empty(tmp_path):
+    """Rows with null user/ts/event_id are invisible (the tie-break
+    must be total): user 4's ONLY valid row is the purchase at 1000,
+    making it the first touch (the null-ts purchase at position 0
+    vanishes). An all-null corpus answers the typed empty frame."""
+    _events_t(tmp_path, [
+        (1, 4, None, "view"), (2, 4, 1000, "purchase"),
+        (None, 5, 0, "click"), (3, None, 0, "view")])
+    by = _fta(tmp_path)
+    assert list(by.index) == ["purchase"]
+    assert int(by.loc["purchase", "n_converted"]) == 0
+    _events_t(tmp_path, [(1, None, 0, "view")])
+    from jsonschema_ray.pipelines.relational import (
+        first_touch_attribution)
+    got = first_touch_attribution(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["first_touch", "n_users",
+                                 "n_converted", "conversion"]
