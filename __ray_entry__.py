@@ -63,8 +63,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_not_in_error_users":
             R.customers_not_in_error_users,               # oracled
         "nation_share_of_region": R.nation_share_of_region,  # oracled
-        "timed_conversions_events":
-            R.timed_conversions_events,                   # oracled
         "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         "skyline_orders": R.skyline_orders,               # oracled
         "price_gaps_orders": R.price_gaps_orders,         # oracled
@@ -127,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wau_mau_engagement": R.wau_mau_engagement,        # oracled
         "first_touch_attribution":
             R.first_touch_attribution,                     # oracled
+        "hapax_share_documents": R.hapax_share_documents,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -185,6 +184,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery stays covered in-window by
         # bigram_logprob_documents, its strict superset)
         "unigram_logprob_documents": R.unigram_logprob_documents,  # oracled
+        # (evicted for hapax_share: per-user conversion-counting
+        # machinery stays covered in-window by
+        # first_touch_attribution + bounce_rate_events +
+        # session_duration_median_events)
+        "timed_conversions_events":
+            R.timed_conversions_events,                    # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1274,6 +1279,19 @@ SELECT f.ft AS first_touch,
        round(CAST(sum(CASE WHEN c.conv THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS conversion
 FROM f JOIN c ON f.u = c.u GROUP BY f.ft ORDER BY first_touch""",
+        "hapax_share_documents": """
+WITH tc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(COALESCE(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_hapax,
+       round(CAST(COALESCE(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+                  AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_share,
+       CAST(COALESCE(sum(n), 0) AS VARCHAR) AS total_tokens
+FROM tc""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -302,6 +302,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.wau_mau_engagement(sf_dir)))
     timed("first_touch_attribution",
           lambda: len(R.first_touch_attribution(sf_dir)))
+    timed("hapax_share_documents",
+          lambda: len(R.hapax_share_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

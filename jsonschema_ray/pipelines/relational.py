@@ -9837,3 +9837,43 @@ def first_touch_attribution(sf_dir: str):
             agg["nc"].to_numpy().astype(np.float64)
             / agg["nu"].to_numpy().astype(np.float64), 6),
             dtype=np.float64)})
+
+
+def hapax_share_documents(sf_dir: str):
+    """Hapax-legomena share (ORACLED): how many distinct whitespace
+    terms the corpus has, how many occur EXACTLY ONCE, their share,
+    and the total token count — the vocabulary-tail health readout
+    (zipf_slope reads the head; this reads the tail: OCR noise and
+    boilerplate shift it in opposite directions). The corpus-sized
+    work is the same term_frequency combiner + vocabulary-bounded
+    groupby; the finish maps the counts Dataset through ONE partial
+    pass (n_terms, n_hapax, token-sum per block) and sums exact
+    Python ints on the driver — the vocabulary itself never gathers.
+    total_tokens reports as a DECIMAL STRING (the corpus token count
+    passes 2^53; DuckDB's HUGEINT->pandas conversion double-rounds);
+    share = two exact ints, ONE divide in SQL operand order, 6dp.
+    An empty vocabulary answers the n_terms = 0 row with SQL-NULL
+    share and total_tokens '0' (the COALESCE on both engines)."""
+    from ..text.transform import term_frequency
+    counts = term_frequency(_read(sf_dir, "documents",
+                                  columns=["text"]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nt": pa.array([len(n)], pa.int64()),
+            "nh": pa.array([int((n == 1).sum())], pa.int64()),
+            "tok": pa.array([int(n.sum())], pa.int64())})
+
+    parts = counts.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    nt = sum(int(x) for x in parts.get("nt", []))
+    nh = sum(int(x) for x in parts.get("nh", []))
+    tok = sum(int(x) for x in parts.get("tok", []))
+    share = (duckdb_round(np.float64(float(nh)) / np.float64(float(nt)),
+                          6) if nt else np.nan)
+    return pd.DataFrame({
+        "n_terms": pd.Series([nt], dtype="int64"),
+        "n_hapax": pd.Series([nh], dtype="int64"),
+        "hapax_share": pd.Series([share], dtype="float64"),
+        "total_tokens": pd.Series([str(tok)], dtype="object")})

@@ -150,7 +150,7 @@ def oracle_pairs():
     "zipf_slope_documents", "new_vs_repeat_revenue",
     "return_rate_by_month", "basket_size_histogram",
     "price_qty_regr_by_brand", "wau_mau_engagement",
-    "first_touch_attribution",
+    "first_touch_attribution", "hapax_share_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

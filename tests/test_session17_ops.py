@@ -671,3 +671,49 @@ def test_fta_null_keys_invisible_and_empty(tmp_path):
     assert len(got) == 0
     assert list(got.columns) == ["first_touch", "n_users",
                                  "n_converted", "conversion"]
+
+
+# ---------------------------------------------------------------------------
+# hapax_share_documents
+
+
+def _hapax(tmp_path):
+    from jsonschema_ray.pipelines.relational import hapax_share_documents
+    got = hapax_share_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "hapax_share_documents")
+    _frames_equal(got, exp, ["n_terms"])
+    return got.iloc[0]
+
+
+def test_hapax_hand_counts(tmp_path):
+    """'a a b c' + 'a c': vocabulary {a: 3, b: 1, c: 2} → 3 terms,
+    1 hapax, share 1/3 at 6dp, 6 total tokens. The sf corpora have a
+    closed 31-word vocabulary with ZERO hapaxes, so this crafted pin
+    carries the discriminating load for n_hapax > 0."""
+    _docs(tmp_path, ["a a b c", "a c"])
+    row = _hapax(tmp_path)
+    assert int(row["n_terms"]) == 3
+    assert int(row["n_hapax"]) == 1
+    assert row["hapax_share"] == 0.333333
+    assert row["total_tokens"] == "6"
+
+
+def test_hapax_all_hapax_and_multispace(tmp_path):
+    """Every term unique → share exactly 1.0; empty tokens from
+    double spaces are NOT terms on either engine (the term <> ''
+    filter vs the combiner's empty-token drop)."""
+    _docs(tmp_path, ["x  y", "z"])
+    row = _hapax(tmp_path)
+    assert int(row["n_terms"]) == 3
+    assert row["hapax_share"] == 1.0
+    assert row["total_tokens"] == "3"
+
+
+def test_hapax_empty_vocabulary(tmp_path):
+    """Null/empty texts answer the n_terms = 0 row with SQL-NULL
+    share and total_tokens '0' (the COALESCE on both engines)."""
+    _docs(tmp_path, ["", None, "   "])
+    row = _hapax(tmp_path)
+    assert int(row["n_terms"]) == 0
+    assert math.isnan(row["hapax_share"])
+    assert row["total_tokens"] == "0"
