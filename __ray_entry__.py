@@ -48,8 +48,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
         # --- session-11 additions (oracled, never driver-checked)
         "split_leakage_documents": R.split_leakage_documents,  # oracled
-        "fuzzy_components_customers":
-            R.fuzzy_components_customers,                 # oracled
         # --- session-13: the md5-keyed LSH family — first value-level
         # oracles over minhash/simhash signatures (SQL md5_number)
         "minhash_md5_pairs_documents":
@@ -126,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_touch_attribution":
             R.first_touch_attribution,                     # oracled
         "hapax_share_documents": R.hapax_share_documents,  # oracled
+        "sessions_per_user_histogram":
+            R.sessions_per_user_histogram,                 # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -190,6 +190,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session_duration_median_events)
         "timed_conversions_events":
             R.timed_conversions_events,                    # oracled
+        # (evicted for sessions_per_user_histogram: longest-tenured
+        # in-window entry, pin-dense, multi-session two-engine green;
+        # pair-similarity clustering stays covered in-window by
+        # dup_cluster_sizes_documents + normalized_dup_documents)
+        "fuzzy_components_customers":
+            R.fuzzy_components_customers,                 # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1292,6 +1298,20 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
              / CAST(count(*) AS DOUBLE), 6) AS hapax_share,
        CAST(COALESCE(sum(n), 0) AS VARCHAR) AS total_tokens
 FROM tc""",
+        "sessions_per_user_histogram": """
+WITH e AS (SELECT user_id AS u, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+l AS (SELECT u, CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY u ORDER BY ts)),
+s AS (SELECT u, sum(brk) AS k FROM l GROUP BY u)
+SELECT CAST(k AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM s) AS DOUBLE), 6) AS share
+FROM s GROUP BY k ORDER BY n_sessions""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

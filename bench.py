@@ -304,6 +304,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.first_touch_attribution(sf_dir)))
     timed("hapax_share_documents",
           lambda: len(R.hapax_share_documents(sf_dir)))
+    timed("sessions_per_user_histogram",
+          lambda: len(R.sessions_per_user_histogram(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

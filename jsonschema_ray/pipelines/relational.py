@@ -9877,3 +9877,71 @@ def hapax_share_documents(sf_dir: str):
         "n_hapax": pd.Series([nh], dtype="int64"),
         "hapax_share": pd.Series([share], dtype="float64"),
         "total_tokens": pd.Series([str(tok)], dtype="object")})
+
+
+def sessions_per_user_histogram(sf_dir: str):
+    """Sessions-per-user histogram (ORACLED): sessionize every user's
+    timeline with the 30-minute rule (the events_sessions /
+    bounce_rate / session_duration contract: a gap STRICTLY greater
+    than 30 min opens a new session) and report, per session count k,
+    how many users had exactly k sessions and that count's share —
+    the visit-frequency distribution an engagement model is trained
+    against. Session COUNTS depend only on each user's sorted
+    timestamp multiset (ties contribute gap 0 regardless of order),
+    so no tie-break column is needed and only (user_id, ts) is read.
+    ONE user-hash partition: the break mask (new user | gap > 30 min)
+    reduceats to a per-user session count, and only the
+    count-BOUNDED (k, n_users) histogram partials leave the
+    partition. The share denominator — total users — is the exact
+    Python-int sum of the k-bounded histogram (every user has k >= 1);
+    share = two exact ints, ONE divide in SQL operand order, 6dp.
+    Null user/ts rows invisible."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("user_id").is_valid(),
+                             b.column("ts").is_valid()))
+        return pa.table({"u": t.column("user_id"),
+                         "ts": pc.cast(t.column("ts"), pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "nu_p": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) \
+            | (ts[1:] - ts[:-1] > 1_800_000_000)
+        starts = np.ones(len(u), dtype=bool)
+        starts[1:] = u[1:] != u[:-1]
+        idx = np.flatnonzero(starts)
+        k = np.add.reduceat(brk.astype(np.int64), idx)
+        ks, cnt = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(ks.astype(np.int64)),
+                         "nu_p": pa.array(cnt.astype(np.int64))})
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["u"], kernel, batch_format="pyarrow")
+    agg = grouped_agg(parts, ["k"], {"nu_p": "n"},
+                      count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "n_sessions": pd.Series([], dtype="int64"),
+        "n_users": pd.Series([], dtype="int64"),
+        "share": pd.Series([], dtype="float64")})
+    if agg.empty or "k" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("k").reset_index(drop=True)
+    total = sum(int(x) for x in agg["n"])  # exact ints
+    return pd.DataFrame({
+        "n_sessions": agg["k"].astype("int64"),
+        "n_users": agg["n"].astype("int64"),
+        "share": np.asarray(duckdb_round(
+            agg["n"].to_numpy().astype(np.float64)
+            / np.float64(float(total)), 6), dtype=np.float64)})

@@ -717,3 +717,65 @@ def test_hapax_empty_vocabulary(tmp_path):
     assert int(row["n_terms"]) == 0
     assert math.isnan(row["hapax_share"])
     assert row["total_tokens"] == "0"
+
+
+# ---------------------------------------------------------------------------
+# sessions_per_user_histogram
+
+
+MIN30 = 1_800_000_000  # the session gap rule, µs
+
+
+def _sess(tmp_path):
+    from jsonschema_ray.pipelines.relational import (
+        sessions_per_user_histogram)
+    got = sessions_per_user_histogram(str(tmp_path))
+    exp = _oracle(tmp_path, "sessions_per_user_histogram")
+    _frames_equal(got, exp, ["n_sessions"])
+    return got.set_index("n_sessions")
+
+
+def test_sessions_hist_gap_boundary_exact(tmp_path):
+    """A gap of EXACTLY 30 minutes stays in the same session
+    (strictly-greater rule — the events_sessions contract); 30 min +
+    1 µs opens a new one. User 1: gaps {30m, 30m+1µs} → 2 sessions;
+    user 2: one event → 1 session."""
+    _events_u(tmp_path, [
+        (1, 1, 0), (2, 1, MIN30), (3, 1, 2 * MIN30 + 1),
+        (4, 2, 0)])
+    by = _sess(tmp_path)
+    assert list(by.index) == [1, 2]
+    assert int(by.loc[1, "n_users"]) == 1
+    assert int(by.loc[2, "n_users"]) == 1
+    assert by.loc[1, "share"] == 0.5
+
+
+def test_sessions_hist_counts_and_gaps(tmp_path):
+    """Three single-session users and one three-session user: the
+    histogram answers {1: 3, 3: 1} with NO row for k = 2 (observed
+    counts only); shares 0.75 / 0.25 exactly."""
+    _events_u(tmp_path, [
+        (1, 1, 0), (2, 2, 0), (3, 3, 0),
+        (4, 4, 0), (5, 4, 10 * MIN30), (6, 4, 20 * MIN30)])
+    by = _sess(tmp_path)
+    assert list(by.index) == [1, 3]
+    assert int(by.loc[1, "n_users"]) == 3
+    assert by.loc[1, "share"] == 0.75
+    assert by.loc[3, "share"] == 0.25
+
+
+def test_sessions_hist_nulls_and_empty(tmp_path):
+    """Null user/ts rows are invisible — a user whose only rows are
+    null-ts does not exist; an all-null corpus answers the typed
+    empty frame."""
+    _events_u(tmp_path, [
+        (1, 1, 0), (2, 1, None), (3, None, 0)])
+    by = _sess(tmp_path)
+    assert list(by.index) == [1]
+    assert by.loc[1, "share"] == 1.0
+    _events_u(tmp_path, [(1, 9, None)])
+    from jsonschema_ray.pipelines.relational import (
+        sessions_per_user_histogram)
+    got = sessions_per_user_histogram(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["n_sessions", "n_users", "share"]
