@@ -9123,9 +9123,11 @@ def ship_delay_by_month(sf_dir: str):
     report behind "are we shipping slower this quarter". One
     size-chosen equi-join (orders' (key, date) projection broadcasts
     under the cap, shuffles above it — the established plan), then
-    per-batch (month, delay_days) partials: the aggregate is
-    month x delay-range-bounded, so the shuffle is key-bounded
-    regardless of corpus size and the finish is key-bounded driver
+    per-batch (month, delay_days) partials: the aggregate's key space
+    is months x OBSERVED delay values — narrow on real fulfillment
+    data, near-row-cardinality on adversarially independent dates —
+    so the histogram rides grouped_agg_hash (per-batch combine, one
+    coarse hash partition) and the finish is histogram-sized driver
     work. Exactness: delays are exact date32-int differences; the
     mean's numerator sum(delay) passes 2^53 at corpus scale, so the
     driver sums PYTHON INTS over the count table and the SQL reads
@@ -9174,7 +9176,13 @@ def ship_delay_by_month(sf_dir: str):
         g = g.select(["month", "delay", "count_all"])
         return g.rename_columns(["month", "delay", "n_p"])
 
-    hist = grouped_agg(
+    # grouped_agg_hash, not grouped_agg: the (month, delay) key space
+    # is months x OBSERVED delay values — bounded on real fulfillment
+    # data (delays cluster in 0..~120 days) but near-row-cardinality
+    # on adversarially independent dates (189k keys at sf0.1, where
+    # Ray's sort aggregate pathologically pays a full sort: 40 s vs
+    # 1.5 s, measured)
+    hist = grouped_agg_hash(
         joined.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=131072),
         ["month", "delay"], {"n_p": "n"}, count_alias="_b").to_pandas()
