@@ -47,7 +47,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_fullprobe_embeddings":
             R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
         # --- session-11 additions (oracled, never driver-checked)
-        "split_leakage_documents": R.split_leakage_documents,  # oracled
         # --- session-13: the md5-keyed LSH family — first value-level
         # oracles over minhash/simhash signatures (SQL md5_number)
         "minhash_md5_pairs_documents":
@@ -126,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_share_documents": R.hapax_share_documents,  # oracled
         "sessions_per_user_histogram":
             R.sessions_per_user_histogram,                 # oracled
+        "norm_stats_by_label_embeddings":
+            R.norm_stats_by_label_embeddings,              # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -196,6 +197,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dup_cluster_sizes_documents + normalized_dup_documents)
         "fuzzy_components_customers":
             R.fuzzy_components_customers,                 # oracled
+        # (evicted for norm_stats_by_label: longest-tenured in-window
+        # entry, pin-dense; cross-split content-overlap machinery
+        # stays covered in-window by normalized_dup_documents +
+        # dup_cluster_sizes_documents)
+        "split_leakage_documents": R.split_leakage_documents,  # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1312,6 +1318,19 @@ SELECT CAST(k AS BIGINT) AS n_sessions,
        round(CAST(count(*) AS DOUBLE)
              / CAST((SELECT count(*) FROM s) AS DOUBLE), 6) AS share
 FROM s GROUP BY k ORDER BY n_sessions""",
+        "norm_stats_by_label_embeddings": """
+WITH n AS (
+  SELECT vec_id, label, sqrt(sum(val * val)) AS nrm
+  FROM (SELECT vec_id, label,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL)
+  GROUP BY vec_id, label)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       round(sum(nrm) / count(*), 6) AS mean_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n GROUP BY label ORDER BY label""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -9953,3 +9953,80 @@ def sessions_per_user_histogram(sf_dir: str):
         "share": np.asarray(duckdb_round(
             agg["n"].to_numpy().astype(np.float64)
             / np.float64(float(total)), 6), dtype=np.float64)})
+
+
+def norm_stats_by_label_embeddings(sf_dir: str):
+    """Per-label L2-norm profile of the embedding column (ORACLED):
+    count, mean, min and max of each vector's Euclidean norm per
+    label — the first-look health check on an embedding table
+    (un-normalized shards, dead/zero vectors and scale drift between
+    labels all show up here before any similarity math is trusted).
+    Vectorized per batch: the fixed-size list column reshapes to an
+    (n, dim) float64 matrix, one einsum row-reduction yields every
+    norm, and only label-vocabulary-bounded (label, n, Σnorm, min,
+    max) partials shuffle. Cross-engine float contract: each norm is
+    sqrt of a SEQUENTIAL left-fold over dims in subscript order on
+    both engines (numpy reduces axis-1 pairwise only past 128
+    elements; DuckDB sums the unnest in list order), so min/max —
+    which have no rounding headroom — compare IDENTICAL doubles, and
+    the mean's batch-order-dependent Σnorm hides behind the 6dp
+    round (the regr/corr precedent). NULL-embedding and NULL-label
+    rows are invisible (the report keys on label as an int; a null
+    label is malformed metadata, filtered on BOTH engines)."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("embedding").is_valid(),
+                             b.column("label").is_valid()))
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "n_p": pa.array([], pa.int64()),
+                             "s_p": pa.array([], pa.float64()),
+                             "mn_p": pa.array([], pa.float64()),
+                             "mx_p": pa.array([], pa.float64())})
+        emb = t.column("embedding").combine_chunks()
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.chunk(0)
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(emb)
+        dim = len(flat) // n if n else 0
+        v = flat.reshape(n, dim)
+        # add.reduce matches the sequential dim-order fold DuckDB's
+        # unnest-SUM performs (np.sum's pairwise split kicks in past
+        # 128 elements and would diverge in the last bits)
+        nrm = np.sqrt(np.add.reduce(v * v, axis=1))
+        part = pa.table({"label": t.column("label"),
+                         "n_p": pa.array(np.ones(n, dtype=np.int64)),
+                         "s_p": pa.array(nrm),
+                         "mn_p": pa.array(nrm),
+                         "mx_p": pa.array(nrm)})
+        g = part.group_by(["label"]).aggregate(
+            [("n_p", "sum"), ("s_p", "sum"),
+             ("mn_p", "min"), ("mx_p", "max")])
+        return g.rename_columns(["label", "n_p", "s_p", "mn_p", "mx_p"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=131072).to_pandas()
+    out_empty = pd.DataFrame({
+        "label": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+        "mean_norm": pd.Series([], dtype="float64"),
+        "min_norm": pd.Series([], dtype="float64"),
+        "max_norm": pd.Series([], dtype="float64")})
+    if parts.empty or "label" not in parts.columns:
+        return out_empty
+    g = parts.groupby("label", dropna=False, sort=True).agg(
+        n=("n_p", "sum"), s=("s_p", "sum"),
+        mn=("mn_p", "min"), mx=("mx_p", "max")).reset_index()
+    return pd.DataFrame({
+        "label": g["label"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        "mean_norm": np.asarray(duckdb_round(
+            g["s"].to_numpy() / g["n"].to_numpy().astype(np.float64),
+            6), dtype=np.float64),
+        "min_norm": np.asarray(duckdb_round(g["mn"].to_numpy(), 6),
+                               dtype=np.float64),
+        "max_norm": np.asarray(duckdb_round(g["mx"].to_numpy(), 6),
+                               dtype=np.float64)})

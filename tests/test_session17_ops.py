@@ -779,3 +779,62 @@ def test_sessions_hist_nulls_and_empty(tmp_path):
     got = sessions_per_user_histogram(str(tmp_path))
     assert len(got) == 0
     assert list(got.columns) == ["n_sessions", "n_users", "share"]
+
+
+# ---------------------------------------------------------------------------
+# norm_stats_by_label_embeddings
+
+
+def _embeddings(tmp_path, rows):
+    """rows: (vec_id, vec list|None, label|None)."""
+    _write(tmp_path, "embeddings", pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    }))
+
+
+def _norms(tmp_path):
+    from jsonschema_ray.pipelines.relational import (
+        norm_stats_by_label_embeddings)
+    got = norm_stats_by_label_embeddings(str(tmp_path))
+    exp = _oracle(tmp_path, "norm_stats_by_label_embeddings")
+    _frames_equal(got, exp, ["label"])
+    return got.set_index("label")
+
+
+def test_norm_stats_hand_pythagoras(tmp_path):
+    """Label 0 holds [3,4] (norm 5) and [6,8] (norm 10) → mean 7.5,
+    min 5, max 10 — exact representable doubles; label 1's zero
+    vector answers norm 0 everywhere (the dead-vector signal this
+    query exists to surface)."""
+    _embeddings(tmp_path, [
+        (1, [3.0, 4.0], 0), (2, [6.0, 8.0], 0),
+        (3, [0.0, 0.0], 1)])
+    by = _norms(tmp_path)
+    assert by.loc[0, "mean_norm"] == 7.5
+    assert by.loc[0, "min_norm"] == 5.0
+    assert by.loc[0, "max_norm"] == 10.0
+    assert by.loc[1, "max_norm"] == 0.0
+    assert int(by.loc[1, "n"]) == 1
+
+
+def test_norm_stats_float32_cast_and_nulls(tmp_path):
+    """The float32 storage casts to double BEFORE squaring on both
+    engines (0.1f != 0.1 — squaring the float32 value is what both
+    sides do, pinned by exact equality); null-embedding and
+    null-label rows are invisible."""
+    _embeddings(tmp_path, [
+        (1, [0.1, 0.2, 0.3], 7),
+        (2, None, 7), (3, [1.0, 1.0, 1.0], None)])
+    by = _norms(tmp_path)
+    assert list(by.index) == [7]
+    assert int(by.loc[7, "n"]) == 1
+    _embeddings(tmp_path, [(1, None, 7)])
+    from jsonschema_ray.pipelines.relational import (
+        norm_stats_by_label_embeddings)
+    got = norm_stats_by_label_embeddings(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["label", "n", "mean_norm",
+                                 "min_norm", "max_norm"]
