@@ -63,7 +63,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         "skyline_orders": R.skyline_orders,               # oracled
         "price_gaps_orders": R.price_gaps_orders,         # oracled
-        "locf_resample_events": R.locf_resample_events,   # oracled
         "value_bands_events": R.value_bands_events,       # oracled
         "contingency_lift_events":
             R.contingency_lift_events,                    # oracled
@@ -127,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.sessions_per_user_histogram,                 # oracled
         "norm_stats_by_label_embeddings":
             R.norm_stats_by_label_embeddings,              # oracled
+        "order_gap_histogram": R.order_gap_histogram,      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays covered in-window by normalized_dup_documents +
         # dup_cluster_sizes_documents)
         "split_leakage_documents": R.split_leakage_documents,  # oracled
+        # (evicted for order_gap_histogram: daily-grid forward-fill
+        # machinery stays covered in-window by drawdown_daily_events
+        # + cusum_daily_events + kendall_tau_daily_events)
+        "locf_resample_events": R.locf_resample_events,   # oracled
         "simhash_md5_pairs_documents":
             R.simhash_md5_pairs_documents,                # oracled
         "interleave_by_source_documents":
@@ -1331,6 +1335,18 @@ SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
        round(min(nrm), 6) AS min_norm,
        round(max(nrm), 6) AS max_norm
 FROM n GROUP BY label ORDER BY label""",
+        "order_gap_histogram": """
+WITH o AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+l AS (SELECT c, d - lag(d) OVER (PARTITION BY c ORDER BY d) AS gap
+      FROM o),
+g AS (SELECT gap FROM l WHERE gap IS NOT NULL)
+SELECT CAST(gap AS BIGINT) AS gap_days,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM g) AS DOUBLE), 6) AS share
+FROM g GROUP BY gap ORDER BY gap_days""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -308,6 +308,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.sessions_per_user_histogram(sf_dir)))
     timed("norm_stats_by_label_embeddings",
           lambda: len(R.norm_stats_by_label_embeddings(sf_dir)))
+    timed("order_gap_histogram",
+          lambda: len(R.order_gap_histogram(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -10030,3 +10030,70 @@ def norm_stats_by_label_embeddings(sf_dir: str):
                                dtype=np.float64),
         "max_norm": np.asarray(duckdb_round(g["mx"].to_numpy(), 6),
                                dtype=np.float64)})
+
+
+def order_gap_histogram(sf_dir: str):
+    """Purchase-cadence histogram (ORACLED): for every pair of
+    consecutive orders by the same customer, the gap in whole days —
+    histogrammed with each gap count's share — the reorder-cycle
+    distribution a replenishment model is fit against
+    (median_gap_by_user answers a per-user median over events; this
+    answers the corpus-wide gap distribution over orders). ONE
+    customer-hash partition: orders lexsort by (customer, day), the
+    within-customer consecutive difference is the gap vector (two
+    same-day orders gap 0 deterministically — date subtraction
+    ignores the tie order), and only gap-range-bounded
+    (gap, n) histogram partials leave, finished by one small grouped
+    sum. Share = two exact ints (the denominator is the histogram's
+    own Python-int sum — no extra pass), ONE divide in SQL operand
+    order, 6dp. A single-order customer contributes no gap; null
+    custkey/date rows invisible."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("o_custkey").is_valid(),
+                             b.column("o_orderdate").is_valid()))
+        d = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()),
+                    pa.int32())
+        return pa.table({"c": t.column("o_custkey"),
+                         "d": pc.cast(d, pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gap": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, c))
+        c, d = c[order], d[order]
+        same = np.zeros(len(c), dtype=bool)
+        same[1:] = c[1:] == c[:-1]
+        gaps = (d[1:] - d[:-1])[same[1:]]
+        if not len(gaps):
+            return empty
+        gs, cnt = np.unique(gaps, return_counts=True)
+        return pa.table({"gap": pa.array(gs.astype(np.int64)),
+                         "n_p": pa.array(cnt.astype(np.int64))})
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["c"], kernel, batch_format="pyarrow")
+    agg = grouped_agg(parts, ["gap"], {"n_p": "n"},
+                      count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "gap_days": pd.Series([], dtype="int64"),
+        "n_gaps": pd.Series([], dtype="int64"),
+        "share": pd.Series([], dtype="float64")})
+    if agg.empty or "gap" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("gap").reset_index(drop=True)
+    total = sum(int(x) for x in agg["n"])  # exact ints
+    return pd.DataFrame({
+        "gap_days": agg["gap"].astype("int64"),
+        "n_gaps": agg["n"].astype("int64"),
+        "share": np.asarray(duckdb_round(
+            agg["n"].to_numpy().astype(np.float64)
+            / np.float64(float(total)), 6), dtype=np.float64)})

@@ -838,3 +838,49 @@ def test_norm_stats_float32_cast_and_nulls(tmp_path):
     assert len(got) == 0
     assert list(got.columns) == ["label", "n", "mean_norm",
                                  "min_norm", "max_norm"]
+
+
+# ---------------------------------------------------------------------------
+# order_gap_histogram
+
+
+def _gap(tmp_path):
+    from jsonschema_ray.pipelines.relational import order_gap_histogram
+    got = order_gap_histogram(str(tmp_path))
+    exp = _oracle(tmp_path, "order_gap_histogram")
+    _frames_equal(got, exp, ["gap_days"])
+    return got.set_index("gap_days")
+
+
+def test_order_gap_hand_histogram(tmp_path):
+    """Customer 1 orders on days {0, 7, 14} → two 7-day gaps;
+    customer 2 on {0, 30} → one 30-day gap. Histogram {7: 2, 30: 1},
+    shares 2/3 and 1/3 at 6dp; a single-order customer (3)
+    contributes NOTHING."""
+    _orders_cust(tmp_path, [
+        (1, 0, 1.0), (1, 7, 1.0), (1, 14, 1.0),
+        (2, 0, 1.0), (2, 30, 1.0),
+        (3, 5, 1.0)])
+    by = _gap(tmp_path)
+    assert list(by.index) == [7, 30]
+    assert int(by.loc[7, "n_gaps"]) == 2
+    assert by.loc[7, "share"] == 0.666667
+    assert by.loc[30, "share"] == 0.333333
+
+
+def test_order_gap_same_day_zero_and_nulls(tmp_path):
+    """Two same-day orders gap exactly 0 (date subtraction ignores
+    the tie order — deterministic on both engines); null custkey /
+    null date rows invisible; all-gap-less corpus answers the typed
+    empty frame."""
+    _orders_cust(tmp_path, [
+        (1, 5, 1.0), (1, 5, 2.0),
+        (None, 0, 1.0), (2, None, 1.0)])
+    by = _gap(tmp_path)
+    assert list(by.index) == [0]
+    assert int(by.loc[0, "n_gaps"]) == 1
+    _orders_cust(tmp_path, [(1, 5, 1.0), (2, 9, 1.0)])
+    from jsonschema_ray.pipelines.relational import order_gap_histogram
+    got = order_gap_histogram(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["gap_days", "n_gaps", "share"]
