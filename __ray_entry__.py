@@ -53,7 +53,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
-        "benford_totalprice": R.benford_totalprice,       # oracled
         "transition_timing_events":
             R.transition_timing_events,                   # oracled
         "longest_streak_events": R.longest_streak_events,  # oracled
@@ -127,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_stats_by_label_embeddings":
             R.norm_stats_by_label_embeddings,              # oracled
         "order_gap_histogram": R.order_gap_histogram,      # oracled
+        # --- session-18 additions (oracled)
+        "gini_spend_customers": R.gini_spend_customers,    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -151,6 +152,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery stays covered by rrf_fusion_embeddings +
         # ann_ivf_fullprobe_embeddings; both pin-dense, two-engine
         # green at 3 SFs across two sessions)
+        # (evicted for gini_spend_customers: first-digit/bucketed
+        # histogram-with-share machinery stays covered in-window by
+        # value_bands_events + basket_size_histogram +
+        # order_gap_histogram; pin-dense, two-engine green at 3 SFs
+        # across multiple sessions)
+        "benford_totalprice": R.benford_totalprice,       # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1347,6 +1354,25 @@ SELECT CAST(gap AS BIGINT) AS gap_days,
        round(CAST(count(*) AS DOUBLE)
              / CAST((SELECT count(*) FROM g) AS DOUBLE), 6) AS share
 FROM g GROUP BY gap ORDER BY gap_days""",
+        "gini_spend_customers": """
+WITH s AS (SELECT o_custkey AS c,
+                  sum(CAST(o_totalprice * 100 AS BIGINT)) AS spend
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY o_custkey),
+r AS (SELECT CAST(spend AS HUGEINT) AS x,
+             CAST(row_number() OVER (ORDER BY spend, c) AS HUGEINT) AS i
+      FROM s)
+SELECT CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(x) AS VARCHAR) AS total_cents,
+       CASE WHEN sum(x) = 0 THEN NULL
+            ELSE round(CAST(CAST(2 * sum(i * x)
+                                 - (count(*) + 1) * sum(x)
+                            AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(count(*) * sum(x)
+                              AS VARCHAR) AS DOUBLE), 6)
+       END AS gini
+FROM r HAVING count(*) > 0""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -310,6 +310,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.norm_stats_by_label_embeddings(sf_dir)))
     timed("order_gap_histogram",
           lambda: len(R.order_gap_histogram(sf_dir)))
+    timed("gini_spend_customers",
+          lambda: len(R.gini_spend_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {
