@@ -61,7 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_share_of_region": R.nation_share_of_region,  # oracled
         "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         "skyline_orders": R.skyline_orders,               # oracled
-        "price_gaps_orders": R.price_gaps_orders,         # oracled
         "value_bands_events": R.value_bands_events,       # oracled
         "contingency_lift_events":
             R.contingency_lift_events,                    # oracled
@@ -128,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_gap_histogram": R.order_gap_histogram,      # oracled
         # --- session-18 additions (oracled)
         "gini_spend_customers": R.gini_spend_customers,    # oracled
+        "cohort_ltv_curve": R.cohort_ltv_curve,            # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
         "benford_totalprice": R.benford_totalprice,       # oracled
+        # (evicted for cohort_ltv_curve: sort-then-consecutive-
+        # difference lag machinery stays covered in-window by
+        # order_gap_histogram (the same lexsort-diff kernel family);
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "price_gaps_orders": R.price_gaps_orders,         # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1373,6 +1378,32 @@ SELECT CAST(count(*) AS BIGINT) AS n_cust,
                               AS VARCHAR) AS DOUBLE), 6)
        END AS gini
 FROM r HAVING count(*) > 0""",
+        "cohort_ltv_curve": """
+WITH o AS (SELECT o_custkey AS c,
+                  year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+                  CAST(o_totalprice * 100 AS BIGINT) AS cents
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+f AS (SELECT c, min(ym) AS cm FROM o GROUP BY c),
+sz AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_cust FROM f GROUP BY cm),
+m AS (SELECT f.cm, o.ym - f.cm AS mi,
+             sum(CAST(o.cents AS HUGEINT)) AS cents
+      FROM o JOIN f USING (c) GROUP BY f.cm, o.ym - f.cm),
+w AS (SELECT cm, mi, cents,
+             SUM(cents) OVER (PARTITION BY cm ORDER BY mi
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM m)
+SELECT printf('%04d-%02d', (w.cm - 1) // 12, ((w.cm - 1) % 12) + 1)
+         AS cohort_month,
+       CAST(w.mi AS BIGINT) AS month_index,
+       sz.n_cust AS n_cust,
+       CAST(w.cents AS VARCHAR) AS cents,
+       CAST(w.cum AS VARCHAR) AS cum_cents,
+       round(CAST(CAST(w.cum AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sz.n_cust AS VARCHAR) AS DOUBLE), 6)
+         AS ltv_per_cust
+FROM w JOIN sz USING (cm) ORDER BY cohort_month, month_index""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -10201,3 +10201,114 @@ def gini_spend_customers(sf_dir: str):
         "n_cust": pd.Series([n], dtype="int64"),
         "total_cents": pd.Series([str(s0)], dtype="object"),
         "gini": pd.Series([gini], dtype="float64")})
+
+
+def cohort_ltv_curve(sf_dir: str):
+    """Cohort LTV curve (ORACLED): customers cohorted by their FIRST
+    order's calendar month; per (cohort_month, month_index) the table
+    reports the cohort size, that month-index's exact cents revenue,
+    the cumulative cents through it, and cumulative revenue per cohort
+    customer — the lifetime-value curve a CAC payback model reads
+    (retention_curve_events answers "do they come back", this answers
+    "what are they worth by month k"). ONE customer-hash partition
+    does the cohorting: sort by (customer, year·12+month), the first
+    row per customer IS the cohort month, month_index = calendar-month
+    difference (Jan 31 → Feb 1 is index 1 — calendar months, not
+    30-day windows), and only calendar²-bounded (cohort, index,
+    cents, n_first) partials leave — cohort size rides on the index-0
+    group, where every customer's first order lives by construction.
+    Cents sums ride int64 partials into grouped_agg (the gains
+    discipline); the driver's per-cohort cumulative and the
+    ltv = cum/n divide run over exact Python ints, ONE divide in SQL
+    operand order, 6dp; cum_cents reports as a DECIMAL STRING (a
+    cohort's lifetime revenue passes 2^53 at scale). Only observed
+    (cohort, index) months produce rows — a gap month is absent but
+    the next observed cumulative still includes everything before it.
+    Rows with null custkey, date or price are invisible throughout."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("o_custkey").is_valid(),
+                    b.column("o_orderdate").is_valid()),
+            b.column("o_totalprice").is_valid()))
+        d = t.column("o_orderdate")
+        ym = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()), 12),
+                    pc.cast(pc.month(d), pa.int64()))
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "c": t.column("o_custkey"), "ym": ym,
+            "cents": pa.array(np.rint(v * 100.0).astype(np.int64))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cm": pa.array([], pa.int64()),
+                          "mi": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "nc": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        ym = t.column("ym").to_numpy(zero_copy_only=False)
+        x = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ym, c))
+        c, ym, x = c[order], ym[order], x[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        gid = np.cumsum(first) - 1              # customer group index
+        cm = ym[first][gid]                     # cohort month per row
+        mi = ym - cm
+        key = cm * 4096 + mi                    # mi < 4096 months (341y)
+        uk, inv = np.unique(key, return_inverse=True)
+        idx = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[idx], np.arange(len(uk)))
+        cents = np.add.reduceat(x[idx], bounds)   # int64-exact sums
+        nfirst = np.bincount(inv[first], minlength=len(uk)) \
+            .astype(np.int64)
+        return pa.table({
+            "cm": pa.array((uk // 4096).astype(np.int64)),
+            "mi": pa.array((uk % 4096).astype(np.int64)),
+            "cents": pa.array(cents),
+            "nc": pa.array(nfirst)})
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["c"], kernel, batch_format="pyarrow")
+    agg = grouped_agg(parts, ["cm", "mi"],
+                      {"cents": "cents", "nc": "nc"},
+                      count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "cohort_month": pd.Series([], dtype="object"),
+        "month_index": pd.Series([], dtype="int64"),
+        "n_cust": pd.Series([], dtype="int64"),
+        "cents": pd.Series([], dtype="object"),
+        "cum_cents": pd.Series([], dtype="object"),
+        "ltv_per_cust": pd.Series([], dtype="float64")})
+    if agg.empty or "cm" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values(["cm", "mi"]).reset_index(drop=True)
+    sizes = {int(cm): int(g["nc"].sum())
+             for cm, g in agg.groupby("cm")}
+    rows = []
+    for cm, g in agg.groupby("cm", sort=True):
+        n, cum = sizes[int(cm)], 0
+        y, m = (int(cm) - 1) // 12, (int(cm) - 1) % 12 + 1
+        label = f"{y:04d}-{m:02d}"
+        for _, r in g.iterrows():
+            cum += int(r["cents"])
+            rows.append({
+                "cohort_month": label,
+                "month_index": int(r["mi"]),
+                "n_cust": n,
+                "cents": str(int(r["cents"])),
+                "cum_cents": str(cum),
+                "ltv_per_cust": float(duckdb_round(
+                    float(cum) / float(n), 6))})
+    out = pd.DataFrame(rows)
+    out["month_index"] = out["month_index"].astype("int64")
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["ltv_per_cust"] = out["ltv_per_cust"].astype("float64")
+    return out

@@ -135,3 +135,94 @@ def test_gini_tie_rank_invariance(tmp_path):
     _orders_price(tmp_path, [(2, 2.00), (3, 9.00), (1, 2.00)])
     b = gini_spend_customers(str(tmp_path))
     assert a.to_dict("records") == b.to_dict("records")
+
+
+# ---------------------------------------------------------- cohort LTV
+
+def _orders_dated(tmp_path, rows):
+    """rows: (o_custkey|None, orderdate_day|None, o_totalprice|None)."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [None if r[1] is None else r[1] * DAY for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+
+
+def test_cohort_ltv_hand_curve(tmp_path):
+    """Customer A: Jan-2024 10.00 then Mar-2024 25.50 → cohort 2024-01
+    rows at index 0 (cents 1000, cum 1000, ltv 1000.0) and index 2
+    (cents 2550, cum 3550, ltv 3550.0) with NO index-1 row (observed
+    months only). Customer B: single Mar-2024 5.00 → its own 2024-03
+    cohort at index 0. Day 19724 = 2024-01-02."""
+    from jsonschema_ray.pipelines.relational import cohort_ltv_curve
+    _orders_dated(tmp_path, [(1, 19724, 10.00), (1, 19784, 25.50),
+                             (2, 19790, 5.00)])
+    out = cohort_ltv_curve(str(tmp_path)) \
+        .sort_values(["cohort_month", "month_index"]) \
+        .reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"cohort_month": "2024-01", "month_index": 0, "n_cust": 1,
+         "cents": "1000", "cum_cents": "1000", "ltv_per_cust": 1000.0},
+        {"cohort_month": "2024-01", "month_index": 2, "n_cust": 1,
+         "cents": "2550", "cum_cents": "3550", "ltv_per_cust": 3550.0},
+        {"cohort_month": "2024-03", "month_index": 0, "n_cust": 1,
+         "cents": "500", "cum_cents": "500", "ltv_per_cust": 500.0}]
+    exp = _oracle(tmp_path, "cohort_ltv_curve") \
+        .sort_values(["cohort_month", "month_index"]) \
+        .reset_index(drop=True)
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_cohort_ltv_calendar_months_not_30day(tmp_path):
+    """Jan 31 → Feb 1 is month_index 1 (calendar months), and Dec 2023
+    → Feb 2024 is index 2 across the year rollover. Day 19753 =
+    2024-01-31, 19754 = 2024-02-01, 19715 = 2023-12-24."""
+    from jsonschema_ray.pipelines.relational import cohort_ltv_curve
+    _orders_dated(tmp_path, [(1, 19753, 1.00), (1, 19754, 1.00),
+                             (2, 19715, 1.00), (2, 19760, 1.00)])
+    out = cohort_ltv_curve(str(tmp_path))
+    idx = {(r["cohort_month"], r["month_index"])
+           for r in out.to_dict("records")}
+    assert ("2024-01", 1) in idx      # Jan 31 → Feb 1
+    assert ("2023-12", 2) in idx      # Dec 2023 → Feb 2024
+    exp = _oracle(tmp_path, "cohort_ltv_curve")
+    assert len(exp) == len(out) == 4
+
+
+def test_cohort_ltv_same_month_merges_and_size(tmp_path):
+    """Two customers born the same month with same-month repeat orders:
+    ONE index-0 row carrying n_cust=2 and the merged cents; ltv divides
+    by cohort SIZE, not order count (3 orders, 2 customers)."""
+    from jsonschema_ray.pipelines.relational import cohort_ltv_curve
+    _orders_dated(tmp_path, [(1, 19724, 2.00), (1, 19725, 4.00),
+                             (2, 19726, 6.00)])
+    out = cohort_ltv_curve(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"cohort_month": "2024-01", "month_index": 0, "n_cust": 2,
+         "cents": "1200", "cum_cents": "1200", "ltv_per_cust": 600.0}]
+
+
+def test_cohort_ltv_nulls_and_empty(tmp_path):
+    """A row with ANY null among (custkey, date, price) is invisible —
+    including for cohort assignment: customer 1's null-price January
+    order does NOT create a January cohort; their first VISIBLE order
+    (March) does. An all-null corpus answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import cohort_ltv_curve
+    _orders_dated(tmp_path, [(1, 19724, None), (1, 19790, 7.00),
+                             (None, 19724, 1.00), (2, None, 1.00)])
+    out = cohort_ltv_curve(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"cohort_month": "2024-03", "month_index": 0, "n_cust": 1,
+         "cents": "700", "cum_cents": "700", "ltv_per_cust": 700.0}]
+    exp = _oracle(tmp_path, "cohort_ltv_curve")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _orders_dated(tmp_path, [(None, None, None)])
+    out = cohort_ltv_curve(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["cohort_month", "month_index",
+                                 "n_cust", "cents", "cum_cents",
+                                 "ltv_per_cust"]
