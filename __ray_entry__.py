@@ -64,8 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_bands_events": R.value_bands_events,       # oracled
         "contingency_lift_events":
             R.contingency_lift_events,                    # oracled
-        "trending_terms_documents":
-            R.trending_terms_documents,                   # oracled
         "drawdown_daily_events": R.drawdown_daily_events,  # oracled
         "weighted_median_price": R.weighted_median_price,  # oracled
         # --- session-15 additions (oracled)
@@ -128,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-18 additions (oracled)
         "gini_spend_customers": R.gini_spend_customers,    # oracled
         "cohort_ltv_curve": R.cohort_ltv_curve,            # oracled
+        "centroid_distances_embeddings":
+            R.centroid_distances_embeddings,               # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -163,6 +163,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order_gap_histogram (the same lexsort-diff kernel family);
         # pin-dense, two-engine green at 3 SFs across sessions)
         "price_gaps_orders": R.price_gaps_orders,         # oracled
+        # (evicted for centroid_distances_embeddings: per-term
+        # frequency machinery stays covered in-window by
+        # hapax_share_documents + zipf_slope_documents, and the
+        # slope/regression machinery by price_qty_regr_by_brand +
+        # spearman/kendall; pin-dense, two-engine green at 3 SFs)
+        "trending_terms_documents":
+            R.trending_terms_documents,                    # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1404,6 +1411,23 @@ SELECT printf('%04d-%02d', (w.cm - 1) // 12, ((w.cm - 1) % 12) + 1)
              / CAST(CAST(sz.n_cust AS VARCHAR) AS DOUBLE), 6)
          AS ltv_per_cust
 FROM w JOIN sz USING (cm) ORDER BY cohort_month, month_index""",
+        "centroid_distances_embeddings": """
+WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                  unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings
+           WHERE label IS NOT NULL AND embedding IS NOT NULL),
+c AS (SELECT label, dim,
+             CAST(floor(10000 * sum(CAST(v AS DOUBLE)) / count(*))
+                  AS BIGINT) AS bp
+      FROM e GROUP BY label, dim),
+p AS (SELECT a.label AS label_a, b.label AS label_b,
+             sum(CAST(a.bp - b.bp AS HUGEINT) * (a.bp - b.bp)) AS ssq
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label)
+SELECT label_a, label_b,
+       round(sqrt(CAST(CAST(ssq AS VARCHAR) AS DOUBLE)), 6) AS dist_bp
+FROM p ORDER BY label_a, label_b""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

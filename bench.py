@@ -314,6 +314,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.gini_spend_customers(sf_dir)))
     timed("cohort_ltv_curve",
           lambda: len(R.cohort_ltv_curve(sf_dir)))
+    timed("centroid_distances_embeddings",
+          lambda: len(R.centroid_distances_embeddings(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

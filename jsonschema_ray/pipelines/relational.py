@@ -10312,3 +10312,91 @@ def cohort_ltv_curve(sf_dir: str):
     out["n_cust"] = out["n_cust"].astype("int64")
     out["ltv_per_cust"] = out["ltv_per_cust"].astype("float64")
     return out
+
+
+def centroid_distances_embeddings(sf_dir: str):
+    """Pairwise Euclidean distance between per-label centroids
+    (ORACLED): every unordered label pair with the L2 distance between
+    their basis-point-quantized centroids — the class-separation
+    readout an embedding-quality gate reads next to
+    norm_stats_by_label (two labels whose prototypes collapse onto
+    each other predict classifier confusion before any model trains).
+    The corpus-sized work is the label_centroids partial pass (per
+    batch: one sorted reduceat over the (n, d) float64 matrix; vectors
+    never shuffle, only (labels × dim) partial rows do); the
+    cross-engine float contract rides the centroid family's
+    quantization: each centroid dim floors to basis points
+    (floor(10000·Σv/n) — integer unless the mean sits within an ulp of
+    a bp boundary), so the pairwise squared-diff sums are EXACT
+    integers on both engines, and sqrt of an exact int is one
+    deterministic double (rounded 6dp for the report). Labels × labels
+    pairs are label-vocabulary-bounded — the pairing runs on the
+    driver over the already-small centroid table. Null label / null
+    embedding rows invisible; fewer than two labels answers the typed
+    empty frame."""
+    from ray.data.aggregate import Sum
+
+    from ..ann.search import embedding_matrix
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("label").is_valid(),
+                             b.column("embedding").is_valid()))
+        empty = pa.table({
+            "label": pa.array([], type=pa.int64()),
+            "dim": pa.array([], type=pa.int64()),
+            "sum_part": pa.array([], type=pa.float64()),
+            "n_part": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        M = embedding_matrix(t.column("embedding"))  # (n, d) float64
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        k, d = len(ulab), (M.shape[1] if len(M) else 0)
+        if k == 0 or d == 0:
+            return empty
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(k))
+        sums = np.add.reduceat(M[order], starts, axis=0)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    k)),
+            "sum_part": pa.array(sums.ravel()),
+            "n_part": pa.array(np.repeat(cnt, d))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("sum_part", alias_name="s"),
+                   Sum("n_part", alias_name="n")).to_pandas()
+    out_empty = pd.DataFrame({
+        "label_a": pd.Series([], dtype="int64"),
+        "label_b": pd.Series([], dtype="int64"),
+        "dist_bp": pd.Series([], dtype="float64")})
+    if agg.empty or "label" not in agg.columns:
+        return out_empty
+    bp = np.floor(10000.0 * agg["s"].to_numpy()
+                  / agg["n"].to_numpy().astype(np.float64)) \
+        .astype(np.int64)
+    agg = agg.assign(bp=bp).sort_values(["label", "dim"])
+    labels = np.sort(agg["label"].unique())
+    if len(labels) < 2:
+        return out_empty
+    d = int(agg["dim"].max())
+    mat = agg["bp"].to_numpy().reshape(len(labels), d)
+    rows = []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            diff = mat[i] - mat[j]
+            ssq = int(np.dot(diff.astype(object), diff.astype(object)))
+            rows.append({
+                "label_a": int(labels[i]), "label_b": int(labels[j]),
+                "dist_bp": float(duckdb_round(
+                    math.sqrt(float(ssq)), 6))})
+    out = pd.DataFrame(rows)
+    out["label_a"] = out["label_a"].astype("int64")
+    out["label_b"] = out["label_b"].astype("int64")
+    out["dist_bp"] = out["dist_bp"].astype("float64")
+    return out

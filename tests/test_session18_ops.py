@@ -226,3 +226,73 @@ def test_cohort_ltv_nulls_and_empty(tmp_path):
     assert list(out.columns) == ["cohort_month", "month_index",
                                  "n_cust", "cents", "cum_cents",
                                  "ltv_per_cust"]
+
+
+# ------------------------------------------------- centroid distances
+
+def _embeddings(tmp_path, rows, dim=2):
+    """rows: (vec_id, label|None, vector|None)."""
+    _write(tmp_path, "embeddings", pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array(
+            [None if r[2] is None else [float(x) for x in r[2]]
+             for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[1] for r in rows], pa.int32())}))
+
+
+def test_centroid_distances_hand_geometry(tmp_path):
+    """Label 0: [0,0]+[2,0] → centroid (1,0) → bp (10000,0). Label 1:
+    [1,1] → bp (10000,10000). Label 2: [4,0] → bp (40000,0). Distances:
+    (0,1)=10000 exactly, (0,2)=30000 exactly, (1,2)=sqrt(1e9) =
+    31622.776602 at 6dp — sqrt of an exact integer, one deterministic
+    double on both engines."""
+    from jsonschema_ray.pipelines.relational import (
+        centroid_distances_embeddings)
+    _embeddings(tmp_path, [(1, 0, [0, 0]), (2, 0, [2, 0]),
+                           (3, 1, [1, 1]), (4, 2, [4, 0])])
+    out = centroid_distances_embeddings(str(tmp_path)) \
+        .sort_values(["label_a", "label_b"]).reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"label_a": 0, "label_b": 1, "dist_bp": 10000.0},
+        {"label_a": 0, "label_b": 2, "dist_bp": 30000.0},
+        {"label_a": 1, "label_b": 2, "dist_bp": 31622.776602}]
+    exp = _oracle(tmp_path, "centroid_distances_embeddings") \
+        .sort_values(["label_a", "label_b"]).reset_index(drop=True)
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_centroid_distances_floor_negative_means(tmp_path):
+    """Quantization floors toward −∞ on BOTH engines: a label whose
+    mean dim is −0.00005 lands at bp −1 (not 0), so two labels with
+    means ±0.00005 sit 2 bp apart — np.floor == SQL floor pinned on
+    the negative branch."""
+    from jsonschema_ray.pipelines.relational import (
+        centroid_distances_embeddings)
+    _embeddings(tmp_path, [(1, 0, [0.00005, 0.0]),
+                           (2, 1, [-0.00005, 0.0])])
+    out = centroid_distances_embeddings(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"label_a": 0, "label_b": 1, "dist_bp": 1.0}]
+    exp = _oracle(tmp_path, "centroid_distances_embeddings")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_centroid_distances_nulls_and_degenerate(tmp_path):
+    """Null-label and null-embedding rows are invisible (a null vector
+    must not drag a centroid toward zero); a single surviving label —
+    no pair — answers the typed empty frame, as does an empty table."""
+    from jsonschema_ray.pipelines.relational import (
+        centroid_distances_embeddings)
+    _embeddings(tmp_path, [(1, 0, [1, 1]), (2, None, [9, 9]),
+                           (3, 0, None)])
+    out = centroid_distances_embeddings(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["label_a", "label_b", "dist_bp"]
+    exp = _oracle(tmp_path, "centroid_distances_embeddings")
+    assert len(exp) == 0
+
+    _embeddings(tmp_path, [(1, 0, [1, 1]), (2, None, [9, 9]),
+                           (3, 1, [1, 1]), (4, 1, None)])
+    out = centroid_distances_embeddings(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"label_a": 0, "label_b": 1, "dist_bp": 0.0}]
