@@ -67,7 +67,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drawdown_daily_events": R.drawdown_daily_events,  # oracled
         "weighted_median_price": R.weighted_median_price,  # oracled
         # --- session-15 additions (oracled)
-        "cusum_daily_events": R.cusum_daily_events,        # oracled
         "rolling_median_daily_events":
             R.rolling_median_daily_events,                 # oracled
         "bigram_logprob_documents":
@@ -128,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv_curve": R.cohort_ltv_curve,            # oracled
         "centroid_distances_embeddings":
             R.centroid_distances_embeddings,               # oracled
+        "peak_concurrent_sessions_events":
+            R.peak_concurrent_sessions_events,             # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -170,6 +171,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spearman/kendall; pin-dense, two-engine green at 3 SFs)
         "trending_terms_documents":
             R.trending_terms_documents,                    # oracled
+        # (evicted for peak_concurrent_sessions_events: daily-grid
+        # cumulative change-detection machinery stays covered
+        # in-window by drawdown_daily_events (same grid + running
+        # extrema) with fano_daily_events + rolling_median_daily on
+        # the grid; pin-dense, two-engine green at 3 SFs)
+        "cusum_daily_events": R.cusum_daily_events,        # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1428,6 +1435,28 @@ p AS (SELECT a.label AS label_a, b.label AS label_b,
 SELECT label_a, label_b,
        round(sqrt(CAST(CAST(ssq AS VARCHAR) AS DOUBLE)), 6) AS dist_bp
 FROM p ORDER BY label_a, label_b""",
+        "peak_concurrent_sessions_events": """
+WITH e AS (SELECT user_id AS u, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+l AS (SELECT u, ts, CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY u ORDER BY ts)),
+s AS (SELECT u, ts, sum(brk) OVER (PARTITION BY u ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l),
+iv AS (SELECT min(ts) AS st, max(ts) AS en FROM s GROUP BY u, sid),
+pts AS (SELECT st AS t, 0 AS k, 1 AS d FROM iv
+        UNION ALL SELECT en AS t, 1 AS k, -1 AS d FROM iv),
+run AS (SELECT t, sum(d) OVER (ORDER BY t, k
+                               ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts)
+SELECT CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       min(t) FILTER (WHERE conc = (SELECT max(conc) FROM run))
+         AS peak_ts
+FROM run HAVING count(*) > 0""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -10400,3 +10400,113 @@ def centroid_distances_embeddings(sf_dir: str):
     out["label_b"] = out["label_b"].astype("int64")
     out["dist_bp"] = out["dist_bp"].astype("float64")
     return out
+
+
+def peak_concurrent_sessions_events(sf_dir: str):
+    """Peak concurrent sessions (ORACLED): ONE row — total session
+    count, the maximum number of 30-minute-rule sessions active at
+    the same instant, and the FIRST timestamp attaining it — the
+    capacity-planning readout (how many simultaneous users must the
+    serving tier hold?). Sweep line over session intervals: ONE
+    user-hash partition sessionizes (the strict >30-min break of the
+    bounce_rate/session_duration contract) and emits only
+    (endpoint_ts, kind, ±count) rows pre-merged per partition; a
+    grouped sum makes (t, kind) globally unique; after ONE sort the
+    running concurrency never materializes — each block reports its
+    (sum, max-prefix, first-argmax-t) summary, offsets are a cumsum
+    over blocks on the driver, and block max-prefixes are
+    offset-shifted (a prefix max is offset-equivariant, so one
+    summary pass replaces the second block-aligned pass of the
+    NTILE discipline). Interval ends are INCLUSIVE with starts
+    ordered before ends at the same instant: a session ending exactly
+    when another starts overlaps it (both count — pinned), and a
+    single-event session still contributes concurrency 1 at its
+    point. Null user/ts rows invisible; an eventless corpus answers
+    the typed empty frame. The argmax-first tie rule is stable under
+    arbitrary intra-(t,kind) orders: within a tie group all deltas
+    share a sign, so intermediate prefixes never exceed the group
+    boundary values."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    GAP = 1_800_000_000  # 30 min in µs
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("user_id").is_valid(),
+                             b.column("ts").is_valid()))
+        return pa.table({
+            "u": t.column("user_id"),
+            "t": pc.cast(t.column("ts"), pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"t": pa.array([], pa.int64()),
+                          "k": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:] - 1, len(u) - 1]
+        st, en = ts[starts], ts[ends]
+        key = np.r_[st * 2, en * 2 + 1]          # k=0 starts, k=1 ends
+        uk, cnt = np.unique(key, return_counts=True)
+        k = (uk % 2).astype(np.int64)
+        d = np.where(k == 0, cnt, -cnt).astype(np.int64)
+        return pa.table({"t": pa.array((uk // 2).astype(np.int64)),
+                         "k": pa.array(k), "d": pa.array(d)})
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["u"], kernel, batch_format="pyarrow")
+    pts = grouped_agg_hash(parts, ["t", "k"], {"d": "d"},
+                           count_alias="_p") \
+        .select_columns(["t", "k", "d"]).sort(["t", "k"])
+
+    def summary(b: pa.Table) -> pa.Table:
+        empty = pa.table({"t0": pa.array([], pa.int64()),
+                          "k0": pa.array([], pa.int64()),
+                          "sum_d": pa.array([], pa.int64()),
+                          "maxp": pa.array([], pa.int64()),
+                          "argt": pa.array([], pa.int64()),
+                          "n_start": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        t = b["t"].to_numpy(zero_copy_only=False)
+        k = b["k"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy(zero_copy_only=False)
+        run = np.cumsum(d)
+        mx = int(run.max())
+        first = int(np.argmax(run == mx))
+        return pa.table({
+            "t0": pa.array([int(t[0])]), "k0": pa.array([int(k[0])]),
+            "sum_d": pa.array([int(run[-1])]),
+            "maxp": pa.array([mx]),
+            "argt": pa.array([int(t[first])]),
+            "n_start": pa.array([int(d[k == 0].sum())])})
+
+    summ = pts.map_batches(summary, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).to_pandas()
+    out_empty = pd.DataFrame({
+        "n_sessions": pd.Series([], dtype="int64"),
+        "peak_concurrency": pd.Series([], dtype="int64"),
+        "peak_ts": pd.Series([], dtype="datetime64[us]")})
+    if summ.empty or "t0" not in summ.columns:
+        return out_empty
+    summ = summ.sort_values(["t0", "k0"]).reset_index(drop=True)
+    offs = np.concatenate(([0], summ["sum_d"].cumsum().to_numpy()[:-1]))
+    gmax = offs + summ["maxp"].to_numpy()
+    peak = int(gmax.max())
+    first_blk = int(np.argmax(gmax == peak))
+    return pd.DataFrame({
+        "n_sessions": pd.Series([int(summ["n_start"].sum())],
+                                dtype="int64"),
+        "peak_concurrency": pd.Series([peak], dtype="int64"),
+        "peak_ts": pd.Series(
+            [np.datetime64(int(summ["argt"][first_blk]), "us")],
+            dtype="datetime64[us]")})

@@ -296,3 +296,83 @@ def test_centroid_distances_nulls_and_degenerate(tmp_path):
     out = centroid_distances_embeddings(str(tmp_path))
     assert out.to_dict("records") == [
         {"label_a": 0, "label_b": 1, "dist_bp": 0.0}]
+
+
+# ------------------------------------------- peak concurrent sessions
+
+MIN = 60_000_000  # one minute in µs
+
+
+def _events_ts(tmp_path, rows):
+    """rows: (user_id|None, ts_minutes|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([None if r[1] is None else r[1] * MIN
+                        for r in rows], pa.timestamp("us"))}))
+
+
+def test_peak_sessions_hand_overlap(tmp_path):
+    """User A sessions 10:00–10:10; user B's single event at 10:05
+    lands inside it → peak 2, first attained at 10:05 (B's start is
+    the instant concurrency reaches 2)."""
+    from jsonschema_ray.pipelines.relational import (
+        peak_concurrent_sessions_events)
+    _events_ts(tmp_path, [(1, 600), (1, 610), (2, 605)])
+    out = peak_concurrent_sessions_events(str(tmp_path))
+    assert out.iloc[0]["n_sessions"] == 2
+    assert out.iloc[0]["peak_concurrency"] == 2
+    assert out.iloc[0]["peak_ts"] == pd.Timestamp(605 * MIN, unit="us")
+    exp = _oracle(tmp_path, "peak_concurrent_sessions_events")
+    assert str(exp.iloc[0]["peak_ts"]) == str(out.iloc[0]["peak_ts"])
+    assert int(exp.iloc[0]["peak_concurrency"]) == 2
+
+
+def test_peak_sessions_touching_point_counts_both(tmp_path):
+    """A single-event session at 10:00 and another session STARTING at
+    10:00: inclusive ends with starts-before-ends at the same instant
+    → both active at 10:00 → peak 2 (an exclusive-end sweep would
+    answer 1)."""
+    from jsonschema_ray.pipelines.relational import (
+        peak_concurrent_sessions_events)
+    _events_ts(tmp_path, [(1, 600), (2, 600), (2, 620)])
+    out = peak_concurrent_sessions_events(str(tmp_path))
+    assert out.iloc[0]["peak_concurrency"] == 2
+    assert out.iloc[0]["peak_ts"] == pd.Timestamp(600 * MIN, unit="us")
+    exp = _oracle(tmp_path, "peak_concurrent_sessions_events")
+    assert int(exp.iloc[0]["peak_concurrency"]) == 2
+
+
+def test_peak_sessions_gap_boundary(tmp_path):
+    """One user, events 31 minutes apart → TWO disjoint point sessions,
+    peak 1; exactly 30 minutes apart → ONE session (strict >30-min
+    break), still peak 1 but n_sessions 1."""
+    from jsonschema_ray.pipelines.relational import (
+        peak_concurrent_sessions_events)
+    _events_ts(tmp_path, [(1, 600), (1, 631)])
+    out = peak_concurrent_sessions_events(str(tmp_path))
+    assert out.iloc[0]["n_sessions"] == 2
+    assert out.iloc[0]["peak_concurrency"] == 1
+    assert out.iloc[0]["peak_ts"] == pd.Timestamp(600 * MIN, unit="us")
+
+    _events_ts(tmp_path, [(1, 600), (1, 630)])
+    out = peak_concurrent_sessions_events(str(tmp_path))
+    assert out.iloc[0]["n_sessions"] == 1
+    assert out.iloc[0]["peak_concurrency"] == 1
+    exp = _oracle(tmp_path, "peak_concurrent_sessions_events")
+    assert int(exp.iloc[0]["n_sessions"]) == 1
+
+
+def test_peak_sessions_nulls_and_empty(tmp_path):
+    """Null user/ts rows are invisible; a corpus of only such rows
+    answers the typed empty frame (== the SQL HAVING-empty result)."""
+    from jsonschema_ray.pipelines.relational import (
+        peak_concurrent_sessions_events)
+    _events_ts(tmp_path, [(None, 600), (1, None)])
+    out = peak_concurrent_sessions_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_sessions", "peak_concurrency",
+                                 "peak_ts"]
+    assert out["peak_ts"].dtype == "datetime64[us]"
+    exp = _oracle(tmp_path, "peak_concurrent_sessions_events")
+    assert len(exp) == 0
