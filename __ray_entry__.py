@@ -95,8 +95,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_median_events":
             R.session_duration_median_events,              # oracled
         "readability_documents": R.readability_documents,  # oracled
-        "nonascii_ratio_by_lang":
-            R.nonascii_ratio_by_lang,                      # oracled
         "normalized_dup_documents":
             R.normalized_dup_documents,                    # oracled
         "gains_spend_customers":
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.centroid_distances_embeddings,               # oracled
         "peak_concurrent_sessions_events":
             R.peak_concurrent_sessions_events,             # oracled
+        "dedup_token_savings_documents":
+            R.dedup_token_savings_documents,               # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -177,6 +177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extrema) with fano_daily_events + rolling_median_daily on
         # the grid; pin-dense, two-engine green at 3 SFs)
         "cusum_daily_events": R.cusum_daily_events,        # oracled
+        # (evicted for dedup_token_savings_documents: per-doc
+        # char-class ratio machinery stays covered in-window by
+        # readability_documents, and the per-lang grouping by
+        # hhi_sources_by_lang; pin-dense, two-engine green at 3 SFs)
+        "nonascii_ratio_by_lang":
+            R.nonascii_ratio_by_lang,                      # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1457,6 +1463,23 @@ SELECT CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions,
        min(t) FILTER (WHERE conc = (SELECT max(conc) FROM run))
          AS peak_ts
 FROM run HAVING count(*) > 0""",
+        "dedup_token_savings_documents": """
+WITH d AS (SELECT text,
+                  CAST(length(regexp_extract_all(text, '\\S+'))
+                       AS HUGEINT) AS tok
+           FROM documents WHERE text IS NOT NULL),
+g AS (SELECT count(*) AS n, max(tok) AS tok FROM d GROUP BY text)
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n * tok) AS VARCHAR) AS total_tokens,
+       CAST(sum(tok) AS VARCHAR) AS unique_tokens,
+       CASE WHEN sum(n * tok) = 0 THEN NULL
+            ELSE round(CAST(CAST(sum(n * tok) - sum(tok)
+                            AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(sum(n * tok)
+                              AS VARCHAR) AS DOUBLE), 6)
+       END AS dup_token_share
+FROM g HAVING count(*) > 0""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

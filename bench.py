@@ -318,6 +318,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.centroid_distances_embeddings(sf_dir)))
     timed("peak_concurrent_sessions_events",
           lambda: len(R.peak_concurrent_sessions_events(sf_dir)))
+    timed("dedup_token_savings_documents",
+          lambda: len(R.dedup_token_savings_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -10510,3 +10510,86 @@ def peak_concurrent_sessions_events(sf_dir: str):
         "peak_ts": pd.Series(
             [np.datetime64(int(summ["argt"][first_blk]), "us")],
             dtype="datetime64[us]")})
+
+
+def dedup_token_savings_documents(sf_dir: str):
+    """Token savings from exact dedup (ORACLED): ONE row — raw doc
+    count, distinct-text doc count, raw token total, the token total
+    AFTER keeping one copy per distinct text, and the share of tokens
+    dedup removes — the headline number a training-data budget reads
+    before any fuzzy pass runs ("how much of the corpus is literal
+    copies?"). The scan ships only (128-bit text hash, token count) —
+    the dedup_exact digest convention (two independent 64-bit hashes;
+    text never shuffles); ONE digest groupby yields BOTH sides at
+    once: per distinct text the duplicate count n and Σtok, so raw
+    totals are Σn / Σ(Σtok) and unique totals are the row count /
+    Σ(Σtok ÷ n) — the division is exact (identical texts have
+    identical token counts, so Σtok is divisible by n; asserted per
+    block). Token = the corpus-wide \\S+ convention (token_counts ==
+    SQL regexp_extract_all). Totals ride per-block DECIMAL-STRING
+    partials into Python-int sums; share = two exact ints, ONE divide
+    in SQL operand order, 6dp; a zero-token corpus answers SQL-NULL
+    share. Null-text docs are invisible; an empty corpus answers the
+    typed empty frame."""
+    from ..sketches.hashing import hash64_array
+    from ..text import token_counts
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        col = b["text"].combine_chunks()
+        mask = col.is_valid()
+        col = col.filter(mask)
+        h1 = hash64_array(col).view(np.int64)
+        h2 = hash64_array(col, seed=0x5851F42D4C957F2D).view(np.int64)
+        tok = token_counts(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                         "tok": pa.array(tok)})
+
+    g = grouped_agg_hash(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["h1", "h2"], {"tok": "sum_tok"}, count_alias="n")
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"nd": pa.array([], pa.string()),
+                          "nu": pa.array([], pa.string()),
+                          "tt": pa.array([], pa.string()),
+                          "ut": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        n = b["n"].to_numpy(zero_copy_only=False).astype(object)
+        st = b["sum_tok"].to_numpy(zero_copy_only=False).astype(object)
+        uniq = st // n
+        assert ((uniq * n) == st).all()   # identical texts, equal toks
+        return pa.table({
+            "nd": pa.array([str(int(n.sum()))]),
+            "nu": pa.array([str(b.num_rows)]),
+            "tt": pa.array([str(int(st.sum()))]),
+            "ut": pa.array([str(int(uniq.sum()))])})
+
+    parts = g.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          batch_size=None).to_pandas()
+    out_empty = pd.DataFrame({
+        "n_docs": pd.Series([], dtype="int64"),
+        "n_unique": pd.Series([], dtype="int64"),
+        "total_tokens": pd.Series([], dtype="object"),
+        "unique_tokens": pd.Series([], dtype="object"),
+        "dup_token_share": pd.Series([], dtype="float64")})
+    if parts.empty or "nd" not in parts.columns:
+        return out_empty
+    nd = sum(int(v) for v in parts["nd"])
+    if nd == 0:
+        return out_empty
+    nu = sum(int(v) for v in parts["nu"])
+    tt = sum(int(v) for v in parts["tt"])
+    ut = sum(int(v) for v in parts["ut"])
+    share = (float(duckdb_round(float(tt - ut) / float(tt), 6))
+             if tt > 0 else float("nan"))
+    return pd.DataFrame({
+        "n_docs": pd.Series([nd], dtype="int64"),
+        "n_unique": pd.Series([nu], dtype="int64"),
+        "total_tokens": pd.Series([str(tt)], dtype="object"),
+        "unique_tokens": pd.Series([str(ut)], dtype="object"),
+        "dup_token_share": pd.Series([share], dtype="float64")})

@@ -376,3 +376,79 @@ def test_peak_sessions_nulls_and_empty(tmp_path):
     assert out["peak_ts"].dtype == "datetime64[us]"
     exp = _oracle(tmp_path, "peak_concurrent_sessions_events")
     assert len(exp) == 0
+
+
+# ------------------------------------------------ dedup token savings
+
+def _documents(tmp_path, texts):
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+
+def test_token_savings_hand_corpus(tmp_path):
+    """Corpus ['a b', 'a b', 'a b', 'c d e'] → 4 docs, 2 distinct,
+    raw 2+2+2+3 = 9 tokens, unique 2+3 = 5 → savings 4/9 = 0.444444
+    at 6dp — exact ints, cross-checked vs the in-test DuckDB oracle."""
+    from jsonschema_ray.pipelines.relational import (
+        dedup_token_savings_documents)
+    _documents(tmp_path, ["a b", "a b", "a b", "c d e"])
+    out = dedup_token_savings_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_docs": 4, "n_unique": 2, "total_tokens": "9",
+         "unique_tokens": "5", "dup_token_share": 0.444444}]
+    exp = _oracle(tmp_path, "dedup_token_savings_documents")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_token_savings_whitespace_variants_distinct(tmp_path):
+    """'a  b' (double space) and 'a b' are DIFFERENT texts (exact
+    dedup, not normalized) yet have the SAME \\S+ token count 2 —
+    no savings despite equal token vectors; the empty-token drop is
+    shared with the SQL regexp_extract_all convention."""
+    from jsonschema_ray.pipelines.relational import (
+        dedup_token_savings_documents)
+    _documents(tmp_path, ["a  b", "a b"])
+    out = dedup_token_savings_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_docs": 2, "n_unique": 2, "total_tokens": "4",
+         "unique_tokens": "4", "dup_token_share": 0.0}]
+    exp = _oracle(tmp_path, "dedup_token_savings_documents")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_token_savings_zero_token_corpus_null_share(tmp_path):
+    """All-whitespace texts: docs exist, tokens are 0 → share is
+    SQL-NULL (NaN), counts still report; duplicate empty strings still
+    dedup (3 docs → 2 distinct)."""
+    from jsonschema_ray.pipelines.relational import (
+        dedup_token_savings_documents)
+    _documents(tmp_path, ["", "", "   "])
+    out = dedup_token_savings_documents(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_docs"], r["n_unique"], r["total_tokens"],
+            r["unique_tokens"]) == (3, 2, "0", "0")
+    assert math.isnan(r["dup_token_share"])
+    exp = _oracle(tmp_path, "dedup_token_savings_documents")
+    assert int(exp.iloc[0]["n_unique"]) == 2
+    assert math.isnan(exp.iloc[0]["dup_token_share"])
+
+
+def test_token_savings_nulls_and_empty(tmp_path):
+    """Null-text docs are invisible (they carry no tokens and no
+    identity); an all-null corpus answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        dedup_token_savings_documents)
+    _documents(tmp_path, [None, "x y", None])
+    out = dedup_token_savings_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_docs": 1, "n_unique": 1, "total_tokens": "2",
+         "unique_tokens": "2", "dup_token_share": 0.0}]
+
+    _documents(tmp_path, [None, None])
+    out = dedup_token_savings_documents(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_docs", "n_unique", "total_tokens",
+                                 "unique_tokens", "dup_token_share"]
+    exp = _oracle(tmp_path, "dedup_token_savings_documents")
+    assert len(exp) == 0
