@@ -92,8 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate_events": R.bounce_rate_events,        # oracled
         "rfm_segments_customers":
             R.rfm_segments_customers,                      # oracled
-        "session_duration_median_events":
-            R.session_duration_median_events,              # oracled
         "readability_documents": R.readability_documents,  # oracled
         "normalized_dup_documents":
             R.normalized_dup_documents,                    # oracled
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.peak_concurrent_sessions_events,             # oracled
         "dedup_token_savings_documents":
             R.dedup_token_savings_documents,               # oracled
+        "source_dup_matrix_documents":
+            R.source_dup_matrix_documents,                 # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -183,6 +183,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hhi_sources_by_lang; pin-dense, two-engine green at 3 SFs)
         "nonascii_ratio_by_lang":
             R.nonascii_ratio_by_lang,                      # oracled
+        # (evicted for source_dup_matrix_documents: the distributed
+        # exact-median machinery stays covered in-window by
+        # weighted_median_price + rolling_median_daily_events, and
+        # 30-min sessionization by bounce_rate + sessions_per_user +
+        # peak_concurrent_sessions; pin-dense, two-engine green at
+        # 3 SFs across sessions)
+        "session_duration_median_events":
+            R.session_duration_median_events,              # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1480,6 +1488,13 @@ SELECT CAST(sum(n) AS BIGINT) AS n_docs,
                               AS VARCHAR) AS DOUBLE), 6)
        END AS dup_token_share
 FROM g HAVING count(*) > 0""",
+        "source_dup_matrix_documents": """
+WITH g AS (SELECT DISTINCT text, source FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_texts
+FROM g a JOIN g b ON a.text = b.text AND a.source < b.source
+GROUP BY a.source, b.source ORDER BY source_a, source_b""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -320,6 +320,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.peak_concurrent_sessions_events(sf_dir)))
     timed("dedup_token_savings_documents",
           lambda: len(R.dedup_token_savings_documents(sf_dir)))
+    timed("source_dup_matrix_documents",
+          lambda: len(R.source_dup_matrix_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -10593,3 +10593,78 @@ def dedup_token_savings_documents(sf_dir: str):
         "total_tokens": pd.Series([str(tt)], dtype="object"),
         "unique_tokens": pd.Series([str(ut)], dtype="object"),
         "dup_token_share": pd.Series([share], dtype="float64")})
+
+
+def source_dup_matrix_documents(sf_dir: str):
+    """Cross-source duplicate-leakage matrix (ORACLED): for every
+    unordered source pair, the number of distinct texts appearing in
+    BOTH — the provenance-contamination readout that tells a curation
+    pipeline which feeds are re-crawls of each other (dup_rate_by_
+    source says how duplicated each feed is internally; this says who
+    copies whom). Same discipline as basket_brand_pairs with the
+    basket keyed by the dedup_exact 128-bit text digest: per-batch
+    distinct (digest, source) partials prune the shuffle (text never
+    ships), ONE digest-hash partition rebuilds each text's sorted
+    distinct source set and expands the k·(k−1)/2 pairs via
+    ranges_concat (k is source-vocabulary-bounded), and the global
+    pair aggregate is vocabulary²-bounded. A text seen twice in the
+    SAME source only contributes nothing; null text / null source
+    rows invisible; a corpus with no cross-source dup answers the
+    typed empty frame."""
+    from ..sketches.hashing import hash64_array
+    from ..util import partitioned_group_apply, ranges_concat
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("text").is_valid(),
+                             b.column("source").is_valid()))
+        col = t["text"].combine_chunks()
+        h1 = hash64_array(col).view(np.int64)
+        h2 = hash64_array(col, seed=0x5851F42D4C957F2D).view(np.int64)
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                         "src": t.column("source")}) \
+            .group_by(["h1", "h2", "src"]).aggregate([])
+
+    partials = ds.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, h2, h1))
+        h1, h2, src = h1[order], h2[order], src[order]
+        first = np.ones(len(h1), dtype=bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) \
+            | (src[1:] != src[:-1])
+        h1, h2, src = h1[first], h2[first], src[first]
+        seg = np.ones(len(h1), dtype=bool)
+        seg[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        seg_start = np.flatnonzero(seg)
+        seg_end = np.append(seg_start[1:], len(h1))
+        ends = np.repeat(seg_end, seg_end - seg_start)
+        idx = np.arange(len(h1))
+        lens = ends - idx - 1
+        left = np.repeat(idx, lens)
+        right = ranges_concat(idx + 1, lens)
+        tb = pa.table({"source_a": pa.array(src[left], pa.string()),
+                       "source_b": pa.array(src[right], pa.string())})
+        agg = tb.group_by(["source_a", "source_b"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["source_a", "source_b", "n_p"])
+
+    agg = grouped_agg(
+        partitioned_group_apply(partials, ["h1", "h2"], pairs,
+                                batch_format="pyarrow"),
+        ["source_a", "source_b"], {"n_p": "n_texts"},
+        count_alias="_c").to_pandas()
+    out_empty = pd.DataFrame({
+        "source_a": pd.Series([], dtype="object"),
+        "source_b": pd.Series([], dtype="object"),
+        "n_texts": pd.Series([], dtype="int64")})
+    if agg.empty or "source_a" not in agg.columns:
+        return out_empty
+    out = agg[["source_a", "source_b", "n_texts"]] \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    out["n_texts"] = out["n_texts"].astype("int64")
+    return out

@@ -154,7 +154,7 @@ def oracle_pairs():
     "sessions_per_user_histogram", "norm_stats_by_label_embeddings",
     "order_gap_histogram", "gini_spend_customers", "cohort_ltv_curve",
     "centroid_distances_embeddings", "peak_concurrent_sessions_events",
-    "dedup_token_savings_documents",
+    "dedup_token_savings_documents", "source_dup_matrix_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -452,3 +452,60 @@ def test_token_savings_nulls_and_empty(tmp_path):
                                  "unique_tokens", "dup_token_share"]
     exp = _oracle(tmp_path, "dedup_token_savings_documents")
     assert len(exp) == 0
+
+
+# ------------------------------------------------ source dup matrix
+
+def _documents_src(tmp_path, rows):
+    """rows: (text|None, source|None)."""
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string())}))
+
+
+def test_source_dup_matrix_hand(tmp_path):
+    """'x' appears in A, B and C → three pairs; 'y' in A and B lifts
+    (A,B) to 2 — each DISTINCT text counts once per pair it spans."""
+    from jsonschema_ray.pipelines.relational import (
+        source_dup_matrix_documents)
+    _documents_src(tmp_path, [("x", "A"), ("x", "B"), ("x", "C"),
+                              ("y", "A"), ("y", "B"), ("z", "C")])
+    out = source_dup_matrix_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"source_a": "A", "source_b": "B", "n_texts": 2},
+        {"source_a": "A", "source_b": "C", "n_texts": 1},
+        {"source_a": "B", "source_b": "C", "n_texts": 1}]
+    exp = _oracle(tmp_path, "source_dup_matrix_documents") \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_source_dup_matrix_same_source_and_multiplicity(tmp_path):
+    """A text duplicated ONLY within one source contributes nothing;
+    three copies in A plus one in B still count the (A,B) pair ONCE
+    (distinct (text, source), not doc multiplicity)."""
+    from jsonschema_ray.pipelines.relational import (
+        source_dup_matrix_documents)
+    _documents_src(tmp_path, [("q", "A"), ("q", "A"), ("q", "A"),
+                              ("q", "B"), ("solo", "C"), ("solo", "C")])
+    out = source_dup_matrix_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"source_a": "A", "source_b": "B", "n_texts": 1}]
+    exp = _oracle(tmp_path, "source_dup_matrix_documents")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_source_dup_matrix_nulls_and_empty(tmp_path):
+    """Null text / null source rows are invisible (a null source must
+    not form a phantom feed); a corpus with no cross-source duplicate
+    answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        source_dup_matrix_documents)
+    _documents_src(tmp_path, [("x", None), (None, "B"), ("x", "C")])
+    out = source_dup_matrix_documents(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["source_a", "source_b", "n_texts"]
+    assert out["n_texts"].dtype == "int64"
+    exp = _oracle(tmp_path, "source_dup_matrix_documents")
+    assert len(exp) == 0
