@@ -85,8 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.kendall_tau_daily_events,                    # oracled
         "auc_value_error_events":
             R.auc_value_error_events,                      # oracled
-        "rrf_fusion_embeddings":
-            R.rrf_fusion_embeddings,                       # oracled
         "calibration_value_error_events":
             R.calibration_value_error_events,              # oracled
         "bounce_rate_events": R.bounce_rate_events,        # oracled
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.dedup_token_savings_documents,               # oracled
         "source_dup_matrix_documents":
             R.source_dup_matrix_documents,                 # oracled
+        "knn_label_agreement_embeddings":
+            R.knn_label_agreement_embeddings,              # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -191,6 +191,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 3 SFs across sessions)
         "session_duration_median_events":
             R.session_duration_median_events,              # oracled
+        # (evicted for knn_label_agreement_embeddings: the exact-
+        # cosine rank machinery stays covered in-window by
+        # ann_ivf_fullprobe_embeddings + knn_label_agreement itself,
+        # both consuming the same distributed scorer end-to-end;
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "rrf_fusion_embeddings":
+            R.rrf_fusion_embeddings,                       # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1495,6 +1502,28 @@ SELECT a.source AS source_a, b.source AS source_b,
        CAST(count(*) AS BIGINT) AS n_texts
 FROM g a JOIN g b ON a.text = b.text AND a.source < b.source
 GROUP BY a.source, b.source ORDER BY source_a, source_b""",
+        "knn_label_agreement_embeddings": """
+WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+           FROM embeddings
+           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+             AND label IS NOT NULL),
+s AS (SELECT a.vec_id AS qid, a.label AS qlab, b.label AS clab,
+             b.vec_id AS cid,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS s
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT qlab, clab,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY s DESC, cid ASC) AS rk
+      FROM s)
+SELECT qlab AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN clab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       round(CAST(sum(CASE WHEN clab = qlab THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS agree_rate
+FROM r WHERE rk = 1 GROUP BY qlab ORDER BY label""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -322,6 +322,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.dedup_token_savings_documents(sf_dir)))
     timed("source_dup_matrix_documents",
           lambda: len(R.source_dup_matrix_documents(sf_dir)))
+    timed("knn_label_agreement_embeddings",
+          lambda: len(R.knn_label_agreement_embeddings(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

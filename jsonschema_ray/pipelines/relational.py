@@ -10668,3 +10668,69 @@ def source_dup_matrix_documents(sf_dir: str):
         .sort_values(["source_a", "source_b"]).reset_index(drop=True)
     out["n_texts"] = out["n_texts"].astype("int64")
     return out
+
+
+def knn_label_agreement_embeddings(sf_dir: str):
+    """1-NN label agreement per label (ORACLED): for every corpus
+    vector, find its exact-cosine nearest neighbor (self excluded by
+    id, ties by vec_id) and ask whether the neighbor shares its label
+    — reported per label as (n, n_agree, agree_rate). This is the
+    standard no-training kNN probe of embedding quality: a label
+    whose vectors' nearest neighbors routinely wear other labels is a
+    class the downstream classifier will confuse (centroid_distances
+    sees prototype collapse; this sees boundary interleaving). The
+    scorer is the ann_topk brute-force arm with the corpus itself as
+    the query matrix (k=2 — the top-2 always contains a non-self row)
+    — per corpus batch ONE matmul against the broadcast query matrix,
+    per-batch partial top-k, only nq·2 candidate rows ever gather.
+    Like ngram_jaccard / embedding_neardup_exact this is the
+    all-pairs VERIFIER by design — quadratic in corpus size; the
+    scale path for the same question is the IVF probe
+    (ann_ivf_embeddings) over a label-stratified sample. Rows with
+    null vec_id / embedding / label neither query nor serve;
+    a corpus with fewer than two surviving vectors answers the typed
+    empty frame. agree_rate = two exact ints, ONE divide in SQL
+    operand order, 6dp."""
+    from ..ann import brute_force_topk
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.and_(b.column("vec_id").is_valid(),
+                    b.column("embedding").is_valid()),
+            b.column("label").is_valid()))
+
+    ds = ds.map_batches(clean, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=131072)
+    q = ds.to_pandas()           # the broadcast query side (verifier)
+    out_empty = pd.DataFrame({
+        "label": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+        "n_agree": pd.Series([], dtype="int64"),
+        "agree_rate": pd.Series([], dtype="float64")})
+    if len(q) < 2 or "vec_id" not in q.columns:
+        return out_empty
+    q = q.sort_values("vec_id").reset_index(drop=True)
+    topk = brute_force_topk(ds, list(q["embedding"]),
+                            query_ids=q["vec_id"].to_numpy(), k=2)
+    nn = topk[topk["vec_id"] != topk["query_id"]] \
+        .sort_values(["query_id", "rank"]) \
+        .groupby("query_id", sort=True).head(1)
+    lab = dict(zip(q["vec_id"].astype(np.int64),
+                   q["label"].astype(np.int64)))
+    qlab = nn["query_id"].map(lab).to_numpy()
+    clab = nn["vec_id"].map(lab).to_numpy()
+    rows = []
+    for lbl in np.unique(qlab):
+        m = qlab == lbl
+        n, na = int(m.sum()), int((clab[m] == lbl).sum())
+        rows.append({"label": int(lbl), "n": n, "n_agree": na,
+                     "agree_rate": float(duckdb_round(
+                         float(na) / float(n), 6))})
+    out = pd.DataFrame(rows)
+    out["label"] = out["label"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["n_agree"] = out["n_agree"].astype("int64")
+    out["agree_rate"] = out["agree_rate"].astype("float64")
+    return out

@@ -509,3 +509,61 @@ def test_source_dup_matrix_nulls_and_empty(tmp_path):
     assert out["n_texts"].dtype == "int64"
     exp = _oracle(tmp_path, "source_dup_matrix_documents")
     assert len(exp) == 0
+
+
+# --------------------------------------------- 1-NN label agreement
+
+def test_knn_agreement_hand_geometry(tmp_path):
+    """2-D hand case: [1,0] and [0.995,0.1] (label 0) are each other's
+    NN (agree); [0,1] (label 1)'s NN is the tilted vector (label 0 —
+    disagree). Label 0 → 2/2 = 1.0, label 1 → 0/1 = 0.0."""
+    from jsonschema_ray.pipelines.relational import (
+        knn_label_agreement_embeddings)
+    _embeddings(tmp_path, [(1, 0, [1.0, 0.0]), (2, 0, [0.995, 0.1]),
+                           (3, 1, [0.0, 1.0])])
+    out = knn_label_agreement_embeddings(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"label": 0, "n": 2, "n_agree": 2, "agree_rate": 1.0},
+        {"label": 1, "n": 1, "n_agree": 0, "agree_rate": 0.0}]
+    exp = _oracle(tmp_path, "knn_label_agreement_embeddings")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_knn_agreement_twin_tie_breaks_by_id(tmp_path):
+    """Exact twins tie at cosine 1.0; the NN is the SMALLEST other
+    vec_id: id 10's neighbor is id 20 (label 1 — disagree) even though
+    id 30 (label 0) would agree — pins the (score DESC, id ASC) rank
+    on both engines."""
+    from jsonschema_ray.pipelines.relational import (
+        knn_label_agreement_embeddings)
+    _embeddings(tmp_path, [(10, 0, [1.0, 0.0]), (20, 1, [1.0, 0.0]),
+                           (30, 0, [1.0, 0.0])])
+    out = knn_label_agreement_embeddings(str(tmp_path))
+    # id10→id20 (disagree), id20→id10 (disagree), id30→id10 (agree)
+    assert out.to_dict("records") == [
+        {"label": 0, "n": 2, "n_agree": 1, "agree_rate": 0.5},
+        {"label": 1, "n": 1, "n_agree": 0, "agree_rate": 0.0}]
+    exp = _oracle(tmp_path, "knn_label_agreement_embeddings")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_knn_agreement_nulls_and_degenerate(tmp_path):
+    """A null-label vector neither queries nor SERVES (it must not be
+    picked as a neighbor even when geometrically closest); fewer than
+    two surviving vectors answer the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        knn_label_agreement_embeddings)
+    _embeddings(tmp_path, [(1, 0, [1.0, 0.0]), (2, None, [1.0, 0.0]),
+                           (3, 1, [0.9, 0.1]), (4, 0, None)])
+    out = knn_label_agreement_embeddings(str(tmp_path))
+    # survivors: 1 (lab 0) and 3 (lab 1) — each other's NN, disagree
+    assert out.to_dict("records") == [
+        {"label": 0, "n": 1, "n_agree": 0, "agree_rate": 0.0},
+        {"label": 1, "n": 1, "n_agree": 0, "agree_rate": 0.0}]
+    exp = _oracle(tmp_path, "knn_label_agreement_embeddings")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _embeddings(tmp_path, [(1, 0, [1.0, 0.0]), (2, None, [1.0, 0.0])])
+    out = knn_label_agreement_embeddings(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["label", "n", "n_agree", "agree_rate"]
