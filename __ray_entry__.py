@@ -87,7 +87,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.auc_value_error_events,                      # oracled
         "calibration_value_error_events":
             R.calibration_value_error_events,              # oracled
-        "bounce_rate_events": R.bounce_rate_events,        # oracled
         "rfm_segments_customers":
             R.rfm_segments_customers,                      # oracled
         "readability_documents": R.readability_documents,  # oracled
@@ -129,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.source_dup_matrix_documents,                 # oracled
         "knn_label_agreement_embeddings":
             R.knn_label_agreement_embeddings,              # oracled
+        "interarrival_cv_by_type": R.interarrival_cv_by_type,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -198,6 +198,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pin-dense, two-engine green at 3 SFs across sessions)
         "rrf_fusion_embeddings":
             R.rrf_fusion_embeddings,                       # oracled
+        # (evicted for interarrival_cv_by_type: 30-min sessionization
+        # stays covered in-window by sessions_per_user_histogram +
+        # peak_concurrent_sessions_events, single-event-session
+        # ratios by those histograms' k=1 rows; pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "bounce_rate_events": R.bounce_rate_events,        # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1524,6 +1530,27 @@ SELECT qlab AS label,
                   AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS agree_rate
 FROM r WHERE rk = 1 GROUP BY qlab ORDER BY label""",
+        "interarrival_cv_by_type": """
+WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+l AS (SELECT t, epoch_us(ts)
+             - epoch_us(lag(ts) OVER (PARTITION BY u, t ORDER BY ts))
+             AS gap
+      FROM e),
+g AS (SELECT t, CAST(gap AS HUGEINT) AS gap FROM l
+      WHERE gap IS NOT NULL)
+SELECT t AS event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(CAST(sum(gap) AS VARCHAR) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_gap_us,
+       CASE WHEN sum(gap) = 0 THEN NULL
+            ELSE round(sqrt(CAST(CAST(count(*) * sum(gap * gap)
+                                      - sum(gap) * sum(gap)
+                                 AS VARCHAR) AS DOUBLE))
+                       / CAST(CAST(sum(gap) AS VARCHAR) AS DOUBLE), 6)
+       END AS cv
+FROM g GROUP BY t ORDER BY event_type""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

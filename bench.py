@@ -324,6 +324,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.source_dup_matrix_documents(sf_dir)))
     timed("knn_label_agreement_embeddings",
           lambda: len(R.knn_label_agreement_embeddings(sf_dir)))
+    timed("interarrival_cv_by_type",
+          lambda: len(R.interarrival_cv_by_type(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

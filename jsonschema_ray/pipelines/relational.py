@@ -10734,3 +10734,96 @@ def knn_label_agreement_embeddings(sf_dir: str):
     out["n_agree"] = out["n_agree"].astype("int64")
     out["agree_rate"] = out["agree_rate"].astype("float64")
     return out
+
+
+def interarrival_cv_by_type(sf_dir: str):
+    """Burstiness of each event type (ORACLED): per event_type, the
+    count, mean and coefficient of variation of the microsecond gaps
+    between consecutive SAME-TYPE events of the SAME user — the
+    standard burstiness diagnostic (a memoryless Poisson stream sits
+    at CV ≈ 1, schedules sit below, bursts sit above; fano_daily
+    reads the same dispersion story on the daily grid, this reads it
+    on the raw timeline). All moments are EXACT integers end to end:
+    gaps are int64 µs, per-partition partials carry (n, Σgap, Σgap²)
+    with the squared sums as DECIMAL STRINGS through object-int
+    arithmetic (a month-long gap squares past 2^62), and the driver
+    finishes with Python-int totals. CV collapses to ONE deterministic
+    expression over exact ints — sqrt(n·S2 − S1²)/S1 (algebraically
+    population-std/mean; Cauchy-Schwarz keeps the radicand ≥ 0 in
+    exact arithmetic, which float moments cannot promise) — mirrored
+    operand-for-operand in SQL, 6dp. Equal timestamps gap 0 in any
+    order (no tie column rides the shuffle); a type whose users all
+    have one event produces NO row; an all-zero-gap type answers
+    SQL-NULL cv; null user/ts/type rows invisible."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("user_id").is_valid(),
+                    b.column("ts").is_valid()),
+            b.column("event_type").is_valid()))
+        return pa.table({
+            "u": t.column("user_id"),
+            "t": t.column("event_type"),
+            "ts": pc.cast(t.column("ts"), pa.int64())})
+
+    def kernel(tb: pa.Table) -> pa.Table:
+        empty = pa.table({"t": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "s1": pa.array([], pa.string()),
+                          "s2": pa.array([], pa.string())})
+        if tb.num_rows == 0:
+            return empty
+        u = tb.column("u").to_numpy(zero_copy_only=False)
+        ts = tb.column("ts").to_numpy(zero_copy_only=False)
+        ty = tb.column("t").to_numpy(zero_copy_only=False)
+        uty, code = np.unique(ty, return_inverse=True)
+        order = np.lexsort((ts, u, code))
+        code, u, ts = code[order], u[order], ts[order]
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = (code[1:] == code[:-1]) & (u[1:] == u[:-1])
+        gaps = (ts[1:] - ts[:-1])[same[1:]]
+        gcode = code[1:][same[1:]]
+        if not len(gaps):
+            return empty
+        rows = {"t": [], "n": [], "s1": [], "s2": []}
+        for ci in np.unique(gcode):
+            g = gaps[gcode == ci].astype(object)
+            rows["t"].append(str(uty[ci]))
+            rows["n"].append(int(len(g)))
+            rows["s1"].append(str(int(g.sum())))
+            rows["s2"].append(str(int((g * g).sum())))
+        return pa.table({"t": pa.array(rows["t"], pa.string()),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "s1": pa.array(rows["s1"], pa.string()),
+                         "s2": pa.array(rows["s2"], pa.string())})
+
+    parts = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["u"], kernel, batch_format="pyarrow").to_pandas()
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_gaps": pd.Series([], dtype="int64"),
+        "mean_gap_us": pd.Series([], dtype="float64"),
+        "cv": pd.Series([], dtype="float64")})
+    if parts.empty or "t" not in parts.columns:
+        return out_empty
+    rows = []
+    for t, g in parts.groupby("t", sort=True):
+        n = int(g["n"].sum())
+        s1 = sum(int(v) for v in g["s1"])
+        s2 = sum(int(v) for v in g["s2"])
+        mean = float(duckdb_round(float(s1) / float(n), 6))
+        cv = (float(duckdb_round(
+            math.sqrt(float(n * s2 - s1 * s1)) / float(s1), 6))
+            if s1 > 0 else float("nan"))
+        rows.append({"event_type": t, "n_gaps": n,
+                     "mean_gap_us": mean, "cv": cv})
+    out = pd.DataFrame(rows)
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    out["mean_gap_us"] = out["mean_gap_us"].astype("float64")
+    out["cv"] = out["cv"].astype("float64")
+    return out

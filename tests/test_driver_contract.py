@@ -155,7 +155,7 @@ def oracle_pairs():
     "order_gap_histogram", "gini_spend_customers", "cohort_ltv_curve",
     "centroid_distances_embeddings", "peak_concurrent_sessions_events",
     "dedup_token_savings_documents", "source_dup_matrix_documents",
-    "knn_label_agreement_embeddings",
+    "knn_label_agreement_embeddings", "interarrival_cv_by_type",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

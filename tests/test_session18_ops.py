@@ -567,3 +567,88 @@ def test_knn_agreement_nulls_and_degenerate(tmp_path):
     out = knn_label_agreement_embeddings(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["label", "n", "n_agree", "agree_rate"]
+
+
+# ------------------------------------------- interarrival CV by type
+
+def _events_type_ts(tmp_path, rows):
+    """rows: (user_id|None, event_type|None, ts_minutes|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([None if r[2] is None else r[2] * MIN
+                        for r in rows], pa.timestamp("us"))}))
+
+
+def test_interarrival_cv_hand_moments(tmp_path):
+    """User 1, type 'a' at minutes 0/10/30 → gaps [10, 20] min:
+    S1 = 30 min, S2 = 500 min², n = 2 → mean 15 min = 9e8 µs and
+    cv = sqrt(2·500·60e6² − (30·60e6)²)/(30·60e6) = sqrt(100)/30
+    = 1/3 = 0.333333 at 6dp. A single-event type ('b') produces NO
+    row."""
+    from jsonschema_ray.pipelines.relational import (
+        interarrival_cv_by_type)
+    _events_type_ts(tmp_path, [(1, "a", 0), (1, "a", 10), (1, "a", 30),
+                               (1, "b", 5)])
+    out = interarrival_cv_by_type(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "a", "n_gaps": 2, "mean_gap_us": 900000000.0,
+         "cv": 0.333333}]
+    exp = _oracle(tmp_path, "interarrival_cv_by_type")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_interarrival_cv_per_user_per_type_boundaries(tmp_path):
+    """Gaps never cross users or types: user 1 'a' at 0/10 and user 2
+    'a' at 5/15 → exactly two 10-min gaps (NOT a cross-user 5-min
+    gap); user 1's interleaved 'b' events don't split 'a' gaps."""
+    from jsonschema_ray.pipelines.relational import (
+        interarrival_cv_by_type)
+    _events_type_ts(tmp_path, [(1, "a", 0), (1, "b", 3), (1, "a", 10),
+                               (2, "a", 5), (2, "a", 15)])
+    out = interarrival_cv_by_type(str(tmp_path))
+    a = out[out["event_type"] == "a"].iloc[0]
+    assert a["n_gaps"] == 2 and a["mean_gap_us"] == 600000000.0
+    assert a["cv"] == 0.0         # two equal gaps → zero dispersion
+    exp = _oracle(tmp_path, "interarrival_cv_by_type")
+    ea = exp[exp["event_type"] == "a"].iloc[0]
+    assert (int(ea["n_gaps"]), float(ea["cv"])) == (2, 0.0)
+
+
+def test_interarrival_cv_zero_gaps_null_cv(tmp_path):
+    """All same-timestamp events: gaps exist but S1 = 0 → cv is
+    SQL-NULL (NaN), n_gaps and mean still report; ties gap 0 in any
+    order."""
+    from jsonschema_ray.pipelines.relational import (
+        interarrival_cv_by_type)
+    _events_type_ts(tmp_path, [(1, "a", 7), (1, "a", 7), (1, "a", 7)])
+    out = interarrival_cv_by_type(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["event_type"], r["n_gaps"], r["mean_gap_us"]) \
+        == ("a", 2, 0.0)
+    assert math.isnan(r["cv"])
+    exp = _oracle(tmp_path, "interarrival_cv_by_type")
+    assert math.isnan(exp.iloc[0]["cv"])
+
+
+def test_interarrival_cv_nulls_and_empty(tmp_path):
+    """Null user/ts/type rows are invisible — a null-ts event must not
+    break a user's gap chain into fabricated gaps; a corpus with no
+    computable gap answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        interarrival_cv_by_type)
+    _events_type_ts(tmp_path, [(1, "a", 0), (1, "a", None),
+                               (1, "a", 10), (None, "a", 5),
+                               (1, None, 7)])
+    out = interarrival_cv_by_type(str(tmp_path))
+    assert out.iloc[0]["n_gaps"] == 1
+    assert out.iloc[0]["mean_gap_us"] == 600000000.0
+
+    _events_type_ts(tmp_path, [(1, "a", 0), (2, "a", 5)])
+    out = interarrival_cv_by_type(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "n_gaps",
+                                 "mean_gap_us", "cv"]
+    exp = _oracle(tmp_path, "interarrival_cv_by_type")
+    assert len(exp) == 0
