@@ -85,8 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.kendall_tau_daily_events,                    # oracled
         "auc_value_error_events":
             R.auc_value_error_events,                      # oracled
-        "calibration_value_error_events":
-            R.calibration_value_error_events,              # oracled
         "rfm_segments_customers":
             R.rfm_segments_customers,                      # oracled
         "readability_documents": R.readability_documents,  # oracled
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement_embeddings":
             R.knn_label_agreement_embeddings,              # oracled
         "interarrival_cv_by_type": R.interarrival_cv_by_type,  # oracled
+        "time_to_first_error_events":
+            R.time_to_first_error_events,                  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -204,6 +204,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ratios by those histograms' k=1 rows; pin-dense, two-engine
         # green at 3 SFs across sessions)
         "bounce_rate_events": R.bounce_rate_events,        # oracled
+        # (evicted for time_to_first_error_events: the value-vs-error
+        # binned-outcome machinery stays covered in-window by
+        # auc_value_error_events (same predict-error family, same
+        # exact big-int rank route); pin-dense, two-engine green at
+        # 3 SFs across sessions)
+        "calibration_value_error_events":
+            R.calibration_value_error_events,              # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1551,6 +1558,28 @@ SELECT t AS event_type,
                        / CAST(CAST(sum(gap) AS VARCHAR) AS DOUBLE), 6)
        END AS cv
 FROM g GROUP BY t ORDER BY event_type""",
+        "time_to_first_error_events": """
+WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+s AS (SELECT u, min(ts) AS t0,
+             min(CASE WHEN t = 'error' THEN ts END) AS te
+      FROM e GROUP BY u),
+d AS (SELECT epoch_us(te) - epoch_us(t0) AS delta FROM s
+      WHERE te IS NOT NULL)
+SELECT 'n_users' AS stat,
+       CAST((SELECT count(*) FROM s) AS DOUBLE) AS value
+UNION ALL SELECT 'n_with_error',
+       CAST((SELECT count(*) FROM d) AS DOUBLE)
+UNION ALL SELECT 'n_censored',
+       CAST((SELECT count(*) FROM s)
+            - (SELECT count(*) FROM d) AS DOUBLE)
+UNION ALL SELECT 'p25_us',
+       CAST((SELECT quantile_disc(delta, 0.25) FROM d) AS DOUBLE)
+UNION ALL SELECT 'p50_us',
+       CAST((SELECT quantile_disc(delta, 0.50) FROM d) AS DOUBLE)
+UNION ALL SELECT 'p75_us',
+       CAST((SELECT quantile_disc(delta, 0.75) FROM d) AS DOUBLE)""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

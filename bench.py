@@ -326,6 +326,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.knn_label_agreement_embeddings(sf_dir)))
     timed("interarrival_cv_by_type",
           lambda: len(R.interarrival_cv_by_type(sf_dir)))
+    timed("time_to_first_error_events",
+          lambda: len(R.time_to_first_error_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

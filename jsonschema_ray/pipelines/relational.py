@@ -10827,3 +10827,96 @@ def interarrival_cv_by_type(sf_dir: str):
     out["mean_gap_us"] = out["mean_gap_us"].astype("float64")
     out["cv"] = out["cv"].astype("float64")
     return out
+
+
+def time_to_first_error_events(sf_dir: str):
+    """Time-to-first-error survival summary (ORACLED): over each
+    user's timeline, the µs delay from their FIRST event to their
+    first 'error' event — reported as a fixed six-row (stat, value)
+    frame: user count, users reaching an error, censored users (never
+    erroring — the survival-analysis censoring count, reported rather
+    than silently dropped), and the exact p25/p50/p75 of the delay
+    over uncensored users (quantile_disc semantics: 0-based index
+    ceil(q·n)−1, the quantity_percentiles convention). ONE user-hash
+    partition computes both mins per user (a user whose first event
+    IS the error answers delay 0); only (delta, n) histogram partials
+    leave, with censored users riding the null-delta key (null keys
+    co-locate in grouped_agg_hash). The driver's cumulative index
+    over the distinct-delay histogram is the _distinct_quantiles
+    discipline — exact for auditable bounds; at 100-TB continuous-
+    delay cardinality the scale path is the t-digest machinery
+    (stages/stats), stated here as there. Null user/ts/type rows
+    invisible; an empty corpus still answers the six typed rows
+    (counts 0, SQL-NULL quantiles) — the shape is constant."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("user_id").is_valid(),
+                    b.column("ts").is_valid()),
+            b.column("event_type").is_valid()))
+        return pa.table({
+            "u": t.column("user_id"),
+            "err": pc.equal(t.column("event_type"), "error"),
+            "ts": pc.cast(t.column("ts"), pa.int64())})
+
+    def kernel(tb: pa.Table) -> pa.Table:
+        empty = pa.table({"delta": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        if tb.num_rows == 0:
+            return empty
+        u = tb.column("u").to_numpy(zero_copy_only=False)
+        ts = tb.column("ts").to_numpy(zero_copy_only=False)
+        er = tb.column("err").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts, er = u[order], ts[order], er[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        users, t0 = u[first], ts[first]
+        ue, te_all = u[er], ts[er]
+        fe = np.ones(len(ue), dtype=bool)
+        fe[1:] = ue[1:] != ue[:-1]
+        ue, te = ue[fe], te_all[fe]
+        pos = np.searchsorted(users, ue)
+        delta = te - t0[pos]
+        n_cens = len(users) - len(ue)
+        gs, cnt = (np.unique(delta, return_counts=True)
+                   if len(delta) else (np.array([], np.int64),
+                                       np.array([], np.int64)))
+        dcol = list(gs.astype(np.int64)) + ([None] if n_cens else [])
+        ncol = list(cnt.astype(np.int64)) + ([n_cens] if n_cens else [])
+        return pa.table({"delta": pa.array(dcol, pa.int64()),
+                         "n_p": pa.array(ncol, pa.int64())})
+
+    from ..util import partitioned_group_apply
+    agg = grouped_agg_hash(
+        partitioned_group_apply(
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072),
+            ["u"], kernel, batch_format="pyarrow"),
+        ["delta"], {"n_p": "n"}, count_alias="_p").to_pandas()
+    if agg.empty or "delta" not in agg.columns:
+        agg = pd.DataFrame({"delta": [], "n": []})
+    cens = int(agg.loc[agg["delta"].isna(), "n"].sum())
+    h = agg.dropna(subset=["delta"]).sort_values("delta") \
+        .reset_index(drop=True)
+    n_err = int(h["n"].sum()) if len(h) else 0
+    n_users = n_err + cens
+    cum = h["n"].cumsum().to_numpy() if len(h) else np.array([])
+
+    def qdisc(q):
+        if n_err == 0:
+            return float("nan")
+        k = max(int(math.ceil(q * n_err)) - 1, 0)
+        return float(h["delta"].to_numpy()[np.searchsorted(cum, k + 1)])
+
+    rows = [("n_users", float(n_users)),
+            ("n_with_error", float(n_err)),
+            ("n_censored", float(cens)),
+            ("p25_us", qdisc(0.25)),
+            ("p50_us", qdisc(0.50)),
+            ("p75_us", qdisc(0.75))]
+    return pd.DataFrame({"stat": [r[0] for r in rows],
+                         "value": pd.Series([r[1] for r in rows],
+                                            dtype="float64")})

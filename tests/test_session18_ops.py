@@ -652,3 +652,58 @@ def test_interarrival_cv_nulls_and_empty(tmp_path):
                                  "mean_gap_us", "cv"]
     exp = _oracle(tmp_path, "interarrival_cv_by_type")
     assert len(exp) == 0
+
+
+# --------------------------------------------- time to first error
+
+def test_time_to_first_error_hand_censoring(tmp_path):
+    """User 1 errors 10 min after their first event; user 2 never
+    errors (CENSORED — counted, not silently dropped); user 3's very
+    first event is the error (delay exactly 0). Deltas [0, 6e8]:
+    quantile_disc at n=2 → p25=p50=0, p75=6e8."""
+    from jsonschema_ray.pipelines.relational import (
+        time_to_first_error_events)
+    _events_type_ts(tmp_path, [(1, "view", 0), (1, "error", 10),
+                               (1, "error", 20),
+                               (2, "view", 0), (2, "click", 30),
+                               (3, "error", 5), (3, "view", 9)])
+    out = time_to_first_error_events(str(tmp_path))
+    got = dict(zip(out["stat"], out["value"]))
+    assert got == {"n_users": 3.0, "n_with_error": 2.0,
+                   "n_censored": 1.0, "p25_us": 0.0, "p50_us": 0.0,
+                   "p75_us": 600000000.0}
+    exp = _oracle(tmp_path, "time_to_first_error_events")
+    assert dict(zip(exp["stat"], exp["value"])) == got
+
+
+def test_time_to_first_error_nulls_and_empty(tmp_path):
+    """Null user/ts/type rows invisible — a user whose only events are
+    null-ts does not exist; an empty corpus still answers the SIX
+    typed rows (counts 0, SQL-NULL quantiles) on both engines — the
+    shape is constant, not an empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        time_to_first_error_events)
+    _events_type_ts(tmp_path, [(1, "error", None), (None, "error", 5),
+                               (2, None, 7)])
+    out = time_to_first_error_events(str(tmp_path))
+    got = dict(zip(out["stat"], out["value"]))
+    assert got["n_users"] == 0.0 and got["n_with_error"] == 0.0
+    assert math.isnan(got["p50_us"])
+    exp = _oracle(tmp_path, "time_to_first_error_events")
+    e = dict(zip(exp["stat"], exp["value"]))
+    assert e["n_users"] == 0.0 and math.isnan(e["p50_us"])
+    assert len(out) == len(exp) == 6
+
+
+def test_time_to_first_error_min_not_first_row_order(tmp_path):
+    """The baseline is the user's MIN timestamp, not file order: the
+    error row written first still yields delay 25 min from the later-
+    written earlier event."""
+    from jsonschema_ray.pipelines.relational import (
+        time_to_first_error_events)
+    _events_type_ts(tmp_path, [(1, "error", 30), (1, "view", 5)])
+    out = time_to_first_error_events(str(tmp_path))
+    got = dict(zip(out["stat"], out["value"]))
+    assert got["p50_us"] == 25 * MIN
+    exp = _oracle(tmp_path, "time_to_first_error_events")
+    assert dict(zip(exp["stat"], exp["value"]))["p50_us"] == 25 * MIN
