@@ -77,8 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-16 additions (oracled)
         "hhi_sources_by_lang": R.hhi_sources_by_lang,      # oracled
         "fano_daily_events": R.fano_daily_events,          # oracled
-        "dup_cluster_sizes_documents":
-            R.dup_cluster_sizes_documents,                 # oracled
         "spearman_quantity_discount":
             R.spearman_quantity_discount,                  # oracled
         "kendall_tau_daily_events":
@@ -129,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_cv_by_type": R.interarrival_cv_by_type,  # oracled
         "time_to_first_error_events":
             R.time_to_first_error_events,                  # oracled
+        "vocab_overlap_by_lang": R.vocab_overlap_by_lang,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -211,6 +210,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 3 SFs across sessions)
         "calibration_value_error_events":
             R.calibration_value_error_events,              # oracled
+        # (evicted for vocab_overlap_by_lang: the two-level digest
+        # cluster-histogram machinery stays covered in-window by
+        # normalized_dup_documents (the same aggregation shape) with
+        # dedup_token_savings + source_dup_matrix on the same digest
+        # family; pin-dense, two-engine green at 3 SFs)
+        "dup_cluster_sizes_documents":
+            R.dup_cluster_sizes_documents,                 # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1580,6 +1586,25 @@ UNION ALL SELECT 'p50_us',
        CAST((SELECT quantile_disc(delta, 0.50) FROM d) AS DOUBLE)
 UNION ALL SELECT 'p75_us',
        CAST((SELECT quantile_disc(delta, 0.75) FROM d) AS DOUBLE)""",
+        "vocab_overlap_by_lang": """
+WITH x AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+           FROM documents
+           WHERE text IS NOT NULL AND lang IS NOT NULL),
+g AS (SELECT DISTINCT lang, term FROM x WHERE term <> ''),
+sz AS (SELECT lang, count(*) AS n FROM g GROUP BY lang),
+p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+             count(*) AS inter
+      FROM g a JOIN g b ON a.term = b.term AND a.lang < b.lang
+      GROUP BY a.lang, b.lang)
+SELECT lang_a, lang_b,
+       CAST(inter AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(inter AS DOUBLE)
+             / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+FROM p JOIN sz sa ON sa.lang = p.lang_a
+       JOIN sz sb ON sb.lang = p.lang_b
+ORDER BY lang_a, lang_b""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

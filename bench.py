@@ -328,6 +328,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.interarrival_cv_by_type(sf_dir)))
     timed("time_to_first_error_events",
           lambda: len(R.time_to_first_error_events(sf_dir)))
+    timed("vocab_overlap_by_lang",
+          lambda: len(R.vocab_overlap_by_lang(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

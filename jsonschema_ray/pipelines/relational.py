@@ -10920,3 +10920,113 @@ def time_to_first_error_events(sf_dir: str):
     return pd.DataFrame({"stat": [r[0] for r in rows],
                          "value": pd.Series([r[1] for r in rows],
                                             dtype="float64")})
+
+
+def vocab_overlap_by_lang(sf_dir: str):
+    """Vocabulary overlap between languages (ORACLED): for every
+    language pair sharing at least one term, the distinct-term
+    intersection, both vocabulary sizes, and the vocabulary Jaccard —
+    the multilingual-corpus diagnostic that flags mislabeled
+    languages and code-switching feeds (two 'different' languages
+    whose vocabularies overlap heavily are one language wearing two
+    tags; langid disagreement shows up here before any classifier
+    runs). Terms are the corpus-wide space-split convention
+    (term_frequency == SQL string_split + empty drop). Per-batch
+    distinct (term, lang) partials prune the shuffle; ONE term-hash
+    partition holds every language of a term, so global dedup, the
+    per-language vocabulary-size partials AND the k·(k−1)/2 language
+    pairs (ranges_concat, k ≤ language vocabulary) all come out of
+    the same kernel — sizes ride the SAME output table on the
+    null-lang_b key (null keys co-locate in grouped_agg), so ONE
+    grouped sum finishes everything. jaccard = inter/(|A|+|B|−inter)
+    over exact ints, ONE divide in SQL operand order, 6dp. Null
+    text/lang rows invisible; languages with no shared term produce
+    no row; fewer than two languages answers the typed empty frame."""
+    from ..util import partitioned_group_apply, ranges_concat
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("text").is_valid(),
+                             b.column("lang").is_valid()))
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        n_per = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        lang = pa.array(np.repeat(
+            t["lang"].to_numpy(zero_copy_only=False), n_per))
+        tb = pa.table({"term": flat, "lang": lang})
+        tb = tb.filter(pc.not_equal(tb["term"], ""))
+        return tb.group_by(["term", "lang"]).aggregate([])
+
+    partials = ds.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang_a": pa.array([], pa.string()),
+                          "lang_b": pa.array([], pa.string()),
+                          "n_p": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        term = t.column("term").to_numpy(zero_copy_only=False)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lang, term))
+        term, lang = term[order], lang[order]
+        first = np.ones(len(term), dtype=bool)
+        first[1:] = (term[1:] != term[:-1]) | (lang[1:] != lang[:-1])
+        term, lang = term[first], lang[first]     # global distinct
+        # per-language vocabulary sizes → (lang, NULL, n) rows
+        ul, cnt = np.unique(lang, return_counts=True)
+        sizes = pa.table({
+            "lang_a": pa.array(ul, pa.string()),
+            "lang_b": pa.array([None] * len(ul), pa.string()),
+            "n_p": pa.array(cnt.astype(np.int64))})
+        # per-term language pairs
+        seg = np.ones(len(term), dtype=bool)
+        seg[1:] = term[1:] != term[:-1]
+        seg_start = np.flatnonzero(seg)
+        seg_end = np.append(seg_start[1:], len(term))
+        ends = np.repeat(seg_end, seg_end - seg_start)
+        idx = np.arange(len(term))
+        lens = ends - idx - 1
+        left = np.repeat(idx, lens)
+        right = ranges_concat(idx + 1, lens)
+        prs = pa.table({"lang_a": pa.array(lang[left], pa.string()),
+                        "lang_b": pa.array(lang[right], pa.string())})
+        agg = prs.group_by(["lang_a", "lang_b"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["lang_a", "lang_b", "n_p"])
+        return pa.concat_tables([sizes, agg])
+
+    agg = grouped_agg(
+        partitioned_group_apply(partials, ["term"], kernel,
+                                batch_format="pyarrow"),
+        ["lang_a", "lang_b"], {"n_p": "n"}, count_alias="_c") \
+        .to_pandas()
+    out_empty = pd.DataFrame({
+        "lang_a": pd.Series([], dtype="object"),
+        "lang_b": pd.Series([], dtype="object"),
+        "n_common": pd.Series([], dtype="int64"),
+        "n_a": pd.Series([], dtype="int64"),
+        "n_b": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64")})
+    if agg.empty or "lang_a" not in agg.columns:
+        return out_empty
+    sizes = {r["lang_a"]: int(r["n"])
+             for _, r in agg[agg["lang_b"].isna()].iterrows()}
+    pairs = agg[agg["lang_b"].notna()].sort_values(["lang_a", "lang_b"])
+    if pairs.empty:
+        return out_empty
+    rows = []
+    for _, r in pairs.iterrows():
+        inter = int(r["n"])
+        na, nb = sizes[r["lang_a"]], sizes[r["lang_b"]]
+        rows.append({
+            "lang_a": r["lang_a"], "lang_b": r["lang_b"],
+            "n_common": inter, "n_a": na, "n_b": nb,
+            "jaccard": float(duckdb_round(
+                float(inter) / float(na + nb - inter), 6))})
+    out = pd.DataFrame(rows).reset_index(drop=True)
+    for c in ("n_common", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    out["jaccard"] = out["jaccard"].astype("float64")
+    return out

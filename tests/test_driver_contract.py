@@ -156,7 +156,7 @@ def oracle_pairs():
     "centroid_distances_embeddings", "peak_concurrent_sessions_events",
     "dedup_token_savings_documents", "source_dup_matrix_documents",
     "knn_label_agreement_embeddings", "interarrival_cv_by_type",
-    "time_to_first_error_events",
+    "time_to_first_error_events", "vocab_overlap_by_lang",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

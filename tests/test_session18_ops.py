@@ -707,3 +707,61 @@ def test_time_to_first_error_min_not_first_row_order(tmp_path):
     assert got["p50_us"] == 25 * MIN
     exp = _oracle(tmp_path, "time_to_first_error_events")
     assert dict(zip(exp["stat"], exp["value"]))["p50_us"] == 25 * MIN
+
+
+# ----------------------------------------------- vocab overlap by lang
+
+def _documents_lang(tmp_path, rows):
+    """rows: (text|None, lang|None)."""
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string())}))
+
+
+def test_vocab_overlap_hand_jaccard(tmp_path):
+    """en vocab {apple, banana, cherry}, es vocab {banana, dragon} →
+    ONE pair row: inter 1, sizes 3/2, jaccard 1/(3+2−1) = 0.25
+    exactly. fr = {kiwi} shares nothing with anyone → NO fr rows
+    (languages with no shared term are absent, not zero)."""
+    from jsonschema_ray.pipelines.relational import vocab_overlap_by_lang
+    _documents_lang(tmp_path, [("apple banana", "en"),
+                               ("banana cherry", "en"),
+                               ("banana dragon", "es"),
+                               ("kiwi", "fr")])
+    out = vocab_overlap_by_lang(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"lang_a": "en", "lang_b": "es", "n_common": 1, "n_a": 3,
+         "n_b": 2, "jaccard": 0.25}]
+    exp = _oracle(tmp_path, "vocab_overlap_by_lang")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_vocab_overlap_distinct_terms_and_empty_tokens(tmp_path):
+    """Vocabulary counts DISTINCT terms ('apple apple apple' is one
+    vocab entry), and the double-space empty token drops on both
+    engines — sizes 1/1, jaccard 1.0."""
+    from jsonschema_ray.pipelines.relational import vocab_overlap_by_lang
+    _documents_lang(tmp_path, [("apple apple  apple", "en"),
+                               ("apple", "es")])
+    out = vocab_overlap_by_lang(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"lang_a": "en", "lang_b": "es", "n_common": 1, "n_a": 1,
+         "n_b": 1, "jaccard": 1.0}]
+    exp = _oracle(tmp_path, "vocab_overlap_by_lang")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_vocab_overlap_nulls_and_single_lang(tmp_path):
+    """Null text / null lang rows are invisible (a null lang must not
+    form a phantom language); a single-language corpus answers the
+    typed empty frame."""
+    from jsonschema_ray.pipelines.relational import vocab_overlap_by_lang
+    _documents_lang(tmp_path, [("apple", "en"), ("apple", None),
+                               (None, "es")])
+    out = vocab_overlap_by_lang(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["lang_a", "lang_b", "n_common",
+                                 "n_a", "n_b", "jaccard"]
+    exp = _oracle(tmp_path, "vocab_overlap_by_lang")
+    assert len(exp) == 0
