@@ -77,8 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-16 additions (oracled)
         "hhi_sources_by_lang": R.hhi_sources_by_lang,      # oracled
         "fano_daily_events": R.fano_daily_events,          # oracled
-        "spearman_quantity_discount":
-            R.spearman_quantity_discount,                  # oracled
         "kendall_tau_daily_events":
             R.kendall_tau_daily_events,                    # oracled
         "auc_value_error_events":
@@ -128,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_first_error_events":
             R.time_to_first_error_events,                  # oracled
         "vocab_overlap_by_lang": R.vocab_overlap_by_lang,  # oracled
+        "effective_dim_embeddings":
+            R.effective_dim_embeddings,                    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -217,6 +217,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family; pin-dense, two-engine green at 3 SFs)
         "dup_cluster_sizes_documents":
             R.dup_cluster_sizes_documents,                 # oracled
+        # (evicted for effective_dim_embeddings: rank-correlation
+        # machinery stays covered in-window by kendall_tau_daily
+        # (the other exact-big-int rank statistic); pin-dense,
+        # two-engine green at 3 SFs across sessions)
+        "spearman_quantity_discount":
+            R.spearman_quantity_discount,                  # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1605,6 +1611,28 @@ SELECT lang_a, lang_b,
 FROM p JOIN sz sa ON sa.lang = p.lang_a
        JOIN sz sb ON sb.lang = p.lang_b
 ORDER BY lang_a, lang_b""",
+        "effective_dim_embeddings": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+x AS (SELECT vec_id, unnest(v) AS val,
+             generate_subscripts(v, 1) AS dim
+      FROM e),
+c AS (SELECT a.dim AS i, b.dim AS j,
+             round(covar_samp(a.val, b.val), 6) AS cov,
+             count(*) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim),
+t AS (SELECT sum(CASE WHEN i = j THEN cov END) AS tr,
+             sum((CASE WHEN i = j THEN 1 ELSE 2 END) * cov * cov)
+               AS frob,
+             max(n) AS n
+      FROM c)
+SELECT CAST(n AS BIGINT) AS n,
+       round(tr, 6) AS total_var,
+       CASE WHEN frob = 0 THEN NULL
+            ELSE round(tr * tr / frob, 6)
+       END AS participation_ratio
+FROM t WHERE tr IS NOT NULL""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -330,6 +330,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.time_to_first_error_events(sf_dir)))
     timed("vocab_overlap_by_lang",
           lambda: len(R.vocab_overlap_by_lang(sf_dir)))
+    timed("effective_dim_embeddings",
+          lambda: len(R.effective_dim_embeddings(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

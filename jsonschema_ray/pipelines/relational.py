@@ -11030,3 +11030,48 @@ def vocab_overlap_by_lang(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["jaccard"] = out["jaccard"].astype("float64")
     return out
+
+
+def effective_dim_embeddings(sf_dir: str):
+    """Effective dimensionality / participation ratio (ORACLED): ONE
+    row — vector count, total variance (covariance trace) and the
+    participation ratio PR = (Σᵢvarᵢ)² / Σᵢⱼcovᵢⱼ² — the
+    eigenvalue-free collapse diagnostic of representation learning
+    (PR ≈ dim for isotropic embeddings, PR → 1 when the space
+    collapses onto one direction; pca_embeddings reports the spectrum
+    itself but needs an eigensolver SQL lacks — PR is the
+    SQL-expressible summary of that same spectrum, since
+    (Σλ)²/Σλ² ≡ trace²/‖C‖²_F). The corpus-sized work is exactly the
+    embedding_covariance moment pass (O(dim²) partials per batch,
+    vectors never shuffle); both engines then compute PR from the
+    SAME 6dp-quantized covariance entries (the oracled
+    embedding_covariance contract), with off-diagonals counted twice
+    for the symmetric Frobenius norm — so the only float risk left is
+    the 576-term sum order, hidden behind the final 6dp round like
+    every mean in the repo. Null embeddings excluded; fewer than two
+    usable vectors answers the typed empty frame (SQL covar_samp
+    NULL)."""
+    from ..ann.pca import covariance
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    cov, _mean, n = covariance(ds, strict=False)
+    out_empty = pd.DataFrame({
+        "n": pd.Series([], dtype="int64"),
+        "total_var": pd.Series([], dtype="float64"),
+        "participation_ratio": pd.Series([], dtype="float64")})
+    if cov is None or n < 2:
+        return out_empty
+    c = np.round(cov, 6)                 # the oracled quantization
+    tr = float(np.sum(np.diag(c)))
+    w = np.full(c.shape, 2.0)
+    np.fill_diagonal(w, 1.0)
+    iu = np.triu_indices(c.shape[0])
+    frob = float(np.sum(w[iu] * c[iu] * c[iu]))
+    if frob == 0.0:
+        pr = float("nan")                # zero-variance corpus
+    else:
+        pr = float(duckdb_round(tr * tr / frob, 6))
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "total_var": pd.Series([float(duckdb_round(tr, 6))],
+                               dtype="float64"),
+        "participation_ratio": pd.Series([pr], dtype="float64")})

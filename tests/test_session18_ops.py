@@ -765,3 +765,57 @@ def test_vocab_overlap_nulls_and_single_lang(tmp_path):
                                  "n_a", "n_b", "jaccard"]
     exp = _oracle(tmp_path, "vocab_overlap_by_lang")
     assert len(exp) == 0
+
+
+# --------------------------------------------- effective dimensionality
+
+def test_effective_dim_isotropic_exactly_two(tmp_path):
+    """Four vectors (±1,0),(0,±1): var_x = var_y = 2/3, cov_xy = 0 →
+    PR = (2v)²/(2v²) = 2.0 EXACTLY even through the 6dp quantization
+    (tr = 2·0.666667 is an exact double doubling, and scaling by 4
+    commutes with rounding) — the isotropic ceiling PR = dim."""
+    from jsonschema_ray.pipelines.relational import (
+        effective_dim_embeddings)
+    _embeddings(tmp_path, [(1, 0, [1, 0]), (2, 0, [-1, 0]),
+                           (3, 0, [0, 1]), (4, 0, [0, -1])])
+    out = effective_dim_embeddings(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n": 4, "total_var": 1.333334, "participation_ratio": 2.0}]
+    exp = _oracle(tmp_path, "effective_dim_embeddings")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_effective_dim_collapsed_exactly_one(tmp_path):
+    """Vectors (1,0),(2,0),(3,0): all variance on one axis →
+    PR = 1.0 exactly — the collapse floor."""
+    from jsonschema_ray.pipelines.relational import (
+        effective_dim_embeddings)
+    _embeddings(tmp_path, [(1, 0, [1, 0]), (2, 0, [2, 0]),
+                           (3, 0, [3, 0])])
+    out = effective_dim_embeddings(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n": 3, "total_var": 1.0, "participation_ratio": 1.0}]
+    exp = _oracle(tmp_path, "effective_dim_embeddings")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_effective_dim_zero_variance_and_degenerate(tmp_path):
+    """Identical vectors: total_var 0, PR is SQL-NULL (NaN); a single
+    usable vector (covar_samp needs 2) answers the typed empty frame,
+    null embeddings excluded on both engines."""
+    from jsonschema_ray.pipelines.relational import (
+        effective_dim_embeddings)
+    _embeddings(tmp_path, [(1, 0, [5, 7]), (2, 0, [5, 7])])
+    out = effective_dim_embeddings(str(tmp_path))
+    assert out.iloc[0]["total_var"] == 0.0
+    assert math.isnan(out.iloc[0]["participation_ratio"])
+    exp = _oracle(tmp_path, "effective_dim_embeddings")
+    assert math.isnan(exp.iloc[0]["participation_ratio"])
+
+    _embeddings(tmp_path, [(1, 0, [5, 7]), (2, 0, None)])
+    out = effective_dim_embeddings(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n", "total_var",
+                                 "participation_ratio"]
+    exp = _oracle(tmp_path, "effective_dim_embeddings")
+    assert len(exp) == 0
