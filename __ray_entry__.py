@@ -71,7 +71,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.rolling_median_daily_events,                 # oracled
         "bigram_logprob_documents":
             R.bigram_logprob_documents,                    # oracled
-        "mode_quantity_by_flag": R.mode_quantity_by_flag,  # oracled
         "spend_deciles_customers":
             R.spend_deciles_customers,                     # oracled
         # --- session-16 additions (oracled)
@@ -128,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap_by_lang": R.vocab_overlap_by_lang,  # oracled
         "effective_dim_embeddings":
             R.effective_dim_embeddings,                    # oracled
+        "order_completion_days_histogram":
+            R.order_completion_days_histogram,             # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -223,6 +224,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-engine green at 3 SFs across sessions)
         "spearman_quantity_discount":
             R.spearman_quantity_discount,                  # oracled
+        # (evicted for order_completion_days_histogram: bounded-
+        # histogram argmax (grouped mode) machinery stays covered
+        # in-window by the histogram family — basket_size, value_bands,
+        # order_gap and the new completion histogram; pin-dense,
+        # two-engine green at 3 SFs across sessions)
+        "mode_quantity_by_flag": R.mode_quantity_by_flag,  # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1633,6 +1640,21 @@ SELECT CAST(n AS BIGINT) AS n,
             ELSE round(tr * tr / frob, 6)
        END AS participation_ratio
 FROM t WHERE tr IS NOT NULL""",
+        "order_completion_days_histogram": """
+WITH s AS (SELECT l_orderkey AS k,
+                  max(CAST(l_shipdate AS DATE)) AS mx
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+           GROUP BY l_orderkey),
+o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL),
+d AS (SELECT s.mx - o.od AS delay FROM o JOIN s USING (k))
+SELECT CAST(delay AS BIGINT) AS delay_days,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM d) AS DOUBLE), 6) AS share
+FROM d GROUP BY delay ORDER BY delay_days""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

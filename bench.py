@@ -332,6 +332,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.vocab_overlap_by_lang(sf_dir)))
     timed("effective_dim_embeddings",
           lambda: len(R.effective_dim_embeddings(sf_dir)))
+    timed("order_completion_days_histogram",
+          lambda: len(R.order_completion_days_histogram(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -11075,3 +11075,100 @@ def effective_dim_embeddings(sf_dir: str):
         "total_var": pd.Series([float(duckdb_round(tr, 6))],
                                dtype="float64"),
         "participation_ratio": pd.Series([pr], dtype="float64")})
+
+
+def order_completion_days_histogram(sf_dir: str):
+    """Order-completion lag histogram (ORACLED): per order, the
+    whole-day gap from order date to the LAST shipment of any of its
+    line items — histogrammed with shares — the fulfillment-SLA
+    readout from the order's point of view (ship_delay_by_month reads
+    per-lineitem delays; an order is only DONE when its slowest line
+    ships, so this is the customer-visible distribution). NO join
+    operator: both tables ride ONE orderkey-hash co-partition as a
+    tagged union (src 0 = order date, src 1 = ship date), the kernel
+    takes the per-key src-1 max by sorted last-of-segment and pairs
+    every order row against it via searchsorted — orders whose line
+    items all lack ship dates (or have none) drop exactly like the
+    SQL inner join. Only delay-range-bounded (delay, n) partials
+    leave each partition (grouped_agg_hash finishes them — the
+    ship_delay lesson: this corpus draws dates independently, so the
+    key space is ±range, not fulfillment-clustered); share = two
+    exact ints, ONE divide in SQL operand order, 6dp. Null keys /
+    dates invisible."""
+    from ..util import partitioned_group_apply
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("l_orderkey").is_valid(),
+                             b.column("l_shipdate").is_valid()))
+        d = pc.cast(pc.cast(t.column("l_shipdate"), pa.date32()),
+                    pa.int32())
+        return pa.table({"k": t.column("l_orderkey"),
+                         "d": pc.cast(d, pa.int64()),
+                         "src": pa.array(
+                             np.ones(t.num_rows, dtype=np.int8))})
+
+    def prep_od(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("o_orderkey").is_valid(),
+                             b.column("o_orderdate").is_valid()))
+        d = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()),
+                    pa.int32())
+        return pa.table({"k": t.column("o_orderkey"),
+                         "d": pc.cast(d, pa.int64()),
+                         "src": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int8))})
+
+    u = li.map_batches(prep_li, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072) \
+        .union(od.map_batches(prep_od, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"delay": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        m1 = src == 1
+        k1, d1 = k[m1], d[m1]
+        if not len(k1):
+            return empty
+        order = np.lexsort((d1, k1))
+        k1, d1 = k1[order], d1[order]
+        last = np.ones(len(k1), dtype=bool)
+        last[:-1] = k1[:-1] != k1[1:]
+        kmax, dmax = k1[last], d1[last]
+        k0, d0 = k[~m1], d[~m1]
+        if not len(k0):
+            return empty
+        pos = np.searchsorted(kmax, k0)
+        pos_c = np.minimum(pos, len(kmax) - 1)
+        valid = kmax[pos_c] == k0
+        delay = dmax[pos_c][valid] - d0[valid]
+        if not len(delay):
+            return empty
+        gs, cnt = np.unique(delay, return_counts=True)
+        return pa.table({"delay": pa.array(gs.astype(np.int64)),
+                         "n_p": pa.array(cnt.astype(np.int64))})
+
+    parts = partitioned_group_apply(u, ["k"], kernel,
+                                    batch_format="pyarrow")
+    agg = grouped_agg_hash(parts, ["delay"], {"n_p": "n"},
+                           count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "delay_days": pd.Series([], dtype="int64"),
+        "n_orders": pd.Series([], dtype="int64"),
+        "share": pd.Series([], dtype="float64")})
+    if agg.empty or "delay" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("delay").reset_index(drop=True)
+    total = sum(int(x) for x in agg["n"])
+    return pd.DataFrame({
+        "delay_days": agg["delay"].astype("int64"),
+        "n_orders": agg["n"].astype("int64"),
+        "share": np.asarray(duckdb_round(
+            agg["n"].to_numpy().astype(np.float64)
+            / np.float64(float(total)), 6), dtype=np.float64)})

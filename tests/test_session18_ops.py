@@ -819,3 +819,78 @@ def test_effective_dim_zero_variance_and_degenerate(tmp_path):
                                  "participation_ratio"]
     exp = _oracle(tmp_path, "effective_dim_embeddings")
     assert len(exp) == 0
+
+
+# ------------------------------------------ order completion histogram
+
+def _orders_key_date(tmp_path, rows):
+    """rows: (o_orderkey|None, orderdate_day|None)."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [None if r[1] is None else r[1] * DAY for r in rows],
+            pa.timestamp("us"))}))
+
+
+def _lineitem_ship(tmp_path, rows):
+    """rows: (l_orderkey|None, shipdate_day|None)."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_shipdate": pa.array(
+            [None if r[1] is None else r[1] * DAY for r in rows],
+            pa.timestamp("us"))}))
+
+
+def test_order_completion_max_not_min(tmp_path):
+    """An order shipping lines on days +2 and +9 completes at +9 — the
+    LAST line defines completion (ship_delay_by_month would count both
+    lines; this counts the order once at its max)."""
+    from jsonschema_ray.pipelines.relational import (
+        order_completion_days_histogram)
+    _orders_key_date(tmp_path, [(1, 100), (2, 100)])
+    _lineitem_ship(tmp_path, [(1, 102), (1, 109), (2, 105)])
+    out = order_completion_days_histogram(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"delay_days": 5, "n_orders": 1, "share": 0.5},
+        {"delay_days": 9, "n_orders": 1, "share": 0.5}]
+    exp = _oracle(tmp_path, "order_completion_days_histogram") \
+        .sort_values("delay_days").reset_index(drop=True)
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_order_completion_null_ship_lines_and_shipless_orders(tmp_path):
+    """Null-shipdate lines are invisible to the max (an order whose
+    OTHER line shipped still completes); an order with NO shipped line
+    drops like the SQL inner join; orphan lineitems (no order row)
+    contribute nothing."""
+    from jsonschema_ray.pipelines.relational import (
+        order_completion_days_histogram)
+    _orders_key_date(tmp_path, [(1, 100), (2, 100), (3, None)])
+    _lineitem_ship(tmp_path, [(1, 103), (1, None), (2, None),
+                              (99, 105), (3, 104)])
+    out = order_completion_days_histogram(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"delay_days": 3, "n_orders": 1, "share": 1.0}]
+    exp = _oracle(tmp_path, "order_completion_days_histogram")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_order_completion_negative_delay_and_empty(tmp_path):
+    """A line shipped BEFORE the order date (data error the histogram
+    must surface, not clamp) answers a negative delay; an empty match
+    set answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        order_completion_days_histogram)
+    _orders_key_date(tmp_path, [(1, 100)])
+    _lineitem_ship(tmp_path, [(1, 97)])
+    out = order_completion_days_histogram(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"delay_days": -3, "n_orders": 1, "share": 1.0}]
+
+    _orders_key_date(tmp_path, [(1, 100)])
+    _lineitem_ship(tmp_path, [(2, 97)])
+    out = order_completion_days_histogram(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["delay_days", "n_orders", "share"]
+    exp = _oracle(tmp_path, "order_completion_days_histogram")
+    assert len(exp) == 0
