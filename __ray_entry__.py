@@ -74,7 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_deciles_customers":
             R.spend_deciles_customers,                     # oracled
         # --- session-16 additions (oracled)
-        "hhi_sources_by_lang": R.hhi_sources_by_lang,      # oracled
         "fano_daily_events": R.fano_daily_events,          # oracled
         "kendall_tau_daily_events":
             R.kendall_tau_daily_events,                    # oracled
@@ -129,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.effective_dim_embeddings,                    # oracled
         "order_completion_days_histogram":
             R.order_completion_days_histogram,             # oracled
+        "spend_trend_customers": R.spend_trend_customers,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -230,6 +230,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order_gap and the new completion histogram; pin-dense,
         # two-engine green at 3 SFs across sessions)
         "mode_quantity_by_flag": R.mode_quantity_by_flag,  # oracled
+        # (evicted for spend_trend_customers: share-concentration
+        # machinery stays covered in-window by gini_spend_customers +
+        # gains_spend_customers (the inequality family) and per-lang
+        # grouping by vocab_overlap_by_lang; pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "hhi_sources_by_lang": R.hhi_sources_by_lang,      # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1655,6 +1661,32 @@ SELECT CAST(delay AS BIGINT) AS delay_days,
        round(CAST(count(*) AS DOUBLE)
              / CAST((SELECT count(*) FROM d) AS DOUBLE), 6) AS share
 FROM d GROUP BY delay ORDER BY delay_days""",
+        "spend_trend_customers": """
+WITH o AS (SELECT o_custkey AS c,
+                  CAST(CAST(o_orderdate AS DATE)
+                       - DATE '1970-01-01' AS HUGEINT) AS x,
+                  CAST(CAST(o_totalprice * 100 AS BIGINT)
+                       AS HUGEINT) AS y
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+g AS (SELECT c, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, count(DISTINCT x) AS ndays
+      FROM o GROUP BY c),
+s AS (SELECT CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                  WHEN n * sxy - sx * sy < 0 THEN -1
+                  ELSE 0 END AS sgn
+      FROM g WHERE ndays >= 2)
+SELECT CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_growing,
+       CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shrinking,
+       CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flat,
+       round(CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS share_growing
+FROM s HAVING count(*) > 0""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -334,6 +334,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.effective_dim_embeddings(sf_dir)))
     timed("order_completion_days_histogram",
           lambda: len(R.order_completion_days_histogram(sf_dir)))
+    timed("spend_trend_customers",
+          lambda: len(R.spend_trend_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -11172,3 +11172,103 @@ def order_completion_days_histogram(sf_dir: str):
         "share": np.asarray(duckdb_round(
             agg["n"].to_numpy().astype(np.float64)
             / np.float64(float(total)), 6), dtype=np.float64)})
+
+
+def spend_trend_customers(sf_dir: str):
+    """Spend-trend census (ORACLED): classify every customer with
+    orders on ≥ 2 distinct days by the SIGN of their OLS spend-vs-time
+    slope — growing / shrinking / flat — and report the counts plus
+    the growing share; the churn-risk census a retention team reads
+    (price_qty_regr reports one slope per brand; this classifies a
+    slope per CUSTOMER, where reporting millions of float slopes is
+    useless but their sign census is the metric). The whole
+    classification is EXACT INTEGER arithmetic — no float touches the
+    decision: slope sign = sign(n·Σxy − Σx·Σy) with x = epoch days,
+    y = cents (the denominator n·Σxx − Σx² is positive whenever ≥ 2
+    distinct days, so it never flips the sign), computed per customer
+    from ONE customer-hash partition's object-int partials (day·cents
+    products pass 2^53 at whale scale; the kernel ships classified
+    COUNTS, not moments, so nothing wider than four ints leaves any
+    partition). share = two exact ints, ONE divide in SQL operand
+    order, 6dp. Same-day repeat orders collapse into the regression
+    as separate equal-x points (pinned: they tilt nothing by
+    themselves); single-day customers are excluded as slope-undefined
+    rather than counted flat; null custkey/date/price rows
+    invisible; no classifiable customer → typed empty frame."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("o_custkey").is_valid(),
+                    b.column("o_orderdate").is_valid()),
+            b.column("o_totalprice").is_valid()))
+        d = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()),
+                    pa.int32())
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "c": t.column("o_custkey"),
+            "x": pc.cast(d, pa.int64()),
+            "y": pa.array(np.rint(v * 100.0).astype(np.int64))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sgn": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, c))
+        c, x, y = c[order], x[order], y[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        gid = np.cumsum(first) - 1
+        k = int(gid[-1]) + 1
+        starts = np.flatnonzero(first)
+        n = np.diff(np.r_[starts, len(c)])
+        xo, yo = x.astype(object), y.astype(object)
+        sx = np.add.reduceat(xo, starts)
+        sy = np.add.reduceat(yo, starts)
+        sxy = np.add.reduceat(xo * yo, starts)
+        # distinct-day count per customer (sorted by (c, x))
+        newday = np.ones(len(c), dtype=bool)
+        newday[1:] = first[1:] | (x[1:] != x[:-1])
+        ndays = np.bincount(gid[newday], minlength=k)
+        num = n.astype(object) * sxy - sx * sy
+        sgn = np.where([v > 0 for v in num], 1,
+                       np.where([v < 0 for v in num], -1, 0))
+        keep = ndays >= 2
+        if not keep.any():
+            return empty
+        gs, cnt = np.unique(sgn[keep], return_counts=True)
+        return pa.table({"sgn": pa.array(gs.astype(np.int64)),
+                         "n_p": pa.array(cnt.astype(np.int64))})
+
+    agg = grouped_agg(
+        partitioned_group_apply(
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072),
+            ["c"], kernel, batch_format="pyarrow"),
+        ["sgn"], {"n_p": "n"}, count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "n_cust": pd.Series([], dtype="int64"),
+        "n_growing": pd.Series([], dtype="int64"),
+        "n_shrinking": pd.Series([], dtype="int64"),
+        "n_flat": pd.Series([], dtype="int64"),
+        "share_growing": pd.Series([], dtype="float64")})
+    if agg.empty or "sgn" not in agg.columns:
+        return out_empty
+    by = {int(r["sgn"]): int(r["n"]) for _, r in agg.iterrows()}
+    up, dn, fl = by.get(1, 0), by.get(-1, 0), by.get(0, 0)
+    total = up + dn + fl
+    return pd.DataFrame({
+        "n_cust": pd.Series([total], dtype="int64"),
+        "n_growing": pd.Series([up], dtype="int64"),
+        "n_shrinking": pd.Series([dn], dtype="int64"),
+        "n_flat": pd.Series([fl], dtype="int64"),
+        "share_growing": pd.Series(
+            [float(duckdb_round(float(up) / float(total), 6))],
+            dtype="float64")})

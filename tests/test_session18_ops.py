@@ -894,3 +894,56 @@ def test_order_completion_negative_delay_and_empty(tmp_path):
     assert list(out.columns) == ["delay_days", "n_orders", "share"]
     exp = _oracle(tmp_path, "order_completion_days_histogram")
     assert len(exp) == 0
+
+
+# ------------------------------------------------- spend trend census
+
+def test_spend_trend_hand_three_ways(tmp_path):
+    """A grows (1.00→2.00), B shrinks (5.00→1.00), C is EXACTLY flat
+    (equal spend both days → n·Σxy − Σx·Σy = 0, an exact-int zero no
+    float slope would hit reliably); D (two same-day orders) and E
+    (one order) are slope-undefined and EXCLUDED, not flat."""
+    from jsonschema_ray.pipelines.relational import spend_trend_customers
+    _orders_dated(tmp_path, [
+        (1, 100, 1.00), (1, 110, 2.00),
+        (2, 100, 5.00), (2, 110, 1.00),
+        (3, 100, 1.00), (3, 110, 1.00),
+        (4, 100, 9.00), (4, 100, 2.00),
+        (5, 100, 7.00)])
+    out = spend_trend_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_cust": 3, "n_growing": 1, "n_shrinking": 1, "n_flat": 1,
+         "share_growing": 0.333333}]
+    exp = _oracle(tmp_path, "spend_trend_customers")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_spend_trend_same_day_mean_balance(tmp_path):
+    """Same-day orders enter the regression as equal-x points: day-0
+    orders of 1.00 and 3.00 (mean 2.00) against a day-10 order of
+    2.00 balance to an EXACT flat — 3·2000 − 10·600 = 0 in ints."""
+    from jsonschema_ray.pipelines.relational import spend_trend_customers
+    _orders_dated(tmp_path, [(1, 0, 1.00), (1, 0, 3.00),
+                             (1, 10, 2.00)])
+    out = spend_trend_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_cust": 1, "n_growing": 0, "n_shrinking": 0, "n_flat": 1,
+         "share_growing": 0.0}]
+    exp = _oracle(tmp_path, "spend_trend_customers")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_spend_trend_nulls_and_empty(tmp_path):
+    """Any-null rows are invisible — including for the distinct-day
+    gate (a null-price second-day order must not qualify a customer);
+    a corpus with no classifiable customer answers the typed empty
+    frame == the SQL HAVING-empty result."""
+    from jsonschema_ray.pipelines.relational import spend_trend_customers
+    _orders_dated(tmp_path, [(1, 100, 1.00), (1, 110, None),
+                             (2, None, 1.00), (None, 100, 1.00)])
+    out = spend_trend_customers(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_cust", "n_growing", "n_shrinking",
+                                 "n_flat", "share_growing"]
+    exp = _oracle(tmp_path, "spend_trend_customers")
+    assert len(exp) == 0
