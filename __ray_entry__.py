@@ -84,8 +84,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_documents": R.readability_documents,  # oracled
         "normalized_dup_documents":
             R.normalized_dup_documents,                    # oracled
-        "gains_spend_customers":
-            R.gains_spend_customers,                       # oracled
         "stickiness_daily_events":
             R.stickiness_daily_events,                     # oracled
         # --- session-17 additions (oracled)
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_completion_days_histogram":
             R.order_completion_days_histogram,             # oracled
         "spend_trend_customers": R.spend_trend_customers,  # oracled
+        "gains_by_segment_customers":
+            R.gains_by_segment_customers,                  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -236,6 +236,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouping by vocab_overlap_by_lang; pin-dense, two-engine
         # green at 3 SFs across sessions)
         "hhi_sources_by_lang": R.hhi_sources_by_lang,      # oracled
+        # (evicted for gains_by_segment_customers — its grouped
+        # SUPERSET: the distributed-NTILE block discipline and the
+        # big-int cumulative-share route stay covered in-window by
+        # gains_by_segment + spend_deciles_customers; pin-dense,
+        # two-engine green at 3 SFs across sessions)
+        "gains_spend_customers":
+            R.gains_spend_customers,                       # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1687,6 +1694,32 @@ SELECT CAST(count(*) AS BIGINT) AS n_cust,
        round(CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS share_growing
 FROM s HAVING count(*) > 0""",
+        "gains_by_segment_customers": """
+WITH s AS (SELECT c.c_mktsegment AS seg, o.o_custkey AS c,
+                  sum(CAST(o.o_totalprice * 100 AS BIGINT)) AS spend
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.o_custkey IS NOT NULL
+             AND o.o_totalprice IS NOT NULL
+             AND c.c_mktsegment IS NOT NULL
+           GROUP BY c.c_mktsegment, o.o_custkey),
+b AS (SELECT seg, c, spend,
+             ntile(5) OVER (PARTITION BY seg
+                            ORDER BY spend, c) AS q FROM s),
+d AS (SELECT seg, q, CAST(count(*) AS BIGINT) AS n_cust,
+             sum(CAST(spend AS HUGEINT)) AS cents
+      FROM b GROUP BY seg, q),
+t AS (SELECT seg, sum(cents) AS total FROM d GROUP BY seg),
+w AS (SELECT seg, q, n_cust, cents,
+             SUM(cents) OVER (PARTITION BY seg ORDER BY q DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+SELECT w.seg AS segment, w.q AS quintile, w.n_cust,
+       CAST(w.cents AS VARCHAR) AS cents,
+       CASE WHEN t.total = 0 THEN NULL
+            ELSE round(CAST(CAST(w.cum AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(t.total AS VARCHAR) AS DOUBLE), 6)
+       END AS cum_share_top
+FROM w JOIN t USING (seg) ORDER BY segment, quintile""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -336,6 +336,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.order_completion_days_histogram(sf_dir)))
     timed("spend_trend_customers",
           lambda: len(R.spend_trend_customers(sf_dir)))
+    timed("gains_by_segment_customers",
+          lambda: len(R.gains_by_segment_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

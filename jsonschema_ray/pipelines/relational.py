@@ -11272,3 +11272,169 @@ def spend_trend_customers(sf_dir: str):
         "share_growing": pd.Series(
             [float(duckdb_round(float(up) / float(total), 6))],
             dtype="float64")})
+
+
+def gains_by_segment_customers(sf_dir: str, k: int = 5):
+    """Per-segment cumulative-gains (Lorenz) table (ORACLED): within
+    every market segment, customers in spend quintiles, each reporting
+    its exact cents total and the share of the SEGMENT's revenue
+    captured by this quintile and every richer one — the
+    concentration-by-audience readout ("does revenue concentrate
+    harder in BUILDING than in MACHINERY?") that gains_spend answers
+    only globally. This is the GROUPED extension of the distributed-
+    NTILE block discipline: segment attaches from ONE broadcast
+    customer dict (the basket_brand convention), ONE sort orders
+    (segment, spend, custkey), and because blocks may SPAN segments
+    the block summary reports per-segment sub-counts keyed by the
+    block's first triple; the driver computes per-(block, segment)
+    running offsets, and the second block-aligned pass ranks each row
+    within its segment-run (local index + segment offset) — position-
+    based NTILE per partition with zero joins and ≤ segments·k partial
+    rows per block. Cents ride DECIMAL STRINGS; the per-segment
+    top-down cumulative and every share divide are exact Python ints,
+    ONE divide in SQL operand order, 6dp. Orders whose customer is
+    unknown or unsegmented drop like the SQL inner join; quintile k
+    is the richest band (cum_share_top = 1.0 at quintile 1 by
+    construction); empty → typed empty frame."""
+    import ray as _ray
+
+    from ..util import worker_cached
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    out_empty = pd.DataFrame({
+        "segment": pd.Series([], dtype="object"),
+        "quintile": pd.Series([], dtype="int64"),
+        "n_cust": pd.Series([], dtype="int64"),
+        "cents": pd.Series([], dtype="object"),
+        "cum_share_top": pd.Series([], dtype="float64")})
+    if "c_custkey" not in cust.columns or cust.empty:
+        return out_empty
+    cust = cust.dropna(subset=["c_custkey", "c_mktsegment"])
+    seg_ref = _ray.put(dict(zip(cust["c_custkey"].astype(np.int64),
+                                cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("o_custkey").is_valid(),
+                             b.column("o_totalprice").is_valid()))
+        t = _broadcast_lookup_batch(t, ref=seg_ref, key="o_custkey",
+                                    out="seg")
+        t = t.filter(t.column("seg").is_valid())
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "seg": t.column("seg"), "c": t.column("o_custkey"),
+            "cents": pa.array(np.rint(v * 100.0).astype(np.int64))})
+
+    spend = grouped_agg_hash(
+        ds.map_batches(clean, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["seg", "c"], {"cents": "spend"}, count_alias="_c") \
+        .select_columns(["seg", "c", "spend"]) \
+        .sort(["seg", "spend", "c"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        empty = pa.table({"g0": pa.array([], pa.string()),
+                          "s0": pa.array([], pa.int64()),
+                          "c0": pa.array([], pa.int64()),
+                          "seg": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        seg = b["seg"].to_numpy(zero_copy_only=False)
+        us, cnt = np.unique(seg, return_counts=True)
+        m = len(us)
+        return pa.table({
+            "g0": pa.array([str(seg[0])] * m),
+            "s0": pa.array([b["spend"][0].as_py()] * m, pa.int64()),
+            "c0": pa.array([b["c"][0].as_py()] * m, pa.int64()),
+            "seg": pa.array([str(x) for x in us]),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    summ = spend.map_batches(summary, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=None).to_pandas()
+    if summ.empty or "g0" not in summ.columns:
+        return out_empty
+    blocks = summ.sort_values(["g0", "s0", "c0"])
+    # per-segment totals and per-(block, segment) running offsets
+    n_seg = {s: int(g["cnt"].sum()) for s, g in blocks.groupby("seg")}
+    offsets, run = {}, {}
+    for (g0, s0, c0), grp in blocks.groupby(["g0", "s0", "c0"],
+                                            sort=True):
+        bkey = (str(g0), int(s0), int(c0))
+        offsets[bkey] = {}
+        for _, r in grp.iterrows():
+            s = str(r["seg"])
+            offsets[bkey][s] = run.get(s, 0)
+            run[s] = run.get(s, 0) + int(r["cnt"])
+    ref = _ray.put((offsets, n_seg, k))
+
+    def bucketize(b: pa.Table, *, ref=ref) -> pa.Table:
+        empty = pa.table({"seg": pa.array([], pa.string()),
+                          "q": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64()),
+                          "cents_part": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        offs_all, nseg, kk = worker_cached(
+            ("gains_seg", ref.hex()), lambda: _ray.get(ref))
+        seg = b["seg"].to_numpy(zero_copy_only=False)
+        s = b["spend"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        bkey = (str(seg[0]), int(s[0]), int(c[0]))
+        offs = offs_all[bkey]
+        rows = {"seg": [], "q": [], "n_part": [], "cents_part": []}
+        start = 0
+        for sv in pd.unique(seg):
+            m = seg == sv
+            cnt = int(m.sum())
+            pos = offs[str(sv)] + np.arange(cnt)
+            n = nseg[str(sv)]
+            size, rem = divmod(n, kk)
+            cut = rem * (size + 1)
+            q = np.where(pos < cut,
+                         pos // max(size + 1, 1),
+                         rem + (pos - cut) // max(size, 1)) + 1
+            sm = s[m]
+            for qv in np.unique(q):
+                qm = q == qv
+                rows["seg"].append(str(sv))
+                rows["q"].append(int(qv))
+                rows["n_part"].append(int(qm.sum()))
+                rows["cents_part"].append(
+                    str(int(sm[qm].astype(object).sum())))
+            start += cnt
+        return pa.table({
+            "seg": pa.array(rows["seg"], pa.string()),
+            "q": pa.array(rows["q"], pa.int64()),
+            "n_part": pa.array(rows["n_part"], pa.int64()),
+            "cents_part": pa.array(rows["cents_part"], pa.string())})
+
+    parts = spend.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=None).to_pandas()
+    if parts.empty or "seg" not in parts.columns:
+        return out_empty
+    rows = []
+    for sv, g in parts.groupby("seg", sort=True):
+        agg = {}
+        for qv, gg in g.groupby("q"):
+            agg[int(qv)] = (int(gg["n_part"].sum()),
+                            sum(int(x) for x in gg["cents_part"]))
+        total = sum(v[1] for v in agg.values())
+        cum = 0
+        for qv in sorted(agg, reverse=True):
+            cum += agg[qv][1]
+            share = (float(duckdb_round(float(cum) / float(total), 6))
+                     if total > 0 else None)
+            rows.append({"segment": sv, "quintile": qv,
+                         "n_cust": agg[qv][0],
+                         "cents": str(agg[qv][1]),
+                         "cum_share_top": share})
+    out = pd.DataFrame(rows).sort_values(["segment", "quintile"]) \
+        .reset_index(drop=True)
+    out["quintile"] = out["quintile"].astype("int64")
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["cum_share_top"] = out["cum_share_top"].astype("float64")
+    return out

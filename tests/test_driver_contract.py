@@ -158,7 +158,7 @@ def oracle_pairs():
     "knn_label_agreement_embeddings", "interarrival_cv_by_type",
     "time_to_first_error_events", "vocab_overlap_by_lang",
     "effective_dim_embeddings", "order_completion_days_histogram",
-    "spend_trend_customers",
+    "spend_trend_customers", "gains_by_segment_customers",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

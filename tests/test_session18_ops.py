@@ -947,3 +947,78 @@ def test_spend_trend_nulls_and_empty(tmp_path):
                                  "n_flat", "share_growing"]
     exp = _oracle(tmp_path, "spend_trend_customers")
     assert len(exp) == 0
+
+
+# ---------------------------------------------- per-segment gains
+
+def _customers_seg(tmp_path, rows):
+    """rows: (c_custkey, c_mktsegment|None)."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_mktsegment": pa.array([r[1] for r in rows], pa.string())}))
+
+
+def test_gains_by_segment_hand_and_short_segment(tmp_path):
+    """Segment A: 7 customers spending 1..7 → NTILE(5) sizes
+    [2,2,1,1,1]; quintile 5 holds the top spender alone
+    (cum_share_top = 7/28 = 0.25), quintile 1 completes at exactly
+    1.0. Segment B has only 3 customers — FEWER than k: quintiles
+    4 and 5 don't exist (position-based NTILE degrades, no empty
+    rows). Everything cross-checked against the in-test DuckDB
+    window oracle."""
+    from jsonschema_ray.pipelines.relational import (
+        gains_by_segment_customers)
+    _customers_seg(tmp_path, [(i, "A") for i in range(1, 8)]
+                   + [(i, "B") for i in range(8, 11)])
+    _orders_price(tmp_path, [(i, float(i)) for i in range(1, 8)]
+                  + [(8, 10.0), (9, 20.0), (10, 30.0)])
+    out = gains_by_segment_customers(str(tmp_path))
+    a = out[out["segment"] == "A"].set_index("quintile")
+    assert list(a["n_cust"]) == [2, 2, 1, 1, 1]
+    assert a.loc[5, "cents"] == "700"
+    assert a.loc[5, "cum_share_top"] == 0.25
+    assert a.loc[1, "cum_share_top"] == 1.0
+    b = out[out["segment"] == "B"]
+    assert sorted(b["quintile"]) == [1, 2, 3]    # n < k degrades
+    exp = _oracle(tmp_path, "gains_by_segment_customers") \
+        .sort_values(["segment", "quintile"]).reset_index(drop=True)
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_gains_by_segment_orphans_and_null_segment(tmp_path):
+    """Orders from an unknown customer or a null-segment customer drop
+    like the SQL inner join — they must not form a phantom segment or
+    pollute totals."""
+    from jsonschema_ray.pipelines.relational import (
+        gains_by_segment_customers)
+    _customers_seg(tmp_path, [(1, "A"), (2, None)])
+    _orders_price(tmp_path, [(1, 5.00), (2, 9.00), (99, 7.00)])
+    out = gains_by_segment_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"segment": "A", "quintile": 1, "n_cust": 1, "cents": "500",
+         "cum_share_top": 1.0}]
+    exp = _oracle(tmp_path, "gains_by_segment_customers")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_gains_by_segment_independent_ranking_and_empty(tmp_path):
+    """Identical spends rank independently per segment (each segment's
+    single customer is its own quintile 1 at share 1.0); no surviving
+    order answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        gains_by_segment_customers)
+    _customers_seg(tmp_path, [(1, "A"), (2, "B")])
+    _orders_price(tmp_path, [(1, 4.00), (2, 4.00)])
+    out = gains_by_segment_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"segment": "A", "quintile": 1, "n_cust": 1, "cents": "400",
+         "cum_share_top": 1.0},
+        {"segment": "B", "quintile": 1, "n_cust": 1, "cents": "400",
+         "cum_share_top": 1.0}]
+
+    _customers_seg(tmp_path, [(1, "A")])
+    _orders_price(tmp_path, [(99, 4.00)])
+    out = gains_by_segment_customers(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["segment", "quintile", "n_cust",
+                                 "cents", "cum_share_top"]
