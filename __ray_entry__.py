@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_lineitem_dates_core": R.validate_lineitem_dates_core,
         "embedding_neardup_exact": R.embedding_neardup_exact,  # oracled
         "ann_ivf_embeddings": R.ann_ivf_embeddings,       # rows-only
+        "ivf_recall_embeddings": R.ivf_recall_embeddings,  # rows-only
         "ann_ivf_index_embeddings": R.ann_ivf_index_embeddings,  # rows-only
         "image_features_synth": R.image_features_synth,   # rows-only
         "events_orders_90d": R.events_orders_90d,

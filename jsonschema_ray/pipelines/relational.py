@@ -11438,3 +11438,33 @@ def gains_by_segment_customers(sf_dir: str, k: int = 5):
     out["n_cust"] = out["n_cust"].astype("int64")
     out["cum_share_top"] = out["cum_share_top"].astype("float64")
     return out
+
+
+def ivf_recall_embeddings(sf_dir: str):
+    """IVF recall@10 vs exact (rows-only): per standard query vector,
+    |IVF top-10 ∩ exact top-10| / 10 with nprobe=4 of 16 cells, plus
+    a 'mean' row — the ANN quality dial an index operator watches
+    when trading nprobe for latency (ann_ivf_embeddings is the
+    probe; ann_topk the truth; this is their agreement). Rows-only:
+    the kmeans cell assignment is deterministic (seeded) but has no
+    SQL form; both rankings are the already-tested distributed
+    scorers, so this adds measurement, not new corpus passes."""
+    from ..ann import brute_force_topk, ivf_topk
+    vecs, ids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, vecs, query_ids=ids, k=10)
+    ivf = ivf_topk(ds, vecs, query_ids=ids, k=10, ncells=16, nprobe=4)
+    rows = []
+    for qid in ids:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        rows.append({"query_id": str(int(qid)),
+                     "recall_at_10": float(duckdb_round(
+                         len(e & a) / max(len(e), 1), 6))})
+    mean = (float(duckdb_round(
+        sum(r["recall_at_10"] for r in rows) / len(rows), 6))
+        if rows else float("nan"))
+    rows.append({"query_id": "mean", "recall_at_10": mean})
+    out = pd.DataFrame(rows)
+    out["recall_at_10"] = out["recall_at_10"].astype("float64")
+    return out

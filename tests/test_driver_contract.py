@@ -191,6 +191,7 @@ def test_query_matches_oracle(name, duck):
     ("embedding_outliers_mahalanobis", 20),
     ("image_quality_synth", 100),
     ("ann_pca_topk_embeddings", 50),
+    ("ivf_recall_embeddings", 6),
 ])
 def test_rows_only_queries(name, min_rows):
     q, _ = oracle_pairs()
@@ -295,6 +296,7 @@ def test_every_query_is_oracled_or_known_rows_only():
         "embedding_outliers_mahalanobis",
         "image_quality_synth",
         "ann_pca_topk_embeddings",
+        "ivf_recall_embeddings",
     }
     missing = set(q) - set(o) - rows_only
     assert not missing, f"queries without oracle or rows-only tag: {missing}"

@@ -1022,3 +1022,28 @@ def test_gains_by_segment_independent_ranking_and_empty(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["segment", "quintile", "n_cust",
                                  "cents", "cum_share_top"]
+
+
+# ------------------------------------------------ IVF recall (rows-only)
+
+def test_ivf_recall_planted_clusters(tmp_path):
+    """Crafted corpus with well-separated direction clusters: IVF at
+    nprobe=4 of 16 cells must find the same top-10 as brute force for
+    queries sitting in dense clusters — recall 1.0 per query and mean.
+    Determinism: two runs answer identically (seeded kmeans)."""
+    from jsonschema_ray.pipelines.relational import ivf_recall_embeddings
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rowsv = []
+    for i in range(200):
+        c = centers[i % 4]
+        v = c + rng.normal(0, 0.02, 16)
+        rowsv.append((i, i % 4, [float(x) for x in v]))
+    _embeddings(tmp_path, rowsv, dim=16)
+    out = ivf_recall_embeddings(str(tmp_path))
+    assert len(out) == 6
+    m = out[out["query_id"] == "mean"].iloc[0]["recall_at_10"]
+    assert m == 1.0, out.to_dict("records")
+    out2 = ivf_recall_embeddings(str(tmp_path))
+    assert out2.to_dict("records") == out.to_dict("records")
