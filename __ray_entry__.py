@@ -77,8 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_daily_events": R.fano_daily_events,          # oracled
         "kendall_tau_daily_events":
             R.kendall_tau_daily_events,                    # oracled
-        "auc_value_error_events":
-            R.auc_value_error_events,                      # oracled
         "rfm_segments_customers":
             R.rfm_segments_customers,                      # oracled
         "readability_documents": R.readability_documents,  # oracled
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_trend_customers": R.spend_trend_customers,  # oracled
         "gains_by_segment_customers":
             R.gains_by_segment_customers,                  # oracled
+        "minhash_estimate_error_documents":
+            R.minhash_estimate_error_documents,            # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -243,6 +243,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-engine green at 3 SFs across sessions)
         "gains_spend_customers":
             R.gains_spend_customers,                       # oracled
+        # (evicted for minhash_estimate_error_documents: the exact
+        # big-int tie-corrected rank-sum machinery stays covered
+        # in-window by gini_spend_customers (rank-weighted exact int
+        # sums) + kendall_tau_daily (exact concordance counts);
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "auc_value_error_events":
+            R.auc_value_error_events,                      # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -524,6 +531,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_md5_pairs_documents": _md5lsh.sql_band_pairs(),
         "simhash_md5_documents": _md5lsh.sql_simhash(),
         "simhash_md5_pairs_documents": _md5lsh.sql_simhash_pairs(),
+        "minhash_estimate_error_documents":
+            _md5lsh.sql_estimate_error(),
         "snapshot_diff_documents": """
 WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
 new AS (SELECT doc_id,

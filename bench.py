@@ -340,6 +340,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.gains_by_segment_customers(sf_dir)))
     timed("ivf_recall_embeddings",
           lambda: len(R.ivf_recall_embeddings(sf_dir)))
+    timed("minhash_estimate_error_documents",
+          lambda: len(R.minhash_estimate_error_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -502,3 +502,121 @@ FROM sbands x JOIN sbands y
   ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= {threshold}
 ORDER BY id_a, id_b"""
+
+
+def estimate_error_pairs_md5(ds, id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """Per LSH candidate pair: minhash-ESTIMATED Jaccard (matching
+    signature components / 16), the EXACT 3-gram-shingle-set Jaccard,
+    and their absolute error — the sketch-calibration table that says
+    how much the 16-permutation estimate can be trusted at this band
+    configuration. Driver work is PAIR-bounded (the LSH's own
+    selectivity, bucket_cap-guarded upstream): only the candidate
+    ids' texts gather; the corpus-sized signature/banding passes are
+    the unchanged distributed minhash_band_pairs_md5 machinery. A
+    band-sum collision without any shared shingle (astronomically
+    rare but possible — the band hash is a SUM of 4 sigs) answers
+    exact_jaccard 0 on both engines (SQL LEFT JOIN + COALESCE)."""
+    import ray as _ray
+
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    from ..util import duckdb_round
+    pairs = minhash_band_pairs_md5(ds, id_col=id_col,
+                                   text_col=text_col).to_pandas()
+    out_empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "est_jaccard": pd.Series([], dtype="float64"),
+        "exact_jaccard": pd.Series([], dtype="float64"),
+        "abs_err": pd.Series([], dtype="float64")})
+    if pairs.empty or "id_a" not in pairs.columns:
+        return out_empty
+    ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    idset = pa.array(ids, type=pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = _pc.is_in(b.column(id_col), value_set=idset)
+        t = b.filter(m)
+        return pa.table({id_col: t.column(id_col),
+                         text_col: t.column(text_col)})
+
+    docs = ds.select_columns([id_col, text_col]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=131072).to_pandas()
+    memo: dict = {}
+    sets: dict = {}
+    for did, txt in zip(docs[id_col], docs[text_col]):
+        hs = _row_token_hashes([txt], memo, shingle=SHINGLE)[0]
+        if hs is None:
+            continue
+        sets.setdefault(int(did), set()).update(int(x) for x in hs)
+    sig = {}
+    for did, s in sets.items():
+        h = np.fromiter(s, dtype=np.uint64, count=len(s))
+        sig[did] = (_A * h[None, :] + _B).min(axis=1)
+    rows = []
+    for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
+        ia, ib = int(ia), int(ib)
+        mt = int((sig[ia] == sig[ib]).sum())
+        sa, sb = sets[ia], sets[ib]
+        inter = len(sa & sb)
+        est = float(duckdb_round(float(mt) / 16.0, 6))
+        ex = float(duckdb_round(
+            float(inter) / float(len(sa) + len(sb) - inter), 6))
+        rows.append({"id_a": ia, "id_b": ib, "est_jaccard": est,
+                     "exact_jaccard": ex,
+                     "abs_err": float(duckdb_round(abs(est - ex), 6))})
+    out = pd.DataFrame(rows).sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    for c in ("est_jaccard", "exact_jaccard", "abs_err"):
+        out[c] = out[c].astype("float64")
+    return out
+
+
+def sql_estimate_error() -> str:
+    return f"""
+WITH {sql_shingle_cte()},
+perm(k, a, b, w) AS (VALUES {_perm_values()}),
+dl AS (SELECT DISTINCT doc_id, h FROM tl),
+sigs AS (
+  SELECT doc_id, k, w, min((a * h + b) % {_K64_LIT}) AS sig
+  FROM dl, perm GROUP BY doc_id, k, w),
+bands AS (
+  SELECT doc_id, k // {ROWS_PER_BAND} AS band,
+         sum((w * sig) % {_K64_LIT}) % {_K64_LIT} AS bh
+  FROM sigs GROUP BY doc_id, k // {ROWS_PER_BAND}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+m AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS mt
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.k = sa.k
+  GROUP BY c.id_a, c.id_b),
+iv AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN dl a ON a.doc_id = c.id_a
+  JOIN dl b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY c.id_a, c.id_b),
+sz AS (SELECT doc_id, count(*) AS n FROM dl GROUP BY doc_id)
+SELECT m.id_a, m.id_b,
+       round(CAST(m.mt AS DOUBLE) / 16.0, 6) AS est_jaccard,
+       round(CAST(COALESCE(iv.inter, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(iv.inter, 0) AS DOUBLE),
+             6) AS exact_jaccard,
+       round(abs(round(CAST(m.mt AS DOUBLE) / 16.0, 6)
+                 - round(CAST(COALESCE(iv.inter, 0) AS DOUBLE)
+                         / CAST(sa.n + sb.n - COALESCE(iv.inter, 0)
+                                AS DOUBLE), 6)), 6) AS abs_err
+FROM m LEFT JOIN iv ON iv.id_a = m.id_a AND iv.id_b = m.id_b
+JOIN sz sa ON sa.doc_id = m.id_a
+JOIN sz sb ON sb.doc_id = m.id_b
+ORDER BY m.id_a, m.id_b"""

@@ -11468,3 +11468,17 @@ def ivf_recall_embeddings(sf_dir: str):
     out = pd.DataFrame(rows)
     out["recall_at_10"] = out["recall_at_10"].astype("float64")
     return out
+
+
+def minhash_estimate_error_documents(sf_dir: str):
+    """Minhash estimate calibration over the LSH's own candidates
+    (ORACLED): per md5-banded candidate pair, the 16-permutation
+    Jaccard ESTIMATE, the EXACT shingle-set Jaccard, and |error| —
+    the table that says how far the sketch the dedup pipeline acts
+    on can drift from truth at this band shape (the ngram_jaccard
+    verifier measures pairs the LSH found; this also scores the
+    ESTIMATE itself). Driver work is pair-bounded by LSH selectivity;
+    corpus passes are the unchanged distributed md5 machinery."""
+    from ..dedup.md5lsh import estimate_error_pairs_md5
+    return estimate_error_pairs_md5(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))

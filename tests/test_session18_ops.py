@@ -1047,3 +1047,60 @@ def test_ivf_recall_planted_clusters(tmp_path):
     assert m == 1.0, out.to_dict("records")
     out2 = ivf_recall_embeddings(str(tmp_path))
     assert out2.to_dict("records") == out.to_dict("records")
+
+
+# --------------------------------------- minhash estimate calibration
+
+def test_minhash_estimate_error_identical_and_disjoint_shingles(tmp_path):
+    """Two identical 4-token docs: every signature matches AND the
+    shingle sets are equal → est = exact = 1.0, abs_err exactly 0
+    (a calibration table must read zero on literal copies). The
+    duplicate doc with a third, unrelated doc forms no candidate
+    pair (no shared band)."""
+    from jsonschema_ray.pipelines.relational import (
+        minhash_estimate_error_documents)
+    _documents(tmp_path, ["alpha beta gamma delta",
+                          "alpha beta gamma delta",
+                          "zig zag zog zug"])
+    out = minhash_estimate_error_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"id_a": 1, "id_b": 2, "est_jaccard": 1.0,
+         "exact_jaccard": 1.0, "abs_err": 0.0}]
+    exp = _oracle(tmp_path, "minhash_estimate_error_documents")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_minhash_estimate_error_partial_overlap(tmp_path):
+    """Near-duplicates with one token changed: the exact shingle
+    Jaccard is a known ratio while the estimate is a multiple of
+    1/16 — both engines agree bit-for-bit on every column (the
+    in-test oracle IS the assertion; the est/exact gap is the
+    sketch's real quantization error, surfaced not hidden)."""
+    from jsonschema_ray.pipelines.relational import (
+        minhash_estimate_error_documents)
+    base = "the quick brown fox jumps over the lazy dog today"
+    variant = base.replace("lazy", "sleepy")
+    _documents(tmp_path, [base, variant])
+    out = minhash_estimate_error_documents(str(tmp_path))
+    if len(out):        # pair exists iff some band collides
+        r = out.iloc[0]
+        assert 0.0 < r["exact_jaccard"] < 1.0
+        assert float(r["est_jaccard"]) * 16 == int(
+            float(r["est_jaccard"]) * 16)
+    exp = _oracle(tmp_path, "minhash_estimate_error_documents")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_minhash_estimate_error_empty_and_short_docs(tmp_path):
+    """Docs too short for a 3-token shingle produce no signature and
+    no pair; a corpus with no candidate pair answers the typed empty
+    frame on both engines."""
+    from jsonschema_ray.pipelines.relational import (
+        minhash_estimate_error_documents)
+    _documents(tmp_path, ["one two", "one two", None])
+    out = minhash_estimate_error_documents(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["id_a", "id_b", "est_jaccard",
+                                 "exact_jaccard", "abs_err"]
+    exp = _oracle(tmp_path, "minhash_estimate_error_documents")
+    assert len(exp) == 0
