@@ -61,7 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_share_of_region": R.nation_share_of_region,  # oracled
         "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         "skyline_orders": R.skyline_orders,               # oracled
-        "value_bands_events": R.value_bands_events,       # oracled
         "contingency_lift_events":
             R.contingency_lift_events,                    # oracled
         "drawdown_daily_events": R.drawdown_daily_events,  # oracled
@@ -74,7 +73,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_deciles_customers":
             R.spend_deciles_customers,                     # oracled
         # --- session-16 additions (oracled)
-        "fano_daily_events": R.fano_daily_events,          # oracled
         "kendall_tau_daily_events":
             R.kendall_tau_daily_events,                    # oracled
         "rfm_segments_customers":
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.gains_by_segment_customers,                  # oracled
         "minhash_estimate_error_documents":
             R.minhash_estimate_error_documents,            # oracled
+        "null_profile_lineitem": R.null_profile_lineitem,  # oracled
+        "daily_trend_by_type": R.daily_trend_by_type,      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -250,6 +250,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pin-dense, two-engine green at 3 SFs across sessions)
         "auc_value_error_events":
             R.auc_value_error_events,                      # oracled
+        # (evicted for null_profile_lineitem: bounded value-band
+        # histogram-with-share machinery stays covered in-window by
+        # basket_size_histogram + order_gap_histogram +
+        # order_completion_days_histogram)
+        "value_bands_events": R.value_bands_events,       # oracled
+        # (evicted for daily_trend_by_type: daily-grid dispersion
+        # machinery stays covered in-window by interarrival_cv
+        # (exact-int dispersion) + kendall_tau_daily +
+        # rolling_median_daily on the same grid; pin-dense,
+        # two-engine green at 3 SFs across sessions)
+        "fano_daily_events": R.fano_daily_events,          # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1730,6 +1741,53 @@ SELECT w.seg AS segment, w.q AS quintile, w.n_cust,
                        / CAST(CAST(t.total AS VARCHAR) AS DOUBLE), 6)
        END AS cum_share_top
 FROM w JOIN t USING (seg) ORDER BY segment, quintile""",
+        "null_profile_lineitem": """
+WITH t AS (SELECT count(*) AS n,
+                  count(l_orderkey) AS c01, count(l_partkey) AS c02,
+                  count(l_suppkey) AS c03, count(l_linenumber) AS c04,
+                  count(l_quantity) AS c05,
+                  count(l_extendedprice) AS c06,
+                  count(l_discount) AS c07, count(l_tax) AS c08,
+                  count(l_returnflag) AS c09,
+                  count(l_linestatus) AS c10, count(l_shipdate) AS c11
+           FROM lineitem),
+u AS (
+  SELECT 'l_orderkey' AS col, n, n - c01 AS nn FROM t
+  UNION ALL SELECT 'l_partkey', n, n - c02 FROM t
+  UNION ALL SELECT 'l_suppkey', n, n - c03 FROM t
+  UNION ALL SELECT 'l_linenumber', n, n - c04 FROM t
+  UNION ALL SELECT 'l_quantity', n, n - c05 FROM t
+  UNION ALL SELECT 'l_extendedprice', n, n - c06 FROM t
+  UNION ALL SELECT 'l_discount', n, n - c07 FROM t
+  UNION ALL SELECT 'l_tax', n, n - c08 FROM t
+  UNION ALL SELECT 'l_returnflag', n, n - c09 FROM t
+  UNION ALL SELECT 'l_linestatus', n, n - c10 FROM t
+  UNION ALL SELECT 'l_shipdate', n, n - c11 FROM t)
+SELECT col AS "column", CAST(n AS BIGINT) AS n_rows,
+       CAST(nn AS BIGINT) AS n_null,
+       CASE WHEN n = 0 THEN NULL
+            ELSE round(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       END AS null_share
+FROM u ORDER BY "column" """,
+        "daily_trend_by_type": """
+WITH e AS (SELECT event_type AS t, CAST(ts AS DATE) AS d FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT t, CAST(d - DATE '1970-01-01' AS HUGEINT) AS x,
+             CAST(count(*) AS HUGEINT) AS y
+      FROM e GROUP BY t, d),
+m AS (SELECT t, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM g GROUP BY t)
+SELECT t AS event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+       CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round(CAST(CAST(n * sxy - sx * sy AS VARCHAR)
+                            AS DOUBLE)
+                       / CAST(CAST(n * sxx - sx * sx AS VARCHAR)
+                              AS DOUBLE), 6)
+       END AS slope
+FROM m ORDER BY event_type""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

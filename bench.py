@@ -342,6 +342,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.ivf_recall_embeddings(sf_dir)))
     timed("minhash_estimate_error_documents",
           lambda: len(R.minhash_estimate_error_documents(sf_dir)))
+    timed("null_profile_lineitem",
+          lambda: len(R.null_profile_lineitem(sf_dir)))
+    timed("daily_trend_by_type",
+          lambda: len(R.daily_trend_by_type(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -11482,3 +11482,139 @@ def minhash_estimate_error_documents(sf_dir: str):
     from ..dedup.md5lsh import estimate_error_pairs_md5
     return estimate_error_pairs_md5(
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def null_profile_lineitem(sf_dir: str):
+    """Column null profile (ORACLED): for every lineitem column, the
+    row count, null count and null share — the first data-quality
+    scan any ingestion gate runs (column_stats summarizes values;
+    this audits PRESENCE, and its per-column loop is driven by the
+    live Arrow schema, not a hand-kept list, so a schema change is
+    profiled automatically). ONE corpus scan: per batch, ONE
+    null_count per column (Arrow reads validity bitmaps — no value
+    materializes), shipping a column-vocabulary-bounded (column,
+    n_rows, n_null) partial; share = two exact ints, ONE divide in
+    SQL operand order, 6dp. An empty table still answers one row per
+    column (counts 0, SQL-NULL share) — the shape is the schema."""
+    ds = _read(sf_dir, "lineitem")
+
+    def prof(b: pa.Table) -> pa.Table:
+        names = [f.name for f in b.schema]
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "n_p": pa.array([b.num_rows] * len(names), pa.int64()),
+            "null_p": pa.array(
+                [b.column(n).null_count for n in names], pa.int64())})
+
+    agg = grouped_agg(
+        ds.map_batches(prof, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["col"], {"n_p": "n", "null_p": "nn"},
+        count_alias="_b").to_pandas()
+    import pyarrow.parquet as pq
+    schema_cols = [f.name for f in
+                   pq.read_schema(f"{sf_dir}/lineitem.parquet")]
+    counts = ({str(r["col"]): (int(r["n"]), int(r["nn"]))
+               for _, r in agg.iterrows()}
+              if not agg.empty and "col" in agg.columns else {})
+    rows = []
+    for c in schema_cols:
+        n, nn = counts.get(c, (0, 0))
+        rows.append({
+            "column": c, "n_rows": n, "n_null": nn,
+            "null_share": (float(duckdb_round(float(nn) / float(n), 6))
+                           if n > 0 else float("nan"))})
+    out = pd.DataFrame(rows).sort_values("column") \
+        .reset_index(drop=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    out["null_share"] = out["null_share"].astype("float64")
+    return out
+
+
+def daily_trend_by_type(sf_dir: str):
+    """Daily-count OLS trend per event type (ORACLED): regress each
+    type's daily event count on the epoch day over its OBSERVED days
+    and report the slope — events/day drift, the simplest "is this
+    stream growing or dying" readout (kendall_tau answers the same
+    question rank-robustly; cusum localizes the change; this gives
+    the fitted rate). The slope is an exact RATIONAL: with x = epoch
+    days and y = day counts, num = n·Σxy − Σx·Σy and
+    den = n·Σxx − Σx·Σx are exact integers (shipped as DECIMAL
+    STRINGS — day·count products pass 2^53 at corpus scale), reported
+    alongside slope = num/den as ONE double divide in SQL operand
+    order, 6dp. The daily grid is calendar-bounded: ONE grouped count
+    per (type, day), then per-type moment partials per block — the
+    corpus never re-shuffles. A single-day type has den = 0 →
+    SQL-NULL slope (reported, not dropped); null ts/type rows
+    invisible; empty → typed empty frame."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("event_type").is_valid(),
+                             b.column("ts").is_valid()))
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        return pa.table({"t": t.column("event_type"),
+                         "d": pc.cast(d, pa.int64())})
+
+    daily = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["t", "d"], {}, count_alias="y")
+
+    def moments(b: pa.Table) -> pa.Table:
+        empty = pa.table({"t": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "sx": pa.array([], pa.string()),
+                          "sy": pa.array([], pa.string()),
+                          "sxx": pa.array([], pa.string()),
+                          "sxy": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        t = b["t"].to_numpy(zero_copy_only=False)
+        x = b["d"].to_numpy(zero_copy_only=False).astype(object)
+        y = b["y"].to_numpy(zero_copy_only=False).astype(object)
+        rows = {"t": [], "n": [], "sx": [], "sy": [], "sxx": [],
+                "sxy": []}
+        for tv in pd.unique(t):
+            m = t == tv
+            xm, ym = x[m], y[m]
+            rows["t"].append(str(tv))
+            rows["n"].append(int(m.sum()))
+            rows["sx"].append(str(int(xm.sum())))
+            rows["sy"].append(str(int(ym.sum())))
+            rows["sxx"].append(str(int((xm * xm).sum())))
+            rows["sxy"].append(str(int((xm * ym).sum())))
+        return pa.table({k: pa.array(v, pa.string() if k not in
+                                     ("n",) else pa.int64())
+                         for k, v in rows.items()})
+
+    parts = daily.map_batches(moments, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=None).to_pandas()
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_days": pd.Series([], dtype="int64"),
+        "slope_num": pd.Series([], dtype="object"),
+        "slope_den": pd.Series([], dtype="object"),
+        "slope": pd.Series([], dtype="float64")})
+    if parts.empty or "t" not in parts.columns:
+        return out_empty
+    rows = []
+    for tv, g in parts.groupby("t", sort=True):
+        n = int(g["n"].sum())
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        sxy = sum(int(v) for v in g["sxy"])
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = (float(duckdb_round(float(num) / float(den), 6))
+                 if den != 0 else float("nan"))
+        rows.append({"event_type": tv, "n_days": n,
+                     "slope_num": str(num), "slope_den": str(den),
+                     "slope": slope})
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    out["slope"] = out["slope"].astype("float64")
+    return out

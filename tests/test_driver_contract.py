@@ -159,7 +159,8 @@ def oracle_pairs():
     "time_to_first_error_events", "vocab_overlap_by_lang",
     "effective_dim_embeddings", "order_completion_days_histogram",
     "spend_trend_customers", "gains_by_segment_customers",
-    "minhash_estimate_error_documents",
+    "minhash_estimate_error_documents", "null_profile_lineitem",
+    "daily_trend_by_type",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1104,3 +1104,117 @@ def test_minhash_estimate_error_empty_and_short_docs(tmp_path):
                                  "exact_jaccard", "abs_err"]
     exp = _oracle(tmp_path, "minhash_estimate_error_documents")
     assert len(exp) == 0
+
+
+# -------------------------------------------------- null profile
+
+def _lineitem_full(tmp_path, n, null_at=None):
+    """Full 11-column lineitem with nulls planted via null_at:
+    {column: [row indices]}."""
+    null_at = null_at or {}
+    cols = {
+        "l_orderkey": pa.array(
+            [None if i in null_at.get("l_orderkey", []) else i
+             for i in range(n)], pa.int64()),
+        "l_partkey": pa.array(
+            [None if i in null_at.get("l_partkey", []) else i
+             for i in range(n)], pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array(
+            [None if i in null_at.get("l_quantity", []) else 1.0
+             for i in range(n)], pa.float64()),
+        "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array([100 * DAY] * n, pa.timestamp("us")),
+    }
+    _write(tmp_path, "lineitem", pa.table(cols))
+
+
+def test_null_profile_planted_nulls(tmp_path):
+    """Plant 2 nulls in l_quantity and 1 in l_partkey across 4 rows:
+    the profile reads them back exactly (share 0.5 / 0.25) with every
+    other column at 0.0 — the sf corpora are null-free, so this pin
+    carries the counting load. Cross-checked vs the UNION-ALL
+    oracle."""
+    from jsonschema_ray.pipelines.relational import null_profile_lineitem
+    _lineitem_full(tmp_path, 4, {"l_quantity": [0, 2],
+                                 "l_partkey": [1]})
+    out = null_profile_lineitem(str(tmp_path)).set_index("column")
+    assert out.loc["l_quantity", "n_null"] == 2
+    assert out.loc["l_quantity", "null_share"] == 0.5
+    assert out.loc["l_partkey", "null_share"] == 0.25
+    assert out.loc["l_orderkey", "null_share"] == 0.0
+    assert len(out) == 11
+    exp = _oracle(tmp_path, "null_profile_lineitem") \
+        .sort_values("column").reset_index(drop=True)
+    assert exp.to_dict("records") == \
+        out.reset_index().to_dict("records")
+
+
+def test_null_profile_empty_table_keeps_schema(tmp_path):
+    """A zero-row lineitem still answers one row PER COLUMN (the shape
+    is the schema) with counts 0 and SQL-NULL share on both engines."""
+    from jsonschema_ray.pipelines.relational import null_profile_lineitem
+    _lineitem_full(tmp_path, 0)
+    out = null_profile_lineitem(str(tmp_path))
+    assert len(out) == 11
+    assert (out["n_rows"] == 0).all()
+    assert out["null_share"].isna().all()
+    exp = _oracle(tmp_path, "null_profile_lineitem")
+    assert len(exp) == 11 and exp["null_share"].isna().all()
+
+
+# -------------------------------------------------- daily trend
+
+def test_daily_trend_hand_slope(tmp_path):
+    """Type 'a' counts [1, 2, 3] on days [0, 1, 2] → slope exactly 1.0
+    (num 6? — n·Σxy − ΣxΣy = 3·8 − 3·6 = 6, den = 3·5 − 9 = 6) with
+    the exact rational reported as strings; single-day type 'b' has
+    den = 0 → SQL-NULL slope, still reported."""
+    from jsonschema_ray.pipelines.relational import daily_trend_by_type
+    rows = []
+    for day, cnt in ((0, 1), (1, 2), (2, 3)):
+        rows += [(1, "a", day * 1440 + i) for i in range(cnt)]
+    rows += [(1, "b", 5 * 1440)]
+    _events_type_ts(tmp_path, rows)
+    out = daily_trend_by_type(str(tmp_path)).set_index("event_type")
+    assert out.loc["a", "slope_num"] == "6"
+    assert out.loc["a", "slope_den"] == "6"
+    assert out.loc["a", "slope"] == 1.0
+    assert out.loc["b", "n_days"] == 1
+    assert math.isnan(out.loc["b", "slope"])
+    exp = _oracle(tmp_path, "daily_trend_by_type") \
+        .sort_values("event_type").reset_index(drop=True)
+    got = out.reset_index()
+    for c in exp.columns:
+        gv, ev = got[c].to_numpy(), exp[c].to_numpy()
+        if gv.dtype.kind == "f":
+            assert np.array_equal(gv, ev.astype(float),
+                                  equal_nan=True), c
+        else:
+            assert (gv.astype(str) == ev.astype(str)).all(), c
+
+
+def test_daily_trend_observed_days_only_and_nulls(tmp_path):
+    """A gap day is ABSENT from the regression (observed days, no
+    zero-filling — zero-filling would change the slope; the choice is
+    pinned): days [0, 10] with counts [1, 3] → slope exactly 0.2.
+    Null ts/type rows invisible; empty → typed empty frame."""
+    from jsonschema_ray.pipelines.relational import daily_trend_by_type
+    rows = [(1, "a", 0)] + [(1, "a", 10 * 1440 + i) for i in range(3)]
+    rows += [(1, None, 3), (None, "a", None)]
+    _events_type_ts(tmp_path, rows)
+    out = daily_trend_by_type(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "a", "n_days": 2, "slope_num": "20",
+         "slope_den": "100", "slope": 0.2}]
+
+    _events_type_ts(tmp_path, [(1, None, None)])
+    out = daily_trend_by_type(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "n_days", "slope_num",
+                                 "slope_den", "slope"]
