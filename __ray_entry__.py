@@ -61,8 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_share_of_region": R.nation_share_of_region,  # oracled
         "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         "skyline_orders": R.skyline_orders,               # oracled
-        "contingency_lift_events":
-            R.contingency_lift_events,                    # oracled
         "drawdown_daily_events": R.drawdown_daily_events,  # oracled
         "weighted_median_price": R.weighted_median_price,  # oracled
         # --- session-15 additions (oracled)
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.minhash_estimate_error_documents,            # oracled
         "null_profile_lineitem": R.null_profile_lineitem,  # oracled
         "daily_trend_by_type": R.daily_trend_by_type,      # oracled
+        "langid_confusion_documents":
+            R.langid_confusion_documents,                  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -255,6 +255,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # basket_size_histogram + order_gap_histogram +
         # order_completion_days_histogram)
         "value_bands_events": R.value_bands_events,       # oracled
+        # (evicted for langid_confusion_documents: vocabulary²-bounded
+        # cross-tab counting with per-margin normalization is the SAME
+        # machinery family, now in-window on the confusion matrix;
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "contingency_lift_events":
+            R.contingency_lift_events,                    # oracled
         # (evicted for daily_trend_by_type: daily-grid dispersion
         # machinery stays covered in-window by interarrival_cv
         # (exact-int dispersion) + kendall_tau_daily +
@@ -537,6 +543,47 @@ def oracle_sql() -> dict[str, str]:
     # module; the oracle strings are generated from them)
     from jsonschema_ray.ann.quantize import sql_scalar_quantize
     from jsonschema_ray.dedup import md5lsh as _md5lsh
+    _langid_sql = """
+WITH base AS (
+  SELECT doc_id, lang, text, length(text) AS nchars,
+         length(regexp_extract_all(text, '[一-鿿]')) AS cjk
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         regexp_replace(tok, '^[.,;:!?"''()]+|[.,;:!?"''()]+$', '', 'g')
+           AS tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)),
+scores AS (
+  SELECT doc_id,
+         count(*) FILTER (tok <> '') AS denom,
+         count(*) FILTER (tok IN ('the','and','of','to','a','in','is',
+           'that','it','for','was','with','as','on','at','by','this',
+           'be','are')) AS h_en,
+         count(*) FILTER (tok IN ('der','die','das','und','ist','nicht',
+           'ein','eine','zu','den','von','mit','auf','für','im','dem',
+           'sich','des')) AS h_de,
+         count(*) FILTER (tok IN ('le','la','les','et','de','des','un',
+           'une','est','que','pour','dans','qui','sur','pas','au','du',
+           'ce','il')) AS h_fr,
+         count(*) FILTER (tok IN ('el','la','los','las','y','de','que',
+           'en','un','una','es','por','con','para','no','se','del','su',
+           'al')) AS h_es
+  FROM toks GROUP BY doc_id)
+SELECT b.doc_id, b.lang,
+  CASE
+    WHEN CAST(b.cjk AS DOUBLE) / greatest(b.nchars, 1) > 0.2 THEN 'zh'
+    WHEN coalesce(s.denom, 0) = 0 OR b.nchars = 0 THEN 'und'
+    WHEN greatest(s.h_en, s.h_de, s.h_fr, s.h_es)
+         / CAST(s.denom AS DOUBLE) <= 0.03 THEN 'und'
+    WHEN s.h_en >= s.h_de AND s.h_en >= s.h_fr AND s.h_en >= s.h_es
+      THEN 'en'
+    WHEN s.h_de >= s.h_fr AND s.h_de >= s.h_es THEN 'de'
+    WHEN s.h_fr >= s.h_es THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM base b LEFT JOIN scores s USING (doc_id)"""
     return {
         "minhash_md5_signatures_documents": _md5lsh.sql_signatures(),
         "minhash_md5_pairs_documents": _md5lsh.sql_band_pairs(),
@@ -3063,48 +3110,17 @@ SELECT event_id, event_type,
 FROM events WINDOW w AS (PARTITION BY event_type)
 ORDER BY event_id
 """,
-        "langid_documents": """
-WITH base AS (
-  SELECT doc_id, lang, text, length(text) AS nchars,
-         length(regexp_extract_all(text, '[一-鿿]')) AS cjk
-  FROM documents),
-toks AS (
-  SELECT doc_id,
-         regexp_replace(tok, '^[.,;:!?"''()]+|[.,;:!?"''()]+$', '', 'g')
-           AS tok
-  FROM (SELECT doc_id,
-               unnest(string_split_regex(lower(text), '\\s+')) AS tok
-        FROM documents)),
-scores AS (
-  SELECT doc_id,
-         count(*) FILTER (tok <> '') AS denom,
-         count(*) FILTER (tok IN ('the','and','of','to','a','in','is',
-           'that','it','for','was','with','as','on','at','by','this',
-           'be','are')) AS h_en,
-         count(*) FILTER (tok IN ('der','die','das','und','ist','nicht',
-           'ein','eine','zu','den','von','mit','auf','für','im','dem',
-           'sich','des')) AS h_de,
-         count(*) FILTER (tok IN ('le','la','les','et','de','des','un',
-           'une','est','que','pour','dans','qui','sur','pas','au','du',
-           'ce','il')) AS h_fr,
-         count(*) FILTER (tok IN ('el','la','los','las','y','de','que',
-           'en','un','una','es','por','con','para','no','se','del','su',
-           'al')) AS h_es
-  FROM toks GROUP BY doc_id)
-SELECT b.doc_id, b.lang,
-  CASE
-    WHEN CAST(b.cjk AS DOUBLE) / greatest(b.nchars, 1) > 0.2 THEN 'zh'
-    WHEN coalesce(s.denom, 0) = 0 OR b.nchars = 0 THEN 'und'
-    WHEN greatest(s.h_en, s.h_de, s.h_fr, s.h_es)
-         / CAST(s.denom AS DOUBLE) <= 0.03 THEN 'und'
-    WHEN s.h_en >= s.h_de AND s.h_en >= s.h_fr AND s.h_en >= s.h_es
-      THEN 'en'
-    WHEN s.h_de >= s.h_fr AND s.h_de >= s.h_es THEN 'de'
-    WHEN s.h_fr >= s.h_es THEN 'fr'
-    ELSE 'es'
-  END AS lang_pred
-FROM base b LEFT JOIN scores s USING (doc_id) ORDER BY b.doc_id
-""",
+        "langid_documents": _langid_sql + " ORDER BY b.doc_id",
+        "langid_confusion_documents": (
+            "WITH pred AS (" + _langid_sql + "),\n"
+            """f AS (SELECT lang, lang_pred FROM pred
+     WHERE lang IS NOT NULL),
+g AS (SELECT lang, lang_pred, count(*) AS n FROM f GROUP BY 1, 2),
+t AS (SELECT lang, sum(n) AS tot FROM g GROUP BY lang)
+SELECT g.lang, g.lang_pred, CAST(g.n AS BIGINT) AS n,
+       round(CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+         AS recall
+FROM g JOIN t USING (lang) ORDER BY g.lang, g.lang_pred"""),
         "drift_exact_events": """
 WITH grp AS (SELECT value, user_id % 2 AS g FROM events
              WHERE value IS NOT NULL),

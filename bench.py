@@ -346,6 +346,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.null_profile_lineitem(sf_dir)))
     timed("daily_trend_by_type",
           lambda: len(R.daily_trend_by_type(sf_dir)))
+    timed("langid_confusion_documents",
+          lambda: len(R.langid_confusion_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -11618,3 +11618,49 @@ def daily_trend_by_type(sf_dir: str):
     out["n_days"] = out["n_days"].astype("int64")
     out["slope"] = out["slope"].astype("float64")
     return out
+
+
+def langid_confusion_documents(sf_dir: str):
+    """Language-ID confusion matrix (ORACLED): for every (labeled
+    lang, predicted lang) cell, the doc count and per-label recall —
+    the classifier-quality readout on top of langid_documents (which
+    is oracled per doc; this is the matrix a curation gate actually
+    reads: 'which labeled languages does the stopword heuristic
+    mistake, and for what'). Corpus-sized work is exactly the langid
+    feature pass; the matrix aggregate is lang-vocabulary²-bounded
+    via grouped_agg, and per-label totals come from the same driver-
+    resident table (no second pass). recall = two exact ints, ONE
+    divide in SQL operand order, 6dp. Null-LABEL docs are excluded
+    (no ground truth → no matrix row) while docs with null/blank text
+    still predict 'und' and count against their label; empty → typed
+    empty frame."""
+    from ..text import add_text_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = add_text_features(ds, quality=False, simhash=False) \
+        .select_columns(["lang", "lang_pred"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("lang").is_valid())
+
+    agg = grouped_agg(
+        pred.map_batches(clean, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=131072),
+        ["lang", "lang_pred"], {}, count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "lang": pd.Series([], dtype="object"),
+        "lang_pred": pd.Series([], dtype="object"),
+        "n": pd.Series([], dtype="int64"),
+        "recall": pd.Series([], dtype="float64")})
+    if agg.empty or "lang" not in agg.columns:
+        return out_empty
+    tot = {l: int(g["n"].sum()) for l, g in agg.groupby("lang")}
+    agg = agg.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+    out = pd.DataFrame({
+        "lang": agg["lang"],
+        "lang_pred": agg["lang_pred"],
+        "n": agg["n"].astype("int64"),
+        "recall": [float(duckdb_round(
+            float(int(r["n"])) / float(tot[r["lang"]]), 6))
+            for _, r in agg.iterrows()]})
+    out["recall"] = out["recall"].astype("float64")
+    return out

@@ -160,7 +160,7 @@ def oracle_pairs():
     "effective_dim_embeddings", "order_completion_days_histogram",
     "spend_trend_customers", "gains_by_segment_customers",
     "minhash_estimate_error_documents", "null_profile_lineitem",
-    "daily_trend_by_type",
+    "daily_trend_by_type", "langid_confusion_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1218,3 +1218,54 @@ def test_daily_trend_observed_days_only_and_nulls(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["event_type", "n_days", "slope_num",
                                  "slope_den", "slope"]
+
+
+# ------------------------------------------------ langid confusion
+
+def test_langid_confusion_hand_matrix(tmp_path):
+    """Four crafted docs: correct en, correct de, an es-LABELED doc
+    written in English (the mislabeled-feed case the matrix exists to
+    catch → cell (es, en)), and a blank fr doc predicting 'und'.
+    Every recall is 1.0 (one doc per label) — the cell STRUCTURE is
+    the assertion, cross-checked vs the nested-CTE oracle."""
+    from jsonschema_ray.pipelines.relational import (
+        langid_confusion_documents)
+    _documents_lang(tmp_path, [
+        ("the cat and the dog is on a mat that it was with", "en"),
+        ("der hund und die katze ist nicht ein tier von dem haus",
+         "de"),
+        ("the quick brown fox is in the barn and it was fast", "es"),
+        ("   ", "fr")])
+    out = langid_confusion_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"lang": "de", "lang_pred": "de", "n": 1, "recall": 1.0},
+        {"lang": "en", "lang_pred": "en", "n": 1, "recall": 1.0},
+        {"lang": "es", "lang_pred": "en", "n": 1, "recall": 1.0},
+        {"lang": "fr", "lang_pred": "und", "n": 1, "recall": 1.0}]
+    exp = _oracle(tmp_path, "langid_confusion_documents") \
+        .sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_langid_confusion_recall_split_and_null_label(tmp_path):
+    """Two en docs splitting between (en, en) and (en, und) → recalls
+    exactly 0.5/0.5; a null-LABEL doc is excluded even though its
+    prediction exists (no ground truth, no matrix row); an all-null-
+    label corpus answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        langid_confusion_documents)
+    _documents_lang(tmp_path, [
+        ("the cat and the dog is on a mat that it was with", "en"),
+        ("qqq zzz xxx www", "en"),
+        ("the cat and the dog is on a mat", None)])
+    out = langid_confusion_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"lang": "en", "lang_pred": "en", "n": 1, "recall": 0.5},
+        {"lang": "en", "lang_pred": "und", "n": 1, "recall": 0.5}]
+    exp = _oracle(tmp_path, "langid_confusion_documents")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _documents_lang(tmp_path, [("the cat", None)])
+    out = langid_confusion_documents(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["lang", "lang_pred", "n", "recall"]
