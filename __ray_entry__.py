@@ -61,7 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_share_of_region": R.nation_share_of_region,  # oracled
         "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         "skyline_orders": R.skyline_orders,               # oracled
-        "drawdown_daily_events": R.drawdown_daily_events,  # oracled
         "weighted_median_price": R.weighted_median_price,  # oracled
         # --- session-15 additions (oracled)
         "rolling_median_daily_events":
@@ -129,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_trend_by_type": R.daily_trend_by_type,      # oracled
         "langid_confusion_documents":
             R.langid_confusion_documents,                  # oracled
+        "suppliers_per_part_histogram":
+            R.suppliers_per_part_histogram,                # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -267,6 +268,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rolling_median_daily on the same grid; pin-dense,
         # two-engine green at 3 SFs across sessions)
         "fano_daily_events": R.fano_daily_events,          # oracled
+        # (evicted for suppliers_per_part_histogram: daily-grid
+        # cumulative running-extrema machinery stays covered in-window
+        # by the cumulative family (gains-by-segment cum shares,
+        # stickiness consecutive-day pairing) and the grid by
+        # kendall_tau + rolling_median_daily + daily_trend;
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "drawdown_daily_events": R.drawdown_daily_events,  # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1835,6 +1843,16 @@ SELECT t AS event_type, CAST(n AS BIGINT) AS n_days,
                               AS DOUBLE), 6)
        END AS slope
 FROM m ORDER BY event_type""",
+        "suppliers_per_part_histogram": """
+WITH d AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+           FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+g AS (SELECT p, count(*) AS k FROM d GROUP BY p)
+SELECT CAST(k AS BIGINT) AS n_suppliers,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM g) AS DOUBLE), 6) AS share
+FROM g GROUP BY k ORDER BY n_suppliers""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -348,6 +348,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.daily_trend_by_type(sf_dir)))
     timed("langid_confusion_documents",
           lambda: len(R.langid_confusion_documents(sf_dir)))
+    timed("suppliers_per_part_histogram",
+          lambda: len(R.suppliers_per_part_histogram(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -11664,3 +11664,67 @@ def langid_confusion_documents(sf_dir: str):
             for _, r in agg.iterrows()]})
     out["recall"] = out["recall"].astype("float64")
     return out
+
+
+def suppliers_per_part_histogram(sf_dir: str):
+    """Supply-diversity histogram (ORACLED): per observed-supplier
+    count k, how many parts ship from exactly k distinct suppliers
+    (and the share) — the single-sourcing risk readout (k = 1 parts
+    are the supply-chain's single points of failure; q16 counts
+    suppliers per brand-type, this histograms the per-part diversity
+    the lineitem stream actually exercised). Per-batch distinct
+    (part, supplier) partials prune the shuffle; ONE part-hash
+    partition dedups globally and emits count-BOUNDED (k, n_parts)
+    partials (k ≤ supplier vocabulary); share = two exact ints, ONE
+    divide in SQL operand order, 6dp. Null part/supplier rows
+    invisible; empty → typed empty frame."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("l_partkey").is_valid(),
+                             b.column("l_suppkey").is_valid()))
+        return pa.table({"p": t.column("l_partkey"),
+                         "s": t.column("l_suppkey")}) \
+            .group_by(["p", "s"]).aggregate([])
+
+    partials = ds.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, p))
+        p, s = p[order], s[order]
+        first = np.ones(len(p), dtype=bool)
+        first[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+        p = p[first]                      # global distinct pairs
+        seg = np.ones(len(p), dtype=bool)
+        seg[1:] = p[1:] != p[:-1]
+        counts = np.diff(np.r_[np.flatnonzero(seg), len(p)])
+        ks, nn = np.unique(counts, return_counts=True)
+        return pa.table({"k": pa.array(ks.astype(np.int64)),
+                         "n_p": pa.array(nn.astype(np.int64))})
+
+    agg = grouped_agg(
+        partitioned_group_apply(partials, ["p"], kernel,
+                                batch_format="pyarrow"),
+        ["k"], {"n_p": "n"}, count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "n_suppliers": pd.Series([], dtype="int64"),
+        "n_parts": pd.Series([], dtype="int64"),
+        "share": pd.Series([], dtype="float64")})
+    if agg.empty or "k" not in agg.columns:
+        return out_empty
+    agg = agg.sort_values("k").reset_index(drop=True)
+    total = sum(int(x) for x in agg["n"])
+    return pd.DataFrame({
+        "n_suppliers": agg["k"].astype("int64"),
+        "n_parts": agg["n"].astype("int64"),
+        "share": np.asarray(duckdb_round(
+            agg["n"].to_numpy().astype(np.float64)
+            / np.float64(float(total)), 6), dtype=np.float64)})

@@ -1269,3 +1269,50 @@ def test_langid_confusion_recall_split_and_null_label(tmp_path):
     out = langid_confusion_documents(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["lang", "lang_pred", "n", "recall"]
+
+
+# ------------------------------------------- supplier diversity
+
+def _lineitem_ps(tmp_path, rows):
+    """rows: (l_partkey|None, l_suppkey|None)."""
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64())}))
+
+
+def test_suppliers_per_part_hand_histogram(tmp_path):
+    """Part 1 ships from suppliers {10, 20} (the duplicate (1,10)
+    line counts once — DISTINCT pairs, not line multiplicity), parts
+    2 and 3 are single-sourced → histogram {1: 2 parts, 2: 1 part}
+    with shares 2/3, 1/3 at 6dp; the k=1 row is the single-point-of-
+    failure readout."""
+    from jsonschema_ray.pipelines.relational import (
+        suppliers_per_part_histogram)
+    _lineitem_ps(tmp_path, [(1, 10), (1, 10), (1, 20), (2, 10),
+                            (3, 30), (3, 30)])
+    out = suppliers_per_part_histogram(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_suppliers": 1, "n_parts": 2, "share": 0.666667},
+        {"n_suppliers": 2, "n_parts": 1, "share": 0.333333}]
+    exp = _oracle(tmp_path, "suppliers_per_part_histogram") \
+        .sort_values("n_suppliers").reset_index(drop=True)
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_suppliers_per_part_nulls_and_empty(tmp_path):
+    """Null part / null supplier rows are invisible (a null supplier
+    must not count toward diversity); an all-null corpus answers the
+    typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        suppliers_per_part_histogram)
+    _lineitem_ps(tmp_path, [(1, None), (None, 10), (1, 20)])
+    out = suppliers_per_part_histogram(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_suppliers": 1, "n_parts": 1, "share": 1.0}]
+
+    _lineitem_ps(tmp_path, [(None, None)])
+    out = suppliers_per_part_histogram(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_suppliers", "n_parts", "share"]
+    exp = _oracle(tmp_path, "suppliers_per_part_histogram")
+    assert len(exp) == 0
