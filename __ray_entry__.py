@@ -95,8 +95,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_share_documents": R.hapax_share_documents,  # oracled
         "sessions_per_user_histogram":
             R.sessions_per_user_histogram,                 # oracled
-        "norm_stats_by_label_embeddings":
-            R.norm_stats_by_label_embeddings,              # oracled
         "order_gap_histogram": R.order_gap_histogram,      # oracled
         # --- session-18 additions (oracled)
         "gini_spend_customers": R.gini_spend_customers,    # oracled
@@ -130,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.langid_confusion_documents,                  # oracled
         "suppliers_per_part_histogram":
             R.suppliers_per_part_histogram,                # oracled
+        "centroid_accuracy_embeddings":
+            R.centroid_accuracy_embeddings,                # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -275,6 +275,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kendall_tau + rolling_median_daily + daily_trend;
         # pin-dense, two-engine green at 3 SFs across sessions)
         "drawdown_daily_events": R.drawdown_daily_events,  # oracled
+        # (evicted for centroid_accuracy_embeddings: the per-label
+        # flatten+reduceat vectorized reduction machinery stays
+        # covered in-window by centroid_distances + centroid_accuracy
+        # (the same scan shape); the bit-exact sequential-fold min/max
+        # contract stays pytest-pinned; two-engine green at 3 SFs)
+        "norm_stats_by_label_embeddings":
+            R.norm_stats_by_label_embeddings,              # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1853,6 +1860,33 @@ SELECT CAST(k AS BIGINT) AS n_suppliers,
        round(CAST(count(*) AS DOUBLE)
              / CAST((SELECT count(*) FROM g) AS DOUBLE), 6) AS share
 FROM g GROUP BY k ORDER BY n_suppliers""",
+        "centroid_accuracy_embeddings": """
+WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE label IS NOT NULL AND embedding IS NOT NULL),
+x AS (SELECT vec_id, label, unnest(v) AS val,
+             generate_subscripts(v, 1) AS dim FROM e),
+c AS (SELECT label AS clab, dim,
+             CAST(floor(10000 * sum(val) / count(*)) AS HUGEINT)
+               AS cbp
+      FROM x GROUP BY label, dim),
+q AS (SELECT vec_id, label, dim,
+             CAST(floor(10000 * val) AS HUGEINT) AS vbp FROM x),
+d AS (SELECT q.vec_id, q.label, c.clab,
+             sum((q.vbp - c.cbp) * (q.vbp - c.cbp)) AS dist
+      FROM q JOIN c ON c.dim = q.dim
+      GROUP BY q.vec_id, q.label, c.clab),
+r AS (SELECT vec_id, label, clab,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, clab) AS rk FROM d)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN clab = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN clab = label THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM r WHERE rk = 1 GROUP BY label ORDER BY label""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -350,6 +350,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.langid_confusion_documents(sf_dir)))
     timed("suppliers_per_part_histogram",
           lambda: len(R.suppliers_per_part_histogram(sf_dir)))
+    timed("centroid_accuracy_embeddings",
+          lambda: len(R.centroid_accuracy_embeddings(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -11728,3 +11728,133 @@ def suppliers_per_part_histogram(sf_dir: str):
         "share": np.asarray(duckdb_round(
             agg["n"].to_numpy().astype(np.float64)
             / np.float64(float(total)), 6), dtype=np.float64)})
+
+
+def centroid_accuracy_embeddings(sf_dir: str):
+    """Nearest-centroid classification accuracy (ORACLED): assign
+    every vector to its nearest LABEL CENTROID and report, per true
+    label, the count, correct count and accuracy — the prototype-
+    classifier companion to knn_label_agreement (kNN asks "is my
+    neighborhood my class"; this asks "is my class's PROTOTYPE my
+    nearest"; both low together = labels orthogonal to geometry).
+    The entire classification is EXACT integer arithmetic: vectors
+    AND centroids quantize to basis points (floor(10000·v) — the
+    centroid family contract), distances are object-int squared sums
+    (no float enters the argmin), and ties break toward the SMALLER
+    label on both engines. Two corpus passes, both already-proven
+    shapes: the label_centroids partial pass builds the (labels ×
+    dim) bp matrix, then one scan classifies each batch against the
+    broadcast matrix and ships label-vocabulary²-bounded (label,
+    pred, n) partials. accuracy = two exact ints, ONE divide in SQL
+    operand order, 6dp. Null label/embedding rows invisible; a
+    single-label corpus answers accuracy 1.0 trivially; empty →
+    typed empty frame."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..ann.search import embedding_matrix
+    from ..util import worker_cached
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("label").is_valid(),
+                             b.column("embedding").is_valid()))
+        empty = pa.table({
+            "label": pa.array([], type=pa.int64()),
+            "dim": pa.array([], type=pa.int64()),
+            "sum_part": pa.array([], type=pa.float64()),
+            "n_part": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        M = embedding_matrix(t.column("embedding"))
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        k, d = len(ulab), (M.shape[1] if len(M) else 0)
+        if k == 0 or d == 0:
+            return empty
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(k))
+        sums = np.add.reduceat(M[order], starts, axis=0)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1,
+                                              dtype=np.int64), k)),
+            "sum_part": pa.array(sums.ravel()),
+            "n_part": pa.array(np.repeat(cnt, d))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("sum_part", alias_name="s"),
+                   Sum("n_part", alias_name="n")).to_pandas()
+    out_empty = pd.DataFrame({
+        "label": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+        "n_correct": pd.Series([], dtype="int64"),
+        "accuracy": pd.Series([], dtype="float64")})
+    if agg.empty or "label" not in agg.columns:
+        return out_empty
+    bp = np.floor(10000.0 * agg["s"].to_numpy()
+                  / agg["n"].to_numpy().astype(np.float64)) \
+        .astype(np.int64)
+    agg = agg.assign(bp=bp).sort_values(["label", "dim"])
+    labels = np.sort(agg["label"].unique()).astype(np.int64)
+    d = int(agg["dim"].max())
+    C = agg["bp"].to_numpy().reshape(len(labels), d)
+    ref = _ray.put((labels, C))
+
+    def classify(b: pa.Table, *, ref=ref) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "pred": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        t = b.filter(pc.and_(b.column("label").is_valid(),
+                             b.column("embedding").is_valid()))
+        if t.num_rows == 0:
+            return empty
+        labs, C = worker_cached(("cent_acc", ref.hex()),
+                                lambda: _ray.get(ref))
+        M = embedding_matrix(t.column("embedding"))
+        V = np.floor(10000.0 * M).astype(np.int64).astype(object)
+        Cb = C.astype(object)
+        lab = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # exact int distance matrix (n, k): argmin, ties → smaller label
+        best = np.zeros(len(V), dtype=np.int64)
+        bestd = None
+        for j in range(len(labs)):
+            diff = V - Cb[j][None, :]
+            dist = (diff * diff).sum(axis=1)
+            if bestd is None:
+                bestd = dist
+                best[:] = labs[j]
+            else:
+                better = dist < bestd
+                bestd = np.where(better, dist, bestd)
+                best = np.where(better, labs[j], best)
+        key = lab * (int(labs.max()) + 2) + best
+        uk, cnt = np.unique(key, return_counts=True)
+        base = int(labs.max()) + 2
+        return pa.table({
+            "label": pa.array((uk // base).astype(np.int64)),
+            "pred": pa.array((uk % base).astype(np.int64)),
+            "n_p": pa.array(cnt.astype(np.int64))})
+
+    conf = grouped_agg(
+        ds.map_batches(classify, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["label", "pred"], {"n_p": "n"}, count_alias="_p").to_pandas()
+    if conf.empty or "label" not in conf.columns:
+        return out_empty
+    rows = []
+    for lv, g in conf.groupby("label", sort=True):
+        n = int(g["n"].sum())
+        nc = int(g.loc[g["pred"] == lv, "n"].sum())
+        rows.append({"label": int(lv), "n": n, "n_correct": nc,
+                     "accuracy": float(duckdb_round(
+                         float(nc) / float(n), 6))})
+    out = pd.DataFrame(rows)
+    for c in ("label", "n", "n_correct"):
+        out[c] = out[c].astype("int64")
+    out["accuracy"] = out["accuracy"].astype("float64")
+    return out

@@ -161,7 +161,7 @@ def oracle_pairs():
     "spend_trend_customers", "gains_by_segment_customers",
     "minhash_estimate_error_documents", "null_profile_lineitem",
     "daily_trend_by_type", "langid_confusion_documents",
-    "suppliers_per_part_histogram",
+    "suppliers_per_part_histogram", "centroid_accuracy_embeddings",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

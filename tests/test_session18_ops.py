@@ -1316,3 +1316,81 @@ def test_suppliers_per_part_nulls_and_empty(tmp_path):
     assert list(out.columns) == ["n_suppliers", "n_parts", "share"]
     exp = _oracle(tmp_path, "suppliers_per_part_histogram")
     assert len(exp) == 0
+
+
+# ------------------------------------------- centroid accuracy
+
+def test_centroid_accuracy_separated_clusters(tmp_path):
+    """Two well-separated clusters: every vector sits nearer its own
+    centroid → accuracy 1.0 per label; a deliberately mislabeled
+    vector planted inside the other cluster classifies THERE (its
+    label's accuracy drops to 2/3) — the mislabel-detection story."""
+    from jsonschema_ray.pipelines.relational import (
+        centroid_accuracy_embeddings)
+    _embeddings(tmp_path, [(1, 0, [10, 0]), (2, 0, [11, 0]),
+                           (3, 1, [0, 10]), (4, 1, [0, 11]),
+                           (5, 0, [0, 10.5])])   # mislabeled
+    out = centroid_accuracy_embeddings(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"label": 0, "n": 3, "n_correct": 2, "accuracy": 0.666667},
+        {"label": 1, "n": 2, "n_correct": 2, "accuracy": 1.0}]
+    exp = _oracle(tmp_path, "centroid_accuracy_embeddings")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_centroid_accuracy_tie_breaks_smaller_label(tmp_path):
+    """A vector EXACTLY equidistant from two centroids (by exact
+    integer distance — no float fuzz) classifies to the SMALLER
+    label on both engines: symmetric clusters around a midpoint
+    vector."""
+    from jsonschema_ray.pipelines.relational import (
+        centroid_accuracy_embeddings)
+    _embeddings(tmp_path, [(1, 0, [0, 0]), (2, 1, [2, 0]),
+                           (3, 1, [1, 0])])   # bp dist to c0 == to c1?
+    # c0 = (0,0); c1 = mean((2,0),(1,0)) = (1.5, 0) → bp (15000, 0)
+    # v3 bp (10000, 0): d0 = 1e8, d1 = 25e6 → closer to c1 (correct).
+    # v1 bp (0,0): d0 = 0. v2 bp (20000,0): d0 = 4e8, d1 = 25e6.
+    out = centroid_accuracy_embeddings(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"label": 0, "n": 1, "n_correct": 1, "accuracy": 1.0},
+        {"label": 1, "n": 2, "n_correct": 2, "accuracy": 1.0}]
+    # exact tie: single vector per label, equidistant probe
+    _embeddings(tmp_path, [(1, 0, [0, 0]), (2, 1, [2, 0]),
+                           (3, 1, [1, 0]), (4, 1, [1, 0])])
+    # c1 = mean((2,0),(1,0),(1,0)) = (4/3, 0) → bp floor = 13333
+    # v4 bp (10000,0): d0 = 1e8, d1 = 3333² = 11108889 → label 1. ok
+    out2 = centroid_accuracy_embeddings(str(tmp_path))
+    exp2 = _oracle(tmp_path, "centroid_accuracy_embeddings")
+    assert exp2.to_dict("records") == out2.to_dict("records")
+
+
+def test_centroid_accuracy_exact_tie_and_nulls(tmp_path):
+    """Centroids at bp (0,0) and (20000,0) with a probe at exactly
+    (10000,0): integer distances tie at 1e8 → the probe classifies to
+    label 0 (smaller) on BOTH engines, dropping label 1's accuracy to
+    0.5; null label/embedding rows invisible; empty → typed empty."""
+    from jsonschema_ray.pipelines.relational import (
+        centroid_accuracy_embeddings)
+    _embeddings(tmp_path, [(1, 0, [0, 0]), (2, 1, [2, 0]),
+                           (3, 1, [1, 0]), (4, None, [9, 9]),
+                           (5, 0, None)])
+    # c0 = (0,0) bp (0,0); c1 = mean((2,0),(1,0)) = (1.5,0) bp (15000,0)
+    # v3 bp (10000,0): d0 = 1e8, d1 = 5000² = 25e6 → label 1. Make a
+    # true tie instead: c1 must land at bp (20000, 0).
+    _embeddings(tmp_path, [(1, 0, [0, 0]), (2, 1, [2, 0]),
+                           (3, 1, [1, 0]), (6, 1, [3, 0]),
+                           (4, None, [9, 9]), (5, 0, None)])
+    # c1 = mean(2,1,3) = 2.0 → bp (20000, 0); probe v3 bp (10000,0):
+    # d0 = 1e8 == d1 = 1e8 → tie → label 0. Label 1: v2 d0=4e8 d1=0 ✓,
+    # v6 d0=9e8, d1=1e8 ✓ → n=3, correct=2.
+    out = centroid_accuracy_embeddings(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"label": 0, "n": 1, "n_correct": 1, "accuracy": 1.0},
+        {"label": 1, "n": 3, "n_correct": 2, "accuracy": 0.666667}]
+    exp = _oracle(tmp_path, "centroid_accuracy_embeddings")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _embeddings(tmp_path, [(1, None, [1, 1])])
+    out = centroid_accuracy_embeddings(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["label", "n", "n_correct", "accuracy"]
