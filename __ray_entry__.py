@@ -55,7 +55,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-14 additions (oracled, never driver-checked)
         "transition_timing_events":
             R.transition_timing_events,                   # oracled
-        "longest_streak_events": R.longest_streak_events,  # oracled
         "customers_not_in_error_users":
             R.customers_not_in_error_users,               # oracled
         "nation_share_of_region": R.nation_share_of_region,  # oracled
@@ -130,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.suppliers_per_part_histogram,                # oracled
         "centroid_accuracy_embeddings":
             R.centroid_accuracy_embeddings,                # oracled
+        "weekend_lift_by_type": R.weekend_lift_by_type,    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -282,6 +282,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contract stays pytest-pinned; two-engine green at 3 SFs)
         "norm_stats_by_label_embeddings":
             R.norm_stats_by_label_embeddings,              # oracled
+        # (evicted for weekend_lift_by_type: per-user run detection
+        # stays covered in-window by transition_timing_events (the
+        # same change-point mask kernel) with sessionized runs in
+        # sessions_per_user + peak_concurrent; pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "longest_streak_events": R.longest_streak_events,  # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1887,6 +1893,25 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
                   AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS accuracy
 FROM r WHERE rk = 1 GROUP BY label ORDER BY label""",
+        "weekend_lift_by_type": """
+WITH e AS (SELECT event_type AS t,
+                  CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+                       THEN 1 ELSE 0 END AS w
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT t, CAST(count(*) AS HUGEINT) AS nt,
+             CAST(sum(w) AS HUGEINT) AS ntw
+      FROM e GROUP BY t),
+tot AS (SELECT sum(nt) AS N, sum(ntw) AS NW FROM g)
+SELECT g.t AS event_type,
+       CAST(g.nt AS BIGINT) AS n_events,
+       CAST(g.ntw AS BIGINT) AS n_weekend,
+       CASE WHEN tot.NW = 0 THEN NULL
+            ELSE round(CAST(CAST(g.ntw * tot.N AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(g.nt * tot.NW AS VARCHAR)
+                              AS DOUBLE), 6)
+       END AS lift
+FROM g, tot ORDER BY event_type""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

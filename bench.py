@@ -352,6 +352,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.suppliers_per_part_histogram(sf_dir)))
     timed("centroid_accuracy_embeddings",
           lambda: len(R.centroid_accuracy_embeddings(sf_dir)))
+    timed("weekend_lift_by_type",
+          lambda: len(R.weekend_lift_by_type(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -11858,3 +11858,59 @@ def centroid_accuracy_embeddings(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["accuracy"] = out["accuracy"].astype("float64")
     return out
+
+
+def weekend_lift_by_type(sf_dir: str):
+    """Weekend lift per event type (ORACLED): for each type, how
+    over- or under-represented weekend activity is versus the corpus
+    baseline — lift = (n_type_weekend · N_total) / (n_type ·
+    N_weekend), the seasonality index a scheduling or anomaly model
+    reads (lift > 1: the type skews weekend; < 1: weekday; errors
+    spiking on weekends when ops is asleep is the classic catch).
+    The whole statistic is FOUR exact integers in ONE formula — both
+    products computed in Python-int space, ONE divide in SQL operand
+    order, 6dp — from a single type-vocabulary-bounded grouped count
+    of (type, is_weekend); the corpus never re-shuffles. ISO weekend
+    = Saturday/Sunday (DuckDB isodow 6/7 == the epoch-day mod-7
+    arithmetic pinned at the Thursday epoch). Null ts/type rows
+    invisible; a weekend-free corpus answers SQL-NULL lift (reported,
+    not dropped); empty → typed empty frame."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("event_type").is_valid(),
+                             b.column("ts").is_valid()))
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # epoch day 0 = Thursday → isodow = (d + 3) % 7 + 1
+        wknd = (((d + 3) % 7 + 1) >= 6).astype(np.int64)
+        return pa.table({"t": t.column("event_type"),
+                         "w": pa.array(wknd)})
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["t", "w"], {}, count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_events": pd.Series([], dtype="int64"),
+        "n_weekend": pd.Series([], dtype="int64"),
+        "lift": pd.Series([], dtype="float64")})
+    if agg.empty or "t" not in agg.columns:
+        return out_empty
+    N = int(agg["n"].sum())
+    NW = int(agg.loc[agg["w"] == 1, "n"].sum())
+    rows = []
+    for tv, g in agg.groupby("t", sort=True):
+        nt = int(g["n"].sum())
+        ntw = int(g.loc[g["w"] == 1, "n"].sum())
+        lift = (float(duckdb_round(
+            float(ntw * N) / float(nt * NW), 6))
+            if NW > 0 else float("nan"))
+        rows.append({"event_type": tv, "n_events": nt,
+                     "n_weekend": ntw, "lift": lift})
+    out = pd.DataFrame(rows)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_weekend"] = out["n_weekend"].astype("int64")
+    out["lift"] = out["lift"].astype("float64")
+    return out

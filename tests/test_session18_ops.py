@@ -1394,3 +1394,53 @@ def test_centroid_accuracy_exact_tie_and_nulls(tmp_path):
     out = centroid_accuracy_embeddings(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["label", "n", "n_correct", "accuracy"]
+
+
+# ------------------------------------------------- weekend lift
+
+def test_weekend_lift_hand_and_epoch_weekday(tmp_path):
+    """Epoch day 0 = Thursday, day 2 = Saturday (the mod-7 arithmetic
+    pinned at the epoch): type 'a' all-weekend, 'b' all-weekday over
+    equal counts → N=4, NW=2, lift_a = (2·4)/(2·2) = 2.0 exactly,
+    lift_b = 0.0."""
+    from jsonschema_ray.pipelines.relational import weekend_lift_by_type
+    D = 1440  # minutes per day
+    _events_type_ts(tmp_path, [(1, "a", 2 * D), (1, "a", 3 * D),
+                               (1, "b", 0), (1, "b", 1 * D)])
+    out = weekend_lift_by_type(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "a", "n_events": 2, "n_weekend": 2,
+         "lift": 2.0},
+        {"event_type": "b", "n_events": 2, "n_weekend": 0,
+         "lift": 0.0}]
+    exp = _oracle(tmp_path, "weekend_lift_by_type")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_weekend_lift_boundaries_and_no_weekend(tmp_path):
+    """Friday (day 1) is weekday, Sunday (day 3) is weekend, Monday
+    (day 4) is weekday — both boundary days pinned; a corpus with NO
+    weekend events answers SQL-NULL lift for every type (reported,
+    not dropped); null rows invisible; empty → typed empty frame."""
+    from jsonschema_ray.pipelines.relational import weekend_lift_by_type
+    D = 1440
+    _events_type_ts(tmp_path, [(1, "a", 1 * D), (1, "a", 3 * D),
+                               (1, "a", 4 * D)])
+    out = weekend_lift_by_type(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "a", "n_events": 3, "n_weekend": 1,
+         "lift": 1.0}]
+
+    _events_type_ts(tmp_path, [(1, "a", 0), (1, None, 2 * D),
+                               (None, "a", None)])
+    out = weekend_lift_by_type(str(tmp_path))
+    assert out.iloc[0]["n_weekend"] == 0
+    assert math.isnan(out.iloc[0]["lift"])
+    exp = _oracle(tmp_path, "weekend_lift_by_type")
+    assert math.isnan(exp.iloc[0]["lift"])
+
+    _events_type_ts(tmp_path, [(None, None, None)])
+    out = weekend_lift_by_type(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "n_events",
+                                 "n_weekend", "lift"]
