@@ -89,8 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_qty_regr_by_brand":
             R.price_qty_regr_by_brand,                     # oracled
         "wau_mau_engagement": R.wau_mau_engagement,        # oracled
-        "first_touch_attribution":
-            R.first_touch_attribution,                     # oracled
         "hapax_share_documents": R.hapax_share_documents,  # oracled
         "sessions_per_user_histogram":
             R.sessions_per_user_histogram,                 # oracled
@@ -130,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_accuracy_embeddings":
             R.centroid_accuracy_embeddings,                # oracled
         "weekend_lift_by_type": R.weekend_lift_by_type,    # oracled
+        "first_last_matrix_events":
+            R.first_last_matrix_events,                    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -288,6 +288,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sessions_per_user + peak_concurrent; pin-dense, two-engine
         # green at 3 SFs across sessions)
         "longest_streak_events": R.longest_streak_events,  # oracled
+        # (evicted for first_last_matrix_events — its strict endpoint
+        # SUPERSET: the (ts, event_id) first-row-per-user machinery
+        # and the conversion crosstab stay covered in-window by the
+        # matrix query, which consumes the same sort and BOTH
+        # endpoints; pin-dense, two-engine green at 3 SFs)
+        "first_touch_attribution":
+            R.first_touch_attribution,                     # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1912,6 +1919,26 @@ SELECT g.t AS event_type,
                               AS DOUBLE), 6)
        END AS lift
 FROM g, tot ORDER BY event_type""",
+        "first_last_matrix_events": """
+WITH e AS (SELECT user_id AS u, ts, event_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_id IS NOT NULL AND event_type IS NOT NULL),
+r AS (SELECT u, event_type,
+             row_number() OVER (PARTITION BY u
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY u) AS cnt
+      FROM e),
+fl AS (SELECT f.u, f.event_type AS first_type,
+              l.event_type AS last_type
+       FROM (SELECT u, event_type FROM r WHERE rn = 1) f
+       JOIN (SELECT u, event_type FROM r WHERE rn = cnt) l
+         USING (u))
+SELECT first_type, last_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST((SELECT count(*) FROM fl) AS DOUBLE), 6) AS share
+FROM fl GROUP BY first_type, last_type
+ORDER BY first_type, last_type""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

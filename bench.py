@@ -354,6 +354,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.centroid_accuracy_embeddings(sf_dir)))
     timed("weekend_lift_by_type",
           lambda: len(R.weekend_lift_by_type(sf_dir)))
+    timed("first_last_matrix_events",
+          lambda: len(R.first_last_matrix_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

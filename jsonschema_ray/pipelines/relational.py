@@ -11914,3 +11914,84 @@ def weekend_lift_by_type(sf_dir: str):
     out["n_weekend"] = out["n_weekend"].astype("int64")
     out["lift"] = out["lift"].astype("float64")
     return out
+
+
+def first_last_matrix_events(sf_dir: str):
+    """User-journey endpoint matrix (ORACLED): per (first event type,
+    last event type) pair, how many users START their timeline with
+    one and END it with the other, plus the share of all users — the
+    entry→exit summary a funnel designer reads before committing to
+    step definitions (first_touch_attribution fixes the entry; this
+    crosses it with the exit, and the diagonal holds the single-event
+    and never-progressed users). ONE user-hash partition: sort by
+    (user, ts, event_id) — the corpus-wide endpoint tiebreak — and
+    the first/last row masks give both endpoints in one pass; only
+    type-vocabulary²-bounded (first, last, n) partials leave. share =
+    two exact ints, ONE divide in SQL operand order, 6dp. Rows with
+    null user/ts/event_id/type are invisible — a user whose only
+    typed rows are null-ts does not exist; empty → typed empty
+    frame."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(b.column("user_id").is_valid(),
+                            b.column("ts").is_valid()),
+                    pc.and_(b.column("event_id").is_valid(),
+                            b.column("event_type").is_valid()))
+        t = b.filter(m)
+        return pa.table({
+            "u": t.column("user_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "e": t.column("event_id"),
+            "t": t.column("event_type")})
+
+    def kernel(tb: pa.Table) -> pa.Table:
+        empty = pa.table({"ft": pa.array([], pa.string()),
+                          "lt": pa.array([], pa.string()),
+                          "n_p": pa.array([], pa.int64())})
+        if tb.num_rows == 0:
+            return empty
+        u = tb.column("u").to_numpy(zero_copy_only=False)
+        ts = tb.column("ts").to_numpy(zero_copy_only=False)
+        e = tb.column("e").to_numpy(zero_copy_only=False)
+        ty = tb.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, ty = u[order], ty[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = u[:-1] != u[1:]
+        ft, lt = ty[first], ty[last]
+        uty, fcode = np.unique(ft, return_inverse=True)
+        uty2, lcode = np.unique(lt, return_inverse=True)
+        key = fcode.astype(np.int64) * len(uty2) + lcode
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "ft": pa.array(uty[(uk // len(uty2))], pa.string()),
+            "lt": pa.array(uty2[(uk % len(uty2))], pa.string()),
+            "n_p": pa.array(cnt.astype(np.int64))})
+
+    agg = grouped_agg(
+        partitioned_group_apply(
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072),
+            ["u"], kernel, batch_format="pyarrow"),
+        ["ft", "lt"], {"n_p": "n"}, count_alias="_p").to_pandas()
+    out_empty = pd.DataFrame({
+        "first_type": pd.Series([], dtype="object"),
+        "last_type": pd.Series([], dtype="object"),
+        "n_users": pd.Series([], dtype="int64"),
+        "share": pd.Series([], dtype="float64")})
+    if agg.empty or "ft" not in agg.columns:
+        return out_empty
+    total = int(agg["n"].sum())
+    agg = agg.sort_values(["ft", "lt"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "first_type": agg["ft"],
+        "last_type": agg["lt"],
+        "n_users": agg["n"].astype("int64"),
+        "share": np.asarray(duckdb_round(
+            agg["n"].to_numpy().astype(np.float64)
+            / np.float64(float(total)), 6), dtype=np.float64)})

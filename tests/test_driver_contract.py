@@ -162,7 +162,7 @@ def oracle_pairs():
     "minhash_estimate_error_documents", "null_profile_lineitem",
     "daily_trend_by_type", "langid_confusion_documents",
     "suppliers_per_part_histogram", "centroid_accuracy_embeddings",
-    "weekend_lift_by_type",
+    "weekend_lift_by_type", "first_last_matrix_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1444,3 +1444,63 @@ def test_weekend_lift_boundaries_and_no_weekend(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["event_type", "n_events",
                                  "n_weekend", "lift"]
+
+
+# ------------------------------------------- first/last matrix
+
+def _events_full(tmp_path, rows):
+    """rows: (event_id, user_id|None, event_type|None, ts_min|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([None if r[3] is None else r[3] * MIN
+                        for r in rows], pa.timestamp("us"))}))
+
+
+def test_first_last_matrix_hand_and_diagonal(tmp_path):
+    """User 1: view → … → purchase (cell (view, purchase)); user 2:
+    single click (DIAGONAL cell (click, click) — single-event users
+    live on the diagonal); user 3: error → error (also diagonal, via
+    two events). Shares exactly 1/3 each."""
+    from jsonschema_ray.pipelines.relational import (
+        first_last_matrix_events)
+    _events_full(tmp_path, [(1, 1, "view", 0), (2, 1, "click", 5),
+                            (3, 1, "purchase", 9),
+                            (4, 2, "click", 1),
+                            (5, 3, "error", 2), (6, 3, "error", 7)])
+    out = first_last_matrix_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"first_type": "click", "last_type": "click", "n_users": 1,
+         "share": 0.333333},
+        {"first_type": "error", "last_type": "error", "n_users": 1,
+         "share": 0.333333},
+        {"first_type": "view", "last_type": "purchase", "n_users": 1,
+         "share": 0.333333}]
+    exp = _oracle(tmp_path, "first_last_matrix_events") \
+        .sort_values(["first_type", "last_type"]).reset_index(drop=True)
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_first_last_matrix_tie_by_event_id_and_nulls(tmp_path):
+    """Two events at the SAME timestamp: the endpoint is decided by
+    event_id (the corpus-wide tiebreak) — ids (2, 1) at equal ts make
+    'a' (id 1) the first and 'b' (id 2) the last on both engines. A
+    null-type row is invisible even mid-timeline; an all-null corpus
+    answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        first_last_matrix_events)
+    _events_full(tmp_path, [(2, 1, "b", 10), (1, 1, "a", 10),
+                            (3, 1, None, 20)])
+    out = first_last_matrix_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"first_type": "a", "last_type": "b", "n_users": 1,
+         "share": 1.0}]
+    exp = _oracle(tmp_path, "first_last_matrix_events")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _events_full(tmp_path, [(1, None, "a", 1), (2, 1, "a", None)])
+    out = first_last_matrix_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["first_type", "last_type",
+                                 "n_users", "share"]
