@@ -62,8 +62,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": R.skyline_orders,               # oracled
         "weighted_median_price": R.weighted_median_price,  # oracled
         # --- session-15 additions (oracled)
-        "rolling_median_daily_events":
-            R.rolling_median_daily_events,                 # oracled
         "bigram_logprob_documents":
             R.bigram_logprob_documents,                    # oracled
         "spend_deciles_customers":
@@ -130,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekend_lift_by_type": R.weekend_lift_by_type,    # oracled
         "first_last_matrix_events":
             R.first_last_matrix_events,                    # oracled
+        "mad_daily_events": R.mad_daily_events,            # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -295,6 +294,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # endpoints; pin-dense, two-engine green at 3 SFs)
         "first_touch_attribution":
             R.first_touch_attribution,                     # oracled
+        # (evicted for mad_daily_events: the daily-grid windowed-
+        # median machinery stays covered in-window by mad_daily's
+        # double median over the same grid plus weighted_median_price
+        # for the distributed exact-median sort path; pin-dense,
+        # two-engine green at 3 SFs across sessions)
+        "rolling_median_daily_events":
+            R.rolling_median_daily_events,                 # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1939,6 +1945,19 @@ SELECT first_type, last_type,
              / CAST((SELECT count(*) FROM fl) AS DOUBLE), 6) AS share
 FROM fl GROUP BY first_type, last_type
 ORDER BY first_type, last_type""",
+        "mad_daily_events": """
+WITH g AS (SELECT CAST(ts AS DATE) AS d,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL GROUP BY d),
+m AS (SELECT quantile_disc(y, 0.5) AS med FROM g),
+dev AS (SELECT abs(g.y - m.med) AS a, g.y FROM g, m),
+s AS (SELECT quantile_disc(a, 0.5) AS mad FROM dev)
+SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days,
+       CAST((SELECT med FROM m) AS BIGINT) AS median_count,
+       CAST((SELECT mad FROM s) AS BIGINT) AS mad,
+       CAST((SELECT count(*) FROM dev, s WHERE a > 3 * s.mad)
+            AS BIGINT) AS n_outlier_days
+WHERE (SELECT count(*) FROM g) > 0""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

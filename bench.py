@@ -356,6 +356,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.weekend_lift_by_type(sf_dir)))
     timed("first_last_matrix_events",
           lambda: len(R.first_last_matrix_events(sf_dir)))
+    timed("mad_daily_events",
+          lambda: len(R.mad_daily_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -11995,3 +11995,57 @@ def first_last_matrix_events(sf_dir: str):
         "share": np.asarray(duckdb_round(
             agg["n"].to_numpy().astype(np.float64)
             / np.float64(float(total)), 6), dtype=np.float64)})
+
+
+def mad_daily_events(sf_dir: str):
+    """Robust daily-volume anomaly summary (ORACLED): ONE row — the
+    observed-day count, the MEDIAN daily event count, the median
+    absolute deviation around it, and how many days sit more than
+    3 MAD from the median — the robust outlier-day counter an
+    on-call dashboard trusts when means are poisoned by the very
+    spikes it hunts (cusum localizes a level shift; this counts
+    discrete anomalies without distributional assumptions). Every
+    quantity is an exact integer: daily counts are ints, both medians
+    are quantile_disc picks (the 0-based ceil(q·n)−1 convention) over
+    int multisets, deviations are |int − int|, and the 3-MAD fence
+    compares |x − med| > 3·mad in pure integer arithmetic — no float
+    enters until nothing is left to compute. The daily grid is
+    calendar-bounded: ONE grouped count per day, the driver's two
+    median picks run over the gathered grid (the _distinct_quantiles
+    caveat: exact for auditable grids, t-digest is the unbounded-
+    cardinality path). Null ts rows invisible; empty → typed empty
+    frame."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("ts").is_valid())
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        return pa.table({"d": pc.cast(d, pa.int64())})
+
+    daily = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["d"], {}, count_alias="y").to_pandas()
+    out_empty = pd.DataFrame({
+        "n_days": pd.Series([], dtype="int64"),
+        "median_count": pd.Series([], dtype="int64"),
+        "mad": pd.Series([], dtype="int64"),
+        "n_outlier_days": pd.Series([], dtype="int64")})
+    if daily.empty or "d" not in daily.columns:
+        return out_empty
+    y = np.sort(daily["y"].to_numpy().astype(np.int64))
+    n = len(y)
+
+    def qdisc(arr):
+        k = max(int(math.ceil(0.5 * len(arr))) - 1, 0)
+        return int(np.sort(arr)[k])
+
+    med = qdisc(y)
+    dev = np.abs(y - med)
+    mad = qdisc(dev)
+    outl = int((dev > 3 * mad).sum())
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "median_count": pd.Series([med], dtype="int64"),
+        "mad": pd.Series([mad], dtype="int64"),
+        "n_outlier_days": pd.Series([outl], dtype="int64")})

@@ -1504,3 +1504,53 @@ def test_first_last_matrix_tie_by_event_id_and_nulls(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["first_type", "last_type",
                                  "n_users", "share"]
+
+
+# ------------------------------------------------ MAD daily anomaly
+
+def test_mad_daily_hand_and_outlier_fence(tmp_path):
+    """Daily counts [2, 3, 3, 4, 100]: median 3 (quantile_disc picks
+    the lower middle at n=5: ceil(2.5)−1 = index 2), deviations
+    [1, 0, 0, 1, 97] → mad 1, and only the 100-day breaches the
+    3-MAD fence → exactly 1 outlier day. The mean-based z-score
+    would be poisoned by the spike itself — the robustness story."""
+    from jsonschema_ray.pipelines.relational import mad_daily_events
+    rows = []
+    eid = 1
+    for day, cnt in ((0, 2), (1, 3), (2, 3), (3, 4), (4, 100)):
+        for i in range(cnt):
+            rows.append((1, "a", day * 1440 + i))
+            eid += 1
+    _events_type_ts(tmp_path, rows)
+    out = mad_daily_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_days": 5, "median_count": 3, "mad": 1,
+         "n_outlier_days": 1}]
+    exp = _oracle(tmp_path, "mad_daily_events")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_mad_daily_zero_mad_and_empty(tmp_path):
+    """All-equal daily counts → mad 0, and ANY deviating day is an
+    outlier under the >0 fence (strict compare pinned: a day AT the
+    median is NOT an outlier when mad = 0); null-ts rows invisible;
+    an empty corpus answers the typed empty frame on both engines."""
+    from jsonschema_ray.pipelines.relational import mad_daily_events
+    rows = [(1, "a", d * 1440 + i) for d in range(4) for i in range(2)]
+    rows.append((1, "a", 9 * 1440))     # count-1 day: dev 1 > 0
+    rows.append((1, "a", None))
+    _events_type_ts(tmp_path, rows)
+    out = mad_daily_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_days": 5, "median_count": 2, "mad": 0,
+         "n_outlier_days": 1}]
+    exp = _oracle(tmp_path, "mad_daily_events")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _events_type_ts(tmp_path, [(1, "a", None)])
+    out = mad_daily_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_days", "median_count", "mad",
+                                 "n_outlier_days"]
+    exp = _oracle(tmp_path, "mad_daily_events")
+    assert len(exp) == 0
