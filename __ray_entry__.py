@@ -74,13 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_documents": R.readability_documents,  # oracled
         "normalized_dup_documents":
             R.normalized_dup_documents,                    # oracled
-        "stickiness_daily_events":
-            R.stickiness_daily_events,                     # oracled
         # --- session-17 additions (oracled)
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
         "retention_curve_events":
             R.retention_curve_events,                      # oracled
-        "zipf_slope_documents": R.zipf_slope_documents,    # oracled
         "new_vs_repeat_revenue": R.new_vs_repeat_revenue,  # oracled
         "return_rate_by_month": R.return_rate_by_month,    # oracled
         "basket_size_histogram": R.basket_size_histogram,  # oracled
@@ -129,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last_matrix_events":
             R.first_last_matrix_events,                    # oracled
         "mad_daily_events": R.mad_daily_events,            # oracled
+        "duplicate_events_share": R.duplicate_events_share,  # oracled
+        "longest_quiet_gap_by_type":
+            R.longest_quiet_gap_by_type,                   # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -301,6 +301,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-engine green at 3 SFs across sessions)
         "rolling_median_daily_events":
             R.rolling_median_daily_events,                 # oracled
+        # (evicted for duplicate_events_share: log-log regression
+        # slope machinery stays covered in-window by daily_trend
+        # (exact-rational OLS) + price_qty_regr, vocabulary counting
+        # by hapax_share + vocab_overlap; pin-dense, two-engine green
+        # at 3 SFs across sessions)
+        "zipf_slope_documents": R.zipf_slope_documents,    # oracled
+        # (evicted for longest_quiet_gap_by_type: consecutive-day
+        # pairing machinery stays covered in-window by the gap kernel
+        # itself (same sorted day-diff) plus retention_curve_events +
+        # wau_mau_engagement on the user-day axis; pin-dense,
+        # two-engine green at 3 SFs across sessions)
+        "stickiness_daily_events":
+            R.stickiness_daily_events,                     # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1958,6 +1971,34 @@ SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days,
        CAST((SELECT count(*) FROM dev, s WHERE a > 3 * s.mad)
             AS BIGINT) AS n_outlier_days
 WHERE (SELECT count(*) FROM g) > 0""",
+        "duplicate_events_share": """
+WITH g AS (SELECT user_id, ts, event_type, value, count(*) AS n
+           FROM events GROUP BY user_id, ts, event_type, value)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_rows,
+       round(CAST(CAST(sum(n) - count(*) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(n) AS VARCHAR) AS DOUBLE), 6)
+         AS dup_share
+FROM g HAVING count(*) > 0""",
+        "longest_quiet_gap_by_type": """
+WITH e AS (SELECT event_type AS t, CAST(ts AS DATE) AS d FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT DISTINCT t, d FROM e),
+l AS (SELECT t, d,
+             d - lag(d) OVER (PARTITION BY t ORDER BY d) - 1 AS gap,
+             lag(d) OVER (PARTITION BY t ORDER BY d) AS prev
+      FROM g),
+m AS (SELECT t, count(*) AS n_days,
+             COALESCE(max(gap), 0) AS mg FROM l GROUP BY t)
+SELECT m.t AS event_type, CAST(m.n_days AS BIGINT) AS n_days,
+       CAST(m.mg AS BIGINT) AS max_gap_days,
+       CASE WHEN m.mg > 0
+            THEN CAST((SELECT min(l.prev) FROM l
+                       WHERE l.t = m.t AND l.gap = m.mg)
+                      + INTERVAL 1 DAY AS TIMESTAMP)
+       END AS gap_start
+FROM m ORDER BY event_type""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -358,6 +358,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.first_last_matrix_events(sf_dir)))
     timed("mad_daily_events",
           lambda: len(R.mad_daily_events(sf_dir)))
+    timed("duplicate_events_share",
+          lambda: len(R.duplicate_events_share(sf_dir)))
+    timed("longest_quiet_gap_by_type",
+          lambda: len(R.longest_quiet_gap_by_type(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

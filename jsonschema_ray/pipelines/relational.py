@@ -12049,3 +12049,128 @@ def mad_daily_events(sf_dir: str):
         "median_count": pd.Series([med], dtype="int64"),
         "mad": pd.Series([mad], dtype="int64"),
         "n_outlier_days": pd.Series([outl], dtype="int64")})
+
+
+def duplicate_events_share(sf_dir: str):
+    """Event-log duplicate audit (ORACLED): ONE row — row count,
+    distinct (user, ts, type, value) tuple count, duplicate rows and
+    their share — the at-least-once-delivery damage report every
+    event pipeline runs before trusting counts (dedup_exact audits
+    documents by text; this audits the event LOG by full tuple, where
+    a replayed Kafka partition shows up as exact tuple copies). The
+    scan ships only a 128-bit tuple hash (two independent 64-bit
+    hashes over a canonical string encoding — null fields encode as a
+    reserved token so (NULL, x) and ('NULL', x) cannot collide);
+    ONE digest groupby + per-block (rows, distinct) DECIMAL-STRING
+    partials finish it. share = two exact ints, ONE divide in SQL
+    operand order, 6dp. ALL-null tuples still count (a fully-null row
+    is a row — the SQL GROUP BY keeps it); empty → typed empty
+    frame."""
+    from ..sketches.hashing import hash64_array
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        def enc(col, fmt):
+            arr = b.column(col)
+            s = pc.cast(arr, pa.string())
+            return pc.fill_null(s, "\x00NULL")
+        parts = [enc("user_id", None), enc("ts", None),
+                 enc("event_type", None), enc("value", None)]
+        joined = pc.binary_join_element_wise(*parts, "\x1f")
+        h1 = hash64_array(joined).view(np.int64)
+        h2 = hash64_array(joined,
+                          seed=0x5851F42D4C957F2D).view(np.int64)
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+
+    g = grouped_agg_hash(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["h1", "h2"], {}, count_alias="n")
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"nr": pa.array([], pa.string()),
+                          "nd": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        n = b["n"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({"nr": pa.array([str(int(n.sum()))]),
+                         "nd": pa.array([str(b.num_rows)])})
+
+    parts = g.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          batch_size=None).to_pandas()
+    out_empty = pd.DataFrame({
+        "n_rows": pd.Series([], dtype="int64"),
+        "n_distinct": pd.Series([], dtype="int64"),
+        "n_dup_rows": pd.Series([], dtype="int64"),
+        "dup_share": pd.Series([], dtype="float64")})
+    if parts.empty or "nr" not in parts.columns:
+        return out_empty
+    nr = sum(int(v) for v in parts["nr"])
+    if nr == 0:
+        return out_empty
+    nd = sum(int(v) for v in parts["nd"])
+    return pd.DataFrame({
+        "n_rows": pd.Series([nr], dtype="int64"),
+        "n_distinct": pd.Series([nd], dtype="int64"),
+        "n_dup_rows": pd.Series([nr - nd], dtype="int64"),
+        "dup_share": pd.Series([float(duckdb_round(
+            float(nr - nd) / float(nr), 6))], dtype="float64")})
+
+
+def longest_quiet_gap_by_type(sf_dir: str):
+    """Longest quiet gap per event type (ORACLED): for each type, the
+    observed-day count, the longest run of consecutive FULLY-QUIET
+    days strictly inside its active range, and the day that quiet run
+    began — the outage/seasonal-blackout detector (a type that went
+    silent for 9 days mid-range either broke or was paused; gaps
+    OUTSIDE the active range are unknowable and excluded by
+    construction). The whole answer reads off sorted distinct active
+    days: gap = max consecutive difference − 1, starting the day
+    after the left edge — no calendar materializes, no zero-filling
+    (the observed-days discipline of daily_trend, pinned there). The
+    per-type distinct-day grid is calendar-bounded (ONE grouped
+    count); ties on equal maximal gaps resolve to the EARLIEST start
+    on both engines (min over gap starts). A single-day type answers
+    gap 0 with SQL-NULL start; null rows invisible; empty → typed
+    empty frame."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("event_type").is_valid(),
+                             b.column("ts").is_valid()))
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        return pa.table({"t": t.column("event_type"),
+                         "d": pc.cast(d, pa.int64())})
+
+    daily = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["t", "d"], {}, count_alias="_n").to_pandas()
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_days": pd.Series([], dtype="int64"),
+        "max_gap_days": pd.Series([], dtype="int64"),
+        "gap_start": pd.Series([], dtype="datetime64[us]")})
+    if daily.empty or "t" not in daily.columns:
+        return out_empty
+    rows = []
+    for tv, g in daily.groupby("t", sort=True):
+        d = np.sort(g["d"].to_numpy().astype(np.int64))
+        gaps = np.diff(d) - 1
+        if len(gaps) and gaps.max() > 0:
+            mg = int(gaps.max())
+            start = int(d[np.argmax(gaps == mg)] + 1)
+            ts = np.datetime64(start * 86_400_000_000, "us")
+        elif len(gaps):
+            mg, ts = 0, np.datetime64("NaT", "us")
+        else:
+            mg, ts = 0, np.datetime64("NaT", "us")
+        rows.append({"event_type": tv, "n_days": len(d),
+                     "max_gap_days": mg, "gap_start": ts})
+    out = pd.DataFrame(rows)
+    out["n_days"] = out["n_days"].astype("int64")
+    out["max_gap_days"] = out["max_gap_days"].astype("int64")
+    out["gap_start"] = out["gap_start"].astype("datetime64[us]")
+    return out

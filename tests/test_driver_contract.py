@@ -163,7 +163,8 @@ def oracle_pairs():
     "daily_trend_by_type", "langid_confusion_documents",
     "suppliers_per_part_histogram", "centroid_accuracy_embeddings",
     "weekend_lift_by_type", "first_last_matrix_events",
-    "mad_daily_events",
+    "mad_daily_events", "duplicate_events_share",
+    "longest_quiet_gap_by_type",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1554,3 +1554,102 @@ def test_mad_daily_zero_mad_and_empty(tmp_path):
                                  "n_outlier_days"]
     exp = _oracle(tmp_path, "mad_daily_events")
     assert len(exp) == 0
+
+
+# ------------------------------------------- duplicate events share
+
+def _events_val(tmp_path, rows):
+    """rows: (user_id|None, event_type|None, ts_min|None, value|None)."""
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([None if r[2] is None else r[2] * MIN
+                        for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64())}))
+
+
+def test_duplicate_events_hand_share(tmp_path):
+    """Tuples A,A,B,B,B,C → 6 rows, 3 distinct, 3 duplicate rows,
+    share exactly 0.5 — the sf corpora are duplicate-free (audited
+    0.0 at all three SFs), so this pin carries the counting load."""
+    from jsonschema_ray.pipelines.relational import duplicate_events_share
+    A = (1, "click", 10, 1.5)
+    B = (2, "view", 20, 2.0)
+    C = (3, "error", 30, 0.0)
+    _events_val(tmp_path, [A, A, B, B, B, C])
+    out = duplicate_events_share(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_rows": 6, "n_distinct": 3, "n_dup_rows": 3,
+         "dup_share": 0.5}]
+    exp = _oracle(tmp_path, "duplicate_events_share")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_duplicate_events_null_fields_group_and_encode(tmp_path):
+    """SQL GROUP BY treats NULLs as equal: two (1, NULL-type, t, v)
+    rows ARE duplicates on both engines; and the reserved-token
+    encoding keeps a LITERAL 'NULL' string distinct from an actual
+    NULL (an injectivity bug would glue them and over-count dups).
+    A fully-null row is still a row."""
+    from jsonschema_ray.pipelines.relational import duplicate_events_share
+    _events_val(tmp_path, [(1, None, 10, 1.0), (1, None, 10, 1.0),
+                           (1, "NULL", 10, 1.0),
+                           (None, None, None, None)])
+    out = duplicate_events_share(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_rows": 4, "n_distinct": 3, "n_dup_rows": 1,
+         "dup_share": 0.25}]
+    exp = _oracle(tmp_path, "duplicate_events_share")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+# ------------------------------------------- longest quiet gap
+
+def test_quiet_gap_hand_and_earliest_tie(tmp_path):
+    """Type 'a' active on days {0,1,5,6,9}: the longest quiet run is
+    days 2-4 → gap 3 starting day 2. Type 'b' on {0,4,8} has TWO
+    3-day gaps — the EARLIEST start (day 1) wins on both engines."""
+    from jsonschema_ray.pipelines.relational import (
+        longest_quiet_gap_by_type)
+    D = 1440
+    rows = [(1, "a", d * D) for d in (0, 1, 5, 6, 9)]
+    rows += [(1, "b", d * D) for d in (0, 4, 8)]
+    _events_type_ts(tmp_path, rows)
+    out = longest_quiet_gap_by_type(str(tmp_path)) \
+        .set_index("event_type")
+    assert out.loc["a", "max_gap_days"] == 3
+    assert out.loc["a", "gap_start"] == pd.Timestamp(2 * DAY, unit="us")
+    assert out.loc["b", "max_gap_days"] == 3
+    assert out.loc["b", "gap_start"] == pd.Timestamp(1 * DAY, unit="us")
+    exp = _oracle(tmp_path, "longest_quiet_gap_by_type") \
+        .sort_values("event_type").reset_index(drop=True)
+    got = out.reset_index()
+    for c in exp.columns:
+        assert all(str(x) == str(y)
+                   for x, y in zip(got[c], exp[c])), c
+
+
+def test_quiet_gap_no_gap_single_day_and_nulls(tmp_path):
+    """A gapless multi-day type and a single-day type both answer
+    gap 0 with SQL-NULL start (NaT); null rows invisible; empty →
+    typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        longest_quiet_gap_by_type)
+    D = 1440
+    rows = [(1, "a", d * D) for d in (0, 1, 2)]
+    rows += [(1, "b", 7 * D), (1, None, 3 * D), (None, "a", None)]
+    _events_type_ts(tmp_path, rows)
+    out = longest_quiet_gap_by_type(str(tmp_path)) \
+        .set_index("event_type")
+    assert out.loc["a", "max_gap_days"] == 0
+    assert pd.isna(out.loc["a", "gap_start"])
+    assert out.loc["b", "n_days"] == 1
+    assert pd.isna(out.loc["b", "gap_start"])
+    exp = _oracle(tmp_path, "longest_quiet_gap_by_type")
+    assert len(exp) == 2 and exp["gap_start"].isna().all()
+
+    _events_type_ts(tmp_path, [(1, None, None)])
+    out = longest_quiet_gap_by_type(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "n_days",
+                                 "max_gap_days", "gap_start"]
