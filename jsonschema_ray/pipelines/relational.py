@@ -11815,8 +11815,18 @@ def centroid_accuracy_embeddings(sf_dir: str):
         labs, C = worker_cached(("cent_acc", ref.hex()),
                                 lambda: _ray.get(ref))
         M = embedding_matrix(t.column("embedding"))
-        V = np.floor(10000.0 * M).astype(np.int64).astype(object)
-        Cb = C.astype(object)
+        Vi = np.floor(10000.0 * M).astype(np.int64)
+        # int64 fast path whenever dim·(2·maxbp)² fits 2^63 — true for
+        # any unit-ish embedding space; the object fallback keeps the
+        # exact-integer contract for adversarial magnitudes
+        maxbp = max(int(np.abs(Vi).max(initial=0)),
+                    int(np.abs(C).max(initial=0)))
+        d = Vi.shape[1] if Vi.ndim == 2 else 0
+        safe = d == 0 or (4 * maxbp * maxbp) < (2 ** 62) // max(d, 1)
+        if safe:
+            V, Cb = Vi, C
+        else:
+            V, Cb = Vi.astype(object), C.astype(object)
         lab = t["label"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         # exact int distance matrix (n, k): argmin, ties → smaller label
