@@ -58,7 +58,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_not_in_error_users":
             R.customers_not_in_error_users,               # oracled
         "nation_share_of_region": R.nation_share_of_region,  # oracled
-        "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         "skyline_orders": R.skyline_orders,               # oracled
         "weighted_median_price": R.weighted_median_price,  # oracled
         # --- session-15 additions (oracled)
@@ -129,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_events_share": R.duplicate_events_share,  # oracled
         "longest_quiet_gap_by_type":
             R.longest_quiet_gap_by_type,                   # oracled
+        "source_weighted_jaccard": R.source_weighted_jaccard,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -314,6 +314,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-engine green at 3 SFs across sessions)
         "stickiness_daily_events":
             R.stickiness_daily_events,                     # oracled
+        # (evicted for source_weighted_jaccard: the broadcast-attach
+        # + ranges_concat within-group pair-expansion machinery stays
+        # covered in-window by source_dup_matrix + vocab_overlap +
+        # weighted_jaccard itself (the same kernel family) and the
+        # broadcast dict by gains_by_segment; pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "basket_brand_pairs": R.basket_brand_pairs,       # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -1999,6 +2006,27 @@ SELECT m.t AS event_type, CAST(m.n_days AS BIGINT) AS n_days,
                       + INTERVAL 1 DAY AS TIMESTAMP)
        END AS gap_start
 FROM m ORDER BY event_type""",
+        "source_weighted_jaccard": """
+WITH x AS (SELECT source, unnest(string_split(text, ' ')) AS term
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+g AS (SELECT source, term, CAST(count(*) AS HUGEINT) AS c
+      FROM x WHERE term <> '' GROUP BY source, term),
+tot AS (SELECT source, sum(c) AS n FROM g GROUP BY source),
+p AS (SELECT a.source AS sa, b.source AS sb,
+             sum(least(a.c, b.c)) AS mn
+      FROM g a JOIN g b ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       CAST(p.mn AS VARCHAR) AS common_min,
+       CAST(ta.n AS VARCHAR) AS n_a,
+       CAST(tb.n AS VARCHAR) AS n_b,
+       round(CAST(CAST(p.mn AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(ta.n + tb.n - p.mn AS VARCHAR)
+                    AS DOUBLE), 6) AS wjaccard
+FROM p JOIN tot ta ON ta.source = p.sa
+       JOIN tot tb ON tb.source = p.sb
+ORDER BY source_a, source_b""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

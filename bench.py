@@ -362,6 +362,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.duplicate_events_share(sf_dir)))
     timed("longest_quiet_gap_by_type",
           lambda: len(R.longest_quiet_gap_by_type(sf_dir)))
+    timed("source_weighted_jaccard",
+          lambda: len(R.source_weighted_jaccard(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -12184,3 +12184,125 @@ def longest_quiet_gap_by_type(sf_dir: str):
     out["max_gap_days"] = out["max_gap_days"].astype("int64")
     out["gap_start"] = out["gap_start"].astype("datetime64[us]")
     return out
+
+
+def source_weighted_jaccard(sf_dir: str):
+    """Weighted (multiset) Jaccard between source term distributions
+    (ORACLED): per source pair, Σ_t min(c_a(t), c_b(t)) over shared
+    terms, both token totals, and WJ = Σmin / (N_a + N_b − Σmin) —
+    the frequency-aware companion to vocab_overlap_by_lang (two feeds
+    can share a vocabulary yet use it with wildly different
+    frequencies; weighted Jaccard sees that, set Jaccard can't — the
+    identity max+min = a+b folds the Σmax denominator into totals, so
+    shared terms are the ONLY join). Everything is exact integers:
+    per-(term, source) counts ride the term_frequency combiner, ONE
+    term-hash partition computes every pair's min-sum with
+    ranges_concat pair expansion over per-term source runs, per-source
+    totals ride the SAME output on null-key rows (one grouped sum
+    finishes all of it), and the sums report as DECIMAL STRINGS.
+    WJ = two exact ints, ONE divide in SQL operand order, 6dp. Null
+    text/source rows invisible; pairs sharing no term are ABSENT
+    (their WJ would still be 0/total — the absence is pinned);
+    fewer than two sources → typed empty frame."""
+    from ..util import partitioned_group_apply, ranges_concat
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("text").is_valid(),
+                             b.column("source").is_valid()))
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        n_per = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        src = pa.array(np.repeat(
+            t["source"].to_numpy(zero_copy_only=False), n_per))
+        tb = pa.table({"term": flat, "src": src})
+        tb = tb.filter(pc.not_equal(tb["term"], ""))
+        return tb.group_by(["term", "src"]).aggregate(
+            [([], "count_all")]).rename_columns(["term", "src", "c"])
+
+    partials = ds.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=131072)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src_a": pa.array([], pa.string()),
+                          "src_b": pa.array([], pa.string()),
+                          "v": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        term = t.column("term").to_numpy(zero_copy_only=False)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, term))
+        term, src, c = term[order], src[order], c[order]
+        # merge duplicate (term, src) partial counts
+        first = np.ones(len(term), dtype=bool)
+        first[1:] = (term[1:] != term[:-1]) | (src[1:] != src[:-1])
+        gid = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        csum = np.add.reduceat(c.astype(object), starts)
+        term, src = term[first], src[first]
+        # per-source totals → (src, NULL, total) rows
+        us, inv = np.unique(src, return_inverse=True)
+        tot = np.zeros(len(us), dtype=object)
+        np.add.at(tot, inv, csum)
+        totals = pa.table({
+            "src_a": pa.array(us, pa.string()),
+            "src_b": pa.array([None] * len(us), pa.string()),
+            "v": pa.array([str(int(x)) for x in tot], pa.string())})
+        # per-term source-pair min sums
+        seg = np.ones(len(term), dtype=bool)
+        seg[1:] = term[1:] != term[:-1]
+        seg_start = np.flatnonzero(seg)
+        seg_end = np.append(seg_start[1:], len(term))
+        ends = np.repeat(seg_end, seg_end - seg_start)
+        idx = np.arange(len(term))
+        lens = ends - idx - 1
+        left = np.repeat(idx, lens)
+        right = ranges_concat(idx + 1, lens)
+        if len(left):
+            mins = np.minimum(csum[left].astype(np.int64),
+                              csum[right].astype(np.int64))
+            prs = pd.DataFrame({"a": src[left], "b": src[right],
+                                "m": mins})
+            g = prs.groupby(["a", "b"], sort=False)["m"].sum()
+            pairs = pa.table({
+                "src_a": pa.array([k[0] for k in g.index], pa.string()),
+                "src_b": pa.array([k[1] for k in g.index], pa.string()),
+                "v": pa.array([str(int(x)) for x in g.to_numpy()],
+                              pa.string())})
+        else:
+            pairs = empty
+        return pa.concat_tables([totals, pairs])
+
+    parts = partitioned_group_apply(partials, ["term"], kernel,
+                                    batch_format="pyarrow").to_pandas()
+    out_empty = pd.DataFrame({
+        "source_a": pd.Series([], dtype="object"),
+        "source_b": pd.Series([], dtype="object"),
+        "common_min": pd.Series([], dtype="object"),
+        "n_a": pd.Series([], dtype="object"),
+        "n_b": pd.Series([], dtype="object"),
+        "wjaccard": pd.Series([], dtype="float64")})
+    if parts.empty or "src_a" not in parts.columns:
+        return out_empty
+    totals = {}
+    for _, r in parts[parts["src_b"].isna()].iterrows():
+        totals[r["src_a"]] = totals.get(r["src_a"], 0) + int(r["v"])
+    agg = {}
+    for _, r in parts[parts["src_b"].notna()].iterrows():
+        k = (r["src_a"], r["src_b"])
+        agg[k] = agg.get(k, 0) + int(r["v"])
+    if not agg:
+        return out_empty
+    rows = []
+    for (a, b), mn in sorted(agg.items()):
+        na, nb = totals[a], totals[b]
+        rows.append({
+            "source_a": a, "source_b": b, "common_min": str(mn),
+            "n_a": str(na), "n_b": str(nb),
+            "wjaccard": float(duckdb_round(
+                float(mn) / float(na + nb - mn), 6))})
+    out = pd.DataFrame(rows)
+    out["wjaccard"] = out["wjaccard"].astype("float64")
+    return out

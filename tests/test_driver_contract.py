@@ -164,7 +164,7 @@ def oracle_pairs():
     "suppliers_per_part_histogram", "centroid_accuracy_embeddings",
     "weekend_lift_by_type", "first_last_matrix_events",
     "mad_daily_events", "duplicate_events_share",
-    "longest_quiet_gap_by_type",
+    "longest_quiet_gap_by_type", "source_weighted_jaccard",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

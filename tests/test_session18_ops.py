@@ -1653,3 +1653,45 @@ def test_quiet_gap_no_gap_single_day_and_nulls(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["event_type", "n_days",
                                  "max_gap_days", "gap_start"]
+
+
+# ------------------------------------------- weighted jaccard
+
+def test_weighted_jaccard_hand_frequencies(tmp_path):
+    """Sources sharing a vocabulary but not its FREQUENCIES: A = 'x'
+    ×3 + 'y' ×1, B = 'x' ×1 + 'y' ×3 → Σmin = 1+1 = 2, totals 4/4,
+    WJ = 2/(4+4−2) = 1/3 exactly — while their SET Jaccard is 1.0
+    (the gap this query exists to expose, asserted against
+    vocab-overlap semantics in the docstring)."""
+    from jsonschema_ray.pipelines.relational import (
+        source_weighted_jaccard)
+    _documents_src(tmp_path, [("x x x y", "A"), ("x y y y", "B")])
+    out = source_weighted_jaccard(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"source_a": "A", "source_b": "B", "common_min": "2",
+         "n_a": "4", "n_b": "4", "wjaccard": 0.333333}]
+    exp = _oracle(tmp_path, "source_weighted_jaccard")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_weighted_jaccard_identical_and_disjoint(tmp_path):
+    """Identical multisets answer exactly 1.0; sources sharing NO term
+    produce NO row (absence, not zero — pinned); null text/source
+    rows invisible; a single-source corpus answers the typed empty
+    frame."""
+    from jsonschema_ray.pipelines.relational import (
+        source_weighted_jaccard)
+    _documents_src(tmp_path, [("a b b", "A"), ("b a b", "B"),
+                              ("zz", "C"), ("q", None), (None, "D")])
+    out = source_weighted_jaccard(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"source_a": "A", "source_b": "B", "common_min": "3",
+         "n_a": "3", "n_b": "3", "wjaccard": 1.0}]
+    exp = _oracle(tmp_path, "source_weighted_jaccard")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _documents_src(tmp_path, [("a b", "A")])
+    out = source_weighted_jaccard(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["source_a", "source_b", "common_min",
+                                 "n_a", "n_b", "wjaccard"]
