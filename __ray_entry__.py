@@ -66,8 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_deciles_customers":
             R.spend_deciles_customers,                     # oracled
         # --- session-16 additions (oracled)
-        "kendall_tau_daily_events":
-            R.kendall_tau_daily_events,                    # oracled
         "rfm_segments_customers":
             R.rfm_segments_customers,                      # oracled
         "readability_documents": R.readability_documents,  # oracled
@@ -129,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_quiet_gap_by_type":
             R.longest_quiet_gap_by_type,                   # oracled
         "source_weighted_jaccard": R.source_weighted_jaccard,  # oracled
+        "theil_sen_daily_events": R.theil_sen_daily_events,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -321,6 +320,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast dict by gains_by_segment; pin-dense, two-engine
         # green at 3 SFs across sessions)
         "basket_brand_pairs": R.basket_brand_pairs,       # oracled
+        # (evicted for theil_sen_daily_events: rank-robust daily-trend
+        # direction stays covered in-window by theil_sen itself (the
+        # same day-pair concordance space — kendall's sign counts ARE
+        # theil_sen's slope signs) + daily_trend's exact-rational OLS;
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "kendall_tau_daily_events":
+            R.kendall_tau_daily_events,                    # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -2027,6 +2033,19 @@ SELECT p.sa AS source_a, p.sb AS source_b,
 FROM p JOIN tot ta ON ta.source = p.sa
        JOIN tot tb ON tb.source = p.sb
 ORDER BY source_a, source_b""",
+        "theil_sen_daily_events": """
+WITH g AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS x,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY CAST(ts AS DATE)),
+p AS (SELECT CAST(b.y - a.y AS DOUBLE)
+             / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM g a JOIN g b ON a.x < b.x)
+SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(quantile_disc(s, 0.5), 6) AS slope
+FROM p HAVING count(*) > 0""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -364,6 +364,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.longest_quiet_gap_by_type(sf_dir)))
     timed("source_weighted_jaccard",
           lambda: len(R.source_weighted_jaccard(sf_dir)))
+    timed("theil_sen_daily_events",
+          lambda: len(R.theil_sen_daily_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

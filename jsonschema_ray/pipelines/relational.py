@@ -12306,3 +12306,52 @@ def source_weighted_jaccard(sf_dir: str):
     out = pd.DataFrame(rows)
     out["wjaccard"] = out["wjaccard"].astype("float64")
     return out
+
+
+def theil_sen_daily_events(sf_dir: str):
+    """Theil–Sen robust daily trend (ORACLED): the MEDIAN of all
+    pairwise day-slope estimates of daily event volume — ONE row
+    (n_days, n_pairs, slope) — the estimator that shrugs off the
+    outlier days a least-squares fit chases (daily_trend_by_type is
+    the OLS rate; mad_daily counts the outliers; this fits THROUGH
+    them — up to 29% corrupted days cannot move it). Slopes are
+    (Δcount)/(Δday) over exact ints; both engines compute the SAME
+    IEEE double per pair (exact ints in, one divide), so the
+    median-by-value pick (quantile_disc, the ceil(q·n)−1 convention)
+    agrees without any rounding trick — only the reported median
+    rounds, 6dp. The daily grid is calendar-bounded, so the O(days²)
+    pair enumeration is driver-side arithmetic on the gathered grid
+    (435 pairs for a month; a decade is ~6.7M — still driver-cheap;
+    the grid gather is the stated _distinct_quantiles caveat). Null
+    ts rows invisible; fewer than two observed days → typed empty
+    frame."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("ts").is_valid())
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        return pa.table({"d": pc.cast(d, pa.int64())})
+
+    daily = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["d"], {}, count_alias="y").to_pandas()
+    out_empty = pd.DataFrame({
+        "n_days": pd.Series([], dtype="int64"),
+        "n_pairs": pd.Series([], dtype="int64"),
+        "slope": pd.Series([], dtype="float64")})
+    if daily.empty or "d" not in daily.columns or len(daily) < 2:
+        return out_empty
+    daily = daily.sort_values("d").reset_index(drop=True)
+    x = daily["d"].to_numpy().astype(np.int64)
+    y = daily["y"].to_numpy().astype(np.int64)
+    i, j = np.triu_indices(len(x), k=1)
+    slopes = (y[j] - y[i]).astype(np.float64) \
+        / (x[j] - x[i]).astype(np.float64)
+    slopes = np.sort(slopes)
+    k = max(int(math.ceil(0.5 * len(slopes))) - 1, 0)
+    return pd.DataFrame({
+        "n_days": pd.Series([len(x)], dtype="int64"),
+        "n_pairs": pd.Series([len(slopes)], dtype="int64"),
+        "slope": pd.Series([float(duckdb_round(float(slopes[k]), 6))],
+                           dtype="float64")})

@@ -1695,3 +1695,46 @@ def test_weighted_jaccard_identical_and_disjoint(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["source_a", "source_b", "common_min",
                                  "n_a", "n_b", "wjaccard"]
+
+
+# --------------------------------------------------- Theil-Sen
+
+def test_theil_sen_shrugs_off_outlier_day(tmp_path):
+    """Counts [1,2,3,4,100] on days 0..4: OLS is dragged to a huge
+    positive slope by the spike, but the MEDIAN of the 10 pairwise
+    slopes is exactly 1.0 — the robustness story in one corpus (the
+    spike corrupts only the 4 pairs touching day 4)."""
+    from jsonschema_ray.pipelines.relational import theil_sen_daily_events
+    rows = []
+    for day, cnt in ((0, 1), (1, 2), (2, 3), (3, 4), (4, 100)):
+        rows += [(1, "a", day * 1440 + i) for i in range(cnt)]
+    _events_type_ts(tmp_path, rows)
+    out = theil_sen_daily_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_days": 5, "n_pairs": 10, "slope": 1.0}]
+    exp = _oracle(tmp_path, "theil_sen_daily_events")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_theil_sen_gap_days_and_disc_median(tmp_path):
+    """Unevenly spaced observed days [0, 1, 10] with counts [2, 4, 5]:
+    slopes {2.0, 3/10, 1/9} → disc median (n=3 → index 1) is 3/10 =
+    0.3 — fractional day spans divide to the same double on both
+    engines; degenerate single-day corpus → typed empty frame."""
+    from jsonschema_ray.pipelines.relational import theil_sen_daily_events
+    rows = [(1, "a", 0), (1, "a", 1)]
+    rows += [(1, "a", 1440 + i) for i in range(4)]
+    rows += [(1, "a", 10 * 1440 + i) for i in range(5)]
+    _events_type_ts(tmp_path, rows)
+    out = theil_sen_daily_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_days": 3, "n_pairs": 3, "slope": 0.3}]
+    exp = _oracle(tmp_path, "theil_sen_daily_events")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _events_type_ts(tmp_path, [(1, "a", 3), (1, "a", None)])
+    out = theil_sen_daily_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_days", "n_pairs", "slope"]
+    exp = _oracle(tmp_path, "theil_sen_daily_events")
+    assert len(exp) == 0
