@@ -63,8 +63,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-15 additions (oracled)
         "bigram_logprob_documents":
             R.bigram_logprob_documents,                    # oracled
-        "spend_deciles_customers":
-            R.spend_deciles_customers,                     # oracled
         # --- session-16 additions (oracled)
         "rfm_segments_customers":
             R.rfm_segments_customers,                      # oracled
@@ -128,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.longest_quiet_gap_by_type,                   # oracled
         "source_weighted_jaccard": R.source_weighted_jaccard,  # oracled
         "theil_sen_daily_events": R.theil_sen_daily_events,  # oracled
+        "equidepth_bins_value_events":
+            R.equidepth_bins_value_events,                 # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -327,6 +327,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pin-dense, two-engine green at 3 SFs across sessions)
         "kendall_tau_daily_events":
             R.kendall_tau_daily_events,                    # oracled
+        # (evicted for equidepth_bins_value_events: the distributed-
+        # NTILE decile machinery stays covered in-window by
+        # rfm_segments (three _ntile_boundaries consumers in one) +
+        # gains_by_segment + equidepth itself — the primitive's
+        # direct exposure; pin-dense, two-engine green at 3 SFs)
+        "spend_deciles_customers":
+            R.spend_deciles_customers,                     # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -2046,6 +2053,20 @@ SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days,
        CAST(count(*) AS BIGINT) AS n_pairs,
        round(quantile_disc(s, 0.5), 6) AS slope
 FROM p HAVING count(*) > 0""",
+        "equidepth_bins_value_events": """
+WITH e AS (SELECT event_id,
+                  CAST(round(value * 1000000) AS BIGINT) AS vm
+           FROM events
+           WHERE value IS NOT NULL AND event_id IS NOT NULL),
+b AS (SELECT event_id, vm,
+             ntile(10) OVER (ORDER BY vm, event_id) AS q FROM e),
+r AS (SELECT q, vm, event_id,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY vm, event_id) AS rn
+      FROM b)
+SELECT CAST(q AS BIGINT) AS bin, vm AS edge_micro,
+       event_id AS edge_event_id
+FROM r WHERE rn = 1 AND q >= 2 ORDER BY bin""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

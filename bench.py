@@ -366,6 +366,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.source_weighted_jaccard(sf_dir)))
     timed("theil_sen_daily_events",
           lambda: len(R.theil_sen_daily_events(sf_dir)))
+    timed("equidepth_bins_value_events",
+          lambda: len(R.equidepth_bins_value_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -12355,3 +12355,48 @@ def theil_sen_daily_events(sf_dir: str):
         "n_pairs": pd.Series([len(slopes)], dtype="int64"),
         "slope": pd.Series([float(duckdb_round(float(slopes[k]), 6))],
                            dtype="float64")})
+
+
+def equidepth_bins_value_events(sf_dir: str, k: int = 10):
+    """Equi-depth bin edges of the event value column (ORACLED): the
+    ≤ k−1 NTILE(k) boundary keys — each bin edge as (bin, quantized
+    value, owning event_id) — the histogram-design primitive behind
+    rfm/gains surfaced as a first-class query (an equi-depth binning
+    is what a feature bucketizer or a range-partitioner actually
+    ships; value_bands uses fixed widths, this uses fixed MASS). The
+    metric is micro-quantized (rint(value·1e6), the cents discipline
+    scaled) so the (metric, event_id) total order is exact on both
+    engines; _ntile_boundaries does the distributed work — ONE range
+    sort, a blocks-bounded summary gather, and a second block-aligned
+    pass that ships ONLY the boundary rows; nothing row-level reaches
+    the driver beyond the k−1 keys. Buckets left empty by n < k
+    produce no edge (bins 2..min(k, n) — SQL NTILE's degrade,
+    pinned). Null value/event_id rows invisible; fewer than two rows
+    → typed empty frame."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("event_id").is_valid(),
+                             b.column("value").is_valid()))
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "vm": pa.array(np.rint(v * 1e6).astype(np.int64)),
+            "event_id": t.column("event_id")})
+
+    out_empty = pd.DataFrame({
+        "bin": pd.Series([], dtype="int64"),
+        "edge_micro": pd.Series([], dtype="int64"),
+        "edge_event_id": pd.Series([], dtype="int64")})
+    bounds = _ntile_boundaries(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        "vm", "event_id", k)
+    if not bounds:
+        return out_empty
+    return pd.DataFrame({
+        "bin": pd.Series(range(2, 2 + len(bounds)), dtype="int64"),
+        "edge_micro": pd.Series([m for m, _ in bounds],
+                                dtype="int64"),
+        "edge_event_id": pd.Series([i for _, i in bounds],
+                                   dtype="int64")})

@@ -165,7 +165,7 @@ def oracle_pairs():
     "weekend_lift_by_type", "first_last_matrix_events",
     "mad_daily_events", "duplicate_events_share",
     "longest_quiet_gap_by_type", "source_weighted_jaccard",
-    "theil_sen_daily_events",
+    "theil_sen_daily_events", "equidepth_bins_value_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1738,3 +1738,55 @@ def test_theil_sen_gap_days_and_disc_median(tmp_path):
     assert list(out.columns) == ["n_days", "n_pairs", "slope"]
     exp = _oracle(tmp_path, "theil_sen_daily_events")
     assert len(exp) == 0
+
+
+# ------------------------------------------------ equi-depth bins
+
+def _events_idval(tmp_path, rows):
+    """rows: (event_id|None, value|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "value": pa.array([r[1] for r in rows], pa.float64())}))
+
+
+def test_equidepth_hand_edges_and_short_corpus(tmp_path):
+    """Values 1..10 micro-quantize to 1e6..10e6: NTILE(10) puts one
+    row per bin → edges are values 2..10 owned by their events; a
+    4-row corpus yields only bins 2..4 (NTILE's n < k degrade — no
+    empty-bin edges); ties order by event_id inside the quantized
+    metric."""
+    from jsonschema_ray.pipelines.relational import (
+        equidepth_bins_value_events)
+    _events_idval(tmp_path, [(v, float(v)) for v in range(1, 11)])
+    out = equidepth_bins_value_events(str(tmp_path))
+    assert list(out["bin"]) == list(range(2, 11))
+    assert list(out["edge_micro"]) == [v * 1_000_000
+                                       for v in range(2, 11)]
+    exp = _oracle(tmp_path, "equidepth_bins_value_events") \
+        .sort_values("bin").reset_index(drop=True)
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _events_idval(tmp_path, [(v + 1, float(v)) for v in range(4)])
+    out = equidepth_bins_value_events(str(tmp_path))
+    assert list(out["bin"]) == [2, 3, 4]
+    exp = _oracle(tmp_path, "equidepth_bins_value_events")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_equidepth_tied_values_and_empty(tmp_path):
+    """All-equal values: edges exist but carry the SAME quantized
+    value, distinguished by event_id (the unique total order both
+    engines share); null value/event_id rows invisible; a one-row
+    corpus answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        equidepth_bins_value_events)
+    _events_idval(tmp_path, [(u, 5.0) for u in range(1, 21)])
+    out = equidepth_bins_value_events(str(tmp_path))
+    assert (out["edge_micro"] == 5_000_000).all() and len(out) == 9
+    exp = _oracle(tmp_path, "equidepth_bins_value_events")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _events_idval(tmp_path, [(1, 5.0), (2, None), (None, 3.0)])
+    out = equidepth_bins_value_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["bin", "edge_micro", "edge_event_id"]
