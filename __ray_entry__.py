@@ -53,8 +53,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
-        "transition_timing_events":
-            R.transition_timing_events,                   # oracled
         "customers_not_in_error_users":
             R.customers_not_in_error_users,               # oracled
         "nation_share_of_region": R.nation_share_of_region,  # oracled
@@ -128,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_daily_events": R.theil_sen_daily_events,  # oracled
         "equidepth_bins_value_events":
             R.equidepth_bins_value_events,                 # oracled
+        "naive_forecast_mae_daily":
+            R.naive_forecast_mae_daily,                    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -334,6 +334,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # direct exposure; pin-dense, two-engine green at 3 SFs)
         "spend_deciles_customers":
             R.spend_deciles_customers,                     # oracled
+        # (evicted for naive_forecast_mae_daily: per-user consecutive-
+        # pair timing machinery stays covered in-window by
+        # interarrival_cv_by_type (same-stream gaps) +
+        # first_last_matrix_events (endpoint crosstab) +
+        # order_gap_histogram (the lexsort-diff kernel); pin-dense,
+        # two-engine green at 3 SFs across sessions)
+        "transition_timing_events":
+            R.transition_timing_events,                   # oracled
         "cumulative_parts_shipped":
             R.cumulative_parts_shipped,                   # oracled
         "quantize_embeddings": R.quantize_embeddings,     # oracled
@@ -2067,6 +2075,27 @@ r AS (SELECT q, vm, event_id,
 SELECT CAST(q AS BIGINT) AS bin, vm AS edge_micro,
        event_id AS edge_event_id
 FROM r WHERE rn = 1 AND q >= 2 ORDER BY bin""",
+        "naive_forecast_mae_daily": """
+WITH g AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS x,
+                  CAST(count(*) AS HUGEINT) AS y
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY CAST(ts AS DATE)),
+l7 AS (SELECT abs(a.y - b.y) AS e
+       FROM g a JOIN g b ON b.x = a.x - 7),
+l1 AS (SELECT abs(a.y - b.y) AS e
+       FROM g a JOIN g b ON b.x = a.x - 1)
+SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days,
+       CAST((SELECT count(*) FROM l7) AS BIGINT) AS n_lag7_pairs,
+       (SELECT CASE WHEN count(*) = 0 THEN NULL
+               ELSE round(CAST(CAST(sum(e) AS VARCHAR) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 6) END
+        FROM l7) AS mae_lag7,
+       (SELECT CASE WHEN count(*) = 0 THEN NULL
+               ELSE round(CAST(CAST(sum(e) AS VARCHAR) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 6) END
+        FROM l1) AS mae_lag1
+WHERE (SELECT count(*) FROM g) >= 2""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -368,6 +368,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.theil_sen_daily_events(sf_dir)))
     timed("equidepth_bins_value_events",
           lambda: len(R.equidepth_bins_value_events(sf_dir)))
+    timed("naive_forecast_mae_daily",
+          lambda: len(R.naive_forecast_mae_daily(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

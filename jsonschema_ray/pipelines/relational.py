@@ -12400,3 +12400,62 @@ def equidepth_bins_value_events(sf_dir: str, k: int = 10):
                                 dtype="int64"),
         "edge_event_id": pd.Series([i for _, i in bounds],
                                    dtype="int64")})
+
+
+def naive_forecast_mae_daily(sf_dir: str):
+    """Seasonal-naive forecast baseline (ORACLED): ONE row — the
+    number of scorable days, the mean absolute error of the lag-7
+    ("same weekday last week") naive forecast of daily event volume,
+    and the mean absolute DAILY CHANGE (the lag-1 naive) — the two
+    baselines every real forecasting model must beat before it earns
+    a deploy (a model that can't beat copy-last-week is a bug with a
+    dashboard). Exact integers end to end: daily counts are ints,
+    errors are |int − int| over CALENDAR-aligned pairs (a day whose
+    d−7 was never observed is not scorable and is excluded — no
+    zero-filling, the observed-days discipline), and each MAE is ONE
+    exact-int sum over ONE divide in SQL operand order, 6dp. The
+    daily grid is calendar-bounded; the alignment is a driver-side
+    searchsorted over the gathered grid. Null ts rows invisible; a
+    corpus with no scorable lag-7 pair answers SQL-NULL mae7 while
+    mae1 may still report (both pinned); fewer than two observed
+    days → typed empty frame."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("ts").is_valid())
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        return pa.table({"d": pc.cast(d, pa.int64())})
+
+    daily = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["d"], {}, count_alias="y").to_pandas()
+    out_empty = pd.DataFrame({
+        "n_days": pd.Series([], dtype="int64"),
+        "n_lag7_pairs": pd.Series([], dtype="int64"),
+        "mae_lag7": pd.Series([], dtype="float64"),
+        "mae_lag1": pd.Series([], dtype="float64")})
+    if daily.empty or "d" not in daily.columns or len(daily) < 2:
+        return out_empty
+    daily = daily.sort_values("d").reset_index(drop=True)
+    x = daily["d"].to_numpy().astype(np.int64)
+    y = daily["y"].to_numpy().astype(np.int64)
+
+    def lag_mae(lag):
+        pos = np.searchsorted(x, x - lag)
+        posc = np.minimum(pos, len(x) - 1)
+        ok = x[posc] == x - lag
+        n = int(ok.sum())
+        if n == 0:
+            return 0, float("nan")
+        s = int(np.abs(y[ok].astype(object)
+                       - y[posc[ok]].astype(object)).sum())
+        return n, float(duckdb_round(float(s) / float(n), 6))
+
+    n7, mae7 = lag_mae(7)
+    _n1, mae1 = lag_mae(1)
+    return pd.DataFrame({
+        "n_days": pd.Series([len(x)], dtype="int64"),
+        "n_lag7_pairs": pd.Series([n7], dtype="int64"),
+        "mae_lag7": pd.Series([mae7], dtype="float64"),
+        "mae_lag1": pd.Series([mae1], dtype="float64")})

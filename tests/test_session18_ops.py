@@ -1790,3 +1790,54 @@ def test_equidepth_tied_values_and_empty(tmp_path):
     out = equidepth_bins_value_events(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["bin", "edge_micro", "edge_event_id"]
+
+
+# --------------------------------------------- naive forecast MAE
+
+def test_naive_forecast_hand_alignment(tmp_path):
+    """Days 0..8 with counts [1..9]: lag-7 pairs are (7,0) and (8,1)
+    with |err| 7 each → mae7 exactly 7.0; lag-1 errors are all 1 →
+    mae1 exactly 1.0 — calendar alignment, not row order."""
+    from jsonschema_ray.pipelines.relational import (
+        naive_forecast_mae_daily)
+    rows = []
+    for day in range(9):
+        rows += [(1, "a", day * 1440 + i) for i in range(day + 1)]
+    _events_type_ts(tmp_path, rows)
+    out = naive_forecast_mae_daily(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_days": 9, "n_lag7_pairs": 2, "mae_lag7": 7.0,
+         "mae_lag1": 1.0}]
+    exp = _oracle(tmp_path, "naive_forecast_mae_daily")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+
+def test_naive_forecast_gaps_exclude_and_null_mae7(tmp_path):
+    """A missing d−7 day makes a day unscorable (excluded, not
+    zero-filled — pinned); a short two-day corpus has NO lag-7 pair
+    → SQL-NULL mae7 while mae1 still reports; a one-day corpus
+    answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        naive_forecast_mae_daily)
+    rows = [(1, "a", 0), (1, "a", 1440), (1, "a", 1441),
+            (1, "a", 8 * 1440)]    # days 0, 1(x2), 8: lag7 pair (8,1)
+    _events_type_ts(tmp_path, rows)
+    out = naive_forecast_mae_daily(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_days"], r["n_lag7_pairs"]) == (3, 1)
+    assert r["mae_lag7"] == 1.0       # |1 - 2|
+    exp = _oracle(tmp_path, "naive_forecast_mae_daily")
+    assert exp.to_dict("records") == out.to_dict("records")
+
+    _events_type_ts(tmp_path, [(1, "a", 0), (1, "a", 1440)])
+    out = naive_forecast_mae_daily(str(tmp_path))
+    assert math.isnan(out.iloc[0]["mae_lag7"])
+    assert out.iloc[0]["mae_lag1"] == 0.0
+    exp = _oracle(tmp_path, "naive_forecast_mae_daily")
+    assert math.isnan(exp.iloc[0]["mae_lag7"])
+
+    _events_type_ts(tmp_path, [(1, "a", 5)])
+    out = naive_forecast_mae_daily(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_days", "n_lag7_pairs",
+                                 "mae_lag7", "mae_lag1"]
