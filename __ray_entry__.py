@@ -57,7 +57,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.customers_not_in_error_users,               # oracled
         "nation_share_of_region": R.nation_share_of_region,  # oracled
         "skyline_orders": R.skyline_orders,               # oracled
-        "weighted_median_price": R.weighted_median_price,  # oracled
         # --- session-15 additions (oracled)
         "bigram_logprob_documents":
             R.bigram_logprob_documents,                    # oracled
@@ -128,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.equidepth_bins_value_events,                 # oracled
         "naive_forecast_mae_daily":
             R.naive_forecast_mae_daily,                    # oracled
+        # --- session-19 additions (oracled)
+        "hll_registers_events": R.hll_registers_events,    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -157,6 +158,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for hll_registers_events: the distributed exact-
+        # median / order-statistic machinery stays covered in-window
+        # by session_duration_median_events + mad_daily_events'
+        # windowed medians + equidepth_bins' rank extraction (the
+        # same sort + block-aligned order-statistic family);
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "weighted_median_price": R.weighted_median_price,  # oracled
         "benford_totalprice": R.benford_totalprice,       # oracled
         # (evicted for cohort_ltv_curve: sort-then-consecutive-
         # difference lag machinery stays covered in-window by
@@ -2096,6 +2104,18 @@ SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days,
                           / CAST(count(*) AS DOUBLE), 6) END
         FROM l1) AS mae_lag1
 WHERE (SELECT count(*) FROM g) >= 2""",
+        "hll_registers_events": """
+WITH ids AS (SELECT DISTINCT user_id FROM events
+             WHERE user_id IS NOT NULL),
+h AS (SELECT ((md5_number(CAST(user_id AS VARCHAR))
+               % 18446744073709551616) + 18446744073709551616)
+             % 18446744073709551616 AS h FROM ids),
+parts AS (SELECT CAST(h // 72057594037927936 AS BIGINT) AS bucket,
+                 h % 72057594037927936 AS w FROM h)
+SELECT bucket,
+       MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
+         AS register
+FROM parts GROUP BY bucket ORDER BY bucket""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

@@ -12459,3 +12459,68 @@ def naive_forecast_mae_daily(sf_dir: str):
         "n_lag7_pairs": pd.Series([n7], dtype="int64"),
         "mae_lag7": pd.Series([mae7], dtype="float64"),
         "mae_lag1": pd.Series([mae1], dtype="float64")})
+
+
+def hll_registers_events(sf_dir: str, p: int = 8):
+    """The HyperLogLog REGISTER TABLE of distinct event users (ORACLED):
+    bucket (top-``p`` md5 bits) and register value (leading-zero rank of
+    the remaining 56-bit suffix) for every OBSERVED bucket — the sketch
+    state itself, value-level cross-engine, not just the estimate it
+    implies. The repo's production HLL (sketches/hll.py, reference
+    semantics: the approx distinct path of checks/stats.go's column
+    profiler) keys on the internal hash64 no SQL engine can reproduce,
+    so column_stats_approx is rows-only; this query re-keys the SAME
+    register semantics on MD5 — the md5lsh convention (dedup/md5lsh.py:
+    DuckDB ``md5_number`` low-64 == hashlib digest[:8] little-endian) —
+    making the sketch's full merge tree value-reproducible in ANSI SQL:
+    ``bucket = h >> 56``, ``rho = 57 − bit_length(h & (2^56−1))`` (57
+    when the suffix is 0; SQL mirrors bit_length with the minimal-width
+    ``length(bin(w))``, the w=0 arm CASEd). Registers are EXACTLY the
+    max-merge of per-batch partial registers — the distributive max that
+    makes HLL mergeable across shards is the same property that makes
+    the partial shuffle here one <=2^p-row table per batch. Buckets no
+    user hashes into are ABSENT (SQL GROUP BY semantics), not
+    zero-filled. Null user_id rows are invisible; an all-null or empty
+    corpus answers a typed empty frame. The estimate itself stays out
+    of the oracle on purpose (the 2^p-term harmonic sum has no defined
+    SQL accumulation order); test_session19_ops pins it driver-side
+    against the exact distinct count at the sketch's nominal error."""
+    import hashlib
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    shift = 64 - p
+    mask = (1 << shift) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("user_id").drop_null()
+        ids = np.unique(col.to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        if ids.size == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        regs: dict[int, int] = {}
+        for uid in ids.tolist():
+            h = int.from_bytes(
+                hashlib.md5(str(uid).encode()).digest()[:8], "little")
+            w = h & mask
+            rho = shift + 1 - w.bit_length() if w else shift + 1
+            bkt = h >> shift
+            if rho > regs.get(bkt, 0):
+                regs[bkt] = rho
+        buckets = sorted(regs)
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            "rho": pa.array([regs[b_] for b_ in buckets], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072)
+    from ray.data.aggregate import Max
+    out = parts.groupby("bucket").aggregate(
+        Max("rho", alias_name="register")).to_pandas()
+    if out.empty or "bucket" not in out.columns:
+        return pd.DataFrame({
+            "bucket": pd.Series([], dtype="int64"),
+            "register": pd.Series([], dtype="int64")})
+    out = out.sort_values("bucket").reset_index(drop=True)
+    out["bucket"] = out["bucket"].astype("int64")
+    out["register"] = out["register"].astype("int64")
+    return out

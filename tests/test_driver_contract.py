@@ -166,7 +166,7 @@ def oracle_pairs():
     "mad_daily_events", "duplicate_events_share",
     "longest_quiet_gap_by_type", "source_weighted_jaccard",
     "theil_sen_daily_events", "equidepth_bins_value_events",
-    "naive_forecast_mae_daily",
+    "naive_forecast_mae_daily", "hll_registers_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

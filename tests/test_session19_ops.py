@@ -1,0 +1,149 @@
+"""Session-19 operators — crafted edge branches the sf oracles can't
+reach. The sf-scale value oracles run in test_driver_contract and were
+hand-verified at sf0.001/0.01/0.1 against DuckDB."""
+
+import hashlib
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+DAY = 86_400_000_000  # one day in µs
+MIN = 60_000_000  # one minute in µs
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _oracle(tmp_path, name):
+    import duckdb
+
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "customer",
+              "supplier", "nation", "region", "part", "embeddings"):
+        p = os.path.join(str(tmp_path), f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}')")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+def _events_users(tmp_path, user_ids):
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, len(user_ids) + 1), pa.int64()),
+        "user_id": pa.array(user_ids, pa.int64()),
+        "ts": pa.array([i * MIN for i in range(len(user_ids))],
+                       pa.timestamp("us"))}))
+
+
+def _hll_expected(user_ids):
+    """Independent re-derivation of the register table (the test's own
+    arithmetic, not the implementation's)."""
+    regs = {}
+    for uid in set(user_ids):
+        h = int.from_bytes(
+            hashlib.md5(str(uid).encode()).digest()[:8], "little")
+        w = h & ((1 << 56) - 1)
+        rho = 57 - w.bit_length() if w else 57
+        b = h >> 56
+        regs[b] = max(regs.get(b, 0), rho)
+    return [{"bucket": b, "register": regs[b]} for b in sorted(regs)]
+
+
+# ------------------------------------------------------------------ hll
+
+def test_hll_registers_hand_users(tmp_path):
+    """Three distinct users → registers match the test's own
+    hashlib-derived bucket/rho table AND the DuckDB md5_number oracle
+    (three independent md5 arithmetic paths agreeing)."""
+    from jsonschema_ray.pipelines.relational import hll_registers_events
+    _events_users(tmp_path, [7, 42, 9001])
+    out = hll_registers_events(str(tmp_path))
+    assert out.to_dict("records") == _hll_expected([7, 42, 9001])
+    exp = _oracle(tmp_path, "hll_registers_events")
+    assert exp.astype({"bucket": "int64", "register": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+
+def test_hll_duplicates_collapse(tmp_path):
+    """A user seen 50 times contributes exactly the register a user
+    seen once does — max-merge idempotence, the property that makes
+    the sketch mergeable across shards."""
+    from jsonschema_ray.pipelines.relational import hll_registers_events
+    _events_users(tmp_path, [123] * 50 + [456])
+    out = hll_registers_events(str(tmp_path))
+    assert out.to_dict("records") == _hll_expected([123, 456])
+    exp = _oracle(tmp_path, "hll_registers_events")
+    assert exp.astype({"bucket": "int64", "register": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+
+def test_hll_bucket_collision_takes_max(tmp_path):
+    """Seed a corpus large enough that at least one bucket holds >= 2
+    distinct users (256 buckets, 600 users → pigeonhole) and pin that
+    every register equals the MAX rho over that bucket's users, not
+    the first or last seen."""
+    from jsonschema_ray.pipelines.relational import hll_registers_events
+    ids = list(range(1000, 1600))
+    _events_users(tmp_path, ids)
+    out = hll_registers_events(str(tmp_path))
+    assert out.to_dict("records") == _hll_expected(ids)
+    # pigeonhole really happened: fewer buckets than users
+    assert len(out) < len(ids)
+
+
+def test_hll_null_users_invisible_and_empty(tmp_path):
+    """NULL user_id rows are invisible; an all-null corpus answers a
+    typed empty frame on both engines."""
+    from jsonschema_ray.pipelines.relational import hll_registers_events
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([None, 77, None], pa.int64()),
+        "ts": pa.array([0, MIN, 2 * MIN], pa.timestamp("us"))}))
+    out = hll_registers_events(str(tmp_path))
+    assert out.to_dict("records") == _hll_expected([77])
+
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([None], pa.int64()),
+        "ts": pa.array([0], pa.timestamp("us"))}))
+    out = hll_registers_events(str(tmp_path))
+    assert list(out.columns) == ["bucket", "register"]
+    assert len(out) == 0
+    assert out["bucket"].dtype == "int64"
+    assert out["register"].dtype == "int64"
+    assert len(_oracle(tmp_path, "hll_registers_events")) == 0
+
+
+def test_hll_estimate_tracks_exact_count():
+    """The registers ARE a working sketch: the standard HLL harmonic
+    estimate computed from the query's output lands within the
+    sketch's nominal error band of the exact distinct-user count at
+    sf0.001 (driver-side check — the estimate stays out of the SQL
+    oracle because a 256-term float harmonic sum has no defined SQL
+    accumulation order)."""
+    import duckdb
+
+    from jsonschema_ray.pipelines.relational import hll_registers_events
+    sf = "/root/testdata/sf0.001"
+    out = hll_registers_events(sf)
+    m = 256
+    regs = np.zeros(m)
+    regs[out["bucket"].to_numpy()] = out["register"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs))
+    nzero = m - len(out)
+    if est <= 2.5 * m and nzero:  # small-range correction
+        est = m * math.log(m / nzero)
+    exact = duckdb.connect().execute(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf}/events.parquet')").fetchone()[0]
+    assert abs(est - exact) / exact < 0.15  # 1.04/sqrt(256) ≈ 6.5%, 2σ+
