@@ -114,7 +114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.suppliers_per_part_histogram,                # oracled
         "centroid_accuracy_embeddings":
             R.centroid_accuracy_embeddings,                # oracled
-        "weekend_lift_by_type": R.weekend_lift_by_type,    # oracled
         "first_last_matrix_events":
             R.first_last_matrix_events,                    # oracled
         "mad_daily_events": R.mad_daily_events,            # oracled
@@ -129,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.naive_forecast_mae_daily,                    # oracled
         # --- session-19 additions (oracled)
         "hll_registers_events": R.hll_registers_events,    # oracled
+        "runs_test_daily_events": R.runs_test_daily_events,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +158,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for runs_test_daily_events: the dense-grid daily
+        # volume machinery stays covered in-window by the grid family
+        # itself (runs_test + mad_daily + theil_sen + naive_forecast
+        # all consume _dense_daily_counts) and calendar-key grouping
+        # by ship_delay_by_month; pin-dense, two-engine green at 3
+        # SFs across sessions)
+        "weekend_lift_by_type": R.weekend_lift_by_type,    # oracled
         # (evicted for hll_registers_events: the distributed exact-
         # median / order-statistic machinery stays covered in-window
         # by session_duration_median_events + mad_daily_events'
@@ -2116,6 +2123,41 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "runs_test_daily_events": """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT event_type, d, count(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM e),
+grid AS (
+  SELECT t.event_type, CAST(g.d AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+        FROM b) g),
+f AS (
+  SELECT grid.event_type, grid.d, coalesce(c.n, 0) AS n
+  FROM grid LEFT JOIN c
+    ON c.event_type = grid.event_type AND c.d = grid.d),
+med AS (SELECT event_type, quantile_disc(n, 0.5) AS med
+        FROM f GROUP BY event_type),
+s AS (SELECT f.event_type, f.d,
+             CASE WHEN f.n > med.med THEN 1 ELSE -1 END AS side
+      FROM f JOIN med USING (event_type) WHERE f.n <> med.med),
+r AS (SELECT event_type, side,
+             lag(side) OVER (PARTITION BY event_type
+                             ORDER BY d) AS prev
+      FROM s),
+x AS (SELECT event_type,
+             CAST(count(*) FILTER (side = 1) AS BIGINT) AS n_above,
+             CAST(count(*) FILTER (side = -1) AS BIGINT) AS n_below,
+             CAST(count(*) FILTER (prev IS NULL OR side <> prev)
+                  AS BIGINT) AS n_runs
+      FROM r GROUP BY event_type)
+SELECT med.event_type, CAST(med.med AS BIGINT) AS median_count,
+       coalesce(x.n_above, 0) AS n_above,
+       coalesce(x.n_below, 0) AS n_below,
+       coalesce(x.n_runs, 0) AS n_runs
+FROM med LEFT JOIN x USING (event_type) ORDER BY med.event_type""",
         "quantize_embeddings": sql_scalar_quantize(),
         "interleave_by_source_documents": """
 WITH c AS (SELECT count(*) AS total FROM documents),

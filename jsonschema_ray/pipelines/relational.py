@@ -12524,3 +12524,50 @@ def hll_registers_events(sf_dir: str, p: int = 8):
     out["bucket"] = out["bucket"].astype("int64")
     out["register"] = out["register"].astype("int64")
     return out
+
+
+def runs_test_daily_events(sf_dir: str):
+    """Wald–Wolfowitz RUNS census of daily volume per event type
+    (ORACLED): dichotomize each type's dense daily-count series at its
+    discrete median (quantile_disc 0.5 — an actual grid value, the
+    ceil(q·n)−1 convention theil_sen pinned), DROP the days equal to
+    the median (the standard dichotomization — pinned: they are not a
+    third symbol), and count the maximal same-side runs of what
+    remains — the randomness screen that separates "volume wanders
+    independently" from "volume trends or oscillates" (few long runs
+    = trending; many short runs = mean-reverting), the non-parametric
+    cousin of autocorr_daily on the same grid. Seventh consumer of the
+    shared _dense_daily_counts grid: a calendar gap IS a below-median
+    day and must zero-fill before the median is taken. Everything is
+    exact integers end to end — the median is a count, the sides are
+    sign compares, runs are boundary counts (prev IS NULL OR side ≠
+    prev in SQL == first-element + sign-change count in numpy) — so
+    no rounding discipline is needed anywhere. A constant series
+    (every day equal to the median) keeps its type row with
+    n_above = n_below = n_runs = 0 (the LEFT JOIN arm, pinned); a
+    corpus with no (type, ts) rows answers a typed empty frame."""
+    f = _dense_daily_counts(sf_dir)
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "median_count": pd.Series([], dtype="int64"),
+        "n_above": pd.Series([], dtype="int64"),
+        "n_below": pd.Series([], dtype="int64"),
+        "n_runs": pd.Series([], dtype="int64")})
+    if f is None:
+        return out_empty
+    rows = []
+    for t, g in f.groupby("event_type", sort=True):
+        y = g.sort_values("day")["n"].to_numpy().astype(np.int64)
+        med = int(np.sort(y)[max(int(math.ceil(0.5 * len(y))) - 1, 0)])
+        sides = np.sign(y - med)
+        sides = sides[sides != 0]
+        runs = 0 if sides.size == 0 else \
+            int((sides[1:] != sides[:-1]).sum()) + 1
+        rows.append({"event_type": t, "median_count": med,
+                     "n_above": int((sides > 0).sum()),
+                     "n_below": int((sides < 0).sum()),
+                     "n_runs": runs})
+    out = pd.DataFrame(rows)
+    for c in ("median_count", "n_above", "n_below", "n_runs"):
+        out[c] = out[c].astype("int64")
+    return out

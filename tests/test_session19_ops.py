@@ -147,3 +147,92 @@ def test_hll_estimate_tracks_exact_count():
         f"SELECT count(DISTINCT user_id) FROM "
         f"read_parquet('{sf}/events.parquet')").fetchone()[0]
     assert abs(est - exact) / exact < 0.15  # 1.04/sqrt(256) ≈ 6.5%, 2σ+
+
+
+def _events_type_days(tmp_path, day_counts):
+    """day_counts: {event_type: {day_number: count}} — expands to one
+    event row per count at day*DAY µs."""
+    types, ts = [], []
+    for t, dc in day_counts.items():
+        for d, c in dc.items():
+            for _ in range(c):
+                types.append(t)
+                ts.append(d * DAY)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, len(types) + 1), pa.int64()),
+        "user_id": pa.array([1] * len(types), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us"))}))
+
+
+# ------------------------------------------------------------ runs test
+
+def test_runs_zero_fill_is_load_bearing(tmp_path):
+    """Days 0..4 with counts [3,1,3,·,1] (day 3 never observed): the
+    dense grid zero-fills day 3 → y=[3,1,3,0,1], median 1, equal days
+    dropped, sides [+,+,−] → 2 runs. WITHOUT the zero-fill the − side
+    would not exist at all (1 run) — the gap IS a below-median day."""
+    from jsonschema_ray.pipelines.relational import runs_test_daily_events
+    _events_type_days(tmp_path, {"a": {0: 3, 1: 1, 2: 3, 4: 1}})
+    out = runs_test_daily_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "a", "median_count": 1, "n_above": 2,
+         "n_below": 1, "n_runs": 2}]
+    exp = _oracle(tmp_path, "runs_test_daily_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_runs_max_alternation(tmp_path):
+    """Counts [5,1,5,1,5,3]: disc median 3 (its own day equal-dropped),
+    sides [+,−,+,−,+] → every boundary is a run boundary: 5 runs,
+    n_above=3, n_below=2 — the mean-reverting extreme."""
+    from jsonschema_ray.pipelines.relational import runs_test_daily_events
+    _events_type_days(tmp_path, {"a": {0: 5, 1: 1, 2: 5, 3: 1, 4: 5,
+                                       5: 3}})
+    out = runs_test_daily_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "a", "median_count": 3, "n_above": 3,
+         "n_below": 2, "n_runs": 5}]
+    exp = _oracle(tmp_path, "runs_test_daily_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_runs_constant_series_keeps_row(tmp_path):
+    """A type whose every grid day equals its median (constant series)
+    keeps its row with n_above = n_below = n_runs = 0 — the LEFT JOIN
+    arm in SQL, not an absent type. A second trending type in the SAME
+    corpus pins the one-run extreme: counts [1,1,9,9] → disc median 1
+    (sorted[ceil(2)−1]), the two 1-days equal-dropped, sides [+,+] →
+    exactly 1 run — per-type medians computed independently."""
+    from jsonschema_ray.pipelines.relational import runs_test_daily_events
+    _events_type_days(tmp_path, {
+        "flat": {0: 2, 1: 2, 2: 2, 3: 2},
+        "trend": {0: 1, 1: 1, 2: 9, 3: 9}})
+    out = runs_test_daily_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "flat", "median_count": 2, "n_above": 0,
+         "n_below": 0, "n_runs": 0},
+        {"event_type": "trend", "median_count": 1, "n_above": 2,
+         "n_below": 0, "n_runs": 1}]
+    exp = _oracle(tmp_path, "runs_test_daily_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_runs_empty_and_null_rows(tmp_path):
+    """Null ts / null type rows are invisible; a corpus with none left
+    answers a typed empty frame on both engines."""
+    from jsonschema_ray.pipelines.relational import runs_test_daily_events
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array([None, "a"], pa.string()),
+        "ts": pa.array([0, None], pa.timestamp("us"))}))
+    out = runs_test_daily_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "median_count",
+                                 "n_above", "n_below", "n_runs"]
+    assert out["n_runs"].dtype == "int64"
+    assert len(_oracle(tmp_path, "runs_test_daily_events")) == 0
