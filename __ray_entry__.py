@@ -68,8 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.normalized_dup_documents,                    # oracled
         # --- session-17 additions (oracled)
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
-        "retention_curve_events":
-            R.retention_curve_events,                      # oracled
         "new_vs_repeat_revenue": R.new_vs_repeat_revenue,  # oracled
         "return_rate_by_month": R.return_rate_by_month,    # oracled
         "basket_size_histogram": R.basket_size_histogram,  # oracled
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-19 additions (oracled)
         "hll_registers_events": R.hll_registers_events,    # oracled
         "runs_test_daily_events": R.runs_test_daily_events,  # oracled
+        "survival_risk_table_customers":
+            R.survival_risk_table_customers,               # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +158,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for survival_risk_table_customers — its censored
+        # GENERALIZATION: the per-user first-activity endpoint and
+        # calendar-day-offset machinery stay covered in-window by the
+        # risk table (same first-touch kernel, same day offsets, plus
+        # the censoring arm retention can't see) with wau_mau on the
+        # user-day axis; pin-dense, two-engine green at 3 SFs across
+        # sessions)
+        "retention_curve_events":
+            R.retention_curve_events,                      # oracled
         # (evicted for runs_test_daily_events: the dense-grid daily
         # volume machinery stays covered in-window by the grid family
         # itself (runs_test + mad_daily + theil_sen + naive_forecast
@@ -2123,6 +2132,31 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "survival_risk_table_customers": """
+WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+mx AS (SELECT max(d) AS dmax FROM o),
+r AS (SELECT ck, d,
+             row_number() OVER (PARTITION BY ck ORDER BY d) AS rn
+      FROM o),
+f AS (SELECT ck, MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+             MIN(CASE WHEN rn = 2 THEN d END) AS d2,
+             count(*) AS n FROM r GROUP BY ck),
+subj AS (SELECT ck,
+    CASE WHEN n >= 2 THEN date_diff('day', d1, d2)
+         ELSE date_diff('day', d1, (SELECT dmax FROM mx)) END AS t,
+    CASE WHEN n >= 2 THEN 1 ELSE 0 END AS ev FROM f),
+agg AS (SELECT t, CAST(sum(ev) AS BIGINT) AS n_event,
+               CAST(sum(1 - ev) AS BIGINT) AS n_censor,
+               count(*) AS m FROM subj GROUP BY t)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST((SELECT count(*) FROM subj)
+            - coalesce(sum(m) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+       n_event, n_censor
+FROM agg ORDER BY t_days""",
         "runs_test_daily_events": """
 WITH e AS (
   SELECT event_type, CAST(ts AS DATE) AS d FROM events

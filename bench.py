@@ -374,6 +374,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.hll_registers_events(sf_dir)))
     timed("runs_test_daily_events",
           lambda: len(R.runs_test_daily_events(sf_dir)))
+    timed("survival_risk_table_customers",
+          lambda: len(R.survival_risk_table_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

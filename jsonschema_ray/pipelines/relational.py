@@ -12571,3 +12571,135 @@ def runs_test_daily_events(sf_dir: str):
     for c in ("median_count", "n_above", "n_below", "n_runs"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def survival_risk_table_customers(sf_dir: str):
+    """Kaplan–Meier RISK TABLE of time-to-second-order (ORACLED): for
+    every distinct duration t (days), the number of customers still at
+    risk at t, the repeat-purchase EVENTS at t, and the right-CENSORED
+    exits at t — the survival-analysis input grid (KM / Cox / churn
+    models all start here), and the repo's first query with censoring
+    semantics: a single-order customer has NOT failed to repeat, they
+    are censored at the end of observation (global max order date),
+    and excluding them — what a naive repeat-rate query does — biases
+    every hazard estimate upward. Durations are exact date32-int day
+    differences; t=0 is real on both arms (two same-day orders = an
+    event at 0; a lone order ON the corpus max date = a censor at 0,
+    both pinned). The KM product-limit estimate itself stays out of
+    the oracle (an ordered float product); the risk table is the
+    sufficient statistic and is exact integers end to end, n_risk via
+    the SQL running-sum identity n − Σ_{s<t}(d_s + c_s). Plan: one
+    tiny max-date scan, then ONE per-batch kernel keeps only each
+    customer's TWO smallest order days plus its batch count (the
+    2-smallest multiset is combinable — per-batch partials merge to
+    the global first/second order dates exactly, the argmin family
+    generalized), ONE ck-hash partition merges partials and reduces
+    straight to (t, ev) partial counts — only calendar-bounded rows
+    reach the driver. Null custkey/orderdate rows invisible; an empty
+    cleaned corpus answers a typed empty frame."""
+    from ..util import partitioned_group_apply
+    out_empty = pd.DataFrame({
+        "t_days": pd.Series([], dtype="int64"),
+        "n_risk": pd.Series([], dtype="int64"),
+        "n_event": pd.Series([], dtype="int64"),
+        "n_censor": pd.Series([], dtype="int64")})
+
+    def pmax(b: pa.Table) -> pa.Table:
+        # the observation horizon is the max date of the CLEANED
+        # subject rows — a null-custkey order on a later day must not
+        # extend censoring (pinned)
+        t = b.filter(pc.and_(b.column("o_custkey").is_valid(),
+                             b.column("o_orderdate").is_valid()))
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        d = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()),
+                    pa.int32())
+        return pa.table({"mx": pa.array([pc.max(d).as_py()],
+                                        pa.int64())})
+
+    mxdf = _read(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(pmax, batch_format="pyarrow",
+                     zero_copy_batch=True,
+                     batch_size=131072).to_pandas()
+    if mxdf.empty or "mx" not in mxdf.columns:
+        return out_empty
+    dmax = int(mxdf["mx"].max())
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("o_custkey").is_valid(),
+                             b.column("o_orderdate").is_valid()))
+        if t.num_rows == 0:
+            return pa.table({"ck": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()),
+                    pa.int32()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((d, ck))
+        ck, d = ck[order], d[order]
+        idxf = np.flatnonzero(
+            np.concatenate(([True], ck[1:] != ck[:-1])))
+        cnts = np.diff(np.append(idxf, len(ck)))
+        second = (idxf + 1)[cnts >= 2]
+        keep = np.concatenate([idxf, second])
+        w = np.concatenate([cnts,
+                            np.zeros(second.size, np.int64)])
+        return pa.table({"ck": pa.array(ck[keep]),
+                         "d": pa.array(d[keep]),
+                         "w": pa.array(w)})
+
+    parts = _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=131072)
+
+    def fin(t: pa.Table) -> pa.Table:
+        ck = t.column("ck").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = t.column("d").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = t.column("w").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if ck.size == 0:
+            return pa.table({"t": pa.array([], pa.int64()),
+                             "ev": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        order = np.lexsort((d, ck))
+        ck, d, w = ck[order], d[order], w[order]
+        idxf = np.flatnonzero(
+            np.concatenate(([True], ck[1:] != ck[:-1])))
+        rows = np.diff(np.append(idxf, len(ck)))
+        n_orders = np.add.reduceat(w, idxf)
+        d1 = d[idxf]
+        ev = n_orders >= 2
+        # >=2 orders implies >=2 partial rows (each batch emits its
+        # two smallest), so idxf+1 is in this customer's run
+        d2 = np.where(ev, d[np.minimum(idxf + 1, len(d) - 1)], 0)
+        tt = np.where(ev, d2 - d1, dmax - d1)
+        evi = ev.astype(np.int64)
+        key = tt * 2 + evi
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"t": pa.array(uk // 2),
+                         "ev": pa.array(uk % 2),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = partitioned_group_apply(parts, ["ck"], fin,
+                                  batch_format="pyarrow").to_pandas()
+    if agg.empty or "t" not in agg.columns:
+        return out_empty
+    g = agg.groupby(["t", "ev"])["cnt"].sum().unstack(
+        fill_value=0).reindex(columns=[0, 1], fill_value=0) \
+        .reset_index().sort_values("t").reset_index(drop=True)
+    n_event = g[1].to_numpy().astype(np.int64)
+    n_censor = g[0].to_numpy().astype(np.int64)
+    total = int(n_event.sum() + n_censor.sum())
+    exits = n_event + n_censor
+    n_risk = total - np.concatenate(([0], np.cumsum(exits)[:-1]))
+    return pd.DataFrame({
+        "t_days": g["t"].astype("int64"),
+        "n_risk": pd.Series(n_risk, dtype="int64"),
+        "n_event": pd.Series(n_event, dtype="int64"),
+        "n_censor": pd.Series(n_censor, dtype="int64")})

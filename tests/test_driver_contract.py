@@ -167,7 +167,7 @@ def oracle_pairs():
     "longest_quiet_gap_by_type", "source_weighted_jaccard",
     "theil_sen_daily_events", "equidepth_bins_value_events",
     "naive_forecast_mae_daily", "hll_registers_events",
-    "runs_test_daily_events",
+    "runs_test_daily_events", "survival_risk_table_customers",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -236,3 +236,77 @@ def test_runs_empty_and_null_rows(tmp_path):
                                  "n_above", "n_below", "n_runs"]
     assert out["n_runs"].dtype == "int64"
     assert len(_oracle(tmp_path, "runs_test_daily_events")) == 0
+
+
+def _orders_days(tmp_path, rows):
+    """rows: (o_custkey|None, order_day|None) — o_orderdate at
+    day*DAY µs."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [None if r[1] is None else r[1] * DAY for r in rows],
+            pa.timestamp("us"))}))
+
+
+# ------------------------------------------------------------- survival
+
+def test_survival_hand_risk_table(tmp_path):
+    """A(orders day 0,5 → event t=5), B(one order day 3 → censored at
+    dmax=5 → t=2), C(two SAME-DAY orders day 1 → event t=0): risk
+    table [t=0: 3 at risk, 1 event | t=2: 2 at risk, 1 censor |
+    t=5: 1 at risk, 1 event] — the t=0 event arm (same-day repeat)
+    and the running n−Σexits identity in one corpus."""
+    from jsonschema_ray.pipelines.relational import (
+        survival_risk_table_customers)
+    _orders_days(tmp_path, [(1, 0), (1, 5), (2, 3), (3, 1), (3, 1)])
+    out = survival_risk_table_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"t_days": 0, "n_risk": 3, "n_event": 1, "n_censor": 0},
+        {"t_days": 2, "n_risk": 2, "n_event": 0, "n_censor": 1},
+        {"t_days": 5, "n_risk": 1, "n_event": 1, "n_censor": 0}]
+    exp = _oracle(tmp_path, "survival_risk_table_customers")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_survival_censor_at_zero_and_third_order_invisible(tmp_path):
+    """A lone order ON the corpus max date is a t=0 CENSOR (not an
+    event, not absent); a third order never matters (customer with
+    days [7,1,4] unsorted → event t=3 from the two smallest)."""
+    from jsonschema_ray.pipelines.relational import (
+        survival_risk_table_customers)
+    _orders_days(tmp_path, [(1, 7), (1, 1), (1, 4), (2, 7)])
+    out = survival_risk_table_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"t_days": 0, "n_risk": 2, "n_event": 0, "n_censor": 1},
+        {"t_days": 3, "n_risk": 1, "n_event": 1, "n_censor": 0}]
+    exp = _oracle(tmp_path, "survival_risk_table_customers")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_survival_nulls_and_empty(tmp_path):
+    """Null custkey/orderdate rows are invisible — including for the
+    global max date (a null-custkey order on a LATER day must not
+    extend censoring); no surviving row → typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        survival_risk_table_customers)
+    _orders_days(tmp_path, [(1, 2), (None, 9), (1, None), (2, 4)])
+    out = survival_risk_table_customers(str(tmp_path))
+    # dmax = 4 (the null-custkey day-9 order is invisible): cust 1
+    # censored at t=2, cust 2 censored at t=0
+    assert out.to_dict("records") == [
+        {"t_days": 0, "n_risk": 2, "n_event": 0, "n_censor": 1},
+        {"t_days": 2, "n_risk": 1, "n_event": 0, "n_censor": 1}]
+    exp = _oracle(tmp_path, "survival_risk_table_customers")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+    _orders_days(tmp_path, [(None, 3), (5, None)])
+    out = survival_risk_table_customers(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["t_days", "n_risk", "n_event",
+                                 "n_censor"]
+    assert out["n_risk"].dtype == "int64"
+    assert len(_oracle(tmp_path, "survival_risk_table_customers")) == 0
