@@ -61,8 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_documents":
             R.bigram_logprob_documents,                    # oracled
         # --- session-16 additions (oracled)
-        "rfm_segments_customers":
-            R.rfm_segments_customers,                      # oracled
         "readability_documents": R.readability_documents,  # oracled
         "normalized_dup_documents":
             R.normalized_dup_documents,                    # oracled
@@ -129,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "runs_test_daily_events": R.runs_test_daily_events,  # oracled
         "survival_risk_table_customers":
             R.survival_risk_table_customers,               # oracled
+        "decay_spend_customers": R.decay_spend_customers,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +157,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for decay_spend_customers: all three of rfm's
+        # _ntile_boundaries consumers stay covered in-window by
+        # equidepth_bins (the primitive surfaced directly) +
+        # gains_by_segment (the grouped NTILE), and the combined
+        # per-customer f/m/recency shuffle by decay_spend's per-ck
+        # merge + survival's endpoint kernel; pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "rfm_segments_customers":
+            R.rfm_segments_customers,                      # oracled
         # (evicted for survival_risk_table_customers — its censored
         # GENERALIZATION: the per-user first-activity endpoint and
         # calendar-day-offset machinery stay covered in-window by the
@@ -2132,6 +2140,23 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "decay_spend_customers": """
+WITH o AS (SELECT o_custkey AS ck,
+                  CAST(o_totalprice * 100 AS BIGINT) AS cents,
+                  CAST(o_orderdate AS DATE) AS d
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+mx AS (SELECT max(d) AS dmax FROM o),
+w AS (SELECT ck,
+             cents * (CAST(1 AS BIGINT)
+                      << (30 - date_diff('day', d, dmax))) AS term
+      FROM o, mx WHERE date_diff('day', d, dmax) <= 30),
+s AS (SELECT ck, sum(CAST(term AS HUGEINT)) AS sc, count(*) AS n
+      FROM w GROUP BY ck)
+SELECT ck AS o_custkey, CAST(sc AS VARCHAR) AS score_scaled,
+       CAST(n AS BIGINT) AS n_window_orders
+FROM s ORDER BY sc DESC, ck LIMIT 20""",
         "survival_risk_table_customers": """
 WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
            FROM orders

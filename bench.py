@@ -376,6 +376,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.runs_test_daily_events(sf_dir)))
     timed("survival_risk_table_customers",
           lambda: len(R.survival_risk_table_customers(sf_dir)))
+    timed("decay_spend_customers",
+          lambda: len(R.decay_spend_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -12703,3 +12703,126 @@ def survival_risk_table_customers(sf_dir: str):
         "n_risk": pd.Series(n_risk, dtype="int64"),
         "n_event": pd.Series(n_event, dtype="int64"),
         "n_censor": pd.Series(n_censor, dtype="int64")})
+
+
+def decay_spend_customers(sf_dir: str, horizon: int = 30, k: int = 20):
+    """Exponentially-decayed recency spend score, EXACT (ORACLED): the
+    top-k customers by Σ cents·2^(horizon−age) over orders at most
+    ``horizon`` days old (age relative to the max cleaned order date;
+    half-life one day) — the feature-store recency score that usually
+    ships as an unreproducible float fold, made bit-exact by choosing
+    the decay base 2: every weight is a power of two, every term is an
+    exact integer (cents << (30−age), ≤ 2^63 per order for any real
+    price), and the per-customer sum rides the repo's DECIMAL-STRING
+    discipline (Python big-int == SQL HUGEINT — no float enters until
+    nothing is left to compute). The window boundary is closed at
+    age = horizon (weight 1) and open past it (pinned: an order one
+    day older contributes NOTHING, not a half-weight — the window IS
+    the approximation, stated rather than smuggled). Plan: one
+    max-date scan over cleaned rows, per-batch per-customer big-int
+    partial sums emitted as strings, ONE ck-hash partition pass
+    merges them and keeps its LOCAL top-k by (score, −ck) — a
+    partition-local top-k is sufficient because a global top-k row
+    must be its own partition's top-k (scores are per-ck complete
+    after the merge) — and the driver re-ranks ≤ k·partitions rows.
+    Ties rank by customer key ascending on both engines. Null
+    custkey/price/date rows invisible everywhere (including the
+    horizon); an empty cleaned window answers a typed empty frame."""
+    from ..util import partitioned_group_apply
+    out_empty = pd.DataFrame({
+        "o_custkey": pd.Series([], dtype="int64"),
+        "score_scaled": pd.Series([], dtype="object"),
+        "n_window_orders": pd.Series([], dtype="int64")})
+
+    def clean(b: pa.Table):
+        return b.filter(pc.and_(
+            pc.and_(b.column("o_custkey").is_valid(),
+                    b.column("o_orderdate").is_valid()),
+            b.column("o_totalprice").is_valid()))
+
+    def pmax(b: pa.Table) -> pa.Table:
+        t = clean(b)
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        d = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()),
+                    pa.int32())
+        return pa.table({"mx": pa.array([pc.max(d).as_py()],
+                                        pa.int64())})
+
+    cols = ["o_custkey", "o_orderdate", "o_totalprice"]
+    mxdf = _read(sf_dir, "orders", columns=cols) \
+        .map_batches(pmax, batch_format="pyarrow",
+                     zero_copy_batch=True,
+                     batch_size=131072).to_pandas()
+    if mxdf.empty or "mx" not in mxdf.columns:
+        return out_empty
+    dmax = int(mxdf["mx"].max())
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = clean(b)
+        empty = pa.table({"ck": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()),
+                    pa.int32()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.rint(v * 100).astype(np.int64)
+        age = dmax - d
+        m = age <= horizon
+        if not m.any():
+            return empty
+        ck, cents, age = ck[m], cents[m], age[m]
+        order = np.argsort(ck, kind="stable")
+        ck, cents, age = ck[order], cents[order], age[order]
+        idxf = np.flatnonzero(
+            np.concatenate(([True], ck[1:] != ck[:-1])))
+        ns = np.diff(np.append(idxf, len(ck)))
+        # each term fits int64 (cents·2^30); only the per-ck SUM can
+        # overflow, so the reduceat runs on object dtype — Python
+        # big-int addition, the decimal-string discipline's engine
+        terms = np.left_shift(cents, horizon - age).astype(object)
+        sums = np.add.reduceat(terms, idxf)
+        return pa.table({"ck": pa.array(ck[idxf]),
+                         "s": pa.array([str(x) for x in sums],
+                                       pa.string()),
+                         "n": pa.array(ns.astype(np.int64))})
+
+    parts = _read(sf_dir, "orders", columns=cols) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=131072)
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ck": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        acc: dict[int, list] = {}
+        for ck, s, n in zip(df["ck"], df["s"], df["n"]):
+            e = acc.setdefault(int(ck), [0, 0])
+            e[0] += int(s)
+            e[1] += int(n)
+        top = sorted(acc.items(),
+                     key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        return pa.table({
+            "ck": pa.array([c for c, _ in top], pa.int64()),
+            "s": pa.array([str(e[0]) for _, e in top], pa.string()),
+            "n": pa.array([e[1] for _, e in top], pa.int64())})
+
+    got = partitioned_group_apply(parts, ["ck"], fin,
+                                  batch_format="pyarrow").to_pandas()
+    if got.empty or "ck" not in got.columns:
+        return out_empty
+    got["_v"] = got["s"].map(int)
+    got = got.sort_values(["_v", "ck"],
+                          ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "o_custkey": got["ck"].astype("int64").to_numpy(),
+        "score_scaled": got["s"].astype(object).to_numpy(),
+        "n_window_orders": got["n"].astype("int64").to_numpy()})

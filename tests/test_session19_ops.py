@@ -310,3 +310,97 @@ def test_survival_nulls_and_empty(tmp_path):
                                  "n_censor"]
     assert out["n_risk"].dtype == "int64"
     assert len(_oracle(tmp_path, "survival_risk_table_customers")) == 0
+
+
+def _orders_price_days(tmp_path, rows):
+    """rows: (o_custkey|None, o_totalprice|None, order_day|None)."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        "o_orderdate": pa.array(
+            [None if r[2] is None else r[2] * DAY for r in rows],
+            pa.timestamp("us"))}))
+
+
+# ---------------------------------------------------------------- decay
+
+def test_decay_halving_tie_and_ck_tiebreak(tmp_path):
+    """$1.00 today and $2.00 yesterday score EXACTLY equal
+    (100·2^30 == 200·2^29 — the one-day half-life identity as exact
+    integers, no float ever computed), and the tie ranks by customer
+    key ascending on both engines."""
+    from jsonschema_ray.pipelines.relational import decay_spend_customers
+    _orders_price_days(tmp_path, [(1, 1.00, 30), (2, 2.00, 29)])
+    out = decay_spend_customers(str(tmp_path))
+    s = str(100 << 30)
+    assert out.to_dict("records") == [
+        {"o_custkey": 1, "score_scaled": s, "n_window_orders": 1},
+        {"o_custkey": 2, "score_scaled": s, "n_window_orders": 1}]
+    exp = _oracle(tmp_path, "decay_spend_customers")
+    assert exp.astype({"o_custkey": "int64", "score_scaled": str,
+                       "n_window_orders": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+
+def test_decay_window_boundary_closed_then_open(tmp_path):
+    """An order exactly horizon days old carries weight 1 (score ==
+    its cents); one day older contributes NOTHING — the customer
+    vanishes if that was their only order. A two-order customer
+    accumulates exact power-of-two terms."""
+    from jsonschema_ray.pipelines.relational import decay_spend_customers
+    _orders_price_days(tmp_path, [
+        (1, 3.50, 0),            # age 30 → weight 1 → 350
+        (2, 999.99, -1),         # age 31 → outside, invisible
+        (3, 1.00, 30), (3, 1.00, 28)])  # 100·2^30 + 100·2^28
+    out = decay_spend_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"o_custkey": 3,
+         "score_scaled": str(100 * ((1 << 30) + (1 << 28))),
+         "n_window_orders": 2},
+        {"o_custkey": 1, "score_scaled": "350",
+         "n_window_orders": 1}]
+    exp = _oracle(tmp_path, "decay_spend_customers")
+    assert exp.astype({"o_custkey": "int64", "score_scaled": str,
+                       "n_window_orders": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+
+def test_decay_null_price_does_not_shift_horizon(tmp_path):
+    """A null-price order on a LATER day is invisible INCLUDING for
+    the horizon: with it dropped, dmax stays at day 10 and the day-10
+    order scores at full weight (2^30), not aged by the phantom."""
+    from jsonschema_ray.pipelines.relational import decay_spend_customers
+    _orders_price_days(tmp_path, [(1, 1.00, 10), (2, None, 40)])
+    out = decay_spend_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"o_custkey": 1, "score_scaled": str(100 << 30),
+         "n_window_orders": 1}]
+    exp = _oracle(tmp_path, "decay_spend_customers")
+    assert exp.astype({"o_custkey": "int64", "score_scaled": str,
+                       "n_window_orders": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+
+def test_decay_topk_cutoff_and_empty(tmp_path):
+    """25 customers with strictly decreasing spends → exactly 20 rows,
+    the five smallest absent, order matching the oracle's LIMIT 20;
+    an all-null corpus answers a typed empty frame."""
+    from jsonschema_ray.pipelines.relational import decay_spend_customers
+    _orders_price_days(tmp_path,
+                       [(i, float(100 - i), 5) for i in range(1, 26)])
+    out = decay_spend_customers(str(tmp_path))
+    assert len(out) == 20
+    assert out["o_custkey"].tolist() == list(range(1, 21))
+    exp = _oracle(tmp_path, "decay_spend_customers")
+    assert exp.astype({"o_custkey": "int64", "score_scaled": str,
+                       "n_window_orders": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+    _orders_price_days(tmp_path, [(None, 1.0, 1), (1, None, None)])
+    out = decay_spend_customers(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["o_custkey", "score_scaled",
+                                 "n_window_orders"]
+    assert out["o_custkey"].dtype == "int64"
+    assert len(_oracle(tmp_path, "decay_spend_customers")) == 0
