@@ -75,7 +75,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_share_documents": R.hapax_share_documents,  # oracled
         "sessions_per_user_histogram":
             R.sessions_per_user_histogram,                 # oracled
-        "order_gap_histogram": R.order_gap_histogram,      # oracled
         # --- session-18 additions (oracled)
         "gini_spend_customers": R.gini_spend_customers,    # oracled
         "cohort_ltv_curve": R.cohort_ltv_curve,            # oracled
@@ -128,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_risk_table_customers":
             R.survival_risk_table_customers,               # oracled
         "decay_spend_customers": R.decay_spend_customers,  # oracled
+        "trajectory_census_customers":
+            R.trajectory_census_customers,                 # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -157,6 +158,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for trajectory_census_customers: the per-user
+        # (date, key) lexsort-diff kernel stays covered in-window by
+        # the census (the SAME sort on the SAME table, now consuming
+        # cent diffs) + interarrival_cv + time_to_first_error's
+        # timing arm, and the bounded-histogram shape by basket_size
+        # + order_completion histograms; pin-dense, two-engine green
+        # at 3 SFs across sessions)
+        "order_gap_histogram": R.order_gap_histogram,      # oracled
         # (evicted for decay_spend_customers: all three of rfm's
         # _ntile_boundaries consumers stay covered in-window by
         # equidepth_bins (the primitive surfaced directly) +
@@ -2140,6 +2149,27 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "trajectory_census_customers": """
+WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+                  CAST(o_totalprice * 100 AS BIGINT) AS cents,
+                  CAST(o_orderdate AS DATE) AS d
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+l AS (SELECT ck, cents - lag(cents) OVER (PARTITION BY ck
+                                          ORDER BY d, ok) AS df
+      FROM o),
+f AS (SELECT ck, count(*) AS n, min(sign(df)) AS mn,
+             max(sign(df)) AS mx
+      FROM l GROUP BY ck)
+SELECT CAST(count(*) FILTER (n >= 2) AS BIGINT) AS n_multi,
+       CAST(count(*) FILTER (n >= 2 AND mn > 0) AS BIGINT)
+         AS n_increasing,
+       CAST(count(*) FILTER (n >= 2 AND mx < 0) AS BIGINT)
+         AS n_decreasing,
+       CAST(count(*) FILTER (n >= 2 AND mn = 0 AND mx = 0)
+            AS BIGINT) AS n_constant
+FROM f""",
         "decay_spend_customers": """
 WITH o AS (SELECT o_custkey AS ck,
                   CAST(o_totalprice * 100 AS BIGINT) AS cents,

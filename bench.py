@@ -378,6 +378,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.survival_risk_table_customers(sf_dir)))
     timed("decay_spend_customers",
           lambda: len(R.decay_spend_customers(sf_dir)))
+    timed("trajectory_census_customers",
+          lambda: len(R.trajectory_census_customers(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

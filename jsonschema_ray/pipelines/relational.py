@@ -12826,3 +12826,107 @@ def decay_spend_customers(sf_dir: str, horizon: int = 30, k: int = 20):
         "o_custkey": got["ck"].astype("int64").to_numpy(),
         "score_scaled": got["s"].astype(object).to_numpy(),
         "n_window_orders": got["n"].astype("int64").to_numpy()})
+
+
+def trajectory_census_customers(sf_dir: str):
+    """Per-customer spend TRAJECTORY census (ORACLED): ONE row — how
+    many multi-order customers exist, and how many of them have
+    strictly increasing, strictly decreasing, or exactly constant
+    order-value sequences in (orderdate, orderkey) time order — the
+    cohort-health readout ("are repeat customers ramping or fading?")
+    that summarizes every customer's full trajectory, not just its
+    endpoints (spend_trend's sign census reads first-vs-last; a
+    customer who dips then recovers fools endpoints but not this).
+    Monotonicity of a date-interleaved merge is NOT derivable from
+    per-batch partials (unlike survival's 2-smallest), so the honest
+    plan is the per-user kernel family's: ONE ck-hash partition pass
+    ships only (ck, day, orderkey, cents) — four narrow int columns —
+    lexsorts within the partition (the order_gap lexsort-diff
+    kernel), signs consecutive same-ck cent diffs, and reduces to a
+    four-int census partial per partition; the driver adds
+    partitions-many rows. Exact integers throughout (cents via the
+    pinned rint/CAST recipe; sign compares): no rounding discipline
+    needed. Strictness is real: a repeated amount anywhere breaks
+    both strict arms (a two-equal-then-up customer counts in NONE of
+    the three classes — pinned); the (day, orderkey) total order
+    makes same-day orders deterministic on both engines. Null
+    custkey/price/date rows invisible; single-order customers count
+    nowhere; the answer is ALWAYS exactly one row — an empty cleaned
+    corpus answers all zeros (the SQL ungrouped-aggregate convention,
+    pinned), not an empty frame."""
+    from ..util import partitioned_group_apply
+    cols = ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ds = _read(sf_dir, "orders", columns=cols)
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("o_custkey").is_valid(),
+                    b.column("o_orderdate").is_valid()),
+            b.column("o_totalprice").is_valid()))
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "ck": t.column("o_custkey"),
+            "ok": t.column("o_orderkey"),
+            "d": pc.cast(pc.cast(t.column("o_orderdate"),
+                                 pa.date32()), pa.int32()),
+            "cents": pa.array(np.rint(v * 100.0).astype(np.int64))})
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"multi": pa.array([], pa.int64()),
+                             "inc": pa.array([], pa.int64()),
+                             "dec": pa.array([], pa.int64()),
+                             "const": pa.array([], pa.int64())})
+        ck = t.column("ck").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = t.column("ok").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = t.column("d").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = t.column("cents").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((ok, d, ck))
+        ck, c = ck[order], c[order]
+        same = ck[1:] == ck[:-1]
+        sgn = np.sign(c[1:] - c[:-1])
+        idxf = np.flatnonzero(
+            np.concatenate(([True], ~same)))
+        cnts = np.diff(np.append(idxf, len(ck)))
+        multi = cnts >= 2
+        if not multi.any():
+            return pa.table({
+                "multi": pa.array([0], pa.int64()),
+                "inc": pa.array([0], pa.int64()),
+                "dec": pa.array([0], pa.int64()),
+                "const": pa.array([0], pa.int64())})
+        # per-ck min/max of diff signs over its in-run diffs
+        # (positions start..start+cnt−2 of sgn): neutralize the
+        # cross-customer boundary diffs with ±2 sentinels, then one
+        # reduceat per extreme at the multi-run starts — segments
+        # span to the next multi start, but everything in between is
+        # boundary positions (single-order runs own no in-run diff),
+        # all sentinel-neutral, so each reduce is exactly its run's
+        mn_arr = np.where(same, sgn, 2)
+        mx_arr = np.where(same, sgn, -2)
+        starts = idxf[multi]  # each < len(sgn): the run's first diff
+        mn = np.minimum.reduceat(mn_arr, starts)
+        mx = np.maximum.reduceat(mx_arr, starts)
+        return pa.table({
+            "multi": pa.array([int(multi.sum())], pa.int64()),
+            "inc": pa.array([int((mn > 0).sum())], pa.int64()),
+            "dec": pa.array([int((mx < 0).sum())], pa.int64()),
+            "const": pa.array([int(((mn == 0) & (mx == 0)).sum())],
+                              pa.int64())})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072)
+    agg = partitioned_group_apply(parts, ["ck"], census,
+                                  batch_format="pyarrow").to_pandas()
+    vals = {c: int(agg[c].sum()) if not agg.empty and c in agg.columns
+            else 0 for c in ("multi", "inc", "dec", "const")}
+    return pd.DataFrame({
+        "n_multi": pd.Series([vals["multi"]], dtype="int64"),
+        "n_increasing": pd.Series([vals["inc"]], dtype="int64"),
+        "n_decreasing": pd.Series([vals["dec"]], dtype="int64"),
+        "n_constant": pd.Series([vals["const"]], dtype="int64")})

@@ -168,7 +168,7 @@ def oracle_pairs():
     "theil_sen_daily_events", "equidepth_bins_value_events",
     "naive_forecast_mae_daily", "hll_registers_events",
     "runs_test_daily_events", "survival_risk_table_customers",
-    "decay_spend_customers",
+    "decay_spend_customers", "trajectory_census_customers",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

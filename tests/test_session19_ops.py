@@ -404,3 +404,65 @@ def test_decay_topk_cutoff_and_empty(tmp_path):
                                  "n_window_orders"]
     assert out["o_custkey"].dtype == "int64"
     assert len(_oracle(tmp_path, "decay_spend_customers")) == 0
+
+
+# ----------------------------------------------------------- trajectory
+
+def test_trajectory_census_hand_cohort(tmp_path):
+    """One corpus, five customers: strict riser [1,2,3], strict fader
+    [5,3,1], constant [2,2], dip-recoverer [3,1,4] (endpoints say UP —
+    spend_trend would call it a riser — the full-sequence census says
+    NONE of the three), and a single-order customer counting nowhere:
+    n_multi=4, inc=1, dec=1, const=1."""
+    from jsonschema_ray.pipelines.relational import (
+        trajectory_census_customers)
+    _orders_price_days(tmp_path, [
+        (1, 1.00, 0), (1, 2.00, 1), (1, 3.00, 2),
+        (2, 5.00, 0), (2, 3.00, 1), (2, 1.00, 2),
+        (3, 2.00, 0), (3, 2.00, 1),
+        (4, 3.00, 0), (4, 1.00, 1), (4, 4.00, 2),
+        (5, 9.00, 0)])
+    out = trajectory_census_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_multi": 4, "n_increasing": 1, "n_decreasing": 1,
+         "n_constant": 1}]
+    exp = _oracle(tmp_path, "trajectory_census_customers")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_trajectory_strictness_and_sameday_order(tmp_path):
+    """A repeated amount anywhere breaks BOTH strict arms ([2,2,3] is
+    not increasing, not constant — it counts only in n_multi); two
+    SAME-DAY orders resolve by orderkey ascending, so ok1=$5, ok2=$3
+    is a strict fader on both engines (flip the keys and it would be
+    a riser — the tiebreak is load-bearing)."""
+    from jsonschema_ray.pipelines.relational import (
+        trajectory_census_customers)
+    _orders_price_days(tmp_path, [
+        (1, 2.00, 0), (1, 2.00, 1), (1, 3.00, 2),
+        (2, 5.00, 7), (2, 3.00, 7)])
+    out = trajectory_census_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_multi": 2, "n_increasing": 0, "n_decreasing": 1,
+         "n_constant": 0}]
+    exp = _oracle(tmp_path, "trajectory_census_customers")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_trajectory_empty_answers_zeros_row(tmp_path):
+    """The answer is ALWAYS one row: an empty cleaned corpus answers
+    all zeros (SQL's ungrouped aggregate over zero rows), not an
+    empty frame — pinned against the oracle."""
+    from jsonschema_ray.pipelines.relational import (
+        trajectory_census_customers)
+    _orders_price_days(tmp_path, [(None, 1.0, 0), (1, None, 1),
+                                  (2, 3.0, None)])
+    out = trajectory_census_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_multi": 0, "n_increasing": 0, "n_decreasing": 0,
+         "n_constant": 0}]
+    exp = _oracle(tmp_path, "trajectory_census_customers")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
