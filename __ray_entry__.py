@@ -55,7 +55,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-14 additions (oracled, never driver-checked)
         "customers_not_in_error_users":
             R.customers_not_in_error_users,               # oracled
-        "nation_share_of_region": R.nation_share_of_region,  # oracled
         "skyline_orders": R.skyline_orders,               # oracled
         # --- session-15 additions (oracled)
         "bigram_logprob_documents":
@@ -129,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decay_spend_customers": R.decay_spend_customers,  # oracled
         "trajectory_census_customers":
             R.trajectory_census_customers,                 # oracled
+        "twap_value_by_type": R.twap_value_by_type,        # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for twap_value_by_type: share-of-parent grouped
+        # sums stay covered in-window by gains_by_segment (per-
+        # segment cumulative shares) + new_vs_repeat's revenue split;
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "nation_share_of_region": R.nation_share_of_region,  # oracled
         # (evicted for trajectory_census_customers: the per-user
         # (date, key) lexsort-diff kernel stays covered in-window by
         # the census (the SAME sort on the SAME table, now consuming
@@ -2149,6 +2154,31 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "twap_value_by_type": """
+WITH e AS (SELECT event_type AS et, epoch_us(ts) AS t,
+                  event_id AS i,
+                  CAST(round(value * 1000000) AS BIGINT) AS v
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL AND event_id IS NOT NULL),
+l AS (SELECT et, t, v,
+             lead(t) OVER (PARTITION BY et ORDER BY t, i) AS tn,
+             lead(v) OVER (PARTITION BY et ORDER BY t, i) AS vn
+      FROM e),
+s AS (SELECT et,
+             count(*) AS n,
+             max(t) - min(t) AS span,
+             coalesce(sum(CAST(v + vn AS HUGEINT) * (tn - t)), 0)
+               AS num
+      FROM l GROUP BY et)
+SELECT et AS event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(span AS BIGINT) AS span_us,
+       CAST(num AS VARCHAR) AS twap_num_scaled,
+       CASE WHEN span = 0 THEN NULL
+            ELSE round(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                       / CAST(2 * span AS DOUBLE) / 1000000.0, 6)
+       END AS twap
+FROM s ORDER BY et""",
         "trajectory_census_customers": """
 WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
                   CAST(o_totalprice * 100 AS BIGINT) AS cents,

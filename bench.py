@@ -380,6 +380,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.decay_spend_customers(sf_dir)))
     timed("trajectory_census_customers",
           lambda: len(R.trajectory_census_customers(sf_dir)))
+    timed("twap_value_by_type",
+          lambda: len(R.twap_value_by_type(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -12930,3 +12930,129 @@ def trajectory_census_customers(sf_dir: str):
         "n_increasing": pd.Series([vals["inc"]], dtype="int64"),
         "n_decreasing": pd.Series([vals["dec"]], dtype="int64"),
         "n_constant": pd.Series([vals["const"]], dtype="int64")})
+
+
+def twap_value_by_type(sf_dir: str):
+    """Time-weighted average value per event type (ORACLED): the
+    trapezoid integral of each type's value series over its own time
+    span — Σ (v_i + v_{i+1})·(t_{i+1} − t_i) / (2·span) — the TWAP a
+    metering / billing / market-data pipeline ships where a plain AVG
+    would let burst-sampled intervals dominate (pinned by the sf
+    corpus: TWAP ≠ AVG whenever sampling is irregular). Everything
+    before the final divide is EXACT: timestamps are µs int64, values
+    micro-quantize by the equidepth recipe (rint·1e6 == SQL
+    CAST(round(value*1e6) AS BIGINT)), each trapezoid term is a
+    Python big-int product (v-sums fit int64; ×µs-gaps do not — the
+    object-dtype multiply is the decimal-string discipline's engine),
+    and the numerator ships as a DECIMAL STRING; the TWAP is one
+    VARCHAR→DOUBLE cast and two divides in pinned operand order, 6dp.
+    CONSECUTIVE-PAIR ORDER IS A CONTRACT: ties in ts resolve by
+    event_id on both engines — with equal timestamps the pairing
+    (a,b),(b,c) vs (b,a),(a,c) changes which value bridges the gap
+    (pinned with a zero-duration spike). Distributed shape: ONE range
+    sort by (type, ts, event_id) — the equidepth sort discipline —
+    then a blocks-bounded summary pass emits per type-RUN (first/last
+    key, endpoint values, in-block partial numerator); the driver
+    orders runs and adds only the ≤ blocks·types cross-block boundary
+    trapezoids. Nothing row-level reaches the driver. A single-event
+    type keeps its row with span 0, numerator "0" and SQL-NULL twap
+    (0/0 — pinned); null type/ts/value/event_id rows invisible; an
+    empty cleaned corpus answers a typed empty frame."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("event_type").is_valid(),
+                    b.column("ts").is_valid()),
+            pc.and_(b.column("value").is_valid(),
+                    b.column("event_id").is_valid())))
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "et": t.column("event_type"),
+            "t": pc.cast(t.column("ts"), pa.int64()),
+            "i": t.column("event_id"),
+            "v": pa.array(np.rint(v * 1e6).astype(np.int64))})
+
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_events": pd.Series([], dtype="int64"),
+        "span_us": pd.Series([], dtype="int64"),
+        "twap_num_scaled": pd.Series([], dtype="object"),
+        "twap": pd.Series([], dtype="float64")})
+    sortd = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=131072) \
+        .sort(["et", "t", "i"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "et": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "if_": pa.array([], pa.int64()),
+            "vf": pa.array([], pa.int64()),
+            "tl": pa.array([], pa.int64()),
+            "vl": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "num": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        et = b.column("et").to_numpy(zero_copy_only=False)
+        t = b.column("t").to_numpy(zero_copy_only=False)
+        i = b.column("i").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        idxf = np.flatnonzero(
+            np.concatenate(([True], et[1:] != et[:-1])))
+        ends = np.append(idxf[1:], len(et))
+        # in-run trapezoid partials: object-dtype products (µs gaps
+        # × value sums overflow int64), reduceat per run
+        if len(et) > 1:
+            terms = ((v[1:].astype(object) + v[:-1].astype(object))
+                     * (t[1:].astype(object) - t[:-1].astype(object)))
+            same = et[1:] == et[:-1]
+            terms = np.where(same, terms, 0)
+            sums = [int(terms[a:e - 1].sum()) if e - a >= 2 else 0
+                    for a, e in zip(idxf.tolist(), ends.tolist())]
+        else:
+            sums = [0]
+        return pa.table({
+            "et": pa.array(et[idxf]),
+            "tf": pa.array(t[idxf]),
+            "if_": pa.array(i[idxf]),
+            "vf": pa.array(v[idxf]),
+            "tl": pa.array(t[ends - 1]),
+            "vl": pa.array(v[ends - 1]),
+            "n": pa.array((ends - idxf).astype(np.int64)),
+            "num": pa.array([str(s) for s in sums], pa.string())})
+
+    summ = sortd.map_batches(summary, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=None).to_pandas()
+    if summ.empty or "et" not in summ.columns:
+        return out_empty
+    summ = summ.sort_values(["et", "tf", "if_"]).reset_index(drop=True)
+    rows = []
+    for et, g in summ.groupby("et", sort=True):
+        num = sum(int(s) for s in g["num"])
+        tl = g["tl"].to_numpy()
+        vl = g["vl"].to_numpy()
+        tf = g["tf"].to_numpy()
+        vf = g["vf"].to_numpy()
+        # cross-block boundary trapezoids between consecutive runs
+        for j in range(len(g) - 1):
+            num += (int(vl[j]) + int(vf[j + 1])) \
+                * (int(tf[j + 1]) - int(tl[j]))
+        span = int(tl[-1]) - int(tf[0])
+        n = int(g["n"].sum())
+        twap = (float("nan") if span == 0 else
+                float(duckdb_round(
+                    float(num) / float(2 * span) / 1e6, 6)))
+        rows.append({"event_type": et, "n_events": n,
+                     "span_us": span, "twap_num_scaled": str(num),
+                     "twap": twap})
+    out = pd.DataFrame(rows)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["span_us"] = out["span_us"].astype("int64")
+    out["twap"] = out["twap"].astype("float64")
+    return out

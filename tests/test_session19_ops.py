@@ -466,3 +466,99 @@ def test_trajectory_empty_answers_zeros_row(tmp_path):
     exp = _oracle(tmp_path, "trajectory_census_customers")
     assert exp.astype("int64").to_dict("records") \
         == out.to_dict("records")
+
+
+def _events_tv(tmp_path, rows):
+    """rows: (event_id|None, event_type|None, ts_minutes|None,
+    value|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([None if r[2] is None else r[2] * MIN
+                        for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64())}))
+
+
+# ----------------------------------------------------------------- twap
+
+def _twap_oracle_match(tmp_path, out):
+    exp = _oracle(tmp_path, "twap_value_by_type")
+    assert len(exp) == len(out)
+    for k in range(len(out)):
+        for c in ("event_type", "n_events", "span_us",
+                  "twap_num_scaled"):
+            assert exp.loc[k, c] == out.loc[k, c], (c, k)
+        a, b = exp.loc[k, "twap"], out.loc[k, "twap"]
+        assert (pd.isna(a) and pd.isna(b)) or a == b
+
+
+def test_twap_line_is_midpoint(tmp_path):
+    """v=2.0 at t=0 and v=4.0 at t=10min: the trapezoid of a straight
+    line is its midpoint — twap EXACTLY 3.0, numerator exactly
+    (2e6+4e6)·6e8 = 3.6e15 as a decimal string."""
+    from jsonschema_ray.pipelines.relational import twap_value_by_type
+    _events_tv(tmp_path, [(1, "a", 0, 2.0), (2, "a", 10, 4.0)])
+    out = twap_value_by_type(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "a", "n_events": 2, "span_us": 600_000_000,
+         "twap_num_scaled": "3600000000000000", "twap": 3.0}]
+    _twap_oracle_match(tmp_path, out)
+
+
+def test_twap_burst_sampling_differs_from_avg(tmp_path):
+    """v=1.0 held for 90 minutes then a 10-minute ramp to 5.0: plain
+    AVG reads 7/3 ≈ 2.33 (the late burst of samples dominates), TWAP
+    reads exactly 1.2 — the reason the integral form exists."""
+    from jsonschema_ray.pipelines.relational import twap_value_by_type
+    _events_tv(tmp_path, [(1, "a", 0, 1.0), (2, "a", 90, 1.0),
+                          (3, "a", 100, 5.0)])
+    out = twap_value_by_type(str(tmp_path))
+    assert out.loc[0, "twap"] == 1.2
+    assert out.loc[0, "twap_num_scaled"] == str(
+        (1_000_000 + 1_000_000) * 90 * MIN
+        + (1_000_000 + 5_000_000) * 10 * MIN)
+    _twap_oracle_match(tmp_path, out)
+
+
+def test_twap_zero_duration_spike_tie_order(tmp_path):
+    """Two events at the SAME µs (a zero-duration spike): the
+    (ts, event_id) tie order decides which value bridges the next
+    interval. id1(v=0) then id2(v=10) at t=0, id3(v=0) at t=10min:
+    the spike pair contributes 0 (dt=0) and v=10 bridges the gap →
+    twap exactly 5.0; flipped ids would answer 0.0 — both engines
+    must pick the same pairing."""
+    from jsonschema_ray.pipelines.relational import twap_value_by_type
+    _events_tv(tmp_path, [(1, "a", 0, 0.0), (2, "a", 0, 10.0),
+                          (3, "a", 10, 0.0)])
+    out = twap_value_by_type(str(tmp_path))
+    assert out.loc[0, "twap"] == 5.0
+    _twap_oracle_match(tmp_path, out)
+
+
+def test_twap_single_event_null_and_invisible_rows(tmp_path):
+    """A single-event type keeps its row — span 0, numerator \"0\",
+    SQL-NULL twap (0/0) — beside a normal type; a null-event_id row
+    is invisible (the equidepth id discipline); an all-invalid corpus
+    answers a typed empty frame."""
+    from jsonschema_ray.pipelines.relational import twap_value_by_type
+    _events_tv(tmp_path, [(1, "lone", 5, 7.5),
+                          (2, "b", 0, 1.0), (3, "b", 10, 3.0),
+                          (None, "b", 5, 99.0)])
+    out = twap_value_by_type(str(tmp_path))
+    assert out.to_dict("records")[0] == {
+        "event_type": "b", "n_events": 2, "span_us": 600_000_000,
+        "twap_num_scaled": str(4_000_000 * 600_000_000), "twap": 2.0}
+    lone = out.to_dict("records")[1]
+    assert lone["event_type"] == "lone" and lone["n_events"] == 1
+    assert lone["span_us"] == 0 and lone["twap_num_scaled"] == "0"
+    assert pd.isna(lone["twap"])
+    _twap_oracle_match(tmp_path, out)
+
+    _events_tv(tmp_path, [(1, None, 0, 1.0), (2, "a", None, 1.0),
+                          (3, "a", 1, None)])
+    out = twap_value_by_type(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "n_events", "span_us",
+                                 "twap_num_scaled", "twap"]
+    assert len(_oracle(tmp_path, "twap_value_by_type")) == 0
