@@ -44,8 +44,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-lens block 1: round-3 additions, never driver-checked
         # --- driver-lens block 2: NEW this round (oracled)
-        "ann_ivf_fullprobe_embeddings":
-            R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
         # --- session-11 additions (oracled, never driver-checked)
         # --- session-13: the md5-keyed LSH family — first value-level
         # oracles over minhash/simhash signatures (SQL md5_number)
@@ -129,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trajectory_census_customers":
             R.trajectory_census_customers,                 # oracled
         "twap_value_by_type": R.twap_value_by_type,        # oracled
+        "mmr_rerank_embeddings": R.mmr_rerank_embeddings,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +157,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for mmr_rerank_embeddings: the distributed exact-
+        # scorer discipline stays covered in-window by
+        # knn_label_agreement + the centroid family + mmr itself (a
+        # new consumer of the same batch-scored top-k gather, now
+        # integer-exact); pin-dense, two-engine green at 3 SFs across
+        # sessions)
+        "ann_ivf_fullprobe_embeddings":
+            R.ann_ivf_fullprobe_embeddings,               # oracled (exact)
         # (evicted for twap_value_by_type: share-of-parent grouped
         # sums stay covered in-window by gains_by_segment (per-
         # segment cumulative shares) + new_vs_repeat's revenue split;
@@ -2154,6 +2161,56 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "mmr_rerank_embeddings": """
+WITH RECURSIVE
+p AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * 1000000)) AS v
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+q AS (SELECT vec_id AS qid, v AS qv FROM p ORDER BY vec_id LIMIT 2),
+scored AS (SELECT q.qid, p.vec_id,
+                  CAST(list_inner_product(q.qv, p.v) AS BIGINT) AS s
+           FROM q JOIN p ON p.vec_id <> q.qid),
+cand AS (SELECT qid, vec_id, s FROM (
+           SELECT qid, vec_id, s,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY s DESC, vec_id) AS rn
+           FROM scored) WHERE rn <= 20),
+cc AS (SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+              CAST(list_inner_product(pa.v, pb.v) AS BIGINT) AS s
+       FROM cand a
+       JOIN cand b ON b.qid = a.qid AND b.vec_id <> a.vec_id
+       JOIN p pa ON pa.vec_id = a.vec_id
+       JOIN p pb ON pb.vec_id = b.vec_id),
+sel AS (
+  SELECT qid, 1 AS rank, vec_id, s AS mmr_x2, [vec_id] AS picked
+  FROM (SELECT qid, vec_id, s,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY s DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1
+  UNION ALL
+  SELECT qid, rank + 1, vec_id, mmr_x2,
+         list_append(picked, vec_id)
+  FROM (
+    SELECT sel.qid, sel.rank, c.vec_id, sel.picked,
+           c.s - (SELECT max(cc.s) FROM cc
+                  WHERE cc.qid = sel.qid AND cc.ia = c.vec_id
+                    AND list_contains(sel.picked, cc.ib)) AS mmr_x2,
+           row_number() OVER (
+             PARTITION BY sel.qid
+             ORDER BY c.s - (SELECT max(cc.s) FROM cc
+                             WHERE cc.qid = sel.qid
+                               AND cc.ia = c.vec_id
+                               AND list_contains(sel.picked, cc.ib))
+               DESC, c.vec_id) AS rn
+    FROM sel JOIN cand c ON c.qid = sel.qid
+         AND NOT list_contains(sel.picked, c.vec_id)
+    WHERE sel.rank < 10) WHERE rn = 1)
+SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       CAST(mmr_x2 AS BIGINT) AS mmr_x2
+FROM sel ORDER BY query_id, rank
+""",
         "twap_value_by_type": """
 WITH e AS (SELECT event_type AS et, epoch_us(ts) AS t,
                   event_id AS i,

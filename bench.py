@@ -382,6 +382,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.trajectory_census_customers(sf_dir)))
     timed("twap_value_by_type",
           lambda: len(R.twap_value_by_type(sf_dir)))
+    timed("mmr_rerank_embeddings",
+          lambda: len(R.mmr_rerank_embeddings(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -13056,3 +13056,129 @@ def twap_value_by_type(sf_dir: str):
     out["span_us"] = out["span_us"].astype("int64")
     out["twap"] = out["twap"].astype("float64")
     return out
+
+
+def mmr_rerank_embeddings(sf_dir: str, m: int = 20, k: int = 10):
+    """Maximal-marginal-relevance re-ranking, EXACT (ORACLED): for the
+    two lowest-id query vectors, greedily select k of the top-m
+    integer-dot candidates maximizing relevance-minus-redundancy —
+    the diversity re-ranker every retrieval stack bolts onto its ANN
+    stage — and the repo's first oracle over an ITERATIVE GREEDY
+    algorithm (the SQL side replays the selection loop in a recursive
+    CTE carrying the picked-list). Exactness is STRUCTURAL, not
+    empirical: float cosines differ across engines in the last ULP
+    (measured 2.2e-16 on this corpus), which a per-step argmax could
+    amplify into divergent selections, so the similarity here is the
+    INTEGER dot product of micro-quantized vectors (rint(x·1e6) —
+    the int8-rerank discipline made exact; comps ≤ .5 and dim 64 keep
+    every dot < 2^44, exact in int64 AND in SQL's double
+    list_inner_product). With λ = ½ the selection order equals
+    argmax of mmr_x2 = s_query − max_{p∈picked} s(d, p) — pure int
+    compares with a vec_id tiebreak; rank 1 carries the relevance
+    itself (no penalty term exists yet — pinned, not coalesced to 0).
+    Distributed shape: ONE corpus pass scores integer dots against
+    the broadcast quantized queries and emits ≤ nq·m rows per batch
+    WITH their quantized vectors riding along (so no second corpus
+    scan to fetch candidate vectors); the driver merges to top-m per
+    query — batch-local top-m is a superset of the global under the
+    (s, −id) order — and replays the k-step greedy over an m×m int
+    matrix. The query vector itself is excluded from its candidates
+    (pinned). Null vec_id/embedding rows invisible; fewer than k
+    candidates degrade to however many exist; an empty corpus
+    answers a typed empty frame."""
+    import duckdb as _dk
+    from ..ann.search import embedding_matrix
+    qdf = _dk.sql(
+        f"""SELECT vec_id, embedding
+            FROM read_parquet('{sf_dir}/embeddings.parquet')
+            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+            ORDER BY vec_id LIMIT 2""").df()
+    out_empty = pd.DataFrame({
+        "query_id": pd.Series([], dtype="int64"),
+        "rank": pd.Series([], dtype="int64"),
+        "vec_id": pd.Series([], dtype="int64"),
+        "mmr_x2": pd.Series([], dtype="int64")})
+    if qdf.empty:
+        return out_empty
+    Qq = np.rint(np.stack(
+        [np.asarray(v, dtype=np.float64)
+         for v in qdf["embedding"]]) * 1e6).astype(np.int64)
+    qids = qdf["vec_id"].to_numpy().astype(np.int64)
+    import ray as _ray
+    ref = _ray.put({"Q": Qq, "ids": qids})
+
+    def score(b: pa.Table) -> pa.Table:
+        from ..util import worker_cached
+        st = worker_cached(("mmrq", ref.hex()),
+                           lambda: _ray.get(ref))
+        Q, ids_q = st["Q"], st["ids"]
+        t = b.filter(pc.and_(b.column("vec_id").is_valid(),
+                             b.column("embedding").is_valid()))
+        d = Q.shape[1]
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "vq": pa.array([], pa.list_(pa.int64(), d))})
+        if t.num_rows == 0:
+            return empty
+        V = embedding_matrix(t.column("embedding"))
+        Vq = np.rint(V * 1e6).astype(np.int64)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        S = Vq @ Q.T  # (n, nq) exact int64
+        oq, oi, os_, ov = [], [], [], []
+        for qi in range(Q.shape[0]):
+            mask = ids != ids_q[qi]  # self-exclusion
+            s, idx = S[mask, qi], np.flatnonzero(mask)
+            order = np.lexsort((ids[idx], -s))[:m]
+            sel = idx[order]
+            oq.append(np.full(len(sel), ids_q[qi], np.int64))
+            oi.append(ids[sel])
+            os_.append(S[sel, qi])
+            ov.append(Vq[sel])
+        vq_flat = np.concatenate(ov).ravel() if ov else \
+            np.array([], np.int64)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(oq)),
+            "vec_id": pa.array(np.concatenate(oi)),
+            "s": pa.array(np.concatenate(os_)),
+            "vq": pa.FixedSizeListArray.from_arrays(
+                pa.array(vq_flat), d)})
+
+    cand = _read(sf_dir, "embeddings",
+                 columns=["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow",
+                     zero_copy_batch=True,
+                     batch_size=65536).to_pandas()
+    if cand.empty or "query_id" not in cand.columns:
+        return out_empty
+    rows = []
+    for qid, g in cand.groupby("query_id", sort=True):
+        g = g.sort_values(["s", "vec_id"],
+                          ascending=[False, True]).head(m)
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        s = g["s"].to_numpy().astype(np.int64)
+        Vc = np.stack([np.asarray(v, dtype=np.int64)
+                       for v in g["vq"]])
+        CC = Vc @ Vc.T  # exact candidate-candidate int dots
+        picked: list[int] = []
+        remaining = list(range(len(ids)))
+        for rank in range(1, min(k, len(ids)) + 1):
+            best_j, best_key = None, None
+            for j in remaining:
+                pen = max(int(CC[j, p]) for p in picked) \
+                    if picked else None
+                mmr = int(s[j]) if pen is None else int(s[j]) - pen
+                key = (-mmr, int(ids[j]))
+                if best_key is None or key < best_key:
+                    best_j, best_key = j, key
+            rows.append({"query_id": int(qid), "rank": rank,
+                         "vec_id": int(ids[best_j]),
+                         "mmr_x2": -best_key[0]})
+            picked.append(best_j)
+            remaining.remove(best_j)
+    out = pd.DataFrame(rows)
+    for c in ("query_id", "rank", "vec_id", "mmr_x2"):
+        out[c] = out[c].astype("int64")
+    return out

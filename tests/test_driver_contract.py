@@ -169,7 +169,7 @@ def oracle_pairs():
     "naive_forecast_mae_daily", "hll_registers_events",
     "runs_test_daily_events", "survival_risk_table_customers",
     "decay_spend_customers", "trajectory_census_customers",
-    "twap_value_by_type",
+    "twap_value_by_type", "mmr_rerank_embeddings",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -562,3 +562,91 @@ def test_twap_single_event_null_and_invisible_rows(tmp_path):
     assert list(out.columns) == ["event_type", "n_events", "span_us",
                                  "twap_num_scaled", "twap"]
     assert len(_oracle(tmp_path, "twap_value_by_type")) == 0
+
+
+def _embeddings(tmp_path, rows, dim=64):
+    """rows: (vec_id|None, [leading components]|None) — padded with
+    zeros to ``dim`` float32 components."""
+    vecs = []
+    for _, v in rows:
+        if v is None:
+            vecs.append(None)
+        else:
+            vecs.append(list(v) + [0.0] * (dim - len(v)))
+    _write(tmp_path, "embeddings", pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32())}))
+
+
+# ------------------------------------------------------------------ mmr
+
+def test_mmr_diversity_flips_second_pick(tmp_path):
+    """q=[1,0] with candidates v2=[.8,.6], v3=[.78,−.62], v4=[.79,.61]:
+    plain relevance ranks v4 second (7.9e11 > 7.8e11) but v4 is
+    nearly parallel to the already-picked v2 (penalty 9.98e11) while
+    v3 points away (penalty 2.52e11) — MMR picks v3 second with
+    mmr_x2 exactly 5.28e11 and relegates v4 to rank 3 at −2.08e11.
+    All values are hand-derived exact integer dots of the 1e6-scaled
+    components; rank 1 carries the raw relevance 8e11 (no penalty
+    term exists yet)."""
+    from jsonschema_ray.pipelines.relational import mmr_rerank_embeddings
+    _embeddings(tmp_path, [(1, [1.0, 0.0]), (2, [0.8, 0.6]),
+                           (3, [0.78, -0.62]), (4, [0.79, 0.61])])
+    out = mmr_rerank_embeddings(str(tmp_path))
+    q1 = out[out["query_id"] == 1].to_dict("records")
+    assert q1 == [
+        {"query_id": 1, "rank": 1, "vec_id": 2,
+         "mmr_x2": 800_000_000_000},
+        {"query_id": 1, "rank": 2, "vec_id": 3,
+         "mmr_x2": 528_000_000_000},
+        {"query_id": 1, "rank": 3, "vec_id": 4,
+         "mmr_x2": -208_000_000_000}]
+    exp = _oracle(tmp_path, "mmr_rerank_embeddings")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_mmr_self_exclusion_and_degrade(tmp_path):
+    """Each query is excluded from its own candidate set (a vector's
+    best match is always itself); a 3-vector corpus degrades to two
+    ranks per query; an orthogonal pick's penalty goes through the
+    exact integer dot (q1: rank1 v3 at 6e11, rank2 v2 at 0 − 8e11)."""
+    from jsonschema_ray.pipelines.relational import mmr_rerank_embeddings
+    _embeddings(tmp_path, [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+                           (3, [0.6, 0.8])])
+    out = mmr_rerank_embeddings(str(tmp_path))
+    assert not ((out["query_id"] == out["vec_id"]).any())
+    assert out.groupby("query_id").size().tolist() == [2, 2]
+    q1 = out[out["query_id"] == 1].to_dict("records")
+    assert q1 == [
+        {"query_id": 1, "rank": 1, "vec_id": 3,
+         "mmr_x2": 600_000_000_000},
+        {"query_id": 1, "rank": 2, "vec_id": 2,
+         "mmr_x2": -800_000_000_000}]
+    exp = _oracle(tmp_path, "mmr_rerank_embeddings")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_mmr_null_rows_and_empty(tmp_path):
+    """A null-embedding row is invisible (not a candidate, not a
+    query); a one-vector corpus has no candidates at all and answers
+    a typed empty frame on both engines."""
+    from jsonschema_ray.pipelines.relational import mmr_rerank_embeddings
+    _embeddings(tmp_path, [(1, [1.0, 0.0]), (2, None),
+                           (3, [0.0, 1.0])])
+    out = mmr_rerank_embeddings(str(tmp_path))
+    assert sorted(out["query_id"].unique().tolist()) == [1, 3]
+    assert 2 not in out["vec_id"].tolist()
+    exp = _oracle(tmp_path, "mmr_rerank_embeddings")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+    _embeddings(tmp_path, [(1, [1.0, 0.0])])
+    out = mmr_rerank_embeddings(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "rank", "vec_id",
+                                 "mmr_x2"]
+    assert out["mmr_x2"].dtype == "int64"
+    assert len(_oracle(tmp_path, "mmr_rerank_embeddings")) == 0
