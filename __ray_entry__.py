@@ -99,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_estimate_error_documents":
             R.minhash_estimate_error_documents,            # oracled
         "null_profile_lineitem": R.null_profile_lineitem,  # oracled
-        "daily_trend_by_type": R.daily_trend_by_type,      # oracled
         "langid_confusion_documents":
             R.langid_confusion_documents,                  # oracled
         "suppliers_per_part_histogram":
@@ -128,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.trajectory_census_customers,                 # oracled
         "twap_value_by_type": R.twap_value_by_type,        # oracled
         "mmr_rerank_embeddings": R.mmr_rerank_embeddings,  # oracled
+        "leadlag_daily_events": R.leadlag_daily_events,    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -157,6 +157,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for leadlag_daily_events: the exact-int grid
+        # moment machinery stays covered in-window by leadlag itself
+        # (the same moments, cross-series) + theil_sen (the robust
+        # form of the same daily trend) + naive_forecast on the same
+        # grid; pin-dense, two-engine green at 3 SFs across sessions)
+        "daily_trend_by_type": R.daily_trend_by_type,      # oracled
         # (evicted for mmr_rerank_embeddings: the distributed exact-
         # scorer discipline stays covered in-window by
         # knn_label_agreement + the centroid family + mmr itself (a
@@ -2161,6 +2167,44 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "leadlag_daily_events": """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT event_type, d, count(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM e),
+grid AS (
+  SELECT t.event_type, CAST(g.d AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+        FROM b) g),
+f AS (
+  SELECT grid.event_type, grid.d, coalesce(c.n, 0) AS n
+  FROM grid LEFT JOIN c
+    ON c.event_type = grid.event_type AND c.d = grid.d),
+p AS (SELECT fa.event_type AS ta, fb.event_type AS tb,
+             fa.n AS x, fb.n AS y
+      FROM f fa JOIN f fb
+        ON fb.d = fa.d + INTERVAL 1 DAY
+       AND fb.event_type <> fa.event_type),
+m AS (SELECT ta, tb, count(*) AS np,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM p GROUP BY ta, tb)
+SELECT ta AS type_lead, tb AS type_follow,
+       CAST(np AS BIGINT) AS n_pairs,
+       CASE WHEN np < 2 OR np * sxx - sx * sx = 0
+                 OR np * syy - sy * sy = 0 THEN NULL
+            ELSE round(CAST(CAST(np * sxy - sx * sy AS VARCHAR)
+                            AS DOUBLE)
+                       / sqrt(CAST(CAST((np * sxx - sx * sx)
+                                        * (np * syy - sy * sy)
+                                   AS VARCHAR) AS DOUBLE)), 6)
+       END AS r
+FROM m ORDER BY ta, tb""",
         "mmr_rerank_embeddings": """
 WITH RECURSIVE
 p AS (SELECT vec_id,

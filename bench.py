@@ -384,6 +384,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.twap_value_by_type(sf_dir)))
     timed("mmr_rerank_embeddings",
           lambda: len(R.mmr_rerank_embeddings(sf_dir)))
+    timed("leadlag_daily_events",
+          lambda: len(R.leadlag_daily_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

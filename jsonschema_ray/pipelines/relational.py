@@ -13182,3 +13182,63 @@ def mmr_rerank_embeddings(sf_dir: str, m: int = 20, k: int = 10):
     for c in ("query_id", "rank", "vec_id", "mmr_x2"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def leadlag_daily_events(sf_dir: str):
+    """Lag-1 LEAD-LAG cross-correlation matrix between event types
+    (ORACLED): for every ORDERED type pair (lead, follow), the Pearson
+    r between lead's daily count on day d and follow's on day d+1
+    over the dense zero-filled calendar grid — the cross-series
+    causality screen ("do errors today predict retries tomorrow?")
+    that autocorr answers only within a series. Eighth consumer of
+    _dense_daily_counts: both series must zero-fill or the day
+    alignment silently shifts across gaps. Every moment sum is an
+    exact integer computed identically on both engines (Python
+    big-int on the driver's types×days matrix; HUGEINT in SQL — the
+    pairwise products leave int64 at real scale), so r is ONE
+    VARCHAR→DOUBLE numerator over ONE sqrt of the exact variance
+    product, 6dp — the autocorr formula, cross-series, with the
+    moments written out instead of corr() so the arithmetic is the
+    pinned expression, not an aggregate's internal fold. A
+    zero-variance side answers SQL-NULL r but KEEPS its pair row;
+    vocabulary² output (pairs of observed types) is calendar-and-
+    vocabulary bounded like every grid query. Fewer than two grid
+    days → typed empty frame (no d+1 exists), as does a typeless
+    corpus."""
+    f = _dense_daily_counts(sf_dir)
+    out_empty = pd.DataFrame({
+        "type_lead": pd.Series([], dtype="object"),
+        "type_follow": pd.Series([], dtype="object"),
+        "n_pairs": pd.Series([], dtype="int64"),
+        "r": pd.Series([], dtype="float64")})
+    if f is None:
+        return out_empty
+    piv = f.pivot(index="event_type", columns="day",
+                  values="n").sort_index()
+    types = piv.index.tolist()
+    C = piv.to_numpy().astype(np.int64)
+    if C.shape[1] < 2 or len(types) < 2:
+        return out_empty
+    rows = []
+    for a, ta in enumerate(types):
+        x = C[a, :-1].astype(object)
+        sx, sxx = int(x.sum()), int((x * x).sum())
+        for b, tb in enumerate(types):
+            if a == b:
+                continue
+            y = C[b, 1:].astype(object)
+            m = len(y)
+            sy, syy = int(y.sum()), int((y * y).sum())
+            sxy = int((x * y).sum())
+            vx = m * sxx - sx * sx
+            vy = m * syy - sy * sy
+            num = m * sxy - sx * sy
+            r = (float(duckdb_round(
+                float(num) / math.sqrt(float(vx * vy)), 6))
+                if vx > 0 and vy > 0 and m >= 2 else float("nan"))
+            rows.append({"type_lead": ta, "type_follow": tb,
+                         "n_pairs": m, "r": r})
+    out = pd.DataFrame(rows)
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["r"] = out["r"].astype("float64")
+    return out

@@ -650,3 +650,62 @@ def test_mmr_null_rows_and_empty(tmp_path):
                                  "mmr_x2"]
     assert out["mmr_x2"].dtype == "int64"
     assert len(_oracle(tmp_path, "mmr_rerank_embeddings")) == 0
+
+
+# -------------------------------------------------------------- leadlag
+
+def test_leadlag_shifted_copy_is_directional(tmp_path):
+    """b is a one-day-shifted copy of a (a=[1,5,2,4]; b zero-filled
+    day 0 then [1,5,2]): a→b answers r = 1.0 EXACTLY (x and y are the
+    same vector), while b→a answers r = 0.0 EXACTLY (the moments
+    cancel: 3·22 − 6·11 = 0) — the direction of causation is visible
+    and both endpoints are exact-rational outcomes, not approximate
+    floats. b's zero-filled day 0 participates in the b→a vector
+    [0,1,5]: drop the zero-fill and both numbers change."""
+    from jsonschema_ray.pipelines.relational import leadlag_daily_events
+    _events_type_days(tmp_path, {
+        "a": {0: 1, 1: 5, 2: 2, 3: 4},
+        "b": {1: 1, 2: 5, 3: 2}})
+    out = leadlag_daily_events(str(tmp_path))
+    recs = {(r["type_lead"], r["type_follow"]):
+            (r["n_pairs"], r["r"]) for r in out.to_dict("records")}
+    assert recs[("a", "b")] == (3, 1.0)
+    assert recs[("b", "a")] == (3, 0.0)
+    exp = _oracle(tmp_path, "leadlag_daily_events")
+    assert exp.astype({"n_pairs": "int64"}).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_leadlag_constant_series_null_rows_kept(tmp_path):
+    """A constant type has zero variance: both of its pair rows stay
+    (n_pairs intact) with SQL-NULL r on both engines."""
+    from jsonschema_ray.pipelines.relational import leadlag_daily_events
+    _events_type_days(tmp_path, {
+        "c": {0: 3, 1: 3, 2: 3},
+        "v": {0: 1, 1: 2, 2: 5}})
+    out = leadlag_daily_events(str(tmp_path))
+    recs = {(r["type_lead"], r["type_follow"]): r
+            for r in out.to_dict("records")}
+    assert len(out) == 2
+    assert recs[("c", "v")]["n_pairs"] == 2
+    assert pd.isna(recs[("c", "v")]["r"])
+    assert pd.isna(recs[("v", "c")]["r"])
+    exp = _oracle(tmp_path, "leadlag_daily_events")
+    assert len(exp) == 2 and exp["r"].isna().all()
+
+
+def test_leadlag_degenerate_grids_empty(tmp_path):
+    """A single observed day has no d+1 (typed empty frame), as does
+    a single-type corpus (no ordered pair exists)."""
+    from jsonschema_ray.pipelines.relational import leadlag_daily_events
+    _events_type_days(tmp_path, {"a": {5: 2}, "b": {5: 3}})
+    out = leadlag_daily_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["type_lead", "type_follow",
+                                 "n_pairs", "r"]
+    assert len(_oracle(tmp_path, "leadlag_daily_events")) == 0
+
+    _events_type_days(tmp_path, {"a": {0: 1, 1: 2, 2: 3}})
+    out = leadlag_daily_events(str(tmp_path))
+    assert len(out) == 0
+    assert len(_oracle(tmp_path, "leadlag_daily_events")) == 0
