@@ -59,11 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.bigram_logprob_documents,                    # oracled
         # --- session-16 additions (oracled)
         "readability_documents": R.readability_documents,  # oracled
-        "normalized_dup_documents":
-            R.normalized_dup_documents,                    # oracled
         # --- session-17 additions (oracled)
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
-        "new_vs_repeat_revenue": R.new_vs_repeat_revenue,  # oracled
         "return_rate_by_month": R.return_rate_by_month,    # oracled
         "basket_size_histogram": R.basket_size_histogram,  # oracled
         "price_qty_regr_by_brand":
@@ -128,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twap_value_by_type": R.twap_value_by_type,        # oracled
         "mmr_rerank_embeddings": R.mmr_rerank_embeddings,  # oracled
         "leadlag_daily_events": R.leadlag_daily_events,    # oracled
+        "k_anonymity_customers": R.k_anonymity_customers,  # oracled
+        "next_action_profile_events":
+            R.next_action_profile_events,                  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -157,6 +157,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for k_anonymity_customers: the two-level digest
+        # cluster-histogram machinery stays covered in-window by
+        # source_dup_matrix + dedup_token_savings on the same digest
+        # family; pin-dense, two-engine green at 3 SFs across
+        # sessions)
+        "normalized_dup_documents":
+            R.normalized_dup_documents,                    # oracled
+        # (evicted for next_action_profile_events: the per-customer
+        # first-order split machinery stays covered in-window by
+        # cohort_ltv_curve (the same first-order cohort attach) +
+        # survival_risk_table's endpoint kernel; pin-dense,
+        # two-engine green at 3 SFs across sessions)
+        "new_vs_repeat_revenue": R.new_vs_repeat_revenue,  # oracled
         # (evicted for leadlag_daily_events: the exact-int grid
         # moment machinery stays covered in-window by leadlag itself
         # (the same moments, cross-series) + theil_sen (the robust
@@ -2167,6 +2180,39 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "k_anonymity_customers": """
+WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+           FROM customer GROUP BY 1, 2)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS DOUBLE) AS k_min,
+       CAST(count(*) FILTER (n < 5) AS BIGINT) AS n_classes_below,
+       CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM g""",
+        "next_action_profile_events": """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type),
+r AS (SELECT prev_type, next_type, n,
+             row_number() OVER (PARTITION BY prev_type
+                                ORDER BY n DESC, next_type) AS rn,
+             sum(n) OVER (PARTITION BY prev_type) AS tot,
+             count(*) OVER (PARTITION BY prev_type) AS nnt
+      FROM t)
+SELECT prev_type, CAST(tot AS BIGINT) AS n_pairs,
+       CAST(nnt AS BIGINT) AS n_next_types,
+       next_type AS top_next, CAST(n AS BIGINT) AS top_n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS top_share
+FROM r WHERE rn = 1 ORDER BY prev_type""",
         "leadlag_daily_events": """
 WITH e AS (
   SELECT event_type, CAST(ts AS DATE) AS d FROM events

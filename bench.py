@@ -386,6 +386,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.mmr_rerank_embeddings(sf_dir)))
     timed("leadlag_daily_events",
           lambda: len(R.leadlag_daily_events(sf_dir)))
+    timed("k_anonymity_customers",
+          lambda: len(R.k_anonymity_customers(sf_dir)))
+    timed("next_action_profile_events",
+          lambda: len(R.next_action_profile_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

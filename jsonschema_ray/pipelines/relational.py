@@ -13242,3 +13242,86 @@ def leadlag_daily_events(sf_dir: str):
     out["n_pairs"] = out["n_pairs"].astype("int64")
     out["r"] = out["r"].astype("float64")
     return out
+
+
+def k_anonymity_customers(sf_dir: str, k: int = 5):
+    """k-ANONYMITY audit of the customer quasi-identifier pair
+    (nationkey, mktsegment) (ORACLED): ONE row — total rows, distinct
+    QI classes, the smallest class size (the dataset's k), how many
+    classes fall below ``k``=5, and how many ROWS sit in those
+    re-identifiable classes — the release-gate readout a privacy
+    review runs before a table ships (a dataset is k-anonymous iff
+    every QI class holds ≥ k rows; the at-risk ROW count, not the
+    class count, is the exposure). NULL is a real QI value (SQL GROUP
+    BY semantics — an attacker sees a null segment too; pinned), so
+    no row is ever excluded. Exact integers end to end. Plan: one
+    grouped_agg count over the QI pair (per-batch combine, vocabulary-
+    bounded shuffle), then a driver fold over the class-size list —
+    classes are bounded by nations × segments, not by rows. An empty
+    table answers the SQL ungrouped-aggregate row with k_min NULL."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment"])
+    g = grouped_agg(ds, ["c_nationkey", "c_mktsegment"], {},
+                    count_alias="n").to_pandas()
+    if g.empty or "n" not in g.columns:
+        return pd.DataFrame({
+            "n_rows": pd.Series([0], dtype="int64"),
+            "n_classes": pd.Series([0], dtype="int64"),
+            "k_min": pd.Series([float("nan")], dtype="float64"),
+            "n_classes_below": pd.Series([0], dtype="int64"),
+            "n_rows_at_risk": pd.Series([0], dtype="int64")})
+    n = g["n"].to_numpy().astype(np.int64)
+    small = n < k
+    return pd.DataFrame({
+        "n_rows": pd.Series([int(n.sum())], dtype="int64"),
+        "n_classes": pd.Series([len(n)], dtype="int64"),
+        "k_min": pd.Series([float(n.min())], dtype="float64"),
+        "n_classes_below": pd.Series([int(small.sum())],
+                                     dtype="int64"),
+        "n_rows_at_risk": pd.Series([int(n[small].sum())],
+                                    dtype="int64")})
+
+
+def next_action_profile_events(sf_dir: str):
+    """Markov NEXT-ACTION profile (ORACLED): per previous event type,
+    the transition count, the branching factor (distinct next types),
+    the most likely next action (count-desc, name-asc tiebreak) and
+    its exact share — the argmax readout of the transition matrix a
+    next-action recommender or anomaly screen actually serves
+    (transitions_event_types ships the full matrix; this ships the
+    decision). Rides the SAME pair machinery: per-user (ts, event_id)-
+    ordered pairs from the user-hash partition pass, aggregated to
+    the vocabulary²-bounded matrix; the profile fold is driver-side
+    over ≤ |types|² rows. Exact integers plus ONE divide per row in
+    SQL operand order, 6dp. The argmax tiebreak is pinned (equal
+    counts → lexicographically smallest next type on both engines).
+    NULL-type events are removed from the timeline BEFORE pairing
+    (the transitions contract: A, NULL, B still yields A→B); a corpus
+    with no transition answers a typed empty frame."""
+    t = transitions_event_types(sf_dir)
+    out_empty = pd.DataFrame({
+        "prev_type": pd.Series([], dtype="object"),
+        "n_pairs": pd.Series([], dtype="int64"),
+        "n_next_types": pd.Series([], dtype="int64"),
+        "top_next": pd.Series([], dtype="object"),
+        "top_n": pd.Series([], dtype="int64"),
+        "top_share": pd.Series([], dtype="float64")})
+    if t.empty:
+        return out_empty
+    rows = []
+    for prev, g in t.groupby("prev_type", sort=True):
+        g = g.sort_values(["n", "next_type"],
+                          ascending=[False, True])
+        tot = int(g["n"].sum())
+        top_n = int(g["n"].iloc[0])
+        rows.append({
+            "prev_type": prev, "n_pairs": tot,
+            "n_next_types": len(g),
+            "top_next": g["next_type"].iloc[0], "top_n": top_n,
+            "top_share": float(duckdb_round(
+                float(top_n) / float(tot), 6))})
+    out = pd.DataFrame(rows)
+    for c in ("n_pairs", "n_next_types", "top_n"):
+        out[c] = out[c].astype("int64")
+    out["top_share"] = out["top_share"].astype("float64")
+    return out

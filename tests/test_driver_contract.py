@@ -170,7 +170,8 @@ def oracle_pairs():
     "runs_test_daily_events", "survival_risk_table_customers",
     "decay_spend_customers", "trajectory_census_customers",
     "twap_value_by_type", "mmr_rerank_embeddings",
-    "leadlag_daily_events",
+    "leadlag_daily_events", "k_anonymity_customers",
+    "next_action_profile_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -709,3 +709,129 @@ def test_leadlag_degenerate_grids_empty(tmp_path):
     out = leadlag_daily_events(str(tmp_path))
     assert len(out) == 0
     assert len(_oracle(tmp_path, "leadlag_daily_events")) == 0
+
+
+def _customers_qi(tmp_path, rows):
+    """rows: (c_nationkey|None, c_mktsegment|None)."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_mktsegment": pa.array([r[1] for r in rows], pa.string())}))
+
+
+# ------------------------------------------------------------ anonymity
+
+def test_k_anonymity_null_is_a_class(tmp_path):
+    """Classes (1,A)×5, (1,B)×2, (NULL,A)×1: the NULL-nationkey row is
+    a REAL class (an attacker sees a null too — SQL GROUP BY
+    semantics, no row excluded): 8 rows, 3 classes, k_min 1, two
+    classes below 5 holding 3 at-risk rows."""
+    from jsonschema_ray.pipelines.relational import k_anonymity_customers
+    _customers_qi(tmp_path, [(1, "A")] * 5 + [(1, "B")] * 2
+                  + [(None, "A")])
+    out = k_anonymity_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_rows": 8, "n_classes": 3, "k_min": 1.0,
+         "n_classes_below": 2, "n_rows_at_risk": 3}]
+    exp = _oracle(tmp_path, "k_anonymity_customers")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_k_anonymity_clean_release_and_empty(tmp_path):
+    """Every class at or above k → zero below, zero at risk (the
+    release passes); an empty table answers the SQL ungrouped-
+    aggregate row with NULL k_min, not an empty frame."""
+    from jsonschema_ray.pipelines.relational import k_anonymity_customers
+    _customers_qi(tmp_path, [(1, "A")] * 5 + [(2, "B")] * 6)
+    out = k_anonymity_customers(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_rows": 11, "n_classes": 2, "k_min": 5.0,
+         "n_classes_below": 0, "n_rows_at_risk": 0}]
+    exp = _oracle(tmp_path, "k_anonymity_customers")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+    _customers_qi(tmp_path, [])
+    out = k_anonymity_customers(str(tmp_path))
+    assert len(out) == 1
+    assert out.loc[0, "n_rows"] == 0 and out.loc[0, "n_classes"] == 0
+    assert pd.isna(out.loc[0, "k_min"])
+    exp = _oracle(tmp_path, "k_anonymity_customers")
+    assert len(exp) == 1 and pd.isna(exp.loc[0, "k_min"])
+
+
+# ---------------------------------------------------------- next action
+
+def test_next_action_profile_hand_timeline(tmp_path):
+    """User timeline A,B,A,C,A,B: prev A has 3 pairs over 2 next
+    types, top B at exactly 2/3; B and C each deterministically lead
+    to A at share 1.0."""
+    from jsonschema_ray.pipelines.relational import (
+        next_action_profile_events)
+    types = ["A", "B", "A", "C", "A", "B"]
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, 7), pa.int64()),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "ts": pa.array([i * MIN for i in range(6)],
+                       pa.timestamp("us"))}))
+    out = next_action_profile_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"prev_type": "A", "n_pairs": 3, "n_next_types": 2,
+         "top_next": "B", "top_n": 2, "top_share": 0.666667},
+        {"prev_type": "B", "n_pairs": 1, "n_next_types": 1,
+         "top_next": "A", "top_n": 1, "top_share": 1.0},
+        {"prev_type": "C", "n_pairs": 1, "n_next_types": 1,
+         "top_next": "A", "top_n": 1, "top_share": 1.0}]
+    exp = _oracle(tmp_path, "next_action_profile_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_next_action_tie_null_bridge_and_empty(tmp_path):
+    """A count tie picks the lexicographically smallest next type on
+    both engines (A→B vs A→C at 1 each → B); a NULL-type event is
+    removed BEFORE pairing (A,NULL,C yields A→C — the transitions
+    contract); single-event users produce no pairs → typed empty
+    frame."""
+    from jsonschema_ray.pipelines.relational import (
+        next_action_profile_events)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, 6), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["A", "B", "A", "C", "Z"],
+                               pa.string()),
+        "ts": pa.array([i * MIN for i in range(5)],
+                       pa.timestamp("us"))}))
+    out = next_action_profile_events(str(tmp_path))
+    a = out[out["prev_type"] == "A"].to_dict("records")[0]
+    assert a["top_next"] == "B" and a["top_n"] == 1
+    exp = _oracle(tmp_path, "next_action_profile_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["A", None, "C"], pa.string()),
+        "ts": pa.array([0, MIN, 2 * MIN], pa.timestamp("us"))}))
+    out = next_action_profile_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"prev_type": "A", "n_pairs": 1, "n_next_types": 1,
+         "top_next": "C", "top_n": 1, "top_share": 1.0}]
+    exp = _oracle(tmp_path, "next_action_profile_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["A", "B"], pa.string()),
+        "ts": pa.array([0, MIN], pa.timestamp("us"))}))
+    out = next_action_profile_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["prev_type", "n_pairs",
+                                 "n_next_types", "top_next",
+                                 "top_n", "top_share"]
+    assert len(_oracle(tmp_path, "next_action_profile_events")) == 0
