@@ -47,8 +47,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-11 additions (oracled, never driver-checked)
         # --- session-13: the md5-keyed LSH family — first value-level
         # oracles over minhash/simhash signatures (SQL md5_number)
-        "minhash_md5_pairs_documents":
-            R.minhash_md5_pairs_documents,                # oracled
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
         "customers_not_in_error_users":
@@ -128,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_customers": R.k_anonymity_customers,  # oracled
         "next_action_profile_events":
             R.next_action_profile_events,                  # oracled
+        "winnow_md5_documents": R.winnow_md5_documents,    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -157,6 +156,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for winnow_md5_documents: the md5 token-hash
+        # contract (md5_number low-64 == hashlib) stays covered
+        # in-window by winnow itself + simhash_md5 + hll_registers
+        # (three independent consumers of the same hash convention),
+        # and the banded pair-expansion machinery by
+        # source_weighted_jaccard's ranges_concat kernel +
+        # dup_cluster_sizes; pin-dense, two-engine green at 3 SFs
+        # across sessions)
+        "minhash_md5_pairs_documents":
+            R.minhash_md5_pairs_documents,                # oracled
         # (evicted for k_anonymity_customers: the two-level digest
         # cluster-histogram machinery stays covered in-window by
         # source_dup_matrix + dedup_token_savings on the same digest
@@ -2180,6 +2189,40 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "winnow_md5_documents": """
+WITH numbered AS (
+  SELECT doc_id, text, row_number() OVER () AS rid
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+rawtoks AS (
+  SELECT doc_id, rid,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos0
+  FROM numbered),
+nz AS (SELECT doc_id, rid, w,
+              row_number() OVER (PARTITION BY rid
+                                 ORDER BY pos0) - 1 AS p
+       FROM rawtoks WHERE w <> ''),
+hv AS (SELECT doc_id, rid, p,
+              ((md5_number(w) % 18446744073709551616)
+               + 18446744073709551616) % 18446744073709551616 AS h
+       FROM nz),
+keyed AS (SELECT doc_id, rid, p,
+                 CAST(h AS HUGEINT) * 1048576 + (1048575 - p) AS key
+          FROM hv),
+wmin AS (SELECT doc_id, rid, p,
+                MIN(key) OVER (PARTITION BY rid ORDER BY p
+                               ROWS BETWEEN 3 PRECEDING
+                               AND CURRENT ROW) AS mk
+         FROM keyed),
+sel AS (SELECT DISTINCT doc_id, rid, mk
+        FROM wmin WHERE p >= 3),
+agg AS (SELECT doc_id, count(*) AS n_fp,
+               sum(mk // 1048576) AS s
+        FROM sel GROUP BY doc_id)
+SELECT doc_id, CAST(n_fp AS BIGINT) AS n_fingerprints,
+       CAST(s AS VARCHAR) AS fp_sum
+FROM agg ORDER BY doc_id
+""",
         "k_anonymity_customers": """
 WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
            FROM customer GROUP BY 1, 2)

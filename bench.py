@@ -390,6 +390,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.k_anonymity_customers(sf_dir)))
     timed("next_action_profile_events",
           lambda: len(R.next_action_profile_events(sf_dir)))
+    timed("winnow_md5_documents",
+          lambda: len(R.winnow_md5_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

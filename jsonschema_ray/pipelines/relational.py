@@ -13325,3 +13325,95 @@ def next_action_profile_events(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["top_share"] = out["top_share"].astype("float64")
     return out
+
+
+def winnow_md5_documents(sf_dir: str, w: int = 4):
+    """WINNOWING fingerprints, value-level (ORACLED): per document,
+    the count and order-insensitive sum of its selected winnowing
+    fingerprints — window ``w``=4 over the md5 unigram token-hash
+    sequence, each full window contributing its RIGHTMOST-minimum
+    hash, duplicates collapsed per distinct selected position — the
+    Schleimer-Wilkerson-Aiken local fingerprinting scheme (MOSS; the
+    production fingerprint_documents' family) brought under the md5
+    oracle convention: the internal rolling hash no SQL engine can
+    reproduce keeps that query rows-only, while md5 token hashes make
+    the whole selection VALUE-reproducible. The rightmost-min tie
+    rule becomes one windowed MIN in SQL via the key encoding
+    h·2^20 + (2^20−1 − pos) — minimizing the key IS lexicographic
+    (h asc, pos desc), so both engines select identical (h, pos)
+    pairs for any tie pattern (docs are bounded at 2^20 tokens per
+    row — stated, generous for any real document). Per-doc outputs:
+    n_fingerprints (int) and fp_sum (Σ of the selected uint64 hashes
+    — exceeds int64, rides the DECIMAL-STRING discipline / SQL
+    HUGEINT). Tokens are the md5lsh convention (split on ' ', empties
+    dropped, positions counted AFTER the drop); windows never span
+    rows (adjacency is a row property; duplicate-doc_id rows merge by
+    SUMMING their per-row counts/sums — each row fingerprints
+    independently); a row with fewer than w tokens has no full
+    window and contributes nothing — a doc with no fingerprinting
+    row is ABSENT (pinned). Null doc_id/text rows invisible; an
+    empty corpus answers a typed empty frame. Distributed shape: the
+    token stream never shuffles — each batch reduces to one partial
+    row per input row; ONE doc-hash partition merges duplicates with
+    big-int sums; output is doc-cardinality like every per-doc
+    metric."""
+    from ..dedup.md5lsh import _row_token_hashes
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("doc_id").is_valid(),
+                             b.column("text").is_valid()))
+        memo: dict = {}
+        rows = _row_token_hashes(t.column("text").to_pylist(), memo)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_n, out_s = [], [], []
+        for i, hs in enumerate(rows):
+            if hs is None or len(hs) < w:
+                continue
+            W = np.lib.stride_tricks.sliding_window_view(hs, w)
+            mn = W.min(axis=1)
+            # rightmost position attaining the window min: first hit
+            # in the reversed window
+            ridx = (w - 1) - np.argmax(W[:, ::-1] == mn[:, None],
+                                       axis=1)
+            pos = np.arange(len(mn)) + ridx
+            _, first = np.unique(pos, return_index=True)
+            sel = mn[first]
+            out_id.append(int(ids[i]))
+            out_n.append(len(sel))
+            out_s.append(str(int(sel.astype(object).sum())))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_fp": pa.array(out_n, pa.int64()),
+            "s": pa.array(out_s, pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072)
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        acc: dict[int, list] = {}
+        for d, n, s in zip(df["doc_id"], df["n_fp"], df["s"]):
+            e = acc.setdefault(int(d), [0, 0])
+            e[0] += int(n)
+            e[1] += int(s)
+        ks = sorted(acc)
+        return pa.table({
+            "doc_id": pa.array(ks, pa.int64()),
+            "n_fp": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "s": pa.array([str(acc[k][1]) for k in ks],
+                          pa.string())})
+
+    out = partitioned_group_apply(parts, ["doc_id"], merge,
+                                  batch_format="pyarrow").to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_fingerprints": pd.Series([], dtype="int64"),
+            "fp_sum": pd.Series([], dtype="object")})
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].astype("int64"),
+        "n_fingerprints": out["n_fp"].astype("int64"),
+        "fp_sum": out["s"].astype(object)})

@@ -171,7 +171,7 @@ def oracle_pairs():
     "decay_spend_customers", "trajectory_census_customers",
     "twap_value_by_type", "mmr_rerank_embeddings",
     "leadlag_daily_events", "k_anonymity_customers",
-    "next_action_profile_events",
+    "next_action_profile_events", "winnow_md5_documents",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

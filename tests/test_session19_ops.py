@@ -835,3 +835,98 @@ def test_next_action_tie_null_bridge_and_empty(tmp_path):
                                  "n_next_types", "top_next",
                                  "top_n", "top_share"]
     assert len(_oracle(tmp_path, "next_action_profile_events")) == 0
+
+
+def _documents(tmp_path, rows):
+    """rows: (doc_id|None, text|None)."""
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string())}))
+
+
+def _winnow_expected(text, w=4):
+    """The test's own independent winnowing: rightmost-min per full
+    window over md5 low-64 token hashes, distinct positions."""
+    toks = [t for t in text.split(" ") if t]
+    hs = [int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                         "little") for t in toks]
+    sel = {}
+    for e in range(w - 1, len(hs)):
+        win = hs[e - w + 1:e + 1]
+        mn = min(win)
+        # rightmost position attaining the min
+        off = max(j for j in range(w) if win[j] == mn)
+        sel[e - w + 1 + off] = mn
+    return len(sel), sum(sel.values())
+
+
+# --------------------------------------------------------------- winnow
+
+def test_winnow_hand_doc_three_way(tmp_path):
+    """A 6-token doc: the implementation, the test's own independent
+    winnowing loop, and the DuckDB md5_number oracle agree on count
+    and fingerprint sum — three separate derivations of the
+    rightmost-min selection."""
+    from jsonschema_ray.pipelines.relational import winnow_md5_documents
+    text = "alpha beta gamma delta epsilon zeta"
+    _documents(tmp_path, [(1, text)])
+    n, s = _winnow_expected(text)
+    out = winnow_md5_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"doc_id": 1, "n_fingerprints": n, "fp_sum": str(s)}]
+    exp = _oracle(tmp_path, "winnow_md5_documents")
+    assert exp.astype({"doc_id": "int64", "n_fingerprints": "int64",
+                       "fp_sum": str}).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_winnow_all_equal_tokens_rightmost_rule(tmp_path):
+    """'x x x x x': every window is all-ties — the rightmost rule
+    selects positions 3 and 4, exactly 2 fingerprints summing 2·h(x).
+    This pins the distinct-position collapse under MAXIMAL ties (a
+    buggy per-window dedup would report 1 or 2·(windows)); the
+    engines' agreement on WHICH positions win under mixed hashes is
+    pinned by the three-way hand doc above."""
+    from jsonschema_ray.pipelines.relational import winnow_md5_documents
+    text = "x x x x x"
+    _documents(tmp_path, [(7, text)])
+    n, s = _winnow_expected(text)
+    assert n == 2  # positions 3 and 4 under rightmost; any tie rule → 2
+    out = winnow_md5_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"doc_id": 7, "n_fingerprints": 2, "fp_sum": str(s)}]
+    exp = _oracle(tmp_path, "winnow_md5_documents")
+    assert exp.astype({"doc_id": "int64", "n_fingerprints": "int64",
+                       "fp_sum": str}).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_winnow_short_docs_absent_and_row_merge(tmp_path):
+    """A 3-token row has no full window → doc ABSENT; a doc split
+    across two rows fingerprints each row independently and SUMS the
+    partials (windows never span rows); null doc_id/text invisible;
+    nothing fingerprintable → typed empty frame."""
+    from jsonschema_ray.pipelines.relational import winnow_md5_documents
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "zeta eta theta iota"
+    _documents(tmp_path, [(1, "a b c"), (2, t1), (2, t2),
+                          (None, t1), (3, None)])
+    n1, s1 = _winnow_expected(t1)
+    n2, s2 = _winnow_expected(t2)
+    out = winnow_md5_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"doc_id": 2, "n_fingerprints": n1 + n2,
+         "fp_sum": str(s1 + s2)}]
+    exp = _oracle(tmp_path, "winnow_md5_documents")
+    assert exp.astype({"doc_id": "int64", "n_fingerprints": "int64",
+                       "fp_sum": str}).to_dict("records") \
+        == out.to_dict("records")
+
+    _documents(tmp_path, [(1, "too short"), (None, t1)])
+    out = winnow_md5_documents(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "n_fingerprints",
+                                 "fp_sum"]
+    assert len(_oracle(tmp_path, "winnow_md5_documents")) == 0
