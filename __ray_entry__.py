@@ -49,12 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracles over minhash/simhash signatures (SQL md5_number)
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
-        "customers_not_in_error_users":
-            R.customers_not_in_error_users,               # oracled
         "skyline_orders": R.skyline_orders,               # oracled
-        # --- session-15 additions (oracled)
-        "bigram_logprob_documents":
-            R.bigram_logprob_documents,                    # oracled
         # --- session-16 additions (oracled)
         "readability_documents": R.readability_documents,  # oracled
         # --- session-17 additions (oracled)
@@ -127,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_action_profile_events":
             R.next_action_profile_events,                  # oracled
         "winnow_md5_documents": R.winnow_md5_documents,    # oracled
+        "iso_week_volume_events": R.iso_week_volume_events,  # oracled
+        "emd_value_halves_events":
+            R.emd_value_halves_events,                     # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -156,6 +154,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for iso_week_volume_events: the error-user set
+        # extraction stays covered in-window by time_to_first_error
+        # (the same error-event scan) and broadcast small-set
+        # semantics by decay_spend / gains_by_segment's broadcast
+        # dicts + mmr's broadcast queries; pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "customers_not_in_error_users":
+            R.customers_not_in_error_users,               # oracled
+        # (evicted for emd_value_halves_events: token-adjacency
+        # machinery stays covered in-window by winnow_md5 (the same
+        # tokenizer, windowed) and per-term counting by hapax_share +
+        # zipf_slope + vocab_overlap; pin-dense, two-engine green at
+        # 3 SFs across sessions)
+        "bigram_logprob_documents":
+            R.bigram_logprob_documents,                    # oracled
         # (evicted for winnow_md5_documents: the md5 token-hash
         # contract (md5_number low-64 == hashlib) stays covered
         # in-window by winnow itself + simhash_md5 + hll_registers
@@ -2189,6 +2202,50 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "iso_week_volume_events": """
+WITH e AS (SELECT CAST(ts AS DATE) AS d FROM events
+           WHERE ts IS NOT NULL)
+SELECT CAST(isoyear(d) AS BIGINT) AS iso_year,
+       CAST(weekofyear(d) AS BIGINT) AS iso_week,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_days
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "emd_value_halves_events": """
+WITH e AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS d, value AS v
+           FROM events WHERE ts IS NOT NULL),
+mm AS (SELECT (min(d) + max(d)) // 2 AS mid FROM e),
+s AS (SELECT CASE WHEN d > mid THEN 1 ELSE 0 END AS half,
+             CAST(floor(v / 50.0) AS BIGINT) AS band
+      FROM e, mm
+      WHERE v IS NOT NULL AND isfinite(v)
+        AND v >= 0.0 AND v < 1000.0),
+c AS (SELECT band,
+             count(*) FILTER (half = 0) AS a,
+             count(*) FILTER (half = 1) AS b
+      FROM s GROUP BY band),
+grid AS (SELECT g.band, coalesce(c.a, 0) AS a, coalesce(c.b, 0) AS b
+         FROM (SELECT unnest(generate_series(0, 19)) AS band) g
+         LEFT JOIN c ON c.band = g.band),
+t AS (SELECT sum(a) AS na, sum(b) AS nb FROM grid),
+cum AS (SELECT band,
+               sum(CAST(a AS HUGEINT)) OVER (ORDER BY band) AS ca,
+               sum(CAST(b AS HUGEINT)) OVER (ORDER BY band) AS cb
+        FROM grid)
+SELECT CAST(t.na AS BIGINT) AS n_first,
+       CAST(t.nb AS BIGINT) AS n_second,
+       CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+            ELSE CAST(sum(abs(cum.ca * t.nb - cum.cb * t.na))
+                      AS VARCHAR) END AS emd_scaled,
+       CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+            ELSE round(CAST(CAST(sum(abs(cum.ca * t.nb
+                                         - cum.cb * t.na))
+                                 AS VARCHAR) AS DOUBLE)
+                       / CAST(t.na * t.nb AS DOUBLE), 6)
+       END AS emd_bands
+FROM cum, t GROUP BY t.na, t.nb
+""",
         "winnow_md5_documents": """
 WITH numbered AS (
   SELECT doc_id, text, row_number() OVER () AS rid

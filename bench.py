@@ -392,6 +392,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.next_action_profile_events(sf_dir)))
     timed("winnow_md5_documents",
           lambda: len(R.winnow_md5_documents(sf_dir)))
+    timed("iso_week_volume_events",
+          lambda: len(R.iso_week_volume_events(sf_dir)))
+    timed("emd_value_halves_events",
+          lambda: len(R.emd_value_halves_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -13417,3 +13417,153 @@ def winnow_md5_documents(sf_dir: str, w: int = 4):
         "doc_id": out["doc_id"].astype("int64"),
         "n_fingerprints": out["n_fp"].astype("int64"),
         "fp_sum": out["s"].astype(object)})
+
+
+def iso_week_volume_events(sf_dir: str):
+    """ISO-WEEK volume rollup (ORACLED): event count and observed-day
+    count per ISO (year, week) — the weekly reporting grain, pinned
+    on the calendar footgun every home-grown week bucketing gets
+    wrong: ISO weeks are Monday-based and week 1 belongs to the year
+    containing that week's Thursday, so 2014-12-29 is 2015-W01 and
+    2016-01-01 is 2015-W53 (both crafted pins; strftime('%W')-style
+    buckets disagree on exactly these rows). Exact integers; the
+    engines' ISO implementations (pandas isocalendar == DuckDB
+    isoyear/weekofyear) are the oracle subject. Plan: per-batch
+    grouped (isoyear, week, day) partials (calendar-bounded), one
+    tiny shuffle, driver collapses days into the per-week day count.
+    Null ts rows invisible; empty corpus → typed empty frame."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(b.column("ts").is_valid())
+        s = t.column("ts").to_pandas()
+        iso = s.dt.isocalendar()
+        return pa.table({
+            "iso_year": pa.array(iso["year"].to_numpy()
+                                 .astype(np.int64)),
+            "iso_week": pa.array(iso["week"].to_numpy()
+                                 .astype(np.int64)),
+            "d": pa.array(s.dt.normalize().astype(np.int64)
+                          .to_numpy())})
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["iso_year", "iso_week", "d"], {},
+        count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "iso_year": pd.Series([], dtype="int64"),
+        "iso_week": pd.Series([], dtype="int64"),
+        "n_events": pd.Series([], dtype="int64"),
+        "n_days": pd.Series([], dtype="int64")})
+    if agg.empty or "iso_year" not in agg.columns:
+        return out_empty
+    g = agg.groupby(["iso_year", "iso_week"]).agg(
+        n_events=("n", "sum"), n_days=("d", "nunique")) \
+        .reset_index().sort_values(["iso_year", "iso_week"]) \
+        .reset_index(drop=True)
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g
+
+
+def emd_value_halves_events(sf_dir: str, k: int = 20,
+                            lo: float = 0.0, hi: float = 1000.0):
+    """Exact earth-mover's distance between the value distributions
+    of the corpus' two calendar halves (ORACLED): bucket value into
+    k=20 uniform bands over [0, 1000), split rows at the calendar
+    midpoint ((min_day + max_day) // 2, first half inclusive), and
+    compute the 1-D EMD = Σ_bins |cdfA − cdfB| — the drift metric
+    that, unlike KS (max deviation) or PSI (log ratios), weighs HOW
+    FAR mass moved, in band units. The whole statistic is exact
+    integers until one final divide: with counts a_i, b_i and totals
+    n_a, n_b, Σ |cumA_i·n_b − cumB_i·n_a| is an exact big-int
+    (DECIMAL STRING / SQL HUGEINT — cum products reach n_a·n_b per
+    band), and emd = that over (n_a·n_b), ONE VARCHAR→DOUBLE divide,
+    6dp. Values outside the band support are excluded (the
+    value_bands support convention — stated); an empty half answers
+    SQL-NULL emd with the counts still reported (pinned); no
+    surviving row at all → the ungrouped-aggregate zeros row with
+    NULL emd. Plan: per-batch (half, band) partial counts — 2k rows
+    per batch, nothing else shuffles — after one tiny min/max date
+    scan for the midpoint."""
+    ds0 = _read(sf_dir, "events", columns=["ts"])
+
+    def pminmax(b: pa.Table) -> pa.Table:
+        col = b.column("ts").drop_null()
+        if len(col) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        d = pc.cast(pc.cast(col, pa.date32()), pa.int32())
+        return pa.table({
+            "mn": pa.array([pc.min(d).as_py()], pa.int64()),
+            "mx": pa.array([pc.max(d).as_py()], pa.int64())})
+
+    mm = ds0.map_batches(pminmax, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         batch_size=131072).to_pandas()
+    out_zero = pd.DataFrame({
+        "n_first": pd.Series([0], dtype="int64"),
+        "n_second": pd.Series([0], dtype="int64"),
+        "emd_scaled": pd.Series([None], dtype="object"),
+        "emd_bands": pd.Series([float("nan")], dtype="float64")})
+    if mm.empty or "mn" not in mm.columns:
+        return out_zero
+    mid = (int(mm["mn"].min()) + int(mm["mx"].max())) // 2
+    width = (hi - lo) / k
+    edges = lo + width * np.arange(k + 1)
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("ts").is_valid(),
+                             b.column("value").is_valid()))
+        if t.num_rows == 0:
+            return pa.table({"half": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()),
+                    pa.int32()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        m = np.isfinite(v) & (v >= lo) & (v < hi)
+        d, v = d[m], v[m]
+        half = (d > mid).astype(np.int64)
+        band = np.searchsorted(edges, v, side="right") - 1
+        key = half * k + band
+        cnt = np.bincount(key, minlength=2 * k).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"half": pa.array(nz // k),
+                         "band": pa.array(nz % k),
+                         "n_p": pa.array(cnt[nz])})
+
+    agg = grouped_agg(
+        ds.map_batches(part, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["half", "band"], {"n_p": "n"}, count_alias="_c").to_pandas()
+    if agg.empty or "half" not in agg.columns:
+        return out_zero
+    a = np.zeros(k, np.int64)
+    b_ = np.zeros(k, np.int64)
+    for _, r in agg.iterrows():
+        (a if int(r["half"]) == 0 else b_)[int(r["band"])] = \
+            int(r["n"])
+    na, nb = int(a.sum()), int(b_.sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame({
+            "n_first": pd.Series([na], dtype="int64"),
+            "n_second": pd.Series([nb], dtype="int64"),
+            "emd_scaled": pd.Series([None], dtype="object"),
+            "emd_bands": pd.Series([float("nan")],
+                                   dtype="float64")})
+    ca = np.cumsum(a.astype(object))
+    cb = np.cumsum(b_.astype(object))
+    scaled = int(sum(abs(ca[i] * nb - cb[i] * na)
+                     for i in range(k)))
+    emd = float(duckdb_round(float(scaled) / float(na * nb), 6))
+    return pd.DataFrame({
+        "n_first": pd.Series([na], dtype="int64"),
+        "n_second": pd.Series([nb], dtype="int64"),
+        "emd_scaled": pd.Series([str(scaled)], dtype="object"),
+        "emd_bands": pd.Series([emd], dtype="float64")})

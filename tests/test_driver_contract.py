@@ -172,6 +172,7 @@ def oracle_pairs():
     "twap_value_by_type", "mmr_rerank_embeddings",
     "leadlag_daily_events", "k_anonymity_customers",
     "next_action_profile_events", "winnow_md5_documents",
+    "iso_week_volume_events", "emd_value_halves_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -930,3 +930,110 @@ def test_winnow_short_docs_absent_and_row_merge(tmp_path):
     assert list(out.columns) == ["doc_id", "n_fingerprints",
                                  "fp_sum"]
     assert len(_oracle(tmp_path, "winnow_md5_documents")) == 0
+
+
+# ------------------------------------------------------------- iso week
+
+def test_iso_week_year_boundary_footgun(tmp_path):
+    """2014-12-29 (a Monday) belongs to ISO 2015-W01 and 2016-01-01
+    (a Friday) to ISO 2015-W53 — the two boundary rows every naive
+    '%W' bucketing misfiles; both engines must agree on the ISO
+    rule (week 1 owns that week's Thursday)."""
+    from datetime import date
+
+    from jsonschema_ray.pipelines.relational import iso_week_volume_events
+    d1 = (date(2014, 12, 29) - date(1970, 1, 1)).days
+    d2 = (date(2016, 1, 1) - date(1970, 1, 1)).days
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([d1 * DAY, d2 * DAY], pa.timestamp("us"))}))
+    out = iso_week_volume_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"iso_year": 2015, "iso_week": 1, "n_events": 1,
+         "n_days": 1},
+        {"iso_year": 2015, "iso_week": 53, "n_events": 1,
+         "n_days": 1}]
+    exp = _oracle(tmp_path, "iso_week_volume_events")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_iso_week_day_dedup_and_empty(tmp_path):
+    """Two events on 1970-01-01 (a Thursday) plus one on the Friday
+    (same ISO week 1) answer n_events=3, n_days=2 — the day dedup
+    under a shared week; null ts invisible; all-null → typed empty
+    frame. (The first draft used Sunday+Monday and the two engines
+    agreed against the test: Jan 5 1970 opens ISO week 2.)"""
+    from jsonschema_ray.pipelines.relational import iso_week_volume_events
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([0, MIN, 1 * DAY, None],
+                       pa.timestamp("us"))}))
+    out = iso_week_volume_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"iso_year": 1970, "iso_week": 1, "n_events": 3,
+         "n_days": 2}]
+    exp = _oracle(tmp_path, "iso_week_volume_events")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([None], pa.timestamp("us"))}))
+    out = iso_week_volume_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["iso_year", "iso_week", "n_events",
+                                 "n_days"]
+    assert len(_oracle(tmp_path, "iso_week_volume_events")) == 0
+
+
+# ------------------------------------------------------------------ emd
+
+def test_emd_two_band_shift_identity(tmp_path):
+    """First half all in band 0, second half all two bands over: the
+    EMD answers EXACTLY 2.0 band-widths — mass moved two bins —
+    with the exact integer numerator 8 over n_a·n_b = 4. (KS on the
+    same data reads 1.0 regardless of HOW FAR the mass moved; the
+    distance-weighting is the point of EMD.)"""
+    from jsonschema_ray.pipelines.relational import emd_value_halves_events
+    _events_tv(tmp_path, [(1, "a", 0, 25.0), (2, "a", 1, 25.0),
+                          (3, "a", 24 * 60, 125.0),
+                          (4, "a", 24 * 60 + 1, 125.0)])
+    out = emd_value_halves_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_first": 2, "n_second": 2, "emd_scaled": "8",
+         "emd_bands": 2.0}]
+    exp = _oracle(tmp_path, "emd_value_halves_events")
+    assert exp.astype(str).to_dict("records") \
+        == out.astype(str).to_dict("records")
+
+
+def test_emd_support_exclusion_and_empty_half(tmp_path):
+    """Values outside [0, 1000) are excluded (the value_bands support
+    convention — 1000.0 itself is out); a single-day corpus puts
+    everything in the first half and answers SQL-NULL emd with the
+    counts still reported."""
+    from jsonschema_ray.pipelines.relational import emd_value_halves_events
+    _events_tv(tmp_path, [(1, "a", 0, 25.0), (2, "a", 1, 1000.0),
+                          (3, "a", 24 * 60, -5.0),
+                          (4, "a", 24 * 60 + 1, 500.0)])
+    out = emd_value_halves_events(str(tmp_path))
+    # mid = (0+1)//2 = 0 → day 0 first, day 1 second; 1000.0 and
+    # −5.0 excluded → a = [25.0], b = [500.0]
+    assert out.loc[0, "n_first"] == 1 and out.loc[0, "n_second"] == 1
+    assert out.loc[0, "emd_bands"] == 10.0  # band 0 → band 10
+    exp = _oracle(tmp_path, "emd_value_halves_events")
+    assert exp.astype(str).to_dict("records") \
+        == out.astype(str).to_dict("records")
+
+    _events_tv(tmp_path, [(1, "a", 0, 25.0), (2, "a", 1, 30.0)])
+    out = emd_value_halves_events(str(tmp_path))
+    assert out.loc[0, "n_first"] == 2 and out.loc[0, "n_second"] == 0
+    assert out.loc[0, "emd_scaled"] is None
+    assert pd.isna(out.loc[0, "emd_bands"])
+    exp = _oracle(tmp_path, "emd_value_halves_events")
+    assert exp.loc[0, "emd_scaled"] is None or \
+        pd.isna(exp.loc[0, "emd_scaled"])
