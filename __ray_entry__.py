@@ -58,10 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_size_histogram": R.basket_size_histogram,  # oracled
         "price_qty_regr_by_brand":
             R.price_qty_regr_by_brand,                     # oracled
-        "wau_mau_engagement": R.wau_mau_engagement,        # oracled
         "hapax_share_documents": R.hapax_share_documents,  # oracled
-        "sessions_per_user_histogram":
-            R.sessions_per_user_histogram,                 # oracled
         # --- session-18 additions (oracled)
         "gini_spend_customers": R.gini_spend_customers,    # oracled
         "cohort_ltv_curve": R.cohort_ltv_curve,            # oracled
@@ -125,6 +122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iso_week_volume_events": R.iso_week_volume_events,  # oracled
         "emd_value_halves_events":
             R.emd_value_halves_events,                     # oracled
+        "transition_entropy_events":
+            R.transition_entropy_events,                   # oracled
+        "audience_growth_daily_events":
+            R.audience_growth_daily_events,                # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -154,6 +155,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for transition_entropy_events: the rolling-window
+        # distinct-user machinery stays covered in-window by
+        # peak_concurrent_sessions (windowed user counting) +
+        # audience_growth's per-user first-day reduction + retention
+        # -family coverage via survival's endpoint kernel; pin-dense,
+        # two-engine green at 3 SFs across sessions)
+        "wau_mau_engagement": R.wau_mau_engagement,        # oracled
+        # (evicted for audience_growth_daily_events: 30-min
+        # sessionization stays covered in-window by
+        # peak_concurrent_sessions + interarrival_cv (both consume
+        # the same session-boundary kernel) and the per-user count
+        # histogram shape by basket_size + suppliers_per_part;
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "sessions_per_user_histogram":
+            R.sessions_per_user_histogram,                 # oracled
         # (evicted for iso_week_volume_events: the error-user set
         # extraction stays covered in-window by time_to_first_error
         # (the same error-event scan) and broadcast small-set
@@ -2202,6 +2218,30 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "transition_entropy_events": """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL)
+SELECT prev_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(entropy(event_type), 6) AS h_next
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type ORDER BY prev_type
+""",
+        "audience_growth_daily_events": """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY user_id),
+c AS (SELECT d, count(*) AS nu FROM f GROUP BY d)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(nu AS BIGINT) AS new_users,
+       CAST(sum(nu) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM c ORDER BY d
+""",
         "iso_week_volume_events": """
 WITH e AS (SELECT CAST(ts AS DATE) AS d FROM events
            WHERE ts IS NOT NULL)

@@ -396,6 +396,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.iso_week_volume_events(sf_dir)))
     timed("emd_value_halves_events",
           lambda: len(R.emd_value_halves_events(sf_dir)))
+    timed("transition_entropy_events",
+          lambda: len(R.transition_entropy_events(sf_dir)))
+    timed("audience_growth_daily_events",
+          lambda: len(R.audience_growth_daily_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

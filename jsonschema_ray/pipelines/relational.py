@@ -13567,3 +13567,103 @@ def emd_value_halves_events(sf_dir: str, k: int = 20,
         "n_second": pd.Series([nb], dtype="int64"),
         "emd_scaled": pd.Series([str(scaled)], dtype="object"),
         "emd_bands": pd.Series([emd], dtype="float64")})
+
+
+def transition_entropy_events(sf_dir: str):
+    """Conditional next-action ENTROPY (ORACLED): per previous event
+    type, the transition count and the Shannon entropy (base 2,
+    DuckDB entropy() semantics — the user_entropy convention) of the
+    next-type distribution — H(next | prev), the predictability
+    readout that completes the Markov family: transitions ships the
+    matrix, next_action_profile ships the argmax, this ships how much
+    the argmax can ever be trusted (h→0: deterministic flows worth
+    hard-coding; h→log2|types|: don't bother predicting). Rides the
+    SAME user-hash pair machinery; the entropy fold is driver-side
+    over the vocabulary²-bounded matrix, p·log2 p in float64 over
+    EXACT integer counts, 6dp (the ≤ |types|-term fold is the
+    user_entropy cross-engine contract). The null-bridging transitions
+    contract holds (A, NULL, B pairs A→B); a single-next-type prev
+    answers exactly 0.0; no transition anywhere → typed empty
+    frame."""
+    t = transitions_event_types(sf_dir)
+    out_empty = pd.DataFrame({
+        "prev_type": pd.Series([], dtype="object"),
+        "n_pairs": pd.Series([], dtype="int64"),
+        "h_next": pd.Series([], dtype="float64")})
+    if t.empty:
+        return out_empty
+    rows = []
+    for prev, g in t.groupby("prev_type", sort=True):
+        n = g.sort_values("next_type")["n"].to_numpy() \
+            .astype(np.float64)
+        tot = n.sum()
+        p = n / tot
+        h = float(-(p * np.log2(p)).sum())
+        rows.append({"prev_type": prev, "n_pairs": int(tot),
+                     "h_next": float(duckdb_round(h, 6))})
+    out = pd.DataFrame(rows)
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["h_next"] = out["h_next"].astype("float64")
+    return out
+
+
+def audience_growth_daily_events(sf_dir: str):
+    """AUDIENCE growth curve (ORACLED): per first-activity day, how
+    many users appeared for the first time and the cumulative
+    audience to date — the north-star growth chart, exact (every
+    analytics deck has this line; few compute it exactly at scale
+    because 'distinct users to date' naively needs a growing state).
+    The trick is that cumulative-distinct collapses to a plain
+    cumulative SUM once each user is reduced to their ONE first-
+    activity day: per-batch per-user min-day partials (min is
+    combinable), ONE user-hash partition finishes the min and
+    reduces straight to per-day new-user counts — calendar-bounded
+    rows to the driver, where the running sum is exact ints. Day
+    keys are ISO date strings (the daily_counts_ma convention). Null
+    user/ts rows invisible; a user's earlier null-ts events cannot
+    advance their first day (dropped pre-min, pinned); empty corpus
+    → typed empty frame."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("user_id").is_valid(),
+                             b.column("ts").is_valid()))
+        d = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        return pa.table({"u": t.column("user_id"),
+                         "d": pc.cast(d, pa.int64())})
+
+    def pmin(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["u"]).aggregate([("d", "min")])
+        return agg.rename_columns(["u", "d"])
+
+    parts = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072) \
+        .map_batches(pmin, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=131072)
+
+    def fin(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["u"]).aggregate([("d", "min")])
+        days = agg.column("d_min").to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(days, return_counts=True)
+        return pa.table({"d": pa.array(uk.astype(np.int64)),
+                         "nu": pa.array(cnt.astype(np.int64))})
+
+    agg = partitioned_group_apply(parts, ["u"], fin,
+                                  batch_format="pyarrow").to_pandas()
+    out_empty = pd.DataFrame({
+        "day": pd.Series([], dtype="object"),
+        "new_users": pd.Series([], dtype="int64"),
+        "cum_users": pd.Series([], dtype="int64")})
+    if agg.empty or "d" not in agg.columns:
+        return out_empty
+    g = agg.groupby("d")["nu"].sum().reset_index() \
+        .sort_values("d").reset_index(drop=True)
+    import datetime
+    day = [(datetime.date(1970, 1, 1)
+            + datetime.timedelta(days=int(x))).isoformat()
+           for x in g["d"]]
+    return pd.DataFrame({
+        "day": pd.Series(day, dtype="object"),
+        "new_users": g["nu"].astype("int64"),
+        "cum_users": g["nu"].cumsum().astype("int64")})

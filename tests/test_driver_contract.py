@@ -173,6 +173,7 @@ def oracle_pairs():
     "leadlag_daily_events", "k_anonymity_customers",
     "next_action_profile_events", "winnow_md5_documents",
     "iso_week_volume_events", "emd_value_halves_events",
+    "transition_entropy_events", "audience_growth_daily_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

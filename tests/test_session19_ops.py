@@ -1037,3 +1037,116 @@ def test_emd_support_exclusion_and_empty_half(tmp_path):
     exp = _oracle(tmp_path, "emd_value_halves_events")
     assert exp.loc[0, "emd_scaled"] is None or \
         pd.isna(exp.loc[0, "emd_scaled"])
+
+
+# --------------------------------------------------- transition entropy
+
+def test_transition_entropy_exact_anchors(tmp_path):
+    """Entropy's two exactly-representable anchors in one corpus: a
+    deterministic flow answers h = 0.0 (B always follows A's partner)
+    and a perfect two-way split answers h = 1.0 exactly (p = 0.5 is
+    a power of two — no float fuzz at either anchor). Timeline user1:
+    A,B,A,C (A splits 1/1 → h=1.0); user2: C,A (C→A deterministic
+    beside user1's A-then-C, making C's distribution {A:1} → 0.0);
+    B's single pair answers 0.0."""
+    from jsonschema_ray.pipelines.relational import (
+        transition_entropy_events)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, 7), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["A", "B", "A", "C", "C", "A"],
+                               pa.string()),
+        "ts": pa.array([i * MIN for i in range(6)],
+                       pa.timestamp("us"))}))
+    out = transition_entropy_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"prev_type": "A", "n_pairs": 2, "h_next": 1.0},
+        {"prev_type": "B", "n_pairs": 1, "h_next": 0.0},
+        {"prev_type": "C", "n_pairs": 1, "h_next": 0.0}]
+    exp = _oracle(tmp_path, "transition_entropy_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_transition_entropy_null_bridge_and_empty(tmp_path):
+    """A, NULL, B yields the A→B pair (the transitions null-bridging
+    contract flows through the entropy); no transition anywhere →
+    typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        transition_entropy_events)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["A", None, "B"], pa.string()),
+        "ts": pa.array([0, MIN, 2 * MIN], pa.timestamp("us"))}))
+    out = transition_entropy_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"prev_type": "A", "n_pairs": 1, "h_next": 0.0}]
+    exp = _oracle(tmp_path, "transition_entropy_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["A", "B"], pa.string()),
+        "ts": pa.array([0, MIN], pa.timestamp("us"))}))
+    out = transition_entropy_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["prev_type", "n_pairs", "h_next"]
+    assert len(_oracle(tmp_path, "transition_entropy_events")) == 0
+
+
+# ------------------------------------------------------ audience growth
+
+def test_audience_growth_hand_curve(tmp_path):
+    """Users 1,2 first appear day 0, user 3 on day 2: the curve is
+    (day0: +2, cum 2), (day2: +1, cum 3) — day 1 is ABSENT (observed
+    first-days, not a dense grid — SQL GROUP BY semantics); user 1's
+    return visit on day 9 adds NOTHING (cumulative-distinct collapsed
+    to first-day reduction)."""
+    from jsonschema_ray.pipelines.relational import (
+        audience_growth_daily_events)
+    _events_ts_rows = [
+        (1, 0), (2, 10), (3, 2 * 24 * 60), (1, 9 * 24 * 60)]
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, 5), pa.int64()),
+        "user_id": pa.array([r[0] for r in _events_ts_rows],
+                            pa.int64()),
+        "ts": pa.array([r[1] * MIN for r in _events_ts_rows],
+                       pa.timestamp("us"))}))
+    out = audience_growth_daily_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "1970-01-01", "new_users": 2, "cum_users": 2},
+        {"day": "1970-01-03", "new_users": 1, "cum_users": 3}]
+    exp = _oracle(tmp_path, "audience_growth_daily_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_audience_growth_null_ts_cannot_advance_and_empty(tmp_path):
+    """A user's null-ts event is dropped BEFORE the min — it cannot
+    make them 'appear' earlier (or at all: an only-null-ts user is
+    absent); all-invalid corpus → typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        audience_growth_daily_events)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([None, 5 * DAY, None], pa.timestamp("us"))}))
+    out = audience_growth_daily_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "1970-01-06", "new_users": 1, "cum_users": 1}]
+    exp = _oracle(tmp_path, "audience_growth_daily_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([None], pa.int64()),
+        "ts": pa.array([0], pa.timestamp("us"))}))
+    out = audience_growth_daily_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["day", "new_users", "cum_users"]
+    assert len(_oracle(tmp_path,
+                       "audience_growth_daily_events")) == 0
