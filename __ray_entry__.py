@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-14 additions (oracled, never driver-checked)
         "skyline_orders": R.skyline_orders,               # oracled
         # --- session-16 additions (oracled)
-        "readability_documents": R.readability_documents,  # oracled
         # --- session-17 additions (oracled)
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
         "return_rate_by_month": R.return_rate_by_month,    # oracled
@@ -126,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.transition_entropy_events,                   # oracled
         "audience_growth_daily_events":
             R.audience_growth_daily_events,                # oracled
+        "bm25_topk_documents": R.bm25_topk_documents,      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -155,6 +155,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for bm25_topk_documents: the per-doc char-class
+        # scan machinery stays covered in-window by
+        # dedup_token_savings (the same per-doc scan shape) and the
+        # doc-token pipeline by bm25's dl/tf pass + winnow's
+        # tokenizer; pin-dense, two-engine green at 3 SFs across
+        # sessions)
+        "readability_documents": R.readability_documents,  # oracled
         # (evicted for transition_entropy_events: the rolling-window
         # distinct-user machinery stays covered in-window by
         # peak_concurrent_sessions (windowed user counting) +
@@ -2218,6 +2225,37 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "bm25_topk_documents": """
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d),
+nz AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+n_t AS (SELECT count(*) AS n FROM d),
+tk AS (SELECT count(*) AS toks FROM nz),
+dl AS (SELECT doc_id, count(*) AS dl FROM nz GROUP BY doc_id),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM nz GROUP BY w),
+q AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 3),
+tf AS (SELECT nz.doc_id, nz.w, count(*) AS tf
+       FROM nz JOIN q ON q.w = nz.w GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id,
+              sum(ln(1.0 + (CAST(n_t.n - q.df AS DOUBLE) + 0.5)
+                           / (CAST(q.df AS DOUBLE) + 0.5))
+                  * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75
+                              + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                        / (CAST(tk.toks AS DOUBLE)
+                                           / CAST(n_t.n
+                                                  AS DOUBLE))))))
+                AS s
+       FROM tf JOIN q ON q.w = tf.w
+       JOIN dl ON dl.doc_id = tf.doc_id, n_t, tk
+       GROUP BY tf.doc_id, n_t.n, tk.toks)
+SELECT doc_id, round(s, 6) AS score,
+       CAST(row_number() OVER (ORDER BY round(s, 6) DESC, doc_id)
+            AS BIGINT) AS rank
+FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+""",
         "transition_entropy_events": """
 WITH s AS (
   SELECT user_id, event_type,

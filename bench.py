@@ -400,6 +400,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.transition_entropy_events(sf_dir)))
     timed("audience_growth_daily_events",
           lambda: len(R.audience_growth_daily_events(sf_dir)))
+    timed("bm25_topk_documents",
+          lambda: len(R.bm25_topk_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

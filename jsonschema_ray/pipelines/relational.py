@@ -13667,3 +13667,131 @@ def audience_growth_daily_events(sf_dir: str):
         "day": pd.Series(day, dtype="object"),
         "new_users": g["nu"].astype("int64"),
         "cum_users": g["nu"].cumsum().astype("int64")})
+
+
+def bm25_topk_documents(sf_dir: str, nq: int = 3, k: int = 10,
+                        k1: float = 1.2, b: float = 0.75):
+    """BM25 top-k SEARCH (ORACLED): rank documents by Okapi BM25
+    against the corpus' own top-``nq``=3 document-frequency terms
+    (df desc, term asc — a self-contained deterministic query set) —
+    the retrieval scorer every lexical search / RAG recall stage
+    ships, here end to end on the engine: DF/avgdl statistics pass,
+    broadcast query terms, streaming per-row scoring, batch-local
+    top-k merge. Plan is the real search-engine shape: (A) a tiny
+    cleaned-count pass (N), (B) ONE token pass whose (doc, term, tf)
+    partials reduce to the vocabulary-bounded (term, df, tf_total)
+    table — a doc lives in one row, the tfidf convention, so
+    per-batch grouping IS per-document grouping and the token stream
+    never shuffles — with the top-3 query terms and avgdl read off
+    the vocab table driver-side, and (C) one scoring pass computing
+    per-row dl and the 3 broadcast terms' tfs vectorized (Arrow
+    split + parent-index bincount), emitting ≤ k rows per batch
+    under the (round(s,6) desc, doc_id) order whose batch-local
+    top-k is a superset of the global winners. Float discipline:
+    idf = ln(1 + (N−df+.5)/(df+.5)) with ln on both engines (the
+    tfidf libm contract), every multiply/divide in the SQL's literal
+    operand order — including (1.2 + 1.0) computed as a SUM on both
+    sides rather than a 2.2 literal (the two differ in the last bit
+    for some k1) — and ranking compares 6dp-ROUNDED scores with a
+    doc_id tiebreak so the ≤ 3-term SUM's fold order cannot flip a
+    rank. Zero-scoring docs are ABSENT; fewer than k scoring docs
+    degrade; an empty cleaned corpus answers a typed empty frame."""
+    from ..text.transform import _tf_partials
+    import functools
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out_empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float64"),
+        "rank": pd.Series([], dtype="int64")})
+
+    def clean(bt: pa.Table) -> pa.Table:
+        return bt.filter(pc.and_(bt.column("doc_id").is_valid(),
+                                 bt.column("text").is_valid()))
+
+    # pass A: cleaned doc count (N)
+    def pcount(bt: pa.Table) -> pa.Table:
+        return pa.table({"c": pa.array([clean(bt).num_rows],
+                                       pa.int64())})
+
+    nd = ds.map_batches(pcount, batch_format="pyarrow",
+                        zero_copy_batch=True,
+                        batch_size=131072).to_pandas()
+    n_docs = int(nd["c"].sum()) if not nd.empty and "c" in nd.columns \
+        else 0
+    if n_docs == 0:
+        return out_empty
+
+    # pass B: vocab table (term, df, tf_total) — vocabulary-bounded
+    vocab = ds.map_batches(clean, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=131072) \
+        .map_batches(functools.partial(_tf_partials, id_col="doc_id",
+                                       text_col="text"),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=131072) \
+        .groupby("term").aggregate(Count(alias_name="df"),
+                                   Sum("tf", alias_name="tft")) \
+        .to_pandas()
+    if vocab.empty or "term" not in vocab.columns:
+        return out_empty
+    toks_total = int(vocab["tft"].sum())
+    q = vocab.sort_values(["df", "term"],
+                          ascending=[False, True]).head(nq)
+    qterms = q["term"].tolist()
+    qdf = q["df"].astype(int).tolist()
+    avgdl = float(toks_total) / float(n_docs)
+    idf = [math.log(1.0 + (float(n_docs - d) + 0.5)
+                    / (float(d) + 0.5)) for d in qdf]
+
+    # pass C: per-row dl + per-query-term tf → score → batch-local
+    # top-k partials
+    def score(bt: pa.Table) -> pa.Table:
+        t = clean(bt)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(t.column("text").combine_chunks(),
+                                " ")
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        flat = pc.cast(pc.list_flatten(toks), pa.string())
+        nonz = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        dl = np.bincount(par[nonz], minlength=n).astype(np.float64)
+        s = np.zeros(n, np.float64)
+        denom_base = k1 * (1.0 - b + b * (dl / avgdl))
+        for qi, term in enumerate(qterms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(par[hit], minlength=n) \
+                .astype(np.float64)
+            m = tf > 0
+            s[m] += idf[qi] * (tf[m] * (k1 + 1.0)) \
+                / (tf[m] + denom_base[m])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = s > 0
+        ids, s = ids[m], s[m]
+        sr = np.array([float(duckdb_round(float(x), 6)) for x in s])
+        order = np.lexsort((ids, -sr))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "s": pa.array(s[order])})
+
+    cand = ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          batch_size=131072).to_pandas()
+    if cand.empty or "doc_id" not in cand.columns:
+        return out_empty
+    cand["score"] = cand["s"].map(
+        lambda x: float(duckdb_round(float(x), 6)))
+    cand = cand.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    return pd.DataFrame({
+        "doc_id": cand["doc_id"].astype("int64"),
+        "score": cand["score"].astype("float64"),
+        "rank": pd.Series(np.arange(1, len(cand) + 1),
+                          dtype="int64")})
+

@@ -1150,3 +1150,51 @@ def test_audience_growth_null_ts_cannot_advance_and_empty(tmp_path):
     assert list(out.columns) == ["day", "new_users", "cum_users"]
     assert len(_oracle(tmp_path,
                        "audience_growth_daily_events")) == 0
+
+
+# ----------------------------------------------------------------- bm25
+
+def test_bm25_ranking_saturation_and_tie(tmp_path):
+    """d1='the cat', d2='the dog', d3='the the the the',
+    d4='the cat dog', d5='zzz yyy': query terms resolve to
+    [the, cat, dog] (df desc, term asc). The ranking tells the BM25
+    story in four rows: d4 tops (matches all three), d1 and d2 tie
+    EXACTLY (identical tf/dl arithmetic — the doc_id tiebreak is
+    load-bearing, d1 first), and d3's four-fold tf-stuffing of the
+    common term still loses to one rare-term match (saturation +
+    idf); d5 matches nothing and is ABSENT. Scores equal the oracle's
+    at 6dp."""
+    from jsonschema_ray.pipelines.relational import bm25_topk_documents
+    _documents(tmp_path, [(1, "the cat"), (2, "the dog"),
+                          (3, "the the the the"),
+                          (4, "the cat dog"), (5, "zzz yyy")])
+    out = bm25_topk_documents(str(tmp_path))
+    assert out["doc_id"].tolist() == [4, 1, 2, 3]
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    assert out.loc[1, "score"] == out.loc[2, "score"]  # exact tie
+    exp = _oracle(tmp_path, "bm25_topk_documents")
+    assert exp.astype({"doc_id": "int64", "score": "float64",
+                       "rank": "int64"}).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_bm25_topk_cutoff_and_empty(tmp_path):
+    """With 15 docs each containing the query term once, only the
+    top-10 (dl-ascending, then doc_id) survive the cutoff; an empty
+    cleaned corpus answers a typed empty frame."""
+    from jsonschema_ray.pipelines.relational import bm25_topk_documents
+    docs = [(i, "common " + " ".join(["pad"] * i))
+            for i in range(1, 16)]
+    _documents(tmp_path, docs)
+    out = bm25_topk_documents(str(tmp_path))
+    assert len(out) == 10
+    exp = _oracle(tmp_path, "bm25_topk_documents")
+    assert exp.astype({"doc_id": "int64", "score": "float64",
+                       "rank": "int64"}).to_dict("records") \
+        == out.to_dict("records")
+
+    _documents(tmp_path, [(1, None), (None, "x y z w")])
+    out = bm25_topk_documents(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "score", "rank"]
+    assert len(_oracle(tmp_path, "bm25_topk_documents")) == 0
