@@ -49,7 +49,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracles over minhash/simhash signatures (SQL md5_number)
         "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
-        "skyline_orders": R.skyline_orders,               # oracled
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
@@ -126,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_growth_daily_events":
             R.audience_growth_daily_events,                # oracled
         "bm25_topk_documents": R.bm25_topk_documents,      # oracled
+        "gap_quantiles_by_type": R.gap_quantiles_by_type,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -155,6 +155,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for gap_quantiles_by_type: the sorted-scan
+        # dominance machinery stays covered in-window by the range-
+        # sort block-extraction family (equidepth + gains_by_segment
+        # + gap_quantiles itself) and top-k extreme selection by
+        # decay_spend / bm25's top-k merges; pin-dense, two-engine
+        # green at 3 SFs across five sessions)
+        "skyline_orders": R.skyline_orders,               # oracled
         # (evicted for bm25_topk_documents: the per-doc char-class
         # scan machinery stays covered in-window by
         # dedup_token_savings (the same per-doc scan shape) and the
@@ -2225,6 +2232,21 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "gap_quantiles_by_type": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL AND event_id IS NOT NULL),
+l AS (SELECT event_type,
+             t - lag(t) OVER (PARTITION BY user_id, event_type
+                              ORDER BY t, event_id) AS gap
+      FROM e)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_us
+FROM l WHERE gap IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
         "bm25_topk_documents": """
 WITH d AS (SELECT doc_id, text FROM documents
            WHERE doc_id IS NOT NULL AND text IS NOT NULL),

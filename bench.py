@@ -402,6 +402,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.audience_growth_daily_events(sf_dir)))
     timed("bm25_topk_documents",
           lambda: len(R.bm25_topk_documents(sf_dir)))
+    timed("gap_quantiles_by_type",
+          lambda: len(R.gap_quantiles_by_type(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -13795,3 +13795,164 @@ def bm25_topk_documents(sf_dir: str, nq: int = 3, k: int = 10,
         "rank": pd.Series(np.arange(1, len(cand) + 1),
                           dtype="int64")})
 
+
+
+def gap_quantiles_by_type(sf_dir: str):
+    """Distributed DISC-QUANTILES of inter-arrival gaps per type
+    (ORACLED): per event_type, the gap count and the exact p50/p90 of
+    the µs gaps between consecutive same-type events of the same user
+    — the latency/SLA profile (interarrival_cv reads the same gap
+    stream's moments; a long-tailed stream needs the order statistics,
+    and p90 is what the pager threshold is set from). This generalizes
+    the repo's block-position machinery to GROUPED quantiles: stage 1
+    produces the gap stream in ONE user-hash partition pass (the
+    interarrival lexsort-diff kernel, gaps tagged with the later
+    event's id as a uniquifier), stage 2 is ONE range sort by (type,
+    gap, eid) — a UNIQUE total order, the _ntile_boundaries
+    requirement — whose blocks-bounded summary reports per-block
+    TYPE-RUN sub-spans (first-key block identity + local start +
+    count, the gains_by_segment segment-spanning-blocks discipline);
+    the driver walks runs in global order, maps each type's
+    ceil(q·n)−1 positions (DuckDB quantile_disc) to (block, local
+    offset), and a second block-aligned pass ships ONLY those rows.
+    Nothing gap-level reaches the driver beyond 2 rows per type.
+    Exact int64 µs end to end — no float exists anywhere in this
+    query. Equal timestamps contribute gap 0 in any order; a type
+    whose users all have single events is ABSENT (no gap — SQL GROUP
+    BY over the non-null lag set); null user/type/ts/id rows
+    invisible; an empty gap stream answers a typed empty frame."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.and_(b.column("user_id").is_valid(),
+                    b.column("ts").is_valid()),
+            pc.and_(b.column("event_type").is_valid(),
+                    b.column("event_id").is_valid())))
+
+    _gap_schema = pa.schema([("et", pa.string()),
+                             ("gap", pa.int64()),
+                             ("eid", pa.int64())])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _gap_schema.empty_table()
+        df = t.to_pandas()
+        u = df["user_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, et, u))
+        u, et, ts, eid = u[order], et[order], ts[order], eid[order]
+        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        g = ts[1:] - ts[:-1]
+        m = same
+        return pa.table({"et": pa.array(et[1:][m]),
+                         "gap": pa.array(g[m]),
+                         "eid": pa.array(eid[1:][m])},
+                        schema=_gap_schema)
+
+    stream = partitioned_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["user_id"], gaps, batch_format="pyarrow").materialize()
+
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_gaps": pd.Series([], dtype="int64"),
+        "p50_us": pd.Series([], dtype="int64"),
+        "p90_us": pd.Series([], dtype="int64")})
+    counts = grouped_agg(stream, ["et"], {},
+                         count_alias="n").to_pandas()
+    if counts.empty or "et" not in counts.columns:
+        return out_empty
+    targets = {}
+    for _, r in counts.iterrows():
+        n = int(r["n"])
+        targets[r["et"]] = {
+            "n": n,
+            "p50": max(int(math.ceil(0.5 * n)) - 1, 0),
+            "p90": max(int(math.ceil(0.9 * n)) - 1, 0)}
+
+    sortd = stream.sort(["et", "gap", "eid"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "b_et": pa.array([], pa.string()),
+            "b_gap": pa.array([], pa.int64()),
+            "b_eid": pa.array([], pa.int64()),
+            "et": pa.array([], pa.string()),
+            "start": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        et = b.column("et").to_numpy(zero_copy_only=False)
+        idxf = np.flatnonzero(
+            np.concatenate(([True], et[1:] != et[:-1])))
+        cnts = np.diff(np.append(idxf, len(et)))
+        n = len(idxf)
+        return pa.table({
+            "b_et": pa.array([et[0]] * n, pa.string()),
+            "b_gap": pa.array(
+                [b.column("gap")[0].as_py()] * n, pa.int64()),
+            "b_eid": pa.array(
+                [b.column("eid")[0].as_py()] * n, pa.int64()),
+            "et": pa.array(et[idxf]),
+            "start": pa.array(idxf.astype(np.int64)),
+            "cnt": pa.array(cnts.astype(np.int64))})
+
+    runs = sortd.map_batches(summary, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=None).to_pandas()
+    if runs.empty or "b_et" not in runs.columns:
+        return out_empty
+    runs = runs.sort_values(["b_et", "b_gap", "b_eid", "start"]) \
+        .reset_index(drop=True)
+    acc: dict = {}
+    want: dict = {}
+    for _, r in runs.iterrows():
+        et, cnt = r["et"], int(r["cnt"])
+        a = acc.get(et, 0)
+        tg = targets[et]
+        for lbl in ("p50", "p90"):
+            pos = tg[lbl]
+            if a <= pos < a + cnt:
+                key = (r["b_et"], int(r["b_gap"]), int(r["b_eid"]))
+                want.setdefault(key, []).append(
+                    (int(r["start"]) + (pos - a), et, lbl))
+        acc[et] = a + cnt
+
+    def extract(b: pa.Table) -> pa.Table:
+        empty = pa.table({"et": pa.array([], pa.string()),
+                          "lbl": pa.array([], pa.string()),
+                          "gap": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        key = (b.column("et")[0].as_py(),
+               b.column("gap")[0].as_py(),
+               b.column("eid")[0].as_py())
+        sel = want.get(key)
+        if not sel:
+            return empty
+        gaps_np = b.column("gap").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "et": pa.array([s[1] for s in sel], pa.string()),
+            "lbl": pa.array([s[2] for s in sel], pa.string()),
+            "gap": pa.array([int(gaps_np[s[0]]) for s in sel],
+                            pa.int64())})
+
+    got = sortd.map_batches(extract, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            batch_size=None).to_pandas()
+    piv = got.pivot(index="et", columns="lbl",
+                    values="gap").reset_index()
+    piv["n_gaps"] = piv["et"].map(lambda e: targets[e]["n"])
+    out = pd.DataFrame({
+        "event_type": piv["et"].astype(object),
+        "n_gaps": piv["n_gaps"].astype("int64"),
+        "p50_us": piv["p50"].astype("int64"),
+        "p90_us": piv["p90"].astype("int64")}) \
+        .sort_values("event_type").reset_index(drop=True)
+    return out

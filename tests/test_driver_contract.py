@@ -174,7 +174,7 @@ def oracle_pairs():
     "next_action_profile_events", "winnow_md5_documents",
     "iso_week_volume_events", "emd_value_halves_events",
     "transition_entropy_events", "audience_growth_daily_events",
-    "bm25_topk_documents",
+    "bm25_topk_documents", "gap_quantiles_by_type",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1198,3 +1198,81 @@ def test_bm25_topk_cutoff_and_empty(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "score", "rank"]
     assert len(_oracle(tmp_path, "bm25_topk_documents")) == 0
+
+
+# -------------------------------------------------------- gap quantiles
+
+def test_gap_quantiles_hand_and_disc_convention(tmp_path):
+    """One user, type a at minutes [0,10,30,60]: gaps [10,20,30] min →
+    n=3, p50 = sorted[ceil(1.5)−1] = 20 min, p90 = sorted[ceil(2.7)−1]
+    = 30 min — the quantile_disc ceil(q·n)−1 convention on exact µs
+    ints, no interpolation, no float."""
+    from jsonschema_ray.pipelines.relational import gap_quantiles_by_type
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1] * 4, pa.int64()),
+        "event_type": pa.array(["a"] * 4, pa.string()),
+        "ts": pa.array([0, 10 * MIN, 30 * MIN, 60 * MIN],
+                       pa.timestamp("us"))}))
+    out = gap_quantiles_by_type(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "a", "n_gaps": 3, "p50_us": 20 * MIN,
+         "p90_us": 30 * MIN}]
+    exp = _oracle(tmp_path, "gap_quantiles_by_type")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_gap_quantiles_user_and_type_boundaries(tmp_path):
+    """Gaps never span users (user 2's event between user 1's two
+    does not split their gap) and never span types (an interleaved
+    type-b event is invisible to type a's timeline — a's single gap
+    runs straight over it); a type whose users all have one event is
+    ABSENT."""
+    from jsonschema_ray.pipelines.relational import gap_quantiles_by_type
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 2, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "a", "c"],
+                               pa.string()),
+        "ts": pa.array([0, 5 * MIN, 7 * MIN, 20 * MIN, 9 * MIN],
+                       pa.timestamp("us"))}))
+    out = gap_quantiles_by_type(str(tmp_path))
+    # user 1 type a: gap 20 min (straight over the type-b event and
+    # user 2's events); types b (one event) and c (one event) absent
+    assert out.to_dict("records") == [
+        {"event_type": "a", "n_gaps": 1, "p50_us": 20 * MIN,
+         "p90_us": 20 * MIN}]
+    exp = _oracle(tmp_path, "gap_quantiles_by_type")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_gap_quantiles_zero_gaps_and_empty(tmp_path):
+    """Equal timestamps contribute gap 0 (any tie order — the gap is
+    0 regardless); an all-single-event corpus answers a typed empty
+    frame on both engines."""
+    from jsonschema_ray.pipelines.relational import gap_quantiles_by_type
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["a", "a", "a"], pa.string()),
+        "ts": pa.array([5 * MIN, 5 * MIN, 5 * MIN],
+                       pa.timestamp("us"))}))
+    out = gap_quantiles_by_type(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "a", "n_gaps": 2, "p50_us": 0, "p90_us": 0}]
+    exp = _oracle(tmp_path, "gap_quantiles_by_type")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["a", "a"], pa.string()),
+        "ts": pa.array([0, MIN], pa.timestamp("us"))}))
+    out = gap_quantiles_by_type(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "n_gaps", "p50_us",
+                                 "p90_us"]
+    assert len(_oracle(tmp_path, "gap_quantiles_by_type")) == 0
