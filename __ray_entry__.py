@@ -53,7 +53,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-17 additions (oracled)
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
         "return_rate_by_month": R.return_rate_by_month,    # oracled
-        "basket_size_histogram": R.basket_size_histogram,  # oracled
         "price_qty_regr_by_brand":
             R.price_qty_regr_by_brand,                     # oracled
         "hapax_share_documents": R.hapax_share_documents,  # oracled
@@ -126,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.audience_growth_daily_events,                # oracled
         "bm25_topk_documents": R.bm25_topk_documents,      # oracled
         "gap_quantiles_by_type": R.gap_quantiles_by_type,  # oracled
+        "price_quantiles_by_brand":
+            R.price_quantiles_by_brand,                    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -155,6 +156,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for price_quantiles_by_brand: the bounded-count
+        # histogram machinery stays covered in-window by
+        # suppliers_per_part_histogram + order_completion_days (the
+        # same per-key-count histogram shape); pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "basket_size_histogram": R.basket_size_histogram,  # oracled
         # (evicted for gap_quantiles_by_type: the sorted-scan
         # dominance machinery stays covered in-window by the range-
         # sort block-extraction family (equidepth + gains_by_segment
@@ -2232,6 +2239,19 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "price_quantiles_by_brand": """
+WITH l AS (SELECT p.p_brand AS g,
+                  CAST(l_extendedprice * 100 AS BIGINT) AS cents
+           FROM lineitem
+           JOIN part p ON p.p_partkey = l_partkey
+           WHERE l_partkey IS NOT NULL
+             AND l_extendedprice IS NOT NULL
+             AND l_orderkey IS NOT NULL
+             AND l_linenumber IS NOT NULL)
+SELECT g AS p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents
+FROM l GROUP BY g ORDER BY g""",
         "gap_quantiles_by_type": """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
            FROM events

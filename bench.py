@@ -404,6 +404,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.bm25_topk_documents(sf_dir)))
     timed("gap_quantiles_by_type",
           lambda: len(R.gap_quantiles_by_type(sf_dir)))
+    timed("price_quantiles_by_brand",
+          lambda: len(R.price_quantiles_by_brand(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

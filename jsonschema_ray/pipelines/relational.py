@@ -13797,29 +13797,125 @@ def bm25_topk_documents(sf_dir: str, nq: int = 3, k: int = 10,
 
 
 
+def _grouped_disc_quantiles(stream, qs=(("p50", 0.5), ("p90", 0.9))):
+    """Distributed GROUPED disc-quantiles over a materialized stream
+    of (g: group, v: int64 metric, uid: int64 uniquifier) rows: per
+    group, the row count and the exact sorted[ceil(q·n)−1] value for
+    each requested quantile (DuckDB quantile_disc). The block-position
+    machinery generalized to groups: ONE range sort by (g, v, uid) —
+    a unique total order, the _ntile_boundaries requirement — whose
+    blocks-bounded summary reports per-block GROUP-RUN sub-spans
+    (block first-key identity + local start + count, the
+    gains_by_segment segment-spanning-blocks discipline); the driver
+    walks runs in global order mapping each group's target positions
+    to (block, local offset), and a second block-aligned pass ships
+    ONLY those rows. Nothing row-level reaches the driver beyond
+    |qs| rows per group. Returns a (g, n, <label>…) DataFrame or
+    None when the stream is empty."""
+    counts = grouped_agg(stream, ["g"], {}, count_alias="n") \
+        .to_pandas()
+    if counts.empty or "g" not in counts.columns:
+        return None
+    targets = {}
+    for _, r in counts.iterrows():
+        n = int(r["n"])
+        targets[r["g"]] = {"n": n}
+        for lbl, q in qs:
+            targets[r["g"]][lbl] = max(
+                int(math.ceil(q * n)) - 1, 0)
+
+    sortd = stream.sort(["g", "v", "uid"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "b_g": pa.array([], pa.string()),
+            "b_v": pa.array([], pa.int64()),
+            "b_uid": pa.array([], pa.int64()),
+            "g": pa.array([], pa.string()),
+            "start": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        g = b.column("g").to_numpy(zero_copy_only=False)
+        idxf = np.flatnonzero(
+            np.concatenate(([True], g[1:] != g[:-1])))
+        cnts = np.diff(np.append(idxf, len(g)))
+        n = len(idxf)
+        return pa.table({
+            "b_g": pa.array([g[0]] * n, pa.string()),
+            "b_v": pa.array([b.column("v")[0].as_py()] * n,
+                            pa.int64()),
+            "b_uid": pa.array([b.column("uid")[0].as_py()] * n,
+                              pa.int64()),
+            "g": pa.array(g[idxf]),
+            "start": pa.array(idxf.astype(np.int64)),
+            "cnt": pa.array(cnts.astype(np.int64))})
+
+    runs = sortd.map_batches(summary, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=None).to_pandas()
+    if runs.empty or "b_g" not in runs.columns:
+        return None
+    runs = runs.sort_values(["b_g", "b_v", "b_uid", "start"]) \
+        .reset_index(drop=True)
+    acc: dict = {}
+    want: dict = {}
+    labels = [lbl for lbl, _ in qs]
+    for _, r in runs.iterrows():
+        g, cnt = r["g"], int(r["cnt"])
+        a = acc.get(g, 0)
+        tg = targets[g]
+        for lbl in labels:
+            pos = tg[lbl]
+            if a <= pos < a + cnt:
+                key = (r["b_g"], int(r["b_v"]), int(r["b_uid"]))
+                want.setdefault(key, []).append(
+                    (int(r["start"]) + (pos - a), g, lbl))
+        acc[g] = a + cnt
+
+    def extract(b: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], pa.string()),
+                          "lbl": pa.array([], pa.string()),
+                          "v": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        key = (b.column("g")[0].as_py(), b.column("v")[0].as_py(),
+               b.column("uid")[0].as_py())
+        sel = want.get(key)
+        if not sel:
+            return empty
+        vals = b.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array([s[1] for s in sel], pa.string()),
+            "lbl": pa.array([s[2] for s in sel], pa.string()),
+            "v": pa.array([int(vals[s[0]]) for s in sel],
+                          pa.int64())})
+
+    got = sortd.map_batches(extract, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            batch_size=None).to_pandas()
+    piv = got.pivot(index="g", columns="lbl", values="v") \
+        .reset_index()
+    piv["n"] = piv["g"].map(lambda e: targets[e]["n"])
+    return piv
+
+
 def gap_quantiles_by_type(sf_dir: str):
     """Distributed DISC-QUANTILES of inter-arrival gaps per type
     (ORACLED): per event_type, the gap count and the exact p50/p90 of
     the µs gaps between consecutive same-type events of the same user
     — the latency/SLA profile (interarrival_cv reads the same gap
     stream's moments; a long-tailed stream needs the order statistics,
-    and p90 is what the pager threshold is set from). This generalizes
-    the repo's block-position machinery to GROUPED quantiles: stage 1
-    produces the gap stream in ONE user-hash partition pass (the
-    interarrival lexsort-diff kernel, gaps tagged with the later
-    event's id as a uniquifier), stage 2 is ONE range sort by (type,
-    gap, eid) — a UNIQUE total order, the _ntile_boundaries
-    requirement — whose blocks-bounded summary reports per-block
-    TYPE-RUN sub-spans (first-key block identity + local start +
-    count, the gains_by_segment segment-spanning-blocks discipline);
-    the driver walks runs in global order, maps each type's
-    ceil(q·n)−1 positions (DuckDB quantile_disc) to (block, local
-    offset), and a second block-aligned pass ships ONLY those rows.
-    Nothing gap-level reaches the driver beyond 2 rows per type.
-    Exact int64 µs end to end — no float exists anywhere in this
-    query. Equal timestamps contribute gap 0 in any order; a type
-    whose users all have single events is ABSENT (no gap — SQL GROUP
-    BY over the non-null lag set); null user/type/ts/id rows
+    and p90 is what the pager threshold is set from). First consumer
+    of _grouped_disc_quantiles (the block-position machinery
+    generalized to grouped quantiles — see its docstring for the
+    sort/summary/extract shape): stage 1 produces the gap stream in
+    ONE user-hash partition pass (the interarrival lexsort-diff
+    kernel, gaps tagged with the later event's id as the unique-order
+    uniquifier). Exact int64 µs end to end — no float exists anywhere
+    in this query. Equal timestamps contribute gap 0 in any order; a
+    type whose users all have single events is ABSENT (no gap — SQL
+    GROUP BY over the non-null lag set); null user/type/ts/id rows
     invisible; an empty gap stream answers a typed empty frame."""
     from ..util import partitioned_group_apply
     ds = _read(sf_dir, "events",
@@ -13832,9 +13928,9 @@ def gap_quantiles_by_type(sf_dir: str):
             pc.and_(b.column("event_type").is_valid(),
                     b.column("event_id").is_valid())))
 
-    _gap_schema = pa.schema([("et", pa.string()),
-                             ("gap", pa.int64()),
-                             ("eid", pa.int64())])
+    _gap_schema = pa.schema([("g", pa.string()),
+                             ("v", pa.int64()),
+                             ("uid", pa.int64())])
 
     def gaps(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -13848,10 +13944,9 @@ def gap_quantiles_by_type(sf_dir: str):
         u, et, ts, eid = u[order], et[order], ts[order], eid[order]
         same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
         g = ts[1:] - ts[:-1]
-        m = same
-        return pa.table({"et": pa.array(et[1:][m]),
-                         "gap": pa.array(g[m]),
-                         "eid": pa.array(eid[1:][m])},
+        return pa.table({"g": pa.array(et[1:][same]),
+                         "v": pa.array(g[same]),
+                         "uid": pa.array(eid[1:][same])},
                         schema=_gap_schema)
 
     stream = partitioned_group_apply(
@@ -13864,95 +13959,75 @@ def gap_quantiles_by_type(sf_dir: str):
         "n_gaps": pd.Series([], dtype="int64"),
         "p50_us": pd.Series([], dtype="int64"),
         "p90_us": pd.Series([], dtype="int64")})
-    counts = grouped_agg(stream, ["et"], {},
-                         count_alias="n").to_pandas()
-    if counts.empty or "et" not in counts.columns:
+    piv = _grouped_disc_quantiles(stream)
+    if piv is None:
         return out_empty
-    targets = {}
-    for _, r in counts.iterrows():
-        n = int(r["n"])
-        targets[r["et"]] = {
-            "n": n,
-            "p50": max(int(math.ceil(0.5 * n)) - 1, 0),
-            "p90": max(int(math.ceil(0.9 * n)) - 1, 0)}
-
-    sortd = stream.sort(["et", "gap", "eid"]).materialize()
-
-    def summary(b: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "b_et": pa.array([], pa.string()),
-            "b_gap": pa.array([], pa.int64()),
-            "b_eid": pa.array([], pa.int64()),
-            "et": pa.array([], pa.string()),
-            "start": pa.array([], pa.int64()),
-            "cnt": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        et = b.column("et").to_numpy(zero_copy_only=False)
-        idxf = np.flatnonzero(
-            np.concatenate(([True], et[1:] != et[:-1])))
-        cnts = np.diff(np.append(idxf, len(et)))
-        n = len(idxf)
-        return pa.table({
-            "b_et": pa.array([et[0]] * n, pa.string()),
-            "b_gap": pa.array(
-                [b.column("gap")[0].as_py()] * n, pa.int64()),
-            "b_eid": pa.array(
-                [b.column("eid")[0].as_py()] * n, pa.int64()),
-            "et": pa.array(et[idxf]),
-            "start": pa.array(idxf.astype(np.int64)),
-            "cnt": pa.array(cnts.astype(np.int64))})
-
-    runs = sortd.map_batches(summary, batch_format="pyarrow",
-                             zero_copy_batch=True,
-                             batch_size=None).to_pandas()
-    if runs.empty or "b_et" not in runs.columns:
-        return out_empty
-    runs = runs.sort_values(["b_et", "b_gap", "b_eid", "start"]) \
-        .reset_index(drop=True)
-    acc: dict = {}
-    want: dict = {}
-    for _, r in runs.iterrows():
-        et, cnt = r["et"], int(r["cnt"])
-        a = acc.get(et, 0)
-        tg = targets[et]
-        for lbl in ("p50", "p90"):
-            pos = tg[lbl]
-            if a <= pos < a + cnt:
-                key = (r["b_et"], int(r["b_gap"]), int(r["b_eid"]))
-                want.setdefault(key, []).append(
-                    (int(r["start"]) + (pos - a), et, lbl))
-        acc[et] = a + cnt
-
-    def extract(b: pa.Table) -> pa.Table:
-        empty = pa.table({"et": pa.array([], pa.string()),
-                          "lbl": pa.array([], pa.string()),
-                          "gap": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        key = (b.column("et")[0].as_py(),
-               b.column("gap")[0].as_py(),
-               b.column("eid")[0].as_py())
-        sel = want.get(key)
-        if not sel:
-            return empty
-        gaps_np = b.column("gap").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "et": pa.array([s[1] for s in sel], pa.string()),
-            "lbl": pa.array([s[2] for s in sel], pa.string()),
-            "gap": pa.array([int(gaps_np[s[0]]) for s in sel],
-                            pa.int64())})
-
-    got = sortd.map_batches(extract, batch_format="pyarrow",
-                            zero_copy_batch=True,
-                            batch_size=None).to_pandas()
-    piv = got.pivot(index="et", columns="lbl",
-                    values="gap").reset_index()
-    piv["n_gaps"] = piv["et"].map(lambda e: targets[e]["n"])
     out = pd.DataFrame({
-        "event_type": piv["et"].astype(object),
-        "n_gaps": piv["n_gaps"].astype("int64"),
+        "event_type": piv["g"].astype(object),
+        "n_gaps": piv["n"].astype("int64"),
         "p50_us": piv["p50"].astype("int64"),
         "p90_us": piv["p90"].astype("int64")}) \
         .sort_values("event_type").reset_index(drop=True)
     return out
+
+
+def price_quantiles_by_brand(sf_dir: str):
+    """Distributed DISC-QUANTILES of line price per part brand
+    (ORACLED): per p_brand, the lineitem count and the exact p50/p90
+    of extended-price cents — the price-book percentile readout
+    (brand_quantity reads sums; a pricing review wants the order
+    statistics). Second consumer of _grouped_disc_quantiles, proving
+    the grouped block-position machinery generalizes across tables:
+    the brand attaches from ONE broadcast part dict (the
+    basket_brand convention, inner-join semantics — lineitems of
+    unknown partkey are invisible, pinned), cents ride the pinned
+    rint/CAST recipe, and the uniquifier is the (orderkey·10 +
+    linenumber) composite — linenumber < 10 by construction keeps it
+    collision-free, stated. Exact int64 cents end to end — no float
+    after quantization. Null partkey/price rows invisible; an empty
+    cleaned stream answers a typed empty frame."""
+    import ray
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_partkey",
+                        "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(
+            pc.and_(b.column("l_partkey").is_valid(),
+                    b.column("l_extendedprice").is_valid()),
+            pc.and_(b.column("l_orderkey").is_valid(),
+                    b.column("l_linenumber").is_valid())))
+        t = _broadcast_lookup_batch(t, ref=ref, key="l_partkey",
+                                    out="g")
+        t = t.filter(t.column("g").is_valid())
+        v = t.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = t.column("l_linenumber") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "g": pc.cast(t.column("g"), pa.string()),
+            "v": pa.array(np.rint(v * 100.0).astype(np.int64)),
+            "uid": pa.array(ok * 10 + ln)})
+
+    stream = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            batch_size=131072).materialize()
+    out_empty = pd.DataFrame({
+        "p_brand": pd.Series([], dtype="object"),
+        "n_lines": pd.Series([], dtype="int64"),
+        "p50_cents": pd.Series([], dtype="int64"),
+        "p90_cents": pd.Series([], dtype="int64")})
+    piv = _grouped_disc_quantiles(stream)
+    if piv is None:
+        return out_empty
+    return pd.DataFrame({
+        "p_brand": piv["g"].astype(object),
+        "n_lines": piv["n"].astype("int64"),
+        "p50_cents": piv["p50"].astype("int64"),
+        "p90_cents": piv["p90"].astype("int64")}) \
+        .sort_values("p_brand").reset_index(drop=True)

@@ -1276,3 +1276,57 @@ def test_gap_quantiles_zero_gaps_and_empty(tmp_path):
     assert list(out.columns) == ["event_type", "n_gaps", "p50_us",
                                  "p90_us"]
     assert len(_oracle(tmp_path, "gap_quantiles_by_type")) == 0
+
+
+def _lineitem_brand(tmp_path, parts, lines):
+    """parts: (p_partkey, p_brand); lines: (l_orderkey, l_linenumber,
+    l_partkey|None, l_extendedprice|None)."""
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([p[0] for p in parts], pa.int64()),
+        "p_brand": pa.array([p[1] for p in parts], pa.string())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+        "l_linenumber": pa.array([r[1] for r in lines], pa.int64()),
+        "l_partkey": pa.array([r[2] for r in lines], pa.int64()),
+        "l_extendedprice": pa.array([r[3] for r in lines],
+                                    pa.float64())}))
+
+
+# ------------------------------------------------------ price quantiles
+
+def test_price_quantiles_hand_and_unknown_part(tmp_path):
+    """Brand A prices [1, 2, 3, 4, 100]: disc p50 = 3.00 (the
+    ceil(2.5)−1 pick) and p90 = 100.00 (ceil(4.5)−1 = index 4) — the
+    outlier line IS the p90, exactly, no interpolation; a line whose
+    partkey is not in part is invisible (inner-join semantics); a
+    second one-line brand answers p50 == p90 == its price."""
+    from jsonschema_ray.pipelines.relational import (
+        price_quantiles_by_brand)
+    _lineitem_brand(
+        tmp_path, [(1, "A"), (2, "B")],
+        [(10, 1, 1, 1.00), (10, 2, 1, 2.00), (11, 1, 1, 3.00),
+         (11, 2, 1, 4.00), (12, 1, 1, 100.00),
+         (13, 1, 2, 7.50), (14, 1, 999, 5.00)])
+    out = price_quantiles_by_brand(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"p_brand": "A", "n_lines": 5, "p50_cents": 300,
+         "p90_cents": 10000},
+        {"p_brand": "B", "n_lines": 1, "p50_cents": 750,
+         "p90_cents": 750}]
+    exp = _oracle(tmp_path, "price_quantiles_by_brand")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_price_quantiles_nulls_and_empty(tmp_path):
+    """Null partkey/price rows invisible; nothing attachable → typed
+    empty frame on both engines."""
+    from jsonschema_ray.pipelines.relational import (
+        price_quantiles_by_brand)
+    _lineitem_brand(tmp_path, [(1, "A")],
+                    [(10, 1, None, 2.0), (10, 2, 1, None)])
+    out = price_quantiles_by_brand(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["p_brand", "n_lines", "p50_cents",
+                                 "p90_cents"]
+    assert len(_oracle(tmp_path, "price_quantiles_by_brand")) == 0
