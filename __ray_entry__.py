@@ -52,7 +52,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
-        "return_rate_by_month": R.return_rate_by_month,    # oracled
         "price_qty_regr_by_brand":
             R.price_qty_regr_by_brand,                     # oracled
         "hapax_share_documents": R.hapax_share_documents,  # oracled
@@ -127,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_quantiles_by_type": R.gap_quantiles_by_type,  # oracled
         "price_quantiles_by_brand":
             R.price_quantiles_by_brand,                    # oracled
+        "growth_accounting_monthly_events":
+            R.growth_accounting_monthly_events,            # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -156,6 +157,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for growth_accounting_monthly_events: the
+        # calendar-month grouping machinery stays covered in-window
+        # by ship_delay_by_month (the same month keys) + growth
+        # accounting's own dense month grid; pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "return_rate_by_month": R.return_rate_by_month,    # oracled
         # (evicted for price_quantiles_by_brand: the bounded-count
         # histogram machinery stays covered in-window by
         # suppliers_per_part_histogram + order_completion_days (the
@@ -2239,6 +2246,43 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "growth_accounting_monthly_events": """
+WITH um AS (SELECT DISTINCT user_id AS u,
+                   CAST(year(ts) * 12 + (month(ts) - 1) AS BIGINT)
+                     AS m
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+l AS (SELECT u, m,
+             lag(m) OVER (PARTITION BY u ORDER BY m) AS pm
+      FROM um),
+c AS (SELECT m,
+             count(*) FILTER (pm IS NULL) AS n_new,
+             count(*) FILTER (pm = m - 1) AS n_retained,
+             count(*) FILTER (pm IS NOT NULL AND pm < m - 1)
+               AS n_resurrected
+      FROM l GROUP BY m),
+b AS (SELECT min(m) AS lo, max(m) AS hi FROM um),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS m FROM b),
+f AS (SELECT grid.m,
+             coalesce(c.n_new, 0) AS n_new,
+             coalesce(c.n_retained, 0) AS n_retained,
+             coalesce(c.n_resurrected, 0) AS n_resurrected
+      FROM grid LEFT JOIN c ON c.m = grid.m),
+g AS (SELECT m, n_new + n_retained + n_resurrected AS n_active,
+             n_new, n_retained, n_resurrected,
+             coalesce(lag(n_new + n_retained + n_resurrected)
+                      OVER (ORDER BY m), 0)
+               - (CASE WHEN lag(m) OVER (ORDER BY m) IS NULL
+                       THEN 0 ELSE n_retained END) AS n_churned
+      FROM f)
+SELECT printf('%04d-%02d', m // 12, m % 12 + 1) AS month,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_retained AS BIGINT) AS n_retained,
+       CAST(n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(n_churned AS BIGINT) AS n_churned
+FROM g ORDER BY m
+""",
         "price_quantiles_by_brand": """
 WITH l AS (SELECT p.p_brand AS g,
                   CAST(l_extendedprice * 100 AS BIGINT) AS cents

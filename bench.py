@@ -406,6 +406,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.gap_quantiles_by_type(sf_dir)))
     timed("price_quantiles_by_brand",
           lambda: len(R.price_quantiles_by_brand(sf_dir)))
+    timed("growth_accounting_monthly_events",
+          lambda: len(R.growth_accounting_monthly_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -14031,3 +14031,99 @@ def price_quantiles_by_brand(sf_dir: str):
         "p50_cents": piv["p50"].astype("int64"),
         "p90_cents": piv["p90"].astype("int64")}) \
         .sort_values("p_brand").reset_index(drop=True)
+
+
+def growth_accounting_monthly_events(sf_dir: str):
+    """Monthly GROWTH ACCOUNTING (ORACLED): per calendar month on the
+    dense min..max month grid, the active-user count decomposed into
+    NEW (first-ever month), RETAINED (also active the previous month)
+    and RESURRECTED (active before, but not last month), plus CHURNED
+    (active last month, gone this month) — the standard
+    growth-accounting identity (actives(m) = new + retained +
+    resurrected; churned(m) = actives(m−1) − retained(m), an identity
+    the two engines must BOTH satisfy row by row, which makes this
+    query self-auditing). Exact integers end to end. Plan: ONE
+    (user, month)-distinct reduction (grouped_agg_hash dedup — the
+    wau/stickiness distinct discipline), ONE user-hash partition pass
+    that lexsort-diffs each user's month-index sequence into
+    (month, class) partial counts (class from the previous month's
+    distance: none → new, 1 → retained, >1 → resurrected), a tiny
+    grouped sum, and a driver-side dense month grid (calendar-
+    bounded) where churned falls out of the identity. Months with no
+    actives still appear (zero-filled — their churned row is where a
+    total-loss month shows up; pinned). Null user/ts rows invisible;
+    an empty corpus answers a typed empty frame."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("user_id").is_valid(),
+                             b.column("ts").is_valid()))
+        s = t.column("ts").to_pandas()
+        mi = (s.dt.year * 12 + (s.dt.month - 1)).astype("int64")
+        return pa.table({"u": t.column("user_id"),
+                         "m": pa.array(mi.to_numpy())})
+
+    pairs = grouped_agg_hash(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["u", "m"], {}, count_alias="_c")
+
+    _cls_schema = pa.schema([("m", pa.int64()),
+                             ("cls", pa.string()),
+                             ("n", pa.int64())])
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _cls_schema.empty_table()
+        u = t.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = t.column("m").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((m, u))
+        u, m = u[order], m[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.empty(len(m), np.int64)
+        gap[0] = 0
+        gap[1:] = m[1:] - m[:-1]
+        cls = np.where(first, "new",
+                       np.where(gap == 1, "retained",
+                                "resurrected"))
+        key = pd.DataFrame({"m": m, "cls": cls}) \
+            .groupby(["m", "cls"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(key, schema=_cls_schema,
+                                    preserve_index=False)
+
+    agg = partitioned_group_apply(pairs, ["u"], classify,
+                                  batch_format="pyarrow")
+    out = grouped_agg(agg, ["m", "cls"], {"n": "n_sum"},
+                      count_alias="_c").to_pandas()
+    out_empty = pd.DataFrame({
+        "month": pd.Series([], dtype="object"),
+        "n_active": pd.Series([], dtype="int64"),
+        "n_new": pd.Series([], dtype="int64"),
+        "n_retained": pd.Series([], dtype="int64"),
+        "n_resurrected": pd.Series([], dtype="int64"),
+        "n_churned": pd.Series([], dtype="int64")})
+    if out.empty or "m" not in out.columns:
+        return out_empty
+    piv = out.pivot(index="m", columns="cls", values="n_sum") \
+        .fillna(0).astype("int64")
+    lo, hi = int(piv.index.min()), int(piv.index.max())
+    grid = np.arange(lo, hi + 1)
+    piv = piv.reindex(grid, fill_value=0)
+    for c in ("new", "retained", "resurrected"):
+        if c not in piv.columns:
+            piv[c] = np.int64(0)
+    active = (piv["new"] + piv["retained"]
+              + piv["resurrected"]).to_numpy()
+    churned = np.concatenate(
+        ([0], active[:-1] - piv["retained"].to_numpy()[1:]))
+    month = [f"{mi // 12:04d}-{mi % 12 + 1:02d}" for mi in grid]
+    return pd.DataFrame({
+        "month": pd.Series(month, dtype="object"),
+        "n_active": pd.Series(active, dtype="int64"),
+        "n_new": piv["new"].reset_index(drop=True),
+        "n_retained": piv["retained"].reset_index(drop=True),
+        "n_resurrected": piv["resurrected"].reset_index(drop=True),
+        "n_churned": pd.Series(churned, dtype="int64")})

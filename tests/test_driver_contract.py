@@ -175,7 +175,7 @@ def oracle_pairs():
     "iso_week_volume_events", "emd_value_halves_events",
     "transition_entropy_events", "audience_growth_daily_events",
     "bm25_topk_documents", "gap_quantiles_by_type",
-    "price_quantiles_by_brand",
+    "price_quantiles_by_brand", "growth_accounting_monthly_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1330,3 +1330,85 @@ def test_price_quantiles_nulls_and_empty(tmp_path):
     assert list(out.columns) == ["p_brand", "n_lines", "p50_cents",
                                  "p90_cents"]
     assert len(_oracle(tmp_path, "price_quantiles_by_brand")) == 0
+
+
+def _events_user_months(tmp_path, rows):
+    """rows: (user_id, month_index) — one event on the first day of
+    month_index months after 1970-01 (plus optional extra same-month
+    events via repeated rows)."""
+    from datetime import date
+    ts = []
+    for _, m in rows:
+        d = date(1970 + m // 12, m % 12 + 1, 1)
+        ts.append((d - date(1970, 1, 1)).days * DAY)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us"))}))
+
+
+# ---------------------------------------------------- growth accounting
+
+def test_growth_accounting_full_story(tmp_path):
+    """u1 active months [0,1,3], u2 [0], u3 [1]: the four-month grid
+    tells the whole framework in one corpus — m0 all-new; m1 one
+    retained + one new with u2's churn falling out of the identity
+    (active(m0) − retained(m1) = 1); m2 is a ZERO-FILL month whose
+    row still appears and carries the total loss (churned 2); m3 is
+    u1's resurrection (not new — the first-ever month is sticky).
+    Every row satisfies active = new + retained + resurrected on
+    both engines."""
+    from jsonschema_ray.pipelines.relational import (
+        growth_accounting_monthly_events)
+    _events_user_months(tmp_path, [(1, 0), (1, 1), (1, 3),
+                                   (2, 0), (3, 1)])
+    out = growth_accounting_monthly_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"month": "1970-01", "n_active": 2, "n_new": 2,
+         "n_retained": 0, "n_resurrected": 0, "n_churned": 0},
+        {"month": "1970-02", "n_active": 2, "n_new": 1,
+         "n_retained": 1, "n_resurrected": 0, "n_churned": 1},
+        {"month": "1970-03", "n_active": 0, "n_new": 0,
+         "n_retained": 0, "n_resurrected": 0, "n_churned": 2},
+        {"month": "1970-04", "n_active": 1, "n_new": 0,
+         "n_retained": 0, "n_resurrected": 1, "n_churned": 0}]
+    exp = _oracle(tmp_path, "growth_accounting_monthly_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_growth_accounting_year_boundary_and_dedup(tmp_path):
+    """Dec 1970 → Jan 1971 is CONSECUTIVE (the year·12+month index —
+    a naive month()-only key would break retention every January);
+    five events in one month count the user once (the distinct
+    discipline)."""
+    from jsonschema_ray.pipelines.relational import (
+        growth_accounting_monthly_events)
+    _events_user_months(tmp_path, [(1, 11)] * 5 + [(1, 12)])
+    out = growth_accounting_monthly_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"month": "1970-12", "n_active": 1, "n_new": 1,
+         "n_retained": 0, "n_resurrected": 0, "n_churned": 0},
+        {"month": "1971-01", "n_active": 1, "n_new": 0,
+         "n_retained": 1, "n_resurrected": 0, "n_churned": 0}]
+    exp = _oracle(tmp_path, "growth_accounting_monthly_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_growth_accounting_nulls_and_empty(tmp_path):
+    """Null user/ts rows invisible; an all-invalid corpus answers a
+    typed empty frame on both engines."""
+    from jsonschema_ray.pipelines.relational import (
+        growth_accounting_monthly_events)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([None, 1], pa.int64()),
+        "ts": pa.array([0, None], pa.timestamp("us"))}))
+    out = growth_accounting_monthly_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["month", "n_active", "n_new",
+                                 "n_retained", "n_resurrected",
+                                 "n_churned"]
+    assert len(_oracle(tmp_path,
+                       "growth_accounting_monthly_events")) == 0
