@@ -52,8 +52,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
         "ship_delay_by_month": R.ship_delay_by_month,      # oracled
-        "price_qty_regr_by_brand":
-            R.price_qty_regr_by_brand,                     # oracled
         "hapax_share_documents": R.hapax_share_documents,  # oracled
         # --- session-18 additions (oracled)
         "gini_spend_customers": R.gini_spend_customers,    # oracled
@@ -128,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.price_quantiles_by_brand,                    # oracled
         "growth_accounting_monthly_events":
             R.growth_accounting_monthly_events,            # oracled
+        "hill_tail_spend": R.hill_tail_spend,              # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -157,6 +156,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for hill_tail_spend: the grouped exact-moment
+        # regression machinery stays covered in-window by theil_sen
+        # (the robust slope) + leadlag's written-out moment formula
+        # (the same moments, cross-series); pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "price_qty_regr_by_brand":
+            R.price_qty_regr_by_brand,                     # oracled
         # (evicted for growth_accounting_monthly_events: the
         # calendar-month grouping machinery stays covered in-window
         # by ship_delay_by_month (the same month keys) + growth
@@ -2246,6 +2252,27 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "hill_tail_spend": """
+WITH s AS (SELECT o_custkey AS c,
+                  sum(CAST(o_totalprice * 100 AS BIGINT)) AS spend
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY o_custkey),
+t AS (SELECT spend, row_number() OVER (ORDER BY spend DESC, c)
+             AS rn FROM s),
+xr AS (SELECT spend AS xk FROM t WHERE rn = 51),
+top AS (SELECT spend FROM t WHERE rn <= 50)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_cust,
+       CAST(50 AS BIGINT) AS k,
+       CAST((SELECT xk FROM xr) AS DOUBLE) AS x_ref_cents,
+       CASE WHEN (SELECT count(*) FROM s) < 51
+                 OR (SELECT xk FROM xr) <= 0 THEN NULL
+            ELSE round(50.0 /
+                  (SELECT sum(ln(CAST(top.spend AS DOUBLE)
+                                 / CAST(xr.xk AS DOUBLE)))
+                   FROM top, xr), 6)
+       END AS alpha
+""",
         "growth_accounting_monthly_events": """
 WITH um AS (SELECT DISTINCT user_id AS u,
                    CAST(year(ts) * 12 + (month(ts) - 1) AS BIGINT)

@@ -408,6 +408,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.price_quantiles_by_brand(sf_dir)))
     timed("growth_accounting_monthly_events",
           lambda: len(R.growth_accounting_monthly_events(sf_dir)))
+    timed("hill_tail_spend",
+          lambda: len(R.hill_tail_spend(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -14127,3 +14127,91 @@ def growth_accounting_monthly_events(sf_dir: str):
         "n_retained": piv["retained"].reset_index(drop=True),
         "n_resurrected": piv["resurrected"].reset_index(drop=True),
         "n_churned": pd.Series(churned, dtype="int64")})
+
+
+def hill_tail_spend(sf_dir: str, k: int = 50):
+    """Hill TAIL-INDEX estimator of customer spend (ORACLED): ONE row
+    — customer count, k, the (k+1)-th largest spend in cents, and
+    the Hill estimate α = k / Σ_{i≤k} ln(x_i / x_{k+1}) over the
+    top-k order statistics — the standard heavy-tail exponent readout
+    (α ≈ 1–2: whale-dominated revenue where mean-based planning
+    fails; gini says HOW unequal, Hill says WHAT LAW the tail
+    follows). Spends are exact cents (the gini convention) and the
+    order statistics come from the decay_spend partition-local top-k
+    discipline (a global top row is necessarily its batch's top row);
+    only k+1 rows reach the driver. The float boundary is explicit:
+    ln of exact-cent ratios (the tfidf libm contract) summed over k
+    terms, ONE divide, 6dp — and its two degenerate arms are pinned
+    to SQL-NULL on both engines: fewer than k+1 customers (no tail to
+    fit), and an ALL-TIED top (Σln = 0 — DuckDB's float x/0 is NULL,
+    Python's is an exception, so the guard is explicit). The
+    reference cutoff x_{k+1} ships as DOUBLE for dtype stability
+    (NaN when absent). Ties at the cutoff resolve by custkey on both
+    engines. Null custkey/price rows invisible."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("o_custkey").is_valid(),
+                             b.column("o_totalprice").is_valid()))
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "c": t.column("o_custkey"),
+            "cents": pa.array(np.rint(v * 100.0)
+                              .astype(np.int64))})
+
+    spends = grouped_agg_hash(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["c"], {"cents": "spend"}, count_alias="_n")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "spend": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        c = b.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = b.column("spend").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((c, -s))[:k + 1]
+        np_ = np.zeros(len(order), np.int64)
+        np_[0] = b.num_rows
+        return pa.table({"c": pa.array(c[order]),
+                         "spend": pa.array(s[order]),
+                         "n_part": pa.array(np_)})
+
+    cand = spends.map_batches(local_top, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=131072).to_pandas()
+    out_cols = ("n_cust", "k", "x_ref_cents", "alpha")
+    if cand.empty or "c" not in cand.columns:
+        return pd.DataFrame({
+            "n_cust": pd.Series([0], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "x_ref_cents": pd.Series([float("nan")],
+                                     dtype="float64"),
+            "alpha": pd.Series([float("nan")], dtype="float64")})
+    n_cust = int(cand["n_part"].sum())
+    top = cand.sort_values(["spend", "c"],
+                           ascending=[False, True]).head(k + 1)
+    if n_cust < k + 1:
+        return pd.DataFrame({
+            "n_cust": pd.Series([n_cust], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "x_ref_cents": pd.Series([float("nan")],
+                                     dtype="float64"),
+            "alpha": pd.Series([float("nan")], dtype="float64")})
+    x = top["spend"].to_numpy().astype(np.int64)
+    xref = int(x[k])
+    s = float(np.sum(np.log(x[:k].astype(np.float64)
+                            / float(xref))))
+    alpha = (float("nan") if s == 0.0 or xref <= 0 else
+             float(duckdb_round(float(k) / s, 6)))
+    return pd.DataFrame({
+        "n_cust": pd.Series([n_cust], dtype="int64"),
+        "k": pd.Series([k], dtype="int64"),
+        "x_ref_cents": pd.Series([float(xref)], dtype="float64"),
+        "alpha": pd.Series([alpha], dtype="float64")})

@@ -1412,3 +1412,61 @@ def test_growth_accounting_nulls_and_empty(tmp_path):
                                  "n_churned"]
     assert len(_oracle(tmp_path,
                        "growth_accounting_monthly_events")) == 0
+
+
+# ----------------------------------------------------------------- hill
+
+def test_hill_hand_value_k2(tmp_path):
+    """Spends [8,4,2,1] dollars with k=2 (direct call — the oracle
+    pins the default k): x_ref = 200 cents, Σln = ln(800/200) +
+    ln(400/200) = 3·ln2, α = 2/(3·ln2) ≈ 0.961797 at 6dp — the
+    test's own independent arithmetic."""
+    import math as m
+
+    from jsonschema_ray.pipelines.relational import hill_tail_spend
+    _orders_price_days(tmp_path, [(1, 8.0, 0), (2, 4.0, 0),
+                                  (3, 2.0, 0), (4, 1.0, 0)])
+    out = hill_tail_spend(str(tmp_path), k=2)
+    assert out.loc[0, "n_cust"] == 4
+    assert out.loc[0, "x_ref_cents"] == 200.0
+    assert out.loc[0, "alpha"] == round(2.0 / (3.0 * m.log(2.0)), 6)
+
+
+def test_hill_degenerate_arms_vs_oracle(tmp_path):
+    """Fewer than k+1 customers → NULL alpha AND NaN x_ref (no tail
+    to fit); an ALL-TIED top (60 equal spends) keeps x_ref but
+    answers NULL alpha on BOTH engines — Σln = 0 is DuckDB's float
+    x/0 NULL and Python's explicit guard, the pinned agreement."""
+    from jsonschema_ray.pipelines.relational import hill_tail_spend
+    _orders_price_days(tmp_path,
+                       [(i, float(i), 0) for i in range(1, 11)])
+    out = hill_tail_spend(str(tmp_path))
+    assert out.loc[0, "n_cust"] == 10
+    assert pd.isna(out.loc[0, "alpha"])
+    assert pd.isna(out.loc[0, "x_ref_cents"])
+    exp = _oracle(tmp_path, "hill_tail_spend")
+    assert pd.isna(exp.loc[0, "alpha"])
+    assert pd.isna(exp.loc[0, "x_ref_cents"])
+    assert int(exp.loc[0, "n_cust"]) == 10
+
+    _orders_price_days(tmp_path,
+                       [(i, 5.0, 0) for i in range(1, 61)])
+    out = hill_tail_spend(str(tmp_path))
+    assert out.loc[0, "x_ref_cents"] == 500.0
+    assert pd.isna(out.loc[0, "alpha"])
+    exp = _oracle(tmp_path, "hill_tail_spend")
+    assert exp.loc[0, "x_ref_cents"] == 500.0
+    assert pd.isna(exp.loc[0, "alpha"])
+
+
+def test_hill_exact_boundary_51(tmp_path):
+    """Exactly k+1 = 51 distinct customers is enough to fit: alpha
+    computes and matches the oracle."""
+    from jsonschema_ray.pipelines.relational import hill_tail_spend
+    _orders_price_days(tmp_path,
+                       [(i, float(100 + i), 0) for i in range(1, 52)])
+    out = hill_tail_spend(str(tmp_path))
+    assert not pd.isna(out.loc[0, "alpha"])
+    exp = _oracle(tmp_path, "hill_tail_spend")
+    assert exp.astype(str).to_dict("records") \
+        == out.astype(str).to_dict("records")
