@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-14 additions (oracled, never driver-checked)
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
-        "ship_delay_by_month": R.ship_delay_by_month,      # oracled
         "hapax_share_documents": R.hapax_share_documents,  # oracled
         # --- session-18 additions (oracled)
         "gini_spend_customers": R.gini_spend_customers,    # oracled
@@ -127,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "growth_accounting_monthly_events":
             R.growth_accounting_monthly_events,            # oracled
         "hill_tail_spend": R.hill_tail_spend,              # oracled
+        "anova_value_by_type": R.anova_value_by_type,      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -156,6 +156,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for anova_value_by_type: calendar-month keys stay
+        # covered in-window by growth_accounting's dense month grid +
+        # iso_week's ISO calendar, and the grouped day-delta
+        # histogram by order_completion_days; pin-dense, two-engine
+        # green at 3 SFs across sessions)
+        "ship_delay_by_month": R.ship_delay_by_month,      # oracled
         # (evicted for hill_tail_spend: the grouped exact-moment
         # regression machinery stays covered in-window by theil_sen
         # (the robust slope) + leadlag's written-out moment formula
@@ -2252,6 +2258,35 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "anova_value_by_type": """
+WITH e AS (SELECT event_type AS g,
+                  CAST(round(value * 1000000) AS BIGINT) AS v
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT g, count(*) AS n, sum(CAST(v AS HUGEINT)) AS s1,
+             sum(CAST(v AS HUGEINT) * v) AS s2
+      FROM e GROUP BY g),
+w AS (SELECT count(*) AS k, coalesce(sum(n), 0) AS n,
+             sum(CAST(CAST(s1 * s1 AS VARCHAR) AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS within,
+             CAST(CAST(sum(s1) * sum(s1) AS VARCHAR) AS DOUBLE)
+               AS ssq,
+             CAST(CAST(sum(s2) AS VARCHAR) AS DOUBLE) AS s2d
+      FROM m)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN k >= 2 AND n > k
+                 AND (s2d - within) > 0
+            THEN round(((within - ssq / CAST(n AS DOUBLE))
+                        / CAST(k - 1 AS DOUBLE))
+                       / ((s2d - within)
+                          / CAST(n - k AS DOUBLE)), 6)
+       END AS f_stat,
+       CASE WHEN n > 0 AND (s2d - ssq / CAST(n AS DOUBLE)) > 0
+            THEN round((within - ssq / CAST(n AS DOUBLE))
+                       / (s2d - ssq / CAST(n AS DOUBLE)), 6)
+       END AS eta_sq
+FROM w
+""",
         "hill_tail_spend": """
 WITH s AS (SELECT o_custkey AS c,
                   sum(CAST(o_totalprice * 100 AS BIGINT)) AS spend

@@ -14215,3 +14215,104 @@ def hill_tail_spend(sf_dir: str, k: int = 50):
         "k": pd.Series([k], dtype="int64"),
         "x_ref_cents": pd.Series([float(xref)], dtype="float64"),
         "alpha": pd.Series([alpha], dtype="float64")})
+
+
+def anova_value_by_type(sf_dir: str):
+    """One-way ANOVA of event value across types (ORACLED): ONE row —
+    group count, row count, the F statistic and effect size η²
+    (SSB/SST) for the null "every event type draws value from the
+    same mean" — the first screen a metrics review runs before
+    trusting per-type differences (fano/interarrival read dispersion
+    within a series; this reads separation BETWEEN series). Every
+    moment is an EXACT integer: values micro-quantize (the equidepth
+    rint·1e6 recipe), per-type (n, Σv, Σv²) ride per-batch partials
+    with the squared sums as Python big ints (a value² · corpus
+    count leaves int64), and the driver holds k ≤ |types| exact
+    triples. The float boundary is the textbook identity evaluated
+    in pinned operand order over those ints: SSB = Σ_g S_g²/n_g −
+    S²/n, SSW = Σv² − Σ_g S_g²/n_g (each S²/n one VARCHAR→DOUBLE
+    divide; the ≤ k-term fold is the accepted small-sum class), F =
+    (SSB/(k−1))/(SSW/(n−k)), 6dp. Degenerate arms pinned: k < 2 or
+    n ≤ k (no residual degrees of freedom) and an exactly-zero SSW
+    (all values equal within every group) all answer SQL-NULL F —
+    while η² stays reportable whenever SST > 0. Null type/value rows
+    invisible; an empty cleaned corpus answers the zeros row with
+    NULL F and NULL η²."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    _m_schema = pa.schema([("g", pa.string()), ("n", pa.int64()),
+                           ("s1", pa.string()), ("s2", pa.string())])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("event_type").is_valid(),
+                             b.column("value").is_valid()))
+        if t.num_rows == 0:
+            return _m_schema.empty_table()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * 1e6).astype(np.int64)
+        order = np.argsort(et, kind="stable")
+        et, v = et[order], v[order]
+        idxf = np.flatnonzero(
+            np.concatenate(([True], et[1:] != et[:-1])))
+        cnts = np.diff(np.append(idxf, len(et)))
+        vo = v.astype(object)
+        s1 = np.add.reduceat(vo, idxf)
+        s2 = np.add.reduceat(vo * vo, idxf)
+        return pa.table({
+            "g": pa.array(et[idxf]),
+            "n": pa.array(cnts.astype(np.int64)),
+            "s1": pa.array([str(x) for x in s1], pa.string()),
+            "s2": pa.array([str(x) for x in s2], pa.string())},
+            schema=_m_schema)
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        acc: dict = {}
+        for g, n, s1, s2 in zip(df["g"], df["n"], df["s1"],
+                                df["s2"]):
+            e = acc.setdefault(g, [0, 0, 0])
+            e[0] += int(n)
+            e[1] += int(s1)
+            e[2] += int(s2)
+        ks = sorted(acc)
+        return pa.table({
+            "g": pa.array(ks, pa.string()),
+            "n": pa.array([acc[x][0] for x in ks], pa.int64()),
+            "s1": pa.array([str(acc[x][1]) for x in ks],
+                           pa.string()),
+            "s2": pa.array([str(acc[x][2]) for x in ks],
+                           pa.string())}, schema=_m_schema)
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072)
+    agg = partitioned_group_apply(parts, ["g"], merge,
+                                  batch_format="pyarrow").to_pandas()
+    nullrow = pd.DataFrame({
+        "k_groups": pd.Series([0], dtype="int64"),
+        "n_rows": pd.Series([0], dtype="int64"),
+        "f_stat": pd.Series([float("nan")], dtype="float64"),
+        "eta_sq": pd.Series([float("nan")], dtype="float64")})
+    if agg.empty or "g" not in agg.columns:
+        return nullrow
+    k = len(agg)
+    n = int(agg["n"].sum())
+    S = sum(int(x) for x in agg["s1"])
+    S2 = sum(int(x) for x in agg["s2"])
+    within = sum(float(str(int(x) * int(x))) / float(m)
+                 for x, m in zip(agg["s1"], agg["n"]))
+    grand = float(str(S * S)) / float(n)
+    ssb = within - grand
+    ssw = float(str(S2)) - within
+    sst = float(str(S2)) - grand
+    eta = (float(duckdb_round(ssb / sst, 6)) if sst > 0
+           else float("nan"))
+    f = (float(duckdb_round((ssb / float(k - 1))
+                            / (ssw / float(n - k)), 6))
+         if k >= 2 and n > k and ssw > 0 else float("nan"))
+    return pd.DataFrame({
+        "k_groups": pd.Series([k], dtype="int64"),
+        "n_rows": pd.Series([n], dtype="int64"),
+        "f_stat": pd.Series([f], dtype="float64"),
+        "eta_sq": pd.Series([eta], dtype="float64")})

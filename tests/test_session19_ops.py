@@ -1470,3 +1470,66 @@ def test_hill_exact_boundary_51(tmp_path):
     exp = _oracle(tmp_path, "hill_tail_spend")
     assert exp.astype(str).to_dict("records") \
         == out.astype(str).to_dict("records")
+
+
+# ---------------------------------------------------------------- anova
+
+def test_anova_hand_separation_and_eta(tmp_path):
+    """Two perfectly separated groups a=[1,1], b=[3,3]: SSW = 0 →
+    F is SQL-NULL (infinite separation has no finite F) while η² = 1.0
+    exactly (ALL variance is between groups) — the two statistics
+    must disagree about degeneracy in exactly this way on both
+    engines. Then a=[1,2] vs b=[3,4]: SSB = 4, SSW = 1, SST = 5 →
+    F = (4/1)/(1/2) = 8.0 exactly, η² = 4/5 = 0.8 exactly. (The
+    first draft computed η² = 4/4.5 by hand and the two engines
+    agreed against it — which is the point of writing oracles.)"""
+    from jsonschema_ray.pipelines.relational import anova_value_by_type
+    _events_tv(tmp_path, [(1, "a", 0, 1.0), (2, "a", 1, 1.0),
+                          (3, "b", 2, 3.0), (4, "b", 3, 3.0)])
+    out = anova_value_by_type(str(tmp_path))
+    assert out.loc[0, "k_groups"] == 2 and out.loc[0, "n_rows"] == 4
+    assert pd.isna(out.loc[0, "f_stat"])
+    assert out.loc[0, "eta_sq"] == 1.0
+    exp = _oracle(tmp_path, "anova_value_by_type")
+    assert pd.isna(exp.loc[0, "f_stat"])
+    assert exp.loc[0, "eta_sq"] == 1.0
+
+    _events_tv(tmp_path, [(1, "a", 0, 1.0), (2, "a", 1, 2.0),
+                          (3, "b", 2, 3.0), (4, "b", 3, 4.0)])
+    out = anova_value_by_type(str(tmp_path))
+    assert out.loc[0, "f_stat"] == 8.0
+    assert out.loc[0, "eta_sq"] == 0.8
+    exp = _oracle(tmp_path, "anova_value_by_type")
+    assert exp.astype(str).to_dict("records") \
+        == out.astype(str).to_dict("records")
+
+
+def test_anova_degenerate_arms(tmp_path):
+    """One group (k < 2) → NULL F but η² still NULL too (SST may be
+    positive yet SSB is zero — η² = 0.0 actually: pinned); all values
+    identical everywhere → NULL F AND NULL η² (SST = 0); empty
+    cleaned corpus → the zeros row with both NULL."""
+    from jsonschema_ray.pipelines.relational import anova_value_by_type
+    _events_tv(tmp_path, [(1, "a", 0, 1.0), (2, "a", 1, 5.0)])
+    out = anova_value_by_type(str(tmp_path))
+    assert pd.isna(out.loc[0, "f_stat"])
+    assert out.loc[0, "eta_sq"] == 0.0
+    exp = _oracle(tmp_path, "anova_value_by_type")
+    assert pd.isna(exp.loc[0, "f_stat"])
+    assert exp.loc[0, "eta_sq"] == 0.0
+
+    _events_tv(tmp_path, [(1, "a", 0, 2.0), (2, "b", 1, 2.0)])
+    out = anova_value_by_type(str(tmp_path))
+    assert pd.isna(out.loc[0, "f_stat"])
+    assert pd.isna(out.loc[0, "eta_sq"])
+    exp = _oracle(tmp_path, "anova_value_by_type")
+    assert pd.isna(exp.loc[0, "f_stat"])
+    assert pd.isna(exp.loc[0, "eta_sq"])
+
+    _events_tv(tmp_path, [(1, None, 0, 1.0), (2, "a", 1, None)])
+    out = anova_value_by_type(str(tmp_path))
+    assert out.loc[0, "k_groups"] == 0 and out.loc[0, "n_rows"] == 0
+    assert pd.isna(out.loc[0, "f_stat"])
+    exp = _oracle(tmp_path, "anova_value_by_type")
+    assert int(exp.loc[0, "k_groups"]) == 0
+    assert pd.isna(exp.loc[0, "f_stat"])
