@@ -2378,7 +2378,7 @@ WITH d AS (SELECT doc_id, text FROM documents
            WHERE doc_id IS NOT NULL AND text IS NOT NULL),
 tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d),
 nz AS (SELECT doc_id, w FROM tok WHERE w <> ''),
-n_t AS (SELECT count(*) AS n FROM d),
+n_t AS (SELECT count(DISTINCT doc_id) AS n FROM d),
 tk AS (SELECT count(*) AS toks FROM nz),
 dl AS (SELECT doc_id, count(*) AS dl FROM nz GROUP BY doc_id),
 df AS (SELECT w, count(DISTINCT doc_id) AS df FROM nz GROUP BY w),

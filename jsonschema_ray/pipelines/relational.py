@@ -13675,30 +13675,34 @@ def bm25_topk_documents(sf_dir: str, nq: int = 3, k: int = 10,
     against the corpus' own top-``nq``=3 document-frequency terms
     (df desc, term asc — a self-contained deterministic query set) —
     the retrieval scorer every lexical search / RAG recall stage
-    ships, here end to end on the engine: DF/avgdl statistics pass,
-    broadcast query terms, streaming per-row scoring, batch-local
-    top-k merge. Plan is the real search-engine shape: (A) a tiny
-    cleaned-count pass (N), (B) ONE token pass whose (doc, term, tf)
-    partials reduce to the vocabulary-bounded (term, df, tf_total)
-    table — a doc lives in one row, the tfidf convention, so
-    per-batch grouping IS per-document grouping and the token stream
-    never shuffles — with the top-3 query terms and avgdl read off
-    the vocab table driver-side, and (C) one scoring pass computing
-    per-row dl and the 3 broadcast terms' tfs vectorized (Arrow
-    split + parent-index bincount), emitting ≤ k rows per batch
-    under the (round(s,6) desc, doc_id) order whose batch-local
-    top-k is a superset of the global winners. Float discipline:
-    idf = ln(1 + (N−df+.5)/(df+.5)) with ln on both engines (the
-    tfidf libm contract), every multiply/divide in the SQL's literal
-    operand order — including (1.2 + 1.0) computed as a SUM on both
-    sides rather than a 2.2 literal (the two differ in the last bit
-    for some k1) — and ranking compares 6dp-ROUNDED scores with a
-    doc_id tiebreak so the ≤ 3-term SUM's fold order cannot flip a
-    rank. Zero-scoring docs are ABSENT; fewer than k scoring docs
-    degrade; an empty cleaned corpus answers a typed empty frame."""
-    from ..text.transform import _tf_partials
+    ships, here end to end on the engine: statistics pass, broadcast
+    query terms, streaming scoring, top-k merge. A DOCUMENT is a
+    doc_id: rows sharing one concatenate (the winnow/md5lsh row-merge
+    convention — the first draft scored per ROW and the session's
+    random-duplicate property net caught the divergence), so N and
+    every df count DISTINCT doc_ids and dl/tf sum across a doc's
+    rows. Plan: (A) distinct cleaned-doc count, (B) one token pass →
+    (doc, term, tf) partials → doc-distinct df + total tokens
+    (vocabulary-bounded table; top-3 terms + avgdl read driver-side),
+    (C) one scoring pass emitting per-row (doc, dl, tf…) partials —
+    the token stream never shuffles, only nq+2 ints per row — merged
+    in ONE doc-hash partition whose finalize scores and keeps its
+    LOCAL top-k under the (round(s,6) desc, doc_id) order (a global
+    winner is necessarily its partition's winner once docs are
+    merged); the driver re-ranks ≤ k·partitions rows. Float
+    discipline: idf = ln(1 + (N−df+.5)/(df+.5)) with ln on both
+    engines (the tfidf libm contract), every multiply/divide in the
+    SQL's literal operand order — including (1.2 + 1.0) computed as
+    a SUM on both sides rather than a 2.2 literal (the two differ in
+    the last bit for some k1) — and ranking compares 6dp-ROUNDED
+    scores with a doc_id tiebreak so the ≤ 3-term sum's fold order
+    cannot flip a rank. Zero-scoring docs are ABSENT; fewer than k
+    scoring docs degrade; an empty cleaned corpus answers a typed
+    empty frame."""
     import functools
-    from ray.data.aggregate import Count, Sum
+
+    from ..text.transform import _tf_partials
+    from ..util import partitioned_group_apply
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out_empty = pd.DataFrame({
@@ -13710,30 +13714,28 @@ def bm25_topk_documents(sf_dir: str, nq: int = 3, k: int = 10,
         return bt.filter(pc.and_(bt.column("doc_id").is_valid(),
                                  bt.column("text").is_valid()))
 
-    # pass A: cleaned doc count (N)
-    def pcount(bt: pa.Table) -> pa.Table:
-        return pa.table({"c": pa.array([clean(bt).num_rows],
-                                       pa.int64())})
+    cleaned = ds.map_batches(clean, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=131072)
 
-    nd = ds.map_batches(pcount, batch_format="pyarrow",
-                        zero_copy_batch=True,
-                        batch_size=131072).to_pandas()
-    n_docs = int(nd["c"].sum()) if not nd.empty and "c" in nd.columns \
-        else 0
+    # pass A: DISTINCT cleaned doc count (duplicate-id rows are one doc)
+    n_docs = grouped_agg(
+        cleaned.select_columns(["doc_id"]), ["doc_id"], {},
+        count_alias="_c").count()
     if n_docs == 0:
         return out_empty
 
-    # pass B: vocab table (term, df, tf_total) — vocabulary-bounded
-    vocab = ds.map_batches(clean, batch_format="pyarrow",
-                           zero_copy_batch=True,
-                           batch_size=131072) \
-        .map_batches(functools.partial(_tf_partials, id_col="doc_id",
-                                       text_col="text"),
-                     batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=131072) \
-        .groupby("term").aggregate(Count(alias_name="df"),
-                                   Sum("tf", alias_name="tft")) \
-        .to_pandas()
+    # pass B: (doc, term, tf) partials → doc-DISTINCT df + total
+    # tokens (vocabulary-bounded result)
+    dt = grouped_agg_hash(
+        cleaned.map_batches(
+            functools.partial(_tf_partials, id_col="doc_id",
+                              text_col="text"),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=131072),
+        ["doc_id", "term"], {"tf": "tf"}, count_alias="_c")
+    vocab = grouped_agg(dt, ["term"], {"tf": "tft"},
+                        count_alias="df").to_pandas()
     if vocab.empty or "term" not in vocab.columns:
         return out_empty
     toks_total = int(vocab["tft"].sum())
@@ -13745,14 +13747,18 @@ def bm25_topk_documents(sf_dir: str, nq: int = 3, k: int = 10,
     idf = [math.log(1.0 + (float(n_docs - d) + 0.5)
                     / (float(d) + 0.5)) for d in qdf]
 
-    # pass C: per-row dl + per-query-term tf → score → batch-local
-    # top-k partials
-    def score(bt: pa.Table) -> pa.Table:
+    # pass C: per-row (doc, dl, tf…) partials → doc-hash merge →
+    # score → partition-local top-k
+    tf_cols = [f"tf{i}" for i in range(len(qterms))]
+
+    def row_partials(bt: pa.Table) -> pa.Table:
         t = clean(bt)
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "s": pa.array([], pa.float64())})
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64())}
+        for c in tf_cols:
+            cols[c] = pa.array([], pa.int64())
         if t.num_rows == 0:
-            return empty
+            return pa.table(cols)
         toks = pc.split_pattern(t.column("text").combine_chunks(),
                                 " ")
         par = pc.list_parent_indices(toks).to_numpy(
@@ -13760,29 +13766,50 @@ def bm25_topk_documents(sf_dir: str, nq: int = 3, k: int = 10,
         flat = pc.cast(pc.list_flatten(toks), pa.string())
         nonz = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         n = t.num_rows
-        dl = np.bincount(par[nonz], minlength=n).astype(np.float64)
-        s = np.zeros(n, np.float64)
+        out = {"doc_id": t.column("doc_id"),
+               "dl": pa.array(np.bincount(par[nonz], minlength=n)
+                              .astype(np.int64))}
+        for c, term in zip(tf_cols, qterms):
+            hit = pc.equal(flat, term).to_numpy(
+                zero_copy_only=False)
+            out[c] = pa.array(np.bincount(par[hit], minlength=n)
+                              .astype(np.int64))
+        return pa.table(out)
+
+    def score_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        agg = t.group_by(["doc_id"]).aggregate(
+            [("dl", "sum")] + [(c, "sum") for c in tf_cols])
+        ids = agg.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dl = agg.column("dl_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = np.zeros(len(ids), np.float64)
         denom_base = k1 * (1.0 - b + b * (dl / avgdl))
-        for qi, term in enumerate(qterms):
-            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
-            tf = np.bincount(par[hit], minlength=n) \
-                .astype(np.float64)
+        for qi, c in enumerate(tf_cols):
+            tf = agg.column(f"{c}_sum") \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
             m = tf > 0
             s[m] += idf[qi] * (tf[m] * (k1 + 1.0)) \
                 / (tf[m] + denom_base[m])
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
         m = s > 0
         ids, s = ids[m], s[m]
+        if ids.size == 0:
+            return empty
         sr = np.array([float(duckdb_round(float(x), 6)) for x in s])
         order = np.lexsort((ids, -sr))[:k]
         return pa.table({"doc_id": pa.array(ids[order]),
                          "s": pa.array(s[order])})
 
-    cand = ds.map_batches(score, batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          batch_size=131072).to_pandas()
-    if cand.empty or "doc_id" not in cand.columns:
+    cand = partitioned_group_apply(
+        ds.map_batches(row_partials, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["doc_id"], score_partition,
+        batch_format="pyarrow").to_pandas()
+    if cand.empty or "doc_id" not in cand.columns or not len(cand):
         return out_empty
     cand["score"] = cand["s"].map(
         lambda x: float(duckdb_round(float(x), 6)))
@@ -13794,7 +13821,6 @@ def bm25_topk_documents(sf_dir: str, nq: int = 3, k: int = 10,
         "score": cand["score"].astype("float64"),
         "rank": pd.Series(np.arange(1, len(cand) + 1),
                           dtype="int64")})
-
 
 
 def _grouped_disc_quantiles(stream, qs=(("p50", 0.5), ("p90", 0.9))):
