@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-14 additions (oracled, never driver-checked)
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
-        "hapax_share_documents": R.hapax_share_documents,  # oracled
         # --- session-18 additions (oracled)
         "gini_spend_customers": R.gini_spend_customers,    # oracled
         "cohort_ltv_curve": R.cohort_ltv_curve,            # oracled
@@ -127,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.growth_accounting_monthly_events,            # oracled
         "hill_tail_spend": R.hill_tail_spend,              # oracled
         "anova_value_by_type": R.anova_value_by_type,      # oracled
+        "length_gini_documents": R.length_gini_documents,  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -156,6 +156,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for length_gini_documents: the per-term frequency
+        # machinery stays covered in-window by vocab_overlap_by_lang
+        # + bm25's df/tf statistics pass (the same token-count
+        # reductions); pin-dense, two-engine green at 3 SFs across
+        # sessions)
+        "hapax_share_documents": R.hapax_share_documents,  # oracled
         # (evicted for anova_value_by_type: calendar-month keys stay
         # covered in-window by growth_accounting's dense month grid +
         # iso_week's ISO calendar, and the grouped day-delta
@@ -2258,6 +2264,23 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "length_gini_documents": """
+WITH s AS (SELECT doc_id, n_chars FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+r AS (SELECT CAST(n_chars AS HUGEINT) AS x,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                  AS HUGEINT) AS i
+      FROM s)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x) AS VARCHAR) AS total_chars,
+       CASE WHEN sum(x) = 0 THEN NULL
+            ELSE round(CAST(CAST(2 * sum(i * x)
+                                 - (count(*) + 1) * sum(x)
+                            AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(count(*) * sum(x)
+                              AS VARCHAR) AS DOUBLE), 6)
+       END AS gini
+FROM r HAVING count(*) > 0""",
         "anova_value_by_type": """
 WITH e AS (SELECT event_type AS g,
                   CAST(round(value * 1000000) AS BIGINT) AS v

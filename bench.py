@@ -412,6 +412,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.hill_tail_spend(sf_dir)))
     timed("anova_value_by_type",
           lambda: len(R.anova_value_by_type(sf_dir)))
+    timed("length_gini_documents",
+          lambda: len(R.length_gini_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -10099,28 +10099,92 @@ def order_gap_histogram(sf_dir: str):
             / np.float64(float(total)), 6), dtype=np.float64)})
 
 
+def _gini_exact(stream):
+    """Exact distributed Gini over a (v: int64, uid: int64) Dataset
+    with a unique total order: sort once, a block-summary pass gives
+    the driver each block's global offset, a second block-aligned
+    pass emits ONE (n, Σx, Σ(i·x)) partial per block with
+    rank-weighted sums as DECIMAL STRINGS (i·x passes 2^53 long
+    before the corpus does), and the driver folds Python-int totals
+    into G = (2·Σi·x − (n+1)·Σx)/(n·Σx) — the rank never
+    materializes. Returns (n, total, gini — NaN when Σx = 0) or
+    None when the stream is empty."""
+    import ray as _ray
+
+    from ..util import worker_cached
+    sorted_ds = stream.select_columns(["v", "uid"]) \
+        .sort(["v", "uid"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"s0": pa.array([], pa.int64()),
+                             "c0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"s0": pa.array([b["v"][0].as_py()]),
+                         "c0": pa.array([b["uid"][0].as_py()]),
+                         "cnt": pa.array([b.num_rows])})
+
+    summ = sorted_ds.map_batches(summary, batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 batch_size=None).to_pandas()
+    if summ.empty or "s0" not in summ.columns:
+        return None
+    summ = summ.sort_values(["s0", "c0"]).reset_index(drop=True)
+    offs = np.concatenate(([0], summ["cnt"].cumsum().to_numpy()[:-1]))
+    lut = {(int(s), int(c)): int(o)
+           for s, c, o in zip(summ["s0"], summ["c0"], offs)}
+    ref = _ray.put(lut)
+
+    def rank_partial(b: pa.Table, *, ref=ref) -> pa.Table:
+        empty = pa.table({"n_p": pa.array([], pa.int64()),
+                          "sx": pa.array([], pa.string()),
+                          "six": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        table = worker_cached(("gini_offs", ref.hex()),
+                              lambda: _ray.get(ref))
+        s = b["v"].to_numpy(zero_copy_only=False)
+        c = b["uid"].to_numpy(zero_copy_only=False)
+        off = table[(int(s[0]), int(c[0]))]
+        x = s.astype(object)
+        pos = (off + 1 + np.arange(b.num_rows)).astype(object)
+        return pa.table({
+            "n_p": pa.array([b.num_rows], pa.int64()),
+            "sx": pa.array([str(int(x.sum()))], pa.string()),
+            "six": pa.array([str(int((pos * x).sum()))],
+                            pa.string())})
+
+    parts = sorted_ds.map_batches(rank_partial,
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  batch_size=None).to_pandas()
+    if parts.empty or "n_p" not in parts.columns:
+        return None
+    n = int(parts["n_p"].sum())
+    if n == 0:
+        return None
+    s0 = sum(int(v) for v in parts["sx"])
+    s1 = sum(int(v) for v in parts["six"])
+    if s0 == 0:
+        return n, s0, float("nan")
+    num = 2 * s1 - (n + 1) * s0
+    den = n * s0
+    return n, s0, float(duckdb_round(float(num) / float(den), 6))
+
+
 def gini_spend_customers(sf_dir: str):
     """Gini coefficient of customer spend (ORACLED): ONE row with the
     customer count, the exact total cents (decimal string — corpus
     revenue passes 2^53 at scale) and the Gini concentration index —
     the single-number "how unequal is revenue across customers"
     readout that gains_spend_customers expands into a curve. Exact
-    integer arithmetic end to end: with spend cents x sorted
-    ascending and 1-based rank i, G = (2·Σi·x − (n+1)·Σx)/(n·Σx);
-    Σi·x is invariant under permuting tied spends, so the (spend,
-    custkey) tie order is deterministic but not load-bearing. The
-    rank never materializes: the spend Dataset sorts once, a
-    block-summary pass (first (spend, c) per block + count) gives the
-    driver each block's global offset, and a second block-aligned
-    pass emits ONE (n, Σx, Σ(i·x)) partial per block — rank-weighted
-    sums ride as DECIMAL STRINGS through object-dtype exact int sums
-    (i·x passes 2^53 long before the corpus does). Driver: Python-int
-    totals, ONE divide in SQL operand order, 6dp (the AUC big-int
-    route). A zero-revenue corpus answers SQL-NULL gini; no customers
-    answers the typed empty frame; null custkey/price rows invisible."""
-    import ray as _ray
-
-    from ..util import worker_cached
+    integer arithmetic end to end via the shared _gini_exact kernel
+    (sort + block-offset rank partials, G = (2·Σi·x − (n+1)·Σx)/
+    (n·Σx); Σi·x is invariant under permuting tied spends, so the
+    (spend, custkey) tie order is deterministic but not
+    load-bearing), ONE divide in SQL operand order, 6dp. A
+    zero-revenue corpus answers SQL-NULL gini; no customers answers
+    the typed empty frame; null custkey/price rows invisible."""
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def clean(b: pa.Table) -> pa.Table:
@@ -10136,70 +10200,56 @@ def gini_spend_customers(sf_dir: str):
         ds.map_batches(clean, batch_format="pyarrow",
                        zero_copy_batch=True, batch_size=131072),
         ["c"], {"cents": "spend"}, count_alias="_c") \
-        .select_columns(["c", "spend"]) \
-        .sort(["spend", "c"]).materialize()
-
-    def summary(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"s0": pa.array([], pa.int64()),
-                             "c0": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
-        return pa.table({"s0": pa.array([b["spend"][0].as_py()]),
-                         "c0": pa.array([b["c"][0].as_py()]),
-                         "cnt": pa.array([b.num_rows])})
-
+        .rename_columns({"spend": "v", "c": "uid"})
     out_empty = pd.DataFrame({
         "n_cust": pd.Series([], dtype="int64"),
         "total_cents": pd.Series([], dtype="object"),
         "gini": pd.Series([], dtype="float64")})
-    summ = spend.map_batches(summary, batch_format="pyarrow",
-                             zero_copy_batch=True,
-                             batch_size=None).to_pandas()
-    if summ.empty or "s0" not in summ.columns:
+    res = _gini_exact(spend)
+    if res is None:
         return out_empty
-    summ = summ.sort_values(["s0", "c0"]).reset_index(drop=True)
-    offs = np.concatenate(([0], summ["cnt"].cumsum().to_numpy()[:-1]))
-    lut = {(int(s), int(c)): int(o)
-           for s, c, o in zip(summ["s0"], summ["c0"], offs)}
-    ref = _ray.put(lut)
-
-    def rank_partial(b: pa.Table, *, ref=ref) -> pa.Table:
-        empty = pa.table({"n_p": pa.array([], pa.int64()),
-                          "sx": pa.array([], pa.string()),
-                          "six": pa.array([], pa.string())})
-        if b.num_rows == 0:
-            return empty
-        table = worker_cached(("gini_offs", ref.hex()),
-                              lambda: _ray.get(ref))
-        s = b["spend"].to_numpy(zero_copy_only=False)
-        c = b["c"].to_numpy(zero_copy_only=False)
-        off = table[(int(s[0]), int(c[0]))]
-        x = s.astype(object)
-        pos = (off + 1 + np.arange(b.num_rows)).astype(object)
-        return pa.table({
-            "n_p": pa.array([b.num_rows], pa.int64()),
-            "sx": pa.array([str(int(x.sum()))], pa.string()),
-            "six": pa.array([str(int((pos * x).sum()))], pa.string())})
-
-    parts = spend.map_batches(rank_partial, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              batch_size=None).to_pandas()
-    if parts.empty or "n_p" not in parts.columns:
-        return out_empty
-    n = int(parts["n_p"].sum())
-    if n == 0:
-        return out_empty
-    s0 = sum(int(v) for v in parts["sx"])
-    s1 = sum(int(v) for v in parts["six"])
-    if s0 == 0:
-        gini = float("nan")
-    else:
-        num = 2 * s1 - (n + 1) * s0
-        den = n * s0
-        gini = float(duckdb_round(float(num) / float(den), 6))
+    n, s0, gini = res
     return pd.DataFrame({
         "n_cust": pd.Series([n], dtype="int64"),
         "total_cents": pd.Series([str(s0)], dtype="object"),
+        "gini": pd.Series([gini], dtype="float64")})
+
+
+def length_gini_documents(sf_dir: str):
+    """Gini coefficient of document LENGTH (ORACLED): ONE row — doc
+    count, exact total characters (decimal string) and the Gini index
+    of the n_chars distribution — the corpus length-skew readout a
+    curation pipeline checks before token-budgeted training (a high
+    length Gini means a few huge documents own the token budget;
+    pack_documents' bin efficiency and chunk_documents' fan-out both
+    degrade exactly then). Second consumer of the _gini_exact kernel
+    (the spend machinery generalized off the orders table): the
+    stream is (n_chars, doc_id) — lengths already integers, no
+    quantization step at all. Zero-length docs are real rows (they
+    shift n and the rank weights — pinned); a corpus of ONLY empty
+    docs answers SQL-NULL gini with the count reported; null
+    doc_id/n_chars rows invisible; no docs → typed empty frame."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("doc_id").is_valid(),
+                             b.column("n_chars").is_valid()))
+        return pa.table({"v": t.column("n_chars"),
+                         "uid": t.column("doc_id")})
+
+    stream = ds.map_batches(clean, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=131072)
+    out_empty = pd.DataFrame({
+        "n_docs": pd.Series([], dtype="int64"),
+        "total_chars": pd.Series([], dtype="object"),
+        "gini": pd.Series([], dtype="float64")})
+    res = _gini_exact(stream)
+    if res is None:
+        return out_empty
+    n, s0, gini = res
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "total_chars": pd.Series([str(s0)], dtype="object"),
         "gini": pd.Series([gini], dtype="float64")})
 
 

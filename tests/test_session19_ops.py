@@ -1533,3 +1533,62 @@ def test_anova_degenerate_arms(tmp_path):
     exp = _oracle(tmp_path, "anova_value_by_type")
     assert int(exp.loc[0, "k_groups"]) == 0
     assert pd.isna(exp.loc[0, "f_stat"])
+
+
+def _documents_lengths(tmp_path, rows):
+    """rows: (doc_id|None, n_chars|None)."""
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array(["x"] * len(rows), pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([r[1] for r in rows], pa.int64())}))
+
+
+# ---------------------------------------------------------- length gini
+
+def test_length_gini_hand_and_zero_rows(tmp_path):
+    """Lengths [100, 300] → G = 0.25 exactly (the session-18 gini
+    hand case transplanted to the length axis — same exact-int
+    kernel, second consumer); adding a ZERO-length doc changes the
+    answer ([0,100,300]: G = (2·(100·2+300·3) − 4·400)/(3·400) =
+    (2200−1600)/1200 = 0.5) — empty docs are real rows that shift
+    the rank weights, not droppable noise."""
+    from jsonschema_ray.pipelines.relational import length_gini_documents
+    _documents_lengths(tmp_path, [(1, 100), (2, 300)])
+    out = length_gini_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_docs": 2, "total_chars": "400", "gini": 0.25}]
+    exp = _oracle(tmp_path, "length_gini_documents")
+    assert exp.astype(str).to_dict("records") \
+        == out.astype(str).to_dict("records")
+
+    _documents_lengths(tmp_path, [(1, 100), (2, 300), (3, 0)])
+    out = length_gini_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_docs": 3, "total_chars": "400", "gini": 0.5}]
+    exp = _oracle(tmp_path, "length_gini_documents")
+    assert exp.astype(str).to_dict("records") \
+        == out.astype(str).to_dict("records")
+
+
+def test_length_gini_all_empty_docs_and_nulls(tmp_path):
+    """A corpus of ONLY zero-length docs answers SQL-NULL gini with
+    the count reported; null doc_id/n_chars rows invisible; no docs
+    → typed empty frame."""
+    from jsonschema_ray.pipelines.relational import length_gini_documents
+    _documents_lengths(tmp_path, [(1, 0), (2, 0), (None, 50),
+                                  (3, None)])
+    out = length_gini_documents(str(tmp_path))
+    assert out.loc[0, "n_docs"] == 2
+    assert out.loc[0, "total_chars"] == "0"
+    assert pd.isna(out.loc[0, "gini"])
+    exp = _oracle(tmp_path, "length_gini_documents")
+    assert int(exp.loc[0, "n_docs"]) == 2
+    assert pd.isna(exp.loc[0, "gini"])
+
+    _documents_lengths(tmp_path, [(None, 5), (1, None)])
+    out = length_gini_documents(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_docs", "total_chars", "gini"]
+    assert len(_oracle(tmp_path, "length_gini_documents")) == 0
