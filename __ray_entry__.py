@@ -47,7 +47,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-11 additions (oracled, never driver-checked)
         # --- session-13: the md5-keyed LSH family — first value-level
         # oracles over minhash/simhash signatures (SQL md5_number)
-        "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         # --- session-14 additions (oracled, never driver-checked)
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
@@ -127,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_tail_spend": R.hill_tail_spend,              # oracled
         "anova_value_by_type": R.anova_value_by_type,      # oracled
         "length_gini_documents": R.length_gini_documents,  # oracled
+        "lang_entropy_by_source":
+            R.lang_entropy_by_source,                      # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -156,6 +157,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for lang_entropy_by_source: the md5 low-64 hash
+        # contract and the ±1-bit-sum signature stay covered
+        # in-window by winnow_md5 + hll_registers (the same
+        # md5_number convention) and the pair machinery by
+        # simhash_md5_pairs below; pin-dense, two-engine green at 3
+        # SFs across six sessions)
+        "simhash_md5_documents": R.simhash_md5_documents,  # oracled
         # (evicted for length_gini_documents: the per-term frequency
         # machinery stays covered in-window by vocab_overlap_by_lang
         # + bm25's df/tf statistics pass (the same token-count
@@ -2264,6 +2272,13 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "lang_entropy_by_source": """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(coalesce(entropy(lang), 0.0), 6) AS h_lang
+FROM documents WHERE source IS NOT NULL
+GROUP BY source ORDER BY source""",
         "length_gini_documents": """
 WITH s AS (SELECT doc_id, n_chars FROM documents
            WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),

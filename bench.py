@@ -414,6 +414,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.anova_value_by_type(sf_dir)))
     timed("length_gini_documents",
           lambda: len(R.length_gini_documents(sf_dir)))
+    timed("lang_entropy_by_source",
+          lambda: len(R.lang_entropy_by_source(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

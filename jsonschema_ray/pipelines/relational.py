@@ -14392,3 +14392,53 @@ def anova_value_by_type(sf_dir: str):
         "n_rows": pd.Series([n], dtype="int64"),
         "f_stat": pd.Series([f], dtype="float64"),
         "eta_sq": pd.Series([eta], dtype="float64")})
+
+
+def lang_entropy_by_source(sf_dir: str):
+    """Language-mix ENTROPY per source feed (ORACLED): per source,
+    the doc count, distinct language count and Shannon entropy
+    (base 2, DuckDB entropy() semantics — the user_entropy
+    convention) of the language distribution — the feed-health
+    diversity readout (h→0: a monolingual feed; h→log2|langs|: an
+    even mix; a sudden drop is a scraper or labeler breaking). One
+    vocabulary²-bounded grouped count (per-batch combine, tiny
+    shuffle), entropy folded driver-side over exact integer counts
+    (≤ |langs| terms per source — the accepted small-fold class),
+    6dp. NULL langs are invisible to the entropy AND to n_langs
+    (aggregate-skips-null semantics) but their docs still count in
+    n_docs; an all-null-lang source answers h = 0.0 with n_langs 0
+    (entropy of the empty multiset, coalesced identically in SQL —
+    pinned); null sources are invisible entirely; an empty corpus
+    answers a typed empty frame."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    agg = grouped_agg(ds, ["source", "lang"], {},
+                      count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "source": pd.Series([], dtype="object"),
+        "n_docs": pd.Series([], dtype="int64"),
+        "n_langs": pd.Series([], dtype="int64"),
+        "h_lang": pd.Series([], dtype="float64")})
+    if agg.empty or "source" not in agg.columns:
+        return out_empty
+    agg = agg[agg["source"].notna()]
+    if agg.empty:
+        return out_empty
+    rows = []
+    for src, g in agg.groupby("source", sort=True):
+        valid = g[g["lang"].notna()].sort_values("lang")
+        n_docs = int(g["n"].sum())
+        n = valid["n"].to_numpy().astype(np.float64)
+        if n.size == 0:
+            h, nl = 0.0, 0
+        else:
+            p = n / n.sum()
+            h = float(-(p * np.log2(p)).sum())
+            nl = len(n)
+        rows.append({"source": src, "n_docs": n_docs,
+                     "n_langs": nl,
+                     "h_lang": float(duckdb_round(h, 6))})
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_langs"] = out["n_langs"].astype("int64")
+    out["h_lang"] = out["h_lang"].astype("float64")
+    return out

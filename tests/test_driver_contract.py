@@ -177,7 +177,7 @@ def oracle_pairs():
     "bm25_topk_documents", "gap_quantiles_by_type",
     "price_quantiles_by_brand", "growth_accounting_monthly_events",
     "hill_tail_spend", "anova_value_by_type",
-    "length_gini_documents",
+    "length_gini_documents", "lang_entropy_by_source",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1592,3 +1592,55 @@ def test_length_gini_all_empty_docs_and_nulls(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["n_docs", "total_chars", "gini"]
     assert len(_oracle(tmp_path, "length_gini_documents")) == 0
+
+
+def _documents_src_lang(tmp_path, rows):
+    """rows: (source|None, lang|None)."""
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "text": pa.array(["x"] * len(rows), pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[0] for r in rows], pa.string())}))
+
+
+# --------------------------------------------------------- lang entropy
+
+def test_lang_entropy_anchors_and_null_lang(tmp_path):
+    """The exact anchors in one corpus: a monolingual feed answers
+    h = 0.0, a perfect 50/50 bilingual feed answers h = 1.0 EXACTLY
+    (p = 0.5 is a power of two); a feed whose langs are half NULL
+    counts ALL docs in n_docs but only labeled ones in n_langs and
+    the entropy (aggregate-skips-null), and an all-null-lang feed
+    answers h = 0.0 with n_langs 0 — entropy of the empty multiset,
+    coalesced identically on both engines."""
+    from jsonschema_ray.pipelines.relational import lang_entropy_by_source
+    _documents_src_lang(tmp_path, [
+        ("mono", "en"), ("mono", "en"), ("mono", "en"),
+        ("bi", "en"), ("bi", "de"),
+        ("halfnull", "fr"), ("halfnull", None),
+        ("allnull", None), ("allnull", None)])
+    out = lang_entropy_by_source(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"source": "allnull", "n_docs": 2, "n_langs": 0,
+         "h_lang": 0.0},
+        {"source": "bi", "n_docs": 2, "n_langs": 2, "h_lang": 1.0},
+        {"source": "halfnull", "n_docs": 2, "n_langs": 1,
+         "h_lang": 0.0},
+        {"source": "mono", "n_docs": 3, "n_langs": 1,
+         "h_lang": 0.0}]
+    exp = _oracle(tmp_path, "lang_entropy_by_source")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_lang_entropy_null_source_and_empty(tmp_path):
+    """Null-source docs are invisible entirely (not a group — unlike
+    null langs); an all-null-source corpus answers a typed empty
+    frame on both engines."""
+    from jsonschema_ray.pipelines.relational import lang_entropy_by_source
+    _documents_src_lang(tmp_path, [(None, "en"), (None, "de")])
+    out = lang_entropy_by_source(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["source", "n_docs", "n_langs",
+                                 "h_lang"]
+    assert len(_oracle(tmp_path, "lang_entropy_by_source")) == 0
