@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
         # --- session-18 additions (oracled)
-        "gini_spend_customers": R.gini_spend_customers,    # oracled
         "cohort_ltv_curve": R.cohort_ltv_curve,            # oracled
         "centroid_distances_embeddings":
             R.centroid_distances_embeddings,               # oracled
@@ -128,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_gini_documents": R.length_gini_documents,  # oracled
         "lang_entropy_by_source":
             R.lang_entropy_by_source,                      # oracled
+        "band_occupancy_documents":
+            R.band_occupancy_documents,                    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -157,6 +158,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for band_occupancy_documents: the _gini_exact
+        # block-offset rank kernel stays covered in-window by
+        # length_gini_documents (the same machinery, second consumer
+        # — the refactor's pins re-ran green through it) and the
+        # inequality family by gains_by_segment's cumulative shares;
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "gini_spend_customers": R.gini_spend_customers,    # oracled
         # (evicted for lang_entropy_by_source: the md5 low-64 hash
         # contract and the ±1-bit-sum signature stay covered
         # in-window by winnow_md5 + hll_registers (the same
@@ -2272,6 +2280,7 @@ SELECT bucket,
        MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
+        "band_occupancy_documents": _md5lsh.sql_band_occupancy(),
         "lang_entropy_by_source": """
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -416,6 +416,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.length_gini_documents(sf_dir)))
     timed("lang_entropy_by_source",
           lambda: len(R.lang_entropy_by_source(sf_dir)))
+    timed("band_occupancy_documents",
+          lambda: len(R.band_occupancy_documents(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -620,3 +620,24 @@ FROM m LEFT JOIN iv ON iv.id_a = m.id_a AND iv.id_b = m.id_b
 JOIN sz sa ON sa.doc_id = m.id_a
 JOIN sz sb ON sb.doc_id = m.id_b
 ORDER BY m.id_a, m.id_b"""
+
+
+def sql_band_occupancy() -> str:
+    return f"""
+WITH {sql_shingle_cte()},
+perm(k, a, b, w) AS (VALUES {_perm_values()}),
+sigs AS (
+  SELECT doc_id, k, w, min((a * h + b) % {_K64_LIT}) AS sig
+  FROM (SELECT DISTINCT doc_id, h FROM tl
+        WHERE doc_id IS NOT NULL), perm
+  GROUP BY doc_id, k, w),
+bands AS (
+  SELECT doc_id, k // {ROWS_PER_BAND} AS band,
+         sum((w * sig) % {_K64_LIT}) % {_K64_LIT} AS bh
+  FROM sigs GROUP BY doc_id, k // {ROWS_PER_BAND}),
+occ AS (SELECT band, bh, count(*) AS sz
+        FROM bands GROUP BY band, bh)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(sz AS BIGINT) AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets
+FROM occ GROUP BY band, sz ORDER BY band, sz"""

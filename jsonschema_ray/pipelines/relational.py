@@ -14442,3 +14442,49 @@ def lang_entropy_by_source(sf_dir: str):
     out["n_langs"] = out["n_langs"].astype("int64")
     out["h_lang"] = out["h_lang"].astype("float64")
     return out
+
+
+def band_occupancy_documents(sf_dir: str):
+    """LSH BAND-OCCUPANCY histogram (ORACLED): per minhash band, how
+    many buckets hold exactly 1, 2, … documents — the LSH health
+    check a dedup operator reads before trusting candidate recall
+    (a healthy corpus is almost all size-1 buckets; a fat bucket
+    means a stop-shingle or hash collapse and quadratic pair blowup
+    — exactly what the production path's hot-bucket cap defends
+    against; this query shows WHERE that cap would bite). Rides the
+    md5lsh machinery end to end: the SAME signature partials, doc
+    merge and band hashing as minhash_md5_pairs (16 permutations, 4
+    bands, order-insensitive weighted wrap-sum band hash), then one
+    (band, bh) count and one tiny (band, size) histogram — all exact
+    integers; nothing larger than 4 rows per doc ever shuffles.
+    Null doc_id rows are invisible (the _band_rows drop, pinned in
+    SQL with the explicit filter); docs with fewer than 3 tokens
+    have no shingle and are absent; an empty shingleable corpus
+    answers a typed empty frame."""
+    from ..dedup.md5lsh import _band_rows, _merged_sigs, _sig_partials
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    partials = ds.map_batches(
+        lambda b: _sig_partials(b, "doc_id", "text"),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=131072)
+    bands = partitioned_group_apply(
+        partials, ["doc_id"],
+        lambda t: _band_rows(_merged_sigs(t, "doc_id"), "doc_id"),
+        batch_format="pyarrow")
+    occ = grouped_agg_hash(bands, ["band", "bh"], {},
+                           count_alias="sz")
+    hist = grouped_agg(occ.select_columns(["band", "sz"]),
+                       ["band", "sz"], {},
+                       count_alias="n_buckets").to_pandas()
+    out_empty = pd.DataFrame({
+        "band": pd.Series([], dtype="int64"),
+        "bucket_size": pd.Series([], dtype="int64"),
+        "n_buckets": pd.Series([], dtype="int64")})
+    if hist.empty or "band" not in hist.columns:
+        return out_empty
+    out = hist.rename(columns={"sz": "bucket_size"}) \
+        .sort_values(["band", "bucket_size"]).reset_index(drop=True)
+    for c in ("band", "bucket_size", "n_buckets"):
+        out[c] = out[c].astype("int64")
+    return out[["band", "bucket_size", "n_buckets"]]

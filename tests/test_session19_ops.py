@@ -1644,3 +1644,50 @@ def test_lang_entropy_null_source_and_empty(tmp_path):
     assert list(out.columns) == ["source", "n_docs", "n_langs",
                                  "h_lang"]
     assert len(_oracle(tmp_path, "lang_entropy_by_source")) == 0
+
+
+# ------------------------------------------------------- band occupancy
+
+def test_band_occupancy_duplicates_make_fat_buckets(tmp_path):
+    """Two IDENTICAL 4-token docs share every band bucket (identical
+    shingle sets → identical signatures) while a distinct third doc
+    sits alone: every band answers one size-2 bucket and one size-1
+    bucket — the dup shows up as occupancy, which is exactly what
+    the health check looks for."""
+    from jsonschema_ray.pipelines.relational import (
+        band_occupancy_documents)
+    _documents(tmp_path, [(1, "alpha beta gamma delta"),
+                          (2, "alpha beta gamma delta"),
+                          (3, "zeta eta theta iota")])
+    out = band_occupancy_documents(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"band": b, "bucket_size": s, "n_buckets": 1}
+        for b in range(4) for s in (1, 2)]
+    exp = _oracle(tmp_path, "band_occupancy_documents")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_band_occupancy_short_null_and_empty(tmp_path):
+    """A 2-token doc has no 3-shingle and is absent; a null-id row is
+    invisible (the _band_rows drop, mirrored by the SQL filter); an
+    unshingleable corpus answers a typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        band_occupancy_documents)
+    _documents(tmp_path, [(1, "alpha beta gamma"),
+                          (2, "too short"),
+                          (None, "alpha beta gamma")])
+    out = band_occupancy_documents(str(tmp_path))
+    # only doc 1 shingles → every band one size-1 bucket
+    assert out.to_dict("records") == [
+        {"band": b, "bucket_size": 1, "n_buckets": 1}
+        for b in range(4)]
+    exp = _oracle(tmp_path, "band_occupancy_documents")
+    assert exp.astype("int64").to_dict("records") \
+        == out.to_dict("records")
+
+    _documents(tmp_path, [(1, "x y"), (2, None)])
+    out = band_occupancy_documents(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["band", "bucket_size", "n_buckets"]
+    assert len(_oracle(tmp_path, "band_occupancy_documents")) == 0
