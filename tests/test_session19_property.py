@@ -313,3 +313,105 @@ def test_mmr_random(tmp_path, seed):
     exp = _oracle(tmp_path, "mmr_rerank_embeddings")
     _frames_match(got, exp.astype("int64") if len(exp) else exp,
                   ["query_id", "rank"])
+
+
+@pytest.mark.parametrize("seed", [131, 132, 133])
+def test_kanon_lang_entropy_length_gini_random(tmp_path, seed):
+    from jsonschema_ray.pipelines.relational import (
+        k_anonymity_customers, lang_entropy_by_source,
+        length_gini_documents)
+    rng = np.random.default_rng(seed)
+    n = 120
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array(range(1, n + 1), pa.int64()),
+        "c_nationkey": pa.array(
+            [None if rng.random() < 0.15
+             else int(rng.integers(0, 4)) for _ in range(n)],
+            pa.int64()),
+        "c_mktsegment": pa.array(
+            [None if rng.random() < 0.15
+             else "ABC"[rng.integers(0, 3)] for _ in range(n)],
+            pa.string())}))
+    got = k_anonymity_customers(str(tmp_path))
+    exp = _oracle(tmp_path, "k_anonymity_customers")
+    _frames_match(got, exp, ["n_rows"])
+
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(
+            [None if rng.random() < 0.05 else i
+             for i in range(1, n + 1)], pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(
+            [None if rng.random() < 0.2
+             else "defg"[rng.integers(0, 4)] for _ in range(n)],
+            pa.string()),
+        "source": pa.array(
+            [None if rng.random() < 0.1
+             else "st"[rng.integers(0, 2)] for _ in range(n)],
+            pa.string()),
+        "n_chars": pa.array(
+            [None if rng.random() < 0.1
+             else int(rng.integers(0, 5)) * 100  # incl. exact zeros
+             for _ in range(n)], pa.int64())}))
+    got = lang_entropy_by_source(str(tmp_path))
+    exp = _oracle(tmp_path, "lang_entropy_by_source")
+    _frames_match(got, exp.astype(got.dtypes.to_dict())
+                  if len(exp) else exp, ["source"])
+    got = length_gini_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "length_gini_documents")
+    _frames_match(got, exp, ["n_docs"])
+
+
+@pytest.mark.parametrize("seed", [141, 142, 143])
+def test_price_quantiles_band_occupancy_random(tmp_path, seed):
+    from jsonschema_ray.pipelines.relational import (
+        band_occupancy_documents, price_quantiles_by_brand)
+    rng = np.random.default_rng(seed)
+    nparts, nlines = 12, 150
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array(range(1, nparts + 1), pa.int64()),
+        "p_brand": pa.array(["B" + str(rng.integers(0, 4))
+                             for _ in range(nparts)], pa.string())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array(
+            [int(rng.integers(1, 60)) for _ in range(nlines)],
+            pa.int64()),
+        "l_linenumber": pa.array(
+            [int(rng.integers(1, 8)) for _ in range(nlines)],
+            pa.int64()),
+        "l_partkey": pa.array(
+            [None if rng.random() < 0.1
+             else int(rng.integers(1, nparts + 4))  # some unknown
+             for _ in range(nlines)], pa.int64()),
+        "l_extendedprice": pa.array(
+            [None if rng.random() < 0.1
+             else float(rng.integers(0, 30)) * 0.5  # heavy ties
+             for _ in range(nlines)], pa.float64())}))
+    got = price_quantiles_by_brand(str(tmp_path))
+    exp = _oracle(tmp_path, "price_quantiles_by_brand")
+    _frames_match(got, exp.astype(got.dtypes.to_dict())
+                  if len(exp) else exp, ["p_brand"])
+
+    vocab = ["ox", "elk", "bee", "ant", "owl", "cat"]
+    nd = 40
+    texts = []
+    for _ in range(nd):
+        if rng.random() < 0.1:
+            texts.append(None)
+        else:
+            k = int(rng.integers(0, 7))
+            texts.append(" ".join(
+                vocab[rng.integers(0, len(vocab))]
+                for _ in range(k)))
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(
+            [None if rng.random() < 0.05
+             else int(rng.integers(1, nd)) for _ in range(nd)],
+            pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * nd, pa.string()),
+        "source": pa.array(["s"] * nd, pa.string())}))
+    got = band_occupancy_documents(str(tmp_path))
+    exp = _oracle(tmp_path, "band_occupancy_documents")
+    _frames_match(got, exp.astype("int64") if len(exp) else exp,
+                  ["band", "bucket_size"])
