@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
         # --- session-18 additions (oracled)
-        "cohort_ltv_curve": R.cohort_ltv_curve,            # oracled
         "centroid_distances_embeddings":
             R.centroid_distances_embeddings,               # oracled
         "peak_concurrent_sessions_events":
@@ -129,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.lang_entropy_by_source,                      # oracled
         "band_occupancy_documents":
             R.band_occupancy_documents,                    # oracled
+        "top_paths_events": R.top_paths_events,            # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +158,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for top_paths_events: the first-order month-cohort
+        # attach stays covered in-window by growth_accounting's
+        # new/retained/resurrected classes + survival's endpoint
+        # kernel, and cumulative cents by gains_by_segment;
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "cohort_ltv_curve": R.cohort_ltv_curve,            # oracled
         # (evicted for band_occupancy_documents: the _gini_exact
         # block-offset rank kernel stays covered in-window by
         # length_gini_documents (the same machinery, second consumer
@@ -2281,6 +2287,20 @@ SELECT bucket,
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
         "band_occupancy_documents": _md5lsh.sql_band_occupancy(),
+        "top_paths_events": """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type, 1) OVER w AS p1,
+                  lag(event_type, 2) OVER w AS p2
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL AND event_id IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id))
+SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE p2 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step1, step2, step3 LIMIT 10""",
         "lang_entropy_by_source": """
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -418,6 +418,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.lang_entropy_by_source(sf_dir)))
     timed("band_occupancy_documents",
           lambda: len(R.band_occupancy_documents(sf_dir)))
+    timed("top_paths_events",
+          lambda: len(R.top_paths_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

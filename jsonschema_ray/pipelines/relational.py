@@ -14488,3 +14488,77 @@ def band_occupancy_documents(sf_dir: str):
     for c in ("band", "bucket_size", "n_buckets"):
         out[c] = out[c].astype("int64")
     return out[["band", "bucket_size", "n_buckets"]]
+
+
+def top_paths_events(sf_dir: str, k: int = 10):
+    """Top event PATHS (ORACLED): the k=10 most common 3-step
+    within-user event-type sequences — the "most common user journey"
+    readout product analytics actually ships (transitions is the
+    1-step matrix, next_action its argmax; journeys need the trigram
+    — A→B→C and B→A→C tell different stories with identical
+    transition counts). The timeline contract is the transitions
+    family's: NULL-type events are removed BEFORE pairing (A, NULL,
+    B, C yields the A→B→C path), order is (ts, event_id) per user.
+    Plan: ONE user-hash partition pass lexsorts its users' timelines
+    and emits vocabulary³-bounded (t1, t2, t3) partial counts via a
+    double-shift mask (the transitions kernel, one step deeper), a
+    tiny grouped sum, and a driver top-k under (n desc, path asc) —
+    ties rank lexicographically on both engines (pinned). Users with
+    fewer than 3 surviving events contribute nothing; no path
+    anywhere → typed empty frame."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.and_(b.column("user_id").is_valid(),
+                    b.column("ts").is_valid()),
+            pc.and_(b.column("event_type").is_valid(),
+                    b.column("event_id").is_valid())))
+
+    _p_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                           ("t3", pa.string()), ("_n", pa.int64())])
+
+    def paths(t: pa.Table) -> pa.Table:
+        if t.num_rows < 3:
+            return _p_schema.empty_table()
+        df = t.to_pandas()
+        u = df["user_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same2 = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        if not same2.any():
+            return _p_schema.empty_table()
+        agg = pd.DataFrame({
+            "t1": et[:-2][same2], "t2": et[1:-1][same2],
+            "t3": et[2:][same2]}) \
+            .groupby(["t1", "t2", "t3"]).size() \
+            .reset_index(name="_n")
+        return pa.Table.from_pandas(agg, schema=_p_schema,
+                                    preserve_index=False)
+
+    partials = partitioned_group_apply(
+        ds.map_batches(prune, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["user_id"], paths, batch_format="pyarrow")
+    out = grouped_agg(partials, ["t1", "t2", "t3"], {"_n": "n"},
+                      count_alias="_c").to_pandas()
+    out_empty = pd.DataFrame({
+        "step1": pd.Series([], dtype="object"),
+        "step2": pd.Series([], dtype="object"),
+        "step3": pd.Series([], dtype="object"),
+        "n": pd.Series([], dtype="int64")})
+    if out.empty or "t1" not in out.columns:
+        return out_empty
+    out = out.sort_values(["n", "t1", "t2", "t3"],
+                          ascending=[False, True, True, True]) \
+        .head(k).reset_index(drop=True)
+    return pd.DataFrame({
+        "step1": out["t1"].astype(object),
+        "step2": out["t2"].astype(object),
+        "step3": out["t3"].astype(object),
+        "n": out["n"].astype("int64")})

@@ -178,7 +178,7 @@ def oracle_pairs():
     "price_quantiles_by_brand", "growth_accounting_monthly_events",
     "hill_tail_spend", "anova_value_by_type",
     "length_gini_documents", "lang_entropy_by_source",
-    "band_occupancy_documents",
+    "band_occupancy_documents", "top_paths_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1691,3 +1691,49 @@ def test_band_occupancy_short_null_and_empty(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["band", "bucket_size", "n_buckets"]
     assert len(_oracle(tmp_path, "band_occupancy_documents")) == 0
+
+
+# ------------------------------------------------------------ top paths
+
+def test_top_paths_order_matters_and_null_bridge(tmp_path):
+    """User1 walks A,B,C twice and user2 walks B,A,C once: A→B→C
+    counts 2, the overlapping B→C→A counts 1, B→A→C counts 1 — the
+    trigram separates journeys the transition matrix cannot (A→B→C
+    and B→A→C share pair counts); a NULL type inside user2's walk is
+    removed BEFORE pairing (B, NULL, A, C still yields B→A→C); ties
+    rank lexicographically."""
+    from jsonschema_ray.pipelines.relational import top_paths_events
+    types = ["A", "B", "C", "A", "B", "C"]
+    u2 = ["B", None, "A", "C"]
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, len(types) + len(u2) + 1),
+                             pa.int64()),
+        "user_id": pa.array([1] * len(types) + [2] * len(u2),
+                            pa.int64()),
+        "event_type": pa.array(types + u2, pa.string()),
+        "ts": pa.array([i * MIN for i in range(len(types))]
+                       + [i * MIN for i in range(len(u2))],
+                       pa.timestamp("us"))}))
+    out = top_paths_events(str(tmp_path))
+    recs = out.to_dict("records")
+    assert recs[0] == {"step1": "A", "step2": "B", "step3": "C",
+                       "n": 2}
+    assert {"step1": "B", "step2": "A", "step3": "C", "n": 1} in recs
+    exp = _oracle(tmp_path, "top_paths_events")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == recs
+
+
+def test_top_paths_short_users_and_empty(tmp_path):
+    """Users with fewer than 3 surviving events contribute nothing;
+    a corpus of only such users answers a typed empty frame."""
+    from jsonschema_ray.pipelines.relational import top_paths_events
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["A", "B", "C", "D"], pa.string()),
+        "ts": pa.array([0, MIN, 0, MIN], pa.timestamp("us"))}))
+    out = top_paths_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["step1", "step2", "step3", "n"]
+    assert len(_oracle(tmp_path, "top_paths_events")) == 0
