@@ -51,8 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
         # --- session-18 additions (oracled)
-        "centroid_distances_embeddings":
-            R.centroid_distances_embeddings,               # oracled
         "peak_concurrent_sessions_events":
             R.peak_concurrent_sessions_events,             # oracled
         "dedup_token_savings_documents":
@@ -129,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_occupancy_documents":
             R.band_occupancy_documents,                    # oracled
         "top_paths_events": R.top_paths_events,            # oracled
+        "spend_quantiles_by_segment":
+            R.spend_quantiles_by_segment,                  # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +158,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for spend_quantiles_by_segment: the per-label
+        # centroid geometry stays covered in-window by
+        # centroid_accuracy (the same flatten+reduceat scan shape,
+        # consumed end-to-end by its classifier) + norm_stats'
+        # per-label moments; pin-dense, two-engine green at 3 SFs
+        # across sessions)
+        "centroid_distances_embeddings":
+            R.centroid_distances_embeddings,               # oracled
         # (evicted for top_paths_events: the first-order month-cohort
         # attach stays covered in-window by growth_accounting's
         # new/retained/resurrected classes + survival's endpoint
@@ -2287,6 +2295,19 @@ SELECT bucket,
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
         "band_occupancy_documents": _md5lsh.sql_band_occupancy(),
+        "spend_quantiles_by_segment": """
+WITH s AS (SELECT o_custkey AS c,
+                  sum(CAST(o_totalprice * 100 AS BIGINT)) AS spend
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY o_custkey),
+j AS (SELECT cu.c_mktsegment AS g, s.spend, s.c
+      FROM s JOIN customer cu ON cu.c_custkey = s.c
+      WHERE cu.c_mktsegment IS NOT NULL)
+SELECT g AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(quantile_disc(spend, 0.5) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(spend, 0.9) AS BIGINT) AS p90_cents
+FROM j GROUP BY g ORDER BY g""",
         "top_paths_events": """
 WITH s AS (SELECT user_id, event_type,
                   lag(event_type, 1) OVER w AS p1,

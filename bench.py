@@ -420,6 +420,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.band_occupancy_documents(sf_dir)))
     timed("top_paths_events",
           lambda: len(R.top_paths_events(sf_dir)))
+    timed("spend_quantiles_by_segment",
+          lambda: len(R.spend_quantiles_by_segment(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

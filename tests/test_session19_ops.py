@@ -1737,3 +1737,63 @@ def test_top_paths_short_users_and_empty(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["step1", "step2", "step3", "n"]
     assert len(_oracle(tmp_path, "top_paths_events")) == 0
+
+
+def _customers_seg(tmp_path, rows):
+    """rows: (c_custkey, c_mktsegment|None)."""
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_mktsegment": pa.array([r[1] for r in rows],
+                                 pa.string())}))
+
+
+# ------------------------------------------------------ spend quantiles
+
+def test_spend_quantiles_hand_and_inner_join(tmp_path):
+    """Segment A spends [1,2,3,4,100] dollars per customer → disc
+    p50 = 3.00, p90 = 100.00 exactly (the whale IS the p90); orders
+    of an unknown customer and of a null-segment customer are
+    invisible (inner-join semantics); a one-customer segment answers
+    p50 == p90."""
+    from jsonschema_ray.pipelines.relational import (
+        spend_quantiles_by_segment)
+    _customers_seg(tmp_path, [(i, "A") for i in range(1, 6)]
+                   + [(6, "B"), (7, None)])
+    _orders_price_days(tmp_path, [
+        (1, 1.0, 0), (2, 2.0, 0), (3, 3.0, 0), (4, 4.0, 0),
+        (5, 100.0, 0), (6, 7.5, 0), (7, 50.0, 0), (99, 9.0, 0)])
+    out = spend_quantiles_by_segment(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"c_mktsegment": "A", "n_cust": 5, "p50_cents": 300,
+         "p90_cents": 10000},
+        {"c_mktsegment": "B", "n_cust": 1, "p50_cents": 750,
+         "p90_cents": 750}]
+    exp = _oracle(tmp_path, "spend_quantiles_by_segment")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_spend_quantiles_multi_order_sum_and_empty(tmp_path):
+    """A customer's orders SUM before the quantile (two $2 orders is
+    one $4 customer, not two $2 data points); nothing attachable →
+    typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        spend_quantiles_by_segment)
+    _customers_seg(tmp_path, [(1, "A"), (2, "A")])
+    _orders_price_days(tmp_path, [(1, 2.0, 0), (1, 2.0, 1),
+                                  (2, 3.0, 0)])
+    out = spend_quantiles_by_segment(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"c_mktsegment": "A", "n_cust": 2, "p50_cents": 300,
+         "p90_cents": 400}]
+    exp = _oracle(tmp_path, "spend_quantiles_by_segment")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+    _customers_seg(tmp_path, [(1, None)])
+    _orders_price_days(tmp_path, [(1, 5.0, 0)])
+    out = spend_quantiles_by_segment(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_mktsegment", "n_cust",
+                                 "p50_cents", "p90_cents"]
+    assert len(_oracle(tmp_path, "spend_quantiles_by_segment")) == 0
