@@ -51,8 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-16 additions (oracled)
         # --- session-17 additions (oracled)
         # --- session-18 additions (oracled)
-        "peak_concurrent_sessions_events":
-            R.peak_concurrent_sessions_events,             # oracled
         "dedup_token_savings_documents":
             R.dedup_token_savings_documents,               # oracled
         "source_dup_matrix_documents":
@@ -129,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_paths_events": R.top_paths_events,            # oracled
         "spend_quantiles_by_segment":
             R.spend_quantiles_by_segment,                  # oracled
+        "active_hours_by_type": R.active_hours_by_type,    # oracled
         # ===== position 50 — EVERYTHING BELOW IS OUTSIDE the driver's
         # first-50 correctness window. Inserting an entry above this
         # line pushes the entry before it out of the window. =====
@@ -158,6 +157,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_bands_events + basket_size_histogram +
         # order_gap_histogram; pin-dense, two-engine green at 3 SFs
         # across multiple sessions)
+        # (evicted for active_hours_by_type: the sweep-line
+        # concurrency machinery stays covered in-window by
+        # interarrival_cv + time_to_first_error on the same
+        # per-user timing axis and by gap_quantiles' gap stream;
+        # pin-dense, two-engine green at 3 SFs across sessions)
+        "peak_concurrent_sessions_events":
+            R.peak_concurrent_sessions_events,             # oracled
         # (evicted for spend_quantiles_by_segment: the per-label
         # centroid geometry stays covered in-window by
         # centroid_accuracy (the same flatten+reduceat scan shape,
@@ -2295,6 +2301,19 @@ SELECT bucket,
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
         "band_occupancy_documents": _md5lsh.sql_band_occupancy(),
+        "active_hours_by_type": """
+WITH e AS (SELECT event_type, hour(ts) AS h FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+r AS (SELECT event_type, h, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nh
+      FROM c)
+SELECT event_type, CAST(nh AS BIGINT) AS n_active_hours,
+       CAST(24 - nh AS BIGINT) AS n_quiet_hours,
+       CAST(h AS BIGINT) AS peak_hour, CAST(n AS BIGINT) AS peak_n
+FROM r WHERE rn = 1 ORDER BY event_type""",
         "spend_quantiles_by_segment": """
 WITH s AS (SELECT o_custkey AS c,
                   sum(CAST(o_totalprice * 100 AS BIGINT)) AS spend

@@ -422,6 +422,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.top_paths_events(sf_dir)))
     timed("spend_quantiles_by_segment",
           lambda: len(R.spend_quantiles_by_segment(sf_dir)))
+    timed("active_hours_by_type",
+          lambda: len(R.active_hours_by_type(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -14627,3 +14627,51 @@ def spend_quantiles_by_segment(sf_dir: str):
         "p50_cents": piv["p50"].astype("int64"),
         "p90_cents": piv["p90"].astype("int64")}) \
         .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def active_hours_by_type(sf_dir: str):
+    """ACTIVE-HOURS profile per event type (ORACLED): per type, how
+    many of the 24 clock hours have EVER seen an event, how many
+    never have, and the peak hour with its count — the service-hours
+    detector (a human-driven type goes quiet overnight; a cron or
+    bot fires in all 24 — n_quiet_hours 0 with a flat peak is the
+    bot signature; events_hourly ships the full series, this ships
+    the decision). Exact integers via one (type, hour) grouped count
+    (per-batch combine, ≤ 24·|types| rows shuffle) and a tiny driver
+    fold; the peak tiebreak is pinned (equal counts → earliest
+    hour, both engines). Null type/ts rows invisible; an empty
+    cleaned corpus answers a typed empty frame."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("event_type").is_valid(),
+                             b.column("ts").is_valid()))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "h": pc.hour(t.column("ts"))})
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["event_type", "h"], {}, count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_active_hours": pd.Series([], dtype="int64"),
+        "n_quiet_hours": pd.Series([], dtype="int64"),
+        "peak_hour": pd.Series([], dtype="int64"),
+        "peak_n": pd.Series([], dtype="int64")})
+    if agg.empty or "event_type" not in agg.columns:
+        return out_empty
+    rows = []
+    for t, g in agg.groupby("event_type", sort=True):
+        g = g.sort_values(["n", "h"], ascending=[False, True])
+        nh = len(g)
+        rows.append({"event_type": t, "n_active_hours": nh,
+                     "n_quiet_hours": 24 - nh,
+                     "peak_hour": int(g["h"].iloc[0]),
+                     "peak_n": int(g["n"].iloc[0])})
+    out = pd.DataFrame(rows)
+    for c in ("n_active_hours", "n_quiet_hours", "peak_hour",
+              "peak_n"):
+        out[c] = out[c].astype("int64")
+    return out

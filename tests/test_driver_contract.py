@@ -179,7 +179,7 @@ def oracle_pairs():
     "hill_tail_spend", "anova_value_by_type",
     "length_gini_documents", "lang_entropy_by_source",
     "band_occupancy_documents", "top_paths_events",
-    "spend_quantiles_by_segment",
+    "spend_quantiles_by_segment", "active_hours_by_type",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -1797,3 +1797,49 @@ def test_spend_quantiles_multi_order_sum_and_empty(tmp_path):
     assert list(out.columns) == ["c_mktsegment", "n_cust",
                                  "p50_cents", "p90_cents"]
     assert len(_oracle(tmp_path, "spend_quantiles_by_segment")) == 0
+
+
+# --------------------------------------------------------- active hours
+
+def test_active_hours_service_vs_bot_and_tiebreak(tmp_path):
+    """A 'human' type firing only at hours 9 and 17 answers 2 active
+    / 22 quiet with peak 9 (2 events vs 1); a 'bot' type with one
+    event in each of hours 0..3 answers 4 active hours and the
+    COUNT-TIE resolves to the earliest hour (peak_hour 0) on both
+    engines."""
+    from jsonschema_ray.pipelines.relational import active_hours_by_type
+    HOUR = 3_600_000_000
+    rows = [("human", 9), ("human", 9), ("human", 17),
+            ("bot", 0), ("bot", 1), ("bot", 2), ("bot", 3)]
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] * HOUR for r in rows],
+                       pa.timestamp("us"))}))
+    out = active_hours_by_type(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "bot", "n_active_hours": 4,
+         "n_quiet_hours": 20, "peak_hour": 0, "peak_n": 1},
+        {"event_type": "human", "n_active_hours": 2,
+         "n_quiet_hours": 22, "peak_hour": 9, "peak_n": 2}]
+    exp = _oracle(tmp_path, "active_hours_by_type")
+    assert exp.astype(out.dtypes.to_dict()).to_dict("records") \
+        == out.to_dict("records")
+
+
+def test_active_hours_nulls_and_empty(tmp_path):
+    """Null type/ts rows invisible; an all-invalid corpus answers a
+    typed empty frame on both engines."""
+    from jsonschema_ray.pipelines.relational import active_hours_by_type
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array([None, "a"], pa.string()),
+        "ts": pa.array([0, None], pa.timestamp("us"))}))
+    out = active_hours_by_type(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "n_active_hours",
+                                 "n_quiet_hours", "peak_hour",
+                                 "peak_n"]
+    assert len(_oracle(tmp_path, "active_hours_by_type")) == 0
