@@ -10720,7 +10720,8 @@ def source_dup_matrix_documents(sf_dir: str):
     return out
 
 
-def knn_label_agreement_embeddings(sf_dir: str):
+def knn_label_agreement_embeddings(sf_dir: str, *,
+                                   broadcast_cap: int = 1 << 30):
     """1-NN label agreement per label (ORACLED): for every corpus
     vector, find its exact-cosine nearest neighbor (self excluded by
     id, ties by vec_id) and ask whether the neighbor shares its label
@@ -10736,7 +10737,11 @@ def knn_label_agreement_embeddings(sf_dir: str):
     Like ngram_jaccard / embedding_neardup_exact this is the
     all-pairs VERIFIER by design — quadratic in corpus size; the
     scale path for the same question is the IVF probe
-    (ann_ivf_embeddings) over a label-stratified sample. Rows with
+    (ann_ivf_embeddings) over a label-stratified sample. Like its
+    verifier siblings (exact_cosine_pairs embedding.py, ngram-Jaccard
+    ngram.py) the driver gather is CAP-GATED: a cleaned corpus whose
+    measured size exceeds ``broadcast_cap`` bytes refuses loudly with
+    that guidance instead of OOMing the driver at scale. Rows with
     null vec_id / embedding / label neither query nor serve;
     a corpus with fewer than two surviving vectors answers the typed
     empty frame. agree_rate = two exact ints, ONE divide in SQL
@@ -10753,6 +10758,14 @@ def knn_label_agreement_embeddings(sf_dir: str):
 
     ds = ds.map_batches(clean, batch_format="pyarrow",
                         zero_copy_batch=True, batch_size=131072)
+    source = ds.materialize()
+    if source.size_bytes() > broadcast_cap:
+        raise ValueError(
+            "knn_label_agreement_embeddings is the all-pairs verifier; "
+            f"corpus exceeds broadcast cap ({source.size_bytes()} > "
+            f"{broadcast_cap} B) — probe with ann_ivf_embeddings over a "
+            "label-stratified sample at scale")
+    ds = source
     q = ds.to_pandas()           # the broadcast query side (verifier)
     out_empty = pd.DataFrame({
         "label": pd.Series([], dtype="int64"),

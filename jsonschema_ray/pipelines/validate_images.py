@@ -36,7 +36,7 @@ from ..checks import (drift_report, duplicate_keys, phash_near_duplicates,
 from ..rules.model import RuleSet, parse_ruleset
 from ..rules.vector import BatchValidator
 from ..stages.decode import DecodeCheckStage
-from ..stages.stats import ColumnStatsStage, merge_stat_partials
+from ..stages.stats import ColumnStatsStage, merge_stat_groups
 from ..state import CheckpointStore, FragmentRecord
 
 # The canonical rule set for the BASELINE input_hint schema (FIXTURES F3) —
@@ -297,7 +297,6 @@ def flagship_report(ds, ruleset=None, decode: bool = True,
     import functools
 
     from ..rules.model import canonical_json
-    from ..stages.stats import merge_stat_partials
     rs = parse_ruleset(ruleset or IMAGE_RULESET)
     if batch_size is None:
         batch_size = adaptive_batch_size(ds=ds)
@@ -316,9 +315,7 @@ def flagship_report(ds, ruleset=None, decode: bool = True,
     # mixed-column frame (full-range phash values live past 2^53)
     partials = stats_frame(
         union.filter(pc.equal(union["record_type"], "s")))
-    stats = pd.concat([merge_stat_partials(g) for _, g in
-                       partials.groupby("column", sort=False)],
-                      ignore_index=True)
+    stats = merge_stat_groups(partials)
     return {"violations": viol.reset_index(drop=True),
             "stats": stats.drop(columns=["hll", "tdigest"]),
             "n_violations": len(viol)}
@@ -428,10 +425,8 @@ def validate_images_pipeline(
             nrows = pq.read_metadata(f).num_rows
             nv = int(nviol_by_frag.get(frag, 0))
             frag_stats = sp[sp["fragment_id"] == frag]
-            merged = pd.concat([merge_stat_partials(g) for _, g in
-                                frag_stats.groupby("column", sort=False)],
-                               ignore_index=True) if len(frag_stats) else \
-                pd.DataFrame()
+            merged = merge_stat_groups(frag_stats) \
+                if len(frag_stats) else pd.DataFrame()
             new_records.append(FragmentRecord(
                 fragment_id=frag, ruleset_hash=rs.ruleset_hash,
                 n_rows=int(nrows), n_violations=nv, passed=nv == 0,
@@ -463,11 +458,10 @@ def validate_images_pipeline(
               if b is not None and len(b)]
     global_stats = None
     if frames:
-        allp = pd.concat(frames, ignore_index=True)
-        global_stats = pd.concat(
-            [merge_stat_partials(g) for _, g in
-             allp.groupby("column", sort=False)],
-            ignore_index=True)
+        frames = [f for f in frames if len(f)]
+        allp = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame()
+        global_stats = merge_stat_groups(allp) if len(allp) else None
 
     # cross-fragment checks over the FULL input: project AT THE READ so
     # only (image_id, phash) row-groups leave storage — the bytes column

@@ -153,9 +153,7 @@ def merge_stat_partials_table(t: pa.Table) -> pa.Table:
     """Arrow-native face of :func:`merge_stat_partials` with a PINNED
     output schema (single-group frames would otherwise infer
     data-dependent types for all-null columns)."""
-    out = pd.concat([merge_stat_partials(g) for _, g in
-                     stats_frame(t).groupby("column", sort=False)],
-                    ignore_index=True)
+    out = merge_stat_groups(stats_frame(t))
     return pa.Table.from_pandas(out, schema=_MERGED_SCHEMA,
                                 preserve_index=False)
 
@@ -167,6 +165,28 @@ def merge_stat_partials(g: pd.DataFrame) -> pd.DataFrame:
     Exactness contract: ``g`` must carry min_int/max_int as INTEGER
     dtypes (nullable Int64 from :func:`stats_frame`, or plain int64) —
     a float64 frame has already lost bits past 2^53."""
+    return pd.DataFrame([_merge_stat_row(g)])
+
+
+def merge_stat_groups(partials: pd.DataFrame) -> pd.DataFrame:
+    """Merge a multi-column partials frame into one merged row per
+    column — one DataFrame built from dict rows, NOT a concat of
+    single-row frames (whose all-NA columns trip the pandas
+    empty/all-NA-concat FutureWarning and will change dtype inference
+    on a pandas upgrade). min_int/max_int are pinned to NULLABLE Int64
+    — dict-row inference would promote an int/None mix to float64 and
+    round exact values past 2^53 (full-range phash)."""
+    rows = [_merge_stat_row(g) for _, g in
+            partials.groupby("column", sort=False)]
+    if not rows:
+        return pd.DataFrame()
+    out = pd.DataFrame(rows)
+    for c in ("min_int", "max_int"):
+        out[c] = pd.array([r[c] for r in rows], dtype="Int64")
+    return out
+
+
+def _merge_stat_row(g: pd.DataFrame) -> dict:
     hll = HyperLogLog.from_bytes(g["hll"].iloc[0])
     td = TDigest.from_bytes(g["tdigest"].iloc[0])
     for b in g["hll"].iloc[1:]:
@@ -187,7 +207,7 @@ def merge_stat_partials(g: pd.DataFrame) -> pd.DataFrame:
     # non-null count would bias the mean
     n_num = int(g["n_num"].sum()) if "n_num" in g.columns else \
         count - nulls
-    return pd.DataFrame([{
+    return {
         "column": g["column"].iloc[0],
         "count": count,
         "null_count": nulls,
@@ -210,7 +230,7 @@ def merge_stat_partials(g: pd.DataFrame) -> pd.DataFrame:
         "p25": td.quantile(0.25), "p50": td.quantile(0.5),
         "p75": td.quantile(0.75), "p99": td.quantile(0.99),
         "hll": hll.to_bytes(), "tdigest": td.to_bytes(),
-    }])
+    }
 
 
 def _stats_batch(batch: pa.Table, *, columns, hll_p, delta) -> pa.Table:

@@ -569,6 +569,23 @@ def test_knn_agreement_nulls_and_degenerate(tmp_path):
     assert list(out.columns) == ["label", "n", "n_agree", "agree_rate"]
 
 
+def test_knn_agreement_refuses_above_broadcast_cap(tmp_path):
+    """The verifier contract: a corpus whose measured size exceeds
+    broadcast_cap REFUSES loudly (with IVF-probe guidance) instead of
+    gathering the whole dataset to the driver — the same refuse
+    discipline as exact_cosine_pairs / ngram-Jaccard."""
+    import pytest
+    from jsonschema_ray.pipelines.relational import (
+        knn_label_agreement_embeddings)
+    _embeddings(tmp_path, [(1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]),
+                           (3, 1, [0.0, 1.0])])
+    with pytest.raises(ValueError, match="broadcast cap"):
+        knn_label_agreement_embeddings(str(tmp_path), broadcast_cap=8)
+    # the default cap leaves the oracled answer untouched
+    out = knn_label_agreement_embeddings(str(tmp_path))
+    assert len(out) == 2
+
+
 # ------------------------------------------- interarrival CV by type
 
 def _events_type_ts(tmp_path, rows):
