@@ -31,17 +31,45 @@ def entry() -> Any:
     return validate_images(ds)
 
 
+# The driver's correctness harness covers the FIRST 50 registered
+# queries, so the window ROTATES each round toward the queries with the
+# STALEST driver evidence (r4 verdict item 4). Round 5 front-loads the
+# r1-era core — every oracled query whose last driver-green row dates to
+# CORRECTNESS_r03 or earlier (validate_*, uniqueness, referential, stats,
+# q1, events_*, the text/dedup oracled arms: 40 queries) — topped up with
+# 10 of the OLDEST never-driver-checked oracled queries (pre-session-7
+# relational core). Disjoint from the r4 window by construction; every
+# window member re-verified by the local all-oracle gate each session.
+_DRIVER_WINDOW_R5 = [
+    "validate_lineitem", "validate_orders", "validate_documents",
+    "validate_events_conditional", "uniqueness_lineitem_orderkey",
+    "referential_lineitem_orders", "column_stats_lineitem",
+    "q1_pricing_summary", "events_hourly", "events_sessions",
+    "orders_customer_join", "events_last_order", "hopping_window_events",
+    "ann_topk_embeddings", "dedup_exact_documents",
+    "uniqueness_customer_custkey", "segment_order_stats",
+    "brand_quantity", "topk_orders", "region_customer_rollup",
+    "union_keys", "distinct_event_types", "events_filter_project",
+    "orders_running_total", "token_count_documents", "quality_documents",
+    "lang_distribution", "langid_documents", "ngram_jaccard_documents",
+    "lineitem_orders_priority_revenue", "validate_lineitem_dates",
+    "validate_lineitem_dates_core", "embedding_neardup_exact",
+    "events_orders_90d", "top3_orders_per_segment",
+    "quantity_stats_by_flag", "distinct_parts_per_flag",
+    "median_quantity_by_flag", "bpe_token_count_documents",
+    "term_frequency_documents",
+    # 10 oldest never-driver-checked oracled (pre-session-7 core)
+    "revenue_by_nation", "customer_order_counts", "hot_users_events",
+    "customers_no_bigorder", "bigram_counts_documents",
+    "rollup_orders_segment_priority", "events_next_order",
+    "events_value_delta", "events_value_zscore",
+    "snapshot_diff_documents",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDERING: the driver's correctness harness covers the FIRST 50
-    # registered queries. The first block therefore holds the queries
-    # with the least prior driver evidence — the round-3 additions the
-    # r3 harness never reached (29 oracled + 4 rows-only) and this
-    # round's new oracled queries — followed by a representative slice
-    # of every long-green family; the tail is the remainder of the
-    # long-green set (all 40 of which passed rows+schema+hash in
-    # CORRECTNESS_r01..r03).
     from jsonschema_ray.pipelines import relational as R
-    return {
+    d = {
         # --- driver-lens block 1: round-3 additions, never driver-checked
         # --- driver-lens block 2: NEW this round (oracled)
         # --- session-11 additions (oracled, never driver-checked)
@@ -803,6 +831,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_documents": R.bpe_token_count_documents,  # oracled
         "term_frequency_documents": R.term_frequency_documents,  # oracled
     }
+    w = set(_DRIVER_WINDOW_R5)
+    return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
+            **{k: v for k, v in d.items() if k not in w}}
 
 
 def oracle_sql() -> dict[str, str]:
