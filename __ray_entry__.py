@@ -830,6 +830,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": R.embedding_neardup,         # rows-only
         "bpe_token_count_documents": R.bpe_token_count_documents,  # oracled
         "term_frequency_documents": R.term_frequency_documents,  # oracled
+        # --- session-20 additions (oracled)
+        "embedding_lsh_buckets_md5":
+            R.embedding_lsh_buckets_md5,                  # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -2332,6 +2335,8 @@ SELECT bucket,
          AS register
 FROM parts GROUP BY bucket ORDER BY bucket""",
         "band_occupancy_documents": _md5lsh.sql_band_occupancy(),
+        "embedding_lsh_buckets_md5":
+            _md5lsh.sql_embedding_lsh_buckets(),
         "active_hours_by_type": """
 WITH e AS (SELECT event_type, hour(ts) AS h FROM events
            WHERE event_type IS NOT NULL AND ts IS NOT NULL),

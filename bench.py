@@ -424,6 +424,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.spend_quantiles_by_segment(sf_dir)))
     timed("active_hours_by_type",
           lambda: len(R.active_hours_by_type(sf_dir)))
+    timed("embedding_lsh_buckets_md5",
+          lambda: len(R.embedding_lsh_buckets_md5(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {
@@ -525,7 +527,14 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        # optional pair override: bench.py --scaling [lo hi]
+        i = sys.argv.index("--scaling")
+        rest = [a for a in sys.argv[i + 1:] if a.isdigit()]
+        if len(rest) >= 2:
+            print(json.dumps(run_scaling(sf_dir, int(rest[0]),
+                                         int(rest[1]))))
+        else:
+            print(json.dumps(run_scaling(sf_dir)))
     elif os.environ.get("GRAFT_SCALING_CHILD"):
         ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, ncpus,

@@ -641,3 +641,77 @@ SELECT CAST(band AS BIGINT) AS band,
        CAST(sz AS BIGINT) AS bucket_size,
        CAST(count(*) AS BIGINT) AS n_buckets
 FROM occ GROUP BY band, sz ORDER BY band, sz"""
+
+
+# ------------------------------------------------------------------
+# md5-derived hyperplane LSH (the embedding analog of the minhash_md5
+# family): integer-exact bucket assignment both engines can reproduce
+# value-for-value. Components are quantized q_j = floor(x_j * 1e6) as
+# int64 (float32 -> double widening + one double multiply + floor —
+# bit-identical IEEE ops on both engines), hyperplane coefficients are
+# c(t,k,j) = md5_low64(f"hp_{t}_{k}_{j}") % 2001 - 1000 (exact small
+# ints), so every dot product is EXACT integer arithmetic — no float
+# summation-order hazard can flip a sign bit between numpy's pairwise
+# sum and SQL's streaming SUM. bit_k = (dot > 0); a zero dot (the tie)
+# answers bit 0 on both engines by the same strict inequality.
+
+LSH_MD5_TABLES = 2
+LSH_MD5_PLANES = 8
+
+
+def lsh_md5_coef(dim: int, tables: int = LSH_MD5_TABLES,
+                 planes: int = LSH_MD5_PLANES) -> "np.ndarray":
+    """(tables*planes, dim) int64 coefficient matrix, row t*planes+k."""
+    C = np.empty((tables * planes, dim), np.int64)
+    for t in range(tables):
+        for k in range(planes):
+            for j in range(dim):
+                C[t * planes + k, j] = \
+                    md5_low64(f"hp_{t}_{k}_{j}") % 2001 - 1000
+    return C
+
+
+def _plane_values(tables: int = LSH_MD5_TABLES,
+                  planes: int = LSH_MD5_PLANES) -> str:
+    return ", ".join(f"({t}, {k})" for t in range(tables)
+                     for k in range(planes))
+
+
+def sql_embedding_lsh_buckets(table: str = "embeddings",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    """DuckDB mirror of the hyperplane bucket assignment: per (tbl,
+    bucket), how many vectors land there. Null-id / null-vector /
+    empty-vector rows are invisible (no components -> no dot rows);
+    a short vector sums over ITS OWN components only (the join on j),
+    matching the Ray kernel's per-length matmul groups."""
+    return f"""
+WITH vecs AS (
+  SELECT {id_col} AS vid, {vec_col} AS v FROM {table}
+  WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL
+    AND len({vec_col}) > 0),
+comps AS (
+  SELECT vid, generate_subscripts(v, 1) - 1 AS j,
+         CAST(floor(CAST(unnest(v) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS q
+  FROM vecs),
+dims AS (SELECT DISTINCT j FROM comps),
+plane(t, k) AS (VALUES {_plane_values()}),
+coef AS (
+  SELECT t, k, j,
+         CAST(((md5_number('hp_' || t || '_' || k || '_' || j)
+                % {_K64_LIT}) + {_K64_LIT}) % {_K64_LIT} % 2001 - 1000
+              AS BIGINT) AS c
+  FROM plane, dims),
+dots AS (
+  SELECT vid, t, k, sum(c * q) AS dot
+  FROM comps JOIN coef USING (j)
+  GROUP BY vid, t, k),
+bits AS (
+  SELECT vid, t AS tbl,
+         sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << k
+             ELSE 0 END) AS bucket
+  FROM dots GROUP BY vid, t)
+SELECT CAST(tbl AS BIGINT) AS tbl, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM bits GROUP BY tbl, bucket ORDER BY tbl, bucket"""

@@ -14688,3 +14688,91 @@ def active_hours_by_type(sf_dir: str):
               "peak_n"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def embedding_lsh_buckets_md5(sf_dir: str):
+    """Hyperplane-LSH bucket occupancy, value-level ORACLED: per
+    (hash table, bucket), how many corpus vectors land there under 2
+    tables x 8 md5-derived hyperplanes — the embedding family's first
+    VALUE-exact oracle (its production near-dup path,
+    dedup/embedding.py _hyperplane_bucket, buckets by rng-seeded float
+    planes no SQL can reproduce; this is the md5 technique that gave
+    minhash its value oracles, dedup/md5lsh.py, transplanted to the
+    hyperplane axis). The whole computation is EXACT INTEGERS end to
+    end: components quantize q_j = floor(x_j * 1e6) (float32 -> double
+    widening, one double multiply, floor — bit-identical on both
+    engines), coefficients are md5_low64-derived small ints, so the
+    sign of each dot can never be flipped by float summation order —
+    the precise hazard that makes the production rng buckets
+    un-oracleable. Reference parity: the keyword-as-predicate
+    discipline of pkg/jsonschema keyword evaluation (each plane is a
+    compiled predicate over the batch). Plan: per batch ONE int64
+    matmul (per distinct length group) against the worker-cached
+    (16 x dim) coefficient matrix, bits pack to a bucket id, per-batch
+    (tbl, bucket) partial counts — at most 2*256 = 512 keys EVER
+    shuffle (vocabulary-bounded, corpus-size-independent), tiny
+    grouped sum, driver sorts <= 512 rows. Pins: null vec_id / null
+    embedding / EMPTY embedding rows invisible (the SQL no-component
+    convention); a zero vector answers bucket 0 in both tables (dot 0
+    is NOT > 0 — the tie bit is 0); identical vectors share buckets in
+    every table; a short vector sums its own components only;
+    all-invalid -> typed empty frame."""
+    from ..dedup.md5lsh import (LSH_MD5_PLANES, LSH_MD5_TABLES,
+                                lsh_md5_coef)
+    from ..util import worker_cached
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    tk = LSH_MD5_TABLES * LSH_MD5_PLANES
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"tbl": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        t = b.filter(pc.and_(b.column("vec_id").is_valid(),
+                             b.column("embedding").is_valid()))
+        if t.num_rows == 0:
+            return empty
+        emb = _combine_col(t.column("embedding"))
+        lens = pc.list_value_length(emb) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if not (lens > 0).any():
+            return empty
+        flat = pc.list_flatten(emb) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * 1000000.0).astype(np.int64)
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        out_t, out_b = [], []
+        for d in np.unique(lens[lens > 0]):
+            rows = np.flatnonzero(lens == d)
+            M = q[offs[rows][:, None] + np.arange(int(d))[None, :]]
+            C = worker_cached(("lsh_md5_coef", int(d)),
+                              lambda d=int(d): lsh_md5_coef(d))
+            dots = M @ C.T                  # exact int64, (n_d, 16)
+            bits = (dots > 0).astype(np.int64)
+            w = (1 << np.arange(LSH_MD5_PLANES)).astype(np.int64)
+            for tt in range(LSH_MD5_TABLES):
+                seg = bits[:, tt * LSH_MD5_PLANES:
+                           (tt + 1) * LSH_MD5_PLANES]
+                out_t.append(np.full(len(rows), tt, np.int64))
+                out_b.append(seg @ w)
+        tb = pa.table({"tbl": pa.array(np.concatenate(out_t)),
+                       "bucket": pa.array(np.concatenate(out_b))})
+        agg = tb.group_by(["tbl", "bucket"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["tbl", "bucket", "n_p"])
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["tbl", "bucket"], {"n_p": "n_vecs"},
+        count_alias="_c").to_pandas()
+    out_empty = pd.DataFrame({
+        "tbl": pd.Series([], dtype="int64"),
+        "bucket": pd.Series([], dtype="int64"),
+        "n_vecs": pd.Series([], dtype="int64")})
+    if agg.empty or "tbl" not in agg.columns:
+        return out_empty
+    out = agg[["tbl", "bucket", "n_vecs"]] \
+        .sort_values(["tbl", "bucket"]).reset_index(drop=True)
+    return out.astype({"tbl": "int64", "bucket": "int64",
+                       "n_vecs": "int64"})

@@ -1,0 +1,124 @@
+"""Session-20 operators — crafted edge branches the sf oracles can't
+reach. The sf-scale value oracles run in test_driver_contract and were
+hand-verified at sf0.001/0.01/0.1 against DuckDB."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _write(tmp_path, name, tb):
+    pq.write_table(tb, os.path.join(str(tmp_path), f"{name}.parquet"))
+
+
+def _embeddings_ragged(tmp_path, rows):
+    """rows: (vec_id|None, vector|None) — list<float32>, any length."""
+    _write(tmp_path, "embeddings", pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array(
+            [None if r[1] is None else [float(x) for x in r[1]]
+             for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32())}))
+
+
+def _oracle(tmp_path, name):
+    import duckdb
+
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "customer",
+              "supplier", "nation", "region", "part", "embeddings"):
+        p = os.path.join(str(tmp_path), f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}')")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+def _ref_bucket(vec, tables=2, planes=8):
+    """Independent pure-Python reference of the bucket convention."""
+    from jsonschema_ray.dedup.md5lsh import md5_low64
+    q = [int(np.floor(np.float64(np.float32(x)) * 1000000.0))
+         for x in vec]
+    out = []
+    for t in range(tables):
+        b = 0
+        for k in range(planes):
+            dot = sum((md5_low64(f"hp_{t}_{k}_{j}") % 2001 - 1000) * qj
+                      for j, qj in enumerate(q))
+            if dot > 0:
+                b |= 1 << k
+        out.append((t, b))
+    return out
+
+
+# ----------------------------------- hyperplane LSH buckets (md5)
+
+def test_lsh_buckets_hand_and_reference(tmp_path):
+    """Two identical vectors share every bucket (n_vecs 2 in both
+    tables); a third different vector lands where the independent
+    pure-Python reference says it must."""
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_buckets_md5)
+    va, vb = [0.5, -0.25], [-1.0, 2.0]
+    _embeddings_ragged(tmp_path, [(1, va), (2, va), (3, vb)])
+    out = embedding_lsh_buckets_md5(str(tmp_path))
+    exp_rows = {}
+    for t, b in _ref_bucket(va):
+        exp_rows[(t, b)] = exp_rows.get((t, b), 0) + 2
+    for t, b in _ref_bucket(vb):
+        exp_rows[(t, b)] = exp_rows.get((t, b), 0) + 1
+    exp = sorted((t, b, n) for (t, b), n in exp_rows.items())
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == exp
+    ora = _oracle(tmp_path, "embedding_lsh_buckets_md5")
+    assert [tuple(r) for r in ora.itertuples(index=False)] == exp
+
+
+def test_lsh_buckets_zero_vector_tie_and_nulls(tmp_path):
+    """A zero vector's every dot is 0 — NOT > 0 — so it answers bucket
+    0 in both tables (the tie convention); null id / null vector /
+    EMPTY vector rows are invisible."""
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_buckets_md5)
+    _embeddings_ragged(tmp_path, [(1, [0.0, 0.0]), (None, [1.0, 1.0]),
+                                  (3, None), (4, [])])
+    out = embedding_lsh_buckets_md5(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"tbl": 0, "bucket": 0, "n_vecs": 1},
+        {"tbl": 1, "bucket": 0, "n_vecs": 1}]
+    ora = _oracle(tmp_path, "embedding_lsh_buckets_md5")
+    assert ora.astype("int64").to_dict("records") == \
+        out.to_dict("records")
+
+
+def test_lsh_buckets_ragged_lengths_and_empty(tmp_path):
+    """A shorter vector sums its OWN components only (the SQL join-on-j
+    convention — the Ray kernel's per-length matmul groups must agree);
+    an all-invalid corpus answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_buckets_md5)
+    _embeddings_ragged(tmp_path, [(1, [0.5, -0.25]),
+                                  (2, [0.5, -0.25, 0.125])])
+    out = embedding_lsh_buckets_md5(str(tmp_path))
+    exp_rows = {}
+    for t, b in _ref_bucket([0.5, -0.25]):
+        exp_rows[(t, b)] = exp_rows.get((t, b), 0) + 1
+    for t, b in _ref_bucket([0.5, -0.25, 0.125]):
+        exp_rows[(t, b)] = exp_rows.get((t, b), 0) + 1
+    exp = sorted((t, b, n) for (t, b), n in exp_rows.items())
+    assert [tuple(r) for r in out.itertuples(index=False)] == exp
+    ora = _oracle(tmp_path, "embedding_lsh_buckets_md5")
+    assert [tuple(r) for r in ora.itertuples(index=False)] == exp
+
+    _embeddings_ragged(tmp_path, [(None, [1.0]), (2, None)])
+    out = embedding_lsh_buckets_md5(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["tbl", "bucket", "n_vecs"]
+    assert out["n_vecs"].dtype == "int64"
