@@ -671,22 +671,113 @@ def lsh_md5_coef(dim: int, tables: int = LSH_MD5_TABLES,
     return C
 
 
+def lsh_bucket_rows(b: pa.Table, id_col: str,
+                    vec_col: str) -> pa.Table:
+    """Per-row hyperplane bucket rows (vid, tbl, bucket) — the ONE
+    kernel behind the occupancy histogram AND the candidate pairs (a
+    shared kernel cannot drift from its two oracles). Null-id /
+    null-vector / EMPTY-vector rows are DROPPED; ragged lengths run
+    as per-length matmul groups (each vector's dot sums its OWN
+    components, the SQL join-on-j convention)."""
+    import pyarrow.compute as pc
+
+    from ..util import worker_cached
+    t = b.filter(pc.and_(pc.is_valid(b.column(id_col)),
+                         pc.is_valid(b.column(vec_col))))
+    id_type = b.schema.field(id_col).type
+    empty = pa.table({"vid": pa.array([], id_type),
+                      "tbl": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    emb = t.column(vec_col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    lens = pc.list_value_length(emb) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    if not (lens > 0).any():
+        return empty
+    flat = pc.list_flatten(emb) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    q = np.floor(flat * 1000000.0).astype(np.int64)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    ids = t.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    idx_parts, tbl_parts, bkt_parts = [], [], []
+    w = (1 << np.arange(LSH_MD5_PLANES)).astype(np.int64)
+    for d in np.unique(lens[lens > 0]):
+        rows = np.flatnonzero(lens == d)
+        M = q[offs[rows][:, None] + np.arange(int(d))[None, :]]
+        C = worker_cached(("lsh_md5_coef", int(d)),
+                          lambda d=int(d): lsh_md5_coef(d))
+        dots = M @ C.T              # exact int64, (n_d, tables*planes)
+        bits = (dots > 0).astype(np.int64)
+        for tt in range(LSH_MD5_TABLES):
+            seg = bits[:, tt * LSH_MD5_PLANES:
+                       (tt + 1) * LSH_MD5_PLANES]
+            idx_parts.append(rows)
+            tbl_parts.append(np.full(len(rows), tt, np.int64))
+            bkt_parts.append(seg @ w)
+    take = np.concatenate(idx_parts)
+    return pa.table({
+        "vid": ids.take(pa.array(take)),
+        "tbl": pa.array(np.concatenate(tbl_parts)),
+        "bucket": pa.array(np.concatenate(bkt_parts))})
+
+
+def embedding_lsh_pairs_md5(ds, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            bucket_cap: int = 10000):
+    """(id_a, id_b) DISTINCT candidate pairs sharing at least one
+    (table, bucket) under the md5 hyperplanes (id_a < id_b — a
+    vec_id never pairs with itself, even when duplicated) — the
+    fully-oracled variant of the production hyperplane candidate
+    generation (dedup/embedding.py keys on rng planes, rows-only).
+    ``bucket_cap`` truncates pathological single-bucket blowups
+    exactly like the production path; the oracle SFs sit far below
+    it."""
+    rows = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda b: lsh_bucket_rows(b, id_col, vec_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_in_partition(t: pa.Table) -> pa.Table:
+        from ..util import segment_pairs
+        tblc = t.column("tbl").to_numpy(zero_copy_only=False)
+        bkt = t.column("bucket").to_numpy(zero_copy_only=False)
+        a_idx, b_idx, order = segment_pairs([tblc, bkt], bucket_cap)
+        ids = t.column("vid").take(pa.array(order))
+        lo = np.minimum(a_idx, b_idx)
+        hi = np.maximum(a_idx, b_idx)
+        ia = ids.take(pa.array(lo)).to_numpy(zero_copy_only=False)
+        ib = ids.take(pa.array(hi)).to_numpy(zero_copy_only=False)
+        keep = ia != ib          # duplicate ids never self-pair
+        ia, ib = ia[keep], ib[keep]
+        sw = ia > ib
+        return pa.table({
+            "id_a": pa.array(np.where(sw, ib, ia), type=pa.int64()),
+            "id_b": pa.array(np.where(sw, ia, ib), type=pa.int64())})
+
+    from .pairsops import distinct_pairs
+    raw = partitioned_group_apply(rows, ["tbl", "bucket"],
+                                  pairs_in_partition,
+                                  batch_format="pyarrow")
+    return _pin_pairs_schema(distinct_pairs(raw, ["id_a", "id_b"]))
+
+
 def _plane_values(tables: int = LSH_MD5_TABLES,
                   planes: int = LSH_MD5_PLANES) -> str:
     return ", ".join(f"({t}, {k})" for t in range(tables)
                      for k in range(planes))
 
 
-def sql_embedding_lsh_buckets(table: str = "embeddings",
-                              id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> str:
-    """DuckDB mirror of the hyperplane bucket assignment: per (tbl,
-    bucket), how many vectors land there. Null-id / null-vector /
-    empty-vector rows are invisible (no components -> no dot rows);
-    a short vector sums over ITS OWN components only (the join on j),
-    matching the Ray kernel's per-length matmul groups."""
+def _sql_lsh_bits_cte(table: str, id_col: str, vec_col: str) -> str:
+    """Shared WITH-body: vecs -> comps -> coef -> dots -> bits
+    ((vid, tbl, bucket) per surviving vector) — shared by the
+    occupancy and pair oracles so the two cannot drift."""
     return f"""
-WITH vecs AS (
+vecs AS (
   SELECT {id_col} AS vid, {vec_col} AS v FROM {table}
   WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL
     AND len({vec_col}) > 0),
@@ -711,7 +802,33 @@ bits AS (
   SELECT vid, t AS tbl,
          sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << k
              ELSE 0 END) AS bucket
-  FROM dots GROUP BY vid, t)
+  FROM dots GROUP BY vid, t)"""
+
+
+def sql_embedding_lsh_buckets(table: str = "embeddings",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    """DuckDB mirror of the hyperplane bucket assignment: per (tbl,
+    bucket), how many vectors land there. Null-id / null-vector /
+    empty-vector rows are invisible (no components -> no dot rows);
+    a short vector sums over ITS OWN components only (the join on j),
+    matching the Ray kernel's per-length matmul groups."""
+    return f"""
+WITH {_sql_lsh_bits_cte(table, id_col, vec_col)}
 SELECT CAST(tbl AS BIGINT) AS tbl, CAST(bucket AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM bits GROUP BY tbl, bucket ORDER BY tbl, bucket"""
+
+
+def sql_embedding_lsh_pairs(table: str = "embeddings",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    """DuckDB mirror of the hyperplane candidate pairs: DISTINCT
+    (id_a, id_b), id_a < id_b, sharing any (tbl, bucket)."""
+    return f"""
+WITH {_sql_lsh_bits_cte(table, id_col, vec_col)}
+SELECT DISTINCT CAST(x.vid AS BIGINT) AS id_a,
+                CAST(y.vid AS BIGINT) AS id_b
+FROM bits x JOIN bits y
+  ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vid < y.vid
+ORDER BY id_a, id_b"""

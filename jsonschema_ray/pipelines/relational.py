@@ -14717,47 +14717,16 @@ def embedding_lsh_buckets_md5(sf_dir: str):
     is NOT > 0 — the tie bit is 0); identical vectors share buckets in
     every table; a short vector sums its own components only;
     all-invalid -> typed empty frame."""
-    from ..dedup.md5lsh import (LSH_MD5_PLANES, LSH_MD5_TABLES,
-                                lsh_md5_coef)
-    from ..util import worker_cached
+    from ..dedup.md5lsh import lsh_bucket_rows
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    tk = LSH_MD5_TABLES * LSH_MD5_PLANES
 
     def partial(b: pa.Table) -> pa.Table:
-        empty = pa.table({"tbl": pa.array([], pa.int64()),
-                          "bucket": pa.array([], pa.int64()),
-                          "n_p": pa.array([], pa.int64())})
-        t = b.filter(pc.and_(b.column("vec_id").is_valid(),
-                             b.column("embedding").is_valid()))
-        if t.num_rows == 0:
-            return empty
-        emb = _combine_col(t.column("embedding"))
-        lens = pc.list_value_length(emb) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        if not (lens > 0).any():
-            return empty
-        flat = pc.list_flatten(emb) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        q = np.floor(flat * 1000000.0).astype(np.int64)
-        offs = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=offs[1:])
-        out_t, out_b = [], []
-        for d in np.unique(lens[lens > 0]):
-            rows = np.flatnonzero(lens == d)
-            M = q[offs[rows][:, None] + np.arange(int(d))[None, :]]
-            C = worker_cached(("lsh_md5_coef", int(d)),
-                              lambda d=int(d): lsh_md5_coef(d))
-            dots = M @ C.T                  # exact int64, (n_d, 16)
-            bits = (dots > 0).astype(np.int64)
-            w = (1 << np.arange(LSH_MD5_PLANES)).astype(np.int64)
-            for tt in range(LSH_MD5_TABLES):
-                seg = bits[:, tt * LSH_MD5_PLANES:
-                           (tt + 1) * LSH_MD5_PLANES]
-                out_t.append(np.full(len(rows), tt, np.int64))
-                out_b.append(seg @ w)
-        tb = pa.table({"tbl": pa.array(np.concatenate(out_t)),
-                       "bucket": pa.array(np.concatenate(out_b))})
-        agg = tb.group_by(["tbl", "bucket"]).aggregate(
+        rows = lsh_bucket_rows(b, "vec_id", "embedding")
+        if rows.num_rows == 0:
+            return pa.table({"tbl": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        agg = rows.group_by(["tbl", "bucket"]).aggregate(
             [([], "count_all")])
         return agg.rename_columns(["tbl", "bucket", "n_p"])
 
@@ -14776,3 +14745,23 @@ def embedding_lsh_buckets_md5(sf_dir: str):
         .sort_values(["tbl", "bucket"]).reset_index(drop=True)
     return out.astype({"tbl": "int64", "bucket": "int64",
                        "n_vecs": "int64"})
+
+
+def embedding_lsh_pairs_md5(sf_dir: str):
+    """Hyperplane-LSH candidate pairs, value-level ORACLED: DISTINCT
+    (id_a, id_b), id_a < id_b, sharing at least one (table, bucket)
+    under the 2x8 md5 hyperplanes — the SECOND consumer of the shared
+    lsh_bucket_rows kernel (embedding_lsh_buckets_md5 reads the
+    occupancy, this reads the candidate GENERATION the production
+    rng-plane path performs rows-only; together they pin the whole
+    bucket -> candidate stage of embedding near-dup value-exactly).
+    Plan: per-batch bucket rows (2 narrow rows per vector), pair
+    expansion inside ONE (tbl, bucket)-hash partition via the
+    vectorized segment_pairs (hot-bucket cap as the production path),
+    distributed distinct-pair dedup — nothing corpus-proportional on
+    the driver. Pins: duplicate vec_ids NEVER self-pair (the a < b
+    strictness survives id duplication); null/empty rows invisible;
+    disjoint-bucket corpus -> empty pairs with pinned schema."""
+    from ..dedup.md5lsh import embedding_lsh_pairs_md5 as _pairs
+    return _pairs(_read(sf_dir, "embeddings",
+                        columns=["vec_id", "embedding"]))

@@ -122,3 +122,59 @@ def test_lsh_buckets_ragged_lengths_and_empty(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["tbl", "bucket", "n_vecs"]
     assert out["n_vecs"].dtype == "int64"
+
+
+# ----------------------------------- hyperplane LSH pairs (md5)
+
+def test_lsh_pairs_hand_twins_and_loner(tmp_path):
+    """Identical vectors share every bucket -> exactly one pair; a
+    far-away loner pairs with nobody unless a bucket collides — checked
+    against the independent reference bucket computation AND the SQL
+    self-join."""
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_pairs_md5)
+    va, vb = [0.5, -0.25], [-1.0, 2.0]
+    _embeddings_ragged(tmp_path, [(1, va), (2, va), (3, vb)])
+    out = embedding_lsh_pairs_md5(str(tmp_path)).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ba, bb = dict(_ref_bucket(va)), dict(_ref_bucket(vb))
+    exp = {(1, 2)}
+    if any(ba[t] == bb[t] for t in ba):
+        exp |= {(1, 3), (2, 3)}
+    assert set(map(tuple, out.to_numpy())) == exp
+    ora = _oracle(tmp_path, "embedding_lsh_pairs_md5")
+    assert set(map(tuple, ora.astype("int64").to_numpy())) == exp
+
+
+def test_lsh_pairs_duplicate_id_never_self_pairs(tmp_path):
+    """The SAME vec_id appearing twice shares its own buckets but must
+    NOT answer a (x, x) pair — the a < b strictness survives id
+    duplication on both engines."""
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_pairs_md5)
+    _embeddings_ragged(tmp_path, [(7, [0.5, -0.25]), (7, [0.5, -0.25]),
+                                  (9, [0.5, -0.25])])
+    out = embedding_lsh_pairs_md5(str(tmp_path)).to_pandas()
+    assert set(map(tuple, out.to_numpy())) == {(7, 9)}
+    ora = _oracle(tmp_path, "embedding_lsh_pairs_md5")
+    assert set(map(tuple, ora.astype("int64").to_numpy())) == {(7, 9)}
+
+
+def test_lsh_pairs_nulls_and_empty_schema(tmp_path):
+    """Null-id / null-vector / empty-vector rows are invisible; a
+    corpus with no shareable bucket answers the EMPTY pair frame with
+    the pinned (id_a, id_b) int64 schema."""
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_pairs_md5)
+    _embeddings_ragged(tmp_path, [(1, [0.5, -0.25]), (None, [0.5, -0.25]),
+                                  (3, None), (4, [])])
+    ds = embedding_lsh_pairs_md5(str(tmp_path))
+    assert ds.count() == 0
+    # schema survives the all-empty pipeline (the union-typed-empty
+    # pin; to_pandas() of ANY empty Dataset is column-less, a
+    # Ray-global behavior — assert on schema()/iter_batches instead)
+    assert ds.schema().names == ["id_a", "id_b"]
+    for bt in ds.iter_batches(batch_format="pyarrow"):
+        assert bt.schema.names == ["id_a", "id_b"]
+    ora = _oracle(tmp_path, "embedding_lsh_pairs_md5")
+    assert len(ora) == 0
