@@ -835,6 +835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.embedding_lsh_buckets_md5,                  # oracled
         "embedding_lsh_pairs_md5":
             R.embedding_lsh_pairs_md5,                    # oracled
+        "embedding_lsh_pair_cosine_md5":
+            R.embedding_lsh_pair_cosine_md5,              # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -2341,6 +2343,8 @@ FROM parts GROUP BY bucket ORDER BY bucket""",
             _md5lsh.sql_embedding_lsh_buckets(),
         "embedding_lsh_pairs_md5":
             _md5lsh.sql_embedding_lsh_pairs(),
+        "embedding_lsh_pair_cosine_md5":
+            _md5lsh.sql_embedding_lsh_pair_cosine(),
         "active_hours_by_type": """
 WITH e AS (SELECT event_type, hour(ts) AS h FROM events
            WHERE event_type IS NOT NULL AND ts IS NOT NULL),

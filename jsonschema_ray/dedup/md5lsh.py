@@ -671,23 +671,20 @@ def lsh_md5_coef(dim: int, tables: int = LSH_MD5_TABLES,
     return C
 
 
-def lsh_bucket_rows(b: pa.Table, id_col: str,
+def _q_partial_rows(b: pa.Table, id_col: str,
                     vec_col: str) -> pa.Table:
-    """Per-row hyperplane bucket rows (vid, tbl, bucket) — the ONE
-    kernel behind the occupancy histogram AND the candidate pairs (a
-    shared kernel cannot drift from its two oracles). Null-id /
-    null-vector / EMPTY-vector rows are DROPPED; ragged lengths run
-    as per-length matmul groups (each vector's dot sums its OWN
-    components, the SQL join-on-j convention)."""
+    """Per-row quantized partials (vid, q: list<int64>) — q_j =
+    floor(x_j * 1e6) (float32 -> double widening, one double multiply,
+    floor: bit-identical IEEE on both engines). Null-id / null-vector
+    / EMPTY-vector rows are DROPPED. These partials ride the ONE
+    vid-hash shuffle ((dim+1)*8 B per row — the sig-partials shape of
+    the minhash family) so duplicate ids can merge exactly."""
     import pyarrow.compute as pc
-
-    from ..util import worker_cached
     t = b.filter(pc.and_(pc.is_valid(b.column(id_col)),
                          pc.is_valid(b.column(vec_col))))
     id_type = b.schema.field(id_col).type
     empty = pa.table({"vid": pa.array([], id_type),
-                      "tbl": pa.array([], pa.int64()),
-                      "bucket": pa.array([], pa.int64())})
+                      "q": pa.array([], pa.list_(pa.int64()))})
     if t.num_rows == 0:
         return empty
     emb = t.column(vec_col)
@@ -695,21 +692,115 @@ def lsh_bucket_rows(b: pa.Table, id_col: str,
         emb = emb.combine_chunks()
     lens = pc.list_value_length(emb) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    if not (lens > 0).any():
+    keep = lens > 0
+    if not keep.any():
         return empty
     flat = pc.list_flatten(emb) \
         .to_numpy(zero_copy_only=False).astype(np.float64)
-    q = np.floor(flat * 1000000.0).astype(np.int64)
+    qf = np.floor(flat * 1000000.0).astype(np.int64)
     offs = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
     ids = t.column(id_col)
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
+    from ..util import ranges_concat
+    kidx = np.flatnonzero(keep)
+    value_off = np.zeros(len(kidx) + 1, np.int64)
+    np.cumsum(lens[kidx], out=value_off[1:])
+    vals = qf[ranges_concat(offs[kidx], lens[kidx])]
+    qlist = pa.ListArray.from_arrays(
+        pa.array(value_off, pa.int32()).cast(pa.int32()),
+        pa.array(vals, pa.int64()))
+    return pa.table({"vid": ids.take(pa.array(kidx)), "q": qlist})
+
+
+def _merged_q(t: pa.Table, with_norm: bool = False) -> pa.Table:
+    """Per-vid MERGED quantized vector: duplicate ids sum their
+    components per position j (absent positions are 0) — EXACTLY the
+    SQL ``GROUP BY vid, j`` convention, and the family's
+    merge-before-signature discipline (minhash merges shingle sets;
+    here merge is vector addition, the linear form the bits CTE's
+    sum(c*q) already implies). Optionally appends nrm = sum q_j^2
+    (exact int64) for the cosine verify stage."""
+    vid = t.column("vid")
+    if isinstance(vid, pa.ChunkedArray):
+        vid = vid.combine_chunks()
+    qcol = t.column("q")
+    if isinstance(qcol, pa.ChunkedArray):
+        qcol = qcol.combine_chunks()
+    import pyarrow.compute as pc
+    lens = pc.list_value_length(qcol) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(qcol).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # group rows by vid (sort once; vids arrive co-partitioned)
+    key = vid.to_numpy(zero_copy_only=False)
+    order = np.argsort(key, kind="stable")
+    key_s, lens_s = key[order], lens[order]
+    first = np.ones(len(key_s), dtype=bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    ginv = np.cumsum(first) - 1
+    n_grp = int(ginv[-1]) + 1 if len(ginv) else 0
+    gmax = np.zeros(n_grp, np.int64)
+    np.maximum.at(gmax, ginv, lens_s)
+    width = int(gmax.max()) if n_grp else 0
+    M = np.zeros((n_grp, width), np.int64)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    from ..util import ranges_concat
+    row_of = np.repeat(ginv, lens_s)
+    col_of = ranges_concat(np.zeros(len(lens_s), np.int64), lens_s)
+    vals = flat[ranges_concat(offs[order], lens_s)]
+    np.add.at(M, (row_of, col_of), vals)
+    gl = gmax  # merged length = max member length (shorter pad 0)
+    value_off = np.zeros(n_grp + 1, np.int64)
+    np.cumsum(gl, out=value_off[1:])
+    mvals = M[np.repeat(np.arange(n_grp), gl),
+              ranges_concat(np.zeros(n_grp, np.int64), gl)] \
+        if n_grp else np.zeros(0, np.int64)
+    qlist = pa.ListArray.from_arrays(
+        pa.array(value_off, pa.int32()).cast(pa.int32()),
+        pa.array(mvals, pa.int64()))
+    cols = {"vid": vid.take(pa.array(order[first])), "q": qlist}
+    if with_norm:
+        # exact int64: |q| <= ~1e8 even after duplicate merge, so
+        # q^2 * dim stays far inside int64
+        cols["nrm"] = pa.array((M * M).sum(axis=1)
+                               if n_grp else np.zeros(0, np.int64),
+                               pa.int64())
+    return pa.table(cols)
+
+
+def _buckets_from_q(t: pa.Table) -> pa.Table:
+    """(vid, q merged) -> (vid, tbl, bucket): one int64 matmul per
+    length group against the worker-cached coefficient matrix; the
+    sign of each exact integer dot packs to the bucket id."""
+    import pyarrow.compute as pc
+
+    from ..util import worker_cached
+    vid = t.column("vid")
+    if isinstance(vid, pa.ChunkedArray):
+        vid = vid.combine_chunks()
+    qcol = t.column("q")
+    if isinstance(qcol, pa.ChunkedArray):
+        qcol = qcol.combine_chunks()
+    id_type = t.schema.field("vid").type
+    empty = pa.table({"vid": pa.array([], id_type),
+                      "tbl": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    lens = pc.list_value_length(qcol) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(qcol).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
     idx_parts, tbl_parts, bkt_parts = [], [], []
     w = (1 << np.arange(LSH_MD5_PLANES)).astype(np.int64)
     for d in np.unique(lens[lens > 0]):
         rows = np.flatnonzero(lens == d)
-        M = q[offs[rows][:, None] + np.arange(int(d))[None, :]]
+        M = flat[offs[rows][:, None] + np.arange(int(d))[None, :]]
         C = worker_cached(("lsh_md5_coef", int(d)),
                           lambda d=int(d): lsh_md5_coef(d))
         dots = M @ C.T              # exact int64, (n_d, tables*planes)
@@ -720,11 +811,36 @@ def lsh_bucket_rows(b: pa.Table, id_col: str,
             idx_parts.append(rows)
             tbl_parts.append(np.full(len(rows), tt, np.int64))
             bkt_parts.append(seg @ w)
+    if not idx_parts:
+        return empty
     take = np.concatenate(idx_parts)
     return pa.table({
-        "vid": ids.take(pa.array(take)),
+        "vid": vid.take(pa.array(take)),
         "tbl": pa.array(np.concatenate(tbl_parts)),
         "bucket": pa.array(np.concatenate(bkt_parts))})
+
+
+def lsh_bucket_dataset(ds, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       with_norm: bool = False):
+    """Dataset of (vid, tbl, bucket) — ONE row per surviving vec_id
+    per table (duplicate ids merged additively first). The shared
+    stage behind occupancy, pairs and pair-cosine. When
+    ``with_norm``, returns (buckets_ds, merged_ds) where merged_ds is
+    (vid, q, nrm) for the verify stage."""
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda b: _q_partial_rows(b, id_col, vec_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    merged = partitioned_group_apply(
+        partials, ["vid"],
+        lambda t: _merged_q(t, with_norm=with_norm),
+        batch_format="pyarrow")
+    buckets = merged.map_batches(
+        lambda b: _buckets_from_q(b.select(["vid", "q"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if with_norm:
+        return buckets, merged
+    return buckets
 
 
 def embedding_lsh_pairs_md5(ds, id_col: str = "vec_id",
@@ -738,10 +854,11 @@ def embedding_lsh_pairs_md5(ds, id_col: str = "vec_id",
     ``bucket_cap`` truncates pathological single-bucket blowups
     exactly like the production path; the oracle SFs sit far below
     it."""
-    rows = ds.select_columns([id_col, vec_col]).map_batches(
-        lambda b: lsh_bucket_rows(b, id_col, vec_col),
-        batch_format="pyarrow", zero_copy_batch=True)
+    rows = lsh_bucket_dataset(ds, id_col, vec_col)
+    return _pairs_from_buckets(rows, bucket_cap)
 
+
+def _pairs_from_buckets(rows, bucket_cap: int):
     def pairs_in_partition(t: pa.Table) -> pa.Table:
         from ..util import segment_pairs
         tblc = t.column("tbl").to_numpy(zero_copy_only=False)
@@ -752,7 +869,7 @@ def embedding_lsh_pairs_md5(ds, id_col: str = "vec_id",
         hi = np.maximum(a_idx, b_idx)
         ia = ids.take(pa.array(lo)).to_numpy(zero_copy_only=False)
         ib = ids.take(pa.array(hi)).to_numpy(zero_copy_only=False)
-        keep = ia != ib          # duplicate ids never self-pair
+        keep = ia != ib          # a vid never self-pairs
         ia, ib = ia[keep], ib[keep]
         sw = ia > ib
         return pa.table({
@@ -764,6 +881,118 @@ def embedding_lsh_pairs_md5(ds, id_col: str = "vec_id",
                                   pairs_in_partition,
                                   batch_format="pyarrow")
     return _pin_pairs_schema(distinct_pairs(raw, ["id_a", "id_b"]))
+
+
+def embedding_lsh_pair_cosine_md5(ds, id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  bucket_cap: int = 10000):
+    """Candidate pairs WITH their quantized cosine — the VERIFY stage
+    of embedding near-dup, value-oracled: cos_q = dot(q_a, q_b) /
+    (sqrt(nrm_a) * sqrt(nrm_b)) where dot and the norms are EXACT
+    int64 over the merged quantized vectors, so the only float ops are
+    one int->double cast per operand, two sqrts, one multiply, one
+    divide — each a single deterministic IEEE op identical on both
+    engines (the float-sum-order hazard that blocks oracling the
+    production cosine lives entirely in the SUM, which here is
+    integer). Ragged pairs dot over the overlapping prefix (the SQL
+    join-on-j convention); a zero-norm side answers SQL-NULL cos_q;
+    6dp duckdb_round. Scale: the pair table joins the merged-vector
+    table twice via the size-chosen equi_join (broadcast under the
+    cap, partitioned shuffle join above it) — nothing
+    corpus-proportional gathers until the final aggregate-sized pair
+    frame."""
+    from ..joins import equi_join
+    from ..util import duckdb_round
+    buckets, merged = lsh_bucket_dataset(ds, id_col, vec_col,
+                                         with_norm=True)
+    pairs = _pairs_from_buckets(buckets, bucket_cap)
+
+    def side(name):
+        # Acero joins reject list-typed payload columns — ship the
+        # merged vector as BINARY (the minhash sig-bytes precedent)
+        def conv(b: pa.Table, n=name) -> pa.Table:
+            import pyarrow.compute as pc
+            q = b.column("q")
+            if isinstance(q, pa.ChunkedArray):
+                q = q.combine_chunks()
+            lens = pc.list_value_length(q) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(q) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            off = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens * 8, out=off[1:])
+            qb = pa.Array.from_buffers(
+                pa.binary(), len(lens),
+                [None, pa.py_buffer(off.astype(np.int32).tobytes()),
+                 pa.py_buffer(flat.tobytes())])
+            return pa.table({f"id_{n}": b.column("vid"),
+                             f"qb_{n}": qb,
+                             f"nrm_{n}": b.column("nrm")})
+        return merged.map_batches(conv, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    j = equi_join(pairs, side("a"), on="id_a")
+    j = equi_join(j, side("b"), on="id_b")
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    out_empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "cos_q": pd.Series([], dtype="float64")})
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos_q": pa.array([], pa.float64())})
+        def unbin(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            bl = pc.binary_length(col) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            rows = col.to_pylist()     # pair-bounded batch, not corpus
+            flat = np.frombuffer(b"".join(rows), dtype=np.int64) \
+                if rows else np.zeros(0, np.int64)
+            return flat, bl // 8
+        fa, la = unbin(b.column("qb_a"))
+        fb, lb = unbin(b.column("qb_b"))
+        oa = np.zeros(len(la) + 1, np.int64)
+        np.cumsum(la, out=oa[1:])
+        ob = np.zeros(len(lb) + 1, np.int64)
+        np.cumsum(lb, out=ob[1:])
+        from ..util import ranges_concat
+        ov = np.minimum(la, lb)
+        rid = np.repeat(np.arange(len(la), dtype=np.int64), ov)
+        va = fa[ranges_concat(oa[:-1], ov)]
+        vb = fb[ranges_concat(ob[:-1], ov)]
+        dots = np.zeros(len(la), np.int64)
+        np.add.at(dots, rid, va * vb)
+        na = b.column("nrm_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nb = b.column("nrm_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = (na > 0) & (nb > 0)
+        cos = np.full(len(la), np.nan)
+        cos[ok] = dots[ok].astype(np.float64) / \
+            (np.sqrt(na[ok].astype(np.float64)) *
+             np.sqrt(nb[ok].astype(np.float64)))
+        cos_r = [duckdb_round(float(c), 6) if k else None
+                 for c, k in zip(cos, ok)]
+        return pa.table({"id_a": b.column("id_a").cast(pa.int64()),
+                         "id_b": b.column("id_b").cast(pa.int64()),
+                         "cos_q": pa.array(cos_r, pa.float64())})
+
+    res = j.map_batches(score, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    if res.empty or "id_a" not in res.columns:
+        return out_empty
+    out = res[["id_a", "id_b", "cos_q"]] \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["cos_q"] = out["cos_q"].astype("float64")
+    return out
 
 
 def _plane_values(tables: int = LSH_MD5_TABLES,
@@ -831,4 +1060,38 @@ SELECT DISTINCT CAST(x.vid AS BIGINT) AS id_a,
                 CAST(y.vid AS BIGINT) AS id_b
 FROM bits x JOIN bits y
   ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vid < y.vid
+ORDER BY id_a, id_b"""
+
+
+def sql_embedding_lsh_pair_cosine(table: str = "embeddings",
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding") -> str:
+    """DuckDB mirror of the pair-cosine verify stage: exact-integer
+    dot/norms over the per-(vid, j) MERGED components, one float
+    divide in the pinned operand order, 6dp."""
+    return f"""
+WITH {_sql_lsh_bits_cte(table, id_col, vec_col)},
+mcomps AS (SELECT vid, j, sum(q) AS q FROM comps GROUP BY vid, j),
+prs AS (
+  SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+  FROM bits x JOIN bits y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vid < y.vid),
+nrms AS (SELECT vid, sum(q * q) AS nrm FROM mcomps GROUP BY vid),
+pdots AS (
+  SELECT p.id_a, p.id_b, sum(ca.q * cb.q) AS dot
+  FROM prs p
+  JOIN mcomps ca ON ca.vid = p.id_a
+  JOIN mcomps cb ON cb.vid = p.id_b AND cb.j = ca.j
+  GROUP BY p.id_a, p.id_b)
+SELECT CAST(p.id_a AS BIGINT) AS id_a,
+       CAST(p.id_b AS BIGINT) AS id_b,
+       CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN NULL
+            ELSE round(CAST(d.dot AS DOUBLE) /
+                       (sqrt(CAST(na.nrm AS DOUBLE)) *
+                        sqrt(CAST(nb.nrm AS DOUBLE))), 6)
+       END AS cos_q
+FROM prs p
+JOIN nrms na ON na.vid = p.id_a
+JOIN nrms nb ON nb.vid = p.id_b
+LEFT JOIN pdots d ON d.id_a = p.id_a AND d.id_b = p.id_b
 ORDER BY id_a, id_b"""

@@ -14716,23 +14716,26 @@ def embedding_lsh_buckets_md5(sf_dir: str):
     convention); a zero vector answers bucket 0 in both tables (dot 0
     is NOT > 0 — the tie bit is 0); identical vectors share buckets in
     every table; a short vector sums its own components only;
-    all-invalid -> typed empty frame."""
-    from ..dedup.md5lsh import lsh_bucket_rows
+    DUPLICATE vec_ids merge ADDITIVELY into one vector before
+    bucketing (the SQL GROUP-BY-vid convention and the md5 family's
+    merge-before-signature discipline) so a vid counts ONCE per
+    table; all-invalid -> typed empty frame."""
+    from ..dedup.md5lsh import lsh_bucket_dataset
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = lsh_bucket_dataset(ds)   # one row per merged vid per table
 
     def partial(b: pa.Table) -> pa.Table:
-        rows = lsh_bucket_rows(b, "vec_id", "embedding")
-        if rows.num_rows == 0:
+        if b.num_rows == 0:
             return pa.table({"tbl": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64()),
                              "n_p": pa.array([], pa.int64())})
-        agg = rows.group_by(["tbl", "bucket"]).aggregate(
-            [([], "count_all")])
+        agg = b.select(["tbl", "bucket"]) \
+            .group_by(["tbl", "bucket"]).aggregate([([], "count_all")])
         return agg.rename_columns(["tbl", "bucket", "n_p"])
 
     agg = grouped_agg(
-        ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True, batch_size=131072),
+        rows.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=131072),
         ["tbl", "bucket"], {"n_p": "n_vecs"},
         count_alias="_c").to_pandas()
     out_empty = pd.DataFrame({
@@ -14765,3 +14768,23 @@ def embedding_lsh_pairs_md5(sf_dir: str):
     from ..dedup.md5lsh import embedding_lsh_pairs_md5 as _pairs
     return _pairs(_read(sf_dir, "embeddings",
                         columns=["vec_id", "embedding"]))
+
+
+def embedding_lsh_pair_cosine_md5(sf_dir: str):
+    """Candidate-pair quantized cosine (ORACLED): every md5
+    hyperplane-LSH candidate pair with cos_q = exact-int dot /
+    (sqrt(nrm_a) * sqrt(nrm_b)) over the merged quantized vectors —
+    the VERIFY stage of embedding near-dup pinned value-exactly
+    (buckets_md5 = assignment, pairs_md5 = generation, this = the
+    score a threshold would gate on; the three together oracle the
+    full candidate->verify pipeline the production rng path runs
+    rows-only). Only single deterministic float ops touch the value
+    (cast/sqrt/multiply/divide — the summation stays integer), so
+    both engines agree to the bit before the 6dp round. Zero-norm
+    sides answer SQL-NULL; ragged pairs dot the overlapping prefix;
+    duplicate ids merge additively first. Scale: two size-chosen
+    equi_joins attach merged vectors to the aggregate-sized pair
+    table; nothing corpus-proportional gathers."""
+    from ..dedup.md5lsh import embedding_lsh_pair_cosine_md5 as _pc
+    return _pc(_read(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"]))

@@ -178,3 +178,84 @@ def test_lsh_pairs_nulls_and_empty_schema(tmp_path):
         assert bt.schema.names == ["id_a", "id_b"]
     ora = _oracle(tmp_path, "embedding_lsh_pairs_md5")
     assert len(ora) == 0
+
+
+# ------------------------------ hyperplane LSH pair cosine (md5)
+
+def test_lsh_cosine_twins_exact_one(tmp_path):
+    """Identical vectors share every bucket and answer cos_q 1.0
+    EXACTLY (parallel integer vectors: dot == nrm == sqrt product —
+    no float fuzz survives the integer pipeline)."""
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_pair_cosine_md5)
+    _embeddings_ragged(tmp_path, [(1, [0.5, -0.25]), (2, [0.5, -0.25])])
+    out = embedding_lsh_pair_cosine_md5(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"id_a": 1, "id_b": 2, "cos_q": 1.0}]
+    ora = _oracle(tmp_path, "embedding_lsh_pair_cosine_md5")
+    assert ora.astype({"id_a": "int64", "id_b": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+
+def test_lsh_cosine_zero_norm_is_null(tmp_path):
+    """Two ZERO vectors both land in bucket 0 of every table (the tie
+    convention) and pair — but a zero-norm side has no direction, so
+    cos_q answers SQL-NULL on both engines."""
+    import math
+
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_pair_cosine_md5)
+    _embeddings_ragged(tmp_path, [(1, [0.0, 0.0]), (2, [0.0, 0.0])])
+    out = embedding_lsh_pair_cosine_md5(str(tmp_path))
+    assert len(out) == 1
+    assert (int(out["id_a"][0]), int(out["id_b"][0])) == (1, 2)
+    assert math.isnan(out["cos_q"][0])
+    ora = _oracle(tmp_path, "embedding_lsh_pair_cosine_md5")
+    assert len(ora) == 1 and pd.isna(ora["cos_q"][0])
+
+
+def test_lsh_duplicate_ids_merge_additively(tmp_path):
+    """THE merge convention pin: a vec_id appearing twice with
+    DIFFERENT vectors merges by integer vector ADDITION before
+    bucketing (the SQL GROUP-BY-vid convention) — the occupancy
+    counts the vid ONCE per table, in the bucket of the SUMMED
+    vector, on BOTH engines."""
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_buckets_md5)
+    _embeddings_ragged(tmp_path, [(7, [1.0, 0.0]), (7, [0.0, 1.0])])
+    out = embedding_lsh_buckets_md5(str(tmp_path))
+    # merged q = q([1,0]) + q([0,1]) = q([1.0, 1.0]) exactly
+    exp = sorted((t, b, 1) for t, b in _ref_bucket([1.0, 1.0]))
+    assert [tuple(r) for r in out.itertuples(index=False)] == exp
+    ora = _oracle(tmp_path, "embedding_lsh_buckets_md5")
+    assert [tuple(r) for r in ora.astype("int64")
+            .itertuples(index=False)] == exp
+
+
+def test_lsh_cosine_ragged_overlap_prefix(tmp_path):
+    """A ragged pair dots the OVERLAPPING prefix only while each norm
+    uses the vector's own full components — pinned by exact value
+    against an independently computed expectation AND the SQL
+    join-on-j oracle."""
+    import math
+
+    from jsonschema_ray.pipelines.relational import (
+        embedding_lsh_pair_cosine_md5)
+    from jsonschema_ray.util import duckdb_round
+    va, vb = [0.5, -0.25], [0.5, -0.25, 0.125]
+    _embeddings_ragged(tmp_path, [(1, va), (2, vb)])
+    ba, bb = dict(_ref_bucket(va)), dict(_ref_bucket(vb))
+    out = embedding_lsh_pair_cosine_md5(str(tmp_path))
+    ora = _oracle(tmp_path, "embedding_lsh_pair_cosine_md5")
+    if any(ba[t] == bb[t] for t in ba):
+        qa = [500000, -250000]
+        qb = [500000, -250000, 125000]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        exp = duckdb_round(dot / (math.sqrt(sum(x * x for x in qa)) *
+                                  math.sqrt(sum(x * x for x in qb))), 6)
+        assert out.to_dict("records") == [
+            {"id_a": 1, "id_b": 2, "cos_q": exp}]
+        assert ora.astype({"id_a": "int64", "id_b": "int64"}) \
+            .to_dict("records") == out.to_dict("records")
+    else:
+        assert len(out) == 0 and len(ora) == 0
