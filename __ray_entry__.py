@@ -837,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.embedding_lsh_pairs_md5,                    # oracled
         "embedding_lsh_pair_cosine_md5":
             R.embedding_lsh_pair_cosine_md5,              # oracled
+        "psi_daily_drift_events":
+            R.psi_daily_drift_events,                     # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -2345,6 +2347,35 @@ FROM parts GROUP BY bucket ORDER BY bucket""",
             _md5lsh.sql_embedding_lsh_pairs(),
         "embedding_lsh_pair_cosine_md5":
             _md5lsh.sql_embedding_lsh_pair_cosine(),
+        "psi_daily_drift_events": """
+WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(floor(value / 25.0) AS BIGINT) AS bin
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND isfinite(value)),
+c AS (SELECT day, bin, count(*) AS n FROM e GROUP BY day, bin),
+t AS (SELECT day, CAST(count(*) AS DOUBLE) AS tot
+      FROM e GROUP BY day),
+dd AS (SELECT day, lag(day) OVER (ORDER BY day) AS prev
+       FROM (SELECT DISTINCT day FROM e)),
+pb AS (SELECT d.prev, d.day, b.bin
+       FROM dd d JOIN c b ON b.day IN (d.day, d.prev)
+       WHERE d.prev IS NOT NULL
+       GROUP BY 1, 2, 3)
+SELECT p.day, p.bin,
+       CAST(coalesce(cp.n, 0) AS BIGINT) AS n_prev,
+       CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur,
+       round((greatest(coalesce(cp.n, 0) / tp.tot, 1e-6)
+              - greatest(coalesce(cc.n, 0) / tc.tot, 1e-6))
+             * ln(greatest(coalesce(cp.n, 0) / tp.tot, 1e-6)
+                  / greatest(coalesce(cc.n, 0) / tc.tot, 1e-6)),
+             6) AS psi_term
+FROM pb p
+LEFT JOIN c cp ON cp.day = p.prev AND cp.bin = p.bin
+LEFT JOIN c cc ON cc.day = p.day AND cc.bin = p.bin
+JOIN t tp ON tp.day = p.prev
+JOIN t tc ON tc.day = p.day
+ORDER BY p.day, p.bin""",
         "active_hours_by_type": """
 WITH e AS (SELECT event_type, hour(ts) AS h FROM events
            WHERE event_type IS NOT NULL AND ts IS NOT NULL),

@@ -430,6 +430,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: R.embedding_lsh_pairs_md5(sf_dir).count())
     timed("embedding_lsh_pair_cosine_md5",
           lambda: len(R.embedding_lsh_pair_cosine_md5(sf_dir)))
+    timed("psi_daily_drift_events",
+          lambda: len(R.psi_daily_drift_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -14788,3 +14788,83 @@ def embedding_lsh_pair_cosine_md5(sf_dir: str):
     from ..dedup.md5lsh import embedding_lsh_pair_cosine_md5 as _pc
     return _pc(_read(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"]))
+
+
+def psi_daily_drift_events(sf_dir: str, bin_width: float = 25.0,
+                           eps: float = 1e-6):
+    """Day-over-day PSI drift TIMELINE (ORACLED): for every pair of
+    consecutive OBSERVED days, the per-bin Population Stability Index
+    terms between yesterday's and today's value distributions over
+    fixed floor(value/25) bins — the drift monitor as a time series
+    (psi_events answers ONE A/B split; a production validation
+    pipeline watches drift day over day and alarms on the first day
+    whose Σterm jumps; north rule: 'distribution drift uses KS and PSI
+    tests'). Per-BIN terms ship instead of per-day totals so the float
+    comparison never depends on summation order (the psi_events
+    discipline); the consumer sums a day's rows for the alarm. Exactly
+    the psi_exact arithmetic: count/total double divisions, eps-clamp
+    1e-6, one libm log, 6dp — bit-identical to the SQL conditional
+    form. One (day, bin) grouped count distributes the scan
+    (calendar × bins bounded); the driver folds consecutive observed
+    days — lag over OBSERVED days, so a calendar gap pairs across it
+    (pinned). Null ts / null / NaN / ±inf values are invisible; a
+    corpus with fewer than two observed days answers the typed empty
+    frame; a bin absent on one side clamps to eps (the
+    large-but-finite standard smoothing, pinned)."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("ts").is_valid(),
+                             b.column("value").is_valid()))
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False)
+        ok = np.isfinite(v)
+        t = t.filter(pa.array(ok))
+        v = v[ok]
+        q = np.floor(v / bin_width)
+        if (np.abs(q) >= 2.0 ** 62).any():
+            raise ValueError(
+                "psi_daily_drift_events: value / bin_width exceeds "
+                "the int64 bin range — choose a wider bin_width")
+        return pa.table({
+            "day": pc.strftime(t.column("ts"), "%Y-%m-%d"),
+            "bin": pa.array(q.astype(np.int64))})
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["day", "bin"], {}, count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "day": pd.Series([], dtype="object"),
+        "bin": pd.Series([], dtype="int64"),
+        "n_prev": pd.Series([], dtype="int64"),
+        "n_cur": pd.Series([], dtype="int64"),
+        "psi_term": pd.Series([], dtype="float64")})
+    if agg.empty or "day" not in agg.columns:
+        return out_empty
+    days = sorted(agg["day"].unique())
+    if len(days) < 2:
+        return out_empty
+    tot = agg.groupby("day")["n"].sum().astype("float64")
+    by_day = {d: dict(zip(g["bin"].astype(np.int64), g["n"]))
+              for d, g in agg.groupby("day")}
+    rows = []
+    for prev, day in zip(days, days[1:]):
+        cp_d, cc_d = by_day[prev], by_day[day]
+        bins = sorted(set(cp_d) | set(cc_d))
+        tp, tc = float(tot[prev]), float(tot[day])
+        for b in bins:
+            np_, nc = int(cp_d.get(b, 0)), int(cc_d.get(b, 0))
+            rp = max(np_ / tp, eps)
+            rc = max(nc / tc, eps)
+            rows.append({
+                "day": day, "bin": int(b), "n_prev": np_, "n_cur": nc,
+                "psi_term": float(np.round((rp - rc) * np.log(rp / rc),
+                                           6))})
+    out = pd.DataFrame(rows).sort_values(["day", "bin"]) \
+        .reset_index(drop=True)
+    out["bin"] = out["bin"].astype("int64")
+    out["n_prev"] = out["n_prev"].astype("int64")
+    out["n_cur"] = out["n_cur"].astype("int64")
+    out["psi_term"] = out["psi_term"].astype("float64")
+    return out

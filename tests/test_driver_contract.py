@@ -181,7 +181,7 @@ def oracle_pairs():
     "band_occupancy_documents", "top_paths_events",
     "spend_quantiles_by_segment", "active_hours_by_type",
     "embedding_lsh_buckets_md5", "embedding_lsh_pairs_md5",
-    "embedding_lsh_pair_cosine_md5",
+    "embedding_lsh_pair_cosine_md5", "psi_daily_drift_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

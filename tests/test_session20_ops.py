@@ -259,3 +259,86 @@ def test_lsh_cosine_ragged_overlap_prefix(tmp_path):
             .to_dict("records") == out.to_dict("records")
     else:
         assert len(out) == 0 and len(ora) == 0
+
+
+# ------------------------------------ day-over-day PSI drift
+
+def _events_ts_value(tmp_path, rows):
+    """rows: (ts_us|None, value|None) — event_id/user_id/type filled."""
+    n = len(rows)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["e"] * n, pa.string()),
+        "ts": pa.array([r[0] for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[1] for r in rows], pa.float64())}))
+
+
+def test_psi_daily_hand_terms(tmp_path):
+    """Two days with known bins: day1 [0,0,30] -> {0:2, 1:1} of 3;
+    day2 [0,30,30,60] -> {0:1, 1:2, 2:1} of 4. Three bins answer the
+    exact psi_exact arithmetic — incl. bin 2's ABSENT-baseline clamp
+    (p_prev = eps, the large-but-finite smoothing)."""
+    import math
+
+    from jsonschema_ray.pipelines.relational import (
+        psi_daily_drift_events)
+    D1 = 1_704_067_200_000_000          # 2024-01-01 00:00:00 UTC in µs
+    D2 = D1 + 86_400_000_000
+    _events_ts_value(tmp_path, [(D1, 0.0), (D1, 0.0), (D1, 30.0),
+                                (D2, 0.0), (D2, 30.0), (D2, 30.0),
+                                (D2, 60.0)])
+    out = psi_daily_drift_events(str(tmp_path))
+
+    def term(np_, tp, nc, tc):
+        rp, rc = max(np_ / tp, 1e-6), max(nc / tc, 1e-6)
+        return float(np.round((rp - rc) * math.log(rp / rc), 6))
+
+    assert out.to_dict("records") == [
+        {"day": "2024-01-02", "bin": 0, "n_prev": 2, "n_cur": 1,
+         "psi_term": term(2, 3, 1, 4)},
+        {"day": "2024-01-02", "bin": 1, "n_prev": 1, "n_cur": 2,
+         "psi_term": term(1, 3, 2, 4)},
+        {"day": "2024-01-02", "bin": 2, "n_prev": 0, "n_cur": 1,
+         "psi_term": term(0, 3, 1, 4)}]
+    exp = _oracle(tmp_path, "psi_daily_drift_events")
+    assert exp.astype({"bin": "int64", "n_prev": "int64",
+                       "n_cur": "int64"}).to_dict("records") == \
+        out.to_dict("records")
+
+
+def test_psi_daily_gap_pairs_observed_days(tmp_path):
+    """A calendar GAP pairs across it: days 01 and 05 with nothing
+    between form ONE pair (lag over OBSERVED days) — and null-ts /
+    null / NaN / inf values are invisible."""
+    from jsonschema_ray.pipelines.relational import (
+        psi_daily_drift_events)
+    D1 = 1_704_067_200_000_000
+    D5 = D1 + 4 * 86_400_000_000
+    _events_ts_value(tmp_path, [(D1, 10.0), (D5, 10.0),
+                                (None, 10.0), (D5, None),
+                                (D5, float("nan")),
+                                (D5, float("inf"))])
+    out = psi_daily_drift_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "2024-01-05", "bin": 0, "n_prev": 1, "n_cur": 1,
+         "psi_term": 0.0}]
+    exp = _oracle(tmp_path, "psi_daily_drift_events")
+    assert exp.astype({"bin": "int64", "n_prev": "int64",
+                       "n_cur": "int64"}).to_dict("records") == \
+        out.to_dict("records")
+
+
+def test_psi_daily_single_day_empty(tmp_path):
+    """Fewer than two observed days -> the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        psi_daily_drift_events)
+    D1 = 1_704_067_200_000_000
+    _events_ts_value(tmp_path, [(D1, 10.0), (D1, 40.0)])
+    out = psi_daily_drift_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["day", "bin", "n_prev", "n_cur",
+                                 "psi_term"]
+    exp = _oracle(tmp_path, "psi_daily_drift_events")
+    assert len(exp) == 0
