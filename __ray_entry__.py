@@ -839,6 +839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.embedding_lsh_pair_cosine_md5,              # oracled
         "psi_daily_drift_events":
             R.psi_daily_drift_events,                     # oracled
+        "violation_profile_tables":
+            R.violation_profile_tables,                   # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -891,7 +893,7 @@ SELECT b.doc_id, b.lang,
     ELSE 'es'
   END AS lang_pred
 FROM base b LEFT JOIN scores s USING (doc_id)"""
-    return {
+    d = {
         "minhash_md5_signatures_documents": _md5lsh.sql_signatures(),
         "minhash_md5_pairs_documents": _md5lsh.sql_band_pairs(),
         "simhash_md5_documents": _md5lsh.sql_simhash(),
@@ -4416,3 +4418,17 @@ SELECT s.doc_id, s.n_tokens, s.split, p.pack_id
 FROM s LEFT JOIN p USING (doc_id) ORDER BY s.doc_id
 """,
     }
+
+    # violation_profile_tables: COMPOSED from the four validate_*
+    # oracle strings above (same dict entries wrapped in a count —
+    # profile and row oracles cannot drift)
+    d["violation_profile_tables"] = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, keyword, keyword_location, "
+        f"CAST(count(*) AS BIGINT) AS n_violations "
+        f"FROM ({d[q]}) GROUP BY 1, 2, 3"
+        for t, q in (("lineitem", "validate_lineitem"),
+                     ("orders", "validate_orders"),
+                     ("documents", "validate_documents"),
+                     ("events", "validate_events_conditional"))
+    ) + " ORDER BY tbl, keyword, keyword_location"
+    return d

@@ -432,6 +432,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.embedding_lsh_pair_cosine_md5(sf_dir)))
     timed("psi_daily_drift_events",
           lambda: len(R.psi_daily_drift_events(sf_dir)))
+    timed("violation_profile_tables",
+          lambda: len(R.violation_profile_tables(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

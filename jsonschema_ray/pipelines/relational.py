@@ -14868,3 +14868,57 @@ def psi_daily_drift_events(sf_dir: str, bin_width: float = 25.0,
     out["n_cur"] = out["n_cur"].astype("int64")
     out["psi_term"] = out["psi_term"].astype("float64")
     return out
+
+
+def violation_profile_tables(sf_dir: str):
+    """Cross-table constraint-violation PROFILE (ORACLED): per (table,
+    keyword, keyword_location), how many rows violate — the data-quality
+    dashboard readout over the whole warehouse ('which constraints fire,
+    where, how often'), the reporting face of the validation engine the
+    north star centers on (the validate_* queries ship the violation
+    ROWS; an operator triages from this profile first). Reference
+    parity: the per-keyword verdict accounting of pkg/jsonschema's
+    output units, aggregated. Runs the SAME four streaming
+    validate_dataset pipelines as validate_lineitem / validate_orders /
+    validate_documents / validate_events_conditional (vectorized
+    rule-compiled predicates, violations-only leave the scan), then ONE
+    tiny grouped count per table — the shuffle is bounded by the RULE
+    SET size (keywords x locations), never by corpus or violation
+    volume; the driver concatenates four aggregate-sized frames. The
+    SQL oracle is COMPOSED from the four validate_* oracle strings
+    (same dict entries, wrapped in a count — the two reports cannot
+    drift). An all-clean corpus answers the typed empty frame; a table
+    whose parquet file is absent is skipped (profile over what
+    exists)."""
+    import os as _os
+    parts = []
+    for tbl, fn in (("lineitem", validate_lineitem),
+                    ("orders", validate_orders),
+                    ("documents", validate_documents),
+                    ("events", validate_events_conditional)):
+        if not _os.path.exists(f"{sf_dir}/{tbl}.parquet"):
+            continue
+        v = fn(sf_dir)
+        agg = grouped_agg(
+            v.map_batches(
+                lambda b: b.select(["keyword", "keyword_location"]),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["keyword", "keyword_location"], {},
+            count_alias="n_violations").to_pandas()
+        if agg.empty or "keyword" not in agg.columns:
+            continue
+        agg.insert(0, "tbl", tbl)
+        parts.append(agg[["tbl", "keyword", "keyword_location",
+                          "n_violations"]])
+    out_empty = pd.DataFrame({
+        "tbl": pd.Series([], dtype="object"),
+        "keyword": pd.Series([], dtype="object"),
+        "keyword_location": pd.Series([], dtype="object"),
+        "n_violations": pd.Series([], dtype="int64")})
+    if not parts:
+        return out_empty
+    out = pd.concat(parts, ignore_index=True) \
+        .sort_values(["tbl", "keyword", "keyword_location"]) \
+        .reset_index(drop=True)
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out

@@ -342,3 +342,82 @@ def test_psi_daily_single_day_empty(tmp_path):
                                  "psi_term"]
     exp = _oracle(tmp_path, "psi_daily_drift_events")
     assert len(exp) == 0
+
+
+# ------------------------------- cross-table violation profile
+
+def _four_tables(tmp_path, li_qty=(5, 20), ord_price=(100.0,),
+                 doc_nchars=(100,), ev=(("error", 10.0),)):
+    """Minimal four-table warehouse; rule sets per relational.py."""
+    n = len(li_qty)
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array(range(1, n + 1), pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([float(q) for q in li_qty], pa.float64()),
+        "l_returnflag": pa.array(["A"] * n, pa.string())}))
+    m = len(ord_price)
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(range(1, m + 1), pa.int64()),
+        "o_totalprice": pa.array(list(ord_price), pa.float64()),
+        "o_orderstatus": pa.array(["O"] * m, pa.string()),
+        "o_orderpriority": pa.array(["1-URGENT"] * m, pa.string())}))
+    k = len(doc_nchars)
+    _write(tmp_path, "documents", pa.table({
+        "doc_id": pa.array(range(1, k + 1), pa.int64()),
+        "n_chars": pa.array([int(c) for c in doc_nchars], pa.int64()),
+        "lang": pa.array(["en"] * k, pa.string()),
+        "text": pa.array(["x" * int(c) for c in doc_nchars],
+                         pa.string())}))
+    e = len(ev)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, e + 1), pa.int64()),
+        "event_type": pa.array([t for t, _ in ev], pa.string()),
+        "value": pa.array([v for _, v in ev], pa.float64())}))
+
+
+def test_violation_profile_counts_and_clean_tables(tmp_path):
+    """One lineitem maximum violation (qty 40) and one conditional
+    events violation (error with value 60) — tables whose rules all
+    pass contribute NO rows (orders/documents clean here); counts are
+    exact and the composed SQL oracle agrees."""
+    from jsonschema_ray.pipelines.relational import (
+        violation_profile_tables)
+    _four_tables(tmp_path, li_qty=(5, 40, 40),
+                 ev=(("error", 60.0), ("click", 999.0)))
+    out = violation_profile_tables(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"tbl": "events", "keyword": "maximum",
+         "keyword_location": "/then/properties/value/maximum",
+         "n_violations": 1},
+        {"tbl": "lineitem", "keyword": "maximum",
+         "keyword_location": "/properties/l_quantity/maximum",
+         "n_violations": 2}]
+    exp = _oracle(tmp_path, "violation_profile_tables")
+    assert exp.astype({"n_violations": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+
+def test_violation_profile_all_clean_and_missing_table(tmp_path):
+    """An all-clean warehouse answers the typed empty frame (both
+    engines); a MISSING table file is skipped on the Ray side (profile
+    over what exists)."""
+    import os as _os
+
+    from jsonschema_ray.pipelines.relational import (
+        violation_profile_tables)
+    _four_tables(tmp_path)
+    out = violation_profile_tables(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["tbl", "keyword", "keyword_location",
+                                 "n_violations"]
+    exp = _oracle(tmp_path, "violation_profile_tables")
+    assert len(exp) == 0
+
+    _four_tables(tmp_path, li_qty=(40,))
+    _os.remove(_os.path.join(str(tmp_path), "orders.parquet"))
+    _os.remove(_os.path.join(str(tmp_path), "documents.parquet"))
+    out = violation_profile_tables(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"tbl": "lineitem", "keyword": "maximum",
+         "keyword_location": "/properties/l_quantity/maximum",
+         "n_violations": 1}]
