@@ -841,6 +841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.psi_daily_drift_events,                     # oracled
         "violation_profile_tables":
             R.violation_profile_tables,                   # oracled
+        "late_events_by_day":
+            R.late_events_by_day,                         # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -2349,6 +2351,20 @@ FROM parts GROUP BY bucket ORDER BY bucket""",
             _md5lsh.sql_embedding_lsh_pairs(),
         "embedding_lsh_pair_cosine_md5":
             _md5lsh.sql_embedding_lsh_pair_cosine(),
+        "late_events_by_day": """
+WITH e AS (SELECT event_id, user_id, ts FROM events
+           WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+w AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+             ts < max(ts) OVER (PARTITION BY user_id
+                                ORDER BY event_id, ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS late
+      FROM e)
+SELECT day, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS late_share
+FROM w GROUP BY day ORDER BY day""",
         "psi_daily_drift_events": """
 WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
                   CAST(floor(value / 25.0) AS BIGINT) AS bin

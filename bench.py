@@ -434,6 +434,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.psi_daily_drift_events(sf_dir)))
     timed("violation_profile_tables",
           lambda: len(R.violation_profile_tables(sf_dir)))
+    timed("late_events_by_day",
+          lambda: len(R.late_events_by_day(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

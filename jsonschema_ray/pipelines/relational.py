@@ -14922,3 +14922,99 @@ def violation_profile_tables(sf_dir: str):
         .reset_index(drop=True)
     out["n_violations"] = out["n_violations"].astype("int64")
     return out
+
+
+def late_events_by_day(sf_dir: str):
+    """Out-of-order arrival accounting (ORACLED): per event-time day —
+    total events, how many arrived LATE (event-time strictly below the
+    running event-time maximum of the user's earlier arrivals, arrival
+    order = event_id asc, the repo's arrival proxy), and the late
+    share — the watermark-health readout a streaming validation
+    pipeline alarms on (rising late share means the ingest is
+    reordering and every window/sessionization result downstream is
+    suspect; north-star stage: per-partition verdict accounting).
+    Plan: ONE user-hash partition pass (the sessionization machinery)
+    lexsorts each user's timeline by (event_id), computes the
+    exclusive running max via np.maximum.accumulate over int64 µs, and
+    emits per-day partials — only (day, n, n_late) rows bounded by
+    calendar x partitions ever leave; a tiny grouped sum and a
+    driver-side share finish. Pins: a user's FIRST arrival is never
+    late; an arrival EQUAL to the running max is not late (strict <);
+    lateness is per-user (an interleaved slow user doesn't poison a
+    fast one); NULL user_id is one real partition (the median_gap
+    convention); null ts / null event_id rows invisible (no arrival
+    position); all-invalid -> typed empty frame. late_share = two
+    exact ints, ONE divide in SQL operand order, 6dp."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("ts").is_valid(),
+                             b.column("event_id").is_valid()))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "tsv": pc.cast(t.column("ts"), pa.int64()),
+            "day": pc.strftime(t.column("ts"), "%Y-%m-%d")})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "n_late": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        tsv = t.column("tsv").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        # nulls sort as one group (the NULL-user partition); ts breaks
+        # event_id ties so duplicate arrival positions are
+        # order-invariant on both engines (ORDER BY event_id, ts)
+        ukey = np.where(pd.isna(u), np.float64(np.inf),
+                        u.astype(np.float64))
+        order = np.lexsort((tsv, eid, ukey))
+        ukey_s, tsv_s = ukey[order], tsv[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = ukey_s[1:] != ukey_s[:-1]
+        # PER-USER exclusive running max (accumulate must reset at the
+        # user boundary — a global cummax would leak the previous
+        # user's clock into this one): C-impl groupby cummax, shifted
+        # one arrival back; the first arrival has no predecessor
+        ginv = np.cumsum(first) - 1
+        cmax = pd.Series(tsv_s).groupby(ginv).cummax().to_numpy()
+        prev = np.empty_like(cmax)
+        prev[1:] = cmax[:-1]
+        prev[0] = np.iinfo(np.int64).min
+        late = (tsv_s < prev) & ~first
+        tb = pa.table({"day": pa.array(day[order]),
+                       "late": pa.array(late.astype(np.int64))})
+        agg = tb.group_by(["day"]).aggregate(
+            [("late", "sum"), ([], "count_all")])
+        return agg.rename_columns(["day", "n_late", "n"]) \
+            .select(["day", "n", "n_late"])
+
+    agg = grouped_agg(
+        partitioned_group_apply(ds.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=131072), ["user_id"], kernel,
+            batch_format="pyarrow"),
+        ["day"], {"n": "n", "n_late": "n_late"},
+        count_alias="_c").to_pandas()
+    out_empty = pd.DataFrame({
+        "day": pd.Series([], dtype="object"),
+        "n": pd.Series([], dtype="int64"),
+        "n_late": pd.Series([], dtype="int64"),
+        "late_share": pd.Series([], dtype="float64")})
+    if agg.empty or "day" not in agg.columns:
+        return out_empty
+    out = agg[["day", "n", "n_late"]].sort_values("day") \
+        .reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    out["n_late"] = out["n_late"].astype("int64")
+    out["late_share"] = [
+        float(duckdb_round(float(l) / float(n), 6))
+        for l, n in zip(out["n_late"], out["n"])]
+    out["late_share"] = out["late_share"].astype("float64")
+    return out

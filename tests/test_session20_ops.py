@@ -421,3 +421,77 @@ def test_violation_profile_all_clean_and_missing_table(tmp_path):
         {"tbl": "lineitem", "keyword": "maximum",
          "keyword_location": "/properties/l_quantity/maximum",
          "n_violations": 1}]
+
+
+# --------------------------------- out-of-order arrival accounting
+
+def _events_arrival(tmp_path, rows):
+    """rows: (event_id|None, user_id|None, ts_us|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["e"] * len(rows), pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([0.0] * len(rows), pa.float64())}))
+
+
+def test_late_events_hand_timeline(tmp_path):
+    """User 1 arrives (eid order) at ts 10, 30, 20, 30: the 20 is LATE
+    (below the running max 30), the second 30 is NOT (equal, strict <),
+    the first arrival never is. User 2's interleaved slow clock (5, 4)
+    contributes its own late row — lateness is per-user."""
+    from jsonschema_ray.pipelines.relational import late_events_by_day
+    D = 1_704_067_200_000_000
+    _events_arrival(tmp_path, [
+        (1, 1, D + 10), (2, 1, D + 30), (3, 1, D + 20), (4, 1, D + 30),
+        (5, 2, D + 5), (6, 2, D + 4)])
+    out = late_events_by_day(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "2024-01-01", "n": 6, "n_late": 2,
+         "late_share": 0.333333}]
+    exp = _oracle(tmp_path, "late_events_by_day")
+    assert exp.astype({"n": "int64", "n_late": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+
+def test_late_events_null_user_partition_and_invisible(tmp_path):
+    """NULL user_id is ONE real partition (its own timeline can be
+    late); null-ts / null-event_id rows have no arrival position and
+    are invisible; an all-invalid corpus answers the typed empty
+    frame."""
+    from jsonschema_ray.pipelines.relational import late_events_by_day
+    D = 1_704_067_200_000_000
+    _events_arrival(tmp_path, [
+        (1, None, D + 20), (2, None, D + 10),      # null-user late
+        (3, 7, None), (None, 7, D + 5)])           # invisible rows
+    out = late_events_by_day(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "2024-01-01", "n": 2, "n_late": 1, "late_share": 0.5}]
+    exp = _oracle(tmp_path, "late_events_by_day")
+    assert exp.astype({"n": "int64", "n_late": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+    _events_arrival(tmp_path, [(1, 1, None), (None, 2, D)])
+    out = late_events_by_day(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["day", "n", "n_late", "late_share"]
+
+
+def test_late_events_day_attribution_crosses_midnight(tmp_path):
+    """Lateness is judged on the USER timeline but attributed to the
+    late event's OWN event-time day: a day-2 arrival whose clock reads
+    day 1 lands in day 1's row (the day the data claims, where the
+    downstream window would mis-place it)."""
+    from jsonschema_ray.pipelines.relational import late_events_by_day
+    D = 1_704_067_200_000_000
+    DAY = 86_400_000_000
+    _events_arrival(tmp_path, [
+        (1, 1, D + DAY + 10),          # day 2 arrival first
+        (2, 1, D + 100)])              # then a day-1-clocked LATE one
+    out = late_events_by_day(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "2024-01-01", "n": 1, "n_late": 1, "late_share": 1.0},
+        {"day": "2024-01-02", "n": 1, "n_late": 0, "late_share": 0.0}]
+    exp = _oracle(tmp_path, "late_events_by_day")
+    assert exp.astype({"n": "int64", "n_late": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
