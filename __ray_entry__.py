@@ -843,6 +843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.violation_profile_tables,                   # oracled
         "late_events_by_day":
             R.late_events_by_day,                         # oracled
+        "value_quantiles_by_day":
+            R.value_quantiles_by_day,                     # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -2351,6 +2353,14 @@ FROM parts GROUP BY bucket ORDER BY bucket""",
             _md5lsh.sql_embedding_lsh_pairs(),
         "embedding_lsh_pair_cosine_md5":
             _md5lsh.sql_embedding_lsh_pair_cosine(),
+        "value_quantiles_by_day": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)
+GROUP BY day ORDER BY day""",
         "late_events_by_day": """
 WITH e AS (SELECT event_id, user_id, ts FROM events
            WHERE ts IS NOT NULL AND event_id IS NOT NULL),

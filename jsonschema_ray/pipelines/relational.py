@@ -15018,3 +15018,87 @@ def late_events_by_day(sf_dir: str):
         for l, n in zip(out["n_late"], out["n"])]
     out["late_share"] = out["late_share"].astype("float64")
     return out
+
+
+def _f64_sortkey(v: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 key for finite float64: flip all bits of
+    negatives, set the sign bit of non-negatives — int64 key order ==
+    IEEE numeric order, bit-exactly invertible (so the disc-quantile
+    machinery's int64 contract extends to float metrics with ZERO
+    value loss)."""
+    TOP = np.uint64(1) << np.uint64(63)
+    b = v.view(np.uint64)
+    neg = (b >> np.uint64(63)).astype(bool)
+    # SIGNED-monotone form: positives keep their bits (positive keys),
+    # negatives map to ~b ^ TOP (top bit set -> negative keys) — key
+    # order under signed int64 comparison == IEEE numeric order
+    out = np.where(neg, ~b ^ TOP, b)
+    return out.astype(np.uint64).view(np.int64)
+
+
+def _f64_from_sortkey(k: np.ndarray) -> np.ndarray:
+    TOP = np.uint64(1) << np.uint64(63)
+    kb = k.view(np.uint64)
+    neg = (kb >> np.uint64(63)).astype(bool)
+    out = np.where(neg, ~(kb ^ TOP), kb)
+    return out.astype(np.uint64).view(np.float64)
+
+
+def value_quantiles_by_day(sf_dir: str):
+    """Daily EXACT value quantiles (ORACLED): per event-time day, the
+    finite-value count and the exact p50/p90 of `value` (DuckDB
+    quantile_disc — an order statistic, so the answer is always a
+    value the corpus actually contains) — the percentile drift
+    timeline beside psi_daily_drift_events' bin terms (PSI says THAT
+    the distribution moved; the quantile track says WHERE the median
+    and tail sit each day). Fourth consumer of
+    _grouped_disc_quantiles, extending its int64 contract to FLOAT
+    metrics with zero value loss via an order-preserving IEEE
+    float64<->int64 sort key (flip-negatives/set-sign encoding:
+    int64 key order == numeric order, bit-exactly invertible) —
+    nothing row-level reaches the driver beyond 2 rows per day.
+    Null-ts / null / NaN / ±inf values are invisible (the psi
+    convention); equal values make the uniquifier irrelevant to the
+    answer; a one-event day answers p50 == p90 == the value;
+    all-invalid -> typed empty frame."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("ts").is_valid(),
+                             b.column("value").is_valid()))
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False)
+        ok = np.isfinite(v)
+        t = t.filter(pa.array(ok))
+        v = v[ok]
+        eid = t.column("event_id")
+        uid = pc.fill_null(pc.cast(eid, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "g": pc.strftime(t.column("ts"), "%Y-%m-%d"),
+            "v": pa.array(_f64_sortkey(v)),
+            "uid": pa.array(uid)})
+
+    stream = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            batch_size=131072).materialize()
+    out_empty = pd.DataFrame({
+        "day": pd.Series([], dtype="object"),
+        "n": pd.Series([], dtype="int64"),
+        "p50": pd.Series([], dtype="float64"),
+        "p90": pd.Series([], dtype="float64")})
+    piv = _grouped_disc_quantiles(stream)
+    if piv is None:
+        return out_empty
+    out = pd.DataFrame({
+        "day": piv["g"].astype(object),
+        "n": piv["n"].astype("int64"),
+        "p50": _f64_from_sortkey(piv["p50"].to_numpy()
+                                 .astype(np.int64)),
+        "p90": _f64_from_sortkey(piv["p90"].to_numpy()
+                                 .astype(np.int64))}) \
+        .sort_values("day").reset_index(drop=True)
+    out["p50"] = out["p50"].astype("float64")
+    out["p90"] = out["p90"].astype("float64")
+    return out

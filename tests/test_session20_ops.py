@@ -495,3 +495,59 @@ def test_late_events_day_attribution_crosses_midnight(tmp_path):
     exp = _oracle(tmp_path, "late_events_by_day")
     assert exp.astype({"n": "int64", "n_late": "int64"}) \
         .to_dict("records") == out.to_dict("records")
+
+
+# ----------------------------------- daily exact value quantiles
+
+def test_value_quantiles_hand_and_negative_keys(tmp_path):
+    """Disc quantiles are ORDER STATISTICS: [1.5, 2.5, 3.5] answers
+    p50 = 2.5 (sorted[ceil(0.5*3)-1]) and p90 = 3.5 exactly; a
+    NEGATIVE-value day pins the sign-flip arm of the IEEE sort-key
+    encoding (-1.5 < 0.25 must survive the int64 detour bit-exactly)."""
+    from jsonschema_ray.pipelines.relational import (
+        value_quantiles_by_day)
+    D = 1_704_067_200_000_000
+    DAY = 86_400_000_000
+    _events_arrival_v(tmp_path, [
+        (1, D, 1.5), (2, D, 2.5), (3, D, 3.5),
+        (4, D + DAY, -1.5), (5, D + DAY, 0.25)])
+    out = value_quantiles_by_day(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "2024-01-01", "n": 3, "p50": 2.5, "p90": 3.5},
+        {"day": "2024-01-02", "n": 2, "p50": -1.5, "p90": 0.25}]
+    exp = _oracle(tmp_path, "value_quantiles_by_day")
+    assert exp.astype({"n": "int64"}).to_dict("records") == \
+        out.to_dict("records")
+
+
+def _events_arrival_v(tmp_path, rows):
+    """rows: (event_id, ts_us|None, value|None)."""
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(["e"] * len(rows), pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64())}))
+
+
+def test_value_quantiles_invisible_and_degenerate(tmp_path):
+    """NaN / inf / null values and null-ts rows are invisible; a
+    one-event day answers p50 == p90 == the value; all-invalid ->
+    typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        value_quantiles_by_day)
+    D = 1_704_067_200_000_000
+    _events_arrival_v(tmp_path, [
+        (1, D, 7.25), (2, D, float("nan")), (3, D, float("inf")),
+        (4, D, None), (5, None, 1.0)])
+    out = value_quantiles_by_day(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "2024-01-01", "n": 1, "p50": 7.25, "p90": 7.25}]
+    exp = _oracle(tmp_path, "value_quantiles_by_day")
+    assert exp.astype({"n": "int64"}).to_dict("records") == \
+        out.to_dict("records")
+
+    _events_arrival_v(tmp_path, [(1, None, 1.0), (2, D, None)])
+    out = value_quantiles_by_day(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["day", "n", "p50", "p90"]
