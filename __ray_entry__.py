@@ -845,6 +845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.late_events_by_day,                         # oracled
         "value_quantiles_by_day":
             R.value_quantiles_by_day,                     # oracled
+        "session_sensitivity_events":
+            R.session_sensitivity_events,                 # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -2353,6 +2355,20 @@ FROM parts GROUP BY bucket ORDER BY bucket""",
             _md5lsh.sql_embedding_lsh_pairs(),
         "embedding_lsh_pair_cosine_md5":
             _md5lsh.sql_embedding_lsh_pair_cosine(),
+        "session_sensitivity_events": """
+WITH th(t) AS (VALUES (5), (15), (30), (60), (120)),
+g AS (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+u AS (SELECT count(DISTINCT user_id) AS nu FROM g),
+s AS (SELECT t, sum(CASE WHEN gap > CAST(t AS BIGINT) * 60000000
+                         THEN 1 ELSE 0 END) AS extra
+      FROM th, g GROUP BY t)
+SELECT t AS threshold_min, CAST(nu AS BIGINT) AS n_users,
+       CAST(nu + extra AS BIGINT) AS n_sessions
+FROM s, u ORDER BY t""",
         "value_quantiles_by_day": """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        CAST(count(*) AS BIGINT) AS n,

@@ -438,6 +438,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.late_events_by_day(sf_dir)))
     timed("value_quantiles_by_day",
           lambda: len(R.value_quantiles_by_day(sf_dir)))
+    timed("session_sensitivity_events",
+          lambda: len(R.session_sensitivity_events(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -15102,3 +15102,67 @@ def value_quantiles_by_day(sf_dir: str):
     out["p50"] = out["p50"].astype("float64")
     out["p90"] = out["p90"].astype("float64")
     return out
+
+
+_SESSION_THRESHOLDS_MIN = (5, 15, 30, 60, 120)
+
+
+def session_sensitivity_events(sf_dir: str):
+    """Sessionization threshold SENSITIVITY (ORACLED): for each
+    inactivity threshold in {5, 15, 30, 60, 120} minutes, the active
+    user count and the TOTAL session count the corpus would split
+    into — the tuning curve an operator reads before fixing the
+    events_sessions 30-min constant (a knee in this curve IS the
+    natural session boundary; too-flat means the threshold doesn't
+    matter, cliff means bursty traffic). The per-user gap stream is
+    computed ONCE (one user-hash partition, the events_sessions
+    machinery: order (ts, event_id), break on gap STRICTLY > T), then
+    every threshold is evaluated vectorized against the same gaps —
+    5 thresholds cost one extra comparison each, not 5 passes. Only
+    (threshold, n_users, extra_breaks) partials leave each partition
+    (|thresholds| rows); a tiny grouped sum finishes. Null-ts and
+    null-user rows are DROPPED before anything counts (a user with
+    only null-ts rows is not active — pinned; the strict-> boundary
+    at exactly T is pinned too). Empty corpus -> typed empty frame."""
+    from ..util import partitioned_group_apply
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"].notna() & df["user_id"].notna()]
+        if not len(df):
+            return pd.DataFrame({
+                "t": pd.Series([], dtype="int64"),
+                "nu": pd.Series([], dtype="int64"),
+                "extra": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        new_user = np.ones(len(df), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gaps = np.zeros(len(df), dtype=np.int64)
+        gaps[1:] = us[1:] - us[:-1]
+        valid = ~new_user                # within-user gaps only
+        nu = int(new_user.sum())
+        rows = []
+        for t in _SESSION_THRESHOLDS_MIN:
+            extra = int(((gaps > t * 60_000_000) & valid).sum())
+            rows.append({"t": t, "nu": nu, "extra": extra})
+        return pd.DataFrame(rows)
+
+    agg = grouped_agg(
+        partitioned_group_apply(ds, ["user_id"], kernel),
+        ["t"], {"nu": "n_users", "extra": "extra"},
+        count_alias="_c").to_pandas()
+    out_empty = pd.DataFrame({
+        "threshold_min": pd.Series([], dtype="int64"),
+        "n_users": pd.Series([], dtype="int64"),
+        "n_sessions": pd.Series([], dtype="int64")})
+    if agg.empty or "t" not in agg.columns:
+        return out_empty
+    out = pd.DataFrame({
+        "threshold_min": agg["t"].astype("int64"),
+        "n_users": agg["n_users"].astype("int64"),
+        "n_sessions": (agg["n_users"] + agg["extra"]).astype("int64")}) \
+        .sort_values("threshold_min").reset_index(drop=True)
+    return out

@@ -183,7 +183,7 @@ def oracle_pairs():
     "embedding_lsh_buckets_md5", "embedding_lsh_pairs_md5",
     "embedding_lsh_pair_cosine_md5", "psi_daily_drift_events",
     "violation_profile_tables", "late_events_by_day",
-    "value_quantiles_by_day",
+    "value_quantiles_by_day", "session_sensitivity_events",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -551,3 +551,57 @@ def test_value_quantiles_invisible_and_degenerate(tmp_path):
     out = value_quantiles_by_day(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["day", "n", "p50", "p90"]
+
+
+# --------------------------------- sessionization threshold sweep
+
+def test_session_sensitivity_hand_curve(tmp_path):
+    """User A's gaps are 10 and 40 minutes, user B has one event: the
+    sweep answers 4/3/3/2/2 total sessions across {5,15,30,60,120} —
+    the curve's knee sits where gaps stop splitting."""
+    from jsonschema_ray.pipelines.relational import (
+        session_sensitivity_events)
+    D = 1_704_067_200_000_000
+    MIN = 60_000_000
+    _events_arrival(tmp_path, [
+        (1, 1, D), (2, 1, D + 10 * MIN), (3, 1, D + 50 * MIN),
+        (4, 2, D)])
+    out = session_sensitivity_events(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"threshold_min": 5, "n_users": 2, "n_sessions": 4},
+        {"threshold_min": 15, "n_users": 2, "n_sessions": 3},
+        {"threshold_min": 30, "n_users": 2, "n_sessions": 3},
+        {"threshold_min": 60, "n_users": 2, "n_sessions": 2},
+        {"threshold_min": 120, "n_users": 2, "n_sessions": 2}]
+    exp = _oracle(tmp_path, "session_sensitivity_events")
+    assert exp.astype("int64").to_dict("records") == \
+        out.to_dict("records")
+
+
+def test_session_sensitivity_boundary_and_nulls(tmp_path):
+    """A gap of EXACTLY the threshold does NOT break (strict >, the
+    events_sessions convention) — 30:00 on the 30-min row; null-ts and
+    null-user rows are dropped before anything counts; all-invalid ->
+    typed empty frame."""
+    from jsonschema_ray.pipelines.relational import (
+        session_sensitivity_events)
+    D = 1_704_067_200_000_000
+    MIN = 60_000_000
+    _events_arrival(tmp_path, [
+        (1, 1, D), (2, 1, D + 30 * MIN),
+        (3, None, D), (4, 2, None)])
+    out = session_sensitivity_events(str(tmp_path))
+    recs = {r["threshold_min"]: r for r in out.to_dict("records")}
+    assert recs[30] == {"threshold_min": 30, "n_users": 1,
+                        "n_sessions": 1}      # 30:00 does not split
+    assert recs[15] == {"threshold_min": 15, "n_users": 1,
+                        "n_sessions": 2}      # but 15 does
+    exp = _oracle(tmp_path, "session_sensitivity_events")
+    assert exp.astype("int64").to_dict("records") == \
+        out.to_dict("records")
+
+    _events_arrival(tmp_path, [(1, None, D), (2, 1, None)])
+    out = session_sensitivity_events(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["threshold_min", "n_users",
+                                 "n_sessions"]
