@@ -847,6 +847,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.value_quantiles_by_day,                     # oracled
         "session_sensitivity_events":
             R.session_sensitivity_events,                 # oracled
+        "referential_profile_tables":
+            R.referential_profile_tables,                 # oracled
+        "uniqueness_profile_tables":
+            R.uniqueness_profile_tables,                  # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -4461,6 +4465,41 @@ FROM s LEFT JOIN p USING (doc_id) ORDER BY s.doc_id
 """,
     }
 
+    # referential / uniqueness profiles: generated from the SAME edge
+    # and key declarations shape as the Ray pipelines
+    _edges = [("lineitem", "l_orderkey", "orders", "o_orderkey"),
+              ("orders", "o_custkey", "customer", "c_custkey"),
+              ("customer", "c_nationkey", "nation", "n_nationkey"),
+              ("supplier", "s_nationkey", "nation", "n_nationkey"),
+              ("nation", "n_regionkey", "region", "r_regionkey")]
+    d["referential_profile_tables"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS child_table, '{fk}' AS fk, "
+        f"'{p}' AS parent_table, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM {c}) AS n_child_rows, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM {c} x "
+        f" WHERE x.{fk} IS NOT NULL AND NOT EXISTS "
+        f" (SELECT 1 FROM {p} y WHERE y.{pk} = x.{fk})) AS n_orphans"
+        for c, fk, p, pk in _edges
+    ) + " ORDER BY child_table, fk"
+    _keysets = [("customer", ["c_custkey"]),
+                ("documents", ["doc_id"]),
+                ("embeddings", ["vec_id"]),
+                ("events", ["event_id"]),
+                ("lineitem", ["l_orderkey", "l_linenumber"]),
+                ("orders", ["o_orderkey"]),
+                ("part", ["p_partkey"]),
+                ("supplier", ["s_suppkey"])]
+    d["uniqueness_profile_tables"] = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, '{','.join(ks)}' AS key, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM {t}) AS n_rows, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM "
+        f" (SELECT 1 FROM {t} GROUP BY {', '.join(ks)})) "
+        f"AS n_distinct_keys, "
+        f"(SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM "
+        f" (SELECT count(*) AS c FROM {t} GROUP BY {', '.join(ks)} "
+        f"  HAVING count(*) > 1)) AS n_rows_in_dup_keys"
+        for t, ks in _keysets
+    ) + " ORDER BY tbl"
     # violation_profile_tables: COMPOSED from the four validate_*
     # oracle strings above (same dict entries wrapped in a count —
     # profile and row oracles cannot drift)

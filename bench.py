@@ -440,6 +440,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.value_quantiles_by_day(sf_dir)))
     timed("session_sensitivity_events",
           lambda: len(R.session_sensitivity_events(sf_dir)))
+    timed("referential_profile_tables",
+          lambda: len(R.referential_profile_tables(sf_dir)))
+    timed("uniqueness_profile_tables",
+          lambda: len(R.uniqueness_profile_tables(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -15166,3 +15166,120 @@ def session_sensitivity_events(sf_dir: str):
         "n_sessions": (agg["n_users"] + agg["extra"]).astype("int64")}) \
         .sort_values("threshold_min").reset_index(drop=True)
     return out
+
+
+def referential_profile_tables(sf_dir: str):
+    """Warehouse REFERENTIAL-integrity profile (ORACLED): for every
+    declared FK edge — lineitem.l_orderkey -> orders, orders.o_custkey
+    -> customer, customer.c_nationkey -> nation, supplier.s_nationkey
+    -> nation, nation.n_regionkey -> region — the child row count and
+    the ORPHAN count (child keys with no parent; null FK values are
+    NOT orphans, the SQL anti-join convention) — the FK-health
+    dashboard beside violation_profile_tables (north rule:
+    'referential checks use a broadcast hash semi-join against a
+    reference key table' — this profiles that check across the star
+    schema). Each edge runs the same broadcast ANTI semi-join as
+    referential_lineitem_orders (parent keys ray.put once, child
+    streams) plus one metadata-cheap count; only 5 profile rows reach
+    the driver. A missing table file skips its edges."""
+    import os as _os
+
+    from ..checks import broadcast_semi_join
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = []
+    for child, fk, parent, pk in edges:
+        cp = f"{sf_dir}/{child}.parquet"
+        pp = f"{sf_dir}/{parent}.parquet"
+        if not (_os.path.exists(cp) and _os.path.exists(pp)):
+            continue
+        ch = _read(sf_dir, child, columns=[fk])
+        pr = _read(sf_dir, parent, columns=[pk])
+        n_child = ch.count()
+        orphans = broadcast_semi_join(ch, fk, pr, ref_key=pk,
+                                      anti=True)
+        # a null FK is not an orphan (SQL anti-join semantics) —
+        # broadcast_semi_join(anti=True) keeps null keys, drop them
+        n_orphans = orphans.map_batches(
+            lambda b, k=fk: b.filter(b.column(k).is_valid()),
+            batch_format="pyarrow", zero_copy_batch=True).count()
+        rows.append({"child_table": child, "fk": fk,
+                     "parent_table": parent,
+                     "n_child_rows": int(n_child),
+                     "n_orphans": int(n_orphans)})
+    out_empty = pd.DataFrame({
+        "child_table": pd.Series([], dtype="object"),
+        "fk": pd.Series([], dtype="object"),
+        "parent_table": pd.Series([], dtype="object"),
+        "n_child_rows": pd.Series([], dtype="int64"),
+        "n_orphans": pd.Series([], dtype="int64")})
+    if not rows:
+        return out_empty
+    out = pd.DataFrame(rows).sort_values(["child_table", "fk"]) \
+        .reset_index(drop=True)
+    out["n_child_rows"] = out["n_child_rows"].astype("int64")
+    out["n_orphans"] = out["n_orphans"].astype("int64")
+    return out
+
+
+def uniqueness_profile_tables(sf_dir: str):
+    """Warehouse KEY-uniqueness profile (ORACLED): for every declared
+    key — lineitem (l_orderkey, l_linenumber), orders o_orderkey,
+    customer c_custkey, part p_partkey, supplier s_suppkey, events
+    event_id, documents doc_id, embeddings vec_id — the row count,
+    distinct-key count and how many rows sit in duplicated keys — the
+    PK-health dashboard completing the check-family profile trio
+    (violations / referential / uniqueness). Per table ONE coarse
+    key-hash partition pass (the duplicate_keys machinery) emits only
+    (n_keys_dup, n_rows_dup) partials; rows/distinct come from the
+    same grouped count. NULL key components form ONE real key group
+    (the duplicate_keys convention — two all-null keys are
+    duplicates, SQL GROUP BY semantics, pinned). Missing tables
+    skipped."""
+    import os as _os
+    keysets = [
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+        ("orders", ["o_orderkey"]),
+        ("customer", ["c_custkey"]),
+        ("part", ["p_partkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("events", ["event_id"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
+    ]
+    rows = []
+    for tbl, keys in keysets:
+        p = f"{sf_dir}/{tbl}.parquet"
+        if not _os.path.exists(p):
+            continue
+        ds = _read(sf_dir, tbl, columns=keys)
+        n_rows = ds.count()
+        cnt = grouped_agg_hash(ds, keys, {}, count_alias="nk") \
+            .to_pandas()
+        if cnt.empty or "nk" not in cnt.columns:
+            n_distinct, n_dup_rows = 0, 0
+        else:
+            nk = cnt["nk"].astype("int64")
+            n_distinct = int(len(nk))
+            n_dup_rows = int(nk[nk > 1].sum())
+        rows.append({"tbl": tbl, "key": ",".join(keys),
+                     "n_rows": int(n_rows),
+                     "n_distinct_keys": n_distinct,
+                     "n_rows_in_dup_keys": n_dup_rows})
+    out_empty = pd.DataFrame({
+        "tbl": pd.Series([], dtype="object"),
+        "key": pd.Series([], dtype="object"),
+        "n_rows": pd.Series([], dtype="int64"),
+        "n_distinct_keys": pd.Series([], dtype="int64"),
+        "n_rows_in_dup_keys": pd.Series([], dtype="int64")})
+    if not rows:
+        return out_empty
+    out = pd.DataFrame(rows).sort_values("tbl").reset_index(drop=True)
+    for c in ("n_rows", "n_distinct_keys", "n_rows_in_dup_keys"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -184,6 +184,7 @@ def oracle_pairs():
     "embedding_lsh_pair_cosine_md5", "psi_daily_drift_events",
     "violation_profile_tables", "late_events_by_day",
     "value_quantiles_by_day", "session_sensitivity_events",
+    "referential_profile_tables", "uniqueness_profile_tables",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -605,3 +605,49 @@ def test_session_sensitivity_boundary_and_nulls(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["threshold_min", "n_users",
                                  "n_sessions"]
+
+
+# ----------------------- referential / uniqueness warehouse profiles
+
+def test_referential_profile_orphans_and_null_fk(tmp_path):
+    """A child key with no parent counts as an orphan; a NULL FK does
+    NOT (the SQL anti-join convention); clean edges answer zero. Only
+    the customer->nation edge's tables exist here — absent tables
+    skip their edges."""
+    from jsonschema_ray.pipelines.relational import (
+        referential_profile_tables)
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_nationkey": pa.array([10, 99, None, 10], pa.int64())}))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([10, 20], pa.int64()),
+        "n_regionkey": pa.array([1, 1], pa.int64())}))
+    _write(tmp_path, "region", pa.table({
+        "r_regionkey": pa.array([1], pa.int64())}))
+    out = referential_profile_tables(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"child_table": "customer", "fk": "c_nationkey",
+         "parent_table": "nation", "n_child_rows": 4, "n_orphans": 1},
+        {"child_table": "nation", "fk": "n_regionkey",
+         "parent_table": "region", "n_child_rows": 2, "n_orphans": 0}]
+
+
+def test_uniqueness_profile_dup_and_null_keys(tmp_path):
+    """A duplicated key counts ALL its rows in n_rows_in_dup_keys;
+    two all-NULL keys are duplicates of each other (one real key
+    group, SQL GROUP BY semantics)."""
+    from jsonschema_ray.pipelines.relational import (
+        uniqueness_profile_tables)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 1, 1, 2, None, None], pa.int64()),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": pa.array(["e"] * 6, pa.string()),
+        "ts": pa.array([None] * 6, pa.timestamp("us")),
+        "value": pa.array([0.0] * 6, pa.float64())}))
+    out = uniqueness_profile_tables(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"tbl": "events", "key": "event_id", "n_rows": 6,
+         "n_distinct_keys": 3, "n_rows_in_dup_keys": 5}]
+    # (the composed SQL oracle references all 8 tables and is
+    # value-verified at 3 SFs in the driver gate; these pins carry the
+    # crafted dup/null-key branches on the Ray side)
