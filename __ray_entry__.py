@@ -851,6 +851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.referential_profile_tables,                 # oracled
         "uniqueness_profile_tables":
             R.uniqueness_profile_tables,                  # oracled
+        "type_mix_drift_daily":
+            R.type_mix_drift_daily,                       # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -2359,6 +2361,31 @@ FROM parts GROUP BY bucket ORDER BY bucket""",
             _md5lsh.sql_embedding_lsh_pairs(),
         "embedding_lsh_pair_cosine_md5":
             _md5lsh.sql_embedding_lsh_pair_cosine(),
+        "type_mix_drift_daily": """
+WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT day, event_type, count(*) AS n FROM e
+      GROUP BY day, event_type),
+t AS (SELECT day, CAST(count(*) AS DOUBLE) AS tot
+      FROM e GROUP BY day),
+dd AS (SELECT day, lag(day) OVER (ORDER BY day) AS prev
+       FROM (SELECT DISTINCT day FROM e)),
+pt AS (SELECT d.prev, d.day, b.event_type
+       FROM dd d JOIN c b ON b.day IN (d.day, d.prev)
+       WHERE d.prev IS NOT NULL
+       GROUP BY 1, 2, 3)
+SELECT p.day, p.event_type,
+       CAST(coalesce(cp.n, 0) AS BIGINT) AS n_prev,
+       CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur,
+       round(abs(coalesce(cp.n, 0) / tp.tot
+                 - coalesce(cc.n, 0) / tc.tot), 6) AS tv_term
+FROM pt p
+LEFT JOIN c cp ON cp.day = p.prev AND cp.event_type = p.event_type
+LEFT JOIN c cc ON cc.day = p.day AND cc.event_type = p.event_type
+JOIN t tp ON tp.day = p.prev
+JOIN t tc ON tc.day = p.day
+ORDER BY p.day, p.event_type""",
         "session_sensitivity_events": """
 WITH th(t) AS (VALUES (5), (15), (30), (60), (120)),
 g AS (SELECT user_id,

@@ -444,6 +444,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.referential_profile_tables(sf_dir)))
     timed("uniqueness_profile_tables",
           lambda: len(R.uniqueness_profile_tables(sf_dir)))
+    timed("type_mix_drift_daily",
+          lambda: len(R.type_mix_drift_daily(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

@@ -15283,3 +15283,66 @@ def uniqueness_profile_tables(sf_dir: str):
     for c in ("n_rows", "n_distinct_keys", "n_rows_in_dup_keys"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def type_mix_drift_daily(sf_dir: str):
+    """Day-over-day CATEGORICAL drift (ORACLED): for every consecutive
+    pair of observed days, the per-event-type total-variation terms
+    |p_prev - p_cur| between yesterday's and today's event-type MIX —
+    the categorical companion completing the drift trio
+    (psi_daily_drift_events reads the numeric bins,
+    value_quantiles_by_day the percentiles, this the type mix: a new
+    bot type or a dying feature shows here first). Per-TYPE terms ship
+    (the psi discipline — the consumer halves the sum for TV distance;
+    no summation-order hazard crosses engines); each term is two
+    count/total double divisions and one subtraction+abs, 6dp. One
+    vocabulary x calendar-bounded (day, type) grouped count; the
+    driver folds consecutive OBSERVED days (gaps pair across, the
+    psi_daily convention). Null-ts / null-type rows invisible; a type
+    absent on one side contributes its full share as the term
+    (p = 0.0 exactly — no eps, TV needs none); fewer than two
+    observed days -> typed empty frame."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(b.column("ts").is_valid(),
+                             b.column("event_type").is_valid()))
+        return pa.table({
+            "day": pc.strftime(t.column("ts"), "%Y-%m-%d"),
+            "event_type": t.column("event_type")})
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=131072),
+        ["day", "event_type"], {}, count_alias="n").to_pandas()
+    out_empty = pd.DataFrame({
+        "day": pd.Series([], dtype="object"),
+        "event_type": pd.Series([], dtype="object"),
+        "n_prev": pd.Series([], dtype="int64"),
+        "n_cur": pd.Series([], dtype="int64"),
+        "tv_term": pd.Series([], dtype="float64")})
+    if agg.empty or "day" not in agg.columns:
+        return out_empty
+    days = sorted(agg["day"].unique())
+    if len(days) < 2:
+        return out_empty
+    tot = agg.groupby("day")["n"].sum().astype("float64")
+    by_day = {d: dict(zip(g["event_type"], g["n"]))
+              for d, g in agg.groupby("day")}
+    rows = []
+    for prev, day in zip(days, days[1:]):
+        cp_d, cc_d = by_day[prev], by_day[day]
+        tp, tc = float(tot[prev]), float(tot[day])
+        for ty in sorted(set(cp_d) | set(cc_d)):
+            np_, nc = int(cp_d.get(ty, 0)), int(cc_d.get(ty, 0))
+            rows.append({
+                "day": day, "event_type": ty, "n_prev": np_,
+                "n_cur": nc,
+                "tv_term": float(np.round(
+                    abs(np_ / tp - nc / tc), 6))})
+    out = pd.DataFrame(rows).sort_values(["day", "event_type"]) \
+        .reset_index(drop=True)
+    out["n_prev"] = out["n_prev"].astype("int64")
+    out["n_cur"] = out["n_cur"].astype("int64")
+    out["tv_term"] = out["tv_term"].astype("float64")
+    return out

@@ -651,3 +651,63 @@ def test_uniqueness_profile_dup_and_null_keys(tmp_path):
     # (the composed SQL oracle references all 8 tables and is
     # value-verified at 3 SFs in the driver gate; these pins carry the
     # crafted dup/null-key branches on the Ray side)
+
+
+# ----------------------------------- day-over-day type-mix drift
+
+def _events_ts_type(tmp_path, rows):
+    """rows: (ts_us|None, event_type|None)."""
+    n = len(rows)
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "value": pa.array([0.0] * n, pa.float64())}))
+
+
+def test_type_mix_drift_hand_and_vanishing_type(tmp_path):
+    """Day1 {a:2, b:2}, day2 {a:3, c:1}: type b VANISHES (term = its
+    full prior share 0.5, p_cur exactly 0.0 — no eps, TV needs none),
+    type c appears (0.25), a shifts 0.5 -> 0.75 (0.25); null-ts and
+    null-type rows invisible."""
+    from jsonschema_ray.pipelines.relational import type_mix_drift_daily
+    D = 1_704_067_200_000_000
+    DAY = 86_400_000_000
+    _events_ts_type(tmp_path, [
+        (D, "a"), (D, "a"), (D, "b"), (D, "b"),
+        (D + DAY, "a"), (D + DAY, "a"), (D + DAY, "a"), (D + DAY, "c"),
+        (None, "a"), (D, None)])
+    out = type_mix_drift_daily(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "2024-01-02", "event_type": "a", "n_prev": 2,
+         "n_cur": 3, "tv_term": 0.25},
+        {"day": "2024-01-02", "event_type": "b", "n_prev": 2,
+         "n_cur": 0, "tv_term": 0.5},
+        {"day": "2024-01-02", "event_type": "c", "n_prev": 0,
+         "n_cur": 1, "tv_term": 0.25}]
+    exp = _oracle(tmp_path, "type_mix_drift_daily")
+    assert exp.astype({"n_prev": "int64", "n_cur": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+
+def test_type_mix_drift_gap_and_single_day(tmp_path):
+    """A calendar gap pairs across it (lag over OBSERVED days); one
+    observed day answers the typed empty frame."""
+    from jsonschema_ray.pipelines.relational import type_mix_drift_daily
+    D = 1_704_067_200_000_000
+    DAY = 86_400_000_000
+    _events_ts_type(tmp_path, [(D, "a"), (D + 3 * DAY, "a")])
+    out = type_mix_drift_daily(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"day": "2024-01-04", "event_type": "a", "n_prev": 1,
+         "n_cur": 1, "tv_term": 0.0}]
+    exp = _oracle(tmp_path, "type_mix_drift_daily")
+    assert exp.astype({"n_prev": "int64", "n_cur": "int64"}) \
+        .to_dict("records") == out.to_dict("records")
+
+    _events_ts_type(tmp_path, [(D, "a"), (D, "b")])
+    out = type_mix_drift_daily(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["day", "event_type", "n_prev",
+                                 "n_cur", "tv_term"]
