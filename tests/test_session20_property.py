@@ -120,7 +120,10 @@ def _rand_events(rng, n):
             [None if rng.random() < 0.1
              else int(rng.integers(1, max(n // 5, 2)))
              for _ in range(n)], pa.int64()),
-        "event_type": pa.array(["e"] * n, pa.string()),
+        "event_type": pa.array(
+            [None if rng.random() < 0.08
+             else "xyz"[rng.integers(0, 3)] for _ in range(n)],
+            pa.string()),
         "ts": pa.array(
             [None if rng.random() < 0.1
              else int(rng.integers(0, 5)) * DAY
@@ -143,7 +146,9 @@ def test_event_timeline_family_random(tmp_path, seed):
             ("value_quantiles_by_day", ["day"], {"n": "int64"}),
             ("session_sensitivity_events", ["threshold_min"],
              {"threshold_min": "int64", "n_users": "int64",
-              "n_sessions": "int64"})):
+              "n_sessions": "int64"}),
+            ("type_mix_drift_daily", ["day", "event_type"],
+             {"n_prev": "int64", "n_cur": "int64"})):
         out = q[name](str(tmp_path))
         exp = _oracle(tmp_path, name)
         if len(exp):
