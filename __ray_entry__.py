@@ -853,6 +853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.uniqueness_profile_tables,                  # oracled
         "type_mix_drift_daily":
             R.type_mix_drift_daily,                       # oracled
+        "completeness_profile_tables":
+            R.completeness_profile_tables,                # oracled
     }
     w = set(_DRIVER_WINDOW_R5)
     return {**{k: d[k] for k in _DRIVER_WINDOW_R5},
@@ -4527,6 +4529,16 @@ FROM s LEFT JOIN p USING (doc_id) ORDER BY s.doc_id
         f"  HAVING count(*) > 1)) AS n_rows_in_dup_keys"
         for t, ks in _keysets
     ) + " ORDER BY tbl"
+    from jsonschema_ray.pipelines.relational import _PROFILE_COLUMNS
+    d["completeness_profile_tables"] = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, '{c}' AS col, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"CASE WHEN count(*) = 0 THEN 0.0 ELSE "
+        f"round(CAST(count(*) - count({c}) AS DOUBLE) "
+        f"/ CAST(count(*) AS DOUBLE), 6) END AS null_rate FROM {t}"
+        for t, cols in _PROFILE_COLUMNS.items() for c in cols
+    ) + " ORDER BY tbl, col"
     # violation_profile_tables: COMPOSED from the four validate_*
     # oracle strings above (same dict entries wrapped in a count —
     # profile and row oracles cannot drift)

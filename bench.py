@@ -446,6 +446,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_factor: int = 1,
           lambda: len(R.uniqueness_profile_tables(sf_dir)))
     timed("type_mix_drift_daily",
           lambda: len(R.type_mix_drift_daily(sf_dir)))
+    timed("completeness_profile_tables",
+          lambda: len(R.completeness_profile_tables(sf_dir)))
 
     headline = timings["flagship_images"]
     out = {

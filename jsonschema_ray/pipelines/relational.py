@@ -15346,3 +15346,88 @@ def type_mix_drift_daily(sf_dir: str):
     out["n_cur"] = out["n_cur"].astype("int64")
     out["tv_term"] = out["tv_term"].astype("float64")
     return out
+
+
+_PROFILE_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_returnflag",
+                 "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value",
+               "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def completeness_profile_tables(sf_dir: str):
+    """Warehouse COMPLETENESS profile (ORACLED): per (table, column)
+    — across every declared column of all 10 tables — the row count,
+    null count and null rate (6dp) — the fourth data-quality
+    dimension, completing the classic DQ quartet this repo now
+    profiles warehouse-wide (validity = violation_profile_tables,
+    uniqueness = uniqueness_profile_tables, referential integrity =
+    referential_profile_tables, completeness = this; north rule:
+    'per-column statistics (null-rate, ...)' as a first-class check).
+    Per table ONE streaming pass whose batches emit |columns| partial
+    rows each via Arrow's O(1) per-chunk null_count (no value is ever
+    touched — validity bitmaps only, zero-copy); a grouped sum over
+    |columns| keys and a driver fold finish. The column lists are the
+    SAME _PROFILE_COLUMNS declaration the SQL oracle is generated
+    from (declaration and oracle cannot drift). Complex columns count
+    like any other (a null map/list row is null; an EMPTY list is NOT
+    null — pinned). Missing tables skip their rows; empty tables
+    answer n_rows 0 with null_rate 0.0 (the count=0 convention of
+    stages/stats)."""
+    import os as _os
+    rows = []
+    for tbl, cols in _PROFILE_COLUMNS.items():
+        p = f"{sf_dir}/{tbl}.parquet"
+        if not _os.path.exists(p):
+            continue
+        ds = _read(sf_dir, tbl, columns=cols)
+
+        def partial(b: pa.Table, cols=tuple(cols)) -> pa.Table:
+            return pa.table({
+                "col": pa.array(list(cols), pa.string()),
+                "nn": pa.array([b.column(c).null_count for c in cols],
+                               pa.int64()),
+                "nr": pa.array([b.num_rows] * len(cols), pa.int64())})
+
+        agg = grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=131072),
+            ["col"], {"nn": "n_nulls", "nr": "n_rows"},
+            count_alias="_c").to_pandas()
+        got = {} if (agg.empty or "col" not in agg.columns) else \
+            {r["col"]: (int(r["n_rows"]), int(r["n_nulls"]))
+             for _, r in agg.iterrows()}
+        for c in cols:
+            nr, nn = got.get(c, (0, 0))
+            rows.append({
+                "tbl": tbl, "col": c, "n_rows": nr, "n_nulls": nn,
+                "null_rate": float(duckdb_round(nn / nr, 6))
+                if nr else 0.0})
+    out_empty = pd.DataFrame({
+        "tbl": pd.Series([], dtype="object"),
+        "col": pd.Series([], dtype="object"),
+        "n_rows": pd.Series([], dtype="int64"),
+        "n_nulls": pd.Series([], dtype="int64"),
+        "null_rate": pd.Series([], dtype="float64")})
+    if not rows:
+        return out_empty
+    out = pd.DataFrame(rows).sort_values(["tbl", "col"]) \
+        .reset_index(drop=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    out["null_rate"] = out["null_rate"].astype("float64")
+    return out

@@ -185,7 +185,7 @@ def oracle_pairs():
     "violation_profile_tables", "late_events_by_day",
     "value_quantiles_by_day", "session_sensitivity_events",
     "referential_profile_tables", "uniqueness_profile_tables",
-    "type_mix_drift_daily",
+    "type_mix_drift_daily", "completeness_profile_tables",
 ])
 def test_query_matches_oracle(name, duck):
     q, o = oracle_pairs()

@@ -711,3 +711,34 @@ def test_type_mix_drift_gap_and_single_day(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["day", "event_type", "n_prev",
                                  "n_cur", "tv_term"]
+
+
+# ------------------------------- completeness warehouse profile
+
+def test_completeness_profile_counts_empty_list_not_null(tmp_path):
+    """Null counting is validity-bitmap exact: embeddings with one
+    null vector, one EMPTY vector (NOT null — pinned) and a null
+    label; an empty region table answers n_rows 0 / null_rate 0.0;
+    missing tables are skipped."""
+    from jsonschema_ray.pipelines.relational import (
+        completeness_profile_tables)
+    _write(tmp_path, "embeddings", pa.table({
+        "vec_id": pa.array([1, 2, None], pa.int64()),
+        "embedding": pa.array([None, [], [1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, None, 1], pa.int32())}))
+    _write(tmp_path, "region", pa.table({
+        "r_regionkey": pa.array([], pa.int64()),
+        "r_name": pa.array([], pa.string())}))
+    out = completeness_profile_tables(str(tmp_path))
+    recs = {(r["tbl"], r["col"]): r for r in out.to_dict("records")}
+    assert recs[("embeddings", "embedding")] == {
+        "tbl": "embeddings", "col": "embedding", "n_rows": 3,
+        "n_nulls": 1, "null_rate": 0.333333}
+    assert recs[("embeddings", "vec_id")]["n_nulls"] == 1
+    assert recs[("embeddings", "label")]["n_nulls"] == 1
+    assert recs[("region", "r_name")] == {
+        "tbl": "region", "col": "r_name", "n_rows": 0,
+        "n_nulls": 0, "null_rate": 0.0}
+    assert set(r["tbl"] for r in out.to_dict("records")) == \
+        {"embeddings", "region"}
